@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.ops._
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle SQL where
+  * expressible) per implemented operator from SURVEY.md §2.
+  *
+  * Oracle-parity notes (why the SQL looks the way it does):
+  *   - Floating SUM/AVG/STDDEV route through exact decimal accumulation on
+  *     BOTH sides (`CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE)`) so the
+  *     result is independent of accumulation order — Spark partitioning and
+  *     DuckDB's single-threaded fold then agree bit-for-bit.
+  *   - DuckDB window/rank/extract functions return BIGINT where Spark
+  *     returns INT; oracles cast to align schemas.
+  *   - All outputs avoid session-zoned timestamps (inputs are parquet
+  *     timezone-naive, read as TIMESTAMP_NTZ).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): Chain =
+    Chain(s, name, s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Exact-decimal aggregate SQL helpers mirroring [[graft.core.Exact]]. */
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,4))) AS DOUBLE)"
+  private def davg(x: String) = s"${dsum(x)} / COUNT($x)"
+  private def dsum8(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,8))) AS DOUBLE)"
+  private def dsumOver(x: String, over: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(38,4))) OVER $over AS DOUBLE)"
+
+  /** Flagship pipeline on sf=0.001 (tutorial replay per FIXTURES.md §B):
+    * join → datetrunc → rename → aggregate → lag → moving_avg →
+    * target_encode → impute → train_test_split.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, "inner", Seq("l_orderkey" -> "o_orderkey"))
+      .datetrunc(Seq("o_orderdate" -> "week"))
+      .rename(Seq("o_orderdate_week" -> "order_week"))
+      .aggregate(Seq("l_partkey", "order_week"),
+        Seq("l_extendedprice" -> Seq("SUM", "AVG")))
+      .lagCols(Seq("l_extendedprice_sum"), Seq(1, 2),
+        Seq("l_partkey"), Seq("order_week" -> "ASC"))
+      .movingAvg(Seq("l_extendedprice_sum"), Seq(4),
+        Seq("order_week" -> "ASC"), Seq("l_partkey"))
+      .targetEncode("l_partkey", "l_extendedprice_sum")
+      .impute(Seq("lag_l_extendedprice_sum_1" -> "mean"))
+      .trainTestSplit(Seq("l_partkey" -> "ASC", "order_week" -> "ASC"), 0.8)
+      .df
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- projections / column ops (SURVEY §2.2 #1-8)
+    "q_drop_columns" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .dropColumns(includeCols = Seq("l_orderkey", "l_linenumber", "l_quantity")).df),
+    "q_rename" -> ((s, d) =>
+      t(s, d, "orders").rename(Seq("o_orderdate" -> "order_date")).df),
+    "q_cast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .dropColumns(includeCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        .castCols(Seq("l_linenumber" -> "bigint", "l_extendedprice" -> "decimal(12,2)")).df),
+    "q_concat" -> ((s, d) =>
+      t(s, d, "customer").concatCols(Seq("c_name", "'-'", "c_mktsegment"), "c_label").df),
+    "q_substring" -> ((s, d) =>
+      t(s, d, "customer").substringCol("c_name", 1, 8).df),
+    "q_math" -> ((s, d) =>
+      t(s, d, "lineitem").math(
+        Seq("l_extendedprice * (1 - l_discount)", "net_price * (1 + l_tax)"),
+        Seq("net_price", "gross_price")).df),
+    "q_if_then" -> ((s, d) =>
+      t(s, d, "orders").ifThen(
+        Seq("o_totalprice > 300000" -> "'BIG'", "o_totalprice > 150000" -> "'MED'"),
+        "'SMALL'", "size_band").df),
+    "q_to_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .math(Seq("date_format(o_orderdate, 'yyyy-MM-dd')"), Seq("od_str"))
+        .toDateCols(Seq("od_str" -> "yyyy-MM-dd")).df),
+
+    // ---- filters / sort / dedup / rank (#9-12)
+    "q_filter" -> ((s, d) =>
+      t(s, d, "lineitem").filterRows(
+        Seq("l_shipdate >= '1996-01-01'", "l_discount > 0.03")).df),
+    "q_order" -> ((s, d) =>
+      t(s, d, "orders").orderRows(Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC")).df),
+    "q_dedupe" -> ((s, d) =>
+      t(s, d, "lineitem").dedupe(Seq("l_orderkey"),
+        Seq("l_linenumber" -> "DESC", "l_extendedprice" -> "DESC")).df),
+    "q_rank" -> ((s, d) =>
+      t(s, d, "orders").rank(
+        Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
+        partitionBy = Seq("o_orderpriority"), rankType = "dense_rank",
+        alias = "price_rank").df),
+
+    // ---- joins / sets (#13-17)
+    "q_join" -> ((s, d) =>
+      t(s, d, "lineitem").join(t(s, d, "orders"), "inner",
+        Seq("l_orderkey" -> "o_orderkey")).df),
+    "q_simple_join" -> ((s, d) =>
+      t(s, d, "customer").rename(Seq("c_nationkey" -> "n_nationkey"))
+        .simpleJoin(t(s, d, "nation"), "inner", Seq("n_nationkey")).df),
+    "q_multi_join" -> ((s, d) =>
+      t(s, d, "lineitem").multiJoin(Seq(
+        t(s, d, "orders").rename(Seq("o_orderkey" -> "l_orderkey")) -> Seq("l_orderkey"),
+        t(s, d, "part").rename(Seq("p_partkey" -> "l_partkey")) -> Seq("l_partkey")),
+        "inner").df),
+    "q_union" -> ((s, d) =>
+      t(s, d, "orders").filterRows(Seq("o_totalprice > 100000"))
+        .union(t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'")),
+          keepDupes = false).df),
+    "q_multi_union" -> ((s, d) => {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      t(s, d, "customer").filterRows(Seq("c_mktsegment = 'BUILDING'"))
+        .multiUnion(Seq(
+          t(s, d, "customer").filterRows(Seq("c_mktsegment = 'MACHINERY'")),
+          t(s, d, "customer").filterRows(Seq("c_acctbal < 0"))), cols).df
+    }),
+
+    // ---- aggregates (#18-23)
+    "q_aggregate" -> ((s, d) =>
+      t(s, d, "lineitem").aggregate(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          "l_quantity" -> Seq("SUM", "AVG"),
+          "l_extendedprice" -> Seq("SUM", "MIN", "MAX"),
+          "l_orderkey" -> Seq("COUNT_DISTINCT"),
+          "l_linenumber" -> Seq("COUNT"))).df),
+    "q_conditional_agg" -> ((s, d) =>
+      t(s, d, "lineitem").conditionalAgg(
+        Seq("l_linestatus"),
+        Seq("l_returnflag = 'R'", "l_discount > 0.02"),
+        "l_extendedprice", "SUM").df),
+    "q_aggregate_string" -> ((s, d) =>
+      t(s, d, "customer").aggregateString(
+        Seq("c_nationkey"), ",", Seq("c_mktsegment"),
+        distinct = true, ordered = true).df),
+    "q_describe" -> ((s, d) => t(s, d, "part").describeTable().df),
+    "q_linear_regression" -> ((s, d) =>
+      t(s, d, "lineitem").linearRegression(
+        Seq("l_returnflag"), y = "l_extendedprice", x = "l_quantity").df),
+    "q_market_basket" -> ((s, d) =>
+      t(s, d, "lineitem").marketBasket("l_orderkey", "l_partkey", ",").df),
+
+    // ---- window / time-series (#24-29)
+    "q_lag" -> ((s, d) =>
+      t(s, d, "lineitem").lagCols(
+        Seq("l_quantity"), Seq(1, -1), Seq("l_suppkey"),
+        Seq("l_shipdate" -> "ASC", "l_orderkey" -> "ASC", "l_linenumber" -> "ASC")).df),
+    "q_moving_avg" -> ((s, d) =>
+      t(s, d, "lineitem").movingAvg(
+        Seq("l_extendedprice"), Seq(4),
+        Seq("l_shipdate" -> "ASC", "l_orderkey" -> "ASC", "l_linenumber" -> "ASC"),
+        Seq("l_suppkey")).df),
+    "q_rolling_agg" -> ((s, d) =>
+      t(s, d, "lineitem").rollingAgg(
+        Seq("l_quantity" -> Seq("SUM", "MIN")),
+        Seq("l_shipdate" -> "ASC", "l_orderkey" -> "ASC", "l_linenumber" -> "ASC"),
+        offsets = (-2, 0), groupBy = Seq("l_suppkey")).df),
+    "q_cumulative_agg" -> ((s, d) =>
+      t(s, d, "orders").cumulativeAgg(
+        Seq("o_totalprice" -> Seq("SUM", "MAX")),
+        Seq("o_orderdate" -> "ASC", "o_orderkey" -> "ASC"),
+        groupBy = Seq("o_custkey")).df),
+    "q_timeseries_agg" -> ((s, d) =>
+      t(s, d, "orders").timeseriesAgg(
+        Seq("o_totalprice" -> Seq("SUM")),
+        "o_orderdate", Seq(7), "day", Seq("o_custkey")).df),
+    "q_train_test_split" -> ((s, d) =>
+      t(s, d, "orders").trainTestSplit(Seq("o_orderkey" -> "ASC"), 0.8).df),
+
+    // ---- dates (#30-35)
+    "q_datetrunc" -> ((s, d) =>
+      t(s, d, "orders").datetrunc(
+        Seq("o_orderdate" -> "week", "o_orderdate" -> "month")).df),
+    "q_datepart" -> ((s, d) =>
+      t(s, d, "orders").datepart(
+        Seq("o_orderdate" -> "year", "o_orderdate" -> "month", "o_orderdate" -> "day")).df),
+    "q_dateadd" -> ((s, d) =>
+      t(s, d, "orders").dateadd("day", "o_orderdate", 30).df),
+    "q_datediff" -> ((s, d) =>
+      t(s, d, "orders")
+        .math(Seq("TIMESTAMP '1998-01-01 00:00:00'"), Seq("ref_date"))
+        .datediffCols("day", "o_orderdate", "ref_date").df),
+    "q_datespine" -> ((s, d) =>
+      t(s, d, "orders")
+        .datespine("o_orderdate", "1995-01-01", "1995-03-31", "day")
+        .aggregate(Seq("o_orderdate_spine"), Seq("o_orderkey" -> Seq("COUNT"))).df),
+    "q_datespine_groups" -> ((s, d) =>
+      t(s, d, "orders")
+        .datespineGroups(Seq("o_orderpriority"), "o_orderdate",
+          "1995-01-01", "1995-12-01", "month")
+        .aggregate(Seq("o_orderpriority", "o_orderdate_spine"),
+          Seq("o_orderkey" -> Seq("COUNT"))).df),
+
+    // ---- encoders / ML prep (#36-43)
+    "q_one_hot_encode" -> ((s, d) =>
+      t(s, d, "customer").oneHotEncode("c_mktsegment").df),
+    "q_label_encode" -> ((s, d) =>
+      t(s, d, "customer").labelEncode("c_mktsegment").df),
+    "q_target_encode" -> ((s, d) =>
+      t(s, d, "orders").targetEncode("o_orderpriority", "o_totalprice").df),
+    "q_impute" -> ((s, d) =>
+      t(s, d, "customer")
+        .math(Seq("CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END"),
+          Seq("acct2"))
+        .impute(Seq("acct2" -> "mean"), flagMissingVals = true).df),
+    "q_bin" -> ((s, d) =>
+      t(s, d, "orders").bin("equalwidth", 10, "o_totalprice").df),
+    "q_standard_scaler" -> ((s, d) =>
+      t(s, d, "lineitem").standardScaler(Seq("l_extendedprice")).df),
+    "q_min_max_scaler" -> ((s, d) =>
+      t(s, d, "part").minMaxScaler(Seq("p_retailprice")).df),
+    "q_levenshtein" -> ((s, d) =>
+      t(s, d, "customer").levenshteinCols(Seq("c_name"), "c_mktsegment").df),
+
+    // ---- reshape + escape hatch (#44-46)
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "lineitem").pivot(
+        Seq("l_linestatus"), "l_returnflag", "l_quantity", "SUM",
+        listOfVals = Seq("A", "N", "R")).df),
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "part").unpivot("val", "metric", Seq("p_size", "p_retailprice")).df),
+    "q_apply" -> ((s, d) =>
+      t(s, d, "lineitem").applySql(
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM {{source_table}} GROUP BY l_returnflag").df)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_drop_columns" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q_rename" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate AS order_date, o_orderpriority FROM orders",
+    "q_cast" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice FROM lineitem",
+    "q_concat" ->
+      "SELECT *, CAST(c_name AS VARCHAR) || '-' || CAST(c_mktsegment AS VARCHAR) AS c_label FROM customer",
+    "q_substring" ->
+      "SELECT *, SUBSTRING(c_name, 1, 8) AS c_name_substr FROM customer",
+    "q_math" ->
+      "SELECT *, l_extendedprice * (1 - l_discount) AS net_price, (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS gross_price FROM lineitem",
+    "q_if_then" ->
+      "SELECT *, CASE WHEN o_totalprice > 300000 THEN 'BIG' WHEN o_totalprice > 150000 THEN 'MED' ELSE 'SMALL' END AS size_band FROM orders",
+    "q_to_date" ->
+      "SELECT *, CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS od_str FROM orders",
+    "q_filter" ->
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.03",
+    "q_order" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC",
+    "q_dedupe" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_extendedprice DESC) AS rn FROM lineitem) WHERE rn = 1",
+    "q_rank" ->
+      "SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS price_rank FROM orders",
+    "q_join" ->
+      "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    "q_simple_join" ->
+      "SELECT c.c_custkey, c.c_name, n.n_nationkey, c.c_acctbal, c.c_mktsegment, n.n_name, n.n_regionkey FROM customer c INNER JOIN nation n ON c.c_nationkey = n.n_nationkey",
+    "q_multi_join" ->
+      "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority, p.p_name, p.p_brand, p.p_type, p.p_size, p.p_retailprice FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey INNER JOIN part p ON l.l_partkey = p.p_partkey",
+    "q_union" ->
+      "SELECT * FROM orders WHERE o_totalprice > 100000 UNION SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q_multi_union" ->
+      "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY' UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 0",
+    "q_aggregate" ->
+      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum, ${davg("l_quantity")} AS l_quantity_avg, ${dsum("l_extendedprice")} AS l_extendedprice_sum, MIN(l_extendedprice) AS l_extendedprice_min, MAX(l_extendedprice) AS l_extendedprice_max, COUNT(DISTINCT l_orderkey) AS l_orderkey_count_distinct, COUNT(l_linenumber) AS l_linenumber_count FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_conditional_agg" ->
+      s"SELECT l_linestatus, ${dsum("CASE WHEN (l_returnflag = 'R') AND (l_discount > 0.02) THEN l_extendedprice END")} AS l_extendedprice_sum_if FROM lineitem GROUP BY l_linestatus",
+    "q_aggregate_string" ->
+      "SELECT c_mktsegment, string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS c_nationkey_agg FROM customer GROUP BY c_mktsegment",
+    "q_describe" -> describeOracle,
+    "q_linear_regression" ->
+      s"""SELECT l_returnflag, slope, (_sy - slope * _sx) / _nd AS intercept, _n AS n FROM (SELECT l_returnflag, (_nd * _sxy - _sx * _sy) / (_nd * _sxx - _sx * _sx) AS slope, _sx, _sy, _nd, _n FROM (SELECT l_returnflag, CAST(COUNT(x) AS DOUBLE) AS _nd, COUNT(x) AS _n, ${dsum8("x")} AS _sx, ${dsum8("y")} AS _sy, ${dsum8("x * y")} AS _sxy, ${dsum8("x * x")} AS _sxx FROM (SELECT l_returnflag, CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS DOUBLE) END AS x, CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice AS DOUBLE) END AS y FROM lineitem) GROUP BY l_returnflag))""",
+    "q_market_basket" ->
+      "SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY CAST(l_partkey AS VARCHAR)) AS basket, COUNT(l_partkey) AS basket_size FROM lineitem GROUP BY l_orderkey",
+    "q_lag" ->
+      "SELECT *, LAG(l_quantity, 1) OVER w AS lag_l_quantity_1, LEAD(l_quantity, 1) OVER w AS lag_l_quantity__1 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)",
+    "q_moving_avg" ->
+      s"SELECT *, ${dsumOver("l_extendedprice", "w")} / COUNT(l_extendedprice) OVER w AS mean_l_extendedprice_4 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+    "q_rolling_agg" ->
+      s"SELECT *, ${dsumOver("l_quantity", "w")} AS sum_l_quantity__2_0, MIN(l_quantity) OVER w AS min_l_quantity__2_0 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+    "q_cumulative_agg" ->
+      s"SELECT *, ${dsumOver("o_totalprice", "w")} AS sum_o_totalprice_cumulative, MAX(o_totalprice) OVER w AS max_o_totalprice_cumulative FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "q_timeseries_agg" ->
+      s"SELECT *, ${dsumOver("o_totalprice", "w")} AS sum_o_totalprice_7day FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)",
+    "q_train_test_split" ->
+      "SELECT * EXCLUDE (_rn, _cnt), CASE WHEN _rn <= FLOOR(0.8 * _cnt) THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS _rn, COUNT(*) OVER () AS _cnt FROM orders)",
+    "q_datetrunc" ->
+      "SELECT *, CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS o_orderdate_week, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month FROM orders",
+    "q_datepart" ->
+      "SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_orderdate_year, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_orderdate_month, CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS o_orderdate_day FROM orders",
+    "q_dateadd" ->
+      "SELECT *, o_orderdate + INTERVAL 30 DAY AS o_orderdate_add_30_day FROM orders",
+    "q_datediff" ->
+      "SELECT *, TIMESTAMP '1998-01-01 00:00:00' AS ref_date, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS datediff_o_orderdate_ref_date FROM orders",
+    "q_datespine" ->
+      "SELECT CAST(d AS DATE) AS o_orderdate_spine, COUNT(o_orderkey) AS o_orderkey_count FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-31', INTERVAL 1 DAY)) AS d) s LEFT JOIN orders ON CAST(date_trunc('day', o_orderdate) AS DATE) = CAST(d AS DATE) GROUP BY 1",
+    "q_datespine_groups" ->
+      "SELECT g.o_orderpriority, CAST(d AS DATE) AS o_orderdate_spine, COUNT(o.o_orderkey) AS o_orderkey_count FROM (SELECT DISTINCT o_orderpriority FROM orders) g CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)) AS d) s LEFT JOIN orders o ON o.o_orderpriority = g.o_orderpriority AND CAST(date_trunc('month', o.o_orderdate) AS DATE) = CAST(d AS DATE) GROUP BY 1, 2",
+    "q_one_hot_encode" ->
+      "SELECT *, CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_automobile, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_building, CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS c_mktsegment_furniture, CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS c_mktsegment_household, CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_machinery FROM customer",
+    "q_label_encode" ->
+      "SELECT *, CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS INTEGER) AS c_mktsegment_encoded FROM customer",
+    "q_target_encode" ->
+      s"SELECT *, ${dsumOver("o_totalprice", "(PARTITION BY o_orderpriority)")} / COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority) AS o_orderpriority_target_encoded FROM orders",
+    "q_impute" ->
+      s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, COALESCE(acct2, (SELECT ${davg("acct2")} FROM (SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END AS acct2 FROM customer))) AS acct2, CASE WHEN acct2 IS NULL THEN 1 ELSE 0 END AS acct2_missing_flag FROM (SELECT *, CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END AS acct2 FROM customer)",
+    "q_bin" ->
+      "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
+    "q_standard_scaler" ->
+      s"SELECT * EXCLUDE (mu, sd), (CAST(l_extendedprice AS DOUBLE) - mu) / sd AS l_extendedprice_scaled FROM lineitem, (SELECT ${davg("l_extendedprice")} AS mu, SQRT((${dsum8("l_extendedprice * l_extendedprice")} - ${dsum("l_extendedprice")} * ${dsum("l_extendedprice")} / CAST(COUNT(l_extendedprice) AS DOUBLE)) / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS sd FROM lineitem) s",
+    "q_min_max_scaler" ->
+      "SELECT * EXCLUDE (mn, mx), (CAST(p_retailprice AS DOUBLE) - mn) / (mx - mn) AS p_retailprice_scaled FROM part, (SELECT CAST(MIN(p_retailprice) AS DOUBLE) AS mn, CAST(MAX(p_retailprice) AS DOUBLE) AS mx FROM part) s",
+    "q_levenshtein" ->
+      "SELECT *, CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev_c_name_c_mktsegment FROM customer",
+    "q_pivot" ->
+      s"SELECT l_linestatus, ${dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS a, ${dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS n, ${dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS r FROM lineitem GROUP BY l_linestatus",
+    "q_unpivot" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, p_name, p_brand, p_type, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part",
+    "q_apply" ->
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+  )
+
+  /** Per-column UNION ALL profile of `part`, mirroring describeTable(). */
+  private def describeOracle: String = {
+    def num(colName: String, dtype: String): String = {
+      val x = s"CAST($colName AS DOUBLE)"
+      s"SELECT '$colName' AS feature, '$dtype' AS dtype, COUNT(*) AS row_count, " +
+        s"COUNT(*) - COUNT($colName) AS null_count, COUNT(DISTINCT $colName) AS unique_count, " +
+        s"(SELECT CAST($colName AS VARCHAR) AS v FROM part GROUP BY $colName ORDER BY COUNT(*) DESC, v ASC LIMIT 1) AS most_frequent, " +
+        s"${dsum(x)} / COUNT($colName) AS mean, " +
+        s"SQRT((${dsum8(s"$x * $x")} - ${dsum(x)} * ${dsum(x)} / CAST(COUNT($colName) AS DOUBLE)) / (CAST(COUNT($colName) AS DOUBLE) - 1.0)) AS std_dev, " +
+        s"CAST(MIN($colName) AS VARCHAR) AS min_value, CAST(MAX($colName) AS VARCHAR) AS max_value FROM part"
+    }
+    def str(colName: String): String =
+      s"SELECT '$colName' AS feature, 'string' AS dtype, COUNT(*) AS row_count, " +
+        s"COUNT(*) - COUNT($colName) AS null_count, COUNT(DISTINCT $colName) AS unique_count, " +
+        s"(SELECT CAST($colName AS VARCHAR) AS v FROM part GROUP BY $colName ORDER BY COUNT(*) DESC, v ASC LIMIT 1) AS most_frequent, " +
+        s"CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std_dev, " +
+        s"CAST(MIN($colName) AS VARCHAR) AS min_value, CAST(MAX($colName) AS VARCHAR) AS max_value FROM part"
+    Seq(
+      num("p_partkey", "bigint"), str("p_name"), str("p_brand"), str("p_type"),
+      num("p_size", "int"), num("p_retailprice", "double")
+    ).mkString(" UNION ALL ")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+
+/** One applied transform: operator name, deterministic output alias, and a
+  * Spark-SQL fragment with a `{{source}}` placeholder for the previous step
+  * (the reference's `Transform`, rasgoql/primitives/transforms.py:226-258).
+  * `sqlFragment == None` marks ops whose SQL text form is not supported
+  * (they still execute; `Chain.sql` reports them).
+  */
+final case class TransformStep(
+    op: String,
+    alias: String,
+    sqlFragment: Option[String],
+    args: Map[String, String] = Map.empty)
+
+/** A lazy, immutable transform chain: the Spark `DataFrame` *is* the IR
+  * (Catalyst optimizes through all steps); the parallel step list exists for
+  * SQL-text rendering / dbt export parity with the reference's `SQLChain`
+  * (rasgoql/primitives/transforms.py:261-429).
+  *
+  * Nothing executes until a terminal verb (`preview`, `toLocal`, `save`).
+  */
+final class Chain private (
+    val spark: SparkSession,
+    val entryName: String,
+    val df: DataFrame,
+    val steps: Vector[TransformStep]) {
+
+  /** Append a step (functional — returns a new Chain, like the reference's
+    * immutable chaining).
+    */
+  def next(op: String, newDf: DataFrame, fragment: Option[String],
+           args: Map[String, String] = Map.empty): Chain =
+    new Chain(spark, entryName, newDf,
+      steps :+ TransformStep(op, Naming.stepAlias(steps.length + 1), fragment, args))
+
+  /** Functional escape hatch: any DataFrame=>DataFrame as a step. */
+  def transformDf(op: String)(f: DataFrame => DataFrame): Chain =
+    next(op, f(df), None)
+
+  // ---- terminal verbs (≅ SQLChain.preview/to_df/save, transforms.py:332-429)
+
+  /** Top-n rows (reference preview appends LIMIT 10). */
+  def preview(n: Int = 10): Array[Row] = df.limit(n).collect()
+
+  def toLocal(): Array[Row] = df.collect()
+
+  def toLocalIterator(): java.util.Iterator[Row] = df.toLocalIterator()
+
+  /** Materialize as a managed parquet table or a (temp) view.
+    * table_type TABLE|VIEW, overwrite guard like snowflake.py:260-266.
+    */
+  def save(name: String, tableType: String = "TABLE", overwrite: Boolean = false): Unit =
+    tableType.toUpperCase match {
+      case "TABLE" =>
+        if (!overwrite && spark.catalog.tableExists(name))
+          throw new IllegalStateException(
+            s"table $name exists; pass overwrite=true to replace")
+        df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+          .format("parquet").saveAsTable(name)
+      case "VIEW" =>
+        if (!overwrite && spark.catalog.tableExists(name))
+          throw new IllegalStateException(
+            s"view $name exists; pass overwrite=true to replace")
+        df.createOrReplaceTempView(name)
+      case other => throw new IllegalArgumentException(s"unknown table type $other")
+    }
+
+  /** Spark-SQL text of the chain (reference RenderMethod.SELECT / TABLE /
+    * VIEW / VIEWS, primitives/enums.py:69-77, rendering.py:29-96).
+    */
+  def sql(renderMethod: String = "SELECT", name: String = "graft_out"): String =
+    SqlRender.render(this, renderMethod, name)
+
+  def schema: org.apache.spark.sql.types.StructType = df.schema
+  def ddl: String = df.schema.toDDL
+}
+
+object Chain {
+  def apply(spark: SparkSession, entryName: String, df: DataFrame): Chain =
+    new Chain(spark, entryName, df, Vector.empty)
+}

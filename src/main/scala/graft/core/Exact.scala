@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
+
+/** Deterministic (partitioning-independent) floating-point aggregation.
+  *
+  * Plain `sum(double)` depends on accumulation order, which in a distributed
+  * engine depends on partitioning — the same query can return different last
+  * bits on different cluster layouts, which breaks result reproducibility and
+  * oracle/hash-based testing at any scale. Routing the sum through a wide
+  * decimal makes it exact and order-independent, at a modest CPU cost
+  * (decimal adds instead of double adds; still whole-stage codegen'd, still
+  * map-side partial-aggregated by Catalyst).
+  *
+  * Used by the `aggregate`/window operators for float inputs; disable per
+  * column by calling the plain functions instead.
+  */
+object Exact {
+  /** Scale kept during exact accumulation. 38-4 = 34 integer digits of
+    * headroom: enough for 1e20 rows of 1e14-magnitude values.
+    */
+  val Scale = 4
+  val Wide: DecimalType = DecimalType(38, Scale)
+
+  def isFloating(dt: DataType): Boolean = dt == DoubleType || dt == FloatType
+
+  /** Exact sum of a floating column, returned as double. */
+  def sum(c: Column): Column = functions_sum(c.cast(Wide)).cast("double")
+
+  /** Exact mean: exact sum / count, division done once in double space. */
+  def avg(c: Column): Column = sum(c) / count(c)
+
+  /** Population/sample stddev from exact sums: sqrt((Sxx - Sx^2/n)/(n-1)).
+    * x*x is computed per-row in double (deterministic), then accumulated
+    * exactly; deterministic regardless of partitioning.
+    */
+  def stddev(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(c)
+    val sxx = functions_sum((c * c).cast(DecimalType(38, 8))).cast("double")
+    sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
+  }
+
+  /** Exact sum of the elementwise product of two double array columns
+    * (dot product), order-independent.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast(DecimalType(38, 12))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+      (acc, v) => acc + v
+    ).cast("double")
+
+  private def functions_sum(c: Column): Column = org.apache.spark.sql.functions.sum(c)
+}

@@ -1,0 +1,230 @@
+package graft.ops
+
+import graft.core.{Chain, Exact, Naming}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared aggregate-function dispatch. Floating-point SUM/AVG/STDDEV route
+  * through [[graft.core.Exact]] so results are independent of partitioning —
+  * required for reproducible results on a cluster and for oracle testing.
+  */
+private[graft] object AggFns {
+  def resolve(fn: String, c: Column, dt: DataType): (Column, String) = {
+    val floating = Exact.isFloating(dt)
+    fn.toUpperCase match {
+      case "SUM" => (if (floating) Exact.sum(c) else sum(c), "SUM")
+      case "AVG" | "MEAN" => (if (floating) Exact.avg(c) else avg(c), "AVG")
+      case "MIN" => (min(c), "MIN")
+      case "MAX" => (max(c), "MAX")
+      case "COUNT" => (count(c), "COUNT")
+      case "COUNT_DISTINCT" | "COUNTDISTINCT" => (countDistinct(c), "COUNT_DISTINCT")
+      case "STDDEV" | "STD" | "STDDEV_SAMP" =>
+        (if (floating) Exact.stddev(c) else stddev(c), "STDDEV")
+      case "MEDIAN" => (percentile(c, lit(0.5)), "MEDIAN")
+      case other => throw new IllegalArgumentException(s"unknown aggregation $other")
+    }
+  }
+
+  /** DuckDB/ANSI-parity SQL text for a resolved aggregate (deterministic
+    * float form spelled out).
+    */
+  def sqlText(fn: String, colName: String, dt: DataType): String = {
+    val floating = Exact.isFloating(dt)
+    fn.toUpperCase match {
+      case "SUM" if floating =>
+        s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+      case "AVG" | "MEAN" if floating =>
+        s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE) / COUNT($colName)"
+      case "AVG" | "MEAN" => s"AVG($colName)"
+      case "COUNT_DISTINCT" | "COUNTDISTINCT" => s"COUNT(DISTINCT $colName)"
+      case "MEDIAN" => s"MEDIAN($colName)"
+      case f => s"${f.toUpperCase}($colName)"
+    }
+  }
+}
+
+/** Aggregations — reference transforms #18-23 (SURVEY §2.2): aggregate,
+  * conditional_agg, aggregate_string, describe, linear_regression,
+  * market_basket. GROUP BYs shuffle once on the grouping keys with map-side
+  * partial aggregation (Catalyst hash aggregate).
+  */
+final class AggOps(private val c: Chain) extends AnyVal {
+
+  /** aggregate(group_by, aggregations): per-column agg lists; outputs named
+    * `<col>_<agg>` (reference convention `SALESAMOUNT_SUM`,
+    * tutorials/tutorial_extended.ipynb:4494-4576).
+    */
+  def aggregate(groupBy: Seq[String], aggregations: Seq[(String, Seq[String])]): Chain = {
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggCols = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val (column, label) = AggFns.resolve(fn, col(cn), types(cn))
+        column.as(Naming.agg(cn, label))
+      }
+    }
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val aggSql = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val label = AggFns.resolve(fn, col(cn), types(cn))._2
+        s"${AggFns.sqlText(fn, cn, types(cn))} AS ${Naming.agg(cn, label)}"
+      }
+    }
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("aggregate", df2, Some(
+      s"SELECT ${(groupBy ++ aggSql).mkString(", ")} FROM {{source}}$grpSql"))
+  }
+
+  /** conditional_agg(rules, agg_column, agg, distinct): aggregate with
+    * CASE-guarded input (e.g. COUNT(DISTINCT CASE WHEN … THEN col END)).
+    */
+  def conditionalAgg(
+      groupBy: Seq[String],
+      rules: Seq[String],
+      aggColumn: String,
+      agg: String,
+      distinct: Boolean = false,
+      alias: String = ""): Chain = {
+    val cond = rules.map(expr).reduce(_ && _)
+    val guarded = when(cond, col(aggColumn))
+    val dt = c.df.schema(aggColumn).dataType
+    val fn = agg.toUpperCase
+    val column =
+      if (distinct && fn == "COUNT") countDistinct(guarded)
+      else AggFns.resolve(fn, guarded, dt)._1
+    val name = if (alias.nonEmpty) alias else Naming.cleanse(s"${aggColumn}_${agg}_if")
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(column.as(name))
+      else c.df.groupBy(groupBy.map(col): _*).agg(column.as(name))
+    val caseSql = s"CASE WHEN ${rules.map(r => s"($r)").mkString(" AND ")} THEN $aggColumn END"
+    val aggSql =
+      if (distinct && fn == "COUNT") s"COUNT(DISTINCT $caseSql)"
+      else AggFns.sqlText(fn, caseSql, dt)
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("conditional_agg", df2, Some(
+      s"SELECT ${(groupBy :+ s"$aggSql AS $name").mkString(", ")} FROM {{source}}$grpSql"))
+  }
+
+  /** aggregate_string(agg_columns, sep, group_by, distinct, order):
+    * LISTAGG-style string aggregation; ordered output keeps results
+    * deterministic regardless of partitioning.
+    */
+  def aggregateString(
+      aggColumns: Seq[String],
+      sep: String = ",",
+      groupBy: Seq[String] = Nil,
+      distinct: Boolean = true,
+      ordered: Boolean = true): Chain = {
+    val aggCols = aggColumns.map { cn =>
+      val collected =
+        if (distinct) collect_set(col(cn).cast("string"))
+        else collect_list(col(cn).cast("string"))
+      val arr = if (ordered || distinct) array_sort(collected) else collected
+      concat_ws(sep, arr).as(Naming.cleanse(s"${cn}_agg"))
+    }
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val aggSql = aggColumns.map { cn =>
+      val d = if (distinct) "DISTINCT " else ""
+      s"ARRAY_JOIN(ARRAY_SORT(COLLECT_${if (distinct) "SET" else "LIST"}(CAST($cn AS STRING))), '$sep') AS ${Naming.cleanse(s"${cn}_agg")}"
+    }
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("aggregate_string", df2, Some(
+      s"SELECT ${(groupBy ++ aggSql).mkString(", ")} FROM {{source}}$grpSql"))
+  }
+
+  /** describe(): per-column profile, one output row per input column
+    * (reference output frame at tutorials/tutorial.ipynb:3714-3745: FEATURE,
+    * DTYPE, counts, MOST_FREQUENT, MEAN, STD_DEV, …).
+    *
+    * Runs one full-table aggregate for the numeric stats plus one small
+    * groupBy-per-column job for the deterministic mode (ties broken by
+    * smallest value). Output size is O(n_columns) — driver assembly is
+    * bounded and declared.
+    */
+  def describeTable(): Chain = {
+    val spark = c.spark
+    val fields = c.df.schema.fields.toSeq
+    val statCols = fields.flatMap { f =>
+      val cc = col(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(cc).as(s"cnt_${f.name}"),
+        countDistinct(cc).as(s"uni_${f.name}"),
+        (if (numeric) Exact.avg(cc.cast("double")) else lit(null).cast("double")).as(s"mean_${f.name}"),
+        (if (numeric) Exact.stddev(cc.cast("double")) else lit(null).cast("double")).as(s"std_${f.name}"),
+        min(cc).cast("string").as(s"min_${f.name}"),
+        max(cc).cast("string").as(s"max_${f.name}"))
+    } :+ count(lit(1)).as("_total")
+    val stats = c.df.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val modes: Map[String, String] = fields.map { f =>
+      val m = c.df.groupBy(col(f.name).cast("string").as("v")).count()
+        .orderBy(col("count").desc, col("v").asc_nulls_last).limit(1).collect()
+      f.name -> (if (m.isEmpty) null else m(0).getAs[String]("v"))
+    }.toMap
+    val total = stats.getAs[Long]("_total")
+    val rows = fields.map { f =>
+      Row(f.name, f.dataType.simpleString, total,
+        total - stats.getAs[Long](s"cnt_${f.name}"),
+        stats.getAs[Long](s"uni_${f.name}"),
+        modes(f.name),
+        if (stats.isNullAt(stats.fieldIndex(s"mean_${f.name}"))) null
+        else stats.getAs[Double](s"mean_${f.name}"),
+        if (stats.isNullAt(stats.fieldIndex(s"std_${f.name}"))) null
+        else stats.getAs[Double](s"std_${f.name}"),
+        stats.getAs[String](s"min_${f.name}"),
+        stats.getAs[String](s"max_${f.name}"))
+    }
+    val schema = StructType(Seq(
+      StructField("feature", StringType), StructField("dtype", StringType),
+      StructField("row_count", LongType), StructField("null_count", LongType),
+      StructField("unique_count", LongType), StructField("most_frequent", StringType),
+      StructField("mean", DoubleType), StructField("std_dev", DoubleType),
+      StructField("min_value", StringType), StructField("max_value", StringType)))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    c.next("describe", df2, None)
+  }
+
+  /** linear_regression(group_by, y, x): per-group OLS slope/intercept.
+    * Computed from exact decimal sums (Sx, Sy, Sxy, Sxx) rather than
+    * `regr_slope` so results are partitioning-independent:
+    * slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), intercept = (Sy − slope·Sx)/n.
+    */
+  def linearRegression(groupBy: Seq[String], y: String, x: String): Chain = {
+    val both = col(x).isNotNull && col(y).isNotNull
+    val xc = when(both, col(x).cast("double"))
+    val yc = when(both, col(y).cast("double"))
+    def wide(cc: Column) = sum(cc.cast(DecimalType(38, 8))).cast("double")
+    val aggs = Seq(
+      count(xc).as("_n"), wide(xc).as("_sx"), wide(yc).as("_sy"),
+      wide(xc * yc).as("_sxy"), wide(xc * xc).as("_sxx"))
+    val g =
+      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("_n").cast("double")
+    val slope = (n * col("_sxy") - col("_sx") * col("_sy")) /
+      (n * col("_sxx") - col("_sx") * col("_sx"))
+    val df2 = g
+      .withColumn("slope", slope)
+      .withColumn("intercept", (col("_sy") - col("slope") * col("_sx")) / n)
+      .select((groupBy.map(col) ++ Seq(col("slope"), col("intercept"), col("_n").as("n"))): _*)
+    c.next("linear_regression", df2, None)
+  }
+
+  /** market_basket(transaction_id, agg_column, sep): items per transaction
+    * as a deterministic (sorted) separated string + basket size.
+    */
+  def marketBasket(transactionId: String, aggColumn: String, sep: String = ","): Chain = {
+    val df2 = c.df.groupBy(col(transactionId))
+      .agg(
+        concat_ws(sep, array_sort(collect_list(col(aggColumn).cast("string")))).as("basket"),
+        count(col(aggColumn)).as("basket_size"))
+    c.next("market_basket", df2, Some(
+      s"SELECT $transactionId, ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(CAST($aggColumn AS STRING))), '$sep') AS basket, " +
+        s"COUNT($aggColumn) AS basket_size FROM {{source}} GROUP BY $transactionId"))
+  }
+}

@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.core.{Chain, Exact, Naming}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML-prep encoders / statistics — reference transforms #36-43 (SURVEY
+  * §2.2): one_hot_encode, label_encode, target_encode, impute, bin,
+  * standard_scaler, min_max_scaler, levenshtein.
+  *
+  * Ops that need the value domain or column statistics perform a bounded,
+  * declared driver-side action — the exact analogue of the reference's
+  * compile-time `run_query` probes (rasgoql/primitives/rendering.py:272-330,
+  * capped there at 100 rows; capped here by `maxDistinct`).
+  */
+final class EncodeOps(private val c: Chain) extends AnyVal {
+
+  /** one_hot_encode(column): one 0/1 dummy per observed distinct value,
+    * `<col>_<value>`; nulls → `<col>_is_null` (reference output
+    * `COLOR_RED`/`CLASS_IS_NULL`, tutorials/tutorial_extended.ipynb:8925-8927).
+    * Values are discovered with a capped distinct scan, sorted for a stable
+    * column set.
+    */
+  def oneHotEncode(column: String, maxDistinct: Int = 100): Chain = {
+    val vals = distinctValues(column, maxDistinct)
+    val hasNull = vals.contains(null)
+    val present = vals.filter(_ != null).sorted
+    val withDummies = present.foldLeft(c.df) { (d, v) =>
+      d.withColumn(Naming.oneHot(column, Some(v)),
+        when(col(column) === lit(v), 1).otherwise(0))
+    }
+    val df2 =
+      if (hasNull)
+        withDummies.withColumn(Naming.oneHot(column, None),
+          when(col(column).isNull, 1).otherwise(0))
+      else withDummies
+    val frags = present.map(v =>
+      s"CASE WHEN $column = '${v.replace("'", "''")}' THEN 1 ELSE 0 END AS ${Naming.oneHot(column, Some(v))}") ++
+      (if (hasNull) Seq(s"CASE WHEN $column IS NULL THEN 1 ELSE 0 END AS ${Naming.oneHot(column, None)}") else Nil)
+    c.next("one_hot_encode", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** label_encode(column): dense 1-based integer code by sorted value →
+    * `<col>_encoded`; optionally the reference's `all_values_array` helper
+    * column (tutorials/tutorial_extended.ipynb:8909). Implemented as a
+    * broadcast join against the (small) distinct-value index — no global
+    * window over the fact table.
+    */
+  def labelEncode(column: String, includeValuesArray: Boolean = false,
+                  maxDistinct: Int = 10000): Chain = {
+    val vals = c.df.select(col(column).as("_graft_val")).distinct()
+    val idx = vals.withColumn(Naming.labelEncoded(column),
+      row_number().over(Window.orderBy(col("_graft_val").asc_nulls_first)))
+    val joined = c.df.join(broadcast(idx), col(column) <=> col("_graft_val"), "left")
+      .drop("_graft_val")
+    val df2 =
+      if (includeValuesArray) {
+        val arr = distinctValues(column, maxDistinct).filter(_ != null).sorted
+        joined.withColumn(Naming.allValuesArray, array(arr.map(lit): _*))
+      } else joined
+    c.next("label_encode", df2, None)
+  }
+
+  /** target_encode(column, target): mean of target per category →
+    * `<col>_target_encoded` (tutorials/tutorial_extended.ipynb:8928).
+    * Single window pass partitioned by the category; exact decimal mean.
+    */
+  def targetEncode(column: String, target: String): Chain = {
+    val w = Window.partitionBy(col(column))
+    val dt = c.df.schema(target).dataType
+    val e =
+      if (Exact.isFloating(dt))
+        sum(col(target).cast(Exact.Wide)).over(w).cast("double") / count(col(target)).over(w)
+      else avg(col(target)).over(w)
+    val name = Naming.targetEncoded(column)
+    val sqlAgg =
+      if (Exact.isFloating(dt))
+        s"CAST(SUM(CAST($target AS DECIMAL(38,${Exact.Scale}))) OVER (PARTITION BY $column) AS DOUBLE) / " +
+          s"COUNT($target) OVER (PARTITION BY $column)"
+      else s"AVG($target) OVER (PARTITION BY $column)"
+    c.next("target_encode", c.df.withColumn(name, e),
+      Some(s"SELECT *, $sqlAgg AS $name FROM {{source}}"))
+  }
+
+  /** impute(imputations, flag_missing_vals): fill nulls with a constant or
+    * a computed statistic ("mean" | "median" | "mode") per column; optional
+    * `<col>_missing_flag` indicators. Statistics come from one bounded
+    * aggregate (mode: one small groupBy per mode-imputed column,
+    * deterministic tie-break by smallest value).
+    */
+  def impute(imputations: Seq[(String, String)], flagMissingVals: Boolean = false): Chain = {
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val statCols = imputations.flatMap { case (cn, how) =>
+      how.toLowerCase match {
+        case "mean" =>
+          Some((if (Exact.isFloating(types(cn))) Exact.avg(col(cn))
+                else avg(col(cn))).as(s"_m_$cn"))
+        case "median" => Some(percentile(col(cn), lit(0.5)).as(s"_m_$cn"))
+        case _ => None
+      }
+    }
+    val statRow =
+      if (statCols.nonEmpty) Some(c.df.agg(statCols.head, statCols.tail: _*).collect()(0))
+      else None
+    val flagged =
+      if (flagMissingVals)
+        imputations.foldLeft(c.df) { case (d, (cn, _)) =>
+          d.withColumn(Naming.cleanse(s"${cn}_missing_flag"),
+            when(col(cn).isNull, 1).otherwise(0))
+        }
+      else c.df
+    val df2 = imputations.foldLeft(flagged) { case (d, (cn, how)) =>
+      val fill: Column = how.toLowerCase match {
+        case "mean" | "median" =>
+          lit(statRow.get.getAs[Any](s"_m_$cn")).cast(types(cn))
+        case "mode" =>
+          val m = c.df.where(col(cn).isNotNull).groupBy(col(cn).as("_v")).count()
+            .orderBy(col("count").desc, col("_v").asc).limit(1).collect()
+          lit(if (m.isEmpty) null else m(0).get(0)).cast(types(cn))
+        case v => lit(v).cast(types(cn))
+      }
+      d.withColumn(cn, coalesce(col(cn), fill))
+    }
+    c.next("impute", df2, None)
+  }
+
+  /** bin(type, bin_count, column): "equalwidth" (0-based index over the
+    * observed [min, max], capped at n−1) or "ntile" → `<col>_bin`.
+    */
+  def bin(binType: String, binCount: Int, column: String,
+          tiebreak: Seq[String] = Nil): Chain = {
+    val name = Naming.cleanse(s"${column}_bin")
+    binType.toLowerCase match {
+      case "equalwidth" =>
+        val r = c.df.agg(min(col(column)).cast("double").as("mn"),
+          max(col(column)).cast("double").as("mx")).collect()(0)
+        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+        val width = (mx - mn) / binCount
+        val e =
+          if (width == 0d) lit(0)
+          else least(floor((col(column).cast("double") - lit(mn)) / lit(width)), lit(binCount - 1)).cast("int")
+        c.next("bin", c.df.withColumn(name, e), Some(
+          s"SELECT *, CAST(LEAST(FLOOR((CAST($column AS DOUBLE) - $mn) / ${if (width == 0d) 1d else width}), ${binCount - 1}) AS INT) AS $name FROM {{source}}"))
+      case "ntile" =>
+        val order = (column +: tiebreak).map(col(_).asc)
+        val e = ntile(binCount).over(Window.orderBy(order: _*))
+        val orderSql = (column +: tiebreak).mkString(", ")
+        c.next("bin", c.df.withColumn(name, e), Some(
+          s"SELECT *, NTILE($binCount) OVER (ORDER BY $orderSql) AS $name FROM {{source}}"))
+      case other => throw new IllegalArgumentException(s"unknown bin type $other")
+    }
+  }
+
+  /** standard_scaler(columns_to_scale, averages, stddevs): (x−μ)/σ →
+    * `<col>_scaled`; statistics optionally precomputed (the reference's
+    * compile-time `run_query` pattern), else one exact aggregate.
+    */
+  def standardScaler(
+      columnsToScale: Seq[String],
+      averages: Map[String, Double] = Map.empty,
+      stddevs: Map[String, Double] = Map.empty): Chain = {
+    val need = columnsToScale.filterNot(cn => averages.contains(cn) && stddevs.contains(cn))
+    val statRow =
+      if (need.nonEmpty) {
+        val aggs = need.flatMap(cn => Seq(
+          Exact.avg(col(cn).cast("double")).as(s"_mu_$cn"),
+          Exact.stddev(col(cn).cast("double")).as(s"_sd_$cn")))
+        Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
+      } else None
+    val df2 = columnsToScale.foldLeft(c.df) { (d, cn) =>
+      val mu = averages.getOrElse(cn, statRow.get.getAs[Double](s"_mu_$cn"))
+      val sd = stddevs.getOrElse(cn, statRow.get.getAs[Double](s"_sd_$cn"))
+      d.withColumn(Naming.cleanse(s"${cn}_scaled"),
+        (col(cn).cast("double") - lit(mu)) / lit(sd))
+    }
+    c.next("standard_scaler", df2, None)
+  }
+
+  /** min_max_scaler(columns_to_scale, minimums, maximums): (x−min)/(max−min)
+    * → `<col>_scaled`.
+    */
+  def minMaxScaler(
+      columnsToScale: Seq[String],
+      minimums: Map[String, Double] = Map.empty,
+      maximums: Map[String, Double] = Map.empty): Chain = {
+    val need = columnsToScale.filterNot(cn => minimums.contains(cn) && maximums.contains(cn))
+    val statRow =
+      if (need.nonEmpty) {
+        val aggs = need.flatMap(cn => Seq(
+          min(col(cn)).cast("double").as(s"_mn_$cn"),
+          max(col(cn)).cast("double").as(s"_mx_$cn")))
+        Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
+      } else None
+    val df2 = columnsToScale.foldLeft(c.df) { (d, cn) =>
+      val mn = minimums.getOrElse(cn, statRow.get.getAs[Double](s"_mn_$cn"))
+      val mx = maximums.getOrElse(cn, statRow.get.getAs[Double](s"_mx_$cn"))
+      d.withColumn(Naming.cleanse(s"${cn}_scaled"),
+        (col(cn).cast("double") - lit(mn)) / lit(mx - mn))
+    }
+    c.next("min_max_scaler", df2, None)
+  }
+
+  /** levenshtein(columns1, column2): edit distance of each listed column
+    * against column2 → `lev_<c1>_<c2>` (Spark built-in, codegen'd).
+    */
+  def levenshteinCols(columns1: Seq[String], column2: String): Chain = {
+    val df2 = columns1.foldLeft(c.df) { (d, cn) =>
+      d.withColumn(Naming.cleanse(s"lev_${cn}_$column2"),
+        levenshtein(col(cn), col(column2)))
+    }
+    val frags = columns1.map(cn =>
+      s"LEVENSHTEIN($cn, $column2) AS ${Naming.cleanse(s"lev_${cn}_$column2")}")
+    c.next("levenshtein", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
+  private def distinctValues(column: String, maxDistinct: Int): Seq[String] = {
+    val vals = c.df.select(col(column).cast("string")).distinct()
+      .limit(maxDistinct + 1).collect().map(r => r.getString(0)).toSeq
+    if (vals.length > maxDistinct)
+      throw new IllegalArgumentException(
+        s"$column has more than $maxDistinct distinct values; raise maxDistinct explicitly")
+    vals
+  }
+}

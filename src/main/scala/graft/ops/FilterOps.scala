@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.core.Chain
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filter / sort / dedup / rank — reference transforms #9-12 (SURVEY §2.2). */
+final class FilterOps(private val c: Chain) extends AnyVal {
+
+  /** filter(filter_statements): raw predicates, ANDed. Declarative predicates
+    * reach the parquet scan via Catalyst pushdown.
+    */
+  def filterRows(statements: Seq[String]): Chain =
+    c.next("filter", c.df.where(statements.map(expr).reduce(_ && _)),
+      Some(s"SELECT * FROM {{source}} WHERE ${statements.map(s => s"($s)").mkString(" AND ")}"))
+
+  /** order(order_by): column → ASC|DESC. Presentation-only in a distributed
+    * engine (Spark's global sort is range-partitioned — no single-node
+    * bottleneck).
+    */
+  def orderRows(orderBy: Seq[(String, String)]): Chain = {
+    c.next("order", c.df.orderBy(sortCols(orderBy): _*),
+      Some(s"SELECT * FROM {{source}} ORDER BY ${orderSql(orderBy)}"))
+  }
+
+  /** dedupe(natural_key, order_col, order_method): keep 1 row per key by
+    * order (ROW_NUMBER()=1 — shuffles once on the key, scales with
+    * partitions).
+    */
+  def dedupe(naturalKey: Seq[String], orderBy: Seq[(String, String)]): Chain = {
+    val w = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(sortCols(orderBy): _*)
+    val cols = c.df.columns.toSeq
+    val df2 = c.df.withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") === 1)
+      .select(cols.map(col): _*)
+    c.next("dedupe", df2, Some(
+      s"SELECT ${cols.mkString(", ")} FROM (SELECT *, ROW_NUMBER() OVER (" +
+        s"PARTITION BY ${naturalKey.mkString(", ")} ORDER BY ${orderSql(orderBy)}" +
+        s") AS _graft_rn FROM {{source}}) WHERE _graft_rn = 1"))
+  }
+
+  /** rank(order, partition_by, rank_type, alias, qualify_filter):
+    * RANK/DENSE_RANK/ROW_NUMBER/PERCENT_RANK/NTILE per partition; the
+    * optional qualify filter mimics Snowflake QUALIFY.
+    */
+  def rank(
+      orderBy: Seq[(String, String)],
+      partitionBy: Seq[String] = Nil,
+      rankType: String = "rank",
+      alias: String = "",
+      ntileBuckets: Int = 4,
+      qualifyFilter: Option[String] = None): Chain = {
+    val name = if (alias.nonEmpty) alias else rankType.toLowerCase
+    val base = Window.orderBy(sortCols(orderBy): _*)
+    val w = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*).orderBy(sortCols(orderBy): _*) else base
+    val (rc, fnSql) = rankType.toLowerCase match {
+      case "rank" => (org.apache.spark.sql.functions.rank(), "RANK()")
+      case "dense_rank" => (dense_rank(), "DENSE_RANK()")
+      case "row_number" => (row_number(), "ROW_NUMBER()")
+      case "percent_rank" => (percent_rank(), "PERCENT_RANK()")
+      case "ntile" => (ntile(ntileBuckets), s"NTILE($ntileBuckets)")
+      case other => throw new IllegalArgumentException(s"unknown rank_type $other")
+    }
+    val part = if (partitionBy.nonEmpty) s"PARTITION BY ${partitionBy.mkString(", ")} " else ""
+    val over = s"OVER ($part" + s"ORDER BY ${orderSql(orderBy)})"
+    val ranked = c.df.withColumn(name, rc.over(w))
+    val df2 = qualifyFilter.fold(ranked)(q => ranked.where(expr(q)))
+    val qualSql = qualifyFilter.fold("")(q => s" QUALIFY $q")
+    c.next("rank", df2, Some(
+      qualifyFilter.fold(s"SELECT *, $fnSql $over AS $name FROM {{source}}")(q =>
+        s"SELECT * FROM (SELECT *, $fnSql $over AS $name FROM {{source}}) WHERE $q")),
+      Map("qualify" -> qualSql))
+  }
+
+  private def sortCols(orderBy: Seq[(String, String)]): Seq[Column] =
+    orderBy.map { case (n, dir) => oneSort(n, dir) }
+
+  private def oneSort(n: String, dir: String): Column =
+    if (dir.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+
+  private def orderSql(orderBy: Seq[(String, String)]): String =
+    orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.core.{Chain, Naming}
+import org.apache.spark.sql.functions._
+
+/** Projection / column operators — reference transforms #1-8 (SURVEY §2.2):
+  * drop_columns, rename, cast, concat, substring, math, if_then, to_date
+  * (signatures from tutorials/tutorial.ipynb:860-905 in the reference).
+  */
+final class ProjectOps(private val c: Chain) extends AnyVal {
+
+  /** drop_columns(include_cols, exclude_cols): keep-only or drop. */
+  def dropColumns(includeCols: Seq[String] = Nil, excludeCols: Seq[String] = Nil): Chain = {
+    val kept =
+      if (includeCols.nonEmpty) includeCols
+      else c.df.columns.toSeq.filterNot(excludeCols.contains)
+    c.next("drop_columns", c.df.select(kept.map(col): _*),
+      Some(s"SELECT ${kept.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** rename(renames): old → new column names. */
+  def rename(renames: Seq[(String, String)]): Chain = {
+    val m = renames.toMap
+    val outCols = c.df.columns.toSeq.map(n =>
+      m.get(n).fold(n)(nn => s"$n AS $nn"))
+    c.next("rename", c.df.withColumnsRenamed(m),
+      Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** cast(casts): column → Spark SQL type name, cast in place. */
+  def castCols(casts: Seq[(String, String)]): Chain = {
+    val m = casts.toMap
+    val outCols = c.df.columns.toSeq.map(n =>
+      m.get(n).fold(n)(t => s"CAST($n AS $t) AS $n"))
+    val df2 = casts.foldLeft(c.df) { case (d, (n, t)) => d.withColumn(n, col(n).cast(t)) }
+    c.next("cast", df2, Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** concat(concat_list, name): columns and 'quoted' literals into one
+    * string column. Null in any part → null (SQL `||` semantics).
+    */
+  def concatCols(concatList: Seq[String], name: String): Chain = {
+    def isLit(s: String) = s.length >= 2 && s.head == '\'' && s.last == '\''
+    val parts = concatList.map(e =>
+      if (isLit(e)) lit(e.substring(1, e.length - 1)) else col(e).cast("string"))
+    val sqlParts = concatList.map(e => if (isLit(e)) e else s"CAST($e AS STRING)")
+    c.next("concat", c.df.withColumn(name, concat(parts: _*)),
+      Some(s"SELECT *, CONCAT(${sqlParts.mkString(", ")}) AS $name FROM {{source}}"))
+  }
+
+  /** substring(target_col, start_pos, end_pos): 1-based inclusive range →
+    * new column `<col>_substr`.
+    */
+  def substringCol(targetCol: String, startPos: Int, endPos: Int): Chain = {
+    val name = Naming.cleanse(s"${targetCol}_substr")
+    val len = endPos - startPos + 1
+    c.next("substring",
+      c.df.withColumn(name, substring(col(targetCol), startPos, len)),
+      Some(s"SELECT *, SUBSTRING($targetCol, $startPos, $len) AS $name FROM {{source}}"))
+  }
+
+  /** math(math_ops, names): arbitrary arithmetic expressions as new columns.
+    * Applied sequentially so later expressions can reference earlier output
+    * names (reference lateral-alias behavior,
+    * tutorials/rasgoql-join-example.ipynb:2805-2806); auto-name = cleansed
+    * expression when names are omitted.
+    */
+  def math(mathOps: Seq[String], names: Seq[String] = Nil): Chain = {
+    val allNames =
+      if (names.nonEmpty) names else mathOps.map(Naming.cleanse)
+    require(allNames.length == mathOps.length, "names must match math_ops")
+    val df2 = mathOps.zip(allNames).foldLeft(c.df) { case (d, (op, n)) =>
+      d.withColumn(n, expr(op))
+    }
+    val sel = mathOps.zip(allNames).map { case (op, n) => s"$op AS $n" }
+    c.next("math", df2, Some(s"SELECT *, ${sel.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** if_then(conditions, default, alias): CASE WHEN cascade. Conditions are
+    * (predicate SQL, value SQL) pairs.
+    */
+  def ifThen(conditions: Seq[(String, String)], default: String, alias: String): Chain = {
+    val column = conditions.tail
+      .foldLeft(when(expr(conditions.head._1), expr(conditions.head._2))) {
+        case (acc, (p, v)) => acc.when(expr(p), expr(v))
+      }
+      .otherwise(expr(default))
+    val cases = conditions.map { case (p, v) => s"WHEN $p THEN $v" }.mkString(" ")
+    c.next("if_then", c.df.withColumn(alias, column),
+      Some(s"SELECT *, CASE $cases ELSE $default END AS $alias FROM {{source}}"))
+  }
+
+  /** to_date(dates): column → format string; parses/casts in place.
+    * Empty format = cast to date.
+    */
+  def toDateCols(dates: Seq[(String, String)]): Chain = {
+    val m = dates.toMap
+    val df2 = dates.foldLeft(c.df) { case (d, (n, fmt)) =>
+      d.withColumn(n, if (fmt.isEmpty) to_date(col(n)) else to_date(col(n), fmt))
+    }
+    val outCols = c.df.columns.toSeq.map(n =>
+      m.get(n).fold(n) {
+        case "" => s"TO_DATE($n) AS $n"
+        case f  => s"TO_DATE($n, '$f') AS $n"
+      })
+    c.next("to_date", df2, Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
+  }
+}

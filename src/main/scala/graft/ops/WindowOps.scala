@@ -1,0 +1,209 @@
+package graft.ops
+
+import graft.core.{Chain, Exact, Naming}
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window / time-series operators — reference transforms #24-29 (SURVEY
+  * §2.2): lag, moving_avg, rolling_agg, cumulative_agg, timeseries_agg,
+  * train_test_split. All are single-pass window evaluations: one shuffle on
+  * the partition keys, sort within partitions, no self-joins.
+  */
+final class WindowOps(private val c: Chain) extends AnyVal {
+
+  /** lag(columns, amounts, partition, order_by): LAG per column × amount;
+    * negative amounts are leads, named `lag_<col>__<n>` (reference
+    * double-underscore convention, tutorials/tutorial.ipynb:4758).
+    */
+  def lagCols(
+      columns: Seq[String],
+      amounts: Seq[Int],
+      partition: Seq[String],
+      orderBy: Seq[(String, String)]): Chain = {
+    val w = spec(partition, orderBy)
+    val df2 = columns.foldLeft(c.df) { (d, cn) =>
+      amounts.foldLeft(d) { (dd, n) =>
+        val e = if (n >= 0) lag(col(cn), n) else lead(col(cn), -n)
+        dd.withColumn(Naming.lag(cn, n), e.over(w))
+      }
+    }
+    val frags = for (cn <- columns; n <- amounts) yield {
+      val fn = if (n >= 0) s"LAG($cn, $n)" else s"LEAD($cn, ${-n})"
+      s"$fn OVER (${overSql(partition, orderBy)}) AS ${Naming.lag(cn, n)}"
+    }
+    c.next("lag", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** moving_avg(input_columns, window_sizes, order_by, partition): trailing
+    * moving average per column × window, named `mean_<col>_<w>`. Floating
+    * inputs use exact decimal accumulation (sliding-sum optimizations in
+    * engines otherwise make float results frame-history-dependent).
+    */
+  def movingAvg(
+      inputColumns: Seq[String],
+      windowSizes: Seq[Int],
+      orderBy: Seq[(String, String)],
+      partition: Seq[String] = Nil): Chain = {
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val df2 = inputColumns.foldLeft(c.df) { (d, cn) =>
+      windowSizes.foldLeft(d) { (dd, ws) =>
+        val w = spec(partition, orderBy).rowsBetween(-(ws - 1), 0)
+        val e =
+          if (Exact.isFloating(types(cn)))
+            sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn)).over(w)
+          else avg(col(cn)).over(w)
+        dd.withColumn(Naming.movingAvg(cn, ws), e)
+      }
+    }
+    val frags = for (cn <- inputColumns; ws <- windowSizes) yield {
+      val frame = s"ROWS BETWEEN ${ws - 1} PRECEDING AND CURRENT ROW"
+      val over = s"OVER (${overSql(partition, orderBy)} $frame)"
+      val e =
+        if (Exact.isFloating(types(cn)))
+          s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / COUNT($cn) $over"
+        else s"AVG($cn) $over"
+      s"$e AS ${Naming.movingAvg(cn, ws)}"
+    }
+    c.next("moving_avg", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
+  /** rolling_agg(aggregations, order_by, offsets, group_by): arbitrary aggs
+    * over a `ROWS BETWEEN lo AND hi` frame; names `<agg>_<col>_<lo>_<hi>`
+    * with negatives double-underscored.
+    */
+  def rollingAgg(
+      aggregations: Seq[(String, Seq[String])],
+      orderBy: Seq[(String, String)],
+      offsets: (Int, Int),
+      groupBy: Seq[String] = Nil): Chain = {
+    val (lo, hi) = offsets
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val w = spec(groupBy, orderBy).rowsBetween(lo.toLong, hi.toLong)
+    def part(n: Int) = if (n < 0) s"_${-n}" else n.toString
+    val df2 = aggregations.foldLeft(c.df) { case (d, (cn, fns)) =>
+      fns.foldLeft(d) { (dd, fn) =>
+        val name = Naming.cleanse(s"${fn}_$cn") + s"_${part(lo)}_${part(hi)}"
+        dd.withColumn(name, windowAgg(fn, cn, types(cn), w))
+      }
+    }
+    c.next("rolling_agg", df2, None)
+  }
+
+  /** cumulative_agg(aggregations, order_by, direction, group_by): running
+    * aggregate, forward (unbounded preceding → current) or reverse.
+    */
+  def cumulativeAgg(
+      aggregations: Seq[(String, Seq[String])],
+      orderBy: Seq[(String, String)],
+      direction: String = "forward",
+      groupBy: Seq[String] = Nil): Chain = {
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val base = spec(groupBy, orderBy)
+    val w =
+      if (direction.equalsIgnoreCase("reverse"))
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df2 = aggregations.foldLeft(c.df) { case (d, (cn, fns)) =>
+      fns.foldLeft(d) { (dd, fn) =>
+        dd.withColumn(Naming.cleanse(s"${fn}_${cn}_cumulative"),
+          windowAgg(fn, cn, types(cn), w))
+      }
+    }
+    c.next("cumulative_agg", df2, None)
+  }
+
+  /** timeseries_agg(aggregations, date, offsets, date_part, group_by):
+    * per-row aggregates over trailing time windows — a RANGE frame over the
+    * epoch-seconds of the date column ([t − N·part, t], boundaries
+    * inclusive, matching SQL `RANGE INTERVAL N PRECEDING`). No self-join:
+    * one window pass. date_part ∈ second|minute|hour|day|week.
+    */
+  def timeseriesAgg(
+      aggregations: Seq[(String, Seq[String])],
+      dateCol: String,
+      offsets: Seq[Int],
+      datePart: String,
+      groupBy: Seq[String] = Nil): Chain = {
+    val secs = datePart.toLowerCase match {
+      case "second" => 1L
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+      case "week" => 604800L
+      case other => throw new IllegalArgumentException(
+        s"timeseries_agg supports fixed-width date parts, got $other")
+    }
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val epoch = "_graft_epoch"
+    val withEpoch = c.df.withColumn(epoch, unix_timestamp(col(dateCol)))
+    val base =
+      if (groupBy.isEmpty) Window.orderBy(col(epoch))
+      else Window.partitionBy(groupBy.map(col): _*).orderBy(col(epoch))
+    val df2 = aggregations.foldLeft(withEpoch) { case (d, (cn, fns)) =>
+      fns.foldLeft(d) { (dd, fn) =>
+        offsets.foldLeft(dd) { (ddd, n) =>
+          val w = base.rangeBetween(-n * secs, 0L)
+          val name = Naming.cleanse(s"${fn}_${cn}_${n}${datePart}")
+          ddd.withColumn(name, windowAgg(fn, cn, types(cn), w))
+        }
+      }
+    }.drop(epoch)
+    c.next("timeseries_agg", df2, None)
+  }
+
+  /** train_test_split(order_by, train_percent): deterministic ordered split
+    * adding `tt_split` ∈ {TRAIN, TEST} (reference output column `TT_SPLIT`,
+    * tutorials/tutorial.ipynb:5714).
+    *
+    * Scales: the global sort is Spark's range-partitioned sort and the row
+    * index comes from `zipWithIndex` (per-partition offsets, no single-node
+    * window). Triggers one counting job — a declared action.
+    */
+  def trainTestSplit(orderBy: Seq[(String, String)], trainPercent: Double): Chain = {
+    val sorted = c.df.orderBy(orderBy.map { case (n, d) =>
+      if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+    }: _*)
+    val n = sorted.count()
+    val cut = math.floor(trainPercent * n).toLong
+    val schema = StructType(sorted.schema.fields :+ StructField(Naming.ttSplit, StringType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (if (i < cut) "TRAIN" else "TEST"))
+    }
+    val df2 = c.spark.createDataFrame(rdd, schema)
+    val orderSql = orderBy.map { case (nm, d) => s"$nm ${d.toUpperCase}" }.mkString(", ")
+    c.next("train_test_split", df2, Some(
+      s"SELECT *, CASE WHEN ROW_NUMBER() OVER (ORDER BY $orderSql) <= " +
+        s"FLOOR($trainPercent * COUNT(*) OVER ()) THEN 'TRAIN' ELSE 'TEST' END " +
+        s"AS ${Naming.ttSplit} FROM {{source}}"))
+  }
+
+  private def windowAgg(fn: String, cn: String, dt: DataType, w: WindowSpec): Column =
+    fn.toUpperCase match {
+      case "SUM" if Exact.isFloating(dt) =>
+        sum(col(cn).cast(Exact.Wide)).over(w).cast("double")
+      case "AVG" | "MEAN" if Exact.isFloating(dt) =>
+        sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn)).over(w)
+      case "SUM" => sum(col(cn)).over(w)
+      case "AVG" | "MEAN" => avg(col(cn)).over(w)
+      case "MIN" => min(col(cn)).over(w)
+      case "MAX" => max(col(cn)).over(w)
+      case "COUNT" => count(col(cn)).over(w)
+      case other => throw new IllegalArgumentException(s"unknown window agg $other")
+    }
+
+  private def spec(partition: Seq[String], orderBy: Seq[(String, String)]): WindowSpec = {
+    val sorts = orderBy.map { case (n, d) =>
+      if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+    }
+    if (partition.isEmpty) Window.orderBy(sorts: _*)
+    else Window.partitionBy(partition.map(col): _*).orderBy(sorts: _*)
+  }
+
+  private def overSql(partition: Seq[String], orderBy: Seq[(String, String)]): String = {
+    val p = if (partition.isEmpty) "" else s"PARTITION BY ${partition.mkString(", ")} "
+    val o = orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+    s"${p}ORDER BY $o"
+  }
+}
