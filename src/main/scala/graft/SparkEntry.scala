@@ -52,7 +52,10 @@ object SparkEntry {
       .df
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- projections / column ops (SURVEY §2.2 #1-8)
     "q_drop_columns" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -228,7 +231,66 @@ object SparkEntry {
         "SELECT l_returnflag, COUNT(*) AS cnt FROM {{source_table}} GROUP BY l_returnflag").df)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** LLM-data-pipeline extension queries (SURVEY §2.4 / north star):
+    * text analysis, dedup (exact/minhash/simhash/ngram/embedding),
+    * similarity search, multimodal plumbing, event windows.
+    */
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.ext._
+    import graft.streaming.EventStreams
+    Map(
+      "q_text_tokens" -> ((s, d) => t(s, d, "documents").tokenCounts("text").df),
+      "q_text_quality" -> ((s, d) => t(s, d, "documents").qualityScore("text").df),
+      "q_text_langid" -> ((s, d) => t(s, d, "documents").langId("text").df),
+      "q_text_fingerprint" -> ((s, d) =>
+        t(s, d, "documents").fingerprintCol("text").df),
+      "q_dedup_exact" -> ((s, d) =>
+        t(s, d, "documents")
+          .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
+          .dedupExact("doc_id", "text").df),
+      "q_dedup_ngram" -> ((s, d) =>
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.5).df),
+      "q_dedup_minhash" -> ((s, d) =>
+        t(s, d, "documents").minhashLsh("doc_id", "text",
+          shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
+      "q_dedup_simhash" -> ((s, d) =>
+        t(s, d, "documents").simhashPairs("doc_id", "text", maxHamming = 8).df),
+      "q_dedup_embedding" -> ((s, d) =>
+        t(s, d, "embeddings").embeddingCosinePairs("vec_id", "embedding", 0.4).df),
+      "q_sim_topk" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+      }),
+      "q_sim_topk_lsh" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        emb.lshCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+      }),
+      "q_multimodal_decode" -> ((s, d) =>
+        t(s, d, "documents").withMediaColumn("text")
+          .decodeMedia("media")
+          .dropColumns(excludeCols = Seq("media")).df),
+      "q_multimodal_frames" -> ((s, d) =>
+        t(s, d, "documents").withMediaColumn("text")
+          .decodeMedia("media")
+          .dropColumns(includeCols = Seq("doc_id", "n_frames"))
+          .frameSample(2).df),
+      "q_events_tumbling" -> ((s, d) =>
+        EventStreams.tumblingAgg(readEvents(s, d), "1 hour", Seq("event_type"))),
+      "q_events_sliding" -> ((s, d) =>
+        EventStreams.slidingAgg(readEvents(s, d), "1 hour", "30 minutes", Seq("event_type"))),
+      "q_events_session" -> ((s, d) =>
+        EventStreams.sessionAgg(readEvents(s, d), "30 minutes", Seq("user_id")))
+    )
+  }
+
+  private def readEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+  }
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q_drop_columns" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q_rename" ->
@@ -321,6 +383,63 @@ object SparkEntry {
     "q_apply" ->
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
   )
+
+  /** DuckDB oracles for the extension queries. q_dedup_minhash,
+    * q_dedup_simhash and q_sim_topk_lsh are hash-sketch approximations with
+    * engine-specific hashing — not SQL-expressible, so they get the
+    * driver's weaker rows-only check.
+    */
+  private def extOracleSql: Map[String, String] = {
+    val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    val stop = "['the','a','an','and','of','to','in','is','it','that']"
+    val nchars = "CAST(LENGTH(text) AS DOUBLE)"
+    val ntok = s"CAST(len($toks) AS DOUBLE)"
+    val npunct = raw"CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)"
+    val nstop = s"CAST(len(list_filter($toks, t -> list_contains($stop, t))) AS DOUBLE)"
+    val markers = Map(
+      "de" -> "['der','die','das','und','ist','ein','nicht','mit']",
+      "en" -> "['the','and','of','to','is','in','a','that']",
+      "es" -> "['el','los','las','de','y','un','una','es','que']",
+      "fr" -> "['le','la','les','et','est','une','des','que']",
+      "zh" -> "['的','是','了','在','我','有']")
+    def score(lg: String) =
+      s"CAST(len(list_filter($toks, t -> list_contains(${markers(lg)}, t))) AS INTEGER)"
+    val blen = "octet_length(encode(text))"
+    val evT = "make_timestamp(epoch_ns(ts) // 1000)"
+    // exact-decimal dot products / norms over unnested embedding pairs
+    val dotSql = "CAST(SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+    val normCte = "n AS (SELECT vec_id, SQRT(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"
+    val bigrams =
+      raw"list_distinct(CASE WHEN len($toks) < 2 THEN [array_to_string($toks, ' ')] ELSE list_transform(range(1, len($toks)), i -> array_to_string(list_slice($toks, i, i + 1), ' ')) END)"
+    Map(
+      "q_text_tokens" ->
+        s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${raw"\s"}]')) AS INTEGER) AS n_bpeish FROM documents",
+      "q_text_quality" ->
+        s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, $npunct / $nchars AS punct_ratio, $nstop / $ntok AS stopword_ratio, CAST(LENGTH(regexp_replace(text, '${raw"\s"}+', '', 'g')) AS DOUBLE) / $ntok AS avg_token_len, LEAST($ntok / 20.0, 1.0) * (1.0 - $npunct / $nchars) AS quality FROM documents",
+      "q_text_langid" ->
+        s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
+      "q_text_fingerprint" ->
+        raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
+      "q_dedup_exact" ->
+        raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
+      "q_dedup_ngram" ->
+        s"WITH w AS (SELECT doc_id, $bigrams AS ws FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard FROM w a JOIN w b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.5",
+      "q_dedup_embedding" ->
+        s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
+      "q_sim_topk" ->
+        s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
+      "q_multimodal_decode" ->
+        s"SELECT *, CAST($blen AS INTEGER) AS byte_len, CAST(64 + ($blen % 576) AS INTEGER) AS width, CAST(64 + (($blen * 7) % 416) AS INTEGER) AS height, CASE WHEN (ascii(substr(text, 1, 1)) % 2) = 0 THEN 'png' ELSE 'jpeg' END AS format, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents",
+      "q_multimodal_frames" ->
+        s"SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM (SELECT doc_id, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents))",
+      "q_events_tumbling" ->
+        s"SELECT date_trunc('hour', $evT) AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM events GROUP BY 1, 2",
+      "q_events_sliding" ->
+        s"SELECT ws AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, event_type, value FROM events) GROUP BY 1, 2",
+      "q_events_session" ->
+        s"WITH e AS (SELECT user_id, $evT AS t, value FROM events), m AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM e), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(t) AS session_start, MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM s GROUP BY user_id, sid"
+    )
+  }
 
   /** Per-column UNION ALL profile of `part`, mirroring describeTable(). */
   private def describeOracle: String = {

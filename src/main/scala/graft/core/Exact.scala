@@ -43,15 +43,22 @@ object Exact {
     sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
   }
 
-  /** Exact sum of the elementwise product of two double array columns
-    * (dot product), order-independent.
+  /** Exact, order-independent dot product of two numeric array columns.
+    *
+    * Per-element products are rounded to 1e-12 fixed-point longs (ties away
+    * from zero — the rounding both Spark's HALF_UP and DuckDB's round()
+    * use) and summed as integers: no accumulation-order sensitivity, no
+    * decimal-precision widening. Headroom: |x·y| ≤ ~9e5 per element before
+    * int64 overflow at 64–4096 dims — plenty for unit-normalized
+    * embeddings.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast(DecimalType(38, 12))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
+      lit(0L),
       (acc, v) => acc + v
-    ).cast("double")
+    ).cast("double") / lit(1e12)
 
   private def functions_sum(c: Column): Column = org.apache.spark.sql.functions.sum(c)
 }

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.core.{Chain, Exact}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `cosineTopK` is the exact baseline: broadcast the (small) query set,
+  * stream the corpus once, per-query top-k via window — one shuffle on
+  * query_id. `lshCosineTopK` is the scale path: sign-random-projection
+  * buckets shrink the candidate set before exact rerank, trading recall for
+  * a corpus-partitionable join (the IVF/LSH pattern).
+  */
+final class SimilarityOps(private val c: Chain) extends AnyVal {
+
+  /** Exact cosine top-k of each query vector against the corpus (this
+    * chain). Queries are broadcast; dot products use exact decimal
+    * accumulation so ranking is bit-stable across partitionings.
+    */
+  def cosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int): Chain = {
+    def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+        .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+    val corpus = withNorm(c.df, "neighbor_id", "_vc", "_nc")
+    val qs = withNorm(queries, "query_id", "_vq", "_nq")
+    val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
+    val scored = corpus.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val df2 = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    c.next("cosine_topk", df2, None)
+  }
+
+  /** LSH top-k: 16 sign-random-projection bits (deterministic ±1 planes
+    * from xxhash64), candidates = corpus vectors sharing ≥1 of four 4-bit
+    * bands with the query, exact cosine rerank within candidates.
+    */
+  def lshCosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                    planes: Int = 16, bands: Int = 4): Chain = {
+    val rows = planes / bands
+    def sketch(df: DataFrame, vAs: String): DataFrame = {
+      // plane p, dim i: weight = +1 if bit(xxhash64(p, i)) else -1
+      val bits = (0 until planes).map { p =>
+        val s = aggregate(
+          zip_with(col(vAs),
+            transform(sequence(lit(0), size(col(vAs)) - 1),
+              i => when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(s > 0, 1).otherwise(0)
+      }
+      (0 until bands).foldLeft(df) { (d, b) =>
+        d.withColumn(s"_band_$b",
+          (0 until rows).map(r => bits(b * rows + r) * (1 << r)).reduce(_ + _))
+      }
+    }
+    def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+        .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+    val corpus = sketch(withNorm(c.df, "neighbor_id", "_vc", "_nc"), "_vc")
+    val qs = sketch(withNorm(queries, "query_id", "_vq", "_nq"), "_vq")
+    val bandMatch = (0 until bands)
+      .map(b => corpus(s"_band_$b") === qs(s"_band_$b")).reduce(_ || _)
+    val cos = Exact.dot(qs("_vq"), corpus("_vc")) / qs("_nq") / corpus("_nc")
+    val scored = corpus.join(broadcast(qs), bandMatch)
+      .where(qs("query_id") =!= corpus("neighbor_id"))
+      .select(qs("query_id"), corpus("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.next("cosine_topk_lsh",
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.core.{Chain, Exact}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each aggregation exists in two faces sharing the same expression logic:
+  * a batch face (used by the correctness oracle) and a Structured Streaming
+  * face (`readStream` → watermark → windowed agg) for continuous
+  * execution. `ts` arrives as raw nanoseconds (parquet TIMESTAMP(NANOS),
+  * read via `nanosAsLong`); [[tsFromNanos]] converts to a timezone-naive
+  * timestamp column.
+  */
+object EventStreams {
+
+  /** Nanosecond epoch → TIMESTAMP_NTZ. Integer `DIV` — a double round-trip
+    * (`/`) would lose precision above 2^53 ns (≈ 1970+104 days).
+    */
+  def tsFromNanos(colName: String): Column =
+    expr(s"CAST(timestamp_micros($colName DIV 1000) AS TIMESTAMP_NTZ)")
+
+  /** Tumbling-window aggregate (batch face): counts + exact sums per
+    * (window_start, key).
+    */
+  def tumblingAgg(events: DataFrame, width: String, keys: Seq[String]): DataFrame = {
+    val ts = tsFromNanos("ts")
+    events
+      .withColumn("_ts", ts)
+      .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start") +: keys.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.sum(col("value")).as("value_sum"))
+  }
+
+  /** Sliding-window aggregate (batch face). */
+  def slidingAgg(events: DataFrame, width: String, slide: String, keys: Seq[String]): DataFrame =
+    events
+      .withColumn("_ts", tsFromNanos("ts"))
+      .groupBy((window(col("_ts"), width, slide).getField("start")
+        .cast(TimestampNTZType).as("window_start") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
+
+  /** Session windows per key with an inactivity gap (batch face) —
+    * `session_window`: start = first event, end = last event + gap.
+    */
+  def sessionAgg(events: DataFrame, gap: String, keys: Seq[String]): DataFrame =
+    events
+      .withColumn("_ts", tsFromNanos("ts"))
+      .groupBy((session_window(col("_ts"), gap).as("_w") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
+      .select((keys.map(col) :+
+        col("_w").getField("start").cast(TimestampNTZType).as("session_start") :+
+        col("_w").getField("end").cast(TimestampNTZType).as("session_end") :+
+        col("n_events") :+ col("value_sum")): _*)
+
+  // ---- streaming faces -----------------------------------------------
+
+  /** Open the events table as a stream (file source; in production a Kafka
+    * source with the same downstream plan).
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Streaming tumbling aggregate with late-data policy: watermark bounds
+    * state; output mode should be `update` (or `append` after the
+    * watermark passes).
+    */
+  def streamingTumblingAgg(events: DataFrame, width: String,
+                           watermark: String, keys: Seq[String]): DataFrame = {
+    events
+      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withWatermark("_ts", watermark)
+      .groupBy((window(col("_ts"), width) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
+  }
+
+  /** Streaming session windows: watermark + session_window — Spark merges
+    * open sessions in state until the watermark closes them.
+    */
+  def streamingSessionAgg(events: DataFrame, gap: String,
+                          watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withWatermark("_ts", watermark)
+      .groupBy((session_window(col("_ts"), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
+}
