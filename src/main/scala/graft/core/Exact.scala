@@ -52,13 +52,7 @@ object Exact {
     * int64 overflow at 64–4096 dims — plenty for unit-normalized
     * embeddings.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
-      lit(0L),
-      (acc, v) => acc + v
-    ).cast("double") / lit(1e12)
+  def dot(a: Column, b: Column): Column = graft.functions.FixedPointDot(a, b)
 
   private def functions_sum(c: Column): Column = org.apache.spark.sql.functions.sum(c)
 }

@@ -31,9 +31,16 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       maxBucket: Int = 1000): Chain = {
     val rows = numHashes / bands
     val sh = shingles(col(textCol), shingleWords)
-    val mh = array((0 until numHashes).map(k =>
-      array_min(transform(sh, s => xxhash64(s, lit(k))))): _*)
-    val sigs = c.df.select(col(idCol).as("_id"), mh.as("_mh"))
+    // two materialization barriers: shingle arrays are interpreted
+    // (higher-order fn) and must be computed once per document, and the
+    // 32-hash signature likewise must not be re-derived by the band
+    // projection or either bucket-join side (they share a ReusedExchange)
+    val shingled = c.df.select(col(idCol).as("_id"), sh.as("_sh"))
+      .repartition(col("_id"))
+    val mhFromSh = array((0 until numHashes).map(k =>
+      array_min(transform(col("_sh"), s => xxhash64(s, lit(k))))): _*)
+    val sigs = shingled.select(col("_id"), mhFromSh.as("_mh"))
+      .repartition(col("_id"))
     val banded = sigs.select(col("_id"), col("_mh"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col("_mh")(b * rows + r)): _*)): _*))
@@ -69,6 +76,7 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         |  acc + IF(aggregate(_toks, 0L, (a, t) ->
         |    a + IF((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0,
         |    shiftleft(1L, j), 0L))""".stripMargin))
+      .repartition(col("_id")) // barrier: signature computed once per doc
     val banded = withSig.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("_band", "_bh")))
@@ -86,23 +94,45 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     c.next("dedup_simhash", pairs, None)
   }
 
-  /** ngram_jaccard(id, text): exact word n-gram set Jaccard over all pairs
-    * above a threshold. All-pairs — the small-corpus/verification path; at
-    * scale feed LSH candidates instead.
+  /** ngram_jaccard(id, text): exact word n-gram set Jaccard between all
+    * pairs sharing at least one shingle, thresholded.
+    *
+    * Inverted-index formulation — explode shingles, equi-join on the
+    * shingle, count matches per pair, then |A∪B| = |A|+|B|−|A∩B|. No cross
+    * join: pair space is only pairs that actually share a shingle, and the
+    * join is a shuffle on the shingle key. `maxDocFreq` drops shingles that
+    * occur in more than that many documents before pairing (the standard
+    * hot-shingle guard at scale; changes results only for pairs whose
+    * overlap is entirely stop-shingles, so leave at MaxValue for exactness).
     */
   def ngramJaccardPairs(
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.9): Chain = {
+      threshold: Double = 0.9,
+      maxDocFreq: Int = Int.MaxValue): Chain = {
     val sh = array_distinct(shingles(col(textCol), n))
+    // repartition = shuffle-materialization barrier: shingle arrays are
+    // computed once per document, not re-derived on each join side
     val side = c.df.select(col(idCol).as("_id"), sh.as("_sh"))
-    val l = side.select(col("_id").as("id_a"), col("_sh").as("_sha"))
-    val r = side.select(col("_id").as("id_b"), col("_sh").as("_shb"))
-    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
-    val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
-    val pairs = l.crossJoin(r).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .repartition(col("_id"))
+    val sizes = side.select(col("_id"), size(col("_sh")).as("_sz"))
+    val ex = side.select(col("_id"), explode(col("_sh")).as("_s"))
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) ex
+      else ex.withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))))
+        .where(col("_df") <= maxDocFreq).drop("_df")
+    val l = filtered.select(col("_id").as("id_a"), col("_s"))
+    val r = filtered.select(col("_id").as("id_b"), col("_s"))
+    val common = l.join(r, Seq("_s")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    val pairs = common
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
     c.next("dedup_ngram_jaccard", pairs, None)
   }
@@ -115,6 +145,8 @@ final class DedupOps(private val c: Chain) extends AnyVal {
   def embeddingCosinePairs(idCol: String, vecCol: String, threshold: Double): Chain = {
     val withNorm = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_norm", sqrt(Exact.dot(col("_v"), col("_v"))))
+      // materialization barrier: norms computed once per vector, not per pair
+      .repartition(col("_id"))
     val l = withNorm.select(col("_id").as("id_a"), col("_v").as("_va"), col("_norm").as("_na"))
     val r = withNorm.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_norm").as("_nb"))
     val cos = Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")

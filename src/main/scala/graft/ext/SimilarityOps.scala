@@ -23,6 +23,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
         .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .repartition(col(idAs)) // barrier: norm computed once, not per pair
     val corpus = withNorm(c.df, "neighbor_id", "_vc", "_nc")
     val qs = withNorm(queries, "query_id", "_vq", "_nq")
     val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
@@ -63,6 +64,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
         .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
     val corpus = sketch(withNorm(c.df, "neighbor_id", "_vc", "_nc"), "_vc")
+      .repartition(col("neighbor_id")) // barrier before the band join
     val qs = sketch(withNorm(queries, "query_id", "_vq", "_nq"), "_vq")
     val bandMatch = (0 until bands)
       .map(b => corpus(s"_band_$b") === qs(s"_band_$b")).reduce(_ || _)

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Exact fixed-point dot product of two numeric arrays as a native Catalyst
+  * expression with codegen — the hot kernel of similarity search and
+  * embedding dedup.
+  *
+  * Per element: `round(x · y · 1e12)` (ties away from zero, matching both
+  * SQL ROUND and DuckDB) accumulated in int64, final value `acc / 1e12`.
+  * Integer accumulation makes the result independent of element order and
+  * partitioning. The generated code is a tight primitive loop — the
+  * higher-order-function formulation (`zip_with` + `aggregate`) evaluates
+  * interpreted per element and is ~50× slower on all-pairs workloads.
+  *
+  * Headroom: |x·y| ≤ ~9e5 per element before int64 overflow at 4096 dims —
+  * far beyond unit-normalized embeddings.
+  */
+case class FixedPointDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two numeric array arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fixed_point_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    val n = math.min(aa.numElements(), bb.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = get(aa, lt, i) * get(bb, rt, i) * 1e12
+      acc += (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      s"""
+         |long $acc = 0L;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = (${getter(elemType(left), a, i)}) * (${getter(elemType(right), b, i)}) * 1.0E12;
+         |  $acc += (long) ($p >= 0.0 ? java.lang.Math.floor($p + 0.5) : java.lang.Math.ceil($p - 0.5));
+         |}
+         |${ev.value} = ((double) $acc) / 1.0E12;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FixedPointDot {
+  import org.apache.spark.sql.GraftBridge
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(
+      FixedPointDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
