@@ -75,6 +75,12 @@ final class Chain private (
 
   def schema: org.apache.spark.sql.types.StructType = df.schema
   def ddl: String = df.schema.toDDL
+
+  /** Export as a dbt model (model.sql + schema.yml + dbt_project.yml ≅
+    * reference to_dbt, transforms.py:377-419).
+    */
+  def toDbt(outputDir: String, modelName: String, materialize: String = "view"): Seq[String] =
+    graft.render.DbtExport.toDbt(this, outputDir, modelName, materialize)
 }
 
 object Chain {

@@ -14,6 +14,7 @@ final class DateOps(private val c: Chain) extends AnyVal {
     */
   def datetrunc(dates: Seq[(String, String)]): Chain = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    // (the SQL fragments below mirror the same NTZ/date cast)
     val df2 = dates.foldLeft(c.df) { case (d, (cn, part)) =>
       // date_trunc always yields session-zoned TIMESTAMP; keep the input's
       // temporal family (NTZ/date) so written parquet stays timezone-naive.
@@ -25,7 +26,12 @@ final class DateOps(private val c: Chain) extends AnyVal {
       d.withColumn(Naming.datePart(cn, part), truncated)
     }
     val frags = dates.map { case (cn, p) =>
-      s"DATE_TRUNC('$p', $cn) AS ${Naming.datePart(cn, p)}"
+      val castSql = c.df.schema(cn).dataType match {
+        case TimestampNTZType => s"CAST(DATE_TRUNC('$p', $cn) AS TIMESTAMP_NTZ)"
+        case DateType => s"CAST(DATE_TRUNC('$p', $cn) AS DATE)"
+        case _ => s"DATE_TRUNC('$p', $cn)"
+      }
+      s"$castSql AS ${Naming.datePart(cn, p)}"
     }
     c.next("datetrunc", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Chain, Exact}
+import graft.ext._
+import TestSpark._
+
+class ExtSpec extends AnyFunSuite {
+
+  test("FixedPointDot matches a BigDecimal reference, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i => i.toLong -> Array.fill(64)(rnd.nextFloat() - 0.5f))
+    import spark.implicits._
+    val df = vecs.toDF("id", "v")
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0L
+      a.indices.foreach { i =>
+        val p = a(i).toDouble * b(i).toDouble * 1e12
+        acc += (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+      }
+      acc.toDouble / 1e12
+    }
+    val got = df.as("x").join(df.as("y"), expr("x.id < y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Exact.dot(col("x.v"), col("y.v")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lookup = vecs.toMap
+    got.foreach { case ((a, b), d) =>
+      assert(d == ref(lookup(a), lookup(b)), s"pair ($a,$b)")
+    }
+    // repartitioned plan yields identical values
+    val got2 = df.repartition(7).as("x").join(df.repartition(3).as("y"), expr("x.id < y.id"))
+      .select(col("x.id"), col("y.id"), Exact.dot(col("x.v"), col("y.v")).as("dot"))
+      .collect().map(_.getDouble(2)).sorted.toSeq
+    assert(got2 == got.values.toSeq.sorted)
+  }
+
+  test("exact dedup keeps lowest id per normalized text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   world"), (2L, "hello world"), (3L, "different"),
+      (4L, "HELLO WORLD  "), (5L, "different")).toDF("doc_id", "text")
+    val kept = Chain(spark, "docs", docs).dedupExact("doc_id", "text")
+      .df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = (0 until 40).map(i =>
+      i.toLong -> s"alpha beta gamma delta epsilon zeta eta theta iota kappa word$i more$i")
+    val dup = Seq(100L -> (base(3)._2 + " tail"), 101L -> base(7)._2)
+    val docs = (base ++ dup).toDF("doc_id", "text")
+    val pairs = Chain(spark, "d", docs)
+      .minhashLsh("doc_id", "text", shingleWords = 2, numHashes = 32,
+        bands = 8, estThreshold = 0.5)
+      .df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)))
+    assert(pairs.contains((7L, 101L)))
+  }
+
+  test("ngram jaccard is exact: identical docs score 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b x y z")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs)
+      .ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.1)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == (1.0 / 7.0)) // shares "a b" of 4+4 distinct bigrams
+  }
+
+  test("cosine top-k ranks by exact cosine with id tiebreak") {
+    val emb = table("embeddings")
+    val topk = emb.cosineTopK(emb.df.where("vec_id = 0"), "vec_id", "embedding", 5).df
+    val got = topk.orderBy("rank").collect()
+    assert(got.length == 5)
+    val cosines = got.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse, "descending cosine")
+    assert(got.forall(_.getAs[Long]("neighbor_id") != 0L), "self excluded")
+  }
+
+  test("langid predicts via marker votes with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is here"),
+      (3L, "el perro y el gato es aqui"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text") // no markers: tie -> 'de'
+    val got = Chain(spark, "d", docs).langId("text")
+      .df.select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "de"))
+  }
+
+  test("multimodal decode adds deterministic metadata per row") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Chain(spark, "d", docs).withMediaColumn("text")
+      .decodeMedia("media").df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("byte_len")).toMap
+    assert(out == Map(1L -> 4, 2L -> 2))
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+import TestSpark._
+
+/** Operator-semantics specs over the sf0.001 fixtures. The exhaustive
+  * per-operator correctness gate is the DuckDB differential in
+  * tools/check_oracle.py (59 queries); these specs pin behaviors the oracle
+  * can't see — naming, null handling, chain-vs-rendered-SQL equivalence,
+  * guards.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  test("chain face and rendered-SQL face agree (CTE assembly)") {
+    val chain = table("lineitem")
+      .filterRows(Seq("l_discount > 0.05"))
+      .math(Seq("l_extendedprice * (1 - l_discount)"), Seq("net"))
+      .aggregate(Seq("l_returnflag"), Seq("net" -> Seq("SUM", "AVG"), "l_orderkey" -> Seq("COUNT")))
+    assert(rows(spark.sql(chain.sql())) == rows(chain.df))
+    assert(chain.sql().startsWith("WITH "))
+  }
+
+  test("VIEWS render mode materializes one view per step") {
+    val chain = table("orders")
+      .filterRows(Seq("o_totalprice > 100000"))
+      .datetrunc(Seq("o_orderdate" -> "month"))
+    chain.sql("VIEWS", "views_out").split(";\n").foreach(spark.sql)
+    assert(rows(spark.table("views_out")) == rows(chain.df))
+  }
+
+  test("dedupe keeps exactly one row per key and is idempotent") {
+    val once = table("lineitem").dedupe(Seq("l_orderkey"),
+      Seq("l_linenumber" -> "DESC", "l_extendedprice" -> "DESC"))
+    val keys = once.df.select("l_orderkey").distinct().count()
+    assert(once.df.count() == keys)
+    val twice = once.dedupe(Seq("l_orderkey"),
+      Seq("l_linenumber" -> "DESC", "l_extendedprice" -> "DESC"))
+    assert(rows(twice.df) == rows(once.df))
+  }
+
+  test("union keep_dupes=false gives set semantics") {
+    val o = table("orders")
+    val u = o.union(o, keepDupes = false)
+    assert(u.df.count() == o.df.count())
+    val ua = o.union(o, keepDupes = true)
+    assert(ua.df.count() == 2 * o.df.count())
+  }
+
+  test("lag/lead are inverse on a dense series") {
+    val c = table("orders")
+      .lagCols(Seq("o_totalprice"), Seq(1, -1), Nil, Seq("o_orderkey" -> "ASC"))
+    val bad = c.df
+      .withColumn("back", lag(col("lag_o_totalprice__1"), 1)
+        .over(org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")))
+      .where(col("back").isNotNull && col("back") =!= col("o_totalprice"))
+    assert(bad.count() == 0)
+  }
+
+  test("pivot/unpivot round-trip") {
+    val pivoted = table("lineitem").pivot(
+      Seq("l_linestatus"), "l_returnflag", "l_quantity", "SUM", Seq("A", "N", "R"))
+    val back = pivoted.unpivot("qty", "flag", Seq("a", "n", "r"))
+    assert(back.df.count() == pivoted.df.count() * 3)
+    // total mass preserved
+    val direct = table("lineitem").df.agg(
+      sum(col("l_quantity").cast("decimal(38,4)"))).collect()(0).getDecimal(0)
+    val round = back.df.agg(
+      sum(col("qty").cast("decimal(38,4)"))).collect()(0).getDecimal(0)
+    assert(direct.compareTo(round) == 0)
+  }
+
+  test("train_test_split matches requested fraction and order") {
+    val c = table("orders").trainTestSplit(Seq("o_orderkey" -> "ASC"), 0.8)
+    val n = c.df.count()
+    val train = c.df.where("tt_split = 'TRAIN'")
+    assert(train.count() == math.floor(0.8 * n).toLong)
+    val maxTrainKey = train.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val minTestKey = c.df.where("tt_split = 'TEST'")
+      .agg(min("o_orderkey")).collect()(0).getLong(0)
+    assert(maxTrainKey < minTestKey)
+  }
+
+  test("one_hot_encode dummies partition the rows") {
+    val c = table("customer").oneHotEncode("c_mktsegment")
+    val dummyCols = c.df.columns.filter(_.startsWith("c_mktsegment_"))
+    assert(dummyCols.length == 5)
+    val rowSums = c.df.select(dummyCols.map(col).reduce(_ + _).as("s"))
+      .where("s <> 1")
+    assert(rowSums.count() == 0)
+  }
+
+  test("label_encode is a dense 1-based code in value order") {
+    val c = table("customer").labelEncode("c_mktsegment", includeValuesArray = true)
+    val pairs = c.df.select("c_mktsegment", "c_mktsegment_encoded").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pairs("AUTOMOBILE") == 1 && pairs("MACHINERY") == 5)
+    val arr = c.df.select("all_values_array").first().getSeq[String](0)
+    assert(arr == Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+  }
+
+  test("impute fills nulls and flags them") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val c = graft.core.Chain(spark, "t", df).impute(Seq("x" -> "mean"), flagMissingVals = true)
+    val got = c.df.orderBy("x").collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1.0, 0), (2.0, 1), (3.0, 0)))
+  }
+
+  test("describe profiles every column with exact counts") {
+    val d = table("part").describeTable().df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d.size == 6)
+    assert(d("p_partkey").getAs[Long]("unique_count") == 200L)
+    assert(d("p_name").getAs[String]("dtype") == "string")
+    assert(d("p_retailprice").getAs[Long]("null_count") == 0L)
+  }
+
+  test("raw-SQL guards block destructive statements") {
+    val sess = graft.core.GraftSession(spark)
+    intercept[IllegalArgumentException](sess.query("DROP TABLE x"))
+    assert(sess.isScarySql("delete from t"))
+    assert(!sess.isScarySql("SELECT deleted_flag FROM t")) // word-boundary, not substring
+    val li = table("lineitem")
+    intercept[IllegalArgumentException](li.applySql("TRUNCATE TABLE y"))
+  }
+
+  test("save guards against silent overwrite") {
+    val c = table("region")
+    c.save("t_save_guard", "TABLE", overwrite = true)
+    intercept[IllegalStateException](c.save("t_save_guard", "TABLE"))
+    c.save("t_save_guard", "TABLE", overwrite = true)
+    assert(spark.table("t_save_guard").count() == c.df.count())
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+import TestSpark._
+
+class RenderSpec extends AnyFunSuite {
+
+  test("single-step chain renders without WITH") {
+    val c = table("region").filterRows(Seq("r_regionkey > 1"))
+    assert(!c.sql().startsWith("WITH"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("sub-chain join arguments render as derived tables") {
+    val filtered = table("orders").filterRows(Seq("o_totalprice > 200000"))
+    val c = table("lineitem").join(filtered, "inner", Seq("l_orderkey" -> "o_orderkey"))
+    assert(c.sql().contains("(SELECT * FROM orders WHERE (o_totalprice > 200000))"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("TABLE/VIEW render methods wrap in CREATE") {
+    val c = table("region").dropColumns(includeCols = Seq("r_name"))
+    assert(c.sql("VIEW", "v1").startsWith("CREATE OR REPLACE TEMPORARY VIEW v1 AS"))
+    assert(c.sql("TABLE", "t1").startsWith("CREATE OR REPLACE TABLE t1 USING PARQUET AS"))
+  }
+
+  test("ops without SQL text form fail rendering loudly, not silently") {
+    val c = table("part").describeTable()
+    val e = intercept[UnsupportedOperationException](c.sql())
+    assert(e.getMessage.contains("describe"))
+  }
+
+  test("dbt export writes a runnable model + schema") {
+    val out = Files.createTempDirectory("graft_dbt").toString
+    val c = table("orders")
+      .datetrunc(Seq("o_orderdate" -> "month"))
+      .aggregate(Seq("o_orderdate_month"), Seq("o_totalprice" -> Seq("SUM")))
+    val files = c.toDbt(out, "monthly_sales")
+    assert(files.forall(f => Files.exists(Paths.get(f))))
+    val model = Files.readString(Paths.get(out, "models", "monthly_sales.sql"))
+    assert(model.contains("materialized='view'"))
+    val sqlPart = model.split("\n\n", 2)(1)
+    assert(rows(spark.sql(sqlPart)) == rows(c.df))
+    val schema = Files.readString(Paths.get(out, "models", "schema.yml"))
+    assert(schema.contains("o_totalprice_sum"))
+  }
+}
