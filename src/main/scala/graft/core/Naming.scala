@@ -53,4 +53,17 @@ object Naming {
     * random uppercase chars; determinism is more useful for tests/rendering).
     */
   def stepAlias(i: Int): String = f"graft_$i%d"
+
+  /** SQL literal for a driver-computed statistic embedded into a rendered
+    * fragment (the reference's compile-time `run_query` pattern bakes
+    * values into the template the same way).
+    */
+  def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => s"'${s.replace("'", "''")}'"
+    case d: Double => if (d.isNaN) "CAST('NaN' AS DOUBLE)" else s"CAST($d AS DOUBLE)"
+    case f: Float => s"CAST($f AS DOUBLE)"
+    case b: Boolean => b.toString.toUpperCase
+    case other => other.toString
+  }
 }

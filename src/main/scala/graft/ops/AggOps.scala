@@ -212,7 +212,18 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .withColumn("slope", slope)
       .withColumn("intercept", (col("_sy") - col("slope") * col("_sx")) / n)
       .select((groupBy.map(col) ++ Seq(col("slope"), col("intercept"), col("_n").as("n"))): _*)
-    c.next("linear_regression", df2, None)
+    def ds8(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,8))) AS DOUBLE)"
+    val bothSql = s"$x IS NOT NULL AND $y IS NOT NULL"
+    val gCols = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val frag =
+      s"SELECT ${gCols}slope, (_sy - slope * _sx) / _nd AS intercept, _n AS n FROM (" +
+        s"SELECT ${gCols}(_nd * _sxy - _sx * _sy) / (_nd * _sxx - _sx * _sx) AS slope, _sx, _sy, _nd, _n FROM (" +
+        s"SELECT ${gCols}CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, ${ds8("_x")} AS _sx, ${ds8("_y")} AS _sy, " +
+        s"${ds8("_x * _y")} AS _sxy, ${ds8("_x * _x")} AS _sxx FROM (" +
+        s"SELECT ${gCols}CASE WHEN $bothSql THEN CAST($x AS DOUBLE) END AS _x, " +
+        s"CASE WHEN $bothSql THEN CAST($y AS DOUBLE) END AS _y FROM {{source}})$gBy))"
+    c.next("linear_regression", df2, Some(frag))
   }
 
   /** market_basket(transaction_id, agg_column, sep): items per transaction

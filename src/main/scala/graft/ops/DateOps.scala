@@ -90,7 +90,15 @@ final class DateOps(private val c: Chain) extends AnyVal {
       case "year" => (year(d2) - year(d1))
       case other => throw new IllegalArgumentException(s"unknown date part $other")
     }
-    c.next("datediff", c.df.withColumn(name, e), None)
+    val sqlExpr = datePart.toLowerCase match {
+      case "day" => s"DATEDIFF(TO_DATE($date2), TO_DATE($date1))"
+      case "week" => s"CAST(FLOOR(DATEDIFF(DATE_TRUNC('week', TO_DATE($date2)), DATE_TRUNC('week', TO_DATE($date1))) / 7) AS INT)"
+      case "month" => s"(YEAR(TO_DATE($date2)) - YEAR(TO_DATE($date1))) * 12 + (MONTH(TO_DATE($date2)) - MONTH(TO_DATE($date1)))"
+      case "quarter" => s"(YEAR(TO_DATE($date2)) - YEAR(TO_DATE($date1))) * 4 + (QUARTER(TO_DATE($date2)) - QUARTER(TO_DATE($date1)))"
+      case "year" => s"YEAR(TO_DATE($date2)) - YEAR(TO_DATE($date1))"
+    }
+    c.next("datediff", c.df.withColumn(name, e),
+      Some(s"SELECT *, $sqlExpr AS $name FROM {{source}}"))
   }
 
   /** datespine(date_col, start, end, interval_type): generate a contiguous
@@ -149,6 +157,16 @@ final class DateOps(private val c: Chain) extends AnyVal {
       dataCols.map(n => col(s"_k.$n"))
     val df2 = spined.alias("_s").join(keyed.alias("_k"), expr(cond), "left")
       .select(proj: _*)
-    c.next("datespine_groups", df2, None)
+    val frag = {
+      val gSel = (groupBy.map(g => s"_s._g_$g AS $g") :+ s"_s.$spineName" ) ++
+        dataCols.map(n => s"_k.$n")
+      s"SELECT ${gSel.mkString(", ")} FROM " +
+        s"(SELECT ${groupBy.map(g => s"$g AS _g_$g").mkString(", ")}, $spineName FROM " +
+        s"(SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
+        s"LATERAL VIEW EXPLODE(SEQUENCE(CAST('$startDate' AS DATE), CAST('$endDate' AS DATE), INTERVAL 1 ${intervalType.toUpperCase})) AS $spineName) _s " +
+        s"LEFT JOIN (SELECT *, CAST(DATE_TRUNC('$intervalType', $dateCol) AS DATE) AS _graft_dk FROM {{source}}) _k " +
+        s"ON $cond"
+    }
+    c.next("datespine_groups", df2, Some(frag))
   }
 }

@@ -59,7 +59,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         val arr = distinctValues(column, maxDistinct).filter(_ != null).sorted
         joined.withColumn(Naming.allValuesArray, array(arr.map(lit): _*))
       } else joined
-    c.next("label_encode", df2, None)
+    // text face: DENSE_RANK over the sorted value domain — correct but a
+    // global window; the DataFrame face's broadcast-index join is the
+    // execution path at scale
+    val frag =
+      if (includeValuesArray) None
+      else Some(s"SELECT *, CAST(DENSE_RANK() OVER (ORDER BY $column) AS INT) AS ${Naming.labelEncoded(column)} FROM {{source}}")
+    c.next("label_encode", df2, frag)
   }
 
   /** target_encode(column, target): mean of target per category →
@@ -110,19 +116,35 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
             when(col(cn).isNull, 1).otherwise(0))
         }
       else c.df
-    val df2 = imputations.foldLeft(flagged) { case (d, (cn, how)) =>
-      val fill: Column = how.toLowerCase match {
-        case "mean" | "median" =>
-          lit(statRow.get.getAs[Any](s"_m_$cn")).cast(types(cn))
+    val fills = imputations.map { case (cn, how) =>
+      val v: Any = how.toLowerCase match {
+        case "mean" | "median" => statRow.get.getAs[Any](s"_m_$cn")
         case "mode" =>
           val m = c.df.where(col(cn).isNotNull).groupBy(col(cn).as("_v")).count()
             .orderBy(col("count").desc, col("_v").asc).limit(1).collect()
-          lit(if (m.isEmpty) null else m(0).get(0)).cast(types(cn))
-        case v => lit(v).cast(types(cn))
+          if (m.isEmpty) null else m(0).get(0)
+        case raw => raw
       }
-      d.withColumn(cn, coalesce(col(cn), fill))
+      cn -> v
+    }.toMap
+    val df2 = imputations.foldLeft(flagged) { case (d, (cn, _)) =>
+      d.withColumn(cn, coalesce(col(cn), lit(fills(cn)).cast(types(cn))))
     }
-    c.next("impute", df2, None)
+    // fragment embeds driver-computed statistics as literals — the
+    // reference's compile-time run_query templates do the same
+    val flagSql =
+      if (flagMissingVals)
+        imputations.map { case (cn, _) =>
+          s"CASE WHEN $cn IS NULL THEN 1 ELSE 0 END AS ${Naming.cleanse(s"${cn}_missing_flag")}"
+        }
+      else Nil
+    val baseCols = c.df.columns.toSeq.map { n =>
+      if (fills.contains(n))
+        s"COALESCE($n, CAST(${Naming.sqlLiteral(fills(n))} AS ${types(n).sql})) AS $n"
+      else n
+    }
+    c.next("impute", df2,
+      Some(s"SELECT ${(baseCols ++ flagSql).mkString(", ")} FROM {{source}}"))
   }
 
   /** bin(type, bin_count, column): "equalwidth" (0-based index over the
@@ -168,13 +190,19 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
           Exact.stddev(col(cn).cast("double")).as(s"_sd_$cn")))
         Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
       } else None
-    val df2 = columnsToScale.foldLeft(c.df) { (d, cn) =>
-      val mu = averages.getOrElse(cn, statRow.get.getAs[Double](s"_mu_$cn"))
-      val sd = stddevs.getOrElse(cn, statRow.get.getAs[Double](s"_sd_$cn"))
+    val stats = columnsToScale.map { cn =>
+      cn -> (averages.getOrElse(cn, statRow.get.getAs[Double](s"_mu_$cn")),
+        stddevs.getOrElse(cn, statRow.get.getAs[Double](s"_sd_$cn")))
+    }
+    val df2 = stats.foldLeft(c.df) { case (d, (cn, (mu, sd))) =>
       d.withColumn(Naming.cleanse(s"${cn}_scaled"),
         (col(cn).cast("double") - lit(mu)) / lit(sd))
     }
-    c.next("standard_scaler", df2, None)
+    val frags = stats.map { case (cn, (mu, sd)) =>
+      s"(CAST($cn AS DOUBLE) - ${Naming.sqlLiteral(mu)}) / ${Naming.sqlLiteral(sd)} AS ${Naming.cleanse(s"${cn}_scaled")}"
+    }
+    c.next("standard_scaler", df2,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }
 
   /** min_max_scaler(columns_to_scale, minimums, maximums): (x−min)/(max−min)
@@ -192,13 +220,19 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
           max(col(cn)).cast("double").as(s"_mx_$cn")))
         Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
       } else None
-    val df2 = columnsToScale.foldLeft(c.df) { (d, cn) =>
-      val mn = minimums.getOrElse(cn, statRow.get.getAs[Double](s"_mn_$cn"))
-      val mx = maximums.getOrElse(cn, statRow.get.getAs[Double](s"_mx_$cn"))
+    val stats = columnsToScale.map { cn =>
+      cn -> (minimums.getOrElse(cn, statRow.get.getAs[Double](s"_mn_$cn")),
+        maximums.getOrElse(cn, statRow.get.getAs[Double](s"_mx_$cn")))
+    }
+    val df2 = stats.foldLeft(c.df) { case (d, (cn, (mn, mx))) =>
       d.withColumn(Naming.cleanse(s"${cn}_scaled"),
         (col(cn).cast("double") - lit(mn)) / lit(mx - mn))
     }
-    c.next("min_max_scaler", df2, None)
+    val frags = stats.map { case (cn, (mn, mx)) =>
+      s"(CAST($cn AS DOUBLE) - ${Naming.sqlLiteral(mn)}) / ${Naming.sqlLiteral(mx - mn)} AS ${Naming.cleanse(s"${cn}_scaled")}"
+    }
+    c.next("min_max_scaler", df2,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }
 
   /** levenshtein(columns1, column2): edit distance of each listed column

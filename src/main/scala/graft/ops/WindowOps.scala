@@ -88,7 +88,13 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         dd.withColumn(name, windowAgg(fn, cn, types(cn), w))
       }
     }
-    c.next("rolling_agg", df2, None)
+    val over = s"OVER (${overSql(groupBy, orderBy)} ROWS BETWEEN ${frameBound(lo.toLong)} AND ${frameBound(hi.toLong)})"
+    val frags = for ((cn, fns) <- aggregations; fn <- fns) yield {
+      val name = Naming.cleanse(s"${fn}_$cn") + s"_${part(lo)}_${part(hi)}"
+      s"${windowAggSql(fn, cn, types(cn), over)} AS $name"
+    }
+    c.next("rolling_agg", df2,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }
 
   /** cumulative_agg(aggregations, order_by, direction, group_by): running
@@ -111,7 +117,14 @@ final class WindowOps(private val c: Chain) extends AnyVal {
           windowAgg(fn, cn, types(cn), w))
       }
     }
-    c.next("cumulative_agg", df2, None)
+    val frame =
+      if (direction.equalsIgnoreCase("reverse")) "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+      else "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val over = s"OVER (${overSql(groupBy, orderBy)} $frame)"
+    val frags = for ((cn, fns) <- aggregations; fn <- fns) yield
+      s"${windowAggSql(fn, cn, types(cn), over)} AS ${Naming.cleanse(s"${fn}_${cn}_cumulative")}"
+    c.next("cumulative_agg", df2,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }
 
   /** timeseries_agg(aggregations, date, offsets, date_part, group_by):
@@ -150,7 +163,13 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         }
       }
     }.drop(epoch)
-    c.next("timeseries_agg", df2, None)
+    val partSql = if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")} "
+    val frags = for ((cn, fns) <- aggregations; fn <- fns; n <- offsets) yield {
+      val over = s"OVER (${partSql}ORDER BY UNIX_TIMESTAMP($dateCol) RANGE BETWEEN ${n * secs} PRECEDING AND CURRENT ROW)"
+      s"${windowAggSql(fn, cn, types(cn), over)} AS ${Naming.cleanse(s"${fn}_${cn}_${n}${datePart}")}"
+    }
+    c.next("timeseries_agg", df2,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
   }
 
   /** train_test_split(order_by, train_percent): deterministic ordered split
@@ -178,6 +197,22 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         s"FLOOR($trainPercent * COUNT(*) OVER ()) THEN 'TRAIN' ELSE 'TEST' END " +
         s"AS ${Naming.ttSplit} FROM {{source}}"))
   }
+
+  private def frameBound(n: Long): String =
+    if (n == Long.MinValue) "UNBOUNDED PRECEDING"
+    else if (n == Long.MaxValue) "UNBOUNDED FOLLOWING"
+    else if (n < 0) s"${-n} PRECEDING"
+    else if (n == 0) "CURRENT ROW"
+    else s"$n FOLLOWING"
+
+  private def windowAggSql(fn: String, cn: String, dt: DataType, over: String): String =
+    fn.toUpperCase match {
+      case "SUM" if Exact.isFloating(dt) =>
+        s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE)"
+      case "AVG" | "MEAN" if Exact.isFloating(dt) =>
+        s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / COUNT($cn) $over"
+      case f => s"${f.toUpperCase}($cn) $over"
+    }
 
   private def windowAgg(fn: String, cn: String, dt: DataType, w: WindowSpec): Column =
     fn.toUpperCase match {

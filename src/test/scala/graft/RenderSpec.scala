@@ -32,6 +32,32 @@ class RenderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("describe"))
   }
 
+  test("every fragment-bearing operator renders SQL equivalent to its DataFrame face") {
+    val chains = Seq(
+      table("orders").rollingAgg(Seq("o_totalprice" -> Seq("SUM", "MIN")),
+        Seq("o_orderdate" -> "ASC", "o_orderkey" -> "ASC"), (-2, 0), Seq("o_custkey")),
+      table("orders").cumulativeAgg(Seq("o_totalprice" -> Seq("SUM")),
+        Seq("o_orderdate" -> "ASC", "o_orderkey" -> "ASC"), "forward", Seq("o_custkey")),
+      table("orders").timeseriesAgg(Seq("o_totalprice" -> Seq("SUM")),
+        "o_orderdate", Seq(7), "day", Seq("o_custkey")),
+      table("orders").math(Seq("TIMESTAMP '1998-01-01 00:00:00'"), Seq("ref"))
+        .datediffCols("month", "o_orderdate", "ref"),
+      table("orders").datespineGroups(Seq("o_orderpriority"), "o_orderdate",
+        "1995-01-01", "1995-06-01", "month"),
+      table("lineitem").linearRegression(Seq("l_returnflag"), "l_extendedprice", "l_quantity"),
+      table("customer").math(
+        Seq("CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END"),
+        Seq("acct2")).impute(Seq("acct2" -> "mean"), flagMissingVals = true),
+      table("lineitem").standardScaler(Seq("l_extendedprice")),
+      table("part").minMaxScaler(Seq("p_retailprice")),
+      table("customer").labelEncode("c_mktsegment"),
+      table("orders").bin("equalwidth", 10, "o_totalprice"))
+    chains.foreach { ch =>
+      val op = ch.steps.last.op
+      assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
+    }
+  }
+
   test("dbt export writes a runnable model + schema") {
     val out = Files.createTempDirectory("graft_dbt").toString
     val c = table("orders")
