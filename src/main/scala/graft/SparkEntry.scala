@@ -228,7 +228,25 @@ object SparkEntry {
       t(s, d, "part").unpivot("val", "metric", Seq("p_size", "p_retailprice")).df),
     "q_apply" -> ((s, d) =>
       t(s, d, "lineitem").applySql(
-        "SELECT l_returnflag, COUNT(*) AS cnt FROM {{source_table}} GROUP BY l_returnflag").df)
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM {{source_table}} GROUP BY l_returnflag").df),
+
+    // ---- set ops / grouping sets / sketches beyond the reference surface
+    "q_intersect" -> ((s, d) =>
+      t(s, d, "orders").filterRows(Seq("o_totalprice > 100000"))
+        .intersectRows(t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))).df),
+    "q_except" -> ((s, d) =>
+      t(s, d, "orders").filterRows(Seq("o_totalprice > 100000"))
+        .exceptRows(t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))).df),
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem").cubeAgg(Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> Seq("SUM"), "l_orderkey" -> Seq("COUNT"))).df),
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollupAgg(Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> Seq("SUM"))).df),
+    "q_sample" -> ((s, d) =>
+      t(s, d, "lineitem").sampleRows(0.1).df),
+    "q_approx_agg" -> ((s, d) =>
+      t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df)
   )
 
   /** LLM-data-pipeline extension queries (SURVEY §2.4 / north star):
@@ -381,7 +399,17 @@ object SparkEntry {
     "q_unpivot" ->
       "SELECT p_partkey, p_name, p_brand, p_type, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, p_name, p_brand, p_type, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part",
     "q_apply" ->
-      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q_intersect" ->
+      "SELECT * FROM orders WHERE o_totalprice > 100000 INTERSECT SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q_except" ->
+      "SELECT * FROM orders WHERE o_totalprice > 100000 EXCEPT SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q_cube" ->
+      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum, COUNT(l_orderkey) AS l_orderkey_count FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    "q_rollup" ->
+      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    // q_sample (partition-layout-dependent) and q_approx_agg (engine-specific
+    // sketches) get the driver's rows-only check.
   )
 
   /** DuckDB oracles for the extension queries. q_dedup_minhash,

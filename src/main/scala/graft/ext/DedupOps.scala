@@ -31,15 +31,12 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       maxBucket: Int = 1000): Chain = {
     val rows = numHashes / bands
     val sh = shingles(col(textCol), shingleWords)
-    // two materialization barriers: shingle arrays are interpreted
-    // (higher-order fn) and must be computed once per document, and the
-    // 32-hash signature likewise must not be re-derived by the band
-    // projection or either bucket-join side (they share a ReusedExchange)
-    val shingled = c.df.select(col(idCol).as("_id"), sh.as("_sh"))
-      .repartition(col("_id"))
-    val mhFromSh = array((0 until numHashes).map(k =>
-      array_min(transform(col("_sh"), s => xxhash64(s, lit(k))))): _*)
-    val sigs = shingled.select(col("_id"), mhFromSh.as("_mh"))
+    // signature via the native codegen MinHashSignature kernel (one pass,
+    // two hashes per shingle); the repartition is a materialization barrier
+    // so neither the band projection nor either bucket-join side re-derives
+    // it (they share a ReusedExchange)
+    val sigs = c.df.select(col(idCol).as("_id"),
+      graft.functions.Sketches.minhashSignature(sh, numHashes).as("_mh"))
       .repartition(col("_id"))
     val banded = sigs.select(col("_id"), col("_mh"),
       posexplode(array((0 until bands).map(b =>
@@ -69,14 +66,11 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): Chain = {
-    val base = c.df.select(col(idCol).as("_id"),
-      TextOps.tokens(col(textCol)).as("_toks"))
-    val withSig = base.withColumn("_sim", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-        |  acc + IF(aggregate(_toks, 0L, (a, t) ->
-        |    a + IF((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0,
-        |    shiftleft(1L, j), 0L))""".stripMargin))
-      .repartition(col("_id")) // barrier: signature computed once per doc
+    // native codegen SimHash64 kernel over the token array; barrier so the
+    // band projection and both join sides read the materialized signature
+    val withSig = c.df.select(col(idCol).as("_id"),
+      graft.functions.Sketches.simhash64(TextOps.tokens(col(textCol))).as("_sim"))
+      .repartition(col("_id"))
     val banded = withSig.select(col("_id"), col("_sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("_band", "_bh")))

@@ -77,6 +77,58 @@ final class AggOps(private val c: Chain) extends AnyVal {
       s"SELECT ${(groupBy ++ aggSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
+  /** cube / rollup(group_by, aggregations): grouping-set aggregates (beyond
+    * the reference surface — SURVEY §2.2 notes it has none). Same naming and
+    * deterministic-float rules as `aggregate`.
+    */
+  def cubeAgg(groupBy: Seq[String], aggregations: Seq[(String, Seq[String])]): Chain =
+    groupingSetAgg("cube", groupBy, aggregations)
+
+  def rollupAgg(groupBy: Seq[String], aggregations: Seq[(String, Seq[String])]): Chain =
+    groupingSetAgg("rollup", groupBy, aggregations)
+
+  private def groupingSetAgg(kind: String, groupBy: Seq[String],
+                             aggregations: Seq[(String, Seq[String])]): Chain = {
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggCols = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val (column, label) = AggFns.resolve(fn, col(cn), types(cn))
+        column.as(Naming.agg(cn, label))
+      }
+    }
+    val grouped =
+      if (kind == "cube") c.df.cube(groupBy.map(col): _*)
+      else c.df.rollup(groupBy.map(col): _*)
+    val df2 = grouped.agg(aggCols.head, aggCols.tail: _*)
+    val aggSql = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val label = AggFns.resolve(fn, col(cn), types(cn))._2
+        s"${AggFns.sqlText(fn, cn, types(cn))} AS ${Naming.agg(cn, label)}"
+      }
+    }
+    c.next(kind, df2, Some(
+      s"SELECT ${(groupBy ++ aggSql).mkString(", ")} FROM {{source}} " +
+        s"GROUP BY ${kind.toUpperCase}(${groupBy.mkString(", ")})"))
+  }
+
+  /** approx_agg(group_by, column): approximate distinct count (HLL++) and
+    * approximate percentiles — the sketch aggregates a 100 TB profile pass
+    * wants (bounded memory, one pass, mergeable). Engine-specific sketch
+    * values → no cross-engine SQL face.
+    */
+  def approxAgg(groupBy: Seq[String], column: String,
+                percentiles: Seq[Double] = Seq(0.5, 0.95)): Chain = {
+    val aggs = Seq(
+      approx_count_distinct(col(column)).as(Naming.cleanse(s"${column}_approx_distinct")),
+      percentile_approx(col(column), array(percentiles.map(lit): _*), lit(10000))
+        .as(Naming.cleanse(s"${column}_approx_percentiles")),
+      count(col(column)).as(Naming.cleanse(s"${column}_count")))
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    c.next("approx_agg", df2, None)
+  }
+
   /** conditional_agg(rules, agg_column, agg, distinct): aggregate with
     * CASE-guarded input (e.g. COUNT(DISTINCT CASE WHEN … THEN col END)).
     */

@@ -103,6 +103,27 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         .mkString(" UNION ALL ")))
   }
 
+  /** intersect(dataset2): INTERSECT (set semantics). Beyond the reference
+    * surface (it ships union only — SURVEY §2.2 note); rounds out the set
+    * operators.
+    */
+  def intersectRows(other: Chain): Chain =
+    c.next("intersect", c.df.intersect(other.df), Some(
+      s"SELECT * FROM {{source}} INTERSECT SELECT * FROM ${rightSource(other)}"))
+
+  /** except(dataset2): EXCEPT (set semantics; beyond the reference surface). */
+  def exceptRows(other: Chain): Chain =
+    c.next("except", c.df.except(other.df), Some(
+      s"SELECT * FROM {{source}} EXCEPT SELECT * FROM ${rightSource(other)}"))
+
+  /** sample(fraction, seed): Bernoulli row sample. Sampling is
+    * partition-layout-dependent (each partition draws independently), so
+    * results are deterministic for a fixed layout but not portable across
+    * engines — no SQL-text face.
+    */
+  def sampleRows(fraction: Double, seed: Long = 42L): Chain =
+    c.next("sample", c.df.sample(withReplacement = false, fraction, seed), None)
+
   /** A chain argument renders as its entry table when untransformed, else as
     * a derived table (the reference's sub-chain args,
     * rasgoql/primitives/transforms.py:446-447).
