@@ -267,7 +267,7 @@ object SparkEntry {
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
           .dedupExact("doc_id", "text").df),
       "q_dedup_ngram" -> ((s, d) =>
-        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.5).df),
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9).df),
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
