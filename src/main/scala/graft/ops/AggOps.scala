@@ -212,11 +212,19 @@ final class AggOps(private val c: Chain) extends AnyVal {
         max(cc).cast("string").as(s"max_${f.name}"))
     } :+ count(lit(1)).as("_total")
     val stats = c.df.agg(statCols.head, statCols.tail: _*).collect()(0)
-    val modes: Map[String, String] = fields.map { f =>
-      val m = c.df.groupBy(col(f.name).cast("string").as("v")).count()
-        .orderBy(col("count").desc, col("v").asc_nulls_last).limit(1).collect()
-      f.name -> (if (m.isEmpty) null else m(0).getAs[String]("v"))
-    }.toMap
+    // deterministic per-column mode (ties → smallest value) in ONE job:
+    // stack all columns to (feature, value) rows, count, rank per feature —
+    // column count doesn't multiply scans or jobs
+    val stackExpr = s"stack(${fields.length}, " +
+      fields.map(f => s"'${f.name}', CAST(${f.name} AS STRING)").mkString(", ") + ")"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("count").desc, col("v").asc_nulls_last)
+    val modes: Map[String, String] = c.df
+      .select(expr(stackExpr).as(Seq("feature", "v")))
+      .groupBy(col("feature"), col("v")).count()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val total = stats.getAs[Long]("_total")
     val rows = fields.map { f =>
       Row(f.name, f.dataType.simpleString, total,
