@@ -297,7 +297,11 @@ object SparkEntry {
       "q_events_sliding" -> ((s, d) =>
         EventStreams.slidingAgg(readEvents(s, d), "1 hour", "30 minutes", Seq("event_type"))),
       "q_events_session" -> ((s, d) =>
-        EventStreams.sessionAgg(readEvents(s, d), "30 minutes", Seq("user_id")))
+        EventStreams.sessionAgg(readEvents(s, d), "30 minutes", Seq("user_id"))),
+      "q_json_extract" -> ((s, d) =>
+        Chain(s, "events", readEvents(s, d))
+          .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
+          .jsonExtract("props", Seq(("$.k", "k_val", "int"))).df)
     )
   }
 
@@ -464,6 +468,8 @@ object SparkEntry {
         s"SELECT date_trunc('hour', $evT) AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM events GROUP BY 1, 2",
       "q_events_sliding" ->
         s"SELECT ws AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, event_type, value FROM events) GROUP BY 1, 2",
+      "q_json_extract" ->
+        "SELECT event_id, event_type, props, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
       "q_events_session" ->
         s"WITH e AS (SELECT user_id, $evT AS t, value FROM events), m AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM e), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(t) AS session_start, MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM s GROUP BY user_id, sid"
     )

@@ -72,13 +72,18 @@ final class JoinOps(private val c: Chain) extends AnyVal {
           if (keys.contains(n)) d else d.withColumnRenamed(n, s"${p}_$n"))
       acc.join(renamed, keys, normalize(joinType))
     }
-    val joins = others.map { case (o, keys) =>
-      s"${joinType.toUpperCase} JOIN ${rightSource(o)} USING (${keys.mkString(", ")})"
+    val joins = others.zip(prefixes).map { case ((o, keys), p) =>
+      val src =
+        if (p.isEmpty) rightSource(o)
+        else {
+          val cols = o.df.columns.toSeq.map(n =>
+            if (keys.contains(n)) n else s"$n AS ${p}_$n")
+          s"(SELECT ${cols.mkString(", ")} FROM ${rightSource(o)})"
+        }
+      s"${joinType.toUpperCase} JOIN $src USING (${keys.mkString(", ")})"
     }
     c.next("multi_join", df2,
-      if (prefixes.forall(_.isEmpty))
-        Some(s"SELECT * FROM {{source}} ${joins.mkString(" ")}")
-      else None)
+      Some(s"SELECT * FROM {{source}} ${joins.mkString(" ")}"))
   }
 
   /** union(dataset2, keep_dupes): UNION ALL / UNION (set) by column name. */

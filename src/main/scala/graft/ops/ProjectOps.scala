@@ -90,6 +90,21 @@ final class ProjectOps(private val c: Chain) extends AnyVal {
       Some(s"SELECT *, CASE $cases ELSE $default END AS $alias FROM {{source}}"))
   }
 
+  /** json_extract(column, extracts): pull typed scalars out of a JSON
+    * string column — the Spark home for the reference's VARIANT/OBJECT
+    * columns (SURVEY §1.2: Snowflake VARIANT → `get_json_object`).
+    * extracts: (JSONPath, alias, Spark type) triples.
+    */
+  def jsonExtract(column: String, extracts: Seq[(String, String, String)]): Chain = {
+    val df2 = extracts.foldLeft(c.df) { case (d, (path, alias, tpe)) =>
+      d.withColumn(alias, get_json_object(col(column), path).cast(tpe))
+    }
+    val frags = extracts.map { case (path, alias, tpe) =>
+      s"CAST(GET_JSON_OBJECT($column, '$path') AS $tpe) AS $alias"
+    }
+    c.next("json_extract", df2, Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
   /** to_date(dates): column → format string; parses/casts in place.
     * Empty format = cast to date.
     */

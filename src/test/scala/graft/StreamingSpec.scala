@@ -29,6 +29,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched)
   }
 
+  test("watermark drops too-late events in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def evt(id: Long, minutesFromMidnight: Long): Evt = {
+      // 2024-01-01 00:00 UTC + offset, as epoch nanos
+      val base = 1704067200L * 1000000000L
+      Evt(id, base + minutesFromMidnight * 60L * 1000000000L, 1L, "click", 1.0, "{}")
+    }
+    val ms = MemoryStream[Evt]
+    val agg = graft.streaming.EventStreams.streamingTumblingAgg(
+      ms.toDF(), "1 hour", "30 minutes", Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    // batch 1: two events in [00:00,01:00), one at 02:10 to push the
+    // watermark to 01:40 and finalize the first window
+    ms.addData(evt(1, 10), evt(2, 20), evt(3, 130))
+    q.processAllAvailable()
+    // batch 2: a late event for the already-finalized [00:00,01:00) window
+    ms.addData(evt(4, 30))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to flush remaining windows
+    ms.addData(evt(5, 600))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.sql(
+      "SELECT n_events FROM late_sink WHERE CAST(window.start AS STRING) = '2024-01-01 00:00:00'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(firstWindow == Seq(2L),
+      s"late event must be dropped from the finalized window, got $firstWindow")
+  }
+
   test("batch session windows: gap semantics and end = last + gap") {
     import org.apache.spark.sql.functions._
     val sessions = EventStreams.sessionAgg(
@@ -43,3 +76,6 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == spark.read.parquet(s"$sfDir/events.parquet").count())
   }
 }
+
+case class Evt(event_id: Long, ts: Long, user_id: Long, event_type: String,
+               value: Double, props: String)
