@@ -283,6 +283,10 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         emb.lshCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
       }),
+      "q_sim_topk_ivf" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        emb.ivfCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+      }),
       "q_multimodal_decode" -> ((s, d) =>
         t(s, d, "documents").withMediaColumn("text")
           .decodeMedia("media")
@@ -301,7 +305,19 @@ object SparkEntry {
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
-          .jsonExtract("props", Seq(("$.k", "k_val", "int"))).df)
+          .jsonExtract("props", Seq(("$.k", "k_val", "int"))).df),
+      // composed training-data pipeline: quality-gate → exact dedup →
+      // token stats → per-language corpus summary
+      "q_llm_pipeline" -> ((s, d) =>
+        t(s, d, "documents")
+          .qualityScore("text")
+          .filterRows(Seq("quality > 0.5", "n_tokens >= 20"))
+          .dedupExact("doc_id", "text")
+          .tokenCounts("text")
+          .aggregate(Seq("lang"), Seq(
+            "doc_id" -> Seq("COUNT"),
+            "n_tokens" -> Seq("SUM", "AVG"),
+            "quality" -> Seq("AVG"))).df)
     )
   }
 
@@ -470,6 +486,11 @@ object SparkEntry {
         s"SELECT ws AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, event_type, value FROM events) GROUP BY 1, 2",
       "q_json_extract" ->
         "SELECT event_id, event_type, props, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
+      "q_llm_pipeline" ->
+        (s"WITH q AS (SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, LEAST($ntok / 20.0, 1.0) * (1.0 - $npunct / $nchars) AS quality FROM documents), " +
+          "f AS (SELECT * FROM q WHERE quality > 0.5 AND n_tokens >= 20), " +
+          raw"dd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM f) WHERE rn = 1) " +
+          s"SELECT lang, COUNT(doc_id) AS doc_id_count, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_sum, AVG(n_tokens) AS n_tokens_avg, ${dsum("quality")} / COUNT(quality) AS quality_avg FROM dd GROUP BY lang"),
       "q_events_session" ->
         s"WITH e AS (SELECT user_id, $evT AS t, value FROM events), m AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM e), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(t) AS session_start, MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM s GROUP BY user_id, sid"
     )

@@ -37,6 +37,53 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("cosine_topk", df2, None)
   }
 
+  /** IVF-flat top-k: coarse-quantize the corpus into `nlist` cells around
+    * deterministic hash-seeded centroid vectors (plug a trained k-means for
+    * production); each query probes its `nprobe` nearest cells and reranks
+    * those candidates with exact cosine. Candidate volume ≈
+    * nprobe/nlist of the corpus per query — the standard recall/cost dial.
+    */
+  def ivfCosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                    nlist: Int = 16, nprobe: Int = 4): Chain = {
+    val corpus = c.df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
+      .withColumn("_nc", sqrt(Exact.dot(col("_vc"), col("_vc"))))
+      .repartition(col("neighbor_id"))
+    // deterministic seed selection: the nlist corpus vectors with the
+    // smallest id-hashes act as coarse centroids
+    val centroids = corpus
+      .select(col("neighbor_id").as("_cid"), col("_vc").as("_cv"), col("_nc").as("_cn"))
+      .orderBy(xxhash64(col("_cid")).asc, col("_cid").asc).limit(nlist)
+    val simToCentroid = Exact.dot(col("_vc"), col("_cv")) / col("_nc") / col("_cn")
+    // assign every corpus vector to its best cell (ties → smallest cid)
+    val assignW = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("_cs").desc, col("_cid").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"),
+        simToCentroid.as("_cs"))
+      .withColumn("_rn", row_number().over(assignW)).where(col("_rn") === 1)
+      .select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"))
+    // each query probes its nprobe closest cells
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+    val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_qs").desc, col("_cid").asc)
+    val probes = qs.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"), qSim.as("_qs"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"))
+    // exact rerank within probed cells
+    val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
+    val scored = assigned.join(broadcast(probes), Seq("_cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.next("cosine_topk_ivf",
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
+  }
+
   /** LSH top-k: 16 sign-random-projection bits (deterministic ±1 planes
     * from xxhash64), candidates = corpus vectors sharing ≥1 of four 4-bit
     * bands with the query, exact cosine rerank within candidates.
