@@ -15,6 +15,18 @@ import org.apache.spark.sql.types._
   * read via `nanosAsLong`); [[tsFromNanos]] converts to a timezone-naive
   * timestamp column.
   */
+/** Per-user open-session state for [[EventStreams.statefulSessions]]
+  * (value sum kept in fixed-point millis — deterministic accumulation).
+  */
+case class SessionState(startMs: Long, lastMs: Long, n: Long, sumMilli: Long)
+
+/** Emitted session summary (end = last event + gap, matching
+  * session_window semantics).
+  */
+case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                          session_end: java.sql.Timestamp, n_events: Long,
+                          value_sum: Double)
+
 object EventStreams {
 
   /** Nanosecond epoch → TIMESTAMP_NTZ. Integer `DIV` — a double round-trip
@@ -94,4 +106,62 @@ object EventStreams {
       .withWatermark("_ts", watermark)
       .groupBy((session_window(col("_ts"), gap) +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
+
+  /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
+    * the hook for state logic `session_window` can't express (per-session
+    * invariants, early emission rules, enrichment). Keeps one
+    * [[SessionState]] per user; an event-time timeout (last event + gap,
+    * fired once the watermark passes it) closes the session and emits its
+    * summary. State is bounded by the watermark — late events beyond it are
+    * dropped by the pre-filter, and closed state is removed.
+    */
+  def statefulSessions(events: DataFrame, gapMinutes: Int,
+                       watermark: String): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val typed = events
+      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withWatermark("_ts", watermark)
+      .select(col("user_id"), col("_ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(uid,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs + gapMs),
+              s.n, s.sumMilli / 1000.0))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              // fixed-point millis accumulation: deterministic across runs
+              val vMilli = math.round(v * 1000.0)
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.sumMilli + vMilli))
+                case Some(s) =>
+                  closed += SessionSummary(uid,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs + gapMs),
+                    s.n, s.sumMilli / 1000.0)
+                  cur = Some(SessionState(t, t, 1, vMilli))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, vMilli))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -62,6 +62,38 @@ class StreamingSpec extends AnyFunSuite {
       s"late event must be dropped from the finalized window, got $firstWindow")
   }
 
+  test("flatMapGroupsWithState sessions close on timeout and match session semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L
+    def evt(id: Long, user: Long, min: Long, v: Double): Evt =
+      Evt(id, base + min * 60L * 1000000000L, user, "click", v, "{}")
+    val ms = MemoryStream[Evt]
+    val q = graft.streaming.EventStreams
+      .statefulSessions(ms.toDF(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("state_sink").outputMode("append").start()
+    // user 1: two sessions (10,20) and (120); user 2: one session (15)
+    ms.addData(evt(1, 1, 10, 1.5), evt(2, 1, 20, 2.25), evt(3, 2, 15, 4.0))
+    q.processAllAvailable()
+    ms.addData(evt(4, 1, 120, 8.0)) // gap > 30min → closes user 1's first session
+    q.processAllAvailable()
+    ms.addData(evt(5, 3, 600, 0.5)) // watermark → 600min: times out everything open
+    q.processAllAvailable()
+    ms.addData(evt(6, 3, 1200, 0.5)) // one more advance to flush timeouts
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, CAST(session_start AS STRING), CAST(session_end AS STRING), n_events, value_sum FROM state_sink")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.contains("[1,2024-01-01 00:10:00,2024-01-01 00:50:00,2,3.75]"),
+      s"user1 first session missing in $got")
+    assert(got.contains("[2,2024-01-01 00:15:00,2024-01-01 00:45:00,1,4.0]"),
+      s"user2 session missing in $got")
+    assert(got.exists(_.startsWith("[1,2024-01-01 02:00:00")),
+      s"user1 second session missing in $got")
+  }
+
   test("batch session windows: gap semantics and end = last + gap") {
     import org.apache.spark.sql.functions._
     val sessions = EventStreams.sessionAgg(
