@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import TestSpark._
+
+/** Parameter paths the oracle queries don't reach: alternate rank types,
+  * reverse cumulative direction, median/mode/constant imputation, ntile
+  * binning, null-aware one-hot, negative date offsets, non-distinct string
+  * aggregation, distinct conditional counts, outer simple joins.
+  */
+class ParamCoverageSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("rank: ntile buckets + qualify filter") {
+    val c = table("orders").rank(
+      Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
+      rankType = "ntile", ntileBuckets = 4, alias = "quartile",
+      qualifyFilter = Some("quartile = 1"))
+    val n = table("orders").df.count()
+    assert(c.df.count() == (n + 3) / 4 || c.df.count() == n / 4)
+    assert(c.df.agg(max("quartile")).collect()(0).getInt(0) == 1)
+  }
+
+  test("cumulative_agg reverse direction") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+    val c = Chain(spark, "t", df).cumulativeAgg(
+      Seq("v" -> Seq("SUM")), Seq("k" -> "ASC"), direction = "reverse")
+    val got = c.df.orderBy("k").collect().map(_.getAs[Double]("sum_v_cumulative")).toSeq
+    assert(got == Seq(60.0, 50.0, 30.0))
+  }
+
+  test("impute: median, mode, and constant fills") {
+    val df = Seq(
+      (1, Some(1.0), Some("a")), (2, None, None), (3, Some(3.0), Some("a")),
+      (4, Some(10.0), Some("b")), (5, None, Some("b"))).toDF("k", "x", "s")
+    val c = Chain(spark, "t", df).impute(Seq("x" -> "median", "s" -> "mode"))
+    val rowsById = c.df.collect().map(r => r.getInt(0) -> r).toMap
+    assert(rowsById(2).getDouble(1) == 3.0)   // median of (1,3,10)
+    assert(rowsById(2).getString(2) == "a")   // mode tie a/b -> smallest
+    val c2 = Chain(spark, "t", df).impute(Seq("x" -> "42.5"))
+    assert(c2.df.collect().map(r => r.getInt(0) -> r).toMap.apply(2).getDouble(1) == 42.5)
+  }
+
+  test("bin: ntile variant with tiebreak") {
+    val c = table("orders").bin("ntile", 4, "o_totalprice", tiebreak = Seq("o_orderkey"))
+    val counts = c.df.groupBy("o_totalprice_bin").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts.max - counts.min <= 1) // ntile balance
+  }
+
+  test("one_hot_encode emits is_null dummy for null values") {
+    val df = Seq(Some("RED"), None, Some("BLUE")).toDF("color")
+    val c = Chain(spark, "t", df).oneHotEncode("color")
+    assert(c.df.columns.toSet.contains("color_is_null"))
+    val nullRow = c.df.where(col("color").isNull).collect()(0)
+    assert(nullRow.getAs[Int]("color_is_null") == 1)
+    assert(nullRow.getAs[Int]("color_red") == 0)
+  }
+
+  test("dateadd with negative offset uses double-underscore name") {
+    val c = table("orders").dateadd("day", "o_orderdate", -7)
+    assert(c.df.columns.contains("o_orderdate_add__7_day"))
+    val r = c.df.select(datediff(col("o_orderdate"), col("o_orderdate_add__7_day")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(7))
+  }
+
+  test("datediff week/month/year boundary semantics") {
+    val df = Seq(("2020-12-28", "2021-01-04")).toDF("a", "b")
+      .select(col("a").cast("timestamp").as("a"), col("b").cast("timestamp").as("b"))
+    def diff(part: String) = Chain(spark, "t", df).datediffCols(part, "a", "b")
+      .df.collect()(0).getAs[Number](s"datediff_a_b").intValue()
+    assert(diff("day") == 7)
+    assert(diff("week") == 1)   // crosses one Monday boundary
+    assert(diff("month") == 1)  // Dec -> Jan
+    assert(diff("year") == 1)
+  }
+
+  test("aggregate_string non-distinct keeps duplicates, sorted") {
+    val df = Seq(("g", "b"), ("g", "a"), ("g", "b")).toDF("k", "v")
+    val c = Chain(spark, "t", df).aggregateString(
+      Seq("v"), ",", Seq("k"), distinct = false, ordered = true)
+    assert(c.df.collect()(0).getAs[String]("v_agg") == "a,b,b")
+  }
+
+  test("conditional_agg distinct count") {
+    val c = table("lineitem").conditionalAgg(
+      Nil, Seq("l_returnflag = 'R'"), "l_orderkey", "COUNT", distinct = true,
+      alias = "r_orders")
+    val direct = table("lineitem").df.where("l_returnflag = 'R'")
+      .select("l_orderkey").distinct().count()
+    assert(c.df.collect()(0).getAs[Long]("r_orders") == direct)
+  }
+
+  test("simple_join left keeps unmatched left rows") {
+    val l = Chain(spark, "l", Seq((1, "x"), (2, "y")).toDF("k", "lv"))
+    val r = Chain(spark, "r", Seq((1, "z")).toDF("k", "rv"))
+    val j = l.simpleJoin(r, "left", Seq("k"))
+    assert(j.df.count() == 2)
+    assert(j.df.where("k = 2").collect()(0).isNullAt(2))
+  }
+
+  test("except/intersect set semantics on duplicates") {
+    val a = Chain(spark, "a", Seq(1, 1, 2, 3).toDF("v"))
+    val b = Chain(spark, "b", Seq(2).toDF("v"))
+    assert(a.exceptRows(b).df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(a.intersectRows(b).df.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("moving_avg over multiple window sizes names each") {
+    val c = table("orders").movingAvg(Seq("o_totalprice"), Seq(2, 4),
+      Seq("o_orderkey" -> "ASC"))
+    assert(c.df.columns.contains("mean_o_totalprice_2"))
+    assert(c.df.columns.contains("mean_o_totalprice_4"))
+  }
+
+  test("datepart dow/doy/quarter variants") {
+    val df = Seq("2024-02-14").toDF("d").select(col("d").cast("timestamp").as("d"))
+    val c = Chain(spark, "t", df).datepart(
+      Seq("d" -> "dayofweek", "d" -> "dayofyear", "d" -> "quarter"))
+    val r = c.df.collect()(0)
+    assert(r.getAs[Int]("d_dayofweek") == 4) // Wednesday (1=Sunday)
+    assert(r.getAs[Int]("d_dayofyear") == 45)
+    assert(r.getAs[Int]("d_quarter") == 1)
+  }
+}
