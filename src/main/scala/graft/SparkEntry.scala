@@ -262,6 +262,9 @@ object SparkEntry {
       "q_text_langid" -> ((s, d) => t(s, d, "documents").langId("text").df),
       "q_text_fingerprint" -> ((s, d) =>
         t(s, d, "documents").fingerprintCol("text").df),
+      "q_text_rolling_fp" -> ((s, d) =>
+        t(s, d, "documents").rollingFingerprintCol("text", 32)
+          .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
       "q_dedup_exact" -> ((s, d) =>
         t(s, d, "documents")
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))

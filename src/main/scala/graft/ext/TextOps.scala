@@ -94,6 +94,20 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("fingerprint",
       c.df.withColumn(Naming.cleanse(s"${textCol}_fp"), fingerprint(col(textCol))), None)
 
+  /** rolling_fingerprint(text_col, k): Karp–Rabin min-window content
+    * fingerprint → `<col>_rfp` (codegen kernel,
+    * [[graft.functions.RollingFingerprint]]). A bottom-1 sketch of the
+    * k-gram set: edits collide with probability ≈ shared-k-gram fraction
+    * (unlike a whole-document digest, which any edit breaks); combine
+    * several k values for higher-confidence grouping.
+    */
+  def rollingFingerprintCol(textCol: String, k: Int = 32): Chain = {
+    val normalized = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    c.next("rolling_fingerprint",
+      c.df.withColumn(Naming.cleanse(s"${textCol}_rfp"),
+        graft.functions.RollingFingerprint(normalized, k)), None)
+  }
+
   /** dedup_exact(id_col, text_col): keep one row per normalized-text
     * fingerprint — the smallest id wins. One shuffle on the fingerprint.
     */

@@ -93,6 +93,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "de"))
   }
 
+  test("rolling fingerprint: edit-tolerant, matches interpreted reference") {
+    import spark.implicits._
+    val long1 = ("zqx7 " * 10) + ("common words here " * 20)
+    val long2 = ("common words here " * 20) + (" vbn9" * 10) // same core, edits at ends
+    val other = "entirely different content with other words " * 10
+    val docs = Seq((1L, long1), (2L, long2), (3L, other)).toDF("doc_id", "text")
+    val got = graft.core.Chain(spark, "d", docs)
+      .rollingFingerprintCol("text", 32)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Long]("text_rfp")).toMap
+    // normalization-invariance: whitespace/case variants collide
+    val variant = Seq((9L, long1.toUpperCase.replace(" ", "   "))).toDF("doc_id", "text")
+    val vfp = graft.core.Chain(spark, "d", variant)
+      .rollingFingerprintCol("text", 32).df.collect()(0).getAs[Long]("text_rfp")
+    assert(vfp == got(1L))
+    // distinct content separates
+    assert(got(1L) != got(3L) && got(2L) != got(3L))
+    // deterministic across partitionings
+    val again = graft.core.Chain(spark, "d", docs.repartition(3))
+      .rollingFingerprintCol("text", 32)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Long]("text_rfp")).toMap
+    assert(again == got)
+  }
+
   test("multimodal decode adds deterministic metadata per row") {
     import spark.implicits._
     val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
