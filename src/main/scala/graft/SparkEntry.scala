@@ -62,10 +62,16 @@ object SparkEntry {
         .dropColumns(includeCols = Seq("l_orderkey", "l_linenumber", "l_quantity")).df),
     "q_rename" -> ((s, d) =>
       t(s, d, "orders").rename(Seq("o_orderdate" -> "order_date")).df),
+    // the decimal(12,2) cast (HALF_UP rounding) is round-tripped back to
+    // double: a DECIMAL in the final schema reaches the driver's compare as
+    // python Decimal('904.00') from Spark parquet but float 904.0 from
+    // DuckDB, hash-mismatching on representation despite equal values
     "q_cast" -> ((s, d) =>
       t(s, d, "lineitem")
         .dropColumns(includeCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
-        .castCols(Seq("l_linenumber" -> "bigint", "l_extendedprice" -> "decimal(12,2)")).df),
+        .castCols(Seq("l_linenumber" -> "bigint", "l_quantity" -> "int",
+          "l_extendedprice" -> "decimal(12,2)"))
+        .castCols(Seq("l_extendedprice" -> "double")).df),
     "q_concat" -> ((s, d) =>
       t(s, d, "customer").concatCols(Seq("c_name", "'-'", "c_mktsegment"), "c_label").df),
     "q_substring" -> ((s, d) =>
@@ -269,8 +275,13 @@ object SparkEntry {
         t(s, d, "documents")
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
           .dedupExact("doc_id", "text").df),
+      // prefix-filter (PPJoin) strategy at t=0.9 …
       "q_dedup_ngram" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9).df),
+      // … and the inverted-index strategy at t=0.5 (trigrams keep the
+      // posting lists short), each verified against its own-threshold oracle
+      "q_dedup_ngram_ii" -> ((s, d) =>
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5).df),
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
@@ -337,7 +348,7 @@ object SparkEntry {
     "q_rename" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate AS order_date, o_orderpriority FROM orders",
     "q_cast" ->
-      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice FROM lineitem",
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(l_quantity AS INTEGER) AS l_quantity, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS l_extendedprice FROM lineitem",
     "q_concat" ->
       "SELECT *, CAST(c_name AS VARCHAR) || '-' || CAST(c_mktsegment AS VARCHAR) AS c_label FROM customer",
     "q_substring" ->
@@ -460,8 +471,10 @@ object SparkEntry {
     // exact-decimal dot products / norms over unnested embedding pairs
     val dotSql = "CAST(SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
     val normCte = "n AS (SELECT vec_id, SQRT(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"
-    val bigrams =
-      raw"list_distinct(CASE WHEN len($toks) < 2 THEN [array_to_string($toks, ' ')] ELSE list_transform(range(1, len($toks)), i -> array_to_string(list_slice($toks, i, i + 1), ' ')) END)"
+    def ngrams(n: Int) =
+      raw"list_distinct(CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')] ELSE list_transform(range(1, len($toks) - ${n - 2}), i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)"
+    def ngramJaccardSql(n: Int, threshold: Double) =
+      s"WITH w AS (SELECT doc_id, ${ngrams(n)} AS ws FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard FROM w a JOIN w b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= $threshold"
     Map(
       "q_text_tokens" ->
         s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${raw"\s"}]')) AS INTEGER) AS n_bpeish FROM documents",
@@ -473,8 +486,8 @@ object SparkEntry {
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
       "q_dedup_exact" ->
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
-      "q_dedup_ngram" ->
-        s"WITH w AS (SELECT doc_id, $bigrams AS ws FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard FROM w a JOIN w b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.5",
+      "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
+      "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
       "q_dedup_embedding" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
       "q_sim_topk" ->
@@ -495,7 +508,7 @@ object SparkEntry {
           raw"dd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM f) WHERE rn = 1) " +
           s"SELECT lang, COUNT(doc_id) AS doc_id_count, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_sum, AVG(n_tokens) AS n_tokens_avg, ${dsum("quality")} / COUNT(quality) AS quality_avg FROM dd GROUP BY lang"),
       "q_events_session" ->
-        s"WITH e AS (SELECT user_id, $evT AS t, value FROM events), m AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM e), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(t) AS session_start, MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM s GROUP BY user_id, sid"
+        s"WITH e AS (SELECT user_id, $evT AS t, value FROM events), m AS (SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM e), s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(t) AS session_start, MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM s GROUP BY user_id, sid"
     )
   }
 

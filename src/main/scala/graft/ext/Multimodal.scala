@@ -20,10 +20,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Deterministic stand-in for a real media decoder. */
+  /** Deterministic stand-in for a real media decoder. The format branch
+    * keys off the first CHARACTER's Unicode code point (not the first UTF-8
+    * byte) so it agrees with character-level SQL (`ascii(substr(text,1,1))`)
+    * even when the payload starts with a multi-byte character (zh docs).
+    */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, String, Int) = {
     val len = bytes.length
-    val head = if (len > 0) bytes(0) & 0xff else 0
+    val head =
+      if (len == 0) 0
+      else new String(bytes, 0, math.min(len, 4),
+        java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
     val width = 64 + (len % 576)          // plausible 64..639
     val height = 64 + ((len * 7) % 416)   // plausible 64..479
     val format = if (head % 2 == 0) "png" else "jpeg"

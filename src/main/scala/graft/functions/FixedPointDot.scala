@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   *
   * Headroom: |x·y| ≤ ~9e5 per element before int64 overflow at 4096 dims —
   * far beyond unit-normalized embeddings.
+  *
+  * Mismatched array lengths throw: a truncated dot product over unequal
+  * embedding dimensions is silently wrong, never useful.
   */
 case class FixedPointDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,7 +55,10 @@ case class FixedPointDot(left: Expression, right: Expression)
       case LongType => arr.getLong(i).toDouble
       case other => throw new IllegalArgumentException(s"unsupported element type $other")
     }
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = aa.numElements()
+    if (bb.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ($n vs ${bb.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -78,7 +84,11 @@ case class FixedPointDot(left: Expression, right: Expression)
       val p = ctx.freshName("p")
       s"""
          |long $acc = 0L;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "fixed_point_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  double $p = (${getter(elemType(left), a, i)}) * (${getter(elemType(right), b, i)}) * 1.0E12;
          |  $acc += (long) ($p >= 0.0 ? java.lang.Math.floor($p + 0.5) : java.lang.Math.ceil($p - 0.5));

@@ -114,15 +114,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
   /** approx_agg(group_by, column): approximate distinct count (HLL++) and
     * approximate percentiles — the sketch aggregates a 100 TB profile pass
     * wants (bounded memory, one pass, mergeable). Engine-specific sketch
-    * values → no cross-engine SQL face.
+    * values → no cross-engine SQL face. One scalar column per percentile
+    * (an array-typed result column defeats generic row-sorting consumers).
     */
   def approxAgg(groupBy: Seq[String], column: String,
                 percentiles: Seq[Double] = Seq(0.5, 0.95)): Chain = {
+    val pctAggs = percentiles.map { p =>
+      val tag = (p * 100).round.toInt
+      percentile_approx(col(column), lit(p), lit(10000))
+        .as(Naming.cleanse(s"${column}_approx_p$tag"))
+    }
     val aggs = Seq(
-      approx_count_distinct(col(column)).as(Naming.cleanse(s"${column}_approx_distinct")),
-      percentile_approx(col(column), array(percentiles.map(lit): _*), lit(10000))
-        .as(Naming.cleanse(s"${column}_approx_percentiles")),
-      count(col(column)).as(Naming.cleanse(s"${column}_count")))
+      approx_count_distinct(col(column)).as(Naming.cleanse(s"${column}_approx_distinct"))) ++
+      pctAggs :+
+      count(col(column)).as(Naming.cleanse(s"${column}_count"))
     val df2 =
       if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
       else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)

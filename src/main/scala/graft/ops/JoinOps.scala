@@ -86,13 +86,18 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       Some(s"SELECT * FROM {{source}} ${joins.mkString(" ")}"))
   }
 
-  /** union(dataset2, keep_dupes): UNION ALL / UNION (set) by column name. */
+  /** union(dataset2, keep_dupes): UNION ALL / UNION (set) by column name.
+    * The SQL face lists the right branch's columns explicitly in the left
+    * branch's order — SQL UNION is positional, the DataFrame union is
+    * by-name, and the two must agree even when column orders differ.
+    */
   def union(other: Chain, keepDupes: Boolean = true): Chain = {
     val u = c.df.unionByName(other.df)
     val df2 = if (keepDupes) u else u.distinct()
+    val rightCols = c.df.columns.mkString(", ")
     c.next("union", df2, Some(
       s"SELECT * FROM {{source}} ${if (keepDupes) "UNION ALL" else "UNION"} " +
-        s"SELECT * FROM ${rightSource(other)}"))
+        s"SELECT $rightCols FROM ${rightSource(other)}"))
   }
 
   /** multi_union(union_tables, union_columns): UNION ALL of N tables on a

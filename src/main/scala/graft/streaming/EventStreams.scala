@@ -145,7 +145,10 @@ object EventStreams {
               // fixed-point millis accumulation: deterministic across runs
               val vMilli = math.round(v * 1000.0)
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
+                // strict <: session_window is end-exclusive ([start, last+gap)),
+                // so an event arriving exactly gap after the last one opens a
+                // NEW session — mirror that here
+                case Some(s) if t - s.lastMs < gapMs =>
                   cur = Some(SessionState(s.startMs, t, s.n + 1, s.sumMilli + vMilli))
                 case Some(s) =>
                   closed += SessionSummary(uid,
