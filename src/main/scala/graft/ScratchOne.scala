@@ -1,21 +1,36 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: run a single SparkEntry query and dump parquet (delete after use). */
+/** Dev utility: run a single SparkEntry query and dump parquet — the ad-hoc
+  * driving entry point documented in `.claude/skills/verify/SKILL.md`.
+  * Not part of the library surface.
+  */
 object ScratchOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
+    if (args.length != 3) {
+      System.err.println("usage: graft.ScratchOne <query_name> <sf_dir> <out_dir>")
+      System.err.println(s"  query_name one of: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val Seq(name, sfDir, outDir) = args.toSeq
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/$name")
+    println(f"[scratch] $name took ${(System.nanoTime() - t0) / 1e9}%.3f s")
     spark.stop()
   }
 }

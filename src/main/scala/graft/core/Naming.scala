@@ -54,6 +54,15 @@ object Naming {
     */
   def stepAlias(i: Int): String = f"graft_$i%d"
 
+  /** Quote an identifier for a rendered SQL fragment when it isn't a plain
+    * `[A-Za-z_][A-Za-z0-9_]*` word (reserved-ish or odd characters from a
+    * source schema); plain names pass through unquoted so fragments stay
+    * readable and Spark-SQL-parseable.
+    */
+  def quoteId(n: String): String =
+    if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
+    else "\"" + n.replace("\"", "\"\"") + "\""
+
   /** SQL literal for a driver-computed statistic embedded into a rendered
     * fragment (the reference's compile-time `run_query` pattern bakes
     * values into the template the same way).

@@ -26,6 +26,15 @@ private[graft] object AggFns {
     }
   }
 
+  /** Column tag for a percentile: the full decimal representation with the
+    * point as an underscore, so distinct percentiles never collide
+    * (0.95 -> p95, 0.954 -> p95_4, 0.125 -> p12_5).
+    */
+  def percentileTag(p: Double): String = {
+    val s = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_").replace("-", "neg")
+  }
+
   /** DuckDB/ANSI-parity SQL text for a resolved aggregate (deterministic
     * float form spelled out).
     */
@@ -119,10 +128,12 @@ final class AggOps(private val c: Chain) extends AnyVal {
     */
   def approxAgg(groupBy: Seq[String], column: String,
                 percentiles: Seq[Double] = Seq(0.5, 0.95)): Chain = {
-    val pctAggs = percentiles.map { p =>
-      val tag = (p * 100).round.toInt
+    val tags = percentiles.map(AggFns.percentileTag)
+    require(tags.distinct.length == tags.length,
+      s"percentile tags collide: $percentiles -> $tags")
+    val pctAggs = percentiles.zip(tags).map { case (p, tag) =>
       percentile_approx(col(column), lit(p), lit(10000))
-        .as(Naming.cleanse(s"${column}_approx_p$tag"))
+        .as(Naming.cleanse(s"${column}_approx_$tag"))
     }
     val aggs = Seq(
       approx_count_distinct(col(column)).as(Naming.cleanse(s"${column}_approx_distinct"))) ++

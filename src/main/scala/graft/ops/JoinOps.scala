@@ -94,7 +94,7 @@ final class JoinOps(private val c: Chain) extends AnyVal {
   def union(other: Chain, keepDupes: Boolean = true): Chain = {
     val u = c.df.unionByName(other.df)
     val df2 = if (keepDupes) u else u.distinct()
-    val rightCols = c.df.columns.mkString(", ")
+    val rightCols = c.df.columns.map(graft.core.Naming.quoteId).mkString(", ")
     c.next("union", df2, Some(
       s"SELECT * FROM {{source}} ${if (keepDupes) "UNION ALL" else "UNION"} " +
         s"SELECT $rightCols FROM ${rightSource(other)}"))
@@ -107,9 +107,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val cols = if (unionColumns.nonEmpty) unionColumns else c.df.columns.toSeq
     val sel: DataFrame => DataFrame = _.select(cols.map(col): _*)
     val df2 = others.map(o => sel(o.df)).foldLeft(sel(c.df))(_ unionByName _)
+    val colSql = cols.map(graft.core.Naming.quoteId).mkString(", ")
     c.next("multi_union", df2, Some(
-      (s"SELECT ${cols.mkString(", ")} FROM {{source}}" +:
-        others.map(o => s"SELECT ${cols.mkString(", ")} FROM ${rightSource(o)}"))
+      (s"SELECT $colSql FROM {{source}}" +:
+        others.map(o => s"SELECT $colSql FROM ${rightSource(o)}"))
         .mkString(" UNION ALL ")))
   }
 
