@@ -23,6 +23,7 @@ object ScratchOne {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,7 +31,11 @@ object ScratchOne {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/$name")
-    println(f"[scratch] $name took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val t1 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    val t2 = System.nanoTime()
+    println(f"[scratch] $name cold ${(t1 - t0) / 1e9}%.3f s, warm ${(t2 - t1) / 1e9}%.3f s")
     spark.stop()
   }
 }

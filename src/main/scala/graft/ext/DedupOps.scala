@@ -30,11 +30,11 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       estThreshold: Double = 0.8,
       maxBucket: Int = 1000): Chain = {
     val rows = numHashes / bands
-    val sh = shingles(col(textCol), shingleWords)
-    // signature via the native codegen MinHashSignature kernel (one pass,
-    // two hashes per shingle); the repartition is a materialization barrier
-    // so neither the band projection nor either bucket-join side re-derives
-    // it (they share a ReusedExchange)
+    // tokens → hashed shingles → signature, all in native codegen kernels
+    // (one pass, two hash mixes per shingle); the repartition is a
+    // materialization barrier so neither the band projection nor either
+    // bucket-join side re-derives it (they share a ReusedExchange)
+    val sh = graft.functions.ShingleHashes(TextOps.tokens(col(textCol)), shingleWords)
     val sigs = c.df.select(col(idCol).as("_id"),
       graft.functions.Sketches.minhashSignature(sh, numHashes).as("_mh"))
       .repartition(col("_id"))
@@ -51,7 +51,7 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     val r = sized.select(col("_band"), col("_bh"), col("_id").as("id_b"), col("_mh").as("_mhb"))
     val pairs = l.join(r, Seq("_band", "_bh")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("_mha"), col("_mhb"), (x, y) => x === y), b => b))
+        (graft.functions.PositionAgreeCount(col("_mha"), col("_mhb"))
           .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= estThreshold)
@@ -110,29 +110,33 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.9): Chain = {
+    // tokens → sorted distinct 64-bit shingle hashes in one codegen pass
+    // (graft.functions.ShingleHashes): every downstream shuffle, sort and
+    // merge-compare is over fixed-width longs instead of shingle strings.
+    // The repartition is a materialization barrier so the kernel runs once
+    // per document, not re-derived on each join side.
+    val side = c.df.select(col(idCol).as("_id"),
+        graft.functions.ShingleHashes(TextOps.tokens(col(textCol)), n).as("_sh"))
+      .withColumn("_sz", size(col("_sh")))
+      .repartition(col("_id"))
     val pairs =
       if (threshold >= 0.7) {
         // PPJoin's essential trick: order the shingle universe by ASCENDING
         // document frequency so every prefix holds the RAREST shingles —
         // candidate pairs must share a rare shingle, which collapses the
-        // prefix-join volume. The (df, shingle) order is encoded as a
-        // composite zero-padded string key so the sorted-merge kernel's
-        // lexicographic comparison realizes exactly that order.
-        val ex0 = c.df.select(col(idCol).as("_id"),
-          explode(array_distinct(shingles(col(textCol), n))).as("_s"))
-          .repartition(col("_id")) // barrier: shingle HOF evaluated once
-        val dfreq = ex0.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-        val keyed = ex0.join(dfreq, Seq("_s"))
-          .select(col("_id"),
-            concat(lpad(col("_df").cast("string"), 10, "0"), lit("|"), col("_s")).as("_ks"))
-        val side = keyed.groupBy(col("_id"))
-          .agg(sort_array(collect_list(col("_ks"))).as("_sh"))
-          .withColumn("_sz", size(col("_sh")))
-        val prefixLen = (col("_sz") - ceil(lit(threshold) * col("_sz")).cast("int") + 1)
-        val ex = side.select(col("_id"),
-          explode(slice(col("_sh"), lit(1), prefixLen)).as("_ks"))
-        val candidates = ex.select(col("_id").as("id_a"), col("_ks"))
-          .join(ex.select(col("_id").as("id_b"), col("_ks")), Seq("_ks"))
+        // prefix-join volume. Each document's prefix (its sz−⌈t·sz⌉+1
+        // rarest shingles) falls out of one window over (df, hash); the
+        // verification merge uses the plain hash-sorted arrays (hash
+        // equality implies identical df, so any consistent order works).
+        val ex0 = side.select(col("_id"), col("_sz"), explode(col("_sh")).as("_h"))
+        val dfreq = ex0.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_id")).orderBy(col("_df"), col("_h"))
+        val ex = ex0.join(dfreq, Seq("_h"))
+          .withColumn("_rn", row_number().over(byRarity))
+          .where(col("_rn") <= col("_sz") - ceil(lit(threshold) * col("_sz")).cast("int") + 1)
+        val candidates = ex.select(col("_id").as("id_a"), col("_h"))
+          .join(ex.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
           .where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
         val withSets = candidates
@@ -146,20 +150,15 @@ final class DedupOps(private val c: Chain) extends AnyVal {
           .withColumn("_inter",
             graft.functions.SortedArrayIntersectCount(col("_sha"), col("_shb")))
       } else {
-        val sh = array_sort(array_distinct(shingles(col(textCol), n)))
-        // repartition = materialization barrier: shingle arrays computed
-        // once per document, not re-derived on each join side
-        val side = c.df.select(col(idCol).as("_id"), sh.as("_sh"))
-          .withColumn("_sz", size(col("_sh")))
-          .repartition(col("_id"))
-        val ex = side.select(col("_id"), explode(col("_sh")).as("_s"))
-        val common = ex.select(col("_id").as("id_a"), col("_s"))
-          .join(ex.select(col("_id").as("id_b"), col("_s")), Seq("_s"))
+        // inverted-index count join; set sizes ride along the exploded rows
+        // and through the pair groupBy (functionally dependent on the ids),
+        // so no join-back against the document sides is needed
+        val ex = side.select(col("_id"), col("_sz"), explode(col("_sh")).as("_h"))
+        ex.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_h"))
+          .join(ex.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_h")), Seq("_h"))
           .where(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).cast("int").as("_inter"))
-        common
-          .join(side.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
-          .join(side.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
+          .agg(count(lit(1)).cast("int").as("_inter"))
       }
     val scored = pairs.select(col("id_a"), col("id_b"),
       (col("_inter").cast("double") /

@@ -85,16 +85,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** MinHash signature: `numHashes` permutation-min values over the shingle
   * set, from the standard two-hash affine family g_k = h1 + k·h2 (one pass,
-  * two xxhash64 evaluations per shingle regardless of signature width).
+  * two hash evaluations per shingle regardless of signature width).
   * Estimated Jaccard of two documents = fraction of agreeing positions.
+  * Accepts `array<string>` shingles (hashed here) or `array<bigint>`
+  * pre-hashed shingles from [[ShingleHashes]] (the fast path — h1/h2 derive
+  * from the 64-bit shingle hash with two xxhash64-long mixes).
   */
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature requires array<string>, got ${other.simpleString}")
+      s"minhash_signature requires array<string> or array<bigint>, got ${other.simpleString}")
   }
+
+  private def isLongElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -102,12 +108,21 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val longElems = isLongElems
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 0L)
-      val h2 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 1L)
+      var h1 = 0L
+      var h2 = 0L
+      if (longElems) {
+        val x = arr.getLong(i)
+        h1 = XXH64.hashLong(x, 0L)
+        h2 = XXH64.hashLong(x, 1L)
+      } else {
+        val t = arr.getUTF8String(i)
+        h1 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 0L)
+        h2 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 1L)
+      }
       var k = 0
       while (k < numHashes) {
         val g = h1 + k * h2
@@ -126,19 +141,30 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
       val k = ctx.freshName("k")
       val n = ctx.freshName("n")
       val t = ctx.freshName("t")
+      val x = ctx.freshName("x")
       val h1 = ctx.freshName("h1")
       val h2 = ctx.freshName("h2")
       val g = ctx.freshName("g")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val hashes = if (isLongElems) {
+        s"""
+           |  long $x = $a.getLong($i);
+           |  long $h1 = $xxh.hashLong($x, 0L);
+           |  long $h2 = $xxh.hashLong($x, 1L);
+         """.stripMargin
+      } else {
+        s"""
+           |  UTF8String $t = $a.getUTF8String($i);
+           |  long $h1 = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 0L);
+           |  long $h2 = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 1L);
+         """.stripMargin
+      }
       s"""
          |long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  UTF8String $t = $a.getUTF8String($i);
-         |  long $h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 0L);
-         |  long $h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 1L);
+         |$hashes
          |  for (int $k = 0; $k < $numHashes; $k++) {
          |    long $g = $h1 + $k * $h2;
          |    if ($g < $mins[$k]) $mins[$k] = $g;
