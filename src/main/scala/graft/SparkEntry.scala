@@ -252,7 +252,37 @@ object SparkEntry {
     "q_sample" -> ((s, d) =>
       t(s, d, "lineitem").sampleRows(0.1).df),
     "q_approx_agg" -> ((s, d) =>
-      t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df)
+      t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df),
+
+    // ---- scale-path joins / sampling beyond the reference surface:
+    // as-of, range and skew-salted joins, deterministic hash sampling,
+    // QUALIFY-style top-k per group
+    "q_asof_join" -> ((s, d) => {
+      val fin = t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))
+        .aggregate(Seq("o_custkey", "o_orderdate"), Seq("o_totalprice" -> Seq("MAX")))
+      t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate").df
+    }),
+    "q_range_join" -> ((s, d) => {
+      val iv = t(s, d, "orders")
+        .filterRows(Seq("o_orderdate >= '1995-01-01'", "o_orderdate < '1996-01-01'"))
+        .datetrunc(Seq("o_orderdate" -> "month"))
+        .aggregate(Seq("o_orderdate_month"), Seq("o_orderkey" -> Seq("COUNT")))
+        .dateadd("day", "o_orderdate_month", 10)
+      t(s, d, "lineitem").rangeJoin(iv, "l_shipdate",
+        "o_orderdate_month", "o_orderdate_month_add_10_day",
+        bucketSeconds = 10L * 24 * 3600).df
+    }),
+    "q_join_salted" -> ((s, d) =>
+      t(s, d, "lineitem").joinSalted(t(s, d, "orders"), "inner",
+        Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 8).df),
+    "q_sample_hash" -> ((s, d) =>
+      t(s, d, "lineitem").sampleHash(0.1,
+        Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
+    "q_rank_qualify" -> ((s, d) =>
+      t(s, d, "orders").rank(
+        Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
+        partitionBy = Seq("o_orderpriority"), rankType = "row_number",
+        alias = "rn", qualifyFilter = Some("rn <= 3")).df)
   )
 
   /** LLM-data-pipeline extension queries (SURVEY §2.4 / north star):
@@ -271,6 +301,8 @@ object SparkEntry {
       "q_text_rolling_fp" -> ((s, d) =>
         t(s, d, "documents").rollingFingerprintCol("text", 32)
           .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
+      "q_tfidf" -> ((s, d) => t(s, d, "documents").tfidf("doc_id", "text").df),
+      "q_text_scrub" -> ((s, d) => t(s, d, "documents").scrubText("text").df),
       "q_dedup_exact" -> ((s, d) =>
         t(s, d, "documents")
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
@@ -441,7 +473,27 @@ object SparkEntry {
     "q_cube" ->
       s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum, COUNT(l_orderkey) AS l_orderkey_count FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
     "q_rollup" ->
-      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "q_asof_join" ->
+      ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
+        "SELECT l.*, r.o_totalprice_max FROM orders l ASOF LEFT JOIN r " +
+        "ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate"),
+    "q_range_join" ->
+      ("WITH iv AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month, " +
+        "COUNT(o_orderkey) AS o_orderkey_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1), " +
+        "iv2 AS (SELECT *, o_orderdate_month + INTERVAL 10 DAY AS o_orderdate_month_add_10_day FROM iv) " +
+        "SELECT l.*, iv2.o_orderdate_month, iv2.o_orderkey_count, iv2.o_orderdate_month_add_10_day " +
+        "FROM lineitem l JOIN iv2 ON l.l_shipdate >= iv2.o_orderdate_month " +
+        "AND l.l_shipdate < iv2.o_orderdate_month_add_10_day"),
+    "q_join_salted" ->
+      "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    "q_sample_hash" ->
+      (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
+    "q_rank_qualify" ->
+      "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) WHERE rn <= 3"
     // q_sample (partition-layout-dependent) and q_approx_agg (engine-specific
     // sketches) get the driver's rows-only check.
   )
@@ -484,6 +536,16 @@ object SparkEntry {
         s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
       "q_text_fingerprint" ->
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
+      "q_tfidf" ->
+        (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
+          "dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term), " +
+          "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents) " +
+          "SELECT tf.doc_id, tf.term, tf.tf, dft.df_t, " +
+          "CAST(tf.tf * n.n AS DOUBLE) / dft.df_t AS tfidf " +
+          "FROM tf JOIN dft USING (term) CROSS JOIN n"),
+      "q_text_scrub" ->
+        raw"SELECT *, regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text_clean FROM documents",
       "q_dedup_exact" ->
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),

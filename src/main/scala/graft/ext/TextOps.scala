@@ -108,6 +108,48 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         graft.functions.RollingFingerprint(normalized, k)), None)
   }
 
+  /** tfidf(id_col, text_col, idf): per-(document, term) weights — tf (term
+    * count in the doc), df_t (documents containing the term) and the score.
+    * idf = "raw" scores tf·N/df_t with exact integer-ratio arithmetic
+    * (bit-identical across engines — the oracle-checked form); idf = "log"
+    * scores tf·ln((N+1)/(df_t+1) + 1) (the classic smoothed variant;
+    * transcendental, so approximately-equal across engines only).
+    *
+    * N (distinct documents) is a declared driver-side count, the engine's
+    * compile-time-introspection pattern (reference `run_query`,
+    * rendering.py:272-291). Everything else is two hash aggregations and a
+    * term-keyed join — linear in corpus size, no driver data movement.
+    */
+  def tfidf(idCol: String, textCol: String, idf: String = "raw"): Chain = {
+    val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
+    val tok = c.df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val score = idf match {
+      case "raw" => (col("tf") * lit(n)).cast("double") / col("df_t")
+      case "log" => col("tf").cast("double") *
+        log((lit(n.toDouble) + 1.0) / (col("df_t").cast("double") + 1.0) + 1.0)
+      case other => throw new IllegalArgumentException(s"unknown idf kind $other")
+    }
+    val df2 = tf.join(dft, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"), score.as("tfidf"))
+    c.next("tfidf", df2, None)
+  }
+
+  /** scrub_text(text_col): redact URLs then emails → `<col>_clean` — the
+    * standard PII/noise pass before training-data use. Pure regexp_replace
+    * (codegen'd, linear scan).
+    */
+  def scrubText(textCol: String): Chain = {
+    val url = "https?://[^\\s]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val cleaned = regexp_replace(
+      regexp_replace(col(textCol), url, "<URL>"), email, "<EMAIL>")
+    c.next("scrub_text",
+      c.df.withColumn(Naming.cleanse(s"${textCol}_clean"), cleaned), None)
+  }
+
   /** dedup_exact(id_col, text_col): keep one row per normalized-text
     * fingerprint — the smallest id wins. One shuffle on the fingerprint.
     */

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Chain
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Joins / set ops — reference transforms #13-17 (SURVEY §2.2). All are
@@ -130,10 +131,163 @@ final class JoinOps(private val c: Chain) extends AnyVal {
   /** sample(fraction, seed): Bernoulli row sample. Sampling is
     * partition-layout-dependent (each partition draws independently), so
     * results are deterministic for a fixed layout but not portable across
-    * engines — no SQL-text face.
+    * engines — no SQL-text face. For a layout-independent sample see
+    * [[sampleHash]].
     */
   def sampleRows(fraction: Double, seed: Long = 42L): Chain =
     c.next("sample", c.df.sample(withReplacement = false, fraction, seed), None)
+
+  /** sample_hash(fraction, key_cols): deterministic content-hash sample —
+    * keeps rows whose md5 of the key columns falls below fraction·16¹⁵
+    * (hex-prefix compare). Unlike Bernoulli `sample`, the result is
+    * independent of partitioning, cluster size and engine: the property an
+    * honest 100 TB subsample wants (reproducible across reruns, and the
+    * same rows survive when the pipeline re-runs over re-partitioned
+    * input). Pure predicate — pushes down to the scan.
+    */
+  def sampleHash(fraction: Double, keyCols: Seq[String]): Chain = {
+    require(fraction > 0.0 && fraction < 1.0, s"fraction must be in (0,1), got $fraction")
+    require(keyCols.nonEmpty, "sample_hash needs at least one key column")
+    val th = JoinOps.hashThreshold(fraction)
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    val df2 = c.df.where(md5(key) < lit(th))
+    c.next("sample_hash", df2, Some(
+      s"SELECT * FROM {{source}} WHERE md5(concat_ws('|', " +
+        s"${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})) < '$th'"))
+  }
+
+  /** asof_join(right, on, left_time, right_time): for every left row, the
+    * most recent right row at or before the left timestamp within the same
+    * keys (trades/quotes semantics; right columns null when nothing
+    * precedes). Spark has no ASOF join and the naive formulation is an
+    * inequality join Catalyst can only nested-loop. This is the scalable
+    * union-window plan: tag left(1)/right(0) rows, union, and carry each
+    * right value forward with last(ignoreNulls) over (keys ORDER BY time,
+    * tag) — ONE shuffle on the keys, no pair space, no broadcast
+    * requirement. At equal timestamps the right row sorts first, so a
+    * quote AT the trade's timestamp matches.
+    *
+    * Right rows should be unique per (on, right_time) — pre-aggregate
+    * otherwise (ties are carried nondeterministically, as in warehouse
+    * ASOF implementations). Right value columns colliding with left names
+    * arrive suffixed.
+    */
+  def asofJoin(
+      other: Chain,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      suffix: String = "_asof"): Chain = {
+    val lDf = c.df
+    val rDf = other.df
+    val leftCols = lDf.columns.toSeq
+    val rightVals = rDf.columns.toSeq.filterNot(n => on.contains(n) || n == rightTime)
+    val leftRest = leftCols.filterNot(n => on.contains(n) || n == leftTime)
+    def outName(n: String): String = if (leftCols.contains(n)) s"$n$suffix" else n
+    val lTypes = lDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rTypes = rDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lSel = on.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_src")) ++
+      leftRest.map(col) ++ rightVals.map(n => lit(null).cast(rTypes(n)).as(outName(n)))
+    val rSel = on.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_src")) ++
+      leftRest.map(n => lit(null).cast(lTypes(n)).as(n)) ++
+      rightVals.map(n => col(n).as(outName(n)))
+    val u = lDf.select(lSel: _*).unionByName(rDf.select(rSel: _*))
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(u)((d, n) =>
+      d.withColumn(outName(n), last(col(outName(n)), ignoreNulls = true).over(w)))
+    val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
+      rightVals.map(n => col(outName(n)))
+    val df2 = filled.where(col("_src") === 1).select(proj: _*)
+    c.next("asof_join", df2, None)
+  }
+
+  /** range_join(right, point, start, end, bucket_seconds): left rows joined
+    * to every right interval containing the point (point ≥ start AND
+    * point < end, half-open). The naive plan is a pure inequality join —
+    * a cross product Spark would nested-loop. This bucketizes time: each
+    * left point lands in exactly one fixed-width bucket, each right
+    * interval explodes to the buckets it covers, and the join is an
+    * equi-join on the bucket plus the exact containment filter. Each
+    * qualifying pair matches exactly once (the point's single bucket), so
+    * no dedup pass is needed. Size bucketSeconds to the typical interval
+    * length: wider → fewer right-row copies, narrower → tighter candidate
+    * sets. Empty/inverted intervals drop (half-open semantics).
+    */
+  def rangeJoin(
+      other: Chain,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long = 7L * 24 * 3600,
+      joinPrefix: String = ""): Chain = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    // NTZ-safe epoch seconds (session is UTC, so NTZ→LTZ is the identity instant)
+    def epoch(cc: org.apache.spark.sql.Column) = cc.cast("timestamp").cast("long")
+    val leftCols = c.df.columns.toSeq
+    val rightCols = other.df.columns.toSeq
+    def outName(n: String): String =
+      if (joinPrefix.nonEmpty) s"${joinPrefix}_$n"
+      else if (leftCols.contains(n)) s"${n}_r" else n
+    val l = c.df.alias("_l")
+      .withColumn("_b", floor(epoch(col(s"_l.$pointCol")) / bucketSeconds))
+    val r = other.df.alias("_r")
+      .where(epoch(col(s"_r.$endCol")) > epoch(col(s"_r.$startCol")))
+      .withColumn("_b", explode(sequence(
+        floor(epoch(col(s"_r.$startCol")) / bucketSeconds),
+        floor((epoch(col(s"_r.$endCol")) - 1) / bucketSeconds))))
+    val joined = l.join(r, Seq("_b"))
+      .where(col(s"_l.$pointCol") >= col(s"_r.$startCol") &&
+        col(s"_l.$pointCol") < col(s"_r.$endCol"))
+    val proj = leftCols.map(n => col(s"_l.$n")) ++
+      rightCols.map(n => col(s"_r.$n").as(outName(n)))
+    c.next("range_join", joined.select(proj: _*), None)
+  }
+
+  /** join_salted(right, join_type, join_columns, salt_buckets): equi-join
+    * with explicit skew salting — the left side's hot keys spread across
+    * `saltBuckets` sub-keys (salt = row-content hash mod buckets, so the
+    * spread is deterministic), the right side replicates each row once per
+    * salt value, and the join runs on (keys, salt). Result is EXACTLY the
+    * plain join (the SQL face renders the unsalted join); use it when one
+    * key dominates and AQE skew-split isn't available or isn't enough.
+    * Right-side replication costs saltBuckets× its size — keep the right
+    * side the smaller input.
+    */
+  def joinSalted(
+      other: Chain,
+      joinType: String,
+      joinColumns: Seq[(String, String)],
+      saltBuckets: Int = 16,
+      joinPrefix: String = ""): Chain = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    require(Set("inner", "left", "left_outer").contains(normalize(joinType)),
+      "join_salted supports inner/left joins only (unmatched right rows would " +
+        s"replicate per salt bucket); got $joinType")
+    val leftCols = c.df.columns.toSeq
+    val rightKeys = joinColumns.map(_._2).toSet
+    val rightKept = other.df.columns.toSeq.filterNot(rightKeys.contains)
+    def outName(n: String): String =
+      if (joinPrefix.nonEmpty) s"${joinPrefix}_$n"
+      else if (leftCols.contains(n)) s"${n}_r" else n
+    val l = c.df
+      .withColumn("_salt", pmod(xxhash64(leftCols.map(col): _*), lit(saltBuckets)))
+      .alias("_l")
+    val r = other.df
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .alias("_r")
+    val cond = (joinColumns.map { case (lk, rk) => col(s"_l.$lk") === col(s"_r.$rk") } :+
+      (col("_l._salt") === col("_r._salt"))).reduce(_ && _)
+    val proj = leftCols.map(n => col(s"_l.$n")) ++
+      rightKept.map(n => col(s"_r.$n").as(outName(n)))
+    val df2 = l.join(r, cond, normalize(joinType)).select(proj: _*)
+    val onSql = joinColumns.map { case (a, b) => s"_l.$a = _r.$b" }.mkString(" AND ")
+    val selSql = (leftCols.map(n => s"_l.$n") ++
+      rightKept.map(n => s"_r.$n AS ${outName(n)}")).mkString(", ")
+    c.next("join_salted", df2, Some(
+      s"SELECT $selSql FROM {{source}} _l ${joinType.toUpperCase} JOIN ${rightSource(other)} _r ON $onSql"))
+  }
 
   /** A chain argument renders as its entry table when untransformed, else as
     * a derived table (the reference's sub-chain args,
@@ -144,4 +298,13 @@ final class JoinOps(private val c: Chain) extends AnyVal {
 
   private def normalize(joinType: String): String =
     joinType.trim.toLowerCase.replace(" ", "_")
+}
+
+object JoinOps {
+  /** Hex md5-prefix threshold for [[JoinOps.sampleHash]]: fraction·16¹⁵ as
+    * 15 lowercase hex digits. 16¹⁵ = 2⁶⁰ is exactly representable, so the
+    * double multiply is reproducible everywhere.
+    */
+  def hashThreshold(fraction: Double): String =
+    f"${(fraction * 1.152921504606846976e18).toLong}%015x"
 }

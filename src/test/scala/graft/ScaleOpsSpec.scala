@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.ext._
+import TestSpark._
+
+/** Round-3 scale operators: as-of join, range join, salted join,
+  * deterministic hash sampling, tf-idf, text scrubbing, and the hashed
+  * shingle kernels.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val trades = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "t1"),
+      (1L, ts("2020-01-01 10:05:00"), "t2"),
+      (1L, ts("2020-01-01 09:00:00"), "t0"), // before any quote -> null
+      (2L, ts("2020-01-01 10:00:00"), "t3")  // key with no quotes -> null
+    ).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, ts("2020-01-01 09:55:00"), 100.0),
+      (1L, ts("2020-01-01 10:05:00"), 105.0) // equal timestamp matches
+    ).toDF("k", "t", "px")
+    val got = Chain(spark, "trades", trades)
+      .asofJoin(Chain(spark, "quotes", quotes), Seq("k"), "t", "t")
+      .df.collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("px"))).toMap
+    assert(got == Map(
+      "t0" -> None, "t1" -> Some(100.0), "t2" -> Some(105.0), "t3" -> None))
+  }
+
+  test("asofJoin suffixes right columns that collide with left names") {
+    val l = Seq((1L, ts("2020-01-02 00:00:00"), "x")).toDF("k", "t", "v")
+    val r = Seq((1L, ts("2020-01-01 00:00:00"), "y")).toDF("k", "t", "v")
+    val out = Chain(spark, "l", l).asofJoin(Chain(spark, "r", r), Seq("k"), "t", "t").df
+    assert(out.columns.toSeq == Seq("k", "t", "v", "v_asof"))
+    assert(out.collect()(0).getAs[String]("v_asof") == "y")
+  }
+
+  test("rangeJoin is half-open and exact across bucket boundaries") {
+    val points = Seq(
+      (1L, ts("2020-01-01 00:00:00")), // == start: included
+      (2L, ts("2020-01-11 00:00:00")), // == end: excluded
+      (3L, ts("2020-01-10 23:59:59")), // last covered second
+      (4L, ts("2020-02-15 00:00:00"))  // inside a long interval spanning buckets
+    ).toDF("id", "p")
+    val ivals = Seq(
+      (ts("2020-01-01 00:00:00"), ts("2020-01-11 00:00:00"), "iv1"),
+      (ts("2020-02-01 00:00:00"), ts("2020-03-01 00:00:00"), "iv2"),
+      (ts("2020-05-01 00:00:00"), ts("2020-05-01 00:00:00"), "empty") // drops
+    ).toDF("s", "e", "label")
+    // bucket (1 day) much smaller than the intervals: exercises multi-bucket explode
+    val got = Chain(spark, "p", points)
+      .rangeJoin(Chain(spark, "iv", ivals), "p", "s", "e", bucketSeconds = 86400L)
+      .df.select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "iv1"), (3L, "iv1"), (4L, "iv2")))
+  }
+
+  test("rangeJoin matches each qualifying pair exactly once") {
+    val points = Seq((1L, ts("2020-01-05 12:00:00"))).toDF("id", "p")
+    val ivals = Seq((ts("2020-01-01 00:00:00"), ts("2020-01-20 00:00:00"), "iv")).toDF("s", "e", "label")
+    val n = Chain(spark, "p", points)
+      .rangeJoin(Chain(spark, "iv", ivals), "p", "s", "e", bucketSeconds = 3600L)
+      .df.count()
+    assert(n == 1L) // interval covers ~456 hourly buckets; point still matches once
+  }
+
+  test("joinSalted returns exactly the plain join") {
+    val li = table("lineitem")
+    val o = table("orders")
+    val plain = li.join(o, "inner", Seq("l_orderkey" -> "o_orderkey")).df
+    val salted = li.joinSalted(o, "inner", Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 4).df
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(rows(salted) == rows(plain))
+  }
+
+  test("sampleHash is deterministic and layout-independent") {
+    val li = table("lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val a = li.sampleHash(0.2, keys).df
+    val b = Chain(spark, "lineitem", li.df.repartition(7)).sampleHash(0.2, keys).df
+    assert(rows(a) == rows(b))
+    val total = li.df.count().toDouble
+    val frac = a.count() / total
+    assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
+    // SQL face agrees with the DataFrame face
+    val viaSql = spark.sql(li.sampleHash(0.2, keys).sql())
+    assert(rows(viaSql) == rows(a))
+  }
+
+  test("tfidf raw scores tf*N/df exactly; log variant is monotone in rarity") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs).tfidf("doc_id", "text")
+      .df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got((1L, "apple")) == ((2L, 1L, 6.0)))   // tf=2, df=1, 2*3/1
+    assert(got((1L, "banana")) == ((1L, 2L, 1.5)))  // tf=1, df=2, 1*3/2
+    assert(got((3L, "durian")) == ((1L, 1L, 3.0)))
+    val logScores = Chain(spark, "d", docs).tfidf("doc_id", "text", idf = "log")
+      .df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(logScores((3L, "durian")) > logScores((1L, "banana")))
+  }
+
+  test("scrubText redacts urls and emails") {
+    val docs = Seq(
+      (1L, "see https://example.com/x?y=1 or mail a.b+c@test.org now"),
+      (2L, "nothing to scrub")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs).scrubText("text")
+      .df.collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(got(1L) == "see <URL> or mail <EMAIL> now")
+    assert(got(2L) == "nothing to scrub")
+  }
+
+  test("ShingleHashes agrees with string shingles on sizes and jaccard") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(graft.ext.TextOps.tokens(col("text")), 2).as("h"),
+      array_sort(array_distinct(graft.ext.DedupOps.shingles(col("text"), 2))).as("s"))
+    val bad = viaKernel.where(size(col("h")) =!= size(col("s"))).count()
+    assert(bad == 0L, "kernel set size must equal distinct string-shingle count")
+    // pairwise intersection counts agree between hashed and string worlds
+    val l = viaKernel.select(col("doc_id").as("a"), col("h").as("ha"), col("s").as("sa"))
+    val r = viaKernel.select(col("doc_id").as("b"), col("h").as("hb"), col("s").as("sb"))
+    val pairs = l.crossJoin(r).where(col("a") < col("b"))
+      .select(
+        graft.functions.SortedArrayIntersectCount(col("ha"), col("hb")).as("ih"),
+        size(array_intersect(col("sa"), col("sb"))).as("is"))
+    assert(pairs.where(col("ih") =!= col("is")).count() == 0L)
+  }
+
+  test("PositionAgreeCount equals the zip_with formulation") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextInt(4).toLong), Array.fill(32)(rnd.nextInt(4).toLong))
+    }.toDF("id", "x", "y")
+    val checked = df.select(
+      graft.functions.PositionAgreeCount(col("x"), col("y")).as("k"),
+      size(filter(zip_with(col("x"), col("y"), (a, b) => a === b), b => b)).as("z"))
+    assert(checked.where(col("k") =!= col("z")).count() == 0L)
+  }
+}
