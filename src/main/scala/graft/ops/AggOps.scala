@@ -216,37 +216,45 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def describeTable(): Chain = {
     val spark = c.spark
     val fields = c.df.schema.fields.toSeq
+    // one wide agg for the numeric/order stats. Deliberately NO
+    // countDistinct here: n distinct-aggregates make Catalyst expand the
+    // input n+1×, which dominated this operator's cost — distinct counts
+    // come out of the stacked pass below instead.
     val statCols = fields.flatMap { f =>
       val cc = col(f.name)
       val numeric = f.dataType.isInstanceOf[NumericType]
       Seq(
-        count(cc).as(s"cnt_${f.name}"),
-        countDistinct(cc).as(s"uni_${f.name}"),
         (if (numeric) Exact.avg(cc.cast("double")) else lit(null).cast("double")).as(s"mean_${f.name}"),
         (if (numeric) Exact.stddev(cc.cast("double")) else lit(null).cast("double")).as(s"std_${f.name}"),
         min(cc).cast("string").as(s"min_${f.name}"),
         max(cc).cast("string").as(s"max_${f.name}"))
     } :+ count(lit(1)).as("_total")
     val stats = c.df.agg(statCols.head, statCols.tail: _*).collect()(0)
-    // deterministic per-column mode (ties → smallest value) in ONE job:
-    // stack all columns to (feature, value) rows, count, rank per feature —
-    // column count doesn't multiply scans or jobs
+    // row/null/unique counts + deterministic mode (ties → smallest value)
+    // in ONE job: stack all columns to (feature, value) rows, count, then
+    // rank-and-aggregate per feature — column count never multiplies scans
+    // or jobs. (String-cast distinct equals native distinct for these
+    // types; Spark's value→string rendering is injective.)
     val stackExpr = s"stack(${fields.length}, " +
       fields.map(f => s"'${f.name}', CAST(${f.name} AS STRING)").mkString(", ") + ")"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("feature")).orderBy(col("count").desc, col("v").asc_nulls_last)
-    val modes: Map[String, String] = c.df
+    val profile: Map[String, (Long, Long, String)] = c.df
       .select(expr(stackExpr).as(Seq("feature", "v")))
       .groupBy(col("feature"), col("v")).count()
       .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .groupBy(col("feature"))
+      .agg(
+        sum(when(col("v").isNull, col("count")).otherwise(lit(0L))).as("nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("uniq"),
+        max(when(col("_rn") === 1, col("v"))).as("mode"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     val total = stats.getAs[Long]("_total")
     val rows = fields.map { f =>
+      val (nulls, uniq, mode) = profile(f.name)
       Row(f.name, f.dataType.simpleString, total,
-        total - stats.getAs[Long](s"cnt_${f.name}"),
-        stats.getAs[Long](s"uni_${f.name}"),
-        modes(f.name),
+        nulls, uniq, mode,
         if (stats.isNullAt(stats.fieldIndex(s"mean_${f.name}"))) null
         else stats.getAs[Double](s"mean_${f.name}"),
         if (stats.isNullAt(stats.fieldIndex(s"std_${f.name}"))) null

@@ -107,6 +107,20 @@ object EventStreams {
       .groupBy((session_window(col("_ts"), gap) +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup: drops re-deliveries of the same key arriving
+    * within the watermark horizon — the streaming face of `dedupExact` for
+    * at-least-once sources (Kafka redeliveries, file-source reprocessing).
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key seen
+    * inside the horizon and purges it as the watermark advances, so state
+    * is bounded by (event rate × watermark), not by stream lifetime.
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     watermark: String): DataFrame =
+    events
+      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one

@@ -94,6 +94,26 @@ class StreamingSpec extends AnyFunSuite {
       s"user1 second session missing in $got")
   }
 
+  test("streaming dedup drops redeliveries within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L
+    def evt(id: Long, min: Long): Evt =
+      Evt(id, base + min * 60L * 1000000000L, 1L, "click", 1.0, "{}")
+    val ms = MemoryStream[Evt]
+    val q = EventStreams.streamingDedup(ms.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink").outputMode("append").start()
+    ms.addData(evt(1, 0), evt(2, 5))
+    q.processAllAvailable()
+    ms.addData(evt(1, 10), evt(3, 20)) // id 1 redelivered inside the horizon
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_sink")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"redelivery must be dropped, got $ids")
+  }
+
   test("batch session windows: gap semantics and end = last + gap") {
     import org.apache.spark.sql.functions._
     val sessions = EventStreams.sessionAgg(
