@@ -141,6 +141,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.where(col("ih") =!= col("is")).count() == 0L)
   }
 
+  test("bucketed tables join without a shuffle and match the plain join") {
+    val li = table("lineitem").df.select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = table("orders").df.select("o_orderkey", "o_totalprice")
+    Chain(spark, "li", li).saveBucketed("li_bucketed", Seq("l_orderkey"), 4, overwrite = true)
+    Chain(spark, "o", o).saveBucketed("o_bucketed", Seq("o_orderkey"), 4, overwrite = true)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed").join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(rows(joined) == rows(expected))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
