@@ -278,6 +278,10 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) =>
       t(s, d, "lineitem").sampleHash(0.1,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
+    "q_sample_stratified" -> ((s, d) =>
+      t(s, d, "lineitem").sampleHashStratified("l_returnflag",
+        Seq("A" -> 0.05, "N" -> 0.2, "R" -> 0.5),
+        Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
     "q_rank_qualify" -> ((s, d) =>
       t(s, d, "orders").rank(
         Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
@@ -302,6 +306,9 @@ object SparkEntry {
         t(s, d, "documents").rollingFingerprintCol("text", 32)
           .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
       "q_tfidf" -> ((s, d) => t(s, d, "documents").tfidf("doc_id", "text").df),
+      "q_chunk_text" -> ((s, d) =>
+        t(s, d, "documents").chunkText("doc_id", "text",
+          chunkTokens = 64, overlap = 16).df),
       "q_text_scrub" -> ((s, d) => t(s, d, "documents").scrubText("text").df),
       "q_dedup_exact" -> ((s, d) =>
         t(s, d, "documents")
@@ -493,7 +500,14 @@ object SparkEntry {
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
     "q_rank_qualify" ->
-      "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) WHERE rn <= 3"
+      "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
+    "q_sample_stratified" ->
+      (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +
+        s"CASE WHEN CAST(l_returnflag AS VARCHAR) = 'A' THEN '${graft.ops.JoinOps.hashThreshold(0.05)}' " +
+        s"WHEN CAST(l_returnflag AS VARCHAR) = 'N' THEN '${graft.ops.JoinOps.hashThreshold(0.2)}' " +
+        s"WHEN CAST(l_returnflag AS VARCHAR) = 'R' THEN '${graft.ops.JoinOps.hashThreshold(0.5)}' " +
+        s"ELSE '${graft.ops.JoinOps.hashThreshold(0.0)}' END")
     // q_sample (partition-layout-dependent) and q_approx_agg (engine-specific
     // sketches) get the driver's rows-only check.
   )
@@ -546,6 +560,12 @@ object SparkEntry {
           "FROM tf JOIN dft USING (term) CROSS JOIN n"),
       "q_text_scrub" ->
         raw"SELECT *, regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text_clean FROM documents",
+      "q_chunk_text" ->
+        (s"WITH t2 AS (SELECT doc_id, $toks AS tk, len($toks) AS n FROM documents) " +
+          "SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx, " +
+          "array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text, " +
+          "CAST(LEAST(64, n - s) AS INTEGER) AS n_chunk_tokens " +
+          "FROM (SELECT doc_id, tk, n, unnest(range(0, greatest(n, 1), 48)) AS s FROM t2)"),
       "q_dedup_exact" ->
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),

@@ -39,6 +39,31 @@ final class Chain private (
   def transformDf(op: String)(f: DataFrame => DataFrame): Chain =
     next(op, f(df), None)
 
+  // ---- physical-layout surface (semantics-preserving; SQL faces render
+  // pass-through because the rendered text describes the same relation)
+
+  /** Planner hint on the current relation (`broadcast`, `merge`,
+    * `shuffle_hash`, `rebalance`, …) — the knob for steering a join
+    * strategy when AQE's size estimates are wrong at scale.
+    */
+  def hint(name: String, params: Any*): Chain =
+    next(s"hint_$name", df.hint(name, params: _*), Some("SELECT * FROM {{source}}"))
+
+  /** Hash-repartition by columns — pre-shape a chain so several downstream
+    * wide ops (windows, joins, aggs on the same keys) reuse one exchange.
+    */
+  def repartitionBy(cols: Seq[String], numPartitions: Option[Int] = None): Chain = {
+    val d = numPartitions.fold(df.repartition(cols.map(df.col): _*))(n =>
+      df.repartition(n, cols.map(df.col): _*))
+    next("repartition", d, Some("SELECT * FROM {{source}}"))
+  }
+
+  /** Collapse to fewer partitions without a shuffle (small outputs,
+    * pre-write file-count control).
+    */
+  def coalescePartitions(numPartitions: Int): Chain =
+    next("coalesce", df.coalesce(numPartitions), Some("SELECT * FROM {{source}}"))
+
   // ---- terminal verbs (≅ SQLChain.preview/to_df/save, transforms.py:332-429)
 
   /** Top-n rows (reference preview appends LIMIT 10). */

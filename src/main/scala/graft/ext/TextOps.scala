@@ -137,6 +137,29 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("tfidf", df2, None)
   }
 
+  /** chunk_text(id_col, text_col, chunk_tokens, overlap): split each
+    * document into fixed-size token windows with overlap — the standard
+    * pre-embedding/pre-training chunking pass. One row per chunk:
+    * (id, chunk_idx, chunk_text, n_chunk_tokens). Pure sequence+slice
+    * explode — fan-out stays distributed, no driver involvement; a 100 TB
+    * corpus chunks in one scan.
+    */
+  def chunkText(idCol: String, textCol: String,
+                chunkTokens: Int = 128, overlap: Int = 32): Chain = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val df2 = c.df
+      .select(col(idCol), posexplode(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)))
+        .as(Seq("chunk_idx", "_start")), toks.as("_toks"), n.as("_n"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("_start")).as("n_chunk_tokens"))
+    c.next("chunk_text", df2, None)
+  }
+
   /** scrub_text(text_col): redact URLs then emails → `<col>_clean` — the
     * standard PII/noise pass before training-data use. Pure regexp_replace
     * (codegen'd, linear scan).

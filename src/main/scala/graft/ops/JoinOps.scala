@@ -156,6 +156,33 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         s"${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})) < '$th'"))
   }
 
+  /** sample_hash_stratified(strata_col, fractions, key_cols): per-stratum
+    * deterministic hash sampling — each stratum value gets its own
+    * md5-threshold (down-sample dominant classes, keep rare ones whole,
+    * the usual training-mix rebalance). Same layout/engine independence
+    * and scan pushdown as [[sampleHash]]; strata missing from `fractions`
+    * use `defaultFraction` (0 drops them).
+    */
+  def sampleHashStratified(
+      strataCol: String,
+      fractions: Seq[(String, Double)],
+      keyCols: Seq[String],
+      defaultFraction: Double = 0.0): Chain = {
+    require(keyCols.nonEmpty, "stratified sample needs key columns")
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    val defTh = JoinOps.hashThreshold(defaultFraction) // 0 → all-zero threshold, drops the stratum
+    val threshold = fractions.foldRight(lit(defTh)) { case ((v, f), acc) =>
+      when(col(strataCol).cast("string") === v, lit(JoinOps.hashThreshold(f))).otherwise(acc)
+    }
+    val df2 = c.df.where(md5(key) < threshold)
+    val caseSql = fractions.map { case (v, f) =>
+      s"WHEN CAST($strataCol AS STRING) = '$v' THEN '${JoinOps.hashThreshold(f)}'"
+    }.mkString("CASE ", " ", s" ELSE '$defTh' END")
+    c.next("sample_hash_stratified", df2, Some(
+      s"SELECT * FROM {{source}} WHERE md5(concat_ws('|', " +
+        s"${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})) < $caseSql"))
+  }
+
   /** asof_join(right, on, left_time, right_time): for every left row, the
     * most recent right row at or before the left timestamp within the same
     * keys (trades/quotes semantics; right columns null when nothing
@@ -306,5 +333,6 @@ object JoinOps {
     * double multiply is reproducible everywhere.
     */
   def hashThreshold(fraction: Double): String =
-    f"${(fraction * 1.152921504606846976e18).toLong}%015x"
+    if (fraction >= 1.0) "g" // above every hex digit: keeps all rows
+    else f"${(fraction * 1.152921504606846976e18).toLong}%015x"
 }

@@ -141,6 +141,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.where(col("ih") =!= col("is")).count() == 0L)
   }
 
+  test("chunkText windows tokens with overlap and covers every token") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "short")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs).chunkText("doc_id", "text", chunkTokens = 4, overlap = 1)
+      .df.orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,3,6,9 -> windows of 4 tokens (last truncated)
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (1L, 3, "w10", 1)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short", 1)))
+  }
+
+  test("stratified hash sample applies per-stratum fractions deterministically") {
+    val li = table("lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val sampled = li.sampleHashStratified("l_returnflag",
+      Seq("A" -> 0.0, "N" -> 1.0, "R" -> 0.3), keys).df
+    val byFlag = sampled.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = li.df.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byFlag.contains("A"), "fraction 0 must drop the stratum")
+    assert(byFlag("N") == totals("N"), "fraction 1 must keep the stratum whole")
+    val rFrac = byFlag("R").toDouble / totals("R")
+    assert(rFrac > 0.2 && rFrac < 0.4, s"R fraction $rFrac far from 0.3")
+    // strata sampled at the same fraction keep the same key set as sampleHash
+    val plain = li.sampleHash(0.3, keys).df.where("l_returnflag = 'R'")
+    assert(rows(sampled.where("l_returnflag = 'R'")) == rows(plain))
+  }
+
+  test("hint/repartitionBy/coalescePartitions preserve rows and render pass-through") {
+    val o = table("orders")
+    val c2 = o.hint("broadcast").repartitionBy(Seq("o_custkey"), Some(3)).coalescePartitions(2)
+    assert(rows(c2.df) == rows(o.df))
+    assert(c2.df.rdd.getNumPartitions == 2)
+    assert(rows(spark.sql(c2.sql())) == rows(o.df))
+  }
+
   test("bucketed tables join without a shuffle and match the plain join") {
     val li = table("lineitem").df.select("l_orderkey", "l_linenumber", "l_quantity")
     val o = table("orders").df.select("o_orderkey", "o_totalprice")
