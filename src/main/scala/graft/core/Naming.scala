@@ -57,11 +57,14 @@ object Naming {
   /** Quote an identifier for a rendered SQL fragment when it isn't a plain
     * `[A-Za-z_][A-Za-z0-9_]*` word (reserved-ish or odd characters from a
     * source schema); plain names pass through unquoted so fragments stay
-    * readable and Spark-SQL-parseable.
+    * readable. The rendered chain SQL is Spark-SQL text (tests execute it
+    * via `spark.sql`, DbtExport emits it), and Spark's default parser
+    * treats a double-quoted token as a STRING LITERAL — so quoting must be
+    * backticks (doubling embedded backticks), never ANSI double quotes.
     */
   def quoteId(n: String): String =
     if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
-    else "\"" + n.replace("\"", "\"\"") + "\""
+    else "`" + n.replace("`", "``") + "`"
 
   /** SQL literal for a driver-computed statistic embedded into a rendered
     * fragment (the reference's compile-time `run_query` pattern bakes

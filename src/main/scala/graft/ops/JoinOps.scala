@@ -43,7 +43,7 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val selSql = (leftCols.map(n => s"_l.$n") ++
       rightKept.map(n => s"_r.$n AS ${outName(n)}")).mkString(", ")
     c.next("join", df2, Some(
-      s"SELECT $selSql FROM {{source}} _l ${joinType.toUpperCase} JOIN $rightSql _r ON $onSql"))
+      s"SELECT $selSql FROM {{source}} _l ${joinTypeSql(joinType)} JOIN $rightSql _r ON $onSql"))
   }
 
   /** simple_join(join_table, join_type, join_columns): USING-style join on
@@ -52,7 +52,7 @@ final class JoinOps(private val c: Chain) extends AnyVal {
   def simpleJoin(other: Chain, joinType: String, joinColumns: Seq[String]): Chain = {
     val df2 = c.df.join(other.df, joinColumns, normalize(joinType))
     c.next("simple_join", df2, Some(
-      s"SELECT * FROM {{source}} ${joinType.toUpperCase} JOIN ${rightSource(other)} " +
+      s"SELECT * FROM {{source}} ${joinTypeSql(joinType)} JOIN ${rightSource(other)} " +
         s"USING (${joinColumns.mkString(", ")})"))
   }
 
@@ -81,7 +81,7 @@ final class JoinOps(private val c: Chain) extends AnyVal {
             if (keys.contains(n)) n else s"$n AS ${p}_$n")
           s"(SELECT ${cols.mkString(", ")} FROM ${rightSource(o)})"
         }
-      s"${joinType.toUpperCase} JOIN $src USING (${keys.mkString(", ")})"
+      s"${joinTypeSql(joinType)} JOIN $src USING (${keys.mkString(", ")})"
     }
     c.next("multi_join", df2,
       Some(s"SELECT * FROM {{source}} ${joins.mkString(" ")}"))
@@ -169,6 +169,13 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       keyCols: Seq[String],
       defaultFraction: Double = 0.0): Chain = {
     require(keyCols.nonEmpty, "stratified sample needs key columns")
+    // out-of-range fractions must fail loudly: a negative fraction's toLong
+    // would otherwise render as 16-digit two's-complement hex, which sorts
+    // ABOVE every md5 and keeps (not drops) nearly the whole stratum
+    (fractions.map { case (v, f) => s"stratum '$v'" -> f } :+
+      ("defaultFraction" -> defaultFraction)).foreach { case (what, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for $what must be in [0,1], got $f")
+    }
     val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
     val defTh = JoinOps.hashThreshold(defaultFraction) // 0 → all-zero threshold, drops the stratum
     val threshold = fractions.foldRight(lit(defTh)) { case ((v, f), acc) =>
@@ -212,20 +219,27 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val leftRest = leftCols.filterNot(n => on.contains(n) || n == leftTime)
     def outName(n: String): String = if (leftCols.contains(n)) s"$n$suffix" else n
     val lTypes = lDf.schema.fields.map(f => f.name -> f.dataType).toMap
-    val rTypes = rDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    // All right value columns ride in ONE struct carried forward together:
+    // per-column last(ignoreNulls) would let a NULL in the matched right row
+    // be papered over by a stale older row, and could even mix columns from
+    // DIFFERENT right rows in one output row. The struct itself is what's
+    // last(ignoreNulls)-carried, so the matched row's own NULLs survive and
+    // every output column comes from the same right row (DuckDB/kdb ASOF
+    // semantics).
+    val rvType = org.apache.spark.sql.types.StructType(
+      rDf.schema.fields.filter(f => rightVals.contains(f.name)))
     val lSel = on.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_src")) ++
-      leftRest.map(col) ++ rightVals.map(n => lit(null).cast(rTypes(n)).as(outName(n)))
+      leftRest.map(col) :+ lit(null).cast(rvType).as("_rv")
     val rSel = on.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_src")) ++
-      leftRest.map(n => lit(null).cast(lTypes(n)).as(n)) ++
-      rightVals.map(n => col(n).as(outName(n)))
+      leftRest.map(n => lit(null).cast(lTypes(n)).as(n)) :+
+      struct(rightVals.map(col): _*).as("_rv")
     val u = lDf.select(lSel: _*).unionByName(rDf.select(rSel: _*))
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_t").asc, col("_src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(u)((d, n) =>
-      d.withColumn(outName(n), last(col(outName(n)), ignoreNulls = true).over(w)))
+    val filled = u.withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
     val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
-      rightVals.map(n => col(outName(n)))
+      rightVals.map(n => col("_rv").getField(n).as(outName(n)))
     val df2 = filled.where(col("_src") === 1).select(proj: _*)
     c.next("asof_join", df2, None)
   }
@@ -250,20 +264,27 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       bucketSeconds: Long = 7L * 24 * 3600,
       joinPrefix: String = ""): Chain = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
-    // NTZ-safe epoch seconds (session is UTC, so NTZ→LTZ is the identity instant)
-    def epoch(cc: org.apache.spark.sql.Column) = cc.cast("timestamp").cast("long")
+    // Full-precision epoch MICROSECONDS (Spark timestamps are micros; whole-
+    // second truncation would silently drop sub-second intervals and miss
+    // points in [floor(end), end)). NTZ-safe: session is UTC, so NTZ→LTZ is
+    // the identity instant.
+    def epochUs(cc: org.apache.spark.sql.Column) = unix_micros(cc.cast("timestamp"))
+    val bucketUs = bucketSeconds * 1000000L
     val leftCols = c.df.columns.toSeq
     val rightCols = other.df.columns.toSeq
     def outName(n: String): String =
       if (joinPrefix.nonEmpty) s"${joinPrefix}_$n"
       else if (leftCols.contains(n)) s"${n}_r" else n
     val l = c.df.alias("_l")
-      .withColumn("_b", floor(epoch(col(s"_l.$pointCol")) / bucketSeconds))
+      .withColumn("_b", floor(epochUs(col(s"_l.$pointCol")) / bucketUs))
+    // non-empty filter on the ORIGINAL columns (no precision loss), and the
+    // interval's last contained instant is end - 1 micro (half-open at the
+    // timestamp type's own resolution), so its bucket range is exact
     val r = other.df.alias("_r")
-      .where(epoch(col(s"_r.$endCol")) > epoch(col(s"_r.$startCol")))
+      .where(col(s"_r.$endCol") > col(s"_r.$startCol"))
       .withColumn("_b", explode(sequence(
-        floor(epoch(col(s"_r.$startCol")) / bucketSeconds),
-        floor((epoch(col(s"_r.$endCol")) - 1) / bucketSeconds))))
+        floor(epochUs(col(s"_r.$startCol")) / bucketUs),
+        floor((epochUs(col(s"_r.$endCol")) - 1) / bucketUs))))
     val joined = l.join(r, Seq("_b"))
       .where(col(s"_l.$pointCol") >= col(s"_r.$startCol") &&
         col(s"_l.$pointCol") < col(s"_r.$endCol"))
@@ -313,7 +334,7 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val selSql = (leftCols.map(n => s"_l.$n") ++
       rightKept.map(n => s"_r.$n AS ${outName(n)}")).mkString(", ")
     c.next("join_salted", df2, Some(
-      s"SELECT $selSql FROM {{source}} _l ${joinType.toUpperCase} JOIN ${rightSource(other)} _r ON $onSql"))
+      s"SELECT $selSql FROM {{source}} _l ${joinTypeSql(joinType)} JOIN ${rightSource(other)} _r ON $onSql"))
   }
 
   /** A chain argument renders as its entry table when untransformed, else as
@@ -325,6 +346,13 @@ final class JoinOps(private val c: Chain) extends AnyVal {
 
   private def normalize(joinType: String): String =
     joinType.trim.toLowerCase.replace(" ", "_")
+
+  /** SQL-face rendering of a join type: normalized, underscores back to
+    * spaces (`left_outer` must render `LEFT OUTER JOIN`, not the unparseable
+    * `LEFT_OUTER JOIN`).
+    */
+  private def joinTypeSql(joinType: String): String =
+    normalize(joinType).replace("_", " ").toUpperCase
 }
 
 object JoinOps {
@@ -334,5 +362,6 @@ object JoinOps {
     */
   def hashThreshold(fraction: Double): String =
     if (fraction >= 1.0) "g" // above every hex digit: keeps all rows
+    else if (fraction <= 0.0) "0" // below every md5: drops all rows
     else f"${(fraction * 1.152921504606846976e18).toLong}%015x"
 }

@@ -200,6 +200,83 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("asofJoin preserves the matched row's own NULLs and keeps columns from one row") {
+    // quote at 10:00 has px=NULL but sz=7; older quote at 09:00 has px=100, sz=5.
+    // Per-column carry would resurrect px=100 (stale) next to sz=7 (current) —
+    // mixing two right rows. Struct carry must yield (NULL, 7).
+    val trades = Seq((1L, ts("2020-01-01 10:30:00"), "t1")).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, ts("2020-01-01 09:00:00"), Option(100.0), Option(5L)),
+      (1L, ts("2020-01-01 10:00:00"), Option.empty[Double], Option(7L))
+    ).toDF("k", "t", "px", "sz")
+    val out = Chain(spark, "trades", trades)
+      .asofJoin(Chain(spark, "quotes", quotes), Seq("k"), "t", "t")
+      .df.collect()(0)
+    assert(out.isNullAt(out.fieldIndex("px")), "matched row's NULL must survive")
+    assert(out.getAs[Long]("sz") == 7L)
+  }
+
+  test("rangeJoin keeps sub-second intervals and fractional endpoints") {
+    val points = Seq(
+      (1L, ts("2020-01-01 00:00:05.5")),  // inside (05.2, 05.8)
+      (2L, ts("2020-01-01 00:00:05.9")),  // after end
+      (3L, ts("2020-01-01 00:00:05.2")),  // == start: included (half-open)
+      (4L, ts("2020-01-01 00:00:05.8"))   // == end: excluded
+    ).toDF("id", "p")
+    val ivals = Seq(
+      (ts("2020-01-01 00:00:05.2"), ts("2020-01-01 00:00:05.8"), "subsec")
+    ).toDF("s", "e", "label")
+    val got = Chain(spark, "p", points)
+      .rangeJoin(Chain(spark, "iv", ivals), "p", "s", "e", bucketSeconds = 1L)
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("rangeJoin catches points between floor(end) and a fractional end") {
+    // end = 00:00:10.5 with 10s buckets: the last covered instant 10.499999
+    // lands in bucket 1, which whole-second truncation (floor(10)-1 -> bucket 0)
+    // would never explode to.
+    val points = Seq((1L, ts("2020-01-01 00:00:10.2"))).toDF("id", "p")
+    val ivals = Seq(
+      (ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:10.5"), "iv")).toDF("s", "e", "label")
+    val n = Chain(spark, "p", points)
+      .rangeJoin(Chain(spark, "iv", ivals), "p", "s", "e", bucketSeconds = 10L)
+      .df.count()
+    assert(n == 1L)
+  }
+
+  test("joinSalted left_outer SQL face renders parseable Spark SQL") {
+    val li = table("lineitem")
+    val o = table("orders")
+    val c = li.joinSalted(o, "left_outer", Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 4)
+    assert(c.sql().contains("LEFT OUTER JOIN"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("union over columns needing quoting renders with backticks, not string literals") {
+    val a = Seq((1, "x")).toDF("id", "odd name")
+    val b = Seq((2, "y")).toDF("id", "odd name")
+    a.createOrReplaceTempView("quoted_a")
+    b.createOrReplaceTempView("quoted_b")
+    val c = Chain(spark, "quoted_a", a).union(Chain(spark, "quoted_b", b))
+    assert(c.sql().contains("`odd name`"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("stratified sample rejects out-of-range fractions") {
+    val li = table("lineitem")
+    val keys = Seq("l_orderkey")
+    intercept[IllegalArgumentException] {
+      li.sampleHashStratified("l_returnflag", Seq("A" -> -0.1), keys)
+    }
+    intercept[IllegalArgumentException] {
+      li.sampleHashStratified("l_returnflag", Seq("A" -> 1.5), keys)
+    }
+    intercept[IllegalArgumentException] {
+      li.sampleHashStratified("l_returnflag", Seq("A" -> 0.5), keys, defaultFraction = -1.0)
+    }
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
