@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ext._
+import graft.ops._
+import TestSpark._
+
+/** Quantitative gates for every query without a DuckDB oracle. Each
+  * approximate/engine-specific operator is measured against its exact
+  * sibling on the driver test data with a numeric floor — sketches and
+  * samples don't get to be "rows > 0 and hope":
+  *
+  *  - minhash/simhash candidate pairs vs exact n-gram Jaccard pairs
+  *  - LSH / IVF / hamming top-k recall@k vs exact cosine top-k
+  *  - Bernoulli sample size vs binomial bounds
+  *  - approx_count_distinct / percentile_approx vs exact aggregates
+  *  - rolling fingerprints vs planted verbatim window overlap
+  *
+  * All operators here are deterministic (hash-seeded sketches, seeded
+  * sampling, fixed data), so the floors sit just under the measured
+  * values — a regression that costs a few points of recall fails loudly.
+  */
+class QuantGateSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // exact bigram-Jaccard pairs: the ground truth for both text-sketch gates
+  private lazy val exactNgramPairs: Map[(Long, Long), Double] =
+    table("documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.5)
+      .df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  // exact cosine top-10: the ground truth for the three ANN gates
+  private lazy val exactTop10: Set[(Long, Long)] = {
+    val emb = table("embeddings")
+    topkPairs(emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df)
+  }
+
+  private def recallOf(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double = {
+    assert(truth.nonEmpty, "ground-truth set must not be empty")
+    (truth & got).size.toDouble / truth.size
+  }
+
+  test("minhash LSH recovers >=90% of exact near-dup pairs (j >= 0.8)") {
+    val strong = exactNgramPairs.filter(_._2 >= 0.8).keySet
+    val mh = pairSet(table("documents").minhashLsh("doc_id", "text",
+      shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df)
+    val recall = recallOf(mh, strong)
+    assert(recall >= 0.9, f"minhash recall $recall%.3f < 0.9 (truth ${strong.size} pairs)")
+  }
+
+  test("simhash recovers >=85% of exact near-dup pairs (j >= 0.9)") {
+    val vstrong = exactNgramPairs.filter(_._2 >= 0.9).keySet
+    val sh = pairSet(table("documents").simhashPairs("doc_id", "text", maxHamming = 8).df)
+    val recall = recallOf(sh, vstrong)
+    assert(recall >= 0.85, f"simhash recall $recall%.3f < 0.85 (truth ${vstrong.size} pairs)")
+  }
+
+  test("hamming sketch-rerank reaches recall@10 >= 0.8 at <= 25% exact scan") {
+    val emb = table("embeddings")
+    val n = emb.df.count()
+    val rerank = 125 // the q_sim_topk_hamming dial
+    assert(rerank <= n / 4, s"rerank budget $rerank exceeds 25% of corpus $n")
+    val got = topkPairs(emb.hammingCosineTopK(emb.df.where("vec_id < 5"),
+      "vec_id", "embedding", 10, planes = 256, rerankPerQuery = rerank).df)
+    val recall = recallOf(got, exactTop10)
+    assert(recall >= 0.8, f"hamming recall@10 $recall%.3f < 0.8")
+  }
+
+  test("multi-probe LSH reaches recall@10 >= 0.7") {
+    val emb = table("embeddings")
+    val got = topkPairs(emb.lshCosineTopK(emb.df.where("vec_id < 5"),
+      "vec_id", "embedding", 10).df)
+    val recall = recallOf(got, exactTop10)
+    assert(recall >= 0.7, f"lsh recall@10 $recall%.3f < 0.7")
+  }
+
+  test("k-means IVF reaches recall@10 >= 0.5 at 25% cell probe") {
+    val emb = table("embeddings")
+    val got = topkPairs(emb.ivfCosineTopK(emb.df.where("vec_id < 5"),
+      "vec_id", "embedding", 10, nlist = 16, nprobe = 4).df)
+    val recall = recallOf(got, exactTop10)
+    assert(recall >= 0.5, f"ivf recall@10 $recall%.3f < 0.5")
+  }
+
+  test("Bernoulli sample size stays within 4-sigma binomial bounds") {
+    val li = table("lineitem")
+    val n = li.df.count()
+    val f = 0.1
+    val sampled = li.sampleRows(f).df.count()
+    val sigma = math.sqrt(n * f * (1 - f))
+    val lo = n * f - 4 * sigma
+    val hi = n * f + 4 * sigma
+    assert(sampled >= lo && sampled <= hi,
+      s"sample of $n rows at $f gave $sampled, outside [$lo, $hi]")
+  }
+
+  test("approx_agg distinct within 15% HLL error, percentiles within 1%") {
+    val li = table("lineitem")
+    val approx = li.approxAgg(Seq("l_returnflag"), "l_extendedprice").df
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = li.df.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_extendedprice")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (d, p50, p95)) =>
+      val (ad, ap50, ap95) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d <= 0.15,
+        s"$flag approx distinct $ad vs exact $d beyond HLL bound")
+      assert(math.abs(ap50 - p50) / p50 <= 0.01, s"$flag p50 $ap50 vs $p50")
+      assert(math.abs(ap95 - p95) / p95 <= 0.01, s"$flag p95 $ap95 vs $p95")
+    }
+  }
+
+  test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
+    // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
+    // exact near-dup pairs (j >= 0.9) must nearly all collide and the
+    // ~125k non-dup pairs must not (64-bit hash space)
+    val fp = table("documents").rollingFingerprintCol("text", 32).df
+      .select("doc_id", "text_rfp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strong = exactNgramPairs.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty)
+    val hit = strong.count { case (a, b) => fp(a) == fp(b) }
+    assert(hit.toDouble / strong.size >= 0.9,
+      s"only $hit of ${strong.size} near-dup pairs share a fingerprint")
+    val ids = fp.keys.toArray.sorted
+    var falseColl = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.length)
+      if (!exactNgramPairs.contains((ids(i), ids(j))) && fp(ids(i)) == fp(ids(j)))
+        falseColl += 1
+    assert(falseColl == 0, s"$falseColl unrelated pairs share a fingerprint")
+  }
+}
