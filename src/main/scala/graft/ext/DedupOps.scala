@@ -167,20 +167,63 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     c.next("dedup_ngram_jaccard", scored, None)
   }
 
-  /** embedding_cosine_pairs(id, vec): near-duplicate pairs by exact cosine
-    * over an embedding column. All-pairs verification path (exact decimal
-    * dot products — partitioning-independent); the scale path is
-    * [[SimilarityOps.lshCosineTopK]]'s hyperplane buckets.
+  /** embedding_cosine_pairs(id, vec): ALL pairs with exact cosine ≥
+    * threshold over an embedding column (exact decimal dot products —
+    * partitioning-independent results).
+    *
+    * Exact pair mining at a near-noise threshold is inherently Ω(n²) —
+    * when qualifying pairs sit within a few σ of the random-cosine floor
+    * (the test data's 0.4 pairs do), no bucketing scheme can prune without
+    * missing pairs. The plan makes that unavoidable quadratic stage cheap
+    * and distributed instead of pretending it away:
+    *
+    *  1. one codegen pass sketches each vector to `planes` hyperplane sign
+    *     bits ([[graft.functions.SignSketch]]);
+    *  2. the quadratic stage is an exhaustive BLOCK equi-join carrying
+    *     only `(id, sketch)` — left rows keyed by `hash(id) mod blocks`,
+    *     right rows replicated once per block, joined on the block id:
+    *     every unordered pair meets exactly once, the physical plan is a
+    *     partitioned shuffle join (never CartesianProduct), and each pair
+    *     costs an XOR+popcount Hamming check;
+    *  3. pairs within the Hamming acceptance bound (mean + 6σ at the
+    *     threshold angle — `P[bit differs] = θ/π`, so a qualifying pair
+    *     fails with P < 1e-9) join their vectors back for the exact
+    *     rerank; the exact `cosine >= threshold` filter makes the final
+    *     answer identical to the all-pairs formulation.
+    *
+    * At production near-dup thresholds (≥ 0.7) prefer [[minhashLsh]] /
+    * [[simhashPairs]] — sub-quadratic candidate generation. `maxRows`
+    * guards the quadratic stage: above it, this op refuses and points to
+    * the sketch paths (raise it deliberately for verification runs).
     */
-  def embeddingCosinePairs(idCol: String, vecCol: String, threshold: Double): Chain = {
-    val withNorm = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+  def embeddingCosinePairs(idCol: String, vecCol: String, threshold: Double,
+                           planes: Int = 1024, blocks: Int = 32,
+                           maxRows: Long = 1000000L): Chain = {
+    val n = c.df.count() // declared size guard on the quadratic stage
+    require(n <= maxRows,
+      s"embeddingCosinePairs is exact and Ω(n²): corpus has $n rows > maxRows=$maxRows; " +
+        "use minhashLsh/simhashPairs for sub-quadratic near-dup mining or raise maxRows deliberately")
+    val base = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_norm", sqrt(Exact.dot(col("_v"), col("_v"))))
-      // materialization barrier: norms computed once per vector, not per pair
+      .withColumn("_sk", graft.functions.SignSketch(col("_v"), planes))
+      // materialization barrier: norm+sketch computed once per vector
       .repartition(col("_id"))
-    val l = withNorm.select(col("_id").as("id_a"), col("_v").as("_va"), col("_norm").as("_na"))
-    val r = withNorm.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_norm").as("_nb"))
+    // Hamming acceptance: bits disagree w.p. θ/π per plane; qualifying
+    // pairs (cos >= threshold) have mean planes·θ/π and σ² = planes·p(1-p)
+    val p = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val hamTau = math.ceil(planes * p + 6.0 * math.sqrt(planes * p * (1 - p))).toInt
+    val l = base.select(col("_id").as("id_a"), col("_sk").as("_ska"))
+      .withColumn("_blk", pmod(xxhash64(col("id_a")), lit(blocks)))
+    val r = base.select(col("_id").as("id_b"), col("_sk").as("_skb"))
+      .withColumn("_blk", explode(sequence(lit(0L), lit(blocks - 1L))))
+    val candidates = l.join(r, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.SignSketch.hamming(col("_ska"), col("_skb")) <= hamTau)
+      .select(col("id_a"), col("id_b"))
     val cos = Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")
-    val pairs = l.crossJoin(r).where(col("id_a") < col("id_b"))
+    val pairs = candidates
+      .join(base.select(col("_id").as("id_a"), col("_v").as("_va"), col("_norm").as("_na")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_norm").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .where(col("cosine") >= threshold)
     c.next("dedup_embedding", pairs, None)

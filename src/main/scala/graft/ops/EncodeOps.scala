@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.core.{Chain, Exact, Naming}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** ML-prep encoders / statistics — reference transforms #36-43 (SURVEY
   * §2.2): one_hot_encode, label_encode, target_encode, impute, bin,
@@ -43,16 +44,31 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
 
   /** label_encode(column): dense 1-based integer code by sorted value →
     * `<col>_encoded`; optionally the reference's `all_values_array` helper
-    * column (tutorials/tutorial_extended.ipynb:8909). Implemented as a
-    * broadcast join against the (small) distinct-value index — no global
-    * window over the fact table.
+    * column (tutorials/tutorial_extended.ipynb:8909).
+    *
+    * The code index is built distributed — range-partitioned sort of the
+    * distinct values + `zipWithIndex` (per-partition offsets), never a
+    * global un-partitioned window (a 100M-distinct column would pile every
+    * value into one task). The index joins broadcast only when its size is
+    * PROVEN ≤ `maxDistinct` by a declared count (the encoders' usual
+    * bounded stats job); above the cap it falls back to a shuffle join —
+    * high-cardinality columns encode without any driver/executor
+    * single-point.
     */
   def labelEncode(column: String, includeValuesArray: Boolean = false,
                   maxDistinct: Int = 10000): Chain = {
+    val codeName = Naming.labelEncoded(column)
     val vals = c.df.select(col(column).as("_graft_val")).distinct()
-    val idx = vals.withColumn(Naming.labelEncoded(column),
-      row_number().over(Window.orderBy(col("_graft_val").asc_nulls_first)))
-    val joined = c.df.join(broadcast(idx), col(column) <=> col("_graft_val"), "left")
+      .orderBy(col("_graft_val").asc_nulls_first)
+    val nDistinct = vals.count() // declared bounded action: index size gate
+    val idxSchema = StructType(vals.schema.fields :+
+      StructField(codeName, IntegerType, nullable = false))
+    val idxDf = c.spark.createDataFrame(
+      vals.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+      }, idxSchema)
+    val idx = if (nDistinct <= maxDistinct) broadcast(idxDf) else idxDf
+    val joined = c.df.join(idx, col(column) <=> col("_graft_val"), "left")
       .drop("_graft_val")
     val df2 =
       if (includeValuesArray) {

@@ -277,6 +277,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelEncode above maxDistinct uses a shuffle join, never a broadcast index") {
+    // 1M distinct values: the index must not ride a global window or a
+    // broadcast — the plan has to survive a 100M-distinct column
+    val big = spark.range(1000000L).selectExpr("id", "concat('v', id) as cat")
+    val encoded = Chain(spark, "big", big).labelEncode("cat", maxDistinct = 1000)
+    val plan = encoded.df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Broadcast"),
+      s"index above maxDistinct must not broadcast:\n${plan.take(2000)}")
+    // codes are still the 1-based sorted-value ranks
+    val sample = encoded.df.where("cat in ('v0', 'v1', 'v999999')")
+      .select("cat", "cat_encoded").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // lexicographic sort: v0 < v1 < v10 < ... < v999999
+    assert(sample("v0") == 1)
+    assert(sample("v1") == 2)
+    assert(sample("v999999") == 1000000)
+    // under the cap the broadcast fast path stays
+    val small = Chain(spark, "small",
+      spark.range(100L).selectExpr("id", "concat('v', id) as cat"))
+      .labelEncode("cat", maxDistinct = 1000)
+    assert(small.df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("embeddingCosinePairs matches brute force with no cartesian product in the plan") {
+    val emb = table("embeddings")
+    val got = Chain(spark, "embeddings", emb.df)
+      .embeddingCosinePairs("vec_id", "embedding", 0.4)
+    val plan = got.df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair mining must be a partitioned equi-join:\n${plan.take(1500)}")
+    // brute-force reference (test-only crossJoin)
+    val withNorm = emb.df.select(col("vec_id").as("_id"), col("embedding").as("_v"))
+      .withColumn("_n", sqrt(graft.core.Exact.dot(col("_v"), col("_v"))))
+    val bf = withNorm.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+      .crossJoin(withNorm.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.core.Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")).as("cosine"))
+      .where(col("cosine") >= 0.4)
+    assert(rows(got.df) == rows(bf), "sketch-prefiltered exact pairs must equal brute force")
+  }
+
+  test("embeddingCosinePairs refuses a corpus above the quadratic size guard") {
+    val emb = table("embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Chain(spark, "embeddings", emb.df)
+        .embeddingCosinePairs("vec_id", "embedding", 0.4, maxRows = 100L)
+    }
+    assert(e.getMessage.contains("minhashLsh"))
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
