@@ -235,6 +235,17 @@ object SparkEntry {
     "q_apply" -> ((s, d) =>
       t(s, d, "lineitem").applySql(
         "SELECT l_returnflag, COUNT(*) AS cnt FROM {{source_table}} GROUP BY l_returnflag").df),
+    // user-defined named transform (define_transform parity): registered
+    // template bound with args, executed + rendered like a built-in step
+    "q_named_transform" -> ((s, d) => {
+      val sess = graft.core.GraftSession(s)
+      val tpl = sess.defineTransform("priority_totals", Seq("group_col", "min_price"),
+        "SELECT {{group_col}}, COUNT(*) AS n, " +
+          s"${dsum("o_totalprice")} AS total " +
+          "FROM {{source_table}} WHERE o_totalprice >= {{min_price}} GROUP BY {{group_col}}")
+      t(s, d, "orders").transformNamed(tpl,
+        Map("group_col" -> "o_orderpriority", "min_price" -> "100000")).df
+    }),
 
     // ---- set ops / grouping sets / sketches beyond the reference surface
     "q_intersect" -> ((s, d) =>
@@ -481,6 +492,9 @@ object SparkEntry {
       "SELECT p_partkey, p_name, p_brand, p_type, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, p_name, p_brand, p_type, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part",
     "q_apply" ->
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q_named_transform" ->
+      (s"SELECT o_orderpriority, COUNT(*) AS n, ${dsum("o_totalprice")} AS total " +
+        "FROM orders WHERE o_totalprice >= 100000 GROUP BY o_orderpriority"),
     "q_intersect" ->
       "SELECT * FROM orders WHERE o_totalprice > 100000 INTERSECT SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_except" ->

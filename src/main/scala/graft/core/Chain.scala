@@ -92,6 +92,42 @@ final class Chain private (
       case other => throw new IllegalArgumentException(s"unknown table type $other")
     }
 
+  /** Append the chain's rows to a managed parquet table, creating it when
+    * missing — the reference's WriteMethod.APPEND
+    * (rasgoql/primitives/enums.py:115-122, data/snowflake.py:465-490),
+    * the write mode every incremental pipeline runs on. Columns are
+    * matched by name; a schema mismatch fails loudly rather than
+    * null-padding.
+    */
+  def saveAppend(name: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(name)
+
+  /** Key-based upsert (insert-or-replace): rows matching an existing row
+    * on `keys` replace it, everything else appends; creates the table when
+    * missing. Parquet has no ACID merge, so the merge is declared
+    * relational algebra — `new ∪ (old ANTI JOIN new.keys)` — staged to a
+    * temporary table and swapped in with RENAME (never read-and-overwrite
+    * the same table, which Spark rejects mid-scan). One anti-join shuffle
+    * (AQE broadcasts the key set when small) plus a table rewrite: the
+    * honest cost of upsert on a plain columnar store; swap in a
+    * transactional format for partial rewrites.
+    */
+  def saveUpsert(name: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    keys.foreach(k => require(df.columns.contains(k), s"upsert key $k not in chain columns"))
+    if (!spark.catalog.tableExists(name)) {
+      df.write.mode(SaveMode.ErrorIfExists).format("parquet").saveAsTable(name)
+    } else {
+      val kept = spark.table(name)
+        .join(df.select(keys.map(df.col): _*).distinct(), keys, "left_anti")
+      val merged = df.unionByName(kept)
+      val staging = s"${name}_graft_upsert_staging"
+      merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
+      spark.sql(s"DROP TABLE `$name`")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$name`")
+    }
+  }
+
   /** Materialize as a BUCKETED managed parquet table: rows hash-partitioned
     * into `buckets` files per partition by `keys`, sorted within buckets.
     * Joins and aggregations between tables bucketed the same way on the

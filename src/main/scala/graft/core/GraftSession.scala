@@ -51,6 +51,29 @@ final class GraftSession(val spark: SparkSession) {
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
 
+  // ---- user-defined transform registry (≅ rql.define_transform /
+  // list_transforms, main.py:87-144)
+
+  private val userTransforms =
+    scala.collection.mutable.LinkedHashMap.empty[String, TransformTemplate]
+
+  /** Register a named, parameterized SQL transform usable as a chain step
+    * (see [[TransformTemplate]]). Re-registering a name replaces it, like
+    * the reference's latest-wins template serving.
+    */
+  def defineTransform(name: String, arguments: Seq[String], sqlTemplate: String,
+                      description: String = ""): TransformTemplate = {
+    val t = TransformTemplate(name, arguments, sqlTemplate, description)
+    userTransforms(name) = t
+    t
+  }
+
+  def listTransforms(): Seq[TransformTemplate] = userTransforms.values.toSeq
+
+  def transform(name: String): TransformTemplate =
+    userTransforms.getOrElse(name, throw new NoSuchElementException(
+      s"no transform '$name' registered; known: ${userTransforms.keys.mkString(", ")}"))
+
   def getSchema(table: String): Seq[(String, String)] =
     spark.table(table).schema.fields.map(f => f.name -> f.dataType.sql).toSeq
 

@@ -1,0 +1,126 @@
+package graft.ext
+
+/** Decoded media metadata: the engine-side contract every codec fills. */
+final case class MediaMeta(width: Int, height: Int, format: String, nFrames: Int)
+
+/** Pluggable codec boundary for [[MultimodalOps.decodeMedia]]. Implementations
+  * must be serializable — the decoder ships inside the `mapPartitions`
+  * closure to executors. Two implementations ride along:
+  *
+  *  - [[ImageHeaderDecoder]] — a REAL pure-JVM codec: parses PNG / JPEG /
+  *    GIF / BMP headers (dimensions, format, GIF frame count) straight off
+  *    the bytes, no image library needed.
+  *  - [[FakeDecoder]] — the deterministic test stand-in for payloads that
+  *    aren't real media (the driver's documents table), kept as the
+  *    oracle-checked default so the Spark-side plumbing is exercised
+  *    end-to-end in an environment with no media fixtures.
+  *
+  * Production media (full pixel decode, audio, video) plugs in the same
+  * way: implement `decode`, pass the instance to `decodeMedia`.
+  */
+trait MediaDecoder extends Serializable {
+  def decode(bytes: Array[Byte]): MediaMeta
+}
+
+/** Deterministic stand-in for payloads that aren't real media. The format
+  * branch keys off the first CHARACTER's Unicode code point (not the first
+  * UTF-8 byte) so it agrees with character-level SQL
+  * (`ascii(substr(text,1,1))`) even when the payload starts with a
+  * multi-byte character (zh docs).
+  */
+object FakeDecoder extends MediaDecoder {
+  override def decode(bytes: Array[Byte]): MediaMeta = {
+    val len = bytes.length
+    val head =
+      if (len == 0) 0
+      else new String(bytes, 0, math.min(len, 4),
+        java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+    MediaMeta(
+      width = 64 + (len % 576),          // plausible 64..639
+      height = 64 + ((len * 7) % 416),   // plausible 64..479
+      format = if (head % 2 == 0) "png" else "jpeg",
+      nFrames = 1 + (len % 8))
+  }
+}
+
+/** Real pure-JVM image header parser: PNG (IHDR), JPEG (SOF marker walk),
+  * GIF (logical screen descriptor + block-walk frame count), BMP
+  * (BITMAPINFOHEADER). Unknown payloads decode as `format = "unknown"`
+  * with zero dimensions rather than throwing — a corrupt byte blob in row
+  * 10⁹ of a 100 TB scan must not kill the job; filter on format instead.
+  */
+object ImageHeaderDecoder extends MediaDecoder {
+
+  override def decode(bytes: Array[Byte]): MediaMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val n = bytes.length
+
+    // PNG: 8-byte signature, then the IHDR chunk (length+type+13 bytes)
+    if (n >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        bytes.slice(12, 16).sameElements("IHDR".getBytes)) {
+      MediaMeta(be32(16), be32(20), "png", 1)
+    }
+    // JPEG: SOI then marker segments; dimensions live in the first SOFn
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 3 < n) {
+        if (u8(i) != 0xff) { i += 1 } // padding / garbage between markers
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+          else if (i + 3 >= n) i = n
+          else {
+            val segLen = be16(i + 2)
+            // SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              if (i + 8 < n) out = MediaMeta(be16(i + 7), be16(i + 5), "jpeg", 1)
+              else i = n
+            } else i += 2 + segLen
+          }
+        }
+      }
+      if (out != null) out else unknown(n)
+    }
+    // GIF: header + logical screen descriptor; frames = image descriptors
+    else if (n >= 13 && bytes.slice(0, 3).sameElements("GIF".getBytes)) {
+      val width = le16(6)
+      val height = le16(8)
+      var frames = 0
+      var i = 13
+      if ((u8(10) & 0x80) != 0) i += 3 * (2 << (u8(10) & 0x07)) // global color table
+      var done = false
+      while (!done && i < n) {
+        u8(i) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: label byte, then data sub-blocks
+            i += 2
+            while (i < n && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case 0x2c => // image descriptor
+            frames += 1
+            if (i + 9 < n && (u8(i + 9) & 0x80) != 0)
+              i += 3 * (2 << (u8(i + 9) & 0x07)) // local color table
+            i += 10 + 1 // descriptor + LZW min code size
+            while (i < n && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case _ => done = true // corrupt block stream: stop, keep what we have
+        }
+      }
+      MediaMeta(width, height, "gif", math.max(frames, 1))
+    }
+    // BMP: "BM", BITMAPINFOHEADER at offset 14 (signed width/height)
+    else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      MediaMeta(math.abs(le32(18)), math.abs(le32(22)), "bmp", 1)
+    }
+    else unknown(n)
+  }
+
+  private def unknown(len: Int): MediaMeta = MediaMeta(0, 0, "unknown", 1)
+}

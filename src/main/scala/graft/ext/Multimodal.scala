@@ -11,32 +11,14 @@ import org.apache.spark.sql.types._
   * as partition-batched functions (the Scala analogue of `mapInPandas` —
   * one iterator per partition, vectorizable by the caller).
   *
-  * The actual codec step is a STUB (`fakeDecode`): image/audio libraries
-  * are not available in this environment, so it derives deterministic
-  * pseudo-metadata from the byte stream. The Spark-side contract — schema,
-  * binary transport, partition iteration, explode of per-frame rows — is
-  * real and tested; swap `fakeDecode` for a JNI/javacv decoder in
-  * production.
+  * The codec is a pluggable [[MediaDecoder]]: [[ImageHeaderDecoder]] is a
+  * real pure-JVM PNG/JPEG/GIF/BMP header parser; [[FakeDecoder]] is the
+  * deterministic stand-in used for the driver's non-media payloads (kept
+  * as the default so the oracle exercises the full Spark-side contract —
+  * schema, binary transport, partition iteration, per-frame explode — in
+  * an environment with no media fixtures).
   */
 object Multimodal {
-
-  /** Deterministic stand-in for a real media decoder. The format branch
-    * keys off the first CHARACTER's Unicode code point (not the first UTF-8
-    * byte) so it agrees with character-level SQL (`ascii(substr(text,1,1))`)
-    * even when the payload starts with a multi-byte character (zh docs).
-    */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, String, Int) = {
-    val len = bytes.length
-    val head =
-      if (len == 0) 0
-      else new String(bytes, 0, math.min(len, 4),
-        java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-    val width = 64 + (len % 576)          // plausible 64..639
-    val height = 64 + ((len * 7) % 416)   // plausible 64..479
-    val format = if (head % 2 == 0) "png" else "jpeg"
-    val nFrames = 1 + (len % 8)
-    (width, height, format, nFrames)
-  }
 
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", IntegerType, nullable = false),
@@ -55,11 +37,13 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
   def withMediaColumn(sourceCol: String, as: String = "media"): Chain =
     c.next("with_media", c.df.withColumn(as, col(sourceCol).cast("binary")), None)
 
-  /** decode_media(media): partition-batched decode of the binary column to
-    * a metadata struct. Uses mapPartitions — one JVM-side batch per
-    * partition, no per-row task overhead, no driver involvement.
+  /** decode_media(media, decoder): partition-batched decode of the binary
+    * column to a metadata struct through a pluggable [[MediaDecoder]].
+    * Uses mapPartitions — one JVM-side batch per partition, no per-row
+    * task overhead, no driver involvement; the decoder instance ships in
+    * the closure once per task, not per row.
     */
-  def decodeMedia(mediaCol: String): Chain = {
+  def decodeMedia(mediaCol: String, decoder: MediaDecoder = FakeDecoder): Chain = {
     val inSchema = c.df.schema
     val outSchema = StructType(inSchema.fields ++ metaSchema.fields)
     val idx = inSchema.fieldIndex(mediaCol)
@@ -67,8 +51,8 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
     val df2 = c.df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val (w, h, fmt, nf) = fakeDecode(bytes)
-        Row.fromSeq(row.toSeq ++ Seq(bytes.length, w, h, fmt, nf))
+        val m = decoder.decode(bytes)
+        Row.fromSeq(row.toSeq ++ Seq(bytes.length, m.width, m.height, m.format, m.nFrames))
       }
     }(enc)
     c.next("decode_media", df2, None)

@@ -241,7 +241,27 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
       rightVals.map(n => col("_rv").getField(n).as(outName(n)))
     val df2 = filled.where(col("_src") === 1).select(proj: _*)
-    c.next("asof_join", df2, None)
+    // SQL face: the same union-window plan as Spark-SQL text, so chains
+    // using asof joins keep sql()/toDbt (every reference op renders)
+    val q = graft.core.Naming.quoteId _
+    val onSql = on.map(q)
+    val lRestSql = leftRest.map(n => s"${q(n)}")
+    val rvStructSql = rvType.sql // STRUCT<name: TYPE, ...>
+    val lBranch = (onSql ++ Seq(s"${q(leftTime)} AS _t", "1 AS _src") ++ lRestSql :+
+      s"CAST(NULL AS $rvStructSql) AS _rv").mkString(", ")
+    val rBranch = (onSql ++ Seq(s"${q(rightTime)} AS _t", "0 AS _src") ++
+      leftRest.map(n => s"CAST(NULL AS ${lTypes(n).sql}) AS ${q(n)}") :+
+      (s"NAMED_STRUCT(" +
+        rightVals.map(n => s"'$n', ${q(n)}").mkString(", ") + ") AS _rv")).mkString(", ")
+    val outSql = (leftCols.map(n => if (n == leftTime) s"_t AS ${q(n)}" else q(n)) ++
+      rightVals.map(n => s"_rvf.${q(n)} AS ${q(outName(n))}")).mkString(", ")
+    val frag =
+      s"SELECT $outSql FROM (SELECT *, LAST(_rv) IGNORE NULLS OVER (" +
+        s"PARTITION BY ${onSql.mkString(", ")} ORDER BY _t, _src " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rvf FROM (" +
+        s"SELECT $lBranch FROM {{source}} UNION ALL " +
+        s"SELECT $rBranch FROM ${rightSource(other)})) WHERE _src = 1"
+    c.next("asof_join", df2, Some(frag))
   }
 
   /** range_join(right, point, start, end, bucket_seconds): left rows joined
@@ -290,7 +310,21 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         col(s"_l.$pointCol") < col(s"_r.$endCol"))
     val proj = leftCols.map(n => col(s"_l.$n")) ++
       rightCols.map(n => col(s"_r.$n").as(outName(n)))
-    c.next("range_join", joined.select(proj: _*), None)
+    // SQL face: the same bucketized plan as Spark-SQL text (equi-join on
+    // the bucket + exact containment), keeping sql()/toDbt for the chain
+    val q = graft.core.Naming.quoteId _
+    def usSql(cn: String) = s"UNIX_MICROS(CAST(${q(cn)} AS TIMESTAMP))"
+    val selSql = (leftCols.map(n => s"_l.${q(n)}") ++
+      rightCols.map(n => s"_r.${q(n)} AS ${q(outName(n))}")).mkString(", ")
+    val frag =
+      s"SELECT $selSql FROM " +
+        s"(SELECT *, FLOOR(${usSql(pointCol)} / $bucketUs) AS _b FROM {{source}}) _l " +
+        s"JOIN (SELECT *, EXPLODE(SEQUENCE(FLOOR(${usSql(startCol)} / $bucketUs), " +
+        s"FLOOR((${usSql(endCol)} - 1) / $bucketUs))) AS _b " +
+        s"FROM ${rightSource(other)} WHERE ${q(endCol)} > ${q(startCol)}) _r " +
+        s"ON _l._b = _r._b " +
+        s"WHERE _l.${q(pointCol)} >= _r.${q(startCol)} AND _l.${q(pointCol)} < _r.${q(endCol)}"
+    c.next("range_join", joined.select(proj: _*), Some(frag))
   }
 
   /** join_salted(right, join_type, join_columns, salt_buckets): equi-join

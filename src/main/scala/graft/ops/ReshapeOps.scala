@@ -68,14 +68,31 @@ final class ReshapeOps(private val c: Chain) extends AnyVal {
     * special case at rasgoql/primitives/rendering.py:138-143), guarded by
     * the same destructive-keyword check as raw queries.
     */
-  def applySql(sqlText: String, acknowledgeRisk: Boolean = false): Chain = {
+  def applySql(sqlText: String, acknowledgeRisk: Boolean = false): Chain =
+    spliceSql("apply", sqlText, acknowledgeRisk, Map.empty)
+
+  /** transform(template, args): apply a registered user transform
+    * ([[graft.core.TransformTemplate]], ≅ the reference's
+    * `define_transform` + chain `.transform(name=...)`,
+    * rasgoql/main.py:123-144). Renders the template with the bound
+    * arguments, executes through the same guarded SQL splice as
+    * [[applySql]], and keeps a SQL fragment so the step round-trips
+    * through `sql()`/`toDbt` like every built-in.
+    */
+  def transformNamed(t: graft.core.TransformTemplate,
+                     args: Map[String, String] = Map.empty,
+                     acknowledgeRisk: Boolean = false): Chain =
+    spliceSql(t.name, t.render(args), acknowledgeRisk, args)
+
+  private def spliceSql(op: String, sqlText: String, acknowledgeRisk: Boolean,
+                        args: Map[String, String]): Chain = {
     val guard = new graft.core.GraftSession(c.spark)
     if (guard.isScarySql(sqlText) && !acknowledgeRisk)
       throw new IllegalArgumentException(
-        "apply sql contains a destructive keyword; pass acknowledgeRisk=true")
+        s"$op sql contains a destructive keyword; pass acknowledgeRisk=true")
     val viewName = s"graft_apply_${java.util.UUID.randomUUID.toString.replace("-", "").take(10)}"
     c.df.createOrReplaceTempView(viewName)
     val df2 = c.spark.sql(sqlText.replace("{{source_table}}", viewName))
-    c.next("apply", df2, Some(sqlText.replace("{{source_table}}", "{{source}}")))
+    c.next(op, df2, Some(sqlText.replace("{{source_table}}", "{{source}}")), args)
   }
 }

@@ -124,4 +124,65 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("byte_len")).toMap
     assert(out == Map(1L -> 4, 2L -> 2))
   }
+
+  test("ImageHeaderDecoder parses real PNG/JPEG/GIF/BMP headers through the pipeline") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(Array[Byte](8, 6, 0, 0, 0)) // bit depth, color type, ...
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 18 + 19)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                    // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort) // APP0 len 16
+      b.put("JFIF".getBytes).put(Array.fill[Byte](10)(0))
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17.toShort) // SOF0 len 17
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.put(Array.fill[Byte](12)(0))
+      b.array()
+    }
+    def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      buf ++= "GIF89a".getBytes
+      buf += (w & 0xff).toByte; buf += ((w >> 8) & 0xff).toByte
+      buf += (h & 0xff).toByte; buf += ((h >> 8) & 0xff).toByte
+      buf ++= Array[Byte](0, 0, 0) // no global color table
+      (0 until frames).foreach { _ =>
+        buf += 0x2c.toByte            // image descriptor
+        buf ++= Array.fill[Byte](9)(0) // left/top/w/h/flags (no local table)
+        buf += 2.toByte               // LZW min code size
+        buf += 1.toByte; buf += 0.toByte // one 1-byte data sub-block, terminator
+        buf += 0.toByte
+      }
+      buf += 0x3b.toByte // trailer
+      buf.toArray
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+      b.putInt(40).putInt(w).putInt(-h) // top-down bmp: negative height
+      b.array()
+    }
+    val media = Seq(
+      (1L, png(640, 480)), (2L, jpeg(320, 200)), (3L, gif(99, 44, 3)),
+      (4L, bmp(12, 34)), (5L, "not an image".getBytes)).toDF("doc_id", "media")
+    val got = Chain(spark, "m", media)
+      .decodeMedia("media", ImageHeaderDecoder).df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[String]("format"), r.getAs[Int]("n_frames")))).toMap
+    assert(got(1L) == ((640, 480, "png", 1)))
+    assert(got(2L) == ((320, 200, "jpeg", 1)))
+    assert(got(3L) == ((99, 44, "gif", 3)))
+    assert(got(4L) == ((12, 34, "bmp", 1)))
+    assert(got(5L) == ((0, 0, "unknown", 1)))
+    // frame sampling composes with the real decoder's frame counts
+    val frames = Chain(spark, "m", media.where("doc_id = 3"))
+      .decodeMedia("media", ImageHeaderDecoder).frameSample(2).df
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(frames == Seq(0, 2))
+  }
 }

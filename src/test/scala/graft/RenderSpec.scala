@@ -58,6 +58,52 @@ class RenderSpec extends AnyFunSuite {
     }
   }
 
+  test("user-defined named transforms register, execute, and render like built-ins") {
+    val sess = graft.core.GraftSession(TestSpark.spark)
+    val tpl = sess.defineTransform("totals_by", Seq("group_col", "min_price"),
+      "SELECT {{group_col}}, COUNT(*) AS n FROM {{source_table}} " +
+        "WHERE o_totalprice >= {{min_price}} GROUP BY {{group_col}}",
+      description = "per-group counts above a price floor")
+    assert(sess.listTransforms().map(_.name).contains("totals_by"))
+    assert(sess.transform("totals_by") eq tpl)
+    val c = table("orders").transformNamed(tpl,
+      Map("group_col" -> "o_orderpriority", "min_price" -> "100000"))
+    assert(c.steps.last.op == "totals_by")
+    // the step renders and the rendered SQL matches the DataFrame face
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // chained on top of other steps the fragment still composes
+    val c2 = table("orders").filterRows(Seq("o_orderstatus = 'F'"))
+      .transformNamed(tpl, Map("group_col" -> "o_orderpriority", "min_price" -> "0"))
+    assert(rows(spark.sql(c2.sql())) == rows(c2.df))
+  }
+
+  test("named transform argument validation fails loudly") {
+    val sess = graft.core.GraftSession(TestSpark.spark)
+    val tpl = sess.defineTransform("needs_col", Seq("colname"),
+      "SELECT {{colname}} FROM {{source_table}}")
+    intercept[IllegalArgumentException] { // missing argument
+      table("orders").transformNamed(tpl, Map.empty)
+    }
+    intercept[IllegalArgumentException] { // undeclared argument
+      table("orders").transformNamed(tpl,
+        Map("colname" -> "o_orderkey", "bogus" -> "x"))
+    }
+    intercept[IllegalArgumentException] { // template must reference the source
+      sess.defineTransform("no_source", Nil, "SELECT 1")
+    }
+    intercept[IllegalArgumentException] { // declared arg absent from template
+      sess.defineTransform("unused_arg", Seq("a"), "SELECT 1 FROM {{source_table}}")
+    }
+    intercept[IllegalArgumentException] { // destructive SQL guarded
+      val bad = sess.defineTransform("drops", Nil,
+        "SELECT * FROM {{source_table}}; DROP TABLE x")
+      table("orders").transformNamed(bad)
+    }
+    intercept[NoSuchElementException] {
+      sess.transform("never_registered")
+    }
+  }
+
   test("dbt export writes a runnable model + schema") {
     val out = Files.createTempDirectory("graft_dbt").toString
     val c = table("orders")

@@ -328,6 +328,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minhashLsh"))
   }
 
+  test("asofJoin SQL face round-trips: spark.sql(rendered) equals the DataFrame face") {
+    val trades = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "t1"),
+      (1L, ts("2020-01-01 10:05:00"), "t2"),
+      (2L, ts("2020-01-01 10:00:00"), "t3")).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, ts("2020-01-01 09:55:00"), Option(100.0), Option(5L)),
+      (1L, ts("2020-01-01 10:02:00"), Option.empty[Double], Option(7L))
+    ).toDF("k", "qt", "px", "sz")
+    trades.createOrReplaceTempView("asof_trades")
+    quotes.createOrReplaceTempView("asof_quotes")
+    val c = Chain(spark, "asof_trades", trades)
+      .asofJoin(Chain(spark, "asof_quotes", quotes), Seq("k"), "t", "qt")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("rangeJoin SQL face round-trips: spark.sql(rendered) equals the DataFrame face") {
+    val points = Seq(
+      (1L, ts("2020-01-01 00:00:05.5")),
+      (2L, ts("2020-01-03 12:00:00"))).toDF("id", "p")
+    val ivals = Seq(
+      (ts("2020-01-01 00:00:05.2"), ts("2020-01-01 00:00:05.8"), "subsec"),
+      (ts("2020-01-02 00:00:00"), ts("2020-01-05 00:00:00"), "days")).toDF("s", "e", "label")
+    points.createOrReplaceTempView("range_points")
+    ivals.createOrReplaceTempView("range_ivals")
+    val c = Chain(spark, "range_points", points)
+      .rangeJoin(Chain(spark, "range_ivals", ivals), "p", "s", "e", bucketSeconds = 3600L)
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    assert(c.df.count() == 2L)
+  }
+
+  test("saveAppend creates then appends; saveUpsert replaces by key") {
+    val t1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val t2 = Seq((3L, "c", 30.0)).toDF("id", "name", "v")
+    spark.sql("DROP TABLE IF EXISTS append_t")
+    Chain(spark, "t1", t1).saveAppend("append_t")
+    Chain(spark, "t2", t2).saveAppend("append_t")
+    assert(spark.table("append_t").count() == 3L)
+
+    spark.sql("DROP TABLE IF EXISTS upsert_t")
+    Chain(spark, "t1", t1).saveUpsert("upsert_t", Seq("id")) // create
+    val upd = Seq((2L, "b2", 22.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    Chain(spark, "upd", upd).saveUpsert("upsert_t", Seq("id"))
+    val got = spark.table("upsert_t").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      1L -> ("a", 10.0),   // untouched old row survives
+      2L -> ("b2", 22.0),  // replaced by key
+      4L -> ("d", 40.0)))  // new key appended
+    // upsert with a key not in the chain fails loudly
+    intercept[IllegalArgumentException] {
+      Chain(spark, "upd", upd).saveUpsert("upsert_t", Seq("nope"))
+    }
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
