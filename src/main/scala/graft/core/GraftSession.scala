@@ -8,8 +8,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftSession(val spark: SparkSession) {
 
-  /** Bind a chain to an existing catalog table (≅ rql.dataset(fqtn)). */
-  def dataset(table: String): Chain = Chain(spark, table, spark.table(table))
+  // ---- FQTN handling (≅ reference parse/validate_fqtn + namespace magic,
+  // rasgoql/data/base.py:120-190): Spark's 3-part form is
+  // `catalog.database.table`; partial names fill from the session's
+  // default namespace, mirroring magic_fqtn_handler.
+
+  private var defaultNamespace: String =
+    s"${spark.catalog.currentCatalog()}.${spark.catalog.currentDatabase}"
+
+  /** Current `catalog.database` used to complete partial table names. */
+  def namespace: String = defaultNamespace
+
+  /** Change the default namespace (validated 2-part `catalog.database`,
+    * ≅ change_namespace, base.py:195-205).
+    */
+  def changeNamespace(ns: String): Unit = {
+    require(ns.matches("[^\\s.]+\\.[^\\s.]+"), s"'$ns' is not a well-formed namespace (catalog.database)")
+    defaultNamespace = ns
+  }
+
+  /** Complete a 1/2/3-part table name to a full `catalog.database.table`
+    * (≅ parse_fqtn with default_namespace, base.py:133-158). Malformed
+    * names (empty parts, >3 parts, whitespace) fail loudly.
+    */
+  def resolveFqtn(name: String): String = {
+    require(name.nonEmpty && !name.exists(_.isWhitespace) && !name.split("\\.", -1).exists(_.isEmpty),
+      s"'$name' is not a well-formed table name")
+    val Array(cat, db) = defaultNamespace.split("\\.", 2)
+    name.count(_ == '.') match {
+      case 0 => s"$cat.$db.$name"
+      case 1 => s"$cat.$name"
+      case 2 => name
+      case _ => throw new IllegalArgumentException(s"'$name' is not a well-formed fqtn")
+    }
+  }
+
+  /** Catalog type of a bound table: MANAGED / EXTERNAL / VIEW / TEMPORARY
+    * (≅ the reference Dataset's is/type sync, primitives/transforms.py:140-151).
+    */
+  def tableType(name: String): String =
+    spark.catalog.getTable(boundName(name)).tableType
+
+  /** Resolve a user-supplied name to something the catalog knows: temp
+    * views and current-database names bind as-is; otherwise the default
+    * namespace completes the name. Missing tables fail with the resolved
+    * name and the known-table list, not a bare analysis error.
+    */
+  private def boundName(name: String): String =
+    if (spark.catalog.tableExists(name)) name
+    else {
+      val full = resolveFqtn(name)
+      if (!spark.catalog.tableExists(full))
+        throw new NoSuchElementException(
+          s"dataset '$name' not found (resolved to '$full'); known tables: " +
+            listTables().mkString(", "))
+      full
+    }
+
+  /** Bind a chain to an existing catalog table (≅ rql.dataset(fqtn)):
+    * validates existence up front (metadata sync) and records the resolved
+    * name as the chain's entry.
+    */
+  def dataset(table: String): Chain = {
+    val resolved = boundName(table)
+    Chain(spark, resolved, spark.table(resolved))
+  }
 
   /** Bind a chain to a parquet path; registers a view so the SQL render face
     * has a referenceable name.

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftSession
+import TestSpark._
+
+/** Session-level surface: FQTN resolution/validation, dataset bind with
+  * metadata sync, table-type introspection.
+  */
+class SessionSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val sess = GraftSession(spark)
+
+  test("resolveFqtn completes partial names from the default namespace") {
+    assert(sess.namespace == "spark_catalog.default")
+    assert(sess.resolveFqtn("t") == "spark_catalog.default.t")
+    assert(sess.resolveFqtn("db.t") == "spark_catalog.db.t")
+    assert(sess.resolveFqtn("cat.db.t") == "cat.db.t")
+  }
+
+  test("malformed fqtns and namespaces fail loudly") {
+    intercept[IllegalArgumentException](sess.resolveFqtn("a.b.c.d"))
+    intercept[IllegalArgumentException](sess.resolveFqtn("has space"))
+    intercept[IllegalArgumentException](sess.resolveFqtn("double..dot"))
+    intercept[IllegalArgumentException](sess.resolveFqtn(""))
+    intercept[IllegalArgumentException](sess.changeNamespace("just_catalog"))
+    intercept[IllegalArgumentException](sess.changeNamespace("a.b.c"))
+  }
+
+  test("changeNamespace redirects partial-name resolution") {
+    val s2 = GraftSession(spark)
+    s2.changeNamespace("cat2.db2")
+    assert(s2.resolveFqtn("t") == "cat2.db2.t")
+    assert(s2.resolveFqtn("db.t") == "cat2.db.t")
+  }
+
+  test("dataset binds temp views, managed tables, and full fqtns; missing names explain themselves") {
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("sess_view")
+    assert(sess.dataset("sess_view").df.count() == 1L)
+    assert(sess.tableType("sess_view") == "TEMPORARY")
+
+    spark.sql("DROP TABLE IF EXISTS sess_table")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.format("parquet").saveAsTable("sess_table")
+    assert(sess.dataset("sess_table").df.count() == 2L)
+    assert(sess.dataset("spark_catalog.default.sess_table").df.count() == 2L)
+    assert(sess.dataset("spark_catalog.default.sess_table").entryName
+      == "spark_catalog.default.sess_table")
+    assert(sess.tableType("sess_table") == "MANAGED")
+
+    val e = intercept[NoSuchElementException](sess.dataset("no_such_table"))
+    assert(e.getMessage.contains("spark_catalog.default.no_such_table"))
+  }
+}
