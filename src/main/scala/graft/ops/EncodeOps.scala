@@ -58,8 +58,12 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
   def labelEncode(column: String, includeValuesArray: Boolean = false,
                   maxDistinct: Int = 10000): Chain = {
     val codeName = Naming.labelEncoded(column)
+    // localCheckpoint materializes the sorted distinct set ONCE (distributed,
+    // spillable) — the size gate below, zipWithIndex's internal count and the
+    // index build would otherwise each recompute the distinct aggregation
     val vals = c.df.select(col(column).as("_graft_val")).distinct()
       .orderBy(col("_graft_val").asc_nulls_first)
+      .localCheckpoint()
     val nDistinct = vals.count() // declared bounded action: index size gate
     val idxSchema = StructType(vals.schema.fields :+
       StructField(codeName, IntegerType, nullable = false))
