@@ -332,6 +332,17 @@ object SparkEntry {
       // posting lists short), each verified against its own-threshold oracle
       "q_dedup_ngram_ii" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5).df),
+      // cluster assignment over the exact near-dup pairs (connected
+      // components, min-id label per component) — the keep/drop decision
+      // step after pair mining
+      "q_dedup_clusters" -> ((s, d) =>
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9)
+          .clusterPairs().df),
+      // token-budget pack assignment (batch assembly before training),
+      // scoped per language
+      "q_pack_sequences" -> ((s, d) =>
+        t(s, d, "documents").packSequences("n_chars", 20000L,
+          orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
@@ -592,6 +603,17 @@ object SparkEntry {
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
       "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
+      "q_dedup_clusters" ->
+        (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 2, threshold = 0.9)}), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) " +
+          "SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
+      "q_pack_sequences" ->
+        ("SELECT *, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) " +
+          "AS pack_id FROM documents"),
       "q_dedup_embedding" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
       "q_sim_topk" ->

@@ -241,3 +241,52 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 }
+
+/** Cluster assignment over near-duplicate candidate pairs — the step every
+  * dedup pipeline runs AFTER pair mining: connected components, each doc
+  * labeled with the smallest id in its component (pick `cluster_id = id`
+  * rows to keep, drop the rest).
+  */
+final class DedupClusterOps(private val c: Chain) extends AnyVal {
+
+  /** cluster_pairs(id_a, id_b): connected components by iterative min-label
+    * propagation — per round, every node takes the minimum label among
+    * itself and its neighbors (one equi-join + one min-aggregate, both
+    * shuffle-partitioned by node id; `localCheckpoint` truncates the plan
+    * between rounds so lineage doesn't grow with iterations). Converges in
+    * graph-diameter rounds — near-dup clusters are shallow (dups of dups),
+    * so the declared per-round convergence count runs a handful of times;
+    * `maxIters` bounds adversarial chains (upgrade to the
+    * large-star/small-star contraction if components with 10⁶-hop
+    * diameters ever matter). Output: `(id, cluster_id)` for every id
+    * appearing in a pair.
+    */
+  def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
+                   maxIters: Int = 20): Chain = {
+    val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaNbr = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
+        .where(col("cluster_id") =!= col("_old")).count() // declared convergence probe
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIters rounds — component diameter " +
+          "exceeds the bound; raise maxIters or use a contraction algorithm")
+    c.next("dedup_clusters", labels, None)
+  }
+}

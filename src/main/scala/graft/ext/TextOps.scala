@@ -160,6 +160,36 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("chunk_text", df2, None)
   }
 
+  /** pack_sequences(token_col, budget, order_by, partition_by): assign each
+    * row to a training pack so every pack holds ~`budget` tokens — the
+    * batch-assembly pass between chunking and the training loader. The
+    * pack id is offset binning over the running token total in a
+    * deterministic order: `pack_id = floor(cumulative_exclusive / budget)`
+    * — one window pass, engine-portable (exact SQL face), and at most one
+    * straddling row per boundary (items are ≪ budget in practice; strict
+    * first-fit greedy is inherently sequential and buys back only that
+    * straddle). `partition_by` scopes packing (e.g. per language/source) so
+    * each group packs independently — one shuffle on the partition keys.
+    */
+  def packSequences(tokenCol: String, budget: Long,
+                    orderBy: Seq[String], partitionBy: Seq[String] = Nil): Chain = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(orderBy.nonEmpty, "packSequences needs a deterministic order")
+    val w0 = if (partitionBy.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
+    val w = w0.orderBy(orderBy.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    val df2 = c.df.withColumn("pack_id", floor(cumBefore / budget))
+    val overSql = (if (partitionBy.isEmpty) ""
+      else s"PARTITION BY ${partitionBy.mkString(", ")} ") +
+      s"ORDER BY ${orderBy.mkString(", ")} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    c.next("pack_sequences", df2, Some(
+      s"SELECT *, CAST(FLOOR(COALESCE(SUM($tokenCol) OVER ($overSql), 0) / $budget) AS BIGINT) " +
+        s"AS pack_id FROM {{source}}"))
+  }
+
   /** scrub_text(text_col): redact URLs then emails → `<col>_clean` — the
     * standard PII/noise pass before training-data use. Pure regexp_replace
     * (codegen'd, linear scan).

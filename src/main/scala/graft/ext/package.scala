@@ -10,6 +10,7 @@ package object ext {
   import scala.language.implicitConversions
   implicit def toTextAnalysisOps(c: Chain): TextAnalysisOps = new TextAnalysisOps(c)
   implicit def toDedupOps(c: Chain): DedupOps = new DedupOps(c)
+  implicit def toDedupClusterOps(c: Chain): DedupClusterOps = new DedupClusterOps(c)
   implicit def toSimilarityOps(c: Chain): SimilarityOps = new SimilarityOps(c)
   implicit def toMultimodalOps(c: Chain): MultimodalOps = new MultimodalOps(c)
 }

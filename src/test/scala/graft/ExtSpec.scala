@@ -116,6 +116,50 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("clusterPairs labels connected components with the component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain), {10,11} (one edge), {20,21,22} (a triangle)
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Chain(spark, "p", pairs).clusterPairs().df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusterPairs fails loudly when the iteration bound is too small") {
+    import spark.implicits._
+    // a 6-hop path needs several propagation rounds; 1 is not enough
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Chain(spark, "p", path).clusterPairs(maxIters = 1)
+    }
+  }
+
+  test("packSequences bins by exclusive running token total per group") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 600), ("en", 2L, 600), ("en", 3L, 600), ("en", 4L, 600),
+      ("de", 5L, 900), ("de", 6L, 200)).toDF("lang", "doc_id", "n_tok")
+    val got = Chain(spark, "d", docs)
+      .packSequences("n_tok", 1000L, orderBy = Seq("doc_id"), partitionBy = Seq("lang"))
+      .df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    // en cumulative-before: 0,600,1200,1800 -> packs 0,0,1,1; de: 0,900 -> 0,0
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+    // SQL face agrees
+    docs.createOrReplaceTempView("pack_docs")
+    val c = Chain(spark, "pack_docs", docs)
+      .packSequences("n_tok", 1000L, orderBy = Seq("doc_id"), partitionBy = Seq("lang"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "d", docs).packSequences("n_tok", 0L, Seq("doc_id"))
+    }
+  }
+
   test("multimodal decode adds deterministic metadata per row") {
     import spark.implicits._
     val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
