@@ -121,6 +121,48 @@ object EventStreams {
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming append sink: drain the stream into a managed parquet table
+    * with exactly-once file-sink semantics (offsets + written-file log in
+    * the checkpoint). `Trigger.AvailableNow` processes everything
+    * available then stops — the batch-drain mode for scheduled ingest;
+    * pass `continuous = true` for an always-on query (returned without
+    * awaiting).
+    */
+  def sinkAppendToTable(df: DataFrame, name: String, checkpointDir: String,
+                        continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+    val q = (if (continuous) w else w.trigger(Trigger.AvailableNow())).toTable(name)
+    if (!continuous) q.awaitTermination()
+    q
+  }
+
+  /** Streaming key-upsert sink via `foreachBatch`: every micro-batch
+    * insert-or-replaces into the target table on `keys`
+    * ([[graft.core.Chain.saveUpsert]]) — the idempotent sink for
+    * at-least-once upstreams: redelivered rows overwrite themselves, so
+    * replays converge instead of duplicating. This is the standard
+    * pattern for maintaining a continuously-updated serving table from a
+    * watermarked `update`-mode aggregation.
+    */
+  def sinkUpsertToTable(df: DataFrame, name: String, keys: Seq[String],
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.core.Chain(batch.sparkSession, name, batch).saveUpsert(name, keys)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one
