@@ -92,6 +92,26 @@ final class Chain private (
       case other => throw new IllegalArgumentException(s"unknown table type $other")
     }
 
+  /** Materialize as a PARTITIONED managed parquet table — one directory
+    * per distinct value combination of `partitionCols`. Reads that filter
+    * on partition columns prune whole directories before any I/O (the
+    * other half of the 100 TB layout investment next to
+    * [[saveBucketed]]): date/source/language partitions turn full-corpus
+    * scans into touched-partition scans. Choose low-cardinality columns —
+    * a high-cardinality partition key explodes the file count.
+    */
+  def savePartitioned(name: String, partitionCols: Seq[String],
+                      overwrite: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty, "partitioned save needs partition columns")
+    if (!overwrite && spark.catalog.tableExists(name))
+      throw new IllegalStateException(
+        s"table $name exists; pass overwrite=true to replace")
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format("parquet")
+      .partitionBy(partitionCols: _*)
+      .saveAsTable(name)
+  }
+
   /** Append the chain's rows to a managed parquet table, creating it when
     * missing — the reference's WriteMethod.APPEND
     * (rasgoql/primitives/enums.py:115-122, data/snowflake.py:465-490),

@@ -383,6 +383,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("savePartitioned prunes partitions on partition-column filters") {
+    spark.sql("DROP TABLE IF EXISTS part_docs")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Chain(spark, "documents", docs).savePartitioned("part_docs", Seq("lang"), overwrite = true)
+    val filtered = spark.table("part_docs").where(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"partition filter must reach the scan:\n${scan.take(800)}")
+    // semantics preserved
+    assert(filtered.count() == docs.where(col("lang") === "en").count())
+    assert(spark.table("part_docs").count() == docs.count())
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
