@@ -336,7 +336,7 @@ object SparkEntry {
       // components, min-id label per component) — the keep/drop decision
       // step after pair mining
       "q_dedup_clusters" -> ((s, d) =>
-        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9)
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5)
           .clusterPairs().df),
       // token-budget pack assignment (batch assembly before training),
       // scoped per language
@@ -604,7 +604,7 @@ object SparkEntry {
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
       "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
       "q_dedup_clusters" ->
-        (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 2, threshold = 0.9)}), " +
+        (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
           "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
           "reach(id, r) AS (SELECT id, id FROM nodes UNION " +

@@ -264,23 +264,33 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
     val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    // localCheckpoint truncates lineage between rounds (the iterative-algo
+    // standard, same as GraphFrames CC); production clusters point
+    // spark.checkpoint.dir at reliable storage for executor-loss safety
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+    // round 0 folded into seeding: label = min(self, neighbors)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
+      .localCheckpoint()
+    // labels only ever decrease, so the label SUM strictly decreases while
+    // anything changes — one cheap aggregate per round instead of a
+    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val viaNbr = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNbr)
+      labels = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), "id")
-        .where(col("cluster_id") =!= col("_old")).count() // declared convergence probe
-      labels = next
-      converged = changed == 0
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     if (!converged)
