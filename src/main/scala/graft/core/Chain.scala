@@ -142,9 +142,15 @@ final class Chain private (
         .join(df.select(keys.map(df.col): _*).distinct(), keys, "left_anti")
       val merged = df.unionByName(kept)
       val staging = s"${name}_graft_upsert_staging"
+      val retired = s"${name}_graft_upsert_retired"
       merged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-      spark.sql(s"DROP TABLE `$name`")
+      // three-step swap: the live name is never dangling — a crash leaves
+      // either the old table or the new one reachable, plus a recoverable
+      // *_retired / *_staging copy
+      spark.sql(s"DROP TABLE IF EXISTS `$retired`")
+      spark.sql(s"ALTER TABLE `$name` RENAME TO `$retired`")
       spark.sql(s"ALTER TABLE `$staging` RENAME TO `$name`")
+      spark.sql(s"DROP TABLE `$retired`")
     }
   }
 

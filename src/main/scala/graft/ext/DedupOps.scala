@@ -132,9 +132,15 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         val dfreq = ex0.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
         val byRarity = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_id")).orderBy(col("_df"), col("_h"))
+        // the repartition on _h is a materialization barrier AND the join
+        // distribution: both self-join sides reuse ONE exchange (the
+        // df-join + rarity window run once, not once per side) and arrive
+        // already hash-partitioned on the join key
         val ex = ex0.join(dfreq, Seq("_h"))
           .withColumn("_rn", row_number().over(byRarity))
           .where(col("_rn") <= col("_sz") - ceil(lit(threshold) * col("_sz")).cast("int") + 1)
+          .select(col("_id"), col("_h"))
+          .repartition(col("_h"))
         val candidates = ex.select(col("_id").as("id_a"), col("_h"))
           .join(ex.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
           .where(col("id_a") < col("id_b"))
