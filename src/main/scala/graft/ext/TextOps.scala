@@ -124,7 +124,11 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
     val tok = c.df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // term-keyed barrier: tf feeds BOTH the df aggregation and the final
+    // join — one exchange serves both consumers (ReusedExchange) and both
+    // arrive already term-partitioned, so neither re-shuffles
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val score = idf match {
       case "raw" => (col("tf") * lit(n)).cast("double") / col("df_t")
