@@ -269,10 +269,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
-    val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    // checkpoint the pair pipeline BEFORE symmetrizing: the union's two
+    // branches would otherwise each re-run the whole upstream miner.
     // localCheckpoint truncates lineage between rounds (the iterative-algo
     // standard, same as GraphFrames CC); production clusters point
     // spark.checkpoint.dir at reliable storage for executor-loss safety
+    val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .localCheckpoint()
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
