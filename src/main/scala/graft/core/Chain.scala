@@ -64,6 +64,22 @@ final class Chain private (
   def coalescePartitions(numPartitions: Int): Chain =
     next("coalesce", df.coalesce(numPartitions), Some("SELECT * FROM {{source}}"))
 
+  /** Cache the chain's current state (lineage retained — lost blocks
+    * recompute, unlike checkpointing). Use when several downstream
+    * branches fan out from one expensive prefix; pair with
+    * [[unpersistChain]] when the fan-out is done.
+    */
+  def persistChain(level: String = "MEMORY_AND_DISK"): Chain = {
+    df.persist(org.apache.spark.storage.StorageLevel.fromString(level))
+    next("persist", df, Some("SELECT * FROM {{source}}"))
+  }
+
+  /** Release a [[persistChain]] cache (non-blocking). */
+  def unpersistChain(): Chain = {
+    df.unpersist(blocking = false)
+    next("unpersist", df, Some("SELECT * FROM {{source}}"))
+  }
+
   // ---- terminal verbs (≅ SQLChain.preview/to_df/save, transforms.py:332-429)
 
   /** Top-n rows (reference preview appends LIMIT 10). */

@@ -183,6 +183,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows(spark.sql(c2.sql())) == rows(o.df))
   }
 
+  test("persistChain caches the prefix and unpersistChain releases it") {
+    val o = table("orders").filterRows(Seq("o_totalprice > 100000"))
+    val cached = o.persistChain()
+    try {
+      assert(rows(cached.df) == rows(o.df))
+      assert(cached.df.storageLevel.useMemory || cached.df.storageLevel.useDisk)
+      assert(rows(spark.sql(cached.sql())) == rows(o.df)) // render pass-through
+    } finally {
+      val released = cached.unpersistChain()
+      assert(released.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    }
+  }
+
   test("bucketed tables join without a shuffle and match the plain join") {
     val li = table("lineitem").df.select("l_orderkey", "l_linenumber", "l_quantity")
     val o = table("orders").df.select("o_orderkey", "o_totalprice")
@@ -357,6 +370,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       .rangeJoin(Chain(spark, "range_ivals", ivals), "p", "s", "e", bucketSeconds = 3600L)
     assert(rows(spark.sql(c.sql())) == rows(c.df))
     assert(c.df.count() == 2L)
+  }
+
+  test("asof/range SQL faces round-trip with derived-table right sides") {
+    val trades = Seq((1L, ts("2020-01-01 10:00:00"), "t1")).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, ts("2020-01-01 09:00:00"), 100.0),
+      (1L, ts("2020-01-01 09:30:00"), -1.0)).toDF("k", "qt", "px")
+    trades.createOrReplaceTempView("dt_trades")
+    quotes.createOrReplaceTempView("dt_quotes")
+    // right side is a transformed sub-chain -> renders as a derived table
+    val filtered = Chain(spark, "dt_quotes", quotes).filterRows(Seq("px > 0"))
+    val a = Chain(spark, "dt_trades", trades).asofJoin(filtered, Seq("k"), "t", "qt")
+    assert(rows(spark.sql(a.sql())) == rows(a.df))
+    assert(a.df.collect()(0).getAs[Double]("px") == 100.0)
+
+    val points = Seq((1L, ts("2020-01-02 12:00:00"))).toDF("id", "p")
+    val ivals = Seq(
+      (ts("2020-01-01 00:00:00"), ts("2020-01-05 00:00:00"), "keep"),
+      (ts("2020-01-01 00:00:00"), ts("2020-01-05 00:00:00"), "drop")).toDF("s", "e", "label")
+    points.createOrReplaceTempView("dt_points")
+    ivals.createOrReplaceTempView("dt_ivals")
+    val fIv = Chain(spark, "dt_ivals", ivals).filterRows(Seq("label = 'keep'"))
+    val r = Chain(spark, "dt_points", points)
+      .rangeJoin(fIv, "p", "s", "e", bucketSeconds = 86400L)
+    assert(rows(spark.sql(r.sql())) == rows(r.df))
+    assert(r.df.count() == 1L)
   }
 
   test("saveAppend creates then appends; saveUpsert replaces by key") {
