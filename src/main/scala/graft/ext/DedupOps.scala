@@ -139,20 +139,20 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         val ex = ex0.join(dfreq, Seq("_h"))
           .withColumn("_rn", row_number().over(byRarity))
           .where(col("_rn") <= col("_sz") - ceil(lit(threshold) * col("_sz")).cast("int") + 1)
-          .select(col("_id"), col("_h"))
+          .select(col("_id"), col("_sz"), col("_h"))
           .repartition(col("_h"))
-        val candidates = ex.select(col("_id").as("id_a"), col("_h"))
-          .join(ex.select(col("_id").as("id_b"), col("_h")), Seq("_h"))
-          .where(col("id_a") < col("id_b"))
+        // length filter IN candidate generation (PPJoin proper): jaccard ≥ t
+        // forces |A|/|B| ∈ [t, 1/t], so size-incompatible pairs never reach
+        // the distinct or the verification join-backs
+        val candidates = ex.select(col("_id").as("id_a"), col("_sz").as("_pa"), col("_h"))
+          .join(ex.select(col("_id").as("id_b"), col("_sz").as("_pb"), col("_h")), Seq("_h"))
+          .where(col("id_a") < col("id_b") &&
+            col("_pa") >= ceil(lit(threshold) * col("_pb")) &&
+            col("_pb") >= ceil(lit(threshold) * col("_pa")))
           .select(col("id_a"), col("id_b")).distinct()
-        val withSets = candidates
+        candidates
           .join(side.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_sz").as("_sza")), Seq("id_a"))
           .join(side.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_sz").as("_szb")), Seq("id_b"))
-        // length filter: jaccard ≥ t forces |A|/|B| ∈ [t, 1/t] — prunes
-        // candidates before the merge-count verification
-        withSets
-          .where(col("_sza") >= ceil(lit(threshold) * col("_szb")) &&
-            col("_szb") >= ceil(lit(threshold) * col("_sza")))
           .withColumn("_inter",
             graft.functions.SortedArrayIntersectCount(col("_sha"), col("_shb")))
       } else {
