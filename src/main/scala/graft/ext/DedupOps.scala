@@ -158,8 +158,11 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       } else {
         // inverted-index count join; set sizes ride along the exploded rows
         // and through the pair groupBy (functionally dependent on the ids),
-        // so no join-back against the document sides is needed
+        // so no join-back against the document sides is needed. The _h
+        // repartition is the shared barrier + join distribution: both
+        // self-join sides reuse one exchange of the exploded postings
         val ex = side.select(col("_id"), col("_sz"), explode(col("_sh")).as("_h"))
+          .repartition(col("_h"))
         ex.select(col("_id").as("id_a"), col("_sz").as("_sza"), col("_h"))
           .join(ex.select(col("_id").as("id_b"), col("_sz").as("_szb"), col("_h")), Seq("_h"))
           .where(col("id_a") < col("id_b"))
