@@ -83,6 +83,37 @@ final class GraftSession(val spark: SparkSession) {
     Chain(spark, name, df)
   }
 
+  /** Bind a chain to a CSV path (header + schema inference by default —
+    * pass an explicit DDL schema at scale: inference scans the data).
+    * Registers a view so the SQL render face has a referenceable name.
+    */
+  def datasetFromCsv(path: String, name: String, header: Boolean = true,
+                     delimiter: String = ",", schemaDdl: Option[String] = None): Chain = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+    val df = schemaDdl.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+    df.createOrReplaceTempView(name)
+    Chain(spark, name, df)
+  }
+
+  /** Bind a chain to newline-delimited JSON (schema inferred unless a DDL
+    * schema is passed — prefer explicit at scale for one-pass reads).
+    */
+  def datasetFromJson(path: String, name: String, schemaDdl: Option[String] = None): Chain = {
+    val r = spark.read
+    val df = schemaDdl.fold(r)(s => r.schema(s)).json(path)
+    df.createOrReplaceTempView(name)
+    Chain(spark, name, df)
+  }
+
+  /** Bind a chain to an ORC path. */
+  def datasetFromOrc(path: String, name: String): Chain = {
+    val df = spark.read.orc(path)
+    df.createOrReplaceTempView(name)
+    Chain(spark, name, df)
+  }
+
   /** Ingest a local DataFrame as a table (≅ dataset_from_df, main.py:62-85). */
   def datasetFromDf(df: DataFrame, name: String, overwrite: Boolean = false): Chain = {
     df.write.mode(if (overwrite) "overwrite" else "errorifexists")

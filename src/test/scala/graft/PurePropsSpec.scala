@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import Prop.{forAll, propBoolean}
+
+/** Property tests for the pure (Spark-free) kernels: identifier cleansing,
+  * sampling thresholds, template substitution, media-header robustness.
+  */
+object PurePropsSpec extends Properties("graft.pure") {
+
+  // ---- Naming.cleanse: always a valid lowercase identifier, idempotent
+  property("cleanse yields a valid identifier") = forAll { (s: String) =>
+    graft.core.Naming.cleanse(s).matches("[a-z_][a-z0-9_]*")
+  }
+  property("cleanse is idempotent") = forAll { (s: String) =>
+    val once = graft.core.Naming.cleanse(s)
+    graft.core.Naming.cleanse(once) == once
+  }
+
+  // ---- quoteId: plain names pass through; quoted names always parse as a
+  // single backtick-delimited token (embedded backticks doubled)
+  property("quoteId round-trips backticks") = forAll { (s: String) =>
+    val q = graft.core.Naming.quoteId(s)
+    if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) q == s
+    else q.startsWith("`") && q.endsWith("`") &&
+      q.substring(1, q.length - 1).replace("``", "") == s.replace("`", "")
+  }
+
+  // ---- hashThreshold: monotone in the fraction, fixed 15-hex-digit form
+  private val unitFrac = Gen.chooseNum(1e-9, 1.0 - 1e-9)
+  property("hashThreshold is 15 lowercase hex digits on (0,1)") =
+    forAll(unitFrac) { f =>
+      graft.ops.JoinOps.hashThreshold(f).matches("[0-9a-f]{15}")
+    }
+  property("hashThreshold is monotone") =
+    forAll(unitFrac, unitFrac) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      graft.ops.JoinOps.hashThreshold(lo) <= graft.ops.JoinOps.hashThreshold(hi)
+    }
+  property("hashThreshold clamps out-of-range fractions") =
+    forAll(Gen.chooseNum(-10.0, 0.0)) { f =>
+      graft.ops.JoinOps.hashThreshold(f) == "0"
+    } && Prop(graft.ops.JoinOps.hashThreshold(1.0) == "g")
+
+  // ---- TransformTemplate: substitution resolves every declared
+  // placeholder and rejects unknown/missing arguments
+  private val ident = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+  property("template substitution leaves no declared placeholders") =
+    forAll(Gen.nonEmptyListOf(ident).map(_.distinct), ident) { (args, v) =>
+      args.nonEmpty ==> {
+        val tpl = graft.core.TransformTemplate("t", args,
+          args.map(a => s"{{$a}}").mkString("SELECT ", ", ", " FROM {{source_table}}"))
+        val out = tpl.render(args.map(_ -> v).toMap)
+        args.forall(a => !out.contains(s"{{$a}}")) && out.contains("{{source_table}}")
+      }
+    }
+
+  // ---- media decoders: total on arbitrary bytes (a corrupt blob in row
+  // 10^9 of a scan must never throw), frames >= 1, dims >= 0
+  private val bytesGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+  property("ImageHeaderDecoder is total on arbitrary bytes") =
+    forAll(bytesGen) { bytes =>
+      val m = graft.ext.ImageHeaderDecoder.decode(bytes)
+      m.nFrames >= 1 && m.width >= 0 && m.height >= 0 && m.format.nonEmpty
+    }
+  property("FakeDecoder is total and deterministic") =
+    forAll(bytesGen) { bytes =>
+      val a = graft.ext.FakeDecoder.decode(bytes)
+      val b = graft.ext.FakeDecoder.decode(bytes)
+      a == b && a.nFrames >= 1 && a.width >= 64 && a.height >= 64
+    }
+
+  // prefix bytes that *almost* look like each format: decoder must still
+  // never throw while walking truncated headers
+  private val magic = Gen.oneOf(
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+    Array(0xff, 0xd8, 0xff).map(_.toByte),
+    "GIF89a".getBytes,
+    "BM".getBytes)
+  property("ImageHeaderDecoder survives truncated/corrupt magic headers") =
+    forAll(magic, bytesGen) { (m, tail) =>
+      val m2 = graft.ext.ImageHeaderDecoder.decode(m ++ tail)
+      m2.nFrames >= 1 && m2.width >= 0 && m2.height >= 0
+    }
+}

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.GraftSession
+import graft.ops._
 import TestSpark._
 
 /** Session-level surface: FQTN resolution/validation, dataset bind with
@@ -33,6 +34,31 @@ class SessionSpec extends AnyFunSuite {
     s2.changeNamespace("cat2.db2")
     assert(s2.resolveFqtn("t") == "cat2.db2.t")
     assert(s2.resolveFqtn("db.t") == "cat2.db.t")
+  }
+
+  test("csv/json/orc sources round-trip rows and register render-referenceable views") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_src").toString
+    src.write.option("header", "true").csv(s"$base/csv")
+    src.write.json(s"$base/json")
+    src.write.orc(s"$base/orc")
+
+    val fromCsv = sess.datasetFromCsv(s"$base/csv", "src_csv")
+    assert(rows(fromCsv.df.select("id", "name", "v")) == rows(src))
+    // explicit schema skips inference
+    val typed = sess.datasetFromCsv(s"$base/csv", "src_csv_t",
+      schemaDdl = Some("id BIGINT, name STRING, v DOUBLE"))
+    assert(rows(typed.df) == rows(src))
+
+    val fromJson = sess.datasetFromJson(s"$base/json", "src_json")
+    assert(rows(fromJson.df.select("id", "name", "v")) == rows(src))
+
+    val fromOrc = sess.datasetFromOrc(s"$base/orc", "src_orc")
+    assert(rows(fromOrc.df) == rows(src))
+
+    // bound views render through the SQL face like any entry table
+    val c = fromOrc.filterRows(Seq("v > 2"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
   }
 
   test("dataset binds temp views, managed tables, and full fqtns; missing names explain themselves") {
