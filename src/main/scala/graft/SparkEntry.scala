@@ -317,6 +317,15 @@ object SparkEntry {
         t(s, d, "documents").rollingFingerprintCol("text", 32)
           .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
       "q_tfidf" -> ((s, d) => t(s, d, "documents").tfidf("doc_id", "text").df),
+      "q_text_repetition" -> ((s, d) =>
+        t(s, d, "documents").repetitionScore("text", n = 3).df),
+      // eval-set decontamination: docs sharing any 8-gram with the "eval"
+      // subset (doc_id < 25) get flagged
+      "q_text_decontaminate" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
+        docs.flagContaminated(eval, "doc_id", "text", n = 8).df
+      }),
       "q_chunk_text" -> ((s, d) =>
         t(s, d, "documents").chunkText("doc_id", "text",
           chunkTokens = 64, overlap = 16).df),
@@ -614,6 +623,15 @@ object SparkEntry {
         ("SELECT *, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) " +
           "AS pack_id FROM documents"),
+      "q_text_repetition" ->
+        (s"SELECT *, 1.0 - CAST(len(${ngrams(3)}) AS DOUBLE) / " +
+          s"(CASE WHEN len($toks) < 3 THEN 1 ELSE len($toks) - 2 END) AS text_rep_3 FROM documents"),
+      "q_text_decontaminate" ->
+        (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
+          s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
+          "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +
+          "SELECT d.*, (h.doc_id IS NOT NULL) AS contaminated " +
+          "FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id"),
       "q_dedup_embedding" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
       "q_sim_topk" ->

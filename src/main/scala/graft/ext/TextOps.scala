@@ -164,6 +164,47 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("chunk_text", df2, None)
   }
 
+  /** repetition_score(text_col, n): fraction of duplicated word n-grams in
+    * each document (`1 − distinct/total`) → `<col>_rep_<n>` — the
+    * Gopher-style repetition quality signal (boilerplate, keyword stuffing,
+    * decoding loops score high). One codegen pass per row
+    * ([[graft.functions.ShingleHashes]] for the distinct count); short
+    * documents (< n words) score 0 by the whole-doc-shingle convention.
+    */
+  def repetitionScore(textCol: String, n: Int = 3): Chain = {
+    val toks = tokens(col(textCol))
+    val total = when(size(toks) < n, 1).otherwise(size(toks) - (n - 1))
+    val rep = lit(1.0) -
+      size(graft.functions.ShingleHashes(toks, n)).cast("double") / total.cast("double")
+    c.next("repetition_score",
+      c.df.withColumn(Naming.cleanse(s"${textCol}_rep_$n"), rep), None)
+  }
+
+  /** flag_contaminated(eval, id_col, text_col, n): mark corpus documents
+    * sharing any word n-gram with an evaluation set → boolean `flag_col` —
+    * eval-set decontamination, the pass every benchmark-honest training
+    * pipeline runs. The eval set's distinct n-gram hashes broadcast (eval
+    * sets are small by construction); the corpus side is one explode +
+    * broadcast semi-join — linear, no shuffle of the corpus itself. Use
+    * n ≥ 8: short n-grams flag on common phrases, long ones only on real
+    * verbatim leakage.
+    */
+  def flagContaminated(eval: Chain, idCol: String, textCol: String, n: Int = 8,
+                       flagCol: String = "contaminated"): Chain = {
+    val evalGrams = eval.df
+      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+      .distinct()
+    val corpusGrams = c.df.select(col(idCol).as("_cid"),
+      explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+    val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
+      .select(col("_cid")).distinct()
+      .withColumn("_flag", lit(true))
+    val df2 = c.df.join(hit, col(idCol) === col("_cid"), "left")
+      .withColumn(flagCol, coalesce(col("_flag"), lit(false)))
+      .drop("_cid", "_flag")
+    c.next("flag_contaminated", df2, None)
+  }
+
   /** pack_sequences(token_col, budget, order_by, partition_by): assign each
     * row to a training pack so every pack holds ~`budget` tokens — the
     * batch-assembly pass between chunking and the training loader. The

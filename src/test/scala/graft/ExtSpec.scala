@@ -160,6 +160,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionScore is the duplicated n-gram fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),        // trigrams: aba,bab,aba,bab -> 2/4 distinct
+      (2L, "w1 w2 w3 w4 w5"),     // all distinct -> 0
+      (3L, "hi")).toDF("doc_id", "text") // short doc -> 0 by convention
+    val got = Chain(spark, "d", docs).repetitionScore("text", n = 3).df
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("text_rep_3")).toMap
+    assert(got(1L) == 0.5)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
+  test("flagContaminated marks docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val evalTokens = (1 to 12).map(i => s"ev$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"prefix words ${(1 to 9).map(i => s"ev$i").mkString(" ")} suffix"), // 9 verbatim eval tokens ⊃ an 8-gram
+      (2L, (1 to 20).map(i => s"clean$i").mkString(" ")),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val eval = Seq((100L, evalTokens)).toDF("doc_id", "text")
+    val got = Chain(spark, "c", corpus)
+      .flagContaminated(Chain(spark, "e", eval), "doc_id", "text", n = 8).df
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("multimodal decode adds deterministic metadata per row") {
     import spark.implicits._
     val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
