@@ -273,6 +273,12 @@ object SparkEntry {
         .aggregate(Seq("o_custkey", "o_orderdate"), Seq("o_totalprice" -> Seq("MAX")))
       t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate").df
     }),
+    "q_asof_join_fwd" -> ((s, d) => {
+      val fin = t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))
+        .aggregate(Seq("o_custkey", "o_orderdate"), Seq("o_totalprice" -> Seq("MAX")))
+      t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate",
+        direction = "forward").df
+    }),
     "q_range_join" -> ((s, d) => {
       val iv = t(s, d, "orders")
         .filterRows(Seq("o_orderdate >= '1995-01-01'", "o_orderdate < '1996-01-01'"))
@@ -528,6 +534,11 @@ object SparkEntry {
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
         "SELECT l.*, r.o_totalprice_max FROM orders l ASOF LEFT JOIN r " +
         "ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate"),
+    "q_asof_join_fwd" ->
+      ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
+        "SELECT l.*, r.o_totalprice_max FROM orders l ASOF LEFT JOIN r " +
+        "ON l.o_custkey = r.o_custkey AND l.o_orderdate <= r.o_orderdate"),
     "q_range_join" ->
       ("WITH iv AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month, " +
         "COUNT(o_orderkey) AS o_orderkey_count FROM orders " +

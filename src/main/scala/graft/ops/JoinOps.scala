@@ -211,7 +211,11 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       on: Seq[String],
       leftTime: String,
       rightTime: String,
-      suffix: String = "_asof"): Chain = {
+      suffix: String = "_asof",
+      direction: String = "backward"): Chain = {
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
+    val forward = direction == "forward"
     val lDf = c.df
     val rDf = other.df
     val leftCols = lDf.columns.toSeq
@@ -234,8 +238,12 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       leftRest.map(n => lit(null).cast(lTypes(n)).as(n)) :+
       struct(rightVals.map(col): _*).as("_rv")
     val u = lDf.select(lSel: _*).unionByName(rDf.select(rSel: _*))
+    // forward as-of (earliest right AT OR AFTER the left time): identical
+    // carry over the REVERSED time order — the frame then holds all rows
+    // with _t >= current, and last(ignoreNulls) is the nearest future right
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_t").asc, col("_src").asc)
+      .orderBy(tOrd, col("_src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
     val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
@@ -255,9 +263,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         rightVals.map(n => s"'$n', ${q(n)}").mkString(", ") + ") AS _rv")).mkString(", ")
     val outSql = (leftCols.map(n => if (n == leftTime) s"_t AS ${q(n)}" else q(n)) ++
       rightVals.map(n => s"_rvf.${q(n)} AS ${q(outName(n))}")).mkString(", ")
+    val tOrdSql = if (forward) "_t DESC" else "_t"
     val frag =
       s"SELECT $outSql FROM (SELECT *, LAST(_rv) IGNORE NULLS OVER (" +
-        s"PARTITION BY ${onSql.mkString(", ")} ORDER BY _t, _src " +
+        s"PARTITION BY ${onSql.mkString(", ")} ORDER BY $tOrdSql, _src " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rvf FROM (" +
         s"SELECT $lBranch FROM {{source}} UNION ALL " +
         s"SELECT $rBranch FROM ${rightSource(other)})) WHERE _src = 1"

@@ -35,6 +35,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       "t0" -> None, "t1" -> Some(100.0), "t2" -> Some(105.0), "t3" -> None))
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left time") {
+    val trades = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "t1"),  // -> 10:30 quote
+      (1L, ts("2020-01-01 12:00:00"), "t2"),  // == quote time: matches
+      (1L, ts("2020-01-01 13:00:00"), "t3"),  // nothing after -> null
+      (2L, ts("2020-01-01 10:00:00"), "t4")   // key with no quotes -> null
+    ).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, ts("2020-01-01 10:30:00"), 5.0),
+      (1L, ts("2020-01-01 12:00:00"), 7.0)
+    ).toDF("k", "qt", "px")
+    val got = Chain(spark, "trades", trades)
+      .asofJoin(Chain(spark, "quotes", quotes), Seq("k"), "t", "qt", direction = "forward")
+      .df.collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("px"))).toMap
+    assert(got == Map(
+      "t1" -> Some(5.0), "t2" -> Some(7.0), "t3" -> None, "t4" -> None))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "trades", trades)
+        .asofJoin(Chain(spark, "quotes", quotes), Seq("k"), "t", "qt", direction = "sideways")
+    }
+  }
+
   test("asofJoin suffixes right columns that collide with left names") {
     val l = Seq((1L, ts("2020-01-02 00:00:00"), "x")).toDF("k", "t", "v")
     val r = Seq((1L, ts("2020-01-01 00:00:00"), "y")).toDF("k", "t", "v")
