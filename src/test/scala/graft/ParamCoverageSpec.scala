@@ -126,4 +126,30 @@ class ParamCoverageSpec extends AnyFunSuite {
     assert(r.getAs[Int]("d_dayofyear") == 45)
     assert(r.getAs[Int]("d_quarter") == 1)
   }
+
+  test("ANN / dedup / packing parameter guards fail loudly") {
+    import graft.ext._
+    val emb = table("embeddings")
+    val q = emb.df.where("vec_id < 2")
+    intercept[IllegalArgumentException] { // rerank budget below k
+      emb.hammingCosineTopK(q, "vec_id", "embedding", k = 10, rerankPerQuery = 5)
+    }
+    intercept[IllegalArgumentException] { // band bits exceed sketch width
+      emb.lshCosineTopK(q, "vec_id", "embedding", 10, planes = 64, bands = 8, rows = 10)
+    }
+    intercept[IllegalArgumentException] { // multiProbe beyond band width
+      emb.lshCosineTopK(q, "vec_id", "embedding", 10, planes = 64, bands = 4,
+        rows = 4, multiProbe = 9)
+    }
+    intercept[IllegalArgumentException] { // sketch width must pack into longs
+      emb.df.select(graft.functions.SignSketch(col("embedding"), 100))
+    }
+    intercept[IllegalArgumentException] { // packing needs an order
+      Chain(spark, "d", Seq((1L, 10)).toDF("id", "n"))
+        .packSequences("n", 100L, orderBy = Nil)
+    }
+    intercept[IllegalArgumentException] { // negative rerank budget
+      emb.hammingCosineTopK(q, "vec_id", "embedding", k = 0, rerankPerQuery = -1)
+    }
+  }
 }
