@@ -378,6 +378,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     val c = Chain(spark, "asof_trades", trades)
       .asofJoin(Chain(spark, "asof_quotes", quotes), Seq("k"), "t", "qt")
     assert(rows(spark.sql(c.sql())) == rows(c.df))
+    val fwd = Chain(spark, "asof_trades", trades)
+      .asofJoin(Chain(spark, "asof_quotes", quotes), Seq("k"), "t", "qt",
+        direction = "forward")
+    assert(rows(spark.sql(fwd.sql())) == rows(fwd.df))
   }
 
   test("rangeJoin SQL face round-trips: spark.sql(rendered) equals the DataFrame face") {
