@@ -259,33 +259,40 @@ object DedupOps {
 final class DedupClusterOps(private val c: Chain) extends AnyVal {
 
   /** cluster_pairs(id_a, id_b): connected components by iterative min-label
-    * propagation — per round, every node takes the minimum label among
-    * itself and its neighbors (one equi-join + one min-aggregate, both
-    * shuffle-partitioned by node id; `localCheckpoint` truncates the plan
-    * between rounds so lineage doesn't grow with iterations). Converges in
-    * graph-diameter rounds — near-dup clusters are shallow (dups of dups),
-    * so the declared per-round convergence count runs a handful of times;
-    * `maxIters` bounds adversarial chains (upgrade to the
-    * large-star/small-star contraction if components with 10⁶-hop
-    * diameters ever matter). Output: `(id, cluster_id)` for every id
-    * appearing in a pair.
+    * propagation with pointer jumping — per round, every node takes the
+    * minimum label among itself and its neighbors (one equi-join + one
+    * min-aggregate, both shuffle-partitioned by node id), then chases one
+    * more hop through the previous round's label map (`label ← label of my
+    * label`, one additional equi-join on small label frames). Each
+    * checkpointed round therefore advances labels ~two hops, so rounds ≈
+    * half the component diameter — and near-dup clusters are shallow (dups
+    * of dups), so the declared per-round convergence probe runs a handful
+    * of times. `localCheckpoint` truncates the plan between rounds so
+    * lineage doesn't grow with iterations (the iterative-algo standard,
+    * same as GraphFrames CC). `maxIters` bounds adversarial chains
+    * (upgrade to the large-star/small-star contraction if components with
+    * 10⁶-hop diameters ever matter). Output: `(id, cluster_id)` for every
+    * id appearing in a pair.
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
     // checkpoint the pair pipeline BEFORE symmetrizing: the union's two
     // branches would otherwise each re-run the whole upstream miner.
-    // localCheckpoint truncates lineage between rounds (the iterative-algo
-    // standard, same as GraphFrames CC); production clusters point
-    // spark.checkpoint.dir at reliable storage for executor-loss safety
+    // production clusters point spark.checkpoint.dir at reliable storage
+    // for executor-loss safety
     val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .localCheckpoint()
+    // lazy checkpoints: the convergence probe right after each assignment
+    // is the materializing action, so checkpoint + probe cost ONE Spark job
+    // per round instead of two (edges stays eager — sym's union reads it
+    // twice, and a lazy edges checkpoint would run the miner twice)
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // round 0 folded into seeding: label = min(self, neighbors)
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // labels only ever decrease, so the label SUM strictly decreases while
     // anything changes — one cheap aggregate per round instead of a
     // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids)
@@ -297,9 +304,17 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     while (!converged && it < maxIters) {
       val viaNbr = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      labels = labels.unionByName(viaNbr)
+      val stepped = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      // pointer jump through the PREVIOUS round's checkpointed map (no
+      // self-join of the un-materialized step output): label-of-label is
+      // still elementwise non-increasing, so the sum probe stays valid
+      val parents = labels.select(
+        col("id").as("_pid"), col("cluster_id").as("_pcl"))
+      labels = stepped.join(parents, stepped("cluster_id") === parents("_pid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -121,16 +121,16 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .limit(trainSample)
       .select(col("_vc").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = broadcast(SimilarityOps.centroidFrame(spark,
-      SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)))
-    val simToCentroid = Exact.dot(col("_vc"), col("_cv")) / col("_nc") / col("_cn")
-    // assign every corpus vector to its best cell (ties → smallest cid)
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("_cs").desc, col("_cid").asc)
-    val assigned = corpus.crossJoin(centroids)
-      .select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"),
-        simToCentroid.as("_cs"))
-      .withColumn("_rn", row_number().over(assignW)).where(col("_rn") === 1)
+    val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
+    val centroids = broadcast(SimilarityOps.centroidFrame(spark, centers))
+    // assign every corpus vector to its best cell in ONE narrow codegen
+    // projection: argmax over the (literal) centroids via greatest() on
+    // (dot, -cid) structs — centroids are unit vectors and _nc is fixed
+    // per row, so argmax of the raw dot = argmax of cosine; ties → the
+    // smaller cid, matching the probe side's ordering. No crossJoin, no
+    // per-row window, no shuffle — the scan stage does the assignment.
+    val assigned = corpus
+      .withColumn("_cid", SimilarityOps.bestCellId(col("_vc"), centers))
       .select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"))
     // each query probes its nprobe closest cells
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
@@ -206,6 +206,22 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
 }
 
 object SimilarityOps {
+  /** Best (max-dot) cell id for a vector against literal unit centroids in
+    * ONE codegen projection: `greatest()` over (dot, −cid) structs — ties
+    * break to the smaller cid. (Lives here, not in the value class:
+    * `typedLit`'s implicit encoder can't materialize there.)
+    */
+  private[ext] def bestCellId(
+      vec: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val cellStructs = centers.zipWithIndex.map { case (cv, i) =>
+      struct(Exact.dot(vec, typedLit(cv.toSeq)).as("_s"), lit(-i).as("_negcid"))
+    }
+    val best =
+      if (cellStructs.length == 1) cellStructs.head else greatest(cellStructs.toSeq: _*)
+    (-best.getField("_negcid")).cast("long")
+  }
+
   /** Trained centroids as a broadcastable frame `(_cid, _cv, _cn)`;
     * `_cn` is 1.0 — spherical k-means returns unit-normalized centers.
     * (Lives here, not in the value class: closures can't nest there.)
