@@ -336,6 +336,15 @@ object SparkEntry {
         t(s, d, "documents").chunkText("doc_id", "text",
           chunkTokens = 64, overlap = 16).df),
       "q_text_scrub" -> ((s, d) => t(s, d, "documents").scrubText("text").df),
+      "q_text_scrub_pii" -> ((s, d) => t(s, d, "documents").scrubPii("text").df),
+      // cap the dominant language at a token budget, keep the rest whole —
+      // deterministic hash mix (budget derived from one bounded stats agg)
+      "q_mix_by_budget" -> ((s, d) =>
+        t(s, d, "documents").mixByTokenBudget("lang", "n_chars",
+          Seq("en" -> 30000L, "de" -> 30000L), Seq("doc_id")).df),
+      // seeded, content-keyed epoch shuffle: deterministic training order
+      "q_epoch_shuffle" -> ((s, d) =>
+        t(s, d, "documents").epochShuffle(1L, Seq("doc_id")).df),
       "q_dedup_exact" -> ((s, d) =>
         t(s, d, "documents")
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
@@ -613,6 +622,31 @@ object SparkEntry {
           "FROM tf JOIN dft USING (term) CROSS JOIN n"),
       "q_text_scrub" ->
         raw"SELECT *, regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text_clean FROM documents",
+      // PII chain rendered from the SAME pattern table as the Spark face
+      // (DuckDB literals keep single backslashes; 'g' = replace-all)
+      "q_text_scrub_pii" -> {
+        val chain = graft.ext.TextOps.PiiPatterns.foldLeft("text") {
+          case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+        }
+        s"SELECT *, $chain AS text_clean FROM documents"
+      },
+      // the oracle re-derives the budget fractions from its own totals agg
+      // and reproduces the md5-threshold math bit-for-bit (IEEE doubles +
+      // truncating hex format are engine-independent)
+      "q_mix_by_budget" -> {
+        def th(lang: String, budget: Long) =
+          s"(SELECT CASE WHEN t <= $budget THEN 'g' ELSE printf('%015x', " +
+            s"CAST(floor($budget.0 / t * 1.152921504606846976e18) AS BIGINT)) END " +
+            s"FROM tot WHERE s = '$lang')"
+        "WITH tot AS (SELECT CAST(lang AS VARCHAR) AS s, SUM(CAST(n_chars AS BIGINT)) AS t " +
+          "FROM documents GROUP BY 1) " +
+          "SELECT d.* FROM documents d WHERE md5(concat_ws('|', CAST(doc_id AS VARCHAR))) < " +
+          s"CASE WHEN CAST(lang AS VARCHAR) = 'en' THEN ${th("en", 30000L)} " +
+          s"WHEN CAST(lang AS VARCHAR) = 'de' THEN ${th("de", 30000L)} ELSE 'g' END"
+      },
+      "q_epoch_shuffle" ->
+        ("SELECT *, md5(concat_ws('|', '1', CAST(doc_id AS VARCHAR))) AS epoch_pos " +
+          "FROM documents ORDER BY epoch_pos"),
       "q_chunk_text" ->
         (s"WITH t2 AS (SELECT doc_id, $toks AS tk, len($toks) AS n FROM documents) " +
           "SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx, " +

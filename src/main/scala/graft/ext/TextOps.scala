@@ -39,6 +39,22 @@ object TextOps {
 
   def markerCount(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Ordered PII redaction patterns (pattern → replacement). ASCII-shape
+    * conservative; order matters (each pattern rewrites the previous
+    * output — e.g. card-shaped digit runs are consumed before the looser
+    * phone shapes can split them). Patterns avoid lookaround and
+    * backreferences so Java regex (Spark) and RE2 (DuckDB, the oracle)
+    * match identically.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{13,19}\\b" -> "<CARD>",
+    "\\+\\d{7,15}\\b" -> "<PHONE>",
+    "\\b\\d{3}[ .-]\\d{3,4}[ .-]\\d{4}\\b" -> "<PHONE>")
 }
 
 final class TextAnalysisOps(private val c: Chain) extends AnyVal {
@@ -246,6 +262,81 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       regexp_replace(col(textCol), url, "<URL>"), email, "<EMAIL>")
     c.next("scrub_text",
       c.df.withColumn(Naming.cleanse(s"${textCol}_clean"), cleaned), None)
+  }
+
+  /** scrub_pii(text_col): redact URLs, emails, IPv4 addresses, SSN-shaped
+    * ids, card-shaped digit runs, then phone-shaped numbers → `<col>_clean`
+    * — the fuller PII pass production corpora run before training. Fixed
+    * application order (each pattern sees the previous one's output), pure
+    * `regexp_replace` chain: codegen'd, linear, pushes nothing to the
+    * driver. Patterns are deliberately conservative ASCII shapes — a
+    * recall-tuned PII model can replace them, but the plumbing (ordered
+    * rewrite chain, engine-portable SQL face) is what the engine owns.
+    */
+  def scrubPii(textCol: String): Chain = {
+    val out = Naming.cleanse(s"${textCol}_clean")
+    val cleaned = TextOps.PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (pattern, repl)) => regexp_replace(acc, pattern, repl)
+    }
+    val sqlExpr = TextOps.PiiPatterns.foldLeft(Naming.quoteId(textCol)) {
+      case (acc, (pattern, repl)) =>
+        s"REGEXP_REPLACE($acc, '${pattern.replace("\\", "\\\\")}', '$repl')"
+    }
+    c.next("scrub_pii",
+      c.df.withColumn(out, cleaned),
+      Some(s"SELECT *, $sqlExpr AS ${Naming.quoteId(out)} FROM {{source}}"))
+  }
+
+  /** mix_by_token_budget(strata_col, token_col, budgets, key_cols): cap
+    * each stratum (source/language/domain) at a token budget — the corpus
+    * mixing pass that rebalances dominant sources before training. Each
+    * stratum's total tokens come from ONE bounded, declared driver
+    * aggregate (rows = distinct strata, the compile-time-introspection
+    * pattern); strata over budget keep a deterministic hash fraction
+    * `budget/total` of rows, strata under budget stay whole, strata not
+    * listed keep `defaultFraction`. The survival predicate is the same
+    * layout- and engine-independent md5 threshold as [[sample_hash]] —
+    * pure pushed-down predicate, reproducible at any cluster size (the
+    * budget is hit in expectation: E[kept tokens] = budget).
+    */
+  def mixByTokenBudget(strataCol: String, tokenCol: String,
+                       budgets: Seq[(String, Long)], keyCols: Seq[String],
+                       defaultFraction: Double = 1.0): Chain = {
+    require(budgets.nonEmpty, "mix_by_token_budget needs at least one stratum budget")
+    budgets.foreach { case (v, b) => require(b >= 0L, s"budget for '$v' must be >= 0, got $b") }
+    val totals = c.df
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(sum(col(tokenCol).cast("long")).as("_tot"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val fractions = budgets.map { case (v, b) =>
+      val tot = totals.getOrElse(v, 0L)
+      v -> (if (tot <= b) 1.0 else b.toDouble / tot)
+    }
+    import graft.ops._
+    val mixed = c.sampleHashStratified(strataCol, fractions, keyCols, defaultFraction)
+    // keep the op name honest in the rendered chain: the physical predicate
+    // is stratified hash sampling, the logical op is the budget mix
+    c.next("mix_by_token_budget", mixed.df, mixed.steps.last.sqlFragment)
+  }
+
+  /** epoch_shuffle(seed, key_cols): deterministic global shuffle for a
+    * training epoch — every row gets `epoch_pos` = md5(seed ‖ key) and the
+    * corpus is range-sorted by it. Seeded: epoch 2 is a different but
+    * reproducible permutation; content-keyed: the order is independent of
+    * layout, partition count and engine (the property a resumable training
+    * run needs). The sort is Spark's range-partitioned exchange — no
+    * single-node pass; downstream writes preserve the order per file.
+    */
+  def epochShuffle(seed: Long, keyCols: Seq[String]): Chain = {
+    require(keyCols.nonEmpty, "epoch_shuffle needs key columns")
+    val key = concat_ws("|", lit(seed.toString) +: keyCols.map(col(_).cast("string")): _*)
+    val df2 = c.df.withColumn("epoch_pos", md5(key)).orderBy(col("epoch_pos"))
+    val keySql = (s"'$seed'" +: keyCols.map(k => s"CAST(${Naming.quoteId(k)} AS STRING)"))
+      .mkString(", ")
+    c.next("epoch_shuffle", df2, Some(
+      s"SELECT *, md5(concat_ws('|', $keySql)) AS epoch_pos FROM {{source}} ORDER BY epoch_pos"))
   }
 
   /** dedup_exact(id_col, text_col): keep one row per normalized-text

@@ -178,12 +178,15 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     *
     * Scales: the global sort is Spark's range-partitioned sort and the row
     * index comes from `zipWithIndex` (per-partition offsets, no single-node
-    * window). Triggers one counting job — a declared action.
+    * window). The sorted relation is checkpointed once (a declared
+    * materialization) so the count, the `zipWithIndex` offsets pass, and
+    * the final read all scan materialized blocks instead of re-running the
+    * global sort per action.
     */
   def trainTestSplit(orderBy: Seq[(String, String)], trainPercent: Double): Chain = {
     val sorted = c.df.orderBy(orderBy.map { case (n, d) =>
       if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
-    }: _*)
+    }: _*).localCheckpoint()
     val n = sorted.count()
     val cut = math.floor(trainPercent * n).toLong
     val schema = StructType(sorted.schema.fields :+ StructField(Naming.ttSplit, StringType, nullable = false))

@@ -256,4 +256,58 @@ class ExtSpec extends AnyFunSuite {
       .select("frame_idx").collect().map(_.getInt(0)).toSeq.sorted
     assert(frames == Seq(0, 2))
   }
+
+  test("scrubPii redacts each PII shape in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://x.io/a?b=1 or mail me@host.org now"),
+      (2L, "server at 192.168.0.1 ssn 123-45-6789"),
+      (3L, "card 4111111111111111 phone +14155550123 or 415-555-0123"),
+      (4L, "year 2024 has only short digits 123")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs).scrubPii("text")
+      .df.select("doc_id", "text_clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "visit <URL> or mail <EMAIL> now")
+    assert(got(2L) == "server at <IP> ssn <SSN>")
+    assert(got(3L) == "card <CARD> phone <PHONE> or <PHONE>")
+    assert(got(4L) == "year 2024 has only short digits 123")
+  }
+
+  test("mixByTokenBudget caps over-budget strata and keeps the rest whole") {
+    import spark.implicits._
+    // stratum a: 200 rows x 100 tokens = 20000 (budget 5000 -> ~25% kept)
+    // stratum b: 20 rows x 100 tokens = 2000 (budget 5000 -> kept whole)
+    // stratum c: unlisted -> defaultFraction 1.0 keeps it whole
+    val rows = (0 until 200).map(i => (i.toLong, "a", 100L)) ++
+      (200 until 220).map(i => (i.toLong, "b", 100L)) ++
+      (220 until 240).map(i => (i.toLong, "c", 100L))
+    val df = rows.toDF("id", "src", "n_tok")
+    val mixed = Chain(spark, "d", df)
+      .mixByTokenBudget("src", "n_tok", Seq("a" -> 5000L, "b" -> 5000L), Seq("id"))
+    val byStratum = mixed.df.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("b") == 20L, "under-budget stratum must stay whole")
+    assert(byStratum("c") == 20L, "unlisted stratum keeps defaultFraction=1.0")
+    val aKept = byStratum.getOrElse("a", 0L)
+    // E[kept] = 50 rows; 4-sigma binomial bound (sigma ~ sqrt(200*.25*.75) ~ 6.1)
+    assert(aKept > 25L && aKept < 75L, s"over-budget stratum kept $aKept of 200")
+    // deterministic: the same mix twice keeps identical rows
+    val again = Chain(spark, "d", df)
+      .mixByTokenBudget("src", "n_tok", Seq("a" -> 5000L, "b" -> 5000L), Seq("id"))
+    assert(mixed.df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.df.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("epochShuffle is a deterministic, seed-distinct permutation") {
+    import spark.implicits._
+    val df = (0 until 500).map(_.toLong).toDF("id")
+    def order(seed: Long): Seq[Long] =
+      Chain(spark, "d", df).epochShuffle(seed, Seq("id"))
+        .df.select("id").collect().map(_.getLong(0)).toSeq
+    val e1 = order(1L)
+    assert(e1 == order(1L), "same seed must reproduce the same order")
+    assert(e1 != order(2L), "different seeds must permute differently")
+    assert(e1.sorted == (0L until 500L), "shuffle must be a permutation")
+    assert(e1 != (0L until 500L).toSeq, "order must not be the identity")
+  }
 }
