@@ -303,7 +303,11 @@ object SparkEntry {
       t(s, d, "orders").rank(
         Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
         partitionBy = Seq("o_orderpriority"), rankType = "row_number",
-        alias = "rn", qualifyFilter = Some("rn <= 3")).df)
+        alias = "rn", qualifyFilter = Some("rn <= 3")).df),
+    // per-group exact quantile gate: top quartile of order value per priority
+    "q_filter_quantile" -> ((s, d) =>
+      t(s, d, "orders").filterByQuantile("o_totalprice", 0.75,
+        Seq("o_orderpriority")).df)
   )
 
   /** LLM-data-pipeline extension queries (SURVEY §2.4 / north star):
@@ -367,6 +371,17 @@ object SparkEntry {
       "q_pack_sequences" -> ((s, d) =>
         t(s, d, "documents").packSequences("n_chars", 20000L,
           orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
+      // span-level exact dedup: maximal cross-document duplicated 8-token
+      // windows, and the strip pass that keeps one copy corpus-wide
+      "q_dup_spans" -> ((s, d) =>
+        t(s, d, "documents").dupSpans("doc_id", "text", windowTokens = 8).df),
+      "q_strip_dup_spans" -> ((s, d) =>
+        t(s, d, "documents").stripDupSpans("doc_id", "text", windowTokens = 8).df),
+      // end-to-end near-dup corpus dedup: pairs → clusters → keep the
+      // longest doc per cluster (deterministic id tiebreak)
+      "q_dedup_near" -> ((s, d) =>
+        t(s, d, "documents").dedupNear("doc_id", "text", n = 3, threshold = 0.5,
+          keepBy = Seq("n_chars" -> "DESC")).df),
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
@@ -563,6 +578,10 @@ object SparkEntry {
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
     "q_rank_qualify" ->
       "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
+    "q_filter_quantile" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM (SELECT *, CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC) " +
+        "AS _graft_cd FROM orders) WHERE _graft_cd > 0.75"),
     "q_sample_stratified" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +
@@ -601,6 +620,13 @@ object SparkEntry {
     val normCte = "n AS (SELECT vec_id, SQRT(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"
     def ngrams(n: Int) =
       raw"list_distinct(CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')] ELSE list_transform(range(1, len($toks) - ${n - 2}), i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) END)"
+    // positional 8-token windows over the normalized token stream (DuckDB
+    // 1-based slice → 0-based pos), shared by the span-dedup oracles
+    val winCte =
+      s"t AS (SELECT doc_id, $toks AS tk FROM documents), " +
+        "w AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, " +
+        "array_to_string(list_slice(tk, i, i + 7), ' ') AS win " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8))"
     def ngramJaccardSql(n: Int, threshold: Double) =
       s"WITH w AS (SELECT doc_id, ${ngrams(n)} AS ws FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard FROM w a JOIN w b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= $threshold"
     Map(
@@ -657,6 +683,38 @@ object SparkEntry {
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
       "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
+      "q_dup_spans" ->
+        (s"WITH $winCte, " +
+          "sh AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2), " +
+          "sp AS (SELECT w.doc_id, w.pos FROM w JOIN sh USING (win)), " +
+          "m AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS brk " +
+          "FROM (SELECT doc_id, pos, MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sp)), " +
+          "g AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM m) " +
+          "SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start, " +
+          "CAST(MAX(pos) + 8 AS INTEGER) AS span_end FROM g GROUP BY doc_id, gid"),
+      "q_strip_dup_spans" ->
+        (s"WITH $winCte, " +
+          "own AS (SELECT win, MIN(doc_id) AS own FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2), " +
+          "cov AS (SELECT DISTINCT w.doc_id, w.pos + u.o AS tp FROM w JOIN own USING (win) " +
+          "CROSS JOIN (SELECT unnest(range(0, 8)) AS o) u WHERE w.doc_id <> own.own), " +
+          "tokpos AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS tok " +
+          "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)), " +
+          "kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp LEFT JOIN cov " +
+          "ON cov.doc_id = tp.doc_id AND cov.tp = tp.pos WHERE cov.doc_id IS NULL), " +
+          "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id) " +
+          "SELECT d.*, COALESCE(a.txt, '') AS text_stripped FROM documents d LEFT JOIN agg a USING (doc_id)"),
+      "q_dedup_near" ->
+        (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), " +
+          "cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) " +
+          "SELECT doc_id, text, lang, source, n_chars FROM (SELECT d.*, " +
+          "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, d.doc_id) " +
+          "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn " +
+          "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id) WHERE rn = 1"),
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +

@@ -237,6 +237,98 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       .where(col("cosine") >= threshold)
     c.next("dedup_embedding", pairs, None)
   }
+
+  /** dup_spans(id, text, window_tokens): maximal token ranges of each
+    * document covered by some `windowTokens`-token window that appears
+    * verbatim in at least one OTHER document — span-level exact dedup
+    * (the "Deduplicating Training Data Makes Language Models Better"
+    * substring pass, windowed instead of suffix-array'd: a shared
+    * substring of ≥ w tokens always contains a shared w-token window, so
+    * windowed detection finds exactly the ≥ w-token duplicated regions).
+    * Output: `(id, span_start, span_end)` — token offsets into the
+    * normalized (lowercased, whitespace-split) token stream, half-open.
+    *
+    * Scale shape: one codegen pass hashes every window position
+    * ([[graft.functions.WindowHashes]]), one shuffle on the window hash
+    * finds cross-document windows (the repartition is the shared barrier:
+    * the frequency aggregate and the join-back reuse ONE exchange), one
+    * shuffle on the id merges overlapping windows into maximal spans via
+    * running-max interval islands. Linear in total tokens — the same
+    * Θ(total windows) as the suffix-array formulation, with no global
+    * sort. Hash equality stands in for window equality (64-bit; collision
+    * odds as documented on [[graft.functions.ShingleHashes]]).
+    */
+  def dupSpans(idCol: String, textCol: String, windowTokens: Int = 16): Chain = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val wh = c.df.select(col(idCol),
+        posexplode(graft.functions.WindowHashes(TextOps.tokens(col(textCol)), windowTokens))
+          .as(Seq("_pos", "_h")))
+      .repartition(col("_h"))
+    val shared = wh.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= 2).select(col("_h"))
+    val hits = wh.join(shared, Seq("_h")).select(col(idCol), col("_pos"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+    // interval islands: a window starts a new span iff it begins past the
+    // running max end of everything before it (touching windows merge —
+    // the covered token union is what a span is)
+    val prevMaxEnd = max(col("_pos") + windowTokens)
+      .over(w1.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("_brk", when(prevMaxEnd.isNull || col("_pos") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("_gid", sum(col("_brk")).over(
+        w1.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_gid"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + windowTokens).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+    c.next("dup_spans", spans, None)
+  }
+
+  /** strip_dup_spans(id, text, window_tokens): remove cross-document
+    * duplicated windows from every document EXCEPT the smallest-id owner
+    * of each window — one copy of every duplicated region survives the
+    * corpus (the span-removal counterpart of [[dupSpans]]; doc-level
+    * dedup throws away whole documents for one boilerplate footer, this
+    * keeps the unique remainder). Adds `<text>_stripped`: the surviving
+    * tokens of the NORMALIZED token stream, space-joined ('' when the
+    * whole document was duplicated elsewhere).
+    *
+    * Same linear shape as [[dupSpans]] plus one anti-join of token
+    * positions against covered positions and a per-document ordered
+    * reassembly (sort_array over (pos, token) structs — per-row work,
+    * no extra shuffle beyond the id aggregation).
+    */
+  def stripDupSpans(idCol: String, textCol: String, windowTokens: Int = 16): Chain = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val wh = c.df.select(col(idCol),
+        posexplode(graft.functions.WindowHashes(TextOps.tokens(col(textCol)), windowTokens))
+          .as(Seq("_pos", "_h")))
+      .repartition(col("_h"))
+    val owners = wh.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_own"), countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("_h"), col("_own"))
+    // covered token positions, only in non-owner docs (the owner keeps its copy)
+    val covered = wh.join(owners, Seq("_h"))
+      .where(col(idCol) =!= col("_own"))
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + windowTokens - 1)).as("_tp"))
+      .distinct()
+    val toks = c.df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("_tp", "_tok")))
+    val kept = toks.join(covered, Seq(idCol, "_tp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_tp"), col("_tok")))).as("_ordered"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("_ordered"), x => x.getField("_tok"))).as("_stripped"))
+    val out = graft.core.Naming.cleanse(s"${textCol}_stripped")
+    val df2 = c.df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out, coalesce(col("_stripped"), lit("")))
+      .drop("_stripped")
+    c.next("strip_dup_spans", df2, None)
+  }
 }
 
 object DedupOps {
@@ -325,5 +417,37 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         s"clusterPairs did not converge in $maxIters rounds — component diameter " +
           "exceeds the bound; raise maxIters or use a contraction algorithm")
     c.next("dedup_clusters", labels, None)
+  }
+
+  /** dedup_near(id, text, n, threshold, keep_by): the end-to-end near-dup
+    * corpus pass — mine exact n-gram-Jaccard pairs, connect them into
+    * clusters, and keep ONE representative document per cluster: the first
+    * under the `keepBy` ordering (e.g. `n_chars DESC` keeps the longest,
+    * `quality DESC` the best-scored), id ascending as the deterministic
+    * tiebreak; singleton documents always survive. This is the decision
+    * step the pair/cluster ops feed — what a user actually runs to shrink
+    * a corpus.
+    *
+    * Scale shape = ngramJaccardPairs (PPJoin / inverted index, no n²) +
+    * clusterPairs (rounds ≈ half cluster diameter) + one labels join and
+    * one window over the cluster id. The labels frame is one row per
+    * CLUSTERED doc (≪ corpus); AQE broadcasts it when small.
+    */
+  def dedupNear(idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
+                keepBy: Seq[(String, String)] = Nil): Chain = {
+    val pairs = new DedupOps(c).ngramJaccardPairs(idCol, textCol, n, threshold)
+    val labels = new DedupClusterOps(pairs).clusterPairs().df
+      .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
+    val withCl = c.df.join(labels, col(idCol).cast("long") === col("_lid"), "left")
+      .withColumn("_cl", coalesce(col("_lcl"), col(idCol).cast("long")))
+    val ord = keepBy.map { case (cn, dir) =>
+      if (dir.equalsIgnoreCase("DESC")) col(cn).desc else col(cn).asc
+    } :+ col(idCol).asc
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_cl")).orderBy(ord: _*)
+    val cols = c.df.columns.toSeq
+    val df2 = withCl.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(cols.map(col): _*)
+    c.next("dedup_near", df2, None)
   }
 }

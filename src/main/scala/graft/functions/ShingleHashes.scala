@@ -111,6 +111,84 @@ object ShingleHashes {
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), n))
 }
 
+/** Positional token-window hashes: array index i holds the hash of the
+  * w-token window starting at token i — the position-preserving sibling of
+  * [[ShingleHashes]] (which sorts and dedups, losing positions). Used by
+  * span-level dedup, where WHERE a duplicated window sits matters as much
+  * as THAT it exists. Documents shorter than w tokens yield an empty array
+  * (no full window). Same hash chain as ShingleHashes, so the two kernels'
+  * costs match: O(tokens·w) long-mixes, no string concatenation.
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val ntok = arr.numElements()
+    val xs = new Array[Long](ntok)
+    var i = 0
+    while (i < ntok) {
+      val t = arr.getUTF8String(i)
+      xs(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 7L)
+      i += 1
+    }
+    val nw = math.max(0, ntok - w + 1)
+    val hs = new Array[Long](nw)
+    var s = 0
+    while (s < nw) {
+      var h = ShingleHashes.Seed
+      var j = 0
+      while (j < w) { h = XXH64.hashLong(xs(s + j), h); j += 1 }
+      hs(s) = h
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ntok = ctx.freshName("ntok"); val xs = ctx.freshName("xs")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val nw = ctx.freshName("nw"); val hs = ctx.freshName("hs")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $ntok = $a.numElements();
+         |long[] $xs = new long[$ntok];
+         |for (int $i = 0; $i < $ntok; $i++) {
+         |  UTF8String $t = $a.getUTF8String($i);
+         |  $xs[$i] = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 7L);
+         |}
+         |int $nw = Math.max(0, $ntok - $w + 1);
+         |long[] $hs = new long[$nw];
+         |for (int $s = 0; $s < $nw; $s++) {
+         |  long $h = ${ShingleHashes.Seed}L;
+         |  for (int $j = 0; $j < $w; $j++) { $h = $xxh.hashLong($xs[$s + $j], $h); }
+         |  $hs[$s] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($hs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  def apply(tokens: Column, w: Int): Column =
+    GraftBridge.column(WindowHashes(GraftBridge.expression(tokens), w))
+}
+
 /** Count of positions where two equal-length `array<long>` values agree —
   * the MinHash signature-similarity kernel (estimated Jaccard = agree/k).
   * `zip_with(a, b, equals)` evaluates interpreted per element; this is one

@@ -74,6 +74,36 @@ final class FilterOps(private val c: Chain) extends AnyVal {
       Map("qualify" -> qualSql))
   }
 
+  /** filter_by_quantile(value_col, q, partition_by, keep): per-group exact
+    * quantile gate — keep = "top" keeps rows whose `CUME_DIST()` over the
+    * ascending value order exceeds q (the top 1−q fraction by value, e.g.
+    * q=0.75 keeps the top quartile); keep = "bottom" keeps the complement.
+    * The corpus quality-gate pass ("drop everything below the per-language
+    * median score") as one declarative window: one shuffle on the partition
+    * keys, no driver statistics, no approximation — and `CUME_DIST` is
+    * tie-stable (equal values share a rank), so results don't depend on
+    * row order within ties. Renders an exact SQL face (CUME_DIST is
+    * standard), so quantile gates survive `sql()`/dbt export.
+    */
+  def filterByQuantile(valueCol: String, q: Double,
+                       partitionBy: Seq[String] = Nil,
+                       keep: String = "top"): Chain = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(Set("top", "bottom").contains(keep), s"keep must be top|bottom, got $keep")
+    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(col): _*)
+    val w = w0.orderBy(col(valueCol).asc)
+    val cols = c.df.columns.toSeq
+    val df2 = c.df.withColumn("_graft_cd", cume_dist().over(w))
+      .where(if (keep == "top") col("_graft_cd") > q else col("_graft_cd") <= q)
+      .select(cols.map(col): _*)
+    val part = if (partitionBy.isEmpty) "" else s"PARTITION BY ${partitionBy.mkString(", ")} "
+    val cmp = if (keep == "top") ">" else "<="
+    c.next("filter_by_quantile", df2, Some(
+      s"SELECT ${cols.mkString(", ")} FROM (SELECT *, CUME_DIST() OVER (" +
+        s"${part}ORDER BY $valueCol ASC) AS _graft_cd FROM {{source}}) WHERE _graft_cd $cmp $q"))
+  }
+
   private def sortCols(orderBy: Seq[(String, String)]): Seq[Column] =
     orderBy.map { case (n, dir) => oneSort(n, dir) }
 

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ext._
+import graft.ops._
+import TestSpark._
+
+/** Span-level exact dedup (dupSpans/stripDupSpans), end-to-end near-dup
+  * retention (dedupNear), and the quantile gate.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+
+  // doc 2 embeds tokens w4..w11 of doc 1 (8 shared tokens); doc 3 unrelated
+  private def spanDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, (0 until 20).map(i => s"w$i").mkString(" ")),
+      (2L, "x0 x1 w4 w5 w6 w7 w8 w9 w10 w11 y0 y1"),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dupSpans emits maximal duplicated token ranges per document") {
+    val spans = Chain(spark, "docs", spanDocs)
+      .dupSpans("doc_id", "text", windowTokens = 4)
+      .df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1: 4-token windows starting at 4..8 are shared → union [4, 12);
+    // doc 2: the same windows sit at starts 2..6 → union [2, 10); doc 3: none
+    assert(spans == Set((1L, 4, 12), (2L, 2, 10)))
+  }
+
+  test("dupSpans merges only overlapping or touching windows") {
+    import spark.implicits._
+    // two disjoint shared regions in one doc must yield two spans
+    val docs = Seq(
+      (1L, "a0 a1 a2 a3 GAP0 GAP1 GAP2 b0 b1 b2 b3".toLowerCase),
+      (2L, "p0 a0 a1 a2 a3 q0 q1 q2 q3 q4 b0 b1 b2 b3 r0".toLowerCase)
+    ).toDF("doc_id", "text")
+    val spans = Chain(spark, "docs", docs)
+      .dupSpans("doc_id", "text", windowTokens = 4)
+      .df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 0, 4), (1L, 7, 11), (2L, 1, 5), (2L, 10, 14)))
+  }
+
+  test("stripDupSpans keeps the smallest-id owner's copy and strips the rest") {
+    val out = Chain(spark, "docs", spanDocs)
+      .stripDupSpans("doc_id", "text", windowTokens = 4)
+      .df.select("doc_id", "text_stripped").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns every shared window (min id) → survives whole (normalized)
+    assert(out(1L) == (0 until 20).map(i => s"w$i").mkString(" "))
+    // doc 2 loses positions [2, 10)
+    assert(out(2L) == "x0 x1 y0 y1")
+    // doc 3 untouched
+    assert(out(3L) == "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9")
+  }
+
+  test("stripDupSpans empties a document fully contained elsewhere") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "c0 c1 c2 c3 c4 c5"),
+      (2L, "c0 c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val out = Chain(spark, "docs", docs)
+      .stripDupSpans("doc_id", "text", windowTokens = 4)
+      .df.select("doc_id", "text_stripped").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "c0 c1 c2 c3 c4 c5")
+    assert(out(2L) == "")
+  }
+
+  test("dedupNear keeps one representative per cluster by the keep ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 35L),
+      (2L, "alpha beta gamma delta epsilon zeta extra", 41L),
+      (3L, "totally unrelated content here now", 33L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Chain(spark, "docs", docs)
+      .dedupNear("doc_id", "text", n = 2, threshold = 0.5,
+        keepBy = Seq("n_chars" -> "DESC"))
+      .df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // docs 1/2 cluster (bigram jaccard 5/6); the longer doc 2 survives
+    assert(kept == Seq(2L, 3L))
+  }
+
+  test("filterByQuantile keeps the per-group top fraction, tie-stable") {
+    import spark.implicits._
+    val df = ((1 to 8).map(v => ("g1", v)) ++ Seq(("g2", 10), ("g2", 20)))
+      .toDF("grp", "v")
+    val top = Chain(spark, "t", df)
+      .filterByQuantile("v", 0.75, Seq("grp"))
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // g1: cume_dist > .75 → v ∈ {7, 8}; g2: 20 (cume 1.0) only
+    assert(top == Set(("g1", 7), ("g1", 8), ("g2", 20)))
+    val bottom = Chain(spark, "t", df)
+      .filterByQuantile("v", 0.75, Seq("grp"), keep = "bottom")
+      .df.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(bottom == ((1 to 6).map(("g1", _)).toSet + (("g2", 10))))
+  }
+
+  test("filterByQuantile SQL face matches the DataFrame face") {
+    val c = table("orders").filterByQuantile("o_totalprice", 0.75,
+      Seq("o_orderpriority"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+}
