@@ -263,11 +263,17 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     val wh = c.df.select(col(idCol),
         posexplode(graft.functions.WindowHashes(TextOps.tokens(col(textCol)), windowTokens))
           .as(Seq("_pos", "_h")))
-      .repartition(col("_h"))
-    val shared = wh.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= 2).select(col("_h"))
-    val hits = wh.join(shared, Seq("_h")).select(col(idCol), col("_pos"))
+    // "window appears in ≥ 2 documents" ⟺ min(id) ≠ max(id) over the hash
+    // partition — one window pass on ONE exchange of the exploded windows.
+    // (The aggregate-then-join-back formulation scans and hashes the corpus
+    // twice: column pruning specializes each branch's exchange, so Catalyst
+    // can't reuse one for the other.)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val hits = wh
+      .withColumn("_mn", min(col(idCol)).over(byHash))
+      .withColumn("_mx", max(col(idCol)).over(byHash))
+      .where(col("_mn") =!= col("_mx"))
+      .select(col(idCol), col("_pos"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_pos"))
     // interval islands: a window starts a new span iff it begins past the
@@ -305,13 +311,12 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     val wh = c.df.select(col(idCol),
         posexplode(graft.functions.WindowHashes(TextOps.tokens(col(textCol)), windowTokens))
           .as(Seq("_pos", "_h")))
-      .repartition(col("_h"))
-    val owners = wh.groupBy(col("_h"))
-      .agg(min(col(idCol)).as("_own"), countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= 2)
-      .select(col("_h"), col("_own"))
-    // covered token positions, only in non-owner docs (the owner keeps its copy)
-    val covered = wh.join(owners, Seq("_h"))
+    // owner = min(id) over the hash partition; a row needs stripping iff its
+    // id isn't the owner (which already implies ≥ 2 docs share the window).
+    // Same single-exchange shape as [[dupSpans]] — no aggregate join-back.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val covered = wh
+      .withColumn("_own", min(col(idCol)).over(byHash))
       .where(col(idCol) =!= col("_own"))
       .select(col(idCol),
         explode(sequence(col("_pos"), col("_pos") + windowTokens - 1)).as("_tp"))

@@ -42,6 +42,31 @@ object PurePropsSpec extends Properties("graft.pure") {
       graft.ops.JoinOps.hashThreshold(f) == "0"
     } && Prop(graft.ops.JoinOps.hashThreshold(1.0) == "g")
 
+  // ---- WindowHashes ↔ ShingleHashes: the positional windows, sorted and
+  // deduped, are exactly the shingle set when the doc holds a full window;
+  // shorter docs yield no windows (ShingleHashes falls back to one
+  // whole-doc shingle instead — the two kernels' documented divergence)
+  private val tokenList =
+    Gen.nonEmptyListOf(Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+  property("WindowHashes matches ShingleHashes after sort+dedup") =
+    forAll(tokenList, Gen.chooseNum(1, 6)) { (toks, w) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val lit = Literal(arr, ArrayType(StringType))
+      val wh = graft.functions.WindowHashes(lit, w).eval(null)
+        .asInstanceOf[ArrayData].toLongArray()
+      if (toks.length < w) wh.isEmpty
+      else {
+        val sh = graft.functions.ShingleHashes(lit, w).eval(null)
+          .asInstanceOf[ArrayData].toLongArray()
+        wh.length == toks.length - w + 1 && wh.toSet == sh.toSet
+      }
+    }
+
   // ---- TransformTemplate: substitution resolves every declared
   // placeholder and rejects unknown/missing arguments
   private val ident = for {
