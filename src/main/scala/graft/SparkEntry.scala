@@ -346,6 +346,11 @@ object SparkEntry {
       "q_mix_by_budget" -> ((s, d) =>
         t(s, d, "documents").mixByTokenBudget("lang", "n_chars",
           Seq("en" -> 30000L, "de" -> 30000L), Seq("doc_id")).df),
+      // temperature mixing: per-language budgets ∝ tokens^0.5, normalized
+      // to a 60k-token target (alpha<1 upweights low-resource languages)
+      "q_mix_by_temperature" -> ((s, d) =>
+        t(s, d, "documents").mixByTemperature("lang", "n_chars", 0.5,
+          60000L, Seq("doc_id")).df),
       // seeded, content-keyed epoch shuffle: deterministic training order
       "q_epoch_shuffle" -> ((s, d) =>
         t(s, d, "documents").epochShuffle(1L, Seq("doc_id")).df),
@@ -670,6 +675,20 @@ object SparkEntry {
           s"CASE WHEN CAST(lang AS VARCHAR) = 'en' THEN ${th("en", 30000L)} " +
           s"WHEN CAST(lang AS VARCHAR) = 'de' THEN ${th("de", 30000L)} ELSE 'g' END"
       },
+      // the oracle re-derives quantized sqrt weights, the exact-integer
+      // normalizer, and the md5-threshold math bit-for-bit (sqrt is
+      // IEEE-correctly-rounded — the reason the driver query uses alpha=0.5)
+      "q_mix_by_temperature" ->
+        ("WITH tot AS (SELECT CAST(lang AS VARCHAR) AS s, SUM(CAST(n_chars AS BIGINT)) AS t " +
+          "FROM documents WHERE lang IS NOT NULL GROUP BY 1 HAVING SUM(CAST(n_chars AS BIGINT)) > 0), " +
+          "wq AS (SELECT s, t, CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1048576) AS BIGINT) AS w FROM tot), " +
+          "ws AS (SELECT SUM(w) AS wsum FROM wq), " +
+          "th AS (SELECT s, CASE WHEN f >= 1.0 THEN 'g' ELSE printf('%015x', " +
+          "CAST(floor(f * 1.152921504606846976e18) AS BIGINT)) END AS thv FROM " +
+          "(SELECT s, LEAST(1.0, CAST(60000 AS DOUBLE) * CAST(w AS DOUBLE) / CAST(t AS DOUBLE) / " +
+          "CAST(wsum AS DOUBLE)) AS f FROM wq CROSS JOIN ws)) " +
+          "SELECT d.* FROM documents d JOIN th ON CAST(d.lang AS VARCHAR) = th.s " +
+          "WHERE md5(concat_ws('|', CAST(doc_id AS VARCHAR))) < th.thv"),
       "q_epoch_shuffle" ->
         ("SELECT *, md5(concat_ws('|', '1', CAST(doc_id AS VARCHAR))) AS epoch_pos " +
           "FROM documents ORDER BY epoch_pos"),

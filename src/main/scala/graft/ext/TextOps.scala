@@ -321,6 +321,56 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("mix_by_token_budget", mixed.df, mixed.steps.last.sqlFragment)
   }
 
+  /** mix_by_temperature(strata_col, token_col, alpha, total_budget,
+    * key_cols): temperature-based corpus mixing — each stratum's token
+    * budget is proportional to `tokens^alpha`, normalized so the whole mix
+    * targets `totalBudget` tokens (the multilingual sampling standard:
+    * alpha < 1 upweights low-resource strata, alpha = 1 is proportional).
+    * Execution is the same layout- and engine-independent stratified
+    * md5-threshold predicate as [[mixByTokenBudget]]; per-stratum totals
+    * come from ONE bounded, declared driver aggregate.
+    *
+    * Determinism across engines: weights are quantized to
+    * `floor(tokens^alpha · 2^20)` and summed as exact integers, so the
+    * normalizer is independent of summation order; the per-stratum
+    * fraction is a fixed chain of IEEE double ops. At alpha = 0.5 the
+    * power is computed with `sqrt` (correctly rounded per IEEE-754, so
+    * bit-identical in any engine — the oracle-checked setting); other
+    * alphas use `pow`, which libms only guarantee to ~1 ulp, so
+    * cross-engine reproducibility there is approximate at the fraction's
+    * last bit. Strata with a null key or zero tokens drop.
+    */
+  def mixByTemperature(strataCol: String, tokenCol: String, alpha: Double,
+                       totalBudget: Long, keyCols: Seq[String]): Chain = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(totalBudget > 0L, s"totalBudget must be positive, got $totalBudget")
+    val totals = c.df
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(sum(col(tokenCol).cast("long")).as("_tot"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(s =>
+        s -> (if (r.isNullAt(1)) 0L else r.getLong(1))))
+      .filter(_._2 > 0L)
+      .sortBy(_._1)
+    require(totals.nonEmpty, "mix_by_temperature found no stratum with tokens")
+    def power(t: Double): Double =
+      if (alpha == 0.5) math.sqrt(t)
+      else if (alpha == 1.0) t
+      else math.pow(t, alpha)
+    val wq = totals.map { case (s, t) =>
+      s -> math.floor(power(t.toDouble) * 1048576.0).toLong
+    }.toMap
+    val wsum = wq.values.sum
+    require(wsum > 0L, "mix_by_temperature: quantized weights sum to zero")
+    val fractions = totals.map { case (s, t) =>
+      s -> math.min(1.0,
+        totalBudget.toDouble * wq(s).toDouble / t.toDouble / wsum.toDouble)
+    }.toSeq
+    import graft.ops._
+    val mixed = c.sampleHashStratified(strataCol, fractions, keyCols, 0.0)
+    c.next("mix_by_temperature", mixed.df, mixed.steps.last.sqlFragment)
+  }
+
   /** epoch_shuffle(seed, key_cols): deterministic global shuffle for a
     * training epoch — every row gets `epoch_pos` = md5(seed ‖ key) and the
     * corpus is range-sorted by it. Seeded: epoch 2 is a different but

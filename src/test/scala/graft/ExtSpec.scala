@@ -298,6 +298,40 @@ class ExtSpec extends AnyFunSuite {
       again.df.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("mixByTemperature upweights low-resource strata under alpha < 1") {
+    import spark.implicits._
+    // en: 100 rows x 100 tokens = 10000; de: 10 rows x 100 tokens = 1000.
+    // alpha=0.5 weights sqrt(10000):sqrt(1000) ~ 0.76:0.24 of a 3000-token
+    // target -> de's ~724-token budget is under its 1000 total but its keep
+    // fraction (0.72) far exceeds en's (0.23); proportional alpha=1 gives
+    // both the same fraction.
+    val rows = (0 until 100).map(i => (i.toLong, "en", 100L)) ++
+      (100 until 110).map(i => (i.toLong, "de", 100L))
+    val df = rows.toDF("id", "lang", "n_tok")
+    def kept(alpha: Double, budget: Long): Map[String, Long] =
+      Chain(spark, "d", df)
+        .mixByTemperature("lang", "n_tok", alpha, budget, Seq("id"))
+        .df.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t05 = kept(0.5, 3000L)
+    // E[de kept] = 7.2 rows vs E[en kept] = 22.8 of 100 — the de FRACTION
+    // must exceed the en fraction by a wide margin (4-sigma safe bounds)
+    assert(t05.getOrElse("de", 0L) >= 4L,
+      s"low-resource stratum under-kept: $t05")
+    assert(t05.getOrElse("en", 0L) <= 40L,
+      s"dominant stratum over-kept: $t05")
+    assert(t05.getOrElse("de", 0L).toDouble / 10.0 >
+      t05.getOrElse("en", 0L).toDouble / 100.0,
+      s"alpha<1 must upweight the low-resource stratum: $t05")
+    // determinism: identical rows on a re-run
+    val again = kept(0.5, 3000L)
+    assert(t05 == again)
+    // a budget >= the corpus keeps everything at any alpha... only when
+    // per-stratum targets cover each stratum; proportional alpha=1 does
+    val all = kept(1.0, 11000L)
+    assert(all == Map("en" -> 100L, "de" -> 10L))
+  }
+
   test("epochShuffle is a deterministic, seed-distinct permutation") {
     import spark.implicits._
     val df = (0 until 500).map(_.toLong).toDF("id")
