@@ -361,38 +361,42 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * min-aggregate, both shuffle-partitioned by node id), then chases one
     * more hop through the previous round's label map (`label ← label of my
     * label`, one additional equi-join on small label frames). Each
-    * checkpointed round therefore advances labels ~two hops, so rounds ≈
+    * materialized round therefore advances labels ~two hops, so rounds ≈
     * half the component diameter — and near-dup clusters are shallow (dups
     * of dups), so the declared per-round convergence probe runs a handful
-    * of times. `localCheckpoint` truncates the plan between rounds so
-    * lineage doesn't grow with iterations (the iterative-algo standard,
-    * same as GraphFrames CC). `maxIters` bounds adversarial chains
-    * (upgrade to the large-star/small-star contraction if components with
-    * 10⁶-hop diameters ever matter). Output: `(id, cluster_id)` for every
-    * id appearing in a pair.
+    * of times. Intermediates are persisted MEMORY_AND_DISK and RELEASED as
+    * soon as the next round materializes — iteration leaves no storage
+    * residue behind in a long-running session (lineage stays bounded by
+    * `maxIters`, so no checkpoint truncation is needed). `maxIters` bounds
+    * adversarial chains (upgrade to the large-star/small-star contraction
+    * if components with 10⁶-hop diameters ever matter). Output:
+    * `(id, cluster_id)` for every id appearing in a pair.
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
-    // checkpoint the pair pipeline BEFORE symmetrizing: the union's two
-    // branches would otherwise each re-run the whole upstream miner.
-    // production clusters point spark.checkpoint.dir at reliable storage
-    // for executor-loss safety
+    // persist the pair pipeline BEFORE symmetrizing: the union's two
+    // branches would otherwise each re-run the whole upstream miner. The
+    // eager count is the one declared materialization job. persist (not
+    // localCheckpoint) so every intermediate can be RELEASED on exit —
+    // checkpoint blocks have no unpersist path and accumulate for the
+    // session's lifetime, a real leak in long-running pipelines.
     val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .localCheckpoint()
-    // lazy checkpoints: the convergence probe right after each assignment
-    // is the materializing action, so checkpoint + probe cost ONE Spark job
-    // per round instead of two (edges stays eager — sym's union reads it
-    // twice, and a lazy edges checkpoint would run the miner twice)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    // miner pairs are unique (id_a < id_b), so the symmetrized union is
+    // dup-free by construction — no distinct shuffle. (User-fed duplicate
+    // pairs stay harmless: min-propagation is idempotent in its inputs.)
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 0 folded into seeding: label = min(self, neighbors)
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels only ever decrease, so the label SUM strictly decreases while
     // anything changes — one cheap aggregate per round instead of a
-    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids)
+    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids).
+    // persists are lazy, so probe + materialization cost ONE job per round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
@@ -403,20 +407,26 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         .select(col("dst").as("id"), col("cluster_id"))
       val stepped = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-      // pointer jump through the PREVIOUS round's checkpointed map (no
+      // pointer jump through the PREVIOUS round's materialized map (no
       // self-join of the un-materialized step output): label-of-label is
       // still elementwise non-increasing, so the sum probe stays valid
       val parents = labels.select(
         col("id").as("_pid"), col("cluster_id").as("_pcl"))
+      val prev = labels
       labels = stepped.join(parents, stepped("cluster_id") === parents("_pid"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(eager = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(labels)
+      prev.unpersist(blocking = false) // this round is materialized; the old map is dead
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
+    // the final labels frame stays persisted for the consumer (one row per
+    // clustered doc); the edge frames are scratch — release them now
+    edges.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters rounds — component diameter " +
