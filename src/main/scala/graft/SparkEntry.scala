@@ -390,6 +390,18 @@ object SparkEntry {
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
+      // incremental ingest dedup: even-id docs are the indexed historical
+      // corpus, odd-id docs the incoming batch; batch docs near-duplicating
+      // an indexed doc drop, the rest survive (QuantGateSpec floors the
+      // recall/precision vs exact cross-split Jaccard)
+      "q_dedup_incremental" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
+          .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+        docs.filterRows(Seq("doc_id % 2 = 1"))
+          .dedupAgainstIndex(idx.df, "doc_id", "text",
+            shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df
+      }),
       "q_dedup_simhash" -> ((s, d) =>
         t(s, d, "documents").simhashPairs("doc_id", "text", maxHamming = 8).df),
       "q_dedup_embedding" -> ((s, d) =>

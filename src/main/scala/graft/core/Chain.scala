@@ -167,6 +167,11 @@ final class Chain private (
       spark.sql(s"ALTER TABLE `$name` RENAME TO `$retired`")
       spark.sql(s"ALTER TABLE `$staging` RENAME TO `$name`")
       spark.sql(s"DROP TABLE `$retired`")
+      // the swap invalidates any cached file listing a previous reader of
+      // `name` left in the session catalog — without this, the next
+      // spark.table(name) can resolve to the retired files and fail with
+      // FILE_NOT_EXIST (bites any long session that read before upserting)
+      spark.catalog.refreshTable(name)
     }
   }
 
@@ -189,6 +194,61 @@ final class Chain private (
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+  }
+
+  /** Materialize as a Z-ORDERED parquet table: rows are clustered along a
+    * Morton curve over the quantile bins of `zCols`, so parquet row-group
+    * min/max statistics stay narrow on EVERY z column at once — a
+    * selective pushed-down filter on ANY of them (not just a prefix, as
+    * with plain sort) skips most row groups at scan time. The third layout
+    * investment next to [[savePartitioned]] (directory pruning on one
+    * low-cardinality column) and [[saveBucketed]] (equi-join co-location):
+    * z-ordering serves multi-dimensional range/point predicates on
+    * high-cardinality columns.
+    *
+    * Mechanics: cut points for each column come from ONE bounded
+    * `approxQuantile` driver job (the declared stats action the encoders
+    * also use); each row's bins interleave in a native codegen kernel
+    * ([[graft.functions.ZValue]]); the write range-partitions and sorts by
+    * the z value, then drops it. Quantile (equal-mass) cells keep the
+    * curve balanced under skew where equal-width cells would collapse.
+    * Numeric, date and timestamp columns cluster by range; string columns
+    * cluster by hash (equality pruning only — range predicates on strings
+    * gain nothing).
+    */
+  def saveZOrdered(name: String, zCols: Seq[String], overwrite: Boolean = false,
+                   bits: Int = 6, relErr: Double = 0.01, files: Int = 0): Unit = {
+    require(zCols.nonEmpty, "z-ordered save needs z columns")
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits ($bits) x columns (${zCols.size}) must fit in a long")
+    if (!overwrite && spark.catalog.tableExists(name))
+      throw new IllegalStateException(
+        s"table $name exists; pass overwrite=true to replace")
+    import org.apache.spark.sql.functions._
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val zExprs = zCols.map { cn =>
+      types(cn) match {
+        case _: org.apache.spark.sql.types.NumericType => col(cn).cast("double")
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(cn).cast("timestamp")).cast("double")
+        case _ => xxhash64(col(cn)).cast("double")
+      }
+    }
+    val qNames = zCols.indices.map(i => s"_zq_$i")
+    val projected = df.select(zExprs.zip(qNames).map { case (e, n) => e.as(n) }: _*)
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val cuts = projected.stat.approxQuantile(qNames.toArray, probs, relErr).toSeq
+    val zv = graft.functions.ZValue(zExprs, cuts.map(_.clone()), bits)
+    val parts = if (files > 0) files else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("_graft_z", zv)
+      .repartitionByRange(parts, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format("parquet")
       .saveAsTable(name)
   }
 

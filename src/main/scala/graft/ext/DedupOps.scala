@@ -58,6 +58,80 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     c.next("dedup_minhash", pairs, None)
   }
 
+  /** minhash_index(id, text): the persistent half of INCREMENTAL dedup —
+    * this corpus's banded MinHash postings as rows `(_bh, _id, _mh)`
+    * (band-bucket hash, doc id, full signature). Save once with
+    * `saveBucketed(name, Seq("_bh"), n)`: every future ingest batch then
+    * probes the index with NO index-side shuffle (the bucketed layout
+    * already satisfies the join distribution) and, crucially, without
+    * re-mining the historical corpus — the alternative, re-running pair
+    * mining over old ∪ new, re-shuffles 100 TB on every ingest.
+    *
+    * The band id is mixed into the bucket hash, so `_bh` alone is the join
+    * key; a cross-band 64-bit hash collision only creates an extra
+    * candidate that signature verification then rejects. Oversized buckets
+    * are dropped at BUILD time (`maxBucket`, the usual hot-key guard), so
+    * probe time carries no bucket-size pass.
+    */
+  def minhashIndex(
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 4,
+      maxBucket: Int = 1000): Chain = {
+    val banded = DedupOps.bandedMinhash(c.df, idCol, textCol, shingleWords, numHashes, bands)
+    val sized = banded
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bh"))))
+      .where(col("_bsz") <= maxBucket)
+      .select(col("_bh"), col("_id"), col("_mh"))
+    c.next("minhash_index", sized, None)
+  }
+
+  /** dedup_against_index(index, id, text): the probe half of INCREMENTAL
+    * dedup — drop every batch row whose estimated Jaccard against ANY
+    * indexed document reaches `estThreshold`; survivors keep all columns.
+    * `index` is a [[minhashIndex]] frame or the saved bucketed table
+    * (`spark.table(name)`).
+    *
+    * Scale shape: the batch's banded keys equi-join the index on `_bh` —
+    * with a bucketed index the index side neither shuffles nor re-scans
+    * beyond the probed buckets, and AQE broadcasts the (small) batch side.
+    * Verification is one codegen signature-agreement count per candidate;
+    * the final anti-join removes dropped ids. Build parameters must match
+    * the index's: a signature-width mismatch fails loudly per-row rather
+    * than silently under-counting agreement.
+    */
+  def dedupAgainstIndex(
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 4,
+      estThreshold: Double = 0.8): Chain = {
+    require(Seq("_bh", "_id", "_mh").forall(index.columns.contains),
+      s"index must have columns (_bh, _id, _mh) from minhashIndex; got ${index.columns.mkString(", ")}")
+    // loud width guard, checked eagerly on ONE index row (bounded declared
+    // action): a mismatched numHashes yields disjoint band hashes, so the
+    // probe would silently drop NOTHING rather than error at runtime
+    index.select(size(col("_mh")).as("w")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"dedup_against_index: batch numHashes=$numHashes but index signature width is ${r.getInt(0)}")
+    }
+    val banded = DedupOps.bandedMinhash(c.df, idCol, textCol, shingleWords, numHashes, bands)
+    val probe = banded.select(col("_id"), col("_bh"), col("_mh"))
+    val idx = index.select(col("_bh"), col("_mh").as("_imh"))
+    val est = graft.functions.PositionAgreeCount(col("_mh"), col("_imh"))
+      .cast("double") / numHashes
+    val dropIds = probe.join(idx, Seq("_bh"))
+      .where(est >= estThreshold)
+      .select(col("_id")).distinct()
+    val survivors = c.df.join(dropIds, c.df(idCol) === dropIds("_id"), "left_anti")
+    c.next("dedup_against_index", survivors, None)
+  }
+
   /** simhash(id, text): 64-bit token-hash sign sketch; candidate pairs share
     * one of four 16-bit bands and have Hamming distance ≤ maxHamming.
     */
@@ -345,6 +419,29 @@ object DedupOps {
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Shared banded-MinHash derivation for the incremental-dedup pair
+    * ([[DedupOps.minhashIndex]] / [[DedupOps.dedupAgainstIndex]]): one row
+    * per (doc, band) as `(_id, _mh, _bh)` where `_bh` = xxhash64(band id ‖
+    * the band's signature rows) — the band id is mixed in so `_bh` alone
+    * keys the bucket join. The repartition is the usual materialization
+    * barrier: the codegen shingle/signature kernels run once per document,
+    * not once per band row.
+    */
+  private[ext] def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+                                 shingleWords: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rows = numHashes / bands
+    val sh = graft.functions.ShingleHashes(TextOps.tokens(col(textCol)), shingleWords)
+    df.select(col(idCol).as("_id"),
+        graft.functions.Sketches.minhashSignature(sh, numHashes).as("_mh"))
+      .repartition(col("_id"))
+      .select(col("_id"), col("_mh"),
+        explode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until rows).map(r => col("_mh")(b * rows + r)): _*)): _*))
+          .as("_bh"))
   }
 }
 

@@ -160,6 +160,68 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // foreachBatch runs in a cloned session; the upsert's table swap is
+    // invisible to the CALLER session's cached file listing until refreshed
+    df.sparkSession.catalog.refreshTable(name)
+    q
+  }
+
+  /** Streaming ingest with incremental near-dup dedup via `foreachBatch`:
+    * every micro-batch (1) drops exact re-texts within the batch, (2) probes
+    * the saved MinHash band index ([[graft.ext.DedupOps.minhashIndex]]) and
+    * drops near-dups of the already-ingested corpus, (3) upserts survivors
+    * into the corpus table keyed on `idCol`, then (4) appends the survivors'
+    * own band postings to the index — so the NEXT batch dedups against
+    * everything ingested so far without ever re-mining history. This is the
+    * 100 TB ingest loop: per batch, work is proportional to the batch, not
+    * the corpus.
+    *
+    * Replay safety (foreachBatch is at-least-once): the doc write is an
+    * idempotent key-upsert, and it runs BEFORE the posting append — a crash
+    * between the two replays the batch against an index that does not yet
+    * contain the batch's own postings, reproducing the same survivors;
+    * duplicate postings from a post-append replay only duplicate candidates
+    * (harmless — drop decisions are distinct-ed). Batch-INTERNAL near-dups
+    * (two new docs near-duplicating each other in one micro-batch) are not
+    * mutually deduped — only exact re-texts are; run a periodic compaction
+    * pass ([[graft.ext.DedupClusterOps.dedupNear]]) if that matters.
+    */
+  def sinkDedupAppendToTable(docs: DataFrame, name: String, indexTable: String,
+                             idCol: String, textCol: String, checkpointDir: String,
+                             shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 4,
+                             estThreshold: Double = 0.8,
+                             indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext._
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val deduped = graft.core.Chain(spark, name, batch).dedupExact(idCol, textCol)
+          val survivors =
+            if (spark.catalog.tableExists(indexTable))
+              deduped.dedupAgainstIndex(spark.table(indexTable), idCol, textCol,
+                shingleWords, numHashes, bands, estThreshold)
+            else deduped
+          graft.core.Chain(spark, name, survivors.df).saveUpsert(name, Seq(idCol))
+          val postings = survivors
+            .minhashIndex(idCol, textCol, shingleWords, numHashes, bands)
+          postings.df.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet")
+            .bucketBy(indexBuckets, "_bh").sortBy("_bh")
+            .saveAsTable(indexTable)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // foreachBatch runs in a cloned session; refresh the CALLER session's
+    // cached listings for both tables the batches rewrote/appended
+    docs.sparkSession.catalog.refreshTable(name)
+    if (docs.sparkSession.catalog.tableExists(indexTable))
+      docs.sparkSession.catalog.refreshTable(indexTable)
     q
   }
 

@@ -120,6 +120,35 @@ class QuantGateSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup drops >=90% of strong cross-split near-dups, never a clean doc") {
+    // even ids = indexed corpus, odd ids = batch (the q_dedup_incremental split)
+    val docs = table("documents")
+    val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+    val survivors = docs.filterRows(Seq("doc_id % 2 = 1"))
+      .dedupAgainstIndex(idx.df, "doc_id", "text",
+        shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth from the exact bigram-Jaccard pairs: a batch doc is a
+    // true dup iff it pairs across the split at j >= 0.8; clean iff it has
+    // no cross-split pair at all (j >= 0.5 universe)
+    def crossSplit(j: Double) = exactNgramPairs.collect {
+      case ((a, b), s) if s >= j && a % 2 != b % 2 =>
+        if (a % 2 == 1) a else b
+    }.toSet
+    val trueDups = crossSplit(0.8)
+    val anyPair = crossSplit(0.0)
+    val allBatch = docs.filterRows(Seq("doc_id % 2 = 1"))
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trueDups.nonEmpty, "test corpus must plant cross-split near-dups")
+    val dropped = allBatch -- survivors
+    val caught = (trueDups & dropped).size.toDouble / trueDups.size
+    assert(caught >= 0.9, f"incremental dedup caught $caught%.3f of strong cross-split dups < 0.9")
+    val falseDrops = dropped -- anyPair
+    assert(falseDrops.isEmpty,
+      s"docs with no cross-split near-dup were dropped: ${falseDrops.toSeq.sorted.take(5)}")
+  }
+
   test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
     // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
     // exact near-dup pairs (j >= 0.9) must nearly all collide and the

@@ -236,6 +236,95 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("bucketed minhash index is probed without an index-side shuffle") {
+    val docs = table("documents")
+    docs.filterRows(Seq("doc_id % 2 = 0"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+      .saveBucketed("mh_idx_bucketed", Seq("_bh"), 4, overwrite = true)
+    val batch = docs.filterRows(Seq("doc_id % 2 = 1"))
+    val viaTable = batch.dedupAgainstIndex(spark.table("mh_idx_bucketed"),
+      "doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no ShuffleExchange may sit anywhere above the bucketed index scan:
+      // the saved layout must satisfy the probe join's distribution
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasIndexScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("mh_idx_bucketed") => f
+      }.nonEmpty
+      val plan = viaTable.df.queryExecution.sparkPlan
+      assert(hasIndexScan(plan), s"expected a scan of the bucketed index:\n$plan")
+      val shufflesOverIndex = plan.collect {
+        case e: ShuffleExchangeExec if hasIndexScan(e.child) => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"the bucketed index side must not re-shuffle on probe:\n$plan")
+      // and the saved-table probe answers exactly like the in-memory index
+      val idxFrame = docs.filterRows(Seq("doc_id % 2 = 0"))
+        .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+      val viaFrame = batch.dedupAgainstIndex(idxFrame.df,
+        "doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+      assert(rows(viaTable.df.select("doc_id")) == rows(viaFrame.df.select("doc_id")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  test("dedupAgainstIndex fails loudly on a signature-width mismatch") {
+    val docs = table("documents")
+    val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 16, bands = 8)
+    val ex = intercept[IllegalArgumentException] {
+      docs.filterRows(Seq("doc_id % 2 = 1"))
+        .dedupAgainstIndex(idx.df, "doc_id", "text",
+          shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+    }
+    assert(ex.getMessage.contains("index signature width"),
+      s"expected the width-mismatch error, got: ${ex.getMessage}")
+  }
+
+  test("ZValue interleaves quantile bins into the Morton order") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")
+    val z = graft.functions.ZValue(Seq(col("x"), col("y")), Seq(Array(0.5), Array(0.5)), 1)
+    val got = df.select(col("x"), col("y"), z.as("z")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // bit 0 = x's bin, bit 1 = y's bin
+    assert(got == Map((0.0, 0.0) -> 0L, (1.0, 0.0) -> 1L, (0.0, 1.0) -> 2L, (1.0, 1.0) -> 3L))
+  }
+
+  test("z-ordered layout narrows per-file ranges on every z column at once") {
+    val li = table("lineitem").df
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .orderBy(xxhash64(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")))
+    Chain(spark, "li", li).save("li_scrambled", "TABLE", overwrite = true)
+    Chain(spark, "li", spark.table("li_scrambled"))
+      .saveZOrdered("li_zordered", Seq("l_orderkey", "l_extendedprice"),
+        overwrite = true, files = 8)
+    // same rows survive the layout change
+    assert(rows(spark.table("li_zordered")) == rows(li))
+    def avgFileSpanFraction(tbl: String, c: String): Double = {
+      val per = spark.table(tbl)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .agg(avg(col("span"))).collect()(0).getDouble(0)
+      val g = spark.table(tbl)
+        .agg((max(col(c)) - min(col(c))).cast("double")).collect()(0).getDouble(0)
+      per / g
+    }
+    // 8 files x 2 dims: the Morton curve should hold each file to ~sqrt(1/8)
+    // of each column's range; the scrambled layout spans ~everything. Both
+    // clauses matter: absolute narrowness drives row-group skipping, the
+    // scrambled comparison pins causality on the layout.
+    Seq("l_orderkey", "l_extendedprice").foreach { c =>
+      val zf = avgFileSpanFraction("li_zordered", c)
+      val sf = avgFileSpanFraction("li_scrambled", c)
+      assert(zf < 0.6, f"z-ordered file span on $c is $zf%.2f of global, want < 0.6")
+      assert(zf < sf * 0.7, f"z-order must beat the scrambled layout on $c: $zf%.2f vs $sf%.2f")
+    }
+  }
+
   test("asofJoin preserves the matched row's own NULLs and keeps columns from one row") {
     // quote at 10:00 has px=NULL but sz=7; older quote at 09:00 has px=100, sz=5.
     // Per-column carry would resurrect px=100 (stale) next to sz=7 (current) —

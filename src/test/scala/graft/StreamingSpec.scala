@@ -144,6 +144,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_append_t").count() == n)
   }
 
+  test("streaming dedup-ingest sink drops cross-batch near-dups and maintains its index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS stream_corpus_t")
+    spark.sql("DROP TABLE IF EXISTS stream_corpus_idx")
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about distributed query engines and shuffles"
+    val tC = "yet another unrelated document describing parquet file layouts in detail"
+    def sink(ms: MemoryStream[Doc], ckpt: String) =
+      EventStreams.sinkDedupAppendToTable(ms.toDF(), "stream_corpus_t", "stream_corpus_idx",
+        "doc_id", "text", ckpt, shingleWords = 2, numHashes = 32, bands = 8,
+        estThreshold = 0.5, indexBuckets = 4)
+    // batch 1: two distinct docs -> both land, index bootstrapped
+    val ms1 = MemoryStream[Doc]
+    ms1.addData(Doc(1L, tA), Doc(2L, tB))
+    sink(ms1, Files.createTempDirectory("graft_ckpt_d1").toString)
+    assert(spark.table("stream_corpus_t").count() == 2)
+    assert(spark.table("stream_corpus_idx").count() > 0)
+    // batch 2: 3 = re-text of an INDEXED doc (cross-batch dup -> dropped),
+    // 4 = new (kept), 5 = exact re-text of 4 within the batch (dropped)
+    val ms2 = MemoryStream[Doc]
+    ms2.addData(Doc(3L, tA), Doc(4L, tC), Doc(5L, tC))
+    sink(ms2, Files.createTempDirectory("graft_ckpt_d2").toString)
+    val ids = spark.table("stream_corpus_t")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"expected survivors 1,2,4 — got $ids")
+    // the index now also covers doc 4: a batch-3 re-text of 4 is dropped too
+    val ms3 = MemoryStream[Doc]
+    ms3.addData(Doc(6L, tC))
+    sink(ms3, Files.createTempDirectory("graft_ckpt_d3").toString)
+    val ids3 = spark.table("stream_corpus_t")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == Seq(1L, 2L, 4L), s"index must cover batch-2 survivors — got $ids3")
+  }
+
   test("streaming upsert sink converges under redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
@@ -169,3 +205,5 @@ class StreamingSpec extends AnyFunSuite {
 
 case class Evt(event_id: Long, ts: Long, user_id: Long, event_type: String,
                value: Double, props: String)
+
+case class Doc(doc_id: Long, text: String)
