@@ -421,6 +421,27 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
+  /** Eagerly materialize + TRUNCATE an iterative round's frame:
+    * `localCheckpoint` replaces the logical plan with a `LogicalRDD`, so
+    * round N+1's plan does not nest round N's (a round that references its
+    * predecessor 2-3 times otherwise grows the plan tree — and every
+    * action's plan-description rendering — geometrically). Pair with
+    * [[releaseRound]]: checkpoint blocks have no automatic unpersist, and
+    * leaking one frame per round is the storage residue that inflated
+    * long-session benchmarks.
+    */
+  private[ext] def checkpointRound(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Free a dead [[checkpointRound]] frame's blocks (the checkpointed RDD
+    * sits under the Dataset's `LogicalRDD`). Only call once nothing will
+    * read the frame again — a truncated plan cannot recompute.
+    */
+  private[ext] def releaseRound(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Shared banded-MinHash derivation for the incremental-dedup pair
     * ([[DedupOps.minhashIndex]] / [[DedupOps.dedupAgainstIndex]]): one row
     * per (doc, band) as `(_id, _mh, _bh)` where `_bh` = xxhash64(band id ‖
@@ -461,39 +482,37 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * materialized round therefore advances labels ~two hops, so rounds ≈
     * half the component diameter — and near-dup clusters are shallow (dups
     * of dups), so the declared per-round convergence probe runs a handful
-    * of times. Intermediates are persisted MEMORY_AND_DISK and RELEASED as
-    * soon as the next round materializes — iteration leaves no storage
-    * residue behind in a long-running session (lineage stays bounded by
-    * `maxIters`, so no checkpoint truncation is needed). `maxIters` bounds
-    * adversarial chains (upgrade to the large-star/small-star contraction
-    * if components with 10⁶-hop diameters ever matter). Output:
-    * `(id, cluster_id)` for every id appearing in a pair.
+    * of times. Every round is eagerly `localCheckpoint`ed — truncation is
+    * load-bearing: a round references its predecessor 2-3 times, so
+    * without it the plan tree (and every action's plan-description
+    * rendering) grows geometrically with rounds — and each dead round's
+    * checkpoint blocks are explicitly released, so iteration leaves no
+    * storage residue behind in a long-running session. `maxIters` bounds
+    * adversarial chains; for huge chain-shaped components use
+    * [[clusterPairsContraction]]. Output: `(id, cluster_id)` for every id
+    * appearing in a pair.
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
-    // persist the pair pipeline BEFORE symmetrizing: the union's two
-    // branches would otherwise each re-run the whole upstream miner. The
-    // eager count is the one declared materialization job. persist (not
-    // localCheckpoint) so every intermediate can be RELEASED on exit —
-    // checkpoint blocks have no unpersist path and accumulate for the
-    // session's lifetime, a real leak in long-running pipelines.
-    val edges = c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    // checkpoint the pair pipeline BEFORE symmetrizing: the union's two
+    // branches would otherwise each re-run the whole upstream miner. Every
+    // round goes through checkpointRound (truncate, so plans never nest
+    // round-over-round) + releaseRound (free dead rounds' blocks — the
+    // storage residue that inflated long-session benchmarks).
+    val edges = DedupOps.checkpointRound(
+      c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")))
     // miner pairs are unique (id_a < id_b), so the symmetrized union is
     // dup-free by construction — no distinct shuffle. (User-fed duplicate
     // pairs stay harmless: min-propagation is idempotent in its inputs.)
-    val sym = edges.unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = DedupOps.checkpointRound(edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))))
+    DedupOps.releaseRound(edges) // sym supersedes it
     // round 0 folded into seeding: label = min(self, neighbors)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = DedupOps.checkpointRound(sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
     // labels only ever decrease, so the label SUM strictly decreases while
     // anything changes — one cheap aggregate per round instead of a
-    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids).
-    // persists are lazy, so probe + materialization cost ONE job per round.
+    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
@@ -510,24 +529,91 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       val parents = labels.select(
         col("id").as("_pid"), col("cluster_id").as("_pcl"))
       val prev = labels
-      labels = stepped.join(parents, stepped("cluster_id") === parents("_pid"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels = DedupOps.checkpointRound(
+        stepped.join(parents, stepped("cluster_id") === parents("_pid"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id")))
       val s = labelSum(labels)
-      prev.unpersist(blocking = false) // this round is materialized; the old map is dead
+      DedupOps.releaseRound(prev) // this round is materialized; the old map is dead
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
-    // the final labels frame stays persisted for the consumer (one row per
-    // clustered doc); the edge frames are scratch — release them now
-    edges.unpersist(blocking = false)
-    sym.unpersist(blocking = false)
+    // the final labels frame keeps its blocks for the consumer (one row per
+    // clustered doc); the edge frame is scratch — release it now
+    DedupOps.releaseRound(sym)
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters rounds — component diameter " +
           "exceeds the bound; raise maxIters or use a contraction algorithm")
+    c.next("dedup_clusters", labels, None)
+  }
+
+  /** cluster_pairs_contraction(id_a, id_b): connected components by
+    * alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * edge-contraction complement to [[clusterPairs]]. Per round,
+    * large-star hangs every node's larger neighbors onto its minimum
+    * neighbor and small-star re-hangs the smaller ones; components
+    * contract to stars in O(log n) rounds. Where the label-propagation
+    * loop shuffles the FULL label map every round (one row per node,
+    * forever), contraction's working set is the edge list and it SHRINKS
+    * as components collapse — the bounded-memory formulation for huge,
+    * chain-shaped components (record linkage, web-graph-shaped
+    * similarity, transitive session stitching). Each round is two
+    * groupBy-min + join-back passes, both partitioned by node id — no
+    * driver state; intermediates persist MEMORY_AND_DISK and release as
+    * soon as the next round materializes. Output matches
+    * [[clusterPairs]]: `(id, cluster_id)` — cluster_id = the component's
+    * minimum id — for every id appearing in a pair.
+    */
+  def clusterPairsContraction(idACol: String = "id_a", idBCol: String = "id_b",
+                              maxIters: Int = 50): Chain = {
+    val ac = col(idACol).cast("long"); val bc = col(idBCol).cast("long")
+    // one declared materialization of the upstream miner; `ids` (for the
+    // final labeling, incl. self-pairs) and the canonical edge set both
+    // read the truncated frame instead of re-running it. Every round goes
+    // through checkpointRound/releaseRound — see clusterPairs.
+    val raw = DedupOps.checkpointRound(
+      c.df.select(least(ac, bc).as("a"), greatest(ac, bc).as("b")))
+    val ids = DedupOps.checkpointRound(
+      raw.select(explode(array(col("a"), col("b"))).as("id")).distinct())
+    var edges = DedupOps.checkpointRound(
+      raw.where(col("a") =!= col("b")).distinct())
+    DedupOps.releaseRound(raw)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // LARGE-STAR: hang every node's LARGER neighbors onto its minimum
+      // neighborhood member — emitted edges always point (larger → smaller)
+      val sym = edges.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("u")))
+      val mins = sym.groupBy("v").agg(least(min(col("u")), first(col("v"))).as("m"))
+      val ls = DedupOps.checkpointRound(sym.join(mins, "v").where(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b")).distinct())
+      // SMALL-STAR: per center, re-hang its smaller neighbors AND itself
+      // onto the smallest of them
+      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = DedupOps.checkpointRound(ls.join(mins2, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct())
+      DedupOps.releaseRound(ls)
+      // fixpoint = the round was the identity on the edge set (stars only);
+      // two bounded anti-join probes on edge-sized frames
+      converged =
+        ss.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
+          edges.join(ss, Seq("a", "b"), "left_anti").isEmpty
+      DedupOps.releaseRound(edges)
+      edges = ss
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairsContraction did not converge in $maxIters rounds")
+    val stars = edges.select(col("a").as("_sid"), col("b").as("_sroot"))
+    val labels = ids.join(stars, ids("id") === col("_sid"), "left")
+      .select(col("id"), coalesce(col("_sroot"), col("id")).as("cluster_id"))
     c.next("dedup_clusters", labels, None)
   }
 

@@ -131,6 +131,30 @@ class ExtSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clusterPairsContraction matches clusterPairs and collapses a long chain") {
+    import spark.implicits._
+    // the label-propagation fixture: same components, same answer expected
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 30L)).toDF("id_a", "id_b") // self-pair: singleton must label itself
+    val got = Chain(spark, "p", pairs).clusterPairsContraction().df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L))
+    // a 400-hop path (the chain-shaped worst case): star-contraction must
+    // land every node on the minimum within the logarithmic round budget
+    val path = (0L to 400L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val chain = Chain(spark, "path", path).clusterPairsContraction(maxIters = 25).df
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(chain.length == 401 && chain.forall(_._2 == 0L),
+      s"all 401 chain nodes must label 0, got ${chain.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("clusterPairs fails loudly when the iteration bound is too small") {
     import spark.implicits._
     // a 6-hop path needs several propagation rounds; 1 is not enough
