@@ -371,6 +371,12 @@ object SparkEntry {
       "q_dedup_clusters" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5)
           .clusterPairs().df),
+      // the same components via large-star/small-star contraction — the
+      // chain-shaped-component algorithm, hash-checked against the same
+      // recursive-CTE oracle as the propagation path
+      "q_dedup_clusters_ii" -> ((s, d) =>
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5)
+          .clusterPairsContraction().df),
       // token-budget pack assignment (batch assembly before training),
       // scoped per language
       "q_pack_sequences" -> ((s, d) =>
@@ -747,6 +753,13 @@ object SparkEntry {
           "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn " +
           "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id) WHERE rn = 1"),
       "q_dedup_clusters" ->
+        (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) " +
+          "SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
+      "q_dedup_clusters_ii" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
           "nodes AS (SELECT DISTINCT src AS id FROM edges), " +

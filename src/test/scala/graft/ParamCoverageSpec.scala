@@ -152,4 +152,22 @@ class ParamCoverageSpec extends AnyFunSuite {
       emb.hammingCosineTopK(q, "vec_id", "embedding", k = 0, rerankPerQuery = -1)
     }
   }
+
+  test("incremental index / z-order parameter guards fail loudly") {
+    import graft.ext._
+    val docs = table("documents")
+    intercept[IllegalArgumentException] { // numHashes must split into bands
+      docs.minhashIndex("doc_id", "text", numHashes = 30, bands = 8)
+    }
+    intercept[IllegalArgumentException] { // index schema must be the minhashIndex shape
+      docs.dedupAgainstIndex(docs.df, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] { // interleaved bits must fit a long
+      Chain(spark, "t", docs.df)
+        .saveZOrdered("zguard_t", Seq("doc_id", "n_chars"), bits = 40)
+    }
+    intercept[IllegalArgumentException] { // z columns required
+      Chain(spark, "t", docs.df).saveZOrdered("zguard_t", Nil)
+    }
+  }
 }
