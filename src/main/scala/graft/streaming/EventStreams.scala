@@ -166,6 +166,47 @@ object EventStreams {
     q
   }
 
+  /** Stream-stream range enrichment: every point event joins the interval
+    * facts containing it (`point ∈ [start, end)`, half-open like the batch
+    * [[graft.ops.JoinOps.rangeJoin]]) — both sides are STREAMS, e.g. live
+    * events against a feed of campaign/session/deployment windows. This is
+    * Spark's watermarked stream-stream inner join with an event-time range
+    * condition: the watermarks plus `maxIntervalLength` bound both join
+    * states, so state neither grows with stream lifetime nor drops
+    * qualifying matches inside the lateness horizon. Stream-stream joins
+    * additionally REQUIRE an equality key (the state store hashes on it),
+    * so this reuses the batch face's bucketization: each point keys on its
+    * fixed-width time bucket, each interval explodes to the buckets it
+    * covers, and every qualifying pair still matches exactly once (the
+    * point's own bucket). Size `bucketSeconds` near the typical interval
+    * length, and `maxIntervalLength` at the longest interval you accept —
+    * it is both the state bound and a correctness bound (longer intervals
+    * are dropped by the explicit guard, never silently unmatched).
+    */
+  def streamingRangeEnrich(points: DataFrame, intervals: DataFrame,
+                           pointCol: String, startCol: String, endCol: String,
+                           watermark: String,
+                           bucketSeconds: Long = 3600L,
+                           maxIntervalLength: String = "1 hour"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val bucketUs = bucketSeconds * 1000000L
+    val p = points.withWatermark(pointCol, watermark)
+      .withColumn("_b", floor(unix_micros(col(pointCol)) / bucketUs))
+    val iv = intervals.withWatermark(startCol, watermark)
+      .where(col(endCol) > col(startCol) &&
+        col(endCol) <= expr(s"$startCol + INTERVAL $maxIntervalLength"))
+      .withColumn("_b", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketUs),
+        floor((unix_micros(col(endCol)) - 1) / bucketUs))))
+    p.join(iv,
+      p("_b") === iv("_b") && expr(
+        s"$pointCol >= $startCol AND $pointCol < $endCol " +
+          // explicit event-time bound between the two sides so Spark can
+          // compute state watermarks for both join sides
+          s"AND $pointCol <= $startCol + INTERVAL $maxIntervalLength"),
+      "inner").drop("_b")
+  }
+
   /** Streaming ingest with incremental near-dup dedup via `foreachBatch`:
     * every micro-batch (1) drops exact re-texts within the batch, (2) probes
     * the saved MinHash band index ([[graft.ext.DedupOps.minhashIndex]]) and

@@ -83,6 +83,29 @@ object PurePropsSpec extends Properties("graft.pure") {
       }
     }
 
+  // ---- ZValue.binOf: a valid bin, monotone in the value, exact on the
+  // cut-point lattice (cut i is the LAST value of bin i: binOf uses <=)
+  private val cutsGen = Gen.chooseNum(1, 6).flatMap { bits =>
+    Gen.listOfN((1 << bits) - 1, Gen.chooseNum(-1e6, 1e6))
+      .map(cs => (bits, cs.sorted.toArray))
+  }
+  property("binOf stays in range and is monotone") =
+    forAll(cutsGen, Gen.chooseNum(-2e6, 2e6), Gen.chooseNum(-2e6, 2e6)) {
+      case ((bits, cuts), x, y) =>
+        val (lo, hi) = if (x <= y) (x, y) else (y, x)
+        val (bl, bh) = (graft.functions.ZValue.binOf(cuts, lo, bits),
+          graft.functions.ZValue.binOf(cuts, hi, bits))
+        bl >= 0 && bh < (1L << bits) && bl <= bh
+    }
+  property("binOf is exact on the cut lattice") =
+    forAll(cutsGen) { case (bits, cuts) =>
+      cuts.toSet.toSeq.forall { c =>
+        // value equal to a cut belongs to the bin ABOVE every equal cut
+        val expected = cuts.count(_ <= c)
+        graft.functions.ZValue.binOf(cuts, c, bits) == math.min(expected, (1 << bits) - 1)
+      }
+    }
+
   // ---- media decoders: total on arbitrary bytes (a corrupt blob in row
   // 10^9 of a scan must never throw), frames >= 1, dims >= 0
   private val bytesGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))

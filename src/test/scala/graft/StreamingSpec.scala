@@ -144,6 +144,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_append_t").count() == n)
   }
 
+  test("stream-stream range enrich matches points to containing intervals, half-open") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val pts = MemoryStream[(Long, java.sql.Timestamp)]
+    val ivs = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp)]
+    val joined = EventStreams.streamingRangeEnrich(
+      pts.toDF().toDF("pid", "pt"), ivs.toDF().toDF("tag", "s", "e"),
+      "pt", "s", "e", watermark = "10 minutes", maxIntervalLength = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("range_sink")
+      .outputMode("append").start()
+    // intervals: A=[0,30), B=[20,50); points at 10 (A), 25 (A+B), 30 (B only:
+    // half-open at A's end), 55 (neither)
+    ivs.addData(("A", ts(0), ts(30)), ("B", ts(20), ts(50)))
+    pts.addData((1L, ts(10)), (2L, ts(25)), (3L, ts(30)), (4L, ts(55)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT pid, tag FROM range_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")),
+      s"half-open containment matches expected, got $got")
+  }
+
   test("streaming dedup-ingest sink drops cross-batch near-dups and maintains its index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
