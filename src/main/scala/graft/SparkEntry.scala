@@ -262,6 +262,13 @@ object SparkEntry {
         Seq("l_quantity" -> Seq("SUM"))).df),
     "q_sample" -> ((s, d) =>
       t(s, d, "lineitem").sampleRows(0.1).df),
+    // mergeable HLL sketch columns: per-(flag,status) sketches unioned up
+    // to per-flag estimates — engine-specific sketch values, gated by
+    // QuantGateSpec (split/merge invariance + 5% error floor)
+    "q_distinct_sketch" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .distinctSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+        .mergeDistinctSketches(Seq("l_returnflag"), "l_extendedprice_sketch").df),
     "q_approx_agg" -> ((s, d) =>
       t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df),
 

@@ -149,6 +149,33 @@ class QuantGateSpec extends AnyFunSuite {
       s"docs with no cross-split near-dup were dropped: ${falseDrops.toSeq.sorted.take(5)}")
   }
 
+  test("HLL sketch columns: split/merge invariant and within error of exact distinct") {
+    val li = table("lineitem")
+    // build fine-grained sketches, merge to a coarser rollup
+    val fine = li.distinctSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+    val merged = fine.mergeDistinctSketches(Seq("l_returnflag"), "l_extendedprice_sketch")
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // split/merge agreement: the register-wise union is lossless in dense
+    // mode; sparse-mode transitions may differ by a fraction of a percent,
+    // so gate agreement with the direct single-pass path at 2%
+    val direct = li.distinctSketches(Seq("l_returnflag"), "l_extendedprice")
+      .mergeDistinctSketches(Seq("l_returnflag"), "l_extendedprice_sketch")
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (flag, d) =>
+      assert(math.abs(merged(flag) - d).toDouble / d <= 0.02,
+        s"$flag merged ${merged(flag)} vs direct $d beyond 2%")
+    }
+    // and the estimate is within HLL error of the exact distinct count
+    val exact = li.df.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_extendedprice")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, d) =>
+      val e = merged(flag)
+      assert(math.abs(e - d).toDouble / d <= 0.05,
+        s"$flag sketch estimate $e vs exact $d beyond 5% (lgK=12 ~ 1.6% stderr)")
+    }
+  }
+
   test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
     // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
     // exact near-dup pairs (j >= 0.9) must nearly all collide and the
