@@ -190,7 +190,13 @@ final class Chain private (
     if (!overwrite && spark.catalog.tableExists(name))
       throw new IllegalStateException(
         s"table $name exists; pass overwrite=true to replace")
-    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    // align write partitions with the bucket function BEFORE writing:
+    // bucket assignment and repartition both hash with Murmur3, so with
+    // numPartitions = buckets each task holds exactly one bucket's rows
+    // and writes ONE file. Unaligned input writes up to tasks × buckets
+    // files — the classic bucketed-table file explosion at scale.
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

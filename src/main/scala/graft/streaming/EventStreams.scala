@@ -249,7 +249,10 @@ object EventStreams {
           graft.core.Chain(spark, name, survivors.df).saveUpsert(name, Seq(idCol))
           val postings = survivors
             .minhashIndex(idCol, textCol, shingleWords, numHashes, bands)
-          postings.df.write.mode(org.apache.spark.sql.SaveMode.Append)
+          // aligned with the bucket hash: one file per bucket per batch
+          // (see Chain.saveBucketed)
+          postings.df.repartition(indexBuckets, postings.df.col("_bh"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
             .format("parquet")
             .bucketBy(indexBuckets, "_bh").sortBy("_bh")
             .saveAsTable(indexTable)

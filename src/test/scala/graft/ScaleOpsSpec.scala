@@ -234,6 +234,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
       assert(rows(joined) == rows(expected))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    // write partitions are aligned with the bucket function, so the table
+    // holds exactly one data file per bucket (unaligned writes explode to
+    // tasks x buckets files at scale)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dataFiles = new java.io.File(wh, "li_bucketed").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(dataFiles == 4, s"expected 4 bucket files, found $dataFiles")
   }
 
   test("bucketed minhash index is probed without an index-side shuffle") {
