@@ -79,8 +79,11 @@ object Bench {
           cancel.cancel()
           spark.sparkContext.clearJobGroup()
           // queries are independent; storage left behind by one (persisted
-          // barriers, checkpoint blocks) must not distort the next one's time
+          // barriers, checkpoint blocks) must not distort the next one's
+          // time. clearCache only drops CacheManager entries — localCheckpoint
+          // blocks are plain RDD persists and need the explicit sweep.
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           if (ok) best.update(name, math.min(dt, best.getOrElse(name, Double.MaxValue)))
           System.err.println(f"[bench] pass=$pass $name%-28s ${dt}%8.2fs ok=$ok elapsed=${elapsed}%.0fs")
         }

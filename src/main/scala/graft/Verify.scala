@@ -85,8 +85,11 @@ object Verify {
           cancel.cancel()
           spark.sparkContext.clearJobGroup()
           // queries are independent; storage left behind by one (persisted
-          // barriers, checkpoint blocks) must not leak into the next
+          // barriers, checkpoint blocks) must not leak into the next.
+          // clearCache only drops CacheManager entries — localCheckpoint
+          // blocks are plain RDD persists and need the explicit sweep.
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       }
     }

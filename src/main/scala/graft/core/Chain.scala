@@ -272,9 +272,30 @@ final class Chain private (
     */
   def toDbt(outputDir: String, modelName: String, materialize: String = "view"): Seq[String] =
     graft.render.DbtExport.toDbt(this, outputDir, modelName, materialize)
+
+  /** Release the checkpoint blocks an iterative operator left embedded in
+    * this chain's plan (see [[Chain.releaseCheckpoints]]). Terminal: call
+    * after the last read of this chain and anything derived from it.
+    */
+  def releaseCheckpoints(): Unit = Chain.releaseCheckpoints(df)
 }
 
 object Chain {
   def apply(spark: SparkSession, entryName: String, df: DataFrame): Chain =
     new Chain(spark, entryName, df, Vector.empty)
+
+  /** Release EVERY checkpoint block embedded in a frame's plan: walks the
+    * analyzed plan and unpersists each `LogicalRDD`'s blocks. This is the
+    * documented release hook for results of iterative operators
+    * ([[graft.ext.DedupClusterOps]] cluster labels, `dedupNear` output):
+    * their final frames are plan-truncated via `localCheckpoint`, so the
+    * blocks stay alive for the consumer — call this once NOTHING will read
+    * the frame (or anything derived from it) again. A truncated plan cannot
+    * recompute: reading after release fails rather than silently rescanning.
+    */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -70,8 +70,11 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     * The band id is mixed into the bucket hash, so `_bh` alone is the join
     * key; a cross-band 64-bit hash collision only creates an extra
     * candidate that signature verification then rejects. Oversized buckets
-    * are dropped at BUILD time (`maxBucket`, the usual hot-key guard), so
-    * probe time carries no bucket-size pass.
+    * are dropped at BUILD time (`maxBucket`, the usual hot-key guard) AND
+    * re-checked at probe time over the accumulated postings — per-batch
+    * appends each pass the build-time cap locally while their union does
+    * not. Build parameters (numHashes, bands, shingleWords) are persisted
+    * as constant metadata columns and validated on probe.
     */
   def minhashIndex(
       idCol: String,
@@ -85,7 +88,14 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bh"))))
       .where(col("_bsz") <= maxBucket)
-      .select(col("_bh"), col("_id"), col("_mh"))
+      // build parameters ride along as constant columns (RLE'd to nothing in
+      // parquet): dedupAgainstIndex validates EVERY one — a bands or
+      // shingleWords mismatch keeps the signature width identical while
+      // producing disjoint band hashes, i.e. a probe that silently drops
+      // nothing; the metadata makes that loud instead.
+      .select(col("_bh"), col("_id"), col("_mh"),
+        lit(numHashes).as("_nh"), lit(bands).as("_bands"),
+        lit(shingleWords).as("_sw"))
     c.next("minhash_index", sized, None)
   }
 
@@ -100,8 +110,9 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     * beyond the probed buckets, and AQE broadcasts the (small) batch side.
     * Verification is one codegen signature-agreement count per candidate;
     * the final anti-join removes dropped ids. Build parameters must match
-    * the index's: a signature-width mismatch fails loudly per-row rather
-    * than silently under-counting agreement.
+    * the index's: every persisted build parameter (numHashes, bands,
+    * shingleWords) is validated up front — any mismatch would silently
+    * produce disjoint band hashes and a probe that drops nothing.
     */
   def dedupAgainstIndex(
       index: DataFrame,
@@ -110,19 +121,46 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       shingleWords: Int = 3,
       numHashes: Int = 32,
       bands: Int = 4,
-      estThreshold: Double = 0.8): Chain = {
+      estThreshold: Double = 0.8,
+      maxBucket: Int = 1000): Chain = {
     require(Seq("_bh", "_id", "_mh").forall(index.columns.contains),
       s"index must have columns (_bh, _id, _mh) from minhashIndex; got ${index.columns.mkString(", ")}")
-    // loud width guard, checked eagerly on ONE index row (bounded declared
-    // action): a mismatched numHashes yields disjoint band hashes, so the
-    // probe would silently drop NOTHING rather than error at runtime
-    index.select(size(col("_mh")).as("w")).limit(1).collect().headOption.foreach { r =>
+    // loud build-parameter guard, checked eagerly on ONE index row (bounded
+    // declared action): ANY mismatched build parameter — numHashes, bands,
+    // shingleWords — yields disjoint band hashes, so the probe would
+    // silently drop NOTHING rather than error at runtime. numHashes is
+    // cross-checked against the physical signature width; bands and
+    // shingleWords come from the metadata columns minhashIndex persists
+    // (pre-metadata indexes fall back to the width-only check).
+    val hasMeta = Seq("_nh", "_bands", "_sw").forall(index.columns.contains)
+    val metaCols = size(col("_mh")).as("_w") +:
+      (if (hasMeta) Seq(col("_nh"), col("_bands"), col("_sw")) else Nil)
+    index.select(metaCols: _*).limit(1).collect().headOption.foreach { r =>
       require(r.getInt(0) == numHashes,
         s"dedup_against_index: batch numHashes=$numHashes but index signature width is ${r.getInt(0)}")
+      if (hasMeta) {
+        require(r.getAs[Int]("_nh") == numHashes,
+          s"dedup_against_index: batch numHashes=$numHashes but index was built with numHashes=${r.getAs[Int]("_nh")}")
+        require(r.getAs[Int]("_bands") == bands,
+          s"dedup_against_index: batch bands=$bands but index was built with bands=${r.getAs[Int]("_bands")}")
+        require(r.getAs[Int]("_sw") == shingleWords,
+          s"dedup_against_index: batch shingleWords=$shingleWords but index was built with shingleWords=${r.getAs[Int]("_sw")}")
+      }
     }
     val banded = DedupOps.bandedMinhash(c.df, idCol, textCol, shingleWords, numHashes, bands)
     val probe = banded.select(col("_id"), col("_bh"), col("_mh"))
-    val idx = index.select(col("_bh"), col("_mh").as("_imh"))
+    // probe-time hot-bucket guard: postings APPENDED across many ingest
+    // batches can accumulate past the build-time cap (each batch's window
+    // only saw its own rows), re-creating the join skew the cap exists to
+    // prevent — so the bound is re-checked here over the ACCUMULATED
+    // bucket. On a bucketed index table the window's required distribution
+    // is already satisfied by the layout, so this adds no index-side
+    // exchange (spec-asserted in ScaleOpsSpec).
+    val idx = index
+      .withColumn("_ibsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bh"))))
+      .where(col("_ibsz") <= maxBucket)
+      .select(col("_bh"), col("_mh").as("_imh"))
     val est = graft.functions.PositionAgreeCount(col("_mh"), col("_imh"))
       .cast("double") / numHashes
     val dropIds = probe.join(idx, Seq("_bh"))
@@ -213,16 +251,33 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         val ex = ex0.join(dfreq, Seq("_h"))
           .withColumn("_rn", row_number().over(byRarity))
           .where(col("_rn") <= col("_sz") - ceil(lit(threshold) * col("_sz")).cast("int") + 1)
-          .select(col("_id"), col("_sz"), col("_h"))
+          .select(col("_id"), col("_sz"), col("_rn"), col("_h"))
           .repartition(col("_h"))
         // length filter IN candidate generation (PPJoin proper): jaccard ≥ t
         // forces |A|/|B| ∈ [t, 1/t], so size-incompatible pairs never reach
-        // the distinct or the verification join-backs
-        val candidates = ex.select(col("_id").as("id_a"), col("_sz").as("_pa"), col("_h"))
-          .join(ex.select(col("_id").as("id_b"), col("_sz").as("_pb"), col("_h")), Seq("_h"))
+        // the distinct or the verification join-backs.
+        //
+        // POSITIONAL filter (the other half of PPJoin): a shared element at
+        // 1-based rarity positions (i, j) bounds the overlap by
+        // 1 + min(|A|−i, |B|−j) — everything shared besides it sits strictly
+        // AFTER both positions in the global rarity order. jaccard ≥ t needs
+        // overlap ≥ t/(1+t)·(|A|+|B|); a qualifying pair's FIRST common
+        // element always passes the bound (its suffixes contain the whole
+        // overlap), so keeping pairs where ANY shared prefix row passes is
+        // exact — while candidates whose only shared prefix elements sit too
+        // deep die before the distinct and the verification join-backs. The
+        // 1e-9 slack keeps double rounding from over-pruning an
+        // integer-boundary bound.
+        val overlapBound = lit(threshold / (1.0 + threshold))
+        val candidates = ex.select(col("_id").as("id_a"), col("_sz").as("_pa"),
+            col("_rn").as("_ra"), col("_h"))
+          .join(ex.select(col("_id").as("id_b"), col("_sz").as("_pb"),
+            col("_rn").as("_rb"), col("_h")), Seq("_h"))
           .where(col("id_a") < col("id_b") &&
             col("_pa") >= ceil(lit(threshold) * col("_pb")) &&
-            col("_pb") >= ceil(lit(threshold) * col("_pa")))
+            col("_pb") >= ceil(lit(threshold) * col("_pa")) &&
+            (lit(1) + least(col("_pa") - col("_ra"), col("_pb") - col("_rb"))).cast("double")
+              >= overlapBound * (col("_pa") + col("_pb")).cast("double") - lit(1e-9))
           .select(col("id_a"), col("id_b")).distinct()
         candidates
           .join(side.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_sz").as("_sza")), Seq("id_a"))
@@ -490,7 +545,11 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * storage residue behind in a long-running session. `maxIters` bounds
     * adversarial chains; for huge chain-shaped components use
     * [[clusterPairsContraction]]. Output: `(id, cluster_id)` for every id
-    * appearing in a pair.
+    * appearing in a pair. The OUTPUT frame itself is plan-truncated, so its
+    * blocks live until the consumer calls
+    * [[graft.core.Chain.releaseCheckpoints]] on the result (after the last
+    * read) — without that, each invocation in a long session retains one
+    * labels-frame of storage.
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
@@ -540,7 +599,9 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       it += 1
     }
     // the final labels frame keeps its blocks for the consumer (one row per
-    // clustered doc); the edge frame is scratch — release it now
+    // clustered doc) — `Chain.releaseCheckpoints()` on the result is the
+    // documented owner-side release once nothing reads it again; the edge
+    // frame is scratch — release it now
     DedupOps.releaseRound(sym)
     if (!converged)
       throw new IllegalStateException(
@@ -565,7 +626,9 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * driver state; intermediates persist MEMORY_AND_DISK and release as
     * soon as the next round materializes. Output matches
     * [[clusterPairs]]: `(id, cluster_id)` — cluster_id = the component's
-    * minimum id — for every id appearing in a pair.
+    * minimum id — for every id appearing in a pair. As with clusterPairs,
+    * release the result's retained blocks with
+    * [[graft.core.Chain.releaseCheckpoints]] once nothing reads it again.
     */
   def clusterPairsContraction(idACol: String = "id_a", idBCol: String = "id_b",
                               maxIters: Int = 50): Chain = {
@@ -581,6 +644,7 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     var edges = DedupOps.checkpointRound(
       raw.where(col("a") =!= col("b")).distinct())
     DedupOps.releaseRound(raw)
+    var prevCnt = edges.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -599,11 +663,17 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         .unionByName(mins2.select(col("a"), col("m").as("b")))
         .where(col("a") =!= col("b")).distinct())
       DedupOps.releaseRound(ls)
-      // fixpoint = the round was the identity on the edge set (stars only);
-      // two bounded anti-join probes on edge-sized frames
-      converged =
-        ss.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
-          edges.join(ss, Seq("a", "b"), "left_anti").isEmpty
+      // fixpoint = the round was the identity on the edge set (stars only).
+      // Probe cost: edge counts are tracked round-over-round (one count job
+      // on an already-materialized frame) and the set-equality anti-join
+      // runs ONLY when counts tie — two distinct sets of equal size are
+      // equal iff one difference is empty, so a still-shrinking round pays
+      // ONE driver barrier, not two. On iterative ops the per-round driver
+      // barrier count is the wall-clock driver at cluster scale.
+      val cnt = ss.count()
+      converged = cnt == prevCnt &&
+        ss.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      prevCnt = cnt
       DedupOps.releaseRound(edges)
       edges = ss
       it += 1
@@ -629,7 +699,10 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * Scale shape = ngramJaccardPairs (PPJoin / inverted index, no n²) +
     * clusterPairs (rounds ≈ half cluster diameter) + one labels join and
     * one window over the cluster id. The labels frame is one row per
-    * CLUSTERED doc (≪ corpus); AQE broadcasts it when small.
+    * CLUSTERED doc (≪ corpus); AQE broadcasts it when small. The result
+    * plan embeds the labels frame's checkpoint blocks —
+    * [[graft.core.Chain.releaseCheckpoints]] on the result frees them once
+    * nothing reads it again.
     */
   def dedupNear(idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
                 keepBy: Seq[(String, String)] = Nil): Chain = {

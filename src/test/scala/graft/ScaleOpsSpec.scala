@@ -278,6 +278,98 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("dedupAgainstIndex validates every persisted build parameter, not just width") {
+    // a bands or shingleWords mismatch keeps the signature width identical
+    // but yields disjoint band hashes — a probe that silently drops NOTHING;
+    // the metadata columns minhashIndex persists make it loud instead
+    val docs = table("documents")
+    val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+    val batch = docs.filterRows(Seq("doc_id % 2 = 1"))
+    val e1 = intercept[IllegalArgumentException] {
+      batch.dedupAgainstIndex(idx.df, "doc_id", "text",
+        shingleWords = 2, numHashes = 32, bands = 4, estThreshold = 0.5)
+    }
+    assert(e1.getMessage.contains("bands=8"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      batch.dedupAgainstIndex(idx.df, "doc_id", "text",
+        shingleWords = 3, numHashes = 32, bands = 8, estThreshold = 0.5)
+    }
+    assert(e2.getMessage.contains("shingleWords=2"), e2.getMessage)
+  }
+
+  test("probe-time bucket cap re-checks buckets accumulated across ingest batches") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def idx(lo: Long, hi: Long) = Chain(spark, "d",
+        (lo until hi).map(i => (i, text)).toDF("doc_id", "text"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32,
+        bands = 8, maxBucket = 8).df
+    // each batch passes the build-time cap (6 <= 8); their union does not
+    // (12 > 8) — the cross-batch accumulation the probe-time guard catches
+    val accumulated = idx(0L, 6L).unionByName(idx(6L, 12L))
+    val batch = Chain(spark, "b", Seq((100L, text)).toDF("doc_id", "text"))
+    val kept = batch.dedupAgainstIndex(accumulated, "doc_id", "text",
+      shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5, maxBucket = 8)
+    assert(kept.df.count() == 1,
+      "oversized accumulated buckets must be skipped (hot-key skew guard)")
+    // with headroom the same bucket is probed and the duplicate drops
+    val dropped = batch.dedupAgainstIndex(accumulated, "doc_id", "text",
+      shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5, maxBucket = 100)
+    assert(dropped.df.count() == 0)
+  }
+
+  test("cluster ops release their checkpoint blocks via releaseCheckpoints") {
+    import spark.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val base = persisted
+    // twice in one session: residue must not accumulate across invocations
+    (1 to 2).foreach { _ =>
+      val labels = Chain(spark, "p", pairs).clusterPairs()
+      assert(labels.df.count() == 41)
+      assert(persisted > base, "labels blocks stay alive for the consumer")
+      labels.releaseCheckpoints()
+      assert(persisted == base, "release must return storage to baseline")
+    }
+    val viaContraction = Chain(spark, "p", pairs).clusterPairsContraction()
+    assert(viaContraction.df.count() == 41)
+    viaContraction.releaseCheckpoints()
+    assert(persisted == base)
+    val docs = table("documents")
+    val nearDeduped = docs.dedupNear("doc_id", "text", n = 3, threshold = 0.5)
+    assert(nearDeduped.df.count() > 0)
+    nearDeduped.releaseCheckpoints()
+    assert(persisted == base)
+  }
+
+  test("contraction fixpoint probe costs one driver barrier per shrinking round") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val out = Chain(spark, "p", pairs).clusterPairsContraction()
+      val n = out.df.count()
+      out.releaseCheckpoints()
+      Thread.sleep(1500) // listener bus drains asynchronously
+      assert(n == 10)
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // Measured budget for this fixed 10-node path under the one-probe
+    // fixpoint (count per round + ONE anti-join only when counts tie).
+    // The two-anti-join probe this replaced costs ~2 extra jobs per round
+    // (~+10 here) and must blow this bound — the bound is the regression
+    // guard for per-round driver barriers on iterative ops.
+    val budget = 78
+    assert(got <= budget, s"contraction spent $got jobs; budget $budget — " +
+      "did the fixpoint probe regain a per-round barrier?")
+  }
+
   test("dedupAgainstIndex fails loudly on a signature-width mismatch") {
     val docs = table("documents")
     val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
