@@ -210,22 +210,27 @@ object EventStreams {
   /** Streaming ingest with incremental near-dup dedup via `foreachBatch`:
     * every micro-batch (1) drops exact re-texts within the batch, (2) probes
     * the saved MinHash band index ([[graft.ext.DedupOps.minhashIndex]]) and
-    * drops near-dups of the already-ingested corpus, (3) upserts survivors
-    * into the corpus table keyed on `idCol`, then (4) appends the survivors'
-    * own band postings to the index — so the NEXT batch dedups against
-    * everything ingested so far without ever re-mining history. This is the
-    * 100 TB ingest loop: per batch, work is proportional to the batch, not
-    * the corpus.
+    * drops near-dups of the already-ingested corpus, (3) APPENDS the
+    * survivors not already present in the corpus (one anti-join on ids),
+    * then (4) appends the survivors' own band postings to the index — so the
+    * NEXT batch dedups against everything ingested so far without ever
+    * re-mining history. This is the 100 TB ingest loop: per batch the corpus
+    * is only READ — two column-pruned scans (the id anti-join and the index
+    * probe) — and WRITE volume is O(batch); nothing rewrites the corpus.
     *
-    * Replay safety (foreachBatch is at-least-once): the doc write is an
-    * idempotent key-upsert, and it runs BEFORE the posting append — a crash
-    * between the two replays the batch against an index that does not yet
-    * contain the batch's own postings, reproducing the same survivors;
-    * duplicate postings from a post-append replay only duplicate candidates
-    * (harmless — drop decisions are distinct-ed). Batch-INTERNAL near-dups
-    * (two new docs near-duplicating each other in one micro-batch) are not
-    * mutually deduped — only exact re-texts are; run a periodic compaction
-    * pass ([[graft.ext.DedupClusterOps.dedupNear]]) if that matters.
+    * Replay safety (foreachBatch is at-least-once): the corpus append is
+    * idempotent because survivors are anti-joined against the ids already
+    * in the table — a replayed batch recomputes the same survivors (the doc
+    * append runs BEFORE the posting append, so on replay the index still
+    * lacks the batch's own postings), finds their ids present, and appends
+    * nothing; if the crash came AFTER the posting append, the replayed
+    * batch's docs near-dup their own postings and the survivor set is
+    * empty — again appending nothing. Duplicate postings from a post-append
+    * replay only duplicate candidates (harmless — drop decisions are
+    * distinct-ed). Batch-INTERNAL near-dups (two new docs
+    * near-duplicating each other in one micro-batch) are not mutually
+    * deduped — only exact re-texts are; run a periodic compaction pass
+    * ([[graft.ext.DedupClusterOps.dedupNear]]) if that matters.
     */
   def sinkDedupAppendToTable(docs: DataFrame, name: String, indexTable: String,
                              idCol: String, textCol: String, checkpointDir: String,
@@ -246,7 +251,15 @@ object EventStreams {
               deduped.dedupAgainstIndex(spark.table(indexTable), idCol, textCol,
                 shingleWords, numHashes, bands, estThreshold)
             else deduped
-          graft.core.Chain(spark, name, survivors.df).saveUpsert(name, Seq(idCol))
+          // replay-idempotent APPEND: drop ids already in the corpus (one
+          // column-pruned scan of the id column), then append the rest —
+          // never rewrite the corpus (a per-batch upsert is O(corpus) I/O)
+          val fresh =
+            if (spark.catalog.tableExists(name))
+              survivors.df.join(spark.table(name).select(col(idCol)), Seq(idCol), "left_anti")
+            else survivors.df
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(name)
           val postings = survivors
             .minhashIndex(idCol, textCol, shingleWords, numHashes, bands)
           // aligned with the bucket hash: one file per bucket per batch
