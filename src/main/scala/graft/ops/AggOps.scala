@@ -122,9 +122,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
 
   /** approx_agg(group_by, column): approximate distinct count (HLL++) and
     * approximate percentiles — the sketch aggregates a 100 TB profile pass
-    * wants (bounded memory, one pass, mergeable). Engine-specific sketch
-    * values → no cross-engine SQL face. One scalar column per percentile
-    * (an array-typed result column defeats generic row-sorting consumers).
+    * wants (bounded memory, one pass, mergeable). One scalar column per
+    * percentile (an array-typed result column defeats generic row-sorting
+    * consumers). The SQL face uses Spark's own `approx_count_distinct` /
+    * `percentile_approx` function syntax — engine-specific estimates, so
+    * it renders and executes under Spark but is not a cross-engine oracle.
     */
   def approxAgg(groupBy: Seq[String], column: String,
                 percentiles: Seq[Double] = Seq(0.5, 0.95)): Chain = {
@@ -142,7 +144,16 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val df2 =
       if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
       else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    c.next("approx_agg", df2, None)
+    val cn = Naming.quoteId(column)
+    val pctSql = percentiles.zip(tags).map { case (p, tag) =>
+      s"PERCENTILE_APPROX($cn, ${p.toString}, 10000) AS ${Naming.cleanse(s"${column}_approx_$tag")}"
+    }
+    val aggSql = Seq(
+      s"APPROX_COUNT_DISTINCT($cn) AS ${Naming.cleanse(s"${column}_approx_distinct")}") ++
+      pctSql :+ s"COUNT($cn) AS ${Naming.cleanse(s"${column}_count")}"
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("approx_agg", df2, Some(
+      s"SELECT ${(groupBy ++ aggSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
   /** distinct_sketches(group_by, column): one mergeable HLL sketch
@@ -170,7 +181,19 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val df2 =
       if (groupBy.isEmpty) c.df.agg(sk)
       else c.df.groupBy(groupBy.map(col): _*).agg(sk)
-    c.next("distinct_sketches", df2, None)
+    // SQL face via Spark's hll_sketch_agg — renders/executes under Spark
+    // (sketch BYTES can differ by merge order even when estimates agree,
+    // so round-trip comparisons should go through hll_sketch_estimate)
+    val inSql = c.df.schema(column).dataType match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType =>
+        Naming.quoteId(column)
+      case _ => s"CAST(${Naming.quoteId(column)} AS STRING)"
+    }
+    val skSql = s"HLL_SKETCH_AGG($inSql, $lgConfigK) AS ${Naming.cleanse(s"${column}_sketch")}"
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("distinct_sketches", df2, Some(
+      s"SELECT ${(groupBy :+ skSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
   /** distinct_sketch_merge(group_by, sketch_col): union saved HLL
@@ -189,7 +212,12 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val df2 =
       if (groupBy.isEmpty) c.df.agg(est)
       else c.df.groupBy(groupBy.map(col): _*).agg(est)
-    c.next("distinct_sketch_merge", df2, None)
+    // register-wise max union is merge-order-independent, so this face IS
+    // deterministic (unlike raw sketch bytes) and round-trips exactly
+    val estSql = s"HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(${Naming.quoteId(sketchCol)})) AS $out"
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("distinct_sketch_merge", df2, Some(
+      s"SELECT ${(groupBy :+ estSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
   /** conditional_agg(rules, agg_column, agg, distinct): aggregate with
@@ -317,7 +345,33 @@ final class AggOps(private val c: Chain) extends AnyVal {
       StructField("min_value", StringType), StructField("max_value", StringType)))
     val df2 = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-    c.next("describe", df2, None)
+    // SQL face: per-column UNION ALL of stat SELECTs over {{source}} —
+    // Spark-executable text of the same profile (deterministic-float mean/
+    // stddev spelled out through the decimal accumulation, mode via an
+    // ordered scalar subquery with the same smallest-value tie-break; ASC
+    // NULLS LAST is explicit because Spark's default ASC is NULLS FIRST).
+    // RenderSpec round-trips spark.sql(rendered) against the frame above.
+    val face = fields.map { f =>
+      val cn = Naming.quoteId(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      val x = s"CAST($cn AS DOUBLE)"
+      val sx = s"CAST(SUM(CAST($x AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+      val sxx = s"CAST(SUM(CAST($x * $x AS DECIMAL(38,8))) AS DOUBLE)"
+      val n = s"CAST(COUNT($cn) AS DOUBLE)"
+      val mean = if (numeric) s"$sx / COUNT($cn)" else "CAST(NULL AS DOUBLE)"
+      val std = if (numeric) s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+        else "CAST(NULL AS DOUBLE)"
+      s"SELECT '${f.name}' AS feature, '${f.dataType.simpleString}' AS dtype, " +
+        s"COUNT(1) AS row_count, COUNT(1) - COUNT($cn) AS null_count, " +
+        s"COUNT(DISTINCT $cn) AS unique_count, " +
+        s"(SELECT _v FROM (SELECT CAST($cn AS STRING) AS _v, COUNT(1) AS _c " +
+        s"FROM {{source}} GROUP BY CAST($cn AS STRING)) " +
+        s"ORDER BY _c DESC, _v ASC NULLS LAST LIMIT 1) AS most_frequent, " +
+        s"$mean AS mean, $std AS std_dev, " +
+        s"CAST(MIN($cn) AS STRING) AS min_value, " +
+        s"CAST(MAX($cn) AS STRING) AS max_value FROM {{source}}"
+    }.mkString(" UNION ALL ")
+    c.next("describe", df2, Some(face))
   }
 
   /** linear_regression(group_by, y, x): per-group OLS slope/intercept.

@@ -27,9 +27,31 @@ class RenderSpec extends AnyFunSuite {
   }
 
   test("ops without SQL text form fail rendering loudly, not silently") {
-    val c = table("part").describeTable()
+    val c = table("part").transformDf("custom_step")(df => df.limit(5))
     val e = intercept[UnsupportedOperationException](c.sql())
-    assert(e.getMessage.contains("describe"))
+    assert(e.getMessage.contains("custom_step"))
+  }
+
+  test("describe renders a SQL face that round-trips against the DataFrame profile") {
+    val c = table("part").describeTable()
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // and the face composes mid-chain like any other fragment
+    val c2 = table("orders").filterRows(Seq("o_totalprice > 200000")).describeTable()
+    assert(rows(spark.sql(c2.sql())) == rows(c2.df))
+  }
+
+  test("approx/sketch aggregates render Spark-executable SQL faces") {
+    val a = table("lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice")
+    assert(rows(spark.sql(a.sql())) == rows(a.df))
+    // sketch BYTES may differ by merge order; estimates must agree exactly
+    val sk = table("orders").distinctSketches(Seq("o_orderpriority"), "o_custkey")
+    val est = org.apache.spark.sql.functions.expr("hll_sketch_estimate(o_custkey_sketch)")
+    assert(rows(spark.sql(sk.sql()).select(org.apache.spark.sql.functions.col("o_orderpriority"), est))
+      == rows(sk.df.select(org.apache.spark.sql.functions.col("o_orderpriority"), est)))
+    // the union-merge estimate is register-wise max: order-independent, exact round-trip
+    val m = table("orders").distinctSketches(Seq("o_orderpriority"), "o_custkey")
+      .mergeDistinctSketches(Nil, "o_custkey_sketch")
+    assert(rows(spark.sql(m.sql())) == rows(m.df))
   }
 
   test("every fragment-bearing operator renders SQL equivalent to its DataFrame face") {
