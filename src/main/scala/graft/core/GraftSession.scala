@@ -43,11 +43,26 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
-  /** Catalog type of a bound table: MANAGED / EXTERNAL / VIEW / TEMPORARY
-    * (≅ the reference Dataset's is/type sync, primitives/transforms.py:140-151).
+  /** Catalog type of a bound table: MANAGED / EXTERNAL / VIEW / TEMPORARY,
+    * or UNKNOWN for names the catalog can't resolve (≅ the reference
+    * Dataset's type sync + lenient check_table_type,
+    * primitives/transforms.py:140-151, primitives/enums.py:39-62).
     */
   def tableType(name: String): String =
-    spark.catalog.getTable(boundName(name)).tableType
+    try spark.catalog.getTable(boundName(name)).tableType
+    catch { case _: Exception => "UNKNOWN" }
+
+  /** Storage state of a bound name (≅ TableState, primitives/enums.py:18-36
+    * + the `_dw_sync` on bind, transforms.py:140-151): IN_DW for
+    * catalog-persisted tables/views, IN_MEMORY for session-scoped temp
+    * views (the Spark analogue of the reference's not-yet-saved dataset),
+    * UNKNOWN when the name doesn't resolve.
+    */
+  def tableState(name: String): String =
+    try {
+      if (spark.catalog.getTable(boundName(name)).tableType == "TEMPORARY") "IN_MEMORY"
+      else "IN_DW"
+    } catch { case _: Exception => "UNKNOWN" }
 
   /** Resolve a user-supplied name to something the catalog knows: temp
     * views and current-database names bind as-is; otherwise the default

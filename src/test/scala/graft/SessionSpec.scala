@@ -78,4 +78,19 @@ class SessionSpec extends AnyFunSuite {
     val e = intercept[NoSuchElementException](sess.dataset("no_such_table"))
     assert(e.getMessage.contains("spark_catalog.default.no_such_table"))
   }
+
+  test("table type/state sync on bind mirrors the reference taxonomy") {
+    // ≅ TableState/TableType (reference primitives/enums.py:18-62) synced
+    // on dataset() bind: persisted table → IN_DW, session temp view →
+    // IN_MEMORY, unresolvable name → UNKNOWN/UNKNOWN (lenient, not a throw)
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("sess_state_view")
+    spark.sql("DROP TABLE IF EXISTS sess_state_table")
+    Seq((1L, "x")).toDF("id", "v").write.format("parquet").saveAsTable("sess_state_table")
+    assert(sess.tableState("sess_state_table") == "IN_DW")
+    assert(sess.tableType("sess_state_table") == "MANAGED")
+    assert(sess.tableState("sess_state_view") == "IN_MEMORY")
+    assert(sess.tableType("sess_state_view") == "TEMPORARY")
+    assert(sess.tableState("sess_never_bound") == "UNKNOWN")
+    assert(sess.tableType("sess_never_bound") == "UNKNOWN")
+  }
 }
