@@ -448,6 +448,21 @@ object SparkEntry {
           .decodeMedia("media")
           .dropColumns(includeCols = Seq("doc_id", "n_frames"))
           .frameSample(2).df),
+      // the REAL pure-JVM header codec end-to-end: tiny VALID PNG/JPEG/GIF/
+      // BMP payloads synthesized as literal fixtures (no media libraries in
+      // the environment), decoded by ImageHeaderDecoder; the oracle pins the
+      // parsed dimensions/format/frame-count per byte layout
+      "q_multimodal_real" -> ((s, d) => {
+        import org.apache.spark.sql.types._
+        val rows = mediaFixtures.map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+        val schema = StructType(Seq(
+          StructField("media_id", IntegerType, nullable = false),
+          StructField("media", BinaryType)))
+        val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        Chain(s, "media_fixtures", df)
+          .decodeMedia("media", ImageHeaderDecoder)
+          .dropColumns(excludeCols = Seq("media")).df
+      }),
       "q_events_tumbling" -> ((s, d) =>
         EventStreams.tumblingAgg(readEvents(s, d), "1 hour", Seq("event_type"))),
       "q_events_sliding" -> ((s, d) =>
@@ -471,6 +486,29 @@ object SparkEntry {
             "n_tokens" -> Seq("SUM", "AVG"),
             "quality" -> Seq("AVG"))).df)
     )
+  }
+
+  /** Deterministic real-media fixtures for q_multimodal_real: minimal VALID
+    * headers per format (see [[graft.ext.ImageHeaderDecoder]] for the spec
+    * lineage), plus one non-media blob that must degrade to `unknown`.
+    */
+  private def mediaFixtures: Seq[(Int, Array[Byte])] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      b(0, 0, 0, 64, 0, 0, 0, 48) // width=64, height=48 (big-endian)
+    val jpeg = b(0xff, 0xd8, // SOI
+      0xff, 0xc0, 0x00, 0x0b, 0x08, // SOF0, len=11, precision=8
+      0x00, 0x30, 0x00, 0x40, 0x01) // height=48, width=64, 1 component
+    val gifFrame = b(0x2c, 0, 0, 0, 0, 0x40, 0x01, 0xc8, 0x00, 0, // descriptor 320x200
+      0x02, // LZW min code size
+      0x01, 0x00, // one 1-byte data sub-block
+      0x00) // sub-block terminator
+    val gif = "GIF89a".getBytes ++ b(0x40, 0x01, 0xc8, 0x00, // 320x200 (little-endian)
+      0x00, 0x00, 0x00) ++ gifFrame ++ gifFrame ++ b(0x3b) // 2 frames + trailer
+    val bmp = b('B', 'M') ++ Array.fill[Byte](16)(0) ++
+      b(10, 0, 0, 0, 20, 0, 0, 0) // width=10, height=20 (little-endian)
+    Seq(1 -> png, 2 -> jpeg, 3 -> gif, 4 -> bmp, 5 -> "notmedia".getBytes)
   }
 
   private def readEvents(s: SparkSession, d: String): DataFrame = {
@@ -794,6 +832,12 @@ object SparkEntry {
         s"SELECT *, CAST($blen AS INTEGER) AS byte_len, CAST(64 + ($blen % 576) AS INTEGER) AS width, CAST(64 + (($blen * 7) % 416) AS INTEGER) AS height, CASE WHEN (ascii(substr(text, 1, 1)) % 2) = 0 THEN 'png' ELSE 'jpeg' END AS format, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents",
       "q_multimodal_frames" ->
         s"SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM (SELECT doc_id, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents))",
+      // literal expectations per fixture byte layout (PNG 64x48, JPEG SOF0
+      // 64x48, GIF 320x200 with 2 image descriptors, BMP 10x20, unknown blob)
+      "q_multimodal_real" ->
+        ("SELECT * FROM (VALUES (1, 24, 64, 48, 'png', 1), (2, 12, 64, 48, 'jpeg', 1), " +
+          "(3, 42, 320, 200, 'gif', 2), (4, 26, 10, 20, 'bmp', 1), " +
+          "(5, 8, 0, 0, 'unknown', 1)) AS t(media_id, byte_len, width, height, format, n_frames)"),
       "q_events_tumbling" ->
         s"SELECT date_trunc('hour', $evT) AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM events GROUP BY 1, 2",
       "q_events_sliding" ->
