@@ -431,6 +431,15 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         emb.ivfCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
       }),
+      // persistent IVF index: build once, probe through the saved-index
+      // path (QuantGateSpec pins exact equality with the one-shot IVF
+      // path plus the recall floor)
+      "q_sim_topk_ivf_index" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = emb.ivfIndex("vec_id", "embedding", nlist = 16)
+        Chain(s, "queries", emb.df.where("vec_id < 5"))
+          .searchIvfIndex(idx.df, "vec_id", "embedding", 10).df
+      }),
       // sketch-rerank ANN: 256-bit sign sketches score the whole corpus
       // cheaply, exact rerank of the top 25% per query (recall@10 = 1.0 on
       // the test embeddings — QuantGateSpec asserts the 0.8 floor)

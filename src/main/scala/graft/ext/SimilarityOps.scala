@@ -154,6 +154,96 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
   }
 
+  /** ivf_index(id, vec): the PERSISTENT half of incremental ANN — train
+    * spherical k-means centroids once (bounded hash-deterministic sample +
+    * driver Lloyd iterations, the encoders' compile-time-introspection
+    * pattern), assign every corpus vector to its best cell, and emit ONE
+    * frame holding both: centroid rows (`_id` NULL, `_v` = unit center,
+    * `_n` = 1.0) and assignment rows (`_cid`, `_id`, `_v`, `_n`). Save
+    * with `saveBucketed(name, Seq("_cid"), n)`; every future query batch
+    * then probes with [[searchIvfIndex]] and every ingest batch extends it
+    * with [[ivfIndexAssign]] + `saveAppend` — no retraining, no corpus
+    * re-assignment, the same save-the-postings investment as
+    * [[graft.ext.DedupOps.minhashIndex]] for embeddings.
+    */
+  def ivfIndex(idCol: String, vecCol: String, nlist: Int = 16,
+               trainSample: Int = 4096, trainIters: Int = 15): Chain = {
+    val spark = c.df.sparkSession
+    val corpus = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      .repartition(col("_id")) // barrier: norm computed once
+    val trainVecs = corpus
+      .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+      .limit(trainSample)
+      .select(col("_v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
+    val assigned = corpus
+      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      .select(col("_cid"), col("_id"), col("_v").cast("array<double>").as("_v"), col("_n"))
+    val centroidRows = SimilarityOps.centroidFrame(spark, centers)
+      .select(col("_cid"), lit(null).cast("long").as("_id"),
+        col("_cv").as("_v"), col("_cn").as("_n"))
+    c.next("ivf_index", assigned.unionByName(centroidRows), None)
+  }
+
+  /** ivf_index_assign(index, id, vec): assign THIS chain's (new) vectors to
+    * the saved index's cells — the ingest half of incremental ANN. Reads
+    * the centroid rows back (one bounded driver collect of `nlist` rows),
+    * assigns in one codegen projection, and returns rows in the index
+    * schema for a plain `saveAppend` onto the index table. Per-batch work
+    * is proportional to the batch; the historical corpus is never
+    * re-assigned.
+    */
+  def ivfIndexAssign(index: DataFrame, idCol: String, vecCol: String): Chain = {
+    val centers = SimilarityOps.collectCentroids(index)
+    val assigned = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      .repartition(col("_id"))
+      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      .select(col("_cid"), col("_id"), col("_v").cast("array<double>").as("_v"), col("_n"))
+    c.next("ivf_index_assign", assigned, None)
+  }
+
+  /** search_ivf_index(index, k, nprobe): probe a saved [[ivfIndex]] table
+    * with THIS chain's rows as the query set (receiver = queries, index =
+    * parameter — the same shape as
+    * [[graft.ext.DedupOps.dedupAgainstIndex]]). Centroids come off the
+    * index's own rows (so probe geometry always matches the stored
+    * assignments — there is nothing to drift); each query ranks the
+    * centroids, visits its `nprobe` best cells, and exact-reranks the
+    * candidates. The candidate join broadcasts the (tiny) probe set
+    * against the index scan — the index side neither shuffles before its
+    * join nor joins back for vectors (they ride in the index rows), so
+    * per-batch cost is one index scan + one shuffle of scored candidates
+    * on query_id.
+    */
+  def searchIvfIndex(index: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4): Chain = {
+    require(Seq("_cid", "_id", "_v", "_n").forall(index.columns.contains),
+      s"index must have columns (_cid, _id, _v, _n) from ivfIndex; got ${index.columns.mkString(", ")}")
+    val centroids = broadcast(index.where(col("_id").isNull)
+      .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    val qs = c.df.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+    val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_qs").desc, col("_cid").asc)
+    val probes = qs.crossJoin(centroids)
+      .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"), qSim.as("_qs"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"))
+    val cos = Exact.dot(col("_vq"), col("_v")) / col("_nq") / col("_n")
+    val scored = index.where(col("_id").isNotNull).join(broadcast(probes), Seq("_cid"))
+      .where(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.next("search_ivf_index",
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
+  }
+
   /** LSH top-k: the first `bands × rows` bits of the sign-projection
     * sketch ([[graft.functions.SignSketch]], native codegen) are sliced
     * into `bands` keys of `rows` bits; candidates are corpus vectors
@@ -220,6 +310,21 @@ object SimilarityOps {
     val best =
       if (cellStructs.length == 1) cellStructs.head else greatest(cellStructs.toSeq: _*)
     (-best.getField("_negcid")).cast("long")
+  }
+
+  /** Read a saved [[SimilarityOps.ivfIndex]]'s centroid rows back as the
+    * literal center array — one bounded, declared driver collect of
+    * `nlist` rows (the same compile-time-introspection pattern that
+    * trained them). Ordered by cid so assignment tie-breaks reproduce.
+    */
+  private[ext] def collectCentroids(index: DataFrame): Array[Array[Double]] = {
+    val rows = index.where(col("_id").isNull)
+      .select(col("_cid"), col("_v").cast("array<double>"))
+      .orderBy(col("_cid").asc).collect()
+    require(rows.nonEmpty, "index has no centroid rows (_id IS NULL) — was it built by ivfIndex?")
+    require(rows.map(_.getLong(0)).sameElements(rows.indices.map(_.toLong)),
+      "centroid cids must be exactly 0..nlist-1")
+    rows.map(_.getSeq[Double](1).toArray)
   }
 
   /** Trained centroids as a broadcastable frame `(_cid, _cv, _cn)`;

@@ -90,6 +90,23 @@ class QuantGateSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"ivf recall@10 $recall%.3f < 0.5")
   }
 
+  test("saved IVF index search keeps the recall floor and reproduces the one-shot path") {
+    val emb = table("embeddings")
+    val idx = emb.ivfIndex("vec_id", "embedding", nlist = 16)
+    val queries = Chain(spark, "q", emb.df.where("vec_id < 5"))
+    val viaIndex = queries.searchIvfIndex(idx.df, "vec_id", "embedding", 10, nprobe = 4).df
+    val recall = recallOf(topkPairs(viaIndex), exactTop10)
+    assert(recall >= 0.5, f"ivf-index recall@10 $recall%.3f < 0.5")
+    // same trained centroids + same assignment logic → the saved-index
+    // probe must reproduce the one-shot IVF path EXACTLY, not just in recall
+    val oneShot = emb.ivfCosineTopK(emb.df.where("vec_id < 5"),
+      "vec_id", "embedding", 10, nlist = 16, nprobe = 4).df
+    def ranked(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ranked(viaIndex) == ranked(oneShot))
+  }
+
   test("Bernoulli sample size stays within 4-sigma binomial bounds") {
     val li = table("lineitem")
     val n = li.df.count()

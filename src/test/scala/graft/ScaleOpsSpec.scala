@@ -383,6 +383,56 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the width-mismatch error, got: ${ex.getMessage}")
   }
 
+  test("saved IVF index: batch append extends it and the probe never shuffles index rows pre-join") {
+    import org.apache.spark.sql.SaveMode
+    val emb = table("embeddings")
+    // history = even ids, trained + saved bucketed on the cell id
+    emb.filterRows(Seq("vec_id % 2 = 0"))
+      .ivfIndex("vec_id", "embedding", nlist = 8)
+      .saveBucketed("ivf_idx_bucketed", Seq("_cid"), 4, overwrite = true)
+    // ingest = odd ids assigned against the SAVED centroids, appended in
+    // the same bucketed layout (no retrain, no corpus re-assignment)
+    emb.filterRows(Seq("vec_id % 2 = 1"))
+      .ivfIndexAssign(spark.table("ivf_idx_bucketed"), "vec_id", "embedding")
+      .df.repartition(4, col("_cid"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(4, "_cid").sortBy("_cid").saveAsTable("ivf_idx_bucketed")
+    val queries = Chain(spark, "q", emb.df.where("vec_id < 5"))
+    val viaTable = queries.searchIvfIndex(
+      spark.table("ivf_idx_bucketed"), "vec_id", "embedding", 10, nprobe = 3)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // index rows may be shuffled only AFTER they joined the probe set
+      // (the scored-candidate shuffle on query_id is the declared cost);
+      // any exchange whose subtree holds the index scan but no join means
+      // the index side itself re-shuffled — the thing the design forbids
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasIndexScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("ivf_idx_bucketed") => f
+      }.nonEmpty
+      val plan = viaTable.df.queryExecution.sparkPlan
+      assert(hasIndexScan(plan), s"expected a scan of the saved IVF index:\n$plan")
+      val preJoinShuffles = plan.collect {
+        case e: ShuffleExchangeExec if hasIndexScan(e.child) &&
+          e.child.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.isEmpty => e
+      }
+      assert(preJoinShuffles.isEmpty,
+        s"index rows must not shuffle before joining the probe set:\n$plan")
+      // the saved-table probe answers exactly like the same index held in memory
+      val half1 = emb.filterRows(Seq("vec_id % 2 = 0")).ivfIndex("vec_id", "embedding", nlist = 8)
+      val half2 = emb.filterRows(Seq("vec_id % 2 = 1"))
+        .ivfIndexAssign(half1.df, "vec_id", "embedding")
+      val viaFrame = queries.searchIvfIndex(half1.df.unionByName(half2.df),
+        "vec_id", "embedding", 10, nprobe = 3)
+      assert(rows(viaTable.df) == rows(viaFrame.df))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("ZValue interleaves quantile bins into the Morton order") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)).toDF("x", "y")
