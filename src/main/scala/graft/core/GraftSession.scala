@@ -129,6 +129,20 @@ final class GraftSession(val spark: SparkSession) {
     Chain(spark, name, df)
   }
 
+  /** Bind a chain to raw text — the ingest face for an unstructured
+    * corpus. One row per LINE by default; `wholeFile = true` reads one
+    * row per FILE (Spark's `wholetext` — the one-document-per-file corpus
+    * layout; a multi-gigabyte single file then lands in one row, so split
+    * such corpora into files before reading at scale).
+    */
+  def datasetFromText(path: String, name: String, textCol: String = "text",
+                      wholeFile: Boolean = false): Chain = {
+    val df = spark.read.option("wholetext", wholeFile.toString).text(path)
+      .withColumnRenamed("value", textCol)
+    df.createOrReplaceTempView(name)
+    Chain(spark, name, df)
+  }
+
   /** Ingest a local DataFrame as a table (≅ dataset_from_df, main.py:62-85). */
   def datasetFromDf(df: DataFrame, name: String, overwrite: Boolean = false): Chain = {
     df.write.mode(if (overwrite) "overwrite" else "errorifexists")

@@ -466,6 +466,44 @@ final class DedupOps(private val c: Chain) extends AnyVal {
 }
 
 object DedupOps {
+
+  /** compact_index(table): periodic maintenance for an APPENDED minhash
+    * postings table ([[DedupOps.minhashIndex]] +
+    * [[graft.streaming.EventStreams.sinkDedupAppendToTable]]) — distinct
+    * the postings (at-least-once replays can duplicate them; duplicates
+    * are harmless to correctness but inflate every probe), drop buckets
+    * whose ACCUMULATED size exceeds `maxBucket` (per-batch appends each
+    * passed the build-time cap locally while their union did not —
+    * dropping a degenerate bucket trades recall on boilerplate-shingle
+    * bands for bounded join fan-out, the same call the build-time cap
+    * makes), and rewrite in the same bucketed layout via staging + rename
+    * swap (the [[graft.core.Chain.saveUpsert]] pattern: the live name is
+    * never dangling). One full index rewrite — schedule it like any
+    * compaction, not per batch.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   buckets: Int, maxBucket: Int = 1000): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val idx = spark.table(table)
+    require(Seq("_bh", "_id", "_mh").forall(idx.columns.contains),
+      s"$table is not a minhash postings table; columns: ${idx.columns.mkString(", ")}")
+    val kept = idx.distinct()
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bh"))))
+      .where(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+    val staging = s"${table}_graft_compact_staging"
+    val retired = s"${table}_graft_compact_retired"
+    kept.repartition(buckets, col("_bh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "_bh").sortBy("_bh").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS `$retired`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$retired`")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Word n-gram shingles; documents shorter than n words fall back to the
     * whole token array joined (one shingle).
     */

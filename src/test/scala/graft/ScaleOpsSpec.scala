@@ -278,6 +278,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("compactIndex dedups replayed postings, re-applies the cap, and keeps the bucketed layout") {
+    import org.apache.spark.sql.SaveMode
+    val docs = table("documents")
+    val postings = docs.filterRows(Seq("doc_id % 2 = 0"))
+      .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
+    postings.saveBucketed("mh_idx_compact", Seq("_bh"), 4, overwrite = true)
+    val clean = spark.table("mh_idx_compact").count()
+    // an at-least-once replay appends the same postings again
+    postings.df.repartition(4, col("_bh"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(4, "_bh").sortBy("_bh").saveAsTable("mh_idx_compact")
+    assert(spark.table("mh_idx_compact").count() == 2 * clean)
+    DedupOps.compactIndex(spark, "mh_idx_compact", buckets = 4)
+    assert(spark.table("mh_idx_compact").count() == clean,
+      "compaction must collapse replay-duplicated postings")
+    // the rewritten table still answers and still probes without an
+    // index-side shuffle (same assertion as the build-path test)
+    val batch = docs.filterRows(Seq("doc_id % 2 = 1"))
+    val probed = batch.dedupAgainstIndex(spark.table("mh_idx_compact"),
+      "doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+    val viaFrame = batch.dedupAgainstIndex(postings.df,
+      "doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+    assert(rows(probed.df.select("doc_id")) == rows(viaFrame.df.select("doc_id")))
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasIndexScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("mh_idx_compact") => f
+      }.nonEmpty
+      val plan = probed.df.queryExecution.sparkPlan
+      assert(hasIndexScan(plan))
+      val shufflesOverIndex = plan.collect {
+        case e: ShuffleExchangeExec if hasIndexScan(e.child) &&
+          e.child.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.isEmpty => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"compacted index must keep its no-pre-join-shuffle layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("dedupAgainstIndex validates every persisted build parameter, not just width") {
     // a bands or shingleWords mismatch keeps the signature width identical
     // but yields disjoint band hashes — a probe that silently drops NOTHING;

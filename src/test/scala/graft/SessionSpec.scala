@@ -61,6 +61,24 @@ class SessionSpec extends AnyFunSuite {
     assert(rows(spark.sql(c.sql())) == rows(c.df))
   }
 
+  test("text source reads line-per-row and whole-file corpora into chains") {
+    import graft.ext._
+    val base = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(base.resolve("a.txt"), "first line\nsecond line\n")
+    java.nio.file.Files.writeString(base.resolve("b.txt"), "third line\n")
+    val lines = sess.datasetFromText(base.toString, "src_txt")
+    assert(lines.df.columns.toSeq == Seq("text"))
+    assert(lines.df.collect().map(_.getString(0)).sorted.toSeq
+      == Seq("first line", "second line", "third line"))
+    // whole-file mode: one row per file (the one-document-per-file layout)
+    val docs = sess.datasetFromText(base.toString, "src_docs", wholeFile = true)
+    assert(docs.df.count() == 2)
+    // the bound corpus flows straight into the text ops + renders by name
+    assert(lines.tokenCounts("text").df.where("n_tokens = 2").count() == 3)
+    assert(rows(spark.sql(lines.filterRows(Seq("text LIKE '%line%'")).sql()))
+      == rows(lines.df))
+  }
+
   test("dataset binds temp views, managed tables, and full fqtns; missing names explain themselves") {
     Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("sess_view")
     assert(sess.dataset("sess_view").df.count() == 1L)
