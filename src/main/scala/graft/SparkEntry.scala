@@ -269,6 +269,13 @@ object SparkEntry {
       t(s, d, "lineitem")
         .distinctSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
         .mergeDistinctSketches(Seq("l_returnflag"), "l_extendedprice_sketch").df),
+    // mergeable KLL quantile sketches: fine-grained build, coarser rollup
+    // by sketch merge (KLL is randomized -> epsilon-gated in QuantGateSpec,
+    // rows-only here)
+    "q_percentile_sketch" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .percentileSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+        .mergePercentileSketches(Seq("l_returnflag"), "l_extendedprice_qsketch").df),
     "q_approx_agg" -> ((s, d) =>
       t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df),
 

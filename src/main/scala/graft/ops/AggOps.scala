@@ -220,6 +220,47 @@ final class AggOps(private val c: Chain) extends AnyVal {
       s"SELECT ${(groupBy :+ estSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
+  /** percentile_sketches(group_by, column, k): one mergeable KLL quantile
+    * sketch (binary, Apache DataSketches) per group — the SAVED half of
+    * incremental percentile profiling, the quantile sibling of
+    * [[distinctSketches]]: build per-day/per-source sketches once, roll
+    * any coarser grouping up later with [[mergePercentileSketches]]
+    * instead of rescanning the rows. `k` trades size for rank error
+    * (200 ≈ 1.65% normalized rank error, ~few KB). KLL compaction is
+    * randomized, so estimates carry error bounds, not bit-identity —
+    * engine-specific values, no cross-engine SQL face.
+    */
+  def percentileSketches(groupBy: Seq[String], column: String,
+                         k: Int = 200): Chain = {
+    val sk = graft.functions.KllSketches.sketchAgg(col(column).cast("double"), k)
+      .as(Naming.cleanse(s"${column}_qsketch"))
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(sk)
+      else c.df.groupBy(groupBy.map(col): _*).agg(sk)
+    c.next("percentile_sketches", df2, None)
+  }
+
+  /** percentile_sketch_merge(group_by, sketch_col, percentiles): union
+    * saved KLL sketches up to a coarser grouping and read quantile values
+    * out — one scalar column per requested percentile (same `p50`-style
+    * tags as [[approxAgg]]). Grouping empty = one global profile.
+    */
+  def mergePercentileSketches(groupBy: Seq[String], sketchCol: String,
+                              percentiles: Seq[Double] = Seq(0.5, 0.95)): Chain = {
+    val tags = percentiles.map(AggFns.percentileTag)
+    require(tags.distinct.length == tags.length,
+      s"percentile tags collide: $percentiles -> $tags")
+    val merged = graft.functions.KllSketches.mergeAgg(col(sketchCol)).as("_merged")
+    val g =
+      if (groupBy.isEmpty) c.df.agg(merged)
+      else c.df.groupBy(groupBy.map(col): _*).agg(merged)
+    val out = percentiles.zip(tags).foldLeft(g) { case (df, (p, tag)) =>
+      df.withColumn(Naming.cleanse(s"${sketchCol}_$tag"),
+        graft.functions.KllSketches.quantile(col("_merged"), p))
+    }.drop("_merged")
+    c.next("percentile_sketch_merge", out, None)
+  }
+
   /** conditional_agg(rules, agg_column, agg, distinct): aggregate with
     * CASE-guarded input (e.g. COUNT(DISTINCT CASE WHEN … THEN col END)).
     */

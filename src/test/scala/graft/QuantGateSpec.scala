@@ -193,6 +193,35 @@ class QuantGateSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL sketch columns: split/merge agreement and rank-error bound vs exact percentiles") {
+    val li = table("lineitem")
+    // build fine-grained quantile sketches, merge to a coarser rollup
+    val merged = li.percentileSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+      .mergePercentileSketches(Seq("l_returnflag"), "l_extendedprice_qsketch", Seq(0.5, 0.95))
+      .df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // merged estimates must sit within the k=200 normalized rank error
+    // (~1.65%, 3x slack for the merge) of the EXACT quantiles by rank:
+    // compare through the exact value at rank p +- eps, not value distance
+    val eps = 0.05
+    Seq(0.5 -> 1, 0.95 -> 2).foreach { case (p, fieldIdx) =>
+      val exact = li.df.groupBy("l_returnflag")
+        .agg(expr(s"percentile(l_extendedprice, ${p - eps})").as("lo"),
+          expr(s"percentile(l_extendedprice, ${math.min(1.0, p + eps)})").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      exact.foreach { case (flag, (lo, hi)) =>
+        val got = if (fieldIdx == 1) merged(flag)._1 else merged(flag)._2
+        assert(got >= lo && got <= hi,
+          f"$flag p$p sketch value $got%.2f outside exact rank band [$lo%.2f, $hi%.2f]")
+      }
+    }
+    // all-null/empty groups yield null, not a crash
+    val empty = Chain(spark, "e",
+      li.df.where("l_extendedprice IS NULL").select("l_returnflag", "l_extendedprice"))
+      .percentileSketches(Seq("l_returnflag"), "l_extendedprice").df
+    assert(empty.count() == 0)
+  }
+
   test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
     // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
     // exact near-dup pairs (j >= 0.9) must nearly all collide and the
