@@ -45,10 +45,13 @@ object Bench {
     def summaryLine(): String = {
       val done = order.filter(best.contains)
       val skipped = order.filterNot(best.contains)
-      val qs = done.map(k => "\"" + k + "\":" + best(k)).mkString("{", ",", "}")
+      // per-query millisecond precision keeps the line short; the headline
+      // fields go LAST so a harness that stores only the tail of stdout
+      // still sees metric/value/unit even if the head of the line is cut
+      val qs = done.map(k => "\"" + k + "\":" + f"${best(k)}%.3f").mkString("{", ",", "}")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val total = done.map(best).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"sf":"$sfDir","passes":$passesDone}"""
+      val total = f"${done.map(best).sum}%.3f"
+      s"""{"queries":$qs,"skipped":$sk,"sf":"$sfDir","passes":$passesDone,"n_done":${done.size},"metric":"total","value":$total,"unit":"sec"}"""
     }
     // Emit exactly once — from the normal path, or from the shutdown hook if
     // the driver's timeout kills us mid-run. Partial signal beats none.

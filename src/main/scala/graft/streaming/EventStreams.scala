@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
   * Each aggregation exists in two faces sharing the same expression logic:
   * a batch face (used by the correctness oracle) and a Structured Streaming
   * face (`readStream` → watermark → windowed agg) for continuous
-  * execution. `ts` arrives as raw nanoseconds (parquet TIMESTAMP(NANOS),
-  * read via `nanosAsLong`); [[tsFromNanos]] converts to a timezone-naive
-  * timestamp column.
+  * execution. `ts` arrives either as a native parquet timestamp (micros)
+  * or as raw epoch nanoseconds (parquet TIMESTAMP(NANOS) read via
+  * `nanosAsLong`, or a Kafka-style long); [[EventStreams.eventTime]]
+  * normalizes both to a timezone-naive timestamp column at plan time.
   */
 /** Per-user open-session state for [[EventStreams.statefulSessions]]
   * (value sum kept in fixed-point millis — deterministic accumulation).
@@ -35,13 +36,25 @@ object EventStreams {
   def tsFromNanos(colName: String): Column =
     expr(s"CAST(timestamp_micros($colName DIV 1000) AS TIMESTAMP_NTZ)")
 
+  /** Event-time column as TIMESTAMP_NTZ, adapting to how `ts` arrives:
+    * epoch nanos (LongType — parquet TIMESTAMP(NANOS) under `nanosAsLong`,
+    * or a raw Kafka-style long) or a native timestamp column (parquet
+    * micros). Resolved at PLAN time from the frame's schema, so both
+    * shapes share every downstream window/watermark plan unchanged.
+    */
+  def eventTime(events: DataFrame, colName: String = "ts"): Column =
+    events.schema(colName).dataType match {
+      case LongType         => tsFromNanos(colName)
+      case TimestampNTZType => col(colName)
+      case _                => col(colName).cast(TimestampNTZType)
+    }
+
   /** Tumbling-window aggregate (batch face): counts + exact sums per
     * (window_start, key).
     */
   def tumblingAgg(events: DataFrame, width: String, keys: Seq[String]): DataFrame = {
-    val ts = tsFromNanos("ts")
     events
-      .withColumn("_ts", ts)
+      .withColumn("_ts", eventTime(events))
       .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
         .as("window_start") +: keys.map(col)): _*)
       .agg(
@@ -52,7 +65,7 @@ object EventStreams {
   /** Sliding-window aggregate (batch face). */
   def slidingAgg(events: DataFrame, width: String, slide: String, keys: Seq[String]): DataFrame =
     events
-      .withColumn("_ts", tsFromNanos("ts"))
+      .withColumn("_ts", eventTime(events))
       .groupBy((window(col("_ts"), width, slide).getField("start")
         .cast(TimestampNTZType).as("window_start") +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
@@ -62,7 +75,7 @@ object EventStreams {
     */
   def sessionAgg(events: DataFrame, gap: String, keys: Seq[String]): DataFrame =
     events
-      .withColumn("_ts", tsFromNanos("ts"))
+      .withColumn("_ts", eventTime(events))
       .groupBy((session_window(col("_ts"), gap).as("_w") +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
       .select((keys.map(col) :+
@@ -77,7 +90,7 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.readStream.schema(schema).parquet(path)
@@ -90,7 +103,7 @@ object EventStreams {
   def streamingTumblingAgg(events: DataFrame, width: String,
                            watermark: String, keys: Seq[String]): DataFrame = {
     events
-      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withColumn("_ts", eventTime(events).cast(TimestampType))
       .withWatermark("_ts", watermark)
       .groupBy((window(col("_ts"), width) +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
@@ -102,7 +115,7 @@ object EventStreams {
   def streamingSessionAgg(events: DataFrame, gap: String,
                           watermark: String, keys: Seq[String]): DataFrame =
     events
-      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withColumn("_ts", eventTime(events).cast(TimestampType))
       .withWatermark("_ts", watermark)
       .groupBy((session_window(col("_ts"), gap) +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), Exact.sum(col("value")).as("value_sum"))
@@ -117,7 +130,7 @@ object EventStreams {
   def streamingDedup(events: DataFrame, idCols: Seq[String],
                      watermark: String): DataFrame =
     events
-      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withColumn("_ts", eventTime(events).cast(TimestampType))
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
@@ -297,7 +310,7 @@ object EventStreams {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     val typed = events
-      .withColumn("_ts", tsFromNanos("ts").cast(TimestampType))
+      .withColumn("_ts", eventTime(events).cast(TimestampType))
       .withWatermark("_ts", watermark)
       .select(col("user_id"), col("_ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
