@@ -350,6 +350,15 @@ object SparkEntry {
         val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
         docs.flagContaminated(eval, "doc_id", "text", n = 8).df
       }),
+      // blocklist-scale variant: Bloom prefilter map-side + exact confirm —
+      // bit-identical output (same oracle), corpus-side join input shrinks
+      // to the contaminated fraction
+      "q_text_decontaminate_bloom" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
+        docs.flagContaminatedBloom(eval, "doc_id", "text", n = 8,
+          expectedItems = 100000L).df
+      }),
       "q_chunk_text" -> ((s, d) =>
         t(s, d, "documents").chunkText("doc_id", "text",
           chunkTokens = 64, overlap = 16).df),
@@ -835,6 +844,14 @@ object SparkEntry {
         (s"SELECT *, 1.0 - CAST(len(${ngrams(3)}) AS DOUBLE) / " +
           s"(CASE WHEN len($toks) < 3 THEN 1 ELSE len($toks) - 2 END) AS text_rep_3 FROM documents"),
       "q_text_decontaminate" ->
+        (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
+          s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
+          "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +
+          "SELECT d.*, (h.doc_id IS NOT NULL) AS contaminated " +
+          "FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id"),
+      // the Bloom prefilter is an internal optimization; the confirmed
+      // output is identical to the exact variant, so the oracle is too
+      "q_text_decontaminate_bloom" ->
         (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
           s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
           "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +

@@ -221,6 +221,58 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("flag_contaminated", df2, None)
   }
 
+  /** flag_contaminated_bloom: same OUTPUT as [[flagContaminated]], scaled
+    * for a large blocklist. The exact variant ships the eval set's full
+    * n-gram hash list to every task — right when eval sets are small.
+    * When the "eval set" is a big blocklist (10⁸+ n-grams), the scale
+    * shape is: (1) fold the eval grams into ONE mergeable Bloom filter
+    * binary (Spark's join runtime-filter aggregate, reused here as a
+    * first-class operator), (2) test every corpus gram MAP-SIDE with
+    * `might_contain` — the corpus never shuffles and survivors are
+    * ~fpp × grams, (3) confirm survivors against the exact eval-gram set,
+    * removing Bloom false positives — so the result stays bit-identical
+    * to the exact variant while per-task memory drops from the gram list
+    * (8 B × items + hash-table overhead) to the Bloom's ~1.2 bytes/item
+    * and corpus-side join input drops to the contaminated fraction.
+    * `expectedItems` sizes the filter (~3% fpp at the default bits/item);
+    * oversizing costs bits, undersizing only costs extra confirm work —
+    * correctness never depends on it.
+    */
+  def flagContaminatedBloom(eval: Chain, idCol: String, textCol: String, n: Int = 8,
+                            flagCol: String = "contaminated",
+                            expectedItems: Long = 4000000L): Chain = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val evalGrams = eval.df
+      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+      .distinct()
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col("_h")), expectedItems)
+        .toAggregateExpression())
+    // one small binary to the driver — a sketch of the eval set, not data;
+    // embedded as a literal exactly like Spark's own injected runtime filters
+    val bloomBytes = evalGrams.agg(bloomAgg.as("_bf")).head().getAs[Array[Byte]]("_bf")
+    val df2 =
+      if (bloomBytes == null) // empty eval set: nothing can be contaminated
+        c.df.withColumn(flagCol, lit(false))
+      else {
+        val mightContain = GraftBridge.column(new BloomFilterMightContain(
+          GraftBridge.expression(lit(bloomBytes)), GraftBridge.expression(col("_h"))))
+        val candidates = c.df
+          .select(col(idCol).as("_cid"),
+            explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+          .where(mightContain)
+        val hit = candidates.join(broadcast(evalGrams), Seq("_h"), "left_semi")
+          .select(col("_cid")).distinct()
+          .withColumn("_flag", lit(true))
+        c.df.join(hit, col(idCol) === col("_cid"), "left")
+          .withColumn(flagCol, coalesce(col("_flag"), lit(false)))
+          .drop("_cid", "_flag")
+      }
+    c.next("flag_contaminated_bloom", df2, None)
+  }
+
   /** pack_sequences(token_col, budget, order_by, partition_by): assign each
     * row to a training pack so every pack holds ~`budget` tokens — the
     * batch-assembly pass between chunking and the training loader. The

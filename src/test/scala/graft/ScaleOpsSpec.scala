@@ -745,6 +745,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.table("part_docs").count() == docs.count())
   }
 
+  test("flagContaminatedBloom matches the exact variant and filters map-side before any exchange") {
+    val docs = Chain(spark, "documents",
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val eval = docs.filterRows(Seq("doc_id < 25"))
+    val exact = docs.flagContaminated(eval, "doc_id", "text", n = 8)
+      .df.select("doc_id", "contaminated")
+    val bloom = docs.flagContaminatedBloom(eval, "doc_id", "text", n = 8,
+      expectedItems = 100000L).df
+    val bloomFlags = bloom.select("doc_id", "contaminated")
+    assert(bloomFlags.except(exact).isEmpty && exact.except(bloomFlags).isEmpty,
+      "bloom-confirmed flags must be identical to the exact semi-join")
+    // scale shape: the might_contain test must run BELOW every shuffle on
+    // the corpus-gram side — the corpus is filtered map-side, only the
+    // ~fpp survivors ever enter an exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = bloom.queryExecution.executedPlan
+    def containsMightContain(p: SparkPlan): Boolean =
+      p.toString.contains("might_contain")
+    assert(containsMightContain(plan), "bloom test missing from the physical plan")
+    val shufflesAboveBloomFilter = plan.collect {
+      case e: ShuffleExchangeExec if containsMightContain(e.child) => e
+    }
+    // every path from the bloom-filtered gram stream upward may shuffle
+    // (the confirm join / distinct) — but the FILTER itself must sit under
+    // the first exchange, i.e. some exchange has it strictly below
+    assert(shufflesAboveBloomFilter.nonEmpty ||
+      plan.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+      "might_contain must be evaluated below the first shuffle of the gram stream")
+  }
+
   test("PositionAgreeCount equals the zip_with formulation") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 100).map { i =>
