@@ -278,6 +278,19 @@ object SparkEntry {
         .mergePercentileSketches(Seq("l_returnflag"), "l_extendedprice_qsketch").df),
     "q_approx_agg" -> ((s, d) =>
       t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df),
+    // mergeable frequent-items sketches: per-(lang, ingest-shard) build,
+    // rolled up to per-lang top-3 sources by sketch merge. Capacity 64 >
+    // distinct sources, so counts are exact and the DuckDB top-k oracle
+    // hash-matches (the approximate regime is gated in QuantGateSpec)
+    "q_freq_items" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = t(s, d, "documents")
+      val sharded = Chain(s, "documents",
+        docs.df.withColumn("_shard", pmod(col("doc_id"), lit(8))))
+      sharded.freqSketches(Seq("lang", "_shard"), "source", maxMapSize = 64)
+        .mergeFreqSketches(Seq("lang"), "source_fsketch", k = 3)
+        .dropColumns(excludeCols = Seq("lb", "ub")).df
+    }),
 
     // ---- scale-path joins / sampling beyond the reference surface:
     // as-of, range and skew-salted joins, deterministic hash sampling,
@@ -669,6 +682,12 @@ object SparkEntry {
     "q_sample_hash" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
+    // capacity (64) exceeds distinct sources, so the sketch counts are
+    // exact and the top-k equals the plain GROUP-BY-count top-k
+    "q_freq_items" ->
+      ("WITH cnt AS (SELECT lang, source AS item, COUNT(*) AS est FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY est DESC, item ASC) AS INTEGER) AS rank FROM cnt) " +
+        "SELECT lang, item, est, rank FROM r WHERE rank <= 3"),
     "q_rank_qualify" ->
       "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
     "q_filter_quantile" ->

@@ -261,6 +261,53 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("percentile_sketch_merge", out, None)
   }
 
+  /** freq_sketches(group_by, column, max_map_size): one mergeable
+    * frequent-items (Misra–Gries) sketch per group — the heavy-hitters
+    * member of the sketch-column family ([[distinctSketches]],
+    * [[percentileSketches]]): build per-day/per-source sketches once,
+    * roll coarser groupings up later by merging sketch columns.
+    * `maxMapSize` (power of two) bounds memory; counts are EXACT while
+    * the group's distinct count stays under ~0.75×maxMapSize and carry
+    * ±n/maxMapSize beyond it. Non-string columns canonicalize through
+    * their string form.
+    */
+  def freqSketches(groupBy: Seq[String], column: String,
+                   maxMapSize: Int = 256): Chain = {
+    val in = c.df.schema(column).dataType match {
+      case org.apache.spark.sql.types.StringType => col(column)
+      case _ => col(column).cast("string")
+    }
+    val sk = graft.functions.FreqSketches.sketchAgg(in, maxMapSize)
+      .as(Naming.cleanse(s"${column}_fsketch"))
+    val df2 =
+      if (groupBy.isEmpty) c.df.agg(sk)
+      else c.df.groupBy(groupBy.map(col): _*).agg(sk)
+    c.next("freq_sketches", df2, None)
+  }
+
+  /** freq_sketch_topk(group_by, sketch_col, k): merge saved
+    * frequent-items sketches up to a coarser grouping and explode the
+    * top-k per group → (group…, item, est, lb, ub, rank). Deterministic
+    * order (estimate DESC, item ASC); in the exact regime lb = est = ub
+    * and the rows equal the exact GROUP-BY-count top-k — which is what
+    * the correctness oracle pins. Grouping empty = one global top-k.
+    */
+  def mergeFreqSketches(groupBy: Seq[String], sketchCol: String,
+                        k: Int = 10): Chain = {
+    val merged = graft.functions.FreqSketches.mergeAgg(col(sketchCol)).as("_merged")
+    val g =
+      if (groupBy.isEmpty) c.df.agg(merged)
+      else c.df.groupBy(groupBy.map(col): _*).agg(merged)
+    val df2 = g
+      .select((groupBy.map(col) :+
+        posexplode(graft.functions.FreqSketches.topK(col("_merged"), k))): _*)
+      .withColumn("rank", (col("pos") + 1).cast("int"))
+      .select((groupBy.map(col) :+ col("col.item").as("item") :+
+        col("col.est").as("est") :+ col("col.lb").as("lb") :+
+        col("col.ub").as("ub") :+ col("rank")): _*)
+    c.next("freq_sketch_topk", df2, None)
+  }
+
   /** conditional_agg(rules, agg_column, agg, distinct): aggregate with
     * CASE-guarded input (e.g. COUNT(DISTINCT CASE WHEN … THEN col END)).
     */

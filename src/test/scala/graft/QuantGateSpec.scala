@@ -222,6 +222,41 @@ class QuantGateSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("frequent-items sketches: exact under capacity, bounds honest and split/merge stable beyond it") {
+    val li = table("lineitem")
+    // EXACT regime: capacity 64 >> the handful of distinct line numbers —
+    // the rolled-up top-k must equal the plain GROUP-BY-count top-k exactly
+    val got = li.freqSketches(Seq("l_returnflag"), "l_linenumber", maxMapSize = 64)
+      .mergeFreqSketches(Seq.empty, "l_linenumber_fsketch", k = 3)
+      .df.collect().map(r => (r.getAs[String]("item"), r.getAs[Long]("est"),
+        r.getAs[Int]("rank"))).toSeq.sortBy(_._3)
+    val exact = li.df.groupBy("l_linenumber").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy { case (m, n) => (-n, m) }.take(3)
+    assert(got.map(t => (t._1, t._2)) == exact.toSeq,
+      s"exact-regime top-3 must equal GROUP BY counts: got $got expected $exact")
+    // APPROXIMATE regime: capacity 8 << ~2000 distinct suppkey values.
+    // NO_FALSE_NEGATIVES + Misra-Gries bounds: the true count of every
+    // returned item must lie within [lb, ub], and the heaviest TRUE item
+    // must be recovered once its count clears the error band (here we
+    // plant a dominant key by unioning duplicates of one suppkey)
+    val heavy = spark.range(4000).select(lit(999999L).as("l_suppkey"))
+    val planted = Chain(spark, "li",
+      li.df.select("l_suppkey").unionAll(heavy))
+    val approx = planted.freqSketches(Seq.empty, "l_suppkey", maxMapSize = 8)
+      .mergeFreqSketches(Seq.empty, "l_suppkey_fsketch", k = 5).df.collect()
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("est"),
+        r.getAs[Long]("lb"), r.getAs[Long]("ub")))
+    val truth = planted.df.groupBy("l_suppkey").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    approx.foreach { case (item, _, lb, ub) =>
+      val t = truth(item)
+      assert(t >= lb && t <= ub, s"item $item true $t outside [$lb, $ub]")
+    }
+    assert(approx.map(_._1).contains("999999"),
+      s"planted heavy hitter must be recovered, got ${approx.map(_._1).toSeq}")
+  }
+
   test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
     // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
     // exact near-dup pairs (j >= 0.9) must nearly all collide and the
