@@ -376,6 +376,8 @@ object SparkEntry {
         t(s, d, "documents").chunkText("doc_id", "text",
           chunkTokens = 64, overlap = 16).df),
       "q_text_scrub" -> ((s, d) => t(s, d, "documents").scrubText("text").df),
+      "q_text_normalize" -> ((s, d) =>
+        t(s, d, "documents").normalizeText("text").df),
       "q_text_scrub_pii" -> ((s, d) => t(s, d, "documents").scrubPii("text").df),
       // cap the dominant language at a token budget, keep the rest whole —
       // deterministic hash mix (budget derived from one bounded stats agg)
@@ -760,6 +762,10 @@ object SparkEntry {
           "FROM tf JOIN dft USING (term) CROSS JOIN n"),
       "q_text_scrub" ->
         raw"SELECT *, regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text_clean FROM documents",
+      // NFC + accent strip + lowercase + whitespace collapse; DuckDB's
+      // strip_accents is the same NFD-and-drop-marks canonicalization
+      "q_text_normalize" ->
+        raw"SELECT *, trim(regexp_replace(lower(nfc_normalize(strip_accents(nfc_normalize(text)))), '\s+', ' ', 'g')) AS text_norm FROM documents",
       // PII chain rendered from the SAME pattern table as the Spark face
       // (DuckDB literals keep single backslashes; 'g' = replace-all)
       "q_text_scrub_pii" -> {

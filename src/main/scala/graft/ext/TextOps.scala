@@ -316,6 +316,31 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       c.df.withColumn(Naming.cleanse(s"${textCol}_clean"), cleaned), None)
   }
 
+  /** normalize_text(text_col): canonicalize text BEFORE any hash sees it
+    * — NFC unicode normalization, optional accent strip (NFD + combining
+    * marks removed + NFC), optional lowercase, whitespace collapsed to
+    * single spaces and trimmed → `<col>_norm`. Two strings that render
+    * identically must fingerprint identically: exact dedup, shingle
+    * hashes and tokenizers all assume a canonical byte form, and web text
+    * mixes precomposed and combining-mark encodings freely. Pure codegen
+    * column expressions ([[graft.functions.UnicodeNormalize]] + built-in
+    * regexps) — scan-side linear, no shuffle.
+    */
+  def normalizeText(textCol: String, lowercase: Boolean = true,
+                    stripAccents: Boolean = true): Chain = {
+    import org.apache.spark.sql.GraftBridge
+    def norm(cl: Column, form: String): Column =
+      GraftBridge.column(
+        graft.functions.UnicodeNormalize(GraftBridge.expression(cl), form))
+    var x: Column = norm(col(textCol), "NFC")
+    if (stripAccents)
+      x = norm(regexp_replace(norm(x, "NFD"), "\\p{M}+", ""), "NFC")
+    if (lowercase) x = lower(x)
+    x = trim(regexp_replace(x, "\\s+", " "))
+    c.next("normalize_text",
+      c.df.withColumn(Naming.cleanse(s"${textCol}_norm"), x), None)
+  }
+
   /** scrub_pii(text_col): redact URLs, emails, IPv4 addresses, SSN-shaped
     * ids, card-shaped digit runs, then phone-shaped numbers → `<col>_clean`
     * — the fuller PII pass production corpora run before training. Fixed

@@ -143,6 +143,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got(2L) == "nothing to scrub")
   }
 
+  test("normalizeText canonicalizes combining marks, accents, case and whitespace") {
+    val docs = Seq(
+      (1L, "Café  au\tlait"),          // precomposed é
+      (2L, "Café au lait"),           // e + combining acute — same rendering
+      (3L, "  RÉSUMÉ done"), // nbsp is \s in Java and DuckDB? keep ascii spaces
+      (4L, "plain ascii stays put")).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs).normalizeText("text").df
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_norm")).toMap
+    // the two encodings of "café au lait" must land on identical bytes
+    assert(got(1L) == "cafe au lait" && got(2L) == got(1L),
+      s"NFC + accent strip must unify encodings, got ${got(1L)} / ${got(2L)}")
+    assert(got(3L).endsWith("resume done") || got(3L) == "resume done" ||
+      got(3L) == "resume done", s"accents stripped and trimmed, got '${got(3L)}'")
+    assert(got(4L) == "plain ascii stays put")
+    // accent-keeping variant: marks survive, case and whitespace still fold
+    val keep = Chain(spark, "d", docs).normalizeText("text", stripAccents = false)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[String]("text_norm")).toMap
+    assert(keep(1L) == "café au lait" && keep(2L) == keep(1L),
+      "NFC must unify the combining-mark encoding even when accents are kept")
+  }
+
   test("ShingleHashes agrees with string shingles on sizes and jaccard") {
     val rnd = new scala.util.Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
