@@ -8,6 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftSession(val spark: SparkSession) {
 
+  // every graft kernel is callable from spark.sql(...) in this session —
+  // the embedded-path counterpart of the GraftExtensions config injection
+  graft.functions.GraftFunctions.register(spark)
+
   // ---- FQTN handling (≅ reference parse/validate_fqtn + namespace magic,
   // rasgoql/data/base.py:120-190): Spark's 3-part form is
   // `catalog.database.table`; partial names fill from the session's
