@@ -378,6 +378,12 @@ object SparkEntry {
       "q_text_scrub" -> ((s, d) => t(s, d, "documents").scrubText("text").df),
       "q_text_normalize" -> ((s, d) =>
         t(s, d, "documents").normalizeText("text").df),
+      // OOV-rate quality score: corpus-trained top-512 char-trigram vocab,
+      // per-doc in-vocabulary fraction (the hash-exact form of perplexity
+      // filtering)
+      "q_text_coverage" -> ((s, d) =>
+        t(s, d, "documents").charGramCoverage("doc_id", "text", n = 3,
+          vocabSize = 512).df),
       "q_text_scrub_pii" -> ((s, d) => t(s, d, "documents").scrubPii("text").df),
       // cap the dominant language at a token budget, keep the rest whole —
       // deterministic hash mix (budget derived from one bounded stats agg)
@@ -766,6 +772,14 @@ object SparkEntry {
       // strip_accents is the same NFD-and-drop-marks canonicalization
       "q_text_normalize" ->
         raw"SELECT *, trim(regexp_replace(lower(nfc_normalize(strip_accents(nfc_normalize(text)))), '\s+', ' ', 'g')) AS text_norm FROM documents",
+      "q_text_coverage" ->
+        ("WITH g AS (SELECT doc_id, substr(text, CAST(gs AS INTEGER), 3) AS gram " +
+          "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS gs " +
+          "FROM documents WHERE length(text) >= 3)), " +
+          "cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1), " +
+          "v AS (SELECT gram FROM (SELECT gram, ROW_NUMBER() OVER (ORDER BY c DESC, gram ASC) AS r FROM cnt) WHERE r <= 512), " +
+          "s AS (SELECT g.doc_id, COUNT(*) AS total, COUNT(v.gram) AS iv FROM g LEFT JOIN v ON g.gram = v.gram GROUP BY 1) " +
+          "SELECT d.*, COALESCE(CAST(iv AS DOUBLE) / total, 0.0) AS text_cov_3 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"),
       // PII chain rendered from the SAME pattern table as the Spark face
       // (DuckDB literals keep single backslashes; 'g' = replace-all)
       "q_text_scrub_pii" -> {

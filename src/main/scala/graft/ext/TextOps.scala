@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.core.{Chain, Naming}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,49 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       .withColumn("quality",
         least(nTok / lit(20.0), lit(1.0)) * (lit(1.0) - (nPunct / nChars)))
     c.next("quality_score", df2, None)
+  }
+
+  /** char_gram_coverage(id_col, text_col, n, vocab_size): in-vocabulary
+    * char-n-gram fraction per document → `<col>_cov_<n>` — the
+    * exactly-reproducible form of LM-perplexity quality filtering: build
+    * the corpus's top-V char n-grams (the "language model"), score each
+    * document by the fraction of its n-grams that are in-vocabulary.
+    * Gibberish, encoding mojibake and non-prose blobs score low exactly
+    * where a perplexity filter would flag them, but the score is integer
+    * counts + one division — bit-identical across engines (a log-prob LM
+    * is transcendental and can't hash-match an oracle).
+    *
+    * Scale shape: the model is a bounded-cardinality groupBy (n-gram space
+    * ≪ corpus; map-side partial aggregation does the heavy lifting) + a
+    * driver top-V (deterministic count-DESC, gram-ASC tiebreak); scoring
+    * is one explode + broadcast left-join + per-doc count — linear, one
+    * shuffle keyed by doc id. Pass a REFERENCE chain (e.g. a vetted
+    * high-quality subset) as `model` to score against it instead of the
+    * corpus itself.
+    */
+  def charGramCoverage(idCol: String, textCol: String, n: Int = 3,
+                       vocabSize: Int = 512, model: Option[Chain] = None): Chain = {
+    require(n >= 1 && vocabSize >= 1, s"need n >= 1 and vocabSize >= 1, got ($n, $vocabSize)")
+    def grams(df: DataFrame): DataFrame = df
+      .where(length(col(textCol)) >= n)
+      .select(col(idCol).as("_gid"),
+        explode(sequence(lit(1), length(col(textCol)) - (n - 1))).as("_pos"),
+        col(textCol))
+      .select(col("_gid"), col(textCol).substr(col("_pos"), lit(n)).as("_gram"))
+    val vocab = grams(model.getOrElse(c).df)
+      .groupBy("_gram").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_gram").asc)
+      .limit(vocabSize)
+      .select(col("_gram"), lit(1).as("_iv"))
+    val scored = grams(c.df)
+      .join(broadcast(vocab), Seq("_gram"), "left")
+      .groupBy(col("_gid"))
+      .agg(count(lit(1)).as("_total"), count(col("_iv")).as("_inv"))
+    val out = c.df.join(scored, col(idCol) === col("_gid"), "left")
+      .withColumn(Naming.cleanse(s"${textCol}_cov_$n"),
+        coalesce(col("_inv").cast("double") / col("_total"), lit(0.0)))
+      .drop("_gid", "_total", "_inv")
+    c.next("char_gram_coverage", out, None)
   }
 
   /** lang_id(text_col): stopword-marker vote; deterministic tie-break in

@@ -143,6 +143,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got(2L) == "nothing to scrub")
   }
 
+  test("charGramCoverage scores gibberish below prose and handles short/empty docs") {
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog jumps over the quick brown fox again and again"
+    val docs = Seq(
+      (1L, prose), (2L, prose + " with more of the same words repeated"),
+      (3L, "qzxjvkw pfqgh zzyyxx wvutsk jjqqzz xkcdpq"), // gibberish
+      (4L, "ab"), // shorter than the gram width -> no grams -> 0.0
+      (5L, prose.take(60))).toDF("doc_id", "text")
+    val got = Chain(spark, "d", docs)
+      .charGramCoverage("doc_id", "text", n = 3, vocabSize = 64)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Double]("text_cov_3")).toMap
+    assert(got(1L) > 0.8, s"prose must be largely in-vocab, got ${got(1L)}")
+    assert(got(3L) < got(1L) / 2,
+      s"gibberish must score well below prose: ${got(3L)} vs ${got(1L)}")
+    assert(got(4L) == 0.0, "sub-gram-width docs score 0.0, not null")
+    // scoring against a REFERENCE model: the gibberish doc scores 0 when
+    // the model is trained on prose only
+    val ref = Chain(spark, "ref", docs.where(col("doc_id") === 1L))
+    val vsRef = Chain(spark, "d", docs)
+      .charGramCoverage("doc_id", "text", n = 3, vocabSize = 64, model = Some(ref))
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Double]("text_cov_3")).toMap
+    assert(vsRef(3L) == 0.0, s"gibberish shares no trigram with prose, got ${vsRef(3L)}")
+    assert(vsRef(1L) > 0.9, s"the reference doc is near-fully in its own vocab, got ${vsRef(1L)}")
+  }
+
   test("normalizeText canonicalizes combining marks, accents, case and whitespace") {
     val docs = Seq(
       (1L, "Café  au\tlait"),          // precomposed é
