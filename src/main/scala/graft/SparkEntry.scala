@@ -319,6 +319,11 @@ object SparkEntry {
     "q_join_salted" -> ((s, d) =>
       t(s, d, "lineitem").joinSalted(t(s, d, "orders"), "inner",
         Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 8).df),
+    // balanced subsets: exactly 200 lineitems per returnflag, chosen by
+    // deterministic hash rank — reproducible under any partitioning
+    "q_sample_group_k" -> ((s, d) =>
+      t(s, d, "lineitem").sampleGroupK(Seq("l_returnflag"), 200,
+        Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
     "q_sample_hash" -> ((s, d) =>
       t(s, d, "lineitem").sampleHash(0.1,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
@@ -690,6 +695,12 @@ object SparkEntry {
     "q_sample_hash" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
+    "q_sample_group_k" ->
+      ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+        "CAST(l_partkey AS VARCHAR))) ASC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) ASC) AS _rn FROM lineitem) " +
+        "WHERE _rn <= 200"),
     // capacity (64) exceeds distinct sources, so the sketch counts are
     // exact and the top-k equals the plain GROUP-BY-count top-k
     "q_freq_items" ->

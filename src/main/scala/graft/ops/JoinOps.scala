@@ -163,6 +163,36 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * and scan pushdown as [[sampleHash]]; strata missing from `fractions`
     * use `defaultFraction` (0 drops them).
     */
+  /** sample_group_k(group_by, k, key_cols): keep exactly k rows per group
+    * (fewer where the group is smaller), chosen by deterministic hash
+    * order — the fixed-size counterpart of [[sampleHashStratified]]'s
+    * fixed-fraction strata, i.e. a distributed reservoir sample that is
+    * reproducible under any partitioning: rank = row_number over
+    * (md5(keys), keys) within each group. The balanced-subset op for
+    * training mixes ("10k docs per language/source") and for capped
+    * eval-set extraction. One shuffle on the group keys; the window never
+    * sees a global (unpartitioned) frame.
+    */
+  def sampleGroupK(groupBy: Seq[String], k: Int, keyCols: Seq[String]): Chain = {
+    require(groupBy.nonEmpty, "sample_group_k needs group columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "sample_group_k needs key columns")
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    // hash first, raw key second: the tiebreak makes the order total even
+    // on md5 collisions, so the kept set is unique and deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(md5(key).asc, key.asc)
+    val df2 = c.df.withColumn("_sgk_rn", row_number().over(w))
+      .where(col("_sgk_rn") <= k).drop("_sgk_rn")
+    val keySql = s"concat_ws('|', ${keyCols.map(kc => s"CAST($kc AS STRING)").mkString(", ")})"
+    c.next("sample_group_k", df2, Some(
+      s"SELECT * EXCEPT (_sgk_rn) FROM (SELECT *, ROW_NUMBER() OVER (" +
+        s"PARTITION BY ${groupBy.mkString(", ")} " +
+        s"ORDER BY md5($keySql) ASC, $keySql ASC) AS _sgk_rn FROM {{source}}) " +
+        s"WHERE _sgk_rn <= $k"))
+  }
+
   def sampleHashStratified(
       strataCol: String,
       fractions: Seq[(String, Double)],

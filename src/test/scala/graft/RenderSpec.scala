@@ -73,7 +73,9 @@ class RenderSpec extends AnyFunSuite {
       table("lineitem").standardScaler(Seq("l_extendedprice")),
       table("part").minMaxScaler(Seq("p_retailprice")),
       table("customer").labelEncode("c_mktsegment"),
-      table("orders").bin("equalwidth", 10, "o_totalprice"))
+      table("orders").bin("equalwidth", 10, "o_totalprice"),
+      table("lineitem").sampleGroupK(Seq("l_returnflag"), 50,
+        Seq("l_orderkey", "l_linenumber", "l_partkey")))
     chains.foreach { ch =>
       val op = ch.steps.last.op
       assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
