@@ -278,6 +278,17 @@ final class Chain private (
     * after the last read of this chain and anything derived from it.
     */
   def releaseCheckpoints(): Unit = Chain.releaseCheckpoints(df)
+
+  /** Plan-shape guardrails ([[ScaleLint]]): inspect the compiled plan for
+    * shapes that don't survive cluster scale.
+    */
+  def scaleFindings: Seq[ScaleLint.Finding] = ScaleLint.lint(df)
+
+  /** Throw if the chain's plan contains a scale-unsafe shape (cartesian /
+    * nested-loop join, unpartitioned window, buried global sort); returns
+    * this chain for fluent use — `chain.assertScaleSafe().save(...)`.
+    */
+  def assertScaleSafe(): Chain = { ScaleLint.assertSafe(df); this }
 }
 
 object Chain {

@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape guardrails for cluster scale — the checks this repo's specs
+  * assert on individual operators, packaged as a user-facing API so a
+  * pipeline author can gate THEIR composed chain before pointing it at
+  * 100 TB. Inspection only: reads the compiled physical plan, runs
+  * nothing.
+  *
+  * `error` findings are shapes that grow super-linearly with data size
+  * (cartesian/nested-loop joins) or serialize the whole frame through one
+  * task (unpartitioned window, global sort-without-limit below other
+  * operators); `info` findings are structural facts (exchange count)
+  * useful for before/after comparison when tuning.
+  */
+object ScaleLint {
+
+  /** One lint finding. `severity` ∈ error | info. */
+  final case class Finding(severity: String, rule: String, detail: String) {
+    override def toString: String = s"[$severity] $rule: $detail"
+  }
+
+  /** Lint the frame's compiled plan (pre-AQE physical plan — AQE rewrites
+    * preserve or improve these shapes, never introduce the flagged ones).
+    */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.sparkPlan
+    val findings = Seq.newBuilder[Finding]
+
+    plan.collect { case c: CartesianProductExec => c }.foreach { c =>
+      findings += Finding("error", "cartesian-product",
+        s"O(n*m) pair blow-up; add a join key, bucketize, or block: ${c.nodeName}")
+    }
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      findings += Finding("error", "nested-loop-join",
+        "per-row scan of the broadcast side (non-equi condition); " +
+          s"rewrite as an equi-join on a derived key (bucketized range, prefix): ${j.joinType}")
+    }
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.foreach { _ =>
+      findings += Finding("error", "global-window",
+        "window with no PARTITION BY serializes every row through ONE task; " +
+          "partition the window or use a distributed formulation (zipWithIndex, range ids)")
+    }
+    // a global sort directly under collect/write is a legitimate ordered
+    // output; a global sort BELOW other operators re-materializes the
+    // whole frame range-partitioned — flag only the buried ones
+    def buriedGlobalSort(p: SparkPlan, depth: Int): Unit = p match {
+      case s: org.apache.spark.sql.execution.SortExec if s.global && depth > 1 =>
+        findings += Finding("error", "buried-global-sort",
+          "global sort feeding further operators range-partitions the full frame; " +
+            "sort only at the sink, or sortWithinPartitions")
+      case other => other.children.foreach(buriedGlobalSort(_, depth + 1))
+    }
+    buriedGlobalSort(plan, 0)
+
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }.size
+    findings += Finding("info", "exchange-count", s"$exchanges shuffle exchange(s) in the plan")
+    findings.result()
+  }
+
+  /** Throw (listing every error finding) if the plan contains a
+    * scale-unsafe shape; return the error-free findings otherwise.
+    */
+  def assertSafe(df: DataFrame): Seq[Finding] = {
+    val fs = lint(df)
+    val errs = fs.filter(_.severity == "error")
+    if (errs.nonEmpty)
+      throw new IllegalStateException(
+        s"scale-unsafe plan shapes:\n${errs.mkString("\n")}")
+    fs
+  }
+}

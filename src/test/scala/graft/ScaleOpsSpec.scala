@@ -143,6 +143,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got(2L) == "nothing to scrub")
   }
 
+  test("scale lint flags cartesian, global window and nested-loop shapes; passes scale-safe chains") {
+    import graft.core.ScaleLint
+    val li = table("lineitem")
+    val orders = table("orders")
+    // cartesian product → error (broadcast disabled so the tiny fixture
+    // plans as a true CartesianProduct, not a broadcast nested loop)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = Chain(spark, "x", li.df.limit(10).crossJoin(orders.df.limit(10)))
+      assert(cart.scaleFindings.exists(f => f.rule == "cartesian-product"),
+        s"cartesian must be flagged: ${cart.scaleFindings}")
+      intercept[IllegalStateException](cart.assertScaleSafe())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    // non-equi theta join → nested-loop error
+    val theta = Chain(spark, "x",
+      li.df.limit(10).as("a").join(orders.df.limit(10).as("b"),
+        col("a.l_extendedprice") > col("b.o_totalprice")))
+    assert(theta.scaleFindings.exists(f => f.rule == "nested-loop-join"),
+      s"nested loop must be flagged: ${theta.scaleFindings}")
+    // unpartitioned window → error
+    val gw = Chain(spark, "x", li.df.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_orderkey"))))
+    assert(gw.scaleFindings.exists(_.rule == "global-window"),
+      s"global window must be flagged: ${gw.scaleFindings}")
+    // representative scale-safe chains pass (and report exchange counts)
+    val ok = li.join(orders, "inner", Seq("l_orderkey" -> "o_orderkey"))
+      .aggregate(Seq("o_orderpriority"), Seq("l_extendedprice" -> Seq("SUM")))
+    val fs = ok.assertScaleSafe().scaleFindings
+    assert(fs.forall(_.severity != "error") && fs.exists(_.rule == "exchange-count"))
+    val ok2 = table("documents").qualityScore("text")
+      .dedupExact("doc_id", "text")
+    ok2.assertScaleSafe()
+  }
+
   test("charGramCoverage scores gibberish below prose and handles short/empty docs") {
     val prose = "the quick brown fox jumps over the lazy dog and then " +
       "the dog jumps over the quick brown fox again and again"
