@@ -514,6 +514,19 @@ object SparkEntry {
           .decodeMedia("media", ImageHeaderDecoder)
           .dropColumns(excludeCols = Seq("media")).df
       }),
+      // real audio-header codec end-to-end: WAV chunk walk + MP3 frame walk
+      // on synthesized payloads, expectations pinned per byte layout
+      "q_multimodal_audio" -> ((s, d) => {
+        import org.apache.spark.sql.types._
+        val rows = audioFixtures.map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+        val schema = StructType(Seq(
+          StructField("audio_id", IntegerType, nullable = false),
+          StructField("media", BinaryType)))
+        val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        Chain(s, "audio_fixtures", df)
+          .decodeAudio("media", AudioHeaderDecoder)
+          .dropColumns(excludeCols = Seq("media")).df
+      }),
       "q_events_tumbling" -> ((s, d) =>
         EventStreams.tumblingAgg(readEvents(s, d), "1 hour", Seq("event_type"))),
       "q_events_sliding" -> ((s, d) =>
@@ -560,6 +573,33 @@ object SparkEntry {
     val bmp = b('B', 'M') ++ Array.fill[Byte](16)(0) ++
       b(10, 0, 0, 0, 20, 0, 0, 0) // width=10, height=20 (little-endian)
     Seq(1 -> png, 2 -> jpeg, 3 -> gif, 4 -> bmp, 5 -> "notmedia".getBytes)
+  }
+
+  /** Deterministic audio fixtures for q_multimodal_audio: a stereo 16-bit
+    * 44.1 kHz WAV (100 samples), a mono 8-bit 8 kHz WAV (160 samples),
+    * a 2-frame 128 kbps MPEG-1 Layer III stream, and a non-audio blob
+    * that must degrade to `unknown`.
+    */
+  private def audioFixtures: Seq[(Int, Array[Byte])] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fmt(ch: Int, rate: Int, align: Int, bits: Int): Array[Byte] =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * align) ++ le16(align) ++ le16(bits)
+    def wav(ch: Int, rate: Int, align: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val body = fmt(ch, rate, align, bits) ++
+        "data".getBytes ++ le32(dataBytes) ++ Array.fill[Byte](dataBytes)(0)
+      "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    }
+    // MPEG-1 Layer III, 128 kbps @ 44100, stereo, no padding:
+    // frame length = 144 * 128000 / 44100 = 417 bytes
+    val mp3Frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](413)(0)
+    Seq(
+      1 -> wav(ch = 2, rate = 44100, align = 4, bits = 16, dataBytes = 400),
+      2 -> wav(ch = 1, rate = 8000, align = 1, bits = 8, dataBytes = 160),
+      3 -> (mp3Frame ++ mp3Frame),
+      4 -> "noise!!".getBytes)
   }
 
   private def readEvents(s: SparkSession, d: String): DataFrame = {
@@ -921,6 +961,15 @@ object SparkEntry {
         ("SELECT * FROM (VALUES (1, 24, 64, 48, 'png', 1), (2, 12, 64, 48, 'jpeg', 1), " +
           "(3, 42, 320, 200, 'gif', 2), (4, 26, 10, 20, 'bmp', 1), " +
           "(5, 8, 0, 0, 'unknown', 1)) AS t(media_id, byte_len, width, height, format, n_frames)"),
+      // literal expectations per fixture byte layout (stereo 16-bit 44.1k
+      // WAV: 400/4 = 100 samples -> 2 ms; mono 8-bit 8k WAV: 160 samples
+      // -> 20 ms; 2-frame 128 kbps MP3: 2304 samples -> 52 ms)
+      "q_multimodal_audio" ->
+        ("SELECT * FROM (VALUES (1, 444, 44100, 2, 16, CAST(100 AS BIGINT), CAST(2 AS BIGINT), 'wav'), " +
+          "(2, 204, 8000, 1, 8, CAST(160 AS BIGINT), CAST(20 AS BIGINT), 'wav'), " +
+          "(3, 834, 44100, 2, 0, CAST(2304 AS BIGINT), CAST(52 AS BIGINT), 'mp3'), " +
+          "(4, 7, 0, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'unknown')) " +
+          "AS t(audio_id, byte_len, sample_rate, channels, bits_per_sample, n_samples, duration_ms, audio_format)"),
       "q_events_tumbling" ->
         s"SELECT date_trunc('hour', $evT) AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM events GROUP BY 1, 2",
       "q_events_sliding" ->

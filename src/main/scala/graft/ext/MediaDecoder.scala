@@ -124,3 +124,89 @@ object ImageHeaderDecoder extends MediaDecoder {
 
   private def unknown(len: Int): MediaMeta = MediaMeta(0, 0, "unknown", 1)
 }
+
+/** Decoded audio metadata: the audio-side contract every codec fills.
+  * `nSamples` is per channel; duration derives as nSamples / sampleRate.
+  */
+final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamples: Long, format: String)
+
+/** Pluggable audio codec boundary for [[MultimodalOps.decodeAudio]] —
+  * same shipping rules as [[MediaDecoder]] (serializable, rides in the
+  * mapPartitions closure).
+  */
+trait AudioDecoder extends Serializable {
+  def decode(bytes: Array[Byte]): AudioMeta
+}
+
+/** Real pure-JVM audio header parser: WAV (RIFF chunk walk — fmt and data
+  * chunks give rate/channels/bits and the exact sample count) and MPEG-1
+  * Layer III (frame-header walk: rate/channels from the first frame,
+  * sample count = 1152 × counted frames; an ID3v2 tag is skipped by its
+  * syncsafe size). Unknown or corrupt payloads decode as
+  * `format = "unknown"` with zeros rather than throwing — same
+  * never-kill-the-scan contract as [[ImageHeaderDecoder]].
+  */
+object AudioHeaderDecoder extends AudioDecoder {
+
+  override def decode(bytes: Array[Byte]): AudioMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    val n = bytes.length
+
+    // WAV: "RIFF" <size> "WAVE", then id/size chunks
+    if (n >= 12 && bytes.slice(0, 4).sameElements("RIFF".getBytes) &&
+        bytes.slice(8, 12).sameElements("WAVE".getBytes)) {
+      var i = 12
+      var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
+      var dataLen = -1L
+      while (i + 8 <= n && (dataLen < 0 || rate == 0)) {
+        val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= n) {
+          ch = le16(i + 10); rate = le32(i + 12).toInt
+          blockAlign = le16(i + 20); bits = le16(i + 22)
+        } else if (id == "data") dataLen = math.min(sz, (n - i - 8).toLong)
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataLen < 0) unknown
+      else AudioMeta(rate, ch, bits, dataLen / blockAlign, "wav")
+    }
+    // MPEG-1 Layer III: optional ID3v2, then 0xFFE-sync frame headers
+    else {
+      var i = 0
+      if (n >= 10 && bytes.slice(0, 3).sameElements("ID3".getBytes))
+        i = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)) // syncsafe
+      if (i + 4 > n || u8(i) != 0xff || (u8(i + 1) & 0xfe) != 0xfa) unknown
+      else {
+        // 0xfa/0xfb = MPEG-1 Layer III (with/without CRC)
+        val rates = Array(44100, 48000, 32000)
+        val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        val rIdx = (u8(i + 2) >> 2) & 0x3
+        val bIdx = (u8(i + 2) >> 4) & 0xf
+        if (rIdx > 2 || bIdx == 0 || bIdx == 15) unknown
+        else {
+          val rate = rates(rIdx)
+          val channels = if (((u8(i + 3) >> 6) & 0x3) == 3) 1 else 2
+          var frames = 0L
+          var ok = true
+          while (ok && i + 4 <= n) {
+            if (u8(i) != 0xff || (u8(i + 1) & 0xfe) != 0xfa) ok = false
+            else {
+              val bi = (u8(i + 2) >> 4) & 0xf
+              val ri = (u8(i + 2) >> 2) & 0x3
+              val pad = (u8(i + 2) >> 1) & 0x1
+              if (bi == 0 || bi == 15 || ri > 2) ok = false
+              else { frames += 1; i += 144 * kbps(bi) * 1000 / rates(ri) + pad }
+            }
+          }
+          AudioMeta(rate, channels, 0, frames * 1152L, "mp3")
+        }
+      }
+    }
+  }
+
+  private def unknown: AudioMeta = AudioMeta(0, 0, 0, 0L, "unknown")
+}

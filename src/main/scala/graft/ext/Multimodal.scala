@@ -26,6 +26,15 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("audio_format", StringType, nullable = false)))
 }
 
 final class MultimodalOps(private val c: Chain) extends AnyVal {
@@ -56,6 +65,29 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
       }
     }(enc)
     c.next("decode_media", df2, None)
+  }
+
+  /** decode_audio(media, decoder): the audio sibling of [[decodeMedia]] —
+    * partition-batched header decode to (sample_rate, channels,
+    * bits_per_sample, n_samples, duration_ms, audio_format).
+    * `duration_ms` is exact integer arithmetic (n_samples × 1000 / rate),
+    * zero for undecodable payloads.
+    */
+  def decodeAudio(mediaCol: String, decoder: AudioDecoder = AudioHeaderDecoder): Chain = {
+    val inSchema = c.df.schema
+    val outSchema = StructType(inSchema.fields ++ Multimodal.audioMetaSchema.fields)
+    val idx = inSchema.fieldIndex(mediaCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val df2 = c.df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val m = decoder.decode(bytes)
+        val durMs = if (m.sampleRate > 0) m.nSamples * 1000L / m.sampleRate else 0L
+        Row.fromSeq(row.toSeq ++ Seq(bytes.length, m.sampleRate, m.channels,
+          m.bitsPerSample, m.nSamples, durMs, m.format))
+      }
+    }(enc)
+    c.next("decode_audio", df2, None)
   }
 
   /** frame_sample(every): one output row per sampled frame index —

@@ -281,6 +281,33 @@ class ExtSpec extends AnyFunSuite {
     assert(frames == Seq(0, 2))
   }
 
+  test("AudioHeaderDecoder handles truncation, ID3 tags and mid-stream corruption") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    // data chunk CLAIMS 1000 bytes but only 40 arrive (truncated upload):
+    // the decoder must count the samples actually present, not trust the header
+    val truncated = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++
+      fmt ++ "data".getBytes ++ le32(1000) ++ Array.fill[Byte](40)(0)
+    val t = AudioHeaderDecoder.decode(truncated)
+    assert(t.format == "wav" && t.nSamples == 10, s"truncated wav -> 40/4 samples, got $t")
+    // ID3v2 tag (syncsafe size 100) in front of one MP3 frame
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](413)(0)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 0, 100) ++ Array.fill[Byte](100)(0)
+    val tagged = AudioHeaderDecoder.decode(id3 ++ frame)
+    assert(tagged.format == "mp3" && tagged.nSamples == 1152 &&
+      tagged.sampleRate == 44100 && tagged.channels == 2, s"got $tagged")
+    // two clean frames, then garbage: count stops at the corruption
+    val corrupt = AudioHeaderDecoder.decode(frame ++ frame ++ "garbage".getBytes)
+    assert(corrupt.nSamples == 2304, s"frame walk must stop at corruption, got $corrupt")
+    // non-audio blobs degrade, never throw
+    assert(AudioHeaderDecoder.decode("not audio".getBytes).format == "unknown")
+    assert(AudioHeaderDecoder.decode(Array.emptyByteArray).format == "unknown")
+  }
+
   test("scrubPii redacts each PII shape in order") {
     import spark.implicits._
     val docs = Seq(
