@@ -537,6 +537,17 @@ object SparkEntry {
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
           .jsonExtract("props", Seq(("$.k", "k_val", "int"))).df),
+      // composed curation pipeline over the round's ops: canonicalize →
+      // exact dedup on the canonical bytes → balanced per-language subset →
+      // per-language summary. Every stage reproduces in the DuckDB oracle.
+      "q_curation_pipeline" -> ((s, d) =>
+        t(s, d, "documents")
+          .normalizeText("text")
+          .dedupExact("doc_id", "text_norm")
+          .sampleGroupK(Seq("lang"), 20, Seq("doc_id"))
+          .aggregate(Seq("lang"), Seq(
+            "doc_id" -> Seq("COUNT"),
+            "n_chars" -> Seq("SUM"))).df),
       // composed training-data pipeline: quality-gate → exact dedup →
       // token stats → per-language corpus summary
       "q_llm_pipeline" -> ((s, d) =>
@@ -823,6 +834,12 @@ object SparkEntry {
       // strip_accents is the same NFD-and-drop-marks canonicalization
       "q_text_normalize" ->
         raw"SELECT *, trim(regexp_replace(lower(nfc_normalize(strip_accents(nfc_normalize(text)))), '\s+', ' ', 'g')) AS text_norm FROM documents",
+      "q_curation_pipeline" ->
+        (raw"WITH nd AS (SELECT *, trim(regexp_replace(lower(nfc_normalize(strip_accents(nfc_normalize(text)))), '\s+', ' ', 'g')) AS text_norm FROM documents), " +
+          raw"dd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text_norm)), '\s+', ' ', 'g')) ORDER BY doc_id) AS _rn FROM nd) WHERE _rn = 1), " +
+          "sk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang " +
+          "ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR))) ASC, concat_ws('|', CAST(doc_id AS VARCHAR)) ASC) AS _rn2 FROM dd) WHERE _rn2 <= 20) " +
+          "SELECT lang, COUNT(doc_id) AS doc_id_count, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum FROM sk GROUP BY lang"),
       "q_text_coverage" ->
         ("WITH g AS (SELECT doc_id, substr(text, CAST(gs AS INTEGER), 3) AS gram " +
           "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS gs " +
