@@ -180,6 +180,15 @@ object SparkEntry {
     "q_train_test_split" -> ((s, d) =>
       t(s, d, "orders").trainTestSplit(Seq("o_orderkey" -> "ASC"), 0.8).df),
 
+    // time-series regularization: daily per-priority grid over Q1'95 with
+    // order totals forward-filled across gap days
+    "q_resample_fill" -> ((s, d) =>
+      t(s, d, "orders")
+        .aggregate(Seq("o_orderpriority", "o_orderdate"),
+          Seq("o_totalprice" -> Seq("SUM")))
+        .resampleFill(Seq("o_orderpriority"), "o_orderdate",
+          "1995-01-01", "1995-03-01", "day", Seq("o_totalprice_sum")).df),
+
     // ---- dates (#30-35)
     "q_datetrunc" -> ((s, d) =>
       t(s, d, "orders").datetrunc(
@@ -690,6 +699,13 @@ object SparkEntry {
       "SELECT CAST(d AS DATE) AS o_orderdate_spine, COUNT(o_orderkey) AS o_orderkey_count FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-31', INTERVAL 1 DAY)) AS d) s LEFT JOIN orders ON CAST(date_trunc('day', o_orderdate) AS DATE) = CAST(d AS DATE) GROUP BY 1",
     "q_datespine_groups" ->
       "SELECT g.o_orderpriority, CAST(d AS DATE) AS o_orderdate_spine, COUNT(o.o_orderkey) AS o_orderkey_count FROM (SELECT DISTINCT o_orderpriority FROM orders) g CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)) AS d) s LEFT JOIN orders o ON o.o_orderpriority = g.o_orderpriority AND CAST(date_trunc('month', o.o_orderdate) AS DATE) = CAST(d AS DATE) GROUP BY 1, 2",
+    "q_resample_fill" ->
+      (s"WITH agg AS (SELECT o_orderpriority, o_orderdate, ${dsum("o_totalprice")} AS o_totalprice_sum FROM orders GROUP BY 1, 2), " +
+        "g AS (SELECT DISTINCT o_orderpriority FROM orders), " +
+        "sp AS (SELECT g.o_orderpriority, CAST(d AS DATE) AS o_orderdate_spine FROM g CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS d) s) " +
+        "SELECT sp.o_orderpriority, sp.o_orderdate_spine, a.o_orderdate, a.o_totalprice_sum, " +
+        "LAST_VALUE(a.o_totalprice_sum IGNORE NULLS) OVER (PARTITION BY sp.o_orderpriority ORDER BY sp.o_orderdate_spine ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_totalprice_sum_filled " +
+        "FROM sp LEFT JOIN agg a ON a.o_orderpriority = sp.o_orderpriority AND CAST(date_trunc('day', a.o_orderdate) AS DATE) = sp.o_orderdate_spine"),
     "q_one_hot_encode" ->
       "SELECT *, CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_automobile, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_building, CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS c_mktsegment_furniture, CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS c_mktsegment_household, CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_machinery FROM customer",
     "q_label_encode" ->

@@ -133,6 +133,40 @@ final class DateOps(private val c: Chain) extends AnyVal {
     * The distinct-groups side is the only shuffle; the spine explode is
     * per-row and needs no driver action.
     */
+  /** resample_fill(group_by, date_col, start, end, interval, value_cols):
+    * regular per-group time grid with gaps FORWARD-FILLED —
+    * [[datespineGroups]] plus `last(ignoreNulls)` over the spine order per
+    * value column (`<col>_filled`). The standard time-series
+    * regularization before lag/rolling features: real feeds have holes,
+    * window features over holey grids silently shorten their horizons.
+    * Expects one source row per (group, bucket) — aggregate first (the
+    * usual pipeline order); with duplicates the fill picks the bucket's
+    * last row in partition order, which is not deterministic.
+    * One shuffle on the group keys; the fill reuses the spine join's
+    * partitioning.
+    */
+  def resampleFill(groupBy: Seq[String], dateCol: String, startDate: String,
+                   endDate: String, intervalType: String,
+                   valueCols: Seq[String]): Chain = {
+    require(valueCols.nonEmpty, "resample_fill needs at least one value column")
+    val spined = datespineGroups(groupBy, dateCol, startDate, endDate, intervalType)
+    val spineName = Naming.cleanse(s"${dateCol}_spine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(col(spineName).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val filled = valueCols.foldLeft(spined.df) { (d, v) =>
+      d.withColumn(Naming.cleanse(s"${v}_filled"),
+        last(col(v), ignoreNulls = true).over(w))
+    }
+    val over = s"OVER (PARTITION BY ${groupBy.mkString(", ")} ORDER BY $spineName ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val frags = valueCols.map(v =>
+      s"LAST($v) IGNORE NULLS $over AS ${Naming.cleanse(s"${v}_filled")}")
+    spined.next("resample_fill", filled,
+      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+  }
+
   def datespineGroups(
       groupBy: Seq[String],
       dateCol: String,

@@ -75,7 +75,12 @@ class RenderSpec extends AnyFunSuite {
       table("customer").labelEncode("c_mktsegment"),
       table("orders").bin("equalwidth", 10, "o_totalprice"),
       table("lineitem").sampleGroupK(Seq("l_returnflag"), 50,
-        Seq("l_orderkey", "l_linenumber", "l_partkey")))
+        Seq("l_orderkey", "l_linenumber", "l_partkey")),
+      table("orders")
+        .aggregate(Seq("o_orderpriority", "o_orderdate"),
+          Seq("o_totalprice" -> Seq("SUM")))
+        .resampleFill(Seq("o_orderpriority"), "o_orderdate",
+          "1995-01-01", "1995-02-01", "day", Seq("o_totalprice_sum")))
     chains.foreach { ch =>
       val op = ch.steps.last.op
       assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
