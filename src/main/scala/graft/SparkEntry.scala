@@ -227,6 +227,11 @@ object SparkEntry {
         .impute(Seq("acct2" -> "mean"), flagMissingVals = true).df),
     "q_bin" -> ((s, d) =>
       t(s, d, "orders").bin("equalwidth", 10, "o_totalprice").df),
+    // data-quality gate: per-flag z-scores and 2-sigma outlier flags from
+    // exact decimal window statistics
+    "q_flag_outliers" -> ((s, d) =>
+      t(s, d, "lineitem").flagOutliers("l_extendedprice",
+        Seq("l_returnflag"), z = 2.0).df),
     "q_standard_scaler" -> ((s, d) =>
       t(s, d, "lineitem").standardScaler(Seq("l_extendedprice")).df),
     "q_min_max_scaler" -> ((s, d) =>
@@ -718,6 +723,16 @@ object SparkEntry {
       "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
     "q_standard_scaler" ->
       s"SELECT * EXCLUDE (mu, sd), (CAST(l_extendedprice AS DOUBLE) - mu) / sd AS l_extendedprice_scaled FROM lineitem, (SELECT ${davg("l_extendedprice")} AS mu, SQRT((${dsum8("l_extendedprice * l_extendedprice")} - ${dsum("l_extendedprice")} * ${dsum("l_extendedprice")} / CAST(COUNT(l_extendedprice) AS DOUBLE)) / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS sd FROM lineitem) s",
+    "q_flag_outliers" -> {
+      val over = "OVER (PARTITION BY l_returnflag)"
+      val nS = s"CAST(COUNT(l_extendedprice) $over AS DOUBLE)"
+      val sxS = s"CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
+      val sxxS = s"CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) $over AS DOUBLE)"
+      val muS = s"($sxS / $nS)"
+      val sdS = s"SQRT(($sxxS - $sxS * $sxS / $nS) / ($nS - 1.0))"
+      s"SELECT *, CASE WHEN $nS > 1 AND $sdS > 0 THEN (CAST(l_extendedprice AS DOUBLE) - $muS) / $sdS END AS l_extendedprice_zscore, " +
+        s"($nS > 1 AND $sdS > 0 AND ABS(CAST(l_extendedprice AS DOUBLE) - $muS) > 2.0 * $sdS) AS l_extendedprice_outlier FROM lineitem"
+    },
     "q_min_max_scaler" ->
       "SELECT * EXCLUDE (mn, mx), (CAST(p_retailprice AS DOUBLE) - mn) / (mx - mn) AS p_retailprice_scaled FROM part, (SELECT CAST(MIN(p_retailprice) AS DOUBLE) AS mn, CAST(MAX(p_retailprice) AS DOUBLE) AS mx FROM part) s",
     "q_levenshtein" ->

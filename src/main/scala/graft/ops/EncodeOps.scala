@@ -198,6 +198,47 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * `<col>_scaled`; statistics optionally precomputed (the reference's
     * compile-time `run_query` pattern), else one exact aggregate.
     */
+  /** flag_outliers(column, group_by, z): per-group z-score and outlier
+    * flag — `<col>_zscore` ((x−μ)/σ where σ > 0, else null) and
+    * `<col>_outlier` (|x−μ| > z·σ, false for degenerate groups). Group
+    * statistics come from one window pass over exact decimal accumulators
+    * (the [[graft.core.Exact]] formulas), so flags are identical under any
+    * partitioning and across engines — the data-quality gate in front of
+    * scaling/training. Empty `groupBy` = global statistics (one window
+    * partition; prefer grouped use at scale).
+    */
+  def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
+                   z: Double = 3.0): Chain = {
+    require(z > 0, s"z must be positive, got $z")
+    val w =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val x = col(column).cast("double")
+    val n = count(x).over(w).cast("double")
+    val sx = sum(x.cast(Exact.Wide)).over(w).cast("double")
+    val sxx = sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+      .over(w).cast("double")
+    val mu = sx / n
+    val sd = sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
+    val zc = when(n > 1 && sd > 0, (x - mu) / sd)
+    val flag = n > 1 && sd > 0 && abs(x - mu) > lit(z) * sd
+    val df2 = c.df
+      .withColumn(Naming.cleanse(s"${column}_zscore"), zc)
+      .withColumn(Naming.cleanse(s"${column}_outlier"), flag)
+    val cn = Naming.quoteId(column)
+    val over =
+      if (groupBy.isEmpty) "OVER ()"
+      else s"OVER (PARTITION BY ${groupBy.mkString(", ")})"
+    val nS = s"CAST(COUNT($cn) $over AS DOUBLE)"
+    val sxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
+    val sxxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) * CAST($cn AS DOUBLE) AS DECIMAL(38,8))) $over AS DOUBLE)"
+    val muS = s"($sxS / $nS)"
+    val sdS = s"SQRT(($sxxS - $sxS * $sxS / $nS) / ($nS - 1.0))"
+    c.next("flag_outliers", df2, Some(
+      s"SELECT *, CASE WHEN $nS > 1 AND $sdS > 0 THEN (CAST($cn AS DOUBLE) - $muS) / $sdS END AS ${Naming.cleanse(s"${column}_zscore")}, " +
+        s"($nS > 1 AND $sdS > 0 AND ABS(CAST($cn AS DOUBLE) - $muS) > $z * $sdS) AS ${Naming.cleanse(s"${column}_outlier")} FROM {{source}}"))
+  }
+
   def standardScaler(
       columnsToScale: Seq[String],
       averages: Map[String, Double] = Map.empty,

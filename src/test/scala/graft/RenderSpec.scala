@@ -71,6 +71,7 @@ class RenderSpec extends AnyFunSuite {
         Seq("CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END"),
         Seq("acct2")).impute(Seq("acct2" -> "mean"), flagMissingVals = true),
       table("lineitem").standardScaler(Seq("l_extendedprice")),
+      table("lineitem").flagOutliers("l_extendedprice", Seq("l_returnflag"), z = 2.0),
       table("part").minMaxScaler(Seq("p_retailprice")),
       table("customer").labelEncode("c_mktsegment"),
       table("orders").bin("equalwidth", 10, "o_totalprice"),
