@@ -188,6 +188,14 @@ object SparkEntry {
           Seq("o_totalprice" -> Seq("SUM")))
         .resampleFill(Seq("o_orderpriority"), "o_orderdate",
           "1995-01-01", "1995-03-01", "day", Seq("o_totalprice_sum")).df),
+    // linear variant: interior gaps interpolate, edges stay null
+    "q_resample_interp" -> ((s, d) =>
+      t(s, d, "orders")
+        .aggregate(Seq("o_orderpriority", "o_orderdate"),
+          Seq("o_totalprice" -> Seq("SUM")))
+        .resampleFill(Seq("o_orderpriority"), "o_orderdate",
+          "1995-01-01", "1995-03-01", "day", Seq("o_totalprice_sum"),
+          method = "linear").df),
 
     // ---- dates (#30-35)
     "q_datetrunc" -> ((s, d) =>
@@ -711,6 +719,23 @@ object SparkEntry {
         "SELECT sp.o_orderpriority, sp.o_orderdate_spine, a.o_orderdate, a.o_totalprice_sum, " +
         "LAST_VALUE(a.o_totalprice_sum IGNORE NULLS) OVER (PARTITION BY sp.o_orderpriority ORDER BY sp.o_orderdate_spine ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_totalprice_sum_filled " +
         "FROM sp LEFT JOIN agg a ON a.o_orderpriority = sp.o_orderpriority AND CAST(date_trunc('day', a.o_orderdate) AS DATE) = sp.o_orderdate_spine"),
+    "q_resample_interp" -> {
+      val over = "OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate_spine ASC"
+      val backS = s"$over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val fwdS = s"$over ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+      val x = "CAST(o_totalprice_sum AS DOUBLE)"
+      val pv = s"LAST_VALUE($x IGNORE NULLS) $backS"
+      val pp = s"LAST_VALUE(CASE WHEN $x IS NOT NULL THEN _pos END IGNORE NULLS) $backS"
+      val nv = s"FIRST_VALUE($x IGNORE NULLS) $fwdS"
+      val np = s"FIRST_VALUE(CASE WHEN $x IS NOT NULL THEN _pos END IGNORE NULLS) $fwdS"
+      s"WITH agg AS (SELECT o_orderpriority, o_orderdate, ${dsum("o_totalprice")} AS o_totalprice_sum FROM orders GROUP BY 1, 2), " +
+        "g AS (SELECT DISTINCT o_orderpriority FROM orders), " +
+        "sp AS (SELECT g.o_orderpriority, CAST(d AS DATE) AS o_orderdate_spine FROM g CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS d) s), " +
+        "j AS (SELECT sp.o_orderpriority, sp.o_orderdate_spine, a.o_orderdate, a.o_totalprice_sum " +
+        "FROM sp LEFT JOIN agg a ON a.o_orderpriority = sp.o_orderpriority AND CAST(date_trunc('day', a.o_orderdate) AS DATE) = sp.o_orderdate_spine), " +
+        s"p AS (SELECT *, CAST(ROW_NUMBER() $over) AS DOUBLE) AS _pos FROM j) " +
+        s"SELECT * EXCLUDE (_pos), CASE WHEN $x IS NOT NULL THEN $x ELSE $pv + ($nv - $pv) * (_pos - $pp) / ($np - $pp) END AS o_totalprice_sum_filled FROM p"
+    },
     "q_one_hot_encode" ->
       "SELECT *, CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_automobile, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_building, CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS c_mktsegment_furniture, CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS c_mktsegment_household, CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_machinery FROM customer",
     "q_label_encode" ->

@@ -133,11 +133,15 @@ final class DateOps(private val c: Chain) extends AnyVal {
     * The distinct-groups side is the only shuffle; the spine explode is
     * per-row and needs no driver action.
     */
-  /** resample_fill(group_by, date_col, start, end, interval, value_cols):
-    * regular per-group time grid with gaps FORWARD-FILLED —
-    * [[datespineGroups]] plus `last(ignoreNulls)` over the spine order per
-    * value column (`<col>_filled`). The standard time-series
-    * regularization before lag/rolling features: real feeds have holes,
+  /** resample_fill(group_by, date_col, start, end, interval, value_cols,
+    * method): regular per-group time grid with gaps filled —
+    * [[datespineGroups]] plus per-value-column gap fill (`<col>_filled`).
+    * `method = "ffill"` carries the last observation forward
+    * (`last(ignoreNulls)` over the spine order); `method = "linear"`
+    * interpolates interior gaps between the surrounding observations by
+    * spine position and leaves leading/trailing gaps null (no
+    * extrapolation). The standard time-series regularization before
+    * lag/rolling features: real feeds have holes,
     * window features over holey grids silently shorten their horizons.
     * Expects one source row per (group, bucket) — aggregate first (the
     * usual pipeline order); with duplicates the fill picks the bucket's
@@ -147,24 +151,60 @@ final class DateOps(private val c: Chain) extends AnyVal {
     */
   def resampleFill(groupBy: Seq[String], dateCol: String, startDate: String,
                    endDate: String, intervalType: String,
-                   valueCols: Seq[String]): Chain = {
+                   valueCols: Seq[String], method: String = "ffill"): Chain = {
     require(valueCols.nonEmpty, "resample_fill needs at least one value column")
+    require(Seq("ffill", "linear").contains(method),
+      s"resample_fill method must be ffill or linear, got $method")
     val spined = datespineGroups(groupBy, dateCol, startDate, endDate, intervalType)
     val spineName = Naming.cleanse(s"${dateCol}_spine")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupBy.map(col): _*)
-      .orderBy(col(spineName).asc)
-      .rowsBetween(Long.MinValue, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy(groupBy.map(col): _*).orderBy(col(spineName).asc)
+    val back = ord.rowsBetween(Long.MinValue, 0)
+    val fwd = ord.rowsBetween(0, Long.MaxValue)
+    val overSql = s"OVER (PARTITION BY ${groupBy.mkString(", ")} ORDER BY $spineName ASC"
     val filled = valueCols.foldLeft(spined.df) { (d, v) =>
-      d.withColumn(Naming.cleanse(s"${v}_filled"),
-        last(col(v), ignoreNulls = true).over(w))
+      val out = Naming.cleanse(s"${v}_filled")
+      if (method == "ffill")
+        d.withColumn(out, last(col(v), ignoreNulls = true).over(back))
+      else {
+        // linear: interior gaps interpolate between the surrounding
+        // observations by spine position; leading/trailing gaps stay null
+        // (no extrapolation). The position is materialized as a column
+        // first — window calls can't nest (engines rightly reject it) —
+        // then one interpolation expression identical across engines.
+        val x = col(v).cast("double")
+        val pos = col("_rsf_pos")
+        val pv = last(x, ignoreNulls = true).over(back)
+        val pp = last(when(x.isNotNull, pos), ignoreNulls = true).over(back)
+        val nv = first(x, ignoreNulls = true).over(fwd)
+        val np = first(when(x.isNotNull, pos), ignoreNulls = true).over(fwd)
+        d.withColumn("_rsf_pos", row_number().over(ord).cast("double"))
+          .withColumn(out,
+            when(x.isNotNull, x)
+              .otherwise(pv + (nv - pv) * (pos - pp) / (np - pp)))
+          .drop("_rsf_pos")
+      }
     }
-    val over = s"OVER (PARTITION BY ${groupBy.mkString(", ")} ORDER BY $spineName ASC " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    val frags = valueCols.map(v =>
-      s"LAST($v) IGNORE NULLS $over AS ${Naming.cleanse(s"${v}_filled")}")
-    spined.next("resample_fill", filled,
-      Some(s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"))
+    val frags = valueCols.map { v =>
+      val out = Naming.cleanse(s"${v}_filled")
+      if (method == "ffill")
+        s"LAST($v) IGNORE NULLS $overSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $out"
+      else {
+        val x = s"CAST($v AS DOUBLE)"
+        val backS = s"$overSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        val fwdS = s"$overSql ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        val pv = s"LAST($x) IGNORE NULLS $backS"
+        val pp = s"LAST(CASE WHEN $x IS NOT NULL THEN _rsf_pos END) IGNORE NULLS $backS"
+        val nv = s"FIRST($x) IGNORE NULLS $fwdS"
+        val np = s"FIRST(CASE WHEN $x IS NOT NULL THEN _rsf_pos END) IGNORE NULLS $fwdS"
+        s"CASE WHEN $x IS NOT NULL THEN $x ELSE $pv + ($nv - $pv) * (_rsf_pos - $pp) / ($np - $pp) END AS $out"
+      }
+    }
+    val face =
+      if (method == "ffill") s"SELECT *, ${frags.mkString(", ")} FROM {{source}}"
+      else s"SELECT * EXCEPT (_rsf_pos), ${frags.mkString(", ")} FROM " +
+        s"(SELECT *, CAST(ROW_NUMBER() $overSql) AS DOUBLE) AS _rsf_pos FROM {{source}})"
+    spined.next("resample_fill", filled, Some(face))
   }
 
   def datespineGroups(

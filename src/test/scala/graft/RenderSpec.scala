@@ -81,7 +81,13 @@ class RenderSpec extends AnyFunSuite {
         .aggregate(Seq("o_orderpriority", "o_orderdate"),
           Seq("o_totalprice" -> Seq("SUM")))
         .resampleFill(Seq("o_orderpriority"), "o_orderdate",
-          "1995-01-01", "1995-02-01", "day", Seq("o_totalprice_sum")))
+          "1995-01-01", "1995-02-01", "day", Seq("o_totalprice_sum")),
+      table("orders")
+        .aggregate(Seq("o_orderpriority", "o_orderdate"),
+          Seq("o_totalprice" -> Seq("SUM")))
+        .resampleFill(Seq("o_orderpriority"), "o_orderdate",
+          "1995-01-01", "1995-02-01", "day", Seq("o_totalprice_sum"),
+          method = "linear"))
     chains.foreach { ch =>
       val op = ch.steps.last.op
       assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
