@@ -295,6 +295,57 @@ object EventStreams {
     q
   }
 
+  /** Streaming continuous profile via `foreachBatch`: every micro-batch
+    * folds its per-key HLL sketches into a persistent profile table — a
+    * COUNT DISTINCT over the whole stream history that never rescans
+    * history (the sketch-column pattern of [[graft.ops.AggOps
+    * .distinctSketches]], made continuous). Per batch the work is one
+    * bounded aggregate of the batch plus a full-outer merge against the
+    * profile (one row per key — ≪ the stream), register-wise `hll_union`
+    * where both sides exist. Estimates read out with
+    * `hll_sketch_estimate(_sk)`. Replay-safe in the at-least-once sense
+    * of sketches: re-merging the same batch is register-wise idempotent
+    * (max of maxima), so duplicate deliveries never inflate the estimate.
+    */
+  def sinkDistinctSketchToTable(events: DataFrame, keys: Seq[String], valueCol: String,
+                                name: String, checkpointDir: String,
+                                lgConfigK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(keys.nonEmpty, "profile sink needs key columns")
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val bs = batch.groupBy(keys.map(col): _*)
+            .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("_sk"))
+          val merged =
+            if (spark.catalog.tableExists(name)) {
+              val old = spark.table(name).withColumnRenamed("_sk", "_sk_old")
+              bs.withColumnRenamed("_sk", "_sk_new")
+                .join(old, keys, "full_outer")
+                .select((keys.map(col) :+
+                  when(col("_sk_new").isNull, col("_sk_old"))
+                    .when(col("_sk_old").isNull, col("_sk_new"))
+                    .otherwise(hll_union(col("_sk_new"), col("_sk_old"))).as("_sk")): _*)
+            } else bs
+          // one row per key: materialize to break the read-then-overwrite
+          // cycle, then swap the table — O(keys) I/O per batch
+          val out = merged.localCheckpoint()
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(name)
+          out.unpersist()
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    events.sparkSession.catalog.refreshTable(name)
+    q
+  }
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one

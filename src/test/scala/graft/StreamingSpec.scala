@@ -205,6 +205,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids3 == Seq(1L, 2L, 4L), s"index must cover batch-2 survivors — got $ids3")
   }
 
+  test("streaming distinct-sketch profile accumulates across batches and survives redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L
+    def evt(id: Long, tpe: String, user: Long) =
+      Evt(id, base + id * 60L * 1000000000L, user, tpe, 1.0, "{}")
+    spark.sql("DROP TABLE IF EXISTS stream_profile_t")
+    def drain(events: Evt*): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      EventStreams.sinkDistinctSketchToTable(ms.toDF(), Seq("event_type"), "user_id",
+        "stream_profile_t", Files.createTempDirectory("graft_ckpt_p").toString)
+    }
+    // batch 1: clicks from users 1..20; views from 1..5
+    drain((1L to 20L).map(u => evt(u, "click", u)) ++
+      (1L to 5L).map(u => evt(100 + u, "view", u)): _*)
+    // batch 2: clicks from users 11..30 (10 new); views unchanged (all dups)
+    drain((11L to 30L).map(u => evt(200 + u, "click", u)): _*)
+    // batch 3: exact redelivery of batch 2 — register-wise idempotent
+    drain((11L to 30L).map(u => evt(300 + u, "click", u)): _*)
+    val est = spark.sql(
+      "SELECT event_type, hll_sketch_estimate(_sk) FROM stream_profile_t")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(math.abs(est("click") - 30.0) / 30.0 <= 0.15,
+      s"click distinct ~30 across batches, got ${est("click")}")
+    assert(math.abs(est("view") - 5.0) / 5.0 <= 0.15,
+      s"view distinct ~5, got ${est("view")}")
+  }
+
   test("streaming upsert sink converges under redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
