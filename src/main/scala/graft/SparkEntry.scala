@@ -381,6 +381,13 @@ object SparkEntry {
         t(s, d, "documents").rollingFingerprintCol("text", 32)
           .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
       "q_tfidf" -> ((s, d) => t(s, d, "documents").tfidf("doc_id", "text").df),
+      // sparse lexical retrieval: docs 0-2 as queries, top-5 docs each via
+      // the inverted-index join (the lexical complement of q_sim_topk)
+      "q_search_tfidf" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
+        docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5).df
+      }),
       "q_text_repetition" -> ((s, d) =>
         t(s, d, "documents").repetitionScore("text", n = 3).df),
       // eval-set decontamination: docs sharing any 8-gram with the "eval"
@@ -876,6 +883,15 @@ object SparkEntry {
         s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
       "q_text_fingerprint" ->
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
+      "q_search_tfidf" ->
+        (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
+          "dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term), " +
+          "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), " +
+          "ti AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * n.n AS DOUBLE) / dft.df_t AS tfidf FROM tf JOIN dft USING (term) CROSS JOIN n), " +
+          "qt AS (SELECT doc_id AS query_id, term, COUNT(*) AS qtf FROM tok WHERE doc_id < 3 GROUP BY 1, 2), " +
+          "sc AS (SELECT query_id, ti.doc_id, CAST(SUM(CAST(qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score FROM qt JOIN ti USING (term) GROUP BY 1, 2) " +
+          "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 5"),
       "q_tfidf" ->
         (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
           "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +

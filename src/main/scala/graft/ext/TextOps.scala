@@ -359,6 +359,37 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       c.df.withColumn(Naming.cleanse(s"${textCol}_clean"), cleaned), None)
   }
 
+  /** search_tfidf(queries, id, text, query_id, query_text, k): sparse
+    * lexical retrieval — the inverted-index complement of the dense ANN
+    * ops. Documents score against every query they share a term with:
+    * score = Σ_terms tf_query × tfidf_doc, then top-k per query
+    * (score DESC, doc ASC tiebreak). Scale shape: both sides explode to
+    * (id, term) and meet in ONE term-keyed equi-join — the classic
+    * posting-list intersection; no pair enumeration beyond shared terms,
+    * partial aggregation before the (query, doc) shuffle, and the
+    * accumulation runs in exact decimals so rankings reproduce under any
+    * partitioning. `idf = "raw"` is the cross-engine-exact form
+    * ([[tfidf]]); "log" is the classic smoothed variant.
+    */
+  def searchTfidf(queries: Chain, idCol: String, textCol: String,
+                  queryIdCol: String, queryTextCol: String, k: Int = 10,
+                  idf: String = "raw"): Chain = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docTfidf = tfidf(idCol, textCol, idf).df
+    val qt = queries.df
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_qtf"))
+    val scored = qt.join(docTfidf, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+    c.next("search_tfidf", out, None)
+  }
+
   /** normalize_text(text_col): canonicalize text BEFORE any hash sees it
     * — NFC unicode normalization, optional accent strip (NFD + combining
     * marks removed + NFC), optional lowercase, whitespace collapsed to
