@@ -743,8 +743,19 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * nothing reads it again.
     */
   def dedupNear(idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
-                keepBy: Seq[(String, String)] = Nil): Chain = {
-    val pairs = new DedupOps(c).ngramJaccardPairs(idCol, textCol, n, threshold)
+                keepBy: Seq[(String, String)] = Nil,
+                candidates: String = "exact"): Chain = {
+    // candidate miner: "exact" n-gram Jaccard is the oracle-exact default;
+    // "minhash" swaps in banded-LSH mining — the 100 TB dial when even
+    // PPJoin's verified candidate set is too large (estimates replace
+    // exact scores; the cluster/keep-one stages are identical)
+    val pairs = candidates match {
+      case "exact" => new DedupOps(c).ngramJaccardPairs(idCol, textCol, n, threshold)
+      case "minhash" => new DedupOps(c).minhashLsh(idCol, textCol,
+        shingleWords = n, estThreshold = threshold)
+      case other => throw new IllegalArgumentException(
+        s"dedup_near candidates must be exact or minhash, got $other")
+    }
     val labels = new DedupClusterOps(pairs).clusterPairs().df
       .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
     val withCl = c.df.join(labels, col(idCol).cast("long") === col("_lid"), "left")

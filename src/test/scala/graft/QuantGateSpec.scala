@@ -222,6 +222,27 @@ class QuantGateSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("dedupNear with minhash candidates drops near-dups without false drops") {
+    val docs = table("documents")
+    val kept = docs.dedupNear("doc_id", "text", n = 2, threshold = 0.8,
+      candidates = "minhash")
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- kept
+    // no false drops: every dropped doc has SOME exact near-dup pair
+    val paired = exactNgramPairs.keySet.flatMap(p => Set(p._1, p._2))
+    assert((dropped -- paired).isEmpty,
+      s"docs with no near-dup were dropped: ${(dropped -- paired).toSeq.sorted.take(5)}")
+    // recall vs the exact-candidate variant: minhash must shrink the corpus
+    // by at least 90% as much
+    val keptExact = docs.dedupNear("doc_id", "text", n = 2, threshold = 0.8)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedExact = all -- keptExact
+    assert(droppedExact.nonEmpty, "test corpus must contain strong near-dups")
+    val agree = (dropped & droppedExact).size.toDouble / droppedExact.size
+    assert(agree >= 0.9, f"minhash-candidate dedup drops $agree%.3f of the exact drops < 0.9")
+  }
+
   test("frequent-items sketches: exact under capacity, bounds honest and split/merge stable beyond it") {
     val li = table("lineitem")
     // EXACT regime: capacity 64 >> the handful of distinct line numbers —
