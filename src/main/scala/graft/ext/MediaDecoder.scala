@@ -162,14 +162,18 @@ object AudioHeaderDecoder extends AudioDecoder {
       var i = 12
       var rate = 0; var ch = 0; var bits = 0; var blockAlign = 0
       var dataLen = -1L
-      while (i + 8 <= n && (dataLen < 0 || rate == 0)) {
+      var walking = true
+      while (walking && i + 8 <= n && (dataLen < 0 || rate == 0)) {
         val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val sz = le32(i + 4)
         if (id == "fmt " && i + 24 <= n) {
           ch = le16(i + 10); rate = le32(i + 12).toInt
           blockAlign = le16(i + 20); bits = le16(i + 22)
         } else if (id == "data") dataLen = math.min(sz, (n - i - 8).toLong)
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // word-aligned advance in LONG space: a corrupt 4 GiB chunk size
+        // must stop the walk, never wrap the offset negative
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next <= i || next > n) walking = false else i = next.toInt
       }
       if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataLen < 0) unknown
       else AudioMeta(rate, ch, bits, dataLen / blockAlign, "wav")

@@ -133,4 +133,39 @@ object PurePropsSpec extends Properties("graft.pure") {
       val m2 = graft.ext.ImageHeaderDecoder.decode(m ++ tail)
       m2.nFrames >= 1 && m2.width >= 0 && m2.height >= 0
     }
-}
+
+  private val audioMagic = Gen.oneOf(
+    "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes,
+    Array(0xff, 0xfb).map(_.toByte),
+    "ID3".getBytes)
+  property("AudioHeaderDecoder is total on arbitrary and near-valid bytes") =
+    forAll(Gen.oneOf(bytesGen, audioMagic.flatMap(m => bytesGen.map(m ++ _)))) { bytes =>
+      val a = graft.ext.AudioHeaderDecoder.decode(bytes)
+      a.sampleRate >= 0 && a.channels >= 0 && a.nSamples >= 0L && a.format.nonEmpty
+    }
+
+  // the java.text.Normalizer kernel evaluated directly (interpreted path):
+  // normalization must be idempotent, and NFC must unify the composed /
+  // decomposed encodings of the same rendering
+  private def nfc(s: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.UnicodeNormalize(Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType), "NFC")
+      .eval(null).asInstanceOf[UTF8String].toString
+  }
+  property("UnicodeNormalize NFC is idempotent and total") = forAll { (s: String) =>
+    val once = nfc(s)
+    nfc(once) == once
+  }
+  property("UnicodeNormalize NFC unifies composed and decomposed forms") =
+    forAll(Gen.listOf(Gen.oneOf(
+      "e\u0301" -> "\u00e9", // e + combining acute vs precomposed
+      "a\u0300" -> "\u00e0",
+      "o\u0308" -> "\u00f6",
+      "n\u0303" -> "\u00f1",
+      "x" -> "x"))) { pairs =>
+      val decomposed = pairs.map(_._1).mkString
+      val composed = pairs.map(_._2).mkString
+      nfc(decomposed) == nfc(composed)
+    }}
