@@ -471,6 +471,12 @@ object SparkEntry {
       "q_dedup_near" -> ((s, d) =>
         t(s, d, "documents").dedupNear("doc_id", "text", n = 3, threshold = 0.5,
           keepBy = Seq("n_chars" -> "DESC")).df),
+      // the corpus-scale dial: same pipeline with banded-LSH candidate
+      // mining (estimates, no exact pair verification) — gated in
+      // QuantGateSpec against the exact variant, rows-only here
+      "q_dedup_near_minhash" -> ((s, d) =>
+        t(s, d, "documents").dedupNear("doc_id", "text", n = 2, threshold = 0.8,
+          keepBy = Seq("n_chars" -> "DESC"), candidates = "minhash").df),
       "q_dedup_minhash" -> ((s, d) =>
         t(s, d, "documents").minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
