@@ -59,9 +59,12 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
     val enc = RowEncoder.encoderFor(outSchema)
     val df2 = c.df.mapPartitions { it =>
       it.map { row =>
+        // null payloads degrade to `unknown`, same contract as corrupt bytes:
+        // an undecodable cell must never kill the scan
         val bytes = row.getAs[Array[Byte]](idx)
-        val m = decoder.decode(bytes)
-        Row.fromSeq(row.toSeq ++ Seq(bytes.length, m.width, m.height, m.format, m.nFrames))
+        val m = decoder.decode(if (bytes == null) Array.emptyByteArray else bytes)
+        val blen = if (bytes == null) 0 else bytes.length
+        Row.fromSeq(row.toSeq ++ Seq(blen, m.width, m.height, m.format, m.nFrames))
       }
     }(enc)
     c.next("decode_media", df2, None)
@@ -80,10 +83,12 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
     val enc = RowEncoder.encoderFor(outSchema)
     val df2 = c.df.mapPartitions { it =>
       it.map { row =>
+        // null payloads degrade to `unknown`, same contract as corrupt bytes
         val bytes = row.getAs[Array[Byte]](idx)
-        val m = decoder.decode(bytes)
+        val m = decoder.decode(if (bytes == null) Array.emptyByteArray else bytes)
+        val blen = if (bytes == null) 0 else bytes.length
         val durMs = if (m.sampleRate > 0) m.nSamples * 1000L / m.sampleRate else 0L
-        Row.fromSeq(row.toSeq ++ Seq(bytes.length, m.sampleRate, m.channels,
+        Row.fromSeq(row.toSeq ++ Seq(blen, m.sampleRate, m.channels,
           m.bitsPerSample, m.nSamples, durMs, m.format))
       }
     }(enc)

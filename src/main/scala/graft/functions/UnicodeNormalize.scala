@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
   extends UnaryExpression with UnaryLike[Expression] {
 
-  private val javaForm: Normalizer.Form = Normalizer.Form.valueOf(form)
+  // lazy: an invalid form must surface as a TypeCheckFailure through
+  // checkInputDataTypes (an analysis error), not a raw enum exception at
+  // case-class construction before analysis ever runs
+  private lazy val javaForm: Normalizer.Form = Normalizer.Form.valueOf(form)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType if Set("NFC", "NFD", "NFKC", "NFKD").contains(form) =>

@@ -227,8 +227,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * any coarser grouping up later with [[mergePercentileSketches]]
     * instead of rescanning the rows. `k` trades size for rank error
     * (200 ≈ 1.65% normalized rank error, ~few KB). KLL compaction is
-    * randomized, so estimates carry error bounds, not bit-identity —
-    * engine-specific values, no cross-engine SQL face.
+    * randomized, so estimates carry error bounds, not bit-identity across
+    * ENGINES — but the SQL face below resolves to the same registered
+    * kernel (`kll_sketch_agg`), so under Spark it plans and evaluates
+    * identically to this DataFrame face.
     */
   def percentileSketches(groupBy: Seq[String], column: String,
                          k: Int = 200): Chain = {
@@ -237,7 +239,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val df2 =
       if (groupBy.isEmpty) c.df.agg(sk)
       else c.df.groupBy(groupBy.map(col): _*).agg(sk)
-    c.next("percentile_sketches", df2, None)
+    val skSql = s"KLL_SKETCH_AGG(CAST(${Naming.quoteId(column)} AS DOUBLE), $k) " +
+      s"AS ${Naming.cleanse(s"${column}_qsketch")}"
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("percentile_sketches", df2, Some(
+      s"SELECT ${(groupBy :+ skSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
   /** percentile_sketch_merge(group_by, sketch_col, percentiles): union
@@ -258,7 +264,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
       df.withColumn(Naming.cleanse(s"${sketchCol}_$tag"),
         graft.functions.KllSketches.quantile(col("_merged"), p))
     }.drop("_merged")
-    c.next("percentile_sketch_merge", out, None)
+    // SQL face: merge in an inner aggregate, read quantiles out in the
+    // outer select — same registered kernels, so Spark executes the
+    // rendered text identically to the DataFrame face
+    val qSqls = percentiles.zip(tags).map { case (p, tag) =>
+      // the D suffix: a bare 0.5 parses as DECIMAL(1,1), not DOUBLE
+      s"KLL_QUANTILE(_m, ${java.lang.Double.toString(p)}D) AS ${Naming.cleanse(s"${sketchCol}_$tag")}"
+    }
+    val grpCols = groupBy.mkString(", ")
+    val innerGrp = if (groupBy.isEmpty) "" else s" GROUP BY $grpCols"
+    val outerSel = (groupBy ++ qSqls).mkString(", ")
+    val innerSel = (groupBy :+
+      s"KLL_MERGE_AGG(${Naming.quoteId(sketchCol)}) AS _m").mkString(", ")
+    c.next("percentile_sketch_merge", out, Some(
+      s"SELECT $outerSel FROM (SELECT $innerSel FROM {{source}}$innerGrp)"))
   }
 
   /** freq_sketches(group_by, column, max_map_size): one mergeable
@@ -282,7 +301,15 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val df2 =
       if (groupBy.isEmpty) c.df.agg(sk)
       else c.df.groupBy(groupBy.map(col): _*).agg(sk)
-    c.next("freq_sketches", df2, None)
+    val inSql = c.df.schema(column).dataType match {
+      case org.apache.spark.sql.types.StringType => Naming.quoteId(column)
+      case _ => s"CAST(${Naming.quoteId(column)} AS STRING)"
+    }
+    val skSql = s"FREQ_SKETCH_AGG($inSql, $maxMapSize) " +
+      s"AS ${Naming.cleanse(s"${column}_fsketch")}"
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("freq_sketches", df2, Some(
+      s"SELECT ${(groupBy :+ skSql).mkString(", ")} FROM {{source}}$grpSql"))
   }
 
   /** freq_sketch_topk(group_by, sketch_col, k): merge saved
@@ -305,7 +332,19 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .select((groupBy.map(col) :+ col("col.item").as("item") :+
         col("col.est").as("est") :+ col("col.lb").as("lb") :+
         col("col.ub").as("ub") :+ col("rank")): _*)
-    c.next("freq_sketch_topk", df2, None)
+    // SQL face: merge aggregate → posexplode the top-k structs → flatten.
+    // Same registered kernels (freq_merge_agg / freq_topk), so the rendered
+    // text executes identically to the DataFrame face under Spark.
+    val grpCols = groupBy.mkString(", ")
+    val innerGrp = if (groupBy.isEmpty) "" else s" GROUP BY $grpCols"
+    val mergeSel = (groupBy :+
+      s"FREQ_MERGE_AGG(${Naming.quoteId(sketchCol)}) AS _m").mkString(", ")
+    val explSel = (groupBy :+ s"POSEXPLODE(FREQ_TOPK(_m, $k)) AS (pos, s)").mkString(", ")
+    val outerSel = (groupBy ++ Seq("s.item AS item", "s.est AS est", "s.lb AS lb",
+      "s.ub AS ub", "CAST(pos + 1 AS INT) AS rank")).mkString(", ")
+    c.next("freq_sketch_topk", df2, Some(
+      s"SELECT $outerSel FROM (SELECT $explSel FROM " +
+        s"(SELECT $mergeSel FROM {{source}}$innerGrp))"))
   }
 
   /** conditional_agg(rules, agg_column, agg, distinct): aggregate with

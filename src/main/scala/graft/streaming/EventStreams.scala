@@ -299,19 +299,28 @@ object EventStreams {
     * folds its per-key HLL sketches into a persistent profile table — a
     * COUNT DISTINCT over the whole stream history that never rescans
     * history (the sketch-column pattern of [[graft.ops.AggOps
-    * .distinctSketches]], made continuous). Per batch the work is one
-    * bounded aggregate of the batch plus a full-outer merge against the
-    * profile (one row per key — ≪ the stream), register-wise `hll_union`
-    * where both sides exist. Estimates read out with
+    * .distinctSketches]], made continuous). Estimates read out with
     * `hll_sketch_estimate(_sk)`. Replay-safe in the at-least-once sense
     * of sketches: re-merging the same batch is register-wise idempotent
     * (max of maxima), so duplicate deliveries never inflate the estimate.
+    *
+    * Scale shape (round-6 ask): the profile table is PARTITIONED by
+    * `_pb = hash(keys) mod profileBuckets`, and each batch rewrites ONLY
+    * the buckets its keys land in (dynamic partition overwrite). Per batch
+    * the work is one bounded aggregate of the batch, a full-outer
+    * register-wise `hll_union` merge against the TOUCHED buckets (the old
+    * side is partition-pruned), and a rewrite of those buckets — so a
+    * batch touching few keys pays I/O proportional to the touched key
+    * population, not the full profile. Size `profileBuckets` so one
+    * bucket's rows fit an executor comfortably (keys/buckets rows each).
     */
   def sinkDistinctSketchToTable(events: DataFrame, keys: Seq[String], valueCol: String,
                                 name: String, checkpointDir: String,
-                                lgConfigK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+                                lgConfigK: Int = 12,
+                                profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     require(keys.nonEmpty, "profile sink needs key columns")
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -320,29 +329,45 @@ object EventStreams {
         if (!batch.isEmpty) {
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("_sk"))
-          val merged =
-            if (spark.catalog.tableExists(name)) {
-              val old = spark.table(name).withColumnRenamed("_sk", "_sk_old")
-              bs.withColumnRenamed("_sk", "_sk_new")
-                .join(old, keys, "full_outer")
-                .select((keys.map(col) :+
-                  when(col("_sk_new").isNull, col("_sk_old"))
-                    .when(col("_sk_old").isNull, col("_sk_new"))
-                    .otherwise(hll_union(col("_sk_new"), col("_sk_old"))).as("_sk")): _*)
-            } else bs
-          // one row per key: materialize to break the read-then-overwrite
-          // cycle, then swap the table — O(keys) I/O per batch
-          val out = merged.localCheckpoint()
-          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .format("parquet").saveAsTable(name)
-          out.unpersist()
+            .withColumn("_pb", pmod(hash(keys.map(col): _*), lit(profileBuckets)))
+          if (!spark.catalog.tableExists(name)) {
+            bs.write.partitionBy("_pb")
+              .format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read (≤ profileBuckets
+            // ints) used to partition-prune the old-side scan
+            val touched = bs.select("_pb").distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name)
+              .where(col("_pb").isInCollection(touched))
+              .withColumnRenamed("_sk", "_sk_old")
+            // _pb is a pure function of keys, so joining on keys :+ _pb is the
+            // same key-equality join but keeps the partition column aligned
+            val merged = bs.withColumnRenamed("_sk", "_sk_new")
+              .join(old, keys :+ "_pb", "full_outer")
+              .select((keys.map(col) :+
+                when(col("_sk_new").isNull, col("_sk_old"))
+                  .when(col("_sk_old").isNull, col("_sk_new"))
+                  .otherwise(hll_union(col("_sk_new"), col("_sk_old"))).as("_sk") :+
+                col("_pb")): _*)
+            // materialize to break the read-then-overwrite cycle on the
+            // touched buckets, then dynamic-overwrite ONLY those buckets —
+            // untouched partitions keep their files
+            val out = merged.localCheckpoint()
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
           ()
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    events.sparkSession.catalog.refreshTable(name)
+    // a stream with no non-empty batch never creates the table; the refresh
+    // must then be a no-op, not an AnalysisException
+    if (events.sparkSession.catalog.tableExists(name))
+      events.sparkSession.catalog.refreshTable(name)
     q
   }
 

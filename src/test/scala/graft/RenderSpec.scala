@@ -54,6 +54,29 @@ class RenderSpec extends AnyFunSuite {
     assert(rows(spark.sql(m.sql())) == rows(m.df))
   }
 
+  test("KLL and frequent-items sketch ops render Spark-executable SQL faces") {
+    // exact regime on purpose: row counts below the sketch capacities mean
+    // no randomized KLL compaction and exact MG counts, so the rendered SQL
+    // (same registered kernels) must round-trip bit-identically
+    val base = table("orders").filterRows(Seq("o_orderkey < 500"))
+    val ps = base.percentileSketches(Seq("o_orderpriority"), "o_totalprice", k = 200)
+    val pm = ps.mergePercentileSketches(Nil, "o_totalprice_qsketch", Seq(0.5, 0.95))
+    assert(rows(spark.sql(pm.sql())) == rows(pm.df))
+    // grouped merge face too
+    val pm2 = base.percentileSketches(Seq("o_orderpriority", "o_orderstatus"), "o_totalprice")
+      .mergePercentileSketches(Seq("o_orderpriority"), "o_totalprice_qsketch", Seq(0.5))
+    assert(rows(spark.sql(pm2.sql())) == rows(pm2.df))
+    val fs = base.freqSketches(Seq("o_orderstatus"), "o_orderpriority", maxMapSize = 64)
+    val ft = fs.mergeFreqSketches(Seq("o_orderstatus"), "o_orderpriority_fsketch", k = 3)
+    assert(rows(spark.sql(ft.sql())) == rows(ft.df))
+    // global top-k (empty grouping) renders too
+    val ftg = fs.mergeFreqSketches(Nil, "o_orderpriority_fsketch", k = 2)
+    assert(rows(spark.sql(ftg.sql())) == rows(ftg.df))
+    // no sketch op is left without a text form: the full chain renders
+    assert(pm.sql().contains("KLL_MERGE_AGG"))
+    assert(ft.sql().contains("FREQ_TOPK"))
+  }
+
   test("every fragment-bearing operator renders SQL equivalent to its DataFrame face") {
     val chains = Seq(
       table("orders").rollingAgg(Seq("o_totalprice" -> Seq("SUM", "MIN")),

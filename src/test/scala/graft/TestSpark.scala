@@ -20,6 +20,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same function surface a production session gets from
+    // spark.sql.extensions=graft.functions.GraftExtensions
+    graft.functions.GraftFunctions.register(s)
     s
   }
 
