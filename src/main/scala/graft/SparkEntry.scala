@@ -282,24 +282,34 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollupAgg(Seq("l_returnflag", "l_linestatus"),
         Seq("l_quantity" -> Seq("SUM"))).df),
+    // deterministic hash sample as the driver face (round-6 ask: hard
+    // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
+    // output is partition-layout-dependent by construction
     "q_sample" -> ((s, d) =>
-      t(s, d, "lineitem").sampleRows(0.1).df),
+      t(s, d, "lineitem").sampleHash(0.3, Seq("l_orderkey", "l_suppkey")).df),
     // mergeable HLL sketch columns: per-(flag,status) sketches unioned up
-    // to per-flag estimates — engine-specific sketch values, gated by
-    // QuantGateSpec (split/merge invariance + 5% error floor)
+    // to per-flag estimates. l_quantity's ≤50 distinct values keep every
+    // sketch in the DataSketches coupon (exact) regime at ANY sf, so the
+    // plain COUNT DISTINCT oracle hash-matches while the query still runs
+    // the full sketch build+merge machinery on sf-scaled input; the
+    // approximate regime stays gated in QuantGateSpec
     "q_distinct_sketch" -> ((s, d) =>
       t(s, d, "lineitem")
-        .distinctSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
-        .mergeDistinctSketches(Seq("l_returnflag"), "l_extendedprice_sketch").df),
-    // mergeable KLL quantile sketches: fine-grained build, coarser rollup
-    // by sketch merge (KLL is randomized -> epsilon-gated in QuantGateSpec,
-    // rows-only here)
+        .distinctSketches(Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .mergeDistinctSketches(Seq("l_returnflag"), "l_quantity_sketch").df),
+    // mergeable KLL quantile sketches on the fixed numeric fixture: group
+    // sizes (60) sit below k=200, so build and merge stay in KLL's exact
+    // (no-compaction) regime and the oracle pins the literal quantiles;
+    // randomized-compaction behavior stays epsilon-gated in QuantGateSpec
     "q_percentile_sketch" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .percentileSketches(Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
-        .mergePercentileSketches(Seq("l_returnflag"), "l_extendedprice_qsketch").df),
+      Chain(s, "num_fixtures", numFixtureDf(s))
+        .percentileSketches(Seq("g", "h"), "x")
+        .mergePercentileSketches(Seq("g"), "x_qsketch").df),
+    // approx aggregate on the fixed numeric fixture: percentile_approx is
+    // exact at n ≤ accuracy and approx_count_distinct is a deterministic
+    // function of the (fixed) input, so the oracle pins literal rows
     "q_approx_agg" -> ((s, d) =>
-      t(s, d, "lineitem").approxAgg(Seq("l_returnflag"), "l_extendedprice").df),
+      Chain(s, "num_fixtures", numFixtureDf(s)).approxAgg(Seq("g"), "x").df),
     // mergeable frequent-items sketches: per-(lang, ingest-shard) build,
     // rolled up to per-lang top-3 sources by sketch merge. Capacity 64 >
     // distinct sources, so counts are exact and the DuckDB top-k oracle
@@ -377,8 +387,11 @@ object SparkEntry {
       "q_text_langid" -> ((s, d) => t(s, d, "documents").langId("text").df),
       "q_text_fingerprint" -> ((s, d) =>
         t(s, d, "documents").fingerprintCol("text").df),
+      // fixed-corpus face (round-6 ask: literal-pinned oracle for the
+      // deterministic hash kernels); the sf-scaled path stays spec-side
       "q_text_rolling_fp" -> ((s, d) =>
-        t(s, d, "documents").rollingFingerprintCol("text", 32)
+        Chain(s, "doc_fixtures", docFixtureDf(s))
+          .rollingFingerprintCol("text", 8)
           .dropColumns(includeCols = Seq("doc_id", "text_rfp")).df),
       "q_tfidf" -> ((s, d) => t(s, d, "documents").tfidf("doc_id", "text").df),
       // sparse lexical retrieval: docs 0-2 as queries, top-5 docs each via
@@ -477,8 +490,11 @@ object SparkEntry {
       "q_dedup_near_minhash" -> ((s, d) =>
         t(s, d, "documents").dedupNear("doc_id", "text", n = 2, threshold = 0.8,
           keepBy = Seq("n_chars" -> "DESC"), candidates = "minhash").df),
+      // fixed-corpus face: the banded-LSH pair miner is a pure function of
+      // its input, so the oracle pins the exact (id_a, id_b, est_jaccard)
+      // rows; sf-scaled recall behavior stays gated in QuantGateSpec
       "q_dedup_minhash" -> ((s, d) =>
-        t(s, d, "documents").minhashLsh("doc_id", "text",
+        Chain(s, "doc_fixtures", docFixtureDf(s)).minhashLsh("doc_id", "text",
           shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df),
       // incremental ingest dedup: even-id docs are the indexed historical
       // corpus, odd-id docs the incoming batch; batch docs near-duplicating
@@ -492,17 +508,23 @@ object SparkEntry {
           .dedupAgainstIndex(idx.df, "doc_id", "text",
             shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df
       }),
+      // fixed-corpus face, same rationale as q_dedup_minhash
       "q_dedup_simhash" -> ((s, d) =>
-        t(s, d, "documents").simhashPairs("doc_id", "text", maxHamming = 8).df),
+        Chain(s, "doc_fixtures", docFixtureDf(s))
+          .simhashPairs("doc_id", "text", maxHamming = 16).df),
       "q_dedup_embedding" -> ((s, d) =>
         t(s, d, "embeddings").embeddingCosinePairs("vec_id", "embedding", 0.4).df),
       "q_sim_topk" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
         emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
       }),
+      // fixed-embedding face, same rationale as q_sim_topk_hamming: the
+      // multi-probe LSH candidate set and exact rerank are pure functions
+      // of the pinned lattice vectors
       "q_sim_topk_lsh" -> ((s, d) => {
-        val emb = t(s, d, "embeddings")
-        emb.lshCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        emb.lshCosineTopK(emb.df.where("vec_id < 4"), "vec_id", "embedding", 5)
+          .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
       "q_sim_topk_ivf" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -520,10 +542,16 @@ object SparkEntry {
       // sketch-rerank ANN: 256-bit sign sketches score the whole corpus
       // cheaply, exact rerank of the top 25% per query (recall@10 = 1.0 on
       // the test embeddings — QuantGateSpec asserts the 0.8 floor)
+      // fixed-embedding face: formula-generated lattice vectors make the
+      // sketch-rerank ordering a pure function — the oracle pins the exact
+      // (query_id, neighbor_id, rank) rows (cosine dropped: integer output
+      // hash-compares across engines without float-literal round-trips);
+      // recall floors on the sf-scaled corpus stay gated in QuantGateSpec
       "q_sim_topk_hamming" -> ((s, d) => {
-        val emb = t(s, d, "embeddings")
-        emb.hammingCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10,
-          planes = 256, rerankPerQuery = 125).df
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        emb.hammingCosineTopK(emb.df.where("vec_id < 4"), "vec_id", "embedding", 5,
+          planes = 64, rerankPerQuery = 12)
+          .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
       "q_multimodal_decode" -> ((s, d) =>
         t(s, d, "documents").withMediaColumn("text")
@@ -646,6 +674,82 @@ object SparkEntry {
       2 -> wav(ch = 1, rate = 8000, align = 1, bits = 8, dataBytes = 160),
       3 -> (mp3Frame ++ mp3Frame),
       4 -> "noise!!".getBytes)
+  }
+
+  /** Deterministic text fixtures for the hash-kernel queries
+    * (q_text_rolling_fp / q_dedup_minhash / q_dedup_simhash): three
+    * near-dup pairs (1,2 small edit; 3,4 small edit; 5,6 exact copy),
+    * three distinct English docs and two non-English docs. Fixed input →
+    * the kernels are pure functions → the oracle pins their literal
+    * outputs (the q_multimodal_real pattern for text).
+    */
+  private[graft] def docFixtures: Seq[(Long, String)] = Seq(
+    1L -> ("the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill near the garden"),
+    2L -> ("the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill near the fence"),
+    3L -> ("distributed query engines shuffle data between executors and " +
+      "spill to disk when memory pressure rises above the configured threshold"),
+    4L -> ("distributed query engines shuffle data between executors and " +
+      "spill to disk when memory pressure rises beyond the configured threshold"),
+    5L -> ("parquet files store columns in row groups with dictionary " +
+      "encoding and statistics for predicate pushdown at scan time"),
+    6L -> ("parquet files store columns in row groups with dictionary " +
+      "encoding and statistics for predicate pushdown at scan time"),
+    7L -> ("machine learning pipelines tokenize documents normalize unicode " +
+      "and deduplicate near copies before any training epoch begins"),
+    8L -> ("completely unrelated short text about cooking pasta with garlic " +
+      "olive oil and fresh basil leaves from the garden"),
+    9L -> ("der schnelle braune fuchs springt über den faulen hund während " +
+      "die katze auf der warmen fensterbank schläft"),
+    10L -> ("el rápido zorro marrón salta sobre el perro perezoso mientras " +
+      "el gato duerme en la ventana cálida"))
+
+  private def docFixtureDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = docFixtures.map { case (id, txt) => org.apache.spark.sql.Row(id, txt) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  /** Deterministic embedding fixtures for q_sim_topk_hamming: 24 vectors
+    * (dim 16) in 4 integer-lattice clusters with per-vector perturbation —
+    * formula-generated, so the exact rerank ordering is pinnable.
+    */
+  private[graft] def embFixtures: Seq[(Long, Array[Float])] =
+    (0 until 24).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16) { d =>
+        val base = if ((d + cluster) % 4 == 0) 4.0f else ((d * (cluster + 2)) % 3).toFloat
+        val jitter = (((i * 31 + d * 17) % 7) - 3) * 0.125f
+        base + jitter
+      }
+      (i.toLong, v)
+    }
+
+  /** Deterministic numeric fixture for the approximate-aggregate queries
+    * (q_approx_agg / q_percentile_sketch): 240 rows, 4 groups × 3 shards,
+    * values (id·37) mod 101 — group sizes (60) sit inside the exact regime
+    * of both percentile_approx (n ≤ accuracy) and KLL (n ≤ k), so the
+    * outputs are pure functions of the fixture and the oracles pin them.
+    */
+  private def numFixtureDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0, 240, 1, 2).select(
+      (org.apache.spark.sql.functions.col("id") % 4).as("g"),
+      ((org.apache.spark.sql.functions.col("id") / 4) % 3).as("h"),
+      ((org.apache.spark.sql.functions.col("id") * 37) % 101).cast("double").as("x"))
+  }
+
+  private def embFixtureDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = embFixtures.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
   }
 
   private def readEvents(s: SparkSession, d: String): DataFrame = {
@@ -839,15 +943,40 @@ object SparkEntry {
         s"CASE WHEN CAST(l_returnflag AS VARCHAR) = 'A' THEN '${graft.ops.JoinOps.hashThreshold(0.05)}' " +
         s"WHEN CAST(l_returnflag AS VARCHAR) = 'N' THEN '${graft.ops.JoinOps.hashThreshold(0.2)}' " +
         s"WHEN CAST(l_returnflag AS VARCHAR) = 'R' THEN '${graft.ops.JoinOps.hashThreshold(0.5)}' " +
-        s"ELSE '${graft.ops.JoinOps.hashThreshold(0.0)}' END")
-    // q_sample (partition-layout-dependent) and q_approx_agg (engine-specific
-    // sketches) get the driver's rows-only check.
+        s"ELSE '${graft.ops.JoinOps.hashThreshold(0.0)}' END"),
+    "q_sample" ->
+      (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        s"CAST(l_suppkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.3)}'"),
+    // exact-regime sketch estimate: l_quantity has ≤50 distinct values at
+    // any sf, inside the DataSketches coupon regime, so COUNT DISTINCT is
+    // the exact expected estimate
+    "q_distinct_sketch" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_quantity) AS l_quantity_sketch_estimate " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    // literal pins over the fixed numeric fixture (240 rows, 4 groups of
+    // 60): p50/p95 are the exact order statistics — KLL (q_percentile_
+    // sketch) and percentile_approx (q_approx_agg) agree on them from two
+    // independent implementations; the approx-distinct values are HLL++'s
+    // deterministic linear-counting read-outs of each group's ~55-60
+    // distinct values
+    "q_percentile_sketch" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(48.0 AS DOUBLE), CAST(95.0 AS DOUBLE)), " +
+        "(1, 49.0, 94.0), (2, 49.0, 94.0), (3, 50.0, 95.0)) " +
+        "AS t(g, x_qsketch_p50, x_qsketch_p95)"),
+    "q_approx_agg" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(58 AS BIGINT), CAST(48.0 AS DOUBLE), " +
+        "CAST(95.0 AS DOUBLE), CAST(60 AS BIGINT)), " +
+        "(1, 62, 49.0, 94.0, 60), (2, 57, 49.0, 94.0, 60), (3, 62, 50.0, 95.0, 60)) " +
+        "AS t(g, x_approx_distinct, x_approx_p50, x_approx_p95, x_count)")
   )
 
-  /** DuckDB oracles for the extension queries. q_dedup_minhash,
-    * q_dedup_simhash and q_sim_topk_lsh are hash-sketch approximations with
-    * engine-specific hashing — not SQL-expressible, so they get the
-    * driver's weaker rows-only check.
+  /** DuckDB oracles for the extension queries. The hash-kernel queries
+    * (rolling fingerprint, minhash, simhash, hamming top-k) run on FIXED
+    * fixture corpora ([[docFixtures]]/[[embFixtures]]), so their outputs
+    * are pure functions of pinned input — the oracles are the literal
+    * expected rows (q_multimodal_real pattern). The remaining sf-scaled
+    * approximate families (LSH/IVF ANN, incremental minhash probe) stay
+    * rows-only here and numerically gated in QuantGateSpec.
     */
   private def extOracleSql: Map[String, String] = {
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
@@ -1046,6 +1175,41 @@ object SparkEntry {
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
       "q_sim_topk" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
+      // literal-pinned hash-kernel oracles over the fixed fixture corpora.
+      // Values computed once from the pinned inputs and hand-sanity-checked:
+      // the three engineered near-dup pairs (1,2 / 3,4 / 5,6) and ONLY those
+      // surface in both pair miners; the exact-copy pair estimates 1.0 /
+      // hamming 0; doc 2's one-word tail edit leaves its windowed-min
+      // fingerprint equal to doc 1's; every hamming top-k neighbor list is
+      // exactly the query's own lattice cluster (i mod 4), nearest first.
+      "q_text_rolling_fp" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2398002810064504270 AS BIGINT)), " +
+          "(2, 2398002810064504270), (3, 2397696734761130689), (4, 2397710139173803199), " +
+          "(5, 2397710139173804219), (6, 2397710139173804219), (7, 2397710139172809632), " +
+          "(8, 2397696734745146814), (9, -6272259428417212615), (10, -6492117907295654314)) " +
+          "AS t(doc_id, text_rfp)"),
+      "q_dedup_minhash" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0.9375 AS DOUBLE)), " +
+          "(3, 4, 0.71875), (5, 6, 1.0)) AS t(id_a, id_b, est_jaccard)"),
+      "q_dedup_simhash" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS INTEGER)), " +
+          "(3, 4, 6), (5, 6, 0)) AS t(id_a, id_b, hamming)"),
+      "q_sim_topk_hamming" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +
+          "(1, 17, 1), (1, 13, 2), (1, 5, 3), (1, 21, 4), (1, 9, 5), " +
+          "(2, 18, 1), (2, 14, 2), (2, 6, 3), (2, 10, 4), (2, 22, 5), " +
+          "(3, 15, 1), (3, 19, 2), (3, 7, 3), (3, 11, 4), (3, 23, 5)) " +
+          "AS t(query_id, neighbor_id, rank)"),
+      // the multi-probe LSH ranking recalls the full cluster lists — same
+      // pinned rows as the sketch-rerank face
+      "q_sim_topk_lsh" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +
+          "(1, 17, 1), (1, 13, 2), (1, 5, 3), (1, 21, 4), (1, 9, 5), " +
+          "(2, 18, 1), (2, 14, 2), (2, 6, 3), (2, 10, 4), (2, 22, 5), " +
+          "(3, 15, 1), (3, 19, 2), (3, 7, 3), (3, 11, 4), (3, 23, 5)) " +
+          "AS t(query_id, neighbor_id, rank)"),
       "q_multimodal_decode" ->
         s"SELECT *, CAST($blen AS INTEGER) AS byte_len, CAST(64 + ($blen % 576) AS INTEGER) AS width, CAST(64 + (($blen * 7) % 416) AS INTEGER) AS height, CASE WHEN (ascii(substr(text, 1, 1)) % 2) = 0 THEN 'png' ELSE 'jpeg' END AS format, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents",
       "q_multimodal_frames" ->

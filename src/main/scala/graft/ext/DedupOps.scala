@@ -504,6 +504,25 @@ object DedupOps {
     spark.catalog.refreshTable(table)
   }
 
+  /** Band count for a target Jaccard threshold: among the divisors of
+    * `numHashes`, pick the b whose banded-LSH S-curve midpoint
+    * `(1/b)^(r/numHashes)` (r = numHashes/b) lands closest to — preferring
+    * at or below — the threshold, so pairs AT the declared threshold have
+    * ≥ ~50% per-band-family candidate recall instead of inheriting a fixed
+    * default tuned for a different threshold.
+    */
+  def bandsForThreshold(numHashes: Int, threshold: Double): Int = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    def curveMid(b: Int): Double = math.pow(1.0 / b, b.toDouble / numHashes)
+    // below-threshold candidates win (higher recall at the threshold);
+    // fall back to the closest overall when every curve sits above
+    val below = divisors.filter(curveMid(_) <= threshold)
+    val pool = if (below.nonEmpty) below else divisors
+    pool.minBy(b => math.abs(curveMid(b) - threshold))
+  }
+
   /** Word n-gram shingles; documents shorter than n words fall back to the
     * whole token array joined (one shingle).
     */
@@ -744,19 +763,38 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     */
   def dedupNear(idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
                 keepBy: Seq[(String, String)] = Nil,
-                candidates: String = "exact"): Chain = {
+                candidates: String = "exact",
+                clusterer: String = "propagation",
+                numHashes: Int = 32, bands: Int = 0): Chain = {
     // candidate miner: "exact" n-gram Jaccard is the oracle-exact default;
     // "minhash" swaps in banded-LSH mining — the 100 TB dial when even
     // PPJoin's verified candidate set is too large (estimates replace
-    // exact scores; the cluster/keep-one stages are identical)
+    // exact scores; the cluster/keep-one stages are identical).
+    // `numHashes`/`bands` tune the minhash banding; bands = 0 derives the
+    // band count from the threshold via the (1/b)^(r/numHashes) S-curve so
+    // candidate recall AT the declared threshold is controlled rather than
+    // inherited from a fixed default (which put the curve midpoint near
+    // j≈0.84 and halved recall for pairs near a 0.8 threshold).
     val pairs = candidates match {
       case "exact" => new DedupOps(c).ngramJaccardPairs(idCol, textCol, n, threshold)
-      case "minhash" => new DedupOps(c).minhashLsh(idCol, textCol,
-        shingleWords = n, estThreshold = threshold)
+      case "minhash" =>
+        val b = if (bands > 0) bands
+          else DedupOps.bandsForThreshold(numHashes, threshold)
+        new DedupOps(c).minhashLsh(idCol, textCol,
+          shingleWords = n, numHashes = numHashes, bands = b, estThreshold = threshold)
       case other => throw new IllegalArgumentException(
         s"dedup_near candidates must be exact or minhash, got $other")
     }
-    val labels = new DedupClusterOps(pairs).clusterPairs().df
+    // cluster stage dial: min-label propagation (default — shallow dup
+    // clusters) or large-star/small-star contraction (huge chain-shaped
+    // components); both emit identical (id, cluster_id = component min)
+    val clusters = clusterer match {
+      case "propagation" => new DedupClusterOps(pairs).clusterPairs()
+      case "contraction" => new DedupClusterOps(pairs).clusterPairsContraction()
+      case other => throw new IllegalArgumentException(
+        s"dedup_near clusterer must be propagation or contraction, got $other")
+    }
+    val labels = clusters.df
       .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
     val withCl = c.df.join(labels, col(idCol).cast("long") === col("_lid"), "left")
       .withColumn("_cl", coalesce(col("_lcl"), col(idCol).cast("long")))

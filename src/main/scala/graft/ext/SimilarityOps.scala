@@ -341,7 +341,8 @@ object SimilarityOps {
   /** Spherical k-means on the driver: k-means++ seeding (deterministic
     * PRNG), assign by max dot product, recenter to the normalized mean.
     * Bounded: `vecs` is a capped sample, `iters` a fixed iteration count.
-    * Empty cells re-seed deterministically from the worst-served vector.
+    * Empty cells re-seed deterministically from the worst-served vectors
+    * (lowest best-dot first, one per empty cell).
     */
   private[ext] def sphericalKMeans(
       vecs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
@@ -380,7 +381,10 @@ object SimilarityOps {
     while (it < iters) {
       val sums = Array.fill(cs.length)(new Array[Double](dim))
       val counts = new Array[Int](cs.length)
-      xs.foreach { x =>
+      val bestDots = new Array[Double](xs.length)
+      var xi = 0
+      while (xi < xs.length) {
+        val x = xs(xi)
         var best = 0; var bestDot = Double.MinValue
         var ci = 0
         while (ci < cs.length) {
@@ -392,9 +396,19 @@ object SimilarityOps {
         var j = 0
         while (j < dim) { sums(best)(j) += x(j); j += 1 }
         counts(best) += 1
+        bestDots(xi) = bestDot
+        xi += 1
       }
+      // empty cells re-seed deterministically from the worst-served vectors
+      // (lowest best-dot, index-ascending tiebreak, one vector per cell) —
+      // a dead centroid would waste one of nlist cells forever; the re-seed
+      // points it at the region the current centers explain worst
+      val empties = cs.indices.filter(counts(_) == 0)
+      val reseeds: Iterator[Array[Double]] =
+        if (empties.isEmpty) Iterator.empty
+        else xs.indices.sortBy(i => (bestDots(i), i)).iterator.map(xs)
       cs = cs.indices.map { ci =>
-        if (counts(ci) == 0) cs(ci) // keep empty cells where they were
+        if (counts(ci) == 0) { if (reseeds.hasNext) reseeds.next() else cs(ci) }
         else norm(sums(ci))
       }.toArray
       it += 1

@@ -87,6 +87,43 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L))
   }
 
+  test("dedupNear with the contraction clusterer is hash-equal to propagation") {
+    // sf-scaled end-to-end: same miner, both component algorithms, same
+    // survivors — the round-6 ask that the contraction path be selectable
+    // from the end-to-end op, not only from clusterPairsContraction
+    val docs = table("documents")
+    val prop = rows(docs.dedupNear("doc_id", "text", n = 3, threshold = 0.5,
+      keepBy = Seq("n_chars" -> "DESC")).df)
+    val contr = rows(docs.dedupNear("doc_id", "text", n = 3, threshold = 0.5,
+      keepBy = Seq("n_chars" -> "DESC"), clusterer = "contraction").df)
+    assert(prop == contr)
+    val e = intercept[IllegalArgumentException](
+      docs.dedupNear("doc_id", "text", clusterer = "nope").df)
+    assert(e.getMessage.contains("clusterer"))
+  }
+
+  test("bandsForThreshold lands the LSH S-curve at the declared threshold") {
+    import graft.ext.DedupOps.bandsForThreshold
+    // threshold 0.8 with 32 hashes: b=8 (midpoint ~0.59) -> per-pair
+    // candidate recall at j=0.8 is 1-(1-0.8^4)^8 ~ 0.985, vs ~0.5 at the
+    // old fixed b=4
+    assert(bandsForThreshold(32, 0.8) == 8)
+    assert(bandsForThreshold(32, 0.5) == 16)
+    // near-exact threshold keeps long rows (few bands)
+    assert(bandsForThreshold(32, 0.97) <= 4)
+    def recallAt(j: Double, numHashes: Int, b: Int): Double = {
+      val r = numHashes / b
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    }
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9); nh <- Seq(32, 64)) {
+      val b = bandsForThreshold(nh, t)
+      assert(nh % b == 0)
+      assert(recallAt(t, nh, b) >= 0.5,
+        s"recall at declared threshold $t (numHashes=$nh, bands=$b) " +
+          s"= ${recallAt(t, nh, b)} must be >= 0.5")
+    }
+  }
+
   test("filterByQuantile keeps the per-group top fraction, tie-stable") {
     import spark.implicits._
     val df = ((1 to 8).map(v => ("g1", v)) ++ Seq(("g2", 10), ("g2", 20)))
