@@ -401,6 +401,22 @@ object SparkEntry {
         val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
         docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5).df
       }),
+      // the SAME retrieval through the persistent inverted index: postings
+      // built once (term-keyed, bucketable), probed by the query set —
+      // oracle-equal to q_search_tfidf by construction
+      "q_search_tfidf_index" -> ((s, d) => {
+        val idx = t(s, d, "documents").tfidfIndex("doc_id", "text")
+        t(s, d, "documents").filterRows(Seq("doc_id < 3"))
+          .searchTfidfIndex(idx.df, "doc_id", "text", k = 5).df
+      }),
+      // BM25-scored retrieval (transcendental idf/length normalization —
+      // rank-agreement-gated in QuantGateSpec, rows-only here)
+      "q_search_bm25" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
+        docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5,
+          scoring = "bm25").df
+      }),
       "q_text_repetition" -> ((s, d) =>
         t(s, d, "documents").repetitionScore("text", n = 3).df),
       // eval-set decontamination: docs sharing any 8-gram with the "eval"
@@ -1019,6 +1035,17 @@ object SparkEntry {
       "q_text_fingerprint" ->
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
       "q_search_tfidf" ->
+        (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
+          "dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term), " +
+          "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), " +
+          "ti AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * n.n AS DOUBLE) / dft.df_t AS tfidf FROM tf JOIN dft USING (term) CROSS JOIN n), " +
+          "qt AS (SELECT doc_id AS query_id, term, COUNT(*) AS qtf FROM tok WHERE doc_id < 3 GROUP BY 1, 2), " +
+          "sc AS (SELECT query_id, ti.doc_id, CAST(SUM(CAST(qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score FROM qt JOIN ti USING (term) GROUP BY 1, 2) " +
+          "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 5"),
+      // the index probe must reproduce the one-shot retrieval exactly —
+      // same oracle text as q_search_tfidf
+      "q_search_tfidf_index" ->
         (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
           "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
           "dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term), " +

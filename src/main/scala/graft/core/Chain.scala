@@ -203,6 +203,23 @@ final class Chain private (
       .saveAsTable(name)
   }
 
+  /** Append to a [[saveBucketed]] table, restating its bucket spec (Spark
+    * rejects an append whose bucketing differs from the table's) and
+    * aligning write partitions with the bucket hash — one file per bucket
+    * per append. The ingest half of every persistent-index pattern
+    * (minhash postings, tf-idf postings): each batch appends O(batch)
+    * rows; nothing rewrites history.
+    */
+  def appendBucketed(name: String, keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty && buckets > 0, "bucketed append needs keys and buckets > 0")
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+  }
+
   /** Materialize as a Z-ORDERED parquet table: rows are clustered along a
     * Morton curve over the quantile bins of `zCols`, so parquet row-group
     * min/max statistics stay narrow on EVERY z column at once — a

@@ -43,10 +43,41 @@ object ScaleLint {
     }
     plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
-    }.foreach { _ =>
-      findings += Finding("error", "global-window",
-        "window with no PARTITION BY serializes every row through ONE task; " +
-          "partition the window or use a distributed formulation (zipWithIndex, range ids)")
+    }.foreach { w =>
+      // RANGE frames get their own rule: they usually arrive via a
+      // time-keyed op (timeseriesAgg / rollingAgg / resample) called with
+      // an EMPTY grouping, and the fix differs (add the entity key to the
+      // grouping, or pre-bucket time) from the generic global-window cures
+      val isRange = w.windowExpression.exists(e => e.collectFirst {
+        case f: org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame
+          if f.frameType == org.apache.spark.sql.catalyst.expressions.RangeFrame => f
+      }.nonEmpty)
+      if (isRange)
+        findings += Finding("error", "global-range-window",
+          "RANGE-framed window with no PARTITION BY (a timeseriesAgg/rollingAgg/" +
+            "resample-style op with an empty grouping) serializes every row " +
+            "through ONE task; group by the entity key, or pre-aggregate to " +
+            "coarse time buckets first")
+      else
+        findings += Finding("error", "global-window",
+          "window with no PARTITION BY serializes every row through ONE task; " +
+            "partition the window or use a distributed formulation (zipWithIndex, range ids)")
+    }
+    // explode feeding a join multiplies rows TWICE (per-row fan-out, then
+    // match rate) — legitimate in bounded shapes (the bucketized range
+    // join explodes each interval to its covered buckets by design), a
+    // blow-up when the generator is unbounded. Info-level: verify the
+    // fan-out bound.
+    plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.children.exists(_.collectFirst {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.nonEmpty) => j
+    }.foreach { j =>
+      findings += Finding("info", "explode-join-fanout",
+        s"a row-generating explode feeds ${j.nodeName}: output rows multiply " +
+          "(per-row fan-out x match rate); confirm the generator is bounded " +
+          "(fixed-width buckets, capped arrays) before running at corpus scale")
     }
     // a global sort directly under collect/write is a legitimate ordered
     // output; a global sort BELOW other operators re-materializes the

@@ -373,21 +373,121 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     */
   def searchTfidf(queries: Chain, idCol: String, textCol: String,
                   queryIdCol: String, queryTextCol: String, k: Int = 10,
-                  idf: String = "raw"): Chain = {
+                  idf: String = "raw", scoring: String = "tfidf",
+                  k1: Double = 1.2, b: Double = 0.75): Chain = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val docTfidf = tfidf(idCol, textCol, idf).df
     val qt = queries.df
       .select(col(queryIdCol).as("query_id"),
         explode(tokens(col(queryTextCol))).as("term"))
       .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_qtf"))
-    val scored = qt.join(docTfidf, Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
+    val scored = scoring match {
+      case "tfidf" =>
+        val docTfidf = tfidf(idCol, textCol, idf).df
+        qt.join(docTfidf, Seq("term"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
+      case "bm25" =>
+        // Okapi BM25 (Robertson–Spärck Jones): the retrieval scoring real
+        // ranked search expects — idf'd terms with saturating tf and
+        // doc-length normalization. k1 = tf saturation, b = length
+        // normalization. Transcendental (log), so approximately-equal
+        // across engines: the ranking is spec-gated (rank agreement vs the
+        // raw scoring), not hash-oracled.
+        require(k1 > 0 && b >= 0 && b <= 1, s"bm25 needs k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+        val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
+        val tok = c.df.select(col(idCol).as("doc_id"),
+          explode(tokens(col(textCol))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .repartition(col("term"))
+        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("_dl"))
+        // avgdl: one bounded declared driver read (a single row), the
+        // compile-time-introspection pattern every stats op uses
+        val avgdl = dl.agg((sum(col("_dl")) / count(lit(1))).as("a"))
+          .collect()(0).getAs[Any]("a") match {
+            case d: java.math.BigDecimal => d.doubleValue()
+            case d: Double => d
+            case other => other.toString.toDouble
+          }
+        val idfCol = log(lit(1.0) +
+          (lit(n.toDouble) - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+        val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
+        tf.join(dft, Seq("term")).join(dl, Seq("doc_id"))
+          .join(qt, Seq("term"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(graft.core.Exact.sum(col("_qtf") * idfCol * tfNorm).as("score"))
+      case other => throw new IllegalArgumentException(
+        s"search_tfidf scoring must be tfidf or bm25, got $other")
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
     c.next("search_tfidf", out, None)
+  }
+
+  /** tfidf_index(id, text): the persistent half of INCREMENTAL lexical
+    * retrieval — the corpus's term-keyed posting list `(term, doc_id, tf)`,
+    * the third member of the save-once index family (minhash postings
+    * [[graft.ext.DedupOps.minhashIndex]], IVF cells
+    * [[graft.ext.SimilarityOps]]). Save once with
+    * `saveBucketed(name, Seq("term"), n)`; every probe then reads the
+    * index already term-partitioned (no index-side shuffle —
+    * spec-asserted), and ingest APPENDS each new batch's postings with
+    * `saveAppend` instead of re-indexing history. The idf statistics (df
+    * per term, N documents) are intentionally NOT persisted: the probe
+    * derives df from the very posting rows it already reads and N from one
+    * column-pruned distinct count — so after every append the metadata is
+    * fresh BY CONSTRUCTION, with no refresh step to forget or race.
+    */
+  def tfidfIndex(idCol: String, textCol: String): Chain = {
+    val tok = c.df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    c.next("tfidf_index", tf, None)
+  }
+
+  /** search_tfidf_index(index, query_id, query_text, k): the probe half —
+    * this chain is the QUERY set; `index` is a [[tfidfIndex]] frame or the
+    * saved bucketed table (`spark.table(name)`). Scores and ranks exactly
+    * like [[searchTfidf]] with `idf = "raw"` over the indexed corpus
+    * (oracle-equal when the index covers the same corpus).
+    *
+    * Scale shape: the distinct query-term list broadcasts onto the index
+    * scan (prunes the postings to probed terms with NO index-side
+    * exchange), df-per-term aggregates on the SAME term-bucketed
+    * distribution the table layout already satisfies, and only the pruned
+    * postings ever shuffle toward the (query, doc) aggregation. N (corpus
+    * size) is one column-pruned distinct count — a bounded declared
+    * driver read.
+    */
+  def searchTfidfIndex(index: DataFrame, queryIdCol: String, queryTextCol: String,
+                       k: Int = 10): Chain = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(Seq("term", "doc_id", "tf").forall(index.columns.contains),
+      s"index must have columns (term, doc_id, tf) from tfidfIndex; got ${index.columns.mkString(", ")}")
+    val n = index.agg(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val qt = c.df
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_qtf"))
+    // prune the index to probed terms via a broadcast semi-join: the
+    // bucketed index side keeps its layout (no exchange above the scan)
+    val probed = index.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+    // df per probed term counts the full posting list of that term — the
+    // rows this probe reads anyway; on a term-bucketed table the groupBy's
+    // required distribution is already satisfied by the layout
+    val dft = probed.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val tfidfCol = (col("tf") * lit(n)).cast("double") / col("df_t")
+    val scored = probed.join(dft, Seq("term")).join(qt, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(graft.core.Exact.sum(col("_qtf") * tfidfCol).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+    c.next("search_tfidf_index", out, None)
   }
 
   /** normalize_text(text_col): canonicalize text BEFORE any hash sees it

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.core.{Chain, Exact}
 import graft.ext._
+import graft.ops._
 import TestSpark._
 
 class ExtSpec extends AnyFunSuite {
@@ -381,6 +382,53 @@ class ExtSpec extends AnyFunSuite {
     // per-stratum targets cover each stratum; proportional alpha=1 does
     val all = kept(1.0, 11000L)
     assert(all == Map("en" -> 100L, "de" -> 10L))
+  }
+
+  test("tfidfIndex probe reproduces searchTfidf; appends keep df/N fresh by construction") {
+    val docs = table("documents")
+    val queries = docs.filterRows(Seq("doc_id < 3"))
+    val direct = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+    // in-memory index frame
+    val idx = docs.tfidfIndex("doc_id", "text")
+    val viaIdx = queries.searchTfidfIndex(idx.df, "doc_id", "text", k = 5)
+    assert(rows(direct.df) == rows(viaIdx.df))
+    // saved bucketed index built from HALF the corpus, the other half
+    // APPENDED later: the probe must equal the full-corpus retrieval —
+    // df comes from the probed postings and N from the index itself, so
+    // ingest needs no metadata refresh step
+    spark.sql("DROP TABLE IF EXISTS tfidf_idx_t")
+    docs.filterRows(Seq("doc_id % 2 = 0")).tfidfIndex("doc_id", "text")
+      .saveBucketed("tfidf_idx_t", Seq("term"), 4, overwrite = true)
+    docs.filterRows(Seq("doc_id % 2 = 1")).tfidfIndex("doc_id", "text")
+      .appendBucketed("tfidf_idx_t", Seq("term"), 4)
+    val viaTable = queries.searchTfidfIndex(spark.table("tfidf_idx_t"), "doc_id", "text", k = 5)
+    assert(rows(direct.df) == rows(viaTable.df))
+    // malformed index fails loudly
+    val e = intercept[IllegalArgumentException](
+      queries.searchTfidfIndex(docs.df, "doc_id", "text"))
+    assert(e.getMessage.contains("tfidfIndex"))
+  }
+
+  test("bm25 scoring ranks, saturates tf, and penalizes long documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle spark shuffle spark shuffle spark shuffle"),
+      (2L, "spark shuffle"),
+      (3L, "spark " + Seq.fill(60)("filler").mkString(" ")),
+      (4L, "unrelated words entirely")).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark shuffle")).toDF("doc_id", "text")
+    val c = Chain(spark, "docs", docs)
+    val got = c.searchTfidf(Chain(spark, "q", queries),
+      "doc_id", "text", "doc_id", "text", k = 4, scoring = "bm25")
+      .df.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // both-term docs beat the one-term docs; the short both-term doc wins
+    // despite lower raw tf (saturation + length normalization)
+    assert(got.take(2).toSet == Set(1L, 2L), s"both-term docs must lead: $got")
+    assert(!got.contains(4L), "no shared term, no score")
+    val e = intercept[IllegalArgumentException](
+      c.searchTfidf(Chain(spark, "q", queries), "doc_id", "text", "doc_id", "text",
+        scoring = "nope").df)
+    assert(e.getMessage.contains("scoring"))
   }
 
   test("epochShuffle is a deterministic, seed-distinct permutation") {

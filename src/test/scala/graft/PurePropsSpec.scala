@@ -8,6 +8,24 @@ import Prop.{forAll, propBoolean}
   */
 object PurePropsSpec extends Properties("graft.pure") {
 
+  // ---- docs cannot lie about the driver contract: the README counts are
+  // regenerated from SparkEntry itself (round-6 ask #10 — the counts
+  // drifted twice when maintained by hand)
+  property("README driver-contract counts match SparkEntry") = {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) queries, (\d+) with DuckDB oracle SQL""".r.findFirstMatchIn(readme)
+    val qs = graft.SparkEntry.queries
+    val os = graft.SparkEntry.oracleSql
+    (m.nonEmpty :| "README must state the driver-contract counts") &&
+      ((m.get.group(1).toInt == qs.size) :|
+        s"README says ${m.get.group(1)} queries, SparkEntry has ${qs.size}") &&
+      ((m.get.group(2).toInt == os.size) :|
+        s"README says ${m.get.group(2)} oracled, SparkEntry has ${os.size}") &&
+      (os.keySet.subsetOf(qs.keySet) :|
+        s"oracle keys without a query: ${(os.keySet -- qs.keySet).mkString(",")}")
+  }
+
   // ---- Naming.cleanse: always a valid lowercase identifier, idempotent
   property("cleanse yields a valid identifier") = forAll { (s: String) =>
     graft.core.Naming.cleanse(s).matches("[a-z_][a-z0-9_]*")

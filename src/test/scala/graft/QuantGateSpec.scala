@@ -278,6 +278,46 @@ class QuantGateSpec extends AnyFunSuite {
       s"planted heavy hitter must be recovered, got ${approx.map(_._1).toSeq}")
   }
 
+  test("bm25 ranking rank-correlates with raw tf-idf and self-retrieves on clean fixtures") {
+    // (a) rank agreement on the sf corpus: both scorings rank the SAME
+    // candidate set (docs sharing >=1 query term); the orderings must be
+    // strongly Spearman-correlated even though bm25's idf/saturation/
+    // length normalization legitimately reorders individual documents
+    val docs = table("documents")
+    val queries = docs.filterRows(Seq("doc_id < 3"))
+    def ranked(scoring: String): Map[Long, Seq[Long]] =
+      docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 100000,
+        scoring = scoring)
+        .df.orderBy("query_id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    val raw = ranked("tfidf")
+    val bm25 = ranked("bm25")
+    assert(raw.keySet == bm25.keySet && raw.keySet.size == 3)
+    for (q <- raw.keySet) {
+      assert(raw(q).toSet == bm25(q).toSet,
+        s"same candidate set for query $q under both scorings")
+      val n = raw(q).size
+      val rawRank = raw(q).zipWithIndex.toMap
+      val ds = bm25(q).zipWithIndex.map { case (doc, i) =>
+        val d = (rawRank(doc) - i).toDouble; d * d
+      }
+      val rho = 1.0 - 6.0 * ds.sum / (n.toDouble * (n.toDouble * n - 1.0))
+      assert(rho >= 0.5, s"Spearman(raw, bm25) for query $q is $rho over $n docs")
+    }
+    // (b) on a clean fixture with distinct short docs, bm25 self-retrieves
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"), (4L, "kappa lambda mu")).toDF("doc_id", "text")
+    val cq = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val self = Chain(spark, "clean", clean)
+      .searchTfidf(Chain(spark, "cq", cq), "doc_id", "text", "doc_id", "text",
+        k = 1, scoring = "bm25")
+      .df.collect()
+    assert(self.length == 1 && self(0).getLong(1) == 1L)
+  }
+
   test("rolling fingerprint collides on >=90% of near-dups, never on unrelated docs") {
     // bottom-1 min-window sketch: P[fp equal] ≈ window-set Jaccard, so
     // exact near-dup pairs (j >= 0.9) must nearly all collide and the

@@ -169,6 +169,25 @@ class ScaleOpsSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.orderBy("l_orderkey"))))
     assert(gw.scaleFindings.exists(_.rule == "global-window"),
       s"global window must be flagged: ${gw.scaleFindings}")
+    // empty-grouping RANGE window (timeseriesAgg with no groupBy) → the
+    // range-specific error, with the range-specific cure in the message
+    val grw = orders.timeseriesAgg(Seq("o_totalprice" -> Seq("SUM")),
+      "o_orderdate", Seq(7), "day", groupBy = Nil)
+    assert(grw.scaleFindings.exists(_.rule == "global-range-window"),
+      s"global RANGE window must be flagged distinctly: ${grw.scaleFindings}")
+    // explode feeding a join → info-level fan-out note (the bucketized
+    // range join is exactly this shape, bounded by design)
+    val iv = orders.datetrunc(Seq("o_orderdate" -> "month"))
+      .aggregate(Seq("o_orderdate_month"), Seq("o_orderkey" -> Seq("COUNT")))
+      .dateadd("day", "o_orderdate_month", 10)
+    val rj = li.rangeJoin(iv, "l_shipdate",
+      "o_orderdate_month", "o_orderdate_month_add_10_day",
+      bucketSeconds = 10L * 24 * 3600)
+    assert(rj.scaleFindings.exists(_.rule == "explode-join-fanout"),
+      s"explode+join must carry the fan-out info finding: ${rj.scaleFindings}")
+    assert(rj.scaleFindings.filter(_.rule == "explode-join-fanout")
+      .forall(_.severity == "info"), "fan-out note is info-level, not an error")
+    rj.assertScaleSafe() // info findings never fail the gate
     // representative scale-safe chains pass (and report exchange counts)
     val ok = li.join(orders, "inner", Seq("l_orderkey" -> "o_orderkey"))
       .aggregate(Seq("o_orderpriority"), Seq("l_extendedprice" -> Seq("SUM")))
@@ -357,6 +376,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       val viaFrame = batch.dedupAgainstIndex(idxFrame.df,
         "doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
       assert(rows(viaTable.df.select("doc_id")) == rows(viaFrame.df.select("doc_id")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  test("bucketed tfidf index is probed without an index-side shuffle") {
+    val docs = table("documents")
+    docs.tfidfIndex("doc_id", "text")
+      .saveBucketed("tfidf_idx_bucketed", Seq("term"), 4, overwrite = true)
+    val queries = docs.filterRows(Seq("doc_id < 3"))
+    val probed = queries.searchTfidfIndex(spark.table("tfidf_idx_bucketed"),
+      "doc_id", "text", k = 5)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def hasIndexScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("tfidf_idx_bucketed") => f
+      }.nonEmpty
+      // strong form, on the EXECUTED plan (post-EnsureRequirements): the
+      // path from the index scan up to its first join must carry no
+      // exchange — the term-bucketed layout satisfies the probe pruning
+      // AND the df-per-term aggregation; only pruned postings may shuffle
+      // (and they do so above a join, toward the per-query aggregation)
+      def joinFree(p: SparkPlan): Boolean =
+        p.collectFirst { case j: BaseJoinExec => j }.isEmpty
+      // unwrap AQE: the pre-execution executedPlan nests the real plan
+      // (with EnsureRequirements exchanges) inside AdaptiveSparkPlanExec
+      val plan = probed.df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      assert(plan.collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("tfidf_idx_bucketed") => f
+      }.nonEmpty, s"expected a scan of the bucketed index:\n$plan")
+      val preJoinShuffles = plan.collect {
+        case e: ShuffleExchangeExec if hasIndexScan(e.child) && joinFree(e.child) => e
+      }
+      assert(preJoinShuffles.isEmpty,
+        s"the bucketed index side must not shuffle before its probe join:\n$plan")
+      // and the saved-table probe answers exactly like the one-shot path
+      val direct = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+      assert(rows(probed.df) == rows(direct.df))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
