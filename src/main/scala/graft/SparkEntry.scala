@@ -530,6 +530,13 @@ object SparkEntry {
           .simhashPairs("doc_id", "text", maxHamming = 16).df),
       "q_dedup_embedding" -> ((s, d) =>
         t(s, d, "embeddings").embeddingCosinePairs("vec_id", "embedding", 0.4).df),
+      // SemDeDup-shaped end-to-end semantic dedup: exact cosine pairs →
+      // connected components → keep the lowest id per cluster (embedding
+      // column dropped from the output: the scalar columns hash-compare)
+      "q_dedup_embedding_near" -> ((s, d) =>
+        t(s, d, "embeddings")
+          .dedupNearEmbedding("vec_id", "embedding", 0.4)
+          .dropColumns(includeCols = Seq("vec_id", "label")).df),
       "q_sim_topk" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
         emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
@@ -1200,6 +1207,22 @@ object SparkEntry {
           "FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id"),
       "q_dedup_embedding" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
+      // same pair mining, then the recursive-CTE component labels + the
+      // keep-lowest-id decision — the q_dedup_near oracle pattern over
+      // the embedding space
+      "q_dedup_embedding_near" ->
+        (s"WITH RECURSIVE $normCte, " +
+          s"pd AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid), " +
+          "p AS (SELECT qid AS id_a, cid AS id_b FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), " +
+          "cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) " +
+          "SELECT vec_id, label FROM (SELECT emb.vec_id, emb.label, " +
+          "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, emb.vec_id) " +
+          "ORDER BY emb.vec_id ASC) AS rn " +
+          "FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id) WHERE rn = 1"),
       "q_sim_topk" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
       // literal-pinned hash-kernel oracles over the fixed fixture corpora.

@@ -37,9 +37,26 @@ object ScaleLint {
         s"O(n*m) pair blow-up; add a join key, bucketize, or block: ${c.nodeName}")
     }
     plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
-      findings += Finding("error", "nested-loop-join",
-        "per-row scan of the broadcast side (non-equi condition); " +
-          s"rewrite as an equi-join on a derived key (bucketized range, prefix): ${j.joinType}")
+      // a nested-loop whose broadcast side is a driver-local relation with
+      // a bounded row count (IVF centroid frames, tiny parameter tables)
+      // costs O(n × k) with k fixed and small — a deliberate pattern in
+      // this library's ANN ops, not a scale hazard. Flag it info-level.
+      val buildSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      val boundedLocalBuild = buildSide.collectLeaves() match {
+        case Seq(l: org.apache.spark.sql.execution.LocalTableScanExec) => l.rows.size <= 1024
+        case _ => false
+      }
+      if (boundedLocalBuild)
+        findings += Finding("info", "nested-loop-join-bounded",
+          s"nested-loop against a bounded driver-local broadcast (${j.joinType}); " +
+            "O(n x k) with k small and fixed — fine at scale, verify k stays bounded")
+      else
+        findings += Finding("error", "nested-loop-join",
+          "per-row scan of the broadcast side (non-equi condition); " +
+            s"rewrite as an equi-join on a derived key (bucketized range, prefix): ${j.joinType}")
     }
     plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w

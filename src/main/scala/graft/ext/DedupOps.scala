@@ -794,6 +794,99 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       case other => throw new IllegalArgumentException(
         s"dedup_near clusterer must be propagation or contraction, got $other")
     }
+    keepOnePerCluster(clusters, idCol, keepBy, "dedup_near")
+  }
+
+  /** dedup_near_embedding(id, vec, threshold, keep_by): the SEMANTIC
+    * sibling of [[dedupNear]] — mine embedding-cosine near-dup pairs,
+    * connect them into clusters, keep one representative per cluster
+    * (first under `keepBy`, id ascending tiebreak; singletons survive).
+    * This is the SemDeDup-shaped pass (Abbas et al., arXiv:2303.09540)
+    * production corpora run AFTER lexical dedup: paraphrases and
+    * re-renders that share no n-grams but embed together.
+    *
+    * `candidates = "exact"` mines with the guarded Ω(n²) block join
+    * ([[graft.ext.DedupOps.embeddingCosinePairs]] — oracle-exact, size-
+    * capped); `"ivf"` is the corpus-scale dial: spherical k-means cells
+    * over a bounded training sample, each vector assigned to its
+    * `nassign` nearest cells, pairs mined within SHARED cells only —
+    * candidate volume ≈ nassign²·Σ cell² instead of n². Boundary pairs
+    * whose vectors share no assigned cell are missed; `nassign` is the
+    * recall dial (recall-gated in the spec — the usual SemDeDup regime
+    * of a TIGHT threshold keeps near-identical pairs co-located). The
+    * cluster and keep-one stages are identical to the lexical op.
+    */
+  def dedupNearEmbedding(idCol: String, vecCol: String, threshold: Double,
+                         keepBy: Seq[(String, String)] = Nil,
+                         candidates: String = "exact",
+                         clusterer: String = "propagation",
+                         nlist: Int = 16, nassign: Int = 2,
+                         trainSample: Int = 4096,
+                         trainIters: Int = 15, maxRows: Long = 1000000L): Chain = {
+    val pairs = candidates match {
+      case "exact" =>
+        new DedupOps(c).embeddingCosinePairs(idCol, vecCol, threshold, maxRows = maxRows)
+      case "ivf" =>
+        require(nassign >= 1 && nassign <= nlist,
+          s"nassign must be in [1, nlist], got $nassign (nlist=$nlist)")
+        val spark = c.df.sparkSession
+        val corpus = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+          .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+          .repartition(col("_id")) // barrier: norm computed once
+        // bounded hash-deterministic training sample → driver k-means
+        // (the declared compile-time-introspection pattern)
+        val trainVecs = corpus
+          .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+          .limit(trainSample)
+          .select(col("_v").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
+        val assigned =
+          if (nassign <= 1)
+            corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+              .select(col("_id"), col("_v"), col("_n"), col("_cid"))
+          else {
+            // top-m cells per vector: broadcast the nlist centroids, rank
+            // by cosine — one id-partitioned window, no extra corpus pass
+            val centroids = broadcast(SimilarityOps.centroidFrame(spark, centers))
+            val sim = Exact.dot(col("_v"), col("_cv")) / col("_n") / col("_cn")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("_id")).orderBy(col("_cs").desc, col("_cid").asc)
+            corpus.crossJoin(centroids)
+              .select(col("_id"), col("_v"), col("_n"), col("_cid"), sim.as("_cs"))
+              .withColumn("_r", row_number().over(w)).where(col("_r") <= nassign)
+              .select(col("_id"), col("_v"), col("_n"), col("_cid"))
+          }
+        val l = assigned.select(col("_cid"), col("_id").as("id_a"),
+          col("_v").as("_va"), col("_n").as("_na"))
+        val r = assigned.select(col("_cid"), col("_id").as("id_b"),
+          col("_v").as("_vb"), col("_n").as("_nb"))
+        val cos = Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")
+        val p = l.join(r, Seq("_cid")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), cos.as("cosine"))
+          .where(col("cosine") >= threshold)
+          .distinct() // a pair sharing several assigned cells emits once
+        c.next("dedup_embedding_ivf", p, None)
+      case other => throw new IllegalArgumentException(
+        s"dedup_near_embedding candidates must be exact or ivf, got $other")
+    }
+    val clusters = clusterer match {
+      case "propagation" => new DedupClusterOps(pairs).clusterPairs()
+      case "contraction" => new DedupClusterOps(pairs).clusterPairsContraction()
+      case other => throw new IllegalArgumentException(
+        s"dedup_near_embedding clusterer must be propagation or contraction, got $other")
+    }
+    keepOnePerCluster(clusters, idCol, keepBy, "dedup_near_embedding")
+  }
+
+  /** Shared decision tail of the end-to-end dedup ops: left-join the
+    * cluster labels (one row per CLUSTERED doc, ≪ corpus — AQE broadcasts
+    * it when small), default unlabeled docs to their own singleton
+    * cluster, keep row 1 per cluster under the `keepBy` ordering with id
+    * ascending as the deterministic tiebreak.
+    */
+  private def keepOnePerCluster(clusters: Chain, idCol: String,
+                                keepBy: Seq[(String, String)], op: String): Chain = {
     val labels = clusters.df
       .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
     val withCl = c.df.join(labels, col(idCol).cast("long") === col("_lid"), "left")
@@ -806,6 +899,6 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     val df2 = withCl.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(cols.map(col): _*)
-    c.next("dedup_near", df2, None)
+    c.next(op, df2, None)
   }
 }

@@ -273,15 +273,9 @@ object EventStreams {
             else survivors.df
           fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
             .format("parquet").saveAsTable(name)
-          val postings = survivors
+          survivors
             .minhashIndex(idCol, textCol, shingleWords, numHashes, bands)
-          // aligned with the bucket hash: one file per bucket per batch
-          // (see Chain.saveBucketed)
-          postings.df.repartition(indexBuckets, postings.df.col("_bh"))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .format("parquet")
-            .bucketBy(indexBuckets, "_bh").sortBy("_bh")
-            .saveAsTable(indexTable)
+            .appendBucketed(indexTable, Seq("_bh"), indexBuckets)
         }
       }
       .trigger(Trigger.AvailableNow())

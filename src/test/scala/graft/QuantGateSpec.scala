@@ -241,6 +241,38 @@ class QuantGateSpec extends AnyFunSuite {
     assert(droppedExact.nonEmpty, "test corpus must contain strong near-dups")
     val agree = (dropped & droppedExact).size.toDouble / droppedExact.size
     assert(agree >= 0.9, f"minhash-candidate dedup drops $agree%.3f of the exact drops < 0.9")
+    // explicit banding override plumbs through: a wider signature with
+    // 4-row bands (curve midpoint 0.5) must be at least as aggressive
+    val keptWide = docs.dedupNear("doc_id", "text", n = 2, threshold = 0.8,
+      candidates = "minhash", numHashes = 64, bands = 16)
+      .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val agreeWide = ((all -- keptWide) & droppedExact).size.toDouble / droppedExact.size
+    assert(agreeWide >= 0.9,
+      f"explicit 64x16 banding drops $agreeWide%.3f of the exact drops < 0.9")
+  }
+
+  test("semantic dedup: ivf candidates track exact drops, nassign is the recall dial") {
+    val emb = table("embeddings")
+    val all = emb.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    def kept(cand: String, nassign: Int = 2): Set[Long] =
+      emb.dedupNearEmbedding("vec_id", "embedding", 0.4,
+        candidates = cand, nassign = nassign)
+        .df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropExact = all -- kept("exact")
+    assert(dropExact.nonEmpty, "test embeddings must contain cosine near-dups")
+    // nassign=4: near-total agreement with the exact pass (measured 0.985)
+    val drop4 = all -- kept("ivf", nassign = 4)
+    val agree4 = (drop4 & dropExact).size.toDouble / dropExact.size
+    assert(agree4 >= 0.9, f"ivf nassign=4 drop agreement $agree4%.3f < 0.9")
+    // within-cell candidates can only ever VERIFY true pairs — no false drops
+    assert((drop4 -- dropExact).isEmpty, "ivf candidates must never drop a non-near-dup")
+    // monotone recall in nassign
+    val drop2 = all -- kept("ivf", nassign = 2)
+    assert(drop2.subsetOf(drop4) || drop2.size <= drop4.size,
+      s"more assigned cells must not lose drops: ${drop2.size} vs ${drop4.size}")
+    val e = intercept[IllegalArgumentException](
+      emb.dedupNearEmbedding("vec_id", "embedding", 0.4, candidates = "nope").df)
+    assert(e.getMessage.contains("candidates"))
   }
 
   test("frequent-items sketches: exact under capacity, bounds honest and split/merge stable beyond it") {

@@ -169,6 +169,19 @@ class ScaleOpsSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.orderBy("l_orderkey"))))
     assert(gw.scaleFindings.exists(_.rule == "global-window"),
       s"global window must be flagged: ${gw.scaleFindings}")
+    // a nested-loop against a BOUNDED driver-local broadcast (the IVF
+    // ops' centroid-frame cross joins) is deliberate and must NOT fail
+    // the gate — it lints info, not error
+    val centroids = spark.createDataFrame(
+      (0 until 8).map(i => (i.toLong, i.toDouble))).toDF("_cid", "_cv")
+    val bounded = Chain(spark, "x",
+      li.df.limit(100).crossJoin(broadcast(centroids)))
+    assert(bounded.scaleFindings.exists(_.rule == "nested-loop-join-bounded"),
+      s"bounded local-broadcast BNLJ should be an info finding: ${bounded.scaleFindings}")
+    assert(!bounded.scaleFindings.exists(f =>
+      f.severity == "error" && f.rule == "nested-loop-join"),
+      s"bounded local-broadcast BNLJ must not be a lint error: ${bounded.scaleFindings}")
+    bounded.assertScaleSafe()
     // empty-grouping RANGE window (timeseriesAgg with no groupBy) → the
     // range-specific error, with the range-specific cure in the message
     val grw = orders.timeseriesAgg(Seq("o_totalprice" -> Seq("SUM")),
