@@ -240,6 +240,11 @@ object SparkEntry {
     "q_flag_outliers" -> ((s, d) =>
       t(s, d, "lineitem").flagOutliers("l_extendedprice",
         Seq("l_returnflag"), z = 2.0).df),
+    // the robust (median/MAD, Iglewicz–Hoaglin modified z) variant — the
+    // 50%-breakdown gate classic z-scores lack
+    "q_flag_outliers_robust" -> ((s, d) =>
+      t(s, d, "lineitem").flagOutliersRobust("l_extendedprice",
+        Seq("l_returnflag"), z = 3.5).df),
     "q_standard_scaler" -> ((s, d) =>
       t(s, d, "lineitem").standardScaler(Seq("l_extendedprice")).df),
     "q_min_max_scaler" -> ((s, d) =>
@@ -434,6 +439,13 @@ object SparkEntry {
         val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
         docs.flagContaminatedBloom(eval, "doc_id", "text", n = 8,
           expectedItems = 100000L).df
+      }),
+      // graded decontamination: per-doc fraction of distinct 8-grams shared
+      // with the eval subset — what a drop/audit policy actually thresholds
+      "q_text_contamination" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
+        docs.contaminationScore(eval, "doc_id", "text", n = 8).df
       }),
       "q_chunk_text" -> ((s, d) =>
         t(s, d, "documents").chunkText("doc_id", "text",
@@ -898,6 +910,17 @@ object SparkEntry {
       s"SELECT *, CASE WHEN $nS > 1 AND $sdS > 0 THEN (CAST(l_extendedprice AS DOUBLE) - $muS) / $sdS END AS l_extendedprice_zscore, " +
         s"($nS > 1 AND $sdS > 0 AND ABS(CAST(l_extendedprice AS DOUBLE) - $muS) > 2.0 * $sdS) AS l_extendedprice_outlier FROM lineitem"
     },
+    "q_flag_outliers_robust" -> {
+      val x = "CAST(l_extendedprice AS DOUBLE)"
+      val over = "OVER (PARTITION BY l_returnflag)"
+      val mzS = s"0.6745 * ($x - _m) / _mad"
+      s"WITH m AS (SELECT *, quantile_cont($x, 0.5) $over AS _m FROM lineitem), " +
+        s"m2 AS (SELECT *, quantile_cont(ABS($x - _m), 0.5) $over AS _mad, " +
+        s"CAST(COUNT(l_extendedprice) $over AS DOUBLE) AS _n FROM m) " +
+        "SELECT * EXCLUDE (_m, _mad, _n), " +
+        s"CASE WHEN _n > 1 AND _mad > 0 THEN $mzS END AS l_extendedprice_mzscore, " +
+        s"(_n > 1 AND _mad > 0 AND ABS($mzS) > 3.5) AS l_extendedprice_outlier_robust FROM m2"
+    },
     "q_min_max_scaler" ->
       "SELECT * EXCLUDE (mn, mx), (CAST(p_retailprice AS DOUBLE) - mn) / (mx - mn) AS p_retailprice_scaled FROM part, (SELECT CAST(MIN(p_retailprice) AS DOUBLE) AS mn, CAST(MAX(p_retailprice) AS DOUBLE) AS mx FROM part) s",
     "q_levenshtein" ->
@@ -1205,6 +1228,13 @@ object SparkEntry {
           "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +
           "SELECT d.*, (h.doc_id IS NOT NULL) AS contaminated " +
           "FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id"),
+      "q_text_contamination" ->
+        (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
+          s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
+          "tot AS (SELECT doc_id, COUNT(*) AS t FROM cg GROUP BY 1), " +
+          "hit AS (SELECT cg.doc_id, COUNT(*) AS h FROM cg JOIN eg USING (g) GROUP BY 1) " +
+          "SELECT d.*, COALESCE(CAST(h AS DOUBLE) / t, 0.0) AS contamination_8 " +
+          "FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)"),
       "q_dedup_embedding" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) GROUP BY qid, cid) SELECT qid AS id_a, cid AS id_b, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4",
       // same pair mining, then the recursive-CTE component labels + the

@@ -264,6 +264,38 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("flag_contaminated", df2, None)
   }
 
+  /** contamination_score(eval, id, text, n): the graded form of
+    * [[flagContaminated]] — per document, the FRACTION of its distinct
+    * word n-grams that appear anywhere in the eval set →
+    * `contamination_<n>` ∈ [0, 1]. A boolean flag treats one shared
+    * boilerplate phrase and a verbatim eval copy identically; the
+    * fraction is what a decontamination policy actually thresholds
+    * ("drop > 10% overlap, audit 1–10%"). Scale shape: one distinct
+    * eval-gram broadcast, corpus grams hashed scan-side (codegen
+    * [[graft.functions.ShingleHashes]] — already distinct per doc), one
+    * doc-keyed exchange REUSED by both the total and the hit counts.
+    */
+  def contaminationScore(eval: Chain, idCol: String, textCol: String, n: Int = 8,
+                         scoreCol: String = ""): Chain = {
+    val out = if (scoreCol.nonEmpty) scoreCol else Naming.cleanse(s"contamination_$n")
+    val evalGrams = eval.df
+      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+      .distinct()
+    // barrier on the doc key: the gram explode feeds BOTH counts through
+    // one exchange (ReusedExchange), and neither re-derives the hashes
+    val corpusGrams = c.df.select(col(idCol).as("_cid"),
+      explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+      .repartition(col("_cid"))
+    val tot = corpusGrams.groupBy(col("_cid")).agg(count(lit(1)).as("_t"))
+    val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
+      .groupBy(col("_cid")).agg(count(lit(1)).as("_hits"))
+    val stats = tot.join(hit, Seq("_cid"), "left")
+    val df2 = c.df.join(stats, col(idCol) === col("_cid"), "left")
+      .withColumn(out, coalesce(col("_hits").cast("double") / col("_t"), lit(0.0)))
+      .drop("_cid", "_t", "_hits")
+    c.next("contamination_score", df2, None)
+  }
+
   /** flag_contaminated_bloom: same OUTPUT as [[flagContaminated]], scaled
     * for a large blocklist. The exact variant ships the eval set's full
     * n-gram hash list to every task — right when eval sets are small.

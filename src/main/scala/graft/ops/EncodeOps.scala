@@ -206,6 +206,9 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * partitioning and across engines — the data-quality gate in front of
     * scaling/training. Empty `groupBy` = global statistics (one window
     * partition; prefer grouped use at scale).
+    *
+    * See [[flagOutliersRobust]] for the median/MAD variant — mean/σ
+    * statistics are themselves dragged by the outliers they hunt.
     */
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
                    z: Double = 3.0): Chain = {
@@ -237,6 +240,59 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     c.next("flag_outliers", df2, Some(
       s"SELECT *, CASE WHEN $nS > 1 AND $sdS > 0 THEN (CAST($cn AS DOUBLE) - $muS) / $sdS END AS ${Naming.cleanse(s"${column}_zscore")}, " +
         s"($nS > 1 AND $sdS > 0 AND ABS(CAST($cn AS DOUBLE) - $muS) > $z * $sdS) AS ${Naming.cleanse(s"${column}_outlier")} FROM {{source}}"))
+  }
+
+  /** flag_outliers_robust(column, group_by, z): the median/MAD variant of
+    * [[flagOutliers]] — modified z-score `0.6745·(x − median) / MAD`
+    * (Iglewicz–Hoaglin) and flag |M| > z (classic cut 3.5). Mean/σ
+    * statistics are dragged by the very outliers they hunt (one 10⁹×
+    * corrupt value inflates σ until nothing else flags); median and MAD
+    * have a 50% breakdown point. Two window passes over the same group
+    * partitioning — the MAD median depends on the first-pass median —
+    * planned as ONE exchange (both windows share the partitioning);
+    * medians are exact order statistics (interpolated at even counts),
+    * not sketches. Degenerate groups (n ≤ 1 or MAD = 0) flag false with
+    * a null score, mirroring the zscore face.
+    */
+  def flagOutliersRobust(column: String, groupBy: Seq[String] = Seq.empty,
+                         z: Double = 3.5): Chain = {
+    require(z > 0, s"z must be positive, got $z")
+    val w =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val x = col(column).cast("double")
+    val n = count(x).over(w).cast("double")
+    val med = expr(s"percentile(CAST(${Naming.quoteId(column)} AS DOUBLE), 0.5)")
+      .over(w)
+    val dev = abs(x - col("_graft_med"))
+    val mzName = Naming.cleanse(s"${column}_mzscore")
+    val flagName = Naming.cleanse(s"${column}_outlier_robust")
+    val step1 = c.df.withColumn("_graft_med", med)
+    val mad = expr("percentile(_graft_dev, 0.5)").over(w)
+    val step2 = step1.withColumn("_graft_dev", dev).withColumn("_graft_mad", mad)
+    val mz = when(col("_graft_n") > 1 && col("_graft_mad") > 0,
+      lit(0.6745) * (x - col("_graft_med")) / col("_graft_mad"))
+    val flag = col("_graft_n") > 1 && col("_graft_mad") > 0 &&
+      abs(mz) > lit(z)
+    val df2 = step2.withColumn("_graft_n", n)
+      .withColumn(mzName, mz)
+      .withColumn(flagName, flag)
+      .drop("_graft_med", "_graft_dev", "_graft_mad", "_graft_n")
+    val cn = Naming.quoteId(column)
+    val over =
+      if (groupBy.isEmpty) "OVER ()"
+      else s"OVER (PARTITION BY ${groupBy.mkString(", ")})"
+    val baseCols = c.df.columns.toSeq
+    val medS = s"percentile(CAST($cn AS DOUBLE), 0.5) $over"
+    val mzS = s"0.6745 * (CAST($cn AS DOUBLE) - _graft_med) / _graft_mad"
+    val sqlFace =
+      s"SELECT ${baseCols.mkString(", ")}, " +
+        s"CASE WHEN _graft_n > 1 AND _graft_mad > 0 THEN $mzS END AS $mzName, " +
+        s"(_graft_n > 1 AND _graft_mad > 0 AND ABS($mzS) > $z) AS $flagName " +
+        s"FROM (SELECT *, percentile(ABS(CAST($cn AS DOUBLE) - _graft_med), 0.5) $over AS _graft_mad, " +
+        s"CAST(COUNT($cn) $over AS DOUBLE) AS _graft_n " +
+        s"FROM (SELECT *, $medS AS _graft_med FROM {{source}}))"
+    c.next("flag_outliers_robust", df2, Some(sqlFace))
   }
 
   def standardScaler(

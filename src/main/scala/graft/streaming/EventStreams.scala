@@ -289,6 +289,69 @@ object EventStreams {
     q
   }
 
+  /** Streaming lexical-index ingest via `foreachBatch`: every micro-batch
+    * (1) drops exact re-texts within the batch, (2) APPENDS the docs not
+    * already in the corpus (one column-pruned id anti-join), and (3)
+    * appends the term postings of docs not already in the index (one
+    * column-pruned doc-id anti-join against the postings) — so
+    * [[graft.ext.TextAnalysisOps.searchTfidfIndex]] over the index table
+    * always answers for everything ingested so far. There is NO metadata
+    * step: df comes from the postings a probe reads and N from the index
+    * itself, so idf statistics are fresh by construction after every
+    * batch (the design reason the tf-idf index persists no df/N).
+    *
+    * Replay safety (foreachBatch is at-least-once): the corpus and index
+    * appends are EACH guarded by their own anti-join, so a replayed batch
+    * re-appends only whatever its crashed predecessor had not yet landed —
+    * both tables converge, in any crash position, without coordination.
+    * Per batch the corpus and index are only READ column-pruned; write
+    * volume is O(batch).
+    */
+  def sinkTfidfAppendToTable(docs: DataFrame, corpusTable: String, indexTable: String,
+                             idCol: String, textCol: String, checkpointDir: String,
+                             indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext._
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val deduped = graft.core.Chain(spark, corpusTable, batch)
+            .dedupExact(idCol, textCol)
+          val freshCorpus =
+            if (spark.catalog.tableExists(corpusTable))
+              deduped.df.join(spark.table(corpusTable).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else deduped.df
+          freshCorpus.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(corpusTable)
+          if (!spark.catalog.tableExists(indexTable)) {
+            graft.core.Chain(spark, indexTable, deduped.df)
+              .tfidfIndex(idCol, textCol)
+              .saveBucketed(indexTable, Seq("term"), indexBuckets)
+          } else {
+            val freshIdx = deduped.df.join(
+              spark.table(indexTable).select(col("doc_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            if (!freshIdx.isEmpty)
+              graft.core.Chain(spark, indexTable, freshIdx)
+                .tfidfIndex(idCol, textCol)
+                .appendBucketed(indexTable, Seq("term"), indexBuckets)
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (docs.sparkSession.catalog.tableExists(corpusTable))
+      docs.sparkSession.catalog.refreshTable(corpusTable)
+    if (docs.sparkSession.catalog.tableExists(indexTable))
+      docs.sparkSession.catalog.refreshTable(indexTable)
+    q
+  }
+
   /** Streaming continuous profile via `foreachBatch`: every micro-batch
     * folds its per-key HLL sketches into a persistent profile table — a
     * COUNT DISTINCT over the whole stream history that never rescans

@@ -384,6 +384,29 @@ class ExtSpec extends AnyFunSuite {
     assert(all == Map("en" -> 100L, "de" -> 10L))
   }
 
+  test("contaminationScore grades overlap where the boolean flag saturates") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, evalDoc), // verbatim eval copy -> 1.0
+      (2L, evalDoc + " lambda mu nu xi omicron pi rho sigma tau upsilon"), // partial
+      (3L, "totally unrelated words that never touch the evaluation corpus at all")
+    ).toDF("doc_id", "text")
+    val eval = Chain(spark, "eval", Seq((100L, evalDoc)).toDF("doc_id", "text"))
+    val got = Chain(spark, "docs", docs)
+      .contaminationScore(eval, "doc_id", "text", n = 4)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Double]("contamination_4")).toMap
+    assert(got(1L) == 1.0, s"verbatim copy must score 1.0, got ${got(1L)}")
+    // doc 2: 20 tokens -> 17 distinct 4-grams, 7 inside the eval doc
+    assert(got(2L) == 7.0 / 17.0, s"partial overlap fraction, got ${got(2L)}")
+    assert(got(3L) == 0.0)
+    // the boolean flag can't tell 1 from 2 — the score is the policy signal
+    val flags = Chain(spark, "docs", docs)
+      .flagContaminated(eval, "doc_id", "text", n = 4)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flags(1L) && flags(2L) && !flags(3L))
+  }
+
   test("tfidfIndex probe reproduces searchTfidf; appends keep df/N fresh by construction") {
     val docs = table("documents")
     val queries = docs.filterRows(Seq("doc_id < 3"))

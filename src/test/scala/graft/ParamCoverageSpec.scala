@@ -51,6 +51,31 @@ class ParamCoverageSpec extends AnyFunSuite {
     assert(counts.max - counts.min <= 1) // ntile balance
   }
 
+  test("flagOutliersRobust catches the corrupt value classic z-score masks") {
+    // one 1e9 corruption among 1..9: it inflates sigma until its own
+    // z-score (2.85) ducks under the z=3 gate — the masking failure mode.
+    // The MAD statistic has a 50% breakdown point and flags it hard.
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1.0e9)).toDF("grp", "x")
+    df.createOrReplaceTempView("robust_t")
+    val classic = Chain(spark, "robust_t", df).flagOutliers("x", Seq("grp"), z = 3.0)
+      .df.collect().map(r => r.getAs[Double]("x") -> r.getAs[Boolean]("x_outlier")).toMap
+    assert(!classic(1.0e9), "classic z-score must be masked by the corruption (that's the point)")
+    val robust = Chain(spark, "robust_t", df).flagOutliersRobust("x", Seq("grp"), z = 3.5)
+    val got = robust.df.collect()
+      .map(r => r.getAs[Double]("x") ->
+        (r.getAs[Boolean]("x_outlier_robust"), r.getAs[Double]("x_mzscore"))).toMap
+    assert(got(1.0e9)._1, "MAD flags the corruption")
+    assert((1 to 9).forall(i => !got(i.toDouble)._1), "honest values stay unflagged")
+    // med=5.5, MAD=2.5 -> M(1) = 0.6745*(1-5.5)/2.5
+    assert(math.abs(got(1.0)._2 - 0.6745 * (1.0 - 5.5) / 2.5) < 1e-12)
+    // the SQL face executes under Spark and matches the DataFrame face
+    assert(rows(spark.sql(robust.sql())) == rows(robust.df))
+    // degenerate group (single row) -> null score, false flag
+    val one = Chain(spark, "t", Seq(("h", 7.0)).toDF("grp", "x"))
+      .flagOutliersRobust("x", Seq("grp")).df.collect()(0)
+    assert(!one.getAs[Boolean]("x_outlier_robust") && one.isNullAt(one.fieldIndex("x_mzscore")))
+  }
+
   test("one_hot_encode emits is_null dummy for null values") {
     val df = Seq(Some("RED"), None, Some("BLUE")).toDF("color")
     val c = Chain(spark, "t", df).oneHotEncode("color")

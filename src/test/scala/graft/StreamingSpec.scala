@@ -236,6 +236,43 @@ class StreamingSpec extends AnyFunSuite {
       s"view distinct ~5, got ${est("view")}")
   }
 
+  test("streaming tfidf-index ingest keeps retrieval fresh without a metadata step") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext._
+    import graft.ops._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS stream_tfidf_corpus")
+    spark.sql("DROP TABLE IF EXISTS stream_tfidf_idx")
+    def sink(ms: MemoryStream[Doc], ckpt: String) =
+      EventStreams.sinkTfidfAppendToTable(ms.toDF(), "stream_tfidf_corpus",
+        "stream_tfidf_idx", "doc_id", "text", ckpt, indexBuckets = 4)
+    val t1 = "spark shuffles data between executors during wide transformations"
+    val t2 = "parquet encodes columns with dictionaries and statistics"
+    val t3 = "watermarks bound streaming state for event time aggregations"
+    val ms1 = MemoryStream[Doc]
+    ms1.addData(Doc(1L, t1), Doc(2L, t2))
+    sink(ms1, Files.createTempDirectory("graft_ckpt_ti1").toString)
+    // batch 2: doc 1 replayed (must not duplicate), doc 3 new
+    val ms2 = MemoryStream[Doc]
+    ms2.addData(Doc(1L, t1), Doc(3L, t3))
+    sink(ms2, Files.createTempDirectory("graft_ckpt_ti2").toString)
+    assert(spark.table("stream_tfidf_corpus").count() == 3)
+    // the index answers EXACTLY like a one-shot retrieval over the corpus
+    // table — df/N fresh across both batches with no refresh step
+    val corpus = graft.core.Chain(spark, "c", spark.table("stream_tfidf_corpus"))
+    val queries = graft.core.Chain(spark, "q",
+      Seq(Doc(100L, "spark executors")).toDF("doc_id", "text"))
+    val direct = corpus.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 3)
+    val viaIdx = queries.searchTfidfIndex(spark.table("stream_tfidf_idx"),
+      "doc_id", "text", k = 3)
+    assert(rows(direct.df) == rows(viaIdx.df))
+    // replayed doc 1 appended no duplicate postings
+    val post1 = spark.table("stream_tfidf_idx").where("doc_id = 1")
+      .groupBy("term").count().where("count > 1").count()
+    assert(post1 == 0, "replay must not duplicate postings")
+  }
+
   test("profile sink rewrites only touched buckets, not the whole table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
