@@ -484,6 +484,11 @@ object SparkEntry {
       // posting lists short), each verified against its own-threshold oracle
       "q_dedup_ngram_ii" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5).df),
+      // overlap-coefficient measure: |A∩B|/min — the subset-document
+      // detector (excerpts, boilerplate wrappers) symmetric Jaccard misses
+      "q_dedup_containment" -> ((s, d) =>
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.6,
+          measure = "containment").df),
       // cluster assignment over the exact near-dup pairs (connected
       // components, min-id label per component) — the keep/drop decision
       // step after pair mining
@@ -1161,6 +1166,12 @@ object SparkEntry {
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
       "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
+      "q_dedup_containment" ->
+        (s"WITH w AS (SELECT doc_id, ${ngrams(3)} AS ws FROM documents) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(LEAST(len(a.ws), len(b.ws)) AS DOUBLE) AS containment " +
+          "FROM w a JOIN w b ON a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(LEAST(len(a.ws), len(b.ws)) AS DOUBLE) >= 0.6"),
       "q_dup_spans" ->
         (s"WITH $winCte, " +
           "sh AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2), " +

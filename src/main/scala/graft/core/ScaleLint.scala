@@ -25,11 +25,18 @@ object ScaleLint {
     override def toString: String = s"[$severity] $rule: $detail"
   }
 
-  /** Lint the frame's compiled plan (pre-AQE physical plan — AQE rewrites
-    * preserve or improve these shapes, never introduce the flagged ones).
+  /** Lint the frame's compiled PREPARED plan — post-EnsureRequirements,
+    * pre-execution (AQE's runtime rewrites preserve or improve these
+    * shapes, never introduce the flagged ones). The prepared plan carries
+    * the requirement-driven exchanges, so the exchange count reflects the
+    * shuffles the job will actually run, not only explicit repartitions.
     */
   def lint(df: DataFrame): Seq[Finding] = {
-    val plan = df.queryExecution.sparkPlan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
     val findings = Seq.newBuilder[Finding]
 
     plan.collect { case c: CartesianProductExec => c }.foreach { c =>

@@ -221,7 +221,10 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.9): Chain = {
+      threshold: Double = 0.9,
+      measure: String = "jaccard"): Chain = {
+    require(Seq("jaccard", "containment").contains(measure),
+      s"measure must be jaccard or containment, got $measure")
     // tokens → sorted distinct 64-bit shingle hashes in one codegen pass
     // (graft.functions.ShingleHashes): every downstream shuffle, sort and
     // merge-compare is over fixed-width longs instead of shingle strings.
@@ -231,8 +234,13 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         graft.functions.ShingleHashes(TextOps.tokens(col(textCol)), n).as("_sh"))
       .withColumn("_sz", size(col("_sh")))
       .repartition(col("_id"))
+    // the PPJoin prefix/length/positional filters are JACCARD theorems
+    // (containment ≥ t puts no bound on the size RATIO — a 10-gram doc
+    // fully inside a 10⁶-gram doc scores 1.0), so the containment measure
+    // always takes the inverted-index strategy, which enumerates exactly
+    // the pairs sharing ≥ 1 shingle — complete for any positive threshold
     val pairs =
-      if (threshold >= 0.7) {
+      if (measure == "jaccard" && threshold >= 0.7) {
         // PPJoin's essential trick: order the shingle universe by ASCENDING
         // document frequency so every prefix holds the RAREST shingles —
         // candidate pairs must share a rare shingle, which collapses the
@@ -298,11 +306,17 @@ final class DedupOps(private val c: Chain) extends AnyVal {
           .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
           .agg(count(lit(1)).cast("int").as("_inter"))
       }
-    val scored = pairs.select(col("id_a"), col("id_b"),
-      (col("_inter").cast("double") /
-        (col("_sza") + col("_szb") - col("_inter")).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-    c.next("dedup_ngram_jaccard", scored, None)
+    val score = measure match {
+      case "jaccard" => col("_inter").cast("double") /
+        (col("_sza") + col("_szb") - col("_inter")).cast("double")
+      // overlap coefficient: |A∩B| / min(|A|,|B|) — the subset-document
+      // detector (boilerplate wrappers, quote-with-commentary, excerpts)
+      case "containment" => col("_inter").cast("double") /
+        least(col("_sza"), col("_szb")).cast("double")
+    }
+    val scored = pairs.select(col("id_a"), col("id_b"), score.as(measure))
+      .where(col(measure) >= threshold)
+    c.next(s"dedup_ngram_$measure", scored, None)
   }
 
   /** embedding_cosine_pairs(id, vec): ALL pairs with exact cosine ≥

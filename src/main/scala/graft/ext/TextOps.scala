@@ -426,21 +426,19 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         // across engines: the ranking is spec-gated (rank agreement vs the
         // raw scoring), not hash-oracled.
         require(k1 > 0 && b >= 0 && b <= 1, s"bm25 needs k1 > 0, b in [0,1]; got k1=$k1 b=$b")
-        val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
         val tok = c.df.select(col(idCol).as("doc_id"),
           explode(tokens(col(textCol))).as("term"))
+        // N and avgdl from ONE bounded declared driver read (a single row):
+        // avgdl = Σ dl / N = total token rows / distinct docs, so both
+        // statistics fall out of the same aggregate over the token stream
+        val statsRow = tok.agg(countDistinct(col("doc_id")).as("_n"),
+          count(lit(1)).as("_t")).collect()(0)
+        val n = statsRow.getLong(0)
+        val avgdl = statsRow.getLong(1).toDouble / n
         val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
           .repartition(col("term"))
         val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
         val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("_dl"))
-        // avgdl: one bounded declared driver read (a single row), the
-        // compile-time-introspection pattern every stats op uses
-        val avgdl = dl.agg((sum(col("_dl")) / count(lit(1))).as("a"))
-          .collect()(0).getAs[Any]("a") match {
-            case d: java.math.BigDecimal => d.doubleValue()
-            case d: Double => d
-            case other => other.toString.toDouble
-          }
         val idfCol = log(lit(1.0) +
           (lit(n.toDouble) - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
         val tfNorm = (col("tf") * lit(k1 + 1.0)) /

@@ -102,6 +102,29 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clusterer"))
   }
 
+  test("containment measure finds subset documents Jaccard misses") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, core), // 8 tokens -> contained verbatim in 2
+      (2L, core + " plus a very long tail of extra content " +
+        Seq.fill(40)("filler").mkString(" ")),
+      (3L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val c = Chain(spark, "docs", docs)
+    val cont = c.ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9,
+      measure = "containment")
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"doc 1 is fully contained in doc 2: $cont")
+    // symmetric jaccard can't see it at any high threshold
+    val jac = c.ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.5)
+      .df.collect()
+    assert(jac.isEmpty, s"jaccard(1,2) is far below 0.5: ${jac.mkString(",")}")
+    val e = intercept[IllegalArgumentException](
+      c.ngramJaccardPairs("doc_id", "text", measure = "dice"))
+    assert(e.getMessage.contains("measure"))
+  }
+
   test("bandsForThreshold lands the LSH S-curve at the declared threshold") {
     import graft.ext.DedupOps.bandsForThreshold
     // threshold 0.8 with 32 hashes: b=8 (midpoint ~0.59) -> per-pair
