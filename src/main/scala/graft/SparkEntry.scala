@@ -542,6 +542,17 @@ object SparkEntry {
             shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df
       }),
       // fixed-corpus face, same rationale as q_dedup_minhash
+      // incremental SEMANTIC ingest dedup: even-id vectors are the saved
+      // IVF index, odd-id vectors the batch; drops are exact-verified
+      // (QuantGateSpec floors the recall vs exact cross-split cosine)
+      "q_dedup_incremental_sem" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = emb.filterRows(Seq("vec_id % 2 = 0"))
+          .ivfIndex("vec_id", "embedding", nlist = 16)
+        emb.filterRows(Seq("vec_id % 2 = 1"))
+          .dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.4, nprobe = 8)
+          .dropColumns(includeCols = Seq("vec_id", "label")).df
+      }),
       "q_dedup_simhash" -> ((s, d) =>
         Chain(s, "doc_fixtures", docFixtureDf(s))
           .simhashPairs("doc_id", "text", maxHamming = 16).df),

@@ -244,6 +244,49 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
   }
 
+  /** dedup_against_ivf_index(index, id, vec, threshold): INCREMENTAL
+    * semantic dedup — drop every row of THIS chain (the ingest batch)
+    * whose exact cosine against ANY vector in the saved [[ivfIndex]]
+    * reaches `threshold`; survivors keep all columns. The embedding
+    * sibling of [[graft.ext.DedupOps.dedupAgainstIndex]]: history is
+    * never re-mined, per-batch work is the batch's cell probes.
+    *
+    * Each batch vector probes its `nprobe` nearest cells (centroids come
+    * off the index's own rows, so probe geometry always matches the
+    * stored assignments) and is exact-cosine-verified against those
+    * cells' members only — so a "drop" is always TRUE (verified ≥
+    * threshold); what `nprobe` dials is recall of drops near cell
+    * boundaries, the same trade as `nassign` in
+    * [[graft.ext.DedupClusterOps.dedupNearEmbedding]]. Survivors are
+    * meant to be appended to the index via
+    * [[ivfIndexAssign]] + `saveAppend`, closing the ingest loop.
+    */
+  def dedupAgainstIvfIndex(index: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nprobe: Int = 4): Chain = {
+    require(Seq("_cid", "_id", "_v", "_n").forall(index.columns.contains),
+      s"index must have columns (_cid, _id, _v, _n) from ivfIndex; got ${index.columns.mkString(", ")}")
+    val centroids = broadcast(index.where(col("_id").isNull)
+      .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    val qs = c.df.select(col(idCol).cast("long").as("_qid"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+    val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
+    val probeW = Window.partitionBy(col("_qid"))
+      .orderBy(col("_qs").desc, col("_cid").asc)
+    val probes = qs.crossJoin(centroids)
+      .select(col("_qid"), col("_vq"), col("_nq"), col("_cid"), qSim.as("_qs"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_vq"), col("_nq"), col("_cid"))
+    val cos = Exact.dot(col("_vq"), col("_v")) / col("_nq") / col("_n")
+    val dropIds = index.where(col("_id").isNotNull)
+      .join(broadcast(probes), Seq("_cid"))
+      .where(cos >= threshold)
+      .select(col("_qid")).distinct()
+    val survivors = c.df.join(dropIds,
+      c.df(idCol).cast("long") === dropIds("_qid"), "left_anti")
+    c.next("dedup_against_ivf_index", survivors, None)
+  }
+
   /** LSH top-k: the first `bands × rows` bits of the sign-projection
     * sketch ([[graft.functions.SignSketch]], native codegen) are sliced
     * into `bands` keys of `rows` bits; candidates are corpus vectors

@@ -275,6 +275,31 @@ class QuantGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates"))
   }
 
+  test("incremental semantic dedup: ivf-index probe drops only true near-dups, recall gated") {
+    import org.apache.spark.sql.functions.col
+    val emb = table("embeddings")
+    val idxSide = Chain(spark, "e", emb.df.where("vec_id % 2 = 0"))
+    val batch = Chain(spark, "b", emb.df.where("vec_id % 2 = 1"))
+    val idx = idxSide.ivfIndex("vec_id", "embedding", nlist = 16)
+    val kept = batch.dedupAgainstIvfIndex(idx.df, "vec_id", "embedding",
+      threshold = 0.4, nprobe = 8)
+      .df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = batchIds -- kept
+    // exact cross-split truth: odd ids with cosine >= 0.4 to SOME even id
+    val truth = emb.embeddingCosinePairs("vec_id", "embedding", 0.4)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .flatMap { case (a, b) => Seq(a, b) }.filter(_ % 2 == 1).toSet
+    // every drop is exact-cosine verified against an indexed vector — no
+    // false drops, by construction
+    assert((dropped -- truth).isEmpty,
+      s"probe dropped non-near-dups: ${(dropped -- truth).take(5)}")
+    assert(truth.nonEmpty, "test embeddings must contain cross-split near-dups")
+    val recall = (dropped & truth).size.toDouble / truth.size
+    assert(recall >= 0.7, f"ivf-probe drop recall $recall%.3f < 0.7 (nprobe=8/nlist=16)")
+  }
+
   test("frequent-items sketches: exact under capacity, bounds honest and split/merge stable beyond it") {
     val li = table("lineitem")
     // EXACT regime: capacity 64 >> the handful of distinct line numbers —
