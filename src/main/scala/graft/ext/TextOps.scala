@@ -270,10 +270,14 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * `contamination_<n>` ∈ [0, 1]. A boolean flag treats one shared
     * boilerplate phrase and a verbatim eval copy identically; the
     * fraction is what a decontamination policy actually thresholds
-    * ("drop > 10% overlap, audit 1–10%"). Scale shape: one distinct
-    * eval-gram broadcast, corpus grams hashed scan-side (codegen
-    * [[graft.functions.ShingleHashes]] — already distinct per doc), one
-    * doc-keyed exchange REUSED by both the total and the hit counts.
+    * ("drop > 10% overlap, audit 1–10%"). Scale shape: ONE corpus scan —
+    * grams hashed scan-side (codegen [[graft.functions.ShingleHashes]],
+    * already distinct per doc), each gram flagged against the broadcast
+    * distinct eval-gram set by a left join, and BOTH counts (total,
+    * hits) fall out of a single doc-keyed aggregate. A two-branch
+    * total/hit formulation re-scans and re-hashes the corpus (the
+    * semi-join pushes below any shared barrier, defeating exchange
+    * reuse) — at corpus scale the scan is the expensive part.
     */
   def contaminationScore(eval: Chain, idCol: String, textCol: String, n: Int = 8,
                          scoreCol: String = ""): Chain = {
@@ -281,15 +285,14 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val evalGrams = eval.df
       .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
       .distinct()
-    // barrier on the doc key: the gram explode feeds BOTH counts through
-    // one exchange (ReusedExchange), and neither re-derives the hashes
+      .withColumn("_hit", lit(1))
     val corpusGrams = c.df.select(col(idCol).as("_cid"),
       explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
-      .repartition(col("_cid"))
-    val tot = corpusGrams.groupBy(col("_cid")).agg(count(lit(1)).as("_t"))
-    val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
-      .groupBy(col("_cid")).agg(count(lit(1)).as("_hits"))
-    val stats = tot.join(hit, Seq("_cid"), "left")
+    // eval grams are distinct, so the left join matches each corpus gram
+    // at most once — count(_hit) = grams shared with the eval set
+    val stats = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left")
+      .groupBy(col("_cid"))
+      .agg(count(lit(1)).as("_t"), count(col("_hit")).as("_hits"))
     val df2 = c.df.join(stats, col(idCol) === col("_cid"), "left")
       .withColumn(out, coalesce(col("_hits").cast("double") / col("_t"), lit(0.0)))
       .drop("_cid", "_t", "_hits")
@@ -435,16 +438,21 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
           count(lit(1)).as("_t")).collect()(0)
         val n = statsRow.getLong(0)
         val avgdl = statsRow.getLong(1).toDouble / n
-        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // shuffle discipline (plan-audited): the doc-keyed barrier serves
+        // BOTH the (doc,term) tf aggregate (doc partitioning satisfies the
+        // clustered distribution) and the doc-length window — dl rides the
+        // tf frame instead of forcing a term→doc→term join detour; then
+        // ONE term repartition serves the df aggregate and both term joins
+        val tfDl = tok.repartition(col("doc_id"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .withColumn("_dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
           .repartition(col("term"))
-        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("_dl"))
+        val dft = tfDl.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
         val idfCol = log(lit(1.0) +
           (lit(n.toDouble) - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
         val tfNorm = (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
-        tf.join(dft, Seq("term")).join(dl, Seq("doc_id"))
-          .join(qt, Seq("term"))
+        tfDl.join(dft, Seq("term")).join(qt, Seq("term"))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(graft.core.Exact.sum(col("_qtf") * idfCol * tfNorm).as("score"))
       case other => throw new IllegalArgumentException(
