@@ -565,6 +565,15 @@ object SparkEntry {
         t(s, d, "embeddings")
           .dedupNearEmbedding("vec_id", "embedding", 0.4)
           .dropColumns(includeCols = Seq("vec_id", "label")).df),
+      // int8 storage quantization, exploded to scalars for the oracle:
+      // pure elementwise arithmetic, bit-identical across engines
+      "q_quantize_embedding" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        val q = t(s, d, "embeddings").quantizeEmbeddings("embedding")
+        q.df.select(col("vec_id"), col("embedding_qscale"),
+          posexplode(col("embedding_q")).as(Seq("pos", "qval")))
+          .select(col("vec_id"), col("pos"), col("qval"), col("embedding_qscale"))
+      }),
       "q_sim_topk" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
         emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
@@ -1275,6 +1284,14 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, emb.vec_id) " +
           "ORDER BY emb.vec_id ASC) AS rn " +
           "FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id) WHERE rn = 1"),
+      "q_quantize_embedding" ->
+        ("WITH s AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings), " +
+          "sc AS (SELECT vec_id, CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS qscale FROM s) " +
+          "SELECT e.vec_id, CAST(i - 1 AS INTEGER) AS pos, " +
+          "CAST(floor(CAST(embedding[i] AS DOUBLE) / qscale + 0.5) AS TINYINT) AS qval, " +
+          "qscale AS embedding_qscale " +
+          "FROM embeddings e JOIN sc USING (vec_id), " +
+          "LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u"),
       "q_sim_topk" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
       // literal-pinned hash-kernel oracles over the fixed fixture corpora.

@@ -244,6 +244,39 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
   }
 
+  /** quantize_embeddings(vec): symmetric per-vector int8 quantization —
+    * `<vec>_q: array<tinyint>` + `<vec>_qscale: double`, with
+    * `q_i = floor(x_i / qscale + 0.5)` and `qscale = maxabs / 127`
+    * (zero vectors quantize to zeros at scale 1). A float32 embedding
+    * column is usually the dominant byte volume of a vector corpus; int8
+    * cuts the stored index (IVF cells, ANN reranks) 4× at a recall cost
+    * the spec gates. One interpreted higher-order pass per row — a
+    * STORAGE op run once at ingest, not in a per-pair hot path (the hot
+    * paths stay on the codegen kernels).
+    */
+  def quantizeEmbeddings(vecCol: String): Chain = {
+    val qName = graft.core.Naming.cleanse(s"${vecCol}_q")
+    val sName = graft.core.Naming.cleanse(s"${vecCol}_qscale")
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(maxabs > 0, maxabs / lit(127.0)).otherwise(lit(1.0))
+    val df2 = c.df
+      .withColumn(sName, scale)
+      .withColumn(qName,
+        transform(col(vecCol), x =>
+          floor(x.cast("double") / col(sName) + lit(0.5)).cast("tinyint")))
+    c.next("quantize_embeddings", df2, None)
+  }
+
+  /** dequantize_embeddings(q, scale, as): reconstruct `x̂_i = q_i·scale`
+    * as an array<float> usable by every ANN op. Reconstruction error is
+    * bounded by scale/2 per coordinate (≤ maxabs/254).
+    */
+  def dequantizeEmbeddings(qCol: String, scaleCol: String, as: String): Chain =
+    c.next("dequantize_embeddings",
+      c.df.withColumn(as,
+        transform(col(qCol), v => (v.cast("double") * col(scaleCol)).cast("float"))),
+      None)
+
   /** dedup_against_ivf_index(index, id, vec, threshold): INCREMENTAL
     * semantic dedup — drop every row of THIS chain (the ingest batch)
     * whose exact cosine against ANY vector in the saved [[ivfIndex]]

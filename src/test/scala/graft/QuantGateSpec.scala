@@ -275,6 +275,31 @@ class QuantGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates"))
   }
 
+  test("int8 quantization: bounded reconstruction error, recall@10 gated") {
+    import org.apache.spark.sql.functions._
+    val emb = table("embeddings")
+    val deq = emb.quantizeEmbeddings("embedding")
+      .dequantizeEmbeddings("embedding_q", "embedding_qscale", "emb_hat")
+    // per-coordinate reconstruction error <= scale/2, exactly as documented
+    val bad = deq.df.select(explode(zip_with(col("embedding"), col("emb_hat"),
+      (a, b) => abs(a.cast("double") - b.cast("double")))).as("err"),
+      (col("embedding_qscale") / 2 + lit(1e-7)).as("bound"))
+      .where(col("err") > col("bound")).count()
+    assert(bad == 0, s"$bad coordinates exceed the scale/2 reconstruction bound")
+    // ANN over the dequantized corpus recalls the exact top-10
+    val qs = emb.df.where("vec_id < 5")
+    def top10(chain: Chain, vc: String): Map[Long, Set[Long]] =
+      chain.cosineTopK(qs, "vec_id", vc, 10)
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = top10(emb, "embedding")
+    val approx = top10(Chain(spark, "dq",
+      deq.df.drop("embedding").withColumnRenamed("emb_hat", "embedding")), "embedding")
+    val recalls = exact.keys.map(q => (approx(q) & exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, f"int8 recall@10 $mean%.3f < 0.85")
+  }
+
   test("incremental semantic dedup: ivf-index probe drops only true near-dups, recall gated") {
     import org.apache.spark.sql.functions.col
     val emb = table("embeddings")
