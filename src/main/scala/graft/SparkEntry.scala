@@ -361,6 +361,11 @@ object SparkEntry {
     "q_sample_group_k" -> ((s, d) =>
       t(s, d, "lineitem").sampleGroupK(Seq("l_returnflag"), 200,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
+    // same kept-set as q_sample_group_k, computed as the mergeable bounded
+    // aggregate (map-side combine) — the two faces must stay hash-equal
+    "q_sample_group_k_agg" -> ((s, d) =>
+      t(s, d, "lineitem").sampleGroupKAgg(Seq("l_returnflag"), 200,
+        Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
     "q_sample_hash" -> ((s, d) =>
       t(s, d, "lineitem").sampleHash(0.1,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
@@ -991,6 +996,14 @@ object SparkEntry {
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
     "q_sample_group_k" ->
+      ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+        "CAST(l_partkey AS VARCHAR))) ASC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) ASC) AS _rn FROM lineitem) " +
+        "WHERE _rn <= 200"),
+    // the aggregate face keeps the identical set: k smallest by
+    // (md5(key), key), key unique per lineitem row
+    "q_sample_group_k_agg" ->
       ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
         "ORDER BY md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
         "CAST(l_partkey AS VARCHAR))) ASC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +

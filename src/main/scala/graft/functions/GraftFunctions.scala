@@ -113,6 +113,10 @@ object GraftFunctions {
     "freq_topk" -> { args =>
       arity("freq_topk", 2, args)
       FreqTopK(args(0), args(1))
+    },
+    "bottomk_hash_agg" -> { args =>
+      arity("bottomk_hash_agg", 3, args)
+      BottomKHashAgg(args(0), args(1), intLit("bottomk_hash_agg", "k")(args(2)))
     })
 
   private def info(name: String): ExpressionInfo =

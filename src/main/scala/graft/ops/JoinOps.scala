@@ -193,6 +193,37 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         s"WHERE _sgk_rn <= $k"))
   }
 
+  /** sample_group_k_agg(group_by, k, key_cols): same kept-set contract as
+    * [[sampleGroupK]] (k rows per group by deterministic (md5(key), key)
+    * order; identical results whenever the key is unique per row) but
+    * computed as a MERGEABLE bounded aggregate
+    * ([[graft.functions.GroupBottomK]]) instead of a window. The window
+    * face shuffles every row to its group before discarding; this face
+    * keeps at most k candidates per group per map task and shuffles only
+    * those — the shape that survives "top 10k docs per language" over a
+    * 100 TB corpus where each group holds billions of rows.
+    */
+  def sampleGroupKAgg(groupBy: Seq[String], k: Int, keyCols: Seq[String]): Chain = {
+    require(groupBy.nonEmpty, "sample_group_k_agg needs group columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "sample_group_k_agg needs key columns")
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    val cols = c.df.columns.toSeq
+    val payload = struct(cols.map(col): _*)
+    val df2 = c.df.groupBy(groupBy.map(col): _*)
+      .agg(graft.functions.GroupBottomK.bottomKHashAgg(key, payload, k).as("_kept"))
+      .select(explode(col("_kept")).as("_r"))
+      .select(cols.map(n => col(s"_r.$n").as(n)): _*)
+    // the rendered SQL face is the window formulation — the relation is the
+    // same; the aggregate is a physical-shape choice SQL text can't express
+    val keySql = s"concat_ws('|', ${keyCols.map(kc => s"CAST($kc AS STRING)").mkString(", ")})"
+    c.next("sample_group_k_agg", df2, Some(
+      s"SELECT * EXCEPT (_sgk_rn) FROM (SELECT *, ROW_NUMBER() OVER (" +
+        s"PARTITION BY ${groupBy.mkString(", ")} " +
+        s"ORDER BY md5($keySql) ASC, $keySql ASC) AS _sgk_rn FROM {{source}}) " +
+        s"WHERE _sgk_rn <= $k"))
+  }
+
   def sampleHashStratified(
       strataCol: String,
       fractions: Seq[(String, Double)],

@@ -126,6 +126,27 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](li.applySql("TRUNCATE TABLE y"))
   }
 
+  test("sample_group_k_agg equals the window face and partial-aggregates map-side") {
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val win = table("lineitem").sampleGroupK(Seq("l_returnflag"), 20, keys).df
+    val agg = table("lineitem").sampleGroupKAgg(Seq("l_returnflag"), 20, keys).df
+    assert(rows(agg) == rows(win))
+    // the point of the aggregate face: a partial (map-side) ObjectHashAggregate
+    // bounds what the exchange carries to ~k candidates per group per task
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_bottomk_hash_agg"))
+    // SQL face of the registered kernel keeps the same kept-set
+    table("lineitem")
+    val viaSql = spark.sql(
+      "SELECT _r.* FROM (SELECT explode(bottomk_hash_agg(" +
+        "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), CAST(l_partkey AS STRING)), " +
+        "struct(l_orderkey, l_linenumber, l_partkey, l_returnflag), 20)) AS _r " +
+        "FROM lineitem GROUP BY l_returnflag)")
+    val viaDf = agg.selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+    assert(rows(viaSql) == rows(viaDf))
+  }
+
   test("save guards against silent overwrite") {
     val c = table("region")
     c.save("t_save_guard", "TABLE", overwrite = true)
