@@ -618,6 +618,21 @@ object SparkEntry {
           planes = 64, rerankPerQuery = 12)
           .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
+      // PCA on the pinned lattice fixtures: the fit is a bounded
+      // hash-deterministic driver computation (cyclic Jacobi, fixed sign
+      // convention) and the codegen projection a pure function, so the
+      // 1e-4-quantized components pin exactly; variance/recall floors on
+      // the real embeddings stay gated in QuantGateSpec
+      "q_pca_project" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode, round}
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        val model = emb.pcaFit("vec_id", "embedding", dim = 4)
+        emb.pcaProject(model.df, "embedding", "emb_p")
+          .df.where(col("vec_id") < 6)
+          .select(col("vec_id"), posexplode(col("emb_p")).as(Seq("pos", "comp")))
+          .select(col("vec_id"), col("pos"),
+            round(col("comp") * 10000).cast("long").as("qcomp"))
+      }),
       "q_multimodal_decode" -> ((s, d) =>
         t(s, d, "documents").withMediaColumn("text")
           .decodeMedia("media")
@@ -1326,6 +1341,18 @@ object SparkEntry {
       "q_dedup_simhash" ->
         ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS INTEGER)), " +
           "(3, 4, 6), (5, 6, 0)) AS t(id_a, id_b, hamming)"),
+      // PCA of the pinned lattice fixtures is a pure function (driver-side
+      // deterministic fit + codegen projection); components quantized at
+      // 1e-4 pin exactly
+      "q_pca_project" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS INTEGER), CAST(-27535 AS BIGINT)), " +
+          "(0, 1, -41331), (0, 2, -25702), (0, 3, 497), " +
+          "(1, 0, 73948), (1, 1, -5528), (1, 2, -79), (1, 3, 4938), " +
+          "(2, 0, -20592), (2, 1, 50669), (2, 2, -22866), (2, 3, -7295), " +
+          "(3, 0, -25495), (3, 1, -2044), (3, 2, 50604), (3, 3, 7328), " +
+          "(4, 0, -29390), (4, 1, -45075), (4, 2, -29008), (4, 3, -5736), " +
+          "(5, 0, 73803), (5, 1, -4211), (5, 2, 77), (5, 3, 3149)) " +
+          "AS t(vec_id, pos, qcomp)"),
       "q_sim_topk_hamming" ->
         ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
           "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +
