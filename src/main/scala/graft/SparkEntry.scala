@@ -394,6 +394,30 @@ object SparkEntry {
     Map(
       "q_text_tokens" -> ((s, d) => t(s, d, "documents").tokenCounts("text").df),
       "q_text_quality" -> ((s, d) => t(s, d, "documents").qualityScore("text").df),
+    // pinned-coefficient scoring face of logisticRegression: the logit is a
+    // fixed left-associated double multiply-add chain — IEEE-exact on both
+    // engines, so it hash-compares without float-literal round-trips (the
+    // IRLS fit itself is exp-dependent and stays spec-gated)
+    "q_logistic_score" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length, size}
+      val docs = t(s, d, "documents").transformDf("features")(df => df
+        .withColumn("f_len", length(col("text")).cast("double"))
+        .withColumn("f_tok",
+          size(graft.ext.TextOps.tokens(col("text"))).cast("double")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("coef",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, "(intercept)", -2.5),
+        org.apache.spark.sql.Row(1, "f_len", 0.003),
+        org.apache.spark.sql.Row(2, "f_tok", 0.02))
+      docs.scoreLogistic(s.createDataFrame(rows, schema), "q").df
+        .select(col("doc_id"), col("q_logit"), (col("q_logit") > 0).as("flag"))
+    }),
       "q_text_langid" -> ((s, d) => t(s, d, "documents").langId("text").df),
       "q_text_fingerprint" -> ((s, d) =>
         t(s, d, "documents").fingerprintCol("text").df),
@@ -1117,6 +1141,12 @@ object SparkEntry {
         s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
       "q_text_fingerprint" ->
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
+      // fixed left-assoc double multiply-add — IEEE-exact on both engines
+      "q_logistic_score" ->
+        (s"SELECT doc_id, CAST(-2.5 AS DOUBLE) + CAST(LENGTH(text) AS DOUBLE) * CAST(0.003 AS DOUBLE) + " +
+          s"CAST(len($toks) AS DOUBLE) * CAST(0.02 AS DOUBLE) AS q_logit, " +
+          s"(CAST(-2.5 AS DOUBLE) + CAST(LENGTH(text) AS DOUBLE) * CAST(0.003 AS DOUBLE) + " +
+          s"CAST(len($toks) AS DOUBLE) * CAST(0.02 AS DOUBLE)) > 0 AS flag FROM documents"),
       "q_search_tfidf" ->
         (s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
           "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +

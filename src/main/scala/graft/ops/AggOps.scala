@@ -51,6 +51,45 @@ private[graft] object AggFns {
       case f => s"${f.toUpperCase}($colName)"
     }
   }
+
+  /** Solve the augmented system [A | b] (a: d×(d+1), modified in place) by
+    * Gaussian elimination with partial pivoting — deterministic fixed-order
+    * arithmetic for the tiny IRLS normal equations. Throws on a singular
+    * pivot (ridge regularization prevents this on real fits).
+    */
+  private[graft] def solveLinearSystem(a: Array[Array[Double]]): Array[Double] = {
+    val d = a.length
+    var colIdx = 0
+    while (colIdx < d) {
+      var piv = colIdx
+      var r = colIdx + 1
+      while (r < d) {
+        if (math.abs(a(r)(colIdx)) > math.abs(a(piv)(colIdx))) piv = r
+        r += 1
+      }
+      require(a(piv)(colIdx) != 0.0,
+        s"singular normal matrix at column $colIdx — add ridge or drop collinear features")
+      if (piv != colIdx) { val tmp = a(piv); a(piv) = a(colIdx); a(colIdx) = tmp }
+      r = colIdx + 1
+      while (r < d) {
+        val f = a(r)(colIdx) / a(colIdx)(colIdx)
+        var j = colIdx
+        while (j <= d) { a(r)(j) -= f * a(colIdx)(j); j += 1 }
+        r += 1
+      }
+      colIdx += 1
+    }
+    val x = new Array[Double](d)
+    var i = d - 1
+    while (i >= 0) {
+      var s = a(i)(d)
+      var j = i + 1
+      while (j < d) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
 }
 
 /** Aggregations — reference transforms #18-23 (SURVEY §2.2): aggregate,
@@ -536,6 +575,99 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"SELECT ${gCols}CASE WHEN $bothSql THEN CAST($x AS DOUBLE) END AS _x, " +
         s"CASE WHEN $bothSql THEN CAST($y AS DOUBLE) END AS _y FROM {{source}})$gBy))"
     c.next("linear_regression", df2, Some(frag))
+  }
+
+  /** logistic_regression(y, xs, iters, ridge): binary-response (y ∈ {0,1})
+    * logistic fit by IRLS — the TRAINABLE counterpart of the heuristic
+    * [[graft.ext.TextOps.qualityScore]]: a linear classifier over cheap
+    * text features is the fastText/CCNet-shaped quality filter stage of an
+    * LLM data pipeline. Each iteration is ONE distributed aggregation pass
+    * computing the weighted Gram matrix X'WX (d(d+1)/2 exact-decimal sums,
+    * d = |xs|+1 with intercept) and gradient X'Wz; the d×d normal system is
+    * solved on the driver by Gaussian elimination with partial pivoting —
+    * the declared bounded compile-time-introspection pattern (d is tiny;
+    * the data never leaves the cluster). Deterministic: per-row terms are
+    * double (order-free), accumulation is decimal (order-independent), the
+    * solve is fixed-order — same data ⇒ same coefficients under any
+    * partitioning (spec-asserted). Rows with a null label or feature are
+    * excluded; `ridge` keeps separable data finite.
+    *
+    * Output: one row per coefficient `(idx, feature, coef)`, intercept
+    * first. Scale note: the fit runs `iters` passes over the chain — at
+    * corpus scale fit on a hash-sampled or cached chain (`sampleHash`);
+    * the resulting model scores the full corpus in one codegen pass via
+    * [[scoreLogistic]].
+    */
+  def logisticRegression(y: String, xs: Seq[String], iters: Int = 8,
+                         ridge: Double = 1e-6): Chain = {
+    require(xs.nonEmpty, "logistic_regression needs feature columns")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(ridge >= 0.0, s"ridge must be >= 0, got $ridge")
+    val d = xs.length + 1
+    val notNull = (col(y) +: xs.map(col)).map(_.isNotNull).reduce(_ && _)
+    val base = c.df.where(notNull)
+    def wide8(e: Column) = sum(e.cast(DecimalType(38, 8))).cast("double")
+    val feats: Seq[Column] = lit(1.0) +: xs.map(col(_).cast("double"))
+    val yc = col(y).cast("double")
+    var beta = Array.fill(d)(0.0)
+    var it = 0
+    while (it < iters) {
+      val eta = feats.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = greatest(mu * (lit(1.0) - mu), lit(1e-10))
+      val z = eta + (yc - mu) / w
+      val gramAggs = for { i <- 0 until d; j <- i until d }
+        yield wide8(w * feats(i) * feats(j)).as(s"_g_${i}_$j")
+      val gradAggs = (0 until d).map(i => wide8(w * feats(i) * z).as(s"_b_$i"))
+      val aggsAll = (gramAggs ++ gradAggs).toSeq
+      val rrow = base.agg(aggsAll.head, aggsAll.tail: _*).head()
+      require(!rrow.isNullAt(0),
+        "logistic_regression: no rows with non-null label and features")
+      val a = Array.ofDim[Double](d, d + 1)
+      var k = 0
+      for { i <- 0 until d; j <- i until d } {
+        val v = rrow.getDouble(k); a(i)(j) = v; a(j)(i) = v; k += 1
+      }
+      var i = 0
+      while (i < d) {
+        a(i)(d) = rrow.getDouble(k); k += 1; a(i)(i) += ridge; i += 1
+      }
+      beta = AggFns.solveLinearSystem(a)
+      it += 1
+    }
+    val names = "(intercept)" +: xs
+    val modelRows: java.util.List[Row] = java.util.Arrays.asList(
+      names.indices.map(i => Row(i, names(i), beta(i))): _*)
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("coef", DoubleType, nullable = false)))
+    c.next("logistic_regression",
+      c.df.sparkSession.createDataFrame(modelRows, schema), None)
+  }
+
+  /** score_logistic(model, as): apply a [[logisticRegression]] model to
+    * this chain — adds `<as>_logit` = β·x built as a fixed left-associated
+    * multiply-add chain (IEEE-exact, so the score reproduces bit-for-bit
+    * on any engine — the hash-oracle face) and `<as>_prob` = sigmoid of
+    * it. One bounded driver collect of the d model rows; the scoring
+    * itself is a plain codegen projection over the corpus.
+    */
+  def scoreLogistic(model: DataFrame, as: String = "score"): Chain = {
+    require(Seq("idx", "feature", "coef").forall(model.columns.contains),
+      s"model must have columns (idx, feature, coef) from logisticRegression; " +
+        s"got ${model.columns.mkString(", ")}")
+    val rows = model.select(col("idx"), col("feature"), col("coef"))
+      .orderBy(col("idx").asc).collect()
+    require(rows.nonEmpty && rows.head.getString(1) == "(intercept)",
+      "model must start with the (intercept) row at idx 0")
+    val logit = rows.tail.foldLeft(lit(rows.head.getDouble(2))) { (acc, r) =>
+      acc + col(r.getString(1)).cast("double") * lit(r.getDouble(2))
+    }
+    c.next("score_logistic", c.df
+      .withColumn(s"${as}_logit", logit)
+      .withColumn(s"${as}_prob",
+        lit(1.0) / (lit(1.0) + exp(-col(s"${as}_logit")))), None)
   }
 
   /** market_basket(transaction_id, agg_column, sep): items per transaction

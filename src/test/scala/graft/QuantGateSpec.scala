@@ -275,6 +275,52 @@ class QuantGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates"))
   }
 
+  test("logistic regression: deterministic IRLS, beats the null model, AUC floor") {
+    import org.apache.spark.sql.functions._
+    val feat = table("documents").df
+      .withColumn("f_len", length(col("text")).cast("double"))
+      .withColumn("f_tok", size(graft.ext.TextOps.tokens(col("text"))).cast("double"))
+    // deterministic standardized label: long docs are "quality" — monotone
+    // in a feature the model sees, so a working fit must separate it
+    val stats = feat.agg(avg("f_len").as("m"), stddev_pop("f_len").as("s")).head()
+    val (m, sd) = (stats.getDouble(0), stats.getDouble(1))
+    val labeled = feat.withColumn("label",
+      (((col("f_len") - lit(m)) / lit(sd)) > 0).cast("int"))
+    def fit(): Array[(String, Double)] =
+      Chain(spark, "docs_lab", labeled)
+        .logisticRegression("label", Seq("f_len", "f_tok"), iters = 8)
+        .df.orderBy("idx").collect().map(r => (r.getString(1), r.getDouble(2)))
+    val model = fit()
+    assert(model.map(_._1).toSeq == Seq("(intercept)", "f_len", "f_tok"))
+    // exact-decimal accumulation: identical coefficients under any partitioning
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(fit().sameElements(model), "coefficients depend on partitioning")
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // scoring face: AUC over the training labels (monotone signal → ~1)
+    val modelDf = Chain(spark, "docs_lab", labeled)
+      .logisticRegression("label", Seq("f_len", "f_tok"), iters = 8).df
+    val scored = Chain(spark, "docs_lab", labeled)
+      .scoreLogistic(modelDf, "q").df
+      .select(col("q_prob"), col("label")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val auc = pos.iterator.map(p =>
+      neg.count(n => n < p) + 0.5 * neg.count(n => n == p)).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc >= 0.95, f"AUC $auc%.3f < 0.95")
+    // fitted model beats the intercept-only (null) log-loss
+    val p0 = pos.length.toDouble / scored.length
+    val nullLoss = -(p0 * math.log(p0) + (1 - p0) * math.log(1 - p0))
+    val eps = 1e-12
+    val fitLoss = scored.iterator.map { case (p, y) =>
+      -(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))
+    }.sum / scored.length
+    assert(fitLoss < nullLoss, f"fit log-loss $fitLoss%.4f >= null $nullLoss%.4f")
+  }
+
   test("pca: orthonormal axes, explained-variance and projected-recall floors") {
     import org.apache.spark.sql.functions._
     val emb = table("embeddings")
