@@ -664,10 +664,19 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val logit = rows.tail.foldLeft(lit(rows.head.getDouble(2))) { (acc, r) =>
       acc + col(r.getString(1)).cast("double") * lit(r.getDouble(2))
     }
+    // SQL face: coefficients as CAST('<repr>' AS DOUBLE) — string→double
+    // parse round-trips exactly, so the rendered text scores identically
+    val logitSql = rows.tail.foldLeft(
+      s"CAST('${rows.head.getDouble(2)}' AS DOUBLE)") { (acc, r) =>
+      acc + s" + CAST(${r.getString(1)} AS DOUBLE) * CAST('${r.getDouble(2)}' AS DOUBLE)"
+    }
     c.next("score_logistic", c.df
       .withColumn(s"${as}_logit", logit)
       .withColumn(s"${as}_prob",
-        lit(1.0) / (lit(1.0) + exp(-col(s"${as}_logit")))), None)
+        lit(1.0) / (lit(1.0) + exp(-col(s"${as}_logit")))), Some(
+      s"SELECT *, $logitSql AS ${as}_logit, " +
+        s"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-($logitSql))) AS ${as}_prob " +
+        s"FROM {{source}}"))
   }
 
   /** market_basket(transaction_id, agg_column, sep): items per transaction
