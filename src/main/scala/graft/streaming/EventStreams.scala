@@ -352,6 +352,80 @@ object EventStreams {
     q
   }
 
+  /** Streaming SEMANTIC ingest via `foreachBatch` — the embedding sibling
+    * of [[sinkDedupAppendToTable]], closing the vector-corpus loop: every
+    * micro-batch (1) drops vectors whose exact cosine against the saved
+    * IVF index reaches `threshold`
+    * ([[graft.ext.SimilarityOps.dedupAgainstIvfIndex]] — drops are always
+    * exact-verified; `nprobe` dials boundary recall), (2) APPENDS the
+    * surviving vectors to the corpus table behind a replay-idempotent id
+    * anti-join, and (3) assigns survivors to their index cells
+    * ([[graft.ext.SimilarityOps.ivfIndexAssign]]) and appends them
+    * cid-bucketed, behind its own id anti-join — so
+    * [[graft.ext.SimilarityOps.searchIvfIndex]] over the index table
+    * always answers for everything ingested so far, and history is never
+    * re-assigned or re-mined. The FIRST non-empty batch trains the index
+    * (bounded driver k-means, [[graft.ext.SimilarityOps.ivfIndex]]);
+    * centroids are frozen thereafter — retrain offline and rebuild if the
+    * embedding distribution drifts far from the bootstrap sample.
+    *
+    * Replay safety (foreachBatch is at-least-once): both appends are
+    * anti-join-guarded by id, so a replayed batch lands only what its
+    * crashed predecessor had not; duplicate drops are harmless (drop
+    * decisions never write). Per batch the corpus and index are read
+    * column-pruned/partition-bucketed; write volume is O(batch).
+    */
+  def sinkEmbeddingAppendToTable(vecs: DataFrame, corpusTable: String, indexTable: String,
+                                 idCol: String, vecCol: String, checkpointDir: String,
+                                 threshold: Double, nprobe: Int = 4,
+                                 nlist: Int = 16,
+                                 indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext._
+    val q = vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val chain = graft.core.Chain(spark, corpusTable, batch)
+          val survivors =
+            if (spark.catalog.tableExists(indexTable))
+              chain.dedupAgainstIvfIndex(spark.table(indexTable), idCol, vecCol,
+                threshold, nprobe)
+            else chain
+          val freshCorpus =
+            if (spark.catalog.tableExists(corpusTable))
+              survivors.df.join(spark.table(corpusTable).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else survivors.df
+          freshCorpus.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(corpusTable)
+          if (!spark.catalog.tableExists(indexTable)) {
+            survivors.ivfIndex(idCol, vecCol, nlist)
+              .saveBucketed(indexTable, Seq("_cid"), indexBuckets)
+          } else {
+            val freshIdx = survivors.df.join(
+              spark.table(indexTable).where(col("_id").isNotNull)
+                .select(col("_id").cast("long").as(idCol)),
+              Seq(idCol), "left_anti")
+            if (!freshIdx.isEmpty)
+              graft.core.Chain(spark, indexTable, freshIdx)
+                .ivfIndexAssign(spark.table(indexTable), idCol, vecCol)
+                .appendBucketed(indexTable, Seq("_cid"), indexBuckets)
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (vecs.sparkSession.catalog.tableExists(corpusTable))
+      vecs.sparkSession.catalog.refreshTable(corpusTable)
+    if (vecs.sparkSession.catalog.tableExists(indexTable))
+      vecs.sparkSession.catalog.refreshTable(indexTable)
+    q
+  }
+
   /** Streaming continuous profile via `foreachBatch`: every micro-batch
     * folds its per-key HLL sketches into a persistent profile table — a
     * COUNT DISTINCT over the whole stream history that never rescans

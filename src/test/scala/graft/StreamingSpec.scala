@@ -205,6 +205,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids3 == Seq(1L, 2L, 4L), s"index must cover batch-2 survivors — got $ids3")
   }
 
+  test("streaming embedding-ingest sink drops semantic near-dups and extends its IVF index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS stream_vec_t")
+    spark.sql("DROP TABLE IF EXISTS stream_vec_idx")
+    // 8-dim near-orthogonal directions with per-vector noise
+    def v(axis: Int, noise: Float): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % 8) noise else 0.0f))
+    def sink(ms: MemoryStream[Vec], ckpt: String) =
+      EventStreams.sinkEmbeddingAppendToTable(ms.toDF(), "stream_vec_t",
+        "stream_vec_idx", "vec_id", "embedding", ckpt,
+        threshold = 0.9, nprobe = 4, nlist = 2, indexBuckets = 4)
+    // batch 1: two distinct directions -> both land, index bootstrapped
+    val ms1 = MemoryStream[Vec]
+    ms1.addData(Vec(1L, v(0, 0.05f)), Vec(2L, v(3, 0.05f)))
+    sink(ms1, Files.createTempDirectory("graft_ckpt_v1").toString)
+    assert(spark.table("stream_vec_t").count() == 2)
+    assert(spark.table("stream_vec_idx").where("_id IS NULL").count() > 0)
+    // batch 2: 3 ~ vector 1 (semantic dup -> dropped), 4 = new direction
+    val ms2 = MemoryStream[Vec]
+    ms2.addData(Vec(3L, v(0, 0.08f)), Vec(4L, v(6, 0.05f)))
+    sink(ms2, Files.createTempDirectory("graft_ckpt_v2").toString)
+    val ids = spark.table("stream_vec_t")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"expected survivors 1,2,4 — got $ids")
+    // the index now covers vector 4: a batch-3 near-copy of it drops too
+    val ms3 = MemoryStream[Vec]
+    ms3.addData(Vec(5L, v(6, 0.02f)))
+    sink(ms3, Files.createTempDirectory("graft_ckpt_v3").toString)
+    val ids3 = spark.table("stream_vec_t")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == Seq(1L, 2L, 4L), s"index must cover batch-2 survivors — got $ids3")
+    // the maintained index answers ANN probes for everything ingested
+    val hits = graft.core.Chain(spark, "probe",
+      Seq(Vec(100L, v(3, 0.04f))).toDF("vec_id", "embedding"))
+      .searchIvfIndex(spark.table("stream_vec_idx"), "vec_id", "embedding",
+        k = 1, nprobe = 2)
+      .df.collect()
+    assert(hits.length == 1 && hits(0).getAs[Long]("neighbor_id") == 2L,
+      s"probe near direction 3 must hit vector 2 — got ${hits.mkString(",")}")
+  }
+
   test("streaming distinct-sketch profile accumulates across batches and survives redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
@@ -350,3 +395,5 @@ case class Evt(event_id: Long, ts: Long, user_id: Long, event_type: String,
                value: Double, props: String)
 
 case class Doc(doc_id: Long, text: String)
+
+case class Vec(vec_id: Long, embedding: Array[Float])
