@@ -445,11 +445,17 @@ object SparkEntry {
       }),
       // BM25-scored retrieval (transcendental idf/length normalization —
       // rank-agreement-gated in QuantGateSpec, rows-only here)
+      // fixed-corpus face: BM25 ranks (integers) over the pinned fixtures
+      // are a pure function of the corpus given the deterministic
+      // score-then-id window order; ranking quality at sf scale stays
+      // gated in QuantGateSpec (rank correlation + self-retrieval)
       "q_search_bm25" -> ((s, d) => {
-        val docs = t(s, d, "documents")
-        val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
-        docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5,
-          scoring = "bm25").df
+        val docs = Chain(s, "doc_fixtures", docFixtureDf(s))
+        val queries = Chain(s, "doc_fixtures", docFixtureDf(s))
+          .filterRows(Seq("doc_id <= 2"))
+        docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 3,
+          scoring = "bm25")
+          .dropColumns(includeCols = Seq("query_id", "doc_id", "rank")).df
       }),
       "q_text_repetition" -> ((s, d) =>
         t(s, d, "documents").repetitionScore("text", n = 3).df),
@@ -549,9 +555,14 @@ object SparkEntry {
       // the corpus-scale dial: same pipeline with banded-LSH candidate
       // mining (estimates, no exact pair verification) — gated in
       // QuantGateSpec against the exact variant, rows-only here
+      // fixed-corpus face: minhash candidate mining is hash-deterministic,
+      // so the end-to-end kept-set pins; sf-scale drop behavior stays
+      // gated in QuantGateSpec
       "q_dedup_near_minhash" -> ((s, d) =>
-        t(s, d, "documents").dedupNear("doc_id", "text", n = 2, threshold = 0.8,
-          keepBy = Seq("n_chars" -> "DESC"), candidates = "minhash").df),
+        Chain(s, "doc_fixtures", docFixtureDf(s))
+          .dedupNear("doc_id", "text", n = 2, threshold = 0.5,
+            candidates = "minhash", numHashes = 32, bands = 8)
+          .dropColumns(includeCols = Seq("doc_id")).df),
       // fixed-corpus face: the banded-LSH pair miner is a pure function of
       // its input, so the oracle pins the exact (id_a, id_b, est_jaccard)
       // rows; sf-scaled recall behavior stays gated in QuantGateSpec
@@ -563,24 +574,28 @@ object SparkEntry {
       // an indexed doc drop, the rest survive (QuantGateSpec floors the
       // recall/precision vs exact cross-split Jaccard)
       "q_dedup_incremental" -> ((s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = Chain(s, "doc_fixtures", docFixtureDf(s))
         val idx = docs.filterRows(Seq("doc_id % 2 = 0"))
           .minhashIndex("doc_id", "text", shingleWords = 2, numHashes = 32, bands = 8)
         docs.filterRows(Seq("doc_id % 2 = 1"))
           .dedupAgainstIndex(idx.df, "doc_id", "text",
-            shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5).df
+            shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5)
+          .dropColumns(includeCols = Seq("doc_id")).df
       }),
       // fixed-corpus face, same rationale as q_dedup_minhash
       // incremental SEMANTIC ingest dedup: even-id vectors are the saved
       // IVF index, odd-id vectors the batch; drops are exact-verified
       // (QuantGateSpec floors the recall vs exact cross-split cosine)
       "q_dedup_incremental_sem" -> ((s, d) => {
-        val emb = t(s, d, "embeddings")
-        val idx = emb.filterRows(Seq("vec_id % 2 = 0"))
-          .ivfIndex("vec_id", "embedding", nlist = 16)
-        emb.filterRows(Seq("vec_id % 2 = 1"))
-          .dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.4, nprobe = 8)
-          .dropColumns(includeCols = Seq("vec_id", "label")).df
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        val idx = emb.filterRows(Seq("vec_id < 12"))
+          .ivfIndex("vec_id", "embedding", nlist = 4)
+        // 0.9921 splits the cross-split max-cosines (0.986-0.9924) with
+        // >= 1.5e-4 margin on every decision — far above FP noise, so the
+        // drop set is stable and the survivor ids pin exactly
+        emb.filterRows(Seq("vec_id >= 12"))
+          .dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.9921, nprobe = 4)
+          .dropColumns(includeCols = Seq("vec_id")).df
       }),
       "q_dedup_simhash" -> ((s, d) =>
         Chain(s, "doc_fixtures", docFixtureDf(s))
@@ -615,18 +630,24 @@ object SparkEntry {
         emb.lshCosineTopK(emb.df.where("vec_id < 4"), "vec_id", "embedding", 5)
           .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
+      // fixed-embedding face: driver k-means is deterministic (seeded,
+      // hash-ordered sample), so the probed cells and exact rerank pin;
+      // sf-scale recall stays gated in QuantGateSpec
       "q_sim_topk_ivf" -> ((s, d) => {
-        val emb = t(s, d, "embeddings")
-        emb.ivfCosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        emb.ivfCosineTopK(emb.df.where("vec_id < 4"), "vec_id", "embedding", 5,
+          nlist = 4, nprobe = 2)
+          .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
       // persistent IVF index: build once, probe through the saved-index
-      // path (QuantGateSpec pins exact equality with the one-shot IVF
-      // path plus the recall floor)
+      // path — must pin the SAME rows as the one-shot q_sim_topk_ivf
+      // (QuantGateSpec additionally asserts path equality + recall at sf)
       "q_sim_topk_ivf_index" -> ((s, d) => {
-        val emb = t(s, d, "embeddings")
-        val idx = emb.ivfIndex("vec_id", "embedding", nlist = 16)
-        Chain(s, "queries", emb.df.where("vec_id < 5"))
-          .searchIvfIndex(idx.df, "vec_id", "embedding", 10).df
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        val idx = emb.ivfIndex("vec_id", "embedding", nlist = 4)
+        Chain(s, "queries", emb.df.where("vec_id < 4"))
+          .searchIvfIndex(idx.df, "vec_id", "embedding", 5, nprobe = 2)
+          .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
       }),
       // sketch-rerank ANN: 256-bit sign sketches score the whole corpus
       // cheaply, exact rerank of the top 25% per query (recall@10 = 1.0 on
@@ -847,7 +868,7 @@ object SparkEntry {
       ((org.apache.spark.sql.functions.col("id") * 37) % 101).cast("double").as("x"))
   }
 
-  private def embFixtureDf(s: SparkSession): DataFrame = {
+  private[graft] def embFixtureDf(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val rows = embFixtures.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
     val schema = StructType(Seq(
@@ -1390,6 +1411,44 @@ object SparkEntry {
           "(2, 18, 1), (2, 14, 2), (2, 6, 3), (2, 10, 4), (2, 22, 5), " +
           "(3, 15, 1), (3, 19, 2), (3, 7, 3), (3, 11, 4), (3, 23, 5)) " +
           "AS t(query_id, neighbor_id, rank)"),
+      // IVF probe (nprobe 2 of 4 cells over the 4-cluster lattice) recalls
+      // the full cluster lists — same pinned rows as the sketch-rerank
+      // face; the saved-index path must answer identically
+      "q_sim_topk_ivf" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +
+          "(1, 17, 1), (1, 13, 2), (1, 5, 3), (1, 21, 4), (1, 9, 5), " +
+          "(2, 18, 1), (2, 14, 2), (2, 6, 3), (2, 10, 4), (2, 22, 5), " +
+          "(3, 15, 1), (3, 19, 2), (3, 7, 3), (3, 11, 4), (3, 23, 5)) " +
+          "AS t(query_id, neighbor_id, rank)"),
+      "q_sim_topk_ivf_index" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +
+          "(1, 17, 1), (1, 13, 2), (1, 5, 3), (1, 21, 4), (1, 9, 5), " +
+          "(2, 18, 1), (2, 14, 2), (2, 6, 3), (2, 10, 4), (2, 22, 5), " +
+          "(3, 15, 1), (3, 19, 2), (3, 7, 3), (3, 11, 4), (3, 23, 5)) " +
+          "AS t(query_id, neighbor_id, rank)"),
+      // BM25 over the fixtures: each query retrieves itself first or
+      // second (1 and 2 are near-dups sharing almost all terms), then the
+      // garden-themed doc 8
+      "q_search_bm25" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(1, 2, 2), (1, 8, 3), (2, 2, 1), (2, 1, 2), (2, 8, 3)) " +
+          "AS t(query_id, doc_id, rank)"),
+      // near-dup pairs (1,2) (3,4) (5,6) cluster; the lowest id of each
+      // survives next to the five distinct docs
+      "q_dedup_near_minhash" ->
+        ("SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (3), (5), (7), (8), (9), (10)) " +
+          "AS t(doc_id)"),
+      // odd-id batch vs even-id indexed history: 1, 3, 5 near-duplicate
+      // their indexed partners and drop; 7, 9 survive
+      "q_dedup_incremental" ->
+        "SELECT * FROM (VALUES (CAST(7 AS BIGINT)), (9)) AS t(doc_id)",
+      // batch vectors 12, 16, 20 exceed the 0.9921 cosine vs indexed
+      // history (first lattice cluster) and drop; the rest survive
+      "q_dedup_incremental_sem" ->
+        ("SELECT * FROM (VALUES (CAST(13 AS BIGINT)), (14), (15), (17), (18), (19), " +
+          "(21), (22), (23)) AS t(vec_id)"),
       // the multi-probe LSH ranking recalls the full cluster lists — same
       // pinned rows as the sketch-rerank face
       "q_sim_topk_lsh" ->
