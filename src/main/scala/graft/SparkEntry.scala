@@ -356,6 +356,17 @@ object SparkEntry {
     "q_join_salted" -> ((s, d) =>
       t(s, d, "lineitem").joinSalted(t(s, d, "orders"), "inner",
         Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 8).df),
+    // row-level dataset diff: synthetic old/new versions of orders —
+    // removed (in old only), added (in new only), changed (priority bumped)
+    "q_diff_tables" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val oldV = t(s, d, "orders").filterRows(Seq("o_orderkey % 3 != 0"))
+      val newV = t(s, d, "orders").filterRows(Seq("o_orderkey % 5 != 0"))
+        .transformDf("bump_priority")(df => df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit("9-DIFF"))
+            .otherwise(col("o_orderpriority"))))
+      oldV.diffAgainst(newV, Seq("o_orderkey")).df
+    }),
     // balanced subsets: exactly 200 lineitems per returnflag, chosen by
     // deterministic hash rank — reproducible under any partitioning
     "q_sample_group_k" -> ((s, d) =>
@@ -1052,6 +1063,23 @@ object SparkEntry {
         "AND l.l_shipdate < iv2.o_orderdate_month_add_10_day"),
     "q_join_salted" ->
       "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    "q_diff_tables" ->
+      ("WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0), " +
+        "n AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN '9-DIFF' ELSE o_orderpriority END AS o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 5 != 0) " +
+        "SELECT o_orderkey, change_type FROM (" +
+        "SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'added' " +
+        "WHEN n.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN o.o_custkey IS DISTINCT FROM n.o_custkey " +
+        "OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus " +
+        "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice " +
+        "OR o.o_orderdate IS DISTINCT FROM n.o_orderdate " +
+        "OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority " +
+        "THEN 'changed' END AS change_type " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "WHERE change_type IS NOT NULL"),
     "q_sample_hash" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
 /** One applied transform: operator name, deterministic output alias, and a
   * Spark-SQL fragment with a `{{source}}` placeholder for the previous step
@@ -48,6 +48,22 @@ final class Chain private (
     */
   def hint(name: String, params: Any*): Chain =
     next(s"hint_$name", df.hint(name, params: _*), Some("SELECT * FROM {{source}}"))
+
+  /** Free pipeline telemetry: attach named aggregate metrics that are
+    * computed AS the next action runs — no extra scan, no second job. At
+    * corpus scale a separate `count()` to log "rows surviving dedup"
+    * re-runs the whole upstream pipeline; `observe` folds the metric into
+    * the pass that's already happening (Spark's observable-metrics
+    * AccumulatorV2 path). Read results from the
+    * [[org.apache.spark.sql.Observation]] after any action on the chain's
+    * frame, or fleet-wide via a QueryExecutionListener. Semantics-neutral:
+    * the SQL face renders pass-through.
+    */
+  def observed(obs: org.apache.spark.sql.Observation, metrics: Seq[Column]): Chain = {
+    require(metrics.nonEmpty, "observed needs at least one aggregate metric")
+    next("observe", df.observe(obs, metrics.head, metrics.tail: _*),
+      Some("SELECT * FROM {{source}}"))
+  }
 
   /** Hash-repartition by columns — pre-shape a chain so several downstream
     * wide ops (windows, joins, aggs on the same keys) reuse one exchange.

@@ -251,6 +251,42 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         s"${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})) < $caseSql"))
   }
 
+  /** diff_against(new, keys): row-level dataset diff — THIS chain is the
+    * old version, `other` the new; emits one row per key whose presence or
+    * non-key contents changed, tagged `change_type` ∈ added (new only) /
+    * removed (old only) / changed (both, differing values). The
+    * regression-test primitive for pipeline upgrades at corpus scale
+    * ("what did the new dedup threshold actually change"): each side is
+    * reduced to (keys, md5 row fingerprint) BEFORE the full-outer join, so
+    * the exchange carries ~48 bytes/row regardless of row width, unchanged
+    * rows drop at the join, and no wide columns ever shuffle. Keys must
+    * identify rows uniquely on each side (else the join multiplies);
+    * column sets must match — a schema change is a different comparison
+    * and fails loudly.
+    */
+  def diffAgainst(other: Chain, keys: Seq[String]): Chain = {
+    require(keys.nonEmpty, "diff_against needs key columns")
+    require(c.df.columns.sorted.sameElements(other.df.columns.sorted),
+      s"diff_against requires identical column sets; old has " +
+        s"${c.df.columns.mkString(",")} vs new ${other.df.columns.mkString(",")}")
+    val nonKey = c.df.columns.filterNot(keys.contains).sorted.toSeq
+    require(nonKey.nonEmpty, "diff_against needs at least one non-key column")
+    // null-safe fingerprint: nulls map to a sentinel no cast can produce,
+    // so (null) and ('') never collide and concat_ws never drops a slot
+    def fp(df: DataFrame) = md5(concat_ws("\u0001",
+      nonKey.map(n => coalesce(df(n).cast("string"), lit("\u0002"))): _*))
+    val l = c.df.select(keys.map(col) :+ fp(c.df).as("_fp_old"): _*)
+    val r = other.df.select(keys.map(col) :+ fp(other.df).as("_fp_new"): _*)
+    val joined = l.join(r, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed"))
+      .where(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+    c.next("diff_against", joined, None)
+  }
+
   /** asof_join(right, on, left_time, right_time): for every left row, the
     * most recent right row at or before the left timestamp within the same
     * keys (trades/quotes semantics; right columns null when nothing

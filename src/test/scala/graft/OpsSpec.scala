@@ -147,6 +147,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(viaSql) == rows(viaDf))
   }
 
+  test("observed metrics piggyback on the running action") {
+    val obs = org.apache.spark.sql.Observation("ops_spec_obs")
+    val c = table("orders").observed(obs,
+      Seq(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx")))
+    val n = c.df.count()
+    val metrics = obs.get
+    assert(metrics("n") == n)
+    assert(metrics("mx").asInstanceOf[Double] > 0.0)
+    // semantics-neutral: the SQL face renders pass-through
+    assert(rows(spark.sql(c.sql())) == rows(table("orders").df))
+  }
+
+  test("diff_against classifies added/removed/changed with null-safe fingerprints") {
+    import spark.implicits._
+    import graft.core.Chain
+    val oldV = Chain(spark, "v_old", Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("")),
+      (4L, None: Option[String])).toDF("k", "v"))
+    val newV = Chain(spark, "v_new", Seq(
+      (2L, Option("b2")), (3L, None: Option[String]),
+      (4L, None: Option[String]), (5L, Option("e"))).toDF("k", "v"))
+    val got = oldV.diffAgainst(newV, Seq("k")).df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // 3: '' vs null must read as changed (sentinel, not concat_ws collapse);
+    // 4: null vs null is unchanged and must not appear
+    assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "changed", 5L -> "added"))
+    intercept[IllegalArgumentException](
+      oldV.diffAgainst(Chain(spark, "w", newV.df.withColumnRenamed("v", "w")), Seq("k")))
+  }
+
   test("save guards against silent overwrite") {
     val c = table("region")
     c.save("t_save_guard", "TABLE", overwrite = true)
