@@ -364,6 +364,15 @@ class QuantGateSpec extends AnyFunSuite {
       Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
     assert(malformed.pcaProject(model.df, "embedding", "p")
       .df.where(col("p").isNull).count() == 1)
+    // persistent-artifact round trip: saved model projects bit-identically
+    spark.sql("DROP TABLE IF EXISTS pca_model_t")
+    model.save("pca_model_t", "TABLE", overwrite = true)
+    val viaSaved = emb.pcaProject(spark.table("pca_model_t"), "embedding", "emb_p")
+      .df.selectExpr("vec_id", "emb_p").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val direct = proj.df.selectExpr("vec_id", "emb_p").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSaved == direct, "saved-model projection must be bit-identical")
   }
 
   test("int8 quantization: bounded reconstruction error, recall@10 gated") {
