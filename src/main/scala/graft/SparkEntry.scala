@@ -377,6 +377,11 @@ object SparkEntry {
     "q_sample_group_k_agg" -> ((s, d) =>
       t(s, d, "lineitem").sampleGroupKAgg(Seq("l_returnflag"), 200,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
+    // score-ranked curation: the 3 highest-price lineitems per returnflag
+    // via the same mergeable bounded aggregate
+    "q_sample_group_top_k" -> ((s, d) =>
+      t(s, d, "lineitem").sampleGroupTopK(Seq("l_returnflag"), 3,
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
     "q_sample_hash" -> ((s, d) =>
       t(s, d, "lineitem").sampleHash(0.1,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
@@ -1089,6 +1094,11 @@ object SparkEntry {
         "CAST(l_partkey AS VARCHAR))) ASC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) ASC) AS _rn FROM lineitem) " +
         "WHERE _rn <= 200"),
+    "q_sample_group_top_k" ->
+      ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) ASC) AS _rn FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL) WHERE _rn <= 3"),
     // the aggregate face keeps the identical set: k smallest by
     // (md5(key), key), key unique per lineitem row
     "q_sample_group_k_agg" ->

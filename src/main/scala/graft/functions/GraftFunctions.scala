@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL registration for every graft custom kernel — the
@@ -32,6 +32,12 @@ object GraftFunctions {
     case Literal(v: Long, LongType) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def boolLit(fn: String, arg: String)(e: Expression): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a boolean literal, got $other")
   }
 
   private def strLit(fn: String, arg: String)(e: Expression): String = e match {
@@ -117,6 +123,12 @@ object GraftFunctions {
     "bottomk_hash_agg" -> { args =>
       arity("bottomk_hash_agg", 3, args)
       BottomKHashAgg(args(0), args(1), intLit("bottomk_hash_agg", "k")(args(2)))
+    },
+    "topk_score_agg" -> { args =>
+      arity("topk_score_agg", 5, args)
+      TopKByScoreAgg(args(0), args(1), args(2),
+        intLit("topk_score_agg", "k")(args(3)),
+        boolLit("topk_score_agg", "ascending")(args(4)))
     })
 
   private def info(name: String): ExpressionInfo =

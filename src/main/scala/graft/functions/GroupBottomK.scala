@@ -41,6 +41,18 @@ object GroupBottomK {
       GraftBridge.expression(key), GraftBridge.expression(payload), k)
       .toAggregateExpression())
 
+  /** topk_score_agg(score, key, payload, k, ascending) → array<payloadType>
+    * of the k best rows per group under (score, key) order — the
+    * score-ranked sibling of [[bottomKHashAgg]] ("keep the 10
+    * highest-quality docs per domain" as one map-side-combinable pass).
+    */
+  def topKByScoreAgg(score: Column, key: Column, payload: Column, k: Int,
+                     ascending: Boolean): Column =
+    GraftBridge.column(TopKByScoreAgg(
+      GraftBridge.expression(score), GraftBridge.expression(key),
+      GraftBridge.expression(payload), k, ascending)
+      .toAggregateExpression())
+
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
@@ -110,6 +122,165 @@ private[functions] final class BottomKBuffer(val k: Int) {
   * group per map task), merges buffers on the reducer, and `eval` emits the
   * ascending array of payloads.
   */
+/** One kept candidate for [[TopKByScoreAgg]]: the double score plus key
+  * and payload bytes. Order: score (flipped when descending), then key
+  * bytes, then payload bytes — a total order, so the kept multiset is a
+  * deterministic prefix under any partitioning; identical to the window
+  * face whenever (score, key) is unique. Null scores are skipped at
+  * update; NaN compares greatest (java.lang.Double.compare), i.e. least
+  * preferred under either direction.
+  */
+private[functions] final class TopKEntry(
+    val score: Double, val key: Array[Byte], val payload: Array[Byte])
+
+private[functions] object TopKEntry {
+  def ordering(ascending: Boolean): java.util.Comparator[TopKEntry] =
+    (a: TopKEntry, b: TopKEntry) => {
+      var d = java.lang.Double.compare(a.score, b.score)
+      if (!ascending) d = -d
+      if (d == 0) d = GroupBottomK.cmpBytes(a.key, b.key)
+      if (d == 0) d = GroupBottomK.cmpBytes(a.payload, b.payload)
+      d
+    }
+}
+
+/** Bounded tournament buffer for [[TopKByScoreAgg]] — same shape as
+  * [[BottomKBuffer]] with the score order.
+  */
+private[functions] final class TopKScoreBuffer(val k: Int, val ascending: Boolean) {
+  private val ord = TopKEntry.ordering(ascending)
+  val heap = new java.util.PriorityQueue[TopKEntry](
+    math.max(1, math.min(k, 64)), ord.reversed())
+
+  def offer(e: TopKEntry): Unit =
+    if (heap.size < k) heap.add(e)
+    else if (ord.compare(e, heap.peek) < 0) { heap.poll(); heap.add(e) }
+
+  def sortedEntries: Array[TopKEntry] = {
+    val arr = heap.toArray(new Array[TopKEntry](heap.size))
+    java.util.Arrays.sort(arr, ord)
+    arr
+  }
+}
+
+/** TypedImperativeAggregate behind
+  * [[graft.ops.JoinOps.sampleGroupTopK]]: per map task keep at most k
+  * candidates per group by (score, key) order, merge buffers
+  * associatively, emit the best-first array of payloads. The "top 10k
+  * docs per domain by quality score" pass as ONE partial-aggregated
+  * shuffle of ~k×groups candidates instead of a corpus-wide window sort.
+  */
+case class TopKByScoreAgg(
+    score: Expression,
+    key: Expression,
+    payload: Expression,
+    k: Int,
+    ascending: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKScoreBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  require(k >= 1, s"topk_score_agg k must be >= 1, got $k")
+
+  override def first: Expression = score
+  override def second: Expression = key
+  override def third: Expression = payload
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, key.dataType) match {
+      case (DoubleType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (s, kt) => TypeCheckResult.TypeCheckFailure(
+        s"topk_score_agg requires (DOUBLE score, STRING key), got " +
+          s"(${s.simpleString}, ${kt.simpleString})")
+    }
+
+  @transient private lazy val payloadProj =
+    UnsafeProjection.create(Array[DataType](payload.dataType))
+  @transient private lazy val ord = TopKEntry.ordering(ascending)
+
+  override def createAggregationBuffer(): TopKScoreBuffer =
+    new TopKScoreBuffer(k, ascending)
+
+  override def update(buffer: TopKScoreBuffer, input: InternalRow): TopKScoreBuffer = {
+    val sv = score.eval(input)
+    if (sv == null) return buffer // null score: row never ranks
+    val s = sv.asInstanceOf[Double]
+    val kv = key.eval(input)
+    val keyBytes =
+      if (kv == null) Array.emptyByteArray
+      else kv.asInstanceOf[UTF8String].getBytes
+    if (buffer.heap.size >= buffer.k) {
+      val worst = buffer.heap.peek
+      var d = java.lang.Double.compare(s, worst.score)
+      if (!ascending) d = -d
+      if (d == 0) d = GroupBottomK.cmpBytes(keyBytes, worst.key)
+      if (d > 0) return buffer // cheap reject before payload serialization
+    }
+    val pBytes = payloadProj(InternalRow(payload.eval(input))).copy().getBytes
+    buffer.offer(new TopKEntry(s, keyBytes, pBytes))
+    buffer
+  }
+
+  override def merge(buffer: TopKScoreBuffer, other: TopKScoreBuffer): TopKScoreBuffer = {
+    val it = other.heap.iterator()
+    while (it.hasNext) buffer.offer(it.next())
+    buffer
+  }
+
+  override def eval(buffer: TopKScoreBuffer): Any = {
+    val values = buffer.sortedEntries.map { e =>
+      val row = new UnsafeRow(1)
+      row.pointTo(e.payload, e.payload.length)
+      row.get(0, payload.dataType)
+    }
+    new GenericArrayData(values.toArray[Any])
+  }
+
+  override def serialize(buffer: TopKScoreBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeBoolean(buffer.ascending)
+    out.writeInt(buffer.heap.size)
+    val it = buffer.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e.score)
+      out.writeInt(e.key.length); out.write(e.key)
+      out.writeInt(e.payload.length); out.write(e.payload)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKScoreBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new TopKScoreBuffer(in.readInt(), in.readBoolean())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val key = new Array[Byte](in.readInt()); in.readFully(key)
+      val payload = new Array[Byte](in.readInt()); in.readFully(payload)
+      buf.offer(new TopKEntry(s, key, payload))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType =
+    ArrayType(payload.dataType, containsNull = payload.nullable)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_score_agg"
+  override def withNewMutableAggBufferOffset(n: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKByScoreAgg =
+    copy(score = newFirst, key = newSecond, payload = newThird)
+}
+
 case class BottomKHashAgg(
     key: Expression,
     payload: Expression,

@@ -224,6 +224,40 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         s"WHERE _sgk_rn <= $k"))
   }
 
+  /** sample_group_top_k(group_by, k, score_col, key_cols, ascending): keep
+    * the k BEST rows per group by score — "the 10k highest-quality docs
+    * per domain", the curation counterpart of [[sampleGroupKAgg]]'s
+    * unbiased hash sample, computed by the same mergeable bounded
+    * aggregate ([[graft.functions.GroupBottomK.topKByScoreAgg]]): each map
+    * task keeps ≤ k candidates per group, the exchange carries ~k×groups
+    * candidates instead of the corpus, and the result is deterministic
+    * under any partitioning (total order (score, key, payload-bytes);
+    * identical to the window formulation whenever (score, key) is unique —
+    * the SQL face). Rows with a null score never rank.
+    */
+  def sampleGroupTopK(groupBy: Seq[String], k: Int, scoreCol: String,
+                      keyCols: Seq[String], ascending: Boolean = false): Chain = {
+    require(groupBy.nonEmpty, "sample_group_top_k needs group columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "sample_group_top_k needs tiebreak key columns")
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    val cols = c.df.columns.toSeq
+    val payload = struct(cols.map(col): _*)
+    val agg = graft.functions.GroupBottomK.topKByScoreAgg(
+      col(scoreCol).cast("double"), key, payload, k, ascending)
+    val df2 = c.df.groupBy(groupBy.map(col): _*)
+      .agg(agg.as("_kept"))
+      .select(explode(col("_kept")).as("_r"))
+      .select(cols.map(n => col(s"_r.$n").as(n)): _*)
+    val dir = if (ascending) "ASC" else "DESC"
+    val keySql = s"concat_ws('|', ${keyCols.map(kc => s"CAST($kc AS STRING)").mkString(", ")})"
+    c.next("sample_group_top_k", df2, Some(
+      s"SELECT * EXCEPT (_sgt_rn) FROM (SELECT *, ROW_NUMBER() OVER (" +
+        s"PARTITION BY ${groupBy.mkString(", ")} " +
+        s"ORDER BY CAST($scoreCol AS DOUBLE) $dir, $keySql ASC) AS _sgt_rn " +
+        s"FROM {{source}} WHERE $scoreCol IS NOT NULL) WHERE _sgt_rn <= $k"))
+  }
+
   def sampleHashStratified(
       strataCol: String,
       fractions: Seq[(String, Double)],

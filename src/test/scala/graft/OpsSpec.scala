@@ -147,6 +147,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(viaSql) == rows(viaDf))
   }
 
+  test("sample_group_top_k equals the score window face; null scores never rank") {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val agg = table("lineitem").sampleGroupTopK(Seq("l_returnflag"), 10,
+      "l_extendedprice", keys).df
+    val tiebreak = concat_ws("|", keys.map(col(_).cast("string")): _*)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").cast("double").desc, tiebreak.asc)
+    val win = table("lineitem").df.where(col("l_extendedprice").isNotNull)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 10).drop("_rn")
+    assert(rows(agg) == rows(win))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topk_score_agg"))
+    // ascending keeps the cheapest instead
+    val lo = table("lineitem").sampleGroupTopK(Seq("l_returnflag"), 1,
+      "l_extendedprice", keys, ascending = true).df
+      .select(min(col("l_extendedprice"))).head().getDouble(0)
+    val globalMin = table("lineitem").df
+      .select(min(col("l_extendedprice"))).head().getDouble(0)
+    assert(lo == globalMin)
+    // null scores are excluded, not ranked first or last
+    import spark.implicits._
+    val withNulls = graft.core.Chain(spark, "n", Seq(
+      ("g", Option(2.0), 1L), ("g", None: Option[Double], 2L), ("g", Option(1.0), 3L))
+      .toDF("g", "s", "id"))
+    val kept = withNulls.sampleGroupTopK(Seq("g"), 2, "s", Seq("id")).df
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("observed metrics piggyback on the running action") {
     val obs = org.apache.spark.sql.Observation("ops_spec_obs")
     val c = table("orders").observed(obs,

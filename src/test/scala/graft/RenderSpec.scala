@@ -102,6 +102,8 @@ class RenderSpec extends AnyFunSuite {
       table("orders").bin("equalwidth", 10, "o_totalprice"),
       table("lineitem").sampleGroupK(Seq("l_returnflag"), 50,
         Seq("l_orderkey", "l_linenumber", "l_partkey")),
+      table("lineitem").sampleGroupTopK(Seq("l_returnflag"), 25,
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber", "l_partkey")),
       table("lineitem").scoreLogistic(
         table("lineitem")
           .math(Seq("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"), Seq("lbl"))
