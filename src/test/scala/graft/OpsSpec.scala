@@ -175,6 +175,15 @@ class OpsSpec extends AnyFunSuite {
     val kept = withNulls.sampleGroupTopK(Seq("g"), 2, "s", Seq("id")).df
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L))
+    // SQL face of the registered kernel keeps the same kept-set
+    table("lineitem")
+    val viaSql = spark.sql(
+      "SELECT _r.* FROM (SELECT explode(topk_score_agg(CAST(l_extendedprice AS DOUBLE), " +
+        "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), CAST(l_partkey AS STRING)), " +
+        "struct(l_orderkey, l_linenumber, l_partkey, l_returnflag), 10, false)) AS _r " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_returnflag)")
+    val viaDf = agg.selectExpr("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+    assert(rows(viaSql) == rows(viaDf))
   }
 
   test("observed metrics piggyback on the running action") {
