@@ -241,15 +241,18 @@ object EventStreams {
     * empty — again appending nothing. Duplicate postings from a post-append
     * replay only duplicate candidates (harmless — drop decisions are
     * distinct-ed). Batch-INTERNAL near-dups (two new docs
-    * near-duplicating each other in one micro-batch) are not mutually
-    * deduped — only exact re-texts are; run a periodic compaction pass
-    * ([[graft.ext.DedupClusterOps.dedupNear]]) if that matters.
+    * near-duplicating each other in one micro-batch) are by default only
+    * exact-deduped; pass `dedupWithinBatch = true` to run a within-batch
+    * minhash `dedupNear` pass too (work ∝ batch size, same banding as the
+    * cross-batch index probe), or run a periodic compaction pass
+    * ([[graft.ext.DedupClusterOps.dedupNear]]) on the corpus.
     */
   def sinkDedupAppendToTable(docs: DataFrame, name: String, indexTable: String,
                              idCol: String, textCol: String, checkpointDir: String,
                              shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 4,
                              estThreshold: Double = 0.8,
-                             indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+                             indexBuckets: Int = 16,
+                             dedupWithinBatch: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.ext._
     val q = docs.writeStream
@@ -258,7 +261,17 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val deduped = graft.core.Chain(spark, name, batch).dedupExact(idCol, textCol)
+          val exact = graft.core.Chain(spark, name, batch).dedupExact(idCol, textCol)
+          // batch-INTERNAL near-dups (two new docs near-duplicating each
+          // other in one micro-batch) are invisible to the index probe —
+          // opt in to a within-batch minhash dedupNear pass (work ∝ batch,
+          // same banding parameters as the cross-batch index)
+          val deduped =
+            if (dedupWithinBatch)
+              exact.dedupNear(idCol, textCol, n = shingleWords,
+                threshold = estThreshold, candidates = "minhash",
+                numHashes = numHashes, bands = bands)
+            else exact
           val survivors =
             if (spark.catalog.tableExists(indexTable))
               deduped.dedupAgainstIndex(spark.table(indexTable), idCol, textCol,

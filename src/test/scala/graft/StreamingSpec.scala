@@ -203,6 +203,19 @@ class StreamingSpec extends AnyFunSuite {
     val ids3 = spark.table("stream_corpus_t")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids3 == Seq(1L, 2L, 4L), s"index must cover batch-2 survivors — got $ids3")
+    // batch-INTERNAL near-dups: 7 and 8 are small edits of each other (not
+    // exact), both novel vs the index; dedupWithinBatch keeps only doc 7
+    val tD = "structured streaming checkpoints offsets and state to recover exactly once semantics"
+    val tD2 = "structured streaming checkpoints offsets and state to recover exactly once guarantees"
+    val ms4 = MemoryStream[Doc]
+    ms4.addData(Doc(7L, tD), Doc(8L, tD2))
+    EventStreams.sinkDedupAppendToTable(ms4.toDF(), "stream_corpus_t", "stream_corpus_idx",
+      "doc_id", "text", Files.createTempDirectory("graft_ckpt_d4").toString,
+      shingleWords = 2, numHashes = 32, bands = 8, estThreshold = 0.5,
+      indexBuckets = 4, dedupWithinBatch = true)
+    val ids4 = spark.table("stream_corpus_t")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids4 == Seq(1L, 2L, 4L, 7L), s"within-batch near-dup must drop doc 8 — got $ids4")
   }
 
   test("streaming embedding-ingest sink drops semantic near-dups and extends its IVF index") {
