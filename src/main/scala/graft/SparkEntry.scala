@@ -752,6 +752,33 @@ object SparkEntry {
           .aggregate(Seq("lang"), Seq(
             "doc_id" -> Seq("COUNT"),
             "n_chars" -> Seq("SUM"))).df),
+      // composed MODEL-scored curation (round-7 ops): engineer features →
+      // score with a pinned logistic model (IEEE-exact logit) → keep the
+      // 10 best docs per language via the mergeable top-k-by-score
+      // aggregate → per-language summary. Exact end-to-end oracle.
+      "q_model_curation_pipeline" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, length, size}
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("feature",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("coef",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+          org.apache.spark.sql.Row(0, "(intercept)", -2.5),
+          org.apache.spark.sql.Row(1, "f_len", 0.003),
+          org.apache.spark.sql.Row(2, "f_tok", 0.02))
+        t(s, d, "documents").transformDf("features")(df => df
+          .withColumn("f_len", length(col("text")).cast("double"))
+          .withColumn("f_tok",
+            size(graft.ext.TextOps.tokens(col("text"))).cast("double")))
+          .scoreLogistic(s.createDataFrame(rows, schema), "q")
+          .sampleGroupTopK(Seq("lang"), 10, "q_logit", Seq("doc_id"))
+          .aggregate(Seq("lang"), Seq(
+            "doc_id" -> Seq("COUNT"),
+            "q_logit" -> Seq("AVG"))).df
+      }),
       // composed training-data pipeline: quality-gate → exact dedup →
       // token stats → per-language corpus summary
       "q_llm_pipeline" -> ((s, d) =>
@@ -1246,6 +1273,13 @@ object SparkEntry {
           "sk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang " +
           "ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR))) ASC, concat_ws('|', CAST(doc_id AS VARCHAR)) ASC) AS _rn2 FROM dd) WHERE _rn2 <= 20) " +
           "SELECT lang, COUNT(doc_id) AS doc_id_count, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum FROM sk GROUP BY lang"),
+      "q_model_curation_pipeline" ->
+        (s"WITH f AS (SELECT doc_id, lang, CAST(-2.5 AS DOUBLE) + CAST(LENGTH(text) AS DOUBLE) * CAST(0.003 AS DOUBLE) + " +
+          s"CAST(len($toks) AS DOUBLE) * CAST(0.02 AS DOUBLE) AS q_logit FROM documents), " +
+          "k AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang " +
+          "ORDER BY CAST(q_logit AS DOUBLE) DESC, concat_ws('|', CAST(doc_id AS VARCHAR)) ASC) AS _rn " +
+          "FROM f WHERE q_logit IS NOT NULL) WHERE _rn <= 10) " +
+          s"SELECT lang, COUNT(doc_id) AS doc_id_count, ${davg("q_logit")} AS q_logit_avg FROM k GROUP BY lang"),
       "q_text_coverage" ->
         ("WITH g AS (SELECT doc_id, substr(text, CAST(gs AS INTEGER), 3) AS gram " +
           "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS gs " +
