@@ -416,10 +416,12 @@ class ScaleOpsSpec extends AnyFunSuite {
       // (and they do so above a join, toward the per-query aggregation)
       def joinFree(p: SparkPlan): Boolean =
         p.collectFirst { case j: BaseJoinExec => j }.isEmpty
-      // unwrap AQE: the pre-execution executedPlan nests the real plan
-      // (with EnsureRequirements exchanges) inside AdaptiveSparkPlanExec
+      // unwrap AQE: `inputPlan` predates EnsureRequirements (it holds no
+      // requirement-inserted exchanges, which would make a no-exchange
+      // assertion vacuous); `initialPlan` is the pre-execution plan WITH
+      // them — the plan this claim must hold on
       val plan = probed.df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
         case other => other
       }
       assert(plan.collectFirst {
@@ -933,6 +935,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(shufflesAboveBloomFilter.nonEmpty ||
       plan.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
       "might_contain must be evaluated below the first shuffle of the gram stream")
+  }
+
+  test("diff_against shuffles only (keys, fingerprint), never wide rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // at test scale the tiny sides broadcast (no exchange at all); disable
+    // broadcast to surface the 100 TB shape — a sort-merge full outer whose
+    // exchanges must carry only the 2-column (key, fingerprint) rows
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = table("orders")
+        .diffAgainst(table("orders").filterRows(Seq("o_orderkey % 2 = 0")),
+          Seq("o_orderkey")).df
+      // unwrap AQE: `inputPlan` predates EnsureRequirements (no exchanges
+      // yet); `initialPlan` is the pre-execution plan WITH them
+      val plan = diff.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.length
+      }
+      assert(exchanges.nonEmpty, "expected a shuffle for the full-outer join")
+      assert(exchanges.forall(_ == 2),
+        s"every exchange input must be (key, fingerprint) — widths $exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("PositionAgreeCount equals the zip_with formulation") {
