@@ -240,6 +240,10 @@ object SparkEntry {
     "q_flag_outliers" -> ((s, d) =>
       t(s, d, "lineitem").flagOutliers("l_extendedprice",
         Seq("l_returnflag"), z = 2.0).df),
+    // per-group heavy-tail clamp; nearest-rank bounds, so engine-exact
+    "q_winsorize" -> ((s, d) =>
+      t(s, d, "lineitem").winsorize("l_extendedprice",
+        Seq("l_returnflag"), pLow = 0.05, pHigh = 0.95).df),
     // the robust (median/MAD, Iglewicz–Hoaglin modified z) variant — the
     // 50%-breakdown gate classic z-scores lack
     "q_flag_outliers_robust" -> ((s, d) =>
@@ -1033,6 +1037,17 @@ object SparkEntry {
       "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
     "q_standard_scaler" ->
       s"SELECT * EXCLUDE (mu, sd), (CAST(l_extendedprice AS DOUBLE) - mu) / sd AS l_extendedprice_scaled FROM lineitem, (SELECT ${davg("l_extendedprice")} AS mu, SQRT((${dsum8("l_extendedprice * l_extendedprice")} - ${dsum("l_extendedprice")} * ${dsum("l_extendedprice")} / CAST(COUNT(l_extendedprice) AS DOUBLE)) / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS sd FROM lineitem) s",
+    "q_winsorize" -> {
+      val xS = "CAST(l_extendedprice AS DOUBLE)"
+      val wp = "PARTITION BY l_returnflag"
+      val loS = s"MAX(CASE WHEN _w_rn = FLOOR(0.05 * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+      val hiS = s"MAX(CASE WHEN _w_rn = CEIL(0.95 * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+      s"SELECT * EXCLUDE (_w_rn, _w_n, _w_lo, _w_hi), " +
+        s"CASE WHEN $xS IS NULL THEN NULL ELSE GREATEST(LEAST($xS, _w_hi), _w_lo) END AS l_extendedprice_wins FROM (" +
+        s"SELECT *, $loS AS _w_lo, $hiS AS _w_hi FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xS ASC NULLS LAST) AS _w_rn, " +
+        s"COUNT($xS) OVER ($wp) AS _w_n FROM lineitem))"
+    },
     "q_flag_outliers" -> {
       val over = "OVER (PARTITION BY l_returnflag)"
       val nS = s"CAST(COUNT(l_extendedprice) $over AS DOUBLE)"

@@ -131,6 +131,9 @@ object GraftFunctions {
         boolLit("topk_score_agg", "ascending")(args(4)))
     })
 
+  /** Registered kernel names (test/introspection surface). */
+  def registeredNames: Seq[String] = builders.map(_._1)
+
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions.GraftFunctions", name)
 

@@ -210,6 +210,90 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * See [[flagOutliersRobust]] for the median/MAD variant — mean/σ
     * statistics are themselves dragged by the outliers they hunt.
     */
+  /** winsorize(column, group_by, p_low, p_high): clamp a numeric column to
+    * its per-group [pLow, pHigh] percentile bounds — the standard
+    * heavy-tail tamer run before scaling/regression (the clipping sibling
+    * of [[flagOutliers]], which only FLAGS). Bounds are NEAREST-RANK order
+    * statistics (value at 0-indexed rank floor(p·(n−1)) / ceil(p·(n−1))):
+    * integer rank selection instead of interpolation, so the result is
+    * engine-exact (interpolated percentiles differ across engines in the
+    * last FP bits; rank selection cannot). One exchange on the group keys,
+    * one in-partition sort shared by the rank and bound windows; nulls
+    * never rank and stay null. Adds `<column>_wins`.
+    */
+  def winsorize(column: String, groupBy: Seq[String] = Seq.empty,
+                pLow: Double = 0.01, pHigh: Double = 0.99): Chain = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val x = col(column).cast("double")
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val wOrd = wPart.orderBy(x.asc_nulls_last)
+    val step1 = c.df
+      .withColumn("_w_rn", row_number().over(wOrd))
+      .withColumn("_w_n", count(x).over(wPart))
+    val loIdx = floor(lit(pLow) * (col("_w_n") - 1)) + 1
+    val hiIdx = ceil(lit(pHigh) * (col("_w_n") - 1)) + 1
+    val step2 = step1
+      .withColumn("_w_lo",
+        max(when(col("_w_rn") === loIdx && x.isNotNull, x)).over(wPart))
+      .withColumn("_w_hi",
+        max(when(col("_w_rn") === hiIdx && x.isNotNull, x)).over(wPart))
+    val outName = Naming.cleanse(s"${column}_wins")
+    val df2 = step2
+      .withColumn(outName,
+        when(x.isNull, lit(null).cast("double"))
+          .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
+      .drop("_w_rn", "_w_n", "_w_lo", "_w_hi")
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST($cn AS DOUBLE)"
+    val wp =
+      if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
+    val loS = s"MAX(CASE WHEN _w_rn = FLOOR($pLow * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+    val hiS = s"MAX(CASE WHEN _w_rn = CEIL($pHigh * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+    c.next("winsorize", df2, Some(
+      s"SELECT * EXCEPT (_w_rn, _w_n, _w_lo, _w_hi), " +
+        s"CASE WHEN $xS IS NULL THEN NULL ELSE GREATEST(LEAST($xS, _w_hi), _w_lo) END AS $outName FROM (" +
+        s"SELECT *, $loS AS _w_lo, $hiS AS _w_hi FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xS ASC NULLS LAST) AS _w_rn, " +
+        s"COUNT($xS) OVER ($wp) AS _w_n FROM {{source}}))"))
+  }
+
+  /** winsorize_sketch(column, group_by, p_low, p_high, k): the corpus-scale
+    * face of [[winsorize]] — per-group KLL quantile sketches (mergeable,
+    * map-side combined; the exact face's rank windows buffer whole groups)
+    * give the clamp bounds, joined back and applied in one codegen pass.
+    * Bounds carry KLL's ±1.65% (k=200) normalized rank error, so clamped
+    * values can differ from the exact face only for rows within that band
+    * of the cut points (QuantGateSpec bounds the disagreement). No SQL
+    * face: the sketch is engine-specific by design.
+    */
+  def winsorizeSketch(column: String, groupBy: Seq[String] = Seq.empty,
+                      pLow: Double = 0.01, pHigh: Double = 0.99,
+                      k: Int = 200): Chain = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val x = col(column).cast("double")
+    val sk = graft.functions.KllSketches.sketchAgg(x, k).as("_w_sk")
+    val bounds = (
+      if (groupBy.isEmpty) c.df.agg(sk)
+      else c.df.groupBy(groupBy.map(col): _*).agg(sk))
+      .select((groupBy.map(col) :+
+        graft.functions.KllSketches.quantile(col("_w_sk"), pLow).as("_w_lo") :+
+        graft.functions.KllSketches.quantile(col("_w_sk"), pHigh).as("_w_hi")): _*)
+    val joined =
+      if (groupBy.isEmpty) c.df.crossJoin(broadcast(bounds))
+      else c.df.join(bounds, groupBy, "left")
+    val outName = Naming.cleanse(s"${column}_wins")
+    val df2 = joined
+      .withColumn(outName,
+        when(x.isNull || col("_w_lo").isNull, lit(null).cast("double"))
+          .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
+      .drop("_w_lo", "_w_hi")
+    c.next("winsorize_sketch", df2, None)
+  }
+
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
                    z: Double = 3.0): Chain = {
     require(z > 0, s"z must be positive, got $z")

@@ -86,6 +86,16 @@ class FunctionsSqlSpec extends AnyFunSuite {
       s"unexpected error: ${e.getMessage.take(200)}")
   }
 
+  test("every registered kernel resolves by name in SQL") {
+    // future kernels must land in the registry: resolution is checked for
+    // ALL builders, not just the ones with dedicated tests above
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val missing = graft.functions.GraftFunctions.registeredNames.filterNot(n =>
+      spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"unregistered kernels: ${missing.mkString(", ")}")
+    assert(graft.functions.GraftFunctions.registeredNames.size >= 19)
+  }
+
   test("GraftExtensions applies cleanly to a fresh extensions bag") {
     // a second SparkSession in one JVM would just return the shared one
     // (configs ignored), so the config path can't be driven end-to-end in

@@ -275,6 +275,43 @@ class QuantGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates"))
   }
 
+  test("winsorize: sketch face tracks the exact nearest-rank clamp") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
+    val exact = table("lineitem")
+      .winsorize("l_extendedprice", Seq("l_returnflag"), 0.05, 0.95).df
+      .select((keys.map(col) :+ col("l_extendedprice").as("raw") :+
+        col("l_extendedprice_wins").as("e")): _*)
+    val sk = table("lineitem")
+      .winsorizeSketch("l_extendedprice", Seq("l_returnflag"), 0.05, 0.95).df
+      .select((keys.map(col) :+ col("l_extendedprice_wins").as("s")): _*)
+    val j = exact.join(sk, keys).cache()
+    val n = j.count().toDouble
+    // the clamp actually bites both tails
+    assert(j.where(col("e") < col("raw")).count() > 0)
+    assert(j.where(col("e") > col("raw")).count() > 0)
+    // a bound off by even one rank changes the clamp VALUE of every row in
+    // that tail, so value-disagreement is not the right gate — the KLL
+    // guarantee is on RANKS: the fraction of rows each face clamps must
+    // agree within the sketch's normalized rank error (±1.65% at k=200;
+    // 3σ margin per side)
+    val clampLoE = j.where(col("e") > col("raw")).count() / n
+    val clampLoS = j.where(col("s") > col("raw")).count() / n
+    val clampHiE = j.where(col("e") < col("raw")).count() / n
+    val clampHiS = j.where(col("s") < col("raw")).count() / n
+    assert(math.abs(clampLoE - clampLoS) <= 0.05,
+      f"low-tail clamp fraction: exact $clampLoE%.3f vs sketch $clampLoS%.3f")
+    assert(math.abs(clampHiE - clampHiS) <= 0.05,
+      f"high-tail clamp fraction: exact $clampHiE%.3f vs sketch $clampHiS%.3f")
+    // rows well inside the bounds are untouched by BOTH faces
+    assert(j.where(col("e") === col("raw") && col("s") =!= col("raw")).count() / n <= 0.05)
+    // and where they disagree, the sketch value stays inside the raw range
+    val stats = j.agg(min("raw").as("lo"), max("raw").as("hi")).head()
+    val out = j.where(col("s") < stats.getDouble(0) || col("s") > stats.getDouble(1)).count()
+    assert(out == 0, "sketch clamp must never leave the raw value range")
+    j.unpersist()
+  }
+
   test("logistic regression: deterministic IRLS, beats the null model, AUC floor") {
     import org.apache.spark.sql.functions._
     val feat = table("documents").df

@@ -97,6 +97,7 @@ class RenderSpec extends AnyFunSuite {
         Seq("acct2")).impute(Seq("acct2" -> "mean"), flagMissingVals = true),
       table("lineitem").standardScaler(Seq("l_extendedprice")),
       table("lineitem").flagOutliers("l_extendedprice", Seq("l_returnflag"), z = 2.0),
+      table("lineitem").winsorize("l_extendedprice", Seq("l_returnflag"), 0.05, 0.95),
       table("part").minMaxScaler(Seq("p_retailprice")),
       table("customer").labelEncode("c_mktsegment"),
       table("orders").bin("equalwidth", 10, "o_totalprice"),
