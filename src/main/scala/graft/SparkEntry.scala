@@ -389,6 +389,12 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) =>
       t(s, d, "lineitem").sampleHash(0.1,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
+    // per-row importance sampling: P(keep) = quantity/50 — engine-exact
+    // (floor/hex-format of a 2^60 scaling is exact double arithmetic)
+    "q_sample_weighted" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .math(Seq("l_quantity / 50.0"), Seq("w"))
+        .sampleWeighted("w", Seq("l_orderkey", "l_linenumber", "l_partkey")).df),
     "q_sample_stratified" -> ((s, d) =>
       t(s, d, "lineitem").sampleHashStratified("l_returnflag",
         Seq("A" -> 0.05, "N" -> 0.2, "R" -> 0.5),
@@ -1130,6 +1136,12 @@ object SparkEntry {
     "q_sample_hash" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
+    "q_sample_weighted" ->
+      ("SELECT * FROM (SELECT *, l_quantity / 50.0 AS w FROM lineitem) " +
+        "WHERE w IS NOT NULL AND md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +
+        "printf('%015x', LEAST(CAST(FLOOR(LEAST(GREATEST(CAST(w AS DOUBLE), 0.0), 1.0) * POW(16.0, 15)) AS BIGINT), " +
+        "1152921504606846975))"),
     "q_sample_group_k" ->
       ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
         "ORDER BY md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +

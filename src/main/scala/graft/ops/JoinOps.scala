@@ -156,6 +156,35 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         s"${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})) < '$th'"))
   }
 
+  /** sample_weighted(weight_col, key_cols): per-ROW deterministic weighted
+    * sampling — each row survives with probability `clamp(weight, 0, 1)`,
+    * decided by comparing md5(key) against the row's own threshold
+    * (importance sampling by a quality/model score: P(keep) ∝ score, the
+    * row-level generalization of [[sampleHashStratified]]'s per-stratum
+    * fractions). The threshold is `format('%015x', floor(w·16¹⁵))` — the
+    * per-row form of [[sampleHash]]'s hex-prefix compare; double multiply,
+    * floor and hex formatting are all engine-exact, so the kept set is
+    * identical across engines, partitionings and reruns. Pure predicate —
+    * pushes to the scan; null weights drop the row (no silent keep).
+    */
+  def sampleWeighted(weightCol: String, keyCols: Seq[String]): Chain = {
+    require(keyCols.nonEmpty, "sample_weighted needs key columns")
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    // w = 1 would format 16^15 as 16 hex chars and break the 15-digit
+    // prefix compare; 16^15 - 1 = fff…f keeps all but P = 16^-15
+    val th = format_string("%015x",
+      least(floor(w * pow(lit(16.0), lit(15))).cast("long"),
+        lit(1152921504606846975L)))
+    val df2 = c.df.where(col(weightCol).isNotNull && md5(key) < th)
+    val keySql = s"concat_ws('|', ${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})"
+    val wSql = s"LEAST(GREATEST(CAST($weightCol AS DOUBLE), 0.0), 1.0)"
+    c.next("sample_weighted", df2, Some(
+      s"SELECT * FROM {{source}} WHERE $weightCol IS NOT NULL AND " +
+        s"md5($keySql) < printf('%015x', LEAST(CAST(FLOOR($wSql * POW(16.0, 15)) AS BIGINT), " +
+        s"1152921504606846975))"))
+  }
+
   /** sample_hash_stratified(strata_col, fractions, key_cols): per-stratum
     * deterministic hash sampling — each stratum value gets its own
     * md5-threshold (down-sample dominant classes, keep rare ones whole,

@@ -147,6 +147,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(viaSql) == rows(viaDf))
   }
 
+  test("sample_weighted keeps rows in proportion to their weight") {
+    import spark.implicits._
+    import graft.core.Chain
+    val df = (1 to 4400).map(i => (i.toLong, (i % 11) / 10.0)).toDF("id", "w")
+    val kept = Chain(spark, "t", df).sampleWeighted("w", Seq("id")).df
+    val rates = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // the endpoints are exact: w=0 keeps nothing, w=1 keeps everything
+    assert(!rates.contains(0.0))
+    assert(rates(1.0) == 400L)
+    // interior weights track the keep probability (fixed data, fixed hash —
+    // the margin covers binomial spread at 400 rows per bucket)
+    for (wv <- Seq(0.2, 0.5, 0.8)) {
+      val p = rates.getOrElse(wv, 0L).toDouble / 400.0
+      assert(math.abs(p - wv) < 0.12, s"keep rate $p for weight $wv")
+    }
+    // null weights drop, never silently keep
+    val withNull = Seq((1L, Option(0.9)), (2L, None: Option[Double]))
+      .toDF("id", "w")
+    assert(Chain(spark, "t", withNull).sampleWeighted("w", Seq("id")).df
+      .where("id = 2").count() == 0)
+  }
+
   test("sample_group_top_k equals the score window face; null scores never rank") {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")

@@ -105,6 +105,8 @@ class RenderSpec extends AnyFunSuite {
         Seq("l_orderkey", "l_linenumber", "l_partkey")),
       table("lineitem").sampleGroupTopK(Seq("l_returnflag"), 25,
         "l_extendedprice", Seq("l_orderkey", "l_linenumber", "l_partkey")),
+      table("lineitem").math(Seq("l_quantity / 50.0"), Seq("w"))
+        .sampleWeighted("w", Seq("l_orderkey", "l_linenumber", "l_partkey")),
       table("lineitem").scoreLogistic(
         table("lineitem")
           .math(Seq("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"), Seq("lbl"))
