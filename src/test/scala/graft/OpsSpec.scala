@@ -209,6 +209,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(viaSql) == rows(viaDf))
   }
 
+  test("bottom-k/top-k aggregates equal their window faces on randomized data") {
+    import spark.implicits._
+    import graft.core.Chain
+    import org.apache.spark.sql.expressions.Window
+    // many random group sizes around k — the regime where boundary
+    // eviction, merge order and serialization actually get exercised
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3000).map { i =>
+      (rnd.nextInt(80).toString, i.toLong, rnd.nextDouble() * 100)
+    }.toDF("g", "k", "s").repartition(13)
+    val c = Chain(spark, "rand", df)
+    val aggK = c.sampleGroupKAgg(Seq("g"), 7, Seq("k")).df
+    val winK = c.sampleGroupK(Seq("g"), 7, Seq("k")).df
+    assert(rows(aggK) == rows(winK))
+    val aggT = c.sampleGroupTopK(Seq("g"), 7, "s", Seq("k")).df
+    val tb = concat_ws("|", col("k").cast("string"))
+    val wT = Window.partitionBy("g").orderBy(col("s").cast("double").desc, tb.asc)
+    val winT = df.where(col("s").isNotNull)
+      .withColumn("_rn", row_number().over(wT)).where(col("_rn") <= 7).drop("_rn")
+    assert(rows(aggT) == rows(winT))
+  }
+
   test("observed metrics piggyback on the running action") {
     val obs = org.apache.spark.sql.Observation("ops_spec_obs")
     val c = table("orders").observed(obs,
