@@ -704,6 +704,13 @@ object SparkEntry {
           .select(col("vec_id"), col("pos"),
             round(col("comp") * 10000).cast("long").as("qcomp"))
       }),
+      // C4-style boilerplate stripping on a planted multi-line fixture
+      // (the synthetic documents are single-line); exact deterministic
+      // output → pinned oracle
+      "q_strip_boilerplate" -> ((s, d) =>
+        Chain(s, "boiler_fixtures", boilerFixtureDf(s))
+          .stripBoilerplate("doc_id", "text", Seq("source"))
+          .dropColumns(includeCols = Seq("doc_id", "text_clean", "text_n_stripped")).df),
       "q_multimodal_decode" -> ((s, d) =>
         t(s, d, "documents").withMediaColumn("text")
           .decodeMedia("media")
@@ -919,6 +926,28 @@ object SparkEntry {
       (org.apache.spark.sql.functions.col("id") % 4).as("g"),
       ((org.apache.spark.sql.functions.col("id") / 4) % 3).as("h"),
       ((org.apache.spark.sql.functions.col("id") * 37) % 101).cast("double").as("x"))
+  }
+
+  /** Multi-line fixtures for q_strip_boilerplate: two multi-doc "sites"
+    * with planted repeated footers/CTAs plus a single-doc site (can never
+    * reach minDocs — must pass through untouched).
+    */
+  private[graft] def boilerFixtureDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (1L, "news", "breaking market rally today\nshare this article\nsubscribe to the newsletter"),
+      (2L, "news", "local team wins championship\nshare this article\nsubscribe to the newsletter"),
+      (3L, "news", "weather stays mild this week\nshare this article"),
+      (4L, "news", "elections set for next spring\nsubscribe to the newsletter\n\nextra analysis section"),
+      (5L, "blog", "my sourdough journey begins\npowered by blogcraft"),
+      (6L, "blog", "thoughts on distributed systems\npowered by blogcraft"),
+      (7L, "solo", "unique text stands alone\nwith two lines")
+    ).map { case (id, src, txt) => org.apache.spark.sql.Row(id, src, txt) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
   }
 
   private[graft] def embFixtureDf(s: SparkSession): DataFrame = {
@@ -1491,6 +1520,16 @@ object SparkEntry {
       "q_dedup_simhash" ->
         ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS INTEGER)), " +
           "(3, 4, 6), (5, 6, 0)) AS t(id_a, id_b, hamming)"),
+      "q_strip_boilerplate" ->
+        ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), 'breaking market rally today', CAST(2 AS BIGINT)), " +
+          "(2, 'local team wins championship', 2), " +
+          "(3, 'weather stays mild this week', 1), " +
+          "(4, 'elections set for next spring' || chr(10) || chr(10) || 'extra analysis section', 1), " +
+          "(5, 'my sourdough journey begins', 1), " +
+          "(6, 'thoughts on distributed systems', 1), " +
+          "(7, 'unique text stands alone' || chr(10) || 'with two lines', 0)) " +
+          "AS t(doc_id, text_clean, text_n_stripped)"),
       // PCA of the pinned lattice fixtures is a pure function (driver-side
       // deterministic fit + codegen projection); components quantized at
       // 1e-4 pin exactly

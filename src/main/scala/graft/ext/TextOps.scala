@@ -538,6 +538,65 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * column expressions ([[graft.functions.UnicodeNormalize]] + built-in
     * regexps) — scan-side linear, no shuffle.
     */
+  /** strip_boilerplate(id, text, group_by, max_doc_frac, min_docs, sep):
+    * remove SEGMENTS (default: lines) that repeat across more than
+    * `maxDocFrac` of the documents in the same group (site / source /
+    * domain) — the C4-style header/footer/nav cleaner. A segment is
+    * boilerplate within its group when it appears in ≥ `minDocs` documents
+    * AND in more than `maxDocFrac` of them; empty segments never qualify
+    * (they are document structure, not boilerplate). Adds `<text>_clean`
+    * (surviving segments re-joined in original order; null text stays
+    * null) and `<text>_n_stripped`.
+    *
+    * Scale shape: one explode (linear in segments), a distinct-doc count
+    * per (group, segment-hash) with map-side combine, a per-group doc
+    * count (tiny, AQE-broadcast), one join back and one regroup by
+    * document — no quadratic stage, nothing driver-side. Join keys are
+    * xxhash64 of the segment, so the shuffles move fixed-width longs, not
+    * text (hash equality stands in for segment equality — same declared
+    * trade as the shingle plumbing).
+    */
+  def stripBoilerplate(idCol: String, textCol: String, groupBy: Seq[String],
+                       maxDocFrac: Double = 0.5, minDocs: Int = 2,
+                       sep: String = "\n"): Chain = {
+    require(groupBy.nonEmpty, "strip_boilerplate needs group columns (site/source)")
+    require(maxDocFrac > 0 && maxDocFrac <= 1,
+      s"maxDocFrac must be in (0, 1], got $maxDocFrac")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val segs = c.df.select(
+      (col(idCol).as("_sb_id") +: groupBy.map(col) :+
+        posexplode(split(col(textCol), sepRe)).as(Seq("_sb_pos", "_sb_seg"))): _*)
+      .withColumn("_sb_k", xxhash64(col("_sb_seg")))
+    val docFreq = segs.where(col("_sb_seg") =!= "")
+      .select((groupBy.map(col) :+ col("_sb_k") :+ col("_sb_id")): _*)
+      .distinct()
+      .groupBy((groupBy.map(col) :+ col("_sb_k")): _*)
+      .agg(count(lit(1)).as("_sb_df"))
+    val groupDocs = c.df.select((groupBy.map(col) :+ col(idCol).as("_sb_id")): _*)
+      .distinct()
+      .groupBy(groupBy.map(col): _*).agg(count(lit(1)).as("_sb_n"))
+    val boiler = docFreq.join(groupDocs, groupBy)
+      .where(col("_sb_df") >= minDocs &&
+        col("_sb_df") > col("_sb_n") * lit(maxDocFrac))
+      .select((groupBy.map(col) :+ col("_sb_k")): _*)
+      .withColumn("_sb_boiler", lit(true))
+    val marked = segs.join(boiler, groupBy :+ "_sb_k", "left")
+    val cleanName = graft.core.Naming.cleanse(s"${textCol}_clean")
+    val strippedName = graft.core.Naming.cleanse(s"${textCol}_n_stripped")
+    // collect_list skips the nulls the `when` leaves for boilerplate rows;
+    // array_sort on struct(pos, seg) restores the original segment order
+    val perDoc = marked.groupBy(col("_sb_id")).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(when(col("_sb_boiler").isNull,
+          struct(col("_sb_pos").as("p"), col("_sb_seg").as("s"))))),
+        e => e.getField("s"))).as(cleanName),
+      sum(when(col("_sb_boiler").isNotNull, 1).otherwise(0)).as(strippedName))
+    val df2 = c.df.join(perDoc, c.df(idCol) === perDoc("_sb_id"), "left")
+      .drop("_sb_id")
+    c.next("strip_boilerplate", df2, None)
+  }
+
   def normalizeText(textCol: String, lowercase: Boolean = true,
                     stripAccents: Boolean = true): Chain = {
     import org.apache.spark.sql.GraftBridge

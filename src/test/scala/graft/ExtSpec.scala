@@ -466,4 +466,32 @@ class ExtSpec extends AnyFunSuite {
     assert(e1.sorted == (0L until 500L), "shuffle must be a permutation")
     assert(e1 != (0L until 500L).toSeq, "order must not be the identity")
   }
+
+  test("strip_boilerplate removes group-repeated segments, keeps structure") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "news", "breaking market rally today\nshare this article\nsubscribe to the newsletter"),
+      (2L, "news", "local team wins championship\nshare this article\nsubscribe to the newsletter"),
+      (3L, "news", "weather stays mild this week\nshare this article"),
+      (4L, "news", "elections set for next spring\nsubscribe to the newsletter\n\nextra analysis section"),
+      (5L, "blog", "my sourdough journey begins\npowered by blogcraft"),
+      (6L, "blog", "thoughts on distributed systems\npowered by blogcraft"),
+      (7L, "solo", "unique text stands alone\nwith two lines")
+    ).toDF("doc_id", "source", "text")
+    val out = Chain(spark, "boiler", docs)
+      .stripBoilerplate("doc_id", "text", Seq("source")).df
+      .select("doc_id", "text_clean", "text_n_stripped").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // news (4 docs): both repeated lines exceed 2/4 and strip
+    assert(out(1L) == ("breaking market rally today", 2L))
+    assert(out(2L) == ("local team wins championship", 2L))
+    assert(out(3L) == ("weather stays mild this week", 1L))
+    // doc 4 keeps its EMPTY line — structure is not boilerplate
+    assert(out(4L) == ("elections set for next spring\n\nextra analysis section", 1L))
+    // blog (2 docs): footer in 2/2 > 0.5 and >= minDocs — stripped
+    assert(out(5L) == ("my sourdough journey begins", 1L))
+    assert(out(6L) == ("thoughts on distributed systems", 1L))
+    // a single-doc group can never reach minDocs — untouched
+    assert(out(7L) == ("unique text stands alone\nwith two lines", 0L))
+  }
 }
