@@ -18,7 +18,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   * multi-second stalls, and a single pass charges whichever query was running
   * to the stall; the min is the reproducible cost.
   *
-  * Durable record (round-6 ask): stdout can be tail-truncated by the harness,
+  * Durable record: stdout can be tail-truncated by the calling process,
   * so the full per-query record is ALSO written to files — each completed
   * query appends a line to `bench_status.jsonl`, and the final summary JSON
   * goes to `bench.json` (paths overridable via `SPARK_GRAFT_BENCH_OUT`).
@@ -57,7 +57,7 @@ object Bench {
       val done = order.filter(best.contains)
       val skipped = order.filterNot(best.contains)
       // per-query millisecond precision keeps the line short; the headline
-      // fields go LAST so a harness that stores only the tail of stdout
+      // fields go LAST so a caller that stores only the tail of stdout
       // still sees metric/value/unit even if the head of the line is cut
       val qs = done.map(k => "\"" + k + "\":" + fmt3(best(k))).mkString("{", ",", "}")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: run a single SparkEntry query and dump parquet — the ad-hoc
-  * driving entry point documented in `.claude/skills/verify/SKILL.md`.
+/** Dev utility: run a single SparkEntry query and dump parquet — handy for
+  * timing or inspecting one query without the full Verify/Bench sweep.
   * Not part of the library surface.
   */
 object ScratchOne {

@@ -1160,14 +1160,15 @@ object SparkEntry {
         "OR o.o_orderdate IS DISTINCT FROM n.o_orderdate " +
         "OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority " +
         "THEN 'changed' END AS change_type " +
-        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey) " +
         "WHERE change_type IS NOT NULL"),
     "q_sample_hash" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < '${graft.ops.JoinOps.hashThreshold(0.1)}'"),
     "q_sample_weighted" ->
       ("SELECT * FROM (SELECT *, l_quantity / 50.0 AS w FROM lineitem) " +
-        "WHERE w IS NOT NULL AND md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "WHERE w IS NOT NULL AND NOT isnan(CAST(w AS DOUBLE)) " +
+        "AND md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +
         "printf('%015x', LEAST(CAST(FLOOR(LEAST(GREATEST(CAST(w AS DOUBLE), 0.0), 1.0) * POW(16.0, 15)) AS BIGINT), " +
         "1152921504606846975))"),
@@ -1181,7 +1182,8 @@ object SparkEntry {
       ("SELECT * EXCLUDE (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
         "ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR)) ASC) AS _rn FROM lineitem " +
-        "WHERE l_extendedprice IS NOT NULL) WHERE _rn <= 3"),
+        "WHERE l_extendedprice IS NOT NULL " +
+        "AND NOT isnan(CAST(l_extendedprice AS DOUBLE))) WHERE _rn <= 3"),
     // the aggregate face keeps the identical set: k smallest by
     // (md5(key), key), key unique per lineitem row
     "q_sample_group_k_agg" ->

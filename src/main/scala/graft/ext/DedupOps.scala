@@ -547,6 +547,95 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
+  /** True for the id types the cluster family runs natively (lossless
+    * cast to long).
+    */
+  private[ext] def isIntegralId(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Loud id-type admission for the dedup/cluster family: integral ids run
+    * natively, string ids (UUID/URL keys — what real corpora use) run
+    * through a collision-checked xxhash64 surrogate, anything else fails
+    * HERE instead of silently null-casting downstream (the old
+    * `cast("long")` turned a string-keyed corpus into all-singleton
+    * clusters: dedup returned its input unchanged with no error).
+    */
+  private[ext] def requireClusterableId(op: String, colName: String,
+                                        dt: org.apache.spark.sql.types.DataType): Unit =
+    if (!isIntegralId(dt) && dt != org.apache.spark.sql.types.StringType)
+      throw new IllegalArgumentException(
+        s"$op: id column '$colName' must be integral (tinyint/smallint/int/bigint) " +
+          s"or string, got ${dt.simpleString}; cast or relabel through a surrogate key first")
+
+  /** Distinct (surrogate, original) id map over both pair columns of a
+    * string-keyed pair frame — surrogate = xxhash64(id), checkpointed, and
+    * COLLISION-CHECKED with one count/count-distinct aggregate (a declared
+    * O(#ids) probe, same class as the cluster loop's convergence probes):
+    * two distinct ids hashing to one surrogate would silently merge their
+    * components, so a collision fails loudly instead. P(collision) ≈
+    * n²/2⁶⁵ — negligible below ~10⁸ ids, detected above. The map is part
+    * of the result plan's retained checkpoint blocks
+    * ([[graft.core.Chain.releaseCheckpoints]] on the result releases it).
+    */
+  private[ext] def surrogateIdMap(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val m = checkpointRound(pairs
+      .select(explode(array(col(aCol), col(bCol))).as("_oid"))
+      .where(col("_oid").isNotNull)
+      .distinct()
+      .withColumn("_sid", xxhash64(col("_oid"))))
+    val probe = m.agg(count(lit(1)).as("n"),
+      count_distinct(col("_sid")).as("d")).collect()(0)
+    if (probe.getLong(0) != probe.getLong(1))
+      throw new IllegalStateException(
+        s"xxhash64 surrogate collision among ${probe.getLong(0)} distinct ids " +
+          s"(${probe.getLong(0) - probe.getLong(1)} colliding) — clustering would " +
+          "silently merge unrelated documents; relabel ids through a unique " +
+          "integral surrogate (e.g. a persisted dimension with a generated key)")
+    m
+  }
+
+  /** Type-dispatch a pair frame's id columns into a long `(src, dst)` edge
+    * frame: integral ids cast losslessly (fast path, no extra work);
+    * string ids map through the collision-checked xxhash64 surrogate (the
+    * returned map translates labels back to original ids); any other type
+    * — and mixed families — fails loudly here.
+    */
+  private[ext] def clusterEdges(op: String, pairs: DataFrame,
+                                aCol: String, bCol: String): (DataFrame, Option[DataFrame]) = {
+    val dtA = pairs.schema(aCol).dataType
+    val dtB = pairs.schema(bCol).dataType
+    requireClusterableId(op, aCol, dtA)
+    requireClusterableId(op, bCol, dtB)
+    if (isIntegralId(dtA) != isIntegralId(dtB))
+      throw new IllegalArgumentException(
+        s"$op: id columns must share a type family, got " +
+          s"$aCol ${dtA.simpleString} vs $bCol ${dtB.simpleString}")
+    if (isIntegralId(dtA))
+      (pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")), None)
+    else {
+      val m = surrogateIdMap(pairs, aCol, bCol)
+      (pairs.select(xxhash64(col(aCol)).as("src"), xxhash64(col(bCol)).as("dst")), Some(m))
+    }
+  }
+
+  /** Translate a long-surrogate labels frame `(id, cluster_id)` back to
+    * original string ids through the surrogate map — two long-keyed joins
+    * (labels is one row per clustered doc, ≪ corpus). `cluster_id` becomes
+    * the original id of the component's minimum-SURROGATE member: a
+    * deterministic representative under the uniform hash order (for
+    * integral ids the representative stays the minimum id).
+    */
+  private[ext] def translateLabels(labels: DataFrame, m: DataFrame): DataFrame =
+    labels
+      .join(m.select(col("_sid").as("_ms"), col("_oid").as("_mo")),
+        col("id") === col("_ms"))
+      .join(m.select(col("_sid").as("_cs"), col("_oid").as("_co")),
+        col("cluster_id") === col("_cs"))
+      .select(col("_mo").as("id"), col("_co").as("cluster_id"))
+
   /** Eagerly materialize + TRUNCATE an iterative round's frame:
     * `localCheckpoint` replaces the logical plan with a `LogicalRDD`, so
     * round N+1's plan does not nest round N's (a round that references its
@@ -621,6 +710,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * [[graft.core.Chain.releaseCheckpoints]] on the result (after the last
     * read) — without that, each invocation in a long session retains one
     * labels-frame of storage.
+    *
+    * Id types: integral ids run natively; STRING ids (UUID/URL corpus
+    * keys) run through the collision-checked xxhash64 surrogate and
+    * translate back on output — `cluster_id` is then the original id of
+    * the component's minimum-surrogate member (a deterministic
+    * representative under the uniform hash order). Other types fail
+    * loudly ([[DedupOps.requireClusterableId]]).
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
@@ -629,8 +725,8 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     // round goes through checkpointRound (truncate, so plans never nest
     // round-over-round) + releaseRound (free dead rounds' blocks — the
     // storage residue that inflated long-session benchmarks).
-    val edges = DedupOps.checkpointRound(
-      c.df.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")))
+    val (edgesIn, idMap) = DedupOps.clusterEdges("cluster_pairs", c.df, idACol, idBCol)
+    val edges = DedupOps.checkpointRound(edgesIn)
     // miner pairs are unique (id_a < id_b), so the symmetrized union is
     // dup-free by construction — no distinct shuffle. (User-fed duplicate
     // pairs stay harmless: min-propagation is idempotent in its inputs.)
@@ -678,7 +774,11 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters rounds — component diameter " +
           "exceeds the bound; raise maxIters or use a contraction algorithm")
-    c.next("dedup_clusters", labels, None)
+    // string-keyed input: translate surrogates back to original ids (the
+    // map's checkpoint blocks ride in the result plan until the consumer's
+    // releaseCheckpoints, same as the labels frame itself)
+    val out = idMap.fold(labels)(m => DedupOps.translateLabels(labels, m))
+    c.next("dedup_clusters", out, None)
   }
 
   /** cluster_pairs_contraction(id_a, id_b): connected components by
@@ -703,13 +803,16 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     */
   def clusterPairsContraction(idACol: String = "id_a", idBCol: String = "id_b",
                               maxIters: Int = 50): Chain = {
-    val ac = col(idACol).cast("long"); val bc = col(idBCol).cast("long")
+    // id-type dispatch shared with clusterPairs: integral native, string
+    // via collision-checked surrogate, else loud failure
+    val (edgesIn, idMap) = DedupOps.clusterEdges("cluster_pairs_contraction", c.df, idACol, idBCol)
     // one declared materialization of the upstream miner; `ids` (for the
     // final labeling, incl. self-pairs) and the canonical edge set both
     // read the truncated frame instead of re-running it. Every round goes
     // through checkpointRound/releaseRound — see clusterPairs.
     val raw = DedupOps.checkpointRound(
-      c.df.select(least(ac, bc).as("a"), greatest(ac, bc).as("b")))
+      edgesIn.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")))
     val ids = DedupOps.checkpointRound(
       raw.select(explode(array(col("a"), col("b"))).as("id")).distinct())
     var edges = DedupOps.checkpointRound(
@@ -752,10 +855,11 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairsContraction did not converge in $maxIters rounds")
-    val stars = edges.select(col("a").as("_sid"), col("b").as("_sroot"))
-    val labels = ids.join(stars, ids("id") === col("_sid"), "left")
+    val stars = edges.select(col("a").as("_star_id"), col("b").as("_sroot"))
+    val labels = ids.join(stars, ids("id") === col("_star_id"), "left")
       .select(col("id"), coalesce(col("_sroot"), col("id")).as("cluster_id"))
-    c.next("dedup_clusters", labels, None)
+    val out = idMap.fold(labels)(m => DedupOps.translateLabels(labels, m))
+    c.next("dedup_clusters", out, None)
   }
 
   /** dedup_near(id, text, n, threshold, keep_by): the end-to-end near-dup
@@ -780,6 +884,8 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
                 candidates: String = "exact",
                 clusterer: String = "propagation",
                 numHashes: Int = 32, bands: Int = 0): Chain = {
+    // fail on unsupported id types BEFORE any mining work
+    DedupOps.requireClusterableId("dedup_near", idCol, c.df.schema(idCol).dataType)
     // candidate miner: "exact" n-gram Jaccard is the oracle-exact default;
     // "minhash" swaps in banded-LSH mining — the 100 TB dial when even
     // PPJoin's verified candidate set is too large (estimates replace
@@ -837,6 +943,9 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
                          nlist: Int = 16, nassign: Int = 2,
                          trainSample: Int = 4096,
                          trainIters: Int = 15, maxRows: Long = 1000000L): Chain = {
+    // fail on unsupported id types BEFORE any mining work
+    DedupOps.requireClusterableId("dedup_near_embedding", idCol,
+      c.df.schema(idCol).dataType)
     val pairs = candidates match {
       case "exact" =>
         new DedupOps(c).embeddingCosinePairs(idCol, vecCol, threshold, maxRows = maxRows)
@@ -844,7 +953,10 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         require(nassign >= 1 && nassign <= nlist,
           s"nassign must be in [1, nlist], got $nassign (nlist=$nlist)")
         val spark = c.df.sparkSession
-        val corpus = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+        // ids pass through untyped (ranking, windows and pair comparisons
+        // all work on any orderable type); the cluster stage downstream
+        // owns the integral/string dispatch
+        val corpus = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
           .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
           .repartition(col("_id")) // barrier: norm computed once
         // bounded hash-deterministic training sample → driver k-means
@@ -901,10 +1013,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     */
   private def keepOnePerCluster(clusters: Chain, idCol: String,
                                 keepBy: Seq[(String, String)], op: String): Chain = {
+    // labels carry the corpus's own id type (integral path: long; string
+    // path: original strings, already translated back) — join on the raw
+    // id, never a lossy cast
     val labels = clusters.df
       .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
-    val withCl = c.df.join(labels, col(idCol).cast("long") === col("_lid"), "left")
-      .withColumn("_cl", coalesce(col("_lcl"), col(idCol).cast("long")))
+    val withCl = c.df.join(labels, col(idCol) === col("_lid"), "left")
+      .withColumn("_cl", coalesce(col("_lcl"), col(idCol)))
     val ord = keepBy.map { case (cn, dir) =>
       if (dir.equalsIgnoreCase("DESC")) col(cn).desc else col(cn).asc
     } :+ col(idCol).asc

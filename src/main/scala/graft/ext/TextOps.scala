@@ -551,7 +551,10 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * Scale shape: one explode (linear in segments), a distinct-doc count
     * per (group, segment-hash) with map-side combine, a per-group doc
     * count (tiny, AQE-broadcast), one join back and one regroup by
-    * document — no quadratic stage, nothing driver-side. Join keys are
+    * (group, document) — ids need only be unique WITHIN their group (a
+    * doc_id reused under two sources stays two documents; the regroup and
+    * rejoin both key on group ++ id) — no quadratic stage, nothing
+    * driver-side. Join keys are
     * xxhash64 of the segment, so the shuffles move fixed-width longs, not
     * text (hash equality stands in for segment equality — same declared
     * trade as the shingle plumbing).
@@ -586,13 +589,20 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val strippedName = graft.core.Naming.cleanse(s"${textCol}_n_stripped")
     // collect_list skips the nulls the `when` leaves for boilerplate rows;
     // array_sort on struct(pos, seg) restores the original segment order
-    val perDoc = marked.groupBy(col("_sb_id")).agg(
+    // regroup on group ++ id, not id alone: a doc_id repeated under two
+    // groups would otherwise merge both docs' segments into one cleaned
+    // text and fan out the final left join
+    val perDoc = marked.groupBy((groupBy.map(col) :+ col("_sb_id")): _*).agg(
       concat_ws(sep, transform(
         array_sort(collect_list(when(col("_sb_boiler").isNull,
           struct(col("_sb_pos").as("p"), col("_sb_seg").as("s"))))),
         e => e.getField("s"))).as(cleanName),
       sum(when(col("_sb_boiler").isNotNull, 1).otherwise(0)).as(strippedName))
-    val df2 = c.df.join(perDoc, c.df(idCol) === perDoc("_sb_id"), "left")
+    val joinCond = groupBy.foldLeft(c.df(idCol) === perDoc("_sb_id")) {
+      (acc, g) => acc && (c.df(g) <=> perDoc(g))
+    }
+    val joined = c.df.join(perDoc, joinCond, "left")
+    val df2 = groupBy.foldLeft(joined)((d, g) => d.drop(perDoc(g)))
       .drop("_sb_id")
     c.next("strip_boilerplate", df2, None)
   }

@@ -126,9 +126,11 @@ private[functions] final class BottomKBuffer(val k: Int) {
   * and payload bytes. Order: score (flipped when descending), then key
   * bytes, then payload bytes — a total order, so the kept multiset is a
   * deterministic prefix under any partitioning; identical to the window
-  * face whenever (score, key) is unique. Null scores are skipped at
-  * update; NaN compares greatest (java.lang.Double.compare), i.e. least
-  * preferred under either direction.
+  * face whenever (score, key) is unique. Null AND NaN scores are skipped
+  * at update — an unskipped NaN compares greatest
+  * (java.lang.Double.compare), which under descending order would rank
+  * junk rows ahead of every real score; the SQL window face filters NaN
+  * the same way.
   */
 private[functions] final class TopKEntry(
     val score: Double, val key: Array[Byte], val payload: Array[Byte])
@@ -206,6 +208,7 @@ case class TopKByScoreAgg(
     val sv = score.eval(input)
     if (sv == null) return buffer // null score: row never ranks
     val s = sv.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(s)) return buffer // NaN would rank FIRST desc
     val kv = key.eval(input)
     val keyBytes =
       if (kv == null) Array.emptyByteArray

@@ -250,8 +250,15 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val xS = s"CAST($cn AS DOUBLE)"
     val wp =
       if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
-    val loS = s"MAX(CASE WHEN _w_rn = FLOOR($pLow * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
-    val hiS = s"MAX(CASE WHEN _w_rn = CEIL($pHigh * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+    // percentiles rendered as CAST('<p>' AS DOUBLE): a bare decimal literal
+    // is exact DECIMAL in ANSI engines, so FLOOR(p·(n−1)) could land one
+    // rank off the DataFrame face's IEEE-double product (e.g. p=0.3, n=11:
+    // double gives 2.999…96 → rank 2, DECIMAL gives 3.00 → rank 3); the
+    // string→double cast forces both engines through the same arithmetic
+    val loP = s"CAST('$pLow' AS DOUBLE)"
+    val hiP = s"CAST('$pHigh' AS DOUBLE)"
+    val loS = s"MAX(CASE WHEN _w_rn = FLOOR($loP * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+    val hiS = s"MAX(CASE WHEN _w_rn = CEIL($hiP * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
     c.next("winsorize", df2, Some(
       s"SELECT * EXCEPT (_w_rn, _w_n, _w_lo, _w_hi), " +
         s"CASE WHEN $xS IS NULL THEN NULL ELSE GREATEST(LEAST($xS, _w_hi), _w_lo) END AS $outName FROM (" +

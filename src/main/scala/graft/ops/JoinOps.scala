@@ -165,7 +165,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * per-row form of [[sampleHash]]'s hex-prefix compare; double multiply,
     * floor and hex formatting are all engine-exact, so the kept set is
     * identical across engines, partitionings and reruns. Pure predicate —
-    * pushes to the scan; null weights drop the row (no silent keep).
+    * pushes to the scan; null AND NaN weights drop the row (no silent
+    * keep — NaN compares greatest under least/greatest, so an unguarded
+    * NaN from a bad score division would clamp to 1.0 and keep the row
+    * with P ≈ 1).
     */
   def sampleWeighted(weightCol: String, keyCols: Seq[String]): Chain = {
     require(keyCols.nonEmpty, "sample_weighted needs key columns")
@@ -176,11 +179,13 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val th = format_string("%015x",
       least(floor(w * pow(lit(16.0), lit(15))).cast("long"),
         lit(1152921504606846975L)))
-    val df2 = c.df.where(col(weightCol).isNotNull && md5(key) < th)
+    val df2 = c.df.where(col(weightCol).isNotNull &&
+      !isnan(col(weightCol).cast("double")) && md5(key) < th)
     val keySql = s"concat_ws('|', ${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})"
     val wSql = s"LEAST(GREATEST(CAST($weightCol AS DOUBLE), 0.0), 1.0)"
     c.next("sample_weighted", df2, Some(
       s"SELECT * FROM {{source}} WHERE $weightCol IS NOT NULL AND " +
+        s"NOT isnan(CAST($weightCol AS DOUBLE)) AND " +
         s"md5($keySql) < printf('%015x', LEAST(CAST(FLOOR($wSql * POW(16.0, 15)) AS BIGINT), " +
         s"1152921504606846975))"))
   }
@@ -262,7 +267,9 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * candidates instead of the corpus, and the result is deterministic
     * under any partitioning (total order (score, key, payload-bytes);
     * identical to the window formulation whenever (score, key) is unique —
-    * the SQL face). Rows with a null score never rank.
+    * the SQL face). Rows with a null or NaN score never rank (NaN sorts
+    * FIRST under DESC in Spark/DuckDB — unfiltered it would win "keep the
+    * k best" ahead of every real score).
     */
   def sampleGroupTopK(groupBy: Seq[String], k: Int, scoreCol: String,
                       keyCols: Seq[String], ascending: Boolean = false): Chain = {
@@ -284,7 +291,8 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       s"SELECT * EXCEPT (_sgt_rn) FROM (SELECT *, ROW_NUMBER() OVER (" +
         s"PARTITION BY ${groupBy.mkString(", ")} " +
         s"ORDER BY CAST($scoreCol AS DOUBLE) $dir, $keySql ASC) AS _sgt_rn " +
-        s"FROM {{source}} WHERE $scoreCol IS NOT NULL) WHERE _sgt_rn <= $k"))
+        s"FROM {{source}} WHERE $scoreCol IS NOT NULL " +
+        s"AND NOT isnan(CAST($scoreCol AS DOUBLE))) WHERE _sgt_rn <= $k"))
   }
 
   def sampleHashStratified(
@@ -340,13 +348,18 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       nonKey.map(n => coalesce(df(n).cast("string"), lit("\u0002"))): _*))
     val l = c.df.select(keys.map(col) :+ fp(c.df).as("_fp_old"): _*)
     val r = other.df.select(keys.map(col) :+ fp(other.df).as("_fp_new"): _*)
-    val joined = l.join(r, keys, "full_outer")
+    // null-SAFE key equality (<=>): the fingerprint is already null-safe,
+    // so a row keyed by null present on both sides must MATCH (and compare
+    // fingerprints), not report as a spurious added+removed pair the way
+    // null-unsafe USING-join semantics would
+    val cond = keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    val joined = l.join(r, cond, "full_outer")
       .withColumn("change_type",
         when(col("_fp_old").isNull, "added")
           .when(col("_fp_new").isNull, "removed")
           .when(col("_fp_old") =!= col("_fp_new"), "changed"))
       .where(col("change_type").isNotNull)
-      .select(keys.map(col) :+ col("change_type"): _*)
+      .select(keys.map(k => coalesce(l(k), r(k)).as(k)) :+ col("change_type"): _*)
     c.next("diff_against", joined, None)
   }
 

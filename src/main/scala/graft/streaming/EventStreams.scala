@@ -174,8 +174,11 @@ object EventStreams {
       .start()
     q.awaitTermination()
     // foreachBatch runs in a cloned session; the upsert's table swap is
-    // invisible to the CALLER session's cached file listing until refreshed
-    df.sparkSession.catalog.refreshTable(name)
+    // invisible to the CALLER session's cached file listing until refreshed.
+    // Guarded: a stream that yielded no non-empty batch never created the
+    // table, and refreshing a non-existent table throws.
+    if (df.sparkSession.catalog.tableExists(name))
+      df.sparkSession.catalog.refreshTable(name)
     q
   }
 
@@ -295,8 +298,10 @@ object EventStreams {
       .start()
     q.awaitTermination()
     // foreachBatch runs in a cloned session; refresh the CALLER session's
-    // cached listings for both tables the batches rewrote/appended
-    docs.sparkSession.catalog.refreshTable(name)
+    // cached listings for both tables the batches rewrote/appended. Both
+    // guarded: an all-empty stream creates neither table.
+    if (docs.sparkSession.catalog.tableExists(name))
+      docs.sparkSession.catalog.refreshTable(name)
     if (docs.sparkSession.catalog.tableExists(indexTable))
       docs.sparkSession.catalog.refreshTable(indexTable)
     q

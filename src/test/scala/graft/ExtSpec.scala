@@ -494,4 +494,27 @@ class ExtSpec extends AnyFunSuite {
     // a single-doc group can never reach minDocs — untouched
     assert(out(7L) == ("unique text stands alone\nwith two lines", 0L))
   }
+
+  test("strip_boilerplate keeps same-id docs in different groups separate") {
+    import spark.implicits._
+    // doc_id 1 appears under TWO sources: each must be cleaned against its
+    // OWN group only, with no segment merging and no join fan-out
+    val docs = Seq(
+      (1L, "a", "alpha story one\nshared footer a"),
+      (2L, "a", "alpha story two\nshared footer a"),
+      (1L, "b", "bravo story one\nshared footer b"),
+      (2L, "b", "bravo story two\nshared footer b")
+    ).toDF("doc_id", "source", "text")
+    val outDf = Chain(spark, "boiler2", docs)
+      .stripBoilerplate("doc_id", "text", Seq("source")).df
+    assert(outDf.count() == 4, "rejoin must not fan out on the repeated id")
+    val out = outDf.select("source", "doc_id", "text_clean", "text_n_stripped")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out(("a", 1L)) == ("alpha story one", 1L))
+    assert(out(("a", 2L)) == ("alpha story two", 1L))
+    assert(out(("b", 1L)) == ("bravo story one", 1L))
+    assert(out(("b", 2L)) == ("bravo story two", 1L))
+  }
 }

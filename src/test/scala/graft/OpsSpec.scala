@@ -163,11 +163,17 @@ class OpsSpec extends AnyFunSuite {
       val p = rates.getOrElse(wv, 0L).toDouble / 400.0
       assert(math.abs(p - wv) < 0.12, s"keep rate $p for weight $wv")
     }
-    // null weights drop, never silently keep
-    val withNull = Seq((1L, Option(0.9)), (2L, None: Option[Double]))
-      .toDF("id", "w")
+    // null and NaN weights drop, never silently keep — an unguarded NaN
+    // clamps to 1.0 under least/greatest (NaN compares greatest) and would
+    // keep the row with P ≈ 1
+    val withNull = Seq((1L, Option(0.9)), (2L, None: Option[Double]),
+      (3L, Option(Double.NaN))).toDF("id", "w")
     assert(Chain(spark, "t", withNull).sampleWeighted("w", Seq("id")).df
-      .where("id = 2").count() == 0)
+      .where("id = 2 OR id = 3").count() == 0)
+    // SQL face agrees (NaN guard present in the rendered text too)
+    withNull.createOrReplaceTempView("w_nan_src")
+    val sql = Chain(spark, "w_nan_src", withNull).sampleWeighted("w", Seq("id")).sql()
+    assert(spark.sql(sql).where("id = 2 OR id = 3").count() == 0)
   }
 
   test("sample_group_top_k equals the score window face; null scores never rank") {
@@ -190,14 +196,23 @@ class OpsSpec extends AnyFunSuite {
     val globalMin = table("lineitem").df
       .select(min(col("l_extendedprice"))).head().getDouble(0)
     assert(lo == globalMin)
-    // null scores are excluded, not ranked first or last
+    // null AND NaN scores are excluded, not ranked first or last — an
+    // unskipped NaN compares greatest, so under DESC it would beat every
+    // real score and promote junk rows into "keep the k best"
     import spark.implicits._
     val withNulls = graft.core.Chain(spark, "n", Seq(
-      ("g", Option(2.0), 1L), ("g", None: Option[Double], 2L), ("g", Option(1.0), 3L))
+      ("g", Option(2.0), 1L), ("g", None: Option[Double], 2L),
+      ("g", Option(Double.NaN), 4L), ("g", Option(1.0), 3L))
       .toDF("g", "s", "id"))
     val kept = withNulls.sampleGroupTopK(Seq("g"), 2, "s", Seq("id")).df
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L))
+    // the rendered SQL window face filters NaN identically
+    withNulls.df.createOrReplaceTempView("nan_score_src")
+    val keptSql = spark.sql(graft.core.Chain(spark, "nan_score_src", withNulls.df)
+      .sampleGroupTopK(Seq("g"), 2, "s", Seq("id")).sql())
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptSql == Seq(1L, 3L))
     // SQL face of the registered kernel keeps the same kept-set
     table("lineitem")
     val viaSql = spark.sql(
@@ -259,6 +274,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "changed", 5L -> "added"))
     intercept[IllegalArgumentException](
       oldV.diffAgainst(Chain(spark, "w", newV.df.withColumnRenamed("v", "w")), Seq("k")))
+    // null KEYS match null-safely: a null-keyed row on both sides compares
+    // fingerprints (changed/unchanged), never a spurious added+removed pair
+    val oldN = Chain(spark, "nk_old", Seq(
+      (None: Option[Long], Option("x")), (Some(1L), Option("a"))).toDF("k", "v"))
+    val newSame = Chain(spark, "nk_new1", Seq(
+      (None: Option[Long], Option("x")), (Some(1L), Option("a"))).toDF("k", "v"))
+    assert(oldN.diffAgainst(newSame, Seq("k")).df.count() == 0)
+    val newChanged = Chain(spark, "nk_new2", Seq(
+      (None: Option[Long], Option("y")), (Some(1L), Option("a"))).toDF("k", "v"))
+    val gotN = oldN.diffAgainst(newChanged, Seq("k")).df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(gotN == Map(-1L -> "changed"))
   }
 
   test("save guards against silent overwrite") {

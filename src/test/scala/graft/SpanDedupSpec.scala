@@ -102,6 +102,63 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clusterer"))
   }
 
+  test("dedup/cluster family handles string ids, equal to numeric relabeling") {
+    import spark.implicits._
+    // UUID-shaped relabeling of the real corpus, ORDER-PRESERVING (zero-
+    // padded) so the keep-one id tiebreak ranks identically — survivors
+    // must be the same documents as the numeric run
+    val docsN = table("documents")
+    val strDf = docsN.df.withColumn("doc_uid",
+      format_string("doc-%012d-%08x", col("doc_id"), pmod(col("doc_id") * 2654435761L, lit(4294967296L))))
+      .drop("doc_id")
+    def surv(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("text", "n_chars"))
+    val keptNum = surv(docsN.dedupNear("doc_id", "text", n = 3, threshold = 0.5,
+      keepBy = Seq("n_chars" -> "DESC")).df)
+    val keptStr = surv(Chain(spark, "sdocs", strDf)
+      .dedupNear("doc_uid", "text", n = 3, threshold = 0.5,
+        keepBy = Seq("n_chars" -> "DESC")).df)
+    assert(keptNum == keptStr, "string-keyed dedup must keep the same documents")
+    // contraction clusterer agrees on the string-keyed corpus too
+    val keptStrC = surv(Chain(spark, "sdocs", strDf)
+      .dedupNear("doc_uid", "text", n = 3, threshold = 0.5,
+        keepBy = Seq("n_chars" -> "DESC"), clusterer = "contraction").df)
+    assert(keptStr == keptStrC)
+    // direct cluster op on string pairs: same components as the long fixture
+    val sPairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val comp = Chain(spark, "sp", sPairs).clusterPairs().df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.keySet == Set("a", "b", "c", "x", "y"))
+    assert(Set(comp("a"), comp("b"), comp("c")).size == 1, "abc share one cluster")
+    assert(Set(comp("x"), comp("y")).size == 1, "xy share one cluster")
+    assert(comp("a") != comp("x"), "separate components stay separate")
+    assert(Set("a", "b", "c").contains(comp("a")), "representative is a member")
+    assert(Set("x", "y").contains(comp("x")), "representative is a member")
+  }
+
+  test("dedup/cluster ops fail loudly on unsupported or mixed id types") {
+    import spark.implicits._
+    val dblDocs = Chain(spark, "dd", Seq((1.5, "alpha beta gamma"), (2.5, "alpha beta gamma"))
+      .toDF("doc_id", "text"))
+    val e1 = intercept[IllegalArgumentException](
+      dblDocs.dedupNear("doc_id", "text"))
+    assert(e1.getMessage.contains("doc_id") && e1.getMessage.contains("double"))
+    val e2 = intercept[IllegalArgumentException](
+      dblDocs.dedupNearEmbedding("doc_id", "text", threshold = 0.9))
+    assert(e2.getMessage.contains("doc_id"))
+    // mixed families in a pair frame: loud, not silently null-cast
+    val mixed = Seq((1L, "b")).toDF("id_a", "id_b")
+    val e3 = intercept[IllegalArgumentException](
+      Chain(spark, "mp", mixed).clusterPairs().df)
+    assert(e3.getMessage.contains("type family"))
+    // timestamps are neither integral nor string
+    val tsPairs = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("id_a", "id_b")
+    val e4 = intercept[IllegalArgumentException](
+      Chain(spark, "tp", tsPairs).clusterPairsContraction().df)
+    assert(e4.getMessage.contains("id_a"))
+  }
+
   test("containment measure finds subset documents Jaccard misses") {
     import spark.implicits._
     val core = "alpha beta gamma delta epsilon zeta eta theta"

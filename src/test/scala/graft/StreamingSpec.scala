@@ -402,6 +402,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
   }
+
+  test("upsert and dedup-ingest sinks run an all-empty stream to clean completion") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // a stream yielding no non-empty batch never creates its target tables;
+    // the trailing caller-session refreshTable must be guarded, not throw
+    spark.sql("DROP TABLE IF EXISTS empty_upsert_t")
+    val msU = MemoryStream[Evt]
+    EventStreams.sinkUpsertToTable(msU.toDF(), "empty_upsert_t", Seq("event_id"),
+      Files.createTempDirectory("graft_ckpt_eu").toString)
+    assert(!spark.catalog.tableExists("empty_upsert_t"))
+    spark.sql("DROP TABLE IF EXISTS empty_corpus_t")
+    spark.sql("DROP TABLE IF EXISTS empty_corpus_idx")
+    val msD = MemoryStream[Doc]
+    EventStreams.sinkDedupAppendToTable(msD.toDF(), "empty_corpus_t", "empty_corpus_idx",
+      "doc_id", "text", Files.createTempDirectory("graft_ckpt_ed").toString,
+      shingleWords = 2, numHashes = 16, bands = 4, indexBuckets = 2)
+    assert(!spark.catalog.tableExists("empty_corpus_t"))
+    assert(!spark.catalog.tableExists("empty_corpus_idx"))
+  }
 }
 
 case class Evt(event_id: Long, ts: Long, user_id: Long, event_type: String,

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Per-round bench regression gate.
+
+Compares two Bench summary JSON files (the `bench.json` a Bench run writes,
+or a driver-side BENCH_r{N}.json — same shape: {"queries": {name: sec}, ...})
+and reports every query slower than THRESHOLD x its prior time, plus new /
+removed queries. Intentional regressions get a one-line annotation in
+ANNOTATIONS below so a reviewer sees the reason next to the number instead
+of discovering the slowdown later.
+
+Usage:
+    python3 tools/bench_diff.py <prev.json> <cur.json> [--threshold 1.5]
+
+Exit code: 0 when every regression is annotated (or none), 1 when an
+unannotated regression crosses the threshold (the gate), 2 on bad input.
+"""
+import json
+import sys
+
+THRESHOLD = 1.5
+
+# Absolute-time floor: a 0.02 s -> 0.04 s jitter doubling is not a
+# regression signal at bench scale; only flag when the slower side costs
+# at least this many seconds.
+MIN_SECONDS = 0.15
+
+# query -> one-line reason, for regressions that are the accepted price of
+# a correctness or capability change. Keep entries only while the previous
+# round's numbers still reflect the pre-change implementation.
+ANNOTATIONS = {
+    # round 7: Bernoulli df.sample was replaced by the deterministic
+    # md5-hash sampler so q_sample could carry a hard DuckDB oracle; the
+    # per-row md5 is the price of cross-engine reproducibility.
+    "q_sample": "Bernoulli sample -> deterministic md5 hash sampler (oracle-able)",
+}
+
+
+def load(path):
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"bench_diff: cannot read {path}: {e}", file=sys.stderr)
+        sys.exit(2)
+    qs = d.get("queries")
+    if not isinstance(qs, dict) or not qs:
+        print(f"bench_diff: {path} has no 'queries' map", file=sys.stderr)
+        sys.exit(2)
+    return d, qs
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = THRESHOLD
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1]) if "=" in a else threshold
+    if len(args) != 2:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    (_, prev), (_, cur) = load(args[0]), load(args[1])
+
+    added = sorted(set(cur) - set(prev))
+    removed = sorted(set(prev) - set(cur))
+    regressions = []
+    improvements = []
+    for name in sorted(set(prev) & set(cur)):
+        p, c = prev[name], cur[name]
+        if p <= 0:
+            continue
+        ratio = c / p
+        if ratio >= threshold and c >= MIN_SECONDS:
+            regressions.append((name, p, c, ratio))
+        elif ratio <= 1 / threshold and p >= MIN_SECONDS:
+            improvements.append((name, p, c, ratio))
+
+    tp, tc = sum(prev.values()), sum(cur.values())
+    print(f"bench_diff: {len(prev)} -> {len(cur)} queries, "
+          f"total {tp:.1f}s -> {tc:.1f}s ({tc / tp:.2f}x)")
+    if added:
+        print(f"  new queries ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"  removed queries ({len(removed)}): {', '.join(removed)}")
+    for name, p, c, r in sorted(improvements, key=lambda t: t[3]):
+        print(f"  improved {r:.2f}x  {name}: {p:.3f}s -> {c:.3f}s")
+
+    unannotated = []
+    for name, p, c, r in sorted(regressions, key=lambda t: -t[3]):
+        note = ANNOTATIONS.get(name)
+        tag = f"  ANNOTATED: {note}" if note else "  <-- UNANNOTATED"
+        print(f"  REGRESSED {r:.2f}x  {name}: {p:.3f}s -> {c:.3f}s{tag}")
+        if not note:
+            unannotated.append(name)
+
+    if unannotated:
+        print(f"bench_diff: {len(unannotated)} unannotated regression(s) >= "
+              f"{threshold}x: {', '.join(unannotated)} — investigate or "
+              "annotate in tools/bench_diff.py", file=sys.stderr)
+        sys.exit(1)
+    print("bench_diff: OK"
+          + ("" if not regressions else " (all regressions annotated)"))
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
