@@ -51,6 +51,7 @@ object Bench {
     val order = SparkEntry.queries.keys.toSeq
     val best = new scala.collection.concurrent.TrieMap[String, Double]()
     @volatile var passesDone = 0
+    @volatile var recalls: Seq[(String, Double, Double)] = Seq.empty
     val emitted = new AtomicBoolean(false)
 
     def summaryLine(): String = {
@@ -61,8 +62,11 @@ object Bench {
       // still sees metric/value/unit even if the head of the line is cut
       val qs = done.map(k => "\"" + k + "\":" + fmt3(best(k))).mkString("{", ",", "}")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rc = recalls.map { case (n, r, _) => "\"" + n + "\":" + fmt3(r) }
+        .mkString("{", ",", "}")
+      val rcOk = recalls.forall { case (_, r, floor) => r >= floor }
       val total = fmt3(done.map(best).sum)
-      s"""{"queries":$qs,"skipped":$sk,"sf":"$sfDir","passes":$passesDone,"n_done":${done.size},"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"queries":$qs,"skipped":$sk,"recall_at_10":$rc,"recall_ok":$rcOk,"sf":"$sfDir","passes":$passesDone,"n_done":${done.size},"metric":"total","value":$total,"unit":"sec"}"""
     }
     val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench")
     val statusPath = java.nio.file.Paths.get(s"${outBase}_status.jsonl")
@@ -121,6 +125,44 @@ object Bench {
 
     onePass(1); passesDone = 1
     if (elapsed <= budgetSec) { onePass(2); passesDone = 2 }
+
+    // ---- ANN recall@10 vs exact AT THE BENCH SF: the quality record the
+    // timing alone hides — a sketch path that got faster by losing recall
+    // is a regression, not a win. Floors mirror QuantGateSpec's sf0.01
+    // gates (hamming 0.8 at <=25% scan, lsh 0.7, ivf 0.5 at 25% probe);
+    // every path here is deterministic (hash-ordered training samples,
+    // seeded k-means, fixed-plane sketches), so a breach means a code
+    // change, not jitter. It lands as recall_ok=false in the summary plus
+    // a stderr warning — the bench record stays parseable either way.
+    if (elapsed <= budgetSec) {
+      spark.sparkContext.setJobGroup("recall", "recall", interruptOnCancel = true)
+      try {
+        import graft.core.Chain
+        import graft.ext._
+        val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val emb = Chain(spark, "bench_embeddings", embDf)
+        val queries = embDf.where("vec_id < 20")
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(emb.cosineTopK(queries, "vec_id", "embedding", 10).df)
+        def recallOf(approx: Set[(Long, Long)]): Double =
+          if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+        recalls = Seq(
+          ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
+            10, planes = 256, rerankPerQuery = 125).df)), 0.8),
+          ("lsh", recallOf(pairs(emb.lshCosineTopK(queries, "vec_id", "embedding", 10).df)), 0.7),
+          ("ivf", recallOf(pairs(emb.ivfCosineTopK(queries, "vec_id", "embedding", 10,
+            nlist = 16, nprobe = 4).df)), 0.5))
+        recalls.foreach { case (n, r, floor) =>
+          if (r < floor)
+            System.err.println(f"[bench] RECALL FLOOR BREACH: $n recall@10 $r%.3f < $floor")
+          else System.err.println(f"[bench] recall@10 $n%-8s $r%.3f (floor $floor)")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall measurement failed: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
+    }
     emit()
     spark.stop()
   }

@@ -635,6 +635,18 @@ object SparkEntry {
         t(s, d, "embeddings")
           .dedupNearEmbedding("vec_id", "embedding", 0.4)
           .dropColumns(includeCols = Seq("vec_id", "label")).df),
+      // the IVF candidate face of the same op, pinned to a PROVABLY
+      // complete regime: nassign = nlist assigns every vector to every
+      // cell, so the shared-cell pair space covers all pairs and the
+      // output is exactly the exact face's — the oracle is the same
+      // recursive-CTE component labeling over a bounded vec_id slice
+      // (fixed size across SFs; exercises the top-m cell-assignment
+      // window and shared-cell mining of DedupOps' ivf path)
+      "q_dedup_embedding_near_ivf" -> ((s, d) =>
+        t(s, d, "embeddings").filterRows(Seq("vec_id < 500"))
+          .dedupNearEmbedding("vec_id", "embedding", 0.4,
+            candidates = "ivf", nlist = 4, nassign = 4)
+          .dropColumns(includeCols = Seq("vec_id", "label")).df),
       // int8 storage quantization, exploded to scalars for the oracle:
       // pure elementwise arithmetic, bit-identical across engines
       "q_quantize_embedding" -> ((s, d) => {
@@ -1493,6 +1505,22 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, emb.vec_id) " +
           "ORDER BY emb.vec_id ASC) AS rn " +
           "FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id) WHERE rn = 1"),
+      // complete-candidate IVF face ≡ exact face on the vec_id < 500
+      // slice: same recursive-CTE oracle, filtered source
+      "q_dedup_embedding_near_ivf" ->
+        (s"WITH RECURSIVE e5 AS (SELECT * FROM embeddings WHERE vec_id < 500), " +
+          "n5 AS (SELECT vec_id, SQRT(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm FROM (SELECT vec_id, unnest(embedding) AS x FROM e5) GROUP BY vec_id), " +
+          s"pd AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM e5 a JOIN e5 b ON a.vec_id < b.vec_id) GROUP BY qid, cid), " +
+          "p AS (SELECT qid AS id_a, cid AS id_b FROM pd JOIN n5 na ON na.vec_id = qid JOIN n5 nb ON nb.vec_id = cid WHERE dot / na.nrm / nb.nrm >= 0.4), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), " +
+          "cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) " +
+          "SELECT vec_id, label FROM (SELECT emb.vec_id, emb.label, " +
+          "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, emb.vec_id) " +
+          "ORDER BY emb.vec_id ASC) AS rn " +
+          "FROM e5 emb LEFT JOIN cl ON cl.id = emb.vec_id) WHERE rn = 1"),
       "q_quantize_embedding" ->
         ("WITH s AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings), " +
           "sc AS (SELECT vec_id, CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS qscale FROM s) " +

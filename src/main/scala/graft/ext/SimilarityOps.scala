@@ -32,6 +32,13 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
   /** Exact cosine top-k of each query vector against the corpus (this
     * chain). Queries are broadcast; dot products use exact decimal
     * accumulation so ranking is bit-stable across partitionings.
+    *
+    * The top-k/index family is NON-RENDERABLE by design: each op joins a
+    * second frame (queries / a saved index) or embeds a trained model, so
+    * one source-parameterized SELECT cannot express it — `sql()` raises
+    * `UnsupportedOperationException` naming the op (RenderSpec pins this).
+    * The scalar compression ops ([[quantizeEmbeddings]],
+    * [[dequantizeEmbeddings]]) do render.
     */
   def cosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int): Chain = {
     def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
@@ -264,7 +271,15 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .withColumn(qName,
         transform(col(vecCol), x =>
           floor(x.cast("double") / col(sName) + lit(0.5)).cast("tinyint")))
-    c.next("quantize_embeddings", df2, None)
+    // SQL face: the scale lands as a real column first (inner SELECT), so
+    // the quantize lambda references it exactly like the Column face does
+    val vc = graft.core.Naming.quoteId(vecCol)
+    val maxabsS = s"array_max(transform($vc, _x -> abs(CAST(_x AS DOUBLE))))"
+    c.next("quantize_embeddings", df2, Some(
+      s"SELECT *, transform($vc, _x -> " +
+        s"CAST(FLOOR(CAST(_x AS DOUBLE) / $sName + 0.5) AS TINYINT)) AS $qName " +
+        s"FROM (SELECT *, CASE WHEN $maxabsS > 0 THEN $maxabsS / 127.0 ELSE 1.0 END " +
+        s"AS $sName FROM {{source}})"))
   }
 
   /** dequantize_embeddings(q, scale, as): reconstruct `x̂_i = q_i·scale`
@@ -275,7 +290,9 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("dequantize_embeddings",
       c.df.withColumn(as,
         transform(col(qCol), v => (v.cast("double") * col(scaleCol)).cast("float"))),
-      None)
+      Some(s"SELECT *, transform(${graft.core.Naming.quoteId(qCol)}, _v -> " +
+        s"CAST(CAST(_v AS DOUBLE) * ${graft.core.Naming.quoteId(scaleCol)} AS FLOAT)) " +
+        s"AS ${graft.core.Naming.quoteId(as)} FROM {{source}}"))
 
   /** pca_fit(id, vec, dim): fit a `dim`-component PCA of the embedding
     * column and return it as a SMALL model frame

@@ -26,6 +26,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** SQL text of [[tokens]] over a rendered column expression — the
+    * fragment building block for the scalar text ops' SQL faces.
+    */
+  def tokensSql(c: String): String = s"split(trim(lower($c)), '\\\\s+')"
+
+  /** SQL text of [[bpeishCount]]. */
+  def bpeishCountSql(c: String): String =
+    s"regexp_count(lower($c), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')"
+
+  /** SQL text of [[fingerprint]]. */
+  def fingerprintSql(c: String): String =
+    s"md5(regexp_replace(lower(trim($c)), '\\\\s+', ' '))"
+
+  /** SQL text of [[markerCount]]: in-marker token count via a filter
+    * lambda (codegen'd in Spark SQL exactly like the Column face).
+    */
+  def markerCountSql(c: String, markers: Seq[String]): String = {
+    val arr = markers.map(m => s"'${m.replace("'", "''")}'").mkString("array(", ", ", ")")
+    s"size(filter(${tokensSql(c)}, _t -> array_contains($arr, _t)))"
+  }
+
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
@@ -65,12 +86,18 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val df2 = c.df
       .withColumn("n_tokens", size(tokens(col(textCol))))
       .withColumn("n_bpeish", bpeishCount(col(textCol)).cast("int"))
-    c.next("token_count", df2, None)
+    val tc = Naming.quoteId(textCol)
+    c.next("token_count", df2, Some(
+      s"SELECT *, size(${tokensSql(tc)}) AS n_tokens, " +
+        s"CAST(${bpeishCountSql(tc)} AS INT) AS n_bpeish FROM {{source}}"))
   }
 
   /** quality_score(text_col): length/punctuation/stopword heuristics with a
     * composite score in [0,1]. Exact integer-ratio arithmetic — identical
-    * across engines.
+    * across engines. Emits its own `n_tokens` (subsuming [[tokenCounts]] —
+    * don't compose the two over one column: the DataFrame face would
+    * replace the earlier column in place while the SQL face appends a
+    * duplicate name).
     */
   def qualityScore(textCol: String): Chain = {
     val txt = col(textCol)
@@ -86,7 +113,18 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         length(regexp_replace(txt, "\\s+", "")).cast("double") / nTok)
       .withColumn("quality",
         least(nTok / lit(20.0), lit(1.0)) * (lit(1.0) - (nPunct / nChars)))
-    c.next("quality_score", df2, None)
+    val tc = Naming.quoteId(textCol)
+    val nCharsS = s"CAST(length($tc) AS DOUBLE)"
+    val nTokS = s"CAST(size(${tokensSql(tc)}) AS DOUBLE)"
+    val nPunctS = s"CAST(length($tc) - length(regexp_replace($tc, '[^a-zA-Z0-9\\\\s]', '')) AS DOUBLE)"
+    val nStopS = s"CAST(${markerCountSql(tc, EnStopwords)} AS DOUBLE)"
+    c.next("quality_score", df2, Some(
+      s"SELECT *, CAST($nTokS AS INT) AS n_tokens, " +
+        s"$nPunctS / $nCharsS AS punct_ratio, " +
+        s"$nStopS / $nTokS AS stopword_ratio, " +
+        s"CAST(length(regexp_replace($tc, '\\\\s+', '')) AS DOUBLE) / $nTokS AS avg_token_len, " +
+        s"LEAST($nTokS / 20.0, 1.0) * (1.0 - ($nPunctS / $nCharsS)) AS quality " +
+        s"FROM {{source}}"))
   }
 
   /** char_gram_coverage(id_col, text_col, n, vocab_size): in-vocabulary
@@ -106,6 +144,11 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * shuffle keyed by doc id. Pass a REFERENCE chain (e.g. a vetted
     * high-quality subset) as `model` to score against it instead of the
     * corpus itself.
+    *
+    * Non-renderable (driver top-V vocabulary is data-derived state, not a
+    * SELECT over {{source}}): `sql()` raises naming this op — as do the
+    * other multi-frame text ops (search/index, contamination,
+    * strip_boilerplate); the scalar ops all carry SQL faces.
     */
   def charGramCoverage(idCol: String, textCol: String, n: Int = 3,
                        vocabSize: Int = 512, model: Option[Chain] = None): Chain = {
@@ -145,13 +188,29 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val df2 = counts.foldLeft(c.df) { case (d, (lg, cnt)) =>
       d.withColumn(s"score_$lg", cnt)
     }.withColumn("lang_pred", pred)
-    c.next("lang_id", df2, None)
+    // SQL face mirrors the same fold: per-language marker-count columns
+    // plus the >=-all-later-languages CASE (deterministic lexicographic
+    // tie-break, identical to the Column fold above)
+    val tc = Naming.quoteId(textCol)
+    val countsSql = LangMarkers.map { case (lg, ms) => lg -> markerCountSql(tc, ms) }
+    val predSql = countsSql.init.zipWithIndex.foldRight(s"'${countsSql.last._1}'") {
+      case (((lg, cnt), i), elseS) =>
+        val rest = countsSql.drop(i + 1).map(_._2)
+        val cond = rest.map(r => s"$cnt >= $r").mkString(" AND ")
+        s"CASE WHEN $cond THEN '$lg' ELSE $elseS END"
+    }
+    val scoreCols = countsSql.map { case (lg, cnt) => s"$cnt AS score_$lg" }.mkString(", ")
+    c.next("lang_id", df2, Some(
+      s"SELECT *, $scoreCols, $predSql AS lang_pred FROM {{source}}"))
   }
 
   /** fingerprint(text_col): md5 of normalized text → `<col>_fp`. */
-  def fingerprintCol(textCol: String): Chain =
+  def fingerprintCol(textCol: String): Chain = {
+    val out = Naming.cleanse(s"${textCol}_fp")
     c.next("fingerprint",
-      c.df.withColumn(Naming.cleanse(s"${textCol}_fp"), fingerprint(col(textCol))), None)
+      c.df.withColumn(out, fingerprint(col(textCol))),
+      Some(s"SELECT *, ${fingerprintSql(Naming.quoteId(textCol))} AS $out FROM {{source}}"))
+  }
 
   /** rolling_fingerprint(text_col, k): Karp–Rabin min-window content
     * fingerprint → `<col>_rfp` (codegen kernel,
@@ -162,9 +221,14 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     */
   def rollingFingerprintCol(textCol: String, k: Int = 32): Chain = {
     val normalized = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val out = Naming.cleanse(s"${textCol}_rfp")
+    val tc = Naming.quoteId(textCol)
+    // the kernel is SQL-registered (GraftFunctions), so the face is a
+    // direct function call — identical plan, codegen included
     c.next("rolling_fingerprint",
-      c.df.withColumn(Naming.cleanse(s"${textCol}_rfp"),
-        graft.functions.RollingFingerprint(normalized, k)), None)
+      c.df.withColumn(out, graft.functions.RollingFingerprint(normalized, k)),
+      Some(s"SELECT *, rolling_fingerprint(" +
+        s"regexp_replace(lower(trim($tc)), '\\\\s+', ' '), $k) AS $out FROM {{source}}"))
   }
 
   /** tfidf(id_col, text_col, idf): per-(document, term) weights — tf (term
@@ -197,7 +261,21 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     }
     val df2 = tf.join(dft, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df_t"), score.as("tfidf"))
-    c.next("tfidf", df2, None)
+    // SQL face: N is already a plan-time literal (the declared driver
+    // count above), so the whole op renders as a tf/df self-join over
+    // {{source}}. NOTE the render is a snapshot — N is baked in at
+    // chain-build time, exactly like one_hot's discovered values; re-run
+    // the op (not the rendered text) after the corpus changes.
+    val ic = Naming.quoteId(idCol); val tc = Naming.quoteId(textCol)
+    val tokSql = s"SELECT $ic AS doc_id, explode(${tokensSql(tc)}) AS term FROM {{source}}"
+    val tfSql = s"SELECT doc_id, term, COUNT(1) AS tf FROM ($tokSql) GROUP BY doc_id, term"
+    val scoreSql = idf match {
+      case "raw" => s"CAST(tf * $n AS DOUBLE) / df_t"
+      case _ => s"CAST(tf AS DOUBLE) * LN((CAST('${n.toDouble}' AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0) + 1.0)"
+    }
+    c.next("tfidf", df2, Some(
+      s"SELECT doc_id, term, tf, df_t, $scoreSql AS tfidf FROM ($tfSql) " +
+        s"JOIN (SELECT term, COUNT(1) AS df_t FROM ($tfSql) GROUP BY term) USING (term)"))
   }
 
   /** chunk_text(id_col, text_col, chunk_tokens, overlap): split each
@@ -220,7 +298,13 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       .select(col(idCol), col("chunk_idx"),
         concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).as("chunk_text"),
         least(lit(chunkTokens), col("_n") - col("_start")).as("n_chunk_tokens"))
-    c.next("chunk_text", df2, None)
+    val ic = Naming.quoteId(idCol); val tc = Naming.quoteId(textCol)
+    c.next("chunk_text", df2, Some(
+      s"SELECT $ic, chunk_idx, " +
+        s"concat_ws(' ', slice(_toks, _start + 1, $chunkTokens)) AS chunk_text, " +
+        s"LEAST($chunkTokens, _n - _start) AS n_chunk_tokens " +
+        s"FROM (SELECT $ic, ${tokensSql(tc)} AS _toks, size(${tokensSql(tc)}) AS _n FROM {{source}}) " +
+        s"LATERAL VIEW posexplode(sequence(0, greatest(_n - 1, 0), $step)) _c AS chunk_idx, _start"))
   }
 
   /** repetition_score(text_col, n): fraction of duplicated word n-grams in
@@ -235,8 +319,13 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val total = when(size(toks) < n, 1).otherwise(size(toks) - (n - 1))
     val rep = lit(1.0) -
       size(graft.functions.ShingleHashes(toks, n)).cast("double") / total.cast("double")
+    val tc = Naming.quoteId(textCol)
+    val tokS = tokensSql(tc)
+    val totalS = s"CASE WHEN size($tokS) < $n THEN 1 ELSE size($tokS) - ${n - 1} END"
     c.next("repetition_score",
-      c.df.withColumn(Naming.cleanse(s"${textCol}_rep_$n"), rep), None)
+      c.df.withColumn(Naming.cleanse(s"${textCol}_rep_$n"), rep),
+      Some(s"SELECT *, 1.0 - CAST(size(shingle_hashes($tokS, $n)) AS DOUBLE) / " +
+        s"CAST($totalS AS DOUBLE) AS ${Naming.cleanse(s"${textCol}_rep_$n")} FROM {{source}}"))
   }
 
   /** flag_contaminated(eval, id_col, text_col, n): mark corpus documents
@@ -390,8 +479,13 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val cleaned = regexp_replace(
       regexp_replace(col(textCol), url, "<URL>"), email, "<EMAIL>")
+    val tc = Naming.quoteId(textCol)
+    val out = Naming.cleanse(s"${textCol}_clean")
+    val sqlExpr = s"REGEXP_REPLACE(REGEXP_REPLACE($tc, '${url.replace("\\", "\\\\")}', '<URL>'), " +
+      s"'${email.replace("\\", "\\\\")}', '<EMAIL>')"
     c.next("scrub_text",
-      c.df.withColumn(Naming.cleanse(s"${textCol}_clean"), cleaned), None)
+      c.df.withColumn(out, cleaned),
+      Some(s"SELECT *, $sqlExpr AS $out FROM {{source}}"))
   }
 
   /** search_tfidf(queries, id, text, query_id, query_text, k): sparse
@@ -618,8 +712,17 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       x = norm(regexp_replace(norm(x, "NFD"), "\\p{M}+", ""), "NFC")
     if (lowercase) x = lower(x)
     x = trim(regexp_replace(x, "\\s+", " "))
+    // SQL face via the registered unicode_normalize kernel, mirroring the
+    // same flag-dependent composition
+    var xS = s"unicode_normalize(${Naming.quoteId(textCol)}, 'NFC')"
+    if (stripAccents)
+      xS = s"unicode_normalize(regexp_replace(unicode_normalize($xS, 'NFD'), '\\\\p{M}+', ''), 'NFC')"
+    if (lowercase) xS = s"lower($xS)"
+    xS = s"trim(regexp_replace($xS, '\\\\s+', ' '))"
+    val out = Naming.cleanse(s"${textCol}_norm")
     c.next("normalize_text",
-      c.df.withColumn(Naming.cleanse(s"${textCol}_norm"), x), None)
+      c.df.withColumn(out, x),
+      Some(s"SELECT *, $xS AS $out FROM {{source}}"))
   }
 
   /** scrub_pii(text_col): redact URLs, emails, IPv4 addresses, SSN-shaped
@@ -757,6 +860,10 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val df2 = c.df.withColumn("_graft_rn", row_number().over(w))
       .where(col("_graft_rn") === 1)
       .select(cols.map(col): _*)
-    c.next("dedup_exact", df2, None)
+    val fpS = fingerprintSql(Naming.quoteId(textCol))
+    c.next("dedup_exact", df2, Some(
+      s"SELECT * EXCEPT (_graft_rn) FROM (SELECT *, ROW_NUMBER() OVER (" +
+        s"PARTITION BY $fpS ORDER BY ${Naming.quoteId(idCol)} ASC) AS _graft_rn " +
+        s"FROM {{source}}) WHERE _graft_rn = 1"))
   }
 }

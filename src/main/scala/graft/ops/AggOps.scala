@@ -642,8 +642,17 @@ final class AggOps(private val c: Chain) extends AnyVal {
       StructField("idx", IntegerType, nullable = false),
       StructField("feature", StringType, nullable = false),
       StructField("coef", DoubleType, nullable = false)))
+    // SQL face: the fitted model IS a plan-time constant, so it renders
+    // as a VALUES literal — coefficients through the CAST('<repr>' AS
+    // DOUBLE) string round-trip (IEEE-exact, the scoreLogistic pattern).
+    // Same snapshot semantics as tfidf's N: re-run the op, not the text,
+    // after the training data changes.
+    val valuesSql = names.indices.map { i =>
+      s"($i, '${names(i).replace("'", "''")}', CAST('${beta(i)}' AS DOUBLE))"
+    }.mkString(", ")
     c.next("logistic_regression",
-      c.df.sparkSession.createDataFrame(modelRows, schema), None)
+      c.df.sparkSession.createDataFrame(modelRows, schema),
+      Some(s"SELECT idx, feature, coef FROM (VALUES $valuesSql) AS _m(idx, feature, coef)"))
   }
 
   /** score_logistic(model, as): apply a [[logisticRegression]] model to

@@ -273,8 +273,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * give the clamp bounds, joined back and applied in one codegen pass.
     * Bounds carry KLL's ±1.65% (k=200) normalized rank error, so clamped
     * values can differ from the exact face only for rows within that band
-    * of the cut points (QuantGateSpec bounds the disagreement). No SQL
-    * face: the sketch is engine-specific by design.
+    * of the cut points (QuantGateSpec bounds the disagreement). The SQL
+    * face calls the registered KLL kernels (Spark-executable, plan ≡ the
+    * DataFrame face); it is engine-specific by design — DuckDB can't run
+    * it, which is why the ORACLE regime for sketch ops is the exact face.
     */
   def winsorizeSketch(column: String, groupBy: Seq[String] = Seq.empty,
                       pLow: Double = 0.01, pHigh: Double = 0.99,
@@ -293,12 +295,31 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       if (groupBy.isEmpty) c.df.crossJoin(broadcast(bounds))
       else c.df.join(bounds, groupBy, "left")
     val outName = Naming.cleanse(s"${column}_wins")
+    // re-select the source order: a using-columns join moves the group
+    // keys to the front, which would leak join layout into the op's shape
     val df2 = joined
       .withColumn(outName,
         when(x.isNull || col("_w_lo").isNull, lit(null).cast("double"))
           .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
-      .drop("_w_lo", "_w_hi")
-    c.next("winsorize_sketch", df2, None)
+      .select((c.df.columns.toSeq.map(col) :+ col(outName)): _*)
+    // SQL face: bounds subquery over a second read of {{source}}, joined
+    // back exactly like the DataFrame face (qualified star keeps the
+    // column order; percentiles use the D-suffix double literal style of
+    // the other KLL faces)
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST(s.$cn AS DOUBLE)"
+    def q(p: Double) = s"KLL_QUANTILE(KLL_SKETCH_AGG(CAST($cn AS DOUBLE), $k), " +
+      s"${java.lang.Double.toString(p)}D)"
+    val boundsSel = (groupBy :+ s"${q(pLow)} AS _w_lo" :+ s"${q(pHigh)} AS _w_hi").mkString(", ")
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val joinSql =
+      if (groupBy.isEmpty) s"CROSS JOIN (SELECT $boundsSel FROM {{source}}) b"
+      else s"LEFT JOIN (SELECT $boundsSel FROM {{source}}$grpSql) b ON " +
+        groupBy.map(g => s"s.$g = b.$g").mkString(" AND ")
+    c.next("winsorize_sketch", df2, Some(
+      s"SELECT s.*, CASE WHEN $xS IS NULL OR b._w_lo IS NULL THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE GREATEST(LEAST($xS, b._w_hi), b._w_lo) END AS $outName " +
+        s"FROM {{source}} s $joinSql"))
   }
 
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,

@@ -131,8 +131,11 @@ final class JoinOps(private val c: Chain) extends AnyVal {
   /** sample(fraction, seed): Bernoulli row sample. Sampling is
     * partition-layout-dependent (each partition draws independently), so
     * results are deterministic for a fixed layout but not portable across
-    * engines — no SQL-text face. For a layout-independent sample see
-    * [[sampleHash]].
+    * engines — deliberately NON-RENDERABLE: a SQL text face would promise
+    * a reproducible relation the operator cannot deliver, so
+    * `sql()`/`save(..., "VIEW")` raise `UnsupportedOperationException`
+    * naming this op (RenderSpec pins the message). For a
+    * layout-independent, renderable sample see [[sampleHash]].
     */
   def sampleRows(fraction: Double, seed: Long = 42L): Chain =
     c.next("sample", c.df.sample(withReplacement = false, fraction, seed), None)
@@ -333,7 +336,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * rows drop at the join, and no wide columns ever shuffle. Keys must
     * identify rows uniquely on each side (else the join multiplies);
     * column sets must match — a schema change is a different comparison
-    * and fails loudly.
+    * and fails loudly. Null keys match null-safely (`<=>`) — a null-keyed
+    * row on both sides compares fingerprints instead of reporting a
+    * spurious added+removed pair. Non-renderable (two input frames):
+    * `sql()` raises naming this op (RenderSpec pins the message).
     */
   def diffAgainst(other: Chain, keys: Seq[String]): Chain = {
     require(keys.nonEmpty, "diff_against needs key columns")

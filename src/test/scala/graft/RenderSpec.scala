@@ -107,6 +107,9 @@ class RenderSpec extends AnyFunSuite {
         "l_extendedprice", Seq("l_orderkey", "l_linenumber", "l_partkey")),
       table("lineitem").math(Seq("l_quantity / 50.0"), Seq("w"))
         .sampleWeighted("w", Seq("l_orderkey", "l_linenumber", "l_partkey")),
+      table("lineitem")
+        .math(Seq("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"), Seq("lbl"))
+        .logisticRegression("lbl", Seq("l_quantity"), iters = 2),
       table("lineitem").scoreLogistic(
         table("lineitem")
           .math(Seq("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"), Seq("lbl"))
@@ -126,6 +129,69 @@ class RenderSpec extends AnyFunSuite {
       val op = ch.steps.last.op
       assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
     }
+  }
+
+  test("scalar ext text/similarity ops render SQL equivalent to their DataFrame faces") {
+    import graft.ext._
+    val docs = table("documents")
+    val chains = Seq(
+      docs.tokenCounts("text"),
+      docs.qualityScore("text"),
+      docs.langId("text"),
+      docs.fingerprintCol("text"),
+      docs.rollingFingerprintCol("text", k = 16),
+      docs.repetitionScore("text", n = 2),
+      docs.scrubText("text"),
+      docs.normalizeText("text"),
+      docs.normalizeText("text", lowercase = false, stripAccents = false),
+      docs.dedupExact("doc_id", "text"),
+      docs.chunkText("doc_id", "text", chunkTokens = 32, overlap = 8),
+      docs.tokenCounts("text").fingerprintCol("text"), // faces compose as CTEs
+      table("embeddings").quantizeEmbeddings("embedding")
+        .dequantizeEmbeddings("embedding_q", "embedding_qscale", "emb_deq"))
+    chains.foreach { ch =>
+      val op = ch.steps.last.op
+      assert(rows(spark.sql(ch.sql())) == rows(ch.df), s"mismatch for $op")
+    }
+    // tfidf renders with the driver-count N baked in as a literal
+    val tf = docs.tfidf("doc_id", "text")
+    assert(rows(spark.sql(tf.sql())) == rows(tf.df))
+    val tfLog = docs.tfidf("doc_id", "text", idf = "log")
+    assert(rows(spark.sql(tfLog.sql())) == rows(tfLog.df))
+  }
+
+  test("winsorize_sketch renders the KLL kernels and round-trips in the exact regime") {
+    // exact regime (group sizes < k): no KLL compaction, so the rendered
+    // SQL (same registered kernels) must round-trip bit-identically
+    val base = table("orders").filterRows(Seq("o_orderkey < 150"))
+    val grouped = base.winsorizeSketch("o_totalprice", Seq("o_orderpriority"), 0.1, 0.9, k = 200)
+    assert(grouped.sql().contains("KLL_SKETCH_AGG"))
+    assert(rows(spark.sql(grouped.sql())) == rows(grouped.df))
+    val global = base.winsorizeSketch("o_totalprice", Nil, 0.1, 0.9, k = 200)
+    assert(rows(spark.sql(global.sql())) == rows(global.df))
+  }
+
+  test("multi-frame ext ops fail rendering with an error naming the op") {
+    import graft.ext._
+    val emb = table("embeddings")
+    val cases = Seq(
+      "char_gram_coverage" -> table("documents").charGramCoverage("doc_id", "text"),
+      "strip_boilerplate" -> table("documents").stripBoilerplate("doc_id", "text", Seq("source")),
+      "cosine_topk" -> emb.cosineTopK(emb.df.where("vec_id < 3"), "vec_id", "embedding", 5),
+      "diff_against" -> table("orders").diffAgainst(
+        table("orders").filterRows(Seq("o_orderkey % 2 = 0")), Seq("o_orderkey")))
+    cases.foreach { case (op, ch) =>
+      val e = intercept[UnsupportedOperationException](ch.sql())
+      assert(e.getMessage.contains(op), s"render error must name '$op': ${e.getMessage}")
+    }
+  }
+
+  test("Bernoulli sample is documented non-renderable; hash sampler renders") {
+    val e = intercept[UnsupportedOperationException](
+      table("orders").sampleRows(0.5).sql())
+    assert(e.getMessage.contains("sample") && e.getMessage.contains("DataFrame face"))
+    val h = table("orders").sampleHash(0.5, Seq("o_orderkey"))
+    assert(rows(spark.sql(h.sql())) == rows(h.df))
   }
 
   test("user-defined named transforms register, execute, and render like built-ins") {

@@ -32,6 +32,10 @@ ANNOTATIONS = {
     # md5-hash sampler so q_sample could carry a hard DuckDB oracle; the
     # per-row md5 is the price of cross-engine reproducibility.
     "q_sample": "Bernoulli sample -> deterministic md5 hash sampler (oracle-able)",
+    # round 8: stripBoilerplate regroups and rejoins on group ++ id instead
+    # of id alone (a doc_id repeated under two sources silently merged both
+    # docs before); the wider keys cost ~0.14s at sf0.1.
+    "q_strip_boilerplate": "regroup/rejoin on group ++ id (same-id-two-groups fix)",
 }
 
 
@@ -58,7 +62,7 @@ def main():
     if len(args) != 2:
         print(__doc__, file=sys.stderr)
         sys.exit(2)
-    (_, prev), (_, cur) = load(args[0]), load(args[1])
+    (dprev, prev), (dcur, cur) = load(args[0]), load(args[1])
 
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
@@ -77,6 +81,15 @@ def main():
     tp, tc = sum(prev.values()), sum(cur.values())
     print(f"bench_diff: {len(prev)} -> {len(cur)} queries, "
           f"total {tp:.1f}s -> {tc:.1f}s ({tc / tp:.2f}x)")
+    rp, rc = dprev.get("recall_at_10") or {}, dcur.get("recall_at_10") or {}
+    for name in sorted(set(rp) | set(rc)):
+        a, b = rp.get(name), rc.get(name)
+        drift = "" if a is None or b is None or abs(b - a) < 0.02 \
+            else f"  <-- recall drift {b - a:+.3f}"
+        print(f"  recall@10 {name}: {a} -> {b}{drift}")
+    if dcur.get("recall_ok") is False:
+        print("bench_diff: RECALL FLOOR BREACHED in current run", file=sys.stderr)
+        sys.exit(1)
     if added:
         print(f"  new queries ({len(added)}): {', '.join(added)}")
     if removed:
