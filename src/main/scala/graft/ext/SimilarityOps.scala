@@ -264,13 +264,18 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
   def quantizeEmbeddings(vecCol: String): Chain = {
     val qName = graft.core.Naming.cleanse(s"${vecCol}_q")
     val sName = graft.core.Naming.cleanse(s"${vecCol}_qscale")
-    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = when(maxabs > 0, maxabs / lit(127.0)).otherwise(lit(1.0))
+    // one codegen kernel instead of transform/array_max composition:
+    // higher-order functions run interpreted AND CollapseProject inlines
+    // the scale into every element's lambda (O(d²)/row, recomputed again
+    // under any downstream Filter/Generate) — the kernel is one flat O(d)
+    // loop per evaluation site. Null vector → null struct; coalesce
+    // reproduces the CASE face's scale = 1.0 there.
+    val qz = graft.functions.Int8Quantize(col(vecCol))
     val df2 = c.df
-      .withColumn(sName, scale)
-      .withColumn(qName,
-        transform(col(vecCol), x =>
-          floor(x.cast("double") / col(sName) + lit(0.5)).cast("tinyint")))
+      .withColumn("_graft_qz", qz)
+      .withColumn(sName, coalesce(col("_graft_qz.qscale"), lit(1.0)))
+      .withColumn(qName, col("_graft_qz.q"))
+      .drop("_graft_qz")
     // SQL face: the scale lands as a real column first (inner SELECT), so
     // the quantize lambda references it exactly like the Column face does
     val vc = graft.core.Naming.quoteId(vecCol)

@@ -96,6 +96,10 @@ object GraftFunctions {
       arity("fixed_point_dot", 2, args)
       FixedPointDot(args(0), args(1))
     },
+    "int8_quantize" -> { args =>
+      arity("int8_quantize", 1, args)
+      Int8QuantizeExpr(args(0))
+    },
     "kll_sketch_agg" -> { args =>
       arity("kll_sketch_agg", 2, args)
       KllSketchAgg(args(0), intLit("kll_sketch_agg", "k")(args(1)))

@@ -495,6 +495,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out(7L) == ("unique text stands alone\nwith two lines", 0L))
   }
 
+  test("int8_quantize kernel matches the transform/array_max composition bit-for-bit") {
+    import spark.implicits._
+    // edge inventory: normal, all-zero (scale 1.0), empty, null element,
+    // NaN element (NaN-is-greatest max ordering), null vector
+    val vecs: Seq[Option[Seq[Option[Float]]]] = Seq(
+      Some(Seq(Some(1.0f), Some(-3.5f), Some(2.2f))),
+      Some(Seq(Some(0.0f), Some(0.0f))),
+      Some(Seq.empty),
+      Some(Seq(Some(5.0f), None, Some(-1.0f))),
+      Some(Seq(Some(Float.NaN), Some(1.0f))),
+      None)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // reference: the column composition the kernel replaced (kept here as
+    // the semantic spec; the SQL face still renders this form)
+    val maxabs = array_max(transform(col("v"), x => abs(x.cast("double"))))
+    val scale = when(maxabs > 0, maxabs / lit(127.0)).otherwise(lit(1.0))
+    val ref = df.withColumn("v_qscale", scale)
+      .withColumn("v_q", transform(col("v"),
+        x => floor(x.cast("double") / col("v_qscale") + lit(0.5)).cast("tinyint")))
+      .select("id", "v_qscale", "v_q")
+    val got = Chain(spark, "qz", df).quantizeEmbeddings("v").df
+      .select("id", "v_qscale", "v_q")
+    assert(rows(got) == rows(ref))
+    // registered SQL name resolves to the same kernel
+    df.createOrReplaceTempView("qz_src")
+    val viaSql = spark.sql(
+      "SELECT id, COALESCE(int8_quantize(v).qscale, 1.0D) AS v_qscale, " +
+        "int8_quantize(v).q AS v_q FROM qz_src")
+    assert(rows(viaSql) == rows(got))
+  }
+
   test("strip_boilerplate keeps same-id docs in different groups separate") {
     import spark.implicits._
     // doc_id 1 appears under TWO sources: each must be cleaned against its

@@ -48,6 +48,20 @@ def load(path):
         sys.exit(2)
     qs = d.get("queries")
     if not isinstance(qs, dict) or not qs:
+        # driver-side BENCH_r{N}.json wrapper: the summary line lives in
+        # "tail" (possibly head-truncated mid-JSON) — recover the
+        # "q_name":sec pairs by regex
+        import re
+        tail = d.get("tail", "")
+        qs = {m.group(1): float(m.group(2))
+              for m in re.finditer(r'"(q_\w+)":([0-9.]+)', tail)}
+        m = re.search(r'"recall_at_10":({[^}]*})', tail)
+        if m:
+            try:
+                d["recall_at_10"] = json.loads(m.group(1))
+            except ValueError:
+                pass
+    if not qs:
         print(f"bench_diff: {path} has no 'queries' map", file=sys.stderr)
         sys.exit(2)
     return d, qs
