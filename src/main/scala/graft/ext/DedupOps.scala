@@ -597,11 +597,19 @@ object DedupOps {
     m
   }
 
-  /** Type-dispatch a pair frame's id columns into a long `(src, dst)` edge
-    * frame: integral ids cast losslessly (fast path, no extra work);
+  /** Type-dispatch a pair frame's id columns into a CHECKPOINTED long
+    * `(src, dst)` edge frame: integral ids cast losslessly (fast path —
+    * one materialization of the upstream miner, exactly as before);
     * string ids map through the collision-checked xxhash64 surrogate (the
     * returned map translates labels back to original ids); any other type
     * — and mixed families — fails loudly here.
+    *
+    * The string path checkpoints the raw PAIR columns first and derives
+    * both the surrogate map and the edge frame from that truncated frame,
+    * so the upstream miner (the expensive LSH/PPJoin stage) runs ONCE —
+    * not once for the map and again for the edges. The scratch pair
+    * checkpoint is released here; callers release the returned edge frame
+    * once their own first round is materialized.
     */
   private[ext] def clusterEdges(op: String, pairs: DataFrame,
                                 aCol: String, bCol: String): (DataFrame, Option[DataFrame]) = {
@@ -614,10 +622,15 @@ object DedupOps {
         s"$op: id columns must share a type family, got " +
           s"$aCol ${dtA.simpleString} vs $bCol ${dtB.simpleString}")
     if (isIntegralId(dtA))
-      (pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")), None)
+      (checkpointRound(
+        pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))), None)
     else {
-      val m = surrogateIdMap(pairs, aCol, bCol)
-      (pairs.select(xxhash64(col(aCol)).as("src"), xxhash64(col(bCol)).as("dst")), Some(m))
+      val p = checkpointRound(pairs.select(col(aCol), col(bCol)))
+      val m = surrogateIdMap(p, aCol, bCol)
+      val e = checkpointRound(
+        p.select(xxhash64(col(aCol)).as("src"), xxhash64(col(bCol)).as("dst")))
+      releaseRound(p)
+      (e, Some(m))
     }
   }
 
@@ -720,13 +733,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {
-    // checkpoint the pair pipeline BEFORE symmetrizing: the union's two
-    // branches would otherwise each re-run the whole upstream miner. Every
-    // round goes through checkpointRound (truncate, so plans never nest
-    // round-over-round) + releaseRound (free dead rounds' blocks — the
-    // storage residue that inflated long-session benchmarks).
-    val (edgesIn, idMap) = DedupOps.clusterEdges("cluster_pairs", c.df, idACol, idBCol)
-    val edges = DedupOps.checkpointRound(edgesIn)
+    // clusterEdges checkpoints the pair pipeline BEFORE symmetrizing: the
+    // union's two branches would otherwise each re-run the whole upstream
+    // miner. Every round afterwards goes through checkpointRound
+    // (truncate, so plans never nest round-over-round) + releaseRound
+    // (free dead rounds' blocks — the storage residue that inflated
+    // long-session benchmarks).
+    val (edges, idMap) = DedupOps.clusterEdges("cluster_pairs", c.df, idACol, idBCol)
     // miner pairs are unique (id_a < id_b), so the symmetrized union is
     // dup-free by construction — no distinct shuffle. (User-fed duplicate
     // pairs stay harmless: min-propagation is idempotent in its inputs.)
@@ -804,15 +817,17 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
   def clusterPairsContraction(idACol: String = "id_a", idBCol: String = "id_b",
                               maxIters: Int = 50): Chain = {
     // id-type dispatch shared with clusterPairs: integral native, string
-    // via collision-checked surrogate, else loud failure
+    // via collision-checked surrogate, else loud failure. clusterEdges
+    // returns a CHECKPOINTED edge frame — the one declared materialization
+    // of the upstream miner; `ids` (for the final labeling, incl.
+    // self-pairs) and the canonical edge set both read the truncated frame
+    // instead of re-running it. Every round goes through
+    // checkpointRound/releaseRound — see clusterPairs.
     val (edgesIn, idMap) = DedupOps.clusterEdges("cluster_pairs_contraction", c.df, idACol, idBCol)
-    // one declared materialization of the upstream miner; `ids` (for the
-    // final labeling, incl. self-pairs) and the canonical edge set both
-    // read the truncated frame instead of re-running it. Every round goes
-    // through checkpointRound/releaseRound — see clusterPairs.
     val raw = DedupOps.checkpointRound(
       edgesIn.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")))
+    DedupOps.releaseRound(edgesIn)
     val ids = DedupOps.checkpointRound(
       raw.select(explode(array(col("a"), col("b"))).as("id")).distinct())
     var edges = DedupOps.checkpointRound(
@@ -967,7 +982,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
           .select(col("_v").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
         val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
-        val assigned =
+        // the trailing repartition(_cid) is load-bearing twice over: the
+        // self-join below reads `assigned` on BOTH sides, and without a
+        // common exchange each side would recompute the whole assignment
+        // (the crossJoin+window for nassign>1) — with it, both sides reuse
+        // ONE exchange (ReusedExchange) that is ALSO the join's required
+        // partitioning, so the pair stage adds no further shuffle
+        val assigned = (
           if (nassign <= 1)
             corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
               .select(col("_id"), col("_v"), col("_n"), col("_cid"))
@@ -982,7 +1003,7 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
               .select(col("_id"), col("_v"), col("_n"), col("_cid"), sim.as("_cs"))
               .withColumn("_r", row_number().over(w)).where(col("_r") <= nassign)
               .select(col("_id"), col("_v"), col("_n"), col("_cid"))
-          }
+          }).repartition(col("_cid"))
         val l = assigned.select(col("_cid"), col("_id").as("id_a"),
           col("_v").as("_va"), col("_n").as("_na"))
         val r = assigned.select(col("_cid"), col("_id").as("id_b"),
