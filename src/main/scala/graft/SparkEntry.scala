@@ -562,6 +562,19 @@ object SparkEntry {
       "q_dedup_clusters_ii" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5)
           .clusterPairsContraction().df),
+      // the STRING-ID face of the cluster family under the driver oracle:
+      // same mined pairs relabeled to zero-padded string keys, clustered
+      // through the collision-checked xxhash64 surrogate path, cluster_id
+      // canonicalized to the component's minimum id — so the recursive-CTE
+      // oracle over the SAME string keys must match hash-exactly
+      "q_dedup_clusters_str" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, format_string}
+        t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.5)
+          .transformDf("string_ids")(df => df
+            .withColumn("id_a", format_string("doc-%09d", col("id_a")))
+            .withColumn("id_b", format_string("doc-%09d", col("id_b"))))
+          .clusterPairs().df
+      }),
       // token-budget pack assignment (batch assembly before training),
       // scoped per language
       "q_pack_sequences" -> ((s, d) =>
@@ -1447,6 +1460,17 @@ object SparkEntry {
           "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id) WHERE rn = 1"),
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+          "SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) " +
+          "SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
+      // string-id face: identical component structure over zero-padded
+      // string keys (ASCII byte order = numeric order, so MIN(r) picks the
+      // same representative the canonicalized surrogate path does)
+      "q_dedup_clusters_str" ->
+        (s"WITH RECURSIVE p0 AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
+          "p AS (SELECT printf('doc-%09d', id_a) AS id_a, printf('doc-%09d', id_b) AS id_b FROM p0), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
           "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
           "reach(id, r) AS (SELECT id, id FROM nodes UNION " +

@@ -636,18 +636,23 @@ object DedupOps {
 
   /** Translate a long-surrogate labels frame `(id, cluster_id)` back to
     * original string ids through the surrogate map — two long-keyed joins
-    * (labels is one row per clustered doc, ≪ corpus). `cluster_id` becomes
-    * the original id of the component's minimum-SURROGATE member: a
-    * deterministic representative under the uniform hash order (for
-    * integral ids the representative stays the minimum id).
+    * — then CANONICALIZE the representative to the component's minimum
+    * ORIGINAL id (one agg + join more), so the contract is the same as
+    * the integral path's: `cluster_id` = the component's minimum id under
+    * the id column's own ordering, whatever the id type. Everything here
+    * runs on the labels frame (one row per clustered doc, ≪ corpus).
     */
-  private[ext] def translateLabels(labels: DataFrame, m: DataFrame): DataFrame =
-    labels
+  private[ext] def translateLabels(labels: DataFrame, m: DataFrame): DataFrame = {
+    val translated = labels
       .join(m.select(col("_sid").as("_ms"), col("_oid").as("_mo")),
         col("id") === col("_ms"))
       .join(m.select(col("_sid").as("_cs"), col("_oid").as("_co")),
         col("cluster_id") === col("_cs"))
-      .select(col("_mo").as("id"), col("_co").as("cluster_id"))
+      .select(col("_mo").as("id"), col("_co").as("_cl0"))
+    val mins = translated.groupBy(col("_cl0")).agg(min(col("id")).as("_cmin"))
+    translated.join(mins, "_cl0")
+      .select(col("id"), col("_cmin").as("cluster_id"))
+  }
 
   /** Eagerly materialize + TRUNCATE an iterative round's frame:
     * `localCheckpoint` replaces the logical plan with a `LogicalRDD`, so
@@ -726,10 +731,10 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     *
     * Id types: integral ids run natively; STRING ids (UUID/URL corpus
     * keys) run through the collision-checked xxhash64 surrogate and
-    * translate back on output — `cluster_id` is then the original id of
-    * the component's minimum-surrogate member (a deterministic
-    * representative under the uniform hash order). Other types fail
-    * loudly ([[DedupOps.requireClusterableId]]).
+    * translate back on output, with `cluster_id` canonicalized to the
+    * component's minimum ORIGINAL id — the same representative contract
+    * as the integral path, whatever the id type. Other types fail loudly
+    * ([[DedupOps.requireClusterableId]]).
     */
   def clusterPairs(idACol: String = "id_a", idBCol: String = "id_b",
                    maxIters: Int = 20): Chain = {

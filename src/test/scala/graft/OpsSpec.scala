@@ -231,8 +231,11 @@ class OpsSpec extends AnyFunSuite {
     // many random group sizes around k — the regime where boundary
     // eviction, merge order and serialization actually get exercised
     val rnd = new scala.util.Random(7)
+    // ~5% NaN scores mixed in: the aggregate skips them at update and the
+    // window face filters them — equivalence must hold THROUGH the NaN path
     val df = (1 to 3000).map { i =>
-      (rnd.nextInt(80).toString, i.toLong, rnd.nextDouble() * 100)
+      val s = if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextDouble() * 100
+      (rnd.nextInt(80).toString, i.toLong, s)
     }.toDF("g", "k", "s").repartition(13)
     val c = Chain(spark, "rand", df)
     val aggK = c.sampleGroupKAgg(Seq("g"), 7, Seq("k")).df
@@ -241,7 +244,7 @@ class OpsSpec extends AnyFunSuite {
     val aggT = c.sampleGroupTopK(Seq("g"), 7, "s", Seq("k")).df
     val tb = concat_ws("|", col("k").cast("string"))
     val wT = Window.partitionBy("g").orderBy(col("s").cast("double").desc, tb.asc)
-    val winT = df.where(col("s").isNotNull)
+    val winT = df.where(col("s").isNotNull && !isnan(col("s").cast("double")))
       .withColumn("_rn", row_number().over(wT)).where(col("_rn") <= 7).drop("_rn")
     assert(rows(aggT) == rows(winT))
   }

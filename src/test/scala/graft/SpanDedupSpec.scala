@@ -124,16 +124,16 @@ class SpanDedupSpec extends AnyFunSuite {
       .dedupNear("doc_uid", "text", n = 3, threshold = 0.5,
         keepBy = Seq("n_chars" -> "DESC"), clusterer = "contraction").df)
     assert(keptStr == keptStrC)
-    // direct cluster op on string pairs: same components as the long fixture
+    // direct cluster op on string pairs: same components as the long
+    // fixture, with the representative canonicalized to the component's
+    // MINIMUM id — the same contract as the integral path
     val sPairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
     val comp = Chain(spark, "sp", sPairs).clusterPairs().df.collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(comp.keySet == Set("a", "b", "c", "x", "y"))
-    assert(Set(comp("a"), comp("b"), comp("c")).size == 1, "abc share one cluster")
-    assert(Set(comp("x"), comp("y")).size == 1, "xy share one cluster")
-    assert(comp("a") != comp("x"), "separate components stay separate")
-    assert(Set("a", "b", "c").contains(comp("a")), "representative is a member")
-    assert(Set("x", "y").contains(comp("x")), "representative is a member")
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val compC = Chain(spark, "sp", sPairs).clusterPairsContraction().df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(compC == comp)
   }
 
   test("dedup/cluster ops fail loudly on unsupported or mixed id types") {
