@@ -1228,7 +1228,8 @@ object SparkEntry {
     "q_filter_quantile" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
         "FROM (SELECT *, CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC) " +
-        "AS _graft_cd FROM orders) WHERE _graft_cd > 0.75"),
+        "AS _graft_cd FROM orders WHERE o_totalprice IS NOT NULL " +
+        "AND NOT isnan(CAST(o_totalprice AS DOUBLE))) WHERE _graft_cd > 0.75"),
     "q_sample_stratified" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +

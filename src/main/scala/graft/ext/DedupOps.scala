@@ -357,6 +357,10 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         "use minhashLsh/simhashPairs for sub-quadratic near-dup mining or raise maxRows deliberately")
     val base = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_norm", sqrt(Exact.dot(col("_v"), col("_v"))))
+      // zero-norm/NaN vectors never pair: their NaN cosine passes
+      // `>= threshold` (NaN compares greatest) and one such vector would
+      // merge everything it meets into a single bogus cluster
+      .where(SimilarityOps.usableVec(col("_v"), col("_norm")))
       .withColumn("_sk", graft.functions.SignSketch(col("_v"), planes))
       // materialization barrier: norm+sketch computed once per vector
       .repartition(col("_id"))
@@ -978,6 +982,10 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         // owns the integral/string dispatch
         val corpus = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
           .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+          // zero-norm/NaN vectors never pair (NaN cosine passes the
+          // threshold and would merge whole cells); they stay singletons
+          // and SURVIVE the dedup untouched
+          .where(SimilarityOps.usableVec(col("_v"), col("_n")))
           .repartition(col("_id")) // barrier: norm computed once
         // bounded hash-deterministic training sample → driver k-means
         // (the declared compile-time-introspection pattern)

@@ -44,6 +44,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
         .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .where(SimilarityOps.usableVec(col(vAs), col(nAs))) // NaN cosine would rank FIRST
         .repartition(col(idAs)) // barrier: norm computed once, not per pair
     val corpus = withNorm(c.df, "neighbor_id", "_vc", "_nc")
     val qs = withNorm(queries, "query_id", "_vq", "_nq")
@@ -79,6 +80,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     def prep(df: DataFrame, idAs: String, vAs: String, nAs: String, sAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
         .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .where(SimilarityOps.usableVec(col(vAs), col(nAs))) // NaN cosine would rank FIRST
         .withColumn(sAs, SignSketch(col(vAs), planes))
         .repartition(col(idAs)) // barrier: norm+sketch computed once
     val corpus = prep(c.df, "neighbor_id", "_vc", "_nc", "_skc")
@@ -121,6 +123,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     val spark = c.df.sparkSession
     val corpus = c.df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
       .withColumn("_nc", sqrt(Exact.dot(col("_vc"), col("_vc"))))
+      .where(SimilarityOps.usableVec(col("_vc"), col("_nc"))) // NaN cosine would rank FIRST
       .repartition(col("neighbor_id"))
     // --- train: deterministic hash-ordered sample -> driver k-means
     val trainVecs = corpus
@@ -142,6 +145,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     // each query probes its nprobe closest cells
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
     val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_qs").desc, col("_cid").asc)
@@ -176,8 +180,17 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
   def ivfIndex(idCol: String, vecCol: String, nlist: Int = 16,
                trainSample: Int = 4096, trainIters: Int = 15): Chain = {
     val spark = c.df.sparkSession
-    val corpus = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    // integral ids cast to long, string ids pass through (centroid marker
+    // rows carry a null of the SAME type); other types fail loudly — the
+    // old unconditional cast nulled string ids, and a null-id index is
+    // read back as all-centroids: probes silently return nothing
+    val (idExpr, idType) = SimilarityOps.indexId("ivf_index", c.df, idCol)
+    val corpus = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
       .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      // zero-norm/NaN vectors are excluded from the index: they can never
+      // be a true neighbor, and their NaN cosines would otherwise top
+      // every ranking (NaN compares greatest)
+      .where(SimilarityOps.usableVec(col("_v"), col("_n")))
       .repartition(col("_id")) // barrier: norm computed once
     val trainVecs = corpus
       .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
@@ -189,7 +202,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
       .select(col("_cid"), col("_id"), col("_v").cast("array<double>").as("_v"), col("_n"))
     val centroidRows = SimilarityOps.centroidFrame(spark, centers)
-      .select(col("_cid"), lit(null).cast("long").as("_id"),
+      .select(col("_cid"), lit(null).cast(idType).as("_id"),
         col("_cv").as("_v"), col("_cn").as("_n"))
     c.next("ivf_index", assigned.unionByName(centroidRows), None)
   }
@@ -204,8 +217,10 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     */
   def ivfIndexAssign(index: DataFrame, idCol: String, vecCol: String): Chain = {
     val centers = SimilarityOps.collectCentroids(index)
-    val assigned = c.df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val (idExpr, _) = SimilarityOps.indexId("ivf_index_assign", c.df, idCol)
+    val assigned = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
       .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      .where(SimilarityOps.usableVec(col("_v"), col("_n"))) // same exclusion as the build
       .repartition(col("_id"))
       .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
       .select(col("_cid"), col("_id"), col("_v").cast("array<double>").as("_v"), col("_n"))
@@ -229,10 +244,20 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
                      k: Int, nprobe: Int = 4): Chain = {
     require(Seq("_cid", "_id", "_v", "_n").forall(index.columns.contains),
       s"index must have columns (_cid, _id, _v, _n) from ivfIndex; got ${index.columns.mkString(", ")}")
+    // query-id family must match the index's _id family: a string query id
+    // compared to a long index id implicit-casts to null and silently
+    // drops every candidate
+    val qdt = c.df.schema(idCol).dataType
+    DedupOps.requireClusterableId("search_ivf_index", idCol, qdt)
+    val idt = index.schema("_id").dataType
+    require(DedupOps.isIntegralId(qdt) == DedupOps.isIntegralId(idt),
+      s"search_ivf_index: query id '$idCol' (${qdt.simpleString}) and index _id " +
+        s"(${idt.simpleString}) must share a type family")
     val centroids = broadcast(index.where(col("_id").isNull)
       .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
     val qs = c.df.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
     val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_qs").desc, col("_cid").asc)
@@ -242,7 +267,10 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .where(col("_pr") <= nprobe)
       .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"))
     val cos = Exact.dot(col("_vq"), col("_v")) / col("_nq") / col("_n")
-    val scored = index.where(col("_id").isNotNull).join(broadcast(probes), Seq("_cid"))
+    // the _n guard also covers indexes built before the build-side
+    // exclusion existed
+    val scored = index.where(col("_id").isNotNull && SimilarityOps.usableVec(col("_v"), col("_n")))
+      .join(broadcast(probes), Seq("_cid"))
       .where(col("query_id") =!= col("_id"))
       .select(col("query_id"), col("_id").as("neighbor_id"), cos.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -380,10 +408,17 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
                            threshold: Double, nprobe: Int = 4): Chain = {
     require(Seq("_cid", "_id", "_v", "_n").forall(index.columns.contains),
       s"index must have columns (_cid, _id, _v, _n) from ivfIndex; got ${index.columns.mkString(", ")}")
+    // same id dispatch as the build side (the old unconditional long cast
+    // nulled string ids: the anti-join matched nothing and the dedup
+    // silently no-opped); zero-norm/NaN batch vectors never probe — a NaN
+    // cosine passes `>= threshold` (NaN compares greatest) and would
+    // silently DELETE corrupted-embedding rows as duplicates
+    val (idExpr, _) = SimilarityOps.indexId("dedup_against_ivf_index", c.df, idCol)
     val centroids = broadcast(index.where(col("_id").isNull)
       .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
-    val qs = c.df.select(col(idCol).cast("long").as("_qid"), col(vecCol).as("_vq"))
+    val qs = c.df.select(idExpr.as("_qid"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
     val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
     val probeW = Window.partitionBy(col("_qid"))
       .orderBy(col("_qs").desc, col("_cid").asc)
@@ -393,12 +428,12 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .where(col("_pr") <= nprobe)
       .select(col("_qid"), col("_vq"), col("_nq"), col("_cid"))
     val cos = Exact.dot(col("_vq"), col("_v")) / col("_nq") / col("_n")
-    val dropIds = index.where(col("_id").isNotNull)
+    val dropIds = index.where(col("_id").isNotNull && SimilarityOps.usableVec(col("_v"), col("_n")))
       .join(broadcast(probes), Seq("_cid"))
       .where(cos >= threshold)
       .select(col("_qid")).distinct()
     val survivors = c.df.join(dropIds,
-      c.df(idCol).cast("long") === dropIds("_qid"), "left_anti")
+      idExpr === dropIds("_qid"), "left_anti")
     c.next("dedup_against_ivf_index", survivors, None)
   }
 
@@ -420,6 +455,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     def prep(df: DataFrame, idAs: String, vAs: String, nAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
         .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .where(SimilarityOps.usableVec(col(vAs), col(nAs))) // NaN cosine would rank FIRST
         .withColumn("_sk", SignSketch(col(vAs), planes))
         .repartition(col(idAs)) // barrier: sketch computed once
     // band b's key = bits [b*rows, (b+1)*rows) of the sketch
@@ -454,6 +490,41 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
 }
 
 object SimilarityOps {
+  /** A usable vector for cosine ranking: positive finite norm AND no NaN
+    * component. The guard every cosine path filters on. A zero-norm
+    * vector yields a NaN cosine (0/0) — and NaN compares GREATEST in
+    * Spark SQL, so unguarded it would (a) outrank every real neighbor in
+    * a top-k DESC window and (b) pass `cosine >= threshold`, pairing the
+    * broken vector with everything in its cell and merging real documents
+    * into one bogus dedup cluster. A NaN COMPONENT is sneakier: the
+    * fixed-point exact dot rounds NaN products to 0, so the norm stays
+    * finite and the vector would rank with a silently wrong partial
+    * direction — `array_contains(v, NaN)` catches it (NaN = NaN is TRUE
+    * under Spark SQL equality; the probe is codegen'd and linear). Rows
+    * failing the guard never rank, never match, and SURVIVE dedup
+    * untouched (a corrupted embedding is unknowable, not a duplicate);
+    * null vectors fail the null-propagated predicate and drop too.
+    */
+  private[ext] def usableVec(v: org.apache.spark.sql.Column,
+                             n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !isnan(n) && (n > lit(0.0)) &&
+      !coalesce(array_contains(v, lit(Double.NaN)), lit(false))
+
+  /** Id admission for the persistent ANN index family: integral ids cast
+    * losslessly to long (compatible with previously saved indexes),
+    * string ids pass through (the index `_id` column is then string and
+    * centroid marker rows carry a null string), anything else fails
+    * loudly — the same dispatch as the cluster family, minus the
+    * surrogate (the index carries ids, it never aggregates them).
+    */
+  private[ext] def indexId(op: String, df: org.apache.spark.sql.DataFrame,
+                           idCol: String): (org.apache.spark.sql.Column, String) = {
+    val dt = df.schema(idCol).dataType
+    DedupOps.requireClusterableId(op, idCol, dt)
+    if (DedupOps.isIntegralId(dt)) (col(idCol).cast("long"), "long")
+    else (col(idCol), "string")
+  }
+
   /** Best (max-dot) cell id for a vector against literal unit centroids in
     * ONE codegen projection: `greatest()` over (dot, −cid) structs — ties
     * break to the smaller cid. (Lives here, not in the value class:

@@ -219,35 +219,45 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * engine-exact (interpolated percentiles differ across engines in the
     * last FP bits; rank selection cannot). One exchange on the group keys,
     * one in-partition sort shared by the rank and bound windows; nulls
-    * never rank and stay null. Adds `<column>_wins`.
+    * never rank and stay null; NaN values never rank either and pass
+    * through UNCLAMPED (a NaN sorts greatest, so unguarded it would
+    * become the upper bound and silently disable clamping for its whole
+    * group). Adds `<column>_wins`.
     */
   def winsorize(column: String, groupBy: Seq[String] = Seq.empty,
                 pLow: Double = 0.01, pHigh: Double = 0.99): Chain = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val x = col(column).cast("double")
+    // rank-participating value: NaN behaves like null (never ranks, never
+    // a bound); the output branch passes NaN through unchanged
+    val xr = when(!isnan(x), x)
     val wPart =
       if (groupBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupBy.map(col): _*)
-    val wOrd = wPart.orderBy(x.asc_nulls_last)
+    val wOrd = wPart.orderBy(xr.asc_nulls_last)
     val step1 = c.df
       .withColumn("_w_rn", row_number().over(wOrd))
-      .withColumn("_w_n", count(x).over(wPart))
+      .withColumn("_w_n", count(xr).over(wPart))
     val loIdx = floor(lit(pLow) * (col("_w_n") - 1)) + 1
     val hiIdx = ceil(lit(pHigh) * (col("_w_n") - 1)) + 1
     val step2 = step1
       .withColumn("_w_lo",
-        max(when(col("_w_rn") === loIdx && x.isNotNull, x)).over(wPart))
+        max(when(col("_w_rn") === loIdx && xr.isNotNull, xr)).over(wPart))
       .withColumn("_w_hi",
-        max(when(col("_w_rn") === hiIdx && x.isNotNull, x)).over(wPart))
+        max(when(col("_w_rn") === hiIdx && xr.isNotNull, xr)).over(wPart))
     val outName = Naming.cleanse(s"${column}_wins")
     val df2 = step2
       .withColumn(outName,
         when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
           .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
       .drop("_w_rn", "_w_n", "_w_lo", "_w_hi")
     val cn = Naming.quoteId(column)
     val xS = s"CAST($cn AS DOUBLE)"
+    // the rank-participating value: NaN behaves like null (same as the
+    // DataFrame face's `xr`)
+    val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
     val wp =
       if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
     // percentiles rendered as CAST('<p>' AS DOUBLE): a bare decimal literal
@@ -257,14 +267,15 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // string→double cast forces both engines through the same arithmetic
     val loP = s"CAST('$pLow' AS DOUBLE)"
     val hiP = s"CAST('$pHigh' AS DOUBLE)"
-    val loS = s"MAX(CASE WHEN _w_rn = FLOOR($loP * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
-    val hiS = s"MAX(CASE WHEN _w_rn = CEIL($hiP * (_w_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+    val loS = s"MAX(CASE WHEN _w_rn = FLOOR($loP * (_w_n - 1)) + 1 AND ($xrS) IS NOT NULL THEN $xrS END) OVER ($wp)"
+    val hiS = s"MAX(CASE WHEN _w_rn = CEIL($hiP * (_w_n - 1)) + 1 AND ($xrS) IS NOT NULL THEN $xrS END) OVER ($wp)"
     c.next("winsorize", df2, Some(
       s"SELECT * EXCEPT (_w_rn, _w_n, _w_lo, _w_hi), " +
-        s"CASE WHEN $xS IS NULL THEN NULL ELSE GREATEST(LEAST($xS, _w_hi), _w_lo) END AS $outName FROM (" +
+        s"CASE WHEN $xS IS NULL THEN NULL WHEN isnan($xS) THEN $xS " +
+        s"ELSE GREATEST(LEAST($xS, _w_hi), _w_lo) END AS $outName FROM (" +
         s"SELECT *, $loS AS _w_lo, $hiS AS _w_hi FROM (" +
-        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xS ASC NULLS LAST) AS _w_rn, " +
-        s"COUNT($xS) OVER ($wp) AS _w_n FROM {{source}}))"))
+        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xrS ASC NULLS LAST) AS _w_rn, " +
+        s"COUNT($xrS) OVER ($wp) AS _w_n FROM {{source}}))"))
   }
 
   /** winsorize_sketch(column, group_by, p_low, p_high, k): the corpus-scale
@@ -284,7 +295,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val x = col(column).cast("double")
-    val sk = graft.functions.KllSketches.sketchAgg(x, k).as("_w_sk")
+    // NaN never enters the sketch and passes through unclamped — the same
+    // contract as the exact face
+    val xr = when(!isnan(x), x)
+    val sk = graft.functions.KllSketches.sketchAgg(xr, k).as("_w_sk")
     val bounds = (
       if (groupBy.isEmpty) c.df.agg(sk)
       else c.df.groupBy(groupBy.map(col): _*).agg(sk))
@@ -299,7 +313,9 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // keys to the front, which would leak join layout into the op's shape
     val df2 = joined
       .withColumn(outName,
-        when(x.isNull || col("_w_lo").isNull, lit(null).cast("double"))
+        when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
+          .when(col("_w_lo").isNull, lit(null).cast("double"))
           .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
       .select((c.df.columns.toSeq.map(col) :+ col(outName)): _*)
     // SQL face: bounds subquery over a second read of {{source}}, joined
@@ -308,7 +324,8 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // the other KLL faces)
     val cn = Naming.quoteId(column)
     val xS = s"CAST(s.$cn AS DOUBLE)"
-    def q(p: Double) = s"KLL_QUANTILE(KLL_SKETCH_AGG(CAST($cn AS DOUBLE), $k), " +
+    val xrAggS = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+    def q(p: Double) = s"KLL_QUANTILE(KLL_SKETCH_AGG($xrAggS, $k), " +
       s"${java.lang.Double.toString(p)}D)"
     val boundsSel = (groupBy :+ s"${q(pLow)} AS _w_lo" :+ s"${q(pHigh)} AS _w_hi").mkString(", ")
     val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
@@ -317,7 +334,9 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       else s"LEFT JOIN (SELECT $boundsSel FROM {{source}}$grpSql) b ON " +
         groupBy.map(g => s"s.$g = b.$g").mkString(" AND ")
     c.next("winsorize_sketch", df2, Some(
-      s"SELECT s.*, CASE WHEN $xS IS NULL OR b._w_lo IS NULL THEN CAST(NULL AS DOUBLE) " +
+      s"SELECT s.*, CASE WHEN $xS IS NULL THEN CAST(NULL AS DOUBLE) " +
+        s"WHEN isnan($xS) THEN $xS " +
+        s"WHEN b._w_lo IS NULL THEN CAST(NULL AS DOUBLE) " +
         s"ELSE GREATEST(LEAST($xS, b._w_hi), b._w_lo) END AS $outName " +
         s"FROM {{source}} s $joinSql"))
   }

@@ -90,18 +90,34 @@ final class FilterOps(private val c: Chain) extends AnyVal {
                        keep: String = "top"): Chain = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
     require(Set("top", "bottom").contains(keep), s"keep must be top|bottom, got $keep")
+    // null and NaN values never rank and their rows are DROPPED, in both
+    // faces: unfiltered, a NaN score sorts greatest (cume_dist ≈ 1) and
+    // "keep the top quality fraction" would promote junk rows, while null
+    // ordering diverges between engines (Spark ASC = NULLS FIRST, ANSI
+    // default = NULLS LAST) — the guard makes the kept set well-defined
+    // and engine-portable
+    val dt = c.df.schema(valueCol).dataType
+    val floating = dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
+    val ranks =
+      if (floating) col(valueCol).isNotNull && !isnan(col(valueCol))
+      else col(valueCol).isNotNull
+    val ranksSql =
+      if (floating) s"$valueCol IS NOT NULL AND NOT isnan($valueCol)"
+      else s"$valueCol IS NOT NULL"
     val w0 = if (partitionBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(partitionBy.map(col): _*)
     val w = w0.orderBy(col(valueCol).asc)
     val cols = c.df.columns.toSeq
-    val df2 = c.df.withColumn("_graft_cd", cume_dist().over(w))
+    val df2 = c.df.where(ranks).withColumn("_graft_cd", cume_dist().over(w))
       .where(if (keep == "top") col("_graft_cd") > q else col("_graft_cd") <= q)
       .select(cols.map(col): _*)
     val part = if (partitionBy.isEmpty) "" else s"PARTITION BY ${partitionBy.mkString(", ")} "
     val cmp = if (keep == "top") ">" else "<="
     c.next("filter_by_quantile", df2, Some(
       s"SELECT ${cols.mkString(", ")} FROM (SELECT *, CUME_DIST() OVER (" +
-        s"${part}ORDER BY $valueCol ASC) AS _graft_cd FROM {{source}}) WHERE _graft_cd $cmp $q"))
+        s"${part}ORDER BY $valueCol ASC) AS _graft_cd FROM {{source}} " +
+        s"WHERE $ranksSql) WHERE _graft_cd $cmp $q"))
   }
 
   private def sortCols(orderBy: Seq[(String, String)]): Seq[Column] =

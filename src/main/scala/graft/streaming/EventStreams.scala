@@ -423,9 +423,12 @@ object EventStreams {
             survivors.ivfIndex(idCol, vecCol, nlist)
               .saveBucketed(indexTable, Seq("_cid"), indexBuckets)
           } else {
+            // _id keeps the index's own id type (long OR string) — an
+            // unconditional long cast would null a string-keyed index's
+            // ids and let replays duplicate postings
             val freshIdx = survivors.df.join(
               spark.table(indexTable).where(col("_id").isNotNull)
-                .select(col("_id").cast("long").as(idCol)),
+                .select(col("_id").as(idCol)),
               Seq(idCol), "left_anti")
             if (!freshIdx.isEmpty)
               graft.core.Chain(spark, indexTable, freshIdx)

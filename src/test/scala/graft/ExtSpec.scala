@@ -495,6 +495,67 @@ class ExtSpec extends AnyFunSuite {
     assert(out(7L) == ("unique text stands alone\nwith two lines", 0L))
   }
 
+  test("zero-norm and NaN vectors never rank, never match, and survive dedup") {
+    import spark.implicits._
+    // two near-dup vectors + a distinct one + a zero vector + a NaN vector:
+    // unguarded, the bad rows' NaN cosines compare greatest — topping every
+    // ranking AND passing `>= threshold`, which would merge the whole cell
+    // into one bogus cluster (silent mass deletion)
+    val emb = Chain(spark, "nv", Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.02f)),
+      (3L, Array(0.0f, 1.0f)),
+      (8L, Array(0.0f, 0.0f)),
+      (9L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding"))
+    val tk = emb.cosineTopK(emb.df, "vec_id", "embedding", 3).df
+    val qids = tk.select("query_id").collect().map(_.getLong(0)).toSet
+    val nbrs = tk.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!qids.contains(8L) && !qids.contains(9L), "bad vectors never query")
+    assert(!nbrs.contains(8L) && !nbrs.contains(9L), "bad vectors never rank")
+    // semantic dedup: the true dup drops; the bad rows SURVIVE untouched
+    val kept = emb.dedupNearEmbedding("vec_id", "embedding", 0.99).df
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 8L, 9L))
+    val keptIvf = emb.dedupNearEmbedding("vec_id", "embedding", 0.99,
+      candidates = "ivf", nlist = 2, nassign = 2).df
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIvf == kept)
+    // persistent index: bad rows excluded at build; a zero-norm batch row
+    // is never deleted as a "duplicate" by the incremental probe
+    val idx = emb.ivfIndex("vec_id", "embedding", nlist = 2)
+    assert(idx.df.where("_id IS NOT NULL").count() == 3)
+    val batch = Chain(spark, "nvb", Seq(
+      (11L, Array(1.0f, 0.015f)), (12L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val surv = batch.dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.99, nprobe = 2)
+      .df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(12L), s"true dup drops, zero-norm survives — got $surv")
+  }
+
+  test("ivf index family supports string ids end-to-end, rejects mixed families") {
+    import spark.implicits._
+    val emb = Chain(spark, "sv", Seq(
+      ("doc-a", Array(1.0f, 0.01f)), ("doc-b", Array(1.0f, 0.02f)),
+      ("doc-c", Array(0.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val idx = emb.ivfIndex("vec_id", "embedding", nlist = 2)
+    // the _id column keeps the string type; centroid markers are null strings
+    assert(idx.df.schema("_id").dataType == org.apache.spark.sql.types.StringType)
+    val hits = Chain(spark, "svq", Seq(("q1", Array(1.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .searchIvfIndex(idx.df, "vec_id", "embedding", k = 2, nprobe = 2).df
+      .select("neighbor_id").collect().map(_.getString(0)).toSet
+    assert(hits == Set("doc-a", "doc-b"))
+    val surv = Chain(spark, "svb", Seq(
+      ("doc-x", Array(1.0f, 0.015f)), ("doc-y", Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding"))
+      .dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.99, nprobe = 2)
+      .df.select("vec_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(surv == Seq("doc-y"), "string-keyed dup must drop, the novel doc survives")
+    // long queries probing a string index: loud, not silently empty
+    val e = intercept[IllegalArgumentException](
+      Chain(spark, "lq", Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"))
+        .searchIvfIndex(idx.df, "vec_id", "embedding", k = 2).df)
+    assert(e.getMessage.contains("type family"))
+  }
+
   test("int8_quantize kernel matches the transform/array_max composition bit-for-bit") {
     import spark.implicits._
     // edge inventory: normal, all-zero (scale 1.0), empty, null element,

@@ -275,6 +275,38 @@ class QuantGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates"))
   }
 
+  test("winsorize: NaN never ranks, never becomes a bound, passes through unclamped") {
+    import spark.implicits._
+    import graft.core.Chain
+    // ten real values 1..10 plus a NaN: with p=(0.2,0.8) the bounds come
+    // from the REAL values only (nearest-rank over n=10: lo = rank
+    // floor(0.2·9)+1 = 2 → 2.0, hi = rank ceil(0.8·9)+1 = 9 → 9.0);
+    // unguarded, the NaN would occupy the top rank and poison _w_hi
+    val df = ((1 to 10).map(i => (i.toLong, i.toDouble)) :+ (11L, Double.NaN))
+      .toDF("id", "x")
+    def check(out: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val m = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(m(1L) == 2.0, s"$tag: low tail must clamp to 2, got ${m(1L)}")
+      assert(m(10L) == 9.0, s"$tag: high tail must clamp to 9 (NaN must not be the bound), got ${m(10L)}")
+      assert(m(5L) == 5.0, s"$tag: interior untouched")
+      assert(m(11L).isNaN, s"$tag: NaN passes through unclamped")
+    }
+    check(Chain(spark, "wn", df).winsorize("x", Nil, 0.2, 0.8).df
+      .select("id", "x", "x_wins"), "exact")
+    // the sketch face has KLL's own rank convention — assert the CONTRACT:
+    // NaN passes through, and the upper bound is a real value (clamp bites)
+    val ms = Chain(spark, "wn", df).winsorizeSketch("x", Nil, 0.2, 0.8).df
+      .select("id", "x", "x_wins").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ms(11L).isNaN, "sketch: NaN passes through unclamped")
+    assert(!ms(10L).isNaN && ms(10L) < 10.0,
+      s"sketch: NaN must not become the upper bound, got ${ms(10L)}")
+    // the rendered exact SQL face agrees (engine-portable NaN handling)
+    df.createOrReplaceTempView("wn_nan_src")
+    check(spark.sql(Chain(spark, "wn_nan_src", df).winsorize("x", Nil, 0.2, 0.8).sql())
+      .select("id", "x", "x_wins"), "sql")
+  }
+
   test("winsorize: sketch face tracks the exact nearest-rank clamp") {
     import org.apache.spark.sql.functions._
     val keys = Seq("l_orderkey", "l_linenumber", "l_partkey")
