@@ -974,59 +974,8 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       case "exact" =>
         new DedupOps(c).embeddingCosinePairs(idCol, vecCol, threshold, maxRows = maxRows)
       case "ivf" =>
-        require(nassign >= 1 && nassign <= nlist,
-          s"nassign must be in [1, nlist], got $nassign (nlist=$nlist)")
-        val spark = c.df.sparkSession
-        // ids pass through untyped (ranking, windows and pair comparisons
-        // all work on any orderable type); the cluster stage downstream
-        // owns the integral/string dispatch
-        val corpus = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-          .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
-          // zero-norm/NaN vectors never pair (NaN cosine passes the
-          // threshold and would merge whole cells); they stay singletons
-          // and SURVIVE the dedup untouched
-          .where(SimilarityOps.usableVec(col("_v"), col("_n")))
-          .repartition(col("_id")) // barrier: norm computed once
-        // bounded hash-deterministic training sample → driver k-means
-        // (the declared compile-time-introspection pattern)
-        val trainVecs = corpus
-          .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
-          .limit(trainSample)
-          .select(col("_v").cast("array<double>"))
-          .collect().map(_.getSeq[Double](0).toArray)
-        val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
-        // the trailing repartition(_cid) is load-bearing twice over: the
-        // self-join below reads `assigned` on BOTH sides, and without a
-        // common exchange each side would recompute the whole assignment
-        // (the crossJoin+window for nassign>1) — with it, both sides reuse
-        // ONE exchange (ReusedExchange) that is ALSO the join's required
-        // partitioning, so the pair stage adds no further shuffle
-        val assigned = (
-          if (nassign <= 1)
-            corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
-              .select(col("_id"), col("_v"), col("_n"), col("_cid"))
-          else {
-            // top-m cells per vector: broadcast the nlist centroids, rank
-            // by cosine — one id-partitioned window, no extra corpus pass
-            val centroids = broadcast(SimilarityOps.centroidFrame(spark, centers))
-            val sim = Exact.dot(col("_v"), col("_cv")) / col("_n") / col("_cn")
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("_id")).orderBy(col("_cs").desc, col("_cid").asc)
-            corpus.crossJoin(centroids)
-              .select(col("_id"), col("_v"), col("_n"), col("_cid"), sim.as("_cs"))
-              .withColumn("_r", row_number().over(w)).where(col("_r") <= nassign)
-              .select(col("_id"), col("_v"), col("_n"), col("_cid"))
-          }).repartition(col("_cid"))
-        val l = assigned.select(col("_cid"), col("_id").as("id_a"),
-          col("_v").as("_va"), col("_n").as("_na"))
-        val r = assigned.select(col("_cid"), col("_id").as("id_b"),
-          col("_v").as("_vb"), col("_n").as("_nb"))
-        val cos = Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")
-        val p = l.join(r, Seq("_cid")).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), cos.as("cosine"))
-          .where(col("cosine") >= threshold)
-          .distinct() // a pair sharing several assigned cells emits once
-        c.next("dedup_embedding_ivf", p, None)
+        ivfCandidatePairs(idCol, vecCol, threshold, nlist, nassign,
+          trainSample, trainIters)
       case other => throw new IllegalArgumentException(
         s"dedup_near_embedding candidates must be exact or ivf, got $other")
     }
@@ -1037,6 +986,70 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         s"dedup_near_embedding clusterer must be propagation or contraction, got $other")
     }
     keepOnePerCluster(clusters, idCol, keepBy, "dedup_near_embedding")
+  }
+
+  /** The IVF candidate-pair miner behind `dedupNearEmbedding(candidates =
+    * "ivf")`: spherical k-means cells over a bounded sample, each vector
+    * assigned to its `nassign` nearest cells, pairs mined within SHARED
+    * cells only and exact-cosine verified. Exposed `private[ext]` so the
+    * plan-shape spec can pin the ReusedExchange directly.
+    */
+  private[ext] def ivfCandidatePairs(idCol: String, vecCol: String,
+                                     threshold: Double, nlist: Int, nassign: Int,
+                                     trainSample: Int, trainIters: Int): Chain = {
+    require(nassign >= 1 && nassign <= nlist,
+      s"nassign must be in [1, nlist], got $nassign (nlist=$nlist)")
+    val spark = c.df.sparkSession
+    // ids pass through untyped (ranking, windows and pair comparisons
+    // all work on any orderable type); the cluster stage downstream
+    // owns the integral/string dispatch
+    val corpus = c.df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      // zero-norm/NaN vectors never pair (NaN cosine passes the
+      // threshold and would merge whole cells); they stay singletons
+      // and SURVIVE the dedup untouched
+      .where(SimilarityOps.usableVec(col("_v"), col("_n")))
+      .repartition(col("_id")) // barrier: norm computed once
+    // bounded hash-deterministic training sample → driver k-means
+    // (the declared compile-time-introspection pattern)
+    val trainVecs = corpus
+      .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+      .limit(trainSample)
+      .select(col("_v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
+    // the trailing repartition(_cid) is load-bearing twice over: the
+    // self-join below reads `assigned` on BOTH sides, and without a
+    // common exchange each side would recompute the whole assignment
+    // (the crossJoin+window for nassign>1) — with it, both sides reuse
+    // ONE exchange (ReusedExchange) that is ALSO the join's required
+    // partitioning, so the pair stage adds no further shuffle
+    val assigned = (
+      if (nassign <= 1)
+        corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+          .select(col("_id"), col("_v"), col("_n"), col("_cid"))
+      else {
+        // top-m cells per vector: broadcast the nlist centroids, rank
+        // by cosine — one id-partitioned window, no extra corpus pass
+        val centroids = broadcast(SimilarityOps.centroidFrame(spark, centers))
+        val sim = Exact.dot(col("_v"), col("_cv")) / col("_n") / col("_cn")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_id")).orderBy(col("_cs").desc, col("_cid").asc)
+        corpus.crossJoin(centroids)
+          .select(col("_id"), col("_v"), col("_n"), col("_cid"), sim.as("_cs"))
+          .withColumn("_r", row_number().over(w)).where(col("_r") <= nassign)
+          .select(col("_id"), col("_v"), col("_n"), col("_cid"))
+      }).repartition(col("_cid"))
+    val l = assigned.select(col("_cid"), col("_id").as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val r = assigned.select(col("_cid"), col("_id").as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val cos = Exact.dot(col("_va"), col("_vb")) / col("_na") / col("_nb")
+    val p = l.join(r, Seq("_cid")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct() // a pair sharing several assigned cells emits once
+    c.next("dedup_embedding_ivf", p, None)
   }
 
   /** Shared decision tail of the end-to-end dedup ops: left-join the

@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
   *
   * Mismatched array lengths throw: a truncated dot product over unequal
   * embedding dimensions is silently wrong, never useful.
+  *
+  * NaN convention: a NaN product rounds to 0 (`math.floor(NaN).toLong`),
+  * so NaN never propagates out of the dot — which means a NaN-component
+  * vector gets a FINITE, silently partial norm. Cosine consumers must not
+  * rely on NaN detection here: they filter such vectors up front
+  * (`SimilarityOps.usableVec`).
   */
 case class FixedPointDot(left: Expression, right: Expression)
     extends BinaryExpression {

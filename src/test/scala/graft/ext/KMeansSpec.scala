@@ -54,4 +54,24 @@ class KMeansSpec extends AnyFunSuite {
       assert(best > 0.98, s"cluster direction unrecovered: $best")
     }
   }
+
+  test("ivf pair mining reuses ONE assignment exchange across the self-join") {
+    // the pair stage reads `assigned` on both join sides; the trailing
+    // repartition(_cid) must make that a shared exchange (ReusedExchange),
+    // not two executions of the crossJoin+window assignment — the guard
+    // against silently doubling the assignment pass at corpus scale
+    val spark = graft.TestSpark.spark
+    val emb = graft.TestSpark.table("embeddings")
+    val pairs = new DedupClusterOps(emb)
+      .ivfCandidatePairs("vec_id", "embedding", threshold = 0.4,
+        nlist = 4, nassign = 2, trainSample = 512, trainIters = 5).df
+    // the plan is adaptive: ReusedExchange appears once the initial plan
+    // is laid out — assert on the pre-execution initialPlan (the
+    // documented AQE assertion pattern; inputPlan predates
+    // EnsureRequirements and would be vacuous)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected a ReusedExchange across the assignment self-join; plan:\n$plan")
+  }
 }
