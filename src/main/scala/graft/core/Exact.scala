@@ -29,15 +29,21 @@ object Exact {
   /** Exact sum of a floating column, returned as double. */
   def sum(c: Column): Column = functions_sum(c.cast(Wide)).cast("double")
 
-  /** Exact mean: exact sum / count, division done once in double space. */
-  def avg(c: Column): Column = sum(c) / count(c)
+  /** Exact mean: exact sum / count. The count is over the SAME decimal
+    * cast the sum accumulates — `cast(NaN as decimal)` is null, so a NaN
+    * value (or an Inf, or an overflow) leaves numerator AND denominator
+    * together; `count(c)` would count it (non-null) and silently bias the
+    * mean low. Division done once in double space.
+    */
+  def avg(c: Column): Column = sum(c) / count(c.cast(Wide))
 
   /** Population/sample stddev from exact sums: sqrt((Sxx - Sx^2/n)/(n-1)).
     * x*x is computed per-row in double (deterministic), then accumulated
-    * exactly; deterministic regardless of partitioning.
+    * exactly; deterministic regardless of partitioning. n counts the
+    * decimal-cast values — the same NaN/Inf consistency as [[avg]].
     */
   def stddev(c: Column): Column = {
-    val n = count(c).cast("double")
+    val n = count(c.cast(Wide)).cast("double")
     val sx = sum(c)
     val sxx = functions_sum((c * c).cast(DecimalType(38, 8))).cast("double")
     sqrt((sxx - sx * sx / n) / (n - lit(1.0)))

@@ -44,8 +44,21 @@ private[graft] object AggFns {
       case "SUM" if floating =>
         s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
       case "AVG" | "MEAN" if floating =>
-        s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE) / COUNT($colName)"
+        // COUNT over the same decimal cast the sum accumulates: NaN casts
+        // to null and leaves numerator and denominator together (the
+        // Exact.avg contract — COUNT(col) would count NaN and bias low)
+        s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE) / " +
+          s"COUNT(CAST($colName AS DECIMAL(38,${Exact.Scale})))"
       case "AVG" | "MEAN" => s"AVG($colName)"
+      case "STDDEV" | "STD" | "STDDEV_SAMP" if floating =>
+        // spelled out through the same decimal accumulation as the column
+        // face (Exact.stddev): a bare STDDEV(double) is accumulation-order
+        // dependent AND propagates NaN into the whole group's statistic
+        val sx = s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+        val sxx = s"CAST(SUM(CAST($colName * $colName AS DECIMAL(38,8))) AS DOUBLE)"
+        val n = s"CAST(COUNT(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+        s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+      case "STDDEV" | "STD" | "STDDEV_SAMP" => s"STDDEV($colName)"
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => s"COUNT(DISTINCT $colName)"
       case "MEDIAN" => s"MEDIAN($colName)"
       case f => s"${f.toUpperCase}($colName)"
@@ -523,8 +536,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
       val x = s"CAST($cn AS DOUBLE)"
       val sx = s"CAST(SUM(CAST($x AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
       val sxx = s"CAST(SUM(CAST($x * $x AS DECIMAL(38,8))) AS DOUBLE)"
-      val n = s"CAST(COUNT($cn) AS DOUBLE)"
-      val mean = if (numeric) s"$sx / COUNT($cn)" else "CAST(NULL AS DOUBLE)"
+      // n over the decimal cast the sums accumulate — the Exact.avg/stddev
+      // NaN contract (COUNT(col) would count NaN and bias the stats)
+      val n = s"CAST(COUNT(CAST($x AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+      val mean = if (numeric) s"$sx / COUNT(CAST($x AS DECIMAL(38,${Exact.Scale})))"
+        else "CAST(NULL AS DOUBLE)"
       val std = if (numeric) s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
         else "CAST(NULL AS DOUBLE)"
       s"SELECT '${f.name}' AS feature, '${f.dataType.simpleString}' AS dtype, " +

@@ -175,15 +175,25 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val name = Naming.cleanse(s"${column}_bin")
     binType.toLowerCase match {
       case "equalwidth" =>
-        val r = c.df.agg(min(col(column)).cast("double").as("mn"),
-          max(col(column)).cast("double").as("mx")).collect()(0)
+        // NaN never enters the range statistics (max() returns NaN if one
+        // row is NaN — the width would be NaN and EVERY bin null) and a
+        // NaN value bins to null (unguarded, least(NaN, k) = k would drop
+        // it silently into the LAST bin)
+        val xd = col(column).cast("double")
+        val xr = when(!isnan(xd), xd)
+        val r = c.df.agg(min(xr).as("mn"), max(xr).as("mx")).collect()(0)
         val (mn, mx) = (r.getDouble(0), r.getDouble(1))
         val width = (mx - mn) / binCount
-        val e =
+        val e0 =
           if (width == 0d) lit(0)
-          else least(floor((col(column).cast("double") - lit(mn)) / lit(width)), lit(binCount - 1)).cast("int")
+          else least(floor((xd - lit(mn)) / lit(width)), lit(binCount - 1)).cast("int")
+        val e = when(!isnan(xd), e0)
+        val coreSql =
+          if (width == 0d) "0"
+          else s"CAST(LEAST(FLOOR((CAST($column AS DOUBLE) - $mn) / $width), ${binCount - 1}) AS INT)"
         c.next("bin", c.df.withColumn(name, e), Some(
-          s"SELECT *, CAST(LEAST(FLOOR((CAST($column AS DOUBLE) - $mn) / ${if (width == 0d) 1d else width}), ${binCount - 1}) AS INT) AS $name FROM {{source}}"))
+          s"SELECT *, CASE WHEN NOT isnan(CAST($column AS DOUBLE)) THEN $coreSql END " +
+            s"AS $name FROM {{source}}"))
       case "ntile" =>
         val order = (column +: tiebreak).map(col(_).asc)
         val e = ntile(binCount).over(Window.orderBy(order: _*))
@@ -348,7 +358,12 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       if (groupBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupBy.map(col): _*)
     val x = col(column).cast("double")
-    val n = count(x).over(w).cast("double")
+    // n counts the decimal-cast values the sums accumulate (NaN casts to
+    // null): a NaN row would otherwise inflate n and silently bias mu/sd
+    // low for its whole group. The NaN row itself flags as an outlier
+    // (|NaN - mu| > z*sd is TRUE under NaN-greatest comparison) — the
+    // right verdict for a corrupted value.
+    val n = count(x.cast(Exact.Wide)).over(w).cast("double")
     val sx = sum(x.cast(Exact.Wide)).over(w).cast("double")
     val sxx = sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
       .over(w).cast("double")
@@ -363,7 +378,7 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val over =
       if (groupBy.isEmpty) "OVER ()"
       else s"OVER (PARTITION BY ${groupBy.mkString(", ")})"
-    val nS = s"CAST(COUNT($cn) $over AS DOUBLE)"
+    val nS = s"CAST(COUNT(CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
     val sxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
     val sxxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) * CAST($cn AS DOUBLE) AS DECIMAL(38,8))) $over AS DOUBLE)"
     val muS = s"($sxS / $nS)"
@@ -431,11 +446,17 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       averages: Map[String, Double] = Map.empty,
       stddevs: Map[String, Double] = Map.empty): Chain = {
     val need = columnsToScale.filterNot(cn => averages.contains(cn) && stddevs.contains(cn))
+    // NaN behaves like null in the statistics: the decimal cast already
+    // nulls NaN out of the SUMS, but an unguarded count would still count
+    // those rows and silently bias μ/σ low
+    def xr(cn: String) = {
+      val xd = col(cn).cast("double"); when(!isnan(xd), xd)
+    }
     val statRow =
       if (need.nonEmpty) {
         val aggs = need.flatMap(cn => Seq(
-          Exact.avg(col(cn).cast("double")).as(s"_mu_$cn"),
-          Exact.stddev(col(cn).cast("double")).as(s"_sd_$cn")))
+          Exact.avg(xr(cn)).as(s"_mu_$cn"),
+          Exact.stddev(xr(cn)).as(s"_sd_$cn")))
         Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
       } else None
     val stats = columnsToScale.map { cn =>
@@ -463,9 +484,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val need = columnsToScale.filterNot(cn => minimums.contains(cn) && maximums.contains(cn))
     val statRow =
       if (need.nonEmpty) {
-        val aggs = need.flatMap(cn => Seq(
-          min(col(cn)).cast("double").as(s"_mn_$cn"),
-          max(col(cn)).cast("double").as(s"_mx_$cn")))
+        // NaN excluded from the range: max() returns NaN when any row is
+        // NaN (NaN compares greatest), which would scale the WHOLE column
+        // to NaN; NaN values themselves scale to NaN row-wise instead
+        val aggs = need.flatMap { cn =>
+          val xd = col(cn).cast("double"); val xr = when(!isnan(xd), xd)
+          Seq(min(xr).as(s"_mn_$cn"), max(xr).as(s"_mx_$cn"))
+        }
         Some(c.df.agg(aggs.head, aggs.tail: _*).collect()(0))
       } else None
     val stats = columnsToScale.map { cn =>

@@ -52,7 +52,7 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         val w = spec(partition, orderBy).rowsBetween(-(ws - 1), 0)
         val e =
           if (Exact.isFloating(types(cn)))
-            sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn)).over(w)
+            sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn).cast(Exact.Wide)).over(w)
           else avg(col(cn)).over(w)
         dd.withColumn(Naming.movingAvg(cn, ws), e)
       }
@@ -62,7 +62,8 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       val over = s"OVER (${overSql(partition, orderBy)} $frame)"
       val e =
         if (Exact.isFloating(types(cn)))
-          s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / COUNT($cn) $over"
+          s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / " +
+          s"COUNT(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over"
         else s"AVG($cn) $over"
       s"$e AS ${Naming.movingAvg(cn, ws)}"
     }
@@ -213,7 +214,8 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       case "SUM" if Exact.isFloating(dt) =>
         s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE)"
       case "AVG" | "MEAN" if Exact.isFloating(dt) =>
-        s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / COUNT($cn) $over"
+        s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / " +
+          s"COUNT(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over"
       case f => s"${f.toUpperCase}($cn) $over"
     }
 
@@ -222,7 +224,7 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       case "SUM" if Exact.isFloating(dt) =>
         sum(col(cn).cast(Exact.Wide)).over(w).cast("double")
       case "AVG" | "MEAN" if Exact.isFloating(dt) =>
-        sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn)).over(w)
+        sum(col(cn).cast(Exact.Wide)).over(w).cast("double") / count(col(cn).cast(Exact.Wide)).over(w)
       case "SUM" => sum(col(cn)).over(w)
       case "AVG" | "MEAN" => avg(col(cn)).over(w)
       case "MIN" => min(col(cn)).over(w)

@@ -249,6 +249,53 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(aggT) == rows(winT))
   }
 
+  test("exact AVG/STDDEV drop NaN from numerator AND denominator together") {
+    import spark.implicits._
+    import graft.core.Chain
+    // cast(NaN as decimal) is null, so the exact SUM always skipped NaN —
+    // but a COUNT over the raw column counts it, silently biasing the mean
+    // low (30/3 = 10 instead of 30/2 = 15); both faces must agree
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", Double.NaN)).toDF("g", "x")
+    val agg = Chain(spark, "nanavg", df)
+      .aggregate(Seq("g"), Seq("x" -> Seq("AVG", "STDDEV")))
+    val r = agg.df.collect()(0)
+    val mean = r.getAs[Double]("x_avg")
+    val sd = r.getAs[Double]("x_stddev")
+    assert(mean == 15.0, s"NaN must not inflate the count: got mean $mean")
+    assert(math.abs(sd - math.sqrt(50.0)) < 1e-12, s"stddev over the real pair: got $sd")
+    // the rendered SQL face computes the identical statistics
+    df.createOrReplaceTempView("nanavg")
+    val rs = spark.sql(agg.sql()).collect()(0)
+    assert(rs.getAs[Double]("x_avg") == mean && rs.getAs[Double]("x_stddev") == sd)
+  }
+
+  test("one NaN does not poison bin/scaler statistics; NaN rows degrade row-wise") {
+    import spark.implicits._
+    import graft.core.Chain
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, Double.NaN))
+      .toDF("id", "x")
+    val c = Chain(spark, "nanstats", df)
+    // equal-width bins come from the REAL range [10, 40] (unguarded, max()
+    // returns NaN and every bin would go null); the NaN row bins to null
+    // (unguarded, least(NaN, k) = k would drop it into the LAST bin)
+    val bins = c.bin("equalwidth", 3, "x").df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(bins(1L) == Some(0) && bins(4L) == Some(2), s"real rows bin by real range: $bins")
+    assert(bins(5L).isEmpty, "NaN must bin to null, not the last bin")
+    // min-max scaling over the real range; the NaN row scales to NaN
+    val mm = c.minMaxScaler(Seq("x")).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(mm(1L) == 0.0 && mm(4L) == 1.0, s"real range must be [10,40]: $mm")
+    assert(mm(5L).isNaN)
+    // standard-scaler statistics equal the NaN-free computation (an
+    // unguarded count would count the NaN row and bias mu/sd low)
+    val a = c.standardScaler(Seq("x")).df
+      .where("id = 1").select("x_scaled").head().getDouble(0)
+    val b = Chain(spark, "cl", df.where("NOT isnan(x)")).standardScaler(Seq("x")).df
+      .where("id = 1").select("x_scaled").head().getDouble(0)
+    assert(a == b, s"NaN row must not bias mu/sd: $a vs $b")
+  }
+
   test("observed metrics piggyback on the running action") {
     val obs = org.apache.spark.sql.Observation("ops_spec_obs")
     val c = table("orders").observed(obs,
