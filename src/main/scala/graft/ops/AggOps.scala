@@ -562,7 +562,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), intercept = (Sy − slope·Sx)/n.
     */
   def linearRegression(groupBy: Seq[String], y: String, x: String): Chain = {
-    val both = col(x).isNotNull && col(y).isNotNull
+    // NaN behaves like null: the decimal sums would skip a NaN product
+    // anyway while count() counted the row — a silently biased slope
+    val both = col(x).isNotNull && col(y).isNotNull &&
+      !isnan(col(x).cast("double")) && !isnan(col(y).cast("double"))
     val xc = when(both, col(x).cast("double"))
     val yc = when(both, col(y).cast("double"))
     def wide(cc: Column) = sum(cc.cast(DecimalType(38, 8))).cast("double")
@@ -580,7 +583,8 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .withColumn("intercept", (col("_sy") - col("slope") * col("_sx")) / n)
       .select((groupBy.map(col) ++ Seq(col("slope"), col("intercept"), col("_n").as("n"))): _*)
     def ds8(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,8))) AS DOUBLE)"
-    val bothSql = s"$x IS NOT NULL AND $y IS NOT NULL"
+    val bothSql = s"$x IS NOT NULL AND $y IS NOT NULL AND " +
+      s"NOT isnan(CAST($x AS DOUBLE)) AND NOT isnan(CAST($y AS DOUBLE))"
     val gCols = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
     val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
     val frag =
@@ -620,7 +624,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
     require(ridge >= 0.0, s"ridge must be >= 0, got $ridge")
     val d = xs.length + 1
-    val notNull = (col(y) +: xs.map(col)).map(_.isNotNull).reduce(_ && _)
+    // exclude null AND NaN rows up front: a NaN feature would null out of
+    // SOME Gram cells (its own products) but not others — an inconsistent
+    // normal system, i.e. silently garbage coefficients, not just bias
+    val notNull = (col(y) +: xs.map(col)).map(c0 =>
+      c0.isNotNull && !isnan(c0.cast("double"))).reduce(_ && _)
     val base = c.df.where(notNull)
     def wide8(e: Column) = sum(e.cast(DecimalType(38, 8))).cast("double")
     val feats: Seq[Column] = lit(1.0) +: xs.map(col(_).cast("double"))

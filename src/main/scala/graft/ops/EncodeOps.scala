@@ -95,15 +95,18 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
   def targetEncode(column: String, target: String): Chain = {
     val w = Window.partitionBy(col(column))
     val dt = c.df.schema(target).dataType
+    // count over the decimal cast the sum accumulates — the Exact.avg NaN
+    // contract (a NaN target row would otherwise bias its category's mean)
     val e =
       if (Exact.isFloating(dt))
-        sum(col(target).cast(Exact.Wide)).over(w).cast("double") / count(col(target)).over(w)
+        sum(col(target).cast(Exact.Wide)).over(w).cast("double") /
+          count(col(target).cast(Exact.Wide)).over(w)
       else avg(col(target)).over(w)
     val name = Naming.targetEncoded(column)
     val sqlAgg =
       if (Exact.isFloating(dt))
         s"CAST(SUM(CAST($target AS DECIMAL(38,${Exact.Scale}))) OVER (PARTITION BY $column) AS DOUBLE) / " +
-          s"COUNT($target) OVER (PARTITION BY $column)"
+          s"COUNT(CAST($target AS DECIMAL(38,${Exact.Scale}))) OVER (PARTITION BY $column)"
       else s"AVG($target) OVER (PARTITION BY $column)"
     c.next("target_encode", c.df.withColumn(name, e),
       Some(s"SELECT *, $sqlAgg AS $name FROM {{source}}"))

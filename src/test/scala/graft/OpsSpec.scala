@@ -267,6 +267,13 @@ class OpsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("nanavg")
     val rs = spark.sql(agg.sql()).collect()(0)
     assert(rs.getAs[Double]("x_avg") == mean && rs.getAs[Double]("x_stddev") == sd)
+    // linear regression excludes the NaN row from the fit entirely (an
+    // inconsistent count would bias the slope denominator)
+    val lr = Chain(spark, "nlr",
+      Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (Double.NaN, 1.0)).toDF("x2", "y2"))
+      .linearRegression(Nil, "y2", "x2").df.collect()(0)
+    assert(lr.getAs[Long]("n") == 3L, s"NaN row must not count: ${lr.getAs[Long]("n")}")
+    assert(math.abs(lr.getAs[Double]("slope") - 2.0) < 1e-9)
   }
 
   test("one NaN does not poison bin/scaler statistics; NaN rows degrade row-wise") {

@@ -24,6 +24,11 @@ THRESHOLD = 1.5
 # at least this many seconds.
 MIN_SECONDS = 0.15
 
+# Absolute-delta floor: sub-second queries routinely swing +-0.2 s run to
+# run even with the bench's min-of-two-passes; a ratio crossing alone on a
+# tiny delta is noise, not a plan change.
+MIN_DELTA_SECONDS = 0.25
+
 # query -> one-line reason, for regressions that are the accepted price of
 # a correctness or capability change. Keep entries only while the previous
 # round's numbers still reflect the pre-change implementation.
@@ -87,7 +92,7 @@ def main():
         if p <= 0:
             continue
         ratio = c / p
-        if ratio >= threshold and c >= MIN_SECONDS:
+        if ratio >= threshold and c >= MIN_SECONDS and c - p >= MIN_DELTA_SECONDS:
             regressions.append((name, p, c, ratio))
         elif ratio <= 1 / threshold and p >= MIN_SECONDS:
             improvements.append((name, p, c, ratio))
