@@ -410,14 +410,18 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       if (groupBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupBy.map(col): _*)
     val x = col(column).cast("double")
-    val n = count(x).over(w).cast("double")
-    val med = expr(s"percentile(CAST(${Naming.quoteId(column)} AS DOUBLE), 0.5)")
-      .over(w)
+    // NaN behaves like null in the median/MAD statistics (percentile sorts
+    // NaN greatest and would shift — or become — the median); the NaN row
+    // itself still FLAGS (|NaN| > z is TRUE), the right verdict for junk
+    val xrS = s"CASE WHEN NOT isnan(CAST(${Naming.quoteId(column)} AS DOUBLE)) " +
+      s"THEN CAST(${Naming.quoteId(column)} AS DOUBLE) END"
+    val n = count(when(!isnan(x), x)).over(w).cast("double")
+    val med = expr(s"percentile($xrS, 0.5)").over(w)
     val dev = abs(x - col("_graft_med"))
     val mzName = Naming.cleanse(s"${column}_mzscore")
     val flagName = Naming.cleanse(s"${column}_outlier_robust")
     val step1 = c.df.withColumn("_graft_med", med)
-    val mad = expr("percentile(_graft_dev, 0.5)").over(w)
+    val mad = expr("percentile(CASE WHEN NOT isnan(_graft_dev) THEN _graft_dev END, 0.5)").over(w)
     val step2 = step1.withColumn("_graft_dev", dev).withColumn("_graft_mad", mad)
     val mz = when(col("_graft_n") > 1 && col("_graft_mad") > 0,
       lit(0.6745) * (x - col("_graft_med")) / col("_graft_mad"))
@@ -432,14 +436,16 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       if (groupBy.isEmpty) "OVER ()"
       else s"OVER (PARTITION BY ${groupBy.mkString(", ")})"
     val baseCols = c.df.columns.toSeq
-    val medS = s"percentile(CAST($cn AS DOUBLE), 0.5) $over"
+    val xrQ = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+    val medS = s"percentile($xrQ, 0.5) $over"
+    val devQ = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN ABS(CAST($cn AS DOUBLE) - _graft_med) END"
     val mzS = s"0.6745 * (CAST($cn AS DOUBLE) - _graft_med) / _graft_mad"
     val sqlFace =
       s"SELECT ${baseCols.mkString(", ")}, " +
         s"CASE WHEN _graft_n > 1 AND _graft_mad > 0 THEN $mzS END AS $mzName, " +
         s"(_graft_n > 1 AND _graft_mad > 0 AND ABS($mzS) > $z) AS $flagName " +
-        s"FROM (SELECT *, percentile(ABS(CAST($cn AS DOUBLE) - _graft_med), 0.5) $over AS _graft_mad, " +
-        s"CAST(COUNT($cn) $over AS DOUBLE) AS _graft_n " +
+        s"FROM (SELECT *, percentile($devQ, 0.5) $over AS _graft_mad, " +
+        s"CAST(COUNT($xrQ) $over AS DOUBLE) AS _graft_n " +
         s"FROM (SELECT *, $medS AS _graft_med FROM {{source}}))"
     c.next("flag_outliers_robust", df2, Some(sqlFace))
   }

@@ -301,6 +301,16 @@ class OpsSpec extends AnyFunSuite {
     val b = Chain(spark, "cl", df.where("NOT isnan(x)")).standardScaler(Seq("x")).df
       .where("id = 1").select("x_scaled").head().getDouble(0)
     assert(a == b, s"NaN row must not bias mu/sd: $a vs $b")
+    // robust outliers: median/MAD come from the real values (median 25,
+    // MAD 10 over {10,20,30,40}); the NaN row itself flags as an outlier
+    val ro = c.flagOutliersRobust("x").df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("x_outlier_robust")).toMap
+    assert(ro == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true),
+      s"only the NaN row flags: $ro")
+    val mz4 = c.flagOutliersRobust("x").df.where("id = 4")
+      .select("x_mzscore").head().getDouble(0)
+    assert(math.abs(mz4 - 0.6745 * 15.0 / 10.0) < 1e-12,
+      s"median/MAD must come from the real values: $mz4")
   }
 
   test("observed metrics piggyback on the running action") {
