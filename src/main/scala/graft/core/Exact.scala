@@ -39,13 +39,26 @@ object Exact {
 
   /** Population/sample stddev from exact sums: sqrt((Sxx - Sx^2/n)/(n-1)).
     * x*x is computed per-row in double (deterministic), then accumulated
-    * exactly; deterministic regardless of partitioning. n counts the
-    * decimal-cast values — the same NaN/Inf consistency as [[avg]].
+    * exactly; deterministic regardless of partitioning.
+    *
+    * n, Sx and Sxx are ALL gated on the x² decimal cast: DECIMAL(38,8)
+    * holds 30 integer digits, so for |x| ≳ 1e15 the x² cast leaves range
+    * while x itself still fits DECIMAL(38,4) (34 digits). Under ANSI mode
+    * (the Spark 4 default) the overflow RAISES — loud, never wrong. Under
+    * non-ANSI the cast nulls, and before this gate the row counted in
+    * n/Sx while dropping from Sxx — a finite but wrong stddev; gating all
+    * three on the same cast excludes such a row (and NaN/Inf, which null
+    * the cast in either mode) from the statistic entirely — the same
+    * consistent-exclusion contract as [[avg]]. SQL faces spelling this
+    * formula out carry the same gate; DuckDB likewise raises on decimal
+    * overflow, so past the 1e15 bound every face fails loudly rather
+    * than diverging silently.
     */
   def stddev(c: Column): Column = {
-    val n = count(c.cast(Wide)).cast("double")
-    val sx = sum(c)
-    val sxx = functions_sum((c * c).cast(DecimalType(38, 8))).cast("double")
+    val xx = (c * c).cast(DecimalType(38, 8))
+    val n = count(xx).cast("double")
+    val sx = functions_sum(when(xx.isNotNull, c).cast(Wide)).cast("double")
+    val sxx = functions_sum(xx).cast("double")
     sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
   }
 

@@ -53,10 +53,15 @@ private[graft] object AggFns {
       case "STDDEV" | "STD" | "STDDEV_SAMP" if floating =>
         // spelled out through the same decimal accumulation as the column
         // face (Exact.stddev): a bare STDDEV(double) is accumulation-order
-        // dependent AND propagates NaN into the whole group's statistic
-        val sx = s"CAST(SUM(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
-        val sxx = s"CAST(SUM(CAST($colName * $colName AS DECIMAL(38,8))) AS DOUBLE)"
-        val n = s"CAST(COUNT(CAST($colName AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+        // dependent AND propagates NaN into the whole group's statistic.
+        // n and Sx gate on the x² cast like the column face, so a row
+        // whose square overflows DECIMAL(38,8) (|x| ≳ 1e15) leaves all
+        // three terms together instead of skewing a finite-looking result
+        val xxC = s"CAST($colName * $colName AS DECIMAL(38,8))"
+        val sx = s"CAST(SUM(CASE WHEN $xxC IS NOT NULL THEN " +
+          s"CAST($colName AS DECIMAL(38,${Exact.Scale})) END) AS DOUBLE)"
+        val sxx = s"CAST(SUM($xxC) AS DOUBLE)"
+        val n = s"CAST(COUNT($xxC) AS DOUBLE)"
         s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
       case "STDDEV" | "STD" | "STDDEV_SAMP" => s"STDDEV($colName)"
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => s"COUNT(DISTINCT $colName)"
@@ -535,13 +540,18 @@ final class AggOps(private val c: Chain) extends AnyVal {
       val numeric = f.dataType.isInstanceOf[NumericType]
       val x = s"CAST($cn AS DOUBLE)"
       val sx = s"CAST(SUM(CAST($x AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
-      val sxx = s"CAST(SUM(CAST($x * $x AS DECIMAL(38,8))) AS DOUBLE)"
-      // n over the decimal cast the sums accumulate — the Exact.avg/stddev
-      // NaN contract (COUNT(col) would count NaN and bias the stats)
-      val n = s"CAST(COUNT(CAST($x AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE)"
+      // mean: n over the decimal cast the sum accumulates — the Exact.avg
+      // NaN contract (COUNT(col) would count NaN and bias the stats).
+      // std: n AND Sx gate on the x² cast like Exact.stddev, so a row
+      // whose square overflows DECIMAL(38,8) leaves every term together
+      val xxC = s"CAST($x * $x AS DECIMAL(38,8))"
+      val sxStd = s"CAST(SUM(CASE WHEN $xxC IS NOT NULL THEN " +
+        s"CAST($x AS DECIMAL(38,${Exact.Scale})) END) AS DOUBLE)"
+      val sxx = s"CAST(SUM($xxC) AS DOUBLE)"
+      val n = s"CAST(COUNT($xxC) AS DOUBLE)"
       val mean = if (numeric) s"$sx / COUNT(CAST($x AS DECIMAL(38,${Exact.Scale})))"
         else "CAST(NULL AS DOUBLE)"
-      val std = if (numeric) s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+      val std = if (numeric) s"SQRT(($sxx - $sxStd * $sxStd / $n) / ($n - 1.0))"
         else "CAST(NULL AS DOUBLE)"
       s"SELECT '${f.name}' AS feature, '${f.dataType.simpleString}' AS dtype, " +
         s"COUNT(1) AS row_count, COUNT(1) - COUNT($cn) AS null_count, " +

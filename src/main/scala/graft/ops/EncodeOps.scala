@@ -120,12 +120,19 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     */
   def impute(imputations: Seq[(String, String)], flagMissingVals: Boolean = false): Chain = {
     val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // NaN is excluded from every fill statistic, matching the engine's
+    // posture everywhere else (Exact.avg/bin/scalers/winsorize): mean
+    // excludes via the decimal cast; median must NOT rank raw values
+    // (NaN sorts greatest and inflates the percentile); mode must not
+    // let a corrupt NaN plurality become the fill value.
+    def nanFree(cn: String): Column =
+      if (Exact.isFloating(types(cn))) when(!isnan(col(cn)), col(cn)) else col(cn)
     val statCols = imputations.flatMap { case (cn, how) =>
       how.toLowerCase match {
         case "mean" =>
           Some((if (Exact.isFloating(types(cn))) Exact.avg(col(cn))
                 else avg(col(cn))).as(s"_m_$cn"))
-        case "median" => Some(percentile(col(cn), lit(0.5)).as(s"_m_$cn"))
+        case "median" => Some(percentile(nanFree(cn), lit(0.5)).as(s"_m_$cn"))
         case _ => None
       }
     }
@@ -143,7 +150,7 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       val v: Any = how.toLowerCase match {
         case "mean" | "median" => statRow.get.getAs[Any](s"_m_$cn")
         case "mode" =>
-          val m = c.df.where(col(cn).isNotNull).groupBy(col(cn).as("_v")).count()
+          val m = c.df.where(nanFree(cn).isNotNull).groupBy(col(cn).as("_v")).count()
             .orderBy(col("count").desc, col("_v").asc).limit(1).collect()
           if (m.isEmpty) null else m(0).get(0)
         case raw => raw
@@ -185,6 +192,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         val xd = col(column).cast("double")
         val xr = when(!isnan(xd), xd)
         val r = c.df.agg(min(xr).as("mn"), max(xr).as("mx")).collect()(0)
+        // an all-null / all-NaN column leaves no range statistic at all —
+        // refuse loudly by name instead of an opaque NPE off the null Row
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"bin(equalwidth): column $column has no non-null, non-NaN values to derive a range from")
         val (mn, mx) = (r.getDouble(0), r.getDouble(1))
         val width = (mx - mn) / binCount
         val e0 =
@@ -361,15 +372,17 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       if (groupBy.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupBy.map(col): _*)
     val x = col(column).cast("double")
-    // n counts the decimal-cast values the sums accumulate (NaN casts to
-    // null): a NaN row would otherwise inflate n and silently bias mu/sd
+    // n, Sx and Sxx all gate on the x² decimal cast (NaN casts to null,
+    // and so does an x² that overflows DECIMAL(38,8) at |x| ≳ 1e15 —
+    // the Exact.stddev consistent-exclusion contract): a NaN or
+    // overflow row would otherwise inflate n and silently bias mu/sd
     // low for its whole group. The NaN row itself flags as an outlier
     // (|NaN - mu| > z*sd is TRUE under NaN-greatest comparison) — the
     // right verdict for a corrupted value.
-    val n = count(x.cast(Exact.Wide)).over(w).cast("double")
-    val sx = sum(x.cast(Exact.Wide)).over(w).cast("double")
-    val sxx = sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
-      .over(w).cast("double")
+    val xx = (x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8))
+    val n = count(xx).over(w).cast("double")
+    val sx = sum(when(xx.isNotNull, x).cast(Exact.Wide)).over(w).cast("double")
+    val sxx = sum(xx).over(w).cast("double")
     val mu = sx / n
     val sd = sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
     val zc = when(n > 1 && sd > 0, (x - mu) / sd)
@@ -381,9 +394,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val over =
       if (groupBy.isEmpty) "OVER ()"
       else s"OVER (PARTITION BY ${groupBy.mkString(", ")})"
-    val nS = s"CAST(COUNT(CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
-    val sxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4))) $over AS DOUBLE)"
-    val sxxS = s"CAST(SUM(CAST(CAST($cn AS DOUBLE) * CAST($cn AS DOUBLE) AS DECIMAL(38,8))) $over AS DOUBLE)"
+    val xxS = s"CAST(CAST($cn AS DOUBLE) * CAST($cn AS DOUBLE) AS DECIMAL(38,8))"
+    val nS = s"CAST(COUNT($xxS) $over AS DOUBLE)"
+    val sxS = s"CAST(SUM(CASE WHEN $xxS IS NOT NULL THEN CAST(CAST($cn AS DOUBLE) AS DECIMAL(38,4)) END) $over AS DOUBLE)"
+    val sxxS = s"CAST(SUM($xxS) $over AS DOUBLE)"
     val muS = s"($sxS / $nS)"
     val sdS = s"SQRT(($sxxS - $sxS * $sxS / $nS) / ($nS - 1.0))"
     c.next("flag_outliers", df2, Some(

@@ -313,6 +313,74 @@ class OpsSpec extends AnyFunSuite {
       s"median/MAD must come from the real values: $mz4")
   }
 
+  test("impute median/mode fills are NaN-excluded like every other statistic") {
+    import spark.implicits._
+    import graft.core.Chain
+    // median: NaN sorts greatest, so an unguarded percentile ranks it and
+    // drags the fill toward the corrupt end; the NaN-excluded median of
+    // {1, 3, 100} is 3. The null row receives the fill; the NaN row is
+    // not null and passes through untouched.
+    val dfMed = Seq((1L, Option(1.0)), (2L, Option(3.0)), (3L, Option(100.0)),
+      (4L, Option(Double.NaN)), (5L, Option.empty[Double])).toDF("id", "x")
+    val med = Chain(spark, "nanimp", dfMed).impute(Seq("x" -> "median"))
+    val medFill = med.df.where("id = 5").select("x").head().getDouble(0)
+    assert(medFill == 3.0, s"median fill must exclude NaN: got $medFill")
+    // mean fill agrees with the NaN-excluded mean (Exact.avg contract)
+    val meanFill = Chain(spark, "nanimp", dfMed).impute(Seq("x" -> "mean"))
+      .df.where("id = 5").select("x").head().getDouble(0)
+    assert(meanFill == 104.0 / 3.0, s"mean fill must exclude NaN: got $meanFill")
+    // the rendered SQL face embeds the same driver-computed literal
+    dfMed.createOrReplaceTempView("nanimp")
+    val sqlFill = spark.sql(med.sql()).where("id = 5").select("x").head().getDouble(0)
+    assert(sqlFill == medFill, s"SQL face fill disagrees: $sqlFill vs $medFill")
+    // mode: three corrupt NaN readings must not beat the honest plurality
+    val dfMode = Seq((1L, Option(1.0)), (2L, Option(1.0)), (3L, Option(Double.NaN)),
+      (4L, Option(Double.NaN)), (5L, Option(Double.NaN)), (6L, Option.empty[Double]))
+      .toDF("id", "x")
+    val modeFill = Chain(spark, "nanimp2", dfMode).impute(Seq("x" -> "mode"))
+      .df.where("id = 6").select("x").head().getDouble(0)
+    assert(modeFill == 1.0, s"mode fill must exclude NaN: got $modeFill")
+  }
+
+  test("bin(equalwidth) refuses an all-NaN column by name instead of an NPE") {
+    import spark.implicits._
+    import graft.core.Chain
+    val df = Seq(Option(Double.NaN), Option(Double.NaN), Option.empty[Double]).toDF("x")
+    val e = intercept[IllegalArgumentException](
+      Chain(spark, "allnan", df).bin("equalwidth", 3, "x"))
+    assert(e.getMessage.contains("x"), s"error must name the column: ${e.getMessage}")
+  }
+
+  test("stddev excludes a value whose square overflows the decimal accumulator") {
+    import spark.implicits._
+    import graft.core.Chain
+    // 1e16 fits DECIMAL(38,4) (34 integer digits) but its square (1e32)
+    // overflows DECIMAL(38,8) (30 digits). Under ANSI (the Spark 4
+    // default) the overflow raises — loud, never wrong. Under non-ANSI
+    // the cast nulls: before, the row counted in n and Sx while dropping
+    // from Sxx — a finite but WRONG stddev; now the whole row leaves the
+    // statistic (consistent exclusion, like NaN), so the result is the
+    // stddev of {1, 2, 3} exactly.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 1.0e16)).toDF("g", "x")
+    val raised = intercept[Exception](
+      df.agg(graft.core.Exact.stddev(col("x")).as("sd")).head())
+    assert(raised.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      raised.getMessage.contains("cannot be represented"),
+      s"ANSI overflow must raise the decimal-range error: ${raised.getMessage.take(200)}")
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val sd = df.agg(graft.core.Exact.stddev(col("x")).as("sd")).head().getDouble(0)
+      assert(sd == 1.0, s"stddev over the in-range values {1,2,3}: got $sd")
+      // the rendered SQL face carries the same gate
+      val agg = Chain(spark, "ovf", df).aggregate(Seq("g"), Seq("x" -> Seq("STDDEV")))
+      df.createOrReplaceTempView("ovf")
+      val rs = spark.sql(agg.sql()).head().getAs[Double]("x_stddev")
+      assert(rs == agg.df.head().getAs[Double]("x_stddev") && rs == 1.0,
+        s"SQL face must agree: $rs")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("observed metrics piggyback on the running action") {
     val obs = org.apache.spark.sql.Observation("ops_spec_obs")
     val c = table("orders").observed(obs,

@@ -73,11 +73,29 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     threshold = THRESHOLD
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1]) if "=" in a else threshold
+            # accept --threshold=1.5 and --threshold 1.5; a bare trailing
+            # --threshold is a usage error, not a silent default
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                threshold = float(argv[i])
+            else:
+                print("bench_diff: --threshold needs a value", file=sys.stderr)
+                sys.exit(2)
+        elif a.startswith("--"):
+            print(f"bench_diff: unknown option {a}", file=sys.stderr)
+            sys.exit(2)
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__, file=sys.stderr)
         sys.exit(2)
