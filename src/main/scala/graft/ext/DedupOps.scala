@@ -576,28 +576,52 @@ object DedupOps {
 
   /** Distinct (surrogate, original) id map over both pair columns of a
     * string-keyed pair frame — surrogate = xxhash64(id), checkpointed, and
-    * COLLISION-CHECKED with one count/count-distinct aggregate (a declared
-    * O(#ids) probe, same class as the cluster loop's convergence probes):
-    * two distinct ids hashing to one surrogate would silently merge their
+    * COLLISION-CHECKED without a separate pass: the map is built as ONE
+    * aggregation keyed by the surrogate (`collect_set` of the original
+    * ids — size 1 everywhere unless two ids collide), and the collision
+    * probe rides the checkpoint's own materialization job as an observed
+    * metric (`max(size)`), so detection costs zero extra scans. Two
+    * distinct ids hashing to one surrogate would silently merge their
     * components, so a collision fails loudly instead. P(collision) ≈
     * n²/2⁶⁵ — negligible below ~10⁸ ids, detected above. The map is part
     * of the result plan's retained checkpoint blocks
     * ([[graft.core.Chain.releaseCheckpoints]] on the result releases it).
     */
   private[ext] def surrogateIdMap(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
     val m = checkpointRound(pairs
       .select(explode(array(col(aCol), col(bCol))).as("_oid"))
       .where(col("_oid").isNotNull)
-      .distinct()
-      .withColumn("_sid", xxhash64(col("_oid"))))
-    val probe = m.agg(count(lit(1)).as("n"),
-      count_distinct(col("_sid")).as("d")).collect()(0)
-    if (probe.getLong(0) != probe.getLong(1))
+      .groupBy(xxhash64(col("_oid")).as("_sid"))
+      .agg(collect_set(col("_oid")).as("_oids"))
+      .observe(obs, max(size(col("_oids"))).as("_maxdup"),
+        sum(size(col("_oids"))).as("_nids"), count(lit(1)).as("_nsids"))
+      .select(element_at(col("_oids"), 1).as("_oid"), col("_sid")))
+    // the eager localCheckpoint above fired the observation listener
+    // synchronously in every measurement; the bounded poll only guards a
+    // listener-thread race, and an empty result after the deadline fails
+    // loudly (a silent fallback would skip the only collision detector)
+    var probe = org.apache.spark.sql.GraftBridge.observationResult(obs)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (probe.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      probe = org.apache.spark.sql.GraftBridge.observationResult(obs)
+    }
+    if (probe.isEmpty)
       throw new IllegalStateException(
-        s"xxhash64 surrogate collision among ${probe.getLong(0)} distinct ids " +
-          s"(${probe.getLong(0) - probe.getLong(1)} colliding) — clustering would " +
+        "surrogate id map: the collision-probe observation never fired for " +
+          "the checkpoint materialization — cannot prove the surrogate keys " +
+          "are collision-free, refusing to cluster")
+    val maxDup = Option(probe("_maxdup")).fold(0L)(_.asInstanceOf[Number].longValue)
+    if (maxDup > 1L) {
+      val nIds = Option(probe("_nids")).fold(0L)(_.asInstanceOf[Number].longValue)
+      val nSids = Option(probe("_nsids")).fold(0L)(_.asInstanceOf[Number].longValue)
+      throw new IllegalStateException(
+        s"xxhash64 surrogate collision among $nIds distinct ids " +
+          s"(${nIds - nSids} colliding) — clustering would " +
           "silently merge unrelated documents; relabel ids through a unique " +
           "integral surrogate (e.g. a persisted dimension with a generated key)")
+    }
     m
   }
 
@@ -639,23 +663,36 @@ object DedupOps {
   }
 
   /** Translate a long-surrogate labels frame `(id, cluster_id)` back to
-    * original string ids through the surrogate map — two long-keyed joins
-    * — then CANONICALIZE the representative to the component's minimum
-    * ORIGINAL id (one agg + join more), so the contract is the same as
-    * the integral path's: `cluster_id` = the component's minimum id under
-    * the id column's own ordering, whatever the id type. Everything here
-    * runs on the labels frame (one row per clustered doc, ≪ corpus).
+    * original string ids: ONE long-keyed join against the surrogate map
+    * translates the member ids, CHECKPOINTED so the canonicalization
+    * below reads it twice without recomputing the join; the
+    * representative is then re-derived as the component's minimum
+    * ORIGINAL id with one long-keyed agg + join-back on the SURROGATE
+    * cluster key. (The old shape translated the surrogate representative
+    * through a second map join only to discard it for the min, and its
+    * untruncated canonicalization join duplicated the whole translate
+    * subtree in the plan.) No string-keyed shuffle remains. Contract
+    * unchanged from the integral path: `cluster_id` = the component's
+    * minimum id under the id column's own ordering, whatever the id
+    * type. Everything here runs on the labels frame (one row per
+    * clustered doc, ≪ corpus). The labels/map checkpoints are superseded
+    * by the translated frame and released eagerly; the translated
+    * checkpoint rides in the result plan until the consumer's
+    * [[graft.core.Chain.releaseCheckpoints]].
     */
   private[ext] def translateLabels(labels: DataFrame, m: DataFrame): DataFrame = {
-    val translated = labels
+    val t = checkpointRound(labels
       .join(m.select(col("_sid").as("_ms"), col("_oid").as("_mo")),
         col("id") === col("_ms"))
-      .join(m.select(col("_sid").as("_cs"), col("_oid").as("_co")),
-        col("cluster_id") === col("_cs"))
-      .select(col("_mo").as("id"), col("_co").as("_cl0"))
-    val mins = translated.groupBy(col("_cl0")).agg(min(col("id")).as("_cmin"))
-    translated.join(mins, "_cl0")
-      .select(col("id"), col("_cmin").as("cluster_id"))
+      .select(col("_mo").as("id"), col("cluster_id").as("_csid")))
+    releaseRound(labels)
+    releaseRound(m)
+    // one explicit exchange on the surrogate cluster key feeds BOTH the
+    // min aggregation and the join-back (ReusedExchange — the same
+    // one-exchange-two-consumers shape as the IVF self-join)
+    val tp = t.repartition(col("_csid"))
+    val mins = tp.groupBy(col("_csid")).agg(min(col("id")).as("_cmin"))
+    tp.join(mins, "_csid").select(col("id"), col("_cmin").as("cluster_id"))
   }
 
   /** Eagerly materialize + TRUNCATE an iterative round's frame:

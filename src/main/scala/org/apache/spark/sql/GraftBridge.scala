@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks forever if the observed
+    * action never fires its listener — callers that piggyback a metric on
+    * a checkpoint materialization need a bounded poll instead).
+    */
+  def observationResult(o: Observation): Map[String, Any] = o.getOrEmpty
 }

@@ -549,6 +549,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(persisted == base)
   }
 
+  test("string-id clusterPairs: surrogate translate is two long-keyed joins over checkpointed frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.LongType
+    val pairs = Seq(("u-1", "u-2"), ("u-2", "u-3"), ("u-5", "u-6"))
+      .toDF("id_a", "id_b")
+    val out = Chain(spark, "p", pairs).clusterPairs()
+    // contract first: components labeled by their minimum ORIGINAL id
+    val got = out.df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u-1" -> "u-1", "u-2" -> "u-1", "u-3" -> "u-1",
+      "u-5" -> "u-5", "u-6" -> "u-5"), s"labels: $got")
+    // plan shape: the result reads ONLY checkpointed RDDs — the miner /
+    // pair pipeline is truncated away and can never re-run, and the
+    // long-keyed id-map translate join ran ONCE inside the translated
+    // frame's checkpoint materialization. What remains visible is the
+    // canonicalization join-back alone, long-keyed on the surrogate
+    // cluster key, with both consumers fed by ONE exchange
+    // (ReusedExchange, the IVF self-join shape) and no string-keyed
+    // shuffle anywhere
+    val plan = out.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty &&
+      plan.collect { case l: LocalTableScanExec => l }.isEmpty,
+      s"translate must read only checkpointed frames:\n$plan")
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    val longKeyed = joins.filter(j =>
+      j.leftKeys.nonEmpty && j.leftKeys.forall(_.dataType == LongType))
+    assert(joins.size == 1 && longKeyed.size == 1,
+      s"expected exactly 1 long-keyed canonicalization join, " +
+        s"got ${joins.size} joins (${longKeyed.size} long-keyed):\n$plan")
+    // exchange reuse is an AQE runtime decision — assert on the executed
+    // adaptive plan after the collect above (the KMeansSpec pattern)
+    val executed = out.df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"both canonicalization consumers must share one exchange:\n$executed")
+    out.releaseCheckpoints()
+  }
+
   test("contraction fixpoint probe costs one driver barrier per shrinking round") {
     import spark.implicits._
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
