@@ -5,14 +5,21 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 /** One applied transform: operator name, deterministic output alias, and a
   * Spark-SQL fragment with a `{{source}}` placeholder for the previous step
   * (the reference's `Transform`, rasgoql/primitives/transforms.py:226-258).
-  * `sqlFragment == None` marks ops whose SQL text form is not supported
-  * (they still execute; `Chain.sql` reports them).
+  * `sqlFragment == None` and `fragmentFn == None` together mark ops whose
+  * SQL text form is not supported (they still execute; `Chain.sql` reports
+  * them). `fragmentFn` is the RENDER-TIME face: an op whose text requires
+  * introspection the hot path must not pay (e.g. collecting a query set
+  * into a VALUES literal) defers that work until someone actually renders.
   */
 final case class TransformStep(
     op: String,
     alias: String,
     sqlFragment: Option[String],
-    args: Map[String, String] = Map.empty)
+    args: Map[String, String] = Map.empty,
+    fragmentFn: Option[() => String] = None) {
+  /** The step's SQL text, resolving a deferred face if present. */
+  def sqlText: Option[String] = sqlFragment.orElse(fragmentFn.map(_()))
+}
 
 /** A lazy, immutable transform chain: the Spark `DataFrame` *is* the IR
   * (Catalyst optimizes through all steps); the parallel step list exists for
@@ -34,6 +41,16 @@ final class Chain private (
            args: Map[String, String] = Map.empty): Chain =
     new Chain(spark, entryName, newDf,
       steps :+ TransformStep(op, Naming.stepAlias(steps.length + 1), fragment, args))
+
+  /** Append a step whose SQL face is computed only when rendered — for ops
+    * whose text form needs driver introspection (e.g. a VALUES literal of
+    * a collected frame) that the execute path must not pay per call.
+    */
+  def nextLazy(op: String, newDf: DataFrame, fragmentFn: () => String,
+               args: Map[String, String] = Map.empty): Chain =
+    new Chain(spark, entryName, newDf,
+      steps :+ TransformStep(op, Naming.stepAlias(steps.length + 1), None, args,
+        Some(fragmentFn)))
 
   /** Functional escape hatch: any DataFrame=>DataFrame as a step. */
   def transformDf(op: String)(f: DataFrame => DataFrame): Chain =

@@ -13,14 +13,14 @@ object SqlRender {
     val steps = c.steps
     if (steps.isEmpty) s"SELECT * FROM ${c.entryName}"
     else {
-      steps.foreach { s =>
-        if (s.sqlFragment.isEmpty)
-          throw new UnsupportedOperationException(
-            s"operator '${s.op}' has no SQL text form; use the DataFrame face")
+      // resolve each step's text ONCE (deferred faces may collect)
+      val texts = steps.map { s =>
+        s.sqlText.getOrElse(throw new UnsupportedOperationException(
+          s"operator '${s.op}' has no SQL text form; use the DataFrame face"))
       }
       def frag(i: Int): String = {
         val src = if (i == 0) c.entryName else steps(i - 1).alias
-        steps(i).sqlFragment.get.replace(Src, src)
+        texts(i).replace(Src, src)
       }
       if (steps.length == 1) frag(0)
       else {
@@ -36,7 +36,7 @@ object SqlRender {
   def viewCascade(c: Chain, name: String): Seq[String] = {
     val stmts = c.steps.indices.map { i =>
       val src = if (i == 0) c.entryName else c.steps(i - 1).alias
-      val frag = c.steps(i).sqlFragment.getOrElse(
+      val frag = c.steps(i).sqlText.getOrElse(
         throw new UnsupportedOperationException(
           s"operator '${c.steps(i).op}' has no SQL text form"))
       s"CREATE OR REPLACE TEMPORARY VIEW ${c.steps(i).alias} AS\n${frag.replace(Src, src)}"

@@ -499,6 +499,13 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * accumulation runs in exact decimals so rankings reproduce under any
     * partitioning. `idf = "raw"` is the cross-engine-exact form
     * ([[tfidf]]); "log" is the classic smoothed variant.
+    *
+    * Rendering: the tfidf scoring renders a SQL face that pins the query
+    * set as a VALUES literal (the [[graft.ops.AggOps.scoreLogistic]]
+    * model-render pattern) joined against the [[tfidf]] face — computed
+    * only when someone actually renders (capped at 10k query-term rows,
+    * loud beyond). bm25 is documented non-renderable: its N/avgdl
+    * statistics are a declared driver fit.
     */
   def searchTfidf(queries: Chain, idCol: String, textCol: String,
                   queryIdCol: String, queryTextCol: String, k: Int = 10,
@@ -509,10 +516,40 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       .select(col(queryIdCol).as("query_id"),
         explode(tokens(col(queryTextCol))).as("term"))
       .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("_qtf"))
+    // render-time SQL face (tfidf scoring only): the pinned query set
+    // collects into a VALUES literal — the scoreLogistic model-render
+    // pattern — joined against the tfidf face of {{source}}. DEFERRED via
+    // nextLazy: the execute path must not pay the query-set collect; only
+    // an actual render does, capped and loud. bm25 stays non-renderable
+    // (driver-fit N/avgdl statistics and transcendental scoring are
+    // documented as the DataFrame face's job).
+    var renderFace: Option[() => String] = None
     val scored = scoring match {
       case "tfidf" =>
-        val docTfidf = tfidf(idCol, textCol, idf).df
-        qt.join(docTfidf, Seq("term"))
+        val docChain = tfidf(idCol, textCol, idf)
+        val tfidfFrag = docChain.steps.last.sqlFragment.get
+        val qidT = queries.df.schema(queryIdCol).dataType.sql
+        renderFace = Some(() => {
+          val maxRenderQueries = 10000
+          val qRows = qt.limit(maxRenderQueries + 1).collect()
+          if (qRows.length > maxRenderQueries) throw new UnsupportedOperationException(
+            s"search_tfidf render: query set exceeds $maxRenderQueries (query_id, term) rows — " +
+              "a VALUES literal that large is not a usable query text; use the DataFrame face")
+          if (qRows.isEmpty) throw new UnsupportedOperationException(
+            "search_tfidf render: the query set is empty — nothing to pin into a VALUES literal")
+          val vals = qRows.map { r =>
+            s"(CAST(${graft.core.Naming.sqlLiteral(r.get(0))} AS $qidT), " +
+              s"${graft.core.Naming.sqlLiteral(r.getString(1))}, CAST(${r.getLong(2)} AS BIGINT))"
+          }.mkString(", ")
+          val qtSql = s"SELECT query_id, term, _qtf FROM (VALUES $vals) AS _q(query_id, term, _qtf)"
+          val scSql = s"SELECT query_id, doc_id, " +
+            s"CAST(SUM(CAST(_qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score " +
+            s"FROM ($qtSql) JOIN ($tfidfFrag) USING (term) GROUP BY query_id, doc_id"
+          s"SELECT query_id, doc_id, score, rank FROM (SELECT *, " +
+            s"CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) " +
+            s"AS rank FROM ($scSql)) WHERE rank <= $k"
+        })
+        qt.join(docChain.df, Seq("term"))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
       case "bm25" =>
@@ -556,7 +593,8 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       .orderBy(col("score").desc, col("doc_id").asc)
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
-    c.next("search_tfidf", out, None)
+    renderFace.fold(c.next("search_tfidf", out, None))(fn =>
+      c.nextLazy("search_tfidf", out, fn))
   }
 
   /** tfidf_index(id, text): the persistent half of INCREMENTAL lexical

@@ -186,6 +186,26 @@ class RenderSpec extends AnyFunSuite {
     }
   }
 
+  test("search_tfidf renders a VALUES-literal query face; bm25 stays non-renderable") {
+    import graft.ext._
+    val docs = table("documents")
+    val queries = table("documents").filterRows(Seq("doc_id < 3"))
+    val ch = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+    // the deferred face pins the tokenized query set as a VALUES literal;
+    // the rendered text must answer exactly like the DataFrame face
+    val rendered = ch.sql()
+    assert(rendered.contains("VALUES"), s"expected a VALUES-literal query set:\n$rendered")
+    assert(rows(spark.sql(rendered)) == rows(ch.df))
+    // and composes mid-chain like any other fragment
+    val ch2 = docs.filterRows(Seq("doc_id % 2 = 0"))
+      .searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 3)
+    assert(rows(spark.sql(ch2.sql())) == rows(ch2.df))
+    val bm = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text",
+      k = 3, scoring = "bm25")
+    val e = intercept[UnsupportedOperationException](bm.sql())
+    assert(e.getMessage.contains("search_tfidf"))
+  }
+
   test("Bernoulli sample is documented non-renderable; hash sampler renders") {
     val e = intercept[UnsupportedOperationException](
       table("orders").sampleRows(0.5).sql())
