@@ -294,7 +294,13 @@ final class Chain private (
       }
     }
     val qNames = zCols.indices.map(i => s"_zq_$i")
-    val projected = df.select(zExprs.zip(qNames).map { case (e, n) => e.as(n) }: _*)
+    // NaN is excluded from the cut-point derivation explicitly (NaN → null;
+    // approxQuantile ignores nulls): a NaN that slipped into a cut array
+    // would poison the bin binary search for EVERY row of that column.
+    // NaN rows themselves bin to 0 alongside nulls (ZValue) — they cluster
+    // at the curve's origin instead of skewing a data-bearing cell.
+    val projected = df.select(zExprs.zip(qNames).map { case (e, n) =>
+      when(!isnan(e), e).as(n) }: _*)
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val cuts = projected.stat.approxQuantile(qNames.toArray, probs, relErr).toSeq
     val zv = graft.functions.ZValue(zExprs, cuts.map(_.clone()), bits)

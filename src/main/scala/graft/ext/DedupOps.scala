@@ -859,6 +859,12 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * minimum id — for every id appearing in a pair. As with clusterPairs,
     * release the result's retained blocks with
     * [[graft.core.Chain.releaseCheckpoints]] once nothing reads it again.
+    *
+    * Id types, same admission as [[clusterPairs]]: integral ids run
+    * natively; string ids run through the collision-checked xxhash64
+    * surrogate and translate back on output (cluster_id re-canonicalized
+    * to the minimum ORIGINAL id); any other type — and mixed families —
+    * fails loudly at the op boundary.
     */
   def clusterPairsContraction(idACol: String = "id_a", idBCol: String = "id_b",
                               maxIters: Int = 50): Chain = {
@@ -939,6 +945,12 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * plan embeds the labels frame's checkpoint blocks —
     * [[graft.core.Chain.releaseCheckpoints]] on the result frees them once
     * nothing reads it again.
+    *
+    * Id types: `idCol` must be integral (tinyint/smallint/int/bigint —
+    * runs natively) or string (UUID/URL corpus keys — runs through the
+    * collision-checked xxhash64 surrogate and translates back on
+    * output); any other type fails loudly at the op boundary — cast or
+    * relabel through a surrogate key first.
     */
   def dedupNear(idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
                 keepBy: Seq[(String, String)] = Nil,
@@ -996,6 +1008,12 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * recall dial (recall-gated in the spec — the usual SemDeDup regime
     * of a TIGHT threshold keeps near-identical pairs co-located). The
     * cluster and keep-one stages are identical to the lexical op.
+    *
+    * Id types: `idCol` must be integral (tinyint/smallint/int/bigint —
+    * runs natively) or string (collision-checked xxhash64 surrogate,
+    * translated back on output; string ids also pass through the IVF
+    * cell index natively); any other type fails loudly at the op
+    * boundary — cast or relabel through a surrogate key first.
     */
   def dedupNearEmbedding(idCol: String, vecCol: String, threshold: Double,
                          keepBy: Seq[(String, String)] = Nil,

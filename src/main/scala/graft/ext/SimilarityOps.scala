@@ -176,6 +176,12 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * with [[ivfIndexAssign]] + `saveAppend` — no retraining, no corpus
     * re-assignment, the same save-the-postings investment as
     * [[graft.ext.DedupOps.minhashIndex]] for embeddings.
+    *
+    * Id types: `idCol` must be integral (cast losslessly to a long `_id`
+    * column) or string (passes through natively; centroid marker rows
+    * then carry a null string `_id`); any other type fails loudly at the
+    * op boundary, and probe/assign/dedup callers must present the SAME
+    * id family the index was built with.
     */
   def ivfIndex(idCol: String, vecCol: String, nlist: Int = 16,
                trainSample: Int = 4096, trainIters: Int = 15): Chain = {

@@ -16,9 +16,14 @@ import org.apache.spark.sql.types._
   * curve over equal-mass cells; quantile cuts make the cells skew-robust
   * where equal-width cells would collapse under heavy-tailed columns).
   *
-  * NULL values bin to 0 (they cluster together at the curve's origin, so
-  * null-filtering scans skip cleanly too). One tight codegen loop per row;
-  * the cut arrays ride along as referenced objects, not literals.
+  * NULL values bin to 0, and so do NaN values (every `cut <= NaN`
+  * comparison is false, so the binary search never advances): both
+  * cluster together at the curve's origin, so null/NaN-filtering scans
+  * skip cleanly and a corrupt key can never skew a data-bearing cell.
+  * The cut points themselves are derived NaN-free (saveZOrdered nulls
+  * NaN before the quantile job — one NaN cut would poison the search
+  * for every row). One tight codegen loop per row; the cut arrays ride
+  * along as referenced objects, not literals.
   */
 case class ZValue(children: Seq[Expression], cuts: Seq[Array[Double]], bits: Int)
     extends Expression {

@@ -721,6 +721,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order bins stay balanced when a z column carries NaN") {
+    import spark.implicits._
+    // 10% NaN mixed into x: NaN must not poison the cut derivation (one
+    // NaN cut point breaks the bin binary search for EVERY row of that
+    // column) and NaN rows themselves bin to 0 alongside nulls — the
+    // curve's origin, never a data-bearing cell
+    val df = (0 until 2000).map { i =>
+      (i.toLong, if (i % 10 == 0) Double.NaN else i.toDouble, (i % 17).toDouble)
+    }.toDF("id", "x", "y")
+    Chain(spark, "z", df).saveZOrdered("znan_t", Seq("x", "y"),
+      overwrite = true, bits = 3, files = 4)
+    assert(rows(spark.table("znan_t")) == rows(df), "layout change must not lose rows")
+    // replicate the writer's stats job: cuts NaN-free, NaN at the origin,
+    // and the real mass spread near-uniformly over all 2^bits bins
+    val probs = (1 until 8).map(_.toDouble / 8).toArray
+    val cuts = df.select(when(!isnan(col("x")), col("x")).as("q"))
+      .stat.approxQuantile("q", probs, 0.01)
+    assert(!cuts.exists(_.isNaN), s"cuts must be NaN-free: ${cuts.mkString(",")}")
+    assert(graft.functions.ZValue.binOf(cuts, Double.NaN, 3) == 0L,
+      "NaN must bin to the curve origin")
+    val bins = df.where("NOT isnan(x)").select("x").collect()
+      .map(r => graft.functions.ZValue.binOf(cuts, r.getDouble(0), 3))
+    val hist = bins.groupBy(identity).view.mapValues(_.length)
+    assert(hist.size == 8, s"all 8 bins must be populated: ${hist.toMap}")
+    val expected = bins.length / 8
+    assert(hist.values.max <= 2 * expected,
+      s"equal-mass bins under NaN: ${hist.toMap} (expected ~$expected each)")
+  }
+
   test("asofJoin preserves the matched row's own NULLs and keeps columns from one row") {
     // quote at 10:00 has px=NULL but sz=7; older quote at 09:00 has px=100, sz=5.
     // Per-column carry would resurrect px=100 (stale) next to sz=7 (current) —

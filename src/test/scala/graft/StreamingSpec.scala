@@ -423,6 +423,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("empty_corpus_t"))
     assert(!spark.catalog.tableExists("empty_corpus_idx"))
   }
+
+  test("append, tfidf-, embedding-ingest and profile sinks run an all-empty stream to clean completion") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // every sink's trailing caller-session refreshTable is guarded on
+    // tableExists — each must complete an all-empty stream without
+    // throwing and without leaving phantom rows
+    spark.sql("DROP TABLE IF EXISTS empty_append_t")
+    val msA = MemoryStream[Evt]
+    EventStreams.sinkAppendToTable(msA.toDF(), "empty_append_t",
+      Files.createTempDirectory("graft_ckpt_ea").toString)
+    if (spark.catalog.tableExists("empty_append_t"))
+      assert(spark.table("empty_append_t").count() == 0)
+
+    spark.sql("DROP TABLE IF EXISTS empty_tf_corpus")
+    spark.sql("DROP TABLE IF EXISTS empty_tf_idx")
+    val msT = MemoryStream[Doc]
+    EventStreams.sinkTfidfAppendToTable(msT.toDF(), "empty_tf_corpus", "empty_tf_idx",
+      "doc_id", "text", Files.createTempDirectory("graft_ckpt_et").toString,
+      indexBuckets = 2)
+    assert(!spark.catalog.tableExists("empty_tf_corpus"))
+    assert(!spark.catalog.tableExists("empty_tf_idx"))
+
+    spark.sql("DROP TABLE IF EXISTS empty_vec_t")
+    spark.sql("DROP TABLE IF EXISTS empty_vec_idx")
+    val msV = MemoryStream[Vec]
+    EventStreams.sinkEmbeddingAppendToTable(msV.toDF(), "empty_vec_t", "empty_vec_idx",
+      "vec_id", "embedding", Files.createTempDirectory("graft_ckpt_ev").toString,
+      threshold = 0.9, nlist = 2, indexBuckets = 2)
+    assert(!spark.catalog.tableExists("empty_vec_t"))
+    assert(!spark.catalog.tableExists("empty_vec_idx"))
+
+    spark.sql("DROP TABLE IF EXISTS empty_profile_t")
+    val msS = MemoryStream[Evt]
+    EventStreams.sinkDistinctSketchToTable(msS.toDF(), Seq("event_type"), "user_id",
+      "empty_profile_t", Files.createTempDirectory("graft_ckpt_es").toString,
+      profileBuckets = 2)
+    assert(!spark.catalog.tableExists("empty_profile_t"))
+  }
 }
 
 case class Evt(event_id: Long, ts: Long, user_id: Long, event_type: String,
