@@ -233,6 +233,22 @@ object SparkEntry {
         .math(Seq("CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END"),
           Seq("acct2"))
         .impute(Seq("acct2" -> "mean"), flagMissingVals = true).df),
+    // NaN-excluded fill statistics under oracle: NaN is injected into BOTH
+    // imputed columns (negatives -> NaN for the median column, the top of
+    // the range -> NaN for the mode column), so an unguarded median would
+    // rank NaN greatest and an unguarded mode could elect NaN; the fills
+    // must come from the real values only. Integer-valued doubles keep the
+    // interpolated median bit-exact across engines; NaN rows are filtered
+    // AFTER imputation so the OUTPUT is NaN-free (the fill value is the
+    // proof, and the driver hash never sees a NaN)
+    "q_impute_nan" -> ((s, d) =>
+      t(s, d, "customer")
+        .math(Seq(
+          "CASE WHEN c_acctbal < 0 THEN CAST('NaN' AS DOUBLE) WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE FLOOR(c_acctbal) END",
+          "CASE WHEN c_acctbal > 9000 THEN CAST('NaN' AS DOUBLE) WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE FLOOR(c_acctbal / 1000) END"),
+          Seq("acct3", "seg4"))
+        .impute(Seq("acct3" -> "median", "seg4" -> "mode"))
+        .filterRows(Seq("NOT isnan(acct3) AND NOT isnan(seg4)")).df),
     "q_bin" -> ((s, d) =>
       t(s, d, "orders").bin("equalwidth", 10, "o_totalprice").df),
     // data-quality gate: per-flag z-scores and 2-sigma outlier flags from
@@ -1093,6 +1109,19 @@ object SparkEntry {
       s"SELECT *, ${dsumOver("o_totalprice", "(PARTITION BY o_orderpriority)")} / COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority) AS o_orderpriority_target_encoded FROM orders",
     "q_impute" ->
       s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, COALESCE(acct2, (SELECT ${davg("acct2")} FROM (SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END AS acct2 FROM customer))) AS acct2, CASE WHEN acct2 IS NULL THEN 1 ELSE 0 END AS acct2_missing_flag FROM (SELECT *, CASE WHEN c_acctbal < 500 THEN CAST(NULL AS DOUBLE) ELSE c_acctbal END AS acct2 FROM customer)",
+    // NaN-excluded median/mode fills: MEDIAN over NOT isnan, mode from the
+    // non-NaN plurality (count DESC, value ASC tie-break — the impute
+    // contract); NaN rows filtered after imputation so the output is
+    // NaN-free on both sides
+    "q_impute_nan" ->
+      ("WITH base AS (SELECT *, " +
+        "CASE WHEN c_acctbal < 0 THEN CAST('NaN' AS DOUBLE) WHEN c_acctbal < 500 THEN NULL ELSE FLOOR(c_acctbal) END AS acct3, " +
+        "CASE WHEN c_acctbal > 9000 THEN CAST('NaN' AS DOUBLE) WHEN c_acctbal < 500 THEN NULL ELSE FLOOR(c_acctbal / 1000) END AS seg4 FROM customer), " +
+        "f AS (SELECT (SELECT MEDIAN(acct3) FROM base WHERE NOT isnan(acct3)) AS mf, " +
+        "(SELECT seg4 FROM (SELECT seg4, COUNT(*) AS c FROM base WHERE seg4 IS NOT NULL AND NOT isnan(seg4) GROUP BY 1) ORDER BY c DESC, seg4 ASC LIMIT 1) AS sf) " +
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, " +
+        "COALESCE(acct3, mf) AS acct3, COALESCE(seg4, sf) AS seg4 FROM base, f " +
+        "WHERE NOT isnan(COALESCE(acct3, mf)) AND NOT isnan(COALESCE(seg4, sf))"),
     "q_bin" ->
       "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
     "q_standard_scaler" ->
