@@ -21,7 +21,10 @@ private[graft] object AggFns {
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => (countDistinct(c), "COUNT_DISTINCT")
       case "STDDEV" | "STD" | "STDDEV_SAMP" =>
         (if (floating) Exact.stddev(c) else stddev(c), "STDDEV")
-      case "MEDIAN" => (percentile(c, lit(0.5)), "MEDIAN")
+      // NaN never ranks (it sorts greatest and would drag the median
+      // toward the corrupt end) — the engine-wide NaN exclusion posture
+      case "MEDIAN" =>
+        (percentile(if (floating) when(!isnan(c), c) else c, lit(0.5)), "MEDIAN")
       case other => throw new IllegalArgumentException(s"unknown aggregation $other")
     }
   }
@@ -65,6 +68,8 @@ private[graft] object AggFns {
         s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
       case "STDDEV" | "STD" | "STDDEV_SAMP" => s"STDDEV($colName)"
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => s"COUNT(DISTINCT $colName)"
+      case "MEDIAN" if floating =>
+        s"MEDIAN(CASE WHEN NOT isnan(CAST($colName AS DOUBLE)) THEN $colName END)"
       case "MEDIAN" => s"MEDIAN($colName)"
       case f => s"${f.toUpperCase}($colName)"
     }

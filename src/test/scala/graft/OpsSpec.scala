@@ -257,16 +257,21 @@ class OpsSpec extends AnyFunSuite {
     // low (30/3 = 10 instead of 30/2 = 15); both faces must agree
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", Double.NaN)).toDF("g", "x")
     val agg = Chain(spark, "nanavg", df)
-      .aggregate(Seq("g"), Seq("x" -> Seq("AVG", "STDDEV")))
+      .aggregate(Seq("g"), Seq("x" -> Seq("AVG", "STDDEV", "MEDIAN")))
     val r = agg.df.collect()(0)
     val mean = r.getAs[Double]("x_avg")
     val sd = r.getAs[Double]("x_stddev")
+    val med = r.getAs[Double]("x_median")
     assert(mean == 15.0, s"NaN must not inflate the count: got mean $mean")
     assert(math.abs(sd - math.sqrt(50.0)) < 1e-12, s"stddev over the real pair: got $sd")
+    // median: NaN sorts greatest — unguarded it ranks and drags the
+    // median to 20; excluded, the median of {10, 20} interpolates to 15
+    assert(med == 15.0, s"NaN must never rank in MEDIAN: got $med")
     // the rendered SQL face computes the identical statistics
     df.createOrReplaceTempView("nanavg")
     val rs = spark.sql(agg.sql()).collect()(0)
-    assert(rs.getAs[Double]("x_avg") == mean && rs.getAs[Double]("x_stddev") == sd)
+    assert(rs.getAs[Double]("x_avg") == mean && rs.getAs[Double]("x_stddev") == sd &&
+      rs.getAs[Double]("x_median") == med)
     // linear regression excludes the NaN row from the fit entirely (an
     // inconsistent count would bias the slope denominator)
     val lr = Chain(spark, "nlr",
