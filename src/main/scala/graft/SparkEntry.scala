@@ -179,6 +179,10 @@ object SparkEntry {
         "o_orderdate", Seq(7), "day", Seq("o_custkey")).df),
     "q_train_test_split" -> ((s, d) =>
       t(s, d, "orders").trainTestSplit(Seq("o_orderkey" -> "ASC"), 0.8).df),
+    // batch sessionization: per-user 12h-gap session ordinals over events
+    "q_sessionize" -> ((s, d) =>
+      Chain(s, "events", readEvents(s, d))
+        .sessionize(Seq("user_id"), "ts", 43200L, Seq("event_id")).df),
 
     // time-series regularization: daily per-priority grid over Q1'95 with
     // order totals forward-filled across gap days
@@ -436,6 +440,7 @@ object SparkEntry {
     Map(
       "q_text_tokens" -> ((s, d) => t(s, d, "documents").tokenCounts("text").df),
       "q_text_quality" -> ((s, d) => t(s, d, "documents").qualityScore("text").df),
+      "q_gopher_rules" -> ((s, d) => t(s, d, "documents").gopherRules("text").df),
     // pinned-coefficient scoring face of logisticRegression: the logit is a
     // fixed left-associated double multiply-add chain — IEEE-exact on both
     // engines, so it hash-compares without float-literal round-trips (the
@@ -678,6 +683,13 @@ object SparkEntry {
           .dropColumns(includeCols = Seq("vec_id", "label")).df),
       // int8 storage quantization, exploded to scalars for the oracle:
       // pure elementwise arithmetic, bit-identical across engines
+      // per-label centroid vectors, exploded to scalars for the oracle
+      // (same convention as q_pca_project/q_quantize_embedding)
+      "q_group_centroid" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        t(s, d, "embeddings").centroidByGroup(Seq("label"), "embedding")
+          .df.select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+      }),
       "q_quantize_embedding" -> ((s, d) => {
         import org.apache.spark.sql.functions.{col, posexplode}
         val q = t(s, d, "embeddings").quantizeEmbeddings("embedding")
@@ -1065,6 +1077,8 @@ object SparkEntry {
       s"SELECT *, ${dsumOver("o_totalprice", "w")} AS sum_o_totalprice_7day FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)",
     "q_train_test_split" ->
       "SELECT * EXCLUDE (_rn, _cnt), CASE WHEN _rn <= FLOOR(0.8 * _cnt) THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS _rn, COUNT(*) OVER () AS _cnt FROM orders)",
+    "q_sessionize" ->
+      "SELECT * EXCLUDE (_n), CAST(SUM(_n) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) + INTERVAL 43200 SECOND THEN 1 ELSE 0 END AS _n FROM events)",
     "q_datetrunc" ->
       "SELECT *, CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS o_orderdate_week, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month FROM orders",
     "q_datepart" ->
@@ -1336,6 +1350,30 @@ object SparkEntry {
         s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${raw"\s"}]')) AS INTEGER) AS n_bpeish FROM documents",
       "q_text_quality" ->
         s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, $npunct / $nchars AS punct_ratio, $nstop / $ntok AS stopword_ratio, CAST(LENGTH(regexp_replace(text, '${raw"\s"}+', '', 'g')) AS DOUBLE) / $ntok AS avg_token_len, LEAST($ntok / 20.0, 1.0) * (1.0 - $npunct / $nchars) AS quality FROM documents",
+      "q_gopher_rules" -> {
+        val wc = raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len($toks) AS BIGINT) END"
+        def overW(num: String) = s"CASE WHEN $wc > 0 THEN CAST($num AS DOUBLE) / $wc END"
+        val meanLen = overW(raw"length(regexp_replace(text, '\s+', '', 'g'))")
+        def occ(pat: String, w: Int) =
+          s"CAST((length(text) - length(regexp_replace(text, '$pat', '', 'g'))) / $w AS BIGINT)"
+        val sym = s"${occ("#", 1)} + ${occ("…", 1)} + ${occ(raw"\.\.\.", 3)}"
+        val nLines = raw"(1 + CAST(length(text) - length(regexp_replace(text, '\n', '', 'g')) AS BIGINT))"
+        val bullet = raw"CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE) / $nLines"
+        val ell = raw"CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$$')) AS DOUBLE) / $nLines"
+        val alpha = overW(s"len(list_filter($toks, w -> regexp_matches(w, '[a-z]')))")
+        val padded = raw"concat(' ', regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')"
+        val stopH = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(w => s"(CASE WHEN contains($padded, ' $w ') THEN 1 ELSE 0 END)").mkString(" + ")
+        val keep = s"COALESCE($wc BETWEEN 50 AND 100000 AND " +
+          s"$meanLen BETWEEN CAST('3.0' AS DOUBLE) AND CAST('10.0' AS DOUBLE) AND " +
+          s"${overW(sym)} <= CAST('0.1' AS DOUBLE) AND $bullet <= CAST('0.9' AS DOUBLE) AND " +
+          s"$ell <= CAST('0.3' AS DOUBLE) AND $alpha >= CAST('0.8' AS DOUBLE) AND " +
+          s"$stopH >= 2, FALSE)"
+        s"SELECT *, $wc AS gr_word_count, $meanLen AS gr_mean_word_len, " +
+          s"${overW(sym)} AS gr_symbol_ratio, $bullet AS gr_bullet_ratio, " +
+          s"$ell AS gr_ellipsis_ratio, $alpha AS gr_alpha_ratio, " +
+          s"CAST($stopH AS BIGINT) AS gr_stop_hits, $keep AS gr_keep FROM documents"
+      },
       "q_text_langid" ->
         s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
       "q_text_fingerprint" ->
@@ -1575,6 +1613,12 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, emb.vec_id) " +
           "ORDER BY emb.vec_id ASC) AS rn " +
           "FROM e5 emb LEFT JOIN cl ON cl.id = emb.vec_id) WHERE rn = 1"),
+      "q_group_centroid" ->
+        ("SELECT label, CAST(pos AS INTEGER) AS pos, " +
+          "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS v " +
+          "FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val " +
+          "FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0) " +
+          "GROUP BY label, pos"),
       "q_quantize_embedding" ->
         ("WITH s AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings), " +
           "sc AS (SELECT vec_id, CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS qscale FROM s) " +

@@ -64,7 +64,15 @@ object Verify {
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val watchdog = new java.util.Timer("verify-watchdog", true)
 
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev convenience: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (the driver
+    // never sets it, so the gate always runs everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       if (budgetSec.exists(elapsed > _)) {
         status(s"""{"q":${q(name)},"status":"skipped_budget"}""")
       } else {

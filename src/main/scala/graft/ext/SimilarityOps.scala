@@ -295,6 +295,70 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * STORAGE op run once at ingest, not in a per-pair hot path (the hot
     * paths stay on the codegen kernels).
     */
+  /** centroid_by_group(group_by, vec_col): per-group per-dimension mean
+    * vector → one row per group with `centroid: array<double>` — the
+    * SemDeDup-style cluster summary (centroids for semantic-dedup cells,
+    * per-source embedding profiles, IVF seeding from labeled data).
+    *
+    * Exactness: elements round to 1e-12 fixed-point longs via explicit
+    * double arithmetic (`floor(x·1e12 + 0.5)`, half-up — the
+    * [[graft.functions.FixedPointDot]] regime; decimal CASTs round
+    * differently across engines on arbitrary float expansions, IEEE
+    * double ops do not), and the integer sum accumulates in
+    * DECIMAL(38,0) — exact, order-independent of partitioning, and
+    * hash-matching the DuckDB oracle, with 38 digits of headroom.
+    * NaN posture: a vector containing NaN or ±Inf is excluded WHOLE (one
+    * poisoned element would otherwise corrupt that dimension against the
+    * others); null vectors are excluded; null ELEMENTS simply don't
+    * contribute to their dimension; zero vectors are valid contributors
+    * (only cosine, not a mean, breaks on them).
+    * Ragged inputs average each position over the vectors that carry it
+    * (posexplode semantics) — uniform-dimension corpora are unaffected.
+    *
+    * Scale shape: posexplode fans each row into d (pos, val) pairs, but
+    * the per-(group, pos) decimal sums partial-aggregate map-side, so the
+    * shuffle carries ≤ #groups × d rows per mapper, never the corpus; the
+    * final array reassembly groups #groups × d rows — driver-free, one
+    * interpreted transform over #groups rows only.
+    */
+  def centroidByGroup(groupBy: Seq[String], vecCol: String,
+                      as: String = "centroid"): Chain = {
+    require(groupBy.nonEmpty, "centroid_by_group needs at least one group key")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(vecCol)
+    val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .map(x => coalesce(array_contains(v, lit(x)), lit(false)))
+      .reduce(_ || _)
+    val clean = c.df.where(v.isNotNull && !bad)
+    val gcols = groupBy.map(col)
+    val exploded = clean.select(gcols :+ posexplode(v).as(Seq("_pos", "_val")): _*)
+    // 1e-12 fixed-point longs via explicit double arithmetic
+    // (floor(x*1e12 + 0.5), half-up): decimal CASTs round differently
+    // across engines on arbitrary float expansions, but these IEEE double
+    // ops are bit-identical everywhere — the FixedPointDot regime. The
+    // integer sum accumulates in DECIMAL(38,0): exact, order-independent,
+    // and 38 digits of headroom (1e12-row groups of |x|<=1e13 fit).
+    val xx = floor(col("_val").cast("double") * lit(1e12) + lit(0.5)).cast("long")
+    val perDim = exploded.groupBy(groupBy.head, groupBy.tail :+ "_pos": _*)
+      .agg((sum(xx.cast(Dec)).cast("double") / count(xx) / lit(1e12)).as("_v"))
+    val df2 = perDim.groupBy(groupBy.head, groupBy.tail: _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("_pos").as("p"), col("_v").as("v")))),
+        s => s.getField("v")).as(as))
+    val gs = groupBy.mkString(", ")
+    c.next("centroid_by_group", df2, Some(
+      s"SELECT $gs, transform(sort_array(collect_list(struct(_pos, _v))), " +
+        s"s -> s._v) AS ${graft.core.Naming.quoteId(as)} FROM (" +
+        s"SELECT $gs, _pos, CAST(SUM(CAST(FLOOR(CAST(_val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / " +
+        s"COUNT(_val) / 1e12 AS _v FROM (" +
+        s"SELECT * FROM {{source}} LATERAL VIEW posexplode(${graft.core.Naming.quoteId(vecCol)}) " +
+        s"_t AS _pos, _val WHERE ${graft.core.Naming.quoteId(vecCol)} IS NOT NULL AND " +
+        s"NOT coalesce(array_contains(${graft.core.Naming.quoteId(vecCol)}, float('NaN')), false) AND " +
+        s"NOT coalesce(array_contains(${graft.core.Naming.quoteId(vecCol)}, float('Infinity')), false) AND " +
+        s"NOT coalesce(array_contains(${graft.core.Naming.quoteId(vecCol)}, float('-Infinity')), false)" +
+        s") GROUP BY $gs, _pos) GROUP BY $gs"))
+  }
+
   def quantizeEmbeddings(vecCol: String): Chain = {
     val qName = graft.core.Naming.cleanse(s"${vecCol}_q")
     val sName = graft.core.Naming.cleanse(s"${vecCol}_qscale")

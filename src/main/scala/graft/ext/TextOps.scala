@@ -127,6 +127,105 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         s"FROM {{source}}"))
   }
 
+  /** gopher_rules(text_col, …): the Gopher/MassiveText rule-based document
+    * gate (Rae et al. 2021 §A1.1 — public paper; also the C4 heuristics
+    * family) as per-rule signal columns plus one boolean verdict:
+    *
+    *   - `gr_word_count`     whitespace words (BIGINT; 0 for blank text)
+    *   - `gr_mean_word_len`  non-whitespace chars / words (null when 0 words)
+    *   - `gr_symbol_ratio`   (#, …, ...) occurrences / words
+    *   - `gr_bullet_ratio`   lines starting with -, * or • / lines
+    *   - `gr_ellipsis_ratio` lines ending with … or ... / lines
+    *   - `gr_alpha_ratio`    words containing an ASCII letter / words
+    *   - `gr_stop_hits`      distinct canonical stopwords present (of
+    *                         the/be/to/of/and/that/have/with, whole-word by
+    *                         whitespace)
+    *   - `gr_keep`           all rules pass (FALSE for null text — a null
+    *                         never survives a filter, matching the
+    *                         engine-wide posture)
+    *
+    * All signals are integer counts + one division — bit-identical across
+    * engines (the reason this renders and oracles where a learned filter
+    * could not). Thresholds are the published Gopher defaults; every one is
+    * a parameter. Scale: pure per-row scalar projection — no shuffle, no
+    * UDF; the regex/LIKE scans stay inside one codegen stage except the
+    * word-level lambda (`filter`), which is per-document, not per-pair.
+    */
+  def gopherRules(
+      textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2): Chain = {
+    val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val wc = when(length(trim(txt)) === 0, 0L).otherwise(size(toks).cast("long"))
+    // every ratio guards its denominator explicitly (CASE, not division):
+    // double div-by-zero semantics differ across engines — never rely on it
+    def overWords(num: Column): Column =
+      when(wc > 0L, num.cast("double") / wc).otherwise(lit(null).cast("double"))
+    val meanLen = overWords(length(regexp_replace(txt, "\\s+", "")))
+    def occurrences(pat: String, w: Int): Column =
+      ((length(txt) - length(regexp_replace(txt, pat, ""))) / w).cast("long")
+    val symbols = occurrences("#", 1) + occurrences("…", 1) + occurrences("\\.\\.\\.", 3)
+    val symbolRatio = overWords(symbols)
+    val nLines = lit(1L) + (length(txt) - length(regexp_replace(txt, "\\n", ""))).cast("long")
+    val bulletRatio = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+      .cast("double") / nLines
+    val ellipsisRatio = size(regexp_extract_all(txt, lit("(?m)(\\.\\.\\.|…)$"), lit(0)))
+      .cast("double") / nLines
+    val alphaRatio = overWords(size(filter(toks, w => w.rlike("[a-z]"))))
+    val padded = concat(lit(" "), regexp_replace(lower(txt), "\\s+", " "), lit(" "))
+    val stopHits = GopherStops.map(w =>
+      when(padded.contains(s" $w "), 1L).otherwise(0L)).reduce(_ + _)
+    val keep = coalesce(
+      wc.between(minWords, maxWords) &&
+        meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+        symbolRatio <= maxSymbolRatio && bulletRatio <= maxBulletRatio &&
+        ellipsisRatio <= maxEllipsisRatio && alphaRatio >= minAlphaRatio &&
+        stopHits >= minStopHits.toLong,
+      lit(false))
+    val df2 = c.df
+      .withColumn("gr_word_count", wc)
+      .withColumn("gr_mean_word_len", meanLen)
+      .withColumn("gr_symbol_ratio", symbolRatio)
+      .withColumn("gr_bullet_ratio", bulletRatio)
+      .withColumn("gr_ellipsis_ratio", ellipsisRatio)
+      .withColumn("gr_alpha_ratio", alphaRatio)
+      .withColumn("gr_stop_hits", stopHits)
+      .withColumn("gr_keep", keep)
+    // ---- rendered face (Spark SQL dialect; thresholds as CAST('…' AS
+    // DOUBLE) so the text face can never reparse a double as DECIMAL)
+    val tc = Naming.quoteId(textCol)
+    def d(v: Double) = s"CAST('$v' AS DOUBLE)"
+    val wcS = s"CASE WHEN length(trim($tc)) = 0 THEN 0L ELSE CAST(size(${tokensSql(tc)}) AS BIGINT) END"
+    def overWordsS(num: String) =
+      s"CASE WHEN $wcS > 0 THEN CAST($num AS DOUBLE) / $wcS END"
+    val meanLenS = overWordsS(s"length(regexp_replace($tc, '\\\\s+', ''))")
+    def occS(pat: String, w: Int) =
+      s"CAST((length($tc) - length(regexp_replace($tc, '$pat', ''))) / $w AS BIGINT)"
+    val symS = s"${occS("#", 1)} + ${occS("…", 1)} + ${occS("\\\\.\\\\.\\\\.", 3)}"
+    val nLinesS = s"(1 + CAST(length($tc) - length(regexp_replace($tc, '\\\\n', '')) AS BIGINT))"
+    val bulletS = s"CAST(size(regexp_extract_all($tc, '(?m)^[ \\\\t]*[-*•]', 0)) AS DOUBLE) / $nLinesS"
+    val ellS = s"CAST(size(regexp_extract_all($tc, '(?m)(\\\\.\\\\.\\\\.|…)\\$$', 0)) AS DOUBLE) / $nLinesS"
+    val alphaS = overWordsS(s"size(filter(${tokensSql(tc)}, w -> w RLIKE '[a-z]'))")
+    val paddedS = s"concat(' ', regexp_replace(lower($tc), '\\\\s+', ' '), ' ')"
+    val stopS = GopherStops.map(w =>
+      s"(CASE WHEN contains($paddedS, ' $w ') THEN 1L ELSE 0L END)").mkString(" + ")
+    val keepS = s"COALESCE($wcS BETWEEN $minWords AND $maxWords AND " +
+      s"$meanLenS BETWEEN ${d(minMeanWordLen)} AND ${d(maxMeanWordLen)} AND " +
+      s"${overWordsS(symS)} <= ${d(maxSymbolRatio)} AND " +
+      s"$bulletS <= ${d(maxBulletRatio)} AND $ellS <= ${d(maxEllipsisRatio)} AND " +
+      s"$alphaS >= ${d(minAlphaRatio)} AND $stopS >= $minStopHits, FALSE)"
+    c.next("gopher_rules", df2, Some(
+      s"SELECT *, $wcS AS gr_word_count, $meanLenS AS gr_mean_word_len, " +
+        s"${overWordsS(symS)} AS gr_symbol_ratio, $bulletS AS gr_bullet_ratio, " +
+        s"$ellS AS gr_ellipsis_ratio, $alphaS AS gr_alpha_ratio, " +
+        s"CAST($stopS AS BIGINT) AS gr_stop_hits, $keepS AS gr_keep FROM {{source}}"))
+  }
+
   /** char_gram_coverage(id_col, text_col, n, vocab_size): in-vocabulary
     * char-n-gram fraction per document → `<col>_cov_<n>` — the
     * exactly-reproducible form of LM-perplexity quality filtering: build

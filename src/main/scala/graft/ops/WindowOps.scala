@@ -202,6 +202,57 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         s"AS ${Naming.ttSplit} FROM {{source}}"))
   }
 
+  /** sessionize(partition, ts_col, gap_seconds, tiebreak): gap-based
+    * session ids — the batch face of the streaming session window
+    * (graft.streaming.EventStreams sessionized sink): a new session starts
+    * when the time since the previous event in the same partition exceeds
+    * `gapSeconds` (strictly greater — an exactly-gap-spaced event
+    * continues its session); ids are per-partition ordinals from 1 in
+    * `session_id`. Beyond reference parity (the reference has no event
+    * semantics); standard sessionization shape.
+    *
+    * Scale: ONE shuffle on the partition keys + an in-partition sort — the
+    * boundary flag is a LAG, the ordinal a running SUM over the same
+    * window spec, so Catalyst plans a single exchange and one sort feeding
+    * two Window passes. No self-join, no iteration: at 100 TB this costs
+    * what any per-key window costs. The gap test compares timestamps
+    * directly (`ts > prev + INTERVAL gap SECOND`) — sub-second precision
+    * is preserved, no epoch truncation. Null timestamps sort first (Spark
+    * ASC default; the SQL face pins NULLS FIRST) and compare null against
+    * the gap, so they continue the current session rather than starting
+    * one; pass a non-null ts for meaningful sessions. Ties on (ts ++
+    * tiebreak) cannot change any row's session_id (tied rows share a
+    * boundary decision), but supply a unique tiebreak for fully
+    * deterministic intra-session ordering downstream.
+    */
+  def sessionize(
+      partition: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      tiebreak: Seq[String] = Nil): Chain = {
+    require(partition.nonEmpty, "sessionize needs at least one partition key")
+    require(gapSeconds > 0, s"sessionize gap must be positive, got $gapSeconds")
+    val orderCols = tsCol +: tiebreak
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val gapI = expr(s"INTERVAL $gapSeconds SECOND")
+    val flag = "_graft_new_session"
+    val df2 = c.df
+      .withColumn(flag, when(prev.isNull || col(tsCol) > prev + gapI, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col(flag)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop(flag)
+    val over = s"PARTITION BY ${partition.mkString(", ")} ORDER BY " +
+      orderCols.map(_ + " ASC NULLS FIRST").mkString(", ")
+    val caseSql = s"CASE WHEN LAG($tsCol) OVER ($over) IS NULL OR " +
+      s"$tsCol > LAG($tsCol) OVER ($over) + INTERVAL $gapSeconds SECOND THEN 1 ELSE 0 END"
+    val orig = c.df.columns.mkString(", ")
+    c.next("sessionize", df2, Some(
+      s"SELECT $orig, SUM($flag) OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        s"CURRENT ROW) AS session_id FROM (SELECT *, $caseSql AS $flag FROM {{source}})"))
+  }
+
   private def frameBound(n: Long): String =
     if (n == Long.MinValue) "UNBOUNDED PRECEDING"
     else if (n == Long.MaxValue) "UNBOUNDED FOLLOWING"

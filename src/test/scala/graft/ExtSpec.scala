@@ -47,6 +47,38 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("gopherRules: per-rule signals, boolean gate, SQL face agrees") {
+    import spark.implicits._
+    val good = ("the data " * 30).trim + " have patterns with rows of tables and that be to"
+    val docs = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "too short to have the words"),          // fails min word count
+      (3L, ("x " * 60).trim),                       // mean word len 1 < 3, no stopwords
+      (4L, ("- the item\n" * 60).trim),             // 100% bullet lines > 0.9
+      (5L, (("the story continues..." + "\n") * 60).trim), // ellipsis lines > 0.3
+      (6L, ("### " * 60).trim + "the of and"),      // symbol ratio > 0.1
+      (7L, ""),                                     // blank: 0 words, keep false
+      (8L, null.asInstanceOf[String])               // null: keep FALSE, not null
+    ).toDF("doc_id", "text")
+    // thresholds relaxed only where the fixture intends a pass elsewhere
+    val c = Chain(spark, "gop_fx", docs).gopherRules("text", minWords = 20)
+    val rows8 = c.df.orderBy("doc_id").collect()
+    def keep(i: Int) = rows8(i).getAs[Boolean]("gr_keep")
+    assert(keep(0), s"doc 1 must pass: ${rows8(0)}")
+    assert((1 to 7).forall(i => !keep(i)),
+      s"docs 2-8 must each fail their rule: ${rows8.map(_.getAs[Boolean]("gr_keep")).mkString(",")}")
+    // the per-rule signals identify WHICH rule failed
+    assert(rows8(2).getAs[Double]("gr_mean_word_len") == 1.0)
+    assert(rows8(3).getAs[Double]("gr_bullet_ratio") == 1.0)
+    assert(rows8(4).getAs[Double]("gr_ellipsis_ratio") == 1.0)
+    assert(rows8(5).getAs[Double]("gr_symbol_ratio") > 0.1)
+    assert(rows8(6).getAs[Long]("gr_word_count") == 0L)
+    assert(!rows8(7).isNullAt(rows8(7).fieldIndex("gr_keep")), "null text must gate FALSE, not null")
+    // rendered SQL face computes the identical signals
+    docs.createOrReplaceTempView("gop_fx")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = (0 until 40).map(i =>
@@ -69,6 +101,25 @@ class ExtSpec extends AnyFunSuite {
       .df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got((1L, 2L)) == 1.0)
     assert(got((1L, 3L)) == (1.0 / 7.0)) // shares "a b" of 4+4 distinct bigrams
+  }
+
+  test("centroidByGroup: exact per-dim means, NaN/null vectors excluded whole, SQL face agrees") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)),
+      ("a", Seq(3.0f, 6.0f)),
+      ("a", Seq(Float.NaN, 1.0f)),          // NaN anywhere → excluded WHOLE
+      ("a", null.asInstanceOf[Seq[Float]]), // null vector → excluded
+      ("b", Seq(0.0f, 0.0f)),               // zero vector is a valid contributor
+      ("b", Seq(4.0f, -2.0f))
+    ).toDF("g", "vec")
+    val c = Chain(spark, "cent_fx", df).centroidByGroup(Seq("g"), "vec")
+    val got = c.df.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got == Map("a" -> List(2.0, 4.0), "b" -> List(2.0, -1.0)), s"got $got")
+    // rendered SQL face computes the identical centroids
+    df.createOrReplaceTempView("cent_fx")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
   }
 
   test("cosine top-k ranks by exact cosine with id tiebreak") {

@@ -58,6 +58,41 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("sessionize: strict-gap boundaries, per-key ordinals, SQL face agrees") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: two events 10 min apart, one EXACTLY gap later (continues —
+      // boundary is strictly greater), one gap+1s later (new session)
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:10:00")),
+      (3L, 10L, ts("2024-01-01 01:10:00")), // 3600s after #2: same session
+      (4L, 10L, ts("2024-01-01 02:10:01")), // 3601s after #3: new session
+      // user 2: a single event is session 1
+      (5L, 20L, ts("2024-01-05 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val c = graft.core.Chain(spark, "sess_fx", df)
+      .sessionize(Seq("user_id"), "ts", 3600L, Seq("event_id"))
+    val got = c.df.select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L), s"got $got")
+    // rendered SQL face computes the identical sessions
+    df.createOrReplaceTempView("sess_fx")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // one exchange: both window passes share the user_id partitioning
+    // (post-execution AQE toString prints initial AND final plans — count
+    // nodes on initialPlan instead)
+    val plan = c.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(exchanges == 1, s"sessionize must cost exactly one shuffle, saw $exchanges")
+  }
+
   test("pivot/unpivot round-trip") {
     val pivoted = table("lineitem").pivot(
       Seq("l_linestatus"), "l_returnflag", "l_quantity", "SUM", Seq("A", "N", "R"))
