@@ -264,6 +264,9 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) =>
       t(s, d, "lineitem").winsorize("l_extendedprice",
         Seq("l_returnflag"), pLow = 0.05, pHigh = 0.95).df),
+    // median/IQR scaling — nearest-rank order stats, engine-exact
+    "q_robust_scaler" -> ((s, d) =>
+      t(s, d, "lineitem").robustScaler("l_extendedprice", Seq("l_returnflag")).df),
     // the robust (median/MAD, Iglewicz–Hoaglin modified z) variant — the
     // 50%-breakdown gate classic z-scores lack
     "q_flag_outliers_robust" -> ((s, d) =>
@@ -760,6 +763,10 @@ object SparkEntry {
       // C4-style boilerplate stripping on a planted multi-line fixture
       // (the synthetic documents are single-line); exact deterministic
       // output → pinned oracle
+      // crawl-style URL canonicalization over the planted rule fixture;
+      // the oracle recomputes the chain in DuckDB (RE2) over the same rows
+      "q_canonicalize_urls" -> ((s, d) =>
+        Chain(s, "url_fixtures", urlFixtureDf(s)).canonicalizeUrls("url").df),
       "q_strip_boilerplate" -> ((s, d) =>
         Chain(s, "boiler_fixtures", boilerFixtureDf(s))
           .stripBoilerplate("doc_id", "text", Seq("source"))
@@ -1003,6 +1010,32 @@ object SparkEntry {
     s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
   }
 
+  /** URL fixtures for q_canonicalize_urls: one row per canonicalization
+    * rule (case, default ports, fragments, tracking params first/middle/
+    * all, relative links, non-URL prose, null) — the oracle recomputes
+    * the same regexp chain in DuckDB over these VALUES, so Java-vs-RE2
+    * regex semantics are cross-checked, not assumed.
+    */
+  private[graft] def urlFixtureDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (1L, "HTTP://Example.COM:80/Path/Page?a=1&utm_source=feed#frag"),
+      (2L, "https://Shop.Example.com:443/"),
+      (3L, "https://example.com:8443/x"),
+      (4L, "http://example.com/?utm_campaign=x&utm_medium=y"),
+      (5L, "http://example.com/a?fbclid=abc&id=9"),
+      (6L, "  http://example.com/a  "),
+      (7L, "/relative/path?gclid=z#top"),
+      (8L, "not a url"),
+      (9L, null),
+      (10L, "FTP://Files.Example.com/MixedCasePath")
+    ).map { case (id, u) => org.apache.spark.sql.Row(id, u) }
+    val schema = StructType(Seq(
+      StructField("url_id", LongType, nullable = false),
+      StructField("url", StringType, nullable = true)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
+  }
+
   private[graft] def embFixtureDf(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val rows = embFixtures.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
@@ -1140,6 +1173,17 @@ object SparkEntry {
       "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
     "q_standard_scaler" ->
       s"SELECT * EXCLUDE (mu, sd), (CAST(l_extendedprice AS DOUBLE) - mu) / sd AS l_extendedprice_scaled FROM lineitem, (SELECT ${davg("l_extendedprice")} AS mu, SQRT((${dsum8("l_extendedprice * l_extendedprice")} - ${dsum("l_extendedprice")} * ${dsum("l_extendedprice")} / CAST(COUNT(l_extendedprice) AS DOUBLE)) / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS sd FROM lineitem) s",
+    "q_robust_scaler" -> {
+      val xS = "CAST(l_extendedprice AS DOUBLE)"
+      val wp = "PARTITION BY l_returnflag"
+      def pick(p: String) =
+        s"MAX(CASE WHEN _r_rn = FLOOR(CAST('$p' AS DOUBLE) * (_r_n - 1)) + 1 AND $xS IS NOT NULL THEN $xS END) OVER ($wp)"
+      s"SELECT * EXCLUDE (_r_rn, _r_n, _r_q1, _r_med, _r_q3), " +
+        s"CASE WHEN $xS IS NULL THEN NULL ELSE ($xS - _r_med) / (CASE WHEN (_r_q3 - _r_q1) = 0 THEN 1.0 ELSE (_r_q3 - _r_q1) END) END AS l_extendedprice_rscaled FROM (" +
+        s"SELECT *, ${pick("0.25")} AS _r_q1, ${pick("0.5")} AS _r_med, ${pick("0.75")} AS _r_q3 FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xS ASC NULLS LAST) AS _r_rn, " +
+        s"COUNT($xS) OVER ($wp) AS _r_n FROM lineitem))"
+    },
     "q_winsorize" -> {
       val xS = "CAST(l_extendedprice AS DOUBLE)"
       val wp = "PARTITION BY l_returnflag"
@@ -1648,6 +1692,34 @@ object SparkEntry {
       "q_dedup_simhash" ->
         ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS INTEGER)), " +
           "(3, 4, 6), (5, 6, 0)) AS t(id_a, id_b, hamming)"),
+      "q_canonicalize_urls" -> {
+        val pref = raw"regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')"
+        val low = s"concat(lower($pref), substring(trim(url), length($pref) + 1))"
+        val chain = Seq(
+          raw"#.*" -> "",
+          raw"^(http://[^/?#:]*):80([/?#].*)?$$" -> raw"\1\2",
+          raw"^(https://[^/?#:]*):443([/?#].*)?$$" -> raw"\1\2",
+          raw"&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*" -> "",
+          raw"\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?" -> "?",
+          raw"\?$$" -> ""
+        ).foldLeft(low) { case (acc, (p, r)) =>
+          s"regexp_replace($acc, '$p', '$r', 'g')"
+        }
+        // DuckDB concat treats NULL args as '' (Spark null-propagates):
+        // gate the whole chain on a null url explicitly
+        "SELECT url_id, url, CASE WHEN url IS NULL THEN NULL ELSE " + chain +
+          " END AS url_canon FROM (VALUES " +
+          "(CAST(1 AS BIGINT), 'HTTP://Example.COM:80/Path/Page?a=1&utm_source=feed#frag'), " +
+          "(2, 'https://Shop.Example.com:443/'), " +
+          "(3, 'https://example.com:8443/x'), " +
+          "(4, 'http://example.com/?utm_campaign=x&utm_medium=y'), " +
+          "(5, 'http://example.com/a?fbclid=abc&id=9'), " +
+          "(6, '  http://example.com/a  '), " +
+          "(7, '/relative/path?gclid=z#top'), " +
+          "(8, 'not a url'), " +
+          "(9, NULL), " +
+          "(10, 'FTP://Files.Example.com/MixedCasePath')) AS t(url_id, url)"
+      },
       "q_strip_boilerplate" ->
         ("SELECT * FROM (VALUES " +
           "(CAST(1 AS BIGINT), 'breaking market rally today', CAST(2 AS BIGINT)), " +

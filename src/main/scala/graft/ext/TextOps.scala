@@ -871,6 +871,58 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * recall-tuned PII model can replace them, but the plumbing (ordered
     * rewrite chain, engine-portable SQL face) is what the engine owns.
     */
+  /** canonicalize_urls(url_col): crawl-pipeline URL canonicalization →
+    * `<col>_canon` — the normalization pass before canonical-URL dedup
+    * (`dedupExact` on the output column): the same page fetched as
+    * `HTTP://Example.com:80/a?utm_source=feed#frag` and
+    * `http://example.com/a` must collapse to one key. Steps, in order:
+    * trim; lowercase the scheme+authority prefix only (paths are
+    * case-sensitive per RFC 3986, the authority is not — userinfo is
+    * lowercased with it, documented); strip the `#fragment`; strip
+    * default ports (`:80` on http, `:443` on https — non-default ports
+    * survive); strip tracking query params (`utm_*`, `fbclid`, `gclid`)
+    * wherever they sit, fixing the separator and dropping a left-over
+    * bare `?`. Query-param ORDER is preserved, not sorted (sorting
+    * changes semantics on duplicate keys; document order is already
+    * deterministic). Non-URL text (no `scheme://` prefix) passes through
+    * with only trim/fragment/param rules applying — harmless on prose,
+    * exact on relative links. Null stays null.
+    *
+    * Pure per-row scalar regexp chain — codegen, no UDF, no shuffle; the
+    * patterns avoid lookarounds so Java (Spark) and RE2 (the DuckDB
+    * oracle) agree, and every face is driver-oracled on a planted fixture
+    * covering each rule.
+    */
+  def canonicalizeUrls(urlCol: String): Chain = {
+    val out = Naming.cleanse(s"${urlCol}_canon")
+    // (pattern, replacement) applied in order; $N refs are rewritten to
+    // \N for the DuckDB face by the oracle author — keep refs simple
+    val u0 = trim(col(urlCol))
+    val prefix = regexp_extract(u0, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix), u0.substr(length(prefix) + lit(1), length(u0)))
+    val steps: Seq[(String, String)] = Seq(
+      "#.*" -> "",                                               // fragment
+      "^(http://[^/?#:]*):80([/?#].*)?$" -> "$1$2",              // default port
+      "^(https://[^/?#:]*):443([/?#].*)?$" -> "$1$2",
+      "&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*" -> "",          // non-first tracking
+      "\\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?" -> "?",     // first tracking
+      "\\?$" -> ""                                               // left-over bare ?
+    )
+    val cleaned = steps.foldLeft(lowered) {
+      case (acc, (pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    val tc = Naming.quoteId(urlCol)
+    val prefS = s"regexp_extract(trim($tc), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)"
+    val lowS = s"concat(lower($prefS), substring(trim($tc), length($prefS) + 1))"
+    val sqlExpr = steps.foldLeft(lowS) {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '${pat.replace("\\", "\\\\")}', '$repl')"
+    }
+    c.next("canonicalize_urls",
+      c.df.withColumn(out, cleaned),
+      Some(s"SELECT *, $sqlExpr AS ${Naming.quoteId(out)} FROM {{source}}"))
+  }
+
   def scrubPii(textCol: String): Chain = {
     val out = Naming.cleanse(s"${textCol}_clean")
     val cleaned = TextOps.PiiPatterns.foldLeft(col(textCol)) {

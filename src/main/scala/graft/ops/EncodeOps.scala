@@ -302,6 +302,71 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         s"COUNT($xrS) OVER ($wp) AS _w_n FROM {{source}}))"))
   }
 
+  /** robust_scaler(column, group_by): (x − median) / IQR → `<col>_rscaled`
+    * — the outlier-resistant scaler (sklearn RobustScaler semantics):
+    * centering and spread come from order statistics with a 25% breakdown
+    * point, so a corrupted tail cannot drag the scale the way μ/σ in
+    * [[standardScaler]] can. Order statistics are lower nearest-rank
+    * (`rank = FLOOR(p·(n−1)) + 1` over the NaN-excluded ascending order) —
+    * the same explicit index arithmetic as [[winsorize]]: exact and
+    * engine-portable where interpolated quantile formulas differ. Zero
+    * IQR (≥ half the group tied) scales by 1 — the sklearn zero-scale
+    * convention — so constant groups center to 0 instead of dividing by
+    * zero. NaN never ranks and passes through row-wise; null stays null.
+    *
+    * Scale: one window pass per group (rank + three conditional MAX picks
+    * share the partitioning/sort — same shape as winsorize); for groups
+    * too large to buffer in a rank window, the KLL-sketch regime
+    * ([[winsorizeSketch]]) is the documented corpus-scale dial.
+    */
+  def robustScaler(column: String, groupBy: Seq[String] = Seq.empty): Chain = {
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val wOrd = wPart.orderBy(xr.asc_nulls_last)
+    val step1 = c.df
+      .withColumn("_r_rn", row_number().over(wOrd))
+      .withColumn("_r_n", count(xr).over(wPart))
+    def pick(p: Double) = max(when(
+      col("_r_rn") === floor(lit(p) * (col("_r_n") - 1)) + 1 && xr.isNotNull,
+      xr)).over(wPart)
+    val step2 = step1
+      .withColumn("_r_q1", pick(0.25))
+      .withColumn("_r_med", pick(0.5))
+      .withColumn("_r_q3", pick(0.75))
+    val outName = Naming.cleanse(s"${column}_rscaled")
+    val iqr = col("_r_q3") - col("_r_q1")
+    val df2 = step2
+      .withColumn(outName,
+        when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
+          .otherwise((x - col("_r_med")) /
+            when(iqr === 0.0, lit(1.0)).otherwise(iqr)))
+      .drop("_r_rn", "_r_n", "_r_q1", "_r_med", "_r_q3")
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST($cn AS DOUBLE)"
+    val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
+    val wp =
+      if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
+    // percentile index arithmetic through CAST('<p>' AS DOUBLE), same
+    // rationale as winsorize (bare decimals are exact DECIMAL elsewhere)
+    def pickS(p: String) =
+      s"MAX(CASE WHEN _r_rn = FLOOR(CAST('$p' AS DOUBLE) * (_r_n - 1)) + 1 " +
+        s"AND ($xrS) IS NOT NULL THEN $xrS END) OVER ($wp)"
+    val iqrS = "(_r_q3 - _r_q1)"
+    c.next("robust_scaler", df2, Some(
+      s"SELECT * EXCEPT (_r_rn, _r_n, _r_q1, _r_med, _r_q3), " +
+        s"CASE WHEN $xS IS NULL THEN NULL WHEN isnan($xS) THEN $xS " +
+        s"ELSE ($xS - _r_med) / (CASE WHEN $iqrS = 0 THEN 1.0 ELSE $iqrS END) " +
+        s"END AS $outName FROM (" +
+        s"SELECT *, ${pickS("0.25")} AS _r_q1, ${pickS("0.5")} AS _r_med, " +
+        s"${pickS("0.75")} AS _r_q3 FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER ($wp ORDER BY $xrS ASC NULLS LAST) AS _r_rn, " +
+        s"COUNT($xrS) OVER ($wp) AS _r_n FROM {{source}}))"))
+  }
+
   /** winsorize_sketch(column, group_by, p_low, p_high, k): the corpus-scale
     * face of [[winsorize]] — per-group KLL quantile sketches (mergeable,
     * map-side combined; the exact face's rank windows buffer whole groups)

@@ -360,6 +360,27 @@ class ExtSpec extends AnyFunSuite {
     assert(AudioHeaderDecoder.decode(Array.emptyByteArray).format == "unknown")
   }
 
+  test("canonicalizeUrls: case/port/fragment/tracking rules, null-safe, SQL face agrees") {
+    val df = SparkEntry.urlFixtureDf(spark)
+    val c = Chain(spark, "url_fixtures", df).canonicalizeUrls("url")
+    val got = c.df.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(2)).orNull).toMap
+    val want = Map(
+      1L -> "http://example.com/Path/Page?a=1",   // case+port+tracking+fragment
+      2L -> "https://shop.example.com/",           // https default port
+      3L -> "https://example.com:8443/x",          // non-default port survives
+      4L -> "http://example.com/",                 // all-tracking query drops the ?
+      5L -> "http://example.com/a?id=9",           // first-position tracking
+      6L -> "http://example.com/a",                // trim
+      7L -> "/relative/path",                      // relative link: fragment+gclid
+      8L -> "not a url",                           // prose unchanged
+      9L -> null,                                  // null propagates
+      10L -> "ftp://files.example.com/MixedCasePath") // path case preserved
+    assert(got == want, s"got $got")
+    df.createOrReplaceTempView("url_fixtures")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("scrubPii redacts each PII shape in order") {
     import spark.implicits._
     val docs = Seq(

@@ -353,6 +353,29 @@ class OpsSpec extends AnyFunSuite {
       s"median/MAD must come from the real values: $mz4")
   }
 
+  test("robustScaler: nearest-rank median/IQR, zero-IQR scales by 1, NaN passes through") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("a", Double.NaN),           // never ranks, passes through as NaN
+      ("b", 7.0), ("b", 7.0), ("b", 7.0) // constant group: IQR 0 -> scale 1
+    ).toDF("g", "x")
+    val c = graft.core.Chain(spark, "rs_fx", df).robustScaler("x", Seq("g"))
+    val got = c.df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // group a (NaN excluded): n=5, ranks q1=2, med=3, q3=4 -> q1=2, med=3,
+    // q3=4, IQR=2; x=5 scales to 1.0
+    val aScaled = got.filter(t => t._1 == "a" && !t._2.isNaN)
+      .map(t => t._2 -> t._3).toMap
+    assert(aScaled == Map(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0, 4.0 -> 0.5, 5.0 -> 1.0),
+      s"got $aScaled")
+    assert(got.filter(_._1 == "b").forall(_._3 == 0.0), "constant group centers to 0")
+    assert(got.exists(t => t._2.isNaN && t._3.isNaN), "NaN passes through row-wise")
+    // rendered SQL face computes the identical scaling
+    df.createOrReplaceTempView("rs_fx")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("impute median/mode fills are NaN-excluded like every other statistic") {
     import spark.implicits._
     import graft.core.Chain
