@@ -183,6 +183,13 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       Chain(s, "events", readEvents(s, d))
         .sessionize(Seq("user_id"), "ts", 43200L, Seq("event_id")).df),
+    // composed: sessionize → per-session summary (count/value/bounds) —
+    // the funnel-analysis shape, one extra exchange on the session key
+    "q_session_stats" -> ((s, d) =>
+      Chain(s, "events", readEvents(s, d))
+        .sessionize(Seq("user_id"), "ts", 43200L, Seq("event_id"))
+        .aggregate(Seq("user_id", "session_id"),
+          Seq("value" -> Seq("SUM", "COUNT"), "ts" -> Seq("MIN", "MAX"))).df),
 
     // time-series regularization: daily per-priority grid over Q1'95 with
     // order totals forward-filled across gap days
@@ -1112,6 +1119,8 @@ object SparkEntry {
       "SELECT * EXCLUDE (_rn, _cnt), CASE WHEN _rn <= FLOOR(0.8 * _cnt) THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS _rn, COUNT(*) OVER () AS _cnt FROM orders)",
     "q_sessionize" ->
       "SELECT * EXCLUDE (_n), CAST(SUM(_n) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) + INTERVAL 43200 SECOND THEN 1 ELSE 0 END AS _n FROM events)",
+    "q_session_stats" ->
+      s"WITH sess AS (SELECT user_id, ts, value, CAST(SUM(_n) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) + INTERVAL 43200 SECOND THEN 1 ELSE 0 END AS _n FROM events)) SELECT user_id, session_id, ${dsum("value")} AS value_sum, COUNT(value) AS value_count, MIN(ts) AS ts_min, MAX(ts) AS ts_max FROM sess GROUP BY user_id, session_id",
     "q_datetrunc" ->
       "SELECT *, CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS o_orderdate_week, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month FROM orders",
     "q_datepart" ->

@@ -120,6 +120,21 @@ class ExtSpec extends AnyFunSuite {
     // rendered SQL face computes the identical centroids
     df.createOrReplaceTempView("cent_fx")
     assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // scale claim (SCALING.md): the posexplode fan-out partial-aggregates
+    // MAP-SIDE, so the bottom exchange carries <= groups x dims rows per
+    // task, never the exploded corpus — pin a partial HashAggregate below
+    // the bottom-most exchange on the pre-execution plan
+    val plan = c.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 2, s"per-dim agg + reassembly agg, saw ${exchanges.size}:\n$plan")
+    assert(exchanges.last.child.collectFirst {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }.nonEmpty, s"no map-side partial aggregate below the explode exchange:\n$plan")
   }
 
   test("cosine top-k ranks by exact cosine with id tiebreak") {
@@ -358,6 +373,26 @@ class ExtSpec extends AnyFunSuite {
     // non-audio blobs degrade, never throw
     assert(AudioHeaderDecoder.decode("not audio".getBytes).format == "unknown")
     assert(AudioHeaderDecoder.decode(Array.emptyByteArray).format == "unknown")
+  }
+
+  test("round-9 ops complete on empty input with the contract schema") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val emptyEvents = Seq.empty[(Long, Long, Timestamp)].toDF("event_id", "user_id", "ts")
+    val s1 = Chain(spark, "e1", emptyEvents).sessionize(Seq("user_id"), "ts", 60L)
+    assert(s1.df.columns.contains("session_id") && s1.df.count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val s2 = Chain(spark, "e2", emptyDocs).gopherRules("text")
+    assert(s2.df.columns.contains("gr_keep") && s2.df.count() == 0)
+    val s3 = Chain(spark, "e3", emptyDocs.withColumnRenamed("text", "url"))
+      .canonicalizeUrls("url")
+    assert(s3.df.columns.contains("url_canon") && s3.df.count() == 0)
+    val emptyNums = Seq.empty[(String, Double)].toDF("g", "x")
+    val s4 = Chain(spark, "e4", emptyNums).robustScaler("x", Seq("g"))
+    assert(s4.df.columns.contains("x_rscaled") && s4.df.count() == 0)
+    val emptyVecs = Seq.empty[(String, Seq[Float])].toDF("g", "vec")
+    val s5 = Chain(spark, "e5", emptyVecs).centroidByGroup(Seq("g"), "vec")
+    assert(s5.df.columns.sameElements(Array("g", "centroid")) && s5.df.count() == 0)
   }
 
   test("canonicalizeUrls: case/port/fragment/tracking rules, null-safe, SQL face agrees") {

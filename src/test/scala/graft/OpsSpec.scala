@@ -374,6 +374,15 @@ class OpsSpec extends AnyFunSuite {
     // rendered SQL face computes the identical scaling
     df.createOrReplaceTempView("rs_fx")
     assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // one exchange: rank and the three rank-picks share the group partitioning
+    val plan = c.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(exchanges == 1, s"robustScaler must cost exactly one shuffle, saw $exchanges")
   }
 
   test("impute median/mode fills are NaN-excluded like every other statistic") {
