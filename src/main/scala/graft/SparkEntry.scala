@@ -179,6 +179,10 @@ object SparkEntry {
         "o_orderdate", Seq(7), "day", Seq("o_custkey")).df),
     "q_train_test_split" -> ((s, d) =>
       t(s, d, "orders").trainTestSplit(Seq("o_orderkey" -> "ASC"), 0.8).df),
+    // per-stratum 80/20: every priority class keeps its proportion
+    "q_tt_split_stratified" -> ((s, d) =>
+      t(s, d, "orders").trainTestSplitStratified(
+        Seq("o_orderpriority"), Seq("o_orderkey" -> "ASC"), 0.8).df),
     // batch sessionization: per-user 12h-gap session ordinals over events
     "q_sessionize" -> ((s, d) =>
       Chain(s, "events", readEvents(s, d))
@@ -1117,6 +1121,8 @@ object SparkEntry {
       s"SELECT *, ${dsumOver("o_totalprice", "w")} AS sum_o_totalprice_7day FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)",
     "q_train_test_split" ->
       "SELECT * EXCLUDE (_rn, _cnt), CASE WHEN _rn <= FLOOR(0.8 * _cnt) THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) AS _rn, COUNT(*) OVER () AS _cnt FROM orders)",
+    "q_tt_split_stratified" ->
+      "SELECT * EXCLUDE (_s_rn, _s_cnt), CASE WHEN _s_rn <= FLOOR(CAST('0.8' AS DOUBLE) * _s_cnt) THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC) AS _s_rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS _s_cnt FROM orders)",
     "q_sessionize" ->
       "SELECT * EXCLUDE (_n), CAST(SUM(_n) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) + INTERVAL 43200 SECOND THEN 1 ELSE 0 END AS _n FROM events)",
     "q_session_stats" ->

@@ -62,6 +62,17 @@ object Exact {
     sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
   }
 
+  /** Sample variance from the same gated exact sums — [[stddev]] without
+    * the square root; identical NaN/overflow exclusion contract.
+    */
+  def variance(c: Column): Column = {
+    val xx = (c * c).cast(DecimalType(38, 8))
+    val n = count(xx).cast("double")
+    val sx = functions_sum(when(xx.isNotNull, c).cast(Wide)).cast("double")
+    val sxx = functions_sum(xx).cast("double")
+    (sxx - sx * sx / n) / (n - lit(1.0))
+  }
+
   /** Exact, order-independent dot product of two numeric array columns.
     *
     * Per-element products are rounded to 1e-12 fixed-point longs (ties away

@@ -21,6 +21,8 @@ private[graft] object AggFns {
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => (countDistinct(c), "COUNT_DISTINCT")
       case "STDDEV" | "STD" | "STDDEV_SAMP" =>
         (if (floating) Exact.stddev(c) else stddev(c), "STDDEV")
+      case "VAR" | "VARIANCE" | "VAR_SAMP" =>
+        (if (floating) Exact.variance(c) else var_samp(c), "VAR")
       // NaN never ranks (it sorts greatest and would drag the median
       // toward the corrupt end) — the engine-wide NaN exclusion posture
       case "MEDIAN" =>
@@ -67,6 +69,15 @@ private[graft] object AggFns {
         val n = s"CAST(COUNT($xxC) AS DOUBLE)"
         s"SQRT(($sxx - $sx * $sx / $n) / ($n - 1.0))"
       case "STDDEV" | "STD" | "STDDEV_SAMP" => s"STDDEV($colName)"
+      case "VAR" | "VARIANCE" | "VAR_SAMP" if floating =>
+        // the STDDEV spelled-out form minus the SQRT — same gates
+        val xxC = s"CAST($colName * $colName AS DECIMAL(38,8))"
+        val sx = s"CAST(SUM(CASE WHEN $xxC IS NOT NULL THEN " +
+          s"CAST($colName AS DECIMAL(38,${Exact.Scale})) END) AS DOUBLE)"
+        val sxx = s"CAST(SUM($xxC) AS DOUBLE)"
+        val n = s"CAST(COUNT($xxC) AS DOUBLE)"
+        s"(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+      case "VAR" | "VARIANCE" | "VAR_SAMP" => s"VAR_SAMP($colName)"
       case "COUNT_DISTINCT" | "COUNTDISTINCT" => s"COUNT(DISTINCT $colName)"
       case "MEDIAN" if floating =>
         s"MEDIAN(CASE WHEN NOT isnan(CAST($colName AS DOUBLE)) THEN $colName END)"

@@ -202,6 +202,51 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         s"AS ${Naming.ttSplit} FROM {{source}}"))
   }
 
+  /** train_test_split_stratified(strata, order_by, train_percent): the
+    * per-stratum form of [[trainTestSplit]] — each stratum (language,
+    * source, label) contributes `trainPercent` of ITS OWN rows to TRAIN,
+    * so imbalanced strata keep their proportions in both halves (the
+    * sklearn `stratify=` semantics; the global split can starve a rare
+    * class out of TEST entirely). Same cut convention as the global op:
+    * ordered rank ≤ FLOOR(p·n_stratum) → TRAIN.
+    *
+    * Scale: where the global split needs a range-partitioned global sort,
+    * the stratified form is ONE hash exchange on the strata keys + an
+    * in-partition sort — cheaper, and the natural fit when a per-class
+    * proportion is what you actually want. Renders to SQL (two windows
+    * over one partitioning).
+    */
+  def trainTestSplitStratified(
+      strata: Seq[String],
+      orderBy: Seq[(String, String)],
+      trainPercent: Double): Chain = {
+    require(strata.nonEmpty, "stratified split needs at least one stratum key")
+    require(trainPercent >= 0.0 && trainPercent <= 1.0,
+      s"trainPercent must be in [0, 1], got $trainPercent")
+    val wPart = Window.partitionBy(strata.map(col): _*)
+    val wOrd = wPart.orderBy(orderBy.map { case (n, d) =>
+      if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+    }: _*)
+    val df2 = c.df
+      .withColumn("_s_rn", row_number().over(wOrd))
+      .withColumn("_s_cnt", count(lit(1)).over(wPart))
+      .withColumn(Naming.ttSplit,
+        when(col("_s_rn") <= floor(lit(trainPercent) * col("_s_cnt")), "TRAIN")
+          .otherwise("TEST"))
+      .drop("_s_rn", "_s_cnt")
+    val orderSql = orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+    val partSql = strata.mkString(", ")
+    val orig = c.df.columns.mkString(", ")
+    // p through CAST('<p>' AS DOUBLE): a bare decimal literal is exact
+    // DECIMAL in ANSI engines and FLOOR(p·n) could land one rank off the
+    // DataFrame face's IEEE-double product (the winsorize rationale)
+    c.next("train_test_split_stratified", df2, Some(
+      s"SELECT $orig, CASE WHEN _s_rn <= FLOOR(CAST('$trainPercent' AS DOUBLE) * _s_cnt) " +
+        s"THEN 'TRAIN' ELSE 'TEST' END AS ${Naming.ttSplit} FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER (PARTITION BY $partSql ORDER BY $orderSql) AS _s_rn, " +
+        s"COUNT(*) OVER (PARTITION BY $partSql) AS _s_cnt FROM {{source}})"))
+  }
+
   /** sessionize(partition, ts_col, gap_seconds, tiebreak): gap-based
     * session ids — the batch face of the streaming session window
     * (graft.streaming.EventStreams sessionized sink): a new session starts

@@ -117,6 +117,22 @@ class OpsSpec extends AnyFunSuite {
     assert(maxTrainKey < minTestKey)
   }
 
+  test("stratified split keeps every stratum's proportion; SQL face agrees") {
+    import spark.implicits._
+    // global 80/20 on 12 rows takes 9 TRAIN and can starve the rare class;
+    // stratified takes floor(0.8·10)=8 from a and floor(0.8·2)=1 from b
+    val df = ((1 to 10).map(i => ("a", i)) ++ Seq(("b", 11), ("b", 12)))
+      .toDF("g", "id")
+    val c = graft.core.Chain(spark, "tts_fx", df)
+      .trainTestSplitStratified(Seq("g"), Seq("id" -> "ASC"), 0.8)
+    val byStratum = c.df.groupBy("g", "tt_split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byStratum == Map(("a", "TRAIN") -> 8L, ("a", "TEST") -> 2L,
+      ("b", "TRAIN") -> 1L, ("b", "TEST") -> 1L), s"got $byStratum")
+    df.createOrReplaceTempView("tts_fx")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("one_hot_encode dummies partition the rows") {
     val c = table("customer").oneHotEncode("c_mktsegment")
     val dummyCols = c.df.columns.filter(_.startsWith("c_mktsegment_"))
@@ -292,21 +308,23 @@ class OpsSpec extends AnyFunSuite {
     // low (30/3 = 10 instead of 30/2 = 15); both faces must agree
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", Double.NaN)).toDF("g", "x")
     val agg = Chain(spark, "nanavg", df)
-      .aggregate(Seq("g"), Seq("x" -> Seq("AVG", "STDDEV", "MEDIAN")))
+      .aggregate(Seq("g"), Seq("x" -> Seq("AVG", "STDDEV", "MEDIAN", "VARIANCE")))
     val r = agg.df.collect()(0)
     val mean = r.getAs[Double]("x_avg")
     val sd = r.getAs[Double]("x_stddev")
     val med = r.getAs[Double]("x_median")
+    val vr = r.getAs[Double]("x_var")
     assert(mean == 15.0, s"NaN must not inflate the count: got mean $mean")
     assert(math.abs(sd - math.sqrt(50.0)) < 1e-12, s"stddev over the real pair: got $sd")
     // median: NaN sorts greatest — unguarded it ranks and drags the
     // median to 20; excluded, the median of {10, 20} interpolates to 15
     assert(med == 15.0, s"NaN must never rank in MEDIAN: got $med")
+    assert(vr == 50.0, s"variance shares the stddev gates: got $vr")
     // the rendered SQL face computes the identical statistics
     df.createOrReplaceTempView("nanavg")
     val rs = spark.sql(agg.sql()).collect()(0)
     assert(rs.getAs[Double]("x_avg") == mean && rs.getAs[Double]("x_stddev") == sd &&
-      rs.getAs[Double]("x_median") == med)
+      rs.getAs[Double]("x_median") == med && rs.getAs[Double]("x_var") == vr)
     // linear regression excludes the NaN row from the fit entirely (an
     // inconsistent count would bias the slope denominator)
     val lr = Chain(spark, "nlr",

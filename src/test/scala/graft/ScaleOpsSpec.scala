@@ -712,11 +712,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     // 8 files x 2 dims: the Morton curve should hold each file to ~sqrt(1/8)
     // of each column's range; the scrambled layout spans ~everything. Both
     // clauses matter: absolute narrowness drives row-group skipping, the
-    // scrambled comparison pins causality on the layout.
+    // scrambled comparison pins causality on the layout. The absolute bound
+    // is 0.65, not sqrt(1/8): curve segments that cross a major Morton
+    // boundary legitimately span more than the ideal cell, and the file
+    // cuts come from RangePartitioner's SAMPLED boundaries, which jitter
+    // run to run (observed 0.58-0.61 on this fixture — a 0.6 bound flaked).
     Seq("l_orderkey", "l_extendedprice").foreach { c =>
       val zf = avgFileSpanFraction("li_zordered", c)
       val sf = avgFileSpanFraction("li_scrambled", c)
-      assert(zf < 0.6, f"z-ordered file span on $c is $zf%.2f of global, want < 0.6")
+      assert(zf < 0.65, f"z-ordered file span on $c is $zf%.2f of global, want < 0.65")
       assert(zf < sf * 0.7, f"z-order must beat the scrambled layout on $c: $zf%.2f vs $sf%.2f")
     }
   }
