@@ -147,6 +147,10 @@ object SparkEntry {
         Seq("c_nationkey"), ",", Seq("c_mktsegment"),
         distinct = true, ordered = true).df),
     "q_describe" -> ((s, d) => t(s, d, "part").describeTable().df),
+    // exact-decimal sample variance face under its own oracle
+    "q_agg_variance" -> ((s, d) =>
+      t(s, d, "lineitem").aggregate(Seq("l_returnflag"),
+        Seq("l_extendedprice" -> Seq("VARIANCE"))).df),
     "q_linear_regression" -> ((s, d) =>
       t(s, d, "lineitem").linearRegression(
         Seq("l_returnflag"), y = "l_extendedprice", x = "l_quantity").df),
@@ -1105,6 +1109,13 @@ object SparkEntry {
     "q_aggregate_string" ->
       "SELECT c_mktsegment, string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS c_nationkey_agg FROM customer GROUP BY c_mktsegment",
     "q_describe" -> describeOracle,
+    "q_agg_variance" -> {
+      val xx = "CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))"
+      val sx = s"CAST(SUM(CASE WHEN $xx IS NOT NULL THEN CAST(l_extendedprice AS DECIMAL(38,4)) END) AS DOUBLE)"
+      val sxx = s"CAST(SUM($xx) AS DOUBLE)"
+      val n = s"CAST(COUNT($xx) AS DOUBLE)"
+      s"SELECT l_returnflag, (($sxx - $sx * $sx / $n) / ($n - 1.0)) AS l_extendedprice_var FROM lineitem GROUP BY l_returnflag"
+    },
     "q_linear_regression" ->
       s"""SELECT l_returnflag, slope, (_sy - slope * _sx) / _nd AS intercept, _n AS n FROM (SELECT l_returnflag, (_nd * _sxy - _sx * _sy) / (_nd * _sxx - _sx * _sx) AS slope, _sx, _sy, _nd, _n FROM (SELECT l_returnflag, CAST(COUNT(x) AS DOUBLE) AS _nd, COUNT(x) AS _n, ${dsum8("x")} AS _sx, ${dsum8("y")} AS _sy, ${dsum8("x * y")} AS _sxy, ${dsum8("x * x")} AS _sxx FROM (SELECT l_returnflag, CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS DOUBLE) END AS x, CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice AS DOUBLE) END AS y FROM lineitem) GROUP BY l_returnflag))""",
     "q_market_basket" ->
