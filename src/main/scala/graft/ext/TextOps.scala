@@ -146,10 +146,15 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     *
     * All signals are integer counts + one division — bit-identical across
     * engines (the reason this renders and oracles where a learned filter
-    * could not). Thresholds are the published Gopher defaults; every one is
-    * a parameter. Scale: pure per-row scalar projection — no shuffle, no
-    * UDF; the regex/LIKE scans stay inside one codegen stage except the
-    * word-level lambda (`filter`), which is per-document, not per-pair.
+    * could not). Character counts are JVM `length` semantics (UTF-16 code
+    * units): an astral-plane char (emoji) counts 2 here where a
+    * codepoint-counting engine counts 1 — irrelevant to the rule
+    * decisions at their published thresholds, stated for oracle parity
+    * (the differential corpus is BMP). Thresholds are the published
+    * Gopher defaults; every one is a parameter. Scale: pure per-row
+    * scalar projection — no shuffle, no UDF; the regex/LIKE scans stay
+    * inside one codegen stage except the word-level lambda (`filter`),
+    * which is per-document, not per-pair.
     */
   def gopherRules(
       textCol: String,

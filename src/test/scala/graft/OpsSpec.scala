@@ -91,6 +91,20 @@ class OpsSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.size
     assert(exchanges == 1, s"sessionize must cost exactly one shuffle, saw $exchanges")
+    // the composed per-session aggregate reuses that same exchange:
+    // grouping keys (user_id, session_id) are a superset of the window
+    // partitioning, so the whole session_stats pipeline is ONE shuffle
+    val stats = c.aggregate(Seq("user_id", "session_id"),
+      Seq("event_id" -> Seq("COUNT")))
+    val statsPlan = stats.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val statsEx = statsPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(statsEx == 1,
+      s"sessionize+aggregate must share one shuffle, saw $statsEx")
   }
 
   test("pivot/unpivot round-trip") {

@@ -24,6 +24,30 @@ class ParamCoverageSpec extends AnyFunSuite {
     assert(c.df.agg(max("quartile")).collect()(0).getInt(0) == 1)
   }
 
+  test("robustScaler: global (ungrouped) form and both faces") {
+    import graft.ops._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(Tuple1(_)).toDF("x")
+    val c = Chain(spark, "rsg", df).robustScaler("x")
+    val got = c.df.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0, 4.0 -> 0.5, 5.0 -> 1.0),
+      s"got $got")
+    df.createOrReplaceTempView("rsg")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("centroidByGroup: multi-key groups and a custom output name") {
+    import graft.ext._
+    val df = Seq(
+      ("a", 1, Seq(2.0f)), ("a", 1, Seq(4.0f)), ("a", 2, Seq(10.0f)))
+      .toDF("s", "k", "vec")
+    val c = Chain(spark, "cmk", df).centroidByGroup(Seq("s", "k"), "vec", as = "mean_vec")
+    val got = c.df.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toList).toMap
+    assert(got == Map(("a", 1) -> List(3.0), ("a", 2) -> List(10.0)), s"got $got")
+    df.createOrReplaceTempView("cmk")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("cumulative_agg reverse direction") {
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
     val c = Chain(spark, "t", df).cumulativeAgg(
