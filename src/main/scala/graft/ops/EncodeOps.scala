@@ -430,6 +430,62 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         s"FROM {{source}} s $joinSql"))
   }
 
+  /** robust_scaler_sketch(column, group_by, k): the corpus-scale face of
+    * [[robustScaler]] — per-group KLL quantile sketches (mergeable,
+    * map-side combined; the exact face's rank windows buffer whole
+    * groups) give median and quartiles, joined back and applied in one
+    * codegen pass. Center/spread carry KLL's ±1.65% (k=200) normalized
+    * rank error — QuantGateSpec bounds how far the sketch statistics can
+    * sit from the exact ranks. Same output contract as the exact face:
+    * `<col>_rscaled`, zero IQR scales by 1, NaN never enters the sketch
+    * and passes through row-wise, null stays null (and an empty/all-NaN
+    * group nulls its rows' output).
+    */
+  def robustScalerSketch(column: String, groupBy: Seq[String] = Seq.empty,
+                         k: Int = 200): Chain = {
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val sk = graft.functions.KllSketches.sketchAgg(xr, k).as("_r_sk")
+    def q(p: Double) = graft.functions.KllSketches.quantile(col("_r_sk"), p)
+    val bounds = (
+      if (groupBy.isEmpty) c.df.agg(sk)
+      else c.df.groupBy(groupBy.map(col): _*).agg(sk))
+      .select((groupBy.map(col) :+ q(0.25).as("_r_q1") :+
+        q(0.5).as("_r_med") :+ q(0.75).as("_r_q3")): _*)
+    val joined =
+      if (groupBy.isEmpty) c.df.crossJoin(broadcast(bounds))
+      else c.df.join(bounds, groupBy, "left")
+    val outName = Naming.cleanse(s"${column}_rscaled")
+    val iqr = col("_r_q3") - col("_r_q1")
+    val df2 = joined
+      .withColumn(outName,
+        when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
+          .when(col("_r_med").isNull, lit(null).cast("double"))
+          .otherwise((x - col("_r_med")) /
+            when(iqr === 0.0, lit(1.0)).otherwise(iqr)))
+      .select((c.df.columns.toSeq.map(col) :+ col(outName)): _*)
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST(s.$cn AS DOUBLE)"
+    val xrAggS = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+    def qS(p: Double) = s"KLL_QUANTILE(KLL_SKETCH_AGG($xrAggS, $k), " +
+      s"${java.lang.Double.toString(p)}D)"
+    val boundsSel = (groupBy :+ s"${qS(0.25)} AS _r_q1" :+ s"${qS(0.5)} AS _r_med" :+
+      s"${qS(0.75)} AS _r_q3").mkString(", ")
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val joinSql =
+      if (groupBy.isEmpty) s"CROSS JOIN (SELECT $boundsSel FROM {{source}}) b"
+      else s"LEFT JOIN (SELECT $boundsSel FROM {{source}}$grpSql) b ON " +
+        groupBy.map(g => s"s.$g = b.$g").mkString(" AND ")
+    val iqrS = "(b._r_q3 - b._r_q1)"
+    c.next("robust_scaler_sketch", df2, Some(
+      s"SELECT s.*, CASE WHEN $xS IS NULL THEN CAST(NULL AS DOUBLE) " +
+        s"WHEN isnan($xS) THEN $xS " +
+        s"WHEN b._r_med IS NULL THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE ($xS - b._r_med) / (CASE WHEN $iqrS = 0 THEN 1.0 ELSE $iqrS END) " +
+        s"END AS $outName FROM {{source}} s $joinSql"))
+  }
+
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
                    z: Double = 3.0): Chain = {
     require(z > 0, s"z must be positive, got $z")

@@ -344,6 +344,38 @@ class QuantGateSpec extends AnyFunSuite {
     j.unpersist()
   }
 
+  test("robust scaler: sketch-face center/spread sit within KLL rank error of exact") {
+    import org.apache.spark.sql.functions._
+    def recover(df: org.apache.spark.sql.DataFrame, scaled: String): Map[String, (Double, Double)] = {
+      // two rows with distinct raw values solve (median, scale):
+      // s = (x - m)/q  =>  q = (x1 - x2)/(s1 - s2), m = x1 - s1*q
+      df.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"), col(scaled).as("s"))
+        .collect().groupBy(_.getString(0)).map { case (g, rs) =>
+          val Seq(a, b) = rs.sortBy(_.getDouble(1)).toSeq.distinctBy(_.getDouble(1)).take(2)
+          val q = (a.getDouble(1) - b.getDouble(1)) / (a.getDouble(2) - b.getDouble(2))
+          g -> (a.getDouble(1) - a.getDouble(2) * q, q)
+        }
+    }
+    val exact = recover(table("lineitem")
+      .robustScaler("l_extendedprice", Seq("l_returnflag")).df, "l_extendedprice_rscaled")
+    val sketch = recover(table("lineitem")
+      .robustScalerSketch("l_extendedprice", Seq("l_returnflag")).df, "l_extendedprice_rscaled")
+    val raw = table("lineitem").df
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+      .collect().groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    exact.keys.foreach { g =>
+      val (mS, qS) = sketch(g); val (_, qE) = exact(g)
+      val xs = raw(g)
+      // the sketch median's EXACT rank must sit inside the KLL band
+      val rank = xs.count(_ <= mS).toDouble / xs.length
+      assert(rank >= 0.43 && rank <= 0.57,
+        f"group $g: sketch median rank $rank%.3f outside the KLL band")
+      // spread: both quartiles within rank error -> IQR ratio stays near 1
+      assert(qS / qE > 0.7 && qS / qE < 1.4,
+        f"group $g: sketch IQR drifted: sketch $qS%.2f vs exact $qE%.2f")
+    }
+  }
+
   test("logistic regression: deterministic IRLS, beats the null model, AUC floor") {
     import org.apache.spark.sql.functions._
     val feat = table("documents").df

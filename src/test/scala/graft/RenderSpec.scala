@@ -169,6 +169,12 @@ class RenderSpec extends AnyFunSuite {
     assert(rows(spark.sql(grouped.sql())) == rows(grouped.df))
     val global = base.winsorizeSketch("o_totalprice", Nil, 0.1, 0.9, k = 200)
     assert(rows(spark.sql(global.sql())) == rows(global.df))
+    // same exact-regime round-trip for the sketch scaler's face
+    val rsg = base.robustScalerSketch("o_totalprice", Seq("o_orderpriority"))
+    assert(rsg.sql().contains("KLL_SKETCH_AGG"))
+    assert(rows(spark.sql(rsg.sql())) == rows(rsg.df))
+    val rsGlobal = base.robustScalerSketch("o_totalprice")
+    assert(rows(spark.sql(rsGlobal.sql())) == rows(rsGlobal.df))
   }
 
   test("multi-frame ext ops fail rendering with an error naming the op") {
