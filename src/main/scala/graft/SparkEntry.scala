@@ -782,6 +782,11 @@ object SparkEntry {
       // the oracle recomputes the chain in DuckDB (RE2) over the same rows
       "q_canonicalize_urls" -> ((s, d) =>
         Chain(s, "url_fixtures", urlFixtureDf(s)).canonicalizeUrls("url").df),
+      // composed crawl dedup: canonicalize -> keep lowest id per canonical
+      // key (the re-crawled page collapses; rows 6 and 11 collide)
+      "q_crawl_dedup" -> ((s, d) =>
+        Chain(s, "url_fixtures", urlFixtureDf(s)).canonicalizeUrls("url")
+          .dedupe(Seq("url_canon"), Seq("url_id" -> "ASC")).df),
       "q_strip_boilerplate" -> ((s, d) =>
         Chain(s, "boiler_fixtures", boilerFixtureDf(s))
           .stripBoilerplate("doc_id", "text", Seq("source"))
@@ -1043,7 +1048,9 @@ object SparkEntry {
       (7L, "/relative/path?gclid=z#top"),
       (8L, "not a url"),
       (9L, null),
-      (10L, "FTP://Files.Example.com/MixedCasePath")
+      (10L, "FTP://Files.Example.com/MixedCasePath"),
+      // canonicalizes identically to row 6 — the crawl-dedup collision
+      (11L, "http://example.com:80/a#dup")
     ).map { case (id, u) => org.apache.spark.sql.Row(id, u) }
     val schema = StructType(Seq(
       StructField("url_id", LongType, nullable = false),
@@ -1384,6 +1391,41 @@ object SparkEntry {
     * approximate families (LSH/IVF ANN, incremental minhash probe) stay
     * rows-only here and numerically gated in QuantGateSpec.
     */
+  /** The q_canonicalize_urls oracle: recomputes the canonicalization
+    * regexp chain in DuckDB (RE2) over the planted VALUES fixture —
+    * shared with q_crawl_dedup, which wraps it in the keep-lowest-id
+    * window.
+    */
+  private def urlCanonOracle: String = {
+    val pref = raw"regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')"
+    val low = s"concat(lower($pref), substring(trim(url), length($pref) + 1))"
+    val chain = Seq(
+      raw"#.*" -> "",
+      raw"^(http://[^/?#:]*):80([/?#].*)?$$" -> raw"\1\2",
+      raw"^(https://[^/?#:]*):443([/?#].*)?$$" -> raw"\1\2",
+      raw"&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*" -> "",
+      raw"\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?" -> "?",
+      raw"\?$$" -> ""
+    ).foldLeft(low) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    // DuckDB concat treats NULL args as '' (Spark null-propagates):
+    // gate the whole chain on a null url explicitly
+    "SELECT url_id, url, CASE WHEN url IS NULL THEN NULL ELSE " + chain +
+      " END AS url_canon FROM (VALUES " +
+      "(CAST(1 AS BIGINT), 'HTTP://Example.COM:80/Path/Page?a=1&utm_source=feed#frag'), " +
+      "(2, 'https://Shop.Example.com:443/'), " +
+      "(3, 'https://example.com:8443/x'), " +
+      "(4, 'http://example.com/?utm_campaign=x&utm_medium=y'), " +
+      "(5, 'http://example.com/a?fbclid=abc&id=9'), " +
+      "(6, '  http://example.com/a  '), " +
+      "(7, '/relative/path?gclid=z#top'), " +
+      "(8, 'not a url'), " +
+      "(9, NULL), " +
+      "(10, 'FTP://Files.Example.com/MixedCasePath'), " +
+      "(11, 'http://example.com:80/a#dup')) AS t(url_id, url)"
+  }
+
   private def extOracleSql: Map[String, String] = {
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
     val stop = "['the','a','an','and','of','to','in','is','it','that']"
@@ -1718,34 +1760,13 @@ object SparkEntry {
       "q_dedup_simhash" ->
         ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6 AS INTEGER)), " +
           "(3, 4, 6), (5, 6, 0)) AS t(id_a, id_b, hamming)"),
-      "q_canonicalize_urls" -> {
-        val pref = raw"regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')"
-        val low = s"concat(lower($pref), substring(trim(url), length($pref) + 1))"
-        val chain = Seq(
-          raw"#.*" -> "",
-          raw"^(http://[^/?#:]*):80([/?#].*)?$$" -> raw"\1\2",
-          raw"^(https://[^/?#:]*):443([/?#].*)?$$" -> raw"\1\2",
-          raw"&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*" -> "",
-          raw"\?(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?" -> "?",
-          raw"\?$$" -> ""
-        ).foldLeft(low) { case (acc, (p, r)) =>
-          s"regexp_replace($acc, '$p', '$r', 'g')"
-        }
-        // DuckDB concat treats NULL args as '' (Spark null-propagates):
-        // gate the whole chain on a null url explicitly
-        "SELECT url_id, url, CASE WHEN url IS NULL THEN NULL ELSE " + chain +
-          " END AS url_canon FROM (VALUES " +
-          "(CAST(1 AS BIGINT), 'HTTP://Example.COM:80/Path/Page?a=1&utm_source=feed#frag'), " +
-          "(2, 'https://Shop.Example.com:443/'), " +
-          "(3, 'https://example.com:8443/x'), " +
-          "(4, 'http://example.com/?utm_campaign=x&utm_medium=y'), " +
-          "(5, 'http://example.com/a?fbclid=abc&id=9'), " +
-          "(6, '  http://example.com/a  '), " +
-          "(7, '/relative/path?gclid=z#top'), " +
-          "(8, 'not a url'), " +
-          "(9, NULL), " +
-          "(10, 'FTP://Files.Example.com/MixedCasePath')) AS t(url_id, url)"
-      },
+      "q_canonicalize_urls" -> urlCanonOracle,
+      // crawl dedup end-to-end: canonicalize then keep the lowest id per
+      // canonical key (rows 6 and 11 collide; 6 survives)
+      "q_crawl_dedup" ->
+        (s"WITH c AS ($urlCanonOracle) SELECT url_id, url, url_canon FROM (" +
+          "SELECT *, ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY url_id ASC) AS _rn FROM c) " +
+          "WHERE _rn = 1"),
       "q_strip_boilerplate" ->
         ("SELECT * FROM (VALUES " +
           "(CAST(1 AS BIGINT), 'breaking market rally today', CAST(2 AS BIGINT)), " +

@@ -410,7 +410,8 @@ class ExtSpec extends AnyFunSuite {
       7L -> "/relative/path",                      // relative link: fragment+gclid
       8L -> "not a url",                           // prose unchanged
       9L -> null,                                  // null propagates
-      10L -> "ftp://files.example.com/MixedCasePath") // path case preserved
+      10L -> "ftp://files.example.com/MixedCasePath", // path case preserved
+      11L -> "http://example.com/a")                  // collides with 6 (crawl dedup)
     assert(got == want, s"got $got")
     df.createOrReplaceTempView("url_fixtures")
     assert(rows(spark.sql(c.sql())) == rows(c.df))
