@@ -172,6 +172,14 @@ object SparkEntry {
         Seq("l_quantity" -> Seq("SUM", "MIN")),
         Seq("l_shipdate" -> "ASC", "l_orderkey" -> "ASC", "l_linenumber" -> "ASC"),
         offsets = (-2, 0), groupBy = Seq("l_suppkey")).df),
+    // frame-edge values: FIRST/LAST over a rolling frame with a UNIQUE
+    // order chain (suppkey partition + shipdate/orderkey/linenumber/partkey)
+    "q_rolling_firstlast" -> ((s, d) =>
+      t(s, d, "lineitem").rollingAgg(
+        Seq("l_quantity" -> Seq("FIRST", "LAST")),
+        Seq("l_shipdate" -> "ASC", "l_orderkey" -> "ASC",
+          "l_linenumber" -> "ASC", "l_partkey" -> "ASC"),
+        offsets = (-2, 0), groupBy = Seq("l_suppkey")).df),
     "q_cumulative_agg" -> ((s, d) =>
       t(s, d, "orders").cumulativeAgg(
         Seq("o_totalprice" -> Seq("SUM", "MAX")),
@@ -1133,6 +1141,8 @@ object SparkEntry {
       s"SELECT *, ${dsumOver("l_extendedprice", "w")} / COUNT(l_extendedprice) OVER w AS mean_l_extendedprice_4 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
     "q_rolling_agg" ->
       s"SELECT *, ${dsumOver("l_quantity", "w")} AS sum_l_quantity__2_0, MIN(l_quantity) OVER w AS min_l_quantity__2_0 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+    "q_rolling_firstlast" ->
+      "SELECT *, FIRST_VALUE(l_quantity) OVER w AS first_l_quantity__2_0, LAST_VALUE(l_quantity) OVER w AS last_l_quantity__2_0 FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
     "q_cumulative_agg" ->
       s"SELECT *, ${dsumOver("o_totalprice", "w")} AS sum_o_totalprice_cumulative, MAX(o_totalprice) OVER w AS max_o_totalprice_cumulative FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     "q_timeseries_agg" ->

@@ -312,6 +312,8 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       case "AVG" | "MEAN" if Exact.isFloating(dt) =>
         s"CAST(SUM(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over AS DOUBLE) / " +
           s"COUNT(CAST($cn AS DECIMAL(38,${Exact.Scale}))) $over"
+      case "FIRST" | "FIRST_VALUE" => s"FIRST_VALUE($cn) $over"
+      case "LAST" | "LAST_VALUE" => s"LAST_VALUE($cn) $over"
       case f => s"${f.toUpperCase}($cn) $over"
     }
 
@@ -326,6 +328,10 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       case "MIN" => min(col(cn)).over(w)
       case "MAX" => max(col(cn)).over(w)
       case "COUNT" => count(col(cn)).over(w)
+      // frame-order-sensitive: callers must order on a UNIQUE key chain or
+      // the value at the frame edge is tie-ambiguous
+      case "FIRST" | "FIRST_VALUE" => first(col(cn)).over(w)
+      case "LAST" | "LAST_VALUE" => last(col(cn)).over(w)
       case other => throw new IllegalArgumentException(s"unknown window agg $other")
     }
 

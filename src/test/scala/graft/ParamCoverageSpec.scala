@@ -48,6 +48,17 @@ class ParamCoverageSpec extends AnyFunSuite {
     assert(rows(spark.sql(c.sql())) == rows(c.df))
   }
 
+  test("rolling FIRST/LAST read the frame edges") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+    val c = Chain(spark, "t", df).rollingAgg(
+      Seq("v" -> Seq("FIRST", "LAST")), Seq("k" -> "ASC"), offsets = (-1, 0))
+    val got = c.df.orderBy("k").collect()
+      .map(r => (r.getAs[Double]("first_v__1_0"), r.getAs[Double]("last_v__1_0"))).toSeq
+    assert(got == Seq((10.0, 10.0), (10.0, 20.0), (20.0, 30.0)), s"got $got")
+    df.createOrReplaceTempView("t")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
   test("cumulative_agg reverse direction") {
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
     val c = Chain(spark, "t", df).cumulativeAgg(
