@@ -15,6 +15,16 @@ import TestSpark._
   */
 class PipelineSpec extends AnyFunSuite {
 
+  test("the flagship entry() pipeline produces rows (the driver's smoke check)") {
+    // join -> datetrunc -> rename -> aggregate -> lag -> moving_avg ->
+    // target_encode -> impute -> train_test_split over sf0.001; the driver
+    // gates rows > 0 every round — pin it here so an internals change in
+    // any composed op (impute fills, Exact stats, window naming) cannot
+    // silently zero the flagship between rounds
+    val n = SparkEntry.entry(spark).count()
+    assert(n > 0, s"entry() must produce rows, got $n")
+  }
+
   test("the full corpus-build funnel composes and lands partitioned") {
     val docs = table("documents")
     val total = docs.df.count()
