@@ -583,9 +583,10 @@ object DedupOps {
     * metric (`max(size)`), so detection costs zero extra scans. Two
     * distinct ids hashing to one surrogate would silently merge their
     * components, so a collision fails loudly instead. P(collision) ≈
-    * n²/2⁶⁵ — negligible below ~10⁸ ids, detected above. The map is part
-    * of the result plan's retained checkpoint blocks
-    * ([[graft.core.Chain.releaseCheckpoints]] on the result releases it).
+    * n²/2⁶⁵ — negligible below ~10⁸ ids, detected above. The map's
+    * checkpoint blocks are released EAGERLY by [[translateLabels]] once
+    * the translated frame is materialized — they never reach the result
+    * plan.
     */
   private[ext] def surrogateIdMap(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
@@ -833,9 +834,9 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters rounds — component diameter " +
           "exceeds the bound; raise maxIters or use a contraction algorithm")
-    // string-keyed input: translate surrogates back to original ids (the
-    // map's checkpoint blocks ride in the result plan until the consumer's
-    // releaseCheckpoints, same as the labels frame itself)
+    // string-keyed input: translate surrogates back to original ids
+    // (translateLabels releases the labels/map checkpoints eagerly and
+    // hands the consumer ONE retained frame — the translated labels)
     val out = idMap.fold(labels)(m => DedupOps.translateLabels(labels, m))
     c.next("dedup_clusters", out, None)
   }
@@ -925,7 +926,18 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     val stars = edges.select(col("a").as("_star_id"), col("b").as("_sroot"))
     val labels = ids.join(stars, ids("id") === col("_star_id"), "left")
       .select(col("id"), coalesce(col("_sroot"), col("id")).as("cluster_id"))
-    val out = idMap.fold(labels)(m => DedupOps.translateLabels(labels, m))
+    // integral path: `out` = the labels plan itself, so the `ids` and final
+    // `edges` checkpoint blocks ride in the result plan and the consumer's
+    // releaseCheckpoints frees them. String path: translateLabels TRUNCATES
+    // the result with its own localCheckpoint — ids/edges drop out of the
+    // result plan and the consumer can never free them, so release them
+    // here, eagerly, right after the translated frame is materialized.
+    val out = idMap.fold(labels) { m =>
+      val t = DedupOps.translateLabels(labels, m)
+      DedupOps.releaseRound(ids)
+      DedupOps.releaseRound(edges)
+      t
+    }
     c.next("dedup_clusters", out, None)
   }
 

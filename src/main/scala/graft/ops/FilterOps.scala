@@ -126,6 +126,11 @@ final class FilterOps(private val c: Chain) extends AnyVal {
   private def oneSort(n: String, dir: String): Column =
     if (dir.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
 
+  /** Null ordering pinned to the DataFrame face's Spark defaults (ASC =
+    * NULLS FIRST, DESC = NULLS LAST); ANSI consumers default the other way.
+    */
   private def orderSql(orderBy: Seq[(String, String)]): String =
-    orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+    orderBy.map { case (n, d) =>
+      s"$n ${if (d.equalsIgnoreCase("DESC")) "DESC NULLS LAST" else "ASC NULLS FIRST"}"
+    }.mkString(", ")
 }

@@ -195,7 +195,7 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       Row.fromSeq(row.toSeq :+ (if (i < cut) "TRAIN" else "TEST"))
     }
     val df2 = c.spark.createDataFrame(rdd, schema)
-    val orderSql = orderBy.map { case (nm, d) => s"$nm ${d.toUpperCase}" }.mkString(", ")
+    val orderSql = orderBy.map { case (nm, d) => s"$nm ${dirSql(d)}" }.mkString(", ")
     c.next("train_test_split", df2, Some(
       s"SELECT *, CASE WHEN ROW_NUMBER() OVER (ORDER BY $orderSql) <= " +
         s"FLOOR($trainPercent * COUNT(*) OVER ()) THEN 'TRAIN' ELSE 'TEST' END " +
@@ -234,7 +234,7 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         when(col("_s_rn") <= floor(lit(trainPercent) * col("_s_cnt")), "TRAIN")
           .otherwise("TEST"))
       .drop("_s_rn", "_s_cnt")
-    val orderSql = orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+    val orderSql = orderBy.map { case (n, d) => s"$n ${dirSql(d)}" }.mkString(", ")
     val partSql = strata.mkString(", ")
     val orig = c.df.columns.mkString(", ")
     // p through CAST('<p>' AS DOUBLE): a bare decimal literal is exact
@@ -263,9 +263,11 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     * what any per-key window costs. The gap test compares timestamps
     * directly (`ts > prev + INTERVAL gap SECOND`) — sub-second precision
     * is preserved, no epoch truncation. Null timestamps sort first (Spark
-    * ASC default; the SQL face pins NULLS FIRST) and compare null against
-    * the gap, so they continue the current session rather than starting
-    * one; pass a non-null ts for meaningful sessions. Ties on (ts ++
+    * ASC default; the SQL face pins NULLS FIRST), and because LAG over a
+    * null-ts predecessor is itself NULL, EVERY null-ts row trips the
+    * `prev IS NULL` boundary and opens its own single-row session — null
+    * timestamps never extend or join a session; pass a non-null ts for
+    * meaningful sessions. Ties on (ts ++
     * tiebreak) cannot change any row's session_id (tied rows share a
     * boundary decision), but supply a unique tiebreak for fully
     * deterministic intra-session ordering downstream.
@@ -345,7 +347,16 @@ final class WindowOps(private val c: Chain) extends AnyVal {
 
   private def overSql(partition: Seq[String], orderBy: Seq[(String, String)]): String = {
     val p = if (partition.isEmpty) "" else s"PARTITION BY ${partition.mkString(", ")} "
-    val o = orderBy.map { case (n, d) => s"$n ${d.toUpperCase}" }.mkString(", ")
+    val o = orderBy.map { case (n, d) => s"$n ${dirSql(d)}" }.mkString(", ")
     s"${p}ORDER BY $o"
   }
+
+  /** Render a sort direction with null ordering PINNED to the DataFrame
+    * face's Spark defaults (ASC = NULLS FIRST, DESC = NULLS LAST). ANSI
+    * engines consuming the rendered text default the other way (DuckDB:
+    * NULLS LAST everywhere), so an unpinned ORDER BY silently ranks null
+    * keys differently across faces.
+    */
+  private def dirSql(d: String): String =
+    if (d.equalsIgnoreCase("DESC")) "DESC NULLS LAST" else "ASC NULLS FIRST"
 }

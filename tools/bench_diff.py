@@ -79,16 +79,24 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
-            # accept --threshold=1.5 and --threshold 1.5; a bare trailing
+        if a == "--threshold" or a.startswith("--threshold="):
+            # exact-match the flag (prefix matching let --thresholds=2 /
+            # --thresholdX silently parse as --threshold); accept
+            # --threshold=1.5 and --threshold 1.5; a bare trailing
             # --threshold is a usage error, not a silent default
             if "=" in a:
-                threshold = float(a.split("=", 1)[1])
+                raw = a.split("=", 1)[1]
             elif i + 1 < len(argv):
                 i += 1
-                threshold = float(argv[i])
+                raw = argv[i]
             else:
                 print("bench_diff: --threshold needs a value", file=sys.stderr)
+                sys.exit(2)
+            try:
+                threshold = float(raw)
+            except ValueError:
+                print(f"bench_diff: --threshold needs a number, got {raw!r}",
+                      file=sys.stderr)
                 sys.exit(2)
         elif a.startswith("--"):
             print(f"bench_diff: unknown option {a}", file=sys.stderr)
