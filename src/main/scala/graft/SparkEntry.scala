@@ -337,6 +337,42 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem").rollupAgg(Seq("l_returnflag", "l_linestatus"),
         Seq("l_quantity" -> Seq("SUM"))).df),
+    // explicit grouping sets: targeted multi-granularity rollup (the
+    // GROUP BY GROUPING SETS generalization of cube/rollup)
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem").groupingSetsAgg(
+        Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq()),
+        Seq("l_quantity" -> Seq("SUM"), "l_orderkey" -> Seq("COUNT"))).df),
+    // rank-tile family: NTILE + PERCENT_RANK + CUME_DIST over one unique
+    // total order (ties impossible → tile/ratio values engine-exact)
+    "q_ntile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rank(Seq(("l_extendedprice", "DESC"), ("l_orderkey", "ASC"), ("l_linenumber", "ASC")),
+          Seq("l_returnflag"), "ntile", "tile", ntileBuckets = 8)
+        .rank(Seq(("l_extendedprice", "DESC"), ("l_orderkey", "ASC"), ("l_linenumber", "ASC")),
+          Seq("l_returnflag"), "percent_rank", "pct_rank")
+        .rank(Seq(("l_extendedprice", "DESC"), ("l_orderkey", "ASC"), ("l_linenumber", "ASC")),
+          Seq("l_returnflag"), "cume_dist", "cum_dist").df),
+    // equi-width histogram, empty buckets present (hi=500000 covers the
+    // fixture's o_totalprice max ~499979; w = 31250.0 exact)
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders").histogram("o_totalprice", 0.0, 500000.0, 16).df),
+    // pairwise Pearson in long form — all gated sums in one scan
+    "q_corr_matrix" -> ((s, d) =>
+      t(s, d, "lineitem").corrMatrix(
+        Seq("l_quantity", "l_extendedprice", "l_discount")).df),
+    // hot-key census: top-10 heaviest keys with corpus share
+    "q_skew_profile" -> ((s, d) =>
+      t(s, d, "lineitem").skewProfile(Seq("l_suppkey"), 10).df),
+    // weighted mean per group (the quality-weighted-by-tokens regime)
+    "q_weighted_agg" -> ((s, d) =>
+      t(s, d, "lineitem").weightedAgg(Seq("l_returnflag"), "l_extendedprice", "l_quantity").df),
+    // stable shard assignment from md5(key) — portable digit-parse, no conv()
+    "q_shard" -> ((s, d) =>
+      t(s, d, "documents").shard(16, Seq("doc_id")).df),
+    // salted stable pseudonymization of a key column
+    "q_anonymize" -> ((s, d) =>
+      t(s, d, "customer").pseudonymize(Seq("c_name"), "graft-salt").df),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -465,6 +501,10 @@ object SparkEntry {
     import graft.streaming.EventStreams
     Map(
       "q_text_tokens" -> ((s, d) => t(s, d, "documents").tokenCounts("text").df),
+      // generic pattern census (entity/format counting)
+      "q_count_pattern" -> ((s, d) =>
+        t(s, d, "customer").countPattern("c_name",
+          Seq("digits" -> "[0-9]+", "words" -> "[A-Za-z]+")).df),
       "q_text_quality" -> ((s, d) => t(s, d, "documents").qualityScore("text").df),
       "q_gopher_rules" -> ((s, d) => t(s, d, "documents").gopherRules("text").df),
     // pinned-coefficient scoring face of logisticRegression: the logit is a
@@ -1280,6 +1320,63 @@ object SparkEntry {
       s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum, COUNT(l_orderkey) AS l_orderkey_count FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
     "q_rollup" ->
       s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "q_grouping_sets" ->
+      s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS l_quantity_sum, COUNT(l_orderkey) AS l_orderkey_count FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+    "q_ntile" ->
+      "SELECT *, CAST(NTILE(8) OVER w AS INT) AS tile, PERCENT_RANK() OVER w AS pct_rank, CUME_DIST() OVER w AS cum_dist FROM lineitem WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST)",
+    "q_histogram" ->
+      ("SELECT bucket, CAST('0.0' AS DOUBLE) + bucket * CAST('31250.0' AS DOUBLE) AS bucket_lo, " +
+        "CAST('0.0' AS DOUBLE) + (bucket + 1) * CAST('31250.0' AS DOUBLE) AS bucket_hi, " +
+        "CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt FROM (SELECT range AS bucket FROM range(0, 16)) " +
+        "LEFT JOIN (SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - CAST('0.0' AS DOUBLE)) / CAST('31250.0' AS DOUBLE)) AS BIGINT), 15) AS bucket, " +
+        "COUNT(*) AS cnt FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE)) " +
+        "AND CAST(o_totalprice AS DOUBLE) >= CAST('0.0' AS DOUBLE) AND CAST(o_totalprice AS DOUBLE) <= CAST('500000.0' AS DOUBLE) GROUP BY 1) USING (bucket)"),
+    "q_corr_matrix" -> {
+      def branch(a: String, b: String): String = {
+        val both = s"$a IS NOT NULL AND $b IS NOT NULL AND NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"
+        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, _n AS n FROM (" +
+          s"SELECT CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, ${dsum8("_x")} AS _sx, ${dsum8("_y")} AS _sy, " +
+          s"${dsum8("_x * _y")} AS _sxy, ${dsum8("_x * _x")} AS _sxx, ${dsum8("_y * _y")} AS _syy FROM (" +
+          s"SELECT CASE WHEN $both THEN CAST($a AS DOUBLE) END AS _x, CASE WHEN $both THEN CAST($b AS DOUBLE) END AS _y FROM lineitem))"
+      }
+      Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))
+        .map { case (a, b) => branch(a, b) }.mkString(" UNION ALL ")
+    },
+    "q_skew_profile" ->
+      ("SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt, CAST(cnt AS DOUBLE) / CAST(_total AS DOUBLE) AS share FROM " +
+        "(SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey) " +
+        "CROSS JOIN (SELECT COUNT(*) AS _total FROM lineitem) " +
+        "ORDER BY cnt DESC, l_suppkey ASC LIMIT 10"),
+    "q_weighted_agg" -> {
+      // the fixed-point-long regime: DECIMAL(38,8) product sums cross 2^53
+      // scaled here and the decimal->double conversion double-rounds
+      // differently across engines (1-ulp drift observed)
+      val both = "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND " +
+        "NOT isnan(CAST(l_extendedprice AS DOUBLE)) AND NOT isnan(CAST(l_quantity AS DOUBLE))"
+      def fpS(e: String) =
+        s"SUM(CAST(CAST(FLOOR(($e) * CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
+      val sc = "CAST('1000000.0' AS DOUBLE)"
+      s"SELECT l_returnflag, (CAST(_swxfp AS DOUBLE) / $sc) / (CAST(_swfp AS DOUBLE) / $sc) AS l_extendedprice_wavg, " +
+        s"CAST(_swfp AS DOUBLE) / $sc AS l_quantity_wsum, n FROM (" +
+        s"SELECT l_returnflag, ${fpS("_w * _x")} AS _swxfp, ${fpS("_w")} AS _swfp, COUNT(_x) AS n FROM (" +
+        s"SELECT l_returnflag, CASE WHEN $both THEN CAST(l_extendedprice AS DOUBLE) END AS _x, " +
+        s"CASE WHEN $both THEN CAST(l_quantity AS DOUBLE) END AS _w FROM lineitem) GROUP BY l_returnflag)"
+    },
+    "q_shard" -> {
+      val digits = (1 to 8).map(i =>
+        s"(CAST(ascii(substring(_h, $i, 1)) AS BIGINT) - CASE WHEN substring(_h, $i, 1) >= 'a' THEN 87 ELSE 48 END)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"SELECT doc_id, text, lang, source, n_chars, $digits % 16 AS shard FROM " +
+        "(SELECT *, md5(concat_ws('|', CAST(doc_id AS VARCHAR))) AS _h FROM documents)"
+    },
+    "q_anonymize" ->
+      ("SELECT c_custkey, CASE WHEN c_name IS NULL THEN NULL ELSE " +
+        "substring(md5(concat('graft-salt', '|', CAST(c_name AS VARCHAR))), 1, 16) END AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment FROM customer"),
+    "q_count_pattern" ->
+      ("SELECT *, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digits, " +
+        "CAST(len(regexp_extract_all(c_name, '[A-Za-z]+')) AS BIGINT) AS n_words FROM customer"),
     "q_asof_join" ->
       ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +

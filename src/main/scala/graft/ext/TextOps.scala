@@ -1060,4 +1060,30 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         s"PARTITION BY $fpS ORDER BY ${Naming.quoteId(idCol)} ASC) AS _graft_rn " +
         s"FROM {{source}}) WHERE _graft_rn = 1"))
   }
+
+  /** count_pattern(text_col, patterns): one `n_<name>` count column per
+    * named regex — the generic pattern census behind entity counting and
+    * format profiling (digits, emails, URLs, code fences, bullet lines:
+    * whatever the corpus audit needs). Non-overlapping match counting;
+    * null text → null counts. Keep patterns RE2-safe (character classes,
+    * alternation, quantifiers — no lookarounds/backrefs) so the same
+    * pattern means the same thing in every engine that consumes the SQL
+    * face.
+    *
+    * Pure projection over codegen'd `regexp_count` — no shuffle, no UDF;
+    * cost is linear in text length per pattern.
+    */
+  def countPattern(textCol: String, patterns: Seq[(String, String)]): Chain = {
+    require(patterns.nonEmpty, "count_pattern needs at least one named pattern")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      s"count_pattern names repeat: ${patterns.map(_._1)}")
+    val df2 = patterns.foldLeft(c.df) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val patSql = patterns.map { case (name, pat) =>
+      s"CAST(regexp_count(${Naming.quoteId(textCol)}, '${pat.replace("'", "''")}') AS BIGINT) AS n_$name"
+    }
+    c.next("count_pattern", df2, Some(
+      s"SELECT *, ${patSql.mkString(", ")} FROM {{source}}"))
+  }
 }

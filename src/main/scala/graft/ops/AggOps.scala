@@ -750,4 +750,243 @@ final class AggOps(private val c: Chain) extends AnyVal {
       s"SELECT $transactionId, ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(CAST($aggColumn AS STRING))), '$sep') AS basket, " +
         s"COUNT($aggColumn) AS basket_size FROM {{source}} GROUP BY $transactionId"))
   }
+
+  /** grouping_sets(sets, aggregations): explicit grouping-set aggregate —
+    * the generalized form of [[cubeAgg]]/[[rollupAgg]] (beyond the
+    * reference surface, SURVEY §2.2): each listed set becomes one grouping
+    * of the output, with the usual null-fill for columns absent from a
+    * set. Same naming and deterministic-float rules as `aggregate`.
+    *
+    * Scale: Catalyst plans Expand + one hash aggregate — the input is
+    * replicated once per set BEFORE the exchange with map-side partial
+    * aggregation, so the shuffle carries one partial row per (set ×
+    * group), not one per (set × input row). Prefer few, targeted sets
+    * over CUBE's 2^k blowup on high-cardinality keys.
+    */
+  def groupingSetsAgg(sets: Seq[Seq[String]],
+                      aggregations: Seq[(String, Seq[String])]): Chain = {
+    require(sets.nonEmpty, "grouping_sets needs at least one set")
+    val types = c.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val groupCols = sets.flatten.distinct
+    val aggCols = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val (column, label) = AggFns.resolve(fn, col(cn), types(cn))
+        column.as(Naming.agg(cn, label))
+      }
+    }
+    val grouped = c.df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+    val df2 = grouped.agg(aggCols.head, aggCols.tail: _*)
+    val aggSql = aggregations.flatMap { case (cn, fns) =>
+      fns.map { fn =>
+        val label = AggFns.resolve(fn, col(cn), types(cn))._2
+        s"${AggFns.sqlText(fn, cn, types(cn))} AS ${Naming.agg(cn, label)}"
+      }
+    }
+    val setsSql = sets.map(s => s"(${s.mkString(", ")})").mkString(", ")
+    c.next("grouping_sets", df2, Some(
+      s"SELECT ${(groupCols ++ aggSql).mkString(", ")} FROM {{source}} " +
+        s"GROUP BY GROUPING SETS ($setsSql)"))
+  }
+
+  /** histogram(column, lo, hi, buckets, group_by): equi-width histogram —
+    * the profile pass behind every "what does this column look like"
+    * question at corpus scale. Rows land in bucket FLOOR((x−lo)/w) with
+    * w = (hi−lo)/buckets; x = hi folds into the top bucket; rows outside
+    * [lo, hi] — and null/NaN — are EXCLUDED (count the tails with a
+    * separate filter if they matter). Empty buckets are PRESENT with
+    * cnt = 0 (a gap is information); edges are emitted as `bucket_lo` /
+    * `bucket_hi`.
+    *
+    * Scale: one hash aggregate on (group, bucket) with map-side combine —
+    * at most groups × buckets rows ever shuffle — then a left join from
+    * the bucket spine (distinct groups × sequence(buckets), both tiny;
+    * AQE broadcasts it). Edges and the bucket index use the same IEEE
+    * double arithmetic in both faces, so the layout is engine-exact.
+    */
+  def histogram(column: String, lo: Double, hi: Double, buckets: Int,
+                groupBy: Seq[String] = Nil): Chain = {
+    require(buckets > 0, s"histogram needs buckets > 0, got $buckets")
+    require(hi > lo, s"histogram needs hi > lo, got [$lo, $hi]")
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
+      s"histogram bounds must be finite, got [$lo, $hi]")
+    val w = (hi - lo) / buckets
+    val x = col(column).cast("double")
+    val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
+    val b = least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong))
+    val counts = c.df.where(in)
+      .groupBy((groupBy.map(col) :+ b.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
+    val spine =
+      if (groupBy.isEmpty) spineB
+      else c.df.select(groupBy.map(col): _*).distinct().crossJoin(broadcast(spineB))
+    val df2 = spine.join(counts, groupBy :+ "bucket", "left")
+      .select((groupBy.map(col) ++ Seq(
+        col("bucket"),
+        (lit(lo) + col("bucket") * lit(w)).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
+    // double literals through CAST('…' AS DOUBLE): a bare decimal literal
+    // is exact DECIMAL in ANSI engines (the winsorize rationale)
+    val loS = s"CAST('$lo' AS DOUBLE)"
+    val hiS = s"CAST('$hi' AS DOUBLE)"
+    val wS = s"CAST('$w' AS DOUBLE)"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
+    val usingS = (Seq("bucket") ++ groupBy).mkString(", ")
+    val spineSql =
+      if (groupBy.isEmpty) s"(SELECT explode(sequence(0, ${buckets - 1})) AS bucket)"
+      else s"((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
+        s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket))"
+    val inS = s"$column IS NOT NULL AND NOT isnan(CAST($column AS DOUBLE)) AND " +
+      s"CAST($column AS DOUBLE) >= $loS AND CAST($column AS DOUBLE) <= $hiS"
+    c.next("histogram", df2, Some(
+      s"SELECT ${gSel}bucket, $loS + bucket * $wS AS bucket_lo, " +
+        s"$loS + (bucket + 1) * $wS AS bucket_hi, COALESCE(cnt, 0) AS cnt FROM $spineSql " +
+        s"LEFT JOIN (SELECT ${gSel}LEAST(CAST(FLOOR((CAST($column AS DOUBLE) - $loS) / $wS) " +
+        s"AS BIGINT), ${buckets - 1}) AS bucket, COUNT(*) AS cnt FROM {{source}} " +
+        s"WHERE $inS GROUP BY bucket$gBy) USING ($usingS)"))
+  }
+
+  /** corr_matrix(columns, group_by): pairwise Pearson correlation in LONG
+    * form — one `(col_a, col_b, corr, n)` row per unordered column pair
+    * (a before b in the given order), the pre-modeling collinearity
+    * screen. Null/NaN rows are excluded PER PAIR (both sides must be
+    * present and finite — the [[linearRegression]] gate), so each pair's
+    * n is its own.
+    *
+    * Scale: ONE aggregation pass computes all 6·P gated exact-decimal sums
+    * (P = k(k−1)/2 pairs) with map-side partial aggregation — the input is
+    * scanned once however many columns are screened; the explode to long
+    * form runs on the tiny aggregated frame. Decimal accumulation makes
+    * every sum partitioning-independent; the closing-formula doubles are
+    * IEEE-exact across engines (the linear_regression regime).
+    */
+  def corrMatrix(cols: Seq[String], groupBy: Seq[String] = Nil): Chain = {
+    require(cols.size >= 2, s"corr_matrix needs >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"corr_matrix columns repeat: $cols")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def wide(cc: Column) = sum(cc.cast(DecimalType(38, 8))).cast("double")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val both = col(a).isNotNull && col(b).isNotNull &&
+        !isnan(col(a).cast("double")) && !isnan(col(b).cast("double"))
+      val xc = when(both, col(a).cast("double"))
+      val yc = when(both, col(b).cast("double"))
+      Seq(count(xc).as(s"_n_$p"), wide(xc).as(s"_sx_$p"), wide(yc).as(s"_sy_$p"),
+        wide(xc * yc).as(s"_sxy_$p"), wide(xc * xc).as(s"_sxx_$p"),
+        wide(yc * yc).as(s"_syy_$p"))
+    }
+    val g =
+      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n = col(s"_n_$p").cast("double")
+      val corr = (n * col(s"_sxy_$p") - col(s"_sx_$p") * col(s"_sy_$p")) /
+        (sqrt(n * col(s"_sxx_$p") - col(s"_sx_$p") * col(s"_sx_$p")) *
+          sqrt(n * col(s"_syy_$p") - col(s"_sy_$p") * col(s"_sy_$p")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        corr.as("corr"), col(s"_n_$p").as("n"))
+    }
+    val df2 = g.select((groupBy.map(col) :+ explode(array(rows: _*)).as("_p")): _*)
+      .select((groupBy.map(col) ++ Seq(col("_p.col_a"), col("_p.col_b"),
+        col("_p.corr"), col("_p.n"))): _*)
+    def ds8(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,8))) AS DOUBLE)"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val branches = pairs.map { case (a, b) =>
+      val bothS = s"$a IS NOT NULL AND $b IS NOT NULL AND " +
+        s"NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"
+      s"SELECT $gSel'$a' AS col_a, '$b' AS col_b, " +
+        s"(_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, " +
+        s"_n AS n FROM (SELECT ${gSel}CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, " +
+        s"${ds8("_x")} AS _sx, ${ds8("_y")} AS _sy, ${ds8("_x * _y")} AS _sxy, " +
+        s"${ds8("_x * _x")} AS _sxx, ${ds8("_y * _y")} AS _syy FROM (" +
+        s"SELECT ${gSel}CASE WHEN $bothS THEN CAST($a AS DOUBLE) END AS _x, " +
+        s"CASE WHEN $bothS THEN CAST($b AS DOUBLE) END AS _y FROM {{source}})$gBy)"
+    }
+    c.next("corr_matrix", df2, Some(branches.mkString(" UNION ALL ")))
+  }
+
+  /** skew_profile(keys, top_k): the hot-key census — the top_k heaviest
+    * key values with their row count and corpus share, the diagnostic to
+    * run BEFORE a join melts on a skewed key (pair with
+    * [[graft.ops.JoinOps.joinSalted]] once the culprits are known).
+    *
+    * Scale: one hash aggregate on the keys (map-side combined), a
+    * TakeOrderedAndProject for the top_k (no global sort materializes),
+    * and the total from a separate count-only scan (column-pruned to
+    * nothing — parquet answers it from footers) broadcast onto the
+    * winners. Nothing driver-side beyond top_k rows. Ties at the top_k
+    * boundary break by key ascending — deterministic across engines.
+    */
+  def skewProfile(keys: Seq[String], topK: Int = 20): Chain = {
+    require(keys.nonEmpty, "skew_profile needs at least one key column")
+    require(topK > 0, s"skew_profile needs top_k > 0, got $topK")
+    val counts = c.df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = c.df.agg(count(lit(1)).as("_total"))
+    val df2 = counts.crossJoin(broadcast(total))
+      .orderBy((col("cnt").desc +: keys.map(col(_).asc)): _*)
+      .limit(topK)
+      .select((keys.map(col) ++ Seq(col("cnt"),
+        (col("cnt").cast("double") / col("_total").cast("double")).as("share"))): _*)
+    val kSql = keys.mkString(", ")
+    c.next("skew_profile", df2, Some(
+      s"SELECT $kSql, cnt, CAST(cnt AS DOUBLE) / CAST(_total AS DOUBLE) AS share FROM " +
+        s"(SELECT $kSql, COUNT(*) AS cnt FROM {{source}} GROUP BY $kSql) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS _total FROM {{source}}) " +
+        s"ORDER BY cnt DESC, ${keys.map(_ + " ASC").mkString(", ")} LIMIT $topK"))
+  }
+
+  /** weighted_agg(group_by, value, weight): weighted mean Σwx/Σw per group
+    * — mixture statistics where rows carry importance (duplication counts,
+    * sampling weights, token counts: "mean quality per source, weighted by
+    * tokens"). Rows where either side is null/NaN are excluded WHOLE (the
+    * engine's consistent-exclusion contract); output `<value>_wavg`,
+    * `<weight>_wsum` (the weight mass actually aggregated) and `n`.
+    *
+    * Accumulation runs in the FIXED-POINT regime ([[graft.core.Exact.dot]]
+    * rationale): per-row w and w·x round to 1e-6 fixed-point integers
+    * (FLOOR(v·1e6 + 0.5) — identical IEEE ops in every engine) and sum as
+    * exact decimals, because a DECIMAL(38,8) product sum here crosses 2⁵³
+    * scaled and the closing decimal→double conversion then DOUBLE-ROUNDS
+    * differently across engines (observed: 1-ulp drift on this exact
+    * shape). Micro-unit quantization; per-row |w·x| must stay below ~9e12
+    * or the ANSI bigint cast raises — loud, never wrong.
+    *
+    * Scale: one hash aggregate, gated integer sums, map-side combined —
+    * partitioning-independent; the closing divisions run in IEEE doubles.
+    */
+  def weightedAgg(groupBy: Seq[String], valueCol: String, weightCol: String): Chain = {
+    val both = col(valueCol).isNotNull && col(weightCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")) && !isnan(col(weightCol).cast("double"))
+    val xc = when(both, col(valueCol).cast("double"))
+    val wc = when(both, col(weightCol).cast("double"))
+    def fp(cc: Column) =
+      sum(floor(cc * lit(1e6) + lit(0.5)).cast("long").cast(DecimalType(38, 0)))
+    val aggs = Seq(fp(wc * xc).as("_swxfp"), fp(wc).as("_swfp"), count(xc).as("n"))
+    val g =
+      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val wavg = Naming.agg(valueCol, "wavg")
+    val wsum = Naming.agg(weightCol, "wsum")
+    val swx = col("_swxfp").cast("double") / lit(1e6)
+    val sw = col("_swfp").cast("double") / lit(1e6)
+    val df2 = g.select((groupBy.map(col) ++ Seq(
+      (swx / sw).as(wavg), sw.as(wsum), col("n"))): _*)
+    def fpS(e: String) =
+      s"SUM(CAST(CAST(FLOOR(($e) * CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
+    val scaleS = "CAST('1000000.0' AS DOUBLE)"
+    val bothS = s"$valueCol IS NOT NULL AND $weightCol IS NOT NULL AND " +
+      s"NOT isnan(CAST($valueCol AS DOUBLE)) AND NOT isnan(CAST($weightCol AS DOUBLE))"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("weighted_agg", df2, Some(
+      s"SELECT $gSel(CAST(_swxfp AS DOUBLE) / $scaleS) / (CAST(_swfp AS DOUBLE) / $scaleS) AS $wavg, " +
+        s"CAST(_swfp AS DOUBLE) / $scaleS AS $wsum, n FROM (" +
+        s"SELECT ${gSel}${fpS("_w * _x")} AS _swxfp, ${fpS("_w")} AS _swfp, COUNT(_x) AS n FROM (" +
+        s"SELECT ${gSel}CASE WHEN $bothS THEN CAST($valueCol AS DOUBLE) END AS _x, " +
+        s"CASE WHEN $bothS THEN CAST($weightCol AS DOUBLE) END AS _w FROM {{source}})$gBy)"))
+  }
 }

@@ -60,6 +60,7 @@ final class FilterOps(private val c: Chain) extends AnyVal {
       case "dense_rank" => (dense_rank(), "DENSE_RANK()")
       case "row_number" => (row_number(), "ROW_NUMBER()")
       case "percent_rank" => (percent_rank(), "PERCENT_RANK()")
+      case "cume_dist" => (cume_dist(), "CUME_DIST()")
       case "ntile" => (ntile(ntileBuckets), s"NTILE($ntileBuckets)")
       case other => throw new IllegalArgumentException(s"unknown rank_type $other")
     }

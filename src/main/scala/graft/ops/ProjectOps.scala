@@ -120,4 +120,71 @@ final class ProjectOps(private val c: Chain) extends AnyVal {
       })
     c.next("to_date", df2, Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
   }
+
+  /** shard(n, key_cols, name): stable shard assignment in [0, n) from the
+    * row's key — the deterministic "which output file / worker / fold does
+    * this row belong to" primitive (output sharding, parallel export,
+    * cross-validation folds). The shard is a pure function of the KEY, so
+    * re-runs, engines and partitionings all agree — unlike
+    * `spark_partition_id()` or a round-robin, which reshuffle every run.
+    *
+    * Mechanics: the first 8 hex digits of md5(key) parsed digit-by-digit
+    * into a 32-bit integer (explicit `ascii(c) − 48|87` arithmetic — the
+    * one hex-to-int every SQL engine spells identically; no conv()/
+    * hex-cast portability trap), then mod n. Pure projection — no
+    * shuffle, pushes through scans; integer arithmetic, engine-exact.
+    */
+  def shard(n: Int, keyCols: Seq[String], name: String = "shard"): Chain = {
+    require(n > 0, s"shard needs n > 0, got $n")
+    require(keyCols.nonEmpty, "shard needs at least one key column")
+    val h = md5(concat_ws("|", keyCols.map(col(_).cast("string")): _*))
+    val value = (1 to 8).map { i =>
+      val ch = substring(h, i, 1)
+      (ascii(ch) - when(ch >= lit("a"), lit(87)).otherwise(lit(48))).cast("long")
+    }.reduceLeft((acc, d) => acc * lit(16L) + d)
+    val df2 = c.df.withColumn(name, value % lit(n.toLong))
+    val keySql = s"concat_ws('|', ${keyCols.map(k => s"CAST($k AS STRING)").mkString(", ")})"
+    val digitSql = (1 to 8).map { i =>
+      s"(CAST(ascii(substring(_h, $i, 1)) AS BIGINT) - " +
+        s"CASE WHEN substring(_h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+    }.reduceLeft((acc, d) => s"($acc * 16 + $d)")
+    val orig = c.df.columns.mkString(", ")
+    c.next("shard", df2, Some(
+      s"SELECT $orig, $digitSql % $n AS $name FROM " +
+        s"(SELECT *, md5($keySql) AS _h FROM {{source}})"))
+  }
+
+  /** pseudonymize(columns, salt, prefix_len): stable in-place
+    * pseudonymization — each listed column is replaced by the first
+    * `prefixLen` hex digits of md5(salt ‖ value), so equal values map to
+    * equal tokens (joins and group-bys still work across pseudonymized
+    * tables sharing the salt) while the original value never leaves the
+    * pipeline. Nulls stay null. The salt is the secret: without it the
+    * mapping is undoable only by brute-forcing the value space — rotate
+    * it per export to break cross-release linkage. Complements
+    * [[graft.ext.TextAnalysisOps.scrubPii]] (which rewrites free text;
+    * this rewrites key/attribute columns).
+    *
+    * Pure projection — no shuffle, engine-exact (md5/substring are
+    * identical everywhere).
+    */
+  def pseudonymize(columns: Seq[String], salt: String, prefixLen: Int = 16): Chain = {
+    require(columns.nonEmpty, "pseudonymize needs at least one column")
+    require(prefixLen >= 4 && prefixLen <= 32,
+      s"prefix_len must be in [4, 32], got $prefixLen")
+    require(!salt.contains("'"), "salt must not contain single quotes")
+    val missing = columns.filterNot(c.df.columns.contains)
+    require(missing.isEmpty, s"pseudonymize: no such column(s): $missing")
+    val df2 = columns.foldLeft(c.df) { (d, cn) =>
+      d.withColumn(cn, when(col(cn).isNull, lit(null).cast("string")).otherwise(
+        substring(md5(concat(lit(salt), lit("|"), col(cn).cast("string"))), 1, prefixLen)))
+    }
+    val outCols = c.df.columns.toSeq.map { cn =>
+      if (columns.contains(cn))
+        s"CASE WHEN $cn IS NULL THEN NULL ELSE " +
+          s"substring(md5(concat('$salt', '|', CAST($cn AS STRING))), 1, $prefixLen) END AS $cn"
+      else cn
+    }
+    c.next("pseudonymize", df2, Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
+  }
 }
