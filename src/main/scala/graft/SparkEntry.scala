@@ -373,6 +373,21 @@ object SparkEntry {
     // salted stable pseudonymization of a key column
     "q_anonymize" -> ((s, d) =>
       t(s, d, "customer").pseudonymize(Seq("c_name"), "graft-salt").df),
+    // exact nearest-rank quantiles in long form, one melt + one window
+    "q_quantile_profile" -> ((s, d) =>
+      t(s, d, "lineitem").quantileProfile(
+        Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)).df),
+    // categorical balance census: counts, Shannon entropy, Simpson index
+    "q_entropy_profile" -> ((s, d) =>
+      t(s, d, "customer").entropyProfile(Seq("c_mktsegment", "c_nationkey")).df),
+    // privacy audit: equivalence classes under k over the quasi-identifiers
+    "q_k_anonymity" -> ((s, d) =>
+      t(s, d, "customer").kAnonymityViolations(Seq("c_nationkey", "c_mktsegment"), 8).df),
+    // n-way deterministic split labels, stratified per order status
+    "q_dataset_splits" -> ((s, d) =>
+      t(s, d, "orders").datasetSplits(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        Seq("o_orderkey" -> "ASC"), strata = Seq("o_orderstatus")).df),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -626,6 +641,19 @@ object SparkEntry {
           .union(t(s, d, "documents").math(Seq("doc_id + 10000"), Seq("doc_id")))
           .dedupExact("doc_id", "text").df),
       // prefix-filter (PPJoin) strategy at t=0.9 …
+      // PassJoin edit-distance pair mining on the planted-typo fixture
+      "q_fuzzy_pairs" -> ((s, d) =>
+        Chain(s, "names_fixtures", namesFixtureDf(s)).fuzzyPairs("id", "name", 2).df),
+      // corpus bigram frequency census (top 25, count-desc/gram-asc ties)
+      "q_top_ngrams" -> ((s, d) =>
+        t(s, d, "documents").topNgrams("text", n = 2, k = 25).df),
+      // spherical k-means over the pinned lattice fixture: the 4 recovered
+      // clusters are the lattice clusters (vec_id mod 4) by construction,
+      // labeled by min member id — a pure function of the fixture
+      "q_cluster_embeddings" -> ((s, d) =>
+        Chain(s, "emb_fixtures", embFixtureDf(s))
+          .clusterEmbeddings("vec_id", "embedding", 4)
+          .df.select("vec_id", "cluster")),
       "q_dedup_ngram" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 2, threshold = 0.9).df),
       // … and the inverted-index strategy at t=0.5 (trigrams keep the
@@ -1056,6 +1084,30 @@ object SparkEntry {
       ((org.apache.spark.sql.functions.col("id") * 37) % 101).cast("double").as("x"))
   }
 
+  /** Name fixtures for q_fuzzy_pairs: planted 1-and-2-edit typo families,
+    * an exact duplicate, strings below the pigeonhole regime (the tiny
+    * all-pairs family), a null, and unrelated far strings — every branch
+    * of the PassJoin miner. The oracle recomputes all pairs with DuckDB's
+    * own levenshtein over the same VALUES.
+    */
+  private[graft] def namesFixtureDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = namesFixture.map { case (id, nm) => org.apache.spark.sql.Row(id, nm) }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private[graft] def namesFixture: Seq[(Long, String)] = Seq(
+    (1L, "jonathan smith"), (2L, "jonathon smith"), (3L, "jon smith"),
+    (4L, "claire dubois"), (5L, "clair dubois"), (6L, "claire dubios"),
+    (7L, "zhang wei"), (8L, "zhang wei"), (9L, "wang wei"),
+    (10L, "a"), (11L, "ab"), (12L, "b"), (13L, "abcd"), (14L, "abce"),
+    (15L, "completely different entry"), (16L, "xylophone quartz"),
+    (17L, null), (18L, "jonathan smyth"),
+    (19L, "short"), (20L, "shirt"), (21L, "claire duboise"))
+
   /** Multi-line fixtures for q_strip_boilerplate: two multi-doc "sites"
     * with planted repeated footers/CTAs plus a single-doc site (can never
     * reach minDocs — must pass through untouched).
@@ -1377,6 +1429,47 @@ object SparkEntry {
     "q_count_pattern" ->
       ("SELECT *, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digits, " +
         "CAST(len(regexp_extract_all(c_name, '[A-Za-z]+')) AS BIGINT) AS n_words FROM customer"),
+    "q_quantile_profile" -> {
+      // nearest-rank picks recomputed branch-per-(column, prob); the same
+      // FLOOR(p·(n−1))+1 index arithmetic as the DataFrame face
+      def xS(cn: String) =
+        s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+      val branches = for {
+        cn <- Seq("l_quantity", "l_extendedprice"); p <- Seq(0.25, 0.5, 0.75, 0.95)
+      } yield s"SELECT '$cn' AS col_name, CAST('$p' AS DOUBLE) AS prob, " +
+        s"MAX(CASE WHEN _rn = FLOOR(CAST('$p' AS DOUBLE) * (_n - 1)) + 1 THEN _x END) AS value, " +
+        s"MAX(_n) AS n FROM (SELECT ${xS(cn)} AS _x, " +
+        s"ROW_NUMBER() OVER (ORDER BY ${xS(cn)} ASC NULLS LAST) AS _rn, " +
+        s"COUNT(${xS(cn)}) OVER () AS _n FROM lineitem) WHERE _x IS NOT NULL"
+      branches.mkString(" UNION ALL ")
+    },
+    "q_entropy_profile" -> {
+      // fixed-point ln terms (the weighted_agg regime) so the float
+      // entropy is partitioning- and engine-independent
+      def br(cn: String) =
+        s"SELECT '$cn' AS col_name, CAST(SUM(_cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct, " +
+          "FLOOR(LN(CAST(SUM(_cnt) AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
+          "(CAST(SUM(CAST(CAST(FLOOR(CAST(_cnt AS DOUBLE) * LN(CAST(_cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1000000) / CAST(SUM(_cnt) AS DOUBLE) AS entropy, " +
+          "1.0 - CAST(SUM(CAST(_cnt AS DECIMAL(19,0)) * CAST(_cnt AS DECIMAL(19,0))) AS DOUBLE) / (CAST(SUM(_cnt) AS DOUBLE) * CAST(SUM(_cnt) AS DOUBLE)) AS simpson " +
+          s"FROM (SELECT CAST($cn AS VARCHAR) AS _v, COUNT(*) AS _cnt FROM customer " +
+          s"WHERE $cn IS NOT NULL GROUP BY _v)"
+      Seq("c_mktsegment", "c_nationkey").map(br).mkString(" UNION ALL ")
+    },
+    "q_k_anonymity" ->
+      ("SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt FROM customer " +
+        "GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) < 8"),
+    "q_dataset_splits" -> {
+      // boundary literals via the SAME scanLeft running sum the op uses,
+      // so both engines parse the identical double
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail.init
+      val cases = cums.zip(Seq("train", "val")).map { case (cm, nm) =>
+        s"WHEN _d_rn <= FLOOR(CAST('$cm' AS DOUBLE) * _d_cnt) THEN '$nm'"
+      }.mkString(" ")
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, " +
+        s"CASE $cases ELSE 'test' END AS split FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC NULLS FIRST) AS _d_rn, " +
+        "COUNT(*) OVER (PARTITION BY o_orderstatus) AS _d_cnt FROM orders)"
+    },
     "q_asof_join" ->
       ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
@@ -1705,6 +1798,33 @@ object SparkEntry {
           "FROM (SELECT doc_id, tk, n, unnest(range(0, greatest(n, 1), 48)) AS s FROM t2)"),
       "q_dedup_exact" ->
         raw"SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)) WHERE rn = 1",
+      "q_fuzzy_pairs" -> {
+        // DuckDB recomputes every pair's levenshtein over the same VALUES —
+        // the miner's pigeonhole candidates must lose nothing
+        val vals = namesFixture.map {
+          case (id, null) => s"($id, NULL)"
+          case (1L, nm)   => s"(CAST(1 AS BIGINT), '$nm')"
+          case (id, nm)   => s"($id, '$nm')"
+        }.mkString(", ")
+        s"WITH f AS (SELECT * FROM (VALUES $vals) AS t(id, name)) " +
+          "SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist " +
+          "FROM f a JOIN f b ON a.id < b.id WHERE levenshtein(a.name, b.name) <= 2"
+      },
+      "q_top_ngrams" ->
+        (s"WITH t AS (SELECT $toks AS tk FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+          "g AS (SELECT array_to_string(list_slice(tk, i, i + 1), ' ') AS ngram " +
+          "FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2)) " +
+          "SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY ngram " +
+          "ORDER BY cnt DESC, ngram ASC LIMIT 25"),
+      "q_cluster_embeddings" -> {
+        // the lattice fixture's k-means clusters ARE the construction
+        // clusters (vec_id mod 4), labeled by min member id — sanity: ids
+        // 0..3 land one per cluster, so the label equals the mod itself
+        val vals = (0 until 24).map { i =>
+          if (i == 0) "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))" else s"($i, ${i % 4})"
+        }.mkString(", ")
+        s"SELECT * FROM (VALUES $vals) AS t(vec_id, cluster)"
+      },
       "q_dedup_ngram" -> ngramJaccardSql(n = 2, threshold = 0.9),
       "q_dedup_ngram_ii" -> ngramJaccardSql(n = 3, threshold = 0.5),
       "q_dedup_containment" ->

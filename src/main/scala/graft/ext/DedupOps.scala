@@ -481,6 +481,115 @@ final class DedupOps(private val c: Chain) extends AnyVal {
       .drop("_stripped")
     c.next("strip_dup_spans", df2, None)
   }
+
+  /** fuzzy_pairs(id, str, max_dist): edit-distance pair mining — every
+    * unordered pair of rows whose strings sit within `maxDist` Levenshtein
+    * edits, as `(id_a, id_b, dist)` with `id_a` the smaller id. The
+    * entity-resolution primitive lexical shingles miss (typo'd names, IDs
+    * off by a keystroke, OCR noise); null strings never pair.
+    *
+    * Candidate generation is PassJoin's pigeonhole partitioning (Li,
+    * Deng, Feng — VLDB'11 family; public literature): the SHORTER string
+    * of a pair (ties by id) is cut into maxDist+1 contiguous segments —
+    * at edit distance ≤ maxDist at least one segment survives unedited
+    * and appears EXACTLY in the longer string, shifted at most maxDist
+    * positions. The short side emits its maxDist+1 segments; the long
+    * side emits the substrings such a segment could occupy: (Δlen+1
+    * candidate short-lengths) × (maxDist+1 segments) × (≤ 2·maxDist+1
+    * shifts) keys — O(maxDist³) per row, CONSTANT in corpus size. Pairs
+    * then equi-join on (short-length, segment-index, segment-text) —
+    * bucketed by segment text, never all-pairs — dedupe to one candidate
+    * per pair, and verify with the threshold-bounded Levenshtein kernel
+    * (early-abandons above maxDist).
+    *
+    * Strings shorter than 2·maxDist+1 fall below the pigeonhole's working
+    * regime (segments degenerate toward single characters); any valid
+    * pair whose shorter side has < maxDist+1 characters has BOTH sides
+    * that short, so the tiny family all-pairs against itself under a
+    * broadcast — guarded by `tinyCap` with a loud refusal, because an
+    * all-pairs face must always be declared, never silent.
+    */
+  def fuzzyPairs(idCol: String, strCol: String, maxDist: Int,
+                 tinyCap: Int = 10000): Chain = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"fuzzy_pairs needs max_dist in [1, 4] (candidate fan-out is cubic in it), got $maxDist")
+    val k = maxDist + 1
+    val base = c.df
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .where(col("_s").isNotNull)
+      .withColumn("_l", length(col("_s")))
+    def pairOut(aId: Column, bId: Column, aS: Column, bS: Column) = Seq(
+      least(aId, bId).as("id_a"), greatest(aId, bId).as("id_b"),
+      levenshtein(aS, bS).cast("int").as("dist"))
+
+    // tiny family: both sides of any pair whose shorter side < k chars
+    // have length <= 2*maxDist — all-pairs within the (capped) tiny set
+    val tinyRaw = base.where(col("_l") <= 2 * maxDist)
+    val tinyN = tinyRaw.count() // declared bounded probe, gates the cap
+    require(tinyN <= tinyCap,
+      s"fuzzy_pairs: $tinyN strings of length <= ${2 * maxDist} exceed tinyCap=$tinyCap — " +
+        "the sub-pigeonhole family pairs all-against-all; raise tinyCap deliberately " +
+        "or pre-filter trivial strings")
+    val tiny = tinyRaw.localCheckpoint() // cap-checked: at most tinyCap rows
+    val tinyPairs = tiny.as("a")
+      .join(broadcast(tiny.as("b")),
+        col("a._id") < col("b._id") &&
+          least(col("a._l"), col("b._l")) < k &&
+          abs(col("a._l") - col("b._l")) <= maxDist &&
+          levenshtein(col("a._s"), col("b._s"), maxDist) >= 0)
+      .select(pairOut(col("a._id"), col("b._id"), col("a._s"), col("b._s")): _*)
+
+    // pigeonhole family: shorter side (by (len, id)) indexes its k
+    // segments; longer side probes every substring a surviving segment
+    // could occupy. Segment j of an l-char string: the first k - l%k
+    // segments take FLOOR(l/k) chars, the rest one more.
+    def segLen(j: Int, l: Column) =
+      floor(l / k).cast("int") + when(lit(j) >= lit(k) - l % k, 1).otherwise(0)
+    def segStart(j: Int, l: Column) = // 0-based
+      (floor(l / k) * j).cast("int") + greatest(lit(0), lit(j) - (lit(k) - (l % k).cast("int")))
+    val idx = base.where(col("_l") >= k).select(
+      col("_id"), col("_s"), col("_l"),
+      explode(array((0 until k).map { j =>
+        struct(col("_l").as("_kl"), lit(j).as("_kj"),
+          expr(s"substring(_s, ${segStartSql(j, k)} + 1, ${segLenSql(j, k)})").as("_kseg"))
+      }: _*)).as("_k"))
+    val probeKeys = for {
+      delta <- 0 to maxDist; j <- 0 until k; shift <- -maxDist to maxDist
+    } yield (delta, j, shift)
+    val probe = base.where(col("_l") >= k).select(
+      col("_id"), col("_s"), col("_l"),
+      explode(array(probeKeys.map { case (delta, j, shift) =>
+        val lp = col("_l") - delta // candidate shorter length
+        val pos = segStart(j, lp) + shift
+        val len = segLen(j, lp)
+        when(lp >= k && pos >= 0 && pos + len <= col("_l"),
+          struct(lp.as("_kl"), lit(j).as("_kj"),
+            expr(s"substring(_s, ${segStartSql(j, k, s"(_l - $delta)")} + $shift + 1, " +
+              s"${segLenSql(j, k, s"(_l - $delta)")})").as("_kseg")))
+      }: _*)).as("_k"))
+      .where(col("_k").isNotNull)
+    val cands = probe.as("e").join(idx.as("i"),
+      col("e._k") === col("i._k") &&
+        (col("i._l") < col("e._l") ||
+          (col("i._l") === col("e._l") && col("i._id") < col("e._id"))))
+      .select(col("i._id").as("_ia"), col("e._id").as("_ib"),
+        col("i._s").as("_sa"), col("e._s").as("_sb"))
+      .distinct()
+      .where(levenshtein(col("_sa"), col("_sb"), maxDist) >= 0)
+      .select(pairOut(col("_ia"), col("_ib"), col("_sa"), col("_sb")): _*)
+    c.next("fuzzy_pairs", tinyPairs.unionByName(cands), None)
+  }
+
+  /** SQL text for [[fuzzyPairs]]'s 0-based segment start/length of segment
+    * j when a string of length `lS` is cut into k segments (first k − l%k
+    * segments take FLOOR(l/k), the rest one more) — the expr-side twin of
+    * the Column arithmetic, kept in one place so both sides of the
+    * pigeonhole agree character-for-character.
+    */
+  private def segStartSql(j: Int, k: Int, lS: String = "_l"): String =
+    s"(CAST(FLOOR($lS / $k) * $j AS INT) + GREATEST(0, $j - ($k - CAST($lS % $k AS INT))))"
+  private def segLenSql(j: Int, k: Int, lS: String = "_l"): String =
+    s"(CAST(FLOOR($lS / $k) AS INT) + (CASE WHEN $j >= $k - $lS % $k THEN 1 ELSE 0 END))"
 }
 
 object DedupOps {

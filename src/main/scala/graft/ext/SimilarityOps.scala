@@ -557,6 +557,53 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("cosine_topk_lsh",
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
   }
+
+  /** cluster_embeddings(id, vec, k): first-class spherical k-means over
+    * the embedding column — the semantic corpus-partitioning primitive
+    * (topic discovery, SemDeDup-style cluster-then-dedup, per-cluster
+    * sampling). Appends `cluster`, labeled by the MINIMUM member id of
+    * each cluster (stable, meaningful labels — the connected-components
+    * convention — instead of arbitrary centroid ordinals). Rows whose
+    * vector fails the [[SimilarityOps.usableVec]] guard (null, zero-norm,
+    * NaN component) get a NULL cluster — a corrupted embedding is
+    * unknowable, it must not merge into a real cluster. Ids may be
+    * integral or string (the ANN-family admission rule).
+    *
+    * Training runs on a bounded hash-deterministic sample (`trainSample`
+    * rows via one declared driver collect — the [[ivfIndex]] regime), so
+    * centroids are a pure function of the data, not the partitioning;
+    * assignment is ONE codegen projection (greatest over per-centroid
+    * exact dots — no shuffle), the label map is a k-row aggregate
+    * broadcast back. At 100 TB: one scan to assign, one tiny exchange for
+    * the label map, nothing iterative on the full corpus.
+    */
+  def clusterEmbeddings(idCol: String, vecCol: String, k: Int,
+                        trainSample: Int = 4096, trainIters: Int = 15,
+                        as: String = "cluster"): Chain = {
+    require(k >= 1, s"cluster_embeddings needs k >= 1, got $k")
+    val (idExpr, _) = SimilarityOps.indexId("cluster_embeddings", c.df, idCol)
+    val nrm = sqrt(Exact.dot(col(vecCol), col(vecCol)))
+    val usable = SimilarityOps.usableVec(col(vecCol), nrm)
+    val trainVecs = c.df
+      .select(idExpr.as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      .where(SimilarityOps.usableVec(col("_v"), col("_n")))
+      .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+      .limit(trainSample)
+      .select(col("_v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = SimilarityOps.sphericalKMeans(trainVecs, k, trainIters)
+    val assigned = c.df.withColumn("_ce_cid",
+      when(usable, SimilarityOps.bestCellId(col(vecCol), centers)))
+    val labels = assigned.where(col("_ce_cid").isNotNull)
+      .groupBy(col("_ce_cid")).agg(min(idExpr).as(as))
+    val df2 = assigned
+      .join(broadcast(labels), Seq("_ce_cid"), "left")
+      .drop("_ce_cid")
+    // restore the source column order (using-join moved _ce_cid to front)
+    val outCols = c.df.columns.map(col).toSeq :+ col(as)
+    c.next("cluster_embeddings", df2.select(outCols: _*), None)
+  }
 }
 
 object SimilarityOps {

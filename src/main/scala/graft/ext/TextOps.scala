@@ -1086,4 +1086,64 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("count_pattern", df2, Some(
       s"SELECT *, ${patSql.mkString(", ")} FROM {{source}}"))
   }
+
+  /** top_ngrams(text_col, n, k, group_by): the corpus n-gram frequency
+    * census — the top-k most frequent token n-grams with their counts
+    * (per group when `groupBy` is set), ordered count-desc then ngram-asc
+    * (deterministic at the k boundary). The diagnostic behind boilerplate
+    * discovery, contamination screening and "what is this corpus actually
+    * made of". Tokens are the engine-standard whitespace tokens of the
+    * lowercased text ([[TextOps.tokens]]); every OCCURRENCE counts (this
+    * is a frequency census, not the per-doc distinct shingle set the
+    * Jaccard miners use); docs with fewer than n tokens (and null/blank
+    * docs) contribute nothing.
+    *
+    * Scale: explode → ONE hash aggregate with map-side partial combine
+    * (the shuffle carries (ngram, partial count), not token streams) →
+    * global top-k via TakeOrderedAndProject resp. a per-group rank window
+    * over the aggregated (small) frame. No driver-side work beyond the
+    * k-row result.
+    */
+  def topNgrams(textCol: String, n: Int, k: Int,
+                groupBy: Seq[String] = Nil): Chain = {
+    require(n >= 1 && n <= 8, s"top_ngrams needs n in [1, 8], got $n")
+    require(k >= 1, s"top_ngrams needs k >= 1, got $k")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val exploded = c.df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
+        size(toks) >= n)
+      .select((groupBy.map(col) :+ explode(grams).as("ngram")): _*)
+    val counts = exploded.groupBy((groupBy.map(col) :+ col("ngram")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val df2 =
+      if (groupBy.isEmpty)
+        counts.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
+      else {
+        val w = Window.partitionBy(groupBy.map(col): _*)
+          .orderBy(col("cnt").desc, col("ngram").asc)
+        counts.withColumn("_tg_rn", row_number().over(w))
+          .where(col("_tg_rn") <= k).drop("_tg_rn")
+      }
+    val tq = Naming.quoteId(textCol)
+    val toksS = TextOps.tokensSql(tq)
+    val gramS = s"transform(sequence(1, size($toksS) - ${n - 1}), " +
+      s"i -> array_join(slice($toksS, i, $n), ' '))"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val innerSql =
+      s"SELECT $gSel ngram, COUNT(*) AS cnt FROM (" +
+        s"SELECT $gSel explode($gramS) AS ngram FROM {{source}} " +
+        s"WHERE $tq IS NOT NULL AND length(trim($tq)) > 0 AND size($toksS) >= $n) " +
+        s"GROUP BY ${gSel}ngram"
+    val sqlFace =
+      if (groupBy.isEmpty)
+        s"$innerSql ORDER BY cnt DESC, ngram ASC LIMIT $k"
+      else
+        s"SELECT ${gSel}ngram, cnt FROM (SELECT *, ROW_NUMBER() OVER (" +
+          s"PARTITION BY ${groupBy.mkString(", ")} ORDER BY cnt DESC, ngram ASC) AS _tg_rn " +
+          s"FROM ($innerSql)) WHERE _tg_rn <= $k"
+    c.next("top_ngrams", df2, Some(sqlFace))
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.{Chain, Exact, Naming}
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -988,5 +989,152 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"SELECT ${gSel}${fpS("_w * _x")} AS _swxfp, ${fpS("_w")} AS _swfp, COUNT(_x) AS n FROM (" +
         s"SELECT ${gSel}CASE WHEN $bothS THEN CAST($valueCol AS DOUBLE) END AS _x, " +
         s"CASE WHEN $bothS THEN CAST($weightCol AS DOUBLE) END AS _w FROM {{source}})$gBy)"))
+  }
+
+  /** quantile_profile(columns, probs, group_by): exact nearest-rank
+    * quantiles in LONG form — one `(col_name, prob, value, n)` row per
+    * (column × probability), the distribution fingerprint behind corpus
+    * audits ("where does the p99 of tokens-per-doc sit per source").
+    * Nearest-rank convention: rank FLOOR(p·(n−1))+1 over the null/NaN-
+    * excluded ascending order — the [[graft.ops.EncodeOps.robustScaler]]
+    * convention, exact and engine-portable where interpolated percentiles
+    * are not. Each column's n is its own (exclusion is per column).
+    *
+    * Scale: the columns melt to long form first (k× row blowup BEFORE one
+    * exchange on (group, col_name) — a single window sort services every
+    * column and every probability; no per-column passes), then one hash
+    * aggregate reduces to groups × columns rows and the tiny prob explode
+    * runs on that. Probability-index arithmetic uses the same IEEE double
+    * product in both faces.
+    */
+  def quantileProfile(cols: Seq[String], probs: Seq[Double],
+                      groupBy: Seq[String] = Nil): Chain = {
+    require(cols.nonEmpty, "quantile_profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"quantile_profile columns repeat: $cols")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile_profile probs must be in [0, 1], got $probs")
+    require(probs.distinct.size == probs.size, s"quantile_profile probs repeat: $probs")
+    val melted = c.df.select((groupBy.map(col) :+ explode(array(cols.map(cn =>
+      struct(lit(cn).as("_c"), col(cn).cast("double").as("_x"))): _*)).as("_m")): _*)
+      .select((groupBy.map(col) ++ Seq(col("_m._c").as("_c"), col("_m._x").as("_x"))): _*)
+      .where(col("_x").isNotNull && !isnan(col("_x")))
+    val part = groupBy.map(col) :+ col("_c")
+    val w = Window.partitionBy(part: _*)
+    val ranked = melted
+      .withColumn("_rn", row_number().over(w.orderBy(col("_x").asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+    val pickAggs = probs.zipWithIndex.map { case (p, i) =>
+      max(when(col("_rn") === floor(lit(p) * (col("_n") - 1)) + 1, col("_x"))).as(s"_q$i")
+    } :+ max(col("_n")).as("_qn")
+    val g = ranked.groupBy(part: _*).agg(pickAggs.head, pickAggs.tail: _*)
+    val probRows = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("prob"), col(s"_q$i").as("value"))
+    }
+    val df2 = g
+      .select((groupBy.map(col) ++ Seq(col("_c").as("col_name"),
+        explode(array(probRows: _*)).as("_p"), col("_qn").as("n"))): _*)
+      .select((groupBy.map(col) ++ Seq(col("col_name"), col("_p.prob"),
+        col("_p.value"), col("n"))): _*)
+    // SQL face: one branch per column over the shared window shape; prob
+    // literals through CAST('<p>' AS DOUBLE) (the winsorize rationale)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val wp = if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
+    val branches = for (cn <- cols; p <- probs) yield {
+      val pS = s"CAST('$p' AS DOUBLE)"
+      val xS = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+      s"SELECT $gSel'$cn' AS col_name, $pS AS prob, " +
+        s"MAX(CASE WHEN _rn = FLOOR($pS * (_n - 1)) + 1 THEN _x END) AS value, " +
+        s"MAX(_n) AS n FROM (SELECT $gSel$xS AS _x, " +
+        s"ROW_NUMBER() OVER ($wp ORDER BY $xS ASC NULLS LAST) AS _rn, " +
+        s"COUNT($xS) OVER ($wp) AS _n FROM {{source}}) WHERE _x IS NOT NULL" +
+        // ungrouped aggregate over zero rows still yields one (all-null)
+        // row — HAVING drops it to match the DataFrame face's empty frame
+        (if (groupBy.isEmpty) " HAVING COUNT(*) > 0"
+         else s" GROUP BY ${groupBy.mkString(", ")}")
+    }
+    c.next("quantile_profile", df2, Some(branches.mkString(" UNION ALL ")))
+  }
+
+  /** entropy_profile(columns, group_by): categorical-balance census in
+    * LONG form — per column: value count `n` (nulls excluded), distinct
+    * count, Shannon entropy in nats, and the Simpson diversity index
+    * 1−Σ(c/n)². Low entropy on `lang`/`source`/`license` is the classic
+    * "this corpus is secretly one domain" smell; Simpson is the
+    * collision-probability complement (exact-rational, so it cross-checks
+    * the float entropy).
+    *
+    * Entropy closes as ln(n) − Σc·ln(c)/n with BOTH ln terms quantized to
+    * 1e-6 fixed-point integers before the exact-decimal sum — the
+    * [[weightedAgg]] regime — so the result is partitioning-independent
+    * and engine-exact (raw double Σ over per-value ln terms would drift
+    * with partition order).
+    *
+    * Scale: melt → one hash aggregate per (group, column, value) with
+    * map-side combine → one tiny aggregate per (group, column). The value-
+    * level frame is the only big exchange and it carries counts, not rows.
+    */
+  def entropyProfile(cols: Seq[String], groupBy: Seq[String] = Nil): Chain = {
+    require(cols.nonEmpty, "entropy_profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"entropy_profile columns repeat: $cols")
+    val melted = c.df.select((groupBy.map(col) :+ explode(array(cols.map(cn =>
+      struct(lit(cn).as("_c"), col(cn).cast("string").as("_v"))): _*)).as("_m")): _*)
+      .select((groupBy.map(col) ++ Seq(col("_m._c").as("_c"), col("_m._v").as("_v"))): _*)
+      .where(col("_v").isNotNull)
+    val vpart = groupBy.map(col) ++ Seq(col("_c"), col("_v"))
+    val counts = melted.groupBy(vpart: _*).agg(count(lit(1)).as("_cnt"))
+    def fpLn(x: Column) = floor(x * log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val g = counts.groupBy((groupBy.map(col) :+ col("_c")): _*).agg(
+      sum(col("_cnt")).as("n"),
+      count(lit(1)).as("n_distinct"),
+      sum(fpLn(col("_cnt").cast("double")).cast(DecimalType(38, 0))).as("_sclnc"),
+      // cast each factor to DECIMAL(19,0) BEFORE multiplying: the long
+      // product would overflow silently past ~3e9 rows per value, and
+      // 19×19 → DECIMAL(38,0) types identically in every ANSI engine
+      sum(col("_cnt").cast(DecimalType(19, 0)) *
+        col("_cnt").cast(DecimalType(19, 0))).as("_sc2"))
+    val nD = col("n").cast("double")
+    val entropy = (floor(log(nD) * lit(1e6) + lit(0.5)) / lit(1e6)) -
+      (col("_sclnc").cast("double") / lit(1e6)) / nD
+    val simpson = lit(1.0) - col("_sc2").cast("double") / (nD * nD)
+    val df2 = g.select((groupBy.map(col) ++ Seq(col("_c").as("col_name"),
+      col("n"), col("n_distinct"), entropy.as("entropy"), simpson.as("simpson"))): _*)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val gBy2 = if (groupBy.isEmpty) "" else s", ${groupBy.mkString(", ")}"
+    val branches = cols.map { cn =>
+      s"SELECT $gSel'$cn' AS col_name, CAST(SUM(_cnt) AS BIGINT) AS n, " +
+        s"COUNT(*) AS n_distinct, " +
+        s"FLOOR(LN(CAST(SUM(_cnt) AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
+        s"(CAST(SUM(CAST(CAST(FLOOR(CAST(_cnt AS DOUBLE) * LN(CAST(_cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1000000) / CAST(SUM(_cnt) AS DOUBLE) AS entropy, " +
+        s"1.0 - CAST(SUM(CAST(_cnt AS DECIMAL(19,0)) * CAST(_cnt AS DECIMAL(19,0))) AS DOUBLE) / (CAST(SUM(_cnt) AS DOUBLE) * CAST(SUM(_cnt) AS DOUBLE)) AS simpson " +
+        s"FROM (SELECT ${gSel}CAST($cn AS STRING) AS _v, COUNT(*) AS _cnt FROM {{source}} " +
+        s"WHERE $cn IS NOT NULL GROUP BY _v$gBy2)$gBy" +
+        // ungrouped aggregate over an all-null column still yields one
+        // null row — HAVING drops it to match the DataFrame face
+        (if (groupBy.isEmpty) " HAVING COUNT(*) > 0" else "")
+    }
+    c.next("entropy_profile", df2, Some(branches.mkString(" UNION ALL ")))
+  }
+
+  /** k_anonymity_violations(quasi_columns, k): the privacy audit half of
+    * [[graft.ops.ProjectOps.pseudonymize]] — every equivalence class over
+    * the quasi-identifier columns with FEWER than k members, i.e. the rows
+    * a linkage attack can narrow to under-k individuals even after direct
+    * identifiers are tokenized. Empty result = the table is k-anonymous on
+    * those columns. Null is a class value like any other (null quasi
+    * values group together — they narrow an attack too).
+    *
+    * Scale: one hash aggregate with map-side combine; the HAVING filter
+    * cuts the result to violating classes only before anything else runs.
+    */
+  def kAnonymityViolations(quasiCols: Seq[String], k: Int): Chain = {
+    require(quasiCols.nonEmpty, "k_anonymity needs at least one quasi-identifier column")
+    require(k >= 2, s"k_anonymity needs k >= 2, got $k")
+    val df2 = c.df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") < k)
+    val qSql = quasiCols.mkString(", ")
+    c.next("k_anonymity_violations", df2, Some(
+      s"SELECT $qSql, COUNT(*) AS cnt FROM {{source}} GROUP BY $qSql HAVING COUNT(*) < $k"))
   }
 }

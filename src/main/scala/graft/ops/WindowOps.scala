@@ -247,6 +247,90 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         s"COUNT(*) OVER (PARTITION BY $partSql) AS _s_cnt FROM {{source}})"))
   }
 
+  /** dataset_splits(splits, order_by, strata): the n-way generalization of
+    * [[trainTestSplit]] / [[trainTestSplitStratified]] — deterministic
+    * TRAIN/VAL/TEST(/…) labels in `split` from one ordered pass. Split i
+    * (in the given order) claims ranks in (FLOOR(cum_{i−1}·n),
+    * FLOOR(cum_i·n)] where cum is the running fraction sum, so sizes are
+    * exact to the floor convention and the LAST split absorbs the
+    * rounding remainder. With `strata` each stratum splits independently
+    * (per-class proportions hold in every slice); without, one global
+    * total order.
+    *
+    * Scale: stratified = ONE hash exchange on the strata keys + an
+    * in-partition sort (two windows over one partitioning — the
+    * [[trainTestSplitStratified]] plan). Global = a range-partitioned
+    * sort + zipWithIndex (the [[trainTestSplit]] shape) — labels come
+    * from the partition-local index, never a single-task window.
+    */
+  def datasetSplits(
+      splits: Seq[(String, Double)],
+      orderBy: Seq[(String, String)],
+      strata: Seq[String] = Nil): Chain = {
+    require(splits.size >= 2, s"dataset_splits needs >= 2 splits, got ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"dataset_splits names repeat: ${splits.map(_._1)}")
+    require(splits.forall(s => s._1.nonEmpty && !s._1.contains("'")),
+      s"split names must be non-empty and quote-free: ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0.0),
+      s"dataset_splits fractions must be > 0, got $splits")
+    val totalW = splits.map(_._2).sum
+    require(math.abs(totalW - 1.0) < 1e-9,
+      s"dataset_splits fractions must sum to 1, got $totalW")
+    require(orderBy.nonEmpty, "dataset_splits needs an ordering")
+    // running fraction boundaries for all but the last split; the exact
+    // double literals are shared verbatim by both faces
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+    val names = splits.map(_._1)
+    val caseSql = cums.zip(names.init).map { case (cm, nm) =>
+      s"WHEN _d_rn <= FLOOR(CAST('$cm' AS DOUBLE) * _d_cnt) THEN '$nm'"
+    }.mkString("CASE ", " ", s" ELSE '${names.last}' END")
+    val orderSql = orderBy.map { case (n, d) => s"$n ${dirSql(d)}" }.mkString(", ")
+    val orig = c.df.columns.mkString(", ")
+    if (strata.isEmpty) {
+      // global form: range-partitioned sort + partition-local index, the
+      // trainTestSplit shape — no single-task global window
+      val sorted = c.df.orderBy(orderBy.map { case (n, d) =>
+        if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+      }: _*).localCheckpoint()
+      val n = sorted.count()
+      val bounds = cums.map(cm => math.floor(cm * n).toLong)
+      val labels = names
+      val schema = StructType(sorted.schema.fields :+
+        StructField("split", StringType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+        val rn = i + 1
+        val idx = bounds.indexWhere(rn <= _)
+        Row.fromSeq(row.toSeq :+ (if (idx < 0) labels.last else labels(idx)))
+      }
+      val df2 = c.spark.createDataFrame(rdd, schema)
+      c.next("dataset_splits", df2, Some(
+        s"SELECT *, ${caseSql.replace("_d_rn", s"ROW_NUMBER() OVER (ORDER BY $orderSql)")
+          .replace("_d_cnt", "COUNT(*) OVER ()")} AS split FROM {{source}}"))
+    } else {
+      val wPart = Window.partitionBy(strata.map(col): _*)
+      val wOrd = wPart.orderBy(orderBy.map { case (n, d) =>
+        if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+      }: _*)
+      val rn = col("_d_rn")
+      val cnt = col("_d_cnt")
+      val labelExpr = cums.tail.zip(names.init.tail)
+        .foldLeft(when(rn <= floor(lit(cums.head) * cnt), names.head)) {
+          case (acc, (cm, nm)) => acc.when(rn <= floor(lit(cm) * cnt), nm)
+        }.otherwise(names.last)
+      val df2 = c.df
+        .withColumn("_d_rn", row_number().over(wOrd))
+        .withColumn("_d_cnt", count(lit(1)).over(wPart))
+        .withColumn("split", labelExpr)
+        .drop("_d_rn", "_d_cnt")
+      val partSql = strata.mkString(", ")
+      c.next("dataset_splits", df2, Some(
+        s"SELECT $orig, $caseSql AS split FROM (" +
+          s"SELECT *, ROW_NUMBER() OVER (PARTITION BY $partSql ORDER BY $orderSql) AS _d_rn, " +
+          s"COUNT(*) OVER (PARTITION BY $partSql) AS _d_cnt FROM {{source}})"))
+    }
+  }
+
   /** sessionize(partition, ts_col, gap_seconds, tiebreak): gap-based
     * session ids — the batch face of the streaming session window
     * (graft.streaming.EventStreams sessionized sink): a new session starts

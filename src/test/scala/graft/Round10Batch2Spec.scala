@@ -1,0 +1,241 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.ext._
+import TestSpark._
+
+/** Round-10 batch 2: quantile/entropy profiles, k-anonymity, n-way splits,
+  * PassJoin fuzzy pairs, n-gram census, embedding k-means. Driver oracles
+  * pin the happy paths; these specs pin the edges — NaN/null exclusion,
+  * floor conventions, pigeonhole completeness vs brute force, degenerate
+  * vectors, guards — and each rendered-SQL face.
+  */
+class Round10Batch2Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  // ---- quantile profile ------------------------------------------------
+
+  test("quantile_profile: nearest-rank picks, per-column NaN/null exclusion; SQL face agrees") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), Some(20.0)), (Some(3.0), Some(Double.NaN)),
+      (Some(4.0), None), (Some(5.0), Some(40.0))).toDF("a", "b")
+    val c = Chain(spark, "qp", df).quantileProfile(Seq("a", "b"), Seq(0.0, 0.5, 1.0))
+    val got = c.df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // a: 5 clean values -> median rank floor(.5*4)+1 = 3 -> 3.0
+    assert(got(("a", 0.0)) == ((1.0, 5L)) && got(("a", 0.5)) == ((3.0, 5L)) &&
+      got(("a", 1.0)) == ((5.0, 5L)))
+    // b: NaN and null excluded -> (10, 20, 40), median rank 2 -> 20.0, n=3
+    assert(got(("b", 0.0)) == ((10.0, 3L)) && got(("b", 0.5)) == ((20.0, 3L)) &&
+      got(("b", 1.0)) == ((40.0, 3L)))
+    df.createOrReplaceTempView("qp")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("quantile_profile grouped computes each stratum's own ranks; SQL face agrees") {
+    val df = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 10.0), ("g2", 30.0), ("g2", 50.0))
+      .toDF("g", "x")
+    val c = Chain(spark, "qpg", df).quantileProfile(Seq("x"), Seq(0.5), groupBy = Seq("g"))
+    val got = c.df.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == Map("g1" -> 1.0, "g2" -> 30.0), s"got $got") // rank floor(.5*(n-1))+1
+    df.createOrReplaceTempView("qpg")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  // ---- entropy profile -------------------------------------------------
+
+  test("entropy_profile: uniform = ln(k), constant = 0, nulls excluded; SQL face agrees") {
+    val df = Seq(("a", "x", Some("only")), ("b", "x", None), ("c", "x", Some("only")),
+      ("d", "x", Some("only"))).toDF("u", "k", "p")
+    val c = Chain(spark, "ep", df).entropyProfile(Seq("u", "k", "p"))
+    val got = c.df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (un, ud, ue, us) = got("u")
+    assert(un == 4 && ud == 4 && math.abs(ue - math.log(4)) < 1e-5)
+    assert(math.abs(us - 0.75) < 1e-12) // 1 - 4*(1/4)^2
+    val (kn, kd, ke, ks) = got("k")
+    assert(kn == 4 && kd == 1 && math.abs(ke) < 1e-5 && math.abs(ks) < 1e-12)
+    val (pn, pd, pe, _) = got("p")
+    assert(pn == 3 && pd == 1 && math.abs(pe) < 1e-5) // null dropped, rest constant
+    df.createOrReplaceTempView("ep")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  // ---- k-anonymity -----------------------------------------------------
+
+  test("k_anonymity_violations reports only under-k classes, nulls are a class; SQL face agrees") {
+    val df = Seq(("US", Some(1)), ("US", Some(1)), ("US", Some(1)),
+      ("DE", Some(2)), ("DE", None), (null, None)).toDF("country", "grp")
+    val c = Chain(spark, "ka", df).kAnonymityViolations(Seq("country", "grp"), 2)
+    val got = c.df.collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some("DE"), Some(2), 1L), (Some("DE"), None, 1L), (None, None, 1L)), s"got $got")
+    assertThrows[IllegalArgumentException](
+      Chain(spark, "ka", df).kAnonymityViolations(Seq("country"), 1))
+    df.createOrReplaceTempView("ka")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  // ---- dataset splits --------------------------------------------------
+
+  test("dataset_splits stratified: per-stratum floor-convention sizes; SQL face agrees") {
+    val df = (1 to 10).map(i => ("big", i)) ++ (1 to 5).map(i => ("small", i))
+    val d2 = df.toDF("s", "k")
+    val c = Chain(spark, "dss", d2).datasetSplits(
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2), Seq("k" -> "ASC"), strata = Seq("s"))
+    val got = c.df.groupBy("s", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // big: floor(.6*10)=6, floor(.8*10)=8 -> 6/2/2; small: 3/1/1
+    assert(got == Map(("big", "train") -> 6L, ("big", "val") -> 2L, ("big", "test") -> 2L,
+      ("small", "train") -> 3L, ("small", "val") -> 1L, ("small", "test") -> 1L), s"got $got")
+    // ordered assignment: stratum-local rank 1 is train, last is test
+    val first = c.df.where(col("s") === "big" && col("k") === 1).collect()(0).getAs[String]("split")
+    val last = c.df.where(col("s") === "big" && col("k") === 10).collect()(0).getAs[String]("split")
+    assert(first == "train" && last == "test")
+    d2.createOrReplaceTempView("dss")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("dataset_splits global: zipWithIndex labels equal the windowed SQL face") {
+    val d2 = (1 to 20).map(i => (i, s"r$i")).toDF("k", "v")
+    val c = Chain(spark, "dsg", d2).datasetSplits(
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), Seq("k" -> "DESC"))
+    val bySplit = c.df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == Map("train" -> 10L, "val" -> 5L, "test" -> 5L))
+    // DESC order: the largest keys are train
+    assert(c.df.where(col("split") === "train").agg(min("k")).collect()(0).getInt(0) == 11)
+    d2.createOrReplaceTempView("dsg")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    assertThrows[IllegalArgumentException](Chain(spark, "dsg", d2).datasetSplits(
+      Seq("a" -> 0.5, "b" -> 0.6), Seq("k" -> "ASC")))
+    assertThrows[IllegalArgumentException](Chain(spark, "dsg", d2).datasetSplits(
+      Seq("a" -> 0.5, "a" -> 0.5), Seq("k" -> "ASC")))
+  }
+
+  // ---- fuzzy pairs -----------------------------------------------------
+
+  test("fuzzy_pairs equals brute-force levenshtein on the planted-typo fixture") {
+    val names = SparkEntry.namesFixtureDf(spark)
+    val got = Chain(spark, "names", names).fuzzyPairs("id", "name", 2)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rowsL = SparkEntry.namesFixture
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rowsL; (ib, sb) <- rowsL
+      if ia < ib && sa != null && sb != null && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("fuzzy_pairs at max_dist=1 shrinks to the 1-edit families and the tinyCap guard fires") {
+    val names = SparkEntry.namesFixtureDf(spark)
+    val got1 = Chain(spark, "names", names).fuzzyPairs("id", "name", 1)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every dist-1-or-0 pair from the dist-2 result, nothing else
+    val got2 = Chain(spark, "names", names).fuzzyPairs("id", "name", 2)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got1 == got2.filter(_._3 <= 1))
+    assertThrows[IllegalArgumentException](
+      Chain(spark, "names", names).fuzzyPairs("id", "name", 2, tinyCap = 1))
+    assertThrows[IllegalArgumentException](
+      Chain(spark, "names", names).fuzzyPairs("id", "name", 9))
+  }
+
+  // ---- top ngrams ------------------------------------------------------
+
+  test("top_ngrams: occurrence counts, short docs dropped, deterministic ties; SQL face agrees") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "cat"), (4L, "  "),
+      (5L, null.asInstanceOf[String]), (6L, "THE CAT sat")).toDF("id", "text")
+    val c = Chain(spark, "tn", df).topNgrams("text", 2, 3)
+    val got = c.df.collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    // "the cat" x3, "cat sat" x2, then alphabetical first of the 1-count grams
+    assert(got == List("the cat" -> 3L, "cat sat" -> 2L, "cat ran" -> 1L), s"got $got")
+    df.createOrReplaceTempView("tn")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  test("top_ngrams grouped ranks within each group; SQL face agrees") {
+    val df = Seq(("a", "x y x y"), ("a", "x y"), ("b", "p q")).toDF("g", "text")
+    val c = Chain(spark, "tng", df).topNgrams("text", 2, 1, groupBy = Seq("g"))
+    val got = c.df.collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ("x y", 3L), "b" -> ("p q", 1L)), s"got $got")
+    df.createOrReplaceTempView("tng")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  // ---- cluster embeddings ----------------------------------------------
+
+  test("cluster_embeddings: lattice recovery, min-id labels, degenerate vectors -> null") {
+    val base = SparkEntry.embFixtureDf(spark)
+    val poisoned = base.unionByName(
+      Seq((100L, Seq(Float.NaN, 1.0f)), (101L, Seq(0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    val c = Chain(spark, "ce", poisoned).clusterEmbeddings("vec_id", "embedding", 4)
+    val got = c.df.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    (0 until 24).foreach(i => assert(got(i.toLong) == i % 4, s"vec $i -> ${got(i.toLong)}"))
+    assert(got(100L) == -1L && got(101L) == -1L) // NaN / zero-norm never merge
+  }
+
+  // ---- plan shapes (scale posture) --------------------------------------
+
+  test("fuzzy_pairs plan: segment equi-join candidates, no cartesian, one declared tiny BNLJ") {
+    val names = SparkEntry.namesFixtureDf(spark)
+    val plan = Chain(spark, "names", names).fuzzyPairs("id", "name", 2)
+      .df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pigeonhole candidates must equi-join on segment keys:\n${plan.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1,
+      s"exactly the capped tiny family may theta-join (got $bnlj BNLJ nodes):\n${plan.take(1500)}")
+  }
+
+  test("top_ngrams plan: global top-k is TakeOrderedAndProject, never a full sort") {
+    val plan = table("documents").topNgrams("text", 2, 25)
+      .df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(1200)}")
+  }
+
+  test("cluster_embeddings plan: one label-map exchange, corpus assigned without a shuffle") {
+    val c = Chain(spark, "ce", SparkEntry.embFixtureDf(spark))
+      .clusterEmbeddings("vec_id", "embedding", 4)
+    // sparkPlan predates EnsureRequirements (no exchanges yet) — read the
+    // AQE initialPlan, the pre-execution plan WITH exchanges
+    val plan = c.df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan.toString
+      case p => p.toString
+    }
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"only the k-row label aggregate may shuffle (got $exchanges):\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the label map must broadcast back:\n${plan.take(1200)}")
+  }
+
+  test("cluster_embeddings admits string ids and labels by min string id") {
+    val df = SparkEntry.embFixtureDf(spark)
+      .select(concat(lit("doc-"), format_string("%02d", col("vec_id"))).as("sid"),
+        col("embedding"))
+    val c = Chain(spark, "ces", df).clusterEmbeddings("sid", "embedding", 4)
+    val got = c.df.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // min string id of cluster (i mod 4) is doc-00 .. doc-03
+    got.foreach { case (sid, label) =>
+      val i = sid.stripPrefix("doc-").toInt
+      assert(label == f"doc-${i % 4}%02d", s"$sid -> $label")
+    }
+  }
+}
