@@ -388,6 +388,19 @@ object SparkEntry {
       t(s, d, "orders").datasetSplits(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         Seq("o_orderkey" -> "ASC"), strata = Seq("o_orderstatus")).df),
+    // numeric drift: PSI between the F and O order populations
+    "q_psi_profile" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      Chain(s, "orders_f", orders.df.where("o_orderstatus = 'F'"))
+        .psiProfile(orders.df.where("o_orderstatus = 'O'"),
+          "o_totalprice", 0.0, 500000.0, 16).df
+    }),
+    // categorical drift: segment mix between the two nation halves
+    "q_psi_categorical" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      Chain(s, "cust_lo", cust.df.where("c_nationkey < 13"))
+        .psiCategoricalProfile(cust.df.where("c_nationkey >= 13"), "c_mktsegment").df
+    }),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -520,6 +533,10 @@ object SparkEntry {
       "q_count_pattern" -> ((s, d) =>
         t(s, d, "customer").countPattern("c_name",
           Seq("digits" -> "[0-9]+", "words" -> "[A-Za-z]+")).df),
+      // named capture-group extraction (structured-field pulling)
+      "q_extract_pattern" -> ((s, d) =>
+        t(s, d, "customer").extractPattern("c_name",
+          "(Customer)#0*([0-9]+)", Seq("tag" -> 1, "cust_num" -> 2)).df),
       "q_text_quality" -> ((s, d) => t(s, d, "documents").qualityScore("text").df),
       "q_gopher_rules" -> ((s, d) => t(s, d, "documents").gopherRules("text").df),
     // pinned-coefficient scoring face of logisticRegression: the logit is a
@@ -1429,6 +1446,9 @@ object SparkEntry {
     "q_count_pattern" ->
       ("SELECT *, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digits, " +
         "CAST(len(regexp_extract_all(c_name, '[A-Za-z]+')) AS BIGINT) AS n_words FROM customer"),
+    "q_extract_pattern" ->
+      ("SELECT *, NULLIF(regexp_extract(c_name, '(Customer)#0*([0-9]+)', 1), '') AS tag, " +
+        "NULLIF(regexp_extract(c_name, '(Customer)#0*([0-9]+)', 2), '') AS cust_num FROM customer"),
     "q_quantile_profile" -> {
       // nearest-rank picks recomputed branch-per-(column, prob); the same
       // FLOOR(p·(n−1))+1 index arithmetic as the DataFrame face
@@ -1458,6 +1478,43 @@ object SparkEntry {
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt FROM customer " +
         "GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) < 8"),
+    "q_psi_profile" -> {
+      // the op's exact arithmetic replayed: eps-floored shares, 1e-6
+      // fixed-point ln factor, 1e-12 fixed-point exact psi_total
+      val loS = "CAST('0.0' AS DOUBLE)"; val wS = "CAST('31250.0' AS DOUBLE)"
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      def side(status: String, as: String) =
+        s"SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - $loS) / $wS) AS BIGINT), 15) AS bucket, " +
+          s"COUNT(*) AS $as FROM orders WHERE o_orderstatus = '$status' AND o_totalprice IS NOT NULL " +
+          s"AND NOT isnan(CAST(o_totalprice AS DOUBLE)) AND CAST(o_totalprice AS DOUBLE) >= $loS " +
+          s"AND CAST(o_totalprice AS DOUBLE) <= CAST('500000.0' AS DOUBLE) GROUP BY 1"
+      s"WITH sp AS (SELECT range AS bucket FROM range(0, 16)), cb AS (${side("F", "cb")}), " +
+        s"co AS (${side("O", "co")}), " +
+        "j AS (SELECT bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp LEFT JOIN cb USING (bucket) LEFT JOIN co USING (bucket)), " +
+        "t AS (SELECT CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT bucket, cnt_base, cnt_other, (GREATEST(CAST(cnt_base AS DOUBLE) / tb, $epsS) - GREATEST(CAST(cnt_other AS DOUBLE) / tot, $epsS)) * " +
+        s"(FLOOR(LN(GREATEST(CAST(cnt_base AS DOUBLE) / tb, $epsS) / GREATEST(CAST(cnt_other AS DOUBLE) / tot, $epsS)) * 1000000 + 0.5) / 1000000) AS psi_term " +
+        "FROM j CROSS JOIN t), " +
+        "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
+        s"SELECT bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
+        "cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
+    "q_psi_categorical" -> {
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      def side(pred: String, as: String) =
+        s"SELECT CAST(c_mktsegment AS VARCHAR) AS value, COUNT(*) AS $as FROM customer " +
+          s"WHERE $pred AND c_mktsegment IS NOT NULL GROUP BY 1"
+      s"WITH cb AS (${side("c_nationkey < 13", "cb")}), co AS (${side("c_nationkey >= 13", "co")}), " +
+        "j AS (SELECT value, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM cb FULL JOIN co USING (value)), " +
+        "t AS (SELECT CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT value, cnt_base, cnt_other, (GREATEST(CAST(cnt_base AS DOUBLE) / tb, $epsS) - GREATEST(CAST(cnt_other AS DOUBLE) / tot, $epsS)) * " +
+        s"(FLOOR(LN(GREATEST(CAST(cnt_base AS DOUBLE) / tb, $epsS) / GREATEST(CAST(cnt_other AS DOUBLE) / tot, $epsS)) * 1000000 + 0.5) / 1000000) AS psi_term " +
+        "FROM j CROSS JOIN t), " +
+        "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
+        "SELECT value, cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
     "q_dataset_splits" -> {
       // boundary literals via the SAME scanLeft running sum the op uses,
       // so both engines parse the identical double

@@ -1087,6 +1087,39 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"SELECT *, ${patSql.mkString(", ")} FROM {{source}}"))
   }
 
+  /** extract_pattern(text_col, pattern, groups): named capture-group
+    * extraction — one string column per (name, group-index), the
+    * structured-field puller behind "lift the date / id / version out of
+    * this semi-structured text". No match and null text both yield NULL
+    * (the faces normalize through NULLIF, which also irons out the
+    * engines' ''-vs-NULL disagreement on missing matches); group 0 is the
+    * whole match. Keep patterns RE2-safe (the [[countPattern]] rule) so
+    * the SQL face means the same thing everywhere. Invalid group indexes
+    * fail loudly at evaluation (Spark checks against the pattern's group
+    * count).
+    *
+    * Pure projection over codegen'd `regexp_extract` — no shuffle, pushes
+    * through scans.
+    */
+  def extractPattern(textCol: String, pattern: String,
+                     groups: Seq[(String, Int)]): Chain = {
+    require(groups.nonEmpty, "extract_pattern needs at least one named group")
+    require(groups.map(_._1).distinct.size == groups.size,
+      s"extract_pattern names repeat: ${groups.map(_._1)}")
+    require(groups.forall(_._2 >= 0),
+      s"extract_pattern group indexes must be >= 0, got $groups")
+    val df2 = groups.foldLeft(c.df) { case (d, (name, idx)) =>
+      val x = regexp_extract(col(textCol), pattern, idx)
+      d.withColumn(name, when(x === lit(""), lit(null).cast("string")).otherwise(x))
+    }
+    val pat = pattern.replace("'", "''")
+    val gSql = groups.map { case (name, idx) =>
+      s"NULLIF(regexp_extract(${Naming.quoteId(textCol)}, '$pat', $idx), '') AS $name"
+    }
+    c.next("extract_pattern", df2, Some(
+      s"SELECT *, ${gSql.mkString(", ")} FROM {{source}}"))
+  }
+
   /** top_ngrams(text_col, n, k, group_by): the corpus n-gram frequency
     * census — the top-k most frequent token n-grams with their counts
     * (per group when `groupBy` is set), ordered count-desc then ngram-asc

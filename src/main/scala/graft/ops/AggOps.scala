@@ -1137,4 +1137,108 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("k_anonymity_violations", df2, Some(
       s"SELECT $qSql, COUNT(*) AS cnt FROM {{source}} GROUP BY $qSql HAVING COUNT(*) < $k"))
   }
+
+  /** psi_profile(other, column, lo, hi, buckets): population-stability
+    * drift between THIS chain (baseline) and `other` (candidate) over
+    * equal-width bins — the dataset-shift alarm for refresh pipelines
+    * ("did the new crawl's doc-length distribution move"). Per bucket:
+    * both counts, and the PSI term (p′−q′)·ln(p′/q′) with both shares
+    * floored at `eps` (the standard dodge for empty buckets — the term is
+    * then always finite and non-negative); `psi_total` repeats Σterms on
+    * every row (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted). Binning follows [[histogram]] exactly: null/NaN/
+    * out-of-range rows are EXCLUDED, x = hi folds into the top bucket,
+    * empty buckets are present. A side with NO in-range rows yields null
+    * shares and null terms — visible, never a fake zero.
+    *
+    * Engine-exactness: shares are exact integer-over-integer IEEE
+    * divisions; the ln factor is quantized to 1e-6 fixed point (the
+    * [[entropyProfile]] regime) so the product is bit-stable across
+    * engines and partitionings.
+    *
+    * Scale: one hash aggregate per side (map-side combined, ≤ buckets
+    * rows out), totals and psi_total as windows over the bucket-count
+    * frame (tiny — never a second corpus scan), spine join broadcast.
+    * Not SQL-renderable (two frames — the [[graft.ops.JoinOps.diffAgainst]]
+    * posture).
+    */
+  def psiProfile(other: DataFrame, column: String, lo: Double, hi: Double,
+                 buckets: Int, eps: Double = 1e-6): Chain = {
+    require(buckets > 0, s"psi_profile needs buckets > 0, got $buckets")
+    require(hi > lo, s"psi_profile needs hi > lo, got [$lo, $hi]")
+    require(eps > 0.0 && eps < 1.0, s"psi_profile needs eps in (0, 1), got $eps")
+    val w = (hi - lo) / buckets
+    def bucketCounts(df: DataFrame, as: String) = {
+      val x = col(column).cast("double")
+      val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
+      val b = least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong))
+      df.where(in).groupBy(b.as("bucket")).agg(count(lit(1)).as(as))
+    }
+    val spine = c.spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
+      .join(bucketCounts(other, "_co"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+        coalesce(col("_co"), lit(0L)).as("cnt_other"))
+    val df2 = AggOps.psiTerms(joined, eps)
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(w))
+      .withColumn("bucket_hi", lit(lo) + (col("bucket") + lit(1L)) * lit(w))
+      .select("bucket", "bucket_lo", "bucket_hi", "cnt_base", "cnt_other",
+        "psi_term", "psi_total")
+    c.next("psi_profile", df2, None)
+  }
+
+  /** psi_categorical_profile(other, column): [[psiProfile]] over a
+    * categorical column's own value domain (language, source, license —
+    * the corpus-mix drift check): one row per value seen on EITHER side
+    * (full outer on the count frames), null values excluded like
+    * [[entropyProfile]] (count them separately if they matter). Same
+    * eps-floored fixed-point PSI arithmetic; no domain cap is needed —
+    * the join runs on aggregated counts, one row per distinct value.
+    */
+  def psiCategoricalProfile(other: DataFrame, column: String,
+                            eps: Double = 1e-6): Chain = {
+    require(eps > 0.0 && eps < 1.0, s"psi_categorical needs eps in (0, 1), got $eps")
+    def valueCounts(df: DataFrame, as: String) =
+      df.where(col(column).isNotNull)
+        .groupBy(col(column).cast("string").as("value"))
+        .agg(count(lit(1)).as(as))
+    val joined = valueCounts(c.df, "_cb")
+      .join(valueCounts(other, "_co"), Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+        coalesce(col("_co"), lit(0L)).as("cnt_other"))
+    c.next("psi_categorical_profile", AggOps.psiTerms(joined, eps), None)
+  }
+}
+
+private[graft] object AggOps {
+  /** Shared PSI closing arithmetic over a (…, cnt_base, cnt_other) count
+    * frame: eps-floored shares, a 1e-6 fixed-point ln factor, and a 1e-12
+    * fixed-point exact `psi_total`. Deliberately NO global window (a
+    * single-task stage ScaleLint rightly flags) and NO raw double sum
+    * (partitioning-dependent): totals ride two tiny broadcast aggregates.
+    * A side with no rows yields null shares → null terms → null total —
+    * visible, never a fake zero (greatest() would silently swallow the
+    * null into the eps floor, so nulls are preserved explicitly).
+    */
+  def psiTerms(joined: DataFrame, eps: Double): DataFrame = {
+    val totals = joined.agg(
+      sum(col("cnt_base")).as("_tb"), sum(col("cnt_other")).as("_to"))
+    // guard the divisor BEFORE dividing — ANSI mode raises on x/0 rather
+    // than returning NaN, and an empty side must read as null, not error
+    def floored(cnt: Column, tot: Column): Column =
+      when(tot.isNull || tot === lit(0L), lit(null).cast("double"))
+        .otherwise(greatest(cnt.cast("double") / tot.cast("double"), lit(eps)))
+    val pf = floored(col("cnt_base"), col("_tb"))
+    val qf = floored(col("cnt_other"), col("_to"))
+    val term = (pf - qf) * (floor(log(pf / qf) * lit(1e6) + lit(0.5)) / lit(1e6))
+    val t1 = joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term", term).drop("_tb", "_to")
+    // |term| ≤ ln(1/eps) < 28 → ×1e12 stays far inside the long range
+    val total2 = t1.agg((sum(floor(col("psi_term") * lit(1e12) + lit(0.5))
+      .cast("long").cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("psi_total"))
+    t1.crossJoin(broadcast(total2))
+  }
 }

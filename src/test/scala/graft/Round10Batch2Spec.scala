@@ -190,6 +190,108 @@ class Round10Batch2Spec extends AnyFunSuite {
     assert(got(100L) == -1L && got(101L) == -1L) // NaN / zero-norm never merge
   }
 
+  // ---- drift (PSI) -------------------------------------------------------
+
+  test("psi_profile: identical populations score 0, shifted ones > 0, empty side -> null") {
+    val base = Seq.tabulate(100)(i => (i % 10).toDouble).toDF("x")
+    val same = Chain(spark, "pp", base).psiProfile(base, "x", 0.0, 10.0, 5)
+    assert(same.df.select("psi_total").distinct().collect()(0).getDouble(0) == 0.0)
+    assert(same.df.count() == 5)
+    val shifted = Seq.tabulate(100)(i => (i % 10).toDouble / 2).toDF("x")
+    val drift = Chain(spark, "pp", base).psiProfile(shifted, "x", 0.0, 10.0, 5)
+    assert(drift.df.select("psi_total").distinct().collect()(0).getDouble(0) > 0.25,
+      "a halved domain must read as a population shift")
+    // every term non-negative (both factors share a sign by construction)
+    assert(drift.df.where(col("psi_term") < 0).count() == 0)
+    val empty = Chain(spark, "pp", base).psiProfile(
+      base.where(col("x") < -1), "x", 0.0, 10.0, 5)
+    val r = empty.df.select("psi_term", "psi_total").collect()
+    assert(r.forall(row => row.isNullAt(0) && row.isNullAt(1)),
+      "an empty side must surface null terms, never a fake zero")
+  }
+
+  test("psi_categorical_profile: one-sided values eps-floor, identical mixes score 0") {
+    val base = (Seq.fill(8)("en") ++ Seq.fill(2)("de")).toDF("lang")
+    val other = (Seq.fill(8)("en") ++ Seq.fill(2)("fr")).toDF("lang")
+    val c = Chain(spark, "pc", base).psiCategoricalProfile(other, "lang")
+    val got = c.df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("en", "de", "fr"))
+    assert(got("en")._3 == 0.0) // same share both sides
+    assert(got("de")._1 == 2 && got("de")._2 == 0 && got("de")._3 > 0)
+    assert(got("fr")._1 == 0 && got("fr")._2 == 2 && got("fr")._3 > 0)
+    val zero = Chain(spark, "pc", base).psiCategoricalProfile(base, "lang")
+    assert(zero.df.select("psi_total").distinct().collect()(0).getDouble(0) == 0.0)
+  }
+
+  // ---- extract pattern -----------------------------------------------------
+
+  test("extract_pattern: groups, no-match and null normalize to NULL; SQL face agrees") {
+    val df = Seq(Some("v2.13-rc1"), Some("no version here"), None).map(Tuple1(_)).toDF("t")
+    val c = Chain(spark, "xp", df).extractPattern("t",
+      "v([0-9]+)\\.([0-9]+)", Seq("major" -> 1, "minor" -> 2, "whole" -> 0))
+    val got = c.df.collect().map(r => Option(r.getString(0)) ->
+      (Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got(Some("v2.13-rc1")) == ((Some("2"), Some("13"), Some("v2.13"))))
+    assert(got(Some("no version here")) == ((None, None, None)))
+    assert(got(None) == ((None, None, None)))
+    assertThrows[IllegalArgumentException](
+      Chain(spark, "xp", df).extractPattern("t", "v(.)", Seq("a" -> 1, "a" -> 1)))
+    df.createOrReplaceTempView("xp")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+  }
+
+  // ---- empty-input contract ----------------------------------------------
+
+  test("round-10 ops complete on empty input with the contract schema") {
+    val emptyNums = Seq.empty[(String, Double, Double)].toDF("g", "x", "w")
+    val e1 = Chain(spark, "e1", emptyNums).histogram("x", 0.0, 10.0, 4)
+    assert(e1.df.count() == 4 && e1.df.agg(sum("cnt")).collect()(0).getLong(0) == 0)
+    val e2 = Chain(spark, "e2", emptyNums).quantileProfile(Seq("x"), Seq(0.5))
+    assert(e2.df.columns.sameElements(Array("col_name", "prob", "value", "n")) &&
+      e2.df.count() == 0)
+    val e3 = Chain(spark, "e3", emptyNums).entropyProfile(Seq("g"))
+    assert(e3.df.count() == 0)
+    val e4 = Chain(spark, "e4", emptyNums).weightedAgg(Seq("g"), "x", "w")
+    assert(e4.df.count() == 0)
+    val e5 = Chain(spark, "e5", emptyNums).skewProfile(Seq("g"), 5)
+    assert(e5.df.count() == 0)
+    val e6 = Chain(spark, "e6", emptyNums).kAnonymityViolations(Seq("g"), 3)
+    assert(e6.df.count() == 0)
+    val e7 = Chain(spark, "e7", emptyNums).corrMatrix(Seq("x", "w"))
+    assert(e7.df.count() == 1) // ungrouped aggregate: one all-null-stats row
+    val e8 = Chain(spark, "e8", emptyNums)
+      .datasetSplits(Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> "ASC"))
+    assert(e8.df.columns.contains("split") && e8.df.count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    val e9 = Chain(spark, "e9", emptyDocs).topNgrams("text", 2, 5)
+    assert(e9.df.columns.sameElements(Array("ngram", "cnt")) && e9.df.count() == 0)
+    val e10 = Chain(spark, "e10", emptyDocs).fuzzyPairs("id", "text", 2)
+    assert(e10.df.columns.sameElements(Array("id_a", "id_b", "dist")) && e10.df.count() == 0)
+    val e11 = Chain(spark, "e11", emptyDocs).countPattern("text", Seq("d" -> "[0-9]+"))
+    assert(e11.df.columns.contains("n_d") && e11.df.count() == 0)
+    val e12 = Chain(spark, "e12", emptyDocs)
+      .extractPattern("text", "([0-9]+)", Seq("num" -> 1))
+    assert(e12.df.columns.contains("num") && e12.df.count() == 0)
+    val e13 = Chain(spark, "e13", emptyNums).psiProfile(emptyNums, "x", 0.0, 10.0, 4)
+    assert(e13.df.count() == 4 &&
+      e13.df.where(col("psi_total").isNotNull).count() == 0)
+    val e14 = Chain(spark, "e14", emptyNums).psiCategoricalProfile(emptyNums, "g")
+    assert(e14.df.count() == 0)
+    val e15 = Chain(spark, "e15", emptyNums).shard(4, Seq("g"))
+    assert(e15.df.columns.contains("shard") && e15.df.count() == 0)
+    val e16 = Chain(spark, "e16", emptyNums).pseudonymize(Seq("g"), "s")
+    assert(e16.df.count() == 0)
+    // Spark (both faces) emits NO rows for grouping sets over empty input —
+    // even for the () set, unlike a plain ungrouped aggregate. Pinned so a
+    // Spark behavior change is noticed.
+    val e17 = Chain(spark, "e17", emptyNums).groupingSetsAgg(
+      Seq(Seq("g"), Seq()), Seq("x" -> Seq("SUM")))
+    assert(e17.df.count() == 0)
+    emptyNums.createOrReplaceTempView("e17")
+    assert(spark.sql(e17.sql()).count() == 0, "faces agree on empty input")
+  }
+
   // ---- plan shapes (scale posture) --------------------------------------
 
   test("fuzzy_pairs plan: segment equi-join candidates, no cartesian, one declared tiny BNLJ") {
