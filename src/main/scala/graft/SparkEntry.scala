@@ -361,6 +361,11 @@ object SparkEntry {
     "q_corr_matrix" -> ((s, d) =>
       t(s, d, "lineitem").corrMatrix(
         Seq("l_quantity", "l_extendedprice", "l_discount")).df),
+    // listwise deletion mode: shared per-column sums, one shared n
+    "q_corr_matrix_listwise" -> ((s, d) =>
+      t(s, d, "lineitem").corrMatrix(
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        deletion = "listwise").df),
     // hot-key census: top-10 heaviest keys with corpus share
     "q_skew_profile" -> ((s, d) =>
       t(s, d, "lineitem").skewProfile(Seq("l_suppkey"), 10).df),
@@ -1408,6 +1413,21 @@ object SparkEntry {
           s"${dsum8("_x * _y")} AS _sxy, ${dsum8("_x * _x")} AS _sxx, ${dsum8("_y * _y")} AS _syy FROM (" +
           s"SELECT CASE WHEN $both THEN CAST($a AS DOUBLE) END AS _x, CASE WHEN $both THEN CAST($b AS DOUBLE) END AS _y FROM lineitem))"
       }
+      Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))
+        .map { case (a, b) => branch(a, b) }.mkString(" UNION ALL ")
+    },
+    "q_corr_matrix_listwise" -> {
+      // listwise gate: a row leaves EVERY pair when any screened column is
+      // null/NaN (the fixtures carry none, but the gate is the contract)
+      val all = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val ok = all.map(cn =>
+        s"$cn IS NOT NULL AND NOT isnan(CAST($cn AS DOUBLE))").mkString(" AND ")
+      def branch(a: String, b: String): String =
+        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, _n AS n FROM (" +
+          s"SELECT CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, ${dsum8("_x")} AS _sx, ${dsum8("_y")} AS _sy, " +
+          s"${dsum8("_x * _y")} AS _sxy, ${dsum8("_x * _x")} AS _sxx, ${dsum8("_y * _y")} AS _syy FROM (" +
+          s"SELECT CASE WHEN $ok THEN CAST($a AS DOUBLE) END AS _x, CASE WHEN $ok THEN CAST($b AS DOUBLE) END AS _y FROM lineitem))"
       Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
         ("l_extendedprice", "l_discount"))
         .map { case (a, b) => branch(a, b) }.mkString(" UNION ALL ")

@@ -77,6 +77,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows(spark.sql(c.sql())) == rows(c.df))
   }
 
+  test("corr_matrix listwise: NaN drops the row from EVERY pair; equals pairwise on clean data") {
+    val dirty = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, Double.NaN)).toDF("a", "b", "c")
+    val lw = Chain(spark, "cml", dirty).corrMatrix(Seq("a", "b", "c"), deletion = "listwise")
+    val got = lw.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // row 4 leaves every pair — n = 3 even for (a, b), unlike pairwise's 4
+    assert(got.values.forall(_._2 == 3L), s"got $got")
+    assert(math.abs(got(("a", "b"))._1 - 1.0) < 1e-12)
+    dirty.createOrReplaceTempView("cml")
+    assert(rows(spark.sql(lw.sql())) == rows(lw.df))
+    val clean = Seq((1.0, 2.0), (2.0, 5.0), (3.0, 6.0)).toDF("a", "b")
+    val p = Chain(spark, "cmc", clean).corrMatrix(Seq("a", "b")).df
+    val l = Chain(spark, "cmc", clean).corrMatrix(Seq("a", "b"), deletion = "listwise").df
+    assert(rows(p) == rows(l), "regimes agree when nothing is missing")
+    assertThrows[IllegalArgumentException](
+      Chain(spark, "cmc", clean).corrMatrix(Seq("a", "b"), deletion = "nope"))
+  }
+
   test("corr_matrix grouped emits one row per (group, pair)") {
     val df = Seq(("g1", 1.0, 1.0), ("g1", 2.0, 2.0), ("g2", 1.0, 2.0), ("g2", 2.0, 1.0))
       .toDF("g", "a", "b")
