@@ -406,6 +406,9 @@ object SparkEntry {
       Chain(s, "cust_lo", cust.df.where("c_nationkey < 13"))
         .psiCategoricalProfile(cust.df.where("c_nationkey >= 13"), "c_mktsegment").df
     }),
+    // contingency table + chi-square independence decomposition
+    "q_cross_table" -> ((s, d) =>
+      t(s, d, "customer").crossTable("c_mktsegment", "c_nationkey").df),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -1534,6 +1537,23 @@ object SparkEntry {
         "FROM j CROSS JOIN t), " +
         "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
         "SELECT value, cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
+    "q_cross_table" -> {
+      // the op's SQL face replayed over customer with DuckDB spellings
+      val (a, b) = ("c_mktsegment", "c_nationkey")
+      val w = s"$a IS NOT NULL AND $b IS NOT NULL"
+      val eS = "CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)"
+      val termS = s"(CAST(COALESCE(_o, 0) AS DOUBLE) - $eS) * (CAST(COALESCE(_o, 0) AS DOUBLE) - $eS) / ($eS)"
+      val gridS =
+        s"(SELECT CAST($a AS VARCHAR) AS value_a, COUNT(*) AS _ra FROM customer WHERE $w GROUP BY 1) " +
+          s"CROSS JOIN (SELECT COUNT(*) AS _n, COUNT(DISTINCT CAST($a AS VARCHAR)) AS _ka, " +
+          s"COUNT(DISTINCT CAST($b AS VARCHAR)) AS _kb FROM customer WHERE $w) " +
+          s"JOIN (SELECT CAST($b AS VARCHAR) AS value_b, COUNT(*) AS _cb FROM customer WHERE $w GROUP BY 1) ON TRUE " +
+          s"LEFT JOIN (SELECT CAST($a AS VARCHAR) AS value_a, CAST($b AS VARCHAR) AS value_b, COUNT(*) AS _o " +
+          s"FROM customer WHERE $w GROUP BY 1, 2) USING (value_a, value_b)"
+      s"SELECT value_a, value_b, CAST(COALESCE(_o, 0) AS BIGINT) AS cnt, $eS AS expected, " +
+        s"$termS AS chi2_term, chi2_total, CAST((_ka - 1) * (_kb - 1) AS BIGINT) AS dof FROM $gridS " +
+        s"CROSS JOIN (SELECT CAST(SUM(CAST(FLOOR(($termS) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS chi2_total FROM $gridS)"
     },
     "q_dataset_splits" -> {
       // boundary literals via the SAME scanLeft running sum the op uses,

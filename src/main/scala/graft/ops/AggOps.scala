@@ -948,6 +948,77 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("corr_matrix", df2, Some(branches.mkString(" UNION ALL ")))
   }
 
+  /** cross_table(col_a, col_b): the contingency table with χ²-of-
+    * independence decomposition — one row per (value_a × value_b) cell of
+    * the observed margins (zero-observed cells INCLUDED: their expected
+    * count still contributes to χ²), with observed `cnt`, `expected`
+    * (row·col/n), the cell's `chi2_term` (o−e)²/e, the fixed-point-exact
+    * `chi2_total`, and `dof` = (|A|−1)(|B|−1). The "is corpus source
+    * independent of language" screen. Rows with a null on EITHER side are
+    * excluded (margins are over observed categories).
+    *
+    * Determinism: expected counts and terms are pure IEEE arithmetic over
+    * exact integers (engine-identical); the total sums 1e-6 fixed-point
+    * terms (the [[entropyProfile]] regime), so it is partitioning- and
+    * engine-independent.
+    *
+    * Scale: one hash aggregate for the cells + two margin aggregates, all
+    * map-side combined; the margin cross join is declared and broadcasts
+    * its (categorical-domain-sized) B side — the output IS that cross
+    * product, so its size is the answer's size, never the corpus's.
+    */
+  def crossTable(colA: String, colB: String): Chain = {
+    require(colA != colB, "cross_table needs two distinct columns")
+    val both = col(colA).isNotNull && col(colB).isNotNull
+    val va = col(colA).cast("string")
+    val vb = col(colB).cast("string")
+    val cells = c.df.where(both).groupBy(va.as("value_a"), vb.as("value_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = c.df.where(both).groupBy(va.as("value_a")).agg(count(lit(1)).as("_ra"))
+    val cb = c.df.where(both).groupBy(vb.as("value_b")).agg(count(lit(1)).as("_cb"))
+    val n = c.df.where(both).agg(count(lit(1)).as("_n"),
+      countDistinct(va).as("_ka"), countDistinct(vb).as("_kb"))
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
+      .join(cells, Seq("value_a", "value_b"), "left")
+    val o = coalesce(col("_o"), lit(0L)).cast("double")
+    val e = col("_ra").cast("double") * col("_cb").cast("double") / col("_n").cast("double")
+    val term = (o - e) * (o - e) / e
+    val t1 = grid.select(col("value_a"), col("value_b"),
+      coalesce(col("_o"), lit(0L)).as("cnt"), e.as("expected"),
+      term.as("chi2_term"),
+      ((col("_ka") - 1) * (col("_kb") - 1)).as("dof"))
+    val tot = t1.agg((sum(floor(col("chi2_term") * lit(1e6) + lit(0.5))
+      .cast("long").cast(DecimalType(38, 0))).cast("double") / lit(1e6)).as("chi2_total"))
+    val df2 = t1.crossJoin(broadcast(tot))
+      .select("value_a", "value_b", "cnt", "expected", "chi2_term",
+        "chi2_total", "dof")
+    val bothS = s"$colA IS NOT NULL AND $colB IS NOT NULL"
+    def vS(cn: String) = s"CAST($cn AS STRING)"
+    c.next("cross_table", df2, Some(
+      s"SELECT value_a, value_b, cnt, expected, chi2_term, chi2_total, dof FROM (" +
+        s"SELECT value_a, value_b, COALESCE(_o, 0) AS cnt, " +
+        s"CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE) AS expected, " +
+        s"(CAST(COALESCE(_o, 0) AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)) * " +
+        s"(CAST(COALESCE(_o, 0) AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)) / " +
+        s"(CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)) AS chi2_term, " +
+        s"(_ka - 1) * (_kb - 1) AS dof FROM " +
+        s"(SELECT ${vS(colA)} AS value_a, COUNT(*) AS _ra FROM {{source}} WHERE $bothS GROUP BY 1) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS _n, COUNT(DISTINCT ${vS(colA)}) AS _ka, " +
+        s"COUNT(DISTINCT ${vS(colB)}) AS _kb FROM {{source}} WHERE $bothS) " +
+        s"JOIN (SELECT ${vS(colB)} AS value_b, COUNT(*) AS _cb FROM {{source}} WHERE $bothS GROUP BY 1) ON TRUE " +
+        s"LEFT JOIN (SELECT ${vS(colA)} AS value_a, ${vS(colB)} AS value_b, COUNT(*) AS _o " +
+        s"FROM {{source}} WHERE $bothS GROUP BY 1, 2) USING (value_a, value_b)) " +
+        s"CROSS JOIN (SELECT CAST(SUM(CAST(CAST(FLOOR((" +
+        s"(CAST(COALESCE(_o, 0) AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)) * " +
+        s"(CAST(COALESCE(_o, 0) AS DOUBLE) - CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE)) / " +
+        s"(CAST(_ra AS DOUBLE) * CAST(_cb AS DOUBLE) / CAST(_n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS chi2_total FROM " +
+        s"(SELECT ${vS(colA)} AS value_a, COUNT(*) AS _ra FROM {{source}} WHERE $bothS GROUP BY 1) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS _n FROM {{source}} WHERE $bothS) " +
+        s"JOIN (SELECT ${vS(colB)} AS value_b, COUNT(*) AS _cb FROM {{source}} WHERE $bothS GROUP BY 1) ON TRUE " +
+        s"LEFT JOIN (SELECT ${vS(colA)} AS value_a, ${vS(colB)} AS value_b, COUNT(*) AS _o " +
+        s"FROM {{source}} WHERE $bothS GROUP BY 1, 2) USING (value_a, value_b))"))
+  }
+
   /** skew_profile(keys, top_k): the hot-key census — the top_k heaviest
     * key values with their row count and corpus share, the diagnostic to
     * run BEFORE a join melts on a skewed key (pair with

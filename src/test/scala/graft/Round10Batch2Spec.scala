@@ -224,6 +224,34 @@ class Round10Batch2Spec extends AnyFunSuite {
     assert(zero.df.select("psi_total").distinct().collect()(0).getDouble(0) == 0.0)
   }
 
+  // ---- cross table ---------------------------------------------------------
+
+  test("cross_table: independent margins score 0, zero-observed cells present; SQL face agrees") {
+    // perfectly independent 2x2: every cell o == e -> chi2 == 0
+    val ind = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "y")).toDF("u", "v")
+    val c0 = Chain(spark, "ct0", ind).crossTable("u", "v")
+    assert(c0.df.select("chi2_total").distinct().collect()(0).getDouble(0) == 0.0)
+    assert(c0.df.select("dof").distinct().collect()(0).getLong(0) == 1L)
+    // dependent 2x2 with a zero-observed cell; null rows excluded whole
+    val dep = Seq(Some("a") -> Some("x"), Some("a") -> Some("x"),
+      Some("b") -> Some("y"), Some("b") -> Some("y"),
+      Some("a") -> Some("y"), None -> Some("x"), Some("a") -> None)
+      .map { case (u, v) => (u.orNull, v.orNull) }.toDF("u", "v")
+    val c1 = Chain(spark, "ct1", dep).crossTable("u", "v")
+    val cells = c1.df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cells.size == 4)
+    assert(cells(("b", "x"))._1 == 0L)            // zero-observed cell present
+    assert(cells(("b", "x"))._2 == 2.0 * 2.0 / 5) // expected from margins, nulls dropped
+    val tot = c1.df.select("chi2_total").distinct().collect()(0).getDouble(0)
+    assert(tot > 0.0)
+    dep.createOrReplaceTempView("ct1")
+    assert(rows(spark.sql(c1.sql())) == rows(c1.df))
+    ind.createOrReplaceTempView("ct0")
+    assert(rows(spark.sql(c0.sql())) == rows(c0.df))
+  }
+
   // ---- extract pattern -----------------------------------------------------
 
   test("extract_pattern: groups, no-match and null normalize to NULL; SQL face agrees") {
