@@ -935,6 +935,11 @@ object SparkEntry {
         EventStreams.slidingAgg(readEvents(s, d), "1 hour", "30 minutes", Seq("event_type"))),
       "q_events_session" -> ((s, d) =>
         EventStreams.sessionAgg(readEvents(s, d), "30 minutes", Seq("user_id"))),
+      // per-hour PSI drift of the event-type mix vs the corpus-wide mix
+      "q_events_drift" -> ((s, d) => {
+        val ev = readEvents(s, d)
+        EventStreams.driftByWindow(ev, ev, "event_type", "1 hour")
+      }),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
@@ -2190,6 +2195,23 @@ object SparkEntry {
         s"SELECT date_trunc('hour', $evT) AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM events GROUP BY 1, 2",
       "q_events_sliding" ->
         s"SELECT ws AS window_start, event_type, COUNT(*) AS n_events, ${dsum("value")} AS value_sum FROM (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS ws, event_type, value FROM events UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, event_type, value FROM events) GROUP BY 1, 2",
+      "q_events_drift" -> {
+        // driftByWindow replayed: hour windows, ref = global mix, the
+        // eps-floored fixed-point PSI arithmetic of the psi_* oracles
+        val epsS = "CAST('1.0E-6' AS DOUBLE)"
+        def g(cnt: String, tot: String) =
+          s"GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS)"
+        val termS = s"(${g("cnt_base", "tb")} - ${g("cnt_other", "tot")}) * " +
+          s"(FLOOR(LN(${g("cnt_base", "tb")} / ${g("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000)"
+        s"WITH ref AS (SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS cnt_base FROM events WHERE event_type IS NOT NULL GROUP BY 1), " +
+          s"wc AS (SELECT date_trunc('hour', $evT) AS window_start, CAST(event_type AS VARCHAR) AS value, COUNT(*) AS cnt_other FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+          "grid AS (SELECT window_start, value, cnt_base FROM (SELECT DISTINCT window_start FROM wc) CROSS JOIN ref), " +
+          "j AS (SELECT window_start, value, CAST(COALESCE(cnt_base, 0) AS BIGINT) AS cnt_base, CAST(COALESCE(cnt_other, 0) AS BIGINT) AS cnt_other FROM grid FULL JOIN wc USING (window_start, value)), " +
+          "t AS (SELECT window_start, CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j GROUP BY 1), " +
+          s"y AS (SELECT window_start, value, cnt_base, cnt_other, $termS AS psi_term FROM j JOIN t USING (window_start)), " +
+          "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
+          "SELECT window_start, value, cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
+      },
       "q_json_extract" ->
         "SELECT event_id, event_type, props, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
       "q_llm_pipeline" ->

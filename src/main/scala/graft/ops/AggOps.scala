@@ -1335,19 +1335,46 @@ private[graft] object AggOps {
   def psiTerms(joined: DataFrame, eps: Double): DataFrame = {
     val totals = joined.agg(
       sum(col("cnt_base")).as("_tb"), sum(col("cnt_other")).as("_to"))
-    // guard the divisor BEFORE dividing — ANSI mode raises on x/0 rather
-    // than returning NaN, and an empty side must read as null, not error
+    val t1 = joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term", psiTermExpr(eps)).drop("_tb", "_to")
+    val total2 = t1.agg(psiTotalAgg)
+    t1.crossJoin(broadcast(total2))
+  }
+
+  /** The grouped twin of [[psiTerms]] — totals and `psi_total` per group
+    * (e.g. per event-time window for streaming drift): two small
+    * aggregations over the count frame joined back on the group keys.
+    * Everything stays partitioned by the group — no broadcast needed, no
+    * global window, unbounded group counts are fine.
+    */
+  def psiTermsGrouped(joined: DataFrame, groupCols: Seq[String],
+                      eps: Double): DataFrame = {
+    require(groupCols.nonEmpty, "psiTermsGrouped needs group columns")
+    val totals = joined.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt_base")).as("_tb"), sum(col("cnt_other")).as("_to"))
+    val t1 = joined.join(totals, groupCols)
+      .withColumn("psi_term", psiTermExpr(eps)).drop("_tb", "_to")
+    val perGroup = t1.groupBy(groupCols.map(col): _*).agg(psiTotalAgg)
+    t1.join(perGroup, groupCols)
+  }
+
+  // eps-floored-share PSI term from (cnt_base, cnt_other, _tb, _to).
+  // The divisor is guarded BEFORE dividing — ANSI mode raises on x/0
+  // rather than returning NaN, and an empty side must read as null, not
+  // error — and nulls are preserved explicitly (greatest() would
+  // silently swallow them into the eps floor).
+  private def psiTermExpr(eps: Double): Column = {
     def floored(cnt: Column, tot: Column): Column =
       when(tot.isNull || tot === lit(0L), lit(null).cast("double"))
         .otherwise(greatest(cnt.cast("double") / tot.cast("double"), lit(eps)))
     val pf = floored(col("cnt_base"), col("_tb"))
     val qf = floored(col("cnt_other"), col("_to"))
-    val term = (pf - qf) * (floor(log(pf / qf) * lit(1e6) + lit(0.5)) / lit(1e6))
-    val t1 = joined.crossJoin(broadcast(totals))
-      .withColumn("psi_term", term).drop("_tb", "_to")
-    // |term| ≤ ln(1/eps) < 28 → ×1e12 stays far inside the long range
-    val total2 = t1.agg((sum(floor(col("psi_term") * lit(1e12) + lit(0.5))
-      .cast("long").cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("psi_total"))
-    t1.crossJoin(broadcast(total2))
+    (pf - qf) * (floor(log(pf / qf) * lit(1e6) + lit(0.5)) / lit(1e6))
   }
+
+  // 1e-12 fixed-point exact Σ psi_term: |term| ≤ ln(1/eps) < 28 → ×1e12
+  // stays far inside the long range
+  private def psiTotalAgg: Column =
+    (sum(floor(col("psi_term") * lit(1e12) + lit(0.5))
+      .cast("long").cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("psi_total")
 }

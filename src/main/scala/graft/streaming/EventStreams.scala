@@ -523,6 +523,123 @@ object EventStreams {
     q
   }
 
+  /** drift_by_window(events, reference, value_col, width): per-tumbling-
+    * window PSI of `valueCol`'s categorical mix against a REFERENCE
+    * corpus's mix — the dataset-shift alarm as a time series ("which
+    * hour's event mix deviates from the accepted profile"). One row per
+    * (window × value seen on either side): both counts, the eps-floored
+    * fixed-point PSI term ([[graft.ops.AggOps.psiTermsGrouped]] —
+    * partitioning- and engine-independent), and the window's `psi_total`
+    * repeated on its rows. Null values are excluded on both sides (count
+    * them separately if they matter).
+    *
+    * Scale: one map-side-combined aggregate per side; the reference
+    * profile broadcasts onto the distinct-window spine so every window
+    * carries every reference value (a VANISHED category is drift, not an
+    * absent row); totals and psi_total stay partitioned by window — no
+    * global window, unbounded stream history is fine. Batch face of
+    * [[sinkDriftUpsertToTable]].
+    */
+  def driftByWindow(events: DataFrame, reference: DataFrame, valueCol: String,
+                    width: String, eps: Double = 1e-6): DataFrame = {
+    val refC = reference.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt_base"))
+    driftFromCounts(windowCounts(events, valueCol, width), refC, eps)
+  }
+
+  private def windowCounts(events: DataFrame, valueCol: String,
+                           width: String): DataFrame =
+    events
+      .withColumn("_ts", eventTime(events))
+      .where(col(valueCol).isNotNull)
+      .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start"), col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt_other"))
+
+  private def driftFromCounts(wc: DataFrame, refC: DataFrame,
+                              eps: Double): DataFrame = {
+    val grid = wc.select("window_start").distinct().crossJoin(broadcast(refC))
+    val joined = grid.join(wc, Seq("window_start", "value"), "full_outer")
+      .select(col("window_start"), col("value"),
+        coalesce(col("cnt_base"), lit(0L)).as("cnt_base"),
+        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+    graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps)
+      .select("window_start", "value", "cnt_base", "cnt_other",
+        "psi_term", "psi_total")
+  }
+
+  /** Streaming face of [[driftByWindow]]: per-batch value counts MERGE
+    * into the per-(window, value) rows of `name` and the PSI columns are
+    * recomputed for every window in the touched buckets, so the table
+    * always equals the batch face over all data processed so far
+    * (replay-convergent through the checkpoint's exactly-once file
+    * tracking). The reference profile is pinned ONCE at sink start into
+    * `<name>_ref` (drift is measured against an ACCEPTED corpus — rerun
+    * the sink to rotate it); batches read it back rather than re-deriving
+    * it, so the foreachBatch session never reaches into caller-session
+    * plans. Bucketed dynamic-overwrite I/O (the profile-sink pattern):
+    * only buckets whose windows the batch touched are rewritten.
+    */
+  def sinkDriftUpsertToTable(events: DataFrame, reference: DataFrame,
+                             valueCol: String, width: String, name: String,
+                             checkpointDir: String, eps: Double = 1e-6,
+                             profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    val session = events.sparkSession
+    val refTable = name + "_ref"
+    reference.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt_base"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(refTable)
+    def bucketed(cc: Column) = pmod(hash(cc), lit(profileBuckets))
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val refC = spark.table(refTable)
+          val bc = windowCounts(batch, valueCol, width)
+            .withColumn("_pb", bucketed(col("window_start")))
+          if (!spark.catalog.tableExists(name)) {
+            driftFromCounts(bc.drop("_pb"), refC, eps)
+              .withColumn("_pb", bucketed(col("window_start")))
+              .write.partitionBy("_pb").format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read used to
+            // partition-prune the old-side scan (the profile-sink pattern)
+            val touched = bc.select("_pb").distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name).where(col("_pb").isInCollection(touched))
+              .select(col("window_start"), col("value"), col("cnt_other").as("_cold"))
+            val merged = bc.select(col("window_start"), col("value"), col("cnt_other").as("_cnew"))
+              .join(old, Seq("window_start", "value"), "full_outer")
+              .select(col("window_start"), col("value"),
+                (coalesce(col("_cnew"), lit(0L)) + coalesce(col("_cold"), lit(0L))).as("cnt_other"))
+              // drop the stored grid padding (re-derived by the re-grid —
+              // keeping it would be harmless but re-pads idempotently)
+              .where(col("cnt_other") > 0)
+            val out = driftFromCounts(merged, refC, eps)
+              .withColumn("_pb", bucketed(col("window_start")))
+              .localCheckpoint()
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // guarded: an all-empty stream never created the drift table
+    if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
+    q
+  }
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one

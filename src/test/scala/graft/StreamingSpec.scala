@@ -403,6 +403,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
   }
 
+  test("streaming drift sink converges to the batch face as windows accumulate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L
+    def evt(id: Long, tpe: String, hour: Long) =
+      Evt(id, base + hour * 3600L * 1000000000L + (id % 60) * 1000000000L,
+        id, tpe, 1.0, "{}")
+    // accepted reference: 80/20 click/view mix
+    val ref = ((1L to 8L).map(i => evt(i, "click", 0)) ++
+      (9L to 10L).map(i => evt(i, "view", 0))).toDF()
+    spark.sql("DROP TABLE IF EXISTS drift_t")
+    spark.sql("DROP TABLE IF EXISTS drift_t_ref")
+    var seen = Seq.empty[Evt]
+    def drain(events: Evt*): Unit = {
+      seen = seen ++ events
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      EventStreams.sinkDriftUpsertToTable(ms.toDF(), ref, "event_type", "1 hour",
+        "drift_t", Files.createTempDirectory("graft_ckpt_dr").toString,
+        profileBuckets = 4)
+      // invariant after EVERY batch: table == batch face over all data so far
+      val got = rows(spark.table("drift_t").drop("_pb"))
+      val want = rows(EventStreams.driftByWindow(seen.toDF(), ref, "event_type", "1 hour"))
+      assert(got == want, s"sink diverged from batch face after ${seen.size} events")
+    }
+    // hour 0 matches the reference mix -> psi ~ 0 for that window
+    drain((1L to 8L).map(i => evt(100 + i, "click", 0)) ++
+      (9L to 10L).map(i => evt(100 + i, "view", 0)): _*)
+    val h0 = spark.table("drift_t").select("psi_total").distinct().collect()
+    assert(h0.length == 1 && math.abs(h0(0).getDouble(0)) < 1e-9)
+    // hour 1 is all views (shifted) — and hour 0 gains more clicks (merge)
+    drain((1L to 5L).map(i => evt(200 + i, "view", 1)) ++
+      (1L to 4L).map(i => evt(300 + i, "click", 0)): _*)
+    val totals = spark.table("drift_t").select("window_start", "psi_total")
+      .distinct().collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    assert(totals.size == 2)
+    assert(totals.values.max > 0.25, "an all-view hour must read as a population shift")
+    // a vanished category still has its reference row in every window
+    assert(spark.table("drift_t").where("cnt_other = 0").count() > 0)
+  }
+
   test("upsert and dedup-ingest sinks run an all-empty stream to clean completion") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
@@ -462,6 +504,19 @@ class StreamingSpec extends AnyFunSuite {
       "empty_profile_t", Files.createTempDirectory("graft_ckpt_es").toString,
       profileBuckets = 2)
     assert(!spark.catalog.tableExists("empty_profile_t"))
+
+    // drift sink: no drift table on an empty stream, but the PINNED
+    // reference profile is written at sink start by design
+    spark.sql("DROP TABLE IF EXISTS empty_drift_t")
+    spark.sql("DROP TABLE IF EXISTS empty_drift_t_ref")
+    val msDr = MemoryStream[Evt]
+    val refEv = Seq(Evt(1L, 0L, 1L, "click", 1.0, "{}")).toDF()
+    EventStreams.sinkDriftUpsertToTable(msDr.toDF(), refEv, "event_type", "1 hour",
+      "empty_drift_t", Files.createTempDirectory("graft_ckpt_edr").toString,
+      profileBuckets = 2)
+    assert(!spark.catalog.tableExists("empty_drift_t"))
+    assert(spark.catalog.tableExists("empty_drift_t_ref"))
+    assert(spark.table("empty_drift_t_ref").count() == 1)
   }
 }
 
