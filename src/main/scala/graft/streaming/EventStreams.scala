@@ -559,6 +559,8 @@ object EventStreams {
 
   private def driftFromCounts(wc: DataFrame, refC: DataFrame,
                               eps: Double): DataFrame = {
+    // window × reference grid: an aggregated-broadcast cross product —
+    // domain-sized by construction, linted as such (info level)
     val grid = wc.select("window_start").distinct().crossJoin(broadcast(refC))
     val joined = grid.join(wc, Seq("window_start", "value"), "full_outer")
       .select(col("window_start"), col("value"),

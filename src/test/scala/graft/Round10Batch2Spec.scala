@@ -322,15 +322,49 @@ class Round10Batch2Spec extends AnyFunSuite {
 
   // ---- plan shapes (scale posture) --------------------------------------
 
-  test("fuzzy_pairs plan: segment equi-join candidates, no cartesian, one declared tiny BNLJ") {
+  test("fuzzy_pairs plan: every join is an equi-join — no cartesian, no nested loop") {
     val names = SparkEntry.namesFixtureDf(spark)
-    val plan = Chain(spark, "names", names).fuzzyPairs("id", "name", 2)
-      .df.queryExecution.sparkPlan.toString
+    val c = Chain(spark, "names", names).fuzzyPairs("id", "name", 2)
+    val plan = c.df.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"pigeonhole candidates must equi-join on segment keys:\n${plan.take(1500)}")
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj == 1,
-      s"exactly the capped tiny family may theta-join (got $bnlj BNLJ nodes):\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the tiny family is a length-keyed equi join now, not a theta join:\n${plan.take(1500)}")
+    c.assertScaleSafe()
+  }
+
+  test("round-10 ops pass the library's own scale lint") {
+    table("customer").crossTable("c_mktsegment", "c_nationkey").assertScaleSafe()
+    table("customer").entropyProfile(Seq("c_mktsegment")).assertScaleSafe()
+    table("customer").kAnonymityViolations(Seq("c_mktsegment"), 8).assertScaleSafe()
+    table("customer").pseudonymize(Seq("c_name"), "s").assertScaleSafe()
+    table("lineitem").skewProfile(Seq("l_suppkey"), 5).assertScaleSafe()
+    table("lineitem").weightedAgg(Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+      .assertScaleSafe()
+    table("lineitem").quantileProfile(Seq("l_quantity"), Seq(0.5),
+      groupBy = Seq("l_returnflag")).assertScaleSafe()
+    table("lineitem").corrMatrix(Seq("l_quantity", "l_discount"),
+      deletion = "listwise").assertScaleSafe()
+    table("orders").histogram("o_totalprice", 0.0, 500000.0, 8,
+      groupBy = Seq("o_orderstatus")).assertScaleSafe()
+    table("orders").datasetSplits(Seq("a" -> 0.5, "b" -> 0.5),
+      Seq("o_orderkey" -> "ASC"), strata = Seq("o_orderstatus")).assertScaleSafe()
+    table("documents").topNgrams("text", 2, 10).assertScaleSafe()
+    table("documents").countPattern("text", Seq("d" -> "[0-9]+")).assertScaleSafe()
+    table("documents").shard(8, Seq("doc_id")).assertScaleSafe()
+    table("customer").extractPattern("c_name", "([0-9]+)", Seq("num" -> 1))
+      .assertScaleSafe()
+    val orders = table("orders")
+    Chain(spark, "of", orders.df.where("o_orderstatus = 'F'"))
+      .psiProfile(orders.df.where("o_orderstatus = 'O'"), "o_totalprice",
+        0.0, 500000.0, 8).assertScaleSafe()
+    Chain(spark, "cl", table("customer").df.where("c_nationkey < 13"))
+      .psiCategoricalProfile(table("customer").df.where("c_nationkey >= 13"),
+        "c_mktsegment").assertScaleSafe()
+    val ev = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    graft.core.Chain(spark, "ed",
+      graft.streaming.EventStreams.driftByWindow(ev, ev, "event_type", "1 hour"))
+      .assertScaleSafe()
   }
 
   test("top_ngrams plan: global top-k is TakeOrderedAndProject, never a full sort") {
