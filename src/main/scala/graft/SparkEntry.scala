@@ -409,6 +409,10 @@ object SparkEntry {
     // contingency table + chi-square independence decomposition
     "q_cross_table" -> ((s, d) =>
       t(s, d, "customer").crossTable("c_mktsegment", "c_nationkey").df),
+    // robust location: 10%-trimmed mean per return flag
+    "q_trimmed_mean" -> ((s, d) =>
+      t(s, d, "lineitem").trimmedMean("l_extendedprice", 0.1,
+        groupBy = Seq("l_returnflag")).df),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -1542,6 +1546,19 @@ object SparkEntry {
         "FROM j CROSS JOIN t), " +
         "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
         "SELECT value, cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
+    "q_trimmed_mean" -> {
+      val xS = "CAST(l_extendedprice AS DOUBLE)"
+      val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
+      val keepS = "_t_x IS NOT NULL AND _t_rn > FLOOR(CAST('0.1' AS DOUBLE) * _t_n) " +
+        "AND _t_rn <= _t_n - FLOOR(CAST('0.1' AS DOUBLE) * _t_n)"
+      val keptS = s"CASE WHEN $keepS THEN _t_x END"
+      s"SELECT l_returnflag, CASE WHEN COUNT($keptS) = 0 THEN NULL ELSE " +
+        s"CAST(SUM(CAST($keptS AS DECIMAL(38,4))) AS DOUBLE) / COUNT($keptS) END AS l_extendedprice_tmean, " +
+        s"COUNT($keptS) AS n_kept, CAST(MAX(_t_n) AS BIGINT) AS n FROM (" +
+        s"SELECT l_returnflag, $xrS AS _t_x, " +
+        s"ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY $xrS ASC NULLS LAST) AS _t_rn, " +
+        s"COUNT($xrS) OVER (PARTITION BY l_returnflag) AS _t_n FROM lineitem) GROUP BY l_returnflag"
     },
     "q_cross_table" -> {
       // the op's SQL face replayed over customer with DuckDB spellings

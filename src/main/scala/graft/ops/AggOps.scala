@@ -948,6 +948,65 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("corr_matrix", df2, Some(branches.mkString(" UNION ALL ")))
   }
 
+  /** trimmed_mean(column, trim, group_by): the robust location estimate —
+    * drop FLOOR(trim·n) values from EACH end of the null/NaN-excluded
+    * ascending order and average the rest exactly (one `<col>_tmean` row
+    * per group with `n_kept` and `n`). The heavy-tail-safe mean the
+    * profile family pairs with [[quantileProfile]]: a handful of
+    * corrupt extremes move a plain mean arbitrarily but cannot touch a
+    * 10%-trimmed one. A group whose trim swallows everything (n ≤ 2·cut)
+    * surfaces a null mean, never 0/0. Ties at the cut rank keep an
+    * arbitrary SET of the tied rows but always the same VALUES, so the
+    * result is deterministic.
+    *
+    * Scale: one hash exchange on the group keys + an in-partition sort
+    * (the rank windows), then one aggregate with exact-decimal
+    * accumulation — partitioning-independent, the [[graft.core.Exact]]
+    * regime.
+    */
+  def trimmedMean(column: String, trim: Double,
+                  groupBy: Seq[String] = Nil): Chain = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val ranked = c.df
+      .withColumn("_t_rn", row_number().over(wPart.orderBy(xr.asc_nulls_last)))
+      .withColumn("_t_n", count(xr).over(wPart))
+    val cut = floor(lit(trim) * col("_t_n"))
+    val keep = xr.isNotNull && col("_t_rn") > cut && col("_t_rn") <= col("_t_n") - cut
+    val kept = when(keep, xr)
+    val outName = Naming.agg(column, "tmean")
+    val aggs = Seq(
+      (Exact.sum(kept) / count(kept)).as(outName),
+      count(kept).as("n_kept"), max(col("_t_n")).as("n"))
+    val g =
+      if (groupBy.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // Exact.sum of an empty kept set is null, so null/0 stays null — no
+    // ANSI divide-by-zero; make the contract explicit anyway
+    val df2 = g.withColumn(outName,
+      when(col("n_kept") === 0, lit(null).cast("double")).otherwise(col(outName)))
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST($cn AS DOUBLE)"
+    val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
+    val wp = if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val keepS = s"_t_x IS NOT NULL AND _t_rn > FLOOR(CAST('$trim' AS DOUBLE) * _t_n) " +
+      s"AND _t_rn <= _t_n - FLOOR(CAST('$trim' AS DOUBLE) * _t_n)"
+    val keptS = s"CASE WHEN $keepS THEN _t_x END"
+    c.next("trimmed_mean", df2, Some(
+      s"SELECT $gSel CASE WHEN COUNT($keptS) = 0 THEN NULL ELSE " +
+        s"CAST(SUM(CAST($keptS AS DECIMAL(38,4))) AS DOUBLE) / COUNT($keptS) END AS $outName, " +
+        s"COUNT($keptS) AS n_kept, MAX(_t_n) AS n FROM (" +
+        s"SELECT $gSel$xrS AS _t_x, " +
+        s"ROW_NUMBER() OVER ($wp ORDER BY $xrS ASC NULLS LAST) AS _t_rn, " +
+        s"COUNT($xrS) OVER ($wp) AS _t_n FROM {{source}})$gBy"))
+  }
+
   /** cross_table(col_a, col_b): the contingency table with χ²-of-
     * independence decomposition — one row per (value_a × value_b) cell of
     * the observed margins (zero-observed cells INCLUDED: their expected

@@ -224,6 +224,32 @@ class Round10Batch2Spec extends AnyFunSuite {
     assert(zero.df.select("psi_total").distinct().collect()(0).getDouble(0) == 0.0)
   }
 
+  // ---- trimmed mean --------------------------------------------------------
+
+  test("trimmed_mean: drops floor(trim*n) per end, NaN/null excluded, over-trim -> null; SQL face agrees") {
+    // 10 clean values 1..10 with an outlier pair replaced: trim=0.2 drops
+    // 2 from each end -> mean of 3..8 = 5.5 regardless of the extremes
+    val df = (Seq(-1000.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 5000.0)
+      .map(Some(_)) ++ Seq(None, Some(Double.NaN))).map(Tuple1(_)).toDF("x")
+    val c = Chain(spark, "tm", df).trimmedMean("x", 0.2)
+    val r = c.df.collect()(0)
+    assert(r.getDouble(0) == 5.5 && r.getLong(1) == 6 && r.getLong(2) == 10, s"got $r")
+    df.createOrReplaceTempView("tm")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // grouped + over-trim: a 1-row group at trim 0.4 keeps its row
+    // (floor(0.4*1)=0); at n=2, floor(.4*2)=0 keeps both; a group trimmed
+    // empty surfaces null — force with trim close to .5 on a 2-row group?
+    // floor(.49*2)=0 -> cannot empty with n>=1 and trim<.5 EXCEPT n=0
+    val g = Seq(("a", Some(1.0)), ("a", Some(100.0)), ("b", None)).toDF("g", "x")
+    val cg = Chain(spark, "tmg", g).trimmedMean("x", 0.25, groupBy = Seq("g"))
+    val got = cg.df.collect().map(r2 => r2.getString(0) ->
+      (if (r2.isNullAt(1)) null else r2.getDouble(1), r2.getLong(2))).toMap
+    assert(got("a") == ((50.5, 2L)) && got("b") == ((null, 0L)), s"got $got")
+    g.createOrReplaceTempView("tmg")
+    assert(rows(spark.sql(cg.sql())) == rows(cg.df))
+    assertThrows[IllegalArgumentException](Chain(spark, "tm", df).trimmedMean("x", 0.5))
+  }
+
   // ---- cross table ---------------------------------------------------------
 
   test("cross_table: independent margins score 0, zero-observed cells present; SQL face agrees") {
