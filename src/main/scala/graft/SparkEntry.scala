@@ -1420,7 +1420,7 @@ object SparkEntry {
     "q_corr_matrix" -> {
       def branch(a: String, b: String): String = {
         val both = s"$a IS NOT NULL AND $b IS NOT NULL AND NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"
-        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, _n AS n FROM (" +
+        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / NULLIF(SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy), 0) AS corr, _n AS n FROM (" +
           s"SELECT CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, ${dsum8("_x")} AS _sx, ${dsum8("_y")} AS _sy, " +
           s"${dsum8("_x * _y")} AS _sxy, ${dsum8("_x * _x")} AS _sxx, ${dsum8("_y * _y")} AS _syy FROM (" +
           s"SELECT CASE WHEN $both THEN CAST($a AS DOUBLE) END AS _x, CASE WHEN $both THEN CAST($b AS DOUBLE) END AS _y FROM lineitem))"
@@ -1436,7 +1436,7 @@ object SparkEntry {
       val ok = all.map(cn =>
         s"$cn IS NOT NULL AND NOT isnan(CAST($cn AS DOUBLE))").mkString(" AND ")
       def branch(a: String, b: String): String =
-        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, _n AS n FROM (" +
+        s"SELECT '$a' AS col_a, '$b' AS col_b, (_nd * _sxy - _sx * _sy) / NULLIF(SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy), 0) AS corr, _n AS n FROM (" +
           s"SELECT CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, ${dsum8("_x")} AS _sx, ${dsum8("_y")} AS _sy, " +
           s"${dsum8("_x * _y")} AS _sxy, ${dsum8("_x * _x")} AS _sxx, ${dsum8("_y * _y")} AS _syy FROM (" +
           s"SELECT CASE WHEN $ok THEN CAST($a AS DOUBLE) END AS _x, CASE WHEN $ok THEN CAST($b AS DOUBLE) END AS _y FROM lineitem))"
@@ -1458,7 +1458,7 @@ object SparkEntry {
       def fpS(e: String) =
         s"SUM(CAST(CAST(FLOOR(($e) * CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
       val sc = "CAST('1000000.0' AS DOUBLE)"
-      s"SELECT l_returnflag, (CAST(_swxfp AS DOUBLE) / $sc) / (CAST(_swfp AS DOUBLE) / $sc) AS l_extendedprice_wavg, " +
+      s"SELECT l_returnflag, (CAST(_swxfp AS DOUBLE) / $sc) / NULLIF(CAST(_swfp AS DOUBLE) / $sc, 0) AS l_extendedprice_wavg, " +
         s"CAST(_swfp AS DOUBLE) / $sc AS l_quantity_wsum, n FROM (" +
         s"SELECT l_returnflag, ${fpS("_w * _x")} AS _swxfp, ${fpS("_w")} AS _swfp, COUNT(_x) AS n FROM (" +
         s"SELECT l_returnflag, CASE WHEN $both THEN CAST(l_extendedprice AS DOUBLE) END AS _x, " +

@@ -15,12 +15,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   * `error` findings are shapes that grow super-linearly with data size
   * (cartesian/nested-loop joins) or serialize the whole frame through one
   * task (unpartitioned window, global sort-without-limit below other
-  * operators); `info` findings are structural facts (exchange count)
-  * useful for before/after comparison when tuning.
+  * operators); `warn` findings are shapes that are fine for the domains
+  * they were built for but carry a cardinality assumption the plan cannot
+  * prove (domain-sized broadcast builds, literal-domain window keys) —
+  * they never fail [[assertSafe]] but deserve a look before 100 TB;
+  * `info` findings are structural facts (exchange count) useful for
+  * before/after comparison when tuning.
   */
 object ScaleLint {
 
-  /** One lint finding. `severity` ∈ error | info. */
+  /** One lint finding. `severity` ∈ error | warn | info. */
   final case class Finding(severity: String, rule: String, detail: String) {
     override def toString: String = s"[$severity] $rule: $detail"
   }
@@ -68,27 +72,60 @@ object ScaleLint {
       // a build side that is an AGGREGATED frame (one row per distinct
       // key) makes the nested loop domain-sized, not corpus-sized — the
       // margin/grid cross products of crossTable and driftByWindow, whose
-      // output IS that product. Same posture as explode-join-fanout:
-      // info, with a verify note (a near-unique grouping key would still
-      // blow up).
+      // output IS that product. But "domain-sized" is an ASSUMPTION the
+      // plan cannot verify: a groupBy over a near-unique key still yields
+      // a corpus-sized broadcast build. So the aggregated proof only
+      // downgrades to info when the optimizer's row-count estimate is
+      // available and bounded; otherwise it lints WARN — never silently
+      // waved through, never a hard failure for the categorical domains
+      // it was built for.
       def provesAggregated(p: SparkPlan): Boolean = p match {
         case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
         case other => other.children.nonEmpty && other.children.forall(provesAggregated)
       }
+      def statsBounded(p: SparkPlan): Boolean =
+        p.logicalLink.exists(l =>
+          scala.util.Try(l.stats.rowCount).toOption.flatten.exists(_ <= BigInt(65536)))
       if (provesBounded(buildSide))
         findings += Finding("info", "nested-loop-join-bounded",
           s"nested-loop against a bounded driver-local broadcast (${j.joinType}); " +
             "O(n x k) with k small and fixed — fine at scale, verify k stays bounded")
-      else if (provesAggregated(buildSide))
+      else if (provesAggregated(buildSide) && statsBounded(buildSide))
         findings += Finding("info", "nested-loop-join-aggregated",
           s"nested-loop against an aggregated broadcast (${j.joinType}): one build " +
+            "row per distinct grouping key, row-count estimate bounded — " +
+            "domain-sized product (margins, reference profiles)")
+      else if (provesAggregated(buildSide))
+        findings += Finding("warn", "nested-loop-join-aggregated",
+          s"nested-loop against an aggregated broadcast (${j.joinType}): one build " +
             "row per distinct grouping key, so the product is domain-sized — fine " +
-            "for categorical domains (margins, reference profiles); verify the " +
-            "grouping key is not near-unique")
+            "for categorical domains (margins, reference profiles); the plan " +
+            "cannot bound the key's cardinality, so VERIFY the grouping key is " +
+            "not near-unique before corpus scale")
       else
         findings += Finding("error", "nested-loop-join",
           "per-row scan of the broadcast side (non-equi condition); " +
             s"rewrite as an equi-join on a derived key (bucketized range, prefix): ${j.joinType}")
+    }
+    // a NON-empty partition key whose values are literal-derived (explode
+    // of a literal array of column names — the melt shape of ungrouped
+    // quantileProfile) is a global window in disguise: at most #literals
+    // sort tasks see the whole frame. The global-window rule can't fire
+    // (the key is non-empty), so prove the key's domain from the plan's
+    // literal flow and warn with the cure.
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty => w
+    }.foreach { w =>
+      val bounds = w.partitionSpec.map(e => literalDomain(e, w.child))
+      if (bounds.forall(_.isDefined)) {
+        val dom = bounds.flatten.product
+        findings += Finding("warn", "low-domain-window-key",
+          s"window partition key is literal-derived (domain <= $dom distinct " +
+            "value(s)): the whole frame funnels through at most that many sort " +
+            "tasks — correct, but a one-task-per-key bottleneck at corpus scale; " +
+            "prefer the mergeable sketch twin (quantileProfileSketch / " +
+            "trimmedMeanSketch) or partition by a data key")
+      }
     }
     plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -143,6 +180,75 @@ object ScaleLint {
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }.size
     findings += Finding("info", "exchange-count", s"$exchanges shuffle exchange(s) in the plan")
     findings.result()
+  }
+
+  /** Prove that `e0`, evaluated over `plan0`'s output, is drawn from a
+    * bounded LITERAL domain, returning the bound. The proof follows the
+    * attribute back through pass-through operators (sort, exchange,
+    * filter), project aliases, and generators: an explode over an array
+    * of literals (or of structs whose relevant field is literal in every
+    * element) bounds the domain by the array length; a literal bounds it
+    * by 1. Anything data-dependent breaks the proof (None) — a hash-keyed
+    * window never lints.
+    */
+  private def literalDomain(e0: org.apache.spark.sql.catalyst.expressions.Expression,
+                            plan0: SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+      CreateArray, CreateNamedStruct, Explode, Expression, GetStructField, Literal}
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    // all array elements are structs whose field `ord` is a literal
+    def structField(elems: Seq[Expression], ord: Int, n: Int): Option[Long] =
+      if (elems.forall {
+        case s: CreateNamedStruct => s.valExprs.lift(ord).exists(_.isInstanceOf[Literal])
+        case _ => false
+      }) Some(n.toLong) else None
+    def go(e: Expression, p: SparkPlan, ord: Option[Int]): Option[Long] = e match {
+      case _: Literal => Some(1L)
+      case al: Alias => go(al.child, p, ord)
+      case gs: GetStructField if ord.isEmpty => go(gs.child, p, Some(gs.ordinal))
+      case cns: CreateNamedStruct if ord.isDefined =>
+        cns.valExprs.lift(ord.get).flatMap(v => go(v, p, None))
+      case a: AttributeReference => defIn(a, p, ord)
+      case _ => None
+    }
+    def defIn(a: AttributeReference, p: SparkPlan, ord: Option[Int]): Option[Long] = p match {
+      case pr: ProjectExec =>
+        pr.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(defExpr) => go(defExpr, pr.child, ord)
+          case None => descend(a, pr, ord)
+        }
+      case g: GenerateExec if g.generatorOutput.exists(_.exprId == a.exprId) =>
+        val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
+        g.generator match {
+          case ex: Explode => ex.child match {
+            case ca: CreateArray =>
+              val n = ca.children.size
+              if (ca.children.forall(_.isInstanceOf[Literal])) Some(n.toLong)
+              else {
+                // array<struct>: the generator output is either the
+                // flattened struct fields (idx = field ordinal) or one
+                // struct attribute (the ordinal arrives from a downstream
+                // GetStructField via `ord`)
+                val fieldOrd = if (g.generatorOutput.size > 1) Some(idx) else ord
+                fieldOrd.flatMap(o => structField(ca.children, o, n))
+              }
+            case l: Literal => l.value match {
+              case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                Some(arr.numElements().toLong)
+              case _ => None
+            }
+            case _ => None
+          }
+          case _ => None
+        }
+      case other => descend(a, other, ord)
+    }
+    def descend(a: AttributeReference, p: SparkPlan, ord: Option[Int]): Option[Long] =
+      p.children.find(_.outputSet.exists(_.exprId == a.exprId))
+        .flatMap(c => defIn(a, c, ord))
+    go(e0, plan0, None)
   }
 
   /** Throw (listing every error finding) if the plan contains a

@@ -526,9 +526,13 @@ final class DedupOps(private val c: Chain) extends AnyVal {
     // tiny family: both sides of any pair whose shorter side < k chars
     // have length <= 2*maxDist — all-pairs within the (capped) tiny set
     val tinyRaw = base.where(col("_l") <= 2 * maxDist)
-    val tinyN = tinyRaw.count() // declared bounded probe, gates the cap
+    // declared bounded probe, gates the cap: limit(cap+1) early-stops the
+    // scan at the cap instead of counting the whole corpus — the gate
+    // only needs to know WHETHER the family exceeds tinyCap, never by
+    // how much
+    val tinyN = tinyRaw.limit(tinyCap + 1).count()
     require(tinyN <= tinyCap,
-      s"fuzzy_pairs: $tinyN strings of length <= ${2 * maxDist} exceed tinyCap=$tinyCap — " +
+      s"fuzzy_pairs: > $tinyCap strings of length <= ${2 * maxDist} exceed tinyCap=$tinyCap — " +
         "the sub-pigeonhole family pairs all-against-all; raise tinyCap deliberately " +
         "or pre-filter trivial strings")
     val tiny = tinyRaw.localCheckpoint() // cap-checked: at most tinyCap rows

@@ -581,7 +581,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
                         trainSample: Int = 4096, trainIters: Int = 15,
                         as: String = "cluster"): Chain = {
     require(k >= 1, s"cluster_embeddings needs k >= 1, got $k")
-    val (idExpr, _) = SimilarityOps.indexId("cluster_embeddings", c.df, idCol)
+    val (idExpr, idType) = SimilarityOps.indexId("cluster_embeddings", c.df, idCol)
     val nrm = sqrt(Exact.dot(col(vecCol), col(vecCol)))
     val usable = SimilarityOps.usableVec(col(vecCol), nrm)
     val trainVecs = c.df
@@ -592,6 +592,13 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .limit(trainSample)
       .select(col("_v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // empty corpus / every vector failing the usableVec guard: every row
+    // is degenerate by definition — return a null cluster column instead
+    // of tripping sphericalKMeans' nonEmpty require (the empty-input
+    // contract the rest of the family honors)
+    if (trainVecs.isEmpty)
+      return c.next("cluster_embeddings",
+        c.df.withColumn(as, lit(null).cast(idType)), None)
     val centers = SimilarityOps.sphericalKMeans(trainVecs, k, trainIters)
     val assigned = c.df.withColumn("_ce_cid",
       when(usable, SimilarityOps.bestCellId(col(vecCol), centers)))

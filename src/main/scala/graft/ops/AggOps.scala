@@ -862,10 +862,15 @@ final class AggOps(private val c: Chain) extends AnyVal {
     *    column is null/NaN (the post-`dropna` convention) — one shared n,
     *    and the per-column Σx/Σx² are shared across pairs: 2k + k(k−1)/2
     *    decimal sums, ~2.5× fewer at k = 5. On a frame with no missing
-    *    values the two regimes are identical — prefer listwise there, the
-    *    exact-decimal accumulation is the dominant cost (measured ~0.3 s
-    *    per sum per 600 k rows — the determinism tax, see
-    *    [[graft.core.Exact]]).
+    *    values the two regimes are identical — the exact-decimal
+    *    accumulation is the dominant cost (measured ~0.3 s per sum per
+    *    600 k rows — the determinism tax, see [[graft.core.Exact]]).
+    *
+    * Pairwise mode AUTO-DEGRADES to the shared-moment arithmetic when a
+    * cheap completeness probe (one long-count aggregate, no decimal
+    * sums) finds zero missing values in every screened column — same
+    * result bit-for-bit, ~1.7× cheaper; the declared semantics and the
+    * rendered SQL face stay pairwise.
     *
     * Scale: ONE aggregation pass either way, map-side partial aggregation
     * — the input is scanned once however many columns are screened; the
@@ -885,7 +890,21 @@ final class AggOps(private val c: Chain) extends AnyVal {
     def wide(cc: Column) = sum(cc.cast(DecimalType(38, 8))).cast("double")
     def finite(cn: String) =
       col(cn).isNotNull && !isnan(col(cn).cast("double"))
-    val listwise = deletion == "listwise"
+    // pairwise deletion differs from listwise ONLY on rows with missing
+    // values; when every screened column is complete the two regimes are
+    // IDENTICAL (docstring above) and listwise's shared per-column
+    // moments cost ~2.5× fewer exact-decimal sums. Probe completeness
+    // with one cheap long-count aggregate (no decimal tax — the sums are
+    // the expensive part) and degrade the ARITHMETIC automatically; the
+    // declared semantics (and the rendered face) stay pairwise. One
+    // declared eager scan, the fuzzyPairs-gate pattern.
+    val declaredListwise = deletion == "listwise"
+    val listwise = declaredListwise || {
+      val probeAggs = count(lit(1)).as("_t") +:
+        cols.map(cn => count(when(finite(cn), lit(1))))
+      val pr = c.df.agg(probeAggs.head, probeAggs.tail: _*).head()
+      cols.indices.forall(i => pr.getLong(i + 1) == pr.getLong(0))
+    }
     val allOk = cols.map(finite).reduce(_ && _)
     val aggs: Seq[Column] =
       if (listwise) {
@@ -910,9 +929,16 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val rows = pairs.map { case (i, j) =>
       val p = s"${i}_$j"
       def closing(n: Column, sx: Column, sy: Column,
-                  sxy: Column, sxx: Column, syy: Column) =
-        (n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  sxy: Column, sxx: Column, syy: Column) = {
+        // a zero-variance (constant) column or a 0/1-row pair makes the
+        // divisor exactly 0 — ANSI mode would abort the whole job on the
+        // very inputs a collinearity screen flags. Degenerate pairs
+        // surface a null corr instead (NULLIF in the render face; pandas'
+        // NaN convention).
+        val denom = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+        when(denom === lit(0.0), lit(null).cast("double"))
+          .otherwise((n * sxy - sx * sy) / denom)
+      }
       val (nL, corr) =
         if (listwise) (col("_n"), closing(col("_n").cast("double"),
           col(s"_s_$i"), col(s"_s_$j"), col(s"_sp_$p"), col(s"_ss_$i"), col(s"_ss_$j")))
@@ -934,11 +960,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val branches = pairs.map { case (i, j) =>
       val (a, b) = (cols(i), cols(j))
       val bothS =
-        if (listwise) allOkS
+        if (declaredListwise) allOkS
         else s"$a IS NOT NULL AND $b IS NOT NULL AND " +
           s"NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"
       s"SELECT $gSel'$a' AS col_a, '$b' AS col_b, " +
-        s"(_nd * _sxy - _sx * _sy) / (SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy)) AS corr, " +
+        s"(_nd * _sxy - _sx * _sy) / NULLIF(SQRT(_nd * _sxx - _sx * _sx) * SQRT(_nd * _syy - _sy * _sy), 0) AS corr, " +
         s"_n AS n FROM (SELECT ${gSel}CAST(COUNT(_x) AS DOUBLE) AS _nd, COUNT(_x) AS _n, " +
         s"${ds8("_x")} AS _sx, ${ds8("_y")} AS _sy, ${ds8("_x * _y")} AS _sxy, " +
         s"${ds8("_x * _x")} AS _sxx, ${ds8("_y * _y")} AS _syy FROM (" +
@@ -1146,8 +1172,13 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val wsum = Naming.agg(weightCol, "wsum")
     val swx = col("_swxfp").cast("double") / lit(1e6)
     val sw = col("_swfp").cast("double") / lit(1e6)
+    // a group whose present weights sum to exactly 0 (all-zero weights,
+    // or canceling signed ones) would hit ANSI DIVIDE_BY_ZERO — surface
+    // a null wavg instead (NULLIF in the render face)
     val df2 = g.select((groupBy.map(col) ++ Seq(
-      (swx / sw).as(wavg), sw.as(wsum), col("n"))): _*)
+      when(col("_swfp") === lit(0).cast(DecimalType(38, 0)),
+        lit(null).cast("double")).otherwise(swx / sw).as(wavg),
+      sw.as(wsum), col("n"))): _*)
     def fpS(e: String) =
       s"SUM(CAST(CAST(FLOOR(($e) * CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
     val scaleS = "CAST('1000000.0' AS DOUBLE)"
@@ -1156,7 +1187,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
     val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
     c.next("weighted_agg", df2, Some(
-      s"SELECT $gSel(CAST(_swxfp AS DOUBLE) / $scaleS) / (CAST(_swfp AS DOUBLE) / $scaleS) AS $wavg, " +
+      s"SELECT $gSel(CAST(_swxfp AS DOUBLE) / $scaleS) / NULLIF(CAST(_swfp AS DOUBLE) / $scaleS, 0) AS $wavg, " +
         s"CAST(_swfp AS DOUBLE) / $scaleS AS $wsum, n FROM (" +
         s"SELECT ${gSel}${fpS("_w * _x")} AS _swxfp, ${fpS("_w")} AS _swfp, COUNT(_x) AS n FROM (" +
         s"SELECT ${gSel}CASE WHEN $bothS THEN CAST($valueCol AS DOUBLE) END AS _x, " +

@@ -165,10 +165,20 @@ final class ProjectOps(private val c: Chain) extends AnyVal {
     * [[graft.ext.TextAnalysisOps.scrubPii]] (which rewrites free text;
     * this rewrites key/attribute columns).
     *
+    * The rendered SQL face carries a `{{salt}}` PLACEHOLDER, not the
+    * literal: `c.sql()` output and dbt exports are artifacts that outlive
+    * the session, and shipping the secret inside every export would
+    * defeat rotation (anyone holding the export could replay the mapping
+    * over the value space). Substitute the placeholder at deploy time
+    * (dbt var / session variable). Set `saltInRender = true` only when
+    * the rendered text itself must be self-contained AND is handled as a
+    * secret.
+    *
     * Pure projection — no shuffle, engine-exact (md5/substring are
     * identical everywhere).
     */
-  def pseudonymize(columns: Seq[String], salt: String, prefixLen: Int = 16): Chain = {
+  def pseudonymize(columns: Seq[String], salt: String, prefixLen: Int = 16,
+                   saltInRender: Boolean = false): Chain = {
     require(columns.nonEmpty, "pseudonymize needs at least one column")
     require(prefixLen >= 4 && prefixLen <= 32,
       s"prefix_len must be in [4, 32], got $prefixLen")
@@ -179,10 +189,11 @@ final class ProjectOps(private val c: Chain) extends AnyVal {
       d.withColumn(cn, when(col(cn).isNull, lit(null).cast("string")).otherwise(
         substring(md5(concat(lit(salt), lit("|"), col(cn).cast("string"))), 1, prefixLen)))
     }
+    val saltS = if (saltInRender) salt else "{{salt}}"
     val outCols = c.df.columns.toSeq.map { cn =>
       if (columns.contains(cn))
         s"CASE WHEN $cn IS NULL THEN NULL ELSE " +
-          s"substring(md5(concat('$salt', '|', CAST($cn AS STRING))), 1, $prefixLen) END AS $cn"
+          s"substring(md5(concat('$saltS', '|', CAST($cn AS STRING))), 1, $prefixLen) END AS $cn"
       else cn
     }
     c.next("pseudonymize", df2, Some(s"SELECT ${outCols.mkString(", ")} FROM {{source}}"))
