@@ -413,6 +413,19 @@ object SparkEntry {
     "q_trimmed_mean" -> ((s, d) =>
       t(s, d, "lineitem").trimmedMean("l_extendedprice", 0.1,
         groupBy = Seq("l_returnflag")).df),
+    // corpus-scale KLL twins of the two exact order-statistic profiles,
+    // on the fixed numeric fixture: group sizes (60) sit inside KLL's
+    // exact (no-compaction) regime, so the sketch cutoffs are the literal
+    // inclusive-rank order statistics and the oracle replays the cutoff
+    // search (cumWeight >= p·n in shared IEEE double) — the
+    // q_percentile_sketch posture; randomized-compaction behavior stays
+    // rank-band-gated in Round11SketchSpec
+    "q_trimmed_mean_sketch" -> ((s, d) =>
+      Chain(s, "num_fixtures", numFixtureDf(s))
+        .trimmedMeanSketch("x", 0.1, Seq("g")).df),
+    "q_quantile_profile_sketch" -> ((s, d) =>
+      Chain(s, "num_fixtures", numFixtureDf(s))
+        .quantileProfileSketch(Seq("x"), Seq(0.25, 0.5, 0.95), Seq("g")).df),
     // deterministic hash sample as the driver face (round-6 ask: hard
     // oracle signal) — Bernoulli sampleRows stays spec-side (OpsSpec), its
     // output is partition-layout-dependent by construction
@@ -676,6 +689,11 @@ object SparkEntry {
       // corpus bigram frequency census (top 25, count-desc/gram-asc ties)
       "q_top_ngrams" -> ((s, d) =>
         t(s, d, "documents").topNgrams("text", n = 2, k = 25).df),
+      // corpus-scale twin: one mergeable frequent-items sketch instead of
+      // the full-domain gram census shuffle; exact regime on this corpus
+      "q_top_ngrams_sketch" -> ((s, d) =>
+        t(s, d, "documents").topNgramsSketch("text", n = 2, k = 25,
+          maxMapSize = 2048).df),
       // spherical k-means over the pinned lattice fixture: the 4 recovered
       // clusters are the lattice clusters (vec_id mod 4) by construction,
       // labeled by min member id — a pure function of the fixture
@@ -943,6 +961,13 @@ object SparkEntry {
       "q_events_drift" -> ((s, d) => {
         val ev = readEvents(s, d)
         EventStreams.driftByWindow(ev, ev, "event_type", "1 hour")
+      }),
+      // the numeric twin: per-hour PSI of the value distribution over
+      // [0, 256) in 16 equal bins vs the corpus-wide reference (the tail
+      // above 256 exercises the out-of-range exclusion on both faces)
+      "q_events_drift_num" -> ((s, d) => {
+        val ev = readEvents(s, d)
+        EventStreams.driftByWindowNumeric(ev, ev, "value", "1 hour", 0.0, 256.0, 16)
       }),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
@@ -1560,6 +1585,34 @@ object SparkEntry {
         s"ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY $xrS ASC NULLS LAST) AS _t_rn, " +
         s"COUNT($xrS) OVER (PARTITION BY l_returnflag) AS _t_n FROM lineitem) GROUP BY l_returnflag"
     },
+    "q_trimmed_mean_sketch" -> {
+      // the KLL cutoff search replayed literally: in the exact regime the
+      // inclusive-rank quantile at p is the smallest value whose 1-based
+      // rank satisfies rank >= p·n, BOTH sides of the comparison in IEEE
+      // double (DataSketches' naturalRank product) — engine-identical
+      val src = "SELECT CAST(i % 4 AS BIGINT) AS g, CAST((i * 37) % 101 AS DOUBLE) AS x FROM range(0, 240) t(i)"
+      def cut(p: String) = s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= " +
+        s"CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END)"
+      val keptS = "CASE WHEN s.x >= b._lo AND s.x <= b._hi THEN s.x END"
+      s"WITH src AS ($src), " +
+        "r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM src), " +
+        s"b AS (SELECT g, ${cut("0.1")} AS _lo, ${cut("0.9")} AS _hi FROM r GROUP BY g) " +
+        s"SELECT s.g, CAST(SUM(CAST($keptS AS DECIMAL(38,4))) AS DOUBLE) / COUNT($keptS) AS x_tmean, " +
+        s"COUNT($keptS) AS n_kept, COUNT(s.x) AS n FROM src s JOIN b ON s.g = b.g GROUP BY s.g"
+    },
+    "q_quantile_profile_sketch" -> {
+      val src = "SELECT CAST(i % 4 AS BIGINT) AS g, CAST((i * 37) % 101 AS DOUBLE) AS x FROM range(0, 240) t(i)"
+      val branches = Seq(0.25, 0.5, 0.95).map { p =>
+        s"SELECT g, 'x' AS col_name, CAST('$p' AS DOUBLE) AS prob, " +
+          s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END) AS value, " +
+          "COUNT(x) AS n FROM r GROUP BY g"
+      }
+      s"WITH src AS ($src), " +
+        "r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM src) " +
+        branches.mkString(" UNION ALL ")
+    },
     "q_cross_table" -> {
       // the op's SQL face replayed over customer with DuckDB spellings
       val (a, b) = ("c_mktsegment", "c_nationkey")
@@ -1935,6 +1988,17 @@ object SparkEntry {
           "FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2)) " +
           "SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY ngram " +
           "ORDER BY cnt DESC, ngram ASC LIMIT 25"),
+      // the sketch twin in its exact regime (31-token vocabulary => at
+      // most 961 distinct bigrams << 0.75 x 2048): the frequent-items
+      // sketch never purges, so counts are the census counts and both
+      // error bounds collapse onto them — the oracle replays the census
+      "q_top_ngrams_sketch" ->
+        (s"WITH t AS (SELECT $toks AS tk FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+          "g AS (SELECT array_to_string(list_slice(tk, i, i + 1), ' ') AS ngram " +
+          "FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2)), " +
+          "c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY ngram " +
+          "ORDER BY cnt DESC, ngram ASC LIMIT 25) " +
+          "SELECT ngram, cnt, cnt AS cnt_lb, cnt AS cnt_ub FROM c"),
       "q_cluster_embeddings" -> {
         // the lattice fixture's k-means clusters ARE the construction
         // clusters (vec_id mod 4), labeled by min member id — sanity: ids
@@ -2228,6 +2292,33 @@ object SparkEntry {
           s"y AS (SELECT window_start, value, cnt_base, cnt_other, $termS AS psi_term FROM j JOIN t USING (window_start)), " +
           "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
           "SELECT window_start, value, cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
+      },
+      "q_events_drift_num" -> {
+        // driftByWindowNumeric replayed: psiProfile's equal-width binning
+        // (x = hi folds into the top bucket, null/NaN/out-of-range
+        // excluded), a spine-complete reference broadcast onto the
+        // distinct-window grid, then the eps-floored fixed-point PSI
+        val loS = "CAST('0.0' AS DOUBLE)"; val wS = "CAST('16.0' AS DOUBLE)"
+        val hiS = "CAST('256.0' AS DOUBLE)"
+        val epsS = "CAST('1.0E-6' AS DOUBLE)"
+        val xS = "CAST(value AS DOUBLE)"
+        val inS = s"value IS NOT NULL AND NOT isnan($xS) AND $xS >= $loS AND $xS <= $hiS"
+        val bS = s"LEAST(CAST(FLOOR(($xS - $loS) / $wS) AS BIGINT), 15)"
+        def g(cnt: String, tot: String) =
+          s"GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS)"
+        val termS = s"(${g("cnt_base", "tb")} - ${g("cnt_other", "tot")}) * " +
+          s"(FLOOR(LN(${g("cnt_base", "tb")} / ${g("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000)"
+        s"WITH sp AS (SELECT range AS bucket FROM range(0, 16)), " +
+          s"rf AS (SELECT $bS AS bucket, COUNT(*) AS cb FROM events WHERE $inS GROUP BY 1), " +
+          "ref AS (SELECT bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base FROM sp LEFT JOIN rf USING (bucket)), " +
+          s"wc AS (SELECT date_trunc('hour', $evT) AS window_start, $bS AS bucket, COUNT(*) AS co FROM events WHERE $inS GROUP BY 1, 2), " +
+          "grid AS (SELECT window_start, bucket, cnt_base FROM (SELECT DISTINCT window_start FROM wc) CROSS JOIN ref), " +
+          "j AS (SELECT window_start, bucket, cnt_base, CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM grid LEFT JOIN wc USING (window_start, bucket)), " +
+          "t AS (SELECT window_start, CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j GROUP BY 1), " +
+          s"y AS (SELECT window_start, bucket, cnt_base, cnt_other, $termS AS psi_term FROM j JOIN t USING (window_start)), " +
+          "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
+          s"SELECT window_start, bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
+          "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
       },
       "q_json_extract" ->
         "SELECT event_id, event_type, props, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",

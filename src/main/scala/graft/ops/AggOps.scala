@@ -1033,6 +1033,79 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"COUNT($xrS) OVER ($wp) AS _t_n FROM {{source}})$gBy"))
   }
 
+  /** trimmed_mean_sketch(column, trim, group_by, k): the corpus-scale face
+    * of [[trimmedMean]] — per-group mergeable KLL quantile sketches
+    * ([[graft.functions.KllSketches]]) derive the two trim cutoffs
+    * (inclusive-rank quantiles at `trim` and `1 − trim`), joined back for
+    * ONE filtered exact-decimal mean pass. Same output contract as the
+    * exact face: (`<col>_tmean`, `n_kept`, `n`) per group, null mean when
+    * nothing survives the trim, NaN never enters the sketch or the mean,
+    * `n` is the EXACT valid count (only the cutoff placement is sketched).
+    * Cutoffs carry KLL's ±1.65% (k = 200) normalized rank error, so the
+    * kept SET can differ from the exact face only for values within that
+    * band of the cut ranks (Round11SketchSpec corners the disagreement
+    * through the monotone-in-both-endpoints mean bound); at trim = 0 the
+    * cutoffs are the sketch's retained exact min/max, so every valid value
+    * is kept and the two faces agree bit-for-bit.
+    *
+    * Scale: two map-side-combined aggregate passes (sketch bounds, then
+    * the closing mean) with one hash exchange each — no window, no
+    * per-group sort, so the exact face's low-cardinality rank funnel (the
+    * whole corpus through #distinct-group sort tasks) is gone. The SQL
+    * face calls the registered KLL kernels (Spark-executable, engine-
+    * specific by design — the ORACLE regime for sketch ops is the exact
+    * face, the [[graft.ops.EncodeOps.winsorizeSketch]] posture).
+    */
+  def trimmedMeanSketch(column: String, trim: Double,
+                        groupBy: Seq[String] = Nil, k: Int = 200): Chain = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val sk = graft.functions.KllSketches.sketchAgg(xr, k).as("_t_sk")
+    val bounds = (
+      if (groupBy.isEmpty) c.df.agg(sk)
+      else c.df.groupBy(groupBy.map(col): _*).agg(sk))
+      .select((groupBy.map(col) :+
+        graft.functions.KllSketches.quantile(col("_t_sk"), trim).as("_t_lo") :+
+        graft.functions.KllSketches.quantile(col("_t_sk"), 1.0 - trim).as("_t_hi")): _*)
+    val joined =
+      if (groupBy.isEmpty) c.df.crossJoin(broadcast(bounds))
+      else c.df.join(bounds, groupBy, "left")
+    // an empty/all-NaN group has a null sketch → null cutoffs → the keep
+    // predicate is null for every row → nothing kept, null mean — the
+    // exact face's contract without a special case
+    val kept = when(xr >= col("_t_lo") && xr <= col("_t_hi"), xr)
+    val outName = Naming.agg(column, "tmean")
+    val aggs = Seq(
+      (Exact.sum(kept) / count(kept)).as(outName),
+      count(kept).as("n_kept"), count(xr).as("n"))
+    val g =
+      if (groupBy.isEmpty) joined.agg(aggs.head, aggs.tail: _*)
+      else joined.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val df2 = g.withColumn(outName,
+      when(col("n_kept") === 0, lit(null).cast("double")).otherwise(col(outName)))
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST(s.$cn AS DOUBLE)"
+    val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
+    val xrAggS = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+    def q(p: Double) = s"KLL_QUANTILE(KLL_SKETCH_AGG($xrAggS, $k), " +
+      s"${java.lang.Double.toString(p)}D)"
+    val boundsSel = (groupBy :+ s"${q(trim)} AS _t_lo" :+
+      s"${q(1.0 - trim)} AS _t_hi").mkString(", ")
+    val grpSql = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val joinSql =
+      if (groupBy.isEmpty) s"CROSS JOIN (SELECT $boundsSel FROM {{source}}) b"
+      else s"LEFT JOIN (SELECT $boundsSel FROM {{source}}$grpSql) b ON " +
+        groupBy.map(g => s"s.$g = b.$g").mkString(" AND ")
+    val keptS = s"CASE WHEN ($xrS) >= b._t_lo AND ($xrS) <= b._t_hi THEN $xrS END"
+    val gSelS = if (groupBy.isEmpty) "" else groupBy.map(g => s"s.$g").mkString(", ") + ", "
+    val gByS = if (groupBy.isEmpty) "" else " GROUP BY " + groupBy.map(g => s"s.$g").mkString(", ")
+    c.next("trimmed_mean_sketch", df2, Some(
+      s"SELECT ${gSelS}CASE WHEN COUNT($keptS) = 0 THEN NULL ELSE " +
+        s"CAST(SUM(CAST($keptS AS DECIMAL(38,${Exact.Scale}))) AS DOUBLE) / COUNT($keptS) END AS $outName, " +
+        s"COUNT($keptS) AS n_kept, COUNT($xrS) AS n FROM {{source}} s $joinSql$gByS"))
+  }
+
   /** cross_table(col_a, col_b): the contingency table with χ²-of-
     * independence decomposition — one row per (value_a × value_b) cell of
     * the observed margins (zero-observed cells INCLUDED: their expected
@@ -1256,6 +1329,58 @@ final class AggOps(private val c: Chain) extends AnyVal {
          else s" GROUP BY ${groupBy.mkString(", ")}")
     }
     c.next("quantile_profile", df2, Some(branches.mkString(" UNION ALL ")))
+  }
+
+  /** quantile_profile_sketch(columns, probs, group_by, k): the corpus-
+    * scale face of [[quantileProfile]] — the same long-form
+    * `(col_name, prob, value, n)` fingerprint from per-(group × column)
+    * mergeable KLL sketches in ONE map-side-combined aggregate: no melt
+    * (zero row blowup), no window, no per-key sort — the exact face's
+    * rank window funnels the whole corpus through #(group × column) sort
+    * tasks, which for an ungrouped profile is #columns tasks at 100 TB.
+    * Values are KLL inclusive-rank quantiles with ±1.65% (k = 200)
+    * normalized rank error (Round11SketchSpec gates them inside the exact
+    * rank bands); `n` is the EXACT per-column valid count, and columns
+    * with no valid values contribute no rows — both exactly the exact
+    * face's contract. The SQL face calls the registered KLL kernels
+    * (Spark-executable; oracle regime = the exact face, the
+    * [[graft.ops.EncodeOps.winsorizeSketch]] posture).
+    */
+  def quantileProfileSketch(cols: Seq[String], probs: Seq[Double],
+                            groupBy: Seq[String] = Nil, k: Int = 200): Chain = {
+    require(cols.nonEmpty, "quantile_profile_sketch needs at least one column")
+    require(cols.distinct.size == cols.size, s"quantile_profile_sketch columns repeat: $cols")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile_profile_sketch probs must be in [0, 1], got $probs")
+    require(probs.distinct.size == probs.size, s"quantile_profile_sketch probs repeat: $probs")
+    val aggs = cols.zipWithIndex.flatMap { case (cn, i) =>
+      val xr = { val x = col(cn).cast("double"); when(!isnan(x), x) }
+      Seq(graft.functions.KllSketches.sketchAgg(xr, k).as(s"_sk$i"),
+        count(xr).as(s"_n$i"))
+    }
+    val g =
+      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // quantile readout happens BEFORE the explode, once per
+    // (group × column × prob) over the one-row-per-group aggregated frame
+    // — the eval-only kernel never sees a per-input-row hot path
+    val qRows = for ((cn, i) <- cols.zipWithIndex; p <- probs) yield
+      struct(lit(cn).as("col_name"), lit(p).as("prob"),
+        graft.functions.KllSketches.quantile(col(s"_sk$i"), p).as("value"),
+        col(s"_n$i").as("n"))
+    val df2 = g.select((groupBy.map(col) :+ explode(array(qRows: _*)).as("_q")): _*)
+      .select((groupBy.map(col) ++ Seq(col("_q.col_name"), col("_q.prob"),
+        col("_q.value"), col("_q.n"))): _*)
+      .where(col("n") > 0)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val branches = for (cn <- cols; p <- probs) yield {
+      val xrS = s"CASE WHEN NOT isnan(CAST($cn AS DOUBLE)) THEN CAST($cn AS DOUBLE) END"
+      s"SELECT $gSel'$cn' AS col_name, CAST('$p' AS DOUBLE) AS prob, " +
+        s"KLL_QUANTILE(KLL_SKETCH_AGG($xrS, $k), ${java.lang.Double.toString(p)}D) AS value, " +
+        s"COUNT($xrS) AS n FROM {{source}}$gBy HAVING COUNT($xrS) > 0"
+    }
+    c.next("quantile_profile_sketch", df2, Some(branches.mkString(" UNION ALL ")))
   }
 
   /** entropy_profile(columns, group_by): categorical-balance census in

@@ -523,6 +523,82 @@ object EventStreams {
     q
   }
 
+  /** Streaming continuous heavy-hitters via `foreachBatch`: every
+    * micro-batch folds its per-key frequent-items sketches into a
+    * persistent profile table — TOP-K OVER THE WHOLE STREAM HISTORY with
+    * O(maxMapSize) state per key, never rescanning history (the
+    * sketch-column pattern of [[graft.ops.AggOps.freqSketches]], made
+    * continuous; the streaming twin of [[sinkDistinctSketchToTable]]).
+    * Read out with `freq_topk(_sk, k)` ([[graft.functions.FreqSketches
+    * .topK]]); counts stay EXACT while a key's distinct-value count is
+    * under ~0.75×maxMapSize, and carry ±n/maxMapSize with
+    * NO_FALSE_NEGATIVES beyond it. Unlike the HLL sink's register-wise
+    * max, a frequent-items merge is ADDITIVE — replay safety comes from
+    * the checkpoint's exactly-once batch tracking (same contract as the
+    * drift sinks' counts), not from merge idempotence.
+    *
+    * Scale shape: the profile table is PARTITIONED by
+    * `_pb = hash(keys) mod profileBuckets`; each batch pays one bounded
+    * aggregate of the batch, a [[graft.functions.FreqUnion]] merge against
+    * the TOUCHED buckets only (partition-pruned old side), and a
+    * dynamic-overwrite rewrite of those buckets.
+    */
+  def sinkFreqSketchToTable(events: DataFrame, keys: Seq[String], valueCol: String,
+                            name: String, checkpointDir: String,
+                            maxMapSize: Int = 2048,
+                            profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(keys.nonEmpty, "profile sink needs key columns")
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val bs = batch.groupBy(keys.map(col): _*)
+            .agg(graft.functions.FreqSketches
+              .sketchAgg(col(valueCol).cast("string"), maxMapSize).as("_sk"))
+            .withColumn("_pb", pmod(hash(keys.map(col): _*), lit(profileBuckets)))
+          if (!spark.catalog.tableExists(name)) {
+            bs.write.partitionBy("_pb")
+              .format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read (≤ profileBuckets
+            // ints) used to partition-prune the old-side scan
+            val touched = bs.select("_pb").distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name)
+              .where(col("_pb").isInCollection(touched))
+              .withColumnRenamed("_sk", "_sk_old")
+            // _pb is a pure function of keys, so joining on keys :+ _pb is the
+            // same key-equality join but keeps the partition column aligned;
+            // freq_union null-coalesces, so a key new to either side adopts
+            // the present sketch unchanged
+            val merged = bs.withColumnRenamed("_sk", "_sk_new")
+              .join(old, keys :+ "_pb", "full_outer")
+              .select((keys.map(col) :+
+                graft.functions.FreqSketches
+                  .union(col("_sk_new"), col("_sk_old")).as("_sk") :+
+                col("_pb")): _*)
+            val out = merged.localCheckpoint()
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a stream with no non-empty batch never creates the table; the refresh
+    // must then be a no-op, not an AnalysisException
+    if (events.sparkSession.catalog.tableExists(name))
+      events.sparkSession.catalog.refreshTable(name)
+    q
+  }
+
   /** drift_by_window(events, reference, value_col, width): per-tumbling-
     * window PSI of `valueCol`'s categorical mix against a REFERENCE
     * corpus's mix — the dataset-shift alarm as a time series ("which
@@ -624,6 +700,164 @@ object EventStreams {
               // keeping it would be harmless but re-pads idempotently)
               .where(col("cnt_other") > 0)
             val out = driftFromCounts(merged, refC, eps)
+              .withColumn("_pb", bucketed(col("window_start")))
+              .localCheckpoint()
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // guarded: an all-empty stream never created the drift table
+    if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
+    q
+  }
+
+  /** drift_by_window_numeric(events, reference, value_col, width, lo, hi,
+    * buckets): the NUMERIC twin of [[driftByWindow]] — per-tumbling-window
+    * PSI of `valueCol`'s distribution over equal-width bins against a
+    * REFERENCE corpus, the [[graft.ops.AggOps.psiProfile]] binning regime
+    * verbatim: null/NaN/out-of-range rows are EXCLUDED on both sides,
+    * x = hi folds into the top bucket, and every window carries the FULL
+    * bucket spine (an emptied bucket is drift, not an absent row). One row
+    * per (window × bucket) with both counts, the bucket's [lo, hi) bounds,
+    * the eps-floored fixed-point PSI term, and the window's `psi_total`
+    * repeated on its rows.
+    *
+    * Scale: one map-side-combined aggregate per side (≤ buckets rows per
+    * window out); the spine-complete reference profile (buckets rows)
+    * broadcasts onto the distinct-window spine; totals and psi_total stay
+    * partitioned by window ([[graft.ops.AggOps.psiTermsGrouped]]) — no
+    * global window, unbounded stream history is fine. Batch face of
+    * [[sinkDriftNumericUpsertToTable]].
+    */
+  def driftByWindowNumeric(events: DataFrame, reference: DataFrame,
+                           valueCol: String, width: String, lo: Double,
+                           hi: Double, buckets: Int,
+                           eps: Double = 1e-6): DataFrame = {
+    require(buckets > 0, s"drift_by_window_numeric needs buckets > 0, got $buckets")
+    require(hi > lo, s"drift_by_window_numeric needs hi > lo, got [$lo, $hi]")
+    driftFromBucketCounts(
+      windowBucketCounts(events, valueCol, width, lo, hi, buckets),
+      refBucketCounts(reference, valueCol, lo, hi, buckets),
+      lo, hi, buckets, eps)
+  }
+
+  // histogram/psiProfile bin arithmetic: in-range predicate + bucket index
+  // (x = hi folds into the top bucket; null/NaN/out-of-range excluded)
+  private def bucketExpr(valueCol: String, lo: Double, hi: Double,
+                         buckets: Int): (Column, Column) = {
+    val x = col(valueCol).cast("double")
+    val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
+    val w = (hi - lo) / buckets
+    (in, least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong)))
+  }
+
+  /** Spine-complete reference bucket counts: every bucket present, zeros
+    * included — pinned verbatim into `<name>_ref` by the sink, so a
+    * reference gap reads as an eps-floored share, never a missing row.
+    */
+  private def refBucketCounts(reference: DataFrame, valueCol: String,
+                              lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val (in, b) = bucketExpr(valueCol, lo, hi, buckets)
+    val counts = reference.where(in).groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("_cb"))
+    reference.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("_cb"), lit(0L)).as("cnt_base"))
+  }
+
+  private def windowBucketCounts(events: DataFrame, valueCol: String,
+                                 width: String, lo: Double, hi: Double,
+                                 buckets: Int): DataFrame = {
+    val (in, b) = bucketExpr(valueCol, lo, hi, buckets)
+    events
+      .withColumn("_ts", eventTime(events))
+      .where(in)
+      .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start"), b.as("bucket"))
+      .agg(count(lit(1)).as("cnt_other"))
+  }
+
+  private def driftFromBucketCounts(wc: DataFrame, refC: DataFrame,
+                                    lo: Double, hi: Double, buckets: Int,
+                                    eps: Double): DataFrame = {
+    val w = (hi - lo) / buckets
+    // window × bucket-spine grid: the reference is spine-complete, so a
+    // LEFT join pads every window to the full domain (wc's buckets are a
+    // subset of the spine by construction); aggregated broadcast build,
+    // bounded by `buckets`
+    val grid = wc.select("window_start").distinct().crossJoin(broadcast(refC))
+    val joined = grid.join(wc, Seq("window_start", "bucket"), "left")
+      .select(col("window_start"), col("bucket"), col("cnt_base"),
+        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+    graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps)
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(w))
+      .withColumn("bucket_hi", lit(lo) + (col("bucket") + lit(1L)) * lit(w))
+      .select("window_start", "bucket", "bucket_lo", "bucket_hi",
+        "cnt_base", "cnt_other", "psi_term", "psi_total")
+  }
+
+  /** Streaming face of [[driftByWindowNumeric]] — the
+    * [[sinkDriftUpsertToTable]] machinery with bucket counts in place of
+    * value counts: per-batch (window × bucket) counts MERGE into `name`
+    * and the PSI columns are recomputed for every window in the touched
+    * buckets, so the table always equals the batch face over all data
+    * processed so far (replay-convergent through the checkpoint's
+    * exactly-once file tracking). The spine-complete reference profile is
+    * pinned ONCE at sink start into `<name>_ref` (rerun the sink to
+    * rotate it); batches read it back rather than re-deriving it.
+    * Bucketed dynamic-overwrite I/O: only `_pb` buckets whose windows the
+    * batch touched are rewritten.
+    */
+  def sinkDriftNumericUpsertToTable(events: DataFrame, reference: DataFrame,
+                                    valueCol: String, width: String,
+                                    lo: Double, hi: Double, buckets: Int,
+                                    name: String, checkpointDir: String,
+                                    eps: Double = 1e-6,
+                                    profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    require(buckets > 0, s"sink_drift_numeric needs buckets > 0, got $buckets")
+    require(hi > lo, s"sink_drift_numeric needs hi > lo, got [$lo, $hi]")
+    val session = events.sparkSession
+    val refTable = name + "_ref"
+    refBucketCounts(reference, valueCol, lo, hi, buckets)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(refTable)
+    def bucketed(cc: Column) = pmod(hash(cc), lit(profileBuckets))
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val refC = spark.table(refTable)
+          val bc = windowBucketCounts(batch, valueCol, width, lo, hi, buckets)
+            .withColumn("_pb", bucketed(col("window_start")))
+          if (!spark.catalog.tableExists(name)) {
+            driftFromBucketCounts(bc.drop("_pb"), refC, lo, hi, buckets, eps)
+              .withColumn("_pb", bucketed(col("window_start")))
+              .write.partitionBy("_pb").format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read used to
+            // partition-prune the old-side scan (the profile-sink pattern)
+            val touched = bc.select("_pb").distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name).where(col("_pb").isInCollection(touched))
+              .select(col("window_start"), col("bucket"), col("cnt_other").as("_cold"))
+            val merged = bc.select(col("window_start"), col("bucket"), col("cnt_other").as("_cnew"))
+              .join(old, Seq("window_start", "bucket"), "full_outer")
+              .select(col("window_start"), col("bucket"),
+                (coalesce(col("_cnew"), lit(0L)) + coalesce(col("_cold"), lit(0L))).as("cnt_other"))
+              // drop the stored spine padding (re-derived by the re-grid —
+              // keeping it would be harmless but re-pads idempotently)
+              .where(col("cnt_other") > 0)
+            val out = driftFromBucketCounts(merged, refC, lo, hi, buckets, eps)
               .withColumn("_pb", bucketed(col("window_start")))
               .localCheckpoint()
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
