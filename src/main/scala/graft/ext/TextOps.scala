@@ -1142,19 +1142,7 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     require(n >= 1 && n <= 8, s"top_ngrams needs n in [1, 8], got $n")
     require(k >= 1, s"top_ngrams needs k >= 1, got $k")
     val toks = TextOps.tokens(col(textCol))
-    // gram assembly via arrays_zip of n shifted slices: the token split is
-    // an ARGUMENT of the zip (evaluated n times per row), never inside the
-    // per-element lambda — `slice(tokens, i, n)` in a transform lambda
-    // would re-run the split once per OUTPUT GRAM (HOF lambdas inline
-    // their free subexpressions), which measured 4x slower at sf0.1
-    val m = size(toks) - lit(n - 1)
-    val grams =
-      if (n == 1) toks
-      else {
-        val zipped = arrays_zip((1 to n).map(j => slice(toks, lit(j), m)): _*)
-        transform(zipped, s =>
-          concat_ws(" ", (0 until n).map(j => s.getField(s"$j")): _*))
-      }
+    val grams = TopNgramsShared.gramsExpr(toks, n)
     val exploded = c.df
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
         size(toks) >= n)
@@ -1172,14 +1160,7 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       }
     val tq = Naming.quoteId(textCol)
     val toksS = TextOps.tokensSql(tq)
-    val gramS =
-      if (n == 1) toksS
-      else {
-        val slicesS = (1 to n)
-          .map(j => s"slice($toksS, $j, size($toksS) - ${n - 1})").mkString(", ")
-        s"transform(arrays_zip($slicesS), s -> concat_ws(' ', " +
-          (0 until n).map(j => s"s['$j']").mkString(", ") + "))"
-      }
+    val gramS = TopNgramsShared.gramsSql(toksS, n)
     val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
     val innerSql =
       s"SELECT $gSel ngram, COUNT(*) AS cnt FROM (" +
@@ -1195,4 +1176,93 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
           s"FROM ($innerSql)) WHERE _tg_rn <= $k"
     c.next("top_ngrams", df2, Some(sqlFace))
   }
+
+  /** top_ngrams_sketch(text_col, n, k, group_by, max_map_size): the
+    * corpus-scale face of [[topNgrams]] — the exact census shuffles ONE
+    * ROW PER DISTINCT GRAM (a full-domain groupBy whose reduce side is
+    * the n-gram vocabulary: billions of keys at 100 TB) before discarding
+    * all but k of them; this face folds the exploded grams into ONE
+    * mergeable frequent-items sketch per group
+    * ([[graft.functions.FreqSketches]] — Misra–Gries lineage, bounded
+    * O(maxMapSize) state, map-side combined), so the only exchange moves
+    * sketch bytes, never the gram domain. Output per group: the top-k
+    * `(ngram, cnt, cnt_lb, cnt_ub)` ordered (cnt DESC, ngram ASC). Counts
+    * are EXACT (lb = cnt = ub) while a group's distinct-gram count stays
+    * under ~0.75×maxMapSize — the regime the driver oracle pins; beyond
+    * it they carry the sketch's ±n/maxMapSize band with NO_FALSE_NEGATIVES
+    * (every true heavy hitter appears; Round11Batch2Spec gates the
+    * approximate regime against the exact census). Same input hygiene as
+    * the exact face: null/blank texts and texts shorter than n tokens
+    * contribute nothing; a group with no grams emits no rows.
+    *
+    * The SQL face calls the registered kernels (Spark-executable;
+    * oracle regime = the exact census, the
+    * [[graft.ops.AggOps.freqSketches]] posture).
+    */
+  def topNgramsSketch(textCol: String, n: Int, k: Int,
+                      groupBy: Seq[String] = Nil,
+                      maxMapSize: Int = 2048): Chain = {
+    require(n >= 1 && n <= 8, s"top_ngrams_sketch needs n in [1, 8], got $n")
+    require(k >= 1, s"top_ngrams_sketch needs k >= 1, got $k")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = TopNgramsShared.gramsExpr(toks, n)
+    val exploded = c.df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
+        size(toks) >= n)
+      .select((groupBy.map(col) :+ explode(grams).as("_gram")): _*)
+    val agged = exploded
+      .groupBy(groupBy.map(col): _*)
+      .agg(graft.functions.FreqSketches.sketchAgg(col("_gram"), maxMapSize).as("_sk"))
+    // an empty group never reaches the aggregate (filtered rows), and the
+    // ungrouped-empty case yields a null sketch whose top-k is null —
+    // explode drops it, matching the exact face's zero rows
+    val df2 = agged
+      .select((groupBy.map(col) :+
+        explode(graft.functions.FreqSketches.topK(col("_sk"), k)).as("_h")): _*)
+      .select((groupBy.map(col) ++ Seq(
+        col("_h.item").as("ngram"), col("_h.est").as("cnt"),
+        col("_h.lb").as("cnt_lb"), col("_h.ub").as("cnt_ub"))): _*)
+    val tq = Naming.quoteId(textCol)
+    val toksS = TextOps.tokensSql(tq)
+    val gramS = TopNgramsShared.gramsSql(toksS, n)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    c.next("top_ngrams_sketch", df2, Some(
+      s"SELECT $gSel _h.item AS ngram, _h.est AS cnt, _h.lb AS cnt_lb, _h.ub AS cnt_ub " +
+        s"FROM (SELECT $gSel explode(freq_topk(_sk, $k)) AS _h FROM (" +
+        s"SELECT $gSel freq_sketch_agg(_gram, $maxMapSize) AS _sk FROM (" +
+        s"SELECT $gSel explode($gramS) AS _gram FROM {{source}} " +
+        s"WHERE $tq IS NOT NULL AND length(trim($tq)) > 0 AND size($toksS) >= $n)$gBy))"))
+  }
+}
+
+/** Gram-assembly fragments shared by [[graft.ext.TextOps.topNgrams]] (the
+  * exact census) and its sketch twin — kept in one place so the two faces
+  * can never drift on what an "n-gram" is.
+  */
+private[ext] object TopNgramsShared {
+  /** Gram assembly via arrays_zip of n shifted slices: the token split is
+    * an ARGUMENT of the zip (evaluated n times per row), never inside the
+    * per-element lambda — `slice(tokens, i, n)` in a transform lambda
+    * would re-run the split once per OUTPUT GRAM (HOF lambdas inline
+    * their free subexpressions), which measured 4x slower at sf0.1.
+    */
+  def gramsExpr(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else {
+      val m = size(toks) - lit(n - 1)
+      val zipped = arrays_zip((1 to n).map(j => slice(toks, lit(j), m)): _*)
+      transform(zipped, s =>
+        concat_ws(" ", (0 until n).map(j => s.getField(s"$j")): _*))
+    }
+
+  /** SQL text of [[gramsExpr]] over a rendered tokens expression. */
+  def gramsSql(toksS: String, n: Int): String =
+    if (n == 1) toksS
+    else {
+      val slicesS = (1 to n)
+        .map(j => s"slice($toksS, $j, size($toksS) - ${n - 1})").mkString(", ")
+      s"transform(arrays_zip($slicesS), s -> concat_ws(' ', " +
+        (0 until n).map(j => s"s['$j']").mkString(", ") + "))"
+    }
 }

@@ -42,6 +42,12 @@ object FreqSketches {
     GraftBridge.column(
       FreqMergeAgg(GraftBridge.expression(c)).toAggregateExpression())
 
+  /** Pairwise null-coalescing union of two serialized sketches (the
+    * streaming-merge scalar; see [[FreqUnion]]).
+    */
+  def union(a: Column, b: Column): Column =
+    GraftBridge.column(FreqUnion(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Top-k heavy hitters from a serialized sketch, deterministically
     * ordered (estimate DESC, item ASC) →
     * `array<struct<item string, est long, lb long, ub long>>`. In the
@@ -167,6 +173,50 @@ case class FreqMergeAgg(
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
     copy(child = newChild)
+}
+
+/** Scalar pairwise union of two serialized frequent-items sketches — the
+  * `hll_union(a, b)` counterpart for the heavy-hitters family, needed by
+  * the streaming profile sink's full-outer merge of stored vs batch
+  * sketches ([[graft.streaming.EventStreams.sinkFreqSketchToTable]]).
+  * Null-coalescing: one null side returns the other unchanged (matching
+  * how an absent stored sketch adopts the batch's); both null → null.
+  * Merged capacity is the LEFT sketch's `maxMapSize`; merging stays in
+  * the exact regime while the union's distinct count is under
+  * ~0.75×maxMapSize (the sketch algorithm has no randomness, so
+  * exact-regime unions are bit-stable counts regardless of merge order).
+  * Eval-only: runs over post-aggregation profile rows (one per key).
+  */
+case class FreqUnion(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"freq_union requires (BINARY, BINARY) sketches, got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  // null-coalescing union, so the default null-in-null-out eval is wrong
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null) r
+    else if (r == null) l
+    else {
+      val a = ItemsSketch.getInstance(
+        Memory.wrap(l.asInstanceOf[Array[Byte]]), FreqSketches.serde)
+      val b = ItemsSketch.getInstance(
+        Memory.wrap(r.asInstanceOf[Array[Byte]]), FreqSketches.serde)
+      a.merge(b)
+      a.toByteArray(FreqSketches.serde)
+    }
+  }
+
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "freq_union"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FreqUnion =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Top-k heavy hitters from a serialized frequent-items sketch,

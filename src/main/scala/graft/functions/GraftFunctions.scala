@@ -124,6 +124,10 @@ object GraftFunctions {
       arity("freq_topk", 2, args)
       FreqTopK(args(0), args(1))
     },
+    "freq_union" -> { args =>
+      arity("freq_union", 2, args)
+      FreqUnion(args(0), args(1))
+    },
     "bottomk_hash_agg" -> { args =>
       arity("bottomk_hash_agg", 3, args)
       BottomKHashAgg(args(0), args(1), intLit("bottomk_hash_agg", "k")(args(2)))

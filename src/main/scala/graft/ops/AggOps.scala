@@ -890,42 +890,71 @@ final class AggOps(private val c: Chain) extends AnyVal {
     def wide(cc: Column) = sum(cc.cast(DecimalType(38, 8))).cast("double")
     def finite(cn: String) =
       col(cn).isNotNull && !isnan(col(cn).cast("double"))
+    val declaredListwise = deletion == "listwise"
+    val allOk = cols.map(finite).reduce(_ && _)
+    def listwiseAggs: Seq[Column] = {
+      val xs = cols.map(cn => when(allOk, col(cn).cast("double")))
+      (count(xs.head).as("_n") +:
+        cols.indices.flatMap(i =>
+          Seq(wide(xs(i)).as(s"_s_$i"), wide(xs(i) * xs(i)).as(s"_ss_$i")))) ++
+        pairs.map { case (i, j) => wide(xs(i) * xs(j)).as(s"_sp_${i}_$j") }
+    }
+    def pairwiseAggs: Seq[Column] = pairs.flatMap { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      val both = finite(a) && finite(b)
+      val xc = when(both, col(a).cast("double"))
+      val yc = when(both, col(b).cast("double"))
+      val p = s"${i}_$j"
+      Seq(count(xc).as(s"_n_$p"), wide(xc).as(s"_sx_$p"), wide(yc).as(s"_sy_$p"),
+        wide(xc * yc).as(s"_sxy_$p"), wide(xc * xc).as(s"_sxx_$p"),
+        wide(yc * yc).as(s"_syy_$p"))
+    }
     // pairwise deletion differs from listwise ONLY on rows with missing
     // values; when every screened column is complete the two regimes are
-    // IDENTICAL (docstring above) and listwise's shared per-column
-    // moments cost ~2.5× fewer exact-decimal sums. Probe completeness
-    // with one cheap long-count aggregate (no decimal tax — the sums are
-    // the expensive part) and degrade the ARITHMETIC automatically; the
-    // declared semantics (and the rendered face) stay pairwise. One
-    // declared eager scan, the fuzzyPairs-gate pattern.
-    val declaredListwise = deletion == "listwise"
-    val listwise = declaredListwise || {
-      val probeAggs = count(lit(1)).as("_t") +:
-        cols.map(cn => count(when(finite(cn), lit(1))))
-      val pr = c.df.agg(probeAggs.head, probeAggs.tail: _*).head()
-      cols.indices.forall(i => pr.getLong(i + 1) == pr.getLong(0))
-    }
-    val allOk = cols.map(finite).reduce(_ && _)
-    val aggs: Seq[Column] =
-      if (listwise) {
-        val xs = cols.map(cn => when(allOk, col(cn).cast("double")))
-        (count(xs.head).as("_n") +:
-          cols.indices.flatMap(i =>
-            Seq(wide(xs(i)).as(s"_s_$i"), wide(xs(i) * xs(i)).as(s"_ss_$i")))) ++
-          pairs.map { case (i, j) => wide(xs(i) * xs(j)).as(s"_sp_${i}_$j") }
-      } else pairs.flatMap { case (i, j) =>
-        val (a, b) = (cols(i), cols(j))
-        val both = finite(a) && finite(b)
-        val xc = when(both, col(a).cast("double"))
-        val yc = when(both, col(b).cast("double"))
-        val p = s"${i}_$j"
-        Seq(count(xc).as(s"_n_$p"), wide(xc).as(s"_sx_$p"), wide(yc).as(s"_sy_$p"),
-          wide(xc * yc).as(s"_sxy_$p"), wide(xc * xc).as(s"_sxx_$p"),
-          wide(yc * yc).as(s"_syy_$p"))
+    // IDENTICAL (docstring above) and listwise's shared per-column moments
+    // cost ~2.5× fewer exact-decimal sums. UNGROUPED pairwise FOLDS the
+    // completeness probe into the shared-moment pass itself — one scan
+    // total: the combined aggregate is a single bounded row, collected
+    // once, and when complete the closing runs over that driver-local
+    // row (the probe-then-rescan shape paid a second full pass for
+    // nothing). Only the rare incomplete input pays a second scan (the
+    // true per-pair aggregation). GROUPED pairwise keeps the separate
+    // cheap count-only probe: a global probe can't fold into a grouped
+    // pass without grouping sets, and the grouped aggregate is not a
+    // bounded row to close from. Declared semantics (and the rendered
+    // face) stay pairwise in every branch.
+    val (g, listwise): (DataFrame, Boolean) =
+      if (declaredListwise) {
+        val aggs = listwiseAggs
+        (if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
+        else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*), true)
+      } else if (groupBy.isEmpty) {
+        val probe = count(lit(1)).as("_t") +:
+          cols.indices.map(i => count(when(finite(cols(i)), lit(1))).as(s"_c_$i"))
+        val aggsAll = probe ++ listwiseAggs
+        val rowAll = c.df.agg(aggsAll.head, aggsAll.tail: _*).head()
+        if (cols.indices.forall(i => rowAll.getLong(i + 1) == rowAll.getLong(0))) {
+          val names: Seq[String] = "_n" +:
+            (cols.indices.flatMap(i => Seq(s"_s_$i", s"_ss_$i")) ++
+              pairs.map { case (i, j) => s"_sp_${i}_$j" })
+          val schema = StructType(StructField("_n", LongType, nullable = false) +:
+            names.tail.map(StructField(_, DoubleType, nullable = true)))
+          val off = 1 + cols.size
+          val vals = Row.fromSeq(names.indices.map(k => rowAll.get(off + k)))
+          (c.df.sparkSession.createDataFrame(
+            java.util.Collections.singletonList(vals), schema), true)
+        } else {
+          val aggs = pairwiseAggs
+          (c.df.agg(aggs.head, aggs.tail: _*), false)
+        }
+      } else {
+        val probeAggs = count(lit(1)).as("_t") +:
+          cols.map(cn => count(when(finite(cn), lit(1))))
+        val pr = c.df.agg(probeAggs.head, probeAggs.tail: _*).head()
+        val lw = cols.indices.forall(i => pr.getLong(i + 1) == pr.getLong(0))
+        val aggs = if (lw) listwiseAggs else pairwiseAggs
+        (c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*), lw)
       }
-    val g =
-      if (groupBy.isEmpty) c.df.agg(aggs.head, aggs.tail: _*)
-      else c.df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (i, j) =>
       val p = s"${i}_$j"
       def closing(n: Column, sx: Column, sy: Column,

@@ -56,14 +56,18 @@ class Round11Spec extends AnyFunSuite {
     val lw = li.corrMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"),
       deletion = "listwise")
     assert(rows(pw.df) == rows(lw.df))
-    // the degraded plan carries the listwise aggregate shape: one shared
-    // count, not one count per pair
-    val aggCols = pw.df.queryExecution.analyzed.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        a.aggregateExpressions.map(_.name)
-    }.get
-    assert(aggCols.count(_.startsWith("_n")) == 1,
-      s"complete columns must degrade to the shared-n regime, got $aggCols")
+    // the fold: the probe rides the shared-moment pass itself, so the
+    // complete case pays ONE scan and the closing runs over the collected
+    // bounded row — the result plan is a local relation with NO aggregate
+    // and NO rescan of the source
+    val planStr = pw.df.queryExecution.analyzed.toString
+    assert(pw.df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, s"complete columns must close from the folded pass, got $planStr")
+    assert(pw.df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, s"expected a driver-local closing frame, got $planStr")
     // incomplete frame: the probe must KEEP true pairwise (per-pair n)
     val holey = Seq((Some(1.0), Some(2.0)), (None, Some(3.0)), (Some(2.0), Some(4.0)),
       (Some(3.0), None)).toDF("a", "b")
