@@ -613,6 +613,19 @@ object SparkEntry {
         t(s, d, "documents").filterRows(Seq("doc_id < 3"))
           .searchTfidfIndex(idx.df, "doc_id", "text", k = 5).df
       }),
+      // hybrid-retrieval closer: reciprocal-rank fusion of two lexical
+      // rankings over the same corpus (raw-idf and log-idf tf-idf — two
+      // genuinely different scoring regimes, both DuckDB-replayable);
+      // rank-based, so the oracle replays both pipelines and the exact
+      // two-term IEEE fusion sum
+      "q_rrf_fuse" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
+        val lexRaw = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+        val lexLog = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text",
+          k = 5, idf = "log")
+        lexRaw.rrfFuse(lexLog, k = 5).df
+      }),
       // BM25-scored retrieval (transcendental idf/length normalization —
       // rank-agreement-gated in QuantGateSpec, rows-only here)
       // fixed-corpus face: BM25 ranks (integers) over the pinned fixtures
@@ -1877,6 +1890,32 @@ object SparkEntry {
           "qt AS (SELECT doc_id AS query_id, term, COUNT(*) AS qtf FROM tok WHERE doc_id < 3 GROUP BY 1, 2), " +
           "sc AS (SELECT query_id, ti.doc_id, CAST(SUM(CAST(qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score FROM qt JOIN ti USING (term) GROUP BY 1, 2) " +
           "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 5"),
+      // both ranked pipelines replayed (raw idf = exact rational; log idf
+      // = LN over integer-derived doubles, the entropy/BM25 regime), then
+      // the fixed two-term IEEE fusion sum — rank ties close by doc_id
+      "q_rrf_fuse" -> {
+        val common =
+          s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), " +
+            "dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term), " +
+            "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), " +
+            "qt AS (SELECT doc_id AS query_id, term, COUNT(*) AS qtf FROM tok WHERE doc_id < 3 GROUP BY 1, 2), "
+        def ranked(scoreExpr: String, tag: String) =
+          s"ti_$tag AS (SELECT tf.doc_id, tf.term, $scoreExpr AS tfidf FROM tf JOIN dft USING (term) CROSS JOIN n), " +
+            s"sc_$tag AS (SELECT query_id, ti_$tag.doc_id, CAST(SUM(CAST(qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score FROM qt JOIN ti_$tag USING (term) GROUP BY 1, 2), " +
+            s"r_$tag AS (SELECT query_id, doc_id, rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM sc_$tag) WHERE rank <= 5)"
+        val rawScore = "CAST(tf.tf * n.n AS DOUBLE) / dft.df_t"
+        val logScore = "CAST(tf.tf AS DOUBLE) * LN((CAST(n.n AS DOUBLE) + 1.0) / (CAST(dft.df_t AS DOUBLE) + 1.0) + 1.0)"
+        def contrib(t: String) =
+          s"COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST($t.rank AS DOUBLE)), CAST(0 AS DOUBLE))"
+        common + ranked(rawScore, "a") + ", " + ranked(logScore, "b") + ", " +
+          "f AS (SELECT COALESCE(r_a.query_id, r_b.query_id) AS query_id, " +
+          "COALESCE(r_a.doc_id, r_b.doc_id) AS doc_id, " +
+          s"${contrib("r_a")} + ${contrib("r_b")} AS rrf " +
+          "FROM r_a FULL OUTER JOIN r_b ON r_a.query_id = r_b.query_id AND r_a.doc_id = r_b.doc_id) " +
+          "SELECT query_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank FROM f) WHERE rank <= 5"
+      },
       // the index probe must reproduce the one-shot retrieval exactly —
       // same oracle text as q_search_tfidf
       "q_search_tfidf_index" ->

@@ -701,6 +701,43 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       c.nextLazy("search_tfidf", out, fn))
   }
 
+  /** rrf_fuse(other, k, k_const): reciprocal-rank fusion of TWO ranked
+    * retrieval lists (Cormack, Clarke & Buettcher, SIGIR 2009) — the
+    * standard hybrid-retrieval closer (lexical + semantic, tf-idf + BM25):
+    * per (query, doc), `rrf = Σ 1/(k_const + rank_side)`, a document
+    * absent from one list contributes 0 from that side; re-rank per query
+    * (rrf DESC, doc_id ASC) and keep the fused top-k. Rank-based by
+    * design, so the two sides' score SCALES never need calibrating; the
+    * fused score is a fixed two-term IEEE sum of exact divisions —
+    * engine-portable with no quantization step.
+    *
+    * Scale: one (query, doc)-keyed full-outer hash join of two already-
+    * top-k'd lists (each side ≤ its own k rows per query), then a window
+    * whose per-query frame is bounded by k_a + k_b — every stage is keyed
+    * by the query id, nothing global. Two-frame op — non-renderable, the
+    * diffAgainst posture.
+    */
+  def rrfFuse(other: Chain, k: Int = 10, kConst: Int = 60,
+              queryCol: String = "query_id", idCol: String = "doc_id",
+              rankCol: String = "rank"): Chain = {
+    require(k >= 1, s"rrf_fuse needs k >= 1, got $k")
+    require(kConst >= 1, s"rrf_fuse needs k_const >= 1, got $kConst")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(queryCol).as("query_id"), col(idCol).as("doc_id"),
+        col(rankCol).cast("int").as(s"_r$tag"))
+    val j = side(c.df, "a")
+      .join(side(other.df, "b"), Seq("query_id", "doc_id"), "full_outer")
+    def contrib(rc: Column) =
+      coalesce(lit(1.0) / (lit(kConst.toDouble) + rc.cast("double")), lit(0.0))
+    val scored = j.withColumn("rrf", contrib(col("_ra")) + contrib(col("_rb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "rank")
+    c.next("rrf_fuse", out, None)
+  }
+
   /** tfidf_index(id, text): the persistent half of INCREMENTAL lexical
     * retrieval — the corpus's term-keyed posting list `(term, doc_id, tf)`,
     * the third member of the save-once index family (minhash postings

@@ -170,6 +170,43 @@ class Round11Batch2Spec extends AnyFunSuite {
       s"user 7 must lead clicks with 8 across batches, got $top")
   }
 
+  test("rrf_fuse: hand-verified fusion, one-sided docs, tie-break by id, k cap") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2),
+      (2L, 21L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Chain(spark, "rrf_a", a).rrfFuse(Chain(spark, "rrf_b", b), k = 3)
+      .df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3))))
+      .toMap
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // doc 11 appears in both lists (ranks 2 and 1); 10/12/13 one-sided
+    assert(out((1L, 11L)) == ((c(2) + c(1), 1)))
+    assert(out((1L, 10L)) == ((c(1), 2)))
+    assert(out((1L, 13L)) == ((c(2), 3)))
+    assert(!out.contains((1L, 12L)), "k = 3 must cap the fused list")
+    // query 2: equal one-sided contributions tie — doc_id ascending wins
+    assert(out((2L, 20L))._2 == 1 && out((2L, 21L))._2 == 2)
+    assert(out((2L, 20L))._1 == out((2L, 21L))._1)
+  }
+
+  test("rrf_fuse scale shape: query-keyed join + bounded per-query window") {
+    val docs = table("documents")
+    val qs = Chain(spark, "rrf_q", docs.df.where(col("doc_id") < 3))
+    val raw = docs.searchTfidf(qs, "doc_id", "text", "doc_id", "text", k = 5)
+    val lg = docs.searchTfidf(qs, "doc_id", "text", "doc_id", "text", k = 5,
+      idf = "log")
+    val fused = raw.rrfFuse(lg, k = 5)
+    fused.assertScaleSafe()
+    assert(fused.df.columns.toSeq == Seq("query_id", "doc_id", "rrf", "rank"))
+    // every fused rank list is dense 1..k' per query
+    val byQ = fused.df.collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+    }
+  }
+
   test("freq-sketch sink: an all-empty stream never creates the table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
