@@ -642,6 +642,16 @@ object SparkEntry {
       }),
       "q_text_repetition" -> ((s, d) =>
         t(s, d, "documents").repetitionScore("text", n = 3).df),
+      // classifier reliability census: deterministic pseudo-probability
+      // from n_chars, deterministic label from doc_id — both replayable
+      // in the oracle; 10 equal-width buckets + the fixed-point ECE
+      "q_calibration" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val docs = t(s, d, "documents").df
+          .withColumn("score", (col("n_chars") % 97).cast("double") / lit(97.0))
+          .withColumn("label", (col("doc_id") % 3 === 0).cast("int"))
+        Chain(s, "docs_cal", docs).calibrationProfile("score", "label", 10).df
+      }),
       // eval-set decontamination: docs sharing any 8-gram with the "eval"
       // subset (doc_id < 25) get flagged
       "q_text_decontaminate" -> ((s, d) => {
@@ -982,6 +992,14 @@ object SparkEntry {
         val ev = readEvents(s, d)
         EventStreams.driftByWindowNumeric(ev, ev, "value", "1 hour", 0.0, 256.0, 16)
       }),
+      // per-hour quantile profile of event value: ONE mergeable KLL
+      // aggregate per (hour, type) cell. k = 512 keeps every cell (≤ 51
+      // valid values at sf0.1) deep inside the exact no-compaction
+      // regime, so the readout is the literal inclusive-rank order
+      // statistic and the oracle replays the rank search
+      "q_events_quantiles" -> ((s, d) =>
+        EventStreams.quantilesByWindow(readEvents(s, d), "value", "1 hour",
+          Seq(0.5, 0.95), Seq("event_type"), k = 512)),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
@@ -1875,6 +1893,33 @@ object SparkEntry {
         s"SELECT *, ${score("de")} AS score_de, ${score("en")} AS score_en, ${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh, CASE WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de' WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} AND ${score("en")} >= ${score("zh")} THEN 'en' WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es' WHEN ${score("fr")} >= ${score("zh")} THEN 'fr' ELSE 'zh' END AS lang_pred FROM documents",
       "q_text_fingerprint" ->
         raw"SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp FROM documents",
+      // calibrationProfile replayed: histogram-regime binning over [0,1]
+      // (score = 1 folds into the top bucket), exact-decimal score sums,
+      // 1e-6 fixed-point ECE terms, null ece when no valid rows
+      "q_calibration" -> {
+        val sS = "CAST(score AS DOUBLE)"
+        val termS = "CASE WHEN n > 0 THEN CAST(FLOOR(n * ABS(pos_rate - score_avg) * " +
+          "CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END"
+        "WITH src AS (SELECT CAST(n_chars % 97 AS DOUBLE) / CAST(97 AS DOUBLE) AS score, " +
+          "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM documents), " +
+          s"cnt AS (SELECT LEAST(CAST(FLOOR($sS * CAST('10.0' AS DOUBLE)) AS BIGINT), 9) AS bucket, " +
+          "COUNT(*) AS _nb, " +
+          s"CAST(SUM(CAST($sS AS DECIMAL(38,8))) AS DOUBLE) AS _ssum, " +
+          "CAST(SUM(CASE WHEN CAST(label AS DOUBLE) <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS _pos " +
+          s"FROM src WHERE score IS NOT NULL AND NOT isnan($sS) AND " +
+          s"$sS >= CAST('0.0' AS DOUBLE) AND $sS <= CAST('1.0' AS DOUBLE) AND " +
+          "label IS NOT NULL AND NOT isnan(CAST(label AS DOUBLE)) GROUP BY 1), " +
+          "f AS (SELECT bucket, bucket * CAST('0.1' AS DOUBLE) AS bucket_lo, " +
+          "(bucket + 1) * CAST('0.1' AS DOUBLE) AS bucket_hi, " +
+          "CAST(COALESCE(_nb, 0) AS BIGINT) AS n, " +
+          "CASE WHEN _nb > 0 THEN _ssum / _nb END AS score_avg, " +
+          "CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate " +
+          "FROM (SELECT range AS bucket FROM range(0, 10)) sp LEFT JOIN cnt USING (bucket)), " +
+          s"t AS (SELECT CAST(SUM($termS) AS BIGINT) AS _q, CAST(SUM(n) AS BIGINT) AS _N FROM f) " +
+          "SELECT bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
+          "CASE WHEN _N = 0 THEN NULL ELSE CAST(_q AS DOUBLE) / CAST('1000000.0' AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+          "FROM f CROSS JOIN t"
+      },
       // fixed left-assoc double multiply-add — IEEE-exact on both engines
       "q_logistic_score" ->
         (s"SELECT doc_id, CAST(-2.5 AS DOUBLE) + CAST(LENGTH(text) AS DOUBLE) * CAST(0.003 AS DOUBLE) + " +

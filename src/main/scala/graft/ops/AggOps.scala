@@ -1135,6 +1135,111 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"COUNT($keptS) AS n_kept, COUNT($xrS) AS n FROM {{source}} s $joinSql$gByS"))
   }
 
+  /** calibration_profile(score_col, label_col, buckets): reliability
+    * census for a probabilistic classifier — the calibration check every
+    * model-scored curation pass needs before its scores gate a corpus
+    * (is a 0.9 "quality" really right 90% of the time?). Equal-width
+    * score buckets over [0, 1] (the [[histogram]] regime: score = 1
+    * folds into the top bucket, null/NaN/out-of-range rows and rows with
+    * null/NaN labels are EXCLUDED; every bucket present, empties carry
+    * n = 0 with null stats). Per bucket: `n`, mean predicted score
+    * (`score_avg`, exact-decimal accumulation), observed positive rate
+    * (`pos_rate`, label ≠ 0 counts as positive), and the group's
+    * expected calibration error `ece = Σ_b (n_b/N)·|pos_rate_b −
+    * score_avg_b|` repeated on its rows — the summary number dashboards
+    * alert on. The ECE numerator quantizes each bucket term at 1e-6
+    * fixed point before the exact integer sum (the [[weightedAgg]]
+    * regime), so the closing is partitioning- and engine-independent; a
+    * group with no valid rows surfaces a null ece, never a zero divide.
+    *
+    * Scale: one map-side-combined hash aggregate over the corpus (≤
+    * groups × buckets rows out), a broadcast bucket spine, and one more
+    * tiny aggregate over the bounded bucket frame for N/ece — nothing
+    * corpus-sized past the first exchange.
+    */
+  def calibrationProfile(scoreCol: String, labelCol: String, buckets: Int = 10,
+                         groupBy: Seq[String] = Nil): Chain = {
+    require(buckets > 0, s"calibration_profile needs buckets > 0, got $buckets")
+    val w = 1.0 / buckets
+    val s = col(scoreCol).cast("double")
+    val l = col(labelCol).cast("double")
+    val ok = s.isNotNull && !isnan(s) && s >= lit(0.0) && s <= lit(1.0) &&
+      l.isNotNull && !isnan(l)
+    val b = least(floor(s * lit(buckets.toDouble)).cast("long"),
+      lit((buckets - 1).toLong))
+    val counts = c.df.where(ok)
+      .groupBy((groupBy.map(col) :+ b.as("bucket")): _*)
+      .agg(count(lit(1)).as("_nb"),
+        sum(s.cast(DecimalType(38, 8))).cast("double").as("_ssum"),
+        sum(when(l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
+    val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
+    val spine =
+      if (groupBy.isEmpty) spineB
+      else c.df.select(groupBy.map(col): _*).distinct().crossJoin(broadcast(spineB))
+    val frame = spine.join(counts, groupBy :+ "bucket", "left")
+      .select((groupBy.map(col) ++ Seq(
+        col("bucket"),
+        (col("bucket") * lit(w)).as("bucket_lo"),
+        ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
+        coalesce(col("_nb"), lit(0L)).as("n"),
+        when(col("_nb") > 0, col("_ssum") / col("_nb"))
+          .otherwise(lit(null).cast("double")).as("score_avg"),
+        when(col("_nb") > 0, col("_pos").cast("double") / col("_nb").cast("double"))
+          .otherwise(lit(null).cast("double")).as("pos_rate"))): _*)
+    // ece over the BOUNDED bucket frame: 1e-6 fixed-point bucket terms,
+    // exact integer sum, one closing double division — null when the
+    // group has no valid rows (N = 0: the zero-divide an ANSI runtime
+    // would otherwise abort on)
+    val term = when(col("n") > 0,
+      floor(col("n") * abs(col("pos_rate") - col("score_avg")) * lit(1e6) + lit(0.5))
+        .cast("long")).otherwise(0L)
+    val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
+    val tot =
+      if (groupBy.isEmpty) frame.agg(eceAggs.head, eceAggs.tail: _*)
+      else frame.groupBy(groupBy.map(col): _*).agg(eceAggs.head, eceAggs.tail: _*)
+    val withEce =
+      if (groupBy.isEmpty) frame.crossJoin(broadcast(tot))
+      else frame.join(tot, groupBy, "left")
+    val df2 = withEce
+      .withColumn("ece", when(col("_N") === 0L, lit(null).cast("double"))
+        .otherwise(col("_q").cast("double") / lit(1e6) / col("_N").cast("double")))
+      .drop("_q", "_N")
+    val wS = s"CAST('$w' AS DOUBLE)"
+    val sS = s"CAST(${Naming.quoteId(scoreCol)} AS DOUBLE)"
+    val lS = s"CAST(${Naming.quoteId(labelCol)} AS DOUBLE)"
+    val okS = s"${Naming.quoteId(scoreCol)} IS NOT NULL AND NOT isnan($sS) AND " +
+      s"$sS >= CAST('0.0' AS DOUBLE) AND $sS <= CAST('1.0' AS DOUBLE) AND " +
+      s"${Naming.quoteId(labelCol)} IS NOT NULL AND NOT isnan($lS)"
+    val bS = s"LEAST(CAST(FLOOR($sS * CAST('$buckets.0' AS DOUBLE)) AS BIGINT), ${buckets - 1})"
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
+    val usingS = (Seq("bucket") ++ groupBy).mkString(", ")
+    val spineSql =
+      if (groupBy.isEmpty) s"(SELECT explode(sequence(0, ${buckets - 1})) AS bucket)"
+      else s"((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
+        s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket))"
+    val frameSql =
+      s"SELECT ${gSel}bucket, bucket * $wS AS bucket_lo, (bucket + 1) * $wS AS bucket_hi, " +
+        s"COALESCE(_nb, 0) AS n, CASE WHEN _nb > 0 THEN _ssum / _nb END AS score_avg, " +
+        s"CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate " +
+        s"FROM $spineSql LEFT JOIN (SELECT ${gSel}$bS AS bucket, COUNT(*) AS _nb, " +
+        s"CAST(SUM(CAST($sS AS DECIMAL(38,8))) AS DOUBLE) AS _ssum, " +
+        s"SUM(CASE WHEN $lS <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS _pos " +
+        s"FROM {{source}} WHERE $okS GROUP BY bucket$gBy) USING ($usingS)"
+    val termSql = s"CASE WHEN n > 0 THEN CAST(FLOOR(n * ABS(pos_rate - score_avg) * " +
+      s"CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END"
+    val totJoin =
+      if (groupBy.isEmpty) "CROSS JOIN"
+      else s"LEFT JOIN"
+    val totUsing = if (groupBy.isEmpty) "" else s" USING (${groupBy.mkString(", ")})"
+    c.next("calibration_profile", df2, Some(
+      s"SELECT ${gSel}bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
+        "CASE WHEN _N = 0 THEN NULL ELSE " +
+        "CAST(_q AS DOUBLE) / CAST('1000000.0' AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+        s"FROM ($frameSql) $totJoin (SELECT ${gSel}SUM($termSql) AS _q, SUM(n) AS _N " +
+        s"FROM ($frameSql)${if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"})$totUsing"))
+  }
+
   /** cross_table(col_a, col_b): the contingency table with χ²-of-
     * independence decomposition — one row per (value_a × value_b) cell of
     * the observed margins (zero-observed cells INCLUDED: their expected

@@ -170,6 +170,54 @@ class Round11Batch2Spec extends AnyFunSuite {
       s"user 7 must lead clicks with 8 across batches, got $top")
   }
 
+  test("calibration_profile: hand-verified buckets, ECE, fold/exclusion edges") {
+    import graft.ops._
+    // bucket 2 (scores 0.25): 4 rows, 1 positive -> perfectly calibrated
+    // (pos_rate = score_avg = 0.25, term 0); bucket 9: score 0.95 twice +
+    // the score = 1.0 fold, 0 positives -> |0 - avg| * 3 drives the ece;
+    // a NaN score and a null label are excluded entirely
+    val df = Seq(
+      (0.25, Some(1)), (0.25, Some(0)), (0.25, Some(0)), (0.25, Some(0)),
+      (0.95, Some(0)), (0.95, Some(0)), (1.0, Some(0)),
+      (Double.NaN, Some(1)), (0.5, None)).toDF("score", "label")
+    val out = Chain(spark, "cal0", df).calibrationProfile("score", "label", 10)
+    val rowsM = out.df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rowsM.size == 10, "spine-complete: every bucket present")
+    assert(rowsM(2L).getLong(3) == 4L && rowsM(2L).getDouble(5) == 0.25 &&
+      rowsM(2L).getDouble(4) == 0.25, "calibrated bucket: pos_rate = score_avg")
+    assert(rowsM(9L).getLong(3) == 3L, "score = 1.0 folds into the top bucket")
+    assert(rowsM(9L).getDouble(5) == 0.0)
+    assert(rowsM(0L).getLong(3) == 0L && rowsM(0L).isNullAt(4) && rowsM(0L).isNullAt(5),
+      "empty bucket: n = 0 with null stats")
+    // ece = (floor(3 * |0 - (0.95+0.95+1.0)/3| * 1e6 + .5)/1e6) / 7
+    val avg9 = (0.95 + 0.95 + 1.0) / 3
+    val want = math.floor(3 * avg9 * 1e6 + 0.5) / 1e6 / 7
+    val got = rowsM(2L).getDouble(6)
+    // tolerance = one quantization step: the op's exact-decimal score sum
+    // and this hand replay may differ by an ulp before the 1e-6 floor
+    assert(math.abs(got - want) < 2e-6, s"ece $got vs $want")
+    assert(rowsM.values.map(_.getDouble(6)).toSet.size == 1, "ece repeats per group")
+    df.createOrReplaceTempView("cal0")
+    assert(rows(spark.sql(out.sql())) == rows(out.df), "SQL face diverged")
+  }
+
+  test("calibration_profile grouped: per-group ece; a no-valid-rows group reads null") {
+    import graft.ops._
+    val df = Seq(("a", 0.5, 1), ("a", 0.5, 0), ("b", Double.NaN, 1))
+      .toDF("g", "score", "label")
+    val out = Chain(spark, "cal1", df)
+      .calibrationProfile("score", "label", 4, groupBy = Seq("g"))
+    val got = out.df.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.size == 8, "2 groups x 4 spine buckets")
+    assert(got(("a", 2L)).getLong(4) == 2L)
+    // group a: one bucket, pos_rate 0.5 = score_avg 0.5 -> ece exactly 0
+    assert(got(("a", 2L)).getDouble(7) == 0.0)
+    assert(got(("b", 0L)).isNullAt(7), "all-excluded group: null ece, no zero-divide")
+    df.createOrReplaceTempView("cal1")
+    assert(rows(spark.sql(out.sql())) == rows(out.df))
+    out.assertScaleSafe()
+  }
+
   test("rrf_fuse: hand-verified fusion, one-sided docs, tie-break by id, k cap") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
