@@ -2404,6 +2404,23 @@ object SparkEntry {
           s"SELECT window_start, bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
           "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
       },
+      "q_events_quantiles" -> {
+        // quantilesByWindow replayed: in the exact regime the KLL
+        // inclusive-rank quantile at p is the smallest value whose
+        // 1-based rank satisfies rank >= p·n, BOTH sides in IEEE double
+        // (the q_quantile_profile_sketch convention), per (hour, type)
+        val xS = "CASE WHEN NOT isnan(CAST(value AS DOUBLE)) THEN CAST(value AS DOUBLE) END"
+        val branches = Seq(0.5, 0.95).map { p =>
+          s"SELECT window_start, event_type, CAST('$p' AS DOUBLE) AS prob, " +
+            s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END) AS value, " +
+            "COUNT(x) AS n FROM w GROUP BY 1, 2 HAVING COUNT(x) > 0"
+        }
+        s"WITH r AS (SELECT date_trunc('hour', $evT) AS window_start, event_type, $xS AS x FROM events), " +
+          "w AS (SELECT window_start, event_type, x, " +
+          "ROW_NUMBER() OVER (PARTITION BY window_start, event_type ORDER BY x ASC NULLS LAST) AS rn, " +
+          "COUNT(x) OVER (PARTITION BY window_start, event_type) AS n FROM r) " +
+          branches.mkString(" UNION ALL ")
+      },
       "q_json_extract" ->
         "SELECT event_id, event_type, props, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events",
       "q_llm_pipeline" ->

@@ -128,6 +128,10 @@ object GraftFunctions {
       arity("freq_union", 2, args)
       FreqUnion(args(0), args(1))
     },
+    "kll_union" -> { args =>
+      arity("kll_union", 2, args)
+      KllUnion(args(0), args(1))
+    },
     "bottomk_hash_agg" -> { args =>
       arity("bottomk_hash_agg", 3, args)
       BottomKHashAgg(args(0), args(1), intLit("bottomk_hash_agg", "k")(args(2)))

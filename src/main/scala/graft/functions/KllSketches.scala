@@ -40,6 +40,15 @@ object KllSketches {
     */
   def quantile(c: Column, rank: Double): Column =
     GraftBridge.column(KllQuantile(GraftBridge.expression(c), Literal(rank)))
+
+  /** Pairwise null-coalescing union of two serialized KLL sketches — the
+    * `freq_union`/`hll_union` counterpart for the quantile family, needed
+    * by incremental stored-profile merges (a stored sketch row merged with
+    * this micro-batch's sketch in one projection, no re-aggregation).
+    * Scalar, eval-only — runs over post-aggregation/stored rows.
+    */
+  def union(a: Column, b: Column): Column =
+    GraftBridge.column(KllUnion(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** TypedImperativeAggregate building a KLL doubles sketch from raw values.
@@ -172,5 +181,45 @@ case class KllQuantile(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_quantile"
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar pairwise union of two serialized KLL sketches — the
+  * [[FreqUnion]] counterpart for the quantile family: merges a stored
+  * per-key sketch row with a fresh micro-batch sketch in one projection
+  * (incremental profile sinks), no re-aggregation over raw values.
+  * Null-coalescing: a key new to either side adopts the present sketch
+  * unchanged. In the exact (no-compaction) regime the union retains every
+  * item, so quantile READOUTS are merge-order-invariant order statistics;
+  * past compaction, bytes and estimates carry the published rank-error
+  * bounds (gate with epsilon floors, never hashes).
+  */
+case class KllUnion(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"kll_union requires (BINARY, BINARY) sketches, got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  // null-coalescing union, so the default null-in-null-out eval is wrong
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null) r
+    else if (r == null) l
+    else {
+      val a = KllDoublesSketch.heapify(Memory.wrap(l.asInstanceOf[Array[Byte]]))
+      val b = KllDoublesSketch.heapify(Memory.wrap(r.asInstanceOf[Array[Byte]]))
+      a.merge(b)
+      a.toByteArray
+    }
+  }
+
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_union"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllUnion =
     copy(left = newLeft, right = newRight)
 }

@@ -876,6 +876,129 @@ object EventStreams {
     q
   }
 
+  /** quantiles_by_window(events, value_col, width, probs, keys): per-
+    * tumbling-window quantile profile of a numeric column — the latency/
+    * size/score distribution as a time series ("what was p95 event value
+    * each hour"), the quantile member of the windowed-census family next
+    * to [[tumblingAgg]] (moments) and [[driftByWindowNumeric]] (shape
+    * drift). LONG form: one row per (window × key × prob) with the KLL
+    * inclusive-rank quantile `value` and the window's valid-value count
+    * `n` (null/NaN excluded; all-invalid cells are dropped, not emitted
+    * as null rows). Inside the sketch's exact (no-compaction, n ≤ k)
+    * regime the readout is the literal inclusive-rank order statistic —
+    * smallest x whose 1-based rank ≥ p·n — and engine-replayable; past
+    * it, estimates carry KLL's published rank-error bounds (gate with
+    * rank bands, never hashes — the [[graft.ops.AggOps.quantileProfileSketch]]
+    * posture).
+    *
+    * Scale: ONE map-side-combined KLL aggregate per (window, keys) —
+    * bounded sketch state per cell, no per-window sort, no global window;
+    * the readout is eval-only over the post-aggregation frame (one row
+    * per cell). Batch face of [[sinkQuantileSketchToTable]]: the same
+    * sketches, built incrementally and stored, answer the same readout.
+    */
+  def quantilesByWindow(events: DataFrame, valueCol: String, width: String,
+                        probs: Seq[Double], keys: Seq[String] = Nil,
+                        k: Int = 200): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles_by_window probs must be in [0, 1], got $probs")
+    require(probs.distinct.size == probs.size, s"quantiles_by_window probs repeat: $probs")
+    val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
+    val g = events
+      .withColumn("_ts", eventTime(events))
+      .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start") +: keys.map(col)): _*)
+      .agg(graft.functions.KllSketches.sketchAgg(xr, k).as("_sk"),
+        count(xr).as("n"))
+    // readout BEFORE the explode, once per (cell × prob) over the
+    // aggregated frame — the eval-only kernel never sees raw rows
+    val qRows = probs.map(p => struct(lit(p).as("prob"),
+      graft.functions.KllSketches.quantile(col("_sk"), p).as("value")))
+    val head = col("window_start") +: keys.map(col)
+    g.select((head ++ Seq(explode(array(qRows: _*)).as("_q"), col("n"))): _*)
+      .select((head ++ Seq(col("_q.prob"), col("_q.value"), col("n"))): _*)
+      .where(col("n") > 0)
+  }
+
+  /** Streaming quantile-profile sink: maintain one mergeable KLL sketch
+    * per key in a persistent table, fed incrementally — completes the
+    * stored-sketch trio next to [[sinkDistinctSketchToTable]] (HLL
+    * distinct) and [[sinkFreqSketchToTable]] (heavy hitters). Each
+    * micro-batch builds per-key sketches with ONE aggregate, then merges
+    * them into the stored rows via the scalar `kll_union` kernel — raw
+    * values are never re-scanned, so a key's history can be 100 TB while
+    * its stored state stays a few KB. Readout (e.g. p50/p95 per key) is
+    * a projection over the bounded profile table with
+    * [[graft.functions.KllSketches.quantile]]. Inside the exact regime
+    * (cumulative n per key ≤ k) readouts equal the order statistics of
+    * everything ever ingested, independent of batch slicing
+    * (replay-convergence is spec-gated on READOUTS — sketch bytes may
+    * differ across slicings even when exact).
+    *
+    * Scale: per batch — one map-side-combined aggregate over the batch,
+    * a key-equality merge join against ONLY the touched `_pb` hash
+    * buckets of the stored table (bounded driver read of ≤ profileBuckets
+    * ints prunes the old-side scan), dynamic-overwrite of touched
+    * partitions. Unbounded stream history, bounded per-batch I/O.
+    */
+  def sinkQuantileSketchToTable(events: DataFrame, keys: Seq[String], valueCol: String,
+                                name: String, checkpointDir: String,
+                                k: Int = 200,
+                                profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(keys.nonEmpty, "profile sink needs key columns")
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
+          val bs = batch.groupBy(keys.map(col): _*)
+            .agg(graft.functions.KllSketches.sketchAgg(xr, k).as("_sk"),
+              count(xr).as("_n"))
+            .withColumn("_pb", pmod(hash(keys.map(col): _*), lit(profileBuckets)))
+          if (!spark.catalog.tableExists(name)) {
+            bs.write.partitionBy("_pb")
+              .format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read (≤ profileBuckets
+            // ints) used to partition-prune the old-side scan
+            val touched = bs.select("_pb").distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name)
+              .where(col("_pb").isInCollection(touched))
+              .withColumnsRenamed(Map("_sk" -> "_sk_old", "_n" -> "_n_old"))
+            // _pb is a pure function of keys, so joining on keys :+ _pb is the
+            // same key-equality join but keeps the partition column aligned;
+            // kll_union null-coalesces, so a key new to either side adopts
+            // the present sketch unchanged
+            val merged = bs.withColumnsRenamed(Map("_sk" -> "_sk_new", "_n" -> "_n_new"))
+              .join(old, keys :+ "_pb", "full_outer")
+              .select((keys.map(col) :+
+                graft.functions.KllSketches
+                  .union(col("_sk_new"), col("_sk_old")).as("_sk") :+
+                (coalesce(col("_n_new"), lit(0L)) + coalesce(col("_n_old"), lit(0L))).as("_n") :+
+                col("_pb")): _*)
+            val out = merged.localCheckpoint()
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a stream with no non-empty batch never creates the table; the refresh
+    // must then be a no-op, not an AnalysisException
+    if (events.sparkSession.catalog.tableExists(name))
+      events.sparkSession.catalog.refreshTable(name)
+    q
+  }
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one
