@@ -409,6 +409,15 @@ object SparkEntry {
     // contingency table + chi-square independence decomposition
     "q_cross_table" -> ((s, d) =>
       t(s, d, "customer").crossTable("c_mktsegment", "c_nationkey").df),
+    // inter-annotator agreement: a deterministic second "rater" that
+    // disagrees on every 7th customer — replayable in the oracle
+    "q_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val cust = t(s, d, "customer").df
+        .withColumn("rater_b", when(col("c_custkey") % 7 === 0, lit("BUILDING"))
+          .otherwise(col("c_mktsegment")))
+      Chain(s, "cust_agree", cust).agreementProfile("c_mktsegment", "rater_b").df
+    }),
     // robust location: 10%-trimmed mean per return flag
     "q_trimmed_mean" -> ((s, d) =>
       t(s, d, "lineitem").trimmedMean("l_extendedprice", 0.1,
@@ -1000,6 +1009,14 @@ object SparkEntry {
       "q_events_quantiles" -> ((s, d) =>
         EventStreams.quantilesByWindow(readEvents(s, d), "value", "1 hour",
           Seq(0.5, 0.95), Seq("event_type"), k = 512)),
+      // ordered-step conversion: strictly-increasing first-completion
+      // times through signup -> click -> purchase
+      "q_funnel" -> ((s, d) =>
+        EventStreams.funnelProfile(readEvents(s, d), "event_type",
+          Seq("signup", "click", "purchase"))),
+      // day-cohort retention grid over (user, active day)
+      "q_cohort_retention" -> ((s, d) =>
+        EventStreams.cohortRetention(readEvents(s, d))),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
@@ -1643,6 +1660,28 @@ object SparkEntry {
         "r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn, " +
         "COUNT(*) OVER (PARTITION BY g) AS n FROM src) " +
         branches.mkString(" UNION ALL ")
+    },
+    "q_agreement" -> {
+      // agreementProfile replayed: marginal/diagonal counts on the class
+      // frame, 1e-12 fixed-point chance-agreement terms, exact closings
+      val vb = "CAST(CASE WHEN c_custkey % 7 = 0 THEN 'BUILDING' ELSE c_mktsegment END AS VARCHAR)"
+      val src = "SELECT CAST(c_mktsegment AS VARCHAR) AS va, " + vb + " AS vb " +
+        s"FROM customer WHERE c_mktsegment IS NOT NULL AND $vb IS NOT NULL"
+      val peTerm = "CAST(FLOOR((CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)"
+      val po = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"WITH src AS ($src), " +
+        "cl AS (SELECT label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
+        "COALESCE(n_agree, 0) AS n_agree FROM " +
+        "(SELECT va AS label, COUNT(*) AS n_a FROM src GROUP BY 1) " +
+        "FULL JOIN (SELECT vb AS label, COUNT(*) AS n_b FROM src GROUP BY 1) USING (label) " +
+        "LEFT JOIN (SELECT va AS label, COUNT(*) AS n_agree FROM src WHERE va = vb GROUP BY 1) USING (label)), " +
+        "t AS (SELECT COUNT(*) AS n FROM src), " +
+        s"st AS (SELECT CAST(SUM(n_agree) AS BIGINT) AS _agree, " +
+        s"CAST(SUM($peTerm) AS DOUBLE) / 1000000000000 AS _pe FROM cl CROSS JOIN t) " +
+        s"SELECT label, n_a, n_b, n_agree, $po AS po, _pe AS pe, " +
+        s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($po - _pe) / (1.0 - _pe) END AS kappa, n " +
+        "FROM cl CROSS JOIN t CROSS JOIN st"
     },
     "q_cross_table" -> {
       // the op's SQL face replayed over customer with DuckDB spellings
@@ -2403,6 +2442,30 @@ object SparkEntry {
           "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
           s"SELECT window_start, bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
           "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
+      },
+      "q_funnel" -> {
+        // the sequential greedy chain replayed: t_k = earliest step-k
+        // event strictly after t_{k-1}; conv_rate = n_k / n_1 exact
+        val n1 = "(SELECT COUNT(*) FROM s1)"
+        def row(i: Int, st: String) =
+          s"SELECT $i AS step, '$st' AS step_value, (SELECT COUNT(*) FROM s$i) AS n_users"
+        s"WITH e AS (SELECT user_id, $evT AS t, event_type FROM events), " +
+          "s1 AS (SELECT user_id, MIN(t) AS tp FROM e WHERE event_type = 'signup' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN s1 USING (user_id) WHERE event_type = 'click' AND t > s1.tp GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND t > s2.tp GROUP BY 1) " +
+          s"SELECT step, step_value, n_users, CASE WHEN $n1 = 0 THEN NULL ELSE " +
+          s"CAST(n_users AS DOUBLE) / CAST($n1 AS DOUBLE) END AS conv_rate FROM (" +
+          Seq(row(1, "signup"), row(2, "click"), row(3, "purchase")).mkString(" UNION ALL ") + ")"
+      },
+      "q_cohort_retention" -> {
+        s"WITH a AS (SELECT DISTINCT user_id, CAST($evT AS DATE) AS d FROM events), " +
+          "c AS (SELECT user_id, MIN(d) AS cd FROM a GROUP BY 1), " +
+          "j AS (SELECT cd AS cohort_day, CAST(date_diff('day', cd, d) AS INTEGER) AS period, " +
+          "COUNT(*) AS n_active FROM a JOIN c USING (user_id) GROUP BY 1, 2), " +
+          "z AS (SELECT cohort_day, n_active AS n_cohort FROM j WHERE period = 0) " +
+          "SELECT cohort_day, period, n_active, n_cohort, " +
+          "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention " +
+          "FROM j JOIN z USING (cohort_day)"
       },
       "q_events_quantiles" -> {
         // quantilesByWindow replayed: in the exact regime the KLL

@@ -1315,6 +1315,77 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"FROM {{source}} WHERE $bothS GROUP BY 1, 2) USING (value_a, value_b))"))
   }
 
+  /** agreement_profile(col_a, col_b): inter-annotator agreement census —
+    * the label-QC gate for any corpus scored by two raters (two model
+    * versions, a model vs. human audit, two labeling passes). One row per
+    * class value observed by EITHER rater: both raters' marginal counts,
+    * the agreement count on that class, and the overall statistics
+    * repeated per row — observed agreement `po`, chance agreement `pe`
+    * (the product of marginals), and Cohen's kappa `(po − pe)/(1 − pe)`.
+    * Rows where either label is null are EXCLUDED (count them with
+    * [[describe]] if they matter). `pe` quantizes each class term at
+    * 1e-12 fixed point before the exact integer sum (the PSI regime) so
+    * the closing is partitioning- and engine-independent; a degenerate
+    * input where pe = 1 (both raters constant on one class) surfaces a
+    * null kappa — the 0/0 an ANSI runtime would otherwise abort on.
+    *
+    * Scale: three map-side-combined aggregates over the valid rows (two
+    * marginals + the diagonal), joined on the bounded class frame; totals
+    * ride one-row broadcast aggregates. Nothing corpus-sized past the
+    * first exchanges, nothing driver-side.
+    */
+  def agreementProfile(colA: String, colB: String): Chain = {
+    require(colA != colB, "agreement_profile needs two distinct columns")
+    val both = col(colA).isNotNull && col(colB).isNotNull
+    val va = col(colA).cast("string")
+    val vb = col(colB).cast("string")
+    val valid = c.df.where(both)
+    val aC = valid.groupBy(va.as("label")).agg(count(lit(1)).as("n_a"))
+    val bC = valid.groupBy(vb.as("label")).agg(count(lit(1)).as("n_b"))
+    val agC = valid.where(va === vb).groupBy(va.as("label"))
+      .agg(count(lit(1)).as("n_agree"))
+    val tot = valid.agg(count(lit(1)).as("n"))
+    val classes = aC.join(bC, Seq("label"), "full_outer")
+      .join(agC, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val peTerm = floor((col("n_a").cast("double") / nD) *
+      (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
+    // overall stats close over the BOUNDED class frame: exact integer
+    // sums, one double division each — deterministic at any partitioning
+    val stats = classes.agg(
+      sum(col("n_agree")).as("_agree"),
+      (sum(peTerm.cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("_pe"))
+    val po = col("_agree").cast("double") / nD
+    val kappa = when(lit(1.0) - col("_pe") === lit(0.0), lit(null).cast("double"))
+      .otherwise((po - col("_pe")) / (lit(1.0) - col("_pe")))
+    val df2 = classes.crossJoin(broadcast(stats))
+      .select(col("label"), col("n_a"), col("n_b"), col("n_agree"),
+        po.as("po"), col("_pe").as("pe"), kappa.as("kappa"), col("n"))
+    val bothS = s"${Naming.quoteId(colA)} IS NOT NULL AND ${Naming.quoteId(colB)} IS NOT NULL"
+    val vaS = s"CAST(${Naming.quoteId(colA)} AS STRING)"
+    val vbS = s"CAST(${Naming.quoteId(colB)} AS STRING)"
+    val clS = "SELECT label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
+      "COALESCE(n_agree, 0) AS n_agree FROM " +
+      s"(SELECT $vaS AS label, COUNT(*) AS n_a FROM {{source}} WHERE $bothS GROUP BY 1) " +
+      s"FULL JOIN (SELECT $vbS AS label, COUNT(*) AS n_b FROM {{source}} WHERE $bothS GROUP BY 1) USING (label) " +
+      s"LEFT JOIN (SELECT $vaS AS label, COUNT(*) AS n_agree FROM {{source}} WHERE $bothS AND $vaS = $vbS GROUP BY 1) USING (label)"
+    val totS = s"SELECT COUNT(*) AS n FROM {{source}} WHERE $bothS"
+    val peTermS = "CAST(FLOOR((CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)"
+    val stS = s"SELECT SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
+      s"1000000000000 AS _pe FROM ($clS) CROSS JOIN ($totS)"
+    val poS = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+    c.next("agreement_profile", df2, Some(
+      s"SELECT label, n_a, n_b, n_agree, $poS AS po, _pe AS pe, " +
+        s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($poS - _pe) / (1.0 - _pe) END AS kappa, n " +
+        s"FROM ($clS) CROSS JOIN ($totS) CROSS JOIN ($stS)"))
+  }
+
   /** skew_profile(keys, top_k): the hot-key census — the top_k heaviest
     * key values with their row count and corpus share, the diagnostic to
     * run BEFORE a join melts on a skewed key (pair with

@@ -999,6 +999,88 @@ object EventStreams {
     q
   }
 
+  /** funnel_profile(events, step_col, steps, user_col): ordered-step
+    * conversion census — how many users completed steps 1..k IN ORDER,
+    * for every prefix of `steps` (the signup→activate→convert readout).
+    * Sequential greedy semantics, not marginal-min: a user reaches step k
+    * at t_k = the EARLIEST step-k event strictly after their t_{k−1}, so
+    * out-of-order occurrences (B before the first A) don't count and
+    * re-occurrences after A do — the semantics a per-user sorted scan
+    * would produce, expressed as k−1 user-keyed joins instead. One row
+    * per step: 1-based index, step value, users reaching it, and the
+    * conversion rate vs. step 1 (one exact BIGINT÷BIGINT double division;
+    * null when nobody entered the funnel — never a zero divide).
+    *
+    * Scale: each stage filters the corpus to ONE step value (predicate
+    * pushed to the scan) and min-aggregates per user, then equi-joins the
+    * shrinking reached-set on the user key — no per-user sort, no window,
+    * no event-list collection; per-step counts are one-row aggregates
+    * unioned driver-free. Step count is code, not data (bounded loop).
+    */
+  def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel_profile needs at least one step")
+    require(steps.distinct.size == steps.size, s"funnel_profile steps repeat: $steps")
+    val evT = events.withColumn("_ts", eventTime(events, tsCol))
+    var reached = evT.where(col(stepCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col("_ts")).as("_t"))
+    val perStep = scala.collection.mutable.Buffer((steps.head, reached))
+    for (st <- steps.tail) {
+      val nxt = evT.where(col(stepCol) === st)
+        .select(col(userCol).as("_u"), col("_ts"))
+        .join(reached.select(col("_u"), col("_t").as("_tp")), Seq("_u"))
+        .where(col("_ts") > col("_tp"))
+        .groupBy("_u").agg(min(col("_ts")).as("_t"))
+      perStep += ((st, nxt))
+      reached = nxt
+    }
+    val counts = perStep.toSeq.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("step_value"), col("n_users"))
+    }.reduce(_ union _)
+    val first = perStep.head._2.agg(count(lit(1)).as("_n1"))
+    counts.crossJoin(broadcast(first))
+      .select(col("step"), col("step_value"), col("n_users"),
+        when(col("_n1") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_users").cast("double") / col("_n1").cast("double"))
+          .as("conv_rate"))
+  }
+
+  /** cohort_retention(events, user_col): the classic day-cohort retention
+    * grid — users are cohorted by their FIRST active day, and each
+    * (cohort_day, period) cell counts how many of them were active
+    * `period` days later, with the retention share against the cohort's
+    * size. Day 0 is the cohort itself (retention 1.0 by construction —
+    * every user is active on their first day, so the denominator can
+    * never be zero). "Active" = any event that day; activity is
+    * de-duplicated to (user, day) before counting, so event volume
+    * doesn't inflate retention.
+    *
+    * Scale: one distinct over (user, day) — the only corpus-sized
+    * exchange, keyed by user so the min-day aggregate REUSES the same
+    * partitioning — then everything downstream is the bounded
+    * (cohorts × periods) grid: a count aggregate, a self-join on the
+    * period-0 slice, one exact double division. No window, nothing
+    * driver-side.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val acts = events
+      .select(col(userCol).as("_u"), to_date(eventTime(events, tsCol)).as("_d"))
+      .distinct()
+    val cohorts = acts.groupBy("_u").agg(min(col("_d")).as("_cd"))
+    val cells = acts.join(cohorts, Seq("_u"))
+      .groupBy(col("_cd").as("cohort_day"),
+        datediff(col("_d"), col("_cd")).as("period"))
+      .agg(count(lit(1)).as("n_active"))
+    val base = cells.where(col("period") === 0)
+      .select(col("cohort_day"), col("n_active").as("n_cohort"))
+    cells.join(base, Seq("cohort_day"))
+      .select(col("cohort_day"), col("period"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
+
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
     * the hook for state logic `session_window` can't express (per-session
     * invariants, early emission rules, enrichment). Keeps one
