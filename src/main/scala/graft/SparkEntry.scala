@@ -369,6 +369,10 @@ object SparkEntry {
     // hot-key census: top-10 heaviest keys with corpus share
     "q_skew_profile" -> ((s, d) =>
       t(s, d, "lineitem").skewProfile(Seq("l_suppkey"), 10).df),
+    // join preflight: exact inner-join output size + hottest keys
+    "q_join_cardinality" -> ((s, d) =>
+      t(s, d, "lineitem").joinCardinalityProfile(t(s, d, "orders"),
+        Seq("l_orderkey" -> "o_orderkey"), topK = 10).df),
     // weighted mean per group (the quality-weighted-by-tokens regime)
     "q_weighted_agg" -> ((s, d) =>
       t(s, d, "lineitem").weightedAgg(Seq("l_returnflag"), "l_extendedprice", "l_quantity").df),
@@ -1014,6 +1018,12 @@ object SparkEntry {
       "q_funnel" -> ((s, d) =>
         EventStreams.funnelProfile(readEvents(s, d), "event_type",
           Seq("signup", "click", "purchase"))),
+      // per-hour top-5 users by event count: one mergeable frequent-items
+      // sketch per window; <= 166 distinct users/hour at sf0.1 keeps the
+      // sketch (capacity 2048) exact, so counts replay in the oracle
+      "q_heavy_hitters_window" -> ((s, d) =>
+        EventStreams.heavyHittersByWindow(readEvents(s, d), "user_id",
+          "1 hour", k = 5)),
       // day-cohort retention grid over (user, active day)
       "q_cohort_retention" -> ((s, d) =>
         EventStreams.cohortRetention(readEvents(s, d))),
@@ -1522,6 +1532,21 @@ object SparkEntry {
         "(SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey) " +
         "CROSS JOIN (SELECT COUNT(*) AS _total FROM lineitem) " +
         "ORDER BY cnt DESC, l_suppkey ASC LIMIT 10"),
+    "q_join_cardinality" -> {
+      // joinCardinalityProfile replayed: per-side valid-key count frames,
+      // exact decimal products, top-10 by (contrib DESC, key ASC)
+      "WITH la AS (SELECT l_orderkey, COUNT(*) AS cnt_a FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1), " +
+        "rb AS (SELECT o_orderkey, COUNT(*) AS cnt_b FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT l_orderkey, cnt_a, cnt_b, CAST(cnt_a AS DECIMAL(19,0)) * CAST(cnt_b AS DECIMAL(19,0)) AS _c " +
+        "FROM la JOIN rb ON l_orderkey = o_orderkey), " +
+        "ta AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS rows_a, COUNT(*) AS keys_a, MAX(cnt_a) AS max_mult_a FROM la), " +
+        "tb AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS rows_b, COUNT(*) AS keys_b, MAX(cnt_b) AS max_mult_b FROM rb), " +
+        "tm AS (SELECT COUNT(*) AS keys_matched, CAST(COALESCE(SUM(_c), 0) AS DOUBLE) AS est_rows FROM m), " +
+        "top AS (SELECT * FROM m ORDER BY _c DESC, l_orderkey ASC LIMIT 10) " +
+        "SELECT l_orderkey, cnt_a, cnt_b, CAST(_c AS DOUBLE) AS contrib, rows_a, rows_b, " +
+        "keys_a, keys_b, keys_matched, max_mult_a, max_mult_b, est_rows " +
+        "FROM top CROSS JOIN ta CROSS JOIN tb CROSS JOIN tm"
+    },
     "q_weighted_agg" -> {
       // the fixed-point-long regime: DECIMAL(38,8) product sums cross 2^53
       // scaled here and the decimal->double conversion double-rounds
@@ -2442,6 +2467,16 @@ object SparkEntry {
           "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
           s"SELECT window_start, bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
           "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
+      },
+      "q_heavy_hitters_window" -> {
+        // exact-regime frequent-items readout = the literal per-window
+        // count census, ranked (cnt DESC, item ASC), top 5
+        s"WITH c AS (SELECT date_trunc('hour', $evT) AS window_start, " +
+          "CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt FROM events " +
+          "WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
+          "ORDER BY cnt DESC, item ASC) AS rank FROM c) " +
+          "SELECT window_start, item, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"
       },
       "q_funnel" -> {
         // the sequential greedy chain replayed: t_k = earliest step-k

@@ -4,6 +4,7 @@ import graft.core.Chain
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Joins / set ops — reference transforms #13-17 (SURVEY §2.2). All are
   * equi-joins (the reference template library has no theta/as-of joins);
@@ -367,6 +368,69 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       .where(col("change_type").isNotNull)
       .select(keys.map(k => coalesce(l(k), r(k)).as(k)) :+ col("change_type"): _*)
     c.next("diff_against", joined, None)
+  }
+
+  /** join_cardinality_profile(other, on, top_k): the "will this join
+    * explode" preflight — run it BEFORE a big join to see the output-size
+    * estimate and exactly which keys would drive it. One row per top_k
+    * hottest MATCHED key (by its output contribution cnt_a·cnt_b, ties by
+    * key ascending), with both sides' multiplicities and the overall
+    * statistics repeated per row: valid (non-null-key) row counts,
+    * distinct key counts, matched-key count, each side's max multiplicity,
+    * and `est_rows` — the EXACT inner-join output size Σ cnt_a·cnt_b.
+    * ZERO matched keys means an EMPTY frame (a disjoint-key join produces
+    * nothing — there is no hot key to report).
+    * Null join keys never match, so null-key rows are excluded from both
+    * sides (audit them with [[graft.ops.AggOps.describe]]). Products and
+    * their sum accumulate in exact decimals (DECIMAL(19,0)² → DECIMAL(38,0),
+    * the [[graft.ops.AggOps.entropyProfile]] overflow rule) and surface as
+    * doubles — a profile whose arithmetic aborts on the very skew it
+    * exists to flag would be useless.
+    *
+    * Scale: one map-side-combined count aggregate per side (the only
+    * corpus-sized exchanges), a key-equality join of the two COUNT frames
+    * (key-cardinality-sized, not row-sized), a TakeOrderedAndProject for
+    * the top_k (no global sort materializes), and one-row totals
+    * broadcast onto the winners. Pair with [[joinSalted]] once the
+    * culprits are known.
+    */
+  def joinCardinalityProfile(other: Chain, joinColumns: Seq[(String, String)],
+                             topK: Int = 10): Chain = {
+    require(joinColumns.nonEmpty, "join_cardinality_profile needs join columns")
+    require(topK > 0, s"join_cardinality_profile needs top_k > 0, got $topK")
+    val lk = joinColumns.map(_._1)
+    val rk = joinColumns.map(_._2)
+    def notNull(ks: Seq[String]) = ks.map(col(_).isNotNull).reduce(_ && _)
+    val la = c.df.where(notNull(lk)).groupBy(lk.map(col): _*)
+      .agg(count(lit(1)).as("cnt_a"))
+    val rb = other.df.where(notNull(rk)).groupBy(rk.map(col): _*)
+      .agg(count(lit(1)).as("cnt_b"))
+    val laA = la.alias("_la"); val rbA = rb.alias("_rb")
+    val cond = joinColumns.map { case (a, b) => col(s"_la.$a") === col(s"_rb.$b") }
+      .reduce(_ && _)
+    val contribDec = col("cnt_a").cast(DecimalType(19, 0)) *
+      col("cnt_b").cast(DecimalType(19, 0))
+    val matched = laA.join(rbA, cond, "inner")
+      .select((lk.map(k => col(s"_la.$k")) ++ Seq(col("cnt_a"), col("cnt_b"),
+        contribDec.as("_contrib"))): _*)
+    val totA = la.agg(sum(col("cnt_a")).as("rows_a"), count(lit(1)).as("keys_a"),
+      max(col("cnt_a")).as("max_mult_a"))
+    val totB = rb.agg(sum(col("cnt_b")).as("rows_b"), count(lit(1)).as("keys_b"),
+      max(col("cnt_b")).as("max_mult_b"))
+    val totM = matched.agg(count(lit(1)).as("keys_matched"),
+      coalesce(sum(col("_contrib")), lit(0).cast(DecimalType(38, 0)))
+        .cast("double").as("est_rows"))
+    val top = matched
+      .orderBy((col("_contrib").desc +: lk.map(col(_).asc)): _*)
+      .limit(topK)
+    val df2 = top.crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .crossJoin(broadcast(totM))
+      .select((lk.map(col) ++ Seq(col("cnt_a"), col("cnt_b"),
+        col("_contrib").cast("double").as("contrib"),
+        col("rows_a"), col("rows_b"), col("keys_a"), col("keys_b"),
+        col("keys_matched"), col("max_mult_a"), col("max_mult_b"),
+        col("est_rows"))): _*)
+    c.next("join_cardinality_profile", df2, None)
   }
 
   /** asof_join(right, on, left_time, right_time): for every left row, the

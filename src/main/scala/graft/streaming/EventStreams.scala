@@ -999,6 +999,39 @@ object EventStreams {
     q
   }
 
+  /** heavy_hitters_by_window(events, value_col, width, k): per-tumbling-
+    * window top-k heavy hitters of a column — "which users/pages/errors
+    * dominated each hour", the frequent-items member of the windowed-
+    * census family next to [[quantilesByWindow]] (percentiles) and
+    * [[driftByWindow]] (mix shift). One mergeable Misra-Gries sketch per
+    * window, top-k read out deterministically (estimate DESC, item ASC)
+    * with a dense 1-based rank. Null values are excluded. Inside the
+    * exact regime (distinct values per window < ~0.75·maxMapSize) counts
+    * are exact and oracle-replayable; beyond it the sketch keeps the
+    * published NO_FALSE_NEGATIVES contract with [lb, ub] bounds — gate
+    * those with the contract, never with point estimates.
+    *
+    * Scale: ONE map-side-combined sketch aggregate per window (bounded
+    * state per cell, no per-window sort of raw rows); the top-k readout
+    * is eval-only over the post-aggregation frame. The full-domain
+    * (window × value) count shuffle of a naive census never happens.
+    */
+  def heavyHittersByWindow(events: DataFrame, valueCol: String, width: String,
+                           k: Int, maxMapSize: Int = 2048): DataFrame = {
+    require(k > 0, s"heavy_hitters_by_window needs k > 0, got $k")
+    val g = events
+      .withColumn("_ts", eventTime(events))
+      .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start"))
+      .agg(graft.functions.FreqSketches
+        .sketchAgg(col(valueCol).cast("string"), maxMapSize).as("_sk"))
+      .where(col("_sk").isNotNull)
+    g.select(col("window_start"),
+      posexplode(graft.functions.FreqSketches.topK(col("_sk"), k)).as(Seq("_i", "_h")))
+      .select(col("window_start"), col("_h.item").as("item"),
+        col("_h.est").as("cnt"), (col("_i") + 1).as("rank"))
+  }
+
   /** funnel_profile(events, step_col, steps, user_col): ordered-step
     * conversion census — how many users completed steps 1..k IN ORDER,
     * for every prefix of `steps` (the signup→activate→convert readout).

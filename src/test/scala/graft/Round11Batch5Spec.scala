@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.streaming.EventStreams
+import TestSpark._
+
+/** Gates for the round-11 preflight/window-census batch: the join-
+  * cardinality profiler (exact inner-join output size + hottest keys —
+  * the audit to run before a 100 TB join) and the per-window frequent-
+  * items census (heavyHittersByWindow — one mergeable sketch per window
+  * instead of the full (window × value) count shuffle). Exact-regime
+  * assertions are equalities; the sketch's approximate regime is covered
+  * by the Round11Batch2Spec contract tests on the shared kernel.
+  */
+class Round11Batch5Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("join_cardinality_profile: hand-verified counts, contrib, totals") {
+    // left: key 1 x3, 2 x1, 3 x2, null x1 -> rows_a=6, keys_a=3, max=3
+    // right: key 1 x2, 4 x5, null x2     -> rows_b=7, keys_b=2, max=5
+    // matched: only key 1 -> contrib 3*2=6, est_rows 6.0
+    val l = Seq(Some(1), Some(1), Some(1), Some(2), Some(3), Some(3), None)
+      .toDF("lk")
+    val r = Seq(Some(1), Some(1), Some(4), Some(4), Some(4), Some(4), Some(4),
+      None, None).toDF("rk")
+    val out = Chain(spark, "jl", l)
+      .joinCardinalityProfile(Chain(spark, "jr", r), Seq("lk" -> "rk"))
+    val rows0 = out.df.collect()
+    assert(rows0.length == 1)
+    val x = rows0(0)
+    assert(x.getInt(0) == 1 && x.getLong(1) == 3 && x.getLong(2) == 2 &&
+      x.getDouble(3) == 6.0, "matched key 1: cnt_a=3, cnt_b=2, contrib=6")
+    assert(x.getLong(4) == 6 && x.getLong(5) == 7, "valid rows exclude null keys")
+    assert(x.getLong(6) == 3 && x.getLong(7) == 2, "distinct key counts")
+    assert(x.getLong(8) == 1, "keys_matched")
+    assert(x.getLong(9) == 3 && x.getLong(10) == 5, "max multiplicities")
+    assert(x.getDouble(11) == 6.0, "est_rows = exact inner-join size")
+    out.assertScaleSafe()
+  }
+
+  test("join_cardinality_profile: top_k order by contrib desc then key asc") {
+    // contribs: key 1 -> 2*2=4, key 2 -> 4*1=4 (tie, key asc), key 3 -> 1*6=6
+    val l = Seq(1, 1, 2, 2, 2, 2, 3).toDF("k")
+    val r = (Seq(1, 1, 2) ++ Seq.fill(6)(3)).toDF("k")
+    val got = Chain(spark, "jl2", l)
+      .joinCardinalityProfile(Chain(spark, "jr2", r), Seq("k" -> "k"), topK = 2)
+      .df.collect().map(x => (x.getInt(0), x.getDouble(3))).toSeq
+    assert(got == Seq((3, 6.0), (1, 4.0)), s"got $got")
+  }
+
+  test("join_cardinality_profile: disjoint keys yield an empty frame") {
+    val l = Seq(1, 2).toDF("k")
+    val r = Seq(3, 4).toDF("k")
+    assert(Chain(spark, "jl3", l)
+      .joinCardinalityProfile(Chain(spark, "jr3", r), Seq("k" -> "k")).df.isEmpty)
+  }
+
+  private val base = 1704067200L * 1000000000L
+  private def evt(id: Long, minute: Long, user: Long) =
+    Evt(id, base + minute * 60L * 1000000000L, user, "e", 1.0, "{}")
+
+  test("heavy_hitters_by_window: per-window top-k, tie-break by item asc") {
+    // hour 0: user 7 x3, user 10 x2, user 2 x2 -> k=2 keeps 7 then "10"
+    // ("10" < "2" as strings — the deterministic readout order); hour 1:
+    // single user
+    val df = (Seq.fill(3)(7L) ++ Seq.fill(2)(10L) ++ Seq.fill(2)(2L))
+      .zipWithIndex.map { case (u, i) => evt(i, i.toLong, u) }
+      .++(Seq(evt(90, 70, 5))).toDF()
+    val got = EventStreams.heavyHittersByWindow(df, "user_id", "1 hour", k = 2)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).getHour, r.getInt(3)) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(got((0, 1)) == (("7", 3L)))
+    assert(got((0, 2)) == (("10", 2L)), "tie 2-vs-2 breaks by item string asc")
+    assert(got((1, 1)) == (("5", 1L)))
+    assert(got.size == 3)
+  }
+
+  test("heavy_hitters_by_window: empty input -> empty frame, scale shape safe") {
+    val empty = spark.emptyDataset[Evt].toDF()
+    assert(EventStreams.heavyHittersByWindow(empty, "user_id", "1 hour", 3).isEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.core.ScaleLint.assertSafe(
+      EventStreams.heavyHittersByWindow(ev, "user_id", "1 hour", 5))
+    graft.core.ScaleLint.assertSafe(
+      Chain(spark, "li", spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        .joinCardinalityProfile(
+          Chain(spark, "or", spark.read.parquet(s"$sfDir/orders.parquet")),
+          Seq("l_orderkey" -> "o_orderkey")).df)
+  }
+}
