@@ -404,6 +404,15 @@ object SparkEntry {
         .psiProfile(orders.df.where("o_orderstatus = 'O'"),
           "o_totalprice", 0.0, 500000.0, 16).df
     }),
+    // equal-frequency PSI on the fixed numeric fixture: base (g < 2,
+    // 120 rows) sits inside KLL's exact regime, so the quantile cutoffs
+    // are literal inclusive-rank order statistics and the oracle replays
+    // the whole profile
+    "q_psi_quantile" -> ((s, d) => {
+      val f = numFixtureDf(s)
+      Chain(s, "num_base", f.where("g < 2"))
+        .psiQuantileProfile(f.where("g >= 2"), "x", 4).df
+    }),
     // categorical drift: segment mix between the two nation halves
     "q_psi_categorical" -> ((s, d) => {
       val cust = t(s, d, "customer")
@@ -1608,6 +1617,33 @@ object SparkEntry {
     "q_k_anonymity" ->
       ("SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt FROM customer " +
         "GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) < 8"),
+    "q_psi_quantile" -> {
+      // psiQuantileProfile replayed on the fixed fixture: inclusive-rank
+      // cutoffs at 0.25/0.5/0.75 of the base, bucket = #cutoffs strictly
+      // below x, then the shared eps-floored fixed-point PSI arithmetic
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      val src = "SELECT CAST(i % 4 AS BIGINT) AS g, CAST((i * 37) % 101 AS DOUBLE) AS x FROM range(0, 240) t(i)"
+      def cut(p: String) = s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END)"
+      def side(pred: String, as: String) =
+        s"SELECT CASE WHEN x > c3 THEN 3 WHEN x > c2 THEN 2 WHEN x > c1 THEN 1 ELSE 0 END AS bucket, " +
+          s"COUNT(*) AS $as FROM (SELECT x FROM src WHERE $pred AND x IS NOT NULL AND NOT isnan(x)) CROSS JOIN cu GROUP BY 1"
+      def g(cnt: String, tot: String) = s"GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS)"
+      s"WITH src AS ($src), " +
+        "bv AS (SELECT x FROM src WHERE g < 2 AND x IS NOT NULL AND NOT isnan(x)), " +
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n FROM bv), " +
+        s"cu AS (SELECT ${cut("0.25")} AS c1, ${cut("0.5")} AS c2, ${cut("0.75")} AS c3 FROM r), " +
+        s"bb AS (${side("g < 2", "cb")}), ob AS (${side("g >= 2", "co")}), " +
+        "sp AS (SELECT range AS bucket FROM range(0, 4)), " +
+        "j AS (SELECT bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp LEFT JOIN bb USING (bucket) LEFT JOIN ob USING (bucket)), " +
+        "t AS (SELECT CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT bucket, cnt_base, cnt_other, (${g("cnt_base", "tb")} - ${g("cnt_other", "tot")}) * " +
+        s"(FLOOR(LN(${g("cnt_base", "tb")} / ${g("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000) AS psi_term FROM j CROSS JOIN t), " +
+        "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
+        "SELECT bucket, CASE bucket WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS cut_lo, " +
+        "CASE bucket WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS cut_hi, " +
+        "cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z CROSS JOIN cu"
+    },
     "q_psi_profile" -> {
       // the op's exact arithmetic replayed: eps-floored shares, 1e-6
       // fixed-point ln factor, 1e-12 fixed-point exact psi_total

@@ -1722,6 +1722,74 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("psi_profile", df2, None)
   }
 
+  /** psi_quantile_profile(other, column, buckets): PSI over EQUAL-
+    * FREQUENCY bins — the robust drift face practitioners reach for when
+    * equal-width bins ([[psiProfile]]) are brittle: a heavy tail or an
+    * outlier stretches fixed-width bins until all mass lands in one and
+    * drift goes invisible, while reference-quantile bins keep every bin
+    * at ~1/buckets of the BASE mass by construction. Cutoffs come from
+    * ONE mergeable KLL sketch over this chain (the base/reference side),
+    * read out at i/buckets; both sides then bucket by the SAME cutoffs
+    * (bucket = #cutoffs strictly below x, so the domain is covered with
+    * no lo/hi clipping — only null/NaN rows are excluded) and close with
+    * the shared eps-floored fixed-point PSI arithmetic. Output carries
+    * each bin's cutoff bounds (null at the open ends).
+    *
+    * Inside the sketch's exact regime (base n ≤ k) the cutoffs are the
+    * literal inclusive-rank order statistics and the whole result is
+    * engine-replayable; past it they carry KLL's published rank-error
+    * bounds — the bins drift by ±ε rank, the PSI stays a valid
+    * equal-frequency profile (gate with rank bands, never hashes).
+    *
+    * Scale: one sketch aggregate over the base (map-side combined), a
+    * one-row cutoff frame broadcast onto both sides, one count aggregate
+    * per side over ≤ `buckets` cells, and the bounded PSI closing —
+    * no global sort, nothing corpus-sized past the first exchanges.
+    * An empty/degenerate base yields null cutoffs → every valid row
+    * buckets to 0 and `_tb` = 0 nulls the shares: the profile reads null,
+    * never a fake zero.
+    */
+  def psiQuantileProfile(other: DataFrame, column: String, buckets: Int,
+                         eps: Double = 1e-6, k: Int = 200): Chain = {
+    require(buckets > 1, s"psi_quantile_profile needs buckets > 1, got $buckets")
+    require(eps > 0.0 && eps < 1.0, s"psi_quantile_profile needs eps in (0, 1), got $eps")
+    val x = col(column).cast("double")
+    val valid = x.isNotNull && !isnan(x)
+    val cuts = c.df.where(valid)
+      .agg(graft.functions.KllSketches.sketchAgg(x, k).as("_sk"))
+      .select((1 until buckets).map(i => graft.functions.KllSketches
+        .quantile(col("_sk"), i.toDouble / buckets).as(s"_cut$i")): _*)
+    def bucketCounts(df: DataFrame, as: String) = {
+      val withCuts = df.where(valid).select(x.as("_x")).crossJoin(broadcast(cuts))
+      val branches = (buckets - 1 to 1 by -1)
+        .map(i => (col("_x") > col(s"_cut$i"), lit(i.toLong)))
+      val b = branches.tail
+        .foldLeft(when(branches.head._1, branches.head._2)) {
+          case (acc, (cond, v)) => acc.when(cond, v)
+        }.otherwise(lit(0L))
+      withCuts.groupBy(b.as("bucket")).agg(count(lit(1)).as(as))
+    }
+    val spine = c.spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
+      .join(bucketCounts(other, "_co"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+        coalesce(col("_co"), lit(0L)).as("cnt_other"))
+    def boundExpr(sel: Int => Option[Int]): Column =
+      (0 until buckets).flatMap(b => sel(b).map(i =>
+        (col("bucket") === lit(b.toLong), col(s"_cut$i"))))
+        .foldLeft(None: Option[Column]) { case (acc, (cond, v)) =>
+          Some(acc.fold(when(cond, v))(_.when(cond, v)))
+        }.get.otherwise(lit(null).cast("double"))
+    val df2 = AggOps.psiTerms(joined, eps).crossJoin(broadcast(cuts))
+      .withColumn("cut_lo", boundExpr(b => if (b == 0) None else Some(b)))
+      .withColumn("cut_hi", boundExpr(b => if (b == buckets - 1) None else Some(b + 1)))
+      .select("bucket", "cut_lo", "cut_hi", "cnt_base", "cnt_other",
+        "psi_term", "psi_total")
+    c.next("psi_quantile_profile", df2, None)
+  }
+
   /** psi_categorical_profile(other, column): [[psiProfile]] over a
     * categorical column's own value domain (language, source, license —
     * the corpus-mix drift check): one row per value seen on EITHER side

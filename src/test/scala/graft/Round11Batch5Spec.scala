@@ -79,6 +79,41 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("psi_quantile_profile: hand-verified quartile bins, bounds, zero drift") {
+    // base 1..8: inclusive-rank cutoffs at .25/.5/.75 are 2, 4, 6;
+    // bucket = #cutoffs strictly below x -> perfect quarters {1,2} {3,4}
+    // {5,6} {7,8}; identical other side -> every term 0, psi_total 0;
+    // a NaN row changes nothing
+    val base = (1 to 8).map(_.toDouble).toDF("x")
+    val other = ((1 to 8).map(_.toDouble) :+ Double.NaN).toDF("x")
+    val out = Chain(spark, "pq0", base).psiQuantileProfile(other, "x", 4, k = 64)
+    val got = out.df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 4)
+    (0L to 3L).foreach { b =>
+      assert(got(b).getLong(3) == 2L && got(b).getLong(4) == 2L, s"bucket $b counts")
+      assert(got(b).getDouble(5) == 0.0, "identical sides: zero term")
+      assert(got(b).getDouble(6) == 0.0, "zero psi_total")
+    }
+    assert(got(0L).isNullAt(1) && got(0L).getDouble(2) == 2.0, "open low end")
+    assert(got(3L).getDouble(1) == 6.0 && got(3L).isNullAt(2), "open high end")
+    assert(got(1L).getDouble(1) == 2.0 && got(1L).getDouble(2) == 4.0)
+  }
+
+  test("psi_quantile_profile: concentration drift is visible; empty base reads null") {
+    // other mass all above the base's p75 -> bucket 3 holds everything
+    val base = (1 to 8).map(_.toDouble).toDF("x")
+    val other = Seq(7.0, 8.0, 9.0, 10.0).toDF("x")
+    val got = Chain(spark, "pq1", base).psiQuantileProfile(other, "x", 4, k = 64)
+      .df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(3L).getLong(4) == 4L && got(0L).getLong(4) == 0L)
+    assert(got(0L).getDouble(6) > 1.0, "all-mass-moved must read as large PSI")
+    // empty base: null cutoffs, zero base mass -> null terms and total,
+    // never a fake zero or an ANSI abort
+    val eb = Chain(spark, "pq2", spark.emptyDataset[Double].toDF("x"))
+      .psiQuantileProfile(other, "x", 4, k = 64).df.collect()
+    assert(eb.length == 4 && eb.forall(r => r.isNullAt(5) && r.isNullAt(6)))
+  }
+
   test("heavy_hitters_by_window: empty input -> empty frame, scale shape safe") {
     val empty = spark.emptyDataset[Evt].toDF()
     assert(EventStreams.heavyHittersByWindow(empty, "user_id", "1 hour", 3).isEmpty)
@@ -90,5 +125,9 @@ class Round11Batch5Spec extends AnyFunSuite {
         .joinCardinalityProfile(
           Chain(spark, "or", spark.read.parquet(s"$sfDir/orders.parquet")),
           Seq("l_orderkey" -> "o_orderkey")).df)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Chain(spark, "lib", li.where("l_suppkey % 2 = 0"))
+      .psiQuantileProfile(li.where("l_suppkey % 2 = 1"), "l_extendedprice", 8)
+      .assertScaleSafe()
   }
 }
