@@ -1014,6 +1014,15 @@ object SparkEntry {
         val ev = readEvents(s, d)
         EventStreams.driftByWindowNumeric(ev, ev, "value", "1 hour", 0.0, 256.0, 16)
       }),
+      // the equal-frequency windowed drift face: reference = every 50th
+      // event (by id, deterministic), cutoffs at the reference quartiles.
+      // k = 32768 keeps the reference (n/50 rows) in the exact regime
+      // through sf ~1, so the oracle replays the rank-search cutoffs
+      "q_events_drift_quantile" -> ((s, d) => {
+        val ev = readEvents(s, d)
+        EventStreams.driftByWindowQuantile(ev,
+          ev.where("event_id % 50 = 0"), "value", "1 hour", 4, k = 32768)
+      }),
       // per-hour quantile profile of event value: ONE mergeable KLL
       // aggregate per (hour, type) cell. k = 512 keeps every cell (≤ 51
       // valid values at sf0.1) deep inside the exact no-compaction
@@ -2503,6 +2512,35 @@ object SparkEntry {
           "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
           s"SELECT window_start, bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
           "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start)"
+      },
+      "q_events_drift_quantile" -> {
+        // driftByWindowQuantile replayed: inclusive-rank reference
+        // quartile cutoffs, bucket = #cutoffs strictly below x, then the
+        // per-window eps-floored fixed-point PSI of q_events_drift_num
+        val epsS = "CAST('1.0E-6' AS DOUBLE)"
+        val xS = "CAST(value AS DOUBLE)"
+        val okS = s"value IS NOT NULL AND NOT isnan($xS)"
+        def cut(p: String) = s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END)"
+        val bS = "CASE WHEN x > c3 THEN 3 WHEN x > c2 THEN 2 WHEN x > c1 THEN 1 ELSE 0 END"
+        def g(cnt: String, tot: String) = s"GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS)"
+        val termS = s"(${g("cnt_base", "tb")} - ${g("cnt_other", "tot")}) * " +
+          s"(FLOOR(LN(${g("cnt_base", "tb")} / ${g("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000)"
+        s"WITH rv AS (SELECT $xS AS x FROM events WHERE event_id % 50 = 0 AND $okS), " +
+          "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n FROM rv), " +
+          s"cu AS (SELECT ${cut("0.25")} AS c1, ${cut("0.5")} AS c2, ${cut("0.75")} AS c3 FROM r), " +
+          s"rb AS (SELECT $bS AS bucket, COUNT(*) AS cb FROM rv CROSS JOIN cu GROUP BY 1), " +
+          "ref AS (SELECT bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base FROM " +
+          "(SELECT range AS bucket FROM range(0, 4)) sp LEFT JOIN rb USING (bucket)), " +
+          s"ev AS (SELECT date_trunc('hour', $evT) AS window_start, $xS AS x FROM events WHERE $okS), " +
+          s"wc AS (SELECT window_start, $bS AS bucket, COUNT(*) AS co FROM ev CROSS JOIN cu GROUP BY 1, 2), " +
+          "grid AS (SELECT window_start, bucket, cnt_base FROM (SELECT DISTINCT window_start FROM wc) CROSS JOIN ref), " +
+          "j AS (SELECT window_start, bucket, cnt_base, CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM grid LEFT JOIN wc USING (window_start, bucket)), " +
+          "t AS (SELECT window_start, CAST(SUM(cnt_base) AS DOUBLE) AS tb, CAST(SUM(cnt_other) AS DOUBLE) AS tot FROM j GROUP BY 1), " +
+          s"y AS (SELECT window_start, bucket, cnt_base, cnt_other, $termS AS psi_term FROM j JOIN t USING (window_start)), " +
+          "z AS (SELECT window_start, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y GROUP BY 1) " +
+          "SELECT window_start, bucket, CASE bucket WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS cut_lo, " +
+          "CASE bucket WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS cut_hi, " +
+          "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start) CROSS JOIN cu"
       },
       "q_heavy_hitters_window" -> {
         // exact-regime frequent-items readout = the literal per-window

@@ -1753,22 +1753,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
                          eps: Double = 1e-6, k: Int = 200): Chain = {
     require(buckets > 1, s"psi_quantile_profile needs buckets > 1, got $buckets")
     require(eps > 0.0 && eps < 1.0, s"psi_quantile_profile needs eps in (0, 1), got $eps")
-    val x = col(column).cast("double")
-    val valid = x.isNotNull && !isnan(x)
-    val cuts = c.df.where(valid)
-      .agg(graft.functions.KllSketches.sketchAgg(x, k).as("_sk"))
-      .select((1 until buckets).map(i => graft.functions.KllSketches
-        .quantile(col("_sk"), i.toDouble / buckets).as(s"_cut$i")): _*)
-    def bucketCounts(df: DataFrame, as: String) = {
-      val withCuts = df.where(valid).select(x.as("_x")).crossJoin(broadcast(cuts))
-      val branches = (buckets - 1 to 1 by -1)
-        .map(i => (col("_x") > col(s"_cut$i"), lit(i.toLong)))
-      val b = branches.tail
-        .foldLeft(when(branches.head._1, branches.head._2)) {
-          case (acc, (cond, v)) => acc.when(cond, v)
-        }.otherwise(lit(0L))
-      withCuts.groupBy(b.as("bucket")).agg(count(lit(1)).as(as))
-    }
+    val cuts = AggOps.kllCutoffs(c.df, column, buckets, k)
+    def bucketCounts(df: DataFrame, as: String) =
+      AggOps.cutoffBucketed(df, column, cuts, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as(as))
     val spine = c.spark.range(buckets).select(col("id").as("bucket"))
     val joined = spine
       .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
@@ -1776,15 +1764,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .select(col("bucket"),
         coalesce(col("_cb"), lit(0L)).as("cnt_base"),
         coalesce(col("_co"), lit(0L)).as("cnt_other"))
-    def boundExpr(sel: Int => Option[Int]): Column =
-      (0 until buckets).flatMap(b => sel(b).map(i =>
-        (col("bucket") === lit(b.toLong), col(s"_cut$i"))))
-        .foldLeft(None: Option[Column]) { case (acc, (cond, v)) =>
-          Some(acc.fold(when(cond, v))(_.when(cond, v)))
-        }.get.otherwise(lit(null).cast("double"))
-    val df2 = AggOps.psiTerms(joined, eps).crossJoin(broadcast(cuts))
-      .withColumn("cut_lo", boundExpr(b => if (b == 0) None else Some(b)))
-      .withColumn("cut_hi", boundExpr(b => if (b == buckets - 1) None else Some(b + 1)))
+    val df2 = AggOps.withCutoffBounds(AggOps.psiTerms(joined, eps), cuts, buckets)
       .select("bucket", "cut_lo", "cut_hi", "cnt_base", "cnt_other",
         "psi_term", "psi_total")
     c.next("psi_quantile_profile", df2, None)
@@ -1869,4 +1849,54 @@ private[graft] object AggOps {
   private def psiTotalAgg: Column =
     (sum(floor(col("psi_term") * lit(1e12) + lit(0.5))
       .cast("long").cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("psi_total")
+
+  /** Equal-frequency cutoffs as a ONE-ROW frame (`_cut1`.. `_cut{b-1}`)
+    * from one mergeable KLL aggregate — shared by [[psiQuantileProfile]]
+    * and the windowed drift face. Broadcast this onto any side that needs
+    * bucketing; an empty/degenerate input yields null cutoffs (callers'
+    * zero-mass closings surface null, see psiTermExpr).
+    */
+  private[graft] def kllCutoffs(df: DataFrame, valueCol: String,
+                                buckets: Int, k: Int): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull && !isnan(x))
+      .agg(graft.functions.KllSketches.sketchAgg(x, k).as("_sk"))
+      .select((1 until buckets).map(i => graft.functions.KllSketches
+        .quantile(col("_sk"), i.toDouble / buckets).as(s"_cut$i")): _*)
+  }
+
+  /** Valid rows of `df` bucketed by the cutoff frame: `bucket` =
+    * #cutoffs strictly below x (full-domain coverage — only null/NaN rows
+    * drop). Keeps all original columns plus `bucket`.
+    */
+  private[graft] def cutoffBucketed(df: DataFrame, valueCol: String,
+                                    cuts: DataFrame, buckets: Int): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val branches = (buckets - 1 to 1 by -1)
+      .map(i => (x > col(s"_cut$i"), lit(i.toLong)))
+    val b = branches.tail
+      .foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (cond, v)) => acc.when(cond, v)
+      }.otherwise(lit(0L))
+    df.where(x.isNotNull && !isnan(x)).crossJoin(broadcast(cuts))
+      .withColumn("bucket", b)
+      .drop((1 until buckets).map(i => s"_cut$i"): _*)
+  }
+
+  /** Attach `cut_lo`/`cut_hi` bin bounds (null at the open ends) to a
+    * frame carrying a `bucket` column, from the one-row cutoff frame.
+    */
+  private[graft] def withCutoffBounds(df: DataFrame, cuts: DataFrame,
+                                      buckets: Int): DataFrame = {
+    def boundExpr(sel: Int => Option[Int]): Column =
+      (0 until buckets).flatMap(b => sel(b).map(i =>
+        (col("bucket") === lit(b.toLong), col(s"_cut$i"))))
+        .foldLeft(None: Option[Column]) { case (acc, (cond, v)) =>
+          Some(acc.fold(when(cond, v))(_.when(cond, v)))
+        }.get.otherwise(lit(null).cast("double"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("cut_lo", boundExpr(b => if (b == 0) None else Some(b)))
+      .withColumn("cut_hi", boundExpr(b => if (b == buckets - 1) None else Some(b + 1)))
+      .drop((1 until buckets).map(i => s"_cut$i"): _*)
+  }
 }

@@ -803,6 +803,58 @@ object EventStreams {
         "cnt_base", "cnt_other", "psi_term", "psi_total")
   }
 
+  /** drift_by_window_quantile(events, reference, value_col, width,
+    * buckets): the EQUAL-FREQUENCY twin of [[driftByWindowNumeric]],
+    * completing the windowed drift triple (categorical mix, equal-width
+    * numeric, quantile-binned numeric). Equal-width bins go blind when
+    * the value is heavy-tailed (one stretched bin swallows all mass);
+    * here the bins are the REFERENCE's own quantiles — each holds
+    * ~1/buckets of the reference by construction, from ONE mergeable KLL
+    * aggregate ([[graft.ops.AggOps.psiQuantileProfile]] regime, no
+    * lo/hi clipping: the cutoff bins cover the full domain and only
+    * null/NaN rows drop). Per (window × bucket): both counts, the
+    * eps-floored fixed-point PSI term, the window's psi_total, and the
+    * bin's cutoff bounds (null at the open ends).
+    *
+    * Scale: the cutoffs are a one-row broadcast; window counts are one
+    * map-side-combined aggregate; PSI totals stay partitioned by window
+    * (psiTermsGrouped) — no global window, unbounded stream history is
+    * fine. Cutoffs inside the sketch's exact regime (reference n ≤ k)
+    * are literal inclusive-rank order statistics (oracle-replayable);
+    * beyond it they carry KLL's published rank-error bounds.
+    */
+  def driftByWindowQuantile(events: DataFrame, reference: DataFrame,
+                            valueCol: String, width: String, buckets: Int,
+                            eps: Double = 1e-6, k: Int = 200): DataFrame = {
+    require(buckets > 1, s"drift_by_window_quantile needs buckets > 1, got $buckets")
+    val cuts = graft.ops.AggOps.kllCutoffs(reference, valueCol, buckets, k)
+    val refCounts = graft.ops.AggOps.cutoffBucketed(reference, valueCol, cuts, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("_cb"))
+    val spine = reference.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val wc = graft.ops.AggOps.cutoffBucketed(
+        events.withColumn("_ts", eventTime(events)), valueCol, cuts, buckets)
+      .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start"), col("bucket"))
+      .agg(count(lit(1)).as("cnt_other"))
+    // grid = distinct windows × the BARE bucket spine (a provably-bounded
+    // Range build — crossing with the spine-joined reference frame would
+    // hide the bound behind the join); reference counts then attach by
+    // equi join, zeros padded, so every window still carries every bucket
+    val grid = wc.select("window_start").distinct()
+      .crossJoin(broadcast(spine))
+      .join(refCounts, Seq("bucket"), "left")
+      .select(col("window_start"), col("bucket"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_base"))
+    val joined = grid.join(wc, Seq("window_start", "bucket"), "left")
+      .select(col("window_start"), col("bucket"), col("cnt_base"),
+        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+    graft.ops.AggOps.withCutoffBounds(
+        graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps),
+        cuts, buckets)
+      .select("window_start", "bucket", "cut_lo", "cut_hi",
+        "cnt_base", "cnt_other", "psi_term", "psi_total")
+  }
+
   /** Streaming face of [[driftByWindowNumeric]] — the
     * [[sinkDriftUpsertToTable]] machinery with bucket counts in place of
     * value counts: per-batch (window × bucket) counts MERGE into `name`

@@ -114,6 +114,32 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(eb.length == 4 && eb.forall(r => r.isNullAt(5) && r.isNullAt(6)))
   }
 
+  private def evtV(id: Long, minute: Long, v: Double) =
+    Evt(id, base + minute * 60L * 1000000000L, 1L, "e", v, "{}")
+
+  test("drift_by_window_quantile: identical window reads 0, shifted window reads large") {
+    // reference 1..8 -> quartile cutoffs 2, 4, 6 (2 per bin); hour 0
+    // samples the same distribution (psi 0 per construction), hour 1 puts
+    // all mass above p75 (bucket 3)
+    val ref = (1 to 8).map(i => evtV(100 + i, 0, i.toDouble)).toDF()
+    val ev = ((1 to 8).map(i => evtV(i, i.toLong, i.toDouble)) ++
+      Seq(evtV(20, 70, 7.0), evtV(21, 75, 9.0), evtV(22, 80, 30.0))).toDF()
+    val got = EventStreams.driftByWindowQuantile(ev, ref, "value", "1 hour", 4, k = 64)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).getHour, r.getLong(1)) -> r).toMap
+    assert(got.size == 8, "2 windows x 4 spine buckets")
+    (0L to 3L).foreach { b =>
+      assert(got((0, b)).getLong(4) == 2L && got((0, b)).getLong(5) == 2L)
+      assert(got((0, b)).getDouble(7) == 0.0, "identical shares: psi_total 0")
+    }
+    assert(got((1, 3L)).getLong(5) == 3L && got((1, 0L)).getLong(5) == 0L,
+      "hour 1: all mass above the reference p75")
+    assert(got((1, 0L)).getDouble(7) > 1.0, "moved mass must read as large PSI")
+    assert(got((0, 0L)).isNullAt(2) && got((0, 0L)).getDouble(3) == 2.0,
+      "open low end carries null cut_lo")
+    assert(got((0, 3L)).getDouble(2) == 6.0 && got((0, 3L)).isNullAt(3))
+  }
+
   test("heavy_hitters_by_window: empty input -> empty frame, scale shape safe") {
     val empty = spark.emptyDataset[Evt].toDF()
     assert(EventStreams.heavyHittersByWindow(empty, "user_id", "1 hour", 3).isEmpty)
@@ -129,5 +155,7 @@ class Round11Batch5Spec extends AnyFunSuite {
     Chain(spark, "lib", li.where("l_suppkey % 2 = 0"))
       .psiQuantileProfile(li.where("l_suppkey % 2 = 1"), "l_extendedprice", 8)
       .assertScaleSafe()
+    graft.core.ScaleLint.assertSafe(EventStreams.driftByWindowQuantile(
+      ev, ev.where("event_id % 50 = 0"), "value", "1 hour", 4))
   }
 }
