@@ -67,6 +67,26 @@ object ScaleLint {
           r.numElements <= BigInt(4096)
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.isEmpty => true
+        // an equi join PRESERVES the stream side's bound when the build
+        // side matches at most once per key — provable when the build is
+        // an aggregate grouped by a SUBSET of its join keys (grouping
+        // tuples are unique, so joining on them — or on more — matches
+        // ≤ 1 row). Inner/left-outer only: right-outer/full would emit
+        // the unbounded side's unmatched rows. This is the spine-join
+        // shape (Range spine LEFT JOIN per-bucket counts) the profile
+        // family pads zeros with.
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            provesBounded(j.left) && uniqueOnKeys(j.right, j.rightKeys) => true
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            provesBounded(j.left) && uniqueOnKeys(j.right, j.rightKeys) => true
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            provesBounded(j.left) && uniqueOnKeys(j.right, j.rightKeys) => true
         case other => other.children.nonEmpty && other.children.forall(provesBounded)
       }
       // a build side that is an AGGREGATED frame (one row per distinct
@@ -79,6 +99,38 @@ object ScaleLint {
       // available and bounded; otherwise it lints WARN — never silently
       // waved through, never a hard failure for the categorical domains
       // it was built for.
+      // "matches at most once per join key": the plan below the join's
+      // build side is an aggregate grouped by a SUBSET of the join keys
+      // (grouping tuples are unique by construction). Keys must be plain
+      // attributes; ids are translated through aliasing projections, and
+      // only row-preserving/reducing nodes are walked through.
+      def uniqueOnKeys(p: SparkPlan,
+                       keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId}
+        val keyIds = keys.collect { case a: AttributeReference => a.exprId }
+        if (keyIds.length != keys.length) false
+        else {
+          def walk(q: SparkPlan, ids: Set[ExprId]): Boolean = q match {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              val groupIds = a.groupingExpressions.map(_.toAttribute.exprId).toSet
+              groupIds.nonEmpty && groupIds.subsetOf(ids)
+            case pr: org.apache.spark.sql.execution.ProjectExec =>
+              val mapped = ids.map { id =>
+                pr.projectList.collectFirst {
+                  case al @ Alias(ar: AttributeReference, _) if al.exprId == id => ar.exprId
+                }.getOrElse(id)
+              }
+              walk(pr.child, mapped)
+            case e: org.apache.spark.sql.execution.exchange.Exchange => walk(e.child, ids)
+            case s: org.apache.spark.sql.execution.SortExec => walk(s.child, ids)
+            case f: org.apache.spark.sql.execution.FilterExec => walk(f.child, ids)
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec => walk(w.child, ids)
+            case i: org.apache.spark.sql.execution.InputAdapter => walk(i.child, ids)
+            case _ => false
+          }
+          walk(p, keyIds.toSet)
+        }
+      }
       def provesAggregated(p: SparkPlan): Boolean = p match {
         case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
         case other => other.children.nonEmpty && other.children.forall(provesAggregated)

@@ -140,6 +140,36 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(got((0, 3L)).getDouble(2) == 6.0 && got((0, 3L)).isNullAt(3))
   }
 
+  test("ScaleLint: a spine-join-on-grouping-key build proves bounded (no NLJ error)") {
+    // Range spine LEFT JOIN an aggregate grouped by the join key: output
+    // is ≤ spine rows by construction, so crossing it onto a corpus is a
+    // bounded nested loop — the prover must see through the join instead
+    // of erroring (the shape that forced driftByWindowQuantile's grid
+    // restructure, now provable directly)
+    // the corpus must be a file scan — a Range corpus would itself prove
+    // bounded and mask the join-proof path under test
+    val corpus = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id AS id", "event_id % 7 AS b")
+    val counts = corpus.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val spineJoined = spark.range(7).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val crossed = corpus.crossJoin(broadcast(spineJoined))
+    val fs = graft.core.ScaleLint.lint(crossed)
+    assert(!fs.exists(_.severity == "error"),
+      s"bounded spine-join build must not error: ${fs.mkString("; ")}")
+    assert(fs.exists(f => f.rule == "nested-loop-join-bounded"),
+      s"expected the bounded-NLJ info finding, got: ${fs.mkString("; ")}")
+    // the proof must NOT fire for a right/full outer spine join (unmatched
+    // corpus-side rows would flow through unbounded)
+    val outer = spark.range(7).select(col("id").as("b"))
+      .join(counts, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val fs2 = graft.core.ScaleLint.lint(corpus.crossJoin(broadcast(outer)))
+    assert(!fs2.exists(_.rule == "nested-loop-join-bounded"),
+      s"full-outer spine join must not prove bounded: ${fs2.mkString("; ")}")
+  }
+
   test("heavy_hitters_by_window: empty input -> empty frame, scale shape safe") {
     val empty = spark.emptyDataset[Evt].toDF()
     assert(EventStreams.heavyHittersByWindow(empty, "user_id", "1 hour", 3).isEmpty)
