@@ -1069,19 +1069,22 @@ object EventStreams {
     * (window × value) count shuffle of a naive census never happens.
     */
   def heavyHittersByWindow(events: DataFrame, valueCol: String, width: String,
-                           k: Int, maxMapSize: Int = 2048): DataFrame = {
+                           k: Int, keys: Seq[String] = Nil,
+                           maxMapSize: Int = 2048): DataFrame = {
     require(k > 0, s"heavy_hitters_by_window needs k > 0, got $k")
+    val head = window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+      .as("window_start") +: keys.map(col)
     val g = events
       .withColumn("_ts", eventTime(events))
-      .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
-        .as("window_start"))
+      .groupBy(head: _*)
       .agg(graft.functions.FreqSketches
         .sketchAgg(col(valueCol).cast("string"), maxMapSize).as("_sk"))
       .where(col("_sk").isNotNull)
-    g.select(col("window_start"),
-      posexplode(graft.functions.FreqSketches.topK(col("_sk"), k)).as(Seq("_i", "_h")))
-      .select(col("window_start"), col("_h.item").as("item"),
-        col("_h.est").as("cnt"), (col("_i") + 1).as("rank"))
+    val out = col("window_start") +: keys.map(col)
+    g.select((out :+
+        posexplode(graft.functions.FreqSketches.topK(col("_sk"), k)).as(Seq("_i", "_h"))): _*)
+      .select((out ++ Seq(col("_h.item").as("item"),
+        col("_h.est").as("cnt"), (col("_i") + 1).as("rank"))): _*)
   }
 
   /** funnel_profile(events, step_col, steps, user_col): ordered-step

@@ -77,6 +77,13 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(got((0, 2)) == (("10", 2L)), "tie 2-vs-2 breaks by item string asc")
     assert(got((1, 1)) == (("5", 1L)))
     assert(got.size == 3)
+    // grouped face: keys partition the census like quantilesByWindow
+    val df2 = Seq(evt(1, 0, 7), evt(2, 1, 7), evt(3, 2, 9))
+      .map(e => e.copy(event_type = if (e.event_id == 3) "b" else "a")).toDF()
+    val byKey = EventStreams.heavyHittersByWindow(df2, "user_id", "1 hour",
+      k = 2, keys = Seq("event_type")).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(byKey == Map(("a", "7") -> 2L, ("b", "9") -> 1L))
   }
 
   test("psi_quantile_profile: hand-verified quartile bins, bounds, zero drift") {
