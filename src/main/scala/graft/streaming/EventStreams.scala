@@ -1099,38 +1099,45 @@ object EventStreams {
     * conversion rate vs. step 1 (one exact BIGINT÷BIGINT double division;
     * null when nobody entered the funnel — never a zero divide).
     *
-    * Scale: each stage filters the corpus to ONE step value (predicate
-    * pushed to the scan) and min-aggregates per user, then equi-joins the
-    * shrinking reached-set on the user key — no per-user sort, no window,
-    * no event-list collection; per-step counts are one-row aggregates
-    * unioned driver-free. Step count is code, not data (bounded loop).
+    * Scale: ONE scan (filtered to the step set — predicate pushed) and
+    * ONE user-keyed exchange; the greedy chain is k window-min passes
+    * over that same partitioning (each t_k is a per-user constant, so
+    * t_{k+1} = min ts where step matches and ts > t_k is again a plain
+    * window min — no per-user sort order needed, no event-list
+    * collection, no join per step), then a per-user collapse that REUSES
+    * the partitioning and one bounded closing aggregate. Step count is
+    * code, not data.
     */
   def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
                     userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel_profile needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel_profile steps repeat: $steps")
-    val evT = events.withColumn("_ts", eventTime(events, tsCol))
-    var reached = evT.where(col(stepCol) === steps.head)
-      .groupBy(col(userCol).as("_u")).agg(min(col("_ts")).as("_t"))
-    val perStep = scala.collection.mutable.Buffer((steps.head, reached))
-    for (st <- steps.tail) {
-      val nxt = evT.where(col(stepCol) === st)
-        .select(col(userCol).as("_u"), col("_ts"))
-        .join(reached.select(col("_u"), col("_t").as("_tp")), Seq("_u"))
-        .where(col("_ts") > col("_tp"))
-        .groupBy("_u").agg(min(col("_ts")).as("_t"))
-      perStep += ((st, nxt))
-      reached = nxt
+    val userW = org.apache.spark.sql.expressions.Window.partitionBy("_u")
+    var chained = events
+      .where(col(stepCol).isInCollection(steps))
+      .select(col(userCol).as("_u"), col(stepCol).as("_s"),
+        eventTime(events, tsCol).as("_ts"))
+    for ((st, i) <- steps.zipWithIndex) {
+      val hit =
+        if (i == 0) when(col("_s") === steps.head, col("_ts"))
+        else when(col("_s") === st && col("_ts") > col(s"_t${i - 1}"), col("_ts"))
+      chained = chained.withColumn(s"_t$i", min(hit).over(userW))
     }
-    val counts = perStep.toSeq.zipWithIndex.map { case ((st, df), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(st).as("step_value"), col("n_users"))
-    }.reduce(_ union _)
-    val first = perStep.head._2.agg(count(lit(1)).as("_n1"))
-    counts.crossJoin(broadcast(first))
-      .select(col("step"), col("step_value"), col("n_users"),
-        when(col("_n1") === 0L, lit(null).cast("double"))
-          .otherwise(col("n_users").cast("double") / col("_n1").cast("double"))
+    val perUser = chained
+      .groupBy("_u")
+      .agg(max(col("_t0")).as("_t0"),
+        steps.indices.tail.map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = perUser.agg(count(col("_t0")).as("_n0"),
+      steps.indices.tail.map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st).as("step_value"),
+        col(s"_n$i").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("_r"), col("_n0"))
+      .select(col("_r.step").as("step"), col("_r.step_value").as("step_value"),
+        col("_r.n_users").as("n_users"),
+        when(col("_n0") === 0L, lit(null).cast("double"))
+          .otherwise(col("_r.n_users").cast("double") / col("_n0").cast("double"))
           .as("conv_rate"))
   }
 
