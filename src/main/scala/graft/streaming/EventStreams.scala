@@ -1157,6 +1157,17 @@ object EventStreams {
     * (cohorts × periods) grid: a count aggregate, a self-join on the
     * period-0 slice, one exact double division. No window, nothing
     * driver-side.
+    *
+    * Streaming: this closer COMPOSES with [[sinkUpsertToTable]] — drain
+    * the stream into a (user, day) activity table with
+    * `sinkUpsertToTable(df.select(user, to_date(ts)), name, keys =
+    * Seq(user, day), ...)` (idempotent: re-deliveries overwrite
+    * themselves) and run `cohortRetention` over the stored table on
+    * report cadence. The activity table is one row per user-day — far
+    * smaller than the event stream — so the grid refresh is a bounded
+    * job, and late data converges exactly because the closer re-derives
+    * cohorts from the COMPLETE stored activity, never from incremental
+    * per-batch mins (spec-pinned in Round11Batch5Spec).
     */
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts"): DataFrame = {

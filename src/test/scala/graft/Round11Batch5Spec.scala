@@ -147,6 +147,38 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(got((0, 3L)).getDouble(2) == 6.0 && got((0, 3L)).isNullAt(3))
   }
 
+  test("streaming cohort retention: upsert-activity composition converges under late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS cohort_acts_t")
+    val day = 24 * 60L
+    // batch 1: user 1 active day 1 and day 2; user 2 active day 0
+    // batch 2 delivers LATE data — user 1's day-0 activity — which moves
+    // user 1's cohort from day 1 to day 0; the closer re-derives cohorts
+    // from the complete stored activity, so the grid converges exactly
+    val b1 = Seq(evt(1, day, 1), evt(2, day + 5, 1), evt(3, 2 * day, 1), evt(4, 10, 2))
+    val b2 = Seq(evt(5, 20, 1))
+    def drain(events: Seq[Evt]): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      val acts = ms.toDF().select(col("user_id"),
+        to_date(EventStreams.eventTime(ms.toDF())).as("d"))
+      EventStreams.sinkUpsertToTable(acts, "cohort_acts_t", Seq("user_id", "d"),
+        java.nio.file.Files.createTempDirectory("graft_ckpt_coh").toString)
+    }
+    drain(b1)
+    drain(b2)
+    val got = rows(EventStreams.cohortRetention(
+      spark.table("cohort_acts_t"), "user_id", "d"))
+    val want = rows(EventStreams.cohortRetention((b1 ++ b2).toDF()))
+    assert(got == want, "stored-activity closer must equal the all-events batch face")
+    // and the late row really moved the cohort: both users now cohort day 0
+    val day0 = EventStreams.cohortRetention(spark.table("cohort_acts_t"), "user_id", "d")
+      .where(col("period") === 0).collect()
+    assert(day0.length == 1 && day0(0).getLong(3) == 2L,
+      s"late data must merge both users into the day-0 cohort, got ${day0.toSeq}")
+  }
+
   test("ScaleLint: a spine-join-on-grouping-key build proves bounded (no NLJ error)") {
     // Range spine LEFT JOIN an aggregate grouped by the join key: output
     // is ≤ spine rows by construction, so crossing it onto a corpus is a
