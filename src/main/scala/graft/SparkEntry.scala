@@ -968,6 +968,22 @@ object SparkEntry {
           .decodeMedia("media")
           .dropColumns(includeCols = Seq("doc_id", "n_frames"))
           .frameSample(2).df),
+      // binary→binary resize through the pluggable boundary: the fake's
+      // output length is a pure function of (payload length, target), so
+      // the stamped metadata is oracle-replayable
+      "q_multimodal_resize" -> ((s, d) =>
+        t(s, d, "documents").withMediaColumn("text")
+          .resizeMedia("media", 64, 64)
+          .dropColumns(includeCols = Seq("doc_id", "width", "height", "byte_len")).df),
+      // binary→embedding through the pluggable encoder boundary: fake
+      // features are k/1024 (exact in float32), exploded per convention
+      "q_multimodal_features" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        t(s, d, "documents").withMediaColumn("text")
+          .extractFeatures("media", 4).df
+          .select(col("doc_id"), posexplode(col("features")).as(Seq("pos", "f")))
+          .select(col("doc_id"), col("pos"), col("f").cast("double").as("fval"))
+      }),
       // the REAL pure-JVM header codec end-to-end: tiny VALID PNG/JPEG/GIF/
       // BMP payloads synthesized as literal fixtures (no media libraries in
       // the environment), decoded by ImageHeaderDecoder; the oracle pins the
@@ -2450,6 +2466,13 @@ object SparkEntry {
         s"SELECT *, CAST($blen AS INTEGER) AS byte_len, CAST(64 + ($blen % 576) AS INTEGER) AS width, CAST(64 + (($blen * 7) % 416) AS INTEGER) AS height, CASE WHEN (ascii(substr(text, 1, 1)) % 2) = 0 THEN 'png' ELSE 'jpeg' END AS format, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents",
       "q_multimodal_frames" ->
         s"SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS f FROM (SELECT doc_id, CAST(1 + ($blen % 8) AS INTEGER) AS n_frames FROM documents))",
+      "q_multimodal_resize" ->
+        (s"SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, " +
+          s"CAST(((COALESCE($blen, 0) + 4096) % 977) + 16 AS INTEGER) AS byte_len FROM documents"),
+      "q_multimodal_features" ->
+        (s"SELECT doc_id, CAST(i AS INTEGER) AS pos, " +
+          s"CAST((COALESCE($blen, 0) * (i + 1) % 100003) * 2654435761 % 1024 AS DOUBLE) / 1024 AS fval " +
+          "FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i) u"),
       // literal expectations per fixture byte layout (PNG 64x48, JPEG SOF0
       // 64x48, GIF 320x200 with 2 image descriptors, BMP 10x20, unknown blob)
       "q_multimodal_real" ->

@@ -214,3 +214,61 @@ object AudioHeaderDecoder extends AudioDecoder {
 
   private def unknown: AudioMeta = AudioMeta(0, 0, 0, 0L, "unknown")
 }
+
+/** Pluggable resize boundary for [[MultimodalOps.resizeMedia]] — binary in,
+  * binary out, same shipping rules as [[MediaDecoder]]. A production
+  * implementation wraps a real codec (JNI/imageio) and re-encodes at the
+  * target dimensions; [[FakeResizer]] is the deterministic stand-in that
+  * keeps the Spark-side contract — binary transport both ways, partition
+  * iteration, metadata stamping — exercised and oracle-checked in an
+  * environment with no media libraries.
+  */
+trait MediaResizer extends Serializable {
+  def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
+}
+
+/** Deterministic stand-in resize: output length is the pure function
+  * ((len + width·height) % 977) + 16 (977 prime keeps lengths
+  * input-varying), content a reproducible byte ramp seeded by the inputs
+  * — same payload and target always yield identical bytes, so resized
+  * columns dedup/fingerprint deterministically downstream.
+  */
+object FakeResizer extends MediaResizer {
+  override def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val outLen = ((bytes.length + width * height) % 977) + 16
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = ((bytes.length * 31 + width * 7 + height * 3 + i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Pluggable embedding boundary for [[MultimodalOps.extractFeatures]] —
+  * binary payload to a fixed-dim float vector (the image/audio encoder
+  * step of a multimodal curation pipeline; the output column feeds the
+  * ANN / semantic-dedup family directly). Production plugs an ONNX/JNI
+  * encoder here, batching inside the partition iterator;
+  * [[FakeFeatureExtractor]] is the deterministic stand-in.
+  */
+trait FeatureExtractor extends Serializable {
+  def extract(bytes: Array[Byte], dim: Int): Array[Float]
+}
+
+/** Deterministic stand-in features: f_i = ((((len · (i+1)) mod 100003) ·
+  * 2654435761) mod 1024) / 1024 — exactly representable in float32
+  * (k/1024, k < 1024), so the vector is bit-stable across engines and
+  * replayable in the oracle from the payload's byte length alone. The
+  * inner mod (100003 prime) bounds the product at ~2.7e14, so the Long
+  * arithmetic can never overflow (a silent JVM wraparound would diverge
+  * from an ANSI engine's overflow error).
+  */
+object FakeFeatureExtractor extends FeatureExtractor {
+  override def extract(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val len = bytes.length.toLong
+    Array.tabulate(dim)(i =>
+      ((len * (i + 1) % 100003L) * 2654435761L % 1024L) / 1024.0f)
+  }
+}

@@ -103,4 +103,66 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
     c.next("frame_sample", df2, None)
   }
+
+  /** resize_media(media, w, h, resizer): partition-batched re-encode of
+    * the binary column at target dimensions through a pluggable
+    * [[MediaResizer]] — binary in, binary out (the payload REPLACES the
+    * original in-place), plus stamped `width`/`height`/`byte_len`
+    * metadata for the new payload. Null/corrupt payloads resize from
+    * empty bytes (the decoder contract: never kill the scan). Same
+    * mapPartitions shape as [[decodeMedia]]: the resizer ships in the
+    * closure once per task, rows stream through with no driver
+    * involvement — at 100 TB this is the embarrassingly-parallel step.
+    */
+  def resizeMedia(mediaCol: String, width: Int, height: Int,
+                  resizer: MediaResizer = FakeResizer): Chain = {
+    require(width > 0 && height > 0,
+      s"resize_media needs positive dimensions, got ${width}x$height")
+    val inSchema = c.df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("byte_len", IntegerType, nullable = false)))
+    val idx = inSchema.fieldIndex(mediaCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val df2 = c.df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out = resizer.resize(
+          if (bytes == null) Array.emptyByteArray else bytes, width, height)
+        Row.fromSeq(row.toSeq.updated(idx, out) ++ Seq(width, height, out.length))
+      }
+    }(enc)
+    c.next("resize_media", df2, None)
+  }
+
+  /** extract_features(media, dim, extractor): partition-batched embedding
+    * of the binary column — the encoder step of a multimodal curation
+    * pipeline, producing an `array<float>` column (`features`) that feeds
+    * the ANN / semantic-dedup family directly (annBruteForce,
+    * dedupEmbeddingNear, clusterEmbeddings). Pluggable
+    * [[FeatureExtractor]]: production wraps an ONNX/JNI encoder and
+    * batches inside the partition iterator; the deterministic fake keeps
+    * the schema/transport contract oracle-checked. Null payloads embed
+    * from empty bytes — a present, well-formed vector, never a null that
+    * would poison downstream distance kernels.
+    */
+  def extractFeatures(mediaCol: String, dim: Int,
+                      extractor: FeatureExtractor = FakeFeatureExtractor): Chain = {
+    require(dim > 0, s"extract_features needs dim > 0, got $dim")
+    val inSchema = c.df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val idx = inSchema.fieldIndex(mediaCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val df2 = c.df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val f = extractor.extract(
+          if (bytes == null) Array.emptyByteArray else bytes, dim)
+        Row.fromSeq(row.toSeq :+ f.toSeq)
+      }
+    }(enc)
+    c.next("extract_features", df2, None)
+  }
 }

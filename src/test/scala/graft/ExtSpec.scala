@@ -287,6 +287,50 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 4, 2L -> 2))
   }
 
+  test("resizeMedia: binary in/out, deterministic bytes, stamped metadata, null payload") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Chain(spark, "rz", docs).withMediaColumn("text")
+      .resizeMedia("media", 64, 64).df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Array[Byte]]("media"), r.getAs[Int]("width"), r.getAs[Int]("byte_len")))
+      .toMap
+    // fake output length = ((len + w*h) % 977) + 16 — input-varying
+    assert(out(1L)._3 == ((4 + 4096) % 977) + 16 && out(1L)._2 == 64)
+    assert(out(2L)._3 == ((2 + 4096) % 977) + 16)
+    assert(out(1L)._1.length == out(1L)._3, "payload replaced in place, new length")
+    // determinism: same payload + target -> identical bytes
+    val again = Chain(spark, "rz2", docs).withMediaColumn("text")
+      .resizeMedia("media", 64, 64).df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media")).toMap
+    assert(out(1L)._1.sameElements(again(1L)))
+    // null payload resizes from empty bytes, never throws
+    val withNull = spark.sql("SELECT CAST(3 AS BIGINT) AS doc_id, CAST(NULL AS BINARY) AS media")
+    val nr = Chain(spark, "rz3", withNull).resizeMedia("media", 8, 8).df.collect()(0)
+    assert(nr.getAs[Int]("byte_len") == ((0 + 64) % 977) + 16)
+  }
+
+  test("extractFeatures: exact k/1024 floats; composes with cosine top-k") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd"), (2L, "abcd"), (3L, "different-length")).toDF("doc_id", "text")
+    val f = Chain(spark, "fx", docs).withMediaColumn("text")
+      .extractFeatures("media", 4)
+    val rows0 = f.df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    def want(len: Long, i: Int) =
+      ((len * (i + 1) % 100003L) * 2654435761L % 1024L) / 1024.0f
+    assert(rows0(1L) == (0 until 4).map(want(4L, _)))
+    assert(rows0(1L) == rows0(2L), "same payload -> identical vector")
+    assert(rows0(3L) != rows0(1L), "length-varying")
+    // the features column feeds the ANN family directly
+    val emb = f.df.selectExpr("doc_id AS vec_id",
+      "transform(features, x -> cast(x AS float)) AS embedding")
+    val topk = graft.core.Chain(spark, "fxe", emb)
+      .cosineTopK(emb.where("vec_id = 1"), "vec_id", "embedding", 1).df.collect()
+    assert(topk.length == 1 && topk(0).getLong(1) == 2L,
+      s"doc 2 (identical vector) must be doc 1's nearest neighbor, got ${topk.toSeq}")
+  }
+
   test("ImageHeaderDecoder parses real PNG/JPEG/GIF/BMP headers through the pipeline") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
