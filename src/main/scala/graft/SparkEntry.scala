@@ -975,6 +975,24 @@ object SparkEntry {
         t(s, d, "documents").withMediaColumn("text")
           .resizeMedia("media", 64, 64)
           .dropColumns(includeCols = Seq("doc_id", "width", "height", "byte_len")).df),
+      // the composed multimodal curation pipeline (the q_llm_pipeline
+      // analogue for media): ingest -> decode -> gate on decoded
+      // dimensions -> resize -> embed -> per-format census with the
+      // distinct-vector count (identical payload lengths embed
+      // identically under the fake, so n_vecs replays from the length
+      // arithmetic)
+      "q_media_pipeline" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+        t(s, d, "documents")
+          .withMediaColumn("text")
+          .decodeMedia("media")
+          .filterRows(Seq("width >= 300"))
+          .resizeMedia("media", 64, 64)
+          .extractFeatures("media", 4).df
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("features")).as("n_vecs"))
+      }),
       // binary→embedding through the pluggable encoder boundary: fake
       // features are k/1024 (exact in float32), exploded per convention
       "q_multimodal_features" -> ((s, d) => {
@@ -2469,6 +2487,11 @@ object SparkEntry {
       "q_multimodal_resize" ->
         (s"SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, " +
           s"CAST(((COALESCE($blen, 0) + 4096) % 977) + 16 AS INTEGER) AS byte_len FROM documents"),
+      "q_media_pipeline" ->
+        (s"WITH m AS (SELECT doc_id, $blen AS len, 64 + ($blen % 576) AS width, " +
+          "CASE WHEN (ascii(substr(text, 1, 1)) % 2) = 0 THEN 'png' ELSE 'jpeg' END AS format FROM documents), " +
+          "f AS (SELECT format, ((len + 4096) % 977) + 16 AS rlen FROM m WHERE width >= 300) " +
+          "SELECT format, COUNT(*) AS n_docs, COUNT(DISTINCT rlen) AS n_vecs FROM f GROUP BY format"),
       "q_multimodal_features" ->
         (s"SELECT doc_id, CAST(i AS INTEGER) AS pos, " +
           s"CAST((COALESCE($blen, 0) * (i + 1) % 100003) * 2654435761 % 1024 AS DOUBLE) / 1024 AS fval " +

@@ -118,14 +118,18 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
                   resizer: MediaResizer = FakeResizer): Chain = {
     require(width > 0 && height > 0,
       s"resize_media needs positive dimensions, got ${width}x$height")
-    val inSchema = c.df.schema
+    // re-STAMPS metadata: any prior width/height/byte_len (e.g. from a
+    // preceding decodeMedia) is replaced, not duplicated — decode →
+    // filter → resize chains keep one authoritative set of dimensions
+    val base = c.df.drop("width", "height", "byte_len")
+    val inSchema = base.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("byte_len", IntegerType, nullable = false)))
     val idx = inSchema.fieldIndex(mediaCol)
     val enc = RowEncoder.encoderFor(outSchema)
-    val df2 = c.df.mapPartitions { it =>
+    val df2 = base.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
         val out = resizer.resize(
@@ -150,12 +154,13 @@ final class MultimodalOps(private val c: Chain) extends AnyVal {
   def extractFeatures(mediaCol: String, dim: Int,
                       extractor: FeatureExtractor = FakeFeatureExtractor): Chain = {
     require(dim > 0, s"extract_features needs dim > 0, got $dim")
-    val inSchema = c.df.schema
+    val base = c.df.drop("features") // re-embed replaces a prior vector
+    val inSchema = base.schema
     val outSchema = StructType(inSchema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val idx = inSchema.fieldIndex(mediaCol)
     val enc = RowEncoder.encoderFor(outSchema)
-    val df2 = c.df.mapPartitions { it =>
+    val df2 = base.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
         val f = extractor.extract(
