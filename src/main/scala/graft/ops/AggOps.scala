@@ -1329,29 +1329,31 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * input where pe = 1 (both raters constant on one class) surfaces a
     * null kappa — the 0/0 an ANSI runtime would otherwise abort on.
     *
-    * Scale: three map-side-combined aggregates over the valid rows (two
-    * marginals + the diagonal), joined on the bounded class frame; totals
-    * ride one-row broadcast aggregates. Nothing corpus-sized past the
-    * first exchanges, nothing driver-side.
+    * Scale: ONE pass over the valid rows — each row melts to its two
+    * rater labels (2 rows out per row in) and the class frame closes
+    * with conditional counts in a single map-side-combined aggregate;
+    * the total and the overall stats derive from the BOUNDED class frame
+    * (n = Σ n_a by construction). Nothing corpus-sized past the one
+    * exchange, nothing driver-side.
     */
   def agreementProfile(colA: String, colB: String): Chain = {
     require(colA != colB, "agreement_profile needs two distinct columns")
     val both = col(colA).isNotNull && col(colB).isNotNull
     val va = col(colA).cast("string")
     val vb = col(colB).cast("string")
-    val valid = c.df.where(both)
-    val aC = valid.groupBy(va.as("label")).agg(count(lit(1)).as("n_a"))
-    val bC = valid.groupBy(vb.as("label")).agg(count(lit(1)).as("n_b"))
-    val agC = valid.where(va === vb).groupBy(va.as("label"))
-      .agg(count(lit(1)).as("n_agree"))
-    val tot = valid.agg(count(lit(1)).as("n"))
-    val classes = aC.join(bC, Seq("label"), "full_outer")
-      .join(agC, Seq("label"), "left")
-      .select(col("label"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
-      .crossJoin(broadcast(tot))
+    // melt each valid row to (label, side) pairs: side 0 = rater A's
+    // label, side 1 = rater B's; agreement rides side 0 as a flag so the
+    // diagonal needs no third pass
+    val melted = c.df.where(both).select(explode(array(
+      struct(va.as("_l"), lit(0).as("_s"), (va === vb).cast("long").as("_agr")),
+      struct(vb.as("_l"), lit(1).as("_s"), lit(0L).as("_agr")))).as("_m"))
+      .select(col("_m._l").as("label"), col("_m._s").as("_s"), col("_m._agr").as("_agr"))
+    val classFrame = melted.groupBy("label").agg(
+      sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(col("_agr")).as("n_agree"))
+    val tot = classFrame.agg(sum(col("n_a")).as("n"))
+    val classes = classFrame.crossJoin(broadcast(tot))
     val nD = col("n").cast("double")
     val peTerm = floor((col("n_a").cast("double") / nD) *
       (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
