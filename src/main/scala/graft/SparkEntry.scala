@@ -1070,6 +1070,13 @@ object SparkEntry {
       "q_funnel" -> ((s, d) =>
         EventStreams.funnelProfile(readEvents(s, d), "event_type",
           Seq("signup", "click", "purchase"))),
+      // per-hour distinct users per type: one mergeable HLL sketch per
+      // cell; ≤ ~60 distinct users per (hour, type) at sf0.1 keeps every
+      // sketch in the coupon (exact) regime, so the estimate IS the
+      // exact distinct count and the oracle replays COUNT(DISTINCT)
+      "q_distinct_window" -> ((s, d) =>
+        EventStreams.distinctByWindow(readEvents(s, d), "user_id",
+          "1 hour", Seq("event_type"))),
       // per-hour top-5 users by event count: one mergeable frequent-items
       // sketch per window; <= 166 distinct users/hour at sf0.1 keeps the
       // sketch (capacity 2048) exact, so counts replay in the oracle
@@ -2588,6 +2595,10 @@ object SparkEntry {
           "CASE bucket WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS cut_hi, " +
           "cnt_base, cnt_other, psi_term, psi_total FROM y JOIN z USING (window_start) CROSS JOIN cu"
       },
+      "q_distinct_window" ->
+        (s"SELECT date_trunc('hour', $evT) AS window_start, event_type, " +
+          "COUNT(DISTINCT user_id) AS n_distinct, COUNT(user_id) AS n " +
+          "FROM events GROUP BY 1, 2"),
       "q_heavy_hitters_window" -> {
         // exact-regime frequent-items readout = the literal per-window
         // count census, ranked (cnt DESC, item ASC), top 5

@@ -1087,6 +1087,35 @@ object EventStreams {
         col("_h.est").as("cnt"), (col("_i") + 1).as("rank"))): _*)
   }
 
+  /** distinct_by_window(events, value_col, width, keys): per-tumbling-
+    * window distinct count — "how many unique users/pages each hour",
+    * completing the windowed census family (counts/sums = [[tumblingAgg]],
+    * percentiles = [[quantilesByWindow]], heavy hitters =
+    * [[heavyHittersByWindow]], shape drift = [[driftByWindow]]). One
+    * mergeable HLL sketch per (window, keys) cell via Spark's native
+    * `hll_sketch_agg` (nulls skipped; `n` counts the non-null values).
+    * Inside the DataSketches coupon (exact) regime — distinct values per
+    * cell below the sparse-mode promotion bound, several hundred at
+    * lgConfigK = 12 — the estimate IS the exact distinct count and the
+    * oracle replays COUNT(DISTINCT); beyond it, the published ~1.6%/√2^lgK
+    * error bounds apply (gate with tolerances, never hashes). Batch face
+    * of [[sinkDistinctSketchToTable]]: the same sketches, stored and
+    * merged incrementally, answer the same readout.
+    *
+    * Scale: ONE map-side-combined sketch aggregate — bounded state per
+    * cell, no distinct-shuffle of raw values, no window function.
+    */
+  def distinctByWindow(events: DataFrame, valueCol: String, width: String,
+                       keys: Seq[String] = Nil, lgConfigK: Int = 12): DataFrame = {
+    events
+      .withColumn("_ts", eventTime(events))
+      .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+        .as("window_start") +: keys.map(col)): _*)
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(valueCol), lit(lgConfigK))).as("n_distinct"),
+        count(col(valueCol)).as("n"))
+  }
+
   /** funnel_profile(events, step_col, steps, user_col): ordered-step
     * conversion census — how many users completed steps 1..k IN ORDER,
     * for every prefix of `steps` (the signup→activate→convert readout).

@@ -133,6 +133,22 @@ class Round11Batch3Spec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("kll_profile_empty_t"))
   }
 
+  test("distinct_by_window: exact in the coupon regime, null-skipping, scale safe") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val got = rows(EventStreams.distinctByWindow(ev, "user_id", "1 hour",
+      Seq("event_type")))
+    val want = rows(ev
+      .withColumn("window_start",
+        window(EventStreams.eventTime(ev), "1 hour").getField("start")
+          .cast("timestamp_ntz"))
+      .groupBy("window_start", "event_type")
+      .agg(countDistinct(col("user_id")).as("n_distinct"),
+        count(col("user_id")).as("n")))
+    assert(got == want, "coupon-regime HLL estimate must equal exact COUNT(DISTINCT)")
+    graft.core.ScaleLint.assertSafe(
+      EventStreams.distinctByWindow(ev, "user_id", "1 hour", Seq("event_type")))
+  }
+
   test("quantiles_by_window scale shape: no global window, bounded builds") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val out = EventStreams.quantilesByWindow(ev, "value", "1 hour",
