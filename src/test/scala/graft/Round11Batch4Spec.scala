@@ -127,6 +127,38 @@ class Round11Batch4Spec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("funnel_profile fuzz: matches a brute-force per-user greedy scan") {
+    // seeded random event soup; the reference implementation literally
+    // sorts each user's events and walks the greedy chain — the window
+    // formulation must agree on every count
+    val rnd = new scala.util.Random(1234)
+    val steps = Seq("A", "B", "C")
+    val all = Seq("A", "B", "C", "X", "Y")
+    val evs = (1 to 400).map { i =>
+      evt(i.toLong, rnd.nextInt(500).toLong, rnd.nextInt(40).toLong,
+        all(rnd.nextInt(all.length)))
+    }
+    // brute force: per user, sorted by (ts, then the insertion order Spark
+    // can't see — make ts collisions impossible by construction instead)
+    val dedupTs = evs.groupBy(e => (e.user_id, e.ts)).map(_._2.head).toSeq
+    val byUser = dedupTs.groupBy(_.user_id).view.mapValues(_.sortBy(_.ts))
+    val reached = Array.fill(steps.length)(0L)
+    byUser.foreach { case (_, es) =>
+      var k = 0
+      var last = Long.MinValue
+      es.foreach { e =>
+        if (k < steps.length && e.event_type == steps(k) &&
+          (k == 0 || e.ts > last)) { last = e.ts; k += 1; reached(k - 1) += 1 }
+      }
+    }
+    val got = EventStreams.funnelProfile(dedupTs.toDF(), "event_type", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    steps.indices.foreach { i =>
+      assert(got(i + 1) == reached(i),
+        s"step ${i + 1}: window chain ${got(i + 1)} vs brute force ${reached(i)}")
+    }
+  }
+
   test("funnel + cohort scale shape: bounded builds, no global window") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     graft.core.ScaleLint.assertSafe(
