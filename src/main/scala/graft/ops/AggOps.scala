@@ -1336,56 +1336,76 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * (n = Σ n_a by construction). Nothing corpus-sized past the one
     * exchange, nothing driver-side.
     */
-  def agreementProfile(colA: String, colB: String): Chain = {
+  def agreementProfile(colA: String, colB: String,
+                       groupBy: Seq[String] = Nil): Chain = {
     require(colA != colB, "agreement_profile needs two distinct columns")
     val both = col(colA).isNotNull && col(colB).isNotNull
     val va = col(colA).cast("string")
     val vb = col(colB).cast("string")
+    val g = groupBy.map(col)
     // melt each valid row to (label, side) pairs: side 0 = rater A's
     // label, side 1 = rater B's; agreement rides side 0 as a flag so the
     // diagonal needs no third pass
-    val melted = c.df.where(both).select(explode(array(
+    val melted = c.df.where(both).select((g :+ explode(array(
       struct(va.as("_l"), lit(0).as("_s"), (va === vb).cast("long").as("_agr")),
-      struct(vb.as("_l"), lit(1).as("_s"), lit(0L).as("_agr")))).as("_m"))
-      .select(col("_m._l").as("label"), col("_m._s").as("_s"), col("_m._agr").as("_agr"))
-    val classFrame = melted.groupBy("label").agg(
+      struct(vb.as("_l"), lit(1).as("_s"), lit(0L).as("_agr")))).as("_m")): _*)
+      .select((g ++ Seq(col("_m._l").as("label"), col("_m._s").as("_s"),
+        col("_m._agr").as("_agr"))): _*)
+    val classFrame = melted.groupBy((g :+ col("label")): _*).agg(
       sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(col("_agr")).as("n_agree"))
-    val tot = classFrame.agg(sum(col("n_a")).as("n"))
-    val classes = classFrame.crossJoin(broadcast(tot))
+    val tot =
+      if (groupBy.isEmpty) classFrame.agg(sum(col("n_a")).as("n"))
+      else classFrame.groupBy(g: _*).agg(sum(col("n_a")).as("n"))
+    val classes =
+      if (groupBy.isEmpty) classFrame.crossJoin(broadcast(tot))
+      else classFrame.join(tot, groupBy)
     val nD = col("n").cast("double")
     val peTerm = floor((col("n_a").cast("double") / nD) *
       (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
     // overall stats close over the BOUNDED class frame: exact integer
     // sums, one double division each — deterministic at any partitioning
-    val stats = classes.agg(
+    val statAggs = Seq(
       sum(col("n_agree")).as("_agree"),
       (sum(peTerm.cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("_pe"))
+    val stats =
+      if (groupBy.isEmpty) classes.agg(statAggs.head, statAggs.tail: _*)
+      else classes.groupBy(g: _*).agg(statAggs.head, statAggs.tail: _*)
+    val withStats =
+      if (groupBy.isEmpty) classes.crossJoin(broadcast(stats))
+      else classes.join(stats, groupBy)
     val po = col("_agree").cast("double") / nD
     val kappa = when(lit(1.0) - col("_pe") === lit(0.0), lit(null).cast("double"))
       .otherwise((po - col("_pe")) / (lit(1.0) - col("_pe")))
-    val df2 = classes.crossJoin(broadcast(stats))
-      .select(col("label"), col("n_a"), col("n_b"), col("n_agree"),
-        po.as("po"), col("_pe").as("pe"), kappa.as("kappa"), col("n"))
+    val df2 = withStats
+      .select((g ++ Seq(col("label"), col("n_a"), col("n_b"), col("n_agree"),
+        po.as("po"), col("_pe").as("pe"), kappa.as("kappa"), col("n"))): _*)
     val bothS = s"${Naming.quoteId(colA)} IS NOT NULL AND ${Naming.quoteId(colB)} IS NOT NULL"
     val vaS = s"CAST(${Naming.quoteId(colA)} AS STRING)"
     val vbS = s"CAST(${Naming.quoteId(colB)} AS STRING)"
-    val clS = "SELECT label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
+    val usingCl = (groupBy :+ "label").mkString(", ")
+    val clS = s"SELECT ${gSel}label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
       "COALESCE(n_agree, 0) AS n_agree FROM " +
-      s"(SELECT $vaS AS label, COUNT(*) AS n_a FROM {{source}} WHERE $bothS GROUP BY 1) " +
-      s"FULL JOIN (SELECT $vbS AS label, COUNT(*) AS n_b FROM {{source}} WHERE $bothS GROUP BY 1) USING (label) " +
-      s"LEFT JOIN (SELECT $vaS AS label, COUNT(*) AS n_agree FROM {{source}} WHERE $bothS AND $vaS = $vbS GROUP BY 1) USING (label)"
-    val totS = s"SELECT COUNT(*) AS n FROM {{source}} WHERE $bothS"
+      s"(SELECT $gSel$vaS AS label, COUNT(*) AS n_a FROM {{source}} WHERE $bothS GROUP BY label$gBy) " +
+      s"FULL JOIN (SELECT $gSel$vbS AS label, COUNT(*) AS n_b FROM {{source}} WHERE $bothS GROUP BY label$gBy) USING ($usingCl) " +
+      s"LEFT JOIN (SELECT $gSel$vaS AS label, COUNT(*) AS n_agree FROM {{source}} WHERE $bothS AND $vaS = $vbS GROUP BY label$gBy) USING ($usingCl)"
+    val totS = s"SELECT ${gSel}COUNT(*) AS n FROM {{source}} WHERE $bothS" +
+      (if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}")
     val peTermS = "CAST(FLOOR((CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
       "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)"
-    val stS = s"SELECT SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
-      s"1000000000000 AS _pe FROM ($clS) CROSS JOIN ($totS)"
+    val totJoin = if (groupBy.isEmpty) "CROSS JOIN" else "JOIN"
+    val totUsing = if (groupBy.isEmpty) "" else s" USING (${groupBy.mkString(", ")})"
+    val stS = s"SELECT ${gSel}SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
+      s"1000000000000 AS _pe FROM ($clS) $totJoin ($totS)$totUsing" +
+      (if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}")
     val poS = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
     c.next("agreement_profile", df2, Some(
-      s"SELECT label, n_a, n_b, n_agree, $poS AS po, _pe AS pe, " +
+      s"SELECT ${gSel}label, n_a, n_b, n_agree, $poS AS po, _pe AS pe, " +
         s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($poS - _pe) / (1.0 - _pe) END AS kappa, n " +
-        s"FROM ($clS) CROSS JOIN ($totS) CROSS JOIN ($stS)"))
+        s"FROM ($clS) $totJoin ($totS)$totUsing $totJoin ($stS)$totUsing"))
   }
 
   /** skew_profile(keys, top_k): the hot-key census — the top_k heaviest

@@ -58,6 +58,47 @@ class Round11Batch4Spec extends AnyFunSuite {
     assert(out(0).isNullAt(6), "degenerate pe = 1 must surface null kappa")
   }
 
+  test("agreement_profile grouped: per-segment kappa, degenerate group reads null") {
+    // segment g1: perfect agreement on two classes -> kappa 1; segment
+    // g2: both raters constant -> pe = 1 -> null kappa
+    val df = Seq(
+      ("g1", "x", "x"), ("g1", "x", "x"), ("g1", "y", "y"),
+      ("g2", "z", "z"), ("g2", "z", "z")).toDF("g", "a", "b")
+    val out = Chain(spark, "agreeg", df).agreementProfile("a", "b", groupBy = Seq("g"))
+    val got = out.df.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("g1", "x"), ("g1", "y"), ("g2", "z")))
+    assert(got(("g1", "x")).getDouble(7) == 1.0, "perfect two-class agreement: kappa 1")
+    assert(got(("g1", "x")).getLong(8) == 3L, "per-group n")
+    assert(got(("g2", "z")).isNullAt(7), "constant raters: pe = 1 -> null kappa")
+    df.createOrReplaceTempView("agreeg")
+    assert(rows(spark.sql(out.sql())) == rows(out.df), "grouped SQL face diverged")
+    out.assertScaleSafe()
+  }
+
+  test("cohort_retention fuzz: matches a brute-force per-user reference") {
+    val rnd = new scala.util.Random(77)
+    val day = 24 * 60L
+    val evs = (1 to 300).map { i =>
+      evt(i.toLong, rnd.nextInt(20) * day + rnd.nextInt(1440).toLong,
+        rnd.nextInt(25).toLong, "e")
+    }
+    // brute force from (user, day) pairs
+    val days = evs.map(e => (e.user_id, (e.ts / 1000000000L - 1704067200L) / 86400L)).distinct
+    val cohorts = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = days.groupBy { case (u, d) => (cohorts(u), (d - cohorts(u)).toInt) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = EventStreams.cohortRetention(evs.toDF()).collect()
+      .map { r =>
+        val cohortDay = r.getDate(0).toLocalDate.toEpochDay - 19723L // 2024-01-01
+        ((cohortDay, r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      }.toMap
+    assert(got.size == cells.size, s"${got.size} cells vs brute ${cells.size}")
+    cells.foreach { case (k, n) =>
+      val base0 = cells((k._1, 0))
+      assert(got(k) == ((n, base0, n.toDouble / base0)), s"cell $k")
+    }
+  }
+
   test("agreement_profile: empty/all-null input yields an empty frame") {
     val df = Seq((null: String, null: String)).toDF("a", "b")
     assert(Chain(spark, "agree2", df).agreementProfile("a", "b").df.isEmpty)
