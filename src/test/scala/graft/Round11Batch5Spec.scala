@@ -51,6 +51,18 @@ class Round11Batch5Spec extends AnyFunSuite {
     assert(got == Seq((3, 6.0), (1, 4.0)), s"got $got")
   }
 
+  test("join_cardinality_profile fuzz: est_rows equals the literal inner-join size") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.fill(300)(rnd.nextInt(40)).toDF("k")
+    val r = Seq.fill(200)(rnd.nextInt(60)).toDF("k")
+    val prof = Chain(spark, "fl", l)
+      .joinCardinalityProfile(Chain(spark, "fr", r), Seq("k" -> "k"), topK = 1)
+      .df.collect()
+    val actual = l.join(r.withColumnRenamed("k", "k2"), col("k") === col("k2")).count()
+    assert(prof.length == 1 && prof(0).getDouble(11) == actual.toDouble,
+      s"est_rows ${prof.headOption.map(_.getDouble(11))} vs actual join $actual")
+  }
+
   test("join_cardinality_profile: disjoint keys yield an empty frame") {
     val l = Seq(1, 2).toDF("k")
     val r = Seq(3, 4).toDF("k")
