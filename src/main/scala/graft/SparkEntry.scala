@@ -1070,6 +1070,11 @@ object SparkEntry {
       "q_funnel" -> ((s, d) =>
         EventStreams.funnelProfile(readEvents(s, d), "event_type",
           Seq("signup", "click", "purchase"))),
+      // the time-bounded funnel: conversions only count within 1 day of
+      // entering (the "converted within T" product-analytics semantics)
+      "q_funnel_within" -> ((s, d) =>
+        EventStreams.funnelProfile(readEvents(s, d), "event_type",
+          Seq("signup", "click", "purchase"), within = Some("1 DAY"))),
       // per-hour distinct users per type: one mergeable HLL sketch per
       // cell; ≤ ~60 distinct users per (hour, type) at sf0.1 keeps every
       // sketch in the coupon (exact) regime, so the estimate IS the
@@ -2608,6 +2613,22 @@ object SparkEntry {
           "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
           "ORDER BY cnt DESC, item ASC) AS rank FROM c) " +
           "SELECT window_start, item, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"
+      },
+      "q_funnel_within" -> {
+        // the deadline variant: each later step must also land within
+        // 1 day of the user's step-1 time (t1 carried through the chain)
+        val n1 = "(SELECT COUNT(*) FROM s1)"
+        def row(i: Int, st: String) =
+          s"SELECT $i AS step, '$st' AS step_value, (SELECT COUNT(*) FROM s$i) AS n_users"
+        s"WITH e AS (SELECT user_id, $evT AS t, event_type FROM events), " +
+          "s1 AS (SELECT user_id, MIN(t) AS tp, MIN(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, MIN(t) AS tp, MIN(s1.t1) AS t1 FROM e JOIN s1 USING (user_id) " +
+          "WHERE event_type = 'click' AND t > s1.tp AND t <= s1.t1 + INTERVAL 1 DAY GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN s2 USING (user_id) " +
+          "WHERE event_type = 'purchase' AND t > s2.tp AND t <= s2.t1 + INTERVAL 1 DAY GROUP BY 1) " +
+          s"SELECT step, step_value, n_users, CASE WHEN $n1 = 0 THEN NULL ELSE " +
+          s"CAST(n_users AS DOUBLE) / CAST($n1 AS DOUBLE) END AS conv_rate FROM (" +
+          Seq(row(1, "signup"), row(2, "click"), row(3, "purchase")).mkString(" UNION ALL ") + ")"
       },
       "q_funnel" -> {
         // the sequential greedy chain replayed: t_k = earliest step-k

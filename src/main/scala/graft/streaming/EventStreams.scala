@@ -1138,10 +1138,16 @@ object EventStreams {
     * code, not data.
     */
   def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
-                    userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel_profile needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel_profile steps repeat: $steps")
     val userW = org.apache.spark.sql.expressions.Window.partitionBy("_u")
+    // optional conversion window: step k only counts if it lands within
+    // `within` of the user's step-1 time ("converted within 7 days") —
+    // the deadline is a per-user constant (t1 + interval), so it rides
+    // the same chained window mins unchanged
+    val deadline = within.map(w => expr(s"_t0 + INTERVAL $w"))
     var chained = events
       .where(col(stepCol).isInCollection(steps))
       .select(col(userCol).as("_u"), col(stepCol).as("_s"),
@@ -1149,7 +1155,10 @@ object EventStreams {
     for ((st, i) <- steps.zipWithIndex) {
       val hit =
         if (i == 0) when(col("_s") === steps.head, col("_ts"))
-        else when(col("_s") === st && col("_ts") > col(s"_t${i - 1}"), col("_ts"))
+        else {
+          val inChain = col("_s") === st && col("_ts") > col(s"_t${i - 1}")
+          when(deadline.fold(inChain)(dl => inChain && col("_ts") <= dl), col("_ts"))
+        }
       chained = chained.withColumn(s"_t$i", min(hit).over(userW))
     }
     val perUser = chained

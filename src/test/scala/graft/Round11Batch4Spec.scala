@@ -136,6 +136,25 @@ class Round11Batch4Spec extends AnyFunSuite {
     assert(got(1) == 1L && got(2) == 0L)
   }
 
+  test("funnel_profile within: conversions past the deadline don't count") {
+    val day = 24 * 60L
+    // user 1: B 10 min after A (in window), C 2 days after A (PAST it)
+    // user 2: B 2 days after A (past) -> step 1 only
+    // user 3: full chain inside the day
+    val df = Seq(
+      evt(1, 0, 1, "A"), evt(2, 10, 1, "B"), evt(3, 2 * day, 1, "C"),
+      evt(4, 0, 2, "A"), evt(5, 2 * day, 2, "B"),
+      evt(6, 0, 3, "A"), evt(7, 5, 3, "B"), evt(8, 10, 3, "C")).toDF()
+    val got = EventStreams.funnelProfile(df, "event_type", Seq("A", "B", "C"),
+      within = Some("1 DAY"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), s"got $got")
+    // unbounded face on the same data reaches further
+    val unbounded = EventStreams.funnelProfile(df, "event_type", Seq("A", "B", "C"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(unbounded == Map(1 -> 3L, 2 -> 3L, 3 -> 2L), s"got $unbounded")
+  }
+
   test("funnel_profile: nobody enters -> zero counts and null rates, no divide") {
     val df = Seq(evt(1, 0, 1, "Z")).toDF()
     val got = EventStreams.funnelProfile(df, "event_type", Seq("A", "B"))
