@@ -1091,6 +1091,10 @@ object SparkEntry {
       // day-cohort retention grid over (user, active day)
       "q_cohort_retention" -> ((s, d) =>
         EventStreams.cohortRetention(readEvents(s, d))),
+      // the weekly face: 7-day periods anchored at each user's own first
+      // day, activity deduped per (user, period)
+      "q_cohort_weekly" -> ((s, d) =>
+        EventStreams.cohortRetention(readEvents(s, d), periodDays = 7)),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
@@ -2649,6 +2653,19 @@ object SparkEntry {
           "c AS (SELECT user_id, MIN(d) AS cd FROM a GROUP BY 1), " +
           "j AS (SELECT cd AS cohort_day, CAST(date_diff('day', cd, d) AS INTEGER) AS period, " +
           "COUNT(*) AS n_active FROM a JOIN c USING (user_id) GROUP BY 1, 2), " +
+          "z AS (SELECT cohort_day, n_active AS n_cohort FROM j WHERE period = 0) " +
+          "SELECT cohort_day, period, n_active, n_cohort, " +
+          "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention " +
+          "FROM j JOIN z USING (cohort_day)"
+      },
+      "q_cohort_weekly" -> {
+        // 7-day periods anchored per user; (user, period) deduped before
+        // counting — exact small-int / 7.0 double division, then floor
+        s"WITH a AS (SELECT DISTINCT user_id, CAST($evT AS DATE) AS d FROM events), " +
+          "c AS (SELECT user_id, MIN(d) AS cd FROM a GROUP BY 1), " +
+          "p AS (SELECT DISTINCT user_id, cd, CAST(FLOOR(date_diff('day', cd, d) / 7.0) AS INTEGER) AS period " +
+          "FROM a JOIN c USING (user_id)), " +
+          "j AS (SELECT cd AS cohort_day, period, COUNT(*) AS n_active FROM p GROUP BY 1, 2), " +
           "z AS (SELECT cohort_day, n_active AS n_cohort FROM j WHERE period = 0) " +
           "SELECT cohort_day, period, n_active, n_cohort, " +
           "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention " +

@@ -1208,14 +1208,26 @@ object EventStreams {
     * per-batch mins (spec-pinned in Round11Batch5Spec).
     */
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
-                      tsCol: String = "ts"): DataFrame = {
+                      tsCol: String = "ts", periodDays: Int = 1): DataFrame = {
+    require(periodDays > 0, s"cohort_retention needs periodDays > 0, got $periodDays")
     val acts = events
       .select(col(userCol).as("_u"), to_date(eventTime(events, tsCol)).as("_d"))
       .distinct()
     val cohorts = acts.groupBy("_u").agg(min(col("_d")).as("_cd"))
-    val cells = acts.join(cohorts, Seq("_u"))
-      .groupBy(col("_cd").as("cohort_day"),
-        datediff(col("_d"), col("_cd")).as("period"))
+    // periodDays > 1 = weekly/monthly-style retention: periods are
+    // [cohort_day + k·periodDays) buckets anchored at each user's OWN
+    // first day, and a user active twice in one period counts once
+    // (the second distinct — over (user, period), a frame no larger
+    // than the (user, day) one)
+    val enriched = acts.join(cohorts, Seq("_u"))
+      .select(col("_u"), col("_cd"),
+        floor(datediff(col("_d"), col("_cd")) / lit(periodDays)).cast("int")
+          .as("_p"))
+    // at periodDays = 1 the (user, period) dedup is already implied by the
+    // (user, day) distinct — skip the redundant exchange
+    val perPeriod = if (periodDays == 1) enriched else enriched.distinct()
+    val cells = perPeriod
+      .groupBy(col("_cd").as("cohort_day"), col("_p").as("period"))
       .agg(count(lit(1)).as("n_active"))
     val base = cells.where(col("period") === 0)
       .select(col("cohort_day"), col("n_active").as("n_cohort"))

@@ -219,10 +219,30 @@ class Round11Batch4Spec extends AnyFunSuite {
     }
   }
 
+  test("cohort_retention weekly: per-user-anchored 7-day periods, per-period dedup") {
+    val day = 24 * 60L
+    // user 1 first active day 0, returns day 3 (same week — dedups into
+    // period 0) and day 8 (period 1); user 2 first active day 1, returns
+    // day 9 (8 days later -> period 1 anchored at THEIR day 1)
+    val df = Seq(
+      evt(1, 0, 1, "e"), evt(2, 3 * day, 1, "e"), evt(3, 8 * day, 1, "e"),
+      evt(4, day, 2, "e"), evt(5, 9 * day, 2, "e")).toDF()
+    val got = EventStreams.cohortRetention(df, periodDays = 7).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((1L, 1.0)), ("2024-01-01", 1) -> ((1L, 1.0)),
+      ("2024-01-02", 0) -> ((1L, 1.0)), ("2024-01-02", 1) -> ((1L, 1.0))), s"got $got")
+  }
+
   test("funnel + cohort scale shape: bounded builds, no global window") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     graft.core.ScaleLint.assertSafe(
       EventStreams.funnelProfile(ev, "event_type", Seq("signup", "click", "purchase")))
+    graft.core.ScaleLint.assertSafe(
+      EventStreams.funnelProfile(ev, "event_type", Seq("signup", "click", "purchase"),
+        within = Some("1 DAY")))
     graft.core.ScaleLint.assertSafe(EventStreams.cohortRetention(ev))
+    graft.core.ScaleLint.assertSafe(EventStreams.cohortRetention(ev, periodDays = 7))
   }
 }
