@@ -1070,6 +1070,12 @@ object SparkEntry {
       "q_funnel" -> ((s, d) =>
         EventStreams.funnelProfile(readEvents(s, d), "event_type",
           Seq("signup", "click", "purchase"))),
+      // time-to-convert quantiles over the same greedy chain: completing
+      // users stay far below k = 16384, so the KLL readouts are exact
+      // inclusive-rank order statistics and the oracle replays them
+      "q_funnel_latency" -> ((s, d) =>
+        EventStreams.funnelLatency(readEvents(s, d), "event_type",
+          Seq("signup", "click", "purchase"), Seq(0.5, 0.95))),
       // the time-bounded funnel: conversions only count within 1 day of
       // entering (the "converted within T" product-analytics semantics)
       "q_funnel_within" -> ((s, d) =>
@@ -2617,6 +2623,28 @@ object SparkEntry {
           "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
           "ORDER BY cnt DESC, item ASC) AS rank FROM c) " +
           "SELECT window_start, item, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"
+      },
+      "q_funnel_latency" -> {
+        // the greedy chain's completion times replayed, then the KLL
+        // exact-regime inclusive-rank search over per-user latencies
+        // microsecond granularity then one double division — see the op's
+        // truncation-vs-boundary-crossing note
+        def lat(join: String) =
+          s"SELECT CAST(lat AS DOUBLE) / 1000000.0 AS lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn, " +
+            s"COUNT(*) OVER () AS n FROM (SELECT date_diff('microsecond', s1.tp, $join) AS lat"
+        def branch(i: Int, st: String, src: String, p: String) =
+          s"SELECT $i AS step, '$st' AS step_value, CAST('$p' AS DOUBLE) AS prob, " +
+            s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN lat END) AS seconds, " +
+            s"COUNT(*) AS n FROM $src HAVING COUNT(*) > 0"
+        s"WITH e AS (SELECT user_id, $evT AS t, event_type FROM events), " +
+          "s1 AS (SELECT user_id, MIN(t) AS tp FROM e WHERE event_type = 'signup' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN s1 USING (user_id) WHERE event_type = 'click' AND t > s1.tp GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND t > s2.tp GROUP BY 1), " +
+          s"r2 AS (${lat("s2.tp")} FROM s2 JOIN s1 USING (user_id))), " +
+          s"r3 AS (${lat("s3.tp")} FROM s3 JOIN s1 USING (user_id))) " +
+          Seq(branch(2, "click", "r2", "0.5"), branch(2, "click", "r2", "0.95"),
+            branch(3, "purchase", "r3", "0.5"), branch(3, "purchase", "r3", "0.95"))
+            .mkString(" UNION ALL ")
       },
       "q_funnel_within" -> {
         // the deadline variant: each later step must also land within

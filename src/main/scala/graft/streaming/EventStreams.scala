@@ -1137,11 +1137,15 @@ object EventStreams {
     * the partitioning and one bounded closing aggregate. Step count is
     * code, not data.
     */
-  def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
-                    userCol: String = "user_id", tsCol: String = "ts",
-                    within: Option[String] = None): DataFrame = {
-    require(steps.nonEmpty, "funnel_profile needs at least one step")
-    require(steps.distinct.size == steps.size, s"funnel_profile steps repeat: $steps")
+  /** The shared funnel chain: one scan + one user-keyed exchange, k
+    * window-min passes, one row per step-1-reaching user with the greedy
+    * completion times `_t0`.. `_t{k-1}` (null where the chain stopped).
+    */
+  private def funnelTimes(events: DataFrame, stepCol: String, steps: Seq[String],
+                          userCol: String, tsCol: String,
+                          within: Option[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
     val userW = org.apache.spark.sql.expressions.Window.partitionBy("_u")
     // optional conversion window: step k only counts if it lands within
     // `within` of the user's step-1 time ("converted within 7 days") —
@@ -1161,10 +1165,16 @@ object EventStreams {
         }
       chained = chained.withColumn(s"_t$i", min(hit).over(userW))
     }
-    val perUser = chained
+    chained
       .groupBy("_u")
       .agg(max(col("_t0")).as("_t0"),
         steps.indices.tail.map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+  }
+
+  def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    within: Option[String] = None): DataFrame = {
+    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within)
     val counts = perUser.agg(count(col("_t0")).as("_n0"),
       steps.indices.tail.map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
     val rows = steps.zipWithIndex.map { case (st, i) =>
@@ -1177,6 +1187,57 @@ object EventStreams {
         when(col("_n0") === 0L, lit(null).cast("double"))
           .otherwise(col("_r.n_users").cast("double") / col("_n0").cast("double"))
           .as("conv_rate"))
+  }
+
+  /** funnel_latency(events, step_col, steps, probs): time-to-convert
+    * census — for each step k ≥ 2, the quantiles of (t_k − t_1) in
+    * seconds over the users who completed it under the same sequential
+    * greedy semantics (and optional `within` deadline) as
+    * [[funnelProfile]] — "median and p95 time from signup to purchase",
+    * the standard companion readout to the conversion counts. LONG form:
+    * (step, step_value, prob, seconds, n); steps nobody completed are
+    * dropped, not emitted as null rows.
+    *
+    * Scale: the shared one-scan/one-exchange funnel chain, then ONE
+    * ungrouped KLL sketch aggregate over the per-user frame (bounded
+    * state; no sort of users by latency) with eval-only readouts. Inside
+    * the exact regime (completing users ≤ k) the readouts are literal
+    * inclusive-rank order statistics and engine-replayable; beyond it,
+    * KLL's published rank-error bounds apply (rank-band gate, never
+    * hashes).
+    */
+  def funnelLatency(events: DataFrame, stepCol: String, steps: Seq[String],
+                    probs: Seq[Double], userCol: String = "user_id",
+                    tsCol: String = "ts", within: Option[String] = None,
+                    k: Int = 16384): DataFrame = {
+    require(steps.size >= 2, "funnel_latency needs at least two steps")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"funnel_latency probs must be in [0, 1], got $probs")
+    require(probs.distinct.size == probs.size, s"funnel_latency probs repeat: $probs")
+    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within)
+    val aggs = steps.indices.tail.flatMap { i =>
+      // MICROSECOND granularity, then one double division: engines
+      // disagree at coarser units (Spark's timestampdiff truncates
+      // elapsed time, DuckDB's date_diff counts boundary crossings —
+      // off by one when fractional seconds straddle a boundary); at the
+      // timestamps' native resolution both are the exact elapsed count
+      val lat = expr(s"timestampdiff(MICROSECOND, _t0, _t$i)").cast("double") / lit(1e6)
+      Seq(graft.functions.KllSketches.sketchAgg(lat, k).as(s"_sk$i"),
+        count(col(s"_t$i")).as(s"_n$i"))
+    }
+    val g = perUser.agg(aggs.head, aggs.tail: _*)
+    // readout BEFORE the explode, once per (step × prob) over the one-row
+    // aggregated frame — the eval-only kernel never sees per-user rows
+    val qRows = for (i <- steps.indices.tail; p <- probs) yield
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("step_value"),
+        lit(p).as("prob"),
+        graft.functions.KllSketches.quantile(col(s"_sk$i"), p).as("seconds"),
+        col(s"_n$i").as("n"))
+    g.select(explode(array(qRows: _*)).as("_q"))
+      .select(col("_q.step").as("step"), col("_q.step_value").as("step_value"),
+        col("_q.prob").as("prob"), col("_q.seconds").as("seconds"),
+        col("_q.n").as("n"))
+      .where(col("n") > 0)
   }
 
   /** cohort_retention(events, user_col): the classic day-cohort retention

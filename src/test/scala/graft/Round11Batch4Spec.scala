@@ -155,6 +155,25 @@ class Round11Batch4Spec extends AnyFunSuite {
     assert(unbounded == Map(1 -> 3L, 2 -> 3L, 3 -> 2L), s"got $unbounded")
   }
 
+  test("funnel_latency: inclusive-rank seconds over completing users only") {
+    // completions A->B: user 1 in 10 min, user 2 in 30 min, user 3 in
+    // 60 min; user 4 never reaches B. p50 = rank>=1.5 -> 1800 s;
+    // p95 = rank>=2.85 -> 3600 s; n = 3 (user 4 excluded)
+    val df = Seq(
+      evt(1, 0, 1, "A"), evt(2, 10, 1, "B"),
+      evt(3, 0, 2, "A"), evt(4, 30, 2, "B"),
+      evt(5, 0, 3, "A"), evt(6, 60, 3, "B"),
+      evt(7, 0, 4, "A")).toDF()
+    val got = EventStreams.funnelLatency(df, "event_type", Seq("A", "B"),
+      Seq(0.5, 0.95)).collect()
+      .map(r => r.getDouble(2) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(got == Map(0.5 -> ((1800.0, 3L)), 0.95 -> ((3600.0, 3L))), s"got $got")
+    // nobody past step 1 -> no rows, not null rows
+    val none = Seq(evt(1, 0, 1, "A")).toDF()
+    assert(EventStreams.funnelLatency(none, "event_type", Seq("A", "B"),
+      Seq(0.5)).isEmpty)
+  }
+
   test("funnel_profile: nobody enters -> zero counts and null rates, no divide") {
     val df = Seq(evt(1, 0, 1, "Z")).toDF()
     val got = EventStreams.funnelProfile(df, "event_type", Seq("A", "B"))
