@@ -1160,6 +1160,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def calibrationProfile(scoreCol: String, labelCol: String, buckets: Int = 10,
                          groupBy: Seq[String] = Nil): Chain = {
     require(buckets > 0, s"calibration_profile needs buckets > 0, got $buckets")
+    val reservedCal = Seq("bucket", "bucket_lo", "bucket_hi", "n", "score_avg",
+      "pos_rate", "ece")
+    require(groupBy.intersect(reservedCal).isEmpty,
+      s"calibration_profile group columns collide with output names " +
+        s"${groupBy.intersect(reservedCal).mkString(", ")} — rename first")
     val w = 1.0 / buckets
     val s = col(scoreCol).cast("double")
     val l = col(labelCol).cast("double")
@@ -1339,6 +1344,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def agreementProfile(colA: String, colB: String,
                        groupBy: Seq[String] = Nil): Chain = {
     require(colA != colB, "agreement_profile needs two distinct columns")
+    val reservedAg = Seq("label", "n_a", "n_b", "n_agree", "po", "pe", "kappa", "n")
+    require(groupBy.intersect(reservedAg).isEmpty,
+      s"agreement_profile group columns collide with output names " +
+        s"${groupBy.intersect(reservedAg).mkString(", ")} — rename first")
     val both = col(colA).isNotNull && col(colB).isNotNull
     val va = col(colA).cast("string")
     val vb = col(colB).cast("string")

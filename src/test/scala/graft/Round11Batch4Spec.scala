@@ -99,6 +99,18 @@ class Round11Batch4Spec extends AnyFunSuite {
     }
   }
 
+  test("grouped profiles fail loudly on reserved-name group columns") {
+    val df = Seq(("x", "y", 0.5, 1)).toDF("label", "b", "score", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      Chain(spark, "rg1", df).agreementProfile("b", "score", groupBy = Seq("label"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      Chain(spark, "rg2", df).calibrationProfile("score", "n", groupBy = Seq("n"))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("agreement_profile: empty/all-null input yields an empty frame") {
     val df = Seq((null: String, null: String)).toDF("a", "b")
     assert(Chain(spark, "agree2", df).agreementProfile("a", "b").df.isEmpty)
