@@ -648,6 +648,20 @@ object SparkEntry {
           k = 5, idf = "log")
         lexRaw.rrfFuse(lexLog, k = 5).df
       }),
+      // the weighted N-WAY fusion: three DuckDB-replayable rankings
+      // (raw idf at weight 1, log idf at 0.5, raw idf over the even-id
+      // half-corpus at 0.25 — weights are exact powers of two, the fused
+      // score a fixed left-assoc IEEE sum of exact divisions)
+      "q_rrf_weighted" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val docsEven = t(s, d, "documents").filterRows(Seq("doc_id % 2 = 0"))
+        val queries = t(s, d, "documents").filterRows(Seq("doc_id < 3"))
+        val lexRaw = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+        val lexLog = docs.searchTfidf(queries, "doc_id", "text", "doc_id", "text",
+          k = 5, idf = "log")
+        val lexEven = docsEven.searchTfidf(queries, "doc_id", "text", "doc_id", "text", k = 5)
+        lexRaw.rrfFuseWeighted(Seq((lexLog, 0.5), (lexEven, 0.25)), k = 5).df
+      }),
       // BM25-scored retrieval (transcendental idf/length normalization —
       // rank-agreement-gated in QuantGateSpec, rows-only here)
       // fixed-corpus face: BM25 ranks (integers) over the pinned fixtures
@@ -1101,6 +1115,40 @@ object SparkEntry {
       // day, activity deduped per (user, period)
       "q_cohort_weekly" -> ((s, d) =>
         EventStreams.cohortRetention(readEvents(s, d), periodDays = 7)),
+      // the SEGMENTED funnel (per-campaign conversion): the greedy chain
+      // runs independently inside each segment — partitioned by
+      // (segment, user), one scan, one exchange. The segment here is
+      // EVENT-derived (campaign-attribution semantics), so one user can
+      // enter the funnel in both segments independently
+      "q_funnel_grouped" -> ((s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = readEvents(s, d).withColumn("seg",
+          expr("CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+        EventStreams.funnelProfile(ev, "event_type",
+          Seq("signup", "click", "purchase"), groupBy = Seq("seg"))
+      }),
+      // the SEGMENTED cohort grid (per-platform retention): a user is
+      // cohorted by their first active day WITHIN each segment
+      "q_cohort_grouped" -> ((s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = readEvents(s, d).withColumn("platform",
+          expr("CASE WHEN user_id % 2 = 0 THEN 'ios' ELSE 'android' END"))
+        EventStreams.cohortRetention(ev, groupBy = Seq("platform"))
+      }),
+      // batch face of the calibration monitoring sink, exercising the
+      // GROUPED one-scan path: per-event-type reliability census with a
+      // deterministic pseudo-score/label; the value > 200 tail maps to an
+      // out-of-range score, exercising invalid-row exclusion and the
+      // fold of group discovery into the single corpus aggregate
+      "q_events_calibration" -> ((s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = readEvents(s, d)
+          .withColumn("score", expr("CASE WHEN value > 200.0 THEN CAST(2.0 AS DOUBLE) " +
+            "ELSE CAST((user_id * 7 + event_id) % 89 AS DOUBLE) / CAST(89 AS DOUBLE) END"))
+          .withColumn("label", expr("CAST(event_id % 3 = 0 AS INT)"))
+        Chain(s, "events_cal", ev)
+          .calibrationProfile("score", "label", 8, groupBy = Seq("event_type")).df
+      }),
       "q_json_extract" -> ((s, d) =>
         Chain(s, "events", readEvents(s, d))
           .dropColumns(includeCols = Seq("event_id", "event_type", "props"))
@@ -2062,14 +2110,16 @@ object SparkEntry {
       // (score = 1 folds into the top bucket), exact-decimal score sums,
       // 1e-6 fixed-point ECE terms, null ece when no valid rows
       "q_calibration" -> {
+        // ece term = exact decimal |pos − ssum| (no floating-point step,
+        // no quantization — matches the op's exact-decimal closing)
         val sS = "CAST(score AS DOUBLE)"
-        val termS = "CASE WHEN n > 0 THEN CAST(FLOOR(n * ABS(pos_rate - score_avg) * " +
-          "CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END"
+        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
+          "ELSE CAST(0 AS DECIMAL(38,8)) END"
         "WITH src AS (SELECT CAST(n_chars % 97 AS DOUBLE) / CAST(97 AS DOUBLE) AS score, " +
           "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM documents), " +
           s"cnt AS (SELECT LEAST(CAST(FLOOR($sS * CAST('10.0' AS DOUBLE)) AS BIGINT), 9) AS bucket, " +
           "COUNT(*) AS _nb, " +
-          s"CAST(SUM(CAST($sS AS DECIMAL(38,8))) AS DOUBLE) AS _ssum, " +
+          s"SUM(CAST($sS AS DECIMAL(38,8))) AS _ssumd, " +
           "CAST(SUM(CASE WHEN CAST(label AS DOUBLE) <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS _pos " +
           s"FROM src WHERE score IS NOT NULL AND NOT isnan($sS) AND " +
           s"$sS >= CAST('0.0' AS DOUBLE) AND $sS <= CAST('1.0' AS DOUBLE) AND " +
@@ -2077,12 +2127,13 @@ object SparkEntry {
           "f AS (SELECT bucket, bucket * CAST('0.1' AS DOUBLE) AS bucket_lo, " +
           "(bucket + 1) * CAST('0.1' AS DOUBLE) AS bucket_hi, " +
           "CAST(COALESCE(_nb, 0) AS BIGINT) AS n, " +
-          "CASE WHEN _nb > 0 THEN _ssum / _nb END AS score_avg, " +
-          "CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate " +
+          "CASE WHEN _nb > 0 THEN CAST(_ssumd AS DOUBLE) / _nb END AS score_avg, " +
+          "CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate, " +
+          "_ssumd, _pos " +
           "FROM (SELECT range AS bucket FROM range(0, 10)) sp LEFT JOIN cnt USING (bucket)), " +
-          s"t AS (SELECT CAST(SUM($termS) AS BIGINT) AS _q, CAST(SUM(n) AS BIGINT) AS _N FROM f) " +
+          s"t AS (SELECT SUM($termS) AS _q, CAST(SUM(n) AS BIGINT) AS _N FROM f) " +
           "SELECT bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
-          "CASE WHEN _N = 0 THEN NULL ELSE CAST(_q AS DOUBLE) / CAST('1000000.0' AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+          "CASE WHEN _N = 0 THEN NULL ELSE CAST(_q AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
           "FROM f CROSS JOIN t"
       },
       // fixed left-assoc double multiply-add — IEEE-exact on both engines
@@ -2123,6 +2174,47 @@ object SparkEntry {
           "COALESCE(r_a.doc_id, r_b.doc_id) AS doc_id, " +
           s"${contrib("r_a")} + ${contrib("r_b")} AS rrf " +
           "FROM r_a FULL OUTER JOIN r_b ON r_a.query_id = r_b.query_id AND r_a.doc_id = r_b.doc_id) " +
+          "SELECT query_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank FROM f) WHERE rank <= 5"
+      },
+      // three rankings replayed (raw idf, log idf, raw idf over the
+      // even-id half corpus), then the fixed left-assoc weighted fusion
+      // sum (1, 0.5, 0.25 — exact powers of two) — rank ties close by
+      // doc_id; two chained FULL OUTER joins mirror the fold order
+      "q_rrf_weighted" -> {
+        val common =
+          s"WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+            "qt AS (SELECT doc_id AS query_id, term, COUNT(*) AS qtf FROM tok WHERE doc_id < 3 GROUP BY 1, 2), "
+        def ranked(tag: String, where: String, scoreKind: String) = {
+          val raw = s"CAST(tf_$tag.tf * n_$tag.n AS DOUBLE) / dft_$tag.df_t"
+          val logS = s"CAST(tf_$tag.tf AS DOUBLE) * LN((CAST(n_$tag.n AS DOUBLE) + 1.0) / " +
+            s"(CAST(dft_$tag.df_t AS DOUBLE) + 1.0) + 1.0)"
+          val score = if (scoreKind == "log") logS else raw
+          s"tf_$tag AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok$where GROUP BY doc_id, term), " +
+            s"dft_$tag AS (SELECT term, COUNT(*) AS df_t FROM tf_$tag GROUP BY term), " +
+            s"n_$tag AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents${where.replace("tok.", "")}), " +
+            s"ti_$tag AS (SELECT tf_$tag.doc_id, tf_$tag.term, $score AS tfidf " +
+            s"FROM tf_$tag JOIN dft_$tag USING (term) CROSS JOIN n_$tag), " +
+            s"sc_$tag AS (SELECT query_id, ti_$tag.doc_id, CAST(SUM(CAST(qtf * tfidf AS DECIMAL(38,4))) AS DOUBLE) AS score " +
+            s"FROM qt JOIN ti_$tag USING (term) GROUP BY 1, 2), " +
+            s"r_$tag AS (SELECT query_id, doc_id, rank FROM (SELECT *, ROW_NUMBER() OVER " +
+            s"(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM sc_$tag) WHERE rank <= 5)"
+        }
+        def contrib(w: String, t: String) =
+          s"COALESCE(CAST($w AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST($t.rank AS DOUBLE)), CAST(0 AS DOUBLE))"
+        common +
+          ranked("a", "", "raw") + ", " +
+          ranked("b", "", "log") + ", " +
+          ranked("c", " WHERE doc_id % 2 = 0", "raw") + ", " +
+          "f1 AS (SELECT COALESCE(r_a.query_id, r_b.query_id) AS query_id, " +
+          "COALESCE(r_a.doc_id, r_b.doc_id) AS doc_id, " +
+          s"${contrib("1", "r_a")} AS ca, ${contrib("0.5", "r_b")} AS cb " +
+          "FROM r_a FULL OUTER JOIN r_b ON r_a.query_id = r_b.query_id AND r_a.doc_id = r_b.doc_id), " +
+          "f AS (SELECT COALESCE(f1.query_id, r_c.query_id) AS query_id, " +
+          "COALESCE(f1.doc_id, r_c.doc_id) AS doc_id, " +
+          "COALESCE(f1.ca, CAST(0 AS DOUBLE)) + COALESCE(f1.cb, CAST(0 AS DOUBLE)) + " +
+          s"${contrib("0.25", "r_c")} AS rrf " +
+          "FROM f1 FULL OUTER JOIN r_c ON f1.query_id = r_c.query_id AND f1.doc_id = r_c.doc_id) " +
           "SELECT query_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM " +
           "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank FROM f) WHERE rank <= 5"
       },
@@ -2698,6 +2790,74 @@ object SparkEntry {
           "SELECT cohort_day, period, n_active, n_cohort, " +
           "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention " +
           "FROM j JOIN z USING (cohort_day)"
+      },
+      "q_funnel_grouped" -> {
+        // the greedy chain replayed PER SEGMENT (event-derived, so the
+        // joins carry (seg, user)); groups present = segments with ≥ 1
+        // step event; correlated counts keep 0-user steps and the
+        // null-conv_rate-when-nobody-entered contract
+        def cnt(s: String) = s"(SELECT COUNT(*) FROM $s WHERE $s.seg = segs.seg)"
+        def row(i: Int, st: String) =
+          s"SELECT seg, $i AS step, '$st' AS step_value, ${cnt(s"s$i")} AS n_users, " +
+            s"${cnt("s1")} AS n1 FROM segs"
+        s"WITH e AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS seg, " +
+          s"user_id, $evT AS t, event_type FROM events " +
+          "WHERE event_type IN ('signup', 'click', 'purchase')), " +
+          "segs AS (SELECT DISTINCT seg FROM e), " +
+          "s1 AS (SELECT seg, user_id, MIN(t) AS tp FROM e WHERE event_type = 'signup' GROUP BY 1, 2), " +
+          "s2 AS (SELECT e.seg, e.user_id, MIN(t) AS tp FROM e JOIN s1 ON e.seg = s1.seg AND e.user_id = s1.user_id " +
+          "WHERE event_type = 'click' AND t > s1.tp GROUP BY 1, 2), " +
+          "s3 AS (SELECT e.seg, e.user_id, MIN(t) AS tp FROM e JOIN s2 ON e.seg = s2.seg AND e.user_id = s2.user_id " +
+          "WHERE event_type = 'purchase' AND t > s2.tp GROUP BY 1, 2) " +
+          "SELECT seg, step, step_value, n_users, CASE WHEN n1 = 0 THEN NULL ELSE " +
+          "CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conv_rate FROM (" +
+          Seq(row(1, "signup"), row(2, "click"), row(3, "purchase")).mkString(" UNION ALL ") + ")"
+      },
+      "q_cohort_grouped" -> {
+        // the per-platform grid: cohorts per (platform, user) first day
+        s"WITH a AS (SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 'ios' ELSE 'android' END AS platform, " +
+          s"user_id, CAST($evT AS DATE) AS d FROM events), " +
+          "c AS (SELECT platform, user_id, MIN(d) AS cd FROM a GROUP BY 1, 2), " +
+          "j AS (SELECT a.platform, cd AS cohort_day, CAST(date_diff('day', cd, d) AS INTEGER) AS period, " +
+          "COUNT(*) AS n_active FROM a JOIN c ON a.platform = c.platform AND a.user_id = c.user_id GROUP BY 1, 2, 3), " +
+          "z AS (SELECT platform, cohort_day, n_active AS n_cohort FROM j WHERE period = 0) " +
+          "SELECT platform, cohort_day, period, n_active, n_cohort, " +
+          "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention " +
+          "FROM j JOIN z USING (platform, cohort_day)"
+      },
+      "q_events_calibration" -> {
+        // grouped calibration replayed: per-event-type equal-width
+        // buckets, exact-decimal accumulators, the |pos − ssum| exact
+        // ece closing; spine groups = DISTINCT event_type over ALL rows
+        // (the one-scan group-discovery contract)
+        val sS = "CAST(score AS DOUBLE)"
+        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
+          "ELSE CAST(0 AS DECIMAL(38,8)) END"
+        val wS = "CAST(0.125 AS DOUBLE)"
+        "WITH src AS (SELECT event_type, " +
+          "CASE WHEN value > 200.0 THEN CAST(2.0 AS DOUBLE) " +
+          "ELSE CAST((user_id * 7 + event_id) % 89 AS DOUBLE) / CAST(89 AS DOUBLE) END AS score, " +
+          "CAST(event_id % 3 = 0 AS INT) AS label FROM events), " +
+          s"cnt AS (SELECT event_type, LEAST(CAST(FLOOR($sS * CAST('8.0' AS DOUBLE)) AS BIGINT), 7) AS bucket, " +
+          "COUNT(*) AS _nb, " +
+          s"SUM(CAST($sS AS DECIMAL(38,8))) AS _ssumd, " +
+          "CAST(SUM(CASE WHEN CAST(label AS DOUBLE) <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS _pos " +
+          s"FROM src WHERE score IS NOT NULL AND NOT isnan($sS) AND " +
+          s"$sS >= CAST('0.0' AS DOUBLE) AND $sS <= CAST('1.0' AS DOUBLE) AND " +
+          "label IS NOT NULL AND NOT isnan(CAST(label AS DOUBLE)) GROUP BY 1, 2), " +
+          "sp AS (SELECT event_type, bucket FROM (SELECT DISTINCT event_type FROM src) " +
+          "CROSS JOIN (SELECT range AS bucket FROM range(0, 8))), " +
+          s"f AS (SELECT event_type, bucket, bucket * $wS AS bucket_lo, " +
+          s"(bucket + 1) * $wS AS bucket_hi, " +
+          "CAST(COALESCE(_nb, 0) AS BIGINT) AS n, " +
+          "CASE WHEN _nb > 0 THEN CAST(_ssumd AS DOUBLE) / _nb END AS score_avg, " +
+          "CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate, " +
+          "_ssumd, _pos " +
+          "FROM sp LEFT JOIN cnt USING (event_type, bucket)), " +
+          s"t AS (SELECT event_type, SUM($termS) AS _q, CAST(SUM(n) AS BIGINT) AS _N FROM f GROUP BY 1) " +
+          "SELECT event_type, bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
+          "CASE WHEN _N = 0 THEN NULL ELSE CAST(_q AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+          "FROM f LEFT JOIN t USING (event_type)"
       },
       "q_events_quantiles" -> {
         // quantilesByWindow replayed: in the exact regime the KLL

@@ -738,6 +738,57 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("rrf_fuse", out, None)
   }
 
+  /** rrf_fuse_weighted(others, self_weight, k, k_const): the WEIGHTED,
+    * N-WAY generalization of [[rrfFuse]] — hybrid retrieval rarely stops
+    * at two signals (lexical + semantic + recency + popularity), and the
+    * signals rarely deserve equal trust. This chain is list 0 with weight
+    * `selfWeight`; each `(chain, weight)` in `others` contributes
+    * `w_i / (k_const + rank_i)` per (query, doc), absent-from-a-list
+    * contributing 0 from that side (the standard weighted-RRF extension
+    * of Cormack, Clarke & Buettcher, SIGIR 2009). The fused score is a
+    * FIXED left-associated IEEE sum of the N exact-division terms — the
+    * fold order is the argument order, so the result is deterministic
+    * and engine-portable with no quantization step (the two-list face's
+    * posture, generalized); re-rank per query (rrf DESC, doc_id ASC),
+    * keep the fused top-k.
+    *
+    * Scale: N − 1 (query, doc)-keyed full-outer hash joins of already-
+    * top-k'd lists — each side ≤ its own k rows per query, so every
+    * intermediate is bounded by Σ k_i rows per query — then one window
+    * whose per-query frame is bounded by Σ k_i; every stage is keyed by
+    * the query id, nothing global. List count is code, not data. Multi-
+    * frame op — non-renderable, the diffAgainst posture.
+    */
+  def rrfFuseWeighted(others: Seq[(Chain, Double)], selfWeight: Double = 1.0,
+                      k: Int = 10, kConst: Int = 60,
+                      queryCol: String = "query_id", idCol: String = "doc_id",
+                      rankCol: String = "rank"): Chain = {
+    require(others.nonEmpty, "rrf_fuse_weighted needs at least one other list")
+    require(k >= 1, s"rrf_fuse_weighted needs k >= 1, got $k")
+    require(kConst >= 1, s"rrf_fuse_weighted needs k_const >= 1, got $kConst")
+    val weights = selfWeight +: others.map(_._2)
+    require(weights.forall(w => w > 0.0 && !w.isNaN && !w.isInfinite),
+      s"rrf_fuse_weighted weights must be finite and > 0, got $weights")
+    val sides = ((c, selfWeight) +: others).zipWithIndex.map {
+      case ((ch, wgt), i) =>
+        ch.df.select(col(queryCol).as("query_id"), col(idCol).as("doc_id"),
+          (lit(wgt) / (lit(kConst.toDouble) + col(rankCol).cast("double")))
+            .as(s"_c$i"))
+    }
+    val joined = sides.tail.foldLeft(sides.head)((acc, side) =>
+      acc.join(side, Seq("query_id", "doc_id"), "full_outer"))
+    val rrf = sides.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduceLeft(_ + _) // fixed left-assoc fold: deterministic IEEE sum
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val out = joined.withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "rank")
+    c.next("rrf_fuse_weighted", out, None)
+  }
+
   /** tfidf_index(id, text): the persistent half of INCREMENTAL lexical
     * retrieval — the corpus's term-keyed posting list `(term, doc_id, tf)`,
     * the third member of the save-once index family (minhash postings

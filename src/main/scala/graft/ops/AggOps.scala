@@ -867,14 +867,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
     *    600 k rows — the determinism tax, see [[graft.core.Exact]]).
     *
     * Pairwise mode AUTO-DEGRADES to the shared-moment arithmetic when a
-    * cheap completeness probe (one long-count aggregate, no decimal
-    * sums) finds zero missing values in every screened column — same
-    * result bit-for-bit, ~1.7× cheaper; the declared semantics and the
+    * completeness probe finds zero missing values in every screened
+    * column — same result bit-for-bit; the declared semantics and the
     * rendered SQL face stay pairwise.
     *
-    * Scale: ONE aggregation pass either way, map-side partial aggregation
-    * — the input is scanned once however many columns are screened; the
-    * long-form explode runs on the tiny aggregated frame. Decimal
+    * Scale, by branch: declared-listwise is ONE map-side-combined
+    * aggregation pass. UNGROUPED declared-pairwise folds the probe into
+    * the shared-moment pass (one scan; the combined one-row aggregate is
+    * collected EAGERLY at chain-construction time — a bounded declared
+    * driver read) and pays a second, per-pair scan only when the input
+    * is incomplete. GROUPED declared-pairwise runs a separate count-only
+    * probe scan first (no decimal sums), then one aggregation pass — two
+    * corpus scans when complete, the cheap probe being the price of the
+    * grouped fold being inexpressible without grouping sets. The
+    * long-form explode always runs on the tiny aggregated frame. Decimal
     * accumulation makes every sum partitioning-independent; the closing
     * doubles are IEEE-exact across engines (the linear_regression regime).
     */
@@ -1088,6 +1094,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def trimmedMeanSketch(column: String, trim: Double,
                         groupBy: Seq[String] = Nil, k: Int = 200): Chain = {
     require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val reservedTm = Seq(Naming.agg(column, "tmean"), "n_kept", "n",
+      "_t_sk", "_t_lo", "_t_hi")
+    require(groupBy.intersect(reservedTm).isEmpty,
+      s"trimmed_mean_sketch group columns collide with output names " +
+        s"${groupBy.intersect(reservedTm).mkString(", ")} — rename first")
     val x = col(column).cast("double")
     val xr = when(!isnan(x), x)
     val sk = graft.functions.KllSketches.sketchAgg(xr, k).as("_t_sk")
@@ -1147,14 +1158,21 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * (`pos_rate`, label ≠ 0 counts as positive), and the group's
     * expected calibration error `ece = Σ_b (n_b/N)·|pos_rate_b −
     * score_avg_b|` repeated on its rows — the summary number dashboards
-    * alert on. The ECE numerator quantizes each bucket term at 1e-6
-    * fixed point before the exact integer sum (the [[weightedAgg]]
-    * regime), so the closing is partitioning- and engine-independent; a
-    * group with no valid rows surfaces a null ece, never a zero divide.
+    * alert on. The ECE numerator is the EXACT decimal Σ_b |pos_b −
+    * ssum_b| over the already-exact integer/decimal accumulators
+    * (n_b·|pos_rate_b − score_avg_b| = |pos_b − ssum_b| algebraically —
+    * no floating-point step, no quantization, no 2^53 product bound),
+    * closed by one double division, so the result is partitioning- and
+    * engine-independent at any per-bucket count; a group with no valid
+    * rows surfaces a null ece, never a zero divide.
     *
-    * Scale: one map-side-combined hash aggregate over the corpus (≤
-    * groups × buckets rows out), a broadcast bucket spine, and one more
-    * tiny aggregate over the bounded bucket frame for N/ece — nothing
+    * Scale: ONE map-side-combined hash aggregate over the corpus (≤
+    * groups × (buckets + 1) rows out — invalid rows land in a null
+    * bucket so group DISCOVERY rides the same pass, keeping the
+    * all-invalid-group null-ece contract without a second corpus scan;
+    * the grouped spine derives from that bounded frame and the two uses
+    * share the exchange), a broadcast bucket spine, and one more tiny
+    * aggregate over the bounded bucket frame for N/ece — nothing
     * corpus-sized past the first exchange.
     */
   def calibrationProfile(scoreCol: String, labelCol: String, buckets: Int = 10,
@@ -1172,32 +1190,47 @@ final class AggOps(private val c: Chain) extends AnyVal {
       l.isNotNull && !isnan(l)
     val b = least(floor(s * lit(buckets.toDouble)).cast("long"),
       lit((buckets - 1).toLong))
-    val counts = c.df.where(ok)
-      .groupBy((groupBy.map(col) :+ b.as("bucket")): _*)
-      .agg(count(lit(1)).as("_nb"),
-        sum(s.cast(DecimalType(38, 8))).cast("double").as("_ssum"),
-        sum(when(l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
+    // ungrouped: invalid rows filter at the scan (predicate pushed);
+    // grouped: invalid rows keep a null bucket so the one aggregate also
+    // enumerates every group (all-invalid groups included)
+    val counts0 =
+      if (groupBy.isEmpty)
+        c.df.where(ok).groupBy(b.as("bucket"))
+          .agg(count(lit(1)).as("_nb"),
+            sum(s.cast(DecimalType(38, 8))).as("_ssumd"),
+            sum(when(l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
+      else
+        c.df.groupBy((groupBy.map(col) :+ when(ok, b).as("bucket")): _*)
+          .agg(count(when(ok, lit(1))).as("_nb"),
+            sum(when(ok, s).cast(DecimalType(38, 8))).as("_ssumd"),
+            sum(when(ok && l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
+    val counts =
+      if (groupBy.isEmpty) counts0 else counts0.where(col("bucket").isNotNull)
     val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
+    // grouped spine = groups FROM THE SAME aggregate (bounded frame; the
+    // shared exchange is reused, so the corpus is scanned once) × buckets
     val spine =
       if (groupBy.isEmpty) spineB
-      else c.df.select(groupBy.map(col): _*).distinct().crossJoin(broadcast(spineB))
+      else counts0.select(groupBy.map(col): _*).distinct()
+        .crossJoin(broadcast(spineB))
     val frame = spine.join(counts, groupBy :+ "bucket", "left")
       .select((groupBy.map(col) ++ Seq(
         col("bucket"),
         (col("bucket") * lit(w)).as("bucket_lo"),
         ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
         coalesce(col("_nb"), lit(0L)).as("n"),
-        when(col("_nb") > 0, col("_ssum") / col("_nb"))
+        when(col("_nb") > 0, col("_ssumd").cast("double") / col("_nb"))
           .otherwise(lit(null).cast("double")).as("score_avg"),
         when(col("_nb") > 0, col("_pos").cast("double") / col("_nb").cast("double"))
-          .otherwise(lit(null).cast("double")).as("pos_rate"))): _*)
-    // ece over the BOUNDED bucket frame: 1e-6 fixed-point bucket terms,
-    // exact integer sum, one closing double division — null when the
-    // group has no valid rows (N = 0: the zero-divide an ANSI runtime
-    // would otherwise abort on)
+          .otherwise(lit(null).cast("double")).as("pos_rate"),
+        col("_ssumd"), col("_pos"))): _*)
+    // ece over the BOUNDED bucket frame: exact decimal bucket terms
+    // |pos − ssum| (no floating-point step), exact decimal sum, one
+    // closing double division — null when the group has no valid rows
+    // (N = 0: the zero-divide an ANSI runtime would otherwise abort on)
     val term = when(col("n") > 0,
-      floor(col("n") * abs(col("pos_rate") - col("score_avg")) * lit(1e6) + lit(0.5))
-        .cast("long")).otherwise(0L)
+      abs(col("_pos").cast(DecimalType(38, 8)) - col("_ssumd")))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 8)))
     val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
     val tot =
       if (groupBy.isEmpty) frame.agg(eceAggs.head, eceAggs.tail: _*)
@@ -1207,8 +1240,8 @@ final class AggOps(private val c: Chain) extends AnyVal {
       else frame.join(tot, groupBy, "left")
     val df2 = withEce
       .withColumn("ece", when(col("_N") === 0L, lit(null).cast("double"))
-        .otherwise(col("_q").cast("double") / lit(1e6) / col("_N").cast("double")))
-      .drop("_q", "_N")
+        .otherwise(col("_q").cast("double") / col("_N").cast("double")))
+      .drop("_q", "_N", "_ssumd", "_pos")
     val wS = s"CAST('$w' AS DOUBLE)"
     val sS = s"CAST(${Naming.quoteId(scoreCol)} AS DOUBLE)"
     val lS = s"CAST(${Naming.quoteId(labelCol)} AS DOUBLE)"
@@ -1225,14 +1258,17 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket))"
     val frameSql =
       s"SELECT ${gSel}bucket, bucket * $wS AS bucket_lo, (bucket + 1) * $wS AS bucket_hi, " +
-        s"COALESCE(_nb, 0) AS n, CASE WHEN _nb > 0 THEN _ssum / _nb END AS score_avg, " +
-        s"CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate " +
+        s"COALESCE(_nb, 0) AS n, CASE WHEN _nb > 0 THEN CAST(_ssumd AS DOUBLE) / _nb END AS score_avg, " +
+        s"CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate, " +
+        s"_ssumd, _pos " +
         s"FROM $spineSql LEFT JOIN (SELECT ${gSel}$bS AS bucket, COUNT(*) AS _nb, " +
-        s"CAST(SUM(CAST($sS AS DECIMAL(38,8))) AS DOUBLE) AS _ssum, " +
+        s"SUM(CAST($sS AS DECIMAL(38,8))) AS _ssumd, " +
         s"SUM(CASE WHEN $lS <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS _pos " +
         s"FROM {{source}} WHERE $okS GROUP BY bucket$gBy) USING ($usingS)"
-    val termSql = s"CASE WHEN n > 0 THEN CAST(FLOOR(n * ABS(pos_rate - score_avg) * " +
-      s"CAST('1000000.0' AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END"
+    // exact decimal term |pos − ssum| = n·|pos_rate − score_avg| with no
+    // floating-point step (matches the DataFrame face bit for bit)
+    val termSql = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
+      "ELSE CAST(0 AS DECIMAL(38,8)) END"
     val totJoin =
       if (groupBy.isEmpty) "CROSS JOIN"
       else s"LEFT JOIN"
@@ -1240,7 +1276,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("calibration_profile", df2, Some(
       s"SELECT ${gSel}bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
         "CASE WHEN _N = 0 THEN NULL ELSE " +
-        "CAST(_q AS DOUBLE) / CAST('1000000.0' AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+        "CAST(_q AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
         s"FROM ($frameSql) $totJoin (SELECT ${gSel}SUM($termSql) AS _q, SUM(n) AS _N " +
         s"FROM ($frameSql)${if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"})$totUsing"))
   }
@@ -1589,6 +1625,11 @@ final class AggOps(private val c: Chain) extends AnyVal {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile_profile_sketch probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size, s"quantile_profile_sketch probs repeat: $probs")
+    val reservedQp = Seq("col_name", "prob", "value", "n", "_q") ++
+      cols.indices.flatMap(i => Seq(s"_sk$i", s"_n$i"))
+    require(groupBy.intersect(reservedQp).isEmpty,
+      s"quantile_profile_sketch group columns collide with output names " +
+        s"${groupBy.intersect(reservedQp).mkString(", ")} — rename first")
     val aggs = cols.zipWithIndex.flatMap { case (cn, i) =>
       val xr = { val x = col(cn).cast("double"); when(!isnan(x), x) }
       Seq(graft.functions.KllSketches.sketchAgg(xr, k).as(s"_sk$i"),
@@ -1772,26 +1813,40 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * bounds — the bins drift by ±ε rank, the PSI stays a valid
     * equal-frequency profile (gate with rank bands, never hashes).
     *
-    * Scale: one sketch aggregate over the base (map-side combined), a
-    * one-row cutoff frame broadcast onto both sides, one count aggregate
-    * per side over ≤ `buckets` cells, and the bounded PSI closing —
-    * no global sort, nothing corpus-sized past the first exchanges.
-    * An empty/degenerate base yields null cutoffs → every valid row
-    * buckets to 0 and `_tb` = 0 nulls the shares: the profile reads null,
-    * never a fake zero.
+    * Scale: the BASE side is scanned ONCE — its pruned value projection
+    * persists across the sketch and count derivations, both of which run
+    * EAGERLY at op-construction as bounded driver reads (≤ buckets − 1
+    * cutoffs + ≤ buckets counts, the searchTfidfIndex declared-read
+    * posture), then the cache is released; `other` is scanned once,
+    * lazily, through one map-side-combined count aggregate over
+    * ≤ `buckets` cells, and the PSI closing runs over the bounded spine
+    * frame — no global sort, nothing corpus-sized past the first
+    * exchanges. An empty/degenerate base yields null cutoffs → every
+    * valid row buckets to 0 and `_tb` = 0 nulls the shares: the profile
+    * reads null, never a fake zero.
     */
   def psiQuantileProfile(other: DataFrame, column: String, buckets: Int,
                          eps: Double = 1e-6, k: Int = 200): Chain = {
     require(buckets > 1, s"psi_quantile_profile needs buckets > 1, got $buckets")
     require(eps > 0.0 && eps < 1.0, s"psi_quantile_profile needs eps in (0, 1), got $eps")
-    val cuts = AggOps.kllCutoffs(c.df, column, buckets, k)
-    def bucketCounts(df: DataFrame, as: String) =
-      AggOps.cutoffBucketed(df, column, cuts, buckets)
-        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val xr = col(column).cast("double")
+    val baseV = c.df
+      .select(xr.as(column)).where(col(column).isNotNull && !isnan(col(column)))
+      .persist()
+    val (cuts, baseCounts) =
+      try {
+        val cuts = AggOps.literalCutoffs(
+          AggOps.kllCutoffs(baseV, column, buckets, k), c.spark, buckets)
+        val baseRows = AggOps.cutoffBucketed(baseV, column, cuts, buckets)
+          .groupBy("bucket").agg(count(lit(1)).as("_cb")).collect()
+        (cuts, AggOps.literalCountFrame(c.spark, baseRows, "_cb"))
+      } finally baseV.unpersist(false)
+    val otherCounts = AggOps.cutoffBucketed(other, column, cuts, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("_co"))
     val spine = c.spark.range(buckets).select(col("id").as("bucket"))
     val joined = spine
-      .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
-      .join(bucketCounts(other, "_co"), Seq("bucket"), "left")
+      .join(baseCounts, Seq("bucket"), "left")
+      .join(otherCounts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("_cb"), lit(0L)).as("cnt_base"),
         coalesce(col("_co"), lit(0L)).as("cnt_other"))
@@ -1894,6 +1949,40 @@ private[graft] object AggOps {
       .agg(graft.functions.KllSketches.sketchAgg(x, k).as("_sk"))
       .select((1 until buckets).map(i => graft.functions.KllSketches
         .quantile(col("_sk"), i.toDouble / buckets).as(s"_cut$i")): _*)
+  }
+
+  /** Collect a [[kllCutoffs]] one-row frame (a bounded declared driver
+    * read: buckets − 1 doubles) and rebuild it as a LITERAL one-row frame
+    * — downstream broadcasts then carry the cutoffs as constants instead
+    * of re-running the sketch aggregate once per use, which is what lets
+    * [[graft.streaming.EventStreams.driftByWindowQuantile]] and
+    * [[graft.ops.AggOps.psiQuantileProfile]] scan their reference side
+    * exactly once. Null cutoffs (empty/degenerate input) survive the
+    * round-trip; double literals are exact.
+    */
+  private[graft] def literalCutoffs(cuts: DataFrame,
+                                    spark: org.apache.spark.sql.SparkSession,
+                                    buckets: Int): DataFrame = {
+    val row = cuts.collect()(0)
+    spark.range(1).select((1 until buckets).map { i =>
+      (if (row.isNullAt(i - 1)) lit(null).cast("double")
+       else lit(row.getDouble(i - 1))).as(s"_cut$i")
+    }: _*)
+  }
+
+  /** Re-lift collected (bucket, count) rows — a bounded declared driver
+    * read, ≤ buckets of them — into a literal two-column frame
+    * (`bucket`, `countName`), the counts companion of [[literalCutoffs]].
+    */
+  private[graft] def literalCountFrame(spark: org.apache.spark.sql.SparkSession,
+                                       rows: Array[Row],
+                                       countName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField(countName, LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r.getLong(0), r.getLong(1))): _*),
+      schema)
   }
 
   /** Valid rows of `df` bucketed by the cutoff frame: `bucket` =

@@ -447,6 +447,48 @@ object EventStreams {
     q
   }
 
+  /** Replay guard for the stored-profile sinks: `foreachBatch` is
+    * at-least-once — a run that dies between the merge write and the
+    * checkpoint commit re-fires the SAME batchId on restart, and an
+    * ADDITIVE merge (frequent-items, KLL, drift counts, calibration
+    * accumulators) applied twice double-counts. The last applied
+    * (batchId, checkpoint) pair is recorded as a table property
+    * immediately after each merge commits; a re-delivery of an
+    * already-recorded batch is skipped. The marker carries the
+    * checkpoint path because a NEW checkpoint against an existing table
+    * legitimately restarts batch ids at 0 (a deliberate reprocess) —
+    * it must not be mistaken for a replay. Residual window: a crash
+    * BETWEEN the merge commit and the property write still replays that
+    * one batch — the window is one catalog-metadata op wide (versus the
+    * whole awaitTermination span before), and a parquet catalog has no
+    * atomic data+marker commit to close it completely; the sinks are
+    * exactly-once up to that documented sliver, not transactional. The
+    * HLL sink's register-wise-max merge is idempotent and needs no
+    * guard for correctness — it carries one anyway so a replayed batch
+    * skips the pointless bucket rewrite.
+    */
+  private val AppliedBatchProp = "graft.applied_batch"
+
+  private[graft] def batchAlreadyApplied(spark: SparkSession, name: String,
+                                         checkpointDir: String,
+                                         batchId: Long): Boolean =
+    spark.catalog.tableExists(name) && {
+      val rows = spark.sql(s"SHOW TBLPROPERTIES `$name`")
+        .where(col("key") === AppliedBatchProp).collect()
+      rows.nonEmpty && {
+        val v = rows(0).getString(1)
+        val at = v.indexOf('@')
+        at > 0 && v.substring(at + 1) == checkpointDir &&
+          v.substring(0, at).toLong >= batchId
+      }
+    }
+
+  private[graft] def markBatchApplied(spark: SparkSession, name: String,
+                                      checkpointDir: String,
+                                      batchId: Long): Unit =
+    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('$AppliedBatchProp' = " +
+      s"'$batchId@${checkpointDir.replace("'", "''")}')")
+
   /** Streaming continuous profile via `foreachBatch`: every micro-batch
     * folds its per-key HLL sketches into a persistent profile table — a
     * COUNT DISTINCT over the whole stream history that never rescans
@@ -476,9 +518,9 @@ object EventStreams {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("_sk"))
             .withColumn("_pb", pmod(hash(keys.map(col): _*), lit(profileBuckets)))
@@ -505,12 +547,15 @@ object EventStreams {
             // touched buckets, then dynamic-overwrite ONLY those buckets —
             // untouched partitions keep their files
             val out = merged.localCheckpoint()
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            // dynamic partition overwrite is set PER WRITE, never on the
+            // shared session conf — the caller's own subsequent insertInto
+            // writes keep whatever overwrite semantics they had
             out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
             out.unpersist()
           }
-          ()
+          markBatchApplied(spark, name, checkpointDir, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -534,8 +579,10 @@ object EventStreams {
     * under ~0.75×maxMapSize, and carry ±n/maxMapSize with
     * NO_FALSE_NEGATIVES beyond it. Unlike the HLL sink's register-wise
     * max, a frequent-items merge is ADDITIVE — replay safety comes from
-    * the checkpoint's exactly-once batch tracking (same contract as the
-    * drift sinks' counts), not from merge idempotence.
+    * the [[batchAlreadyApplied]] guard (a re-fired batch is skipped;
+    * same contract as the drift sinks' counts), not from merge
+    * idempotence, with the one-metadata-op residual window documented
+    * there.
     *
     * Scale shape: the profile table is PARTITIONED by
     * `_pb = hash(keys) mod profileBuckets`; each batch pays one bounded
@@ -553,9 +600,9 @@ object EventStreams {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(graft.functions.FreqSketches
               .sketchAgg(col(valueCol).cast("string"), maxMapSize).as("_sk"))
@@ -581,12 +628,15 @@ object EventStreams {
                   .union(col("_sk_new"), col("_sk_old")).as("_sk") :+
                 col("_pb")): _*)
             val out = merged.localCheckpoint()
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            // dynamic partition overwrite is set PER WRITE, never on the
+            // shared session conf — the caller's own subsequent insertInto
+            // writes keep whatever overwrite semantics they had
             out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
             out.unpersist()
           }
-          ()
+          markBatchApplied(spark, name, checkpointDir, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -651,8 +701,10 @@ object EventStreams {
     * into the per-(window, value) rows of `name` and the PSI columns are
     * recomputed for every window in the touched buckets, so the table
     * always equals the batch face over all data processed so far
-    * (replay-convergent through the checkpoint's exactly-once file
-    * tracking). The reference profile is pinned ONCE at sink start into
+    * (replay-convergent: a re-fired batch is skipped by the
+    * [[batchAlreadyApplied]] guard — the count merge is additive, so the
+    * checkpoint alone cannot make it safe; residual window documented on
+    * the guard). The reference profile is pinned ONCE at sink start into
     * `<name>_ref` (drift is measured against an ACCEPTED corpus — rerun
     * the sink to rotate it); batches read it back rather than re-deriving
     * it, so the foreachBatch session never reaches into caller-session
@@ -676,9 +728,9 @@ object EventStreams {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
           val refC = spark.table(refTable)
           val bc = windowCounts(batch, valueCol, width)
             .withColumn("_pb", bucketed(col("window_start")))
@@ -702,12 +754,15 @@ object EventStreams {
             val out = driftFromCounts(merged, refC, eps)
               .withColumn("_pb", bucketed(col("window_start")))
               .localCheckpoint()
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            // dynamic partition overwrite is set PER WRITE, never on the
+            // shared session conf — the caller's own subsequent insertInto
+            // writes keep whatever overwrite semantics they had
             out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
             out.unpersist()
           }
-          ()
+          markBatchApplied(spark, name, checkpointDir, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -822,15 +877,35 @@ object EventStreams {
     * fine. Cutoffs inside the sketch's exact regime (reference n ≤ k)
     * are literal inclusive-rank order statistics (oracle-replayable);
     * beyond it they carry KLL's published rank-error bounds.
+    *
+    * The reference is scanned ONCE: its pruned value projection persists
+    * across the two derivations (cutoff sketch, bucket counts), both of
+    * which run EAGERLY at op-construction as bounded driver reads
+    * (≤ buckets−1 cutoffs + ≤ buckets counts — the searchTfidfIndex
+    * declared-read posture), then the cache is released before the lazy
+    * events-side plan is even built. Nothing corpus-sized ever reaches
+    * the driver, and the returned plan carries the reference only as
+    * literals.
     */
   def driftByWindowQuantile(events: DataFrame, reference: DataFrame,
                             valueCol: String, width: String, buckets: Int,
                             eps: Double = 1e-6, k: Int = 200): DataFrame = {
     require(buckets > 1, s"drift_by_window_quantile needs buckets > 1, got $buckets")
-    val cuts = graft.ops.AggOps.kllCutoffs(reference, valueCol, buckets, k)
-    val refCounts = graft.ops.AggOps.cutoffBucketed(reference, valueCol, cuts, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("_cb"))
-    val spine = reference.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val spark = reference.sparkSession
+    val xr = col(valueCol).cast("double")
+    val refV = reference
+      .select(xr.as(valueCol)).where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .persist()
+    val (cuts, refCounts) =
+      try {
+        val cuts = graft.ops.AggOps.literalCutoffs(
+          graft.ops.AggOps.kllCutoffs(refV, valueCol, buckets, k), spark, buckets)
+        val refCountRows = graft.ops.AggOps
+          .cutoffBucketed(refV, valueCol, cuts, buckets)
+          .groupBy("bucket").agg(count(lit(1)).as("_cb")).collect()
+        (cuts, graft.ops.AggOps.literalCountFrame(spark, refCountRows, "_cb"))
+      } finally refV.unpersist(false)
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
     val wc = graft.ops.AggOps.cutoffBucketed(
         events.withColumn("_ts", eventTime(events)), valueCol, cuts, buckets)
       .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
@@ -860,8 +935,10 @@ object EventStreams {
     * value counts: per-batch (window × bucket) counts MERGE into `name`
     * and the PSI columns are recomputed for every window in the touched
     * buckets, so the table always equals the batch face over all data
-    * processed so far (replay-convergent through the checkpoint's
-    * exactly-once file tracking). The spine-complete reference profile is
+    * processed so far (replay-convergent: a re-fired batch is skipped by
+    * the [[batchAlreadyApplied]] guard — the count merge is additive, so
+    * the checkpoint alone cannot make it safe; residual window documented
+    * on the guard). The spine-complete reference profile is
     * pinned ONCE at sink start into `<name>_ref` (rerun the sink to
     * rotate it); batches read it back rather than re-deriving it.
     * Bucketed dynamic-overwrite I/O: only `_pb` buckets whose windows the
@@ -886,9 +963,9 @@ object EventStreams {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
           val refC = spark.table(refTable)
           val bc = windowBucketCounts(batch, valueCol, width, lo, hi, buckets)
             .withColumn("_pb", bucketed(col("window_start")))
@@ -912,18 +989,187 @@ object EventStreams {
             val out = driftFromBucketCounts(merged, refC, lo, hi, buckets, eps)
               .withColumn("_pb", bucketed(col("window_start")))
               .localCheckpoint()
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            // dynamic partition overwrite is set PER WRITE, never on the
+            // shared session conf — the caller's own subsequent insertInto
+            // writes keep whatever overwrite semantics they had
             out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
             out.unpersist()
           }
-          ()
+          markBatchApplied(spark, name, checkpointDir, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // guarded: an all-empty stream never created the drift table
+    if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
+    q
+  }
+
+  /** Close per-(group, bucket) calibration accumulators into the stored
+    * readout frame: full bucket spine per group (`groups` carries every
+    * group ever seen, including all-invalid ones — the batch face's
+    * null-ece contract), score_avg/pos_rate, the exact-decimal ece
+    * closing of [[graft.ops.AggOps.calibrationProfile]], the raw
+    * accumulators retained for the next merge, and the `_pb` partition
+    * column.
+    */
+  private def closeCalibration(acc: DataFrame, groups: Option[DataFrame],
+                               groupBy: Seq[String], buckets: Int,
+                               profileBuckets: Int): DataFrame = {
+    val w = 1.0 / buckets
+    val spark = acc.sparkSession
+    val spineB = spark.range(buckets).select(col("id").as("bucket"))
+    val spine = groups.fold(spineB)(g =>
+      g.distinct().crossJoin(broadcast(spineB)))
+    val frame = spine.join(acc, groupBy :+ "bucket", "left")
+      .select((groupBy.map(col) ++ Seq(
+        col("bucket"),
+        (col("bucket") * lit(w)).as("bucket_lo"),
+        ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n") > 0, col("_ssumd").cast("double") / col("n"))
+          .otherwise(lit(null).cast("double")).as("score_avg"),
+        when(col("n") > 0, col("_pos").cast("double") / col("n").cast("double"))
+          .otherwise(lit(null).cast("double")).as("pos_rate"),
+        col("_ssumd"), col("_pos"))): _*)
+    val term = when(col("n") > 0,
+      abs(col("_pos").cast(DecimalType(38, 8)) - col("_ssumd")))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 8)))
+    val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
+    val tot =
+      if (groupBy.isEmpty) frame.agg(eceAggs.head, eceAggs.tail: _*)
+      else frame.groupBy(groupBy.map(col): _*).agg(eceAggs.head, eceAggs.tail: _*)
+    val withEce =
+      if (groupBy.isEmpty) frame.crossJoin(broadcast(tot))
+      else frame.join(tot, groupBy, "left")
+    val pbCol =
+      if (groupBy.isEmpty) lit(0)
+      else pmod(hash(groupBy.map(col): _*), lit(profileBuckets))
+    withEce
+      .withColumn("ece", when(col("_N") === 0L, lit(null).cast("double"))
+        .otherwise(col("_q").cast("double") / col("_N").cast("double")))
+      .drop("_q", "_N")
+      .withColumn("_pb", pbCol)
+  }
+
+  /** Streaming face of [[graft.ops.AggOps.calibrationProfile]] — the
+    * model-monitoring member of the stored-profile family, next to the
+    * drift, HLL, frequent-items, and KLL sinks: a classifier's
+    * reliability census maintained continuously over the scored stream,
+    * so the "is a 0.9 really right 90% of the time" readout is always
+    * current without rescanning history. Per batch: ONE bounded
+    * aggregate of the batch over (groups, score bucket) — valid rows
+    * accumulate (n, exact-decimal Σscore, positives), invalid rows keep
+    * a null bucket so group DISCOVERY rides the same pass (the batch
+    * face's one-scan posture) — then the accumulators MERGE additively
+    * into the stored rows (decimal addition is exact and associative,
+    * so the stored accumulators always equal the batch face's over all
+    * data processed so far) and score_avg/pos_rate/ece are recomputed
+    * for every group in the touched `_pb` buckets, full bucket spine
+    * included. The table stores the batch face's visible columns plus
+    * the raw accumulators (`_ssumd` DECIMAL(38,8), `_pos`) that make the
+    * merge exact — drop them on readout. Additive, so a re-fired batch
+    * is skipped by [[batchAlreadyApplied]] (residual window documented
+    * there); convergence to the batch face over all delivered events is
+    * spec-gated (Round12Spec), including late-data and all-invalid-group
+    * cases.
+    *
+    * Scale shape: the per-batch aggregate is map-side combined and its
+    * output is ≤ groups × (buckets + 1) rows; the old side is
+    * partition-pruned to touched buckets; nothing corpus-sized is ever
+    * re-read. Ungrouped, the whole table is `buckets` rows in one `_pb`
+    * partition — the rewrite is trivially bounded.
+    */
+  def sinkCalibrationUpsertToTable(events: DataFrame, scoreCol: String,
+                                   labelCol: String, name: String,
+                                   checkpointDir: String, buckets: Int = 10,
+                                   groupBy: Seq[String] = Nil,
+                                   profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(buckets > 0, s"sink_calibration needs buckets > 0, got $buckets")
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    val reservedCal = Seq("bucket", "bucket_lo", "bucket_hi", "n", "score_avg",
+      "pos_rate", "ece", "_ssumd", "_pos", "_pb")
+    require(groupBy.intersect(reservedCal).isEmpty,
+      s"sink_calibration group columns collide with output names " +
+        s"${groupBy.intersect(reservedCal).mkString(", ")} — rename first")
+    val session = events.sparkSession
+    val zeroD = lit(BigDecimal(0)).cast(DecimalType(38, 8))
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+          val s = col(scoreCol).cast("double")
+          val l = col(labelCol).cast("double")
+          val ok = s.isNotNull && !isnan(s) && s >= lit(0.0) && s <= lit(1.0) &&
+            l.isNotNull && !isnan(l)
+          val b = least(floor(s * lit(buckets.toDouble)).cast("long"),
+            lit((buckets - 1).toLong))
+          // null-bucket rows track groups whose batch rows are ALL invalid
+          // (the batch face's group-discovery-in-one-pass shape)
+          val bc = batch
+            .groupBy((groupBy.map(col) :+ when(ok, b).as("bucket")): _*)
+            .agg(count(when(ok, lit(1))).as("n"),
+              sum(when(ok, s).cast(DecimalType(38, 8))).as("_ssumd"),
+              sum(when(ok && l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
+          val newAcc = bc.where(col("bucket").isNotNull)
+          val newGroups =
+            if (groupBy.isEmpty) None
+            else Some(bc.select(groupBy.map(col): _*).distinct())
+          if (!spark.catalog.tableExists(name)) {
+            closeCalibration(newAcc, newGroups, groupBy, buckets, profileBuckets)
+              .write.partitionBy("_pb").format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read used to
+            // partition-prune the old-side scan (the profile-sink pattern)
+            val touched =
+              if (groupBy.isEmpty) Seq(0)
+              else bc.select(pmod(hash(groupBy.map(col): _*), lit(profileBuckets))
+                .as("_pb")).distinct().collect().map(_.getInt(0)).toSeq
+            val old = spark.table(name).where(col("_pb").isInCollection(touched))
+              .select((groupBy.map(col) ++ Seq(col("bucket"),
+                col("n").as("_n_old"), col("_ssumd").as("_sd_old"),
+                col("_pos").as("_p_old"))): _*)
+            val merged = newAcc
+              .select((groupBy.map(col) ++ Seq(col("bucket"),
+                col("n").as("_n_new"), col("_ssumd").as("_sd_new"),
+                col("_pos").as("_p_new"))): _*)
+              .join(old, groupBy :+ "bucket", "full_outer")
+              .select((groupBy.map(col) ++ Seq(col("bucket"),
+                (coalesce(col("_n_new"), lit(0L)) +
+                  coalesce(col("_n_old"), lit(0L))).as("n"),
+                (coalesce(col("_sd_new"), zeroD) + coalesce(col("_sd_old"), zeroD))
+                  .cast(DecimalType(38, 8)).as("_ssumd"),
+                (coalesce(col("_p_new"), lit(0L)) +
+                  coalesce(col("_p_old"), lit(0L))).as("_pos"))): _*)
+              // drop the stored spine padding (re-derived by the closing —
+              // keeping it would be harmless but re-pads idempotently)
+              .where(col("n") > 0)
+            // group set BEFORE the padding filter: an all-invalid group
+            // exists only as padding rows (or a batch null-bucket row) and
+            // must stay in the spine
+            val groups =
+              if (groupBy.isEmpty) None
+              else Some(newGroups.get.union(old.select(groupBy.map(col): _*)))
+            val out = closeCalibration(merged, groups, groupBy, buckets,
+              profileBuckets).localCheckpoint()
+            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            out.unpersist()
+          }
+          markBatchApplied(spark, name, checkpointDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // guarded: an all-empty stream never created the table
     if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
     q
   }
@@ -955,6 +1201,10 @@ object EventStreams {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles_by_window probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size, s"quantiles_by_window probs repeat: $probs")
+    val reservedQw = Seq("window_start", "prob", "value", "n", "_ts", "_sk", "_q")
+    require(keys.intersect(reservedQw).isEmpty,
+      s"quantiles_by_window key columns collide with output names " +
+        s"${keys.intersect(reservedQw).mkString(", ")} — rename first")
     val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
     val g = events
       .withColumn("_ts", eventTime(events))
@@ -985,7 +1235,10 @@ object EventStreams {
     * (cumulative n per key ≤ k) readouts equal the order statistics of
     * everything ever ingested, independent of batch slicing
     * (replay-convergence is spec-gated on READOUTS — sketch bytes may
-    * differ across slicings even when exact).
+    * differ across slicings even when exact). A KLL merge is ADDITIVE
+    * (re-merging a delivered batch inflates n), so a re-fired batch is
+    * skipped by the [[batchAlreadyApplied]] guard — residual window
+    * documented there.
     *
     * Scale: per batch — one map-side-combined aggregate over the batch,
     * a key-equality merge join against ONLY the touched `_pb` hash
@@ -1003,9 +1256,9 @@ object EventStreams {
     val q = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
           val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(graft.functions.KllSketches.sketchAgg(xr, k).as("_sk"),
@@ -1033,12 +1286,15 @@ object EventStreams {
                 (coalesce(col("_n_new"), lit(0L)) + coalesce(col("_n_old"), lit(0L))).as("_n") :+
                 col("_pb")): _*)
             val out = merged.localCheckpoint()
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            // dynamic partition overwrite is set PER WRITE, never on the
+            // shared session conf — the caller's own subsequent insertInto
+            // writes keep whatever overwrite semantics they had
             out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
             out.unpersist()
           }
-          ()
+          markBatchApplied(spark, name, checkpointDir, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -1135,18 +1391,41 @@ object EventStreams {
     * window min — no per-user sort order needed, no event-list
     * collection, no join per step), then a per-user collapse that REUSES
     * the partitioning and one bounded closing aggregate. Step count is
-    * code, not data.
+    * code, not data. With `groupBy` segments (per-campaign, per-platform
+    * conversion) every stage keys by (segments, user) instead — still
+    * one scan, one exchange; the closing aggregate is segment-sized.
+    *
+    * Streaming: this closer COMPOSES with [[sinkUpsertToTable]], exactly
+    * like [[cohortRetention]] — drain the stream into a deduplicated
+    * (user, step, ts) activity table with `sinkUpsertToTable(df.select(
+    * user, step, ts), name, keys = Seq(user, step, ts), ...)` (idempotent:
+    * re-deliveries overwrite themselves) and run `funnelProfile` over the
+    * stored table on report cadence. The greedy chain is NOT incremental —
+    * a late step-1 event can move t_1 earlier and invalidate a previously
+    * counted step-2 — so the closer must RE-DERIVE the chain from the
+    * complete stored activity, never merge per-batch chains
+    * (spec-pinned in Round12Spec: late-data convergence to this batch
+    * face). The activity table is one row per distinct (user, step, ts) —
+    * bounded by the deduplicated step events, far smaller than the raw
+    * stream when events repeat.
     */
-  /** The shared funnel chain: one scan + one user-keyed exchange, k
-    * window-min passes, one row per step-1-reaching user with the greedy
-    * completion times `_t0`.. `_t{k-1}` (null where the chain stopped).
+  /** The shared funnel chain: one scan + one (segments, user)-keyed
+    * exchange, k window-min passes, one row per step-1-reaching
+    * (segments, user) with the greedy completion times `_t0`.. `_t{k-1}`
+    * (null where the chain stopped).
     */
   private def funnelTimes(events: DataFrame, stepCol: String, steps: Seq[String],
                           userCol: String, tsCol: String,
-                          within: Option[String]): DataFrame = {
+                          within: Option[String],
+                          groupBy: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
-    val userW = org.apache.spark.sql.expressions.Window.partitionBy("_u")
+    val funnelInternal = Seq("_u", "_s", "_ts") ++ steps.indices.map(i => s"_t$i")
+    require(groupBy.intersect(funnelInternal).isEmpty,
+      s"funnel group columns collide with internal names " +
+        s"${groupBy.intersect(funnelInternal).mkString(", ")} — rename first")
+    val userW = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupBy :+ "_u").map(col): _*)
     // optional conversion window: step k only counts if it lands within
     // `within` of the user's step-1 time ("converted within 7 days") —
     // the deadline is a per-user constant (t1 + interval), so it rides
@@ -1154,8 +1433,8 @@ object EventStreams {
     val deadline = within.map(w => expr(s"_t0 + INTERVAL $w"))
     var chained = events
       .where(col(stepCol).isInCollection(steps))
-      .select(col(userCol).as("_u"), col(stepCol).as("_s"),
-        eventTime(events, tsCol).as("_ts"))
+      .select((groupBy.map(col) ++ Seq(col(userCol).as("_u"),
+        col(stepCol).as("_s"), eventTime(events, tsCol).as("_ts"))): _*)
     for ((st, i) <- steps.zipWithIndex) {
       val hit =
         if (i == 0) when(col("_s") === steps.head, col("_ts"))
@@ -1166,27 +1445,38 @@ object EventStreams {
       chained = chained.withColumn(s"_t$i", min(hit).over(userW))
     }
     chained
-      .groupBy("_u")
+      .groupBy((groupBy :+ "_u").map(col): _*)
       .agg(max(col("_t0")).as("_t0"),
         steps.indices.tail.map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
   }
 
   def funnelProfile(events: DataFrame, stepCol: String, steps: Seq[String],
                     userCol: String = "user_id", tsCol: String = "ts",
-                    within: Option[String] = None): DataFrame = {
-    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within)
-    val counts = perUser.agg(count(col("_t0")).as("_n0"),
-      steps.indices.tail.map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
+                    within: Option[String] = None,
+                    groupBy: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("step", "step_value", "n_users", "conv_rate") ++
+      ("_n0" +: steps.indices.map(i => s"_n$i")) :+ "_r"
+    require(groupBy.intersect(reserved).isEmpty,
+      s"funnel_profile group columns collide with output names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within, groupBy)
+    val cAggs = count(col("_t0")).as("_n0") +:
+      steps.indices.tail.map(i => count(col(s"_t$i")).as(s"_n$i"))
+    val counts =
+      if (groupBy.isEmpty) perUser.agg(cAggs.head, cAggs.tail: _*)
+      else perUser.groupBy(groupBy.map(col): _*).agg(cAggs.head, cAggs.tail: _*)
     val rows = steps.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1).as("step"), lit(st).as("step_value"),
         col(s"_n$i").as("n_users"))
     }
-    counts.select(explode(array(rows: _*)).as("_r"), col("_n0"))
-      .select(col("_r.step").as("step"), col("_r.step_value").as("step_value"),
+    counts.select((groupBy.map(col) :+ explode(array(rows: _*)).as("_r") :+
+        col("_n0")): _*)
+      .select((groupBy.map(col) ++ Seq(
+        col("_r.step").as("step"), col("_r.step_value").as("step_value"),
         col("_r.n_users").as("n_users"),
         when(col("_n0") === 0L, lit(null).cast("double"))
           .otherwise(col("_r.n_users").cast("double") / col("_n0").cast("double"))
-          .as("conv_rate"))
+          .as("conv_rate"))): _*)
   }
 
   /** funnel_latency(events, step_col, steps, probs): time-to-convert
@@ -1209,12 +1499,17 @@ object EventStreams {
   def funnelLatency(events: DataFrame, stepCol: String, steps: Seq[String],
                     probs: Seq[Double], userCol: String = "user_id",
                     tsCol: String = "ts", within: Option[String] = None,
-                    k: Int = 16384): DataFrame = {
+                    k: Int = 16384, groupBy: Seq[String] = Nil): DataFrame = {
     require(steps.size >= 2, "funnel_latency needs at least two steps")
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"funnel_latency probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size, s"funnel_latency probs repeat: $probs")
-    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within)
+    val reserved = Seq("step", "step_value", "prob", "seconds", "n", "_q") ++
+      steps.indices.flatMap(i => Seq(s"_sk$i", s"_n$i"))
+    require(groupBy.intersect(reserved).isEmpty,
+      s"funnel_latency group columns collide with output names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within, groupBy)
     val aggs = steps.indices.tail.flatMap { i =>
       // MICROSECOND granularity, then one double division: engines
       // disagree at coarser units (Spark's timestampdiff truncates
@@ -1225,18 +1520,22 @@ object EventStreams {
       Seq(graft.functions.KllSketches.sketchAgg(lat, k).as(s"_sk$i"),
         count(col(s"_t$i")).as(s"_n$i"))
     }
-    val g = perUser.agg(aggs.head, aggs.tail: _*)
-    // readout BEFORE the explode, once per (step × prob) over the one-row
-    // aggregated frame — the eval-only kernel never sees per-user rows
+    val g =
+      if (groupBy.isEmpty) perUser.agg(aggs.head, aggs.tail: _*)
+      else perUser.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // readout BEFORE the explode, once per (group × step × prob) over the
+    // one-row-per-group aggregated frame — the eval-only kernel never
+    // sees per-user rows
     val qRows = for (i <- steps.indices.tail; p <- probs) yield
       struct(lit(i + 1).as("step"), lit(steps(i)).as("step_value"),
         lit(p).as("prob"),
         graft.functions.KllSketches.quantile(col(s"_sk$i"), p).as("seconds"),
         col(s"_n$i").as("n"))
-    g.select(explode(array(qRows: _*)).as("_q"))
-      .select(col("_q.step").as("step"), col("_q.step_value").as("step_value"),
+    g.select((groupBy.map(col) :+ explode(array(qRows: _*)).as("_q")): _*)
+      .select((groupBy.map(col) ++ Seq(
+        col("_q.step").as("step"), col("_q.step_value").as("step_value"),
         col("_q.prob").as("prob"), col("_q.seconds").as("seconds"),
-        col("_q.n").as("n"))
+        col("_q.n").as("n"))): _*)
       .where(col("n") > 0)
   }
 
@@ -1255,7 +1554,10 @@ object EventStreams {
     * partitioning — then everything downstream is the bounded
     * (cohorts × periods) grid: a count aggregate, a self-join on the
     * period-0 slice, one exact double division. No window, nothing
-    * driver-side.
+    * driver-side. With `groupBy` segments (per-platform retention) every
+    * stage keys by (segments, user) instead — a user is cohorted by
+    * their first active day WITHIN each segment — and the grid gains the
+    * segment dimension; still one corpus-sized exchange.
     *
     * Streaming: this closer COMPOSES with [[sinkUpsertToTable]] — drain
     * the stream into a (user, day) activity table with
@@ -1269,33 +1571,44 @@ object EventStreams {
     * per-batch mins (spec-pinned in Round11Batch5Spec).
     */
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
-                      tsCol: String = "ts", periodDays: Int = 1): DataFrame = {
+                      tsCol: String = "ts", periodDays: Int = 1,
+                      groupBy: Seq[String] = Nil): DataFrame = {
     require(periodDays > 0, s"cohort_retention needs periodDays > 0, got $periodDays")
+    val reserved = Seq("cohort_day", "period", "n_active", "n_cohort",
+      "retention", "_u", "_d", "_cd", "_p")
+    require(groupBy.intersect(reserved).isEmpty,
+      s"cohort_retention group columns collide with output names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
     val acts = events
-      .select(col(userCol).as("_u"), to_date(eventTime(events, tsCol)).as("_d"))
+      .select((groupBy.map(col) ++ Seq(col(userCol).as("_u"),
+        to_date(eventTime(events, tsCol)).as("_d"))): _*)
       .distinct()
-    val cohorts = acts.groupBy("_u").agg(min(col("_d")).as("_cd"))
+    val cohorts = acts.groupBy((groupBy :+ "_u").map(col): _*)
+      .agg(min(col("_d")).as("_cd"))
     // periodDays > 1 = weekly/monthly-style retention: periods are
     // [cohort_day + k·periodDays) buckets anchored at each user's OWN
     // first day, and a user active twice in one period counts once
     // (the second distinct — over (user, period), a frame no larger
     // than the (user, day) one)
-    val enriched = acts.join(cohorts, Seq("_u"))
-      .select(col("_u"), col("_cd"),
+    val enriched = acts.join(cohorts, groupBy :+ "_u")
+      .select((groupBy.map(col) ++ Seq(col("_u"), col("_cd"),
         floor(datediff(col("_d"), col("_cd")) / lit(periodDays)).cast("int")
-          .as("_p"))
+          .as("_p"))): _*)
     // at periodDays = 1 the (user, period) dedup is already implied by the
     // (user, day) distinct — skip the redundant exchange
     val perPeriod = if (periodDays == 1) enriched else enriched.distinct()
     val cells = perPeriod
-      .groupBy(col("_cd").as("cohort_day"), col("_p").as("period"))
+      .groupBy((groupBy.map(col) ++ Seq(col("_cd").as("cohort_day"),
+        col("_p").as("period"))): _*)
       .agg(count(lit(1)).as("n_active"))
     val base = cells.where(col("period") === 0)
-      .select(col("cohort_day"), col("n_active").as("n_cohort"))
-    cells.join(base, Seq("cohort_day"))
-      .select(col("cohort_day"), col("period"), col("n_active"), col("n_cohort"),
+      .select((groupBy.map(col) ++ Seq(col("cohort_day"),
+        col("n_active").as("n_cohort"))): _*)
+    cells.join(base, groupBy :+ "cohort_day")
+      .select((groupBy.map(col) ++ Seq(
+        col("cohort_day"), col("period"), col("n_active"), col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort").cast("double"))
-          .as("retention"))
+          .as("retention"))): _*)
   }
 
   /** Custom arbitrary-state sessionization via `flatMapGroupsWithState` —
