@@ -2113,8 +2113,8 @@ object SparkEntry {
         // ece term = exact decimal |pos − ssum| (no floating-point step,
         // no quantization — matches the op's exact-decimal closing)
         val sS = "CAST(score AS DOUBLE)"
-        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
-          "ELSE CAST(0 AS DECIMAL(38,8)) END"
+        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(29,8)) - CAST(_ssumd AS DECIMAL(29,8))) " +
+          "ELSE CAST(0 AS DECIMAL(30,8)) END"
         "WITH src AS (SELECT CAST(n_chars % 97 AS DOUBLE) / CAST(97 AS DOUBLE) AS score, " +
           "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM documents), " +
           s"cnt AS (SELECT LEAST(CAST(FLOOR($sS * CAST('10.0' AS DOUBLE)) AS BIGINT), 9) AS bucket, " +
@@ -2831,8 +2831,8 @@ object SparkEntry {
         // ece closing; spine groups = DISTINCT event_type over ALL rows
         // (the one-scan group-discovery contract)
         val sS = "CAST(score AS DOUBLE)"
-        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
-          "ELSE CAST(0 AS DECIMAL(38,8)) END"
+        val termS = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(29,8)) - CAST(_ssumd AS DECIMAL(29,8))) " +
+          "ELSE CAST(0 AS DECIMAL(30,8)) END"
         val wS = "CAST(0.125 AS DOUBLE)"
         "WITH src AS (SELECT event_type, " +
           "CASE WHEN value > 200.0 THEN CAST(2.0 AS DOUBLE) " +

@@ -1166,14 +1166,18 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * engine-independent at any per-bucket count; a group with no valid
     * rows surfaces a null ece, never a zero divide.
     *
-    * Scale: ONE map-side-combined hash aggregate over the corpus (≤
+    * Scale: ONE corpus scan, ONE map-side-combined hash aggregate (≤
     * groups × (buckets + 1) rows out — invalid rows land in a null
     * bucket so group DISCOVERY rides the same pass, keeping the
-    * all-invalid-group null-ece contract without a second corpus scan;
-    * the grouped spine derives from that bounded frame and the two uses
-    * share the exchange), a broadcast bucket spine, and one more tiny
-    * aggregate over the bounded bucket frame for N/ece — nothing
-    * corpus-sized past the first exchange.
+    * all-invalid-group null-ece contract without a second corpus scan).
+    * Grouped spine padding folds into the aggregate chain (per-group
+    * bucket map, exploded against the spine — no corpus-side join, no
+    * second consumer of the aggregate; Round12Spec pins the single
+    * FileScan); ungrouped joins the Range spine. One more tiny aggregate
+    * over the bounded bucket frame closes N/ece — nothing corpus-sized
+    * past the first exchange. A NULL group value groups like any other
+    * value and keeps its stats (the SQL face joins null-safely to
+    * match).
     */
   def calibrationProfile(scoreCol: String, labelCol: String, buckets: Int = 10,
                          groupBy: Seq[String] = Nil): Chain = {
@@ -1204,40 +1208,84 @@ final class AggOps(private val c: Chain) extends AnyVal {
           .agg(count(when(ok, lit(1))).as("_nb"),
             sum(when(ok, s).cast(DecimalType(38, 8))).as("_ssumd"),
             sum(when(ok && l =!= lit(0.0), 1L).otherwise(0L)).as("_pos"))
-    val counts =
-      if (groupBy.isEmpty) counts0 else counts0.where(col("bucket").isNotNull)
     val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
-    // grouped spine = groups FROM THE SAME aggregate (bounded frame; the
-    // shared exchange is reused, so the corpus is scanned once) × buckets
-    val spine =
-      if (groupBy.isEmpty) spineB
-      else counts0.select(groupBy.map(col): _*).distinct()
-        .crossJoin(broadcast(spineB))
-    val frame = spine.join(counts, groupBy :+ "bucket", "left")
-      .select((groupBy.map(col) ++ Seq(
-        col("bucket"),
-        (col("bucket") * lit(w)).as("bucket_lo"),
-        ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
-        coalesce(col("_nb"), lit(0L)).as("n"),
-        when(col("_nb") > 0, col("_ssumd").cast("double") / col("_nb"))
-          .otherwise(lit(null).cast("double")).as("score_avg"),
-        when(col("_nb") > 0, col("_pos").cast("double") / col("_nb").cast("double"))
-          .otherwise(lit(null).cast("double")).as("pos_rate"),
-        col("_ssumd"), col("_pos"))): _*)
+    val frame =
+      if (groupBy.isEmpty)
+        spineB.join(counts0, Seq("bucket"), "left")
+          .select(Seq(
+            col("bucket"),
+            (col("bucket") * lit(w)).as("bucket_lo"),
+            ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
+            coalesce(col("_nb"), lit(0L)).as("n"),
+            when(col("_nb") > 0, col("_ssumd").cast("double") / col("_nb"))
+              .otherwise(lit(null).cast("double")).as("score_avg"),
+            when(col("_nb") > 0, col("_pos").cast("double") / col("_nb").cast("double"))
+              .otherwise(lit(null).cast("double")).as("pos_rate"),
+            col("_ssumd"), col("_pos")): _*)
+      else {
+        // GROUPED spine padding folds into the aggregate chain itself:
+        // one more bounded aggregate rolls each group's bucket rows into
+        // a map, then the full spine explodes back out with map lookups.
+        // The aggregate has ONE consumer, so nothing re-derives groups
+        // from the corpus and nothing re-joins it — the optimizer can
+        // neither split the ok-filter across two scan copies (which
+        // breaks exchange reuse) nor collapse a groups-distinct back
+        // into a second corpus scan. Null-bucket rows (all-invalid
+        // groups) contribute no map entry but still carry their group.
+        val perGroup = counts0.groupBy(groupBy.map(col): _*)
+          .agg(map_from_entries(collect_list(when(col("bucket").isNotNull,
+            struct(col("bucket"),
+              struct(col("_nb"), col("_ssumd"), col("_pos")))))).as("_m"))
+        val e = try_element_at(col("_m"), col("bucket"))
+        perGroup
+          .select((groupBy.map(col) :+
+            explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket") :+
+            col("_m")): _*)
+          .select((groupBy.map(col) ++ Seq(
+            col("bucket"),
+            (col("bucket") * lit(w)).as("bucket_lo"),
+            ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
+            coalesce(e.getField("_nb"), lit(0L)).as("n"),
+            when(e.getField("_nb") > 0,
+              e.getField("_ssumd").cast("double") / e.getField("_nb"))
+              .otherwise(lit(null).cast("double")).as("score_avg"),
+            when(e.getField("_nb") > 0,
+              e.getField("_pos").cast("double") / e.getField("_nb").cast("double"))
+              .otherwise(lit(null).cast("double")).as("pos_rate"),
+            e.getField("_ssumd").as("_ssumd"),
+            e.getField("_pos").as("_pos"))): _*)
+      }
     // ece over the BOUNDED bucket frame: exact decimal bucket terms
     // |pos − ssum| (no floating-point step), exact decimal sum, one
     // closing double division — null when the group has no valid rows
-    // (N = 0: the zero-divide an ANSI runtime would otherwise abort on)
+    // (N = 0: the zero-divide an ANSI runtime would otherwise abort on).
+    // Operands cast to DECIMAL(29,8) — both are ≤ n_b ≤ Long.Max < 1e21,
+    // so the cast can never overflow, and the (30,8) difference keeps
+    // scale 8 on BOTH engines (a (38,8)−(38,8) difference overflows
+    // Spark's 38-digit cap and silently truncates the scale to 7,
+    // diverging from DuckDB in the 10th decimal)
     val term = when(col("n") > 0,
-      abs(col("_pos").cast(DecimalType(38, 8)) - col("_ssumd")))
-      .otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 8)))
-    val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
-    val tot =
-      if (groupBy.isEmpty) frame.agg(eceAggs.head, eceAggs.tail: _*)
-      else frame.groupBy(groupBy.map(col): _*).agg(eceAggs.head, eceAggs.tail: _*)
+      abs(col("_pos").cast(DecimalType(29, 8)) -
+        col("_ssumd").cast(DecimalType(29, 8))))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(30, 8)))
+    // grouped N/ece close with a window over the bounded frame — the
+    // frame keeps ONE consumer (an agg+join-back would duplicate its
+    // whole lineage, and column pruning tailors each copy enough that
+    // exchange reuse cannot merge the corpus scans back together); the
+    // window's partitions are ≤ buckets rows each and its required
+    // distribution is already satisfied by the upstream aggregate.
+    // Ungrouped, a global window would be a single-task stage (the shape
+    // ScaleLint rightly errors on), so the one-row total broadcasts onto
+    // the Range-spine frame instead — both sides bounded.
     val withEce =
-      if (groupBy.isEmpty) frame.crossJoin(broadcast(tot))
-      else frame.join(tot, groupBy, "left")
+      if (groupBy.isEmpty) {
+        val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
+        frame.crossJoin(broadcast(frame.agg(eceAggs.head, eceAggs.tail: _*)))
+      } else {
+        val wG = Window.partitionBy(groupBy.map(col): _*)
+        frame.withColumn("_q", sum(term).over(wG))
+          .withColumn("_N", sum(col("n")).over(wG))
+      }
     val df2 = withEce
       .withColumn("ece", when(col("_N") === 0L, lit(null).cast("double"))
         .otherwise(col("_q").cast("double") / col("_N").cast("double")))
@@ -1251,24 +1299,40 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val bS = s"LEAST(CAST(FLOOR($sS * CAST('$buckets.0' AS DOUBLE)) AS BIGINT), ${buckets - 1})"
     val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
     val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
-    val usingS = (Seq("bucket") ++ groupBy).mkString(", ")
-    val spineSql =
-      if (groupBy.isEmpty) s"(SELECT explode(sequence(0, ${buckets - 1})) AS bucket)"
-      else s"((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
-        s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket))"
+    val cntSql = s"SELECT ${gSel}$bS AS bucket, COUNT(*) AS _nb, " +
+      s"SUM(CAST($sS AS DECIMAL(38,8))) AS _ssumd, " +
+      s"SUM(CASE WHEN $lS <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS _pos " +
+      s"FROM {{source}} WHERE $okS GROUP BY bucket$gBy"
+    val statsSql =
+      "COALESCE(_nb, 0) AS n, CASE WHEN _nb > 0 THEN CAST(_ssumd AS DOUBLE) / _nb END AS score_avg, " +
+        "CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate, " +
+        "_ssumd, _pos "
+    // grouped face joins NULL-SAFELY on the group keys (a null group
+    // value groups like any other value — the DataFrame face's map fold
+    // keeps its stats, so the rendered face must too)
     val frameSql =
-      s"SELECT ${gSel}bucket, bucket * $wS AS bucket_lo, (bucket + 1) * $wS AS bucket_hi, " +
-        s"COALESCE(_nb, 0) AS n, CASE WHEN _nb > 0 THEN CAST(_ssumd AS DOUBLE) / _nb END AS score_avg, " +
-        s"CASE WHEN _nb > 0 THEN CAST(_pos AS DOUBLE) / CAST(_nb AS DOUBLE) END AS pos_rate, " +
-        s"_ssumd, _pos " +
-        s"FROM $spineSql LEFT JOIN (SELECT ${gSel}$bS AS bucket, COUNT(*) AS _nb, " +
-        s"SUM(CAST($sS AS DECIMAL(38,8))) AS _ssumd, " +
-        s"SUM(CASE WHEN $lS <> CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END) AS _pos " +
-        s"FROM {{source}} WHERE $okS GROUP BY bucket$gBy) USING ($usingS)"
+      if (groupBy.isEmpty)
+        s"SELECT bucket, bucket * $wS AS bucket_lo, (bucket + 1) * $wS AS bucket_hi, " +
+          statsSql +
+          s"FROM (SELECT explode(sequence(0, ${buckets - 1})) AS bucket) " +
+          s"LEFT JOIN ($cntSql) USING (bucket)"
+      else {
+        val onS = (Seq("sp.bucket = cnt.bucket") ++
+          groupBy.map(g => s"(sp.$g = cnt.$g OR (sp.$g IS NULL AND cnt.$g IS NULL))"))
+          .mkString(" AND ")
+        s"SELECT ${groupBy.map(g => s"sp.$g").mkString(", ")}, sp.bucket AS bucket, " +
+          s"sp.bucket * $wS AS bucket_lo, (sp.bucket + 1) * $wS AS bucket_hi, " +
+          statsSql +
+          s"FROM ((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
+          s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket)) sp " +
+          s"LEFT JOIN ($cntSql) cnt ON $onS"
+      }
     // exact decimal term |pos − ssum| = n·|pos_rate − score_avg| with no
-    // floating-point step (matches the DataFrame face bit for bit)
-    val termSql = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(38,8)) - _ssumd) " +
-      "ELSE CAST(0 AS DECIMAL(38,8)) END"
+    // floating-point step (matches the DataFrame face bit for bit; the
+    // (29,8) casts keep the difference inside every engine's 38-digit
+    // cap so the scale never truncates)
+    val termSql = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(29,8)) - " +
+      "CAST(_ssumd AS DECIMAL(29,8))) ELSE CAST(0 AS DECIMAL(30,8)) END"
     val totJoin =
       if (groupBy.isEmpty) "CROSS JOIN"
       else s"LEFT JOIN"

@@ -469,6 +469,28 @@ object EventStreams {
     */
   private val AppliedBatchProp = "graft.applied_batch"
 
+  /** Dynamic-partition-overwrite `out` into the touched partitions of the
+    * existing table `name`, with the session conf SAVED AND RESTORED
+    * around the write: the DataFrameWriter-level `partitionOverwriteMode`
+    * option is not honored on the catalog `insertInto` path (the
+    * touched-bucket StreamingSpec pins the behavior), so the conf must be
+    * set — but it must never be left mutated on the shared session, or
+    * the caller's own subsequent overwrite writes silently change
+    * semantics.
+    */
+  private def dynamicOverwrite(spark: SparkSession, out: DataFrame,
+                               name: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private[graft] def batchAlreadyApplied(spark: SparkSession, name: String,
                                          checkpointDir: String,
                                          batchId: Long): Boolean =
@@ -547,12 +569,7 @@ object EventStreams {
             // touched buckets, then dynamic-overwrite ONLY those buckets —
             // untouched partitions keep their files
             val out = merged.localCheckpoint()
-            // dynamic partition overwrite is set PER WRITE, never on the
-            // shared session conf — the caller's own subsequent insertInto
-            // writes keep whatever overwrite semantics they had
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)
@@ -628,12 +645,7 @@ object EventStreams {
                   .union(col("_sk_new"), col("_sk_old")).as("_sk") :+
                 col("_pb")): _*)
             val out = merged.localCheckpoint()
-            // dynamic partition overwrite is set PER WRITE, never on the
-            // shared session conf — the caller's own subsequent insertInto
-            // writes keep whatever overwrite semantics they had
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)
@@ -754,12 +766,7 @@ object EventStreams {
             val out = driftFromCounts(merged, refC, eps)
               .withColumn("_pb", bucketed(col("window_start")))
               .localCheckpoint()
-            // dynamic partition overwrite is set PER WRITE, never on the
-            // shared session conf — the caller's own subsequent insertInto
-            // writes keep whatever overwrite semantics they had
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)
@@ -989,12 +996,7 @@ object EventStreams {
             val out = driftFromBucketCounts(merged, refC, lo, hi, buckets, eps)
               .withColumn("_pb", bucketed(col("window_start")))
               .localCheckpoint()
-            // dynamic partition overwrite is set PER WRITE, never on the
-            // shared session conf — the caller's own subsequent insertInto
-            // writes keep whatever overwrite semantics they had
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)
@@ -1035,16 +1037,26 @@ object EventStreams {
         when(col("n") > 0, col("_pos").cast("double") / col("n").cast("double"))
           .otherwise(lit(null).cast("double")).as("pos_rate"),
         col("_ssumd"), col("_pos"))): _*)
+    // (29,8) casts: both operands ≤ n_b ≤ Long.Max, and the (30,8)
+    // difference stays inside the 38-digit cap — no scale truncation
+    // (the batch face's exact-term regime, see calibrationProfile)
     val term = when(col("n") > 0,
-      abs(col("_pos").cast(DecimalType(38, 8)) - col("_ssumd")))
-      .otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 8)))
-    val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
-    val tot =
-      if (groupBy.isEmpty) frame.agg(eceAggs.head, eceAggs.tail: _*)
-      else frame.groupBy(groupBy.map(col): _*).agg(eceAggs.head, eceAggs.tail: _*)
+      abs(col("_pos").cast(DecimalType(29, 8)) -
+        col("_ssumd").cast(DecimalType(29, 8))))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(30, 8)))
+    // grouped N/ece close with a window over the bounded frame (one
+    // consumer — the batch face's regime); ungrouped broadcasts the
+    // one-row total instead of a single-task global window
     val withEce =
-      if (groupBy.isEmpty) frame.crossJoin(broadcast(tot))
-      else frame.join(tot, groupBy, "left")
+      if (groupBy.isEmpty) {
+        val eceAggs = Seq(sum(term).as("_q"), sum(col("n")).as("_N"))
+        frame.crossJoin(broadcast(frame.agg(eceAggs.head, eceAggs.tail: _*)))
+      } else {
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupBy.map(col): _*)
+        frame.withColumn("_q", sum(term).over(wG))
+          .withColumn("_N", sum(col("n")).over(wG))
+      }
     val pbCol =
       if (groupBy.isEmpty) lit(0)
       else pmod(hash(groupBy.map(col): _*), lit(profileBuckets))
@@ -1158,9 +1170,7 @@ object EventStreams {
               else Some(newGroups.get.union(old.select(groupBy.map(col): _*)))
             val out = closeCalibration(merged, groups, groupBy, buckets,
               profileBuckets).localCheckpoint()
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)
@@ -1286,12 +1296,7 @@ object EventStreams {
                 (coalesce(col("_n_new"), lit(0L)) + coalesce(col("_n_old"), lit(0L))).as("_n") :+
                 col("_pb")): _*)
             val out = merged.localCheckpoint()
-            // dynamic partition overwrite is set PER WRITE, never on the
-            // shared session conf — the caller's own subsequent insertInto
-            // writes keep whatever overwrite semantics they had
-            out.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(name)
+            dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
           markBatchApplied(spark, name, checkpointDir, batchId)

@@ -1,0 +1,377 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.ext._
+import graft.streaming.EventStreams
+import TestSpark._
+
+/** Gates for the round-12 batch: segmented funnel/cohort faces (the
+  * per-campaign/per-platform readouts), the streaming funnel composition
+  * (late data must REWRITE the greedy chain — pinned before a user
+  * invents a wrong incremental one), the calibration monitoring sink
+  * (additive accumulator merges converging to the batch face), the
+  * at-least-once replay guard for the additive profile sinks, the
+  * one-corpus-scan plan shape of grouped calibrationProfile, the
+  * literal-cutoff single-reference-scan shape of the quantile-drift
+  * ops, and the bench gate's confirmation-pass noise model.
+  */
+class Round12Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val base = 1704067200L * 1000000000L
+  private def evt(id: Long, minute: Long, user: Long, tpe: String) =
+    Evt(id, base + minute * 60L * 1000000000L, user, tpe, 1.0, "{}")
+  private def ldt(minute: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(1704067200L + minute * 60L, 0,
+      java.time.ZoneOffset.UTC)
+
+  // structural scan counter: walks the FINAL adaptive plan (query stages
+  // unwrapped, reused exchanges NOT descended — a reused exchange is by
+  // definition not a second execution)
+  private def countScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var scans = 0
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      n match {
+        case _: FileSourceScanExec => scans += 1
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      n match {
+        case _: AdaptiveSparkPlanExec | _: QueryStageExec | _: ReusedExchangeExec => ()
+        case _ =>
+          n.children.foreach(walk)
+          n.subqueries.foreach(walk)
+      }
+    }
+    walk(p)
+    scans
+  }
+
+  // ---- segmented funnel ---------------------------------------------------
+
+  test("funnel_profile grouped: independent chains per segment, user in both") {
+    // seg s1: user 1 completes A->B; seg s2: the SAME user has B before A
+    // (only A counts) — segments never see each other's events
+    val df = Seq(
+      ("s1", 1L, 10L, "A"), ("s1", 1L, 20L, "B"),
+      ("s2", 1L, 5L, "B"), ("s2", 1L, 30L, "A"),
+      ("s2", 2L, 1L, "A"), ("s2", 2L, 2L, "B"))
+      .map { case (g, u, m, tp) => (g, u, ldt(m), tp) }
+      .toDF("seg", "user_id", "ts", "event_type")
+    val got = EventStreams.funnelProfile(df, "event_type", Seq("A", "B"),
+      groupBy = Seq("seg"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("s1", 1) -> 1L, ("s1", 2) -> 1L,
+      ("s2", 1) -> 2L, ("s2", 2) -> 1L), s"got $got")
+  }
+
+  test("funnel grouped fuzz: grouped run equals ungrouped per-segment runs") {
+    val rnd = new scala.util.Random(4321)
+    val steps = Seq("A", "B", "C")
+    val all = Seq("A", "B", "C", "X")
+    // ts = i: globally unique, so the greedy chain has no tie ambiguity
+    val evs = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong, ldt(i.toLong),
+        all(rnd.nextInt(all.length)))
+    }
+    val df = evs.toDF("seg", "user_id", "ts", "event_type")
+    val grouped = EventStreams.funnelProfile(df, "event_type", steps,
+      groupBy = Seq("seg")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val groupedLat = EventStreams.funnelLatency(df, "event_type", steps,
+      Seq(0.5), groupBy = Seq("seg")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(4), r.getLong(5))))
+      .toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val sub = df.where(col("seg") === g)
+      val single = EventStreams.funnelProfile(sub, "event_type", steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      steps.indices.foreach { i =>
+        assert(grouped.getOrElse((g, i + 1), 0L) == single.getOrElse(i + 1, 0L),
+          s"$g step ${i + 1}: grouped vs per-segment")
+      }
+      val singleLat = EventStreams.funnelLatency(sub, "event_type", steps, Seq(0.5))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+      singleLat.foreach { case (step, v) =>
+        assert(groupedLat((g, step)) == v, s"$g latency step $step")
+      }
+    }
+  }
+
+  test("cohort_retention grouped: cohorts anchored independently per segment") {
+    val day = 24 * 60L
+    val df = Seq(
+      ("p1", 1L, 0L), ("p1", 1L, day), ("p1", 2L, 0L),
+      ("p2", 1L, day), ("p2", 1L, 2 * day))
+      .map { case (p, u, m) => (p, u, ldt(m)) }
+      .toDF("platform", "user_id", "ts")
+    val got = EventStreams.cohortRetention(df, groupBy = Seq("platform"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // user 1's p2 cohort is Jan 2 even though they were active Jan 1 in p1
+    assert(got == Map(
+      ("p1", "2024-01-01", 0) -> ((2L, 2L, 1.0)),
+      ("p1", "2024-01-01", 1) -> ((1L, 2L, 0.5)),
+      ("p2", "2024-01-02", 0) -> ((1L, 1L, 1.0)),
+      ("p2", "2024-01-02", 1) -> ((1L, 1L, 1.0))), s"got $got")
+  }
+
+  test("grouped funnel/cohort/calibration scale shape: lint-safe on a file scan") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("seg", expr("CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+    graft.core.ScaleLint.assertSafe(EventStreams.funnelProfile(
+      ev, "event_type", Seq("signup", "click", "purchase"), groupBy = Seq("seg")))
+    graft.core.ScaleLint.assertSafe(EventStreams.funnelLatency(
+      ev, "event_type", Seq("signup", "click"), Seq(0.5), groupBy = Seq("seg")))
+    graft.core.ScaleLint.assertSafe(EventStreams.cohortRetention(
+      ev, groupBy = Seq("seg")))
+    Chain(spark, "evc", ev
+      .withColumn("score", expr("CAST(event_id % 89 AS DOUBLE) / CAST(89 AS DOUBLE)"))
+      .withColumn("label", expr("CAST(event_id % 3 = 0 AS INT)")))
+      .calibrationProfile("score", "label", 8, groupBy = Seq("seg"))
+      .assertScaleSafe()
+  }
+
+  // ---- streaming funnel composition (round-11 verdict ask #3) -------------
+
+  test("streaming funnel: upsert-activity composition converges under late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS funnel_acts_t")
+    // batch 1: user 1 has B(10) BEFORE A(20) -> B must not count; batch 2
+    // delivers a LATE A(5), which moves t_A earlier and makes B(10) count:
+    // the greedy chain is NOT incremental, the closer must re-derive it
+    val b1 = Seq(evt(1, 20, 1, "A"), evt(2, 10, 1, "B"), evt(3, 40, 2, "A"))
+    val b2 = Seq(evt(4, 5, 1, "A"))
+    def drain(events: Seq[Evt]): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      val acts = ms.toDF().select(col("user_id"), col("event_type"),
+        EventStreams.eventTime(ms.toDF()).as("t"))
+      EventStreams.sinkUpsertToTable(acts, "funnel_acts_t",
+        Seq("user_id", "event_type", "t"),
+        java.nio.file.Files.createTempDirectory("graft_ckpt_fn").toString)
+    }
+    drain(b1)
+    val before = EventStreams.funnelProfile(spark.table("funnel_acts_t"),
+      "event_type", Seq("A", "B"), tsCol = "t")
+      .where(col("step") === 2).collect()(0).getLong(2)
+    assert(before == 0L, "B-before-A must not count before the late arrival")
+    drain(b2)
+    val got = rows(EventStreams.funnelProfile(spark.table("funnel_acts_t"),
+      "event_type", Seq("A", "B"), tsCol = "t"))
+    val want = rows(EventStreams.funnelProfile((b1 ++ b2).toDF(),
+      "event_type", Seq("A", "B")))
+    assert(got == want, "stored-activity closer must equal the all-events batch face")
+    val after = EventStreams.funnelProfile(spark.table("funnel_acts_t"),
+      "event_type", Seq("A", "B"), tsCol = "t")
+      .where(col("step") === 2).collect()(0).getLong(2)
+    assert(after == 1L, "the late step-1 event must rewrite the chain")
+  }
+
+  // ---- calibration monitoring sink (round-11 verdict ask #4) --------------
+
+  test("calibration sink: additive merges converge to the batch face; all-invalid group kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS cal_sink_t")
+    val b1 = Seq(("a", 0.10, 0), ("a", 0.15, 1), ("a", 0.90, 1), ("b", 0.50, 0))
+    // group z arrives with ONLY out-of-range scores: the batch face keeps
+    // it (full spine, null ece) and the sink must converge to that
+    val b2 = Seq(("a", 0.12, 0), ("b", 0.55, 1), ("z", 2.0, 1), ("z", 2.0, 0))
+    def drain(rowsIn: Seq[(String, Double, Int)]): Unit = {
+      val ms = MemoryStream[(String, Double, Int)]
+      ms.addData(rowsIn: _*)
+      EventStreams.sinkCalibrationUpsertToTable(
+        ms.toDF().toDF("g", "score", "label"), "score", "label", "cal_sink_t",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_cal").toString,
+        buckets = 4, groupBy = Seq("g"))
+    }
+    drain(b1)
+    drain(b2)
+    val visible = Seq("g", "bucket", "bucket_lo", "bucket_hi", "n",
+      "score_avg", "pos_rate", "ece")
+    val got = rows(spark.table("cal_sink_t").select(visible.map(col): _*))
+    val want = rows(Chain(spark, "calall", (b1 ++ b2).toDF("g", "score", "label"))
+      .calibrationProfile("score", "label", 4, groupBy = Seq("g")).df
+      .select(visible.map(col): _*))
+    assert(got == want, "stored table must equal the batch face over all delivered rows")
+    val z = spark.table("cal_sink_t").where(col("g") === "z")
+    assert(z.count() == 4 && z.where(col("ece").isNotNull).count() == 0,
+      "all-invalid group: full spine, null ece")
+  }
+
+  test("calibration sink ungrouped: converges; empty stream never creates the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS cal_sink_u")
+    val b1 = Seq((0.10, 0), (0.90, 1))
+    val b2 = Seq((0.30, 1), (Double.NaN, 1))
+    def drain(rowsIn: Seq[(Double, Int)], name: String): Unit = {
+      val ms = MemoryStream[(Double, Int)]
+      if (rowsIn.nonEmpty) ms.addData(rowsIn: _*)
+      EventStreams.sinkCalibrationUpsertToTable(
+        ms.toDF().toDF("score", "label"), "score", "label", name,
+        java.nio.file.Files.createTempDirectory("graft_ckpt_calu").toString,
+        buckets = 4)
+    }
+    drain(b1, "cal_sink_u")
+    drain(b2, "cal_sink_u")
+    val visible = Seq("bucket", "bucket_lo", "bucket_hi", "n",
+      "score_avg", "pos_rate", "ece")
+    val got = rows(spark.table("cal_sink_u").select(visible.map(col): _*))
+    val want = rows(Chain(spark, "calu", (b1 ++ b2).toDF("score", "label"))
+      .calibrationProfile("score", "label", 4).df.select(visible.map(col): _*))
+    assert(got == want)
+    spark.sql("DROP TABLE IF EXISTS cal_sink_never")
+    drain(Nil, "cal_sink_never")
+    assert(!spark.catalog.tableExists("cal_sink_never"),
+      "an all-empty stream must not create the table (and must not throw)")
+  }
+
+  // ---- at-least-once replay guard (ADVICE, medium) -------------------------
+
+  test("replay guard: a re-fired batchId is skipped, a rotated checkpoint is not") {
+    spark.sql("DROP TABLE IF EXISTS guard_t")
+    spark.range(1).toDF("x").write.format("parquet").saveAsTable("guard_t")
+    assert(!EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/a", 0),
+      "no marker yet: batch 0 must apply")
+    EventStreams.markBatchApplied(spark, "guard_t", "/ck/a", 0)
+    assert(EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/a", 0),
+      "re-fired batch 0 must be skipped")
+    assert(!EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/a", 1),
+      "the next batch must apply")
+    assert(!EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/b", 0),
+      "a NEW checkpoint restarts ids at 0 — a deliberate reprocess, not a replay")
+    EventStreams.markBatchApplied(spark, "guard_t", "/ck/a", 1)
+    assert(EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/a", 0) &&
+      EventStreams.batchAlreadyApplied(spark, "guard_t", "/ck/a", 1),
+      "marker is monotone: every batch at or below it is applied")
+    assert(!EventStreams.batchAlreadyApplied(spark, "guard_missing_t", "/ck/a", 0),
+      "no table: nothing was ever applied")
+  }
+
+  // ---- one-scan plan shapes (round-11 verdict asks #5, #6) -----------------
+
+  test("calibration_profile grouped: ONE corpus scan in the physical plan") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("score", expr("CAST(event_id % 89 AS DOUBLE) / CAST(89 AS DOUBLE)"))
+      .withColumn("label", expr("CAST(event_id % 3 = 0 AS INT)"))
+    val df = Chain(spark, "cal_scan", ev)
+      .calibrationProfile("score", "label", 8, groupBy = Seq("event_type")).df
+    df.collect()
+    val scans = countScans(df.queryExecution.executedPlan)
+    assert(scans == 1,
+      s"grouped calibration must scan the corpus exactly once, got $scans")
+  }
+
+  test("quantile-drift ops: reference side collected once, absent from the lazy plan") {
+    // the reference comes from a DIFFERENT file than the events side, so
+    // its absence from the plan is checkable by path
+    val ref = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_quantity").as("value"))
+    val ddf = EventStreams.driftByWindowQuantile(
+      spark.read.parquet(s"$sfDir/events.parquet"), ref, "value", "1 hour", 4,
+      k = 1024)
+    assert(!ddf.queryExecution.analyzed.toString.contains("lineitem"),
+      "driftByWindowQuantile: the reference must ride the plan as literals")
+    assert(ddf.count() > 0)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pq = Chain(spark, "liq", li.where("l_suppkey % 2 = 0"))
+      .psiQuantileProfile(li.where("l_suppkey % 2 = 1"), "l_extendedprice", 4).df
+    pq.collect()
+    val scans = countScans(pq.queryExecution.executedPlan)
+    assert(scans == 1,
+      s"psiQuantileProfile: only `other` may appear in the lazy plan, got $scans scans")
+  }
+
+  // ---- bench gate confirmation model (round-11 verdict ask #1) -------------
+
+  test("bench confirmation: only gate-breaching queries are re-timed") {
+    import graft.Bench.{confirmTargets, parseBaseline}
+    assert(confirmTargets(Map("q_a" -> 1.0), Map("q_a" -> 1.6)) == Seq("q_a"),
+      "a 1.6x regression over the floors is a target")
+    assert(confirmTargets(Map("q_a" -> 0.05), Map("q_a" -> 0.1)).isEmpty,
+      "below the 0.15s absolute floor a ratio crossing is jitter")
+    assert(confirmTargets(Map("q_a" -> 0.11), Map("q_a" -> 0.2)).isEmpty,
+      "below the 0.25s delta floor a ratio crossing is noise")
+    assert(confirmTargets(Map.empty, Map("q_a" -> 9.0)).isEmpty,
+      "new queries have no baseline to breach")
+    assert(confirmTargets(Map("q_a" -> 1.0), Map("q_a" -> 1.4)).isEmpty,
+      "under the 1.5x threshold nothing re-times")
+    // min-keeping convergence: one clean confirmation timing empties the
+    // target set — a single slow pass (or two) cannot redden the gate
+    val base = Map("q_a" -> 1.0, "q_b" -> 1.0)
+    val afterStall = Map("q_a" -> 1.8, "q_b" -> 1.1)
+    assert(confirmTargets(base, afterStall) == Seq("q_a"))
+    val afterConfirm = afterStall.updated("q_a", math.min(1.8, 1.05))
+    assert(confirmTargets(base, afterConfirm).isEmpty,
+      "a clean re-time clears the breach — only all-passes-slow survives")
+    val parsed = parseBaseline(
+      """{"queries":{"q_x":1.234,"q_y":0.5},"skipped":["q_z"],"metric":"total","value":9.9}""")
+    assert(parsed == Map("q_x" -> 1.234, "q_y" -> 0.5),
+      "summary-line parse: per-query seconds only, skipped names ignored")
+  }
+
+  // ---- reserved-name guards (ADVICE, low) ----------------------------------
+
+  test("reserved-name guards: grouped/windowed ops refuse colliding key columns") {
+    val df = Seq((1.0, "x")).toDF("v", "n")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g1", df).trimmedMeanSketch("v", 0.1, groupBy = Seq("n"))
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g2", df).quantileProfileSketch(Seq("v"), Seq(0.5), groupBy = Seq("n"))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.quantilesByWindow(df, "v", "1 hour", Seq(0.5), keys = Seq("value"))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.funnelProfile(df, "event_type", Seq("A"), groupBy = Seq("n_users"))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.funnelLatency(df, "event_type", Seq("A", "B"), Seq(0.5),
+        groupBy = Seq("prob"))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.cohortRetention(df, groupBy = Seq("period"))
+    }
+  }
+
+  // ---- weighted n-way RRF (round-11 verdict ask #7) ------------------------
+
+  test("rrf_fuse_weighted: hand-verified three-list weighted fusion") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val cL = Seq((1L, 10L, 1), (1L, 13L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Chain(spark, "rw_a", a)
+      .rrfFuseWeighted(Seq((Chain(spark, "rw_b", b), 0.5),
+        (Chain(spark, "rw_c", cL), 0.25)), selfWeight = 1.0, k = 4)
+      .df.collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    def c0(r: Int) = 1.0 / (60.0 + r)
+    def c1(r: Int) = 0.5 / (60.0 + r)
+    def c2(r: Int) = 0.25 / (60.0 + r)
+    // fixed left-assoc fold: (c0 + c1) + c2 — asserted EXACTLY
+    assert(out(10L)._1 == c0(1) + 0.0 + c2(1), "doc 10: lists 0 and 2")
+    assert(out(11L)._1 == c0(2) + c1(1) + 0.0, "doc 11: lists 0 and 1")
+    assert(out(12L)._1 == 0.0 + c1(2) + 0.0, "doc 12: list 1 only")
+    assert(out(13L)._1 == 0.0 + 0.0 + c2(2), "doc 13: list 2 only")
+    // doc 11 (1/62 + 0.5/61 ≈ .0243) outranks doc 10 (1.25/61 ≈ .0205)
+    assert(out(11L)._2 == 1 && out(10L)._2 == 2, "weights re-rank the fusion")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "rw_a2", a).rrfFuseWeighted(Seq((Chain(spark, "rw_b2", b), 0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "rw_a3", a).rrfFuseWeighted(Nil)
+    }
+  }
+}

@@ -41,6 +41,20 @@ ANNOTATIONS = {
     # of id alone (a doc_id repeated under two sources silently merged both
     # docs before); the wider keys cost ~0.14s at sf0.1.
     "q_strip_boilerplate": "regroup/rejoin on group ++ id (same-id-two-groups fix)",
+    # round 12 (verdict ask #8 glance): 0.266 -> 0.322 (1.21x) — but the
+    # WHOLE run drifted 1.14x median vs the round-11 baseline on untouched
+    # trivial queries (q_cast 1.62x, q_datediff 1.53x), so the residual is
+    # ~1.06x: the template path moves with the host, it is not specially
+    # regressed. Cost is render + temp view + one aggregate; nothing in
+    # the path changed since round 9.
+    "q_named_transform": "moves with whole-run host drift (residual ~1.06x); template path unchanged",
+    # round 12: the single-reference-scan refactor collects cutoffs and
+    # reference bucket counts EAGERLY at op-construction (persist + two
+    # bounded driver jobs instead of one lazy two-scan plan). At sf0.1 the
+    # extra job launches read as tens of ms; at 100 TB the removed second
+    # reference scan is the real cost. Intentional trade.
+    "q_psi_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
+    "q_events_drift_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
 }
 
 
