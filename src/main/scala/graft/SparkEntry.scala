@@ -1127,6 +1127,17 @@ object SparkEntry {
         EventStreams.funnelProfile(ev, "event_type",
           Seq("signup", "click", "purchase"), groupBy = Seq("seg"))
       }),
+      // the segmented time-to-convert census: per-segment KLL latency
+      // quantiles over the same per-(seg, user) greedy chain; completing
+      // users per segment stay far below k, so the readouts are exact
+      // inclusive-rank order statistics and the oracle replays them
+      "q_funnel_latency_grouped" -> ((s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = readEvents(s, d).withColumn("seg",
+          expr("CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END"))
+        EventStreams.funnelLatency(ev, "event_type",
+          Seq("signup", "click", "purchase"), Seq(0.5, 0.95), groupBy = Seq("seg"))
+      }),
       // the SEGMENTED cohort grid (per-platform retention): a user is
       // cohorted by their first active day WITHIN each segment
       "q_cohort_grouped" -> ((s, d) => {
@@ -1134,6 +1145,18 @@ object SparkEntry {
         val ev = readEvents(s, d).withColumn("platform",
           expr("CASE WHEN user_id % 2 = 0 THEN 'ios' ELSE 'android' END"))
         EventStreams.cohortRetention(ev, groupBy = Seq("platform"))
+      }),
+      // the SEGMENTED agreement census (per-cohort rater QC): kappa,
+      // marginals, and chance agreement computed independently per
+      // segment — the grouped face of q_agreement, oracled end to end
+      "q_agreement_grouped" -> ((s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .withColumn("seg", expr("CASE WHEN c_custkey % 2 = 0 THEN 'e' ELSE 'o' END"))
+          .withColumn("rb", expr(
+            "CAST(CASE WHEN c_custkey % 7 = 0 THEN 'BUILDING' ELSE c_mktsegment END AS STRING)"))
+        Chain(s, "cust_ag", cust)
+          .agreementProfile("c_mktsegment", "rb", groupBy = Seq("seg")).df
       }),
       // batch face of the calibration monitoring sink, exercising the
       // GROUPED one-scan path: per-event-type reliability census with a
@@ -1856,6 +1879,29 @@ object SparkEntry {
         s"SELECT label, n_a, n_b, n_agree, $po AS po, _pe AS pe, " +
         s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($po - _pe) / (1.0 - _pe) END AS kappa, n " +
         "FROM cl CROSS JOIN t CROSS JOIN st"
+    },
+    "q_agreement_grouped" -> {
+      // the grouped face: every join/count/closing keyed by (seg, label)
+      // or seg — same 1e-12 fixed-point pe regime as q_agreement
+      val vb = "CAST(CASE WHEN c_custkey % 7 = 0 THEN 'BUILDING' ELSE c_mktsegment END AS VARCHAR)"
+      val src = "SELECT CASE WHEN c_custkey % 2 = 0 THEN 'e' ELSE 'o' END AS seg, " +
+        s"CAST(c_mktsegment AS VARCHAR) AS va, $vb AS vb " +
+        s"FROM customer WHERE c_mktsegment IS NOT NULL AND $vb IS NOT NULL"
+      val peTerm = "CAST(FLOOR((CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)"
+      val po = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"WITH src AS ($src), " +
+        "cl AS (SELECT seg, label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
+        "COALESCE(n_agree, 0) AS n_agree FROM " +
+        "(SELECT seg, va AS label, COUNT(*) AS n_a FROM src GROUP BY 1, 2) " +
+        "FULL JOIN (SELECT seg, vb AS label, COUNT(*) AS n_b FROM src GROUP BY 1, 2) USING (seg, label) " +
+        "LEFT JOIN (SELECT seg, va AS label, COUNT(*) AS n_agree FROM src WHERE va = vb GROUP BY 1, 2) USING (seg, label)), " +
+        "t AS (SELECT seg, COUNT(*) AS n FROM src GROUP BY 1), " +
+        s"st AS (SELECT seg, CAST(SUM(n_agree) AS BIGINT) AS _agree, " +
+        s"CAST(SUM($peTerm) AS DOUBLE) / 1000000000000 AS _pe FROM cl JOIN t USING (seg) GROUP BY 1) " +
+        s"SELECT seg, label, n_a, n_b, n_agree, $po AS po, _pe AS pe, " +
+        s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($po - _pe) / (1.0 - _pe) END AS kappa, n " +
+        "FROM cl JOIN t USING (seg) JOIN st USING (seg)"
     },
     "q_cross_table" -> {
       // the op's SQL face replayed over customer with DuckDB spellings
@@ -2812,6 +2858,32 @@ object SparkEntry {
           "SELECT seg, step, step_value, n_users, CASE WHEN n1 = 0 THEN NULL ELSE " +
           "CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conv_rate FROM (" +
           Seq(row(1, "signup"), row(2, "click"), row(3, "purchase")).mkString(" UNION ALL ") + ")"
+      },
+      "q_funnel_latency_grouped" -> {
+        // the grouped chain replayed with (seg, user)-keyed joins, then
+        // the per-segment inclusive-rank search over per-user latencies
+        def lat(join: String, src: String) =
+          s"SELECT seg, CAST(lat AS DOUBLE) / 1000000.0 AS lat, " +
+            "ROW_NUMBER() OVER (PARTITION BY seg ORDER BY lat) AS rn, " +
+            "COUNT(*) OVER (PARTITION BY seg) AS n FROM " +
+            s"(SELECT s1.seg, date_diff('microsecond', s1.tp, $join) AS lat " +
+            s"FROM $src JOIN s1 ON $src.seg = s1.seg AND $src.user_id = s1.user_id)"
+        def branch(i: Int, st: String, src: String, p: String) =
+          s"SELECT seg, $i AS step, '$st' AS step_value, CAST('$p' AS DOUBLE) AS prob, " +
+            s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN lat END) AS seconds, " +
+            s"COUNT(*) AS n FROM $src GROUP BY seg HAVING COUNT(*) > 0"
+        s"WITH e AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS seg, " +
+          s"user_id, $evT AS t, event_type FROM events), " +
+          "s1 AS (SELECT seg, user_id, MIN(t) AS tp FROM e WHERE event_type = 'signup' GROUP BY 1, 2), " +
+          "s2 AS (SELECT e.seg, e.user_id, MIN(t) AS tp FROM e JOIN s1 ON e.seg = s1.seg AND e.user_id = s1.user_id " +
+          "WHERE event_type = 'click' AND t > s1.tp GROUP BY 1, 2), " +
+          "s3 AS (SELECT e.seg, e.user_id, MIN(t) AS tp FROM e JOIN s2 ON e.seg = s2.seg AND e.user_id = s2.user_id " +
+          "WHERE event_type = 'purchase' AND t > s2.tp GROUP BY 1, 2), " +
+          s"r2 AS (${lat("s2.tp", "s2")}), " +
+          s"r3 AS (${lat("s3.tp", "s3")}) " +
+          Seq(branch(2, "click", "r2", "0.5"), branch(2, "click", "r2", "0.95"),
+            branch(3, "purchase", "r3", "0.5"), branch(3, "purchase", "r3", "0.95"))
+            .mkString(" UNION ALL ")
       },
       "q_cohort_grouped" -> {
         // the per-platform grid: cohorts per (platform, user) first day

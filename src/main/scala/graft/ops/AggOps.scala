@@ -1448,48 +1448,8 @@ final class AggOps(private val c: Chain) extends AnyVal {
     require(groupBy.intersect(reservedAg).isEmpty,
       s"agreement_profile group columns collide with output names " +
         s"${groupBy.intersect(reservedAg).mkString(", ")} — rename first")
-    val both = col(colA).isNotNull && col(colB).isNotNull
-    val va = col(colA).cast("string")
-    val vb = col(colB).cast("string")
-    val g = groupBy.map(col)
-    // melt each valid row to (label, side) pairs: side 0 = rater A's
-    // label, side 1 = rater B's; agreement rides side 0 as a flag so the
-    // diagonal needs no third pass
-    val melted = c.df.where(both).select((g :+ explode(array(
-      struct(va.as("_l"), lit(0).as("_s"), (va === vb).cast("long").as("_agr")),
-      struct(vb.as("_l"), lit(1).as("_s"), lit(0L).as("_agr")))).as("_m")): _*)
-      .select((g ++ Seq(col("_m._l").as("label"), col("_m._s").as("_s"),
-        col("_m._agr").as("_agr"))): _*)
-    val classFrame = melted.groupBy((g :+ col("label")): _*).agg(
-      sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_b"),
-      sum(col("_agr")).as("n_agree"))
-    val tot =
-      if (groupBy.isEmpty) classFrame.agg(sum(col("n_a")).as("n"))
-      else classFrame.groupBy(g: _*).agg(sum(col("n_a")).as("n"))
-    val classes =
-      if (groupBy.isEmpty) classFrame.crossJoin(broadcast(tot))
-      else classFrame.join(tot, groupBy)
-    val nD = col("n").cast("double")
-    val peTerm = floor((col("n_a").cast("double") / nD) *
-      (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
-    // overall stats close over the BOUNDED class frame: exact integer
-    // sums, one double division each — deterministic at any partitioning
-    val statAggs = Seq(
-      sum(col("n_agree")).as("_agree"),
-      (sum(peTerm.cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("_pe"))
-    val stats =
-      if (groupBy.isEmpty) classes.agg(statAggs.head, statAggs.tail: _*)
-      else classes.groupBy(g: _*).agg(statAggs.head, statAggs.tail: _*)
-    val withStats =
-      if (groupBy.isEmpty) classes.crossJoin(broadcast(stats))
-      else classes.join(stats, groupBy)
-    val po = col("_agree").cast("double") / nD
-    val kappa = when(lit(1.0) - col("_pe") === lit(0.0), lit(null).cast("double"))
-      .otherwise((po - col("_pe")) / (lit(1.0) - col("_pe")))
-    val df2 = withStats
-      .select((g ++ Seq(col("label"), col("n_a"), col("n_b"), col("n_agree"),
-        po.as("po"), col("_pe").as("pe"), kappa.as("kappa"), col("n"))): _*)
+    val df2 = AggOps.agreementClose(
+      AggOps.agreementClassFrame(c.df, colA, colB, groupBy), groupBy)
     val bothS = s"${Naming.quoteId(colA)} IS NOT NULL AND ${Naming.quoteId(colB)} IS NOT NULL"
     val vaS = s"CAST(${Naming.quoteId(colA)} AS STRING)"
     val vbS = s"CAST(${Naming.quoteId(colB)} AS STRING)"
@@ -2013,6 +1973,69 @@ private[graft] object AggOps {
       .agg(graft.functions.KllSketches.sketchAgg(x, k).as("_sk"))
       .select((1 until buckets).map(i => graft.functions.KllSketches
         .quantile(col("_sk"), i.toDouble / buckets).as(s"_cut$i")): _*)
+  }
+
+  /** The agreement census' per-(group, label) accumulator frame —
+    * (n_a, n_b, n_agree), all plain additive longs, from ONE melted
+    * aggregate over the valid rows (side 0 = rater A's label, side 1 =
+    * rater B's; agreement rides side 0 so the diagonal needs no third
+    * pass). Shared by [[graft.ops.AggOps.agreementProfile]] and the
+    * streaming agreement sink, whose stored rows ARE this frame: the
+    * counts merge additively across batches into exactly the frame the
+    * batch face would compute over all delivered rows.
+    */
+  private[graft] def agreementClassFrame(df: DataFrame, colA: String,
+                                         colB: String,
+                                         groupBy: Seq[String]): DataFrame = {
+    val both = col(colA).isNotNull && col(colB).isNotNull
+    val va = col(colA).cast("string")
+    val vb = col(colB).cast("string")
+    val g = groupBy.map(col)
+    val melted = df.where(both).select((g :+ explode(array(
+      struct(va.as("_l"), lit(0).as("_s"), (va === vb).cast("long").as("_agr")),
+      struct(vb.as("_l"), lit(1).as("_s"), lit(0L).as("_agr")))).as("_m")): _*)
+      .select((g ++ Seq(col("_m._l").as("label"), col("_m._s").as("_s"),
+        col("_m._agr").as("_agr"))): _*)
+    melted.groupBy((g :+ col("label")): _*).agg(
+      sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(col("_agr")).as("n_agree"))
+  }
+
+  /** Close a (groups, label, n_a, n_b, n_agree) class frame into the
+    * agreement_profile output: per-group total n, observed agreement po,
+    * 1e-12 fixed-point chance agreement pe, and the guarded kappa (null
+    * at pe = 1, never a zero divide). Every closing runs over the
+    * BOUNDED class frame — exact integer sums, one double division each,
+    * deterministic at any partitioning.
+    */
+  private[graft] def agreementClose(classFrame: DataFrame,
+                                    groupBy: Seq[String]): DataFrame = {
+    val g = groupBy.map(col)
+    val tot =
+      if (groupBy.isEmpty) classFrame.agg(sum(col("n_a")).as("n"))
+      else classFrame.groupBy(g: _*).agg(sum(col("n_a")).as("n"))
+    val classes =
+      if (groupBy.isEmpty) classFrame.crossJoin(broadcast(tot))
+      else classFrame.join(tot, groupBy)
+    val nD = col("n").cast("double")
+    val peTerm = floor((col("n_a").cast("double") / nD) *
+      (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
+    val statAggs = Seq(
+      sum(col("n_agree")).as("_agree"),
+      (sum(peTerm.cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("_pe"))
+    val stats =
+      if (groupBy.isEmpty) classes.agg(statAggs.head, statAggs.tail: _*)
+      else classes.groupBy(g: _*).agg(statAggs.head, statAggs.tail: _*)
+    val withStats =
+      if (groupBy.isEmpty) classes.crossJoin(broadcast(stats))
+      else classes.join(stats, groupBy)
+    val po = col("_agree").cast("double") / nD
+    val kappa = when(lit(1.0) - col("_pe") === lit(0.0), lit(null).cast("double"))
+      .otherwise((po - col("_pe")) / (lit(1.0) - col("_pe")))
+    withStats
+      .select((g ++ Seq(col("label"), col("n_a"), col("n_b"), col("n_agree"),
+        po.as("po"), col("_pe").as("pe"), kappa.as("kappa"), col("n"))): _*)
   }
 
   /** Collect a [[kllCutoffs]] one-row frame (a bounded declared driver

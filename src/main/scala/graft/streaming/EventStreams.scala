@@ -1184,6 +1184,121 @@ object EventStreams {
     q
   }
 
+  /** The streaming funnel composition as a first-class API (the posture
+    * [[funnelProfile]]'s docstring pins, so nobody invents a wrong
+    * incremental one): drain the stream into a deduplicated
+    * (groups, user, step, ts) activity table via the idempotent
+    * key-upsert sink, then close with `funnelProfile(spark.table(name),
+    * stepCol, steps, tsCol = "ts", groupBy = groups)` on report cadence.
+    * Events outside the step set are filtered BEFORE the upsert (the
+    * predicate pushes into the stream), so the stored activity is
+    * bounded by the deduplicated step events — far smaller than the raw
+    * stream when events repeat. The closer must RE-DERIVE the greedy
+    * chain from the complete stored activity: a late step-1 event moves
+    * t_1 earlier and can invalidate or create later completions
+    * (Round12Spec pins the late-data convergence), which is exactly why
+    * no incremental chain state is stored. Re-deliveries overwrite
+    * themselves (key-upsert), so this sink needs no batch-replay guard.
+    */
+  def sinkFunnelActivityToTable(events: DataFrame, stepCol: String,
+                                steps: Seq[String], name: String,
+                                checkpointDir: String,
+                                userCol: String = "user_id",
+                                tsCol: String = "ts",
+                                groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
+    val acts = events.where(col(stepCol).isInCollection(steps))
+      .select((groupBy.map(col) ++ Seq(col(userCol), col(stepCol),
+        eventTime(events, tsCol).as("ts"))): _*)
+    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, stepCol, "ts"),
+      checkpointDir)
+  }
+
+  /** Streaming face of [[graft.ops.AggOps.agreementProfile]] — the
+    * inter-annotator-agreement member of the model-monitoring sink
+    * family, next to drift and calibration: Cohen's-kappa label QC
+    * maintained continuously over a double-scored stream (model vs.
+    * model, model vs. human audit), so the "are the two raters still
+    * agreeing" readout is always current without rescanning history.
+    *
+    * Per batch: ONE melted aggregate of the batch's valid rows builds
+    * the (groups, label, n_a, n_b, n_agree) class frame (the shared
+    * [[graft.ops.AggOps.agreementClassFrame]] kernel — all plain
+    * additive longs), the counts MERGE additively into the stored rows
+    * (so the stored class frame always equals the batch face's over all
+    * delivered rows — convergence spec-pinned in Round12Spec), and
+    * n/po/pe/kappa recompute for every group in the touched `_pb`
+    * buckets via the shared [[graft.ops.AggOps.agreementClose]] closing.
+    * The table stores the batch face's full output (the count columns
+    * ARE the accumulators — no hidden state columns needed). Rows with
+    * a null on either side are excluded, exactly like the batch face;
+    * additive, so a re-fired batch is skipped by [[batchAlreadyApplied]]
+    * (residual window documented there).
+    *
+    * Scale shape: the per-batch aggregate is map-side combined and its
+    * output is ≤ groups × labels rows; the old side is partition-pruned
+    * to touched buckets; nothing corpus-sized is ever re-read.
+    */
+  def sinkAgreementUpsertToTable(events: DataFrame, colA: String, colB: String,
+                                 name: String, checkpointDir: String,
+                                 groupBy: Seq[String] = Nil,
+                                 profileBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(colA != colB, "sink_agreement needs two distinct columns")
+    require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
+    val reservedAg = Seq("label", "n_a", "n_b", "n_agree", "po", "pe",
+      "kappa", "n", "_pb")
+    require(groupBy.intersect(reservedAg).isEmpty,
+      s"sink_agreement group columns collide with output names " +
+        s"${groupBy.intersect(reservedAg).mkString(", ")} — rename first")
+    val session = events.sparkSession
+    val accCols = Seq("n_a", "n_b", "n_agree")
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+          val bc = graft.ops.AggOps.agreementClassFrame(batch, colA, colB, groupBy)
+          val pbCol =
+            if (groupBy.isEmpty) lit(0)
+            else pmod(hash(groupBy.map(col): _*), lit(profileBuckets))
+          if (!spark.catalog.tableExists(name)) {
+            graft.ops.AggOps.agreementClose(bc, groupBy).withColumn("_pb", pbCol)
+              .write.partitionBy("_pb").format("parquet").saveAsTable(name)
+          } else {
+            // buckets this batch touches: bounded driver read used to
+            // partition-prune the old-side scan (the profile-sink pattern)
+            val touched =
+              if (groupBy.isEmpty) Seq(0)
+              else bc.select(pbCol.as("_pb")).distinct().collect()
+                .map(_.getInt(0)).toSeq
+            val keys = groupBy :+ "label"
+            val old = spark.table(name).where(col("_pb").isInCollection(touched))
+              .select((keys.map(col) ++ accCols.map(cn => col(cn).as(s"${cn}_old"))): _*)
+            val merged = bc
+              .select((keys.map(col) ++ accCols.map(cn => col(cn).as(s"${cn}_new"))): _*)
+              .join(old, keys, "full_outer")
+              .select((keys.map(col) ++ accCols.map(cn =>
+                (coalesce(col(s"${cn}_new"), lit(0L)) +
+                  coalesce(col(s"${cn}_old"), lit(0L))).as(cn))): _*)
+            val out = graft.ops.AggOps.agreementClose(merged, groupBy)
+              .withColumn("_pb", pbCol).localCheckpoint()
+            dynamicOverwrite(spark, out, name)
+            out.unpersist()
+          }
+          markBatchApplied(spark, name, checkpointDir, batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // guarded: an all-empty stream never created the table
+    if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
+    q
+  }
+
   /** quantiles_by_window(events, value_col, width, probs, keys): per-
     * tumbling-window quantile profile of a numeric column — the latency/
     * size/score distribution as a time series ("what was p95 event value
@@ -1401,9 +1516,9 @@ object EventStreams {
     * one scan, one exchange; the closing aggregate is segment-sized.
     *
     * Streaming: this closer COMPOSES with [[sinkUpsertToTable]], exactly
-    * like [[cohortRetention]] — drain the stream into a deduplicated
-    * (user, step, ts) activity table with `sinkUpsertToTable(df.select(
-    * user, step, ts), name, keys = Seq(user, step, ts), ...)` (idempotent:
+    * like [[cohortRetention]] — [[sinkFunnelActivityToTable]] is the
+    * composition as a first-class API: drain the stream into a
+    * deduplicated (user, step, ts) activity table (idempotent:
     * re-deliveries overwrite themselves) and run `funnelProfile` over the
     * stored table on report cadence. The greedy chain is NOT incremental —
     * a late step-1 event can move t_1 earlier and invalidate a previously

@@ -149,30 +149,32 @@ class Round12Spec extends AnyFunSuite {
     // batch 1: user 1 has B(10) BEFORE A(20) -> B must not count; batch 2
     // delivers a LATE A(5), which moves t_A earlier and makes B(10) count:
     // the greedy chain is NOT incremental, the closer must re-derive it
-    val b1 = Seq(evt(1, 20, 1, "A"), evt(2, 10, 1, "B"), evt(3, 40, 2, "A"))
+    // an off-funnel event type ("X") checks the pre-upsert step filter
+    val b1 = Seq(evt(1, 20, 1, "A"), evt(2, 10, 1, "B"), evt(3, 40, 2, "A"),
+      evt(9, 30, 1, "X"))
     val b2 = Seq(evt(4, 5, 1, "A"))
     def drain(events: Seq[Evt]): Unit = {
       val ms = MemoryStream[Evt]
       ms.addData(events: _*)
-      val acts = ms.toDF().select(col("user_id"), col("event_type"),
-        EventStreams.eventTime(ms.toDF()).as("t"))
-      EventStreams.sinkUpsertToTable(acts, "funnel_acts_t",
-        Seq("user_id", "event_type", "t"),
+      EventStreams.sinkFunnelActivityToTable(ms.toDF(), "event_type",
+        Seq("A", "B"), "funnel_acts_t",
         java.nio.file.Files.createTempDirectory("graft_ckpt_fn").toString)
     }
     drain(b1)
     val before = EventStreams.funnelProfile(spark.table("funnel_acts_t"),
-      "event_type", Seq("A", "B"), tsCol = "t")
+      "event_type", Seq("A", "B"))
       .where(col("step") === 2).collect()(0).getLong(2)
     assert(before == 0L, "B-before-A must not count before the late arrival")
     drain(b2)
+    assert(spark.table("funnel_acts_t").where(col("event_type") === "X").isEmpty,
+      "off-funnel events filter out before the upsert")
     val got = rows(EventStreams.funnelProfile(spark.table("funnel_acts_t"),
-      "event_type", Seq("A", "B"), tsCol = "t"))
+      "event_type", Seq("A", "B")))
     val want = rows(EventStreams.funnelProfile((b1 ++ b2).toDF(),
       "event_type", Seq("A", "B")))
     assert(got == want, "stored-activity closer must equal the all-events batch face")
     val after = EventStreams.funnelProfile(spark.table("funnel_acts_t"),
-      "event_type", Seq("A", "B"), tsCol = "t")
+      "event_type", Seq("A", "B"))
       .where(col("step") === 2).collect()(0).getLong(2)
     assert(after == 1L, "the late step-1 event must rewrite the chain")
   }
@@ -235,6 +237,39 @@ class Round12Spec extends AnyFunSuite {
     drain(Nil, "cal_sink_never")
     assert(!spark.catalog.tableExists("cal_sink_never"),
       "an all-empty stream must not create the table (and must not throw)")
+  }
+
+  test("agreement sink: additive class-frame merges converge to the batch face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS agree_sink_t")
+    // two raters drifting apart across batches; a null on either side
+    // drops the row on BOTH faces
+    val b1 = Seq(("g1", "x", "x"), ("g1", "x", "y"), ("g2", "x", "x"))
+    val b2 = Seq(("g1", "y", "y"), ("g1", "z", "x"), ("g2", null, "x"))
+    def drain(rowsIn: Seq[(String, String, String)]): Unit = {
+      val ms = MemoryStream[(String, String, String)]
+      ms.addData(rowsIn: _*)
+      EventStreams.sinkAgreementUpsertToTable(
+        ms.toDF().toDF("g", "a", "b"), "a", "b", "agree_sink_t",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_ag").toString,
+        groupBy = Seq("g"))
+    }
+    drain(b1)
+    drain(b2)
+    val got = rows(spark.table("agree_sink_t").drop("_pb"))
+    val want = rows(Chain(spark, "agall",
+      (b1 ++ b2).toDF("g", "a", "b"))
+      .agreementProfile("a", "b", groupBy = Seq("g")).df)
+    assert(got == want, "stored table must equal the batch face over all delivered rows")
+    // and empty stream: no table, no throw
+    spark.sql("DROP TABLE IF EXISTS agree_sink_never")
+    val ms = MemoryStream[(String, String, String)]
+    EventStreams.sinkAgreementUpsertToTable(ms.toDF().toDF("g", "a", "b"),
+      "a", "b", "agree_sink_never",
+      java.nio.file.Files.createTempDirectory("graft_ckpt_ag2").toString,
+      groupBy = Seq("g"))
+    assert(!spark.catalog.tableExists("agree_sink_never"))
   }
 
   // ---- at-least-once replay guard (ADVICE, medium) -------------------------
