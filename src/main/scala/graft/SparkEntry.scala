@@ -695,6 +695,15 @@ object SparkEntry {
         val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
         docs.flagContaminated(eval, "doc_id", "text", n = 8).df
       }),
+      // the persistent-index face: eval grams hashed ONCE into a saved
+      // set, probed per corpus batch — output-identical to the one-shot
+      // face (same oracle)
+      "q_text_decontaminate_index" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        val eval = t(s, d, "documents").filterRows(Seq("doc_id < 25"))
+        val idx = eval.contaminationIndex("text", n = 8)
+        docs.flagContaminatedIndex(idx.df, "doc_id", "text", n = 8).df
+      }),
       // blocklist-scale variant: Bloom prefilter map-side + exact confirm —
       // bit-identical output (same oracle), corpus-side join input shrinks
       // to the contaminated fraction
@@ -2468,6 +2477,14 @@ object SparkEntry {
         (s"SELECT *, 1.0 - CAST(len(${ngrams(3)}) AS DOUBLE) / " +
           s"(CASE WHEN len($toks) < 3 THEN 1 ELSE len($toks) - 2 END) AS text_rep_3 FROM documents"),
       "q_text_decontaminate" ->
+        (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
+          s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
+          "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +
+          "SELECT d.*, (h.doc_id IS NOT NULL) AS contaminated " +
+          "FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id"),
+      // the saved gram index changes WHERE the eval hashes live, not the
+      // flagged set — identical oracle to the one-shot face
+      "q_text_decontaminate_index" ->
         (s"WITH eg AS (SELECT DISTINCT unnest(${ngrams(8)}) AS g FROM documents WHERE doc_id < 25), " +
           s"cg AS (SELECT doc_id, unnest(${ngrams(8)}) AS g FROM documents), " +
           "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)) " +

@@ -457,6 +457,53 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     c.next("flag_contaminated", df2, None)
   }
 
+  /** contamination_index(text_col, n): the PERSISTENT half of
+    * incremental eval-set decontamination — the eval suite's distinct
+    * word-n-gram hash set as a one-column frame (`gram_hash`), the
+    * fourth member of the save-once index family (minhash postings,
+    * tf-idf postings, IVF cells). Save once with `save(name)` (or
+    * `saveBucketed(name, Seq("gram_hash"), b)` for a blocklist-sized
+    * suite); every corpus batch then probes the STORED set with
+    * [[flagContaminatedIndex]] instead of re-tokenizing and re-hashing
+    * the eval suite per run, and a NEW eval task appends its grams with
+    * `saveAppend` instead of rebuilding (duplicate hashes across appends
+    * are harmless — the probe re-distincts defensively, a bounded
+    * aggregate over the index side only).
+    */
+  def contaminationIndex(textCol: String, n: Int = 8): Chain =
+    c.next("contamination_index", c.df
+      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n))
+        .as("gram_hash"))
+      .distinct(), None)
+
+  /** flag_contaminated_index(index, id_col, text_col, n): the probe half
+    * — [[flagContaminated]] against a saved [[contaminationIndex]] frame
+    * (`spark.table(name)`), output-identical when the index covers the
+    * same eval set (oracle-equal by construction; same n REQUIRED — the
+    * hashes embed the shingle width). The corpus side is unchanged: one
+    * explode + broadcast semi-join, linear, no corpus shuffle. For a
+    * blocklist-sized index that no longer broadcasts comfortably, use
+    * [[flagContaminatedBloom]] — the Bloom fold + exact confirm is the
+    * big-blocklist scale path.
+    */
+  def flagContaminatedIndex(index: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8,
+                            flagCol: String = "contaminated"): Chain = {
+    require(index.columns.contains("gram_hash"),
+      s"index must have a gram_hash column from contaminationIndex; " +
+        s"got ${index.columns.mkString(", ")}")
+    val evalGrams = index.select(col("gram_hash").as("_h")).distinct()
+    val corpusGrams = c.df.select(col(idCol).as("_cid"),
+      explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+    val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
+      .select(col("_cid")).distinct()
+      .withColumn("_flag", lit(true))
+    val df2 = c.df.join(hit, col(idCol) === col("_cid"), "left")
+      .withColumn(flagCol, coalesce(col("_flag"), lit(false)))
+      .drop("_cid", "_flag")
+    c.next("flag_contaminated_index", df2, None)
+  }
+
   /** contamination_score(eval, id, text, n): the graded form of
     * [[flagContaminated]] — per document, the FRACTION of its distinct
     * word n-grams that appear anywhere in the eval set →

@@ -105,6 +105,19 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("funnel grouped + within: the deadline rides the per-segment chain") {
+    val df = Seq(
+      ("s1", 1L, 0L, "A"), ("s1", 1L, 5L, "B"),  // converts inside 10 min
+      ("s2", 1L, 0L, "A"), ("s2", 1L, 30L, "B")) // past the deadline
+      .map { case (g, u, m, tp) => (g, u, ldt(m), tp) }
+      .toDF("seg", "user_id", "ts", "event_type")
+    val got = EventStreams.funnelProfile(df, "event_type", Seq("A", "B"),
+      within = Some("10 MINUTES"), groupBy = Seq("seg")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("s1", 1) -> 1L, ("s1", 2) -> 1L,
+      ("s2", 1) -> 1L, ("s2", 2) -> 0L), s"got $got")
+  }
+
   test("cohort_retention grouped: cohorts anchored independently per segment") {
     val day = 24 * 60L
     val df = Seq(
@@ -379,6 +392,28 @@ class Round12Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EventStreams.cohortRetention(df, groupBy = Seq("period"))
     }
+  }
+
+  test("contamination index: saved-gram probe equals the one-shot face; appends stay fresh") {
+    val docs = table("documents")
+    val eval = docs.filterRows(Seq("doc_id < 25"))
+    spark.sql("DROP TABLE IF EXISTS contam_idx_t")
+    eval.contaminationIndex("text", n = 8).save("contam_idx_t", overwrite = true)
+    val probe = docs.flagContaminatedIndex(spark.table("contam_idx_t"),
+      "doc_id", "text", n = 8)
+    assert(rows(probe.df) == rows(docs.flagContaminated(eval, "doc_id", "text", n = 8).df),
+      "stored-index probe must equal the one-shot face")
+    probe.assertScaleSafe()
+    // a new eval task APPENDS its grams — the next probe sees them with
+    // no rebuild step (duplicate hashes across appends are re-distincted)
+    docs.filterRows(Seq("doc_id >= 25 AND doc_id < 30"))
+      .contaminationIndex("text", n = 8).saveAppend("contam_idx_t")
+    spark.catalog.refreshTable("contam_idx_t")
+    val evalAll = docs.filterRows(Seq("doc_id < 30"))
+    assert(rows(docs.flagContaminatedIndex(spark.table("contam_idx_t"),
+        "doc_id", "text", n = 8).df) ==
+      rows(docs.flagContaminated(evalAll, "doc_id", "text", n = 8).df),
+      "appended grams must be visible by construction")
   }
 
   // ---- weighted n-way RRF (round-11 verdict ask #7) ------------------------
