@@ -1088,6 +1088,13 @@ object SparkEntry {
       "q_events_quantiles" -> ((s, d) =>
         EventStreams.quantilesByWindow(readEvents(s, d), "value", "1 hour",
           Seq(0.5, 0.95), Seq("event_type"), k = 512)),
+      // the HOPPING face: 1-hour windows every 30 minutes — each event
+      // lands in two cells (that duplication IS the semantics; the
+      // oracle enumerates both explicitly). k = 4096 keeps every window
+      // (≈ 2 × the tumbling hourly count) exact through sf ~1
+      "q_events_quantiles_sliding" -> ((s, d) =>
+        EventStreams.quantilesByWindow(readEvents(s, d), "value", "1 hour",
+          Seq(0.5, 0.95), k = 4096, slide = Some("30 minutes"))),
       // ordered-step conversion: strictly-increasing first-completion
       // times through signup -> click -> purchase
       "q_funnel" -> ((s, d) =>
@@ -2963,6 +2970,24 @@ object SparkEntry {
           "w AS (SELECT window_start, event_type, x, " +
           "ROW_NUMBER() OVER (PARTITION BY window_start, event_type ORDER BY x ASC NULLS LAST) AS rn, " +
           "COUNT(x) OVER (PARTITION BY window_start, event_type) AS n FROM r) " +
+          branches.mkString(" UNION ALL ")
+      },
+      "q_events_quantiles_sliding" -> {
+        // the hopping face: each event enumerated into BOTH 1-hour
+        // windows that contain it (start = its 30-min bucket and that
+        // bucket − 30 min — the q_events_sliding convention), then the
+        // same inclusive-rank search per window
+        val xS = "CASE WHEN NOT isnan(CAST(value AS DOUBLE)) THEN CAST(value AS DOUBLE) END"
+        val branches = Seq(0.5, 0.95).map { p =>
+          s"SELECT window_start, CAST('$p' AS DOUBLE) AS prob, " +
+            s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END) AS value, " +
+            "COUNT(x) AS n FROM w GROUP BY 1 HAVING COUNT(x) > 0"
+        }
+        s"WITH u AS (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS window_start, $xS AS x FROM events " +
+          s"UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, $xS FROM events), " +
+          "w AS (SELECT window_start, x, " +
+          "ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY x ASC NULLS LAST) AS rn, " +
+          "COUNT(x) OVER (PARTITION BY window_start) AS n FROM u) " +
           branches.mkString(" UNION ALL ")
       },
       "q_json_extract" ->

@@ -1215,6 +1215,28 @@ object EventStreams {
       checkpointDir)
   }
 
+  /** The streaming cohort composition as a first-class API (the
+    * [[cohortRetention]] docstring's posture, sibling of
+    * [[sinkFunnelActivityToTable]]): drain the stream into a
+    * deduplicated (groups, user, day) activity table — one row per
+    * active user-day, far smaller than the event stream — and close
+    * with `cohortRetention(spark.table(name), userCol, "d", periodDays,
+    * groupBy)` on report cadence. Late data converges exactly because
+    * the closer re-derives cohorts from the COMPLETE stored activity
+    * (a late first-day event moves the user's cohort); re-deliveries
+    * overwrite themselves (key-upsert), so no batch-replay guard is
+    * needed.
+    */
+  def sinkCohortActivityToTable(events: DataFrame, name: String,
+                                checkpointDir: String,
+                                userCol: String = "user_id",
+                                tsCol: String = "ts",
+                                groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val acts = events.select((groupBy.map(col) ++ Seq(col(userCol),
+      to_date(eventTime(events, tsCol)).as("d"))): _*)
+    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"), checkpointDir)
+  }
+
   /** Streaming face of [[graft.ops.AggOps.agreementProfile]] — the
     * inter-annotator-agreement member of the model-monitoring sink
     * family, next to drift and calibration: Cohen's-kappa label QC
@@ -1299,8 +1321,9 @@ object EventStreams {
     q
   }
 
-  /** quantiles_by_window(events, value_col, width, probs, keys): per-
-    * tumbling-window quantile profile of a numeric column — the latency/
+  /** quantiles_by_window(events, value_col, width, probs, keys, slide):
+    * per-tumbling-window (hopping, with `slide` < width — each event
+    * then lands in width/slide cells) quantile profile of a numeric column — the latency/
     * size/score distribution as a time series ("what was p95 event value
     * each hour"), the quantile member of the windowed-census family next
     * to [[tumblingAgg]] (moments) and [[driftByWindowNumeric]] (shape
@@ -1322,7 +1345,7 @@ object EventStreams {
     */
   def quantilesByWindow(events: DataFrame, valueCol: String, width: String,
                         probs: Seq[Double], keys: Seq[String] = Nil,
-                        k: Int = 200): DataFrame = {
+                        k: Int = 200, slide: Option[String] = None): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles_by_window probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size, s"quantiles_by_window probs repeat: $probs")
@@ -1331,9 +1354,12 @@ object EventStreams {
       s"quantiles_by_window key columns collide with output names " +
         s"${keys.intersect(reservedQw).mkString(", ")} — rename first")
     val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
+    // slide < width = hopping windows (each event lands in width/slide
+    // cells — the duplication IS the semantics); default = tumbling
     val g = events
       .withColumn("_ts", eventTime(events))
-      .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+      .groupBy((window(col("_ts"), width, slide.getOrElse(width))
+        .getField("start").cast(TimestampNTZType)
         .as("window_start") +: keys.map(col)): _*)
       .agg(graft.functions.KllSketches.sketchAgg(xr, k).as("_sk"),
         count(xr).as("n"))
@@ -1446,9 +1472,11 @@ object EventStreams {
     */
   def heavyHittersByWindow(events: DataFrame, valueCol: String, width: String,
                            k: Int, keys: Seq[String] = Nil,
-                           maxMapSize: Int = 2048): DataFrame = {
+                           maxMapSize: Int = 2048,
+                           slide: Option[String] = None): DataFrame = {
     require(k > 0, s"heavy_hitters_by_window needs k > 0, got $k")
-    val head = window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+    val head = window(col("_ts"), width, slide.getOrElse(width))
+      .getField("start").cast(TimestampNTZType)
       .as("window_start") +: keys.map(col)
     val g = events
       .withColumn("_ts", eventTime(events))
@@ -1463,8 +1491,9 @@ object EventStreams {
         col("_h.est").as("cnt"), (col("_i") + 1).as("rank"))): _*)
   }
 
-  /** distinct_by_window(events, value_col, width, keys): per-tumbling-
-    * window distinct count — "how many unique users/pages each hour",
+  /** distinct_by_window(events, value_col, width, keys, slide): per-
+    * tumbling-window (hopping with `slide` < width) distinct count —
+    * "how many unique users/pages each hour",
     * completing the windowed census family (counts/sums = [[tumblingAgg]],
     * percentiles = [[quantilesByWindow]], heavy hitters =
     * [[heavyHittersByWindow]], shape drift = [[driftByWindow]]). One
@@ -1482,10 +1511,12 @@ object EventStreams {
     * cell, no distinct-shuffle of raw values, no window function.
     */
   def distinctByWindow(events: DataFrame, valueCol: String, width: String,
-                       keys: Seq[String] = Nil, lgConfigK: Int = 12): DataFrame = {
+                       keys: Seq[String] = Nil, lgConfigK: Int = 12,
+                       slide: Option[String] = None): DataFrame = {
     events
       .withColumn("_ts", eventTime(events))
-      .groupBy((window(col("_ts"), width).getField("start").cast(TimestampNTZType)
+      .groupBy((window(col("_ts"), width, slide.getOrElse(width))
+        .getField("start").cast(TimestampNTZType)
         .as("window_start") +: keys.map(col)): _*)
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col(valueCol), lit(lgConfigK))).as("n_distinct"),

@@ -192,6 +192,37 @@ class Round12Spec extends AnyFunSuite {
     assert(after == 1L, "the late step-1 event must rewrite the chain")
   }
 
+  test("streaming cohort wrapper: grouped activity upsert converges under late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS cohort_acts_g")
+    val day = 24 * 60L
+    // segment derived per event (user 1 active in both platforms); the
+    // late batch moves user 1's platform-a cohort from day 1 to day 0
+    val b1 = Seq(evt(1, day, 1, "e"), evt(2, day + 5, 1, "e"), evt(3, 10, 2, "e"))
+    val b2 = Seq(evt(5, 20, 1, "e"))
+    def withSeg(events: Seq[Evt]) =
+      events.toDF().withColumn("plat",
+        expr("CASE WHEN event_id % 2 = 0 THEN 'b' ELSE 'a' END"))
+    def drain(events: Seq[Evt]): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      EventStreams.sinkCohortActivityToTable(
+        ms.toDF().withColumn("plat",
+          expr("CASE WHEN event_id % 2 = 0 THEN 'b' ELSE 'a' END")),
+        "cohort_acts_g",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_cg").toString,
+        groupBy = Seq("plat"))
+    }
+    drain(b1)
+    drain(b2)
+    val got = rows(EventStreams.cohortRetention(spark.table("cohort_acts_g"),
+      "user_id", "d", groupBy = Seq("plat")))
+    val want = rows(EventStreams.cohortRetention(withSeg(b1 ++ b2),
+      "user_id", groupBy = Seq("plat")))
+    assert(got == want, "stored-activity closer must equal the all-events batch face")
+  }
+
   // ---- calibration monitoring sink (round-11 verdict ask #4) --------------
 
   test("calibration sink: additive merges converge to the batch face; all-invalid group kept") {
@@ -392,6 +423,30 @@ class Round12Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EventStreams.cohortRetention(df, groupBy = Seq("period"))
     }
+  }
+
+  test("sliding windowed censuses: each event lands in both hopping windows") {
+    // 1-hour windows hopping every 30 min: event at minute m belongs to
+    // the windows starting at floor30(m) and floor30(m) − 30
+    val ev = Seq(evt(1, 10, 1, "e"), evt(2, 40, 2, "e"), evt(3, 70, 1, "e"),
+      evt(4, 100, 3, "e")).toDF()
+    val d = EventStreams.distinctByWindow(ev, "user_id", "1 hour",
+      slide = Some("30 minutes")).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d == Map(
+      "2023-12-31T23:30" -> ((1L, 1L)),
+      "2024-01-01T00:00" -> ((2L, 2L)),
+      "2024-01-01T00:30" -> ((2L, 2L)),
+      "2024-01-01T01:00" -> ((2L, 2L)),
+      "2024-01-01T01:30" -> ((1L, 1L))), s"got $d")
+    val h = EventStreams.heavyHittersByWindow(ev, "user_id", "1 hour", k = 2,
+      slide = Some("30 minutes")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toString, r.getInt(3)) ->
+        r.getString(1)).toMap
+    // window 00:00 holds users 1 and 2 once each — (cnt DESC, item ASC)
+    assert(h(("2024-01-01T00:00", 1)) == "1" && h(("2024-01-01T00:00", 2)) == "2",
+      s"got $h")
   }
 
   test("contamination index: saved-gram probe equals the one-shot face; appends stay fresh") {
