@@ -176,19 +176,24 @@ object Bench {
     // tracked baseline, up to two more timings each, keeping the min —
     // so a reported regression needs every timed run slow (a real plan
     // change), and a transient host stall cannot fail the gate alone.
-    val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
     if (elapsed <= budgetSec) {
-      val baseline =
-        try parseBaseline(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(baselinePath)), "UTF-8"))
-        catch { case _: Throwable => Map.empty[String, Double] }
+      // cwd-robust: the driver may invoke Bench from outside the repo —
+      // fall back to the tracked baseline's absolute home before giving
+      // up (no baseline just means no confirmation stage, never a crash)
+      val candidates =
+        sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq ++
+          Seq("bench_baseline.json", "/root/repo/bench_baseline.json")
+      val baseline = candidates.view.flatMap { p =>
+        try Some(parseBaseline(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")))
+        catch { case _: Throwable => None }
+      }.headOption.getOrElse(Map.empty[String, Double])
       var confirmPass = passesDone
       var targets = confirmTargets(baseline, best.toMap)
       while (targets.nonEmpty && confirmPass < passesDone + 2 && elapsed <= budgetSec) {
         confirmPass += 1
         System.err.println(s"[bench] confirmation pass $confirmPass: " +
-          s"${targets.mkString(", ")} breach ${Threshold}x vs $baselinePath")
+          s"${targets.mkString(", ")} breach ${Threshold}x vs the tracked baseline")
         targets.foreach { name =>
           if (elapsed <= budgetSec) timeOne(confirmPass, name, SparkEntry.queries(name))
         }
