@@ -1333,16 +1333,28 @@ final class AggOps(private val c: Chain) extends AnyVal {
     // cap so the scale never truncates)
     val termSql = "CASE WHEN n > 0 THEN ABS(CAST(_pos AS DECIMAL(29,8)) - " +
       "CAST(_ssumd AS DECIMAL(29,8))) ELSE CAST(0 AS DECIMAL(30,8)) END"
-    val totJoin =
-      if (groupBy.isEmpty) "CROSS JOIN"
-      else s"LEFT JOIN"
-    val totUsing = if (groupBy.isEmpty) "" else s" USING (${groupBy.mkString(", ")})"
-    c.next("calibration_profile", df2, Some(
-      s"SELECT ${gSel}bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
-        "CASE WHEN _N = 0 THEN NULL ELSE " +
-        "CAST(_q AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
-        s"FROM ($frameSql) $totJoin (SELECT ${gSel}SUM($termSql) AS _q, SUM(n) AS _N " +
-        s"FROM ($frameSql)${if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"})$totUsing"))
+    val eceSql =
+      if (groupBy.isEmpty)
+        s"SELECT bucket, bucket_lo, bucket_hi, n, score_avg, pos_rate, " +
+          "CASE WHEN _N = 0 THEN NULL ELSE " +
+          "CAST(_q AS DOUBLE) / CAST(_N AS DOUBLE) END AS ece " +
+          s"FROM ($frameSql) CROSS JOIN (SELECT SUM($termSql) AS _q, SUM(n) AS _N " +
+          s"FROM ($frameSql))"
+      else {
+        // the N/ece total attaches NULL-SAFELY too — the DataFrame
+        // face's window partitions a null group together, so the
+        // rendered face must not drop its total on a USING equality
+        val nsOn = groupBy
+          .map(g => s"(f.$g = t.$g OR (f.$g IS NULL AND t.$g IS NULL))")
+          .mkString(" AND ")
+        s"SELECT ${groupBy.map(g => s"f.$g").mkString(", ")}, f.bucket AS bucket, " +
+          "f.bucket_lo, f.bucket_hi, f.n, f.score_avg, f.pos_rate, " +
+          "CASE WHEN t._N = 0 THEN NULL ELSE " +
+          "CAST(t._q AS DOUBLE) / CAST(t._N AS DOUBLE) END AS ece " +
+          s"FROM ($frameSql) f LEFT JOIN (SELECT ${gSel}SUM($termSql) AS _q, SUM(n) AS _N " +
+          s"FROM ($frameSql) GROUP BY ${groupBy.mkString(", ")}) t ON $nsOn"
+      }
+    c.next("calibration_profile", df2, Some(eceSql))
   }
 
   /** cross_table(col_a, col_b): the contingency table with χ²-of-
@@ -1455,26 +1467,52 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val vbS = s"CAST(${Naming.quoteId(colB)} AS STRING)"
     val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
     val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
-    val usingCl = (groupBy :+ "label").mkString(", ")
-    val clS = s"SELECT ${gSel}label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
-      "COALESCE(n_agree, 0) AS n_agree FROM " +
-      s"(SELECT $gSel$vaS AS label, COUNT(*) AS n_a FROM {{source}} WHERE $bothS GROUP BY label$gBy) " +
-      s"FULL JOIN (SELECT $gSel$vbS AS label, COUNT(*) AS n_b FROM {{source}} WHERE $bothS GROUP BY label$gBy) USING ($usingCl) " +
-      s"LEFT JOIN (SELECT $gSel$vaS AS label, COUNT(*) AS n_agree FROM {{source}} WHERE $bothS AND $vaS = $vbS GROUP BY label$gBy) USING ($usingCl)"
-    val totS = s"SELECT ${gSel}COUNT(*) AS n FROM {{source}} WHERE $bothS" +
-      (if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}")
     val peTermS = "CAST(FLOOR((CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
       "(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)"
-    val totJoin = if (groupBy.isEmpty) "CROSS JOIN" else "JOIN"
-    val totUsing = if (groupBy.isEmpty) "" else s" USING (${groupBy.mkString(", ")})"
-    val stS = s"SELECT ${gSel}SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
-      s"1000000000000 AS _pe FROM ($clS) $totJoin ($totS)$totUsing" +
-      (if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}")
-    val poS = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
-    c.next("agreement_profile", df2, Some(
-      s"SELECT ${gSel}label, n_a, n_b, n_agree, $poS AS po, _pe AS pe, " +
-        s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($poS - _pe) / (1.0 - _pe) END AS kappa, n " +
-        s"FROM ($clS) $totJoin ($totS)$totUsing $totJoin ($stS)$totUsing"))
+    val sqlFace =
+      if (groupBy.isEmpty) {
+        val clS = s"SELECT label, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, " +
+          "COALESCE(n_agree, 0) AS n_agree FROM " +
+          s"(SELECT $vaS AS label, COUNT(*) AS n_a FROM {{source}} WHERE $bothS GROUP BY label) " +
+          s"FULL JOIN (SELECT $vbS AS label, COUNT(*) AS n_b FROM {{source}} WHERE $bothS GROUP BY label) USING (label) " +
+          s"LEFT JOIN (SELECT $vaS AS label, COUNT(*) AS n_agree FROM {{source}} WHERE $bothS AND $vaS = $vbS GROUP BY label) USING (label)"
+        val totS = s"SELECT COUNT(*) AS n FROM {{source}} WHERE $bothS"
+        val stS = s"SELECT SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
+          s"1000000000000 AS _pe FROM ($clS) CROSS JOIN ($totS)"
+        val poS = "CAST(_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+        s"SELECT label, n_a, n_b, n_agree, $poS AS po, _pe AS pe, " +
+          s"CASE WHEN 1.0 - _pe = 0.0 THEN NULL ELSE ($poS - _pe) / (1.0 - _pe) END AS kappa, n " +
+          s"FROM ($clS) CROSS JOIN ($totS) CROSS JOIN ($stS)"
+      } else {
+        // grouped face: the class frame comes from the SAME melt the
+        // DataFrame face uses (no joins keyed by the groups at this
+        // level), and the per-group joins back are NULL-SAFE — a null
+        // group value keeps its classes, matching agreementClose
+        def nsOn(l: String, r: String) = groupBy
+          .map(g => s"($l.$g = $r.$g OR ($l.$g IS NULL AND $r.$g IS NULL))")
+          .mkString(" AND ")
+        val srcS = s"SELECT $gSel$vaS AS va, $vbS AS vb FROM {{source}} WHERE $bothS"
+        val meltS =
+          s"SELECT ${gSel}va AS label, 0 AS _s, CASE WHEN va = vb THEN 1 ELSE 0 END AS _agr FROM ($srcS) " +
+            s"UNION ALL SELECT ${gSel}vb AS label, 1 AS _s, 0 AS _agr FROM ($srcS)"
+        val clS = s"SELECT ${gSel}label, " +
+          "CAST(SUM(CASE WHEN _s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+          "CAST(SUM(CASE WHEN _s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+          s"CAST(SUM(_agr) AS BIGINT) AS n_agree FROM ($meltS) GROUP BY label$gBy"
+        val totS = s"SELECT ${gSel}COUNT(*) AS n FROM {{source}} WHERE $bothS " +
+          s"GROUP BY ${groupBy.mkString(", ")}"
+        val stS = s"SELECT ${groupBy.map(g => s"cl2.$g").mkString(", ")}, " +
+          s"SUM(n_agree) AS _agree, CAST(SUM(CAST($peTermS AS DECIMAL(38,0))) AS DOUBLE) / " +
+          s"1000000000000 AS _pe FROM ($clS) cl2 JOIN ($totS) t2 ON ${nsOn("cl2", "t2")} " +
+          s"GROUP BY ${groupBy.map(g => s"cl2.$g").mkString(", ")}"
+        val poS = "CAST(st._agree AS DOUBLE) / CAST(t.n AS DOUBLE)"
+        s"SELECT ${groupBy.map(g => s"cl.$g").mkString(", ")}, cl.label, cl.n_a, cl.n_b, cl.n_agree, " +
+          s"$poS AS po, st._pe AS pe, " +
+          s"CASE WHEN 1.0 - st._pe = 0.0 THEN NULL ELSE ($poS - st._pe) / (1.0 - st._pe) END AS kappa, t.n " +
+          s"FROM ($clS) cl JOIN ($totS) t ON ${nsOn("cl", "t")} " +
+          s"JOIN ($stS) st ON ${nsOn("cl", "st")}"
+      }
+    c.next("agreement_profile", df2, Some(sqlFace))
   }
 
   /** skew_profile(keys, top_k): the hot-key census — the top_k heaviest
@@ -2012,12 +2050,19 @@ private[graft] object AggOps {
   private[graft] def agreementClose(classFrame: DataFrame,
                                     groupBy: Seq[String]): DataFrame = {
     val g = groupBy.map(col)
+    // the per-group joins back are NULL-SAFE (renamed right sides — the
+    // shared lineage would otherwise trip ambiguous-column resolution):
+    // a null group value groups like any other value in the aggregates,
+    // so it must match back instead of silently dropping its classes
     val tot =
       if (groupBy.isEmpty) classFrame.agg(sum(col("n_a")).as("n"))
       else classFrame.groupBy(g: _*).agg(sum(col("n_a")).as("n"))
+        .select((groupBy.map(k => col(k).as(s"_t_$k")) :+ col("n")): _*)
     val classes =
       if (groupBy.isEmpty) classFrame.crossJoin(broadcast(tot))
-      else classFrame.join(tot, groupBy)
+      else classFrame.join(tot,
+        groupBy.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _))
+        .drop(groupBy.map(k => s"_t_$k"): _*)
     val nD = col("n").cast("double")
     val peTerm = floor((col("n_a").cast("double") / nD) *
       (col("n_b").cast("double") / nD) * lit(1e12) + lit(0.5)).cast("long")
@@ -2027,9 +2072,13 @@ private[graft] object AggOps {
     val stats =
       if (groupBy.isEmpty) classes.agg(statAggs.head, statAggs.tail: _*)
       else classes.groupBy(g: _*).agg(statAggs.head, statAggs.tail: _*)
+        .select((groupBy.map(k => col(k).as(s"_s_$k")) ++
+          Seq(col("_agree"), col("_pe"))): _*)
     val withStats =
       if (groupBy.isEmpty) classes.crossJoin(broadcast(stats))
-      else classes.join(stats, groupBy)
+      else classes.join(stats,
+        groupBy.map(k => col(k) <=> col(s"_s_$k")).reduce(_ && _))
+        .drop(groupBy.map(k => s"_s_$k"): _*)
     val po = col("_agree").cast("double") / nD
     val kappa = when(lit(1.0) - col("_pe") === lit(0.0), lit(null).cast("double"))
       .otherwise((po - col("_pe")) / (lit(1.0) - col("_pe")))

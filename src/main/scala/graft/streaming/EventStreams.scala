@@ -1026,17 +1026,27 @@ object EventStreams {
     val spineB = spark.range(buckets).select(col("id").as("bucket"))
     val spine = groups.fold(spineB)(g =>
       g.distinct().crossJoin(broadcast(spineB)))
-    val frame = spine.join(acc, groupBy :+ "bucket", "left")
+    // the spine join is NULL-SAFE on the group keys (a null group value
+    // groups like any other value — the batch face's map fold keeps its
+    // stats, so the sink must too); the acc side is renamed first so the
+    // shared lineage (groups derive from the same batch frame) can't
+    // trip ambiguous-column resolution
+    val keys = groupBy :+ "bucket"
+    val accR = acc.select((keys.map(k => col(k).as(s"_r_$k")) ++ Seq(
+      col("n").as("_r_n"), col("_ssumd").as("_r_ssumd"),
+      col("_pos").as("_r_pos"))): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
+    val frame = spine.join(accR, cond, "left")
       .select((groupBy.map(col) ++ Seq(
         col("bucket"),
         (col("bucket") * lit(w)).as("bucket_lo"),
         ((col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        when(col("n") > 0, col("_ssumd").cast("double") / col("n"))
+        coalesce(col("_r_n"), lit(0L)).as("n"),
+        when(col("_r_n") > 0, col("_r_ssumd").cast("double") / col("_r_n"))
           .otherwise(lit(null).cast("double")).as("score_avg"),
-        when(col("n") > 0, col("_pos").cast("double") / col("n").cast("double"))
+        when(col("_r_n") > 0, col("_r_pos").cast("double") / col("_r_n").cast("double"))
           .otherwise(lit(null).cast("double")).as("pos_rate"),
-        col("_ssumd"), col("_pos"))): _*)
+        col("_r_ssumd").as("_ssumd"), col("_r_pos").as("_pos"))): _*)
     // (29,8) casts: both operands ≤ n_b ≤ Long.Max, and the (30,8)
     // difference stays inside the 38-digit cap — no scale truncation
     // (the batch face's exact-term regime, see calibrationProfile)
@@ -1143,16 +1153,22 @@ object EventStreams {
               if (groupBy.isEmpty) Seq(0)
               else bc.select(pmod(hash(groupBy.map(col): _*), lit(profileBuckets))
                 .as("_pb")).distinct().collect().map(_.getInt(0)).toSeq
+            // NULL-SAFE accumulator merge on (groups, bucket): a null
+            // group value must match its stored row, not fork a
+            // duplicate; keys coalesce across the full outer (both null
+            // for a null group — correct either way)
+            val mKeys = groupBy :+ "bucket"
             val old = spark.table(name).where(col("_pb").isInCollection(touched))
-              .select((groupBy.map(col) ++ Seq(col("bucket"),
+              .select((mKeys.map(k => col(k).as(s"_o_$k")) ++ Seq(
                 col("n").as("_n_old"), col("_ssumd").as("_sd_old"),
                 col("_pos").as("_p_old"))): _*)
+            val mCond = mKeys.map(k => col(k) <=> col(s"_o_$k")).reduce(_ && _)
             val merged = newAcc
-              .select((groupBy.map(col) ++ Seq(col("bucket"),
+              .select((mKeys.map(col) ++ Seq(
                 col("n").as("_n_new"), col("_ssumd").as("_sd_new"),
                 col("_pos").as("_p_new"))): _*)
-              .join(old, groupBy :+ "bucket", "full_outer")
-              .select((groupBy.map(col) ++ Seq(col("bucket"),
+              .join(old, mCond, "full_outer")
+              .select((mKeys.map(k => coalesce(col(k), col(s"_o_$k")).as(k)) ++ Seq(
                 (coalesce(col("_n_new"), lit(0L)) +
                   coalesce(col("_n_old"), lit(0L))).as("n"),
                 (coalesce(col("_sd_new"), zeroD) + coalesce(col("_sd_old"), zeroD))
@@ -1167,7 +1183,8 @@ object EventStreams {
             // must stay in the spine
             val groups =
               if (groupBy.isEmpty) None
-              else Some(newGroups.get.union(old.select(groupBy.map(col): _*)))
+              else Some(newGroups.get.union(
+                old.select(groupBy.map(k => col(s"_o_$k").as(k)): _*)))
             val out = closeCalibration(merged, groups, groupBy, buckets,
               profileBuckets).localCheckpoint()
             dynamicOverwrite(spark, out, name)
@@ -1208,9 +1225,14 @@ object EventStreams {
                                 groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
+    // distinct BEFORE the upsert: the key-upsert only dedupes new keys
+    // against STORED rows, not within the batch — without it a user
+    // repeating a step 500 times in one micro-batch stores 500 identical
+    // rows and the activity table grows to raw-stream size
     val acts = events.where(col(stepCol).isInCollection(steps))
       .select((groupBy.map(col) ++ Seq(col(userCol), col(stepCol),
         eventTime(events, tsCol).as("ts"))): _*)
+      .distinct()
     sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, stepCol, "ts"),
       checkpointDir)
   }
@@ -1232,8 +1254,11 @@ object EventStreams {
                                 userCol: String = "user_id",
                                 tsCol: String = "ts",
                                 groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    // distinct BEFORE the upsert (the key-upsert only dedupes against
+    // stored rows, not within the batch) — one row per active user-day
     val acts = events.select((groupBy.map(col) ++ Seq(col(userCol),
       to_date(eventTime(events, tsCol)).as("d"))): _*)
+      .distinct()
     sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"), checkpointDir)
   }
 
@@ -1734,14 +1759,22 @@ object EventStreams {
       .select((groupBy.map(col) ++ Seq(col(userCol).as("_u"),
         to_date(eventTime(events, tsCol)).as("_d"))): _*)
       .distinct()
-    val cohorts = acts.groupBy((groupBy :+ "_u").map(col): _*)
+    // both self-joins are NULL-SAFE on their keys: a null segment value
+    // (or null user) groups like any other value in the aggregates, so
+    // the joins back must match it too — a plain equi-join would
+    // silently drop every null-keyed activity row, diverging from the
+    // sibling funnel faces (whose windows partition nulls together)
+    val uKeys = groupBy :+ "_u"
+    val cohorts = acts.groupBy(uKeys.map(col): _*)
       .agg(min(col("_d")).as("_cd"))
+      .select((uKeys.map(k => col(k).as(s"_c_$k")) :+ col("_cd")): _*)
+    val uCond = uKeys.map(k => col(k) <=> col(s"_c_$k")).reduce(_ && _)
     // periodDays > 1 = weekly/monthly-style retention: periods are
     // [cohort_day + k·periodDays) buckets anchored at each user's OWN
     // first day, and a user active twice in one period counts once
     // (the second distinct — over (user, period), a frame no larger
     // than the (user, day) one)
-    val enriched = acts.join(cohorts, groupBy :+ "_u")
+    val enriched = acts.join(cohorts, uCond)
       .select((groupBy.map(col) ++ Seq(col("_u"), col("_cd"),
         floor(datediff(col("_d"), col("_cd")) / lit(periodDays)).cast("int")
           .as("_p"))): _*)
@@ -1752,10 +1785,12 @@ object EventStreams {
       .groupBy((groupBy.map(col) ++ Seq(col("_cd").as("cohort_day"),
         col("_p").as("period"))): _*)
       .agg(count(lit(1)).as("n_active"))
+    val cKeys = groupBy :+ "cohort_day"
     val base = cells.where(col("period") === 0)
-      .select((groupBy.map(col) ++ Seq(col("cohort_day"),
-        col("n_active").as("n_cohort"))): _*)
-    cells.join(base, groupBy :+ "cohort_day")
+      .select((cKeys.map(k => col(k).as(s"_b_$k")) :+
+        col("n_active").as("n_cohort")): _*)
+    val cCond = cKeys.map(k => col(k) <=> col(s"_b_$k")).reduce(_ && _)
+    cells.join(base, cCond)
       .select((groupBy.map(col) ++ Seq(
         col("cohort_day"), col("period"), col("n_active"), col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort").cast("double"))

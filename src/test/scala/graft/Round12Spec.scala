@@ -229,10 +229,13 @@ class Round12Spec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS cal_sink_t")
-    val b1 = Seq(("a", 0.10, 0), ("a", 0.15, 1), ("a", 0.90, 1), ("b", 0.50, 0))
+    // a NULL group value accumulates across batches like any other group
+    val b1 = Seq(("a", 0.10, 0), ("a", 0.15, 1), ("a", 0.90, 1), ("b", 0.50, 0),
+      (null.asInstanceOf[String], 0.30, 1))
     // group z arrives with ONLY out-of-range scores: the batch face keeps
     // it (full spine, null ece) and the sink must converge to that
-    val b2 = Seq(("a", 0.12, 0), ("b", 0.55, 1), ("z", 2.0, 1), ("z", 2.0, 0))
+    val b2 = Seq(("a", 0.12, 0), ("b", 0.55, 1), ("z", 2.0, 1), ("z", 2.0, 0),
+      (null.asInstanceOf[String], 0.35, 0))
     def drain(rowsIn: Seq[(String, Double, Int)]): Unit = {
       val ms = MemoryStream[(String, Double, Int)]
       ms.addData(rowsIn: _*)
@@ -314,6 +317,38 @@ class Round12Spec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_ckpt_ag2").toString,
       groupBy = Seq("g"))
     assert(!spark.catalog.tableExists("agree_sink_never"))
+  }
+
+  test("null group values survive the grouped closings (calibration, cohort, agreement)") {
+    // a NULL group value groups like any other value everywhere else in
+    // the engine — the joins back must match it null-safely instead of
+    // silently dropping its rows (round-12 review finding)
+    val cal = Seq((null.asInstanceOf[String], 0.5, 1), ("g", 0.5, 0), ("g", 2.0, 1))
+      .toDF("seg", "score", "label")
+    val out = Chain(spark, "ng_cal", cal)
+      .calibrationProfile("score", "label", 4, groupBy = Seq("seg"))
+    val got = out.df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r).toMap
+    assert(got.size == 8, "2 groups x 4 buckets — null group included")
+    assert(got((None, 2L)).getLong(4) == 1L, "null group keeps its counts")
+    assert(got((None, 2L)).getDouble(7) == 0.5, "null group closes a real ece")
+    cal.createOrReplaceTempView("ng_cal")
+    assert(rows(spark.sql(out.sql())) == rows(out.df),
+      "rendered face must keep null groups too")
+    val ev = Seq(("p", 1L, ldt(0)), (null.asInstanceOf[String], 1L, ldt(0)),
+      (null.asInstanceOf[String], 1L, ldt(24 * 60L)))
+      .toDF("plat", "user_id", "ts")
+    val coh = EventStreams.cohortRetention(ev, groupBy = Seq("plat")).collect()
+    assert(coh.count(_.isNullAt(0)) == 2,
+      s"null segment keeps its cohort grid rows, got ${coh.toSeq}")
+    val ag = Seq((null.asInstanceOf[String], "x", "x"), ("g", "x", "y"))
+      .toDF("seg", "a", "b")
+    val agOut = Chain(spark, "ng_ag", ag).agreementProfile("a", "b", groupBy = Seq("seg"))
+    assert(agOut.df.where(col("seg").isNull).count() == 1,
+      "null group keeps its class row")
+    ag.createOrReplaceTempView("ng_ag")
+    assert(rows(spark.sql(agOut.sql())) == rows(agOut.df),
+      "agreement rendered face must keep null groups too")
   }
 
   // ---- at-least-once replay guard (ADVICE, medium) -------------------------
