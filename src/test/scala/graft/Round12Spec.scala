@@ -137,6 +137,28 @@ class Round12Spec extends AnyFunSuite {
       ("p2", "2024-01-02", 1) -> ((1L, 1L, 1.0))), s"got $got")
   }
 
+  test("cohort grouped fuzz: grouped run equals ungrouped per-segment runs") {
+    val rnd = new scala.util.Random(9876)
+    val day = 24 * 60L
+    val evs = (1 to 300).map { i =>
+      (s"p${rnd.nextInt(3)}", rnd.nextInt(25).toLong,
+        ldt(rnd.nextInt(20).toLong * day + rnd.nextInt(1440).toLong))
+    }
+    val df = evs.toDF("plat", "user_id", "ts")
+    val grouped = EventStreams.cohortRetention(df, periodDays = 7,
+      groupBy = Seq("plat")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    Seq("p0", "p1", "p2").foreach { p =>
+      val single = EventStreams.cohortRetention(df.where(col("plat") === p),
+        periodDays = 7).collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val mine = grouped.collect { case ((`p`, cd, per), v) => (cd, per) -> v }.toMap
+      assert(mine == single, s"$p: grouped grid vs per-segment run")
+    }
+  }
+
   test("grouped funnel/cohort/calibration scale shape: lint-safe on a file scan") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("seg", expr("CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END"))
