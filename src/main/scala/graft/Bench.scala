@@ -190,21 +190,25 @@ object Bench {
       }.headOption.getOrElse(Map.empty[String, Double])
       var confirmPass = passesDone
       var targets = confirmTargets(baseline, best.toMap)
+      // a target only counts as CONFIRMED if the last confirmation pass
+      // actually re-timed every survivor — the loop can also exit on
+      // budget exhaustion mid-pass, and an unconfirmed best-of-two
+      // breach must not read as a verified plan regression
+      var lastPassComplete = false
       while (targets.nonEmpty && confirmPass < passesDone + 2 && elapsed <= budgetSec) {
         confirmPass += 1
         System.err.println(s"[bench] confirmation pass $confirmPass: " +
           s"${targets.mkString(", ")} breach ${Threshold}x vs the tracked baseline")
-        targets.foreach { name =>
-          if (elapsed <= budgetSec) timeOne(confirmPass, name, SparkEntry.queries(name))
+        lastPassComplete = targets.forall { name =>
+          val inBudget = elapsed <= budgetSec
+          if (inBudget) timeOne(confirmPass, name, SparkEntry.queries(name))
+          inBudget
         }
         targets = confirmTargets(baseline, best.toMap)
       }
       if (targets.nonEmpty) {
-        // only claim confirmation when confirmation timings actually ran —
-        // the loop also exits on budget exhaustion, and an unconfirmed
-        // best-of-two breach must not read as a verified plan regression
         val label =
-          if (confirmPass > passesDone) "confirmed regressions (slow on every timed pass)"
+          if (lastPassComplete) "confirmed regressions (slow on every timed pass)"
           else "UNCONFIRMED breaches (budget exhausted before confirmation)"
         System.err.println(s"[bench] $label: " + targets.mkString(", "))
       }

@@ -184,11 +184,19 @@ final class Chain private (
   def saveUpsert(name: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     keys.foreach(k => require(df.columns.contains(k), s"upsert key $k not in chain columns"))
+    require(keys.forall(k => !k.startsWith("_nk_")),
+      s"upsert keys may not start with the internal rename prefix _nk_: $keys")
+    import org.apache.spark.sql.functions.col
     if (!spark.catalog.tableExists(name)) {
       df.write.mode(SaveMode.ErrorIfExists).format("parquet").saveAsTable(name)
     } else {
-      val kept = spark.table(name)
-        .join(df.select(keys.map(df.col): _*).distinct(), keys, "left_anti")
+      // NULL-SAFE anti-join: a null key value must still match its stored
+      // row ("same key" semantics), or every re-delivery of a null-keyed
+      // row duplicates instead of overwriting; new-side keys renamed so
+      // the anti-join can't hit ambiguous-column resolution
+      val newKeys = df.select(keys.map(k => df.col(k).as(s"_nk_$k")): _*).distinct()
+      val cond = keys.map(k => col(k) <=> col(s"_nk_$k")).reduce(_ && _)
+      val kept = spark.table(name).join(newKeys, cond, "left_anti")
       val merged = df.unionByName(kept)
       val staging = s"${name}_graft_upsert_staging"
       val retired = s"${name}_graft_upsert_retired"

@@ -441,20 +441,32 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * n ≥ 8: short n-grams flag on common phrases, long ones only on real
     * verbatim leakage.
     */
-  def flagContaminated(eval: Chain, idCol: String, textCol: String, n: Int = 8,
-                       flagCol: String = "contaminated"): Chain = {
-    val evalGrams = eval.df
-      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
-      .distinct()
+  /** The shared contamination probe: flag every corpus row whose text
+    * shares an n-gram hash with `evalGrams` (a one-column `_h` frame of
+    * DISTINCT gram hashes). One corpus explode + broadcast semi-join —
+    * linear, no corpus shuffle. Single home for the probe so the
+    * one-shot and saved-index faces can never silently diverge.
+    */
+  private def contaminatedFlag(evalGrams: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               flagCol: String): DataFrame = {
     val corpusGrams = c.df.select(col(idCol).as("_cid"),
       explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
     val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
       .select(col("_cid")).distinct()
       .withColumn("_flag", lit(true))
-    val df2 = c.df.join(hit, col(idCol) === col("_cid"), "left")
+    c.df.join(hit, col(idCol) === col("_cid"), "left")
       .withColumn(flagCol, coalesce(col("_flag"), lit(false)))
       .drop("_cid", "_flag")
-    c.next("flag_contaminated", df2, None)
+  }
+
+  def flagContaminated(eval: Chain, idCol: String, textCol: String, n: Int = 8,
+                       flagCol: String = "contaminated"): Chain = {
+    val evalGrams = eval.df
+      .select(explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
+      .distinct()
+    c.next("flag_contaminated",
+      contaminatedFlag(evalGrams, idCol, textCol, n, flagCol), None)
   }
 
   /** contamination_index(text_col, n): the PERSISTENT half of
@@ -493,15 +505,8 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"index must have a gram_hash column from contaminationIndex; " +
         s"got ${index.columns.mkString(", ")}")
     val evalGrams = index.select(col("gram_hash").as("_h")).distinct()
-    val corpusGrams = c.df.select(col(idCol).as("_cid"),
-      explode(graft.functions.ShingleHashes(tokens(col(textCol)), n)).as("_h"))
-    val hit = corpusGrams.join(broadcast(evalGrams), Seq("_h"), "left_semi")
-      .select(col("_cid")).distinct()
-      .withColumn("_flag", lit(true))
-    val df2 = c.df.join(hit, col(idCol) === col("_cid"), "left")
-      .withColumn(flagCol, coalesce(col("_flag"), lit(false)))
-      .drop("_cid", "_flag")
-    c.next("flag_contaminated_index", df2, None)
+    c.next("flag_contaminated_index",
+      contaminatedFlag(evalGrams, idCol, textCol, n, flagCol), None)
   }
 
   /** contamination_score(eval, id, text, n): the graded form of

@@ -1460,6 +1460,9 @@ final class AggOps(private val c: Chain) extends AnyVal {
     require(groupBy.intersect(reservedAg).isEmpty,
       s"agreement_profile group columns collide with output names " +
         s"${groupBy.intersect(reservedAg).mkString(", ")} — rename first")
+    require(groupBy.forall(g => !g.startsWith("_t_") && !g.startsWith("_s_")),
+      s"agreement_profile group columns may not start with the internal " +
+        s"rename prefixes _t_/_s_: $groupBy — rename first")
     val df2 = AggOps.agreementClose(
       AggOps.agreementClassFrame(c.df, colA, colB, groupBy), groupBy)
     val bothS = s"${Naming.quoteId(colA)} IS NOT NULL AND ${Naming.quoteId(colB)} IS NOT NULL"

@@ -161,14 +161,21 @@ object EventStreams {
     * watermarked `update`-mode aggregation.
     */
   def sinkUpsertToTable(df: DataFrame, name: String, keys: Seq[String],
-                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                        checkpointDir: String,
+                        dedupeBatch: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val q = df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.core.Chain(batch.sparkSession, name, batch).saveUpsert(name, keys)
+        // dedupeBatch dedupes INSIDE the batch (a plain batch-side
+        // distinct) — a distinct on the streaming frame would instead
+        // compile to a watermarkless stateful dropDuplicates whose state
+        // store grows with every key ever seen
+        if (!batch.isEmpty) {
+          val b = if (dedupeBatch) batch.distinct() else batch
+          graft.core.Chain(batch.sparkSession, name, b).saveUpsert(name, keys)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1118,6 +1125,9 @@ object EventStreams {
     require(groupBy.intersect(reservedCal).isEmpty,
       s"sink_calibration group columns collide with output names " +
         s"${groupBy.intersect(reservedCal).mkString(", ")} — rename first")
+    require(groupBy.forall(g => !g.startsWith("_r_") && !g.startsWith("_o_")),
+      s"sink_calibration group columns may not start with the internal " +
+        s"rename prefixes _r_/_o_: $groupBy — rename first")
     val session = events.sparkSession
     val zeroD = lit(BigDecimal(0)).cast(DecimalType(38, 8))
     val q = events.writeStream
@@ -1225,16 +1235,19 @@ object EventStreams {
                                 groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
-    // distinct BEFORE the upsert: the key-upsert only dedupes new keys
-    // against STORED rows, not within the batch — without it a user
-    // repeating a step 500 times in one micro-batch stores 500 identical
-    // rows and the activity table grows to raw-stream size
+    val keyCols = groupBy ++ Seq(userCol, stepCol)
+    require(keyCols.distinct.size == keyCols.size && !keyCols.contains("ts"),
+      s"sink_funnel_activity key columns must be distinct and none may be " +
+        s"named 'ts' (the stored event-time column): $keyCols — rename first")
+    // dedupeBatch = true: the key-upsert only dedupes new keys against
+    // STORED rows — without the batch-side distinct a user repeating a
+    // step 500 times in one micro-batch stores 500 identical rows and
+    // the activity table grows to raw-stream size
     val acts = events.where(col(stepCol).isInCollection(steps))
       .select((groupBy.map(col) ++ Seq(col(userCol), col(stepCol),
         eventTime(events, tsCol).as("ts"))): _*)
-      .distinct()
     sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, stepCol, "ts"),
-      checkpointDir)
+      checkpointDir, dedupeBatch = true)
   }
 
   /** The streaming cohort composition as a first-class API (the
@@ -1254,12 +1267,16 @@ object EventStreams {
                                 userCol: String = "user_id",
                                 tsCol: String = "ts",
                                 groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
-    // distinct BEFORE the upsert (the key-upsert only dedupes against
-    // stored rows, not within the batch) — one row per active user-day
+    val keyCols = groupBy :+ userCol
+    require(keyCols.distinct.size == keyCols.size && !keyCols.contains("d"),
+      s"sink_cohort_activity key columns must be distinct and none may be " +
+        s"named 'd' (the stored activity-day column): $keyCols — rename first")
+    // dedupeBatch = true: batch-side distinct (the key-upsert only
+    // dedupes against stored rows) — one row per active user-day
     val acts = events.select((groupBy.map(col) ++ Seq(col(userCol),
       to_date(eventTime(events, tsCol)).as("d"))): _*)
-      .distinct()
-    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"), checkpointDir)
+    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"), checkpointDir,
+      dedupeBatch = true)
   }
 
   /** Streaming face of [[graft.ops.AggOps.agreementProfile]] — the
@@ -1295,10 +1312,15 @@ object EventStreams {
     require(colA != colB, "sink_agreement needs two distinct columns")
     require(profileBuckets > 0, s"profileBuckets must be positive, got $profileBuckets")
     val reservedAg = Seq("label", "n_a", "n_b", "n_agree", "po", "pe",
-      "kappa", "n", "_pb")
+      "kappa", "n", "_pb") ++
+      Seq("n_a", "n_b", "n_agree").flatMap(cn => Seq(s"${cn}_old", s"${cn}_new"))
     require(groupBy.intersect(reservedAg).isEmpty,
       s"sink_agreement group columns collide with output names " +
         s"${groupBy.intersect(reservedAg).mkString(", ")} — rename first")
+    require(groupBy.forall(g => !g.startsWith("_t_") && !g.startsWith("_s_") &&
+      !g.startsWith("_o_")),
+      s"sink_agreement group columns may not start with the internal " +
+        s"rename prefixes _t_/_s_/_o_: $groupBy — rename first")
     val session = events.sparkSession
     val accCols = Seq("n_a", "n_b", "n_agree")
     val q = events.writeStream
@@ -1321,15 +1343,20 @@ object EventStreams {
               if (groupBy.isEmpty) Seq(0)
               else bc.select(pbCol.as("_pb")).distinct().collect()
                 .map(_.getInt(0)).toSeq
+            // NULL-SAFE accumulator merge on (groups, label): a null
+            // group value must match its stored row, not fork duplicates
             val keys = groupBy :+ "label"
             val old = spark.table(name).where(col("_pb").isInCollection(touched))
-              .select((keys.map(col) ++ accCols.map(cn => col(cn).as(s"${cn}_old"))): _*)
+              .select((keys.map(k => col(k).as(s"_o_$k")) ++
+                accCols.map(cn => col(cn).as(s"${cn}_old"))): _*)
+            val mCond = keys.map(k => col(k) <=> col(s"_o_$k")).reduce(_ && _)
             val merged = bc
               .select((keys.map(col) ++ accCols.map(cn => col(cn).as(s"${cn}_new"))): _*)
-              .join(old, keys, "full_outer")
-              .select((keys.map(col) ++ accCols.map(cn =>
-                (coalesce(col(s"${cn}_new"), lit(0L)) +
-                  coalesce(col(s"${cn}_old"), lit(0L))).as(cn))): _*)
+              .join(old, mCond, "full_outer")
+              .select((keys.map(k => coalesce(col(k), col(s"_o_$k")).as(k)) ++
+                accCols.map(cn =>
+                  (coalesce(col(s"${cn}_new"), lit(0L)) +
+                    coalesce(col(s"${cn}_old"), lit(0L))).as(cn))): _*)
             val out = graft.ops.AggOps.agreementClose(merged, groupBy)
               .withColumn("_pb", pbCol).localCheckpoint()
             dynamicOverwrite(spark, out, name)
@@ -1755,6 +1782,9 @@ object EventStreams {
     require(groupBy.intersect(reserved).isEmpty,
       s"cohort_retention group columns collide with output names " +
         s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    require(groupBy.forall(g => !g.startsWith("_c_") && !g.startsWith("_b_")),
+      s"cohort_retention group columns may not start with the internal " +
+        s"rename prefixes _c_/_b_: $groupBy — rename first")
     val acts = events
       .select((groupBy.map(col) ++ Seq(col(userCol).as("_u"),
         to_date(eventTime(events, tsCol)).as("_d"))): _*)

@@ -373,6 +373,18 @@ class Round12Spec extends AnyFunSuite {
       "agreement rendered face must keep null groups too")
   }
 
+  test("saveUpsert: a null key value overwrites its stored row instead of duplicating") {
+    spark.sql("DROP TABLE IF EXISTS upsert_null_t")
+    Chain(spark, "u1", Seq((Some("k"), 1), (None, 1)).toDF("k", "v"))
+      .saveUpsert("upsert_null_t", Seq("k"))
+    Chain(spark, "u2", Seq((Option.empty[String], 2)).toDF("k", "v"))
+      .saveUpsert("upsert_null_t", Seq("k"))
+    val got = spark.table("upsert_null_t").collect()
+      .map(r => Option(r.getString(0)) -> r.getInt(1)).toMap
+    assert(got == Map(Some("k") -> 1, None -> 2),
+      s"null key must be REPLACED on re-delivery, got $got")
+  }
+
   // ---- at-least-once replay guard (ADVICE, medium) -------------------------
 
   test("replay guard: a re-fired batchId is skipped, a rotated checkpoint is not") {
