@@ -357,6 +357,11 @@ object SparkEntry {
     // fixture's o_totalprice max ~499979; w = 31250.0 exact)
     "q_histogram" -> ((s, d) =>
       t(s, d, "orders").histogram("o_totalprice", 0.0, 500000.0, 16).df),
+    // grouped face: group discovery rides the ONE counts aggregate via a
+    // null bucket (no corpus-side spine distinct); w = 62500.0 exact
+    "q_histogram_grouped" -> ((s, d) =>
+      t(s, d, "orders").histogram("o_totalprice", 0.0, 500000.0, 8,
+        groupBy = Seq("o_orderstatus")).df),
     // pairwise Pearson in long form — all gated sums in one scan
     "q_corr_matrix" -> ((s, d) =>
       t(s, d, "lineitem").corrMatrix(
@@ -1661,6 +1666,18 @@ object SparkEntry {
         "LEFT JOIN (SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - CAST('0.0' AS DOUBLE)) / CAST('31250.0' AS DOUBLE)) AS BIGINT), 15) AS bucket, " +
         "COUNT(*) AS cnt FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE)) " +
         "AND CAST(o_totalprice AS DOUBLE) >= CAST('0.0' AS DOUBLE) AND CAST(o_totalprice AS DOUBLE) <= CAST('500000.0' AS DOUBLE) GROUP BY 1) USING (bucket)"),
+    // null-safe spine join (IS NOT DISTINCT FROM) so a NULL group would
+    // keep its counts — mirrors the DataFrame face's null-bucket fold
+    "q_histogram_grouped" ->
+      ("SELECT sp.o_orderstatus, sp.bucket, " +
+        "CAST('0.0' AS DOUBLE) + sp.bucket * CAST('62500.0' AS DOUBLE) AS bucket_lo, " +
+        "CAST('0.0' AS DOUBLE) + (sp.bucket + 1) * CAST('62500.0' AS DOUBLE) AS bucket_hi, " +
+        "CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS cnt " +
+        "FROM (SELECT o_orderstatus, range AS bucket FROM (SELECT DISTINCT o_orderstatus FROM orders) CROSS JOIN range(0, 8)) sp " +
+        "LEFT JOIN (SELECT o_orderstatus, LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - CAST('0.0' AS DOUBLE)) / CAST('62500.0' AS DOUBLE)) AS BIGINT), 7) AS bucket, " +
+        "COUNT(*) AS cnt FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE)) " +
+        "AND CAST(o_totalprice AS DOUBLE) >= CAST('0.0' AS DOUBLE) AND CAST(o_totalprice AS DOUBLE) <= CAST('500000.0' AS DOUBLE) GROUP BY 1, 2) cc " +
+        "ON sp.bucket = cc.bucket AND sp.o_orderstatus IS NOT DISTINCT FROM cc.o_orderstatus"),
     "q_corr_matrix" -> {
       def branch(a: String, b: String): String = {
         val both = s"$a IS NOT NULL AND $b IS NOT NULL AND NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"

@@ -798,11 +798,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * cnt = 0 (a gap is information); edges are emitted as `bucket_lo` /
     * `bucket_hi`.
     *
-    * Scale: one hash aggregate on (group, bucket) with map-side combine —
-    * at most groups × buckets rows ever shuffle — then a left join from
-    * the bucket spine (distinct groups × sequence(buckets), both tiny;
-    * AQE broadcasts it). Edges and the bucket index use the same IEEE
-    * double arithmetic in both faces, so the layout is engine-exact.
+    * Scale: ONE corpus scan, ONE map-side-combined hash aggregate on
+    * (group, bucket) — at most groups × (buckets + 1) rows ever shuffle.
+    * Grouped, excluded rows keep a NULL bucket inside that same
+    * aggregate, so group DISCOVERY rides the one pass (an all-excluded
+    * group still emits its zero-count buckets) and spine padding folds
+    * into the aggregate chain — per-group bucket→count map, exploded
+    * against the spine — instead of a second corpus-side
+    * distinct-groups scan (the [[calibrationProfile]] regime). A NULL
+    * group value groups like any other value and keeps its counts (the
+    * SQL face joins null-safely to match). Ungrouped, excluded rows
+    * filter AT the scan (predicate pushed) and the Range spine joins
+    * the bounded bucket frame. Edges and the bucket index use the same
+    * IEEE double arithmetic in both faces, so the layout is
+    * engine-exact.
     */
   def histogram(column: String, lo: Double, hi: Double, buckets: Int,
                 groupBy: Seq[String] = Nil): Chain = {
@@ -810,43 +819,77 @@ final class AggOps(private val c: Chain) extends AnyVal {
     require(hi > lo, s"histogram needs hi > lo, got [$lo, $hi]")
     require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
       s"histogram bounds must be finite, got [$lo, $hi]")
+    val reservedHist = Seq("bucket", "bucket_lo", "bucket_hi", "cnt", "_m")
+    require(groupBy.intersect(reservedHist).isEmpty,
+      s"histogram group columns collide with output/internal names " +
+        s"${groupBy.intersect(reservedHist).mkString(", ")} — rename first")
     val w = (hi - lo) / buckets
     val x = col(column).cast("double")
     val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
     val b = least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong))
-    val counts = c.df.where(in)
-      .groupBy((groupBy.map(col) :+ b.as("bucket")): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
-    val spine =
-      if (groupBy.isEmpty) spineB
-      else c.df.select(groupBy.map(col): _*).distinct().crossJoin(broadcast(spineB))
-    val df2 = spine.join(counts, groupBy :+ "bucket", "left")
-      .select((groupBy.map(col) ++ Seq(
-        col("bucket"),
-        (lit(lo) + col("bucket") * lit(w)).as("bucket_lo"),
-        (lit(lo) + (col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
+    val edges = Seq(
+      (lit(lo) + col("bucket") * lit(w)).as("bucket_lo"),
+      (lit(lo) + (col("bucket") + lit(1L)) * lit(w)).as("bucket_hi"))
+    val df2 =
+      if (groupBy.isEmpty) {
+        val counts = c.df.where(in).groupBy(b.as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val spineB = c.spark.range(buckets).select(col("id").as("bucket"))
+        spineB.join(counts, Seq("bucket"), "left")
+          .select((col("bucket") +: edges :+
+            coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+      } else {
+        // excluded rows land in a null bucket so the ONE aggregate also
+        // enumerates every group; the per-group map/explode fold pads the
+        // spine without a second corpus scan or a second consumer of the
+        // aggregate (the calibrationProfile pattern — a corpus-side
+        // distinct-spine join would double the op's I/O at 100 TB)
+        val counts0 = c.df
+          .groupBy((groupBy.map(col) :+ when(in, b).as("bucket")): _*)
+          .agg(count(when(in, lit(1))).as("cnt"))
+        val perGroup = counts0.groupBy(groupBy.map(col): _*)
+          .agg(map_from_entries(collect_list(when(col("bucket").isNotNull,
+            struct(col("bucket"), col("cnt"))))).as("_m"))
+        perGroup
+          .select((groupBy.map(col) :+
+            explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket") :+
+            col("_m")): _*)
+          .select((groupBy.map(col) ++ (col("bucket") +: edges) :+
+            coalesce(try_element_at(col("_m"), col("bucket")), lit(0L)).as("cnt")): _*)
+      }
     // double literals through CAST('…' AS DOUBLE): a bare decimal literal
     // is exact DECIMAL in ANSI engines (the winsorize rationale)
     val loS = s"CAST('$lo' AS DOUBLE)"
     val hiS = s"CAST('$hi' AS DOUBLE)"
     val wS = s"CAST('$w' AS DOUBLE)"
-    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
-    val gBy = if (groupBy.isEmpty) "" else ", " + groupBy.mkString(", ")
-    val usingS = (Seq("bucket") ++ groupBy).mkString(", ")
-    val spineSql =
-      if (groupBy.isEmpty) s"(SELECT explode(sequence(0, ${buckets - 1})) AS bucket)"
-      else s"((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
-        s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket))"
     val inS = s"$column IS NOT NULL AND NOT isnan(CAST($column AS DOUBLE)) AND " +
       s"CAST($column AS DOUBLE) >= $loS AND CAST($column AS DOUBLE) <= $hiS"
-    c.next("histogram", df2, Some(
-      s"SELECT ${gSel}bucket, $loS + bucket * $wS AS bucket_lo, " +
-        s"$loS + (bucket + 1) * $wS AS bucket_hi, COALESCE(cnt, 0) AS cnt FROM $spineSql " +
-        s"LEFT JOIN (SELECT ${gSel}LEAST(CAST(FLOOR((CAST($column AS DOUBLE) - $loS) / $wS) " +
-        s"AS BIGINT), ${buckets - 1}) AS bucket, COUNT(*) AS cnt FROM {{source}} " +
-        s"WHERE $inS GROUP BY bucket$gBy) USING ($usingS)"))
+    // grouped SQL keeps the readable distinct-spine shape (the oracle /
+    // render face is result-, not plan-, graded) but joins NULL-SAFELY so
+    // a NULL group keeps its counts, matching the DataFrame face
+    val sqlFace =
+      if (groupBy.isEmpty)
+        s"SELECT bucket, $loS + bucket * $wS AS bucket_lo, " +
+          s"$loS + (bucket + 1) * $wS AS bucket_hi, COALESCE(cnt, 0) AS cnt " +
+          s"FROM (SELECT explode(sequence(0, ${buckets - 1})) AS bucket) " +
+          s"LEFT JOIN (SELECT LEAST(CAST(FLOOR((CAST($column AS DOUBLE) - $loS) / $wS) " +
+          s"AS BIGINT), ${buckets - 1}) AS bucket, COUNT(*) AS cnt FROM {{source}} " +
+          s"WHERE $inS GROUP BY bucket) USING (bucket)"
+      else {
+        val gSelSp = groupBy.map(g => s"sp.$g").mkString(", ") + ", "
+        val gBy = ", " + groupBy.mkString(", ")
+        val onS = (s"sp.bucket = cc.bucket" +:
+          groupBy.map(g => s"sp.$g IS NOT DISTINCT FROM cc.$g")).mkString(" AND ")
+        s"SELECT ${gSelSp}sp.bucket, $loS + sp.bucket * $wS AS bucket_lo, " +
+          s"$loS + (sp.bucket + 1) * $wS AS bucket_hi, COALESCE(cc.cnt, 0) AS cnt " +
+          s"FROM ((SELECT DISTINCT ${groupBy.mkString(", ")} FROM {{source}}) " +
+          s"CROSS JOIN (SELECT explode(sequence(0, ${buckets - 1})) AS bucket)) sp " +
+          s"LEFT JOIN (SELECT ${groupBy.mkString(", ")}, " +
+          s"LEAST(CAST(FLOOR((CAST($column AS DOUBLE) - $loS) / $wS) " +
+          s"AS BIGINT), ${buckets - 1}) AS bucket, COUNT(*) AS cnt FROM {{source}} " +
+          s"WHERE $inS GROUP BY bucket$gBy) cc ON $onS"
+      }
+    c.next("histogram", df2, Some(sqlFace))
   }
 
   /** corr_matrix(columns, group_by, deletion): Pearson correlation in LONG

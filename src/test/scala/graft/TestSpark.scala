@@ -36,4 +36,33 @@ object TestSpark {
 
   def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
+
+  /** Structural scan counter for one-corpus-scan plan pins: walks the
+    * FINAL adaptive plan (query stages unwrapped, reused exchanges NOT
+    * descended — a reused exchange is by definition not a second
+    * execution). Corpora under test must be FILE scans, not local
+    * relations.
+    */
+  def countScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var scans = 0
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      n match {
+        case _: FileSourceScanExec => scans += 1
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      n match {
+        case _: AdaptiveSparkPlanExec | _: QueryStageExec | _: ReusedExchangeExec => ()
+        case _ =>
+          n.children.foreach(walk)
+          n.subqueries.foreach(walk)
+      }
+    }
+    walk(p)
+    scans
+  }
 }
