@@ -217,6 +217,87 @@ object ScaleLint {
           "(per-row fan-out x match rate); confirm the generator is bounded " +
           "(fixed-width buckets, capped arrays) before running at corpus scale")
     }
+    // corpus-rescan spine: the SAME source relation feeds both a real
+    // aggregate and a separate `distinct → crossJoin(bounded spine)`
+    // branch — the shape this library twice designed out (grouped
+    // calibration_profile, grouped histogram): the spine branch re-reads
+    // the whole corpus just to enumerate groups the aggregate pass
+    // already sees, doubling the op's I/O at 100 TB. Cure: route
+    // excluded rows to a null bucket inside the one aggregate so group
+    // discovery rides the same pass, then fold spine padding in with a
+    // per-group map/explode (see AggOps.histogram / calibrationProfile).
+    // Deliberately NOT matched: a distinct whose output IS the op's
+    // semantic content joined against a row-preserving corpus branch
+    // (datespine_groups — generator spine, no aggregate on the other
+    // branch), and self-joins without any spine shape.
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      final case class ScanAt(key: String, ancestors: List[SparkPlan])
+      val scansB = List.newBuilder[ScanAt]
+      def walkScans(p: SparkPlan, anc: List[SparkPlan]): Unit = {
+        p match {
+          case f: FileSourceScanExec =>
+            scansB += ScanAt(f.relation.location.rootPaths.mkString(","), anc)
+          case _ => ()
+        }
+        val anc2 = p :: anc
+        p.children.foreach(walkScans(_, anc2))
+        p.subqueries.foreach(walkScans(_, anc2))
+      }
+      walkScans(plan, Nil)
+      val scans = scansB.result()
+      def isDistinctAgg(p: SparkPlan): Boolean = p match {
+        case a: BaseAggregateExec =>
+          a.aggregateExpressions.isEmpty && a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      def isRealAgg(p: SparkPlan): Boolean = p match {
+        case a: BaseAggregateExec => a.aggregateExpressions.nonEmpty
+        case _ => false
+      }
+      def boundedSpine(p: SparkPlan): Boolean = p match {
+        case r: org.apache.spark.sql.execution.RangeExec =>
+          r.numElements <= BigInt(4096)
+        case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+          l.rows.size <= 4096
+        case other =>
+          other.children.nonEmpty && other.children.forall(boundedSpine)
+      }
+      def isSpineCross(p: SparkPlan): Boolean = p match {
+        case c: CartesianProductExec =>
+          boundedSpine(c.left) || boundedSpine(c.right)
+        case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
+          boundedSpine(b.left) || boundedSpine(b.right)
+        // a crossJoin against a provably-small side can also compile to a
+        // hash join when the optimizer derives a trivial key; cover the
+        // broadcast case so the rule doesn't depend on that choice
+        case b: BroadcastHashJoinExec =>
+          boundedSpine(b.left) || boundedSpine(b.right)
+        case _ => false
+      }
+      // nearest-ancestor-first: the cross join must sit ABOVE the distinct
+      val spineScans = scans.filter { s =>
+        val i = s.ancestors.indexWhere(isDistinctAgg)
+        i >= 0 && s.ancestors.drop(i + 1).exists(isSpineCross)
+      }
+      val flagged = spineScans.filter { s1 =>
+        scans.exists { s2 =>
+          (s2 ne s1) && s2.key == s1.key &&
+            s2.ancestors.exists(a => isRealAgg(a) && !s1.ancestors.exists(_ eq a))
+        }
+      }.map(_.key).distinct
+      flagged.foreach { _ =>
+          findings += Finding("warn", "corpus-rescan-spine",
+            "the same source is scanned twice: once through an aggregate and " +
+              "once through a distinct -> crossJoin(spine) branch that only " +
+              "enumerates groups the aggregate pass already sees — fold group " +
+              "discovery into the aggregate (null-bucket + per-group map/explode " +
+              "spine padding, the histogram/calibrationProfile pattern) to halve " +
+              "the corpus I/O")
+      }
+    }
     // a global sort directly under collect/write is a legitimate ordered
     // output; a global sort BELOW other operators re-materializes the
     // whole frame range-partitioned — flag only the buried ones

@@ -76,4 +76,40 @@ class Round13Spec extends AnyFunSuite {
       groupBy = Seq("g"))
     assert(c.df.count() == 0)
   }
+
+  // ---- ScaleLint: corpus-rescan spine (round-12 verdict ask #2) -----------
+
+  private def hasRescanSpine(df: org.apache.spark.sql.DataFrame): Boolean =
+    graft.core.ScaleLint.lint(df).exists(_.rule == "corpus-rescan-spine")
+
+  test("ScaleLint flags the pre-fix histogram shape: distinct-spine branch beside an aggregate") {
+    // the exact round-10 grouped-histogram shape this round designed out
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val x = col("o_totalprice").cast("double")
+    val b = least(floor(x / lit(62500.0)).cast("long"), lit(7L))
+    val counts = o.where(x.isNotNull && x >= 0.0 && x <= 500000.0)
+      .groupBy(col("o_orderstatus"), b.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = o.select(col("o_orderstatus")).distinct()
+      .crossJoin(broadcast(spark.range(8).select(col("id").as("bucket"))))
+    val joined = spine.join(counts, Seq("o_orderstatus", "bucket"), "left")
+    assert(hasRescanSpine(joined),
+      "the distinct->crossJoin(Range) + aggregate double-scan must lint")
+  }
+
+  test("ScaleLint: post-fix grouped histogram and datespine_groups stay clean") {
+    val ordersC = table("orders")
+    assert(!hasRescanSpine(ordersC
+        .histogram("o_totalprice", 0.0, 500000.0, 8,
+          groupBy = Seq("o_orderstatus")).df),
+      "the one-scan grouped histogram must not lint")
+    // datespine_groups: the distinct IS the op's semantics — its spine
+    // arrives via a generator and the second corpus branch is
+    // row-preserving, so the rule's structure excludes it BY SHAPE,
+    // not by name
+    assert(!hasRescanSpine(ordersC
+        .datespineGroups(Seq("o_orderstatus"), "o_orderdate",
+          "1995-01-01", "1995-01-31").df),
+      "datespine_groups' semantic distinct must not lint")
+  }
 }
