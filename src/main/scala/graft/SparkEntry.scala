@@ -418,6 +418,23 @@ object SparkEntry {
       Chain(s, "num_base", f.where("g < 2"))
         .psiQuantileProfile(f.where("g >= 2"), "x", 4).df
     }),
+    // per-slice numeric drift: the grouped face — every bucket, total,
+    // and psi_total closes per order priority
+    "q_psi_grouped" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      Chain(s, "orders_f", orders.df.where("o_orderstatus = 'F'"))
+        .psiProfile(orders.df.where("o_orderstatus = 'O'"),
+          "o_totalprice", 0.0, 500000.0, 16, groupBy = Seq("o_orderpriority")).df
+    }),
+    // per-slice equal-frequency drift on the fixed fixture: per-group
+    // KLL cutoffs sit inside the exact regime (~60 base rows per grp),
+    // so the oracle replays the whole grouped profile
+    "q_psi_quantile_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val f = numFixtureDf(s).withColumn("grp", col("x").cast("long") % 2)
+      Chain(s, "num_base", f.where("g < 2"))
+        .psiQuantileProfile(f.where("g >= 2"), "x", 4, groupBy = Seq("grp")).df
+    }),
     // categorical drift: segment mix between the two nation halves
     "q_psi_categorical" -> ((s, d) => {
       val cust = t(s, d, "customer")
@@ -1834,6 +1851,72 @@ object SparkEntry {
         "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
         s"SELECT bucket, $loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, " +
         "cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
+    "q_psi_grouped" -> {
+      // the grouped face replayed: per-priority bucket counts, totals as
+      // PARTITION BY windows, the same eps-floored fixed-point psi_term
+      // (with the tot=0 → NULL guard the DataFrame face applies), and a
+      // per-group 1e-12 fixed-point psi_total; spine groups = priorities
+      // seen on EITHER side frame (excluded rows still vote)
+      val loS = "CAST('0.0' AS DOUBLE)"; val wS = "CAST('31250.0' AS DOUBLE)"
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      def side(status: String, as: String) =
+        s"SELECT o_orderpriority AS g, LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - $loS) / $wS) AS BIGINT), 15) AS bucket, " +
+          s"COUNT(*) AS $as FROM orders WHERE o_orderstatus = '$status' AND o_totalprice IS NOT NULL " +
+          s"AND NOT isnan(CAST(o_totalprice AS DOUBLE)) AND CAST(o_totalprice AS DOUBLE) >= $loS " +
+          s"AND CAST(o_totalprice AS DOUBLE) <= CAST('500000.0' AS DOUBLE) GROUP BY 1, 2"
+      def fl(cnt: String, tot: String) =
+        s"CASE WHEN $tot = 0 THEN NULL ELSE GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS) END"
+      s"WITH gs AS (SELECT DISTINCT o_orderpriority AS g FROM orders WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'), " +
+        "sp AS (SELECT g, range AS bucket FROM gs CROSS JOIN range(0, 16)), " +
+        s"cb AS (${side("F", "cb")}), co AS (${side("O", "co")}), " +
+        "j AS (SELECT sp.g, sp.bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp " +
+        "LEFT JOIN cb ON sp.g = cb.g AND sp.bucket = cb.bucket " +
+        "LEFT JOIN co ON sp.g = co.g AND sp.bucket = co.bucket), " +
+        "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY g) AS DOUBLE) AS tb, " +
+        "CAST(SUM(cnt_other) OVER (PARTITION BY g) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT g, bucket, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +
+        s"(FLOOR(LN(${fl("cnt_base", "tb")} / ${fl("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000) AS psi_term FROM w2) " +
+        "SELECT g AS o_orderpriority, bucket, " +
+        s"$loS + bucket * $wS AS bucket_lo, $loS + (bucket + 1) * $wS AS bucket_hi, cnt_base, cnt_other, psi_term, " +
+        "CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) OVER (PARTITION BY g) AS DOUBLE) / 1000000000000 AS psi_total FROM y"
+    },
+    "q_psi_quantile_grouped" -> {
+      // grouped equal-frequency PSI replayed: per-group inclusive-rank
+      // cutoffs (exact KLL regime), per-group bucketing/totals/psi_total,
+      // null cut bounds where a group has no cutoffs
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      val src = "SELECT CAST(i % 4 AS BIGINT) AS g, CAST((i * 37) % 101 AS DOUBLE) AS x FROM range(0, 240) t(i)"
+      def cut(p: String) = s"MIN(CASE WHEN CAST(rn AS DOUBLE) >= CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE) THEN x END)"
+      def side(pred: String, as: String) =
+        s"SELECT w.grp, CASE WHEN x > c3 THEN 3 WHEN x > c2 THEN 2 WHEN x > c1 THEN 1 ELSE 0 END AS bucket, " +
+          s"COUNT(*) AS $as FROM (SELECT grp, x FROM wg WHERE $pred AND x IS NOT NULL AND NOT isnan(x)) w " +
+          "LEFT JOIN cu ON w.grp = cu.grp GROUP BY 1, 2"
+      def fl(cnt: String, tot: String) =
+        s"CASE WHEN $tot = 0 THEN NULL ELSE GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS) END"
+      s"WITH src AS ($src), " +
+        "wg AS (SELECT g, x, CAST(x AS BIGINT) % 2 AS grp FROM src), " +
+        "bv AS (SELECT grp, x FROM wg WHERE g < 2 AND x IS NOT NULL AND NOT isnan(x)), " +
+        "r AS (SELECT grp, x, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY grp) AS n FROM bv), " +
+        s"cu AS (SELECT grp, ${cut("0.25")} AS c1, ${cut("0.5")} AS c2, ${cut("0.75")} AS c3 FROM r GROUP BY grp), " +
+        "gs AS (SELECT DISTINCT grp FROM wg), " +
+        "sp AS (SELECT grp, range AS bucket FROM gs CROSS JOIN range(0, 4)), " +
+        s"bb AS (${side("g < 2", "cb")}), ob AS (${side("g >= 2", "co")}), " +
+        "j AS (SELECT sp.grp, sp.bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp " +
+        "LEFT JOIN bb ON sp.grp = bb.grp AND sp.bucket = bb.bucket " +
+        "LEFT JOIN ob ON sp.grp = ob.grp AND sp.bucket = ob.bucket), " +
+        "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY grp) AS DOUBLE) AS tb, " +
+        "CAST(SUM(cnt_other) OVER (PARTITION BY grp) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT grp, bucket, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +
+        s"(FLOOR(LN(${fl("cnt_base", "tb")} / ${fl("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000) AS psi_term FROM w2), " +
+        "z AS (SELECT y.*, CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) OVER (PARTITION BY grp) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
+        "SELECT z.grp, z.bucket, " +
+        "CASE z.bucket WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS cut_lo, " +
+        "CASE z.bucket WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS cut_hi, " +
+        "cnt_base, cnt_other, psi_term, psi_total FROM z LEFT JOIN cu ON z.grp = cu.grp"
     },
     "q_psi_categorical" -> {
       val epsS = "CAST('1.0E-6' AS DOUBLE)"

@@ -1225,10 +1225,14 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def calibrationProfile(scoreCol: String, labelCol: String, buckets: Int = 10,
                          groupBy: Seq[String] = Nil): Chain = {
     require(buckets > 0, s"calibration_profile needs buckets > 0, got $buckets")
+    // _m/_ssumd/_pos/_q/_N are the grouped one-scan path's internal
+    // map-fold/accumulator columns — guarded like the sink's (the
+    // ADVICE-flagged gap: a group column named _m would be shadowed by
+    // the perGroup map alias)
     val reservedCal = Seq("bucket", "bucket_lo", "bucket_hi", "n", "score_avg",
-      "pos_rate", "ece")
+      "pos_rate", "ece", "_m", "_ssumd", "_pos", "_q", "_N")
     require(groupBy.intersect(reservedCal).isEmpty,
-      s"calibration_profile group columns collide with output names " +
+      s"calibration_profile group columns collide with output/internal names " +
         s"${groupBy.intersect(reservedCal).mkString(", ")} — rename first")
     val w = 1.0 / buckets
     val s = col(scoreCol).cast("double")
@@ -1869,36 +1873,72 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * [[entropyProfile]] regime) so the product is bit-stable across
     * engines and partitionings.
     *
-    * Scale: one hash aggregate per side (map-side combined, ≤ buckets
-    * rows out), totals and psi_total as windows over the bucket-count
-    * frame (tiny — never a second corpus scan), spine join broadcast.
-    * Not SQL-renderable (two frames — the [[graft.ops.JoinOps.diffAgainst]]
+    * `group_by` (per-source/language/domain drift — "PSI per slice"):
+    * every bucket, total, term, and `psi_total` closes PER GROUP; the
+    * group spine is the union of groups seen on EITHER side (excluded
+    * rows still vote for discovery, so a group whose rows are all
+    * out-of-range stays visible with zero counts and null terms); a NULL
+    * group value groups like any other value. `other` must carry the
+    * same-named group columns.
+    *
+    * Scale, ungrouped: one hash aggregate per side (map-side combined,
+    * ≤ buckets rows out), totals and psi_total as windows over the
+    * bucket-count frame (tiny — never a second corpus scan), spine join
+    * broadcast. Grouped: ONE scan per side — both sides tag-union into
+    * ONE (group, bucket) aggregate (≤ groups × (buckets + 1) rows
+    * shuffle); excluded rows keep a NULL bucket inside it so group
+    * DISCOVERY rides the same pass, and the spine pads per group via the
+    * bucket-map explode (the [[histogram]]/[[calibrationProfile]] regime
+    * — never a corpus-side distinct-groups rescan); closings are two
+    * tiny per-group aggregates over the bounded frame. Not
+    * SQL-renderable (two frames — the [[graft.ops.JoinOps.diffAgainst]]
     * posture).
     */
   def psiProfile(other: DataFrame, column: String, lo: Double, hi: Double,
-                 buckets: Int, eps: Double = 1e-6): Chain = {
+                 buckets: Int, eps: Double = 1e-6,
+                 groupBy: Seq[String] = Nil): Chain = {
     require(buckets > 0, s"psi_profile needs buckets > 0, got $buckets")
     require(hi > lo, s"psi_profile needs hi > lo, got [$lo, $hi]")
     require(eps > 0.0 && eps < 1.0, s"psi_profile needs eps in (0, 1), got $eps")
+    AggOps.requirePsiGroupNames("psi_profile", groupBy,
+      Seq("bucket", "bucket_lo", "bucket_hi"))
     val w = (hi - lo) / buckets
-    def bucketCounts(df: DataFrame, as: String) = {
-      val x = col(column).cast("double")
-      val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
-      val b = least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong))
-      df.where(in).groupBy(b.as("bucket")).agg(count(lit(1)).as(as))
-    }
-    val spine = c.spark.range(buckets).select(col("id").as("bucket"))
-    val joined = spine
-      .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
-      .join(bucketCounts(other, "_co"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
-        coalesce(col("_co"), lit(0L)).as("cnt_other"))
-    val df2 = AggOps.psiTerms(joined, eps)
+    val x = col(column).cast("double")
+    val in = x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi)
+    val b = least(floor((x - lit(lo)) / lit(w)).cast("long"), lit((buckets - 1).toLong))
+    val closed =
+      if (groupBy.isEmpty) {
+        def bucketCounts(df: DataFrame, as: String) =
+          df.where(in).groupBy(b.as("bucket")).agg(count(lit(1)).as(as))
+        val spine = c.spark.range(buckets).select(col("id").as("bucket"))
+        val joined = spine
+          .join(bucketCounts(c.df, "_cb"), Seq("bucket"), "left")
+          .join(bucketCounts(other, "_co"), Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+            coalesce(col("_co"), lit(0L)).as("cnt_other"))
+        AggOps.psiTerms(joined, eps)
+      } else {
+        // ONE scan per side: tag-union into ONE (group, bucket) aggregate;
+        // excluded rows keep a NULL bucket so group discovery rides the
+        // same pass, and the per-group map/explode fold pads the spine —
+        // the histogram/calibrationProfile regime, never a corpus rescan
+        def side(df: DataFrame, tag: Int) =
+          df.select((groupBy.map(col) ++ Seq(when(in, b).as("bucket"),
+            lit(tag).as("_s"))): _*)
+        val counts = side(c.df, 0).unionByName(side(other, 1))
+          .groupBy((groupBy.map(col) :+ col("bucket")): _*)
+          .agg(count(when(col("_s") === 0, lit(1))).as("_cb"),
+            count(when(col("_s") === 1, lit(1))).as("_co"))
+        AggOps.psiTermsGrouped(
+          AggOps.foldPadCounts(counts, groupBy, buckets), groupBy, eps)
+      }
+    val df2 = closed
       .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(w))
       .withColumn("bucket_hi", lit(lo) + (col("bucket") + lit(1L)) * lit(w))
-      .select("bucket", "bucket_lo", "bucket_hi", "cnt_base", "cnt_other",
-        "psi_term", "psi_total")
+      .select((groupBy.map(col) ++ Seq(col("bucket"), col("bucket_lo"),
+        col("bucket_hi"), col("cnt_base"), col("cnt_other"),
+        col("psi_term"), col("psi_total"))): _*)
     c.next("psi_profile", df2, None)
   }
 
@@ -1932,36 +1972,140 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * exchanges. An empty/degenerate base yields null cutoffs → every
     * valid row buckets to 0 and `_tb` = 0 nulls the shares: the profile
     * reads null, never a fake zero.
+    *
+    * `group_by` (per-slice equal-frequency drift): cutoffs come from ONE
+    * GROUPED KLL aggregate over the base side — each slice gets its own
+    * equal-frequency bins — and every count, total, term, `psi_total`,
+    * and cutoff bound closes per group. The cutoff and base-count frames
+    * are BOUNDED DECLARED DRIVER READS capped at `maxGroups` (loud
+    * refusal past the cap — per-group cutoffs cannot fold to literals
+    * without a driver read, and an unbounded group domain would need a
+    * persisted-base shape instead; drift slices are low-cardinality by
+    * construction) and re-lift as literal frames, so the base side is
+    * still scanned exactly ONCE (persisted pruned projection, eagerly
+    * released) and the returned plan carries it only as literals.
+    * `other` is scanned once, lazily, through one broadcast join against
+    * the literal cutoffs + one map-side-combined aggregate. Group
+    * discovery follows [[psiProfile]]: null/NaN rows keep a NULL bucket,
+    * so an all-invalid group stays visible (null cutoffs, zero counts,
+    * null terms); a group seen only on the `other` side buckets to 0
+    * with null bounds and null terms — visible, never a fake zero.
     */
   def psiQuantileProfile(other: DataFrame, column: String, buckets: Int,
-                         eps: Double = 1e-6, k: Int = 200): Chain = {
+                         eps: Double = 1e-6, k: Int = 200,
+                         groupBy: Seq[String] = Nil,
+                         maxGroups: Int = 1000): Chain = {
     require(buckets > 1, s"psi_quantile_profile needs buckets > 1, got $buckets")
     require(eps > 0.0 && eps < 1.0, s"psi_quantile_profile needs eps in (0, 1), got $eps")
     val xr = col(column).cast("double")
-    val baseV = c.df
-      .select(xr.as(column)).where(col(column).isNotNull && !isnan(col(column)))
-      .persist()
-    val (cuts, baseCounts) =
-      try {
-        val cuts = AggOps.literalCutoffs(
-          AggOps.kllCutoffs(baseV, column, buckets, k), c.spark, buckets)
-        val baseRows = AggOps.cutoffBucketed(baseV, column, cuts, buckets)
-          .groupBy("bucket").agg(count(lit(1)).as("_cb")).collect()
-        (cuts, AggOps.literalCountFrame(c.spark, baseRows, "_cb"))
-      } finally baseV.unpersist(false)
-    val otherCounts = AggOps.cutoffBucketed(other, column, cuts, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("_co"))
-    val spine = c.spark.range(buckets).select(col("id").as("bucket"))
-    val joined = spine
-      .join(baseCounts, Seq("bucket"), "left")
-      .join(otherCounts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
-        coalesce(col("_co"), lit(0L)).as("cnt_other"))
-    val df2 = AggOps.withCutoffBounds(AggOps.psiTerms(joined, eps), cuts, buckets)
-      .select("bucket", "cut_lo", "cut_hi", "cnt_base", "cnt_other",
-        "psi_term", "psi_total")
-    c.next("psi_quantile_profile", df2, None)
+    if (groupBy.isEmpty) {
+      val baseV = c.df
+        .select(xr.as(column)).where(col(column).isNotNull && !isnan(col(column)))
+        .persist()
+      val (cuts, baseCounts) =
+        try {
+          val cuts = AggOps.literalCutoffs(
+            AggOps.kllCutoffs(baseV, column, buckets, k), c.spark, buckets)
+          val baseRows = AggOps.cutoffBucketed(baseV, column, cuts, buckets)
+            .groupBy("bucket").agg(count(lit(1)).as("_cb")).collect()
+          (cuts, AggOps.literalCountFrame(c.spark, baseRows, "_cb"))
+        } finally baseV.unpersist(false)
+      val otherCounts = AggOps.cutoffBucketed(other, column, cuts, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as("_co"))
+      val spine = c.spark.range(buckets).select(col("id").as("bucket"))
+      val joined = spine
+        .join(baseCounts, Seq("bucket"), "left")
+        .join(otherCounts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+          coalesce(col("_co"), lit(0L)).as("cnt_other"))
+      val df2 = AggOps.withCutoffBounds(AggOps.psiTerms(joined, eps), cuts, buckets)
+        .select("bucket", "cut_lo", "cut_hi", "cnt_base", "cnt_other",
+          "psi_term", "psi_total")
+      c.next("psi_quantile_profile", df2, None)
+    } else {
+      require(maxGroups > 0, s"psi_quantile_profile needs maxGroups > 0, got $maxGroups")
+      AggOps.requirePsiGroupNames("psi_quantile_profile", groupBy,
+        Seq("cut_lo", "cut_hi", "_x", "_sk") ++
+          (1 until buckets).map(i => s"_cut$i"))
+      val v = col("_x").isNotNull && !isnan(col("_x"))
+      val cutJoinCond = groupBy.map(kk => col(kk) <=> col(s"_cg_$kk")).reduce(_ && _)
+      // bucket = #cutoffs strictly below x, cutoffs joined per group; a
+      // group with no cutoff row (all-invalid base, or other-side-only)
+      // gets null conditions → bucket 0, matching the ungrouped
+      // degenerate posture
+      def bucketCounts(df: DataFrame, cutF: DataFrame, as: String) = {
+        val branches = (buckets - 1 to 1 by -1)
+          .map(i => (col("_x") > col(s"_cut$i"), lit(i.toLong)))
+        val bexpr = branches.tail
+          .foldLeft(when(branches.head._1, branches.head._2)) {
+            case (acc, (cond, bv)) => acc.when(cond, bv)
+          }.otherwise(lit(0L))
+        df.join(broadcast(cutF), cutJoinCond, "left")
+          .groupBy((groupBy.map(col) :+ when(v, bexpr).as("bucket")): _*)
+          .agg(count(when(v, lit(1))).as(as))
+      }
+      val baseP = c.df.select((groupBy.map(col) :+ xr.as("_x")): _*).persist()
+      val (cutF, baseCounts) =
+        try {
+          val cutAgg = baseP.where(v).groupBy(groupBy.map(col): _*)
+            .agg(graft.functions.KllSketches.sketchAgg(col("_x"), k).as("_sk"))
+            .select((groupBy.map(col) ++ (1 until buckets).map(i =>
+              graft.functions.KllSketches.quantile(col("_sk"), i.toDouble / buckets)
+                .as(s"_cut$i"))): _*)
+          val cutRows = cutAgg.limit(maxGroups + 1).collect()
+          require(cutRows.length <= maxGroups,
+            s"psi_quantile_profile grouped saw more than maxGroups=$maxGroups " +
+              "base groups — the per-group cutoff fold is a declared driver " +
+              "read of groups × (buckets − 1) doubles; raise maxGroups or " +
+              "coarsen the grouping")
+          val cutSchema = StructType(
+            groupBy.map { g =>
+              val f = cutAgg.schema(g); StructField(s"_cg_${f.name}", f.dataType, nullable = true)
+            } ++ (1 until buckets).map(i =>
+              StructField(s"_cut$i", DoubleType, nullable = true)))
+          val cutF = c.spark.createDataFrame(
+            java.util.Arrays.asList(cutRows: _*), cutSchema)
+          val countCap = maxGroups * (buckets + 1)
+          val baseRows = bucketCounts(baseP, cutF, "_cb")
+            .limit(countCap + 1).collect()
+          require(baseRows.length <= countCap,
+            s"psi_quantile_profile grouped base-count frame exceeded " +
+              s"maxGroups=$maxGroups × (buckets + 1) rows — raise maxGroups " +
+              "or coarsen the grouping")
+          val countSchema = StructType(
+            groupBy.map { g =>
+              val f = baseP.schema(g); StructField(f.name, f.dataType, nullable = true)
+            } ++ Seq(StructField("bucket", LongType, nullable = true),
+              StructField("_cb", LongType, nullable = true)))
+          (cutF, c.spark.createDataFrame(
+            java.util.Arrays.asList(baseRows: _*), countSchema))
+        } finally baseP.unpersist(false)
+      val otherCounts = bucketCounts(
+        other.select((groupBy.map(col) :+ xr.as("_x")): _*), cutF, "_co")
+      // literal base counts + lazy other counts: tag-free union into ONE
+      // aggregate (a full-outer join would need null-safe keys; the union
+      // groups null group values and the NULL discovery bucket naturally)
+      val counts = baseCounts
+        .select((groupBy.map(col) ++ Seq(col("bucket"), col("_cb"), lit(0L).as("_co"))): _*)
+        .unionByName(otherCounts
+          .select((groupBy.map(col) ++ Seq(col("bucket"), lit(0L).as("_cb"), col("_co"))): _*))
+        .groupBy((groupBy.map(col) :+ col("bucket")): _*)
+        .agg(sum(col("_cb")).as("_cb"), sum(col("_co")).as("_co"))
+      val closed = AggOps.psiTermsGrouped(
+        AggOps.foldPadCounts(counts, groupBy, buckets), groupBy, eps)
+      val df2 = closed.join(broadcast(cutF), cutJoinCond, "left")
+        .withColumn("cut_lo",
+          AggOps.cutBoundExpr(buckets, bb => if (bb == 0) None else Some(bb)))
+        .withColumn("cut_hi",
+          AggOps.cutBoundExpr(buckets, bb => if (bb == buckets - 1) None else Some(bb + 1)))
+        .drop((groupBy.map(kk => s"_cg_$kk") ++
+          (1 until buckets).map(i => s"_cut$i")): _*)
+        .select((groupBy.map(col) ++ Seq(col("bucket"), col("cut_lo"),
+          col("cut_hi"), col("cnt_base"), col("cnt_other"),
+          col("psi_term"), col("psi_total"))): _*)
+      c.next("psi_quantile_profile", df2, None)
+    }
   }
 
   /** psi_categorical_profile(other, column): [[psiProfile]] over a
@@ -2008,20 +2152,76 @@ private[graft] object AggOps {
   }
 
   /** The grouped twin of [[psiTerms]] — totals and `psi_total` per group
-    * (e.g. per event-time window for streaming drift): two small
-    * aggregations over the count frame joined back on the group keys.
-    * Everything stays partitioned by the group — no broadcast needed, no
-    * global window, unbounded group counts are fine.
+    * (e.g. per event-time window for streaming drift, or a user
+    * `group_by` slice): two small aggregations over the count frame
+    * joined back on the group keys. The joins back are NULL-SAFE with
+    * RENAMED right sides (`_t_`/`_p_` prefixes — shared lineage would
+    * otherwise trip ambiguous-column resolution): a null group value
+    * groups like any other value in the aggregates, so it must match
+    * back instead of silently dropping its buckets. Everything stays
+    * partitioned by the group — no broadcast needed, no global window,
+    * unbounded group counts are fine.
     */
   def psiTermsGrouped(joined: DataFrame, groupCols: Seq[String],
                       eps: Double): DataFrame = {
     require(groupCols.nonEmpty, "psiTermsGrouped needs group columns")
     val totals = joined.groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt_base")).as("_tb"), sum(col("cnt_other")).as("_to"))
-    val t1 = joined.join(totals, groupCols)
+      .select((groupCols.map(kk => col(kk).as(s"_t_$kk")) ++
+        Seq(col("_tb"), col("_to"))): _*)
+    val t1 = joined.join(totals,
+      groupCols.map(kk => col(kk) <=> col(s"_t_$kk")).reduce(_ && _))
+      .drop(groupCols.map(kk => s"_t_$kk"): _*)
       .withColumn("psi_term", psiTermExpr(eps)).drop("_tb", "_to")
     val perGroup = t1.groupBy(groupCols.map(col): _*).agg(psiTotalAgg)
-    t1.join(perGroup, groupCols)
+      .select((groupCols.map(kk => col(kk).as(s"_p_$kk")) :+
+        col("psi_total")): _*)
+    t1.join(perGroup,
+      groupCols.map(kk => col(kk) <=> col(s"_p_$kk")).reduce(_ && _))
+      .drop(groupCols.map(kk => s"_p_$kk"): _*)
+  }
+
+  /** Pad a grouped (groups…, bucket, _cb, _co) count frame — where a NULL
+    * bucket row is the group-discovery vote from excluded/invalid rows —
+    * to the full per-group bucket spine via the bucket-map explode (the
+    * [[graft.ops.AggOps.histogram]] regime): one map per group, exploded
+    * against `sequence(0, buckets-1)`, missing cells coalesce to 0.
+    * Runs entirely on the bounded aggregated frame — never a corpus
+    * rescan. Shared by the grouped PSI faces.
+    */
+  def foldPadCounts(counts: DataFrame, groupBy: Seq[String],
+                    buckets: Int): DataFrame = {
+    val perGroup = counts.groupBy(groupBy.map(col): _*)
+      .agg(map_from_entries(collect_list(when(col("bucket").isNotNull,
+        struct(col("bucket"), struct(col("_cb"), col("_co")))))).as("_m"))
+    perGroup
+      .select((groupBy.map(col) :+
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket") :+
+        col("_m")): _*)
+      .select((groupBy.map(col) ++ Seq(col("bucket"),
+        coalesce(try_element_at(col("_m"), col("bucket")).getField("_cb"),
+          lit(0L)).as("cnt_base"),
+        coalesce(try_element_at(col("_m"), col("bucket")).getField("_co"),
+          lit(0L)).as("cnt_other"))): _*)
+  }
+
+  /** Reserved-name guard for the grouped PSI faces: group columns must
+    * not collide with output/internal names or the `_t_`/`_p_`/`_cg_`
+    * rename prefixes the null-safe joins use.
+    */
+  private[graft] def requirePsiGroupNames(op: String, groupBy: Seq[String],
+                                          extra: Seq[String]): Unit = {
+    val reserved = Seq("bucket", "cnt_base", "cnt_other", "psi_term",
+      "psi_total", "_m", "_s", "_cb", "_co", "_tb", "_to") ++ extra
+    val hit = groupBy.intersect(reserved)
+    require(hit.isEmpty,
+      s"$op group columns collide with output/internal names " +
+        s"${hit.mkString(", ")} — rename first")
+    val pfx = groupBy.filter(g =>
+      g.startsWith("_t_") || g.startsWith("_p_") || g.startsWith("_cg_"))
+    require(pfx.isEmpty,
+      s"$op group columns use reserved internal prefixes (_t_/_p_/_cg_): " +
+        s"${pfx.mkString(", ")} — rename first")
   }
 
   // eps-floored-share PSI term from (cnt_base, cnt_other, _tb, _to).
@@ -2185,20 +2385,26 @@ private[graft] object AggOps {
       .drop((1 until buckets).map(i => s"_cut$i"): _*)
   }
 
+  /** Bin-bound lookup over joined `_cut{i}` columns: maps `bucket` to the
+    * selected cutoff column, null past the open ends (and null when the
+    * cutoff columns themselves are null — a group with no cutoffs).
+    * Shared by [[withCutoffBounds]] and the grouped quantile-PSI face.
+    */
+  private[graft] def cutBoundExpr(buckets: Int, sel: Int => Option[Int]): Column =
+    (0 until buckets).flatMap(b => sel(b).map(i =>
+      (col("bucket") === lit(b.toLong), col(s"_cut$i"))))
+      .foldLeft(None: Option[Column]) { case (acc, (cond, v)) =>
+        Some(acc.fold(when(cond, v))(_.when(cond, v)))
+      }.get.otherwise(lit(null).cast("double"))
+
   /** Attach `cut_lo`/`cut_hi` bin bounds (null at the open ends) to a
     * frame carrying a `bucket` column, from the one-row cutoff frame.
     */
   private[graft] def withCutoffBounds(df: DataFrame, cuts: DataFrame,
                                       buckets: Int): DataFrame = {
-    def boundExpr(sel: Int => Option[Int]): Column =
-      (0 until buckets).flatMap(b => sel(b).map(i =>
-        (col("bucket") === lit(b.toLong), col(s"_cut$i"))))
-        .foldLeft(None: Option[Column]) { case (acc, (cond, v)) =>
-          Some(acc.fold(when(cond, v))(_.when(cond, v)))
-        }.get.otherwise(lit(null).cast("double"))
     df.crossJoin(broadcast(cuts))
-      .withColumn("cut_lo", boundExpr(b => if (b == 0) None else Some(b)))
-      .withColumn("cut_hi", boundExpr(b => if (b == buckets - 1) None else Some(b + 1)))
+      .withColumn("cut_lo", cutBoundExpr(buckets, b => if (b == 0) None else Some(b)))
+      .withColumn("cut_hi", cutBoundExpr(buckets, b => if (b == buckets - 1) None else Some(b + 1)))
       .drop((1 until buckets).map(i => s"_cut$i"): _*)
   }
 }

@@ -9,8 +9,9 @@ import TestSpark._
 /** Gates for the round-13 batch: the one-corpus-scan grouped histogram
   * (the last corpus-side spine distinct, rewritten onto the
   * calibrationProfile null-bucket fold), its all-excluded-group and
-  * null-group contracts, and the reserved-name guard the new internal
-  * columns require.
+  * null-group contracts, the reserved-name guard the new internal
+  * columns require, and the grouped PSI faces (per-slice drift — the
+  * last ungrouped census family member).
   */
 class Round13Spec extends AnyFunSuite {
   import spark.implicits._
@@ -111,5 +112,104 @@ class Round13Spec extends AnyFunSuite {
         .datespineGroups(Seq("o_orderstatus"), "o_orderdate",
           "1995-01-01", "1995-01-31").df),
       "datespine_groups' semantic distinct must not lint")
+  }
+
+  // ---- grouped PSI faces (round-12 verdict ask #3) -------------------------
+
+  // groups: "a" healthy on both sides (plus a null and a NaN value row);
+  // "b" base-only; "c" out-of-range for the equal-width face; null group
+  // with rows on both sides; "d" other-only
+  private def psiFixture = {
+    val base = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(9.0)),
+      (Some("a"), Option.empty[Double]), (Some("a"), Some(Double.NaN)),
+      (Some("b"), Some(3.0)), (Some("b"), Some(4.0)),
+      (Some("c"), Some(99.0)),
+      (Option.empty[String], Some(5.0)), (None, Some(6.0))).toDF("g", "x")
+    val other = Seq(
+      (Some("a"), Some(8.0)), (Some("a"), Some(1.5)),
+      (Some("c"), Some(120.0)),
+      (Option.empty[String], Some(2.5)),
+      (Some("d"), Some(7.0))).toDF("g", "x")
+    (base, other)
+  }
+  private val psiGroups = Seq(Some("a"), Some("b"), Some("c"), None, Some("d"))
+  private def gFilter(g: Option[String]) =
+    g.map(v => col("g") === v).getOrElse(col("g").isNull)
+
+  test("psiProfile grouped equals the per-segment ungrouped runs") {
+    val (base, other) = psiFixture
+    val grouped = Chain(spark, "pg", base)
+      .psiProfile(other, "x", 0.0, 10.0, 4, groupBy = Seq("g")).df
+    assert(grouped.count() == psiGroups.size * 4L,
+      "every group seen on either side must emit its full bucket spine")
+    for (g <- psiGroups) {
+      val solo = Chain(spark, "ps", base.where(gFilter(g)))
+        .psiProfile(other.where(gFilter(g)), "x", 0.0, 10.0, 4).df
+      assert(rows(grouped.where(gFilter(g)).drop("g")) == rows(solo),
+        s"group $g must match its own ungrouped run")
+    }
+  }
+
+  test("psiQuantileProfile grouped equals the per-segment ungrouped runs") {
+    val (base, other) = psiFixture
+    val grouped = Chain(spark, "pqg", base)
+      .psiQuantileProfile(other, "x", 3, groupBy = Seq("g")).df
+    assert(grouped.count() == psiGroups.size * 3L)
+    for (g <- psiGroups) {
+      val solo = Chain(spark, "pqs", base.where(gFilter(g)))
+        .psiQuantileProfile(other.where(gFilter(g)), "x", 3).df
+      assert(rows(grouped.where(gFilter(g)).drop("g")) == rows(solo),
+        s"group $g must match its own ungrouped run")
+    }
+  }
+
+  test("psiProfile grouped: ONE scan per side in the physical plan") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val df = Chain(spark, "pgs", o.where("o_orderstatus = 'F'"))
+      .psiProfile(o.where("o_orderstatus = 'O'"), "o_totalprice",
+        0.0, 500000.0, 8, groupBy = Seq("o_orderpriority")).df
+    df.collect()
+    val scans = countScans(df.queryExecution.executedPlan)
+    assert(scans == 2,
+      s"grouped psi must scan each side exactly once, got $scans")
+  }
+
+  test("psiQuantileProfile grouped: returned plan carries the base side only as literals") {
+    val basePq = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where("o_orderstatus = 'F'")
+    val otherMem = Seq(("1-URGENT", 1000.0)).toDF("o_orderpriority", "o_totalprice")
+    val df = Chain(spark, "pql", basePq)
+      .psiQuantileProfile(otherMem, "o_totalprice", 4,
+        groupBy = Seq("o_orderpriority")).df
+    df.collect()
+    val scans = countScans(df.queryExecution.executedPlan)
+    assert(scans == 0,
+      s"base must fold to literal cutoff/count frames — no corpus FileScan " +
+        s"in the returned plan, got $scans")
+  }
+
+  test("psi grouped: reserved group names and internal prefixes refuse") {
+    val df = Seq((1.0, 0L)).toDF("x", "bucket")
+    val e1 = intercept[IllegalArgumentException] {
+      Chain(spark, "pr1", df).psiProfile(df, "x", 0.0, 1.0, 2,
+        groupBy = Seq("bucket"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    val df2 = Seq((1.0, "z")).toDF("x", "_t_g")
+    val e2 = intercept[IllegalArgumentException] {
+      Chain(spark, "pr2", df2).psiQuantileProfile(df2, "x", 2,
+        groupBy = Seq("_t_g"))
+    }
+    assert(e2.getMessage.contains("reserved internal prefixes"))
+  }
+
+  test("psiQuantileProfile grouped: maxGroups cap refuses loudly") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "x")
+    val e = intercept[IllegalArgumentException] {
+      Chain(spark, "pmx", df).psiQuantileProfile(df, "x", 2,
+        groupBy = Seq("g"), maxGroups = 1)
+    }
+    assert(e.getMessage.contains("maxGroups"))
   }
 }
