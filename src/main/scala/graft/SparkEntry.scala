@@ -539,6 +539,12 @@ object SparkEntry {
     "q_join_salted" -> ((s, d) =>
       t(s, d, "lineitem").joinSalted(t(s, d, "orders"), "inner",
         Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 8).df),
+    // profile-fed salting: only measured hot keys replicate (ns ∝ count,
+    // capped), the cold majority passes through; result = the plain join
+    "q_join_salted_auto" -> ((s, d) =>
+      t(s, d, "lineitem").joinSaltedAuto(t(s, d, "orders"), "inner",
+        Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 4, minHotCount = 3,
+        maxHotKeys = 5000).df),
     // row-level dataset diff: synthetic old/new versions of orders —
     // removed (in old only), added (in new only), changed (priority bumped)
     "q_diff_tables" -> ((s, d) => {
@@ -2067,6 +2073,10 @@ object SparkEntry {
         "FROM lineitem l JOIN iv2 ON l.l_shipdate >= iv2.o_orderdate_month " +
         "AND l.l_shipdate < iv2.o_orderdate_month_add_10_day"),
     "q_join_salted" ->
+      "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    // the salt is an implementation detail: the auto-salted join must
+    // equal the plain join exactly
+    "q_join_salted_auto" ->
       "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
     "q_diff_tables" ->
       ("WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0), " +

@@ -1,10 +1,10 @@
 package graft.ops
 
 import graft.core.Chain
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 /** Joins / set ops — reference transforms #13-17 (SURVEY §2.2). All are
   * equi-joins (the reference template library has no theta/as-of joins);
@@ -623,6 +623,75 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       s"SELECT $selSql FROM {{source}} _l ${joinTypeSql(joinType)} JOIN ${rightSource(other)} _r ON $onSql"))
   }
 
+  /** join_salted_auto(right, join_type, join_columns): the profile-fed
+    * composition of [[joinCardinalityProfile]] and [[joinSalted]] — salt
+    * ONLY the measured hot keys, pass the cold majority through
+    * unreplicated. [[joinSalted]] replicates EVERY right row
+    * saltBuckets×, which is a saltBuckets× right-side tax when one key in
+    * a million is hot; here the left side's key multiplicities are
+    * profiled first, keys with cnt > `minHotCount` get a per-key salt
+    * count ⌈cnt / minHotCount⌉ (∝ the key's weight, capped at
+    * `saltBuckets`), and every other key keeps salt 0 on both sides — a
+    * cold right row joins exactly once, never replicated. Result is
+    * EXACTLY the plain join (the SQL face renders it unsalted).
+    *
+    * Scale: the profile is one extra map-side-combined count aggregate
+    * over the left side (the preflight [[joinCardinalityProfile]] cost —
+    * deliberate: measuring beats guessing); only keys past the hot
+    * threshold survive its filter, the hottest `maxHotKeys` keep salting
+    * (TakeOrdered, no global sort — an un-salted residue past the cap
+    * still joins CORRECTLY, just unsalted) and ride a literal broadcast
+    * frame of ≤ maxHotKeys rows onto both sides. The join itself
+    * shuffles on (keys, salt), so a key that carried 10⁸ rows in one
+    * partition now spreads across ⌈cnt/minHotCount⌉ ≤ saltBuckets tasks
+    * — the AQE-skew-join shape, but deterministic and available to every
+    * join type here. Inner/left only, as [[joinSalted]].
+    */
+  def joinSaltedAuto(
+      other: Chain,
+      joinType: String,
+      joinColumns: Seq[(String, String)],
+      saltBuckets: Int = 16,
+      minHotCount: Long = 100000L,
+      maxHotKeys: Int = 1000,
+      joinPrefix: String = ""): Chain = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    require(minHotCount >= 1, s"minHotCount must be >= 1, got $minHotCount")
+    require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
+    require(Set("inner", "left", "left_outer").contains(normalize(joinType)),
+      "join_salted_auto supports inner/left joins only (unmatched right rows " +
+        s"would replicate per salt bucket); got $joinType")
+    val leftCols = c.df.columns.toSeq
+    val lk = joinColumns.map(_._1)
+    val rk = joinColumns.map(_._2)
+    val reserved = Seq("_salt", "_ns")
+    require((leftCols ++ other.df.columns).intersect(reserved).isEmpty &&
+      !(lk ++ rk).exists(_.startsWith("_h_")),
+      "join_salted_auto reserves _salt/_ns and the _h_ key prefix — rename first")
+    val hotRows = JoinOps.hotKeySaltCounts(c.df, lk, minHotCount, maxHotKeys,
+      saltBuckets)
+    val keyTypes = lk.map(kn => c.df.schema(kn).dataType)
+    val lSalted = JoinOps.saltedLeft(c.df,
+      JoinOps.hotKeyLiteral(c.spark, hotRows, lk, keyTypes)).alias("_l")
+    val rSalted = JoinOps.saltedRight(other.df,
+      JoinOps.hotKeyLiteral(c.spark, hotRows, rk, keyTypes), rk).alias("_r")
+    val rightKeys = rk.toSet
+    val rightKept = other.df.columns.toSeq.filterNot(rightKeys.contains)
+    def outName(n: String): String =
+      if (joinPrefix.nonEmpty) s"${joinPrefix}_$n"
+      else if (leftCols.contains(n)) s"${n}_r" else n
+    val cond = (joinColumns.map { case (a, b) => col(s"_l.$a") === col(s"_r.$b") } :+
+      (col("_l._salt") === col("_r._salt"))).reduce(_ && _)
+    val proj = leftCols.map(n => col(s"_l.$n")) ++
+      rightKept.map(n => col(s"_r.$n").as(outName(n)))
+    val df2 = lSalted.join(rSalted, cond, normalize(joinType)).select(proj: _*)
+    val onSql = joinColumns.map { case (a, b) => s"_l.$a = _r.$b" }.mkString(" AND ")
+    val selSql = (leftCols.map(n => s"_l.$n") ++
+      rightKept.map(n => s"_r.$n AS ${outName(n)}")).mkString(", ")
+    c.next("join_salted_auto", df2, Some(
+      s"SELECT $selSql FROM {{source}} _l ${joinTypeSql(joinType)} JOIN ${rightSource(other)} _r ON $onSql"))
+  }
+
   /** A chain argument renders as its entry table when untransformed, else as
     * a derived table (the reference's sub-chain args,
     * rasgoql/primitives/transforms.py:446-447).
@@ -642,6 +711,70 @@ final class JoinOps(private val c: Chain) extends AnyVal {
 }
 
 object JoinOps {
+  /** The bounded hot-key profile behind [[JoinOps.joinSaltedAuto]]:
+    * left-side key multiplicities from one map-side-combined count
+    * aggregate, keys with cnt > minHotCount ONLY (cold keys never enter
+    * the frame — the not-replicated contract), hottest maxHotKeys kept
+    * via TakeOrdered (ties by key ascending, deterministic), each with
+    * its salt count ⌈cnt / minHotCount⌉ capped at saltBuckets. A
+    * declared driver read of ≤ maxHotKeys (key, _ns) rows.
+    */
+  private[graft] def hotKeySaltCounts(df: DataFrame, keys: Seq[String],
+                                      minHotCount: Long, maxHotKeys: Int,
+                                      saltBuckets: Int): Array[Row] =
+    df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > minHotCount)
+      .orderBy((col("_cnt").desc +: keys.map(col(_).asc)): _*)
+      .limit(maxHotKeys)
+      // counts are exact in double far past any real partition size, and
+      // the ceil is capped at saltBuckets anyway
+      .select((keys.map(col) :+ least(
+        ceil(col("_cnt").cast("double") / lit(minHotCount.toDouble)).cast("int"),
+        lit(saltBuckets)).as("_ns")): _*)
+      .collect()
+
+  /** Re-lift the collected hot-key rows as a literal broadcastable frame
+    * keyed `_h_<keyName>` (+ `_ns`), so both join sides salt against the
+    * SAME measured set without re-running the profile aggregate.
+    */
+  private[graft] def hotKeyLiteral(spark: SparkSession, rows: Array[Row],
+                                   keyNames: Seq[String],
+                                   keyTypes: Seq[org.apache.spark.sql.types.DataType]): DataFrame = {
+    val schema = StructType(keyNames.zip(keyTypes).map { case (kn, dt) =>
+      StructField(s"_h_$kn", dt, nullable = true)
+    } :+ StructField("_ns", IntegerType, nullable = true))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Left side of the profile-fed salted join: hot rows (a broadcast
+    * lookup hit) get salt = content-hash mod the key's own `_ns`; cold
+    * rows keep salt 0. Row count is UNCHANGED.
+    */
+  private[graft] def saltedLeft(df: DataFrame, hotF: DataFrame): DataFrame = {
+    val keyNames = hotF.columns.init.map(_.stripPrefix("_h_")).toSeq
+    val cond = keyNames.map(kn => col(kn) === col(s"_h_$kn")).reduce(_ && _)
+    df.join(broadcast(hotF), cond, "left")
+      .withColumn("_salt", when(col("_ns").isNull, lit(0))
+        .otherwise(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+          col("_ns").cast("long")).cast("int")))
+      .drop((keyNames.map(kn => s"_h_$kn") :+ "_ns"): _*)
+  }
+
+  /** Right side: hot rows replicate once per salt value (their `_ns`),
+    * cold rows ride `sequence(0, 0)` — exactly ONE copy, never
+    * replicated (the [[JoinOps.joinSalted]] flat saltBuckets× right tax
+    * this op exists to avoid).
+    */
+  private[graft] def saltedRight(df: DataFrame, hotF: DataFrame,
+                                 rightKeys: Seq[String]): DataFrame = {
+    val cond = rightKeys.map(kn => col(kn) === col(s"_h_$kn")).reduce(_ && _)
+    df.join(broadcast(hotF), cond, "left")
+      .withColumn("_salt",
+        explode(sequence(lit(0), coalesce(col("_ns") - lit(1), lit(0)))))
+      .drop((rightKeys.map(kn => s"_h_$kn") :+ "_ns"): _*)
+  }
+
   /** Hex md5-prefix threshold for [[JoinOps.sampleHash]]: fraction·16¹⁵ as
     * 15 lowercase hex digits. 16¹⁵ = 2⁶⁰ is exactly representable, so the
     * double multiply is reproducible everywhere.

@@ -212,4 +212,78 @@ class Round13Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxGroups"))
   }
+
+  // ---- profile-fed salted join (round-12 verdict ask #5) -------------------
+
+  private def saltFixture = {
+    // "h": hot (7 left rows > minHotCount=2); "c": cold (2 rows, not
+    // strictly above); null key never hot and never matches
+    val left = ((1 to 7).map(i => (Some("h"), i)) ++
+      Seq((Some("c"), 8), (Some("c"), 9), (Option.empty[String], 10)))
+      .toDF("k", "lv")
+    val right = Seq((Some("h"), 100), (Some("h"), 101), (Some("c"), 200),
+      (Some("x"), 300), (Option.empty[String], 400)).toDF("rk", "rv")
+    (left, right)
+  }
+
+  test("joinSaltedAuto: only profiled hot keys salt, ns proportional and capped") {
+    val (left, _) = saltFixture
+    val hot = JoinOps.hotKeySaltCounts(left, Seq("k"),
+      minHotCount = 2L, maxHotKeys = 10, saltBuckets = 3)
+    assert(hot.map(r => r.getString(0) -> r.getInt(1)).toMap == Map("h" -> 3),
+      "only 'h' crosses the threshold; ns = ceil(7/2) = 4 capped at 3")
+    val hotLow = JoinOps.hotKeySaltCounts(left, Seq("k"),
+      minHotCount = 3L, maxHotKeys = 10, saltBuckets = 16)
+    assert(hotLow.map(r => r.getString(0) -> r.getInt(1)).toMap == Map("h" -> 3),
+      "uncapped: ns = ceil(7/3) = 3")
+  }
+
+  test("joinSaltedAuto: cold right rows are NOT replicated, hot replicate ns times") {
+    val (left, right) = saltFixture
+    val rows = JoinOps.hotKeySaltCounts(left, Seq("k"), 2L, 10, 3)
+    val hotF = JoinOps.hotKeyLiteral(spark, rows, Seq("rk"),
+      Seq(left.schema("k").dataType))
+    val salted = JoinOps.saltedRight(right, hotF, Seq("rk"))
+      .groupBy("rk").agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(salted == Map(Some("h") -> 6L, Some("c") -> 1L, Some("x") -> 1L,
+      None -> 1L),
+      s"hot 'h' rows replicate ns=3 times each (2 rows -> 6), everything " +
+        s"else exactly once, got $salted")
+    // and the left side never changes its row count
+    val lSalted = JoinOps.saltedLeft(left,
+      JoinOps.hotKeyLiteral(spark, rows, Seq("k"), Seq(left.schema("k").dataType)))
+    assert(lSalted.count() == left.count())
+    assert(lSalted.where(col("k") === "c" || col("k").isNull)
+      .select("_salt").distinct().collect().map(_.getInt(0)).toSeq == Seq(0),
+      "cold/null-key left rows keep salt 0")
+  }
+
+  test("joinSaltedAuto equals the plain join (inner and left, null keys, empty hot set)") {
+    val (left, right) = saltFixture
+    for (jt <- Seq("inner", "left")) {
+      val auto = Chain(spark, "jsa", left).joinSaltedAuto(
+        Chain(spark, "jsar", right), jt, Seq("k" -> "rk"),
+        saltBuckets = 3, minHotCount = 2, maxHotKeys = 10).df
+      val plain = Chain(spark, "jsp", left).join(
+        Chain(spark, "jspr", right), jt, Seq("k" -> "rk")).df
+      assert(rows(auto) == rows(plain), s"$jt auto-salted join must equal plain")
+    }
+    // every key cold -> empty hot frame -> degenerate plain join
+    val autoCold = Chain(spark, "jsc", left).joinSaltedAuto(
+      Chain(spark, "jscr", right), "inner", Seq("k" -> "rk"),
+      saltBuckets = 4, minHotCount = 100, maxHotKeys = 10).df
+    val plainCold = Chain(spark, "jscp", left).join(
+      Chain(spark, "jscpr", right), "inner", Seq("k" -> "rk")).df
+    assert(rows(autoCold) == rows(plainCold))
+  }
+
+  test("joinSaltedAuto: reserved internal names refuse") {
+    val df = Seq((1, 2)).toDF("k", "_salt")
+    val e = intercept[IllegalArgumentException] {
+      Chain(spark, "jsg", df).joinSaltedAuto(Chain(spark, "jsg2", df),
+        "inner", Seq("k" -> "k"))
+    }
+    assert(e.getMessage.contains("_salt"))
+  }
 }
