@@ -1152,6 +1152,12 @@ object SparkEntry {
       "q_heavy_hitters_window" -> ((s, d) =>
         EventStreams.heavyHittersByWindow(readEvents(s, d), "user_id",
           "1 hour", k = 5)),
+      // the HOPPING face: 1-hour windows every 30 minutes (each event
+      // counted in two cells); sketch stays exact at 2x the tumbling
+      // window count, so the oracle replays the per-window census
+      "q_heavy_hitters_sliding" -> ((s, d) =>
+        EventStreams.heavyHittersByWindow(readEvents(s, d), "user_id",
+          "1 hour", k = 5, slide = Some("30 minutes"))),
       // day-cohort retention grid over (user, active day)
       "q_cohort_retention" -> ((s, d) =>
         EventStreams.cohortRetention(readEvents(s, d))),
@@ -2892,6 +2898,19 @@ object SparkEntry {
         s"WITH c AS (SELECT date_trunc('hour', $evT) AS window_start, " +
           "CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt FROM events " +
           "WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
+          "ORDER BY cnt DESC, item ASC) AS rank FROM c) " +
+          "SELECT window_start, item, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"
+      },
+      "q_heavy_hitters_sliding" -> {
+        // hopping: each event enumerated into BOTH 1-hour windows that
+        // contain it (the q_events_quantiles_sliding convention), then
+        // the same exact-regime ranked census per window
+        s"WITH u AS (SELECT time_bucket(INTERVAL 30 MINUTE, $evT) AS window_start, " +
+          "CAST(user_id AS VARCHAR) AS item FROM events WHERE user_id IS NOT NULL " +
+          s"UNION ALL SELECT time_bucket(INTERVAL 30 MINUTE, $evT) - INTERVAL 30 MINUTE, " +
+          "CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL), " +
+          "c AS (SELECT window_start, item, COUNT(*) AS cnt FROM u GROUP BY 1, 2), " +
           "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
           "ORDER BY cnt DESC, item ASC) AS rank FROM c) " +
           "SELECT window_start, item, cnt, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5"

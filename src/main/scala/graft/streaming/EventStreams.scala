@@ -462,9 +462,17 @@ object EventStreams {
     * (batchId, checkpoint) pair is recorded as a table property
     * immediately after each merge commits; a re-delivery of an
     * already-recorded batch is skipped. The marker carries the
-    * checkpoint path because a NEW checkpoint against an existing table
-    * legitimately restarts batch ids at 0 (a deliberate reprocess) —
-    * it must not be mistaken for a replay. Residual window: a crash
+    * checkpoint IDENTITY — the stream's uuid from the checkpoint's own
+    * `metadata` file, plus the path — because a NEW checkpoint against
+    * an existing table legitimately restarts batch ids at 0 (a
+    * deliberate reprocess) and must not be mistaken for a replay. The
+    * uuid (not the bare path) is what recognizes the common
+    * rm-rf-and-rerun reprocess: a checkpoint RECREATED at the same path
+    * gets a fresh uuid, so its batches 0..N are re-applied instead of
+    * silently dropped against the stale path marker. An unparseable or
+    * externally-corrupted marker reads as "not applied" — the sink
+    * falls back to documented at-least-once behavior rather than
+    * crashing the stream. Residual window: a crash
     * BETWEEN the merge commit and the property write still replays that
     * one batch — the window is one catalog-metadata op wide (versus the
     * whole awaitTermination span before), and a parquet catalog has no
@@ -498,6 +506,38 @@ object EventStreams {
     }
   }
 
+  /** The checkpoint's identity for the replay marker: the stream uuid
+    * from the checkpoint's own `metadata` file (written by Structured
+    * Streaming at query start, BEFORE any batch fires) prefixed to the
+    * path. A checkpoint deleted and recreated at the same path gets a
+    * fresh uuid, so the marker stops matching and the reprocess's
+    * batches apply; the bare path alone cannot see that (the
+    * ADVICE-flagged silent drop). Falls back to the path when the
+    * metadata file is missing/unreadable (e.g. a unit test calling the
+    * guard directly) — the pre-fix semantics, never a crash. NOT cached:
+    * a same-JVM rm-rf-and-rerun must observe the fresh uuid, and the
+    * read is one tiny FS open per batch next to the SHOW TBLPROPERTIES
+    * the guard already pays.
+    */
+  private[graft] def checkpointIdentity(spark: SparkSession,
+                                        checkpointDir: String): String = {
+    val id =
+      try {
+        val path = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(path)) None
+        else {
+          val in = fs.open(path)
+          try {
+            val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
+              .map(_.group(1))
+          } finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    id.fold(checkpointDir)(u => s"$u:$checkpointDir")
+  }
+
   private[graft] def batchAlreadyApplied(spark: SparkSession, name: String,
                                          checkpointDir: String,
                                          batchId: Long): Boolean =
@@ -507,8 +547,10 @@ object EventStreams {
       rows.nonEmpty && {
         val v = rows(0).getString(1)
         val at = v.indexOf('@')
-        at > 0 && v.substring(at + 1) == checkpointDir &&
-          v.substring(0, at).toLong >= batchId
+        // an unparseable marker (externally set, truncated) means "not
+        // applied" — at-least-once fallback, never a stream-killing throw
+        at > 0 && v.substring(at + 1) == checkpointIdentity(spark, checkpointDir) &&
+          scala.util.Try(v.substring(0, at).toLong).toOption.exists(_ >= batchId)
       }
     }
 
@@ -516,7 +558,7 @@ object EventStreams {
                                       checkpointDir: String,
                                       batchId: Long): Unit =
     spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('$AppliedBatchProp' = " +
-      s"'$batchId@${checkpointDir.replace("'", "''")}')")
+      s"'$batchId@${checkpointIdentity(spark, checkpointDir).replace("'", "''")}')")
 
   /** Streaming continuous profile via `foreachBatch`: every micro-batch
     * folds its per-key HLL sketches into a persistent profile table — a
@@ -1527,6 +1569,10 @@ object EventStreams {
                            maxMapSize: Int = 2048,
                            slide: Option[String] = None): DataFrame = {
     require(k > 0, s"heavy_hitters_by_window needs k > 0, got $k")
+    val reservedHh = Seq("window_start", "item", "cnt", "rank", "_ts", "_sk", "_i", "_h")
+    require(keys.intersect(reservedHh).isEmpty,
+      s"heavy_hitters_by_window key columns collide with output/internal names " +
+        s"${keys.intersect(reservedHh).mkString(", ")} — rename first")
     val head = window(col("_ts"), width, slide.getOrElse(width))
       .getField("start").cast(TimestampNTZType)
       .as("window_start") +: keys.map(col)
@@ -1565,6 +1611,10 @@ object EventStreams {
   def distinctByWindow(events: DataFrame, valueCol: String, width: String,
                        keys: Seq[String] = Nil, lgConfigK: Int = 12,
                        slide: Option[String] = None): DataFrame = {
+    val reservedDw = Seq("window_start", "n_distinct", "n", "_ts")
+    require(keys.intersect(reservedDw).isEmpty,
+      s"distinct_by_window key columns collide with output/internal names " +
+        s"${keys.intersect(reservedDw).mkString(", ")} — rename first")
     events
       .withColumn("_ts", eventTime(events))
       .groupBy((window(col("_ts"), width, slide.getOrElse(width))

@@ -286,4 +286,52 @@ class Round13Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("_salt"))
   }
+
+  // ---- ADVICE round 12: replay-guard checkpoint identity -------------------
+
+  test("replay guard: a checkpoint RECREATED at the same path reprocesses; corrupt markers fall back") {
+    import graft.streaming.EventStreams
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def writeMeta(id: String): Unit = {
+      val w = new java.io.PrintWriter(s"$ckpt/metadata")
+      try w.write(s"""{"id":"$id"}""") finally w.close()
+    }
+    writeMeta("11111111-1111-1111-1111-111111111111")
+    val tbl = "r13_replay_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1, 2)).toDF("a", "b").write.saveAsTable(tbl)
+    try {
+      EventStreams.markBatchApplied(spark, tbl, ckpt, 5L)
+      assert(EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 5L),
+        "same incarnation: a re-fired batch 5 is a replay")
+      assert(EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 3L))
+      assert(!EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 6L))
+      // the rm-rf-and-rerun reprocess: SAME path, fresh stream uuid —
+      // batches 0..5 must re-apply, not silently drop (ADVICE medium)
+      writeMeta("22222222-2222-2222-2222-222222222222")
+      assert(!EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 5L),
+        "a recreated checkpoint at the same path must not read as applied")
+      // an unparseable marker reads as "not applied" — at-least-once
+      // fallback, never a stream-killing NumberFormatException
+      val ident = EventStreams.checkpointIdentity(spark, ckpt)
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        s"('graft.applied_batch' = 'garbage@$ident')")
+      assert(!EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 0L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("hopping ByWindow faces: reserved key names refuse") {
+    import graft.streaming.EventStreams
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    intercept[IllegalArgumentException] {
+      EventStreams.heavyHittersByWindow(
+        ev.withColumnRenamed("event_type", "rank"), "user_id", "1 hour", 5,
+        keys = Seq("rank"), slide = Some("30 minutes"))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.distinctByWindow(
+        ev.withColumnRenamed("event_type", "n"), "user_id", "1 hour",
+        keys = Seq("n"), slide = Some("30 minutes"))
+    }
+  }
 }
