@@ -1253,6 +1253,232 @@ object EventStreams {
     q
   }
 
+  // ---- bounded incremental report closing (round-13 verdict ask #6) -------
+
+  /** Deterministic user-bucket for the incremental activity/chain/state
+    * tables: hash of (groups, user) mod buckets. Shared by the journaled
+    * sinks (the stored activity's partition column) and the closers
+    * (partition pruning + chain-table rewrites), so both sides agree on
+    * which partitions a user's rows live in.
+    */
+  private def userBucket(groupBy: Seq[String], userCol: String,
+                         buckets: Int): Column =
+    pmod(xxhash64((groupBy :+ userCol).map(col): _*), lit(buckets.toLong))
+
+  private[graft] def journalName(activityTable: String): String =
+    s"${activityTable}_journal"
+
+  /** foreachBatch body of the journaled activity sinks: (1) append the
+    * batch's distinct (groups, user, _ub) keys to the journal FIRST — a
+    * crash between the two writes then re-derives an unchanged user
+    * (idempotent) instead of missing a changed one on redelivery; (2)
+    * upsert the batch into the `_ub`-partitioned activity table,
+    * rewriting ONLY the touched partitions (null-safe anti-join on the
+    * full activity keys, dynamic partition overwrite) — per batch the
+    * activity I/O is proportional to the touched buckets, never the
+    * stored history (the `Chain.saveUpsert` full-table swap this
+    * replaces for the incremental posture).
+    */
+  private def journaledPartitionedUpsert(batch: DataFrame, name: String,
+                                         keys: Seq[String],
+                                         userKeys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    batch.select((userKeys.map(col) :+ col("_ub")): _*).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(journalName(name))
+    if (!spark.catalog.tableExists(name)) {
+      batch.write.partitionBy("_ub").format("parquet").saveAsTable(name)
+    } else {
+      val touched = batch.select(col("_ub")).distinct().collect().map(_.getLong(0))
+      val newKeys = batch.select(keys.map(k => batch.col(k).as(s"_nk_$k")): _*).distinct()
+      val cond = keys.map(k => col(k) <=> col(s"_nk_$k")).reduce(_ && _)
+      val kept = spark.table(name).where(col("_ub").isin(touched.toIndexedSeq: _*))
+        .join(newKeys, cond, "left_anti")
+      dynamicOverwrite(spark, batch.unionByName(kept), name)
+    }
+  }
+
+  private def runJournaledSink(df: DataFrame, name: String, keys: Seq[String],
+                               userKeys: Seq[String],
+                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch-side distinct (the sinkUpsertToTable dedupeBatch rationale:
+        // the upsert only dedupes new keys against STORED rows)
+        if (!batch.isEmpty)
+          journaledPartitionedUpsert(batch.distinct(), name, keys, userKeys)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val session = df.sparkSession
+    if (session.catalog.tableExists(name)) session.catalog.refreshTable(name)
+    if (session.catalog.tableExists(journalName(name)))
+      session.catalog.refreshTable(journalName(name))
+    q
+  }
+
+  /** The touched-user slice of a stored incremental activity table:
+    * partition-PRUNED to the journal's `_ub` buckets (one bounded driver
+    * read of ≤ incrementalBuckets ids), then a null-safe LEFT SEMI join
+    * to the touched (groups, user) keys — the scan the incremental
+    * closers re-derive from never reads an untouched bucket's files
+    * (spec-pinned on the scan's partition filters).
+    */
+  private[graft] def touchedActivitySlice(spark: SparkSession,
+                                          activityTable: String,
+                                          touched: DataFrame,
+                                          userKeys: Seq[String]): DataFrame = {
+    val buckets = touched.select(col("_ub")).distinct().collect().map(_.getLong(0))
+    val tR = touched
+      .select(userKeys.map(k => touched.col(k).as(s"_j_$k")): _*).distinct()
+    val cond = userKeys.map(k => col(k) <=> col(s"_j_$k")).reduce(_ && _)
+    spark.table(activityTable)
+      .where(col("_ub").isin(buckets.toIndexedSeq: _*))
+      .join(tR, cond, "left_semi")
+  }
+
+  /** Replace the touched users' rows in a `_ub`-partitioned per-user
+    * table wholesale: keep = touched partitions MINUS touched users
+    * (null-safe anti-join — delete-aware: a touched user who no longer
+    * produces a row simply disappears), union the fresh rows, rewrite
+    * only the touched partitions via dynamic overwrite.
+    */
+  private def mergeTouchedRows(spark: SparkSession, table: String,
+                               fresh: DataFrame, touched: DataFrame,
+                               userKeys: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      fresh.write.partitionBy("_ub").format("parquet").saveAsTable(table)
+    } else {
+      val buckets = touched.select(col("_ub")).distinct().collect().map(_.getLong(0))
+      val tR = touched
+        .select(userKeys.map(k => touched.col(k).as(s"_j_$k")): _*).distinct()
+      val cond = userKeys.map(k => col(k) <=> col(s"_j_$k")).reduce(_ && _)
+      val kept = spark.table(table).where(col("_ub").isin(buckets.toIndexedSeq: _*))
+        .join(tR, cond, "left_anti")
+      dynamicOverwrite(spark, fresh.unionByName(kept), table)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Bounded incremental funnel close (the round-12 verdict's #6): the
+    * pinned streaming funnel composition re-derives the FULL greedy
+    * chain from the complete stored activity every report cadence —
+    * correct, but a full-history recompute even when one batch touched
+    * 0.1% of users. This face keeps convergence and bounds the work:
+    * the journaled sink ([[sinkFunnelActivityToTable]] with
+    * `incrementalBuckets`) records which (groups, user) keys each batch
+    * touched; on close, ONLY those users' chains re-derive — from the
+    * partition-pruned touched slice of the activity table — and merge
+    * into a persistent `_ub`-partitioned per-user chain table (touched
+    * users replaced wholesale, untouched partitions never rewritten).
+    * Late data still rewrites exactly the touched users' chains, so the
+    * close converges to the batch face (spec-pinned equality under late
+    * step-1 arrivals). The journal is consumed and truncated after the
+    * merge; a crash between merge and truncate re-derives the same
+    * users — idempotent, never wrong. Run closes between sink drains
+    * (the AvailableNow cadence), not concurrently with one.
+    *
+    * Scale: per close, work ∝ touched users' activity (pruned scan +
+    * one (groups, _ub, user)-keyed exchange) + a rewrite of the touched
+    * chain partitions; the final profile closing is one bounded
+    * aggregate over the user-sized chain table — history is never
+    * rescanned.
+    */
+  def funnelCloseIncremental(spark: SparkSession, activityTable: String,
+                             chainTable: String, stepCol: String,
+                             steps: Seq[String], userCol: String = "user_id",
+                             within: Option[String] = None,
+                             groupBy: Seq[String] = Nil): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
+    require(chainTable != activityTable,
+      "chainTable must differ from activityTable")
+    require(!(groupBy :+ userCol).contains("_ub"),
+      "funnel_close_incremental reserves _ub — rename first")
+    val jn = journalName(activityTable)
+    val userKeys = groupBy :+ userCol
+    if (spark.catalog.tableExists(jn) && !spark.table(jn).isEmpty) {
+      require(spark.catalog.tableExists(activityTable),
+        s"journal $jn exists but activity table $activityTable does not — " +
+          "re-run the sink (a crash between the journal append and the " +
+          "first activity write left a consumed-nothing journal)")
+      val touched = spark.table(jn).distinct().persist()
+      try {
+        val slice = touchedActivitySlice(spark, activityTable, touched, userKeys)
+        // _ub rides the chain derivation as an extra group key — it is a
+        // function of (groups, user), so the window partitioning is
+        // unchanged and the output lands in its storage partition
+        val chains = funnelTimes(slice, stepCol, steps, userCol, "ts",
+          within, groupBy :+ "_ub")
+          .withColumnRenamed("_u", userCol)
+        mergeTouchedRows(spark, chainTable, chains, touched, userKeys)
+        spark.sql(s"TRUNCATE TABLE `$jn`")
+      } finally touched.unpersist(false)
+    }
+    require(spark.catalog.tableExists(chainTable),
+      s"nothing to close: journal $jn is empty/missing and chain table " +
+        s"$chainTable does not exist — run the journaled sink first")
+    closeFunnelProfile(spark.table(chainTable), steps, groupBy)
+  }
+
+  /** Bounded incremental cohort close, sibling of
+    * [[funnelCloseIncremental]]: per-user state = first active day
+    * `_cd` plus the DISTINCT period indexes anchored at it (`_ps`,
+    * bounded by the user's active days), re-derived ONLY for journaled
+    * touched users from the partition-pruned activity slice and merged
+    * into the `_ub`-partitioned state table; the grid then closes from
+    * the user-sized state table with EXACTLY the batch arithmetic
+    * (shared [[closeCohortGrid]]). A late first-day event moves the
+    * user's cohort — that user is in the journal, so their whole state
+    * row is replaced and the close converges to [[cohortRetention]]
+    * (spec-pinned).
+    */
+  def cohortCloseIncremental(spark: SparkSession, activityTable: String,
+                             stateTable: String, userCol: String = "user_id",
+                             periodDays: Int = 1,
+                             groupBy: Seq[String] = Nil): DataFrame = {
+    require(periodDays > 0, s"cohort needs periodDays > 0, got $periodDays")
+    require(stateTable != activityTable,
+      "stateTable must differ from activityTable")
+    val reserved = Seq("cohort_day", "period", "n_active", "n_cohort",
+      "retention", "_cd", "_ps", "_days", "_ub")
+    require((groupBy :+ userCol).intersect(reserved).isEmpty,
+      s"cohort_close_incremental columns collide with output/internal " +
+        s"names ${(groupBy :+ userCol).intersect(reserved).mkString(", ")} — rename first")
+    val jn = journalName(activityTable)
+    val userKeys = groupBy :+ userCol
+    if (spark.catalog.tableExists(jn) && !spark.table(jn).isEmpty) {
+      require(spark.catalog.tableExists(activityTable),
+        s"journal $jn exists but activity table $activityTable does not")
+      val touched = spark.table(jn).distinct().persist()
+      try {
+        val slice = touchedActivitySlice(spark, activityTable, touched, userKeys)
+        val gk = (groupBy ++ Seq("_ub", userCol)).map(col)
+        val fresh = slice.groupBy(gk: _*)
+          .agg(min(col("d")).as("_cd"), collect_set(col("d")).as("_days"))
+          .select((groupBy.map(col) ++ Seq(col("_ub"), col(userCol), col("_cd"),
+            sort_array(array_distinct(transform(col("_days"), dd =>
+              floor(datediff(dd, col("_cd")) / lit(periodDays)).cast("int"))))
+              .as("_ps"))): _*)
+        mergeTouchedRows(spark, stateTable, fresh, touched, userKeys)
+        spark.sql(s"TRUNCATE TABLE `$jn`")
+      } finally touched.unpersist(false)
+    }
+    require(spark.catalog.tableExists(stateTable),
+      s"nothing to close: journal $jn is empty/missing and state table " +
+        s"$stateTable does not exist — run the journaled sink first")
+    val cells = spark.table(stateTable)
+      .select((groupBy.map(col) ++ Seq(col("_cd").as("cohort_day"),
+        explode(col("_ps")).as("period"))): _*)
+      .groupBy((groupBy.map(col) ++ Seq(col("cohort_day"), col("period"))): _*)
+      .agg(count(lit(1)).as("n_active"))
+    closeCohortGrid(cells, groupBy)
+  }
+
   /** The streaming funnel composition as a first-class API (the posture
     * [[funnelProfile]]'s docstring pins, so nobody invents a wrong
     * incremental one): drain the stream into a deduplicated
@@ -1274,22 +1500,35 @@ object EventStreams {
                                 checkpointDir: String,
                                 userCol: String = "user_id",
                                 tsCol: String = "ts",
-                                groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+                                groupBy: Seq[String] = Nil,
+                                incrementalBuckets: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"funnel steps repeat: $steps")
     val keyCols = groupBy ++ Seq(userCol, stepCol)
     require(keyCols.distinct.size == keyCols.size && !keyCols.contains("ts"),
       s"sink_funnel_activity key columns must be distinct and none may be " +
         s"named 'ts' (the stored event-time column): $keyCols — rename first")
-    // dedupeBatch = true: the key-upsert only dedupes new keys against
-    // STORED rows — without the batch-side distinct a user repeating a
-    // step 500 times in one micro-batch stores 500 identical rows and
-    // the activity table grows to raw-stream size
+    // dedupeBatch = true (and the journaled path's batch.distinct()):
+    // the key-upsert only dedupes new keys against STORED rows — without
+    // the batch-side distinct a user repeating a step 500 times in one
+    // micro-batch stores 500 identical rows and the activity table grows
+    // to raw-stream size
     val acts = events.where(col(stepCol).isInCollection(steps))
       .select((groupBy.map(col) ++ Seq(col(userCol), col(stepCol),
         eventTime(events, tsCol).as("ts"))): _*)
-    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, stepCol, "ts"),
-      checkpointDir, dedupeBatch = true)
+    incrementalBuckets match {
+      case None =>
+        sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, stepCol, "ts"),
+          checkpointDir, dedupeBatch = true)
+      case Some(b) =>
+        require(b > 0, s"incrementalBuckets must be > 0, got $b")
+        require(!keyCols.contains("_ub"),
+          "sink_funnel_activity reserves _ub for the storage bucket — rename first")
+        runJournaledSink(
+          acts.withColumn("_ub", userBucket(groupBy, userCol, b)),
+          name, groupBy ++ Seq(userCol, stepCol, "ts"), groupBy :+ userCol,
+          checkpointDir)
+    }
   }
 
   /** The streaming cohort composition as a first-class API (the
@@ -1308,7 +1547,8 @@ object EventStreams {
                                 checkpointDir: String,
                                 userCol: String = "user_id",
                                 tsCol: String = "ts",
-                                groupBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+                                groupBy: Seq[String] = Nil,
+                                incrementalBuckets: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val keyCols = groupBy :+ userCol
     require(keyCols.distinct.size == keyCols.size && !keyCols.contains("d"),
       s"sink_cohort_activity key columns must be distinct and none may be " +
@@ -1317,8 +1557,19 @@ object EventStreams {
     // dedupes against stored rows) — one row per active user-day
     val acts = events.select((groupBy.map(col) ++ Seq(col(userCol),
       to_date(eventTime(events, tsCol)).as("d"))): _*)
-    sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"), checkpointDir,
-      dedupeBatch = true)
+    incrementalBuckets match {
+      case None =>
+        sinkUpsertToTable(acts, name, groupBy ++ Seq(userCol, "d"),
+          checkpointDir, dedupeBatch = true)
+      case Some(b) =>
+        require(b > 0, s"incrementalBuckets must be > 0, got $b")
+        require(!keyCols.contains("_ub"),
+          "sink_cohort_activity reserves _ub for the storage bucket — rename first")
+        runJournaledSink(
+          acts.withColumn("_ub", userBucket(groupBy, userCol, b)),
+          name, groupBy ++ Seq(userCol, "d"), groupBy :+ userCol,
+          checkpointDir)
+    }
   }
 
   /** Streaming face of [[graft.ops.AggOps.agreementProfile]] — the
@@ -1713,6 +1964,16 @@ object EventStreams {
       s"funnel_profile group columns collide with output names " +
         s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
     val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within, groupBy)
+    closeFunnelProfile(perUser, steps, groupBy)
+  }
+
+  /** Close a per-user chain frame (groups…, `_t0`..`_t{k-1}`) into the
+    * funnel_profile output — shared by [[funnelProfile]] (fresh chains)
+    * and [[funnelCloseIncremental]] (the stored chain table), so the
+    * incremental face closes with EXACTLY the batch arithmetic.
+    */
+  private def closeFunnelProfile(perUser: DataFrame, steps: Seq[String],
+                                 groupBy: Seq[String]): DataFrame = {
     val cAggs = count(col("_t0")).as("_n0") +:
       steps.indices.tail.map(i => count(col(s"_t$i")).as(s"_n$i"))
     val counts =
@@ -1865,6 +2126,17 @@ object EventStreams {
       .groupBy((groupBy.map(col) ++ Seq(col("_cd").as("cohort_day"),
         col("_p").as("period"))): _*)
       .agg(count(lit(1)).as("n_active"))
+    closeCohortGrid(cells, groupBy)
+  }
+
+  /** Close a (groups…, cohort_day, period, n_active) cell frame into the
+    * cohort_retention grid (null-safe period-0 self-join, exact double
+    * division) — shared by [[cohortRetention]] and
+    * [[cohortCloseIncremental]], so the incremental face closes with
+    * EXACTLY the batch arithmetic.
+    */
+  private def closeCohortGrid(cells: DataFrame,
+                              groupBy: Seq[String]): DataFrame = {
     val cKeys = groupBy :+ "cohort_day"
     val base = cells.where(col("period") === 0)
       .select((cKeys.map(k => col(k).as(s"_b_$k")) :+

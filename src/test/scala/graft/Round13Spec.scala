@@ -320,6 +320,116 @@ class Round13Spec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  // ---- bounded incremental close (round-12 verdict ask #6) -----------------
+
+  private val evtBase = 1704067200L * 1000000000L
+  private def evt(id: Long, minute: Long, user: Long, tpe: String) =
+    Evt(id, evtBase + minute * 60L * 1000000000L, user, tpe, 1.0, "{}")
+
+  private def scanPartitionFilters(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.collect()
+    val out = scala.collection.mutable.Buffer[String]()
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      n match {
+        case f: FileSourceScanExec => out ++= f.partitionFilters.map(_.toString)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      n match {
+        case _: AdaptiveSparkPlanExec | _: QueryStageExec => ()
+        case _ => n.children.foreach(walk); n.subqueries.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toSeq
+  }
+
+  test("funnelCloseIncremental: converges to the batch face under late data, touched slice only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    for (t <- Seq("fci_acts", "fci_acts_journal", "fci_chain"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    // batch 1: user 1 has B(10) BEFORE A(20) -> B must not count; user 2
+    // completes nothing past A. batch 2 delivers a LATE A(5) for user 1,
+    // which makes B(10) count — only user 1's chain may re-derive.
+    val b1 = Seq(evt(1, 20, 1, "A"), evt(2, 10, 1, "B"), evt(3, 40, 2, "A"))
+    val b2 = Seq(evt(4, 5, 1, "A"))
+    def drain(events: Seq[Evt]): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      EventStreams.sinkFunnelActivityToTable(ms.toDF(), "event_type",
+        Seq("A", "B"), "fci_acts",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_fci").toString,
+        incrementalBuckets = Some(4))
+    }
+    drain(b1)
+    val close1 = EventStreams.funnelCloseIncremental(spark, "fci_acts",
+      "fci_chain", "event_type", Seq("A", "B"))
+    assert(close1.where(col("step") === 2).collect()(0).getLong(2) == 0L,
+      "B-before-A must not count before the late arrival")
+    assert(spark.table("fci_acts_journal").isEmpty,
+      "the close must consume and truncate the journal")
+    drain(b2)
+    // the journal knows exactly who the late batch touched
+    val touched = spark.table("fci_acts_journal").distinct()
+    assert(touched.select("user_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // plan pin: the re-derive slice is partition-PRUNED on _ub and
+    // carries only the touched user's rows
+    val slice = EventStreams.touchedActivitySlice(spark, "fci_acts",
+      touched, Seq("user_id"))
+    assert(slice.select("user_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the incremental close must re-derive only touched users")
+    assert(scanPartitionFilters(slice).exists(_.contains("_ub")),
+      "the activity scan must be partition-pruned on _ub")
+    val close2 = EventStreams.funnelCloseIncremental(spark, "fci_acts",
+      "fci_chain", "event_type", Seq("A", "B"))
+    val want = EventStreams.funnelProfile((b1 ++ b2).toDF(), "event_type",
+      Seq("A", "B"))
+    assert(rows(close2) == rows(want),
+      "incremental close must equal the all-events batch face under late data")
+    // idempotent re-close on an empty journal: same profile
+    assert(rows(EventStreams.funnelCloseIncremental(spark, "fci_acts",
+      "fci_chain", "event_type", Seq("A", "B"))) == rows(want))
+  }
+
+  test("cohortCloseIncremental: grouped, converges under a late first-day event") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    for (t <- Seq("cci_acts", "cci_acts_journal", "cci_state"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val day = 24 * 60L
+    val b1 = Seq(evt(1, day, 1, "e"), evt(2, day + 5, 1, "e"), evt(3, 10, 2, "e"))
+    val b2 = Seq(evt(5, 20, 1, "e")) // late: moves user 1's cohort to day 0
+    def withSeg(events: Seq[Evt]) =
+      events.toDF().withColumn("plat",
+        expr("CASE WHEN event_id % 2 = 0 THEN 'b' ELSE 'a' END"))
+    def drain(events: Seq[Evt]): Unit = {
+      val ms = MemoryStream[Evt]
+      ms.addData(events: _*)
+      EventStreams.sinkCohortActivityToTable(
+        ms.toDF().withColumn("plat",
+          expr("CASE WHEN event_id % 2 = 0 THEN 'b' ELSE 'a' END")),
+        "cci_acts",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_cci").toString,
+        groupBy = Seq("plat"), incrementalBuckets = Some(4))
+    }
+    drain(b1)
+    EventStreams.cohortCloseIncremental(spark, "cci_acts", "cci_state",
+      groupBy = Seq("plat")).collect()
+    drain(b2)
+    val got = rows(EventStreams.cohortCloseIncremental(spark, "cci_acts",
+      "cci_state", groupBy = Seq("plat")))
+    val want = rows(EventStreams.cohortRetention(withSeg(b1 ++ b2),
+      "user_id", groupBy = Seq("plat")))
+    assert(got == want,
+      "incremental cohort close must equal the all-events batch face")
+  }
+
   test("hopping ByWindow faces: reserved key names refuse") {
     import graft.streaming.EventStreams
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
