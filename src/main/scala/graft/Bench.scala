@@ -229,6 +229,13 @@ object Bench {
     // is part of the durable record, not tribal knowledge. A breach lands
     // as recall_ok=false in the summary plus a stderr warning — the bench
     // record stays parseable either way.
+    // Multi-assignment frontier (round-13 adjudication): at EQUAL
+    // candidate budget, more probes beat corpus-side duplication on this
+    // fixture (np4×assign2 0.740 vs np8 0.775; np6×a2 0.865 vs np12
+    // 0.895; np4×a3 0.870), so np8×a1 keeps the headline and the np4×a2
+    // point is recorded + floor-gated (0.64) as the durable frontier
+    // witness — a code change that silently breaks multi-assignment
+    // reads as a floor breach, not a vanished measurement.
     if (elapsed <= budgetSec) {
       spark.sparkContext.setJobGroup("recall", "recall", interruptOnCancel = true)
       try {
@@ -248,12 +255,15 @@ object Bench {
             nlist = 16, nprobe = np).df))
         }
         val curveMap = ivfCurve.toMap
+        val np4a2 = recallOf(pairs(emb.ivfCosineTopK(queries, "vec_id", "embedding", 10,
+          nlist = 16, nprobe = 4, assign = 2).df))
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
           ("lsh", recallOf(pairs(emb.lshCosineTopK(queries, "vec_id", "embedding", 10).df)), 0.7),
           ("ivf", curveMap(4), 0.4),
-          ("ivf_np8", curveMap(8), 0.65))
+          ("ivf_np8", curveMap(8), 0.65),
+          ("ivf_np4_a2", np4a2, 0.64))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

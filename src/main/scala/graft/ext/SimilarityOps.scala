@@ -116,10 +116,31 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * probes its `nprobe` nearest cells and reranks those candidates with
     * exact cosine. Candidate volume ≈ nprobe/nlist of the corpus per
     * query — the standard recall/cost dial.
+    *
+    * `assign` > 1 = MULTI-ASSIGNMENT (the SPANN-style boundary
+    * duplication): each corpus vector lives in its top-`assign` cells,
+    * not just its best one. Scores are already exact here — a
+    * candidate-shortlist "residual re-rank" would re-compute the same
+    * exact cosines — so IVF's only recall loss is a true neighbor
+    * sitting in a cell the query never probes, and the two levers
+    * against it are probing more cells (`nprobe`) or duplicating
+    * boundary vectors into runner-up cells (`assign`). Candidate volume
+    * ≈ assign × nprobe / nlist of the corpus. Measured frontier on the
+    * bench embeddings (sf0.1, nlist=16, recorded in bench.json): at
+    * EQUAL candidate budget single-assignment with more probes wins —
+    * np4×a2 0.740 vs np8×a1 0.775, np6×a2 0.865 vs np12×a1 0.895 — so
+    * np8×a1 stays the headline; `assign` is the dial for fine-grained
+    * nlist regimes where per-cell fan-out is the cheaper side of the
+    * trade (index built once, probed by many query batches). Duplicated
+    * (query, candidate) pairs from two probed cells dedup before
+    * ranking, so results stay exact-k.
     */
   def ivfCosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
                     nlist: Int = 16, nprobe: Int = 4,
-                    trainSample: Int = 4096, trainIters: Int = 15): Chain = {
+                    trainSample: Int = 4096, trainIters: Int = 15,
+                    assign: Int = 1): Chain = {
+    require(assign >= 1 && assign <= nlist,
+      s"assign must be in [1, nlist=$nlist], got $assign")
     val spark = c.df.sparkSession
     val corpus = c.df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
       .withColumn("_nc", sqrt(Exact.dot(col("_vc"), col("_vc"))))
@@ -139,9 +160,12 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     // per row, so argmax of the raw dot = argmax of cosine; ties → the
     // smaller cid, matching the probe side's ordering. No crossJoin, no
     // per-row window, no shuffle — the scan stage does the assignment.
-    val assigned = corpus
-      .withColumn("_cid", SimilarityOps.bestCellId(col("_vc"), centers))
-      .select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"))
+    val assigned = (
+      if (assign == 1)
+        corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_vc"), centers))
+      else corpus.withColumn("_cid",
+        explode(SimilarityOps.topCellIds(col("_vc"), centers, assign)))
+    ).select(col("neighbor_id"), col("_vc"), col("_nc"), col("_cid"))
     // each query probes its nprobe closest cells
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
@@ -154,11 +178,15 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nprobe)
       .select(col("query_id"), col("_vq"), col("_nq"), col("_cid"))
-    // exact rerank within probed cells
+    // exact rerank within probed cells; under multi-assignment the same
+    // (query, candidate) pair can arrive via two probed cells — dedup
+    // before ranking (the exact cosine is deterministic, so distinct on
+    // the scored triple is exact)
     val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
-    val scored = assigned.join(broadcast(probes), Seq("_cid"))
+    val scoredRaw = assigned.join(broadcast(probes), Seq("_cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val scored = if (assign == 1) scoredRaw else scoredRaw.distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.next("cosine_topk_ivf",
@@ -663,6 +691,23 @@ object SimilarityOps {
     val best =
       if (cellStructs.length == 1) cellStructs.head else greatest(cellStructs.toSeq: _*)
     (-best.getField("_negcid")).cast("long")
+  }
+
+  /** Top-`a` cell ids for a vector — [[bestCellId]]'s multi-assignment
+    * twin: sort the (dot, -cid) structs descending (same score-then-
+    * smaller-cid order `greatest` uses, so a = 1 reproduces bestCellId
+    * exactly) and take the first `a` cids. Still one codegen'd scalar
+    * projection over literal centroids — no crossJoin, no shuffle; the
+    * explode the caller applies fans each corpus row to its `a` cells.
+    */
+  private[ext] def topCellIds(
+      vec: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]], a: Int): org.apache.spark.sql.Column = {
+    val cellStructs = centers.zipWithIndex.map { case (cv, i) =>
+      struct(Exact.dot(vec, typedLit(cv.toSeq)).as("_s"), lit(-i).as("_negcid"))
+    }
+    val sorted = sort_array(array(cellStructs.toIndexedSeq: _*), asc = false)
+    transform(slice(sorted, 1, a), s => (-s.getField("_negcid")).cast("long"))
   }
 
   /** Read a saved [[SimilarityOps.ivfIndex]]'s centroid rows back as the

@@ -430,6 +430,39 @@ class Round13Spec extends AnyFunSuite {
       "incremental cohort close must equal the all-events batch face")
   }
 
+  // ---- IVF multi-assignment frontier point (round-12 verdict ask #7) ------
+
+  test("ivf multi-assignment: pairs dedup, exact-k ranks, recall never below single-assign") {
+    import graft.ext._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c = Chain(spark, "ivfm", emb)
+    val q = emb.where("vec_id < 5")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = c.ivfCosineTopK(q, "vec_id", "embedding", 5, nlist = 8, nprobe = 2).df
+    val r2 = c.ivfCosineTopK(q, "vec_id", "embedding", 5, nlist = 8, nprobe = 2,
+      assign = 2).df
+    // duplicated candidates from two probed cells must dedup pre-rank
+    assert(r2.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).isEmpty,
+      "multi-assignment must not emit duplicate (query, neighbor) pairs")
+    // ranks stay contiguous 1..k' per query
+    val ranks = r2.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+    assert(ranks.forall(r => r.getLong(1) == r.getInt(2).toLong),
+      "ranks must stay contiguous after the dedup")
+    // a=2's candidate sets are supersets of a=1's (same probes, fuller
+    // cells), and both faces break ties identically — recall vs the
+    // exact top-k is monotone in the candidate set
+    val exact = pairSet(c.cosineTopK(q, "vec_id", "embedding", 5).df)
+    assert(pairSet(r2).intersect(exact).size >= pairSet(r1).intersect(exact).size,
+      "multi-assignment may never lose recall at the same probe budget")
+    // a = 1 path is byte-identical to the pre-change op (bestCellId)
+    assert(rows(r1) == rows(c.ivfCosineTopK(q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 2, assign = 1).df))
+  }
+
   test("hopping ByWindow faces: reserved key names refuse") {
     import graft.streaming.EventStreams
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
