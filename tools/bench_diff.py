@@ -55,6 +55,24 @@ ANNOTATIONS = {
     # reference scan is the real cost. Intentional trade.
     "q_psi_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
     "q_events_drift_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
+    # round 13 (verdict ask #4 adjudication): the r10->r12 upward trend
+    # (1.601 -> 1.858 -> 2.229) was re-timed DELIBERATELY — the query runs
+    # on a FIXED 21-row fixture, so its cost is planning/codegen, not
+    # data. Fresh-JVM steady state measured 1.66 s (4 runs), 1.40-1.81 s
+    # after 60 warm queries (JIT helps, never hurts); the r12 status log
+    # shows pass 2 hit a localized host stall (9.1 s, with the adjacent
+    # q_corr_matrix_listwise 2.6 -> 4.9 and q_mix_by_temperature 0.25 ->
+    # 0.96 in the same window), so the kept 2.229 is a single-pass-1
+    # sample. Trend = pass-position noise on a codegen-bound query, not a
+    # plan change (the plan and fixture are unchanged since round 10).
+    "q_fuzzy_pairs": "codegen-bound fixed fixture; re-timed 1.4-1.9s steady, r12 pass2 was a host stall",
+    # round 13 (verdict ask #4, second line): the replay guard added one
+    # SHOW TBLPROPERTIES + one ALTER TABLE marker write per batch (round
+    # 12), and the checkpoint-identity fix adds one tiny metadata-file
+    # read per batch (round 13) — per-batch catalog costs that read as
+    # ~+0.3 s at sf0.1's batch count and amortize to noise at real batch
+    # sizes. Intentional exactly-once hardening.
+    "q_events_drift": "replay-guard catalog ops per batch (+identity read); amortizes at real batch sizes",
 }
 
 
