@@ -1425,6 +1425,32 @@ object EventStreams {
     closeFunnelProfile(spark.table(chainTable), steps, groupBy)
   }
 
+  /** Latency twin of [[funnelCloseIncremental]]'s profile readout: close
+    * time-to-convert quantiles from the STORED per-user chain table the
+    * incremental close maintains — no activity rescan, no chain
+    * re-derivation, ONE KLL aggregate over the user-sized table (the
+    * same closing arithmetic as [[funnelLatency]], shared kernel). Call
+    * after [[funnelCloseIncremental]] (which merges the journal into the
+    * chains) so both readouts describe the same chain state.
+    */
+  def funnelLatencyFromChains(spark: SparkSession, chainTable: String,
+                              steps: Seq[String], probs: Seq[Double],
+                              k: Int = 16384,
+                              groupBy: Seq[String] = Nil): DataFrame = {
+    require(steps.size >= 2, "funnel_latency needs at least two steps")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"funnel_latency probs must be in [0, 1], got $probs")
+    require(probs.distinct.size == probs.size, s"funnel_latency probs repeat: $probs")
+    val reserved = Seq("step", "step_value", "prob", "seconds", "n", "_q") ++
+      steps.indices.flatMap(i => Seq(s"_sk$i", s"_n$i"))
+    require(groupBy.intersect(reserved).isEmpty,
+      s"funnel_latency group columns collide with output names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    require(spark.catalog.tableExists(chainTable),
+      s"chain table $chainTable does not exist — run funnelCloseIncremental first")
+    closeFunnelLatency(spark.table(chainTable), steps, probs, k, groupBy)
+  }
+
   /** Bounded incremental cohort close, sibling of
     * [[funnelCloseIncremental]]: per-user state = first active day
     * `_cd` plus the DISTINCT period indexes anchored at it (`_ps`,
@@ -2024,6 +2050,18 @@ object EventStreams {
       s"funnel_latency group columns collide with output names " +
         s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
     val perUser = funnelTimes(events, stepCol, steps, userCol, tsCol, within, groupBy)
+    closeFunnelLatency(perUser, steps, probs, k, groupBy)
+  }
+
+  /** Close a per-user chain frame into the funnel_latency output —
+    * shared by [[funnelLatency]] (fresh chains) and
+    * [[funnelLatencyFromChains]] (the stored chain table
+    * [[funnelCloseIncremental]] maintains), so both faces read the same
+    * KLL arithmetic.
+    */
+  private def closeFunnelLatency(perUser: DataFrame, steps: Seq[String],
+                                 probs: Seq[Double], k: Int,
+                                 groupBy: Seq[String]): DataFrame = {
     val aggs = steps.indices.tail.flatMap { i =>
       // MICROSECOND granularity, then one double division: engines
       // disagree at coarser units (Spark's timestampdiff truncates

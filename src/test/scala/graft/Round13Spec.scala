@@ -394,6 +394,13 @@ class Round13Spec extends AnyFunSuite {
     // idempotent re-close on an empty journal: same profile
     assert(rows(EventStreams.funnelCloseIncremental(spark, "fci_acts",
       "fci_chain", "event_type", Seq("A", "B"))) == rows(want))
+    // the latency twin closes from the SAME stored chains — no activity
+    // rescan — and equals the all-events batch face
+    assert(rows(EventStreams.funnelLatencyFromChains(spark, "fci_chain",
+      Seq("A", "B"), Seq(0.5))) ==
+      rows(EventStreams.funnelLatency((b1 ++ b2).toDF(), "event_type",
+        Seq("A", "B"), Seq(0.5))),
+      "latency-from-chains must equal the all-events batch face")
   }
 
   test("cohortCloseIncremental: grouped, converges under a late first-day event") {
@@ -461,6 +468,28 @@ class Round13Spec extends AnyFunSuite {
     // a = 1 path is byte-identical to the pre-change op (bestCellId)
     assert(rows(r1) == rows(c.ivfCosineTopK(q, "vec_id", "embedding", 5,
       nlist = 8, nprobe = 2, assign = 1).df))
+  }
+
+  test("round-13 ops scale shape: lint-safe on file scans") {
+    import graft.streaming.EventStreams
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.core.ScaleLint.assertSafe(
+      Chain(spark, "lso", orders.where("o_orderstatus = 'F'"))
+        .psiProfile(orders.where("o_orderstatus = 'O'"), "o_totalprice",
+          0.0, 500000.0, 8, groupBy = Seq("o_orderpriority")).df)
+    graft.core.ScaleLint.assertSafe(
+      Chain(spark, "lsq", orders.where("o_orderstatus = 'F'"))
+        .psiQuantileProfile(orders.where("o_orderstatus = 'O'"),
+          "o_totalprice", 4, groupBy = Seq("o_orderpriority")).df)
+    graft.core.ScaleLint.assertSafe(
+      Chain(spark, "lsj", lineitem).joinSaltedAuto(
+        Chain(spark, "lsjr", orders), "inner",
+        Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 4,
+        minHotCount = 3, maxHotKeys = 100).df)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.core.ScaleLint.assertSafe(EventStreams.heavyHittersByWindow(
+      ev, "user_id", "1 hour", 5, slide = Some("30 minutes")))
   }
 
   test("hopping ByWindow faces: reserved key names refuse") {
