@@ -441,6 +441,15 @@ object SparkEntry {
       Chain(s, "cust_lo", cust.df.where("c_nationkey < 13"))
         .psiCategoricalProfile(cust.df.where("c_nationkey >= 13"), "c_mktsegment").df
     }),
+    // per-slice categorical drift: segment mix per custkey-third —
+    // every value row, total, and psi_total closes per group
+    "q_psi_categorical_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val cust = t(s, d, "customer").df.withColumn("grp", col("c_custkey") % 3)
+      Chain(s, "cust_lo", cust.where("c_nationkey < 13"))
+        .psiCategoricalProfile(cust.where("c_nationkey >= 13"), "c_mktsegment",
+          groupBy = Seq("grp")).df
+    }),
     // contingency table + chi-square independence decomposition
     "q_cross_table" -> ((s, d) =>
       t(s, d, "customer").crossTable("c_mktsegment", "c_nationkey").df),
@@ -1944,6 +1953,26 @@ object SparkEntry {
         "FROM j CROSS JOIN t), " +
         "z AS (SELECT CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000 AS psi_total FROM y) " +
         "SELECT value, cnt_base, cnt_other, psi_term, psi_total FROM y CROSS JOIN z"
+    },
+    "q_psi_categorical_grouped" -> {
+      // the grouped categorical face: per-(grp, value) counts from both
+      // sides, totals as PARTITION BY grp windows, same fixed-point
+      // arithmetic with the tot=0 -> NULL guard
+      val epsS = "CAST('1.0E-6' AS DOUBLE)"
+      def side(pred: String, as: String) =
+        s"SELECT c_custkey % 3 AS grp, CAST(c_mktsegment AS VARCHAR) AS value, COUNT(*) AS $as " +
+          s"FROM customer WHERE $pred AND c_mktsegment IS NOT NULL GROUP BY 1, 2"
+      def fl(cnt: String, tot: String) =
+        s"CASE WHEN $tot = 0 THEN NULL ELSE GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS) END"
+      s"WITH cb AS (${side("c_nationkey < 13", "cb")}), co AS (${side("c_nationkey >= 13", "co")}), " +
+        "j AS (SELECT grp, value, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
+        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM cb FULL JOIN co USING (grp, value)), " +
+        "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY grp) AS DOUBLE) AS tb, " +
+        "CAST(SUM(cnt_other) OVER (PARTITION BY grp) AS DOUBLE) AS tot FROM j), " +
+        s"y AS (SELECT grp, value, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +
+        s"(FLOOR(LN(${fl("cnt_base", "tb")} / ${fl("cnt_other", "tot")}) * 1000000 + 0.5) / 1000000) AS psi_term FROM w2) " +
+        "SELECT grp, value, cnt_base, cnt_other, psi_term, " +
+        "CAST(SUM(CAST(FLOOR(psi_term * 1000000000000 + 0.5) AS BIGINT)) OVER (PARTITION BY grp) AS DOUBLE) / 1000000000000 AS psi_total FROM y"
     },
     "q_trimmed_mean" -> {
       val xS = "CAST(l_extendedprice AS DOUBLE)"

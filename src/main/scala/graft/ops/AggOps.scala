@@ -2108,27 +2108,58 @@ final class AggOps(private val c: Chain) extends AnyVal {
     }
   }
 
-  /** psi_categorical_profile(other, column): [[psiProfile]] over a
-    * categorical column's own value domain (language, source, license —
-    * the corpus-mix drift check): one row per value seen on EITHER side
-    * (full outer on the count frames), null values excluded like
-    * [[entropyProfile]] (count them separately if they matter). Same
-    * eps-floored fixed-point PSI arithmetic; no domain cap is needed —
-    * the join runs on aggregated counts, one row per distinct value.
+  /** psi_categorical_profile(other, column, group_by): [[psiProfile]]
+    * over a categorical column's own value domain (language, source,
+    * license — the corpus-mix drift check): one row per value seen on
+    * EITHER side, null values excluded like [[entropyProfile]] (count
+    * them separately if they matter). Same eps-floored fixed-point PSI
+    * arithmetic; no domain cap is needed — everything past the one
+    * count aggregate is value-cardinality-sized, not row-sized.
+    *
+    * `group_by` (per-slice corpus-mix drift): every value row, total,
+    * and `psi_total` closes per group; a NULL group value groups like
+    * any other. There is no bucket spine to pad — a value unseen within
+    * a group simply has count 0 on the side that misses it, and a group
+    * whose rows are all null-valued yields no rows (exactly what its
+    * own ungrouped run would produce, fuzz-pinned).
+    *
+    * Scale, grouped: ONE scan per side — tag-union into ONE
+    * (group, value) aggregate with map-side combine — then the two tiny
+    * per-group closing aggregates ([[AggOps.psiTermsGrouped]],
+    * null-safe). Ungrouped keeps the two-count-frame full-outer shape.
     */
   def psiCategoricalProfile(other: DataFrame, column: String,
-                            eps: Double = 1e-6): Chain = {
+                            eps: Double = 1e-6,
+                            groupBy: Seq[String] = Nil): Chain = {
     require(eps > 0.0 && eps < 1.0, s"psi_categorical needs eps in (0, 1), got $eps")
-    def valueCounts(df: DataFrame, as: String) =
-      df.where(col(column).isNotNull)
-        .groupBy(col(column).cast("string").as("value"))
-        .agg(count(lit(1)).as(as))
-    val joined = valueCounts(c.df, "_cb")
-      .join(valueCounts(other, "_co"), Seq("value"), "full_outer")
-      .select(col("value"),
-        coalesce(col("_cb"), lit(0L)).as("cnt_base"),
-        coalesce(col("_co"), lit(0L)).as("cnt_other"))
-    c.next("psi_categorical_profile", AggOps.psiTerms(joined, eps), None)
+    AggOps.requirePsiGroupNames("psi_categorical", groupBy, Seq("value"))
+    val closed =
+      if (groupBy.isEmpty) {
+        def valueCounts(df: DataFrame, as: String) =
+          df.where(col(column).isNotNull)
+            .groupBy(col(column).cast("string").as("value"))
+            .agg(count(lit(1)).as(as))
+        val joined = valueCounts(c.df, "_cb")
+          .join(valueCounts(other, "_co"), Seq("value"), "full_outer")
+          .select(col("value"),
+            coalesce(col("_cb"), lit(0L)).as("cnt_base"),
+            coalesce(col("_co"), lit(0L)).as("cnt_other"))
+        AggOps.psiTerms(joined, eps)
+      } else {
+        def side(df: DataFrame, tag: Int) =
+          df.where(col(column).isNotNull)
+            .select((groupBy.map(col) ++ Seq(
+              col(column).cast("string").as("value"), lit(tag).as("_s"))): _*)
+        val counts = side(c.df, 0).unionByName(side(other, 1))
+          .groupBy((groupBy.map(col) :+ col("value")): _*)
+          .agg(count(when(col("_s") === 0, lit(1))).as("cnt_base"),
+            count(when(col("_s") === 1, lit(1))).as("cnt_other"))
+        AggOps.psiTermsGrouped(counts, groupBy, eps)
+      }
+    val df2 = closed.select((groupBy.map(col) ++ Seq(col("value"),
+      col("cnt_base"), col("cnt_other"), col("psi_term"),
+      col("psi_total"))): _*)
+    c.next("psi_categorical_profile", df2, None)
   }
 }
 

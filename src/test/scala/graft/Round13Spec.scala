@@ -118,13 +118,15 @@ class Round13Spec extends AnyFunSuite {
 
   // groups: "a" healthy on both sides (plus a null and a NaN value row);
   // "b" base-only; "c" out-of-range for the equal-width face; null group
-  // with rows on both sides; "d" other-only
+  // with rows on both sides; "d" other-only; "e" all-null values (visible
+  // with zero counts in the spined faces, zero rows in the categorical)
   private def psiFixture = {
     val base = Seq(
       (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(9.0)),
       (Some("a"), Option.empty[Double]), (Some("a"), Some(Double.NaN)),
       (Some("b"), Some(3.0)), (Some("b"), Some(4.0)),
       (Some("c"), Some(99.0)),
+      (Some("e"), Option.empty[Double]),
       (Option.empty[String], Some(5.0)), (None, Some(6.0))).toDF("g", "x")
     val other = Seq(
       (Some("a"), Some(8.0)), (Some("a"), Some(1.5)),
@@ -133,7 +135,8 @@ class Round13Spec extends AnyFunSuite {
       (Some("d"), Some(7.0))).toDF("g", "x")
     (base, other)
   }
-  private val psiGroups = Seq(Some("a"), Some("b"), Some("c"), None, Some("d"))
+  private val psiGroups =
+    Seq(Some("a"), Some("b"), Some("c"), None, Some("d"), Some("e"))
   private def gFilter(g: Option[String]) =
     g.map(v => col("g") === v).getOrElse(col("g").isNull)
 
@@ -162,6 +165,22 @@ class Round13Spec extends AnyFunSuite {
       assert(rows(grouped.where(gFilter(g)).drop("g")) == rows(solo),
         s"group $g must match its own ungrouped run")
     }
+  }
+
+  test("psiCategoricalProfile grouped equals the per-segment ungrouped runs") {
+    val (base, other) = psiFixture
+    // x doubles cast to strings are the categorical values here
+    val grouped = Chain(spark, "pcg", base)
+      .psiCategoricalProfile(other, "x", groupBy = Seq("g")).df
+    for (g <- psiGroups) {
+      val solo = Chain(spark, "pcs", base.where(gFilter(g)))
+        .psiCategoricalProfile(other.where(gFilter(g)), "x").df
+      assert(rows(grouped.where(gFilter(g)).drop("g")) == rows(solo),
+        s"group $g must match its own ungrouped run")
+    }
+    // no spine to pad: the all-null-value group yields zero rows, exactly
+    // like its own ungrouped run
+    assert(grouped.where(col("g") === "e").isEmpty)
   }
 
   test("psiProfile grouped: ONE scan per side in the physical plan") {
