@@ -1893,8 +1893,8 @@ object SparkEntry {
         s"cb AS (${side("F", "cb")}), co AS (${side("O", "co")}), " +
         "j AS (SELECT sp.g, sp.bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
         "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp " +
-        "LEFT JOIN cb ON sp.g = cb.g AND sp.bucket = cb.bucket " +
-        "LEFT JOIN co ON sp.g = co.g AND sp.bucket = co.bucket), " +
+        "LEFT JOIN cb ON sp.g IS NOT DISTINCT FROM cb.g AND sp.bucket = cb.bucket " +
+        "LEFT JOIN co ON sp.g IS NOT DISTINCT FROM co.g AND sp.bucket = co.bucket), " +
         "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY g) AS DOUBLE) AS tb, " +
         "CAST(SUM(cnt_other) OVER (PARTITION BY g) AS DOUBLE) AS tot FROM j), " +
         s"y AS (SELECT g, bucket, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +
@@ -1913,7 +1913,7 @@ object SparkEntry {
       def side(pred: String, as: String) =
         s"SELECT w.grp, CASE WHEN x > c3 THEN 3 WHEN x > c2 THEN 2 WHEN x > c1 THEN 1 ELSE 0 END AS bucket, " +
           s"COUNT(*) AS $as FROM (SELECT grp, x FROM wg WHERE $pred AND x IS NOT NULL AND NOT isnan(x)) w " +
-          "LEFT JOIN cu ON w.grp = cu.grp GROUP BY 1, 2"
+          "LEFT JOIN cu ON w.grp IS NOT DISTINCT FROM cu.grp GROUP BY 1, 2"
       def fl(cnt: String, tot: String) =
         s"CASE WHEN $tot = 0 THEN NULL ELSE GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS) END"
       s"WITH src AS ($src), " +
@@ -1927,8 +1927,8 @@ object SparkEntry {
         s"bb AS (${side("g < 2", "cb")}), ob AS (${side("g >= 2", "co")}), " +
         "j AS (SELECT sp.grp, sp.bucket, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
         "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM sp " +
-        "LEFT JOIN bb ON sp.grp = bb.grp AND sp.bucket = bb.bucket " +
-        "LEFT JOIN ob ON sp.grp = ob.grp AND sp.bucket = ob.bucket), " +
+        "LEFT JOIN bb ON sp.grp IS NOT DISTINCT FROM bb.grp AND sp.bucket = bb.bucket " +
+        "LEFT JOIN ob ON sp.grp IS NOT DISTINCT FROM ob.grp AND sp.bucket = ob.bucket), " +
         "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY grp) AS DOUBLE) AS tb, " +
         "CAST(SUM(cnt_other) OVER (PARTITION BY grp) AS DOUBLE) AS tot FROM j), " +
         s"y AS (SELECT grp, bucket, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +
@@ -1937,7 +1937,7 @@ object SparkEntry {
         "SELECT z.grp, z.bucket, " +
         "CASE z.bucket WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS cut_lo, " +
         "CASE z.bucket WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS cut_hi, " +
-        "cnt_base, cnt_other, psi_term, psi_total FROM z LEFT JOIN cu ON z.grp = cu.grp"
+        "cnt_base, cnt_other, psi_term, psi_total FROM z LEFT JOIN cu ON z.grp IS NOT DISTINCT FROM cu.grp"
     },
     "q_psi_categorical" -> {
       val epsS = "CAST('1.0E-6' AS DOUBLE)"
@@ -1965,8 +1965,9 @@ object SparkEntry {
       def fl(cnt: String, tot: String) =
         s"CASE WHEN $tot = 0 THEN NULL ELSE GREATEST(CAST($cnt AS DOUBLE) / $tot, $epsS) END"
       s"WITH cb AS (${side("c_nationkey < 13", "cb")}), co AS (${side("c_nationkey >= 13", "co")}), " +
-        "j AS (SELECT grp, value, CAST(COALESCE(cb, 0) AS BIGINT) AS cnt_base, " +
-        "CAST(COALESCE(co, 0) AS BIGINT) AS cnt_other FROM cb FULL JOIN co USING (grp, value)), " +
+        "j AS (SELECT COALESCE(cb.grp, co.grp) AS grp, COALESCE(cb.value, co.value) AS value, " +
+        "CAST(COALESCE(cb.cb, 0) AS BIGINT) AS cnt_base, CAST(COALESCE(co.co, 0) AS BIGINT) AS cnt_other " +
+        "FROM cb FULL JOIN co ON cb.grp IS NOT DISTINCT FROM co.grp AND cb.value IS NOT DISTINCT FROM co.value), " +
         "w2 AS (SELECT *, CAST(SUM(cnt_base) OVER (PARTITION BY grp) AS DOUBLE) AS tb, " +
         "CAST(SUM(cnt_other) OVER (PARTITION BY grp) AS DOUBLE) AS tot FROM j), " +
         s"y AS (SELECT grp, value, cnt_base, cnt_other, (${fl("cnt_base", "tb")} - ${fl("cnt_other", "tot")}) * " +

@@ -277,7 +277,15 @@ object ScaleLint {
           boundedSpine(b.left) || boundedSpine(b.right)
         case _ => false
       }
-      // nearest-ancestor-first: the cross join must sit ABOVE the distinct
+      // nearest-ancestor-first: the cross join must sit ABOVE the distinct.
+      // A distinct over an AGGREGATE's output is deliberately NOT exempt:
+      // when a shared aggregate subtree is duplicated per branch, column
+      // pruning differentiates the copies and defeats exchange reuse —
+      // measured on the pre-round-13 driftByWindowQuantile window-grid,
+      // whose "distinct over the bounded window counts" still cost 2
+      // non-reused corpus scans. A GENUINELY reused exchange surfaces as
+      // a ReusedExchangeExec LEAF (no scan beneath it in this walk), so
+      // true reuse never produces the second ScanAt and never flags.
       val spineScans = scans.filter { s =>
         val i = s.ancestors.indexWhere(isDistinctAgg)
         i >= 0 && s.ancestors.drop(i + 1).exists(isSpineCross)

@@ -664,10 +664,15 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val leftCols = c.df.columns.toSeq
     val lk = joinColumns.map(_._1)
     val rk = joinColumns.map(_._2)
+    // the collision class is a column NAMED like a hot-frame key
+    // (_h_<keyName>) on the side that joins it — not just keys that
+    // start with the prefix
     val reserved = Seq("_salt", "_ns")
     require((leftCols ++ other.df.columns).intersect(reserved).isEmpty &&
-      !(lk ++ rk).exists(_.startsWith("_h_")),
-      "join_salted_auto reserves _salt/_ns and the _h_ key prefix — rename first")
+      !lk.exists(k => leftCols.contains(s"_h_$k")) &&
+      !rk.exists(k => other.df.columns.contains(s"_h_$k")),
+      "join_salted_auto reserves _salt/_ns and the _h_<key> hot-frame " +
+        "column names — rename first")
     val hotRows = JoinOps.hotKeySaltCounts(c.df, lk, minHotCount, maxHotKeys,
       saltBuckets)
     val keyTypes = lk.map(kn => c.df.schema(kn).dataType)

@@ -538,10 +538,17 @@ object EventStreams {
     id.fold(checkpointDir)(u => s"$u:$checkpointDir")
   }
 
-  private[graft] def batchAlreadyApplied(spark: SparkSession, name: String,
-                                         checkpointDir: String,
-                                         batchId: Long): Boolean =
-    spark.catalog.tableExists(name) && {
+  /** One-read-per-batch guard for the additive sinks: resolve the
+    * checkpoint identity ONCE, return None when this batch is a replay
+    * (skip), Some(identity) to proceed — the caller hands the identity
+    * back to [[markBatchApplied]] so the metadata file is opened exactly
+    * once per batch, as the bench annotation claims.
+    */
+  private[graft] def checkpointGuard(spark: SparkSession, name: String,
+                                     checkpointDir: String,
+                                     batchId: Long): Option[String] = {
+    val ident = checkpointIdentity(spark, checkpointDir)
+    val applied = spark.catalog.tableExists(name) && {
       val rows = spark.sql(s"SHOW TBLPROPERTIES `$name`")
         .where(col("key") === AppliedBatchProp).collect()
       rows.nonEmpty && {
@@ -549,16 +556,26 @@ object EventStreams {
         val at = v.indexOf('@')
         // an unparseable marker (externally set, truncated) means "not
         // applied" — at-least-once fallback, never a stream-killing throw
-        at > 0 && v.substring(at + 1) == checkpointIdentity(spark, checkpointDir) &&
+        at > 0 && v.substring(at + 1) == ident &&
           scala.util.Try(v.substring(0, at).toLong).toOption.exists(_ >= batchId)
       }
     }
+    if (applied) None else Some(ident)
+  }
 
+  private[graft] def batchAlreadyApplied(spark: SparkSession, name: String,
+                                         checkpointDir: String,
+                                         batchId: Long): Boolean =
+    checkpointGuard(spark, name, checkpointDir, batchId).isEmpty
+
+  /** Record the applied batch; `checkpointIdent` is the identity the
+    * batch's [[checkpointGuard]] already resolved.
+    */
   private[graft] def markBatchApplied(spark: SparkSession, name: String,
-                                      checkpointDir: String,
+                                      checkpointIdent: String,
                                       batchId: Long): Unit =
     spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('$AppliedBatchProp' = " +
-      s"'$batchId@${checkpointIdentity(spark, checkpointDir).replace("'", "''")}')")
+      s"'$batchId@${checkpointIdent.replace("'", "''")}')")
 
   /** Streaming continuous profile via `foreachBatch`: every micro-batch
     * folds its per-key HLL sketches into a persistent profile table — a
@@ -591,7 +608,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("_sk"))
             .withColumn("_pb", pmod(hash(keys.map(col): _*), lit(profileBuckets)))
@@ -621,7 +640,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -668,7 +687,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(graft.functions.FreqSketches
               .sketchAgg(col(valueCol).cast("string"), maxMapSize).as("_sk"))
@@ -697,7 +718,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -727,8 +748,18 @@ object EventStreams {
     * global window, unbounded stream history is fine. Batch face of
     * [[sinkDriftUpsertToTable]].
     */
+
+  // valueCol = "_ts" would silently read the event-time column the op
+  // itself derives (withColumn("_ts", ...) overwrites the user's column
+  // BEFORE the aggregate evaluates it) — refuse loudly instead, the same
+  // contract the key-name guards give
+  private def requireValueColNotInternal(op: String, valueCol: String): Unit =
+    require(valueCol != "_ts",
+      s"$op reserves _ts for the derived event-time column — rename the value column first")
+
   def driftByWindow(events: DataFrame, reference: DataFrame, valueCol: String,
                     width: String, eps: Double = 1e-6): DataFrame = {
+    requireValueColNotInternal("drift_by_window", valueCol)
     val refC = reference.where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt_base"))
@@ -746,13 +777,27 @@ object EventStreams {
 
   private def driftFromCounts(wc: DataFrame, refC: DataFrame,
                               eps: Double): DataFrame = {
-    // window × reference grid: an aggregated-broadcast cross product —
-    // domain-sized by construction, linted as such (info level)
-    val grid = wc.select("window_start").distinct().crossJoin(broadcast(refC))
-    val joined = grid.join(wc, Seq("window_start", "value"), "full_outer")
+    // ONE consumer of the corpus-side aggregate: the old
+    // distinct-windows × reference grid re-joined wc, and column pruning
+    // split the wc subtree into TWO corpus scans (reference-confirmed by
+    // the corpus-rescan-spine lint — the calibration/histogram lesson at
+    // the window grain). Now each window folds its value counts into a
+    // map and explodes the union of the reference domain and its own
+    // values — same rows (windows × (ref ∪ window values), zeros
+    // padded), single corpus scan
+    val wcM = wc.groupBy(col("window_start"))
+      .agg(map_from_entries(collect_list(
+        struct(col("value"), col("cnt_other")))).as("_mo"))
+    val refM = refC.agg(map_from_entries(collect_list(
+      struct(col("value"), col("cnt_base")))).as("_mb"))
+    val joined = wcM.crossJoin(broadcast(refM))
+      .select(col("window_start"),
+        explode(array_distinct(concat(map_keys(col("_mb")),
+          map_keys(col("_mo"))))).as("value"),
+        col("_mo"), col("_mb"))
       .select(col("window_start"), col("value"),
-        coalesce(col("cnt_base"), lit(0L)).as("cnt_base"),
-        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+        coalesce(try_element_at(col("_mb"), col("value")), lit(0L)).as("cnt_base"),
+        coalesce(try_element_at(col("_mo"), col("value")), lit(0L)).as("cnt_other"))
     graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps)
       .select("window_start", "value", "cnt_base", "cnt_other",
         "psi_term", "psi_total")
@@ -791,7 +836,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val refC = spark.table(refTable)
           val bc = windowCounts(batch, valueCol, width)
             .withColumn("_pb", bucketed(col("window_start")))
@@ -818,7 +865,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -851,6 +898,7 @@ object EventStreams {
                            valueCol: String, width: String, lo: Double,
                            hi: Double, buckets: Int,
                            eps: Double = 1e-6): DataFrame = {
+    requireValueColNotInternal("drift_by_window_numeric", valueCol)
     require(buckets > 0, s"drift_by_window_numeric needs buckets > 0, got $buckets")
     require(hi > lo, s"drift_by_window_numeric needs hi > lo, got [$lo, $hi]")
     driftFromBucketCounts(
@@ -895,18 +943,34 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt_other"))
   }
 
+  /** Pad a (window_start, bucket, cnt_other) window-count aggregate to
+    * the full 0..buckets-1 spine per window — the per-window map/explode
+    * fold, ONE consumer of the corpus-side aggregate (the old
+    * distinct-windows grid re-joined wc and column pruning split it into
+    * two corpus scans; reference-confirmed by the corpus-rescan-spine
+    * lint).
+    */
+  private def padWindowBuckets(wc: DataFrame, buckets: Int): DataFrame =
+    wc.groupBy(col("window_start"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("cnt_other")))).as("_m"))
+      .select(col("window_start"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"),
+        col("_m"))
+      .select(col("window_start"), col("bucket"),
+        coalesce(try_element_at(col("_m"), col("bucket")), lit(0L)).as("cnt_other"))
+
   private def driftFromBucketCounts(wc: DataFrame, refC: DataFrame,
                                     lo: Double, hi: Double, buckets: Int,
                                     eps: Double): DataFrame = {
     val w = (hi - lo) / buckets
-    // window × bucket-spine grid: the reference is spine-complete, so a
-    // LEFT join pads every window to the full domain (wc's buckets are a
-    // subset of the spine by construction); aggregated broadcast build,
-    // bounded by `buckets`
-    val grid = wc.select("window_start").distinct().crossJoin(broadcast(refC))
-    val joined = grid.join(wc, Seq("window_start", "bucket"), "left")
+    // the reference is spine-complete, so the per-bucket join carries
+    // cnt_base for every spine row; aggregated broadcast build, bounded
+    // by `buckets`
+    val joined = padWindowBuckets(wc, buckets)
+      .join(broadcast(refC), Seq("bucket"), "left")
       .select(col("window_start"), col("bucket"), col("cnt_base"),
-        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+        col("cnt_other"))
     graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps)
       .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(w))
       .withColumn("bucket_hi", lit(lo) + (col("bucket") + lit(1L)) * lit(w))
@@ -946,6 +1010,7 @@ object EventStreams {
   def driftByWindowQuantile(events: DataFrame, reference: DataFrame,
                             valueCol: String, width: String, buckets: Int,
                             eps: Double = 1e-6, k: Int = 200): DataFrame = {
+    requireValueColNotInternal("drift_by_window_quantile", valueCol)
     require(buckets > 1, s"drift_by_window_quantile needs buckets > 1, got $buckets")
     val spark = reference.sparkSession
     val xr = col(valueCol).cast("double")
@@ -961,24 +1026,19 @@ object EventStreams {
           .groupBy("bucket").agg(count(lit(1)).as("_cb")).collect()
         (cuts, graft.ops.AggOps.literalCountFrame(spark, refCountRows, "_cb"))
       } finally refV.unpersist(false)
-    val spine = spark.range(buckets).select(col("id").as("bucket"))
     val wc = graft.ops.AggOps.cutoffBucketed(
         events.withColumn("_ts", eventTime(events)), valueCol, cuts, buckets)
       .groupBy(window(col("_ts"), width).getField("start").cast(TimestampNTZType)
         .as("window_start"), col("bucket"))
       .agg(count(lit(1)).as("cnt_other"))
-    // grid = distinct windows × the BARE bucket spine (a provably-bounded
-    // Range build — crossing with the spine-joined reference frame would
-    // hide the bound behind the join); reference counts then attach by
-    // equi join, zeros padded, so every window still carries every bucket
-    val grid = wc.select("window_start").distinct()
-      .crossJoin(broadcast(spine))
-      .join(refCounts, Seq("bucket"), "left")
+    // per-window map/explode spine fold (padWindowBuckets — one consumer
+    // of the events aggregate, one corpus scan); the literal reference
+    // counts then attach by equi join, zeros padded, so every window
+    // still carries every bucket
+    val joined = padWindowBuckets(wc, buckets)
+      .join(broadcast(refCounts), Seq("bucket"), "left")
       .select(col("window_start"), col("bucket"),
-        coalesce(col("_cb"), lit(0L)).as("cnt_base"))
-    val joined = grid.join(wc, Seq("window_start", "bucket"), "left")
-      .select(col("window_start"), col("bucket"), col("cnt_base"),
-        coalesce(col("cnt_other"), lit(0L)).as("cnt_other"))
+        coalesce(col("_cb"), lit(0L)).as("cnt_base"), col("cnt_other"))
     graft.ops.AggOps.withCutoffBounds(
         graft.ops.AggOps.psiTermsGrouped(joined, Seq("window_start"), eps),
         cuts, buckets)
@@ -1021,7 +1081,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val refC = spark.table(refTable)
           val bc = windowBucketCounts(batch, valueCol, width, lo, hi, buckets)
             .withColumn("_pb", bucketed(col("window_start")))
@@ -1048,7 +1110,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -1177,7 +1239,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val s = col(scoreCol).cast("double")
           val l = col(labelCol).cast("double")
           val ok = s.isNotNull && !isnan(s) && s >= lit(0.0) && s <= lit(1.0) &&
@@ -1242,7 +1306,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -1279,6 +1343,31 @@ object EventStreams {
     * stored history (the `Chain.saveUpsert` full-table swap this
     * replaces for the incremental posture).
     */
+  /** Shared touched-partition replace for the `_ub`-partitioned per-user
+    * tables (activity upserts AND chain/state merges — one body, so a
+    * fix to the prune/anti-join/overwrite logic can't silently miss one
+    * of them): keep = touched partitions MINUS `antiSrc`'s keys
+    * (null-safe, renamed right side), union `fresh`, dynamic-overwrite
+    * ONLY the touched partitions. `buckets` is the caller's one bounded
+    * driver read of the touched `_ub` ids.
+    */
+  private def replaceTouched(spark: SparkSession, table: String,
+                             fresh: DataFrame, antiSrc: DataFrame,
+                             antiKeys: Seq[String], prefix: String,
+                             buckets: Seq[Long]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      fresh.write.partitionBy("_ub").format("parquet").saveAsTable(table)
+    } else {
+      val keyF = antiSrc
+        .select(antiKeys.map(k => antiSrc.col(k).as(s"$prefix$k")): _*).distinct()
+      val cond = antiKeys.map(k => col(k) <=> col(s"$prefix$k")).reduce(_ && _)
+      val kept = spark.table(table).where(col("_ub").isin(buckets: _*))
+        .join(keyF, cond, "left_anti")
+      dynamicOverwrite(spark, fresh.unionByName(kept), table)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
   private def journaledPartitionedUpsert(batch: DataFrame, name: String,
                                          keys: Seq[String],
                                          userKeys: Seq[String]): Unit = {
@@ -1286,22 +1375,20 @@ object EventStreams {
     batch.select((userKeys.map(col) :+ col("_ub")): _*).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .saveAsTable(journalName(name))
-    if (!spark.catalog.tableExists(name)) {
-      batch.write.partitionBy("_ub").format("parquet").saveAsTable(name)
-    } else {
-      val touched = batch.select(col("_ub")).distinct().collect().map(_.getLong(0))
-      val newKeys = batch.select(keys.map(k => batch.col(k).as(s"_nk_$k")): _*).distinct()
-      val cond = keys.map(k => col(k) <=> col(s"_nk_$k")).reduce(_ && _)
-      val kept = spark.table(name).where(col("_ub").isin(touched.toIndexedSeq: _*))
-        .join(newKeys, cond, "left_anti")
-      dynamicOverwrite(spark, batch.unionByName(kept), name)
-    }
+    val buckets = batch.select(col("_ub")).distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    replaceTouched(spark, name, batch, batch, keys, "_nk_", buckets)
   }
 
   private def runJournaledSink(df: DataFrame, name: String, keys: Seq[String],
                                userKeys: Seq[String],
                                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
+    // the internal rename prefixes must stay unambiguous — the same
+    // contract requirePsiGroupNames gives the grouped PSI faces
+    require(df.columns.forall(n => !n.startsWith("_nk_") && !n.startsWith("_j_")),
+      s"journaled activity sinks reserve the _nk_/_j_ rename prefixes: " +
+        s"${df.columns.filter(n => n.startsWith("_nk_") || n.startsWith("_j_")).mkString(", ")} — rename first")
     val q = df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -1331,37 +1418,18 @@ object EventStreams {
   private[graft] def touchedActivitySlice(spark: SparkSession,
                                           activityTable: String,
                                           touched: DataFrame,
-                                          userKeys: Seq[String]): DataFrame = {
-    val buckets = touched.select(col("_ub")).distinct().collect().map(_.getLong(0))
+                                          userKeys: Seq[String],
+                                          buckets: Seq[Long] = Nil): DataFrame = {
+    val bs =
+      if (buckets.nonEmpty) buckets
+      else touched.select(col("_ub")).distinct().collect()
+        .map(_.getLong(0)).toIndexedSeq
     val tR = touched
       .select(userKeys.map(k => touched.col(k).as(s"_j_$k")): _*).distinct()
     val cond = userKeys.map(k => col(k) <=> col(s"_j_$k")).reduce(_ && _)
     spark.table(activityTable)
-      .where(col("_ub").isin(buckets.toIndexedSeq: _*))
+      .where(col("_ub").isin(bs: _*))
       .join(tR, cond, "left_semi")
-  }
-
-  /** Replace the touched users' rows in a `_ub`-partitioned per-user
-    * table wholesale: keep = touched partitions MINUS touched users
-    * (null-safe anti-join — delete-aware: a touched user who no longer
-    * produces a row simply disappears), union the fresh rows, rewrite
-    * only the touched partitions via dynamic overwrite.
-    */
-  private def mergeTouchedRows(spark: SparkSession, table: String,
-                               fresh: DataFrame, touched: DataFrame,
-                               userKeys: Seq[String]): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      fresh.write.partitionBy("_ub").format("parquet").saveAsTable(table)
-    } else {
-      val buckets = touched.select(col("_ub")).distinct().collect().map(_.getLong(0))
-      val tR = touched
-        .select(userKeys.map(k => touched.col(k).as(s"_j_$k")): _*).distinct()
-      val cond = userKeys.map(k => col(k) <=> col(s"_j_$k")).reduce(_ && _)
-      val kept = spark.table(table).where(col("_ub").isin(buckets.toIndexedSeq: _*))
-        .join(tR, cond, "left_anti")
-      dynamicOverwrite(spark, fresh.unionByName(kept), table)
-    }
-    spark.catalog.refreshTable(table)
   }
 
   /** Bounded incremental funnel close (the round-12 verdict's #6): the
@@ -1408,14 +1476,19 @@ object EventStreams {
           "first activity write left a consumed-nothing journal)")
       val touched = spark.table(jn).distinct().persist()
       try {
-        val slice = touchedActivitySlice(spark, activityTable, touched, userKeys)
+        // ONE bounded driver read of the touched bucket ids, shared by
+        // the slice prune and the chain-table rewrite
+        val buckets = touched.select(col("_ub")).distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq
+        val slice = touchedActivitySlice(spark, activityTable, touched,
+          userKeys, buckets)
         // _ub rides the chain derivation as an extra group key — it is a
         // function of (groups, user), so the window partitioning is
         // unchanged and the output lands in its storage partition
         val chains = funnelTimes(slice, stepCol, steps, userCol, "ts",
           within, groupBy :+ "_ub")
           .withColumnRenamed("_u", userCol)
-        mergeTouchedRows(spark, chainTable, chains, touched, userKeys)
+        replaceTouched(spark, chainTable, chains, touched, userKeys, "_j_", buckets)
         spark.sql(s"TRUNCATE TABLE `$jn`")
       } finally touched.unpersist(false)
     }
@@ -1482,7 +1555,10 @@ object EventStreams {
         s"journal $jn exists but activity table $activityTable does not")
       val touched = spark.table(jn).distinct().persist()
       try {
-        val slice = touchedActivitySlice(spark, activityTable, touched, userKeys)
+        val buckets = touched.select(col("_ub")).distinct().collect()
+          .map(_.getLong(0)).toIndexedSeq
+        val slice = touchedActivitySlice(spark, activityTable, touched,
+          userKeys, buckets)
         val gk = (groupBy ++ Seq("_ub", userCol)).map(col)
         val fresh = slice.groupBy(gk: _*)
           .agg(min(col("d")).as("_cd"), collect_set(col("d")).as("_days"))
@@ -1490,7 +1566,7 @@ object EventStreams {
             sort_array(array_distinct(transform(col("_days"), dd =>
               floor(datediff(dd, col("_cd")) / lit(periodDays)).cast("int"))))
               .as("_ps"))): _*)
-        mergeTouchedRows(spark, stateTable, fresh, touched, userKeys)
+        replaceTouched(spark, stateTable, fresh, touched, userKeys, "_j_", buckets)
         spark.sql(s"TRUNCATE TABLE `$jn`")
       } finally touched.unpersist(false)
     }
@@ -1647,7 +1723,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val bc = graft.ops.AggOps.agreementClassFrame(batch, colA, colB, groupBy)
           val pbCol =
             if (groupBy.isEmpty) lit(0)
@@ -1681,7 +1759,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -1717,6 +1795,7 @@ object EventStreams {
   def quantilesByWindow(events: DataFrame, valueCol: String, width: String,
                         probs: Seq[Double], keys: Seq[String] = Nil,
                         k: Int = 200, slide: Option[String] = None): DataFrame = {
+    requireValueColNotInternal("quantiles_by_window", valueCol)
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles_by_window probs must be in [0, 1], got $probs")
     require(probs.distinct.size == probs.size, s"quantiles_by_window probs repeat: $probs")
@@ -1780,7 +1859,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty && !batchAlreadyApplied(spark, name, checkpointDir, batchId)) {
+        val _ci = if (batch.isEmpty) None
+                  else checkpointGuard(spark, name, checkpointDir, batchId)
+        if (_ci.isDefined) {
           val xr = { val x = col(valueCol).cast("double"); when(!isnan(x), x) }
           val bs = batch.groupBy(keys.map(col): _*)
             .agg(graft.functions.KllSketches.sketchAgg(xr, k).as("_sk"),
@@ -1811,7 +1892,7 @@ object EventStreams {
             dynamicOverwrite(spark, out, name)
             out.unpersist()
           }
-          markBatchApplied(spark, name, checkpointDir, batchId)
+          markBatchApplied(spark, name, _ci.get, batchId)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -1845,6 +1926,7 @@ object EventStreams {
                            k: Int, keys: Seq[String] = Nil,
                            maxMapSize: Int = 2048,
                            slide: Option[String] = None): DataFrame = {
+    requireValueColNotInternal("heavy_hitters_by_window", valueCol)
     require(k > 0, s"heavy_hitters_by_window needs k > 0, got $k")
     val reservedHh = Seq("window_start", "item", "cnt", "rank", "_ts", "_sk", "_i", "_h")
     require(keys.intersect(reservedHh).isEmpty,
@@ -1888,6 +1970,7 @@ object EventStreams {
   def distinctByWindow(events: DataFrame, valueCol: String, width: String,
                        keys: Seq[String] = Nil, lgConfigK: Int = 12,
                        slide: Option[String] = None): DataFrame = {
+    requireValueColNotInternal("distinct_by_window", valueCol)
     val reservedDw = Seq("window_start", "n_distinct", "n", "_ts")
     require(keys.intersect(reservedDw).isEmpty,
       s"distinct_by_window key columns collide with output/internal names " +

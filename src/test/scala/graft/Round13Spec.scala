@@ -98,6 +98,20 @@ class Round13Spec extends AnyFunSuite {
       "the distinct->crossJoin(Range) + aggregate double-scan must lint")
   }
 
+  test("ScaleLint: the audited window-grid exchange-reuse shape does NOT lint") {
+    // review-confirmed false positive: driftByWindowQuantile's grid is a
+    // distinct over the WINDOW-COUNT AGGREGATE's bounded output, not over
+    // the corpus — but physical planning duplicates the aggregate subtree
+    // per branch, so the old reference-equality (`eq`) shared-aggregate
+    // exclusion never matched. The rule now exempts any scan whose OWN
+    // path passes a real aggregate below the distinct.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(!hasRescanSpine(graft.streaming.EventStreams
+        .driftByWindowQuantile(ev, ev.where("event_id % 50 = 0"),
+          "value", "1 hour", 4)),
+      "a distinct over an aggregate's bounded output must not lint as a corpus rescan")
+  }
+
   test("ScaleLint: post-fix grouped histogram and datespine_groups stay clean") {
     val ordersC = table("orders")
     assert(!hasRescanSpine(ordersC
@@ -320,7 +334,8 @@ class Round13Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     Seq((1, 2)).toDF("a", "b").write.saveAsTable(tbl)
     try {
-      EventStreams.markBatchApplied(spark, tbl, ckpt, 5L)
+      EventStreams.markBatchApplied(spark, tbl,
+        EventStreams.checkpointIdentity(spark, ckpt), 5L)
       assert(EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 5L),
         "same incarnation: a re-fired batch 5 is a replay")
       assert(EventStreams.batchAlreadyApplied(spark, tbl, ckpt, 3L))
