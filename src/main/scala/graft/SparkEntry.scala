@@ -554,6 +554,31 @@ object SparkEntry {
       t(s, d, "lineitem").joinSaltedAuto(t(s, d, "orders"), "inner",
         Seq("l_orderkey" -> "o_orderkey"), saltBuckets = 4, minHotCount = 3,
         maxHotKeys = 5000).df),
+    // SCD type-2 dimension maintenance: a supplier history with pre-closed
+    // versions (%7), keys with NO current row (%13 — re-appear in the
+    // snapshot and must re-insert), a snapshot that changes acctbal (%10)
+    // and drops keys (%11 — closeMissing closes them). One full-outer
+    // join; the oracle replays all four branches
+    "q_scd2_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date, when}
+      val sup = t(s, d, "supplier").df
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val current = sup.where("s_suppkey % 13 <> 0")
+        .withColumn("valid_from", to_date(lit("1990-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val closed = sup.where("s_suppkey % 7 = 0")
+        .withColumn("s_acctbal", col("s_acctbal") - 50.0)
+        .withColumn("valid_from", to_date(lit("1985-01-01")))
+        .withColumn("valid_to", to_date(lit("1990-01-01")))
+        .withColumn("is_current", lit(false))
+      val hist = Chain(s, "scd_hist", current.unionByName(closed))
+      val snap = Chain(s, "scd_snap", sup.where("s_suppkey % 11 <> 0")
+        .withColumn("s_acctbal", when(col("s_suppkey") % 10 === 0,
+          col("s_acctbal") + 100.0).otherwise(col("s_acctbal"))))
+      hist.scd2Merge(snap, Seq("s_suppkey"), Seq("s_name", "s_acctbal"),
+        "1995-06-01", closeMissing = true).df
+    }),
     // row-level dataset diff: synthetic old/new versions of orders —
     // removed (in old only), added (in new only), changed (priority bumped)
     "q_diff_tables" -> ((s, d) => {
@@ -946,6 +971,21 @@ object SparkEntry {
       "q_sim_topk" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
         emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
+      }),
+      // hard-negative mining for contrastive training: exact cosine
+      // ranking minus each query's labeled positives (q -> q+1, q+2) and
+      // minus near-positive candidates at cosine >= 0.36 (the RocketQA
+      // denoising cut — 0.36 sits at the fixture's 99.9th percentile, so
+      // the filter provably bites while leaving k survivors); the oracle
+      // replays exclusion + ranking over the same fixed-point dot
+      "q_hard_negatives" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = t(s, d, "embeddings")
+        val qs = emb.df.where("vec_id < 5")
+        val pos = qs.select(col("vec_id").as("query_id"), (col("vec_id") + 1).as("doc_id"))
+          .union(qs.select(col("vec_id").as("query_id"), (col("vec_id") + 2).as("doc_id")))
+        emb.hardNegatives(qs, pos, "vec_id", "embedding", 10,
+          fnThreshold = Some(0.36)).df
       }),
       // fixed-embedding face, same rationale as q_sim_topk_hamming: the
       // multi-probe LSH candidate set and exact rerank are pure functions
@@ -2114,6 +2154,32 @@ object SparkEntry {
     // equal the plain join exactly
     "q_join_salted_auto" ->
       "SELECT l.*, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    // SCD2 merge replayed branch by branch: closed pass-through; current
+    // rows kept / closed-missing / closed-changed; new versions for
+    // changed keys and for keys with no current row (new + re-appearing)
+    "q_scd2_merge" ->
+      ("WITH sup AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier), " +
+        "hist AS (SELECT s_suppkey, s_name, s_acctbal, DATE '1990-01-01' AS valid_from, " +
+        "CAST(NULL AS DATE) AS valid_to, TRUE AS is_current FROM sup WHERE s_suppkey % 13 <> 0 " +
+        "UNION ALL SELECT s_suppkey, s_name, s_acctbal - 50.0, DATE '1985-01-01', DATE '1990-01-01', FALSE " +
+        "FROM sup WHERE s_suppkey % 7 = 0), " +
+        "snap AS (SELECT s_suppkey, s_name, CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100.0 " +
+        "ELSE s_acctbal END AS s_acctbal FROM sup WHERE s_suppkey % 11 <> 0), " +
+        "same AS (SELECT l.s_suppkey FROM hist l JOIN snap r ON l.s_suppkey = r.s_suppkey " +
+        "WHERE l.is_current AND l.s_name IS NOT DISTINCT FROM r.s_name " +
+        "AND l.s_acctbal IS NOT DISTINCT FROM r.s_acctbal) " +
+        "SELECT * FROM hist WHERE NOT COALESCE(is_current, FALSE) " +
+        "UNION ALL SELECT l.s_suppkey, l.s_name, l.s_acctbal, l.valid_from, " +
+        "CASE WHEN r.s_suppkey IS NULL OR s.s_suppkey IS NULL THEN DATE '1995-06-01' ELSE l.valid_to END, " +
+        "CASE WHEN r.s_suppkey IS NULL OR s.s_suppkey IS NULL THEN FALSE ELSE l.is_current END " +
+        "FROM hist l LEFT JOIN snap r ON l.s_suppkey = r.s_suppkey " +
+        "LEFT JOIN same s ON l.s_suppkey = s.s_suppkey WHERE l.is_current " +
+        "UNION ALL SELECT r.s_suppkey, r.s_name, r.s_acctbal, DATE '1995-06-01', CAST(NULL AS DATE), TRUE " +
+        "FROM hist l JOIN snap r ON l.s_suppkey = r.s_suppkey " +
+        "WHERE l.is_current AND l.s_suppkey NOT IN (SELECT s_suppkey FROM same) " +
+        "UNION ALL SELECT r.s_suppkey, r.s_name, r.s_acctbal, DATE '1995-06-01', CAST(NULL AS DATE), TRUE " +
+        "FROM snap r LEFT JOIN (SELECT * FROM hist WHERE is_current) l ON r.s_suppkey = l.s_suppkey " +
+        "WHERE l.s_suppkey IS NULL"),
     "q_diff_tables" ->
       ("WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0), " +
         "n AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
@@ -2708,6 +2774,16 @@ object SparkEntry {
           "LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u"),
       "q_sim_topk" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
+      // hard negatives = q_sim_topk's scoring minus the labeled-positive
+      // pairs and minus candidates at/above the 0.36 denoising cut; the
+      // oracle replays the same fixed-point dot, NOT EXISTS exclusion,
+      // threshold, and ranking
+      "q_hard_negatives" ->
+        (s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), " +
+          "pos AS (SELECT vec_id AS qid, vec_id + 1 AS cid FROM embeddings WHERE vec_id < 5 UNION ALL SELECT vec_id, vec_id + 2 FROM embeddings WHERE vec_id < 5), " +
+          "sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid " +
+          "WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.qid = p.qid AND pos.cid = p.cid) AND dot / na.nrm / nb.nrm < 0.36) " +
+          "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10"),
       // literal-pinned hash-kernel oracles over the fixed fixture corpora.
       // Values computed once from the pinned inputs and hand-sanity-checked:
       // the three engineered near-dup pairs (1,2 / 3,4 / 5,6) and ONLY those

@@ -59,6 +59,52 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("cosine_topk", df2, None)
   }
 
+  /** hard_negatives(queries, positives, …): contrastive-training negative
+    * mining — for each query, the top-`k` most-similar corpus rows that
+    * are NOT labeled positives for that query, optionally also dropping
+    * candidates whose cosine reaches `fnThreshold` (the standard
+    * "denoised hard negatives" move: an unlabeled candidate nearly as
+    * close as a positive is more likely a missing label than a negative,
+    * and training on it as a negative poisons the encoder — RocketQA,
+    * Qu et al., NAACL'21).
+    *
+    * `positives` carries the labeled (query, doc) pairs as
+    * `(posQueryCol, posDocCol)`; it is broadcast (labeled pairs are
+    * tiny next to the corpus) and excluded with a left-anti join, so
+    * the scale shape is exactly [[cosineTopK]]'s: ONE corpus scan
+    * against broadcast queries, one shuffle on query_id for the top-k
+    * window. Scoring uses the same exact-decimal dot, so ranking — and
+    * the threshold comparison — is bit-stable across partitionings.
+    * Non-renderable (joins two side frames), like the rest of the
+    * top-k family.
+    */
+  def hardNegatives(queries: DataFrame, positives: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    posQueryCol: String = "query_id", posDocCol: String = "doc_id",
+                    fnThreshold: Option[Double] = None): Chain = {
+    fnThreshold.foreach(t => require(!t.isNaN,
+      "hard_negatives: fnThreshold must not be NaN (no cosine compares true against NaN)"))
+    def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+        .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .where(SimilarityOps.usableVec(col(vAs), col(nAs))) // NaN cosine would rank FIRST
+        .repartition(col(idAs)) // barrier: norm computed once, not per pair
+    val corpus = withNorm(c.df, "neighbor_id", "_vc", "_nc")
+    val qs = withNorm(queries, "query_id", "_vq", "_nq")
+    val pos = positives
+      .select(col(posQueryCol).as("query_id"), col(posDocCol).as("neighbor_id"))
+    val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
+    val scored = corpus.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+    val denoised = fnThreshold.fold(scored)(t => scored.where(col("cosine") < lit(t)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.next("hard_negatives",
+      denoised.withColumn("rank", row_number().over(w)).where(col("rank") <= k), None)
+  }
+
   /** Sketch-rerank top-k: every corpus row is scored against each query by
     * the Hamming distance of `planes`-bit sign-projection sketches (a few
     * XOR+popcount words — [[graft.functions.SignSketch]]), the best

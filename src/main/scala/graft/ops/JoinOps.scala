@@ -701,6 +701,129 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * a derived table (the reference's sub-chain args,
     * rasgoql/primitives/transforms.py:446-447).
     */
+  /** scd2_merge(snapshot, keys, compare_columns, as_of): slowly-changing-
+    * dimension type-2 maintenance — fold a point-in-time `snapshot` of a
+    * dimension into this chain's version history. The history carries
+    * `keys ++ compareCols ++ (validFrom, validTo, isCurrent)`; per key:
+    *
+    *  - current row whose `compareCols` null-safely equal the snapshot's
+    *    → unchanged;
+    *  - current row that differs → CLOSED (`validTo = asOf`,
+    *    `isCurrent = false`) plus a NEW current version from the
+    *    snapshot (`validFrom = asOf`, open `validTo`);
+    *  - snapshot key with no current row (brand new, or previously
+    *    closed and re-appearing) → new current version;
+    *  - current row missing from the snapshot → closed when
+    *    `closeMissing` (a full snapshot implies deletion), kept open
+    *    otherwise (partial snapshots);
+    *  - non-current rows always pass through untouched.
+    *
+    * Scale shape: ONE scan of the history and one of the snapshot — a
+    * single full-outer join on the keys whose condition also requires
+    * the history row to be current, so closed versions fall out on the
+    * unmatched-left side (pass-through) instead of needing a second
+    * filtered scan, and a re-appearing key falls out on the unmatched-
+    * right side (new version). Each joined row then EXPLODES into its
+    * 0-2 output rows — no branch re-executes the join. One shuffle on
+    * the keys; a dimension snapshot small enough to broadcast can be
+    * passed pre-hinted. The snapshot must be key-unique (one row per
+    * key) — duplicate snapshot keys would each produce a current
+    * version, exactly like the reference's upsert contract.
+    *
+    * The SQL face renders the same semantics as a UNION of the four
+    * branches (pass-through / kept-or-closed current / changed-close /
+    * new versions) over `{{source}}` and the snapshot's source — exact
+    * row parity with the DataFrame face is spec-pinned.
+    */
+  def scd2Merge(
+      snapshot: Chain,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      asOf: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current",
+      closeMissing: Boolean = false): Chain = {
+    require(keys.nonEmpty, "scd2_merge needs at least one key column")
+    val histCols = c.df.columns.toSet
+    val snapCols = snapshot.df.columns.toSet
+    (keys ++ compareCols ++ Seq(validFrom, validTo, isCurrent)).foreach(n =>
+      require(histCols.contains(n), s"scd2_merge: history is missing column '$n'"))
+    (keys ++ compareCols).foreach(n =>
+      require(snapCols.contains(n), s"scd2_merge: snapshot is missing column '$n'"))
+    Seq("_lp", "_rp", "_s").foreach(n => require(!histCols.contains(n),
+      s"scd2_merge: history column '$n' collides with an internal name"))
+    require(c.df.schema(isCurrent).dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"scd2_merge: '$isCurrent' must be BOOLEAN")
+    val fromType = c.df.schema(validFrom).dataType
+    val toType = c.df.schema(validTo).dataType
+    val asFrom = lit(asOf).cast(fromType)
+    val asTo = lit(asOf).cast(toType)
+    val outCols = (keys ++ compareCols ++ Seq(validFrom, validTo, isCurrent))
+
+    val L = c.df.select(outCols.map(col) :+ lit(true).as("_lp"): _*)
+    val R = snapshot.df.select(
+      (keys ++ compareCols).map(n => col(n).as(s"_r_$n")) :+ lit(true).as("_rp"): _*)
+    val keyEq = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
+    val cur = coalesce(col(isCurrent), lit(false))
+    val j = L.join(R, keyEq && cur, "full_outer")
+    val lp = coalesce(col("_lp"), lit(false))
+    val rp = coalesce(col("_rp"), lit(false))
+    val same = compareCols.map(a => col(a) <=> col(s"_r_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def row(fields: Seq[(String, org.apache.spark.sql.Column)]) =
+      struct(fields.map { case (n, v) => v.as(n) }: _*)
+    val oldRow = row(outCols.map(n => n -> col(n)))
+    val closedOld = row(
+      (keys ++ compareCols).map(n => n -> col(n)) ++
+        Seq(validFrom -> col(validFrom), validTo -> asTo,
+          isCurrent -> lit(false)))
+    val newRow = row(
+      keys.map(k => k -> when(lp, col(k)).otherwise(col(s"_r_$k"))) ++
+        compareCols.map(a => a -> col(s"_r_$a")) ++
+        Seq(validFrom -> asFrom, validTo -> lit(null).cast(toType),
+          isCurrent -> lit(true)))
+    val out = when(!lp && rp, array(newRow)) // new or re-appearing key
+      .when(lp && !cur, array(oldRow)) // closed history passes through
+      .when(lp && cur && !rp, // current, absent from the snapshot
+        if (closeMissing) array(closedOld) else array(oldRow))
+      .when(lp && cur && rp && same, array(oldRow)) // unchanged
+      .otherwise(array(closedOld, newRow)) // changed: close + new version
+    val df2 = j.select(explode(out).as("_s"))
+      .select(outCols.map(n => col(s"_s.$n").as(n)): _*)
+
+    val snap = rightSource(snapshot)
+    val keyEqSql = keys.map(k => s"_l.$k IS NOT DISTINCT FROM _r.$k").mkString(" AND ")
+    val sameSql =
+      if (compareCols.isEmpty) "TRUE"
+      else compareCols.map(a => s"_l.$a IS NOT DISTINCT FROM _r.$a").mkString(" AND ")
+    val asFromSql = s"CAST('$asOf' AS ${fromType.sql})"
+    val asToSql = s"CAST('$asOf' AS ${toType.sql})"
+    val curSqlL = s"COALESCE(_l.$isCurrent, FALSE)"
+    val newSel = (keys.map(k => s"_r.$k") ++ compareCols.map(a => s"_r.$a") ++
+      Seq(s"$asFromSql AS $validFrom", s"CAST(NULL AS ${toType.sql}) AS $validTo",
+        s"TRUE AS $isCurrent")).mkString(", ")
+    val missingToSql = if (closeMissing) asToSql else s"_l.$validTo"
+    val missingCurSql = if (closeMissing) "FALSE" else s"_l.$isCurrent"
+    val frag =
+      // non-current pass-through
+      s"SELECT ${outCols.mkString(", ")} FROM {{source}} WHERE NOT COALESCE($isCurrent, FALSE) " +
+        // current rows: unchanged / kept-or-closed-missing / changed-close
+        s"UNION ALL SELECT ${(keys ++ compareCols).map(n => s"_l.$n").mkString(", ")}, _l.$validFrom, " +
+        s"CASE WHEN _r._rp IS NULL THEN $missingToSql WHEN $sameSql THEN _l.$validTo ELSE $asToSql END AS $validTo, " +
+        s"CASE WHEN _r._rp IS NULL THEN $missingCurSql WHEN $sameSql THEN _l.$isCurrent ELSE FALSE END AS $isCurrent " +
+        s"FROM {{source}} _l LEFT JOIN (SELECT *, TRUE AS _rp FROM $snap) _r ON $keyEqSql WHERE $curSqlL " +
+        // new versions: changed keys...
+        s"UNION ALL SELECT $newSel FROM {{source}} _l JOIN $snap _r ON $keyEqSql " +
+        s"WHERE $curSqlL AND NOT ($sameSql) " +
+        // ...and keys with no current row at all
+        s"UNION ALL SELECT $newSel FROM $snap _r LEFT JOIN " +
+        s"(SELECT *, TRUE AS _lp FROM {{source}} WHERE COALESCE($isCurrent, FALSE)) _l ON $keyEqSql " +
+        s"WHERE _l._lp IS NULL"
+    c.next("scd2_merge", df2, Some(frag))
+  }
+
   private def rightSource(o: Chain): String =
     if (o.steps.isEmpty) o.entryName else s"(${o.sql()})"
 

@@ -540,4 +540,165 @@ class Round13Spec extends AnyFunSuite {
         keys = Seq("n"), slide = Some("30 minutes"))
     }
   }
+
+  // ---- scd2Merge: SCD type-2 dimension maintenance ------------------------
+
+  private def scdDate(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  /** History fixture exercising every branch: k1 unchanged (plus a closed
+    * old version that must pass through), k2 changed, k3 missing from the
+    * snapshot, k4 brand new, k5 previously closed and re-appearing, and a
+    * NULL key that must match the snapshot's NULL key null-safely.
+    */
+  private def scdFixture = {
+    val hist = Seq(
+      (Some("k1"), Some(10.0), scdDate("1990-01-01"), Option.empty[java.sql.Date], true),
+      (Some("k1"), Some(5.0), scdDate("1985-01-01"), Some(scdDate("1990-01-01")), false),
+      (Some("k2"), Some(20.0), scdDate("1990-01-01"), Option.empty[java.sql.Date], true),
+      (Some("k3"), Some(30.0), scdDate("1990-01-01"), Option.empty[java.sql.Date], true),
+      (Some("k5"), Some(50.0), scdDate("1985-01-01"), Some(scdDate("1990-01-01")), false),
+      (Option.empty[String], Option.empty[Double], scdDate("1990-01-01"),
+        Option.empty[java.sql.Date], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val snap = Seq(
+      (Some("k1"), Some(10.0)), (Some("k2"), Some(25.0)), (Some("k4"), Some(44.0)),
+      (Some("k5"), Some(55.0)), (Option.empty[String], Option.empty[Double]))
+      .toDF("k", "v")
+    (hist, snap)
+  }
+
+  test("scd2Merge: every branch lands — unchanged, changed, missing, new, re-appearing, null key") {
+    val (hist, snap) = scdFixture
+    val out = Chain(spark, "scd_h", hist)
+      .scd2Merge(Chain(spark, "scd_s", snap), Seq("k"), Seq("v"),
+        "1995-06-01", closeMissing = true)
+    val got = out.df.collect().map(r => (
+      Option(r.getString(0)), Option(r.get(1)).map(_.asInstanceOf[Double]),
+      r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+      r.getBoolean(4))).toSet
+    val expected = Set(
+      (Some("k1"), Some(5.0), "1985-01-01", Some("1990-01-01"), false),  // closed pass-through
+      (Some("k1"), Some(10.0), "1990-01-01", None, true),                // unchanged
+      (Some("k2"), Some(20.0), "1990-01-01", Some("1995-06-01"), false), // changed: closed...
+      (Some("k2"), Some(25.0), "1995-06-01", None, true),                // ...and new version
+      (Some("k3"), Some(30.0), "1990-01-01", Some("1995-06-01"), false), // missing → closed
+      (Some("k4"), Some(44.0), "1995-06-01", None, true),                // brand new
+      (Some("k5"), Some(50.0), "1985-01-01", Some("1990-01-01"), false), // old closed version
+      (Some("k5"), Some(55.0), "1995-06-01", None, true),                // re-appearing key
+      (None, None, "1990-01-01", None, true))                            // null key, null-safe same
+    assert(got == expected, s"got $got")
+  }
+
+  test("scd2Merge: closeMissing=false keeps absent keys open (partial snapshots)") {
+    val (hist, snap) = scdFixture
+    val out = Chain(spark, "scd_h2", hist)
+      .scd2Merge(Chain(spark, "scd_s2", snap), Seq("k"), Seq("v"), "1995-06-01")
+    val k3 = out.df.where("k = 'k3'").collect()
+    assert(k3.length == 1 && k3(0).isNullAt(3) && k3(0).getBoolean(4),
+      s"k3 must stay open under a partial snapshot, got ${k3.toSeq}")
+    assert(out.df.count() == 9)
+  }
+
+  test("scd2Merge: rendered SQL face answers exactly like the DataFrame face") {
+    val (hist, snap) = scdFixture
+    hist.createOrReplaceTempView("scd_h3")
+    snap.createOrReplaceTempView("scd_s3")
+    for (closeMissing <- Seq(true, false)) {
+      val out = Chain(spark, "scd_h3", hist)
+        .scd2Merge(Chain(spark, "scd_s3", snap), Seq("k"), Seq("v"),
+          "1995-06-01", closeMissing = closeMissing)
+      assert(rows(spark.sql(out.sql())) == rows(out.df),
+        s"SQL face parity (closeMissing=$closeMissing)")
+    }
+  }
+
+  test("scd2Merge: ONE scan of each side in the physical plan") {
+    val (hist, snap) = scdFixture
+    val dir = java.nio.file.Files.createTempDirectory("scd_scan").toString
+    hist.write.parquet(s"$dir/h")
+    snap.write.parquet(s"$dir/s")
+    val out = Chain(spark, "scd_hp", spark.read.parquet(s"$dir/h"))
+      .scd2Merge(Chain(spark, "scd_sp", spark.read.parquet(s"$dir/s")),
+        Seq("k"), Seq("v"), "1995-06-01", closeMissing = true).df
+    out.collect()
+    val scans = countScans(out.queryExecution.executedPlan)
+    assert(scans == 2,
+      s"scd2_merge is one full-outer join: exactly 2 file scans, got $scans")
+    graft.core.ScaleLint.assertSafe(out)
+  }
+
+  test("scd2Merge: guards — missing columns, non-boolean flag, internal-name collisions") {
+    val (hist, snap) = scdFixture
+    val h = Chain(spark, "scd_g", hist)
+    val s = Chain(spark, "scd_gs", snap)
+    intercept[IllegalArgumentException] { // empty keys
+      h.scd2Merge(s, Nil, Seq("v"), "1995-06-01")
+    }
+    intercept[IllegalArgumentException] { // history missing a compare col
+      h.scd2Merge(s, Seq("k"), Seq("nope"), "1995-06-01")
+    }
+    intercept[IllegalArgumentException] { // snapshot missing a compare col
+      h.scd2Merge(Chain(spark, "scd_gs2", snap.drop("v")), Seq("k"), Seq("v"), "1995-06-01")
+    }
+    intercept[IllegalArgumentException] { // is_current must be BOOLEAN
+      h.scd2Merge(s, Seq("k"), Seq("v"), "1995-06-01", isCurrent = "v")
+    }
+    intercept[IllegalArgumentException] { // internal name collision
+      Chain(spark, "scd_g2", hist.withColumn("_lp", lit(1)))
+        .scd2Merge(s, Seq("k"), Seq("v"), "1995-06-01")
+    }
+  }
+
+  // ---- hardNegatives: denoised negative mining for contrastive training ---
+
+  private def hnFixture = Seq(
+    (1, Seq(1.0f, 0.0f)),      // the query
+    (2, Seq(0.9998f, 0.02f)),  // near-dup: cosine ≈ 0.9998 (suspected missing label)
+    (3, Seq(1.0f, 1.0f)),      // cosine ≈ 0.7071
+    (4, Seq(0.0f, 1.0f)),      // cosine = 0
+    (5, Seq(1.0f, 0.0f)))      // the labeled positive (cosine = 1)
+    .toDF("vec_id", "embedding")
+
+  test("hardNegatives: positives excluded, threshold denoises, ranks renumber") {
+    import graft.ext._
+    val corpus = Chain(spark, "hn", hnFixture)
+    val q = hnFixture.where("vec_id = 1")
+    val pos = Seq((1, 5)).toDF("query_id", "doc_id")
+    val noThresh = corpus.hardNegatives(q, pos, "vec_id", "embedding", 3).df
+      .orderBy("rank").collect()
+    assert(noThresh.map(_.getInt(1)).toSeq == Seq(2, 3, 4),
+      "labeled positive 5 excluded; rest ranked by cosine desc")
+    val denoised = corpus.hardNegatives(q, pos, "vec_id", "embedding", 3,
+      fnThreshold = Some(0.9)).df.orderBy("rank").collect()
+    assert(denoised.map(_.getInt(1)).toSeq == Seq(3, 4),
+      "near-dup 2 (cosine ≈ 0.9998) dropped by the 0.9 denoising cut")
+    assert(denoised.map(_.getInt(3)).toSeq == Seq(1, 2),
+      "ranks renumber over the survivors — no gaps where exclusions sat")
+    assert(denoised.forall(r =>
+      r.getAs[Number](r.fieldIndex("cosine")).doubleValue() < 0.9))
+  }
+
+  test("hardNegatives: with no positives and no threshold it IS cosineTopK") {
+    import graft.ext._
+    val emb = table("embeddings")
+    val q = emb.df.where("vec_id < 3")
+    val none = Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
+    assert(rows(emb.hardNegatives(q, none, "vec_id", "embedding", 5).df) ==
+      rows(emb.cosineTopK(q, "vec_id", "embedding", 5).df),
+      "empty exclusions must degrade to the exact top-k")
+  }
+
+  test("hardNegatives: NaN threshold refuses; non-renderable error names the op") {
+    import graft.ext._
+    val corpus = Chain(spark, "hn_g", hnFixture)
+    val q = hnFixture.where("vec_id = 1")
+    val pos = Seq((1, 5)).toDF("query_id", "doc_id")
+    intercept[IllegalArgumentException] {
+      corpus.hardNegatives(q, pos, "vec_id", "embedding", 3,
+        fnThreshold = Some(Double.NaN))
+    }
+    val e = intercept[UnsupportedOperationException](
+      corpus.hardNegatives(q, pos, "vec_id", "embedding", 3).sql())
+    assert(e.getMessage.contains("hard_negatives"))
+  }
 }
