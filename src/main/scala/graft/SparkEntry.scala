@@ -842,6 +842,17 @@ object SparkEntry {
       "q_dedup_containment" -> ((s, d) =>
         t(s, d, "documents").ngramJaccardPairs("doc_id", "text", n = 3, threshold = 0.6,
           measure = "containment").df),
+      // page-authority prior over a lineitem-derived link graph (order →
+      // part, folded to 5000 nodes so degrees vary and some nodes dangle);
+      // fixed-point INTEGER PageRank, so the oracle replays the exact
+      // 3-sweep recurrence in DuckDB and hash-matches
+      "q_link_rank" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        Chain(s, "link_edges", t(s, d, "lineitem").df
+          .select((col("l_orderkey") % 5000).as("src"),
+            (col("l_partkey") % 5000).as("dst")))
+          .linkRank("src", "dst", iterations = 3).df
+      }),
       // cluster assignment over the exact near-dup pairs (connected
       // components, min-id label per component) — the keep/drop decision
       // step after pair mining
@@ -1027,6 +1038,18 @@ object SparkEntry {
         emb.hammingCosineTopK(emb.df.where("vec_id < 4"), "vec_id", "embedding", 5,
           planes = 64, rerankPerQuery = 12)
           .dropColumns(includeCols = Seq("query_id", "neighbor_id", "rank")).df
+      }),
+      // MMR diversified rerank over the pinned lattice (one query per
+      // cluster, pool 10, pick 5, λ=0.5): the greedy selection is a pure
+      // function of the fixture (exact-decimal pairwise cosines), so the
+      // picked (query, neighbor, step) triples pin as literals — the
+      // hand-check is that rank 1 is cosineTopK's rank 1 and later picks
+      // leave the query's own cluster once its near-dups saturate
+      "q_mmr_rerank" -> ((s, d) => {
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        emb.mmrRerank(emb.df.where("vec_id < 4"), "vec_id", "embedding",
+          k = 5, poolK = 10, lambdaPct = 50)
+          .dropColumns(includeCols = Seq("query_id", "neighbor_id", "mmr_rank")).df
       }),
       // PCA on the pinned lattice fixtures: the fit is a bounded
       // hash-deterministic driver computation (cyclic Jacobi, fixed sign
@@ -2663,6 +2686,29 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, d.doc_id) " +
           "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn " +
           "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id) WHERE rn = 1"),
+      // PageRank replayed sweep by sweep: the SAME fixed-point integer
+      // recurrence (init scale//n, share pr//outdeg, damping (85·m)//100,
+      // dangling mass redistributed //n) — every intermediate is a BIGINT,
+      // so the hash compare is exact; the final double readout divides two
+      // exactly-representable values (one deterministic IEEE op)
+      "q_link_rank" -> {
+        val S = "1000000000000"
+        def sweep(i: Int) =
+          s"c$i AS (SELECT e.dst AS node, SUM(pr.pr // pr.od) AS c " +
+            s"FROM pr${i - 1} pr JOIN e ON pr.node = e.src GROUP BY e.dst), " +
+            s"pr$i AS (SELECT b.node, b.od, (SELECT (15 * $S) // (100 * n) FROM p) + " +
+            s"(85 * (COALESCE(c.c, 0) + (SELECT (SELECT COALESCE(SUM(pr), 0) " +
+            s"FROM pr${i - 1} WHERE od IS NULL) // n FROM p))) // 100 AS pr " +
+            s"FROM base b LEFT JOIN c$i c ON b.node = c.node), "
+        "WITH e AS (SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst FROM lineitem), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "deg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY 1), " +
+          "base AS (SELECT n.node, d.od FROM nodes n LEFT JOIN deg d ON n.node = d.node), " +
+          "p AS (SELECT COUNT(*) AS n FROM nodes), " +
+          s"pr0 AS (SELECT node, od, (SELECT $S // n FROM p) AS pr FROM base), " +
+          sweep(1) + sweep(2) + sweep(3).stripSuffix(", ") +
+          s" SELECT node, pr AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
+      },
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
@@ -2832,6 +2878,20 @@ object SparkEntry {
           "(4, 0, -29390), (4, 1, -45075), (4, 2, -29008), (4, 3, -5736), " +
           "(5, 0, 73803), (5, 1, -4211), (5, 2, 77), (5, 3, 3149)) " +
           "AS t(vec_id, pos, qcomp)"),
+      // MMR picks over the pinned lattice at λ=0.5: rank 1 is always the
+      // plain cosine argmax (12/17/18/15 — same as q_sim_topk_hamming's
+      // rank 1), and the diversity term then pulls in OTHER clusters
+      // (query 0 → 23 of cluster 3 at step 2; queries 1/2/3 likewise mix)
+      // before finishing the home cluster — hand-checked against the
+      // greedy recurrence; exact-decimal pairwise cosines make the
+      // selection a pure function of the fixture
+      "q_mmr_rerank" ->
+        ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
+          "(0, 23, 2), (0, 16, 3), (0, 8, 4), (0, 4, 5), " +
+          "(1, 17, 1), (1, 8, 2), (1, 13, 3), (1, 21, 4), (1, 5, 5), " +
+          "(2, 18, 1), (2, 14, 2), (2, 22, 3), (2, 23, 4), (2, 6, 5), " +
+          "(3, 15, 1), (3, 10, 2), (3, 19, 3), (3, 23, 4), (3, 7, 5)) " +
+          "AS t(query_id, neighbor_id, mmr_rank)"),
       "q_sim_topk_hamming" ->
         ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
           "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+
+/** Link-graph signals for crawl/corpus curation (beyond reference parity —
+  * SURVEY §2.4). The reference has no graph surface; page authority is a
+  * standard quality prior for web-scale training-data pipelines (the
+  * original use: Page/Brin/Motwani/Winograd, "The PageRank citation
+  * ranking", 1998; CommonCrawl-style curation ranks hosts the same way).
+  */
+final class GraphOps(private val c: Chain) extends AnyVal {
+
+  /** link_rank(src, dst, iterations): fixed-iteration PageRank over the
+    * edge list in this chain — the page-authority prior of a crawl
+    * curation pass. Output: one row per node with `rank_fp` (the rank in
+    * fixed-point units of 1/`scale`) and `rank` (= rank_fp / scale as a
+    * double readout).
+    *
+    * ALL rank arithmetic is fixed-point INTEGER — init `scale DIV n`,
+    * per-edge share `pr DIV outdeg`, damping `(d · mass) DIV 100` — so
+    * the result is a pure function of the edge set: no float summation
+    * order, no decimal-scale coercion, bit-identical across partitionings
+    * AND across engines (the q_link_rank oracle replays the same integer
+    * recurrence in DuckDB and hash-matches). Truncation loses ≤ 1 unit
+    * per division — at the default scale of 1e12 that is a 1e-12 bias on
+    * a ranking signal, paid for exactness. Dangling nodes (no out-edges)
+    * redistribute their mass uniformly, the standard correction.
+    *
+    * Scale shape: the edge list is DISTINCT-ed and checkpointed ONCE
+    * (null endpoints dropped); each iteration is one join (rank frame ⋈
+    * edges on src — AQE picks broadcast when the node frame is small) and
+    * one groupBy(dst) sum, with the dangling mass riding the SAME round
+    * job as a broadcast one-row aggregate — ZERO driver reads inside the
+    * loop, one count() up front for n. Every round localCheckpoints its
+    * rank frame and eagerly releases the previous one (the
+    * [[DedupOps.clusterPairsContraction]] pattern), so lineage stays
+    * O(1) deep at any iteration count. Iterations are bounded (≤ 50,
+    * loud refusal): this is the fixed-sweep face — authority signals
+    * converge geometrically and curation uses few sweeps, not a fixpoint.
+    * Non-renderable (iterative), like the clustering family.
+    */
+  def linkRank(srcCol: String, dstCol: String, iterations: Int = 3,
+               dampingPct: Int = 85, scale: Long = 1000000000000L): Chain = {
+    require(iterations >= 1 && iterations <= 50,
+      s"link_rank: iterations must be in [1, 50], got $iterations — " +
+        "a fixed authority sweep, not an unbounded fixpoint")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"link_rank: dampingPct must be in [0, 100], got $dampingPct")
+    require(scale >= 1000000L && scale <= 1000000000000000000L,
+      s"link_rank: scale must be in [1e6, 1e18], got $scale")
+    val cols = c.df.columns.toSet
+    Seq(srcCol, dstCol).foreach(n => require(cols.contains(n),
+      s"link_rank: edge frame is missing column '$n'"))
+    require(c.df.schema(srcCol).dataType == c.df.schema(dstCol).dataType,
+      s"link_rank: '$srcCol' and '$dstCol' must share a type, got " +
+        s"${c.df.schema(srcCol).dataType.sql} vs ${c.df.schema(dstCol).dataType.sql}")
+
+    val edges = DedupOps.checkpointRound(
+      c.df.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+        .where(col("_src").isNotNull && col("_dst").isNotNull)
+        .distinct())
+    val deg = edges.groupBy(col("_src").as("node")).agg(count(lit(1)).as("_outdeg"))
+    // base = every node with its out-degree (null = dangling); reused by
+    // every round's closing left join
+    val base = DedupOps.checkpointRound(
+      edges.select(col("_src").as("node"))
+        .unionByName(edges.select(col("_dst").as("node"))).distinct()
+        .join(deg, Seq("node"), "left"))
+    val n = base.count()
+    if (n == 0) {
+      DedupOps.releaseRound(edges); DedupOps.releaseRound(base)
+      // typed empty frame off the ORIGINAL df — the released checkpoints
+      // must not appear in the returned plan
+      return c.next("link_rank",
+        c.df.select(col(srcCol).as("node"), lit(0L).as("rank_fp"),
+          lit(0.0).as("rank")).where(lit(false)), None)
+    }
+    // driver-side Long arithmetic mirrors the engine-side DIVs exactly
+    val tele = ((100L - dampingPct) * scale) / (100L * n)
+    var pr = DedupOps.checkpointRound(
+      base.withColumn("_pr", lit(scale / n)))
+    for (_ <- 1 to iterations) {
+      val shares = pr.where(col("_outdeg").isNotNull)
+        .join(edges, col("node") === col("_src"))
+        .select(col("_dst"), expr("_pr DIV _outdeg").as("_share"))
+      val contrib = shares.groupBy(col("_dst").as("node"))
+        .agg(sum(col("_share")).as("_c"))
+      // dangling mass rides the round job as a broadcast one-row frame —
+      // no driver barrier inside the loop
+      val dang = pr.where(col("_outdeg").isNull)
+        .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dang"))
+      val next = base.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .withColumn("_pr",
+          lit(tele) + expr(s"(${dampingPct}L * (COALESCE(_c, 0L) + _dang DIV ${n}L)) DIV 100L"))
+        .select(col("node"), col("_outdeg"), col("_pr"))
+      val nextCp = DedupOps.checkpointRound(next)
+      DedupOps.releaseRound(pr)
+      pr = nextCp
+    }
+    val out = pr.select(col("node"), col("_pr").as("rank_fp"),
+      (col("_pr").cast("double") / lit(scale.toDouble)).as("rank"))
+    DedupOps.releaseRound(edges)
+    DedupOps.releaseRound(base)
+    c.next("link_rank", out, None)
+  }
+}

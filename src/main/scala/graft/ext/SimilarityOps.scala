@@ -120,6 +120,86 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * with binomial error ~√planes — 256 planes separates cos 0.3 from
     * noise at ~3σ on 64-dim embeddings.
     */
+  /** mmr_rerank(queries, …): Maximal Marginal Relevance diversified top-k
+    * (Carbonell & Goldstein, SIGIR'98) — the standard rerank between
+    * retrieval and a context window / labeling budget when near-duplicate
+    * hits waste slots. Per query: pool the `poolK` most-cosine-similar
+    * corpus rows, then greedily pick `k` of them, each step maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` (ties broken by id;
+    * the first pick is the plain argmax of relevance, i.e. the same row
+    * cosineTopK ranks 1).
+    *
+    * Scale shape: the pool stage IS [[cosineTopK]] (one corpus scan vs
+    * broadcast queries, one shuffle for the per-query window) and
+    * everything after operates on the pooled frame — ≤ |queries|·poolK
+    * rows, localCheckpointed once so the k greedy sweeps re-read a
+    * materialized block instead of re-scoring the corpus. Each sweep is
+    * one join of remaining×selected ON query_id (bounded: ≤ poolK·k rows
+    * per query) + one max + one pick-1 window; k·3 tiny stages total,
+    * NEVER a second corpus scan. Selection state re-checkpoints per sweep
+    * (released eagerly), so lineage stays O(1) like the iterative cluster
+    * ops. All pairwise scores ride the exact-decimal dot, so the greedy
+    * argmax — and therefore the whole selection — is a pure function of
+    * the inputs. Non-renderable (joins a second frame + iterative).
+    */
+  def mmrRerank(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                poolK: Int = 50, lambdaPct: Int = 70): Chain = {
+    require(k >= 1 && poolK >= k && poolK <= 1000,
+      s"mmr_rerank: need 1 <= k <= poolK <= 1000, got k=$k poolK=$poolK " +
+        "(the pool is a per-query driver-bounded frame — cap it, don't stream it)")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"mmr_rerank: lambdaPct must be in [0, 100], got $lambdaPct")
+    def withNorm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vAs))
+        .withColumn(nAs, sqrt(Exact.dot(col(vAs), col(vAs))))
+        .where(SimilarityOps.usableVec(col(vAs), col(nAs)))
+        .repartition(col(idAs))
+    val corpus = withNorm(c.df, "neighbor_id", "_vc", "_nc")
+    val qs = withNorm(queries, "query_id", "_vq", "_nq")
+    val rel = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
+    val poolW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val pool = DedupOps.checkpointRound(
+      corpus.crossJoin(broadcast(qs))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("_vc"), col("_nc"),
+          rel.cast("double").as("rel"))
+        .withColumn("_pr", row_number().over(poolW))
+        .where(col("_pr") <= poolK).drop("_pr"))
+    val lam = lambdaPct / 100.0
+    val pickW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("neighbor_id").asc)
+    def pick1(scored: DataFrame, step: Int) =
+      scored.withColumn("_r", row_number().over(pickW)).where(col("_r") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("_vc"), col("_nc"),
+          col("rel"), lit(step).as("mmr_rank"))
+    var selected = DedupOps.checkpointRound(
+      pick1(pool.withColumn("_score", lit(lam) * col("rel")), 1))
+    for (step <- 2 to k) {
+      val remaining = pool.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val sel = selected.select(col("query_id"),
+        col("_vc").as("_vs"), col("_nc").as("_ns"))
+      val pairSim = (Exact.dot(col("_vc"), col("_vs")) / col("_nc") / col("_ns"))
+        .cast("double")
+      val scored = remaining.join(sel, Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("_vc")).as("_vc"), first(col("_nc")).as("_nc"),
+          first(col("rel")).as("rel"), max(pairSim).as("_maxSim"))
+        .withColumn("_score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("_maxSim"))
+      val next = DedupOps.checkpointRound(
+        selected.unionByName(pick1(scored, step)))
+      DedupOps.releaseRound(selected)
+      selected = next
+    }
+    val out = selected.select(col("query_id"), col("neighbor_id"),
+      col("rel").as("relevance"), col("mmr_rank"))
+    DedupOps.releaseRound(pool)
+    c.next("mmr_rerank", out, None)
+  }
+
   def hammingCosineTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
                         planes: Int = 256, rerankPerQuery: Int = 100): Chain = {
     require(rerankPerQuery >= k, s"rerankPerQuery ($rerankPerQuery) must be >= k ($k)")

@@ -13,4 +13,5 @@ package object ext {
   implicit def toDedupClusterOps(c: Chain): DedupClusterOps = new DedupClusterOps(c)
   implicit def toSimilarityOps(c: Chain): SimilarityOps = new SimilarityOps(c)
   implicit def toMultimodalOps(c: Chain): MultimodalOps = new MultimodalOps(c)
+  implicit def toGraphOps(c: Chain): GraphOps = new GraphOps(c)
 }
