@@ -1051,6 +1051,51 @@ object SparkEntry {
           k = 5, poolK = 10, lambdaPct = 50)
           .dropColumns(includeCols = Seq("query_id", "neighbor_id", "mmr_rank")).df
       }),
+      // DSIR importance model (target = English docs, raw = full corpus):
+      // 1024 hashed uni+bigram buckets, add-1 smoothed fixed-point log
+      // ratios — every output is an integer, so the oracle replays the
+      // identical count→quantized-log pipeline and hash-matches
+      "q_dsir_model" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.dsirModel(docs.filterRows(Seq("lang = 'en'")), "text",
+          buckets = 1024).df
+      }),
+      // end-to-end DSIR selection: score every doc under the model above,
+      // add md5-derived deterministic Gumbel noise, keep the top 100 by
+      // score+noise with a doc_id tiebreak — the full resampling step
+      // replayed by the oracle (scores are exact integer sums of model
+      // weights; the Gumbel is a pure function of doc_id)
+      "q_dsir_select" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.dsirSelect(docs.filterRows(Seq("lang = 'en'")), "text",
+          k = 100, keyCols = Seq("doc_id"), buckets = 1024)
+          .dropColumns(includeCols = Seq("doc_id", "lang", "dsir_n_grams",
+            "dsir_score_fp", "dsir_key_fp")).df
+      }),
+      // retrieval-quality census over a deterministic synthetic run
+      // (5 queries × top-10 of 60 candidates ranked by an integer mix)
+      // against modular qrels — recall/MRR/DCG/nDCG@10 with per-term
+      // 1e-6 quantization, so all metrics are exact integers
+      "q_rank_eval" -> ((s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val docs = t(s, d, "documents").df
+          .select(col("doc_id")).where(col("doc_id") < 60)
+        val qs = s.range(5).select(col("id").as("query_id"))
+        val grid = qs.crossJoin(docs)
+          .withColumn("score", (col("doc_id") * 37 + col("query_id") * 17) % 101)
+        val run = grid.withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("query_id", "doc_id", "rank")
+        val qrels = qs.crossJoin(docs).where(col("doc_id") % 5 === col("query_id"))
+          .select("query_id", "doc_id")
+        Chain(s, "run", run)
+          .rankEval(Chain(s, "qrels", qrels), "query_id", "doc_id", "rank", k = 10).df
+      }),
+      // leakage-free grouped split: whole sources land in one half
+      "q_split_by_group" -> ((s, d) =>
+        t(s, d, "documents").trainTestSplitByGroup(Seq("source"), 0.5).df),
       // PCA on the pinned lattice fixtures: the fit is a bounded
       // hash-deterministic driver computation (cyclic Jacobi, fixed sign
       // convention) and the codegen projection a pure function, so the
@@ -2341,6 +2386,35 @@ object SparkEntry {
 
   private def extOracleSql: Map[String, String] = {
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // first 8 hex digits of an md5 column parsed digit-by-digit (the
+    // shard/SelectionOps arithmetic — no conv() portability trap); `h`
+    // must be a simple column reference (it is repeated 16 times)
+    def hex8S(h: String) = (1 to 8).map { i =>
+      s"(CAST(ascii(substring($h, $i, 1)) AS BIGINT) - " +
+        s"CASE WHEN substring($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+    }.reduceLeft((acc, d) => s"($acc * 16 + $d)")
+    // DSIR uni+bigram bag of the token list `t` (matches
+    // SelectionOps.uniBi: unigrams ++ space-joined adjacent pairs)
+    val uniBiS = "list_concat(t, list_transform(range(1, len(t)), " +
+      "i -> array_to_string(list_slice(t, i, i + 1), ' ')))"
+    // the shared DSIR model pipeline at B=1024 (target = lang 'en'):
+    // gram → md5 → hex8 → bucket, per-side counts, add-1 smoothed
+    // fixed-point log ratio on a full 0..B-1 spine
+    val dsirModelCtes =
+      s"tk AS (SELECT $toks AS t, lang FROM documents), " +
+        s"ug AS (SELECT unnest($uniBiS) AS g, lang FROM tk), " +
+        "hb AS (SELECT md5(g) AS h, lang FROM ug), " +
+        s"bk AS (SELECT ${hex8S("h")} % 1024 AS bucket, lang FROM hb), " +
+        "rc AS (SELECT bucket, COUNT(*) AS nr FROM bk GROUP BY 1), " +
+        "tc AS (SELECT bucket, COUNT(*) AS nt FROM bk WHERE lang = 'en' GROUP BY 1), " +
+        "sp AS (SELECT unnest(range(0, 1024)) AS bucket), " +
+        "j AS (SELECT sp.bucket, COALESCE(nt, 0) AS n_target, COALESCE(nr, 0) AS n_raw " +
+        "FROM sp LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)), " +
+        "tot AS (SELECT SUM(n_target) AS ntt, SUM(n_raw) AS nrt FROM j), " +
+        "model AS (SELECT bucket, n_target, n_raw, " +
+        "CAST(FLOOR(ln((CAST(n_target AS DOUBLE) + 1.0) / (CAST(ntt AS DOUBLE) + 1024.0)) * 1e6 + 0.5) AS BIGINT) - " +
+        "CAST(FLOOR(ln((CAST(n_raw AS DOUBLE) + 1.0) / (CAST(nrt AS DOUBLE) + 1024.0)) * 1e6 + 0.5) AS BIGINT) AS w_fp " +
+        "FROM j, tot)"
     val stop = "['the','a','an','and','of','to','in','is','it','that']"
     val nchars = "CAST(LENGTH(text) AS DOUBLE)"
     val ntok = s"CAST(len($toks) AS DOUBLE)"
@@ -2892,6 +2966,61 @@ object SparkEntry {
           "(2, 18, 1), (2, 14, 2), (2, 22, 3), (2, 23, 4), (2, 6, 5), " +
           "(3, 15, 1), (3, 10, 2), (3, 19, 3), (3, 23, 4), (3, 7, 5)) " +
           "AS t(query_id, neighbor_id, mmr_rank)"),
+      // DSIR model replayed: identical gram/bucket/count/quantized-log
+      // pipeline in DuckDB — pure integers, hash-exact
+      "q_dsir_model" ->
+        s"WITH $dsirModelCtes SELECT bucket, n_target, n_raw, w_fp FROM model",
+      // DSIR selection replayed end-to-end: per-doc score = integer sum of
+      // model bucket weights over the doc's gram occurrences (the model
+      // spine covers every bucket, so the inner join loses nothing), plus
+      // the md5-derived Gumbel at the same 1e-6 scale; top-100 under the
+      // (key DESC, doc_id) total order matches the op's TakeOrdered
+      "q_dsir_select" ->
+        (s"WITH $dsirModelCtes, " +
+          s"dt AS (SELECT doc_id, $toks AS t FROM documents), " +
+          s"dg AS (SELECT doc_id, unnest($uniBiS) AS g FROM dt), " +
+          "dh AS (SELECT doc_id, md5(g) AS h FROM dg), " +
+          s"db AS (SELECT doc_id, ${hex8S("h")} % 1024 AS bucket FROM dh), " +
+          "sc AS (SELECT doc_id, COUNT(*) AS dsir_n_grams, SUM(w_fp) AS dsir_score_fp " +
+          "FROM db JOIN model USING (bucket) GROUP BY doc_id), " +
+          "gu AS (SELECT doc_id, md5('gumbel|' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+          s"gk AS (SELECT doc_id, CAST(FLOOR(-ln(-ln((CAST(${hex8S("h")} AS DOUBLE) + 0.5) / 4294967296.0)) * 1e6 + 0.5) AS BIGINT) AS gfp FROM gu) " +
+          "SELECT d.doc_id, d.lang, s.dsir_n_grams, CAST(s.dsir_score_fp AS BIGINT) AS dsir_score_fp, " +
+          "CAST(s.dsir_score_fp + g.gfp AS BIGINT) AS dsir_key_fp " +
+          "FROM documents d JOIN sc s USING (doc_id) JOIN gk g USING (doc_id) " +
+          "ORDER BY dsir_key_fp DESC, d.doc_id LIMIT 100"),
+      // rank_eval replayed: same synthetic run/qrels, per-term 1e-6
+      // quantization before every integer sum, division-before-multiply
+      // matching the op's fpq(x) = floor(x*1e6 + 0.5) evaluation order
+      "q_rank_eval" ->
+        ("WITH ds AS (SELECT doc_id FROM documents WHERE doc_id < 60), " +
+          "qs AS (SELECT unnest(range(0, 5)) AS query_id), " +
+          "grid AS (SELECT query_id, doc_id, (doc_id * 37 + query_id * 17) % 101 AS score FROM qs, ds), " +
+          "run AS (SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER " +
+          "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM grid " +
+          "QUALIFY rank <= 10), " +
+          "qrels AS (SELECT query_id, doc_id FROM qs, ds WHERE doc_id % 5 = query_id), " +
+          "rel AS (SELECT r.query_id, r.rank FROM run r JOIN qrels q " +
+          "ON r.query_id = q.query_id AND r.doc_id = q.doc_id WHERE r.rank BETWEEN 1 AND 10), " +
+          "ha AS (SELECT query_id, COUNT(*) AS hits, MIN(CAST(rank AS BIGINT)) AS minr, " +
+          "SUM(CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT)) AS dcg_fp " +
+          "FROM rel GROUP BY query_id), " +
+          "bq AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id) " +
+          "SELECT bq.query_id, bq.n_rel, COALESCE(hits, 0) AS hits, " +
+          "CAST(FLOOR(CAST(COALESCE(hits, 0) AS DOUBLE) * 1.0 / CAST(n_rel AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS recall_fp, " +
+          "CASE WHEN minr IS NULL THEN 0 ELSE CAST(FLOOR(1.0 / CAST(minr AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS rr_fp, " +
+          "COALESCE(dcg_fp, 0) AS dcg_fp, " +
+          "CAST(list_sum(list_transform(range(1, LEAST(n_rel, 10) + 1), " +
+          "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS idcg_fp, " +
+          "CASE WHEN COALESCE(dcg_fp, 0) = 0 THEN 0 ELSE " +
+          "CAST(FLOOR(CAST(dcg_fp AS DOUBLE) / CAST(list_sum(list_transform(range(1, LEAST(n_rel, 10) + 1), " +
+          "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS ndcg_fp " +
+          "FROM bq LEFT JOIN ha USING (query_id)"),
+      // grouped split: the md5-threshold decision is a pure function of
+      // the source key — identical in any engine
+      "q_split_by_group" ->
+        ("SELECT *, CASE WHEN md5(CAST(source AS VARCHAR)) < '800000000000000' " +
+          "THEN 'TRAIN' ELSE 'TEST' END AS tt_split FROM documents"),
       "q_sim_topk_hamming" ->
         ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS INTEGER)), " +
           "(0, 16, 2), (0, 4, 3), (0, 8, 4), (0, 20, 5), " +

@@ -14,4 +14,5 @@ package object ext {
   implicit def toSimilarityOps(c: Chain): SimilarityOps = new SimilarityOps(c)
   implicit def toMultimodalOps(c: Chain): MultimodalOps = new MultimodalOps(c)
   implicit def toGraphOps(c: Chain): GraphOps = new GraphOps(c)
+  implicit def toSelectionOps(c: Chain): SelectionOps = new SelectionOps(c)
 }

@@ -331,6 +331,39 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     }
   }
 
+  /** train_test_split_group(group_cols, train_percent): leakage-free
+    * grouped split — every row sharing the group key (domain, URL host,
+    * author, near-dup cluster id) lands in the SAME half, decided by
+    * comparing md5(key) against the fraction threshold (the
+    * [[graft.ops.JoinOps.sampleHash]] hex-prefix convention). The
+    * standard guard against train/test contamination: a random or
+    * ordered row split puts one page of a crawled site in TRAIN and its
+    * sibling in TEST, and the model "generalizes" to what it memorized.
+    * `trainPercent` is the expected GROUP fraction; the row fraction
+    * tracks it only when group sizes are balanced — split on the right
+    * granularity, not on a skew-dominated key.
+    *
+    * Scale: a pure projection (no shuffle, no window, no count) — the
+    * one split in this family that costs nothing at 100 TB, because
+    * membership is a function of the key alone. Deterministic across
+    * engines, partitionings and reruns; renders to SQL.
+    */
+  def trainTestSplitByGroup(groupCols: Seq[String], trainPercent: Double): Chain = {
+    require(groupCols.nonEmpty, "train_test_split_group needs group columns")
+    require(trainPercent > 0.0 && trainPercent < 1.0,
+      s"trainPercent must be in (0, 1), got $trainPercent")
+    groupCols.foreach(n => require(c.df.columns.contains(n),
+      s"train_test_split_group: missing group column '$n'"))
+    val th = JoinOps.hashThreshold(trainPercent)
+    val key = concat_ws("|", groupCols.map(col(_).cast("string")): _*)
+    val df2 = c.df.withColumn(Naming.ttSplit,
+      when(md5(key) < lit(th), "TRAIN").otherwise("TEST"))
+    val keySql = s"concat_ws('|', ${groupCols.map(k => s"CAST($k AS STRING)").mkString(", ")})"
+    c.next("train_test_split_group", df2, Some(
+      s"SELECT *, CASE WHEN md5($keySql) < '$th' THEN 'TRAIN' ELSE 'TEST' END " +
+        s"AS ${Naming.ttSplit} FROM {{source}}"))
+  }
+
   /** sessionize(partition, ts_col, gap_seconds, tiebreak): gap-based
     * session ids — the batch face of the streaming session window
     * (graft.streaming.EventStreams sessionized sink): a new session starts
