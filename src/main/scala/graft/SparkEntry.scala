@@ -1072,6 +1072,152 @@ object SparkEntry {
           .dropColumns(includeCols = Seq("doc_id", "lang", "dsir_n_grams",
             "dsir_score_fp", "dsir_key_fp")).df
       }),
+      // CCNet-style hashed-LM quality model fit on the clean slice
+      // (lang='en'): 1024 hashed uni+bigram buckets, add-1 smoothed
+      // fixed-point log-probs — pure integers, oracle hash-matches the
+      // replayed count→quantized-log pipeline
+      "q_lm_model" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.filterRows(Seq("lang = 'en'")).lmModel("text", buckets = 1024).df
+      }),
+      // CCNet perplexity-filter apply step: every doc scored under the
+      // model above — integer NLL sum over gram occurrences plus the
+      // per-gram average; scoring is a pure projection (model rides the
+      // plan as a literal weight table), so the oracle replays the whole
+      // integer pipeline and hash-matches
+      "q_lm_score" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val docs = t(s, d, "documents")
+        val model = docs.filterRows(Seq("lang = 'en'")).lmModel("text", buckets = 1024)
+        docs.lmScore(model.df, "text")
+          .df.select(col("doc_id"), col("lang"), col("lm_n_grams"),
+            col("lm_nll_sum_fp"), col("lm_nll_fp"))
+      }),
+      // l-diversity audit: (segment, nation) classes whose bucketed
+      // account balance shows < 5 distinct values — 32 of 125 classes
+      // violate at sf0.01, so the HAVING provably bites
+      "q_l_diversity" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, floor, lit}
+        val cust = t(s, d, "customer")
+        Chain(s, "ldiv", cust.df.withColumn("ab",
+          floor(col("c_acctbal") / lit(2000.0)).cast("long")))
+          .lDiversityViolations(Seq("c_mktsegment", "c_nationkey"), "ab", l = 5).df
+      }),
+      // frequency encoding: category share as a pure window ratio
+      "q_frequency_encode" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        t(s, d, "customer").frequencyEncode("c_mktsegment", normalize = true)
+          .df.select(col("c_custkey"), col("c_mktsegment"),
+            col("c_mktsegment_freq"))
+      }),
+      // m-estimate smoothed target encoding: category mean shrunk toward
+      // the global mean by m = 25 pseudo-observations (exact decimal sums
+      // on both sides; the oracle replays the same combination order)
+      "q_target_encode_smoothed" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        t(s, d, "orders")
+          .targetEncodeSmoothed("o_orderpriority", "o_totalprice", m = 25.0)
+          .df.select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderpriority_target_enc_sm"))
+      }),
+      // t-closeness audit on the same quasi/sensitive fixture: classes
+      // whose bucketed-balance mix sits > 0.3 TVD from the global mix —
+      // 39 of 125 classes violate at sf0.01
+      "q_t_closeness" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, floor, lit}
+        val cust = t(s, d, "customer")
+        Chain(s, "tclo", cust.df.withColumn("ab",
+          floor(col("c_acctbal") / lit(2000.0)).cast("long")))
+          .tClosenessViolations(Seq("c_mktsegment", "c_nationkey"), "ab",
+            tFp = 300000L).df
+      }),
+      // Jensen–Shannon divergence of the source mix, en vs non-en — the
+      // bounded symmetric drift census; per-value entropy terms quantized
+      // before the integer sums, oracle replays shares/terms/closing
+      "q_jsd_profile" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.filterRows(Seq("lang = 'en'"))
+          .jsdProfile(docs.df.where("lang <> 'en'"), "source").df
+      }),
+      // feature-relevance ranking: how much lang-label information do
+      // source and a derived size bucket carry — per-feature MI +
+      // uncertainty coefficient on the quantized entropy closing, one
+      // melted corpus scan; the oracle replays both feature branches
+      "q_feature_relevance" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, floor, lit}
+        val docs = t(s, d, "documents")
+        Chain(s, "fr_docs", docs.df.withColumn("size_bucket",
+          floor(col("n_chars") / lit(500.0)).cast("long")))
+          .featureRelevance("lang", Seq("source", "size_bucket")).df
+      }),
+      // Matryoshka truncation to the first 16 coordinates with exact
+      // fixed-point re-normalization (one codegen kernel) — the oracle
+      // replays slice, the round-regime norm, and the division
+      "q_truncate_embeddings" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        t(s, d, "embeddings").truncateEmbeddings("embedding", 16)
+          .df.select(col("vec_id"), posexplode(col("embedding_t")).as(Seq("pos", "val")))
+      }),
+      // isotonic calibration fit over a deterministic integer fixture
+      // whose bucket-4 rate spikes to 0.9 (thr = 900 on v in [400,499]) —
+      // PAV must pool buckets 4..6 to 213000000/299; the oracle pins the
+      // exact model (bucket counts are integer arithmetic, the pooled
+      // rate replayed by hand — blocks and rounding verified offline)
+      "q_isotonic_model" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, when}
+        val df = s.range(1000).select(col("id"),
+          ((col("id") % 997).cast("double") / lit(997.0)).as("score"),
+          when((col("id") * 7919) % 997 <
+              when((col("id") % 997).between(400, 499), lit(900L))
+                .otherwise(col("id") % 997),
+            lit(1.0)).otherwise(lit(0.0)).as("label"))
+        Chain(s, "iso_fit", df).isotonicFit("score", "label", buckets = 10).df
+      }),
+      // the apply half: every fixture row scored under the model above —
+      // the oracle replays bucket mapping + the pinned model in DuckDB
+      "q_isotonic_score" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, when}
+        val df = s.range(1000).select(col("id"),
+          ((col("id") % 997).cast("double") / lit(997.0)).as("score"),
+          when((col("id") * 7919) % 997 <
+              when((col("id") % 997).between(400, 499), lit(900L))
+                .otherwise(col("id") % 997),
+            lit(1.0)).otherwise(lit(0.0)).as("label"))
+        val fit = Chain(s, "iso_fit", df).isotonicFit("score", "label", buckets = 10)
+        Chain(s, "iso_sc", df).isotonicScore(fit.df, "score")
+          .df.select(col("id"), col("score"), col("score_cal_fp"), col("score_cal"))
+      }),
+      // two-sample Kolmogorov–Smirnov drift: en vs non-en n_chars
+      // distributions — ECDFs quantized per jump point before the
+      // difference, so the statistic is a pure integer the oracle replays
+      "q_ks_profile" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.filterRows(Seq("lang = 'en'"))
+          .ksProfile(docs.df.where("lang <> 'en'"), "n_chars").df
+      }),
+      // dependence census of lang × source: joint/marginal entropies with
+      // the entropyProfile quantized closing, MI = H(A)+H(B)−H(A,B) —
+      // engine-exact, oracle replays the integer c·ln(c) sums
+      "q_mutual_information" -> ((s, d) =>
+        t(s, d, "documents").mutualInformation("lang", "source").df),
+      // centroid-based cluster-quality census over the labeled embedding
+      // lattice: per-label n / mean own-centroid cosine distance / mean
+      // simplified silhouette, every per-row term 1e-6-quantized before
+      // the integer sums — the oracle replays centroids, fixed-point
+      // dots, norms, and the (b−a)/max(a,b) fold
+      "q_cluster_eval" -> ((s, d) =>
+        t(s, d, "embeddings").clusterEval("label", "embedding").df),
+      // cross-source score calibration: per-source n_chars distributions
+      // mapped onto the pooled distribution by rank fraction (quantile
+      // normalization) — the oracle replays the rank/count windows, the
+      // CEIL(r·N/n) nearest-rank index, and the rank-keyed lookup
+      "q_quantile_normalize" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        t(s, d, "documents")
+          .quantileNormalize("n_chars", groupBy = Seq("source"))
+          .df.select(col("doc_id"), col("source"), col("n_chars"),
+            col("n_chars_qnorm"))
+      }),
       // retrieval-quality census over a deterministic synthetic run
       // (5 queries × top-10 of 60 candidates ranked by an integer mix)
       // against modular qrels — recall/MRR/DCG/nDCG@10 with per-term
@@ -2415,6 +2561,44 @@ object SparkEntry {
         "CAST(FLOOR(ln((CAST(n_target AS DOUBLE) + 1.0) / (CAST(ntt AS DOUBLE) + 1024.0)) * 1e6 + 0.5) AS BIGINT) - " +
         "CAST(FLOOR(ln((CAST(n_raw AS DOUBLE) + 1.0) / (CAST(nrt AS DOUBLE) + 1024.0)) * 1e6 + 0.5) AS BIGINT) AS w_fp " +
         "FROM j, tot)"
+    // CCNet-style hashed-LM fit replayed (SelectionOps.lmModel): gram →
+    // bucket exactly as the DSIR CTEs, counts over the clean lang='en'
+    // slice only, add-1 smoothed quantized log-probs
+    val lmModelCtes =
+      s"ltk AS (SELECT $toks AS t FROM documents WHERE lang = 'en'), " +
+        s"lug AS (SELECT unnest($uniBiS) AS g FROM ltk), " +
+        "lhb AS (SELECT md5(g) AS h FROM lug), " +
+        s"lbk AS (SELECT ${hex8S("h")} % 1024 AS bucket FROM lhb), " +
+        "lbc AS (SELECT bucket, COUNT(*) AS n FROM lbk GROUP BY 1), " +
+        "lsp AS (SELECT unnest(range(0, 1024)) AS bucket), " +
+        "lj AS (SELECT lsp.bucket, COALESCE(n, 0) AS n FROM lsp LEFT JOIN lbc USING (bucket)), " +
+        "ltot AS (SELECT SUM(n) AS nt FROM lj), " +
+        "lmodel AS (SELECT bucket, n, " +
+        "CAST(FLOOR(ln((CAST(n AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024.0)) * 1e6 + 0.5) AS BIGINT) AS lp_fp " +
+        "FROM lj, ltot)"
+    // feature_relevance branch replay (one per feature): the
+    // mutualInformation closing with the label as side B, renamed to the
+    // op's output contract
+    def frBranchS(fexpr: String, name: String): String = {
+      val joint = s"SELECT $fexpr AS v, CAST(lang AS VARCHAR) AS l, COUNT(*) AS cfl " +
+        s"FROM documents WHERE ($fexpr) IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2"
+      def sln(cnt: String) =
+        s"SUM(CAST(CAST(FLOOR(CAST($cnt AS DOUBLE) * LN(CAST($cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
+      def hS(s0: String) =
+        s"FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
+          s"(CAST($s0 AS DOUBLE) / 1000000) / CAST(n AS DOUBLE)"
+      s"SELECT '$name' AS col_name, n, n_values, n_labels, h_feature, h_label, mi, " +
+        s"CASE WHEN h_label > 0 THEN mi / h_label END AS u FROM (" +
+        s"SELECT n, n_values, n_labels, h_feature, h_label, " +
+        s"(h_feature + h_label) - h_fl AS mi FROM (" +
+        s"SELECT CAST(n AS BIGINT) AS n, n_values, n_labels, ${hS("slnf")} AS h_feature, " +
+        s"${hS("slnl")} AS h_label, ${hS("slnfl")} AS h_fl FROM " +
+        s"(SELECT SUM(cfl) AS n, ${sln("cfl")} AS slnfl FROM ($joint)) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS n_values, ${sln("cm")} AS slnf FROM " +
+        s"(SELECT v, SUM(cfl) AS cm FROM ($joint) GROUP BY v)) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS n_labels, ${sln("cm")} AS slnl FROM " +
+        s"(SELECT l, SUM(cfl) AS cm FROM ($joint) GROUP BY l))))"
+    }
     val stop = "['the','a','an','and','of','to','in','is','it','that']"
     val nchars = "CAST(LENGTH(text) AS DOUBLE)"
     val ntok = s"CAST(len($toks) AS DOUBLE)"
@@ -2989,6 +3173,201 @@ object SparkEntry {
           "CAST(s.dsir_score_fp + g.gfp AS BIGINT) AS dsir_key_fp " +
           "FROM documents d JOIN sc s USING (doc_id) JOIN gk g USING (doc_id) " +
           "ORDER BY dsir_key_fp DESC, d.doc_id LIMIT 100"),
+      // hashed-LM model replayed: identical gram/bucket/count/quantized-
+      // log pipeline in DuckDB — pure integers, hash-exact
+      "q_lm_model" ->
+        s"WITH $lmModelCtes SELECT bucket, n, lp_fp FROM lmodel",
+      // LM scoring replayed: per-doc NLL = −Σ lp_fp over gram occurrences
+      // (the model spine covers every bucket, so the inner join loses
+      // nothing; every fixture doc has ≥ 1 gram), average NLL via the
+      // same FLOOR(sum/n + 0.5) double arithmetic as the op
+      "q_lm_score" ->
+        (s"WITH $lmModelCtes, " +
+          s"sdt AS (SELECT doc_id, $toks AS t FROM documents), " +
+          s"sdg AS (SELECT doc_id, unnest($uniBiS) AS g FROM sdt), " +
+          "sdh AS (SELECT doc_id, md5(g) AS h FROM sdg), " +
+          s"sdb AS (SELECT doc_id, ${hex8S("h")} % 1024 AS bucket FROM sdh), " +
+          "ssc AS (SELECT doc_id, COUNT(*) AS lm_n_grams, -SUM(lp_fp) AS lm_nll_sum_fp " +
+          "FROM sdb JOIN lmodel USING (bucket) GROUP BY doc_id) " +
+          "SELECT d.doc_id, d.lang, s.lm_n_grams, " +
+          "CAST(s.lm_nll_sum_fp AS BIGINT) AS lm_nll_sum_fp, " +
+          "CAST(FLOOR(CAST(s.lm_nll_sum_fp AS DOUBLE) / CAST(s.lm_n_grams AS DOUBLE) + 0.5) AS BIGINT) AS lm_nll_fp " +
+          "FROM documents d JOIN ssc s USING (doc_id)"),
+      // l-diversity replayed: same derived bucket, COUNT DISTINCT +
+      // null-value bump, HAVING below l
+      "q_l_diversity" ->
+        ("WITH t AS (SELECT c_mktsegment, c_nationkey, " +
+          "CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS ab FROM customer) " +
+          "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, " +
+          "COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) AS n_sensitive " +
+          "FROM t GROUP BY 1, 2 " +
+          "HAVING COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) < 5"),
+      // frequency encoding replayed: the same window count ratio
+      "q_frequency_encode" ->
+        ("SELECT c_custkey, c_mktsegment, " +
+          "CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) / " +
+          "CAST(COUNT(*) OVER () AS DOUBLE) AS c_mktsegment_freq FROM customer"),
+      // smoothed target encoding replayed: exact decimal sums, the same
+      // NaN-excluding CASE, the same (sum + m·gmean)/(n + m) order
+      "q_target_encode_smoothed" -> {
+        val tCase = "CASE WHEN NOT isnan(CAST(o_totalprice AS DOUBLE)) THEN o_totalprice END"
+        val gMean = s"${dsumOver(tCase, "()")} / CAST(COUNT($tCase) OVER () AS DOUBLE)"
+        s"SELECT o_orderkey, o_orderpriority, " +
+          s"(${dsumOver(tCase, "(PARTITION BY o_orderpriority)")} + CAST('25.0' AS DOUBLE) * ($gMean)) / " +
+          s"(CAST(COUNT($tCase) OVER (PARTITION BY o_orderpriority) AS DOUBLE) + CAST('25.0' AS DOUBLE)) " +
+          s"AS o_orderpriority_target_enc_sm FROM orders"
+      },
+      // t-closeness replayed: same derived bucket, window shares, the
+      // class-present TVD fold ½(Σ|p−q| + 1 − Σq) with per-term
+      // quantization, HAVING above t
+      "q_t_closeness" ->
+        ("WITH t AS (SELECT c_mktsegment, c_nationkey, " +
+          "CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS ab FROM customer), " +
+          "j AS (SELECT c_mktsegment, c_nationkey, ab, COUNT(*) AS c, " +
+          "SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment, c_nationkey) AS nc, " +
+          "SUM(COUNT(*)) OVER (PARTITION BY ab) AS gs, " +
+          "SUM(COUNT(*)) OVER () AS tn FROM t GROUP BY 1, 2, 3), " +
+          "cl AS (SELECT c_mktsegment, c_nationkey, CAST(MAX(nc) AS BIGINT) AS n, " +
+          "CAST(FLOOR(CAST(SUM(CAST(FLOOR(ABS(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE) - " +
+          "CAST(gs AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) + 1000000 - " +
+          "SUM(CAST(FLOOR(CAST(gs AS DOUBLE) / CAST(tn AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) " +
+          "AS DOUBLE) / 2.0 + 0.5) AS BIGINT) AS tvd_fp FROM j GROUP BY 1, 2) " +
+          "SELECT c_mktsegment, c_nationkey, n, tvd_fp FROM cl WHERE tvd_fp > 300000"),
+      // JSD replayed: per-value tag counts, window totals, exact IEEE
+      // shares, per-value quantized d·ln(d) terms, the same
+      // h_mix − (h_base + h_other)/2 closing order
+      "q_jsd_profile" ->
+        ("WITH u AS (SELECT CAST(source AS VARCHAR) AS v, " +
+          "CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s FROM documents WHERE source IS NOT NULL), " +
+          "g AS (SELECT v, COUNT(CASE WHEN s = 0 THEN 1 END) AS ca, " +
+          "COUNT(CASE WHEN s = 1 THEN 1 END) AS cb FROM u GROUP BY v), " +
+          "w AS (SELECT ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g), " +
+          "t2 AS (SELECT na, nb, CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p, " +
+          "CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q, " +
+          "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 AS m FROM w), " +
+          "agg AS (SELECT CAST(MAX(na) AS BIGINT) AS n_base, CAST(MAX(nb) AS BIGINT) AS n_other, " +
+          "COUNT(*) AS n_values, " +
+          "SUM(CAST(CASE WHEN p > 0 THEN CAST(FLOOR(p * ln(p) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS DECIMAL(38,0))) AS slp, " +
+          "SUM(CAST(CASE WHEN q > 0 THEN CAST(FLOOR(q * ln(q) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS DECIMAL(38,0))) AS slq, " +
+          "SUM(CAST(CASE WHEN m > 0 THEN CAST(FLOOR(m * ln(m) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS DECIMAL(38,0))) AS slm FROM t2) " +
+          "SELECT n_base, n_other, n_values, h_base, h_other, h_mix, " +
+          "h_mix - (h_base + h_other) / 2.0 AS jsd FROM (" +
+          "SELECT n_base, n_other, n_values, -(CAST(slp AS DOUBLE) / 1e6) AS h_base, " +
+          "-(CAST(slq AS DOUBLE) / 1e6) AS h_other, -(CAST(slm AS DOUBLE) / 1e6) AS h_mix FROM agg)"),
+      // feature_relevance replayed: one MI-closing branch per feature
+      // (source, derived size bucket), UNION ALL — matching the op's
+      // melted one-scan output contract
+      "q_feature_relevance" ->
+        (frBranchS("CAST(source AS VARCHAR)", "source") + " UNION ALL " +
+          frBranchS("CAST(CAST(FLOOR(n_chars / 500.0) AS BIGINT) AS VARCHAR)",
+            "size_bucket")),
+      // truncate+renorm replayed: first-16 slice, the round-regime
+      // fixed-point norm, per-coordinate division
+      "q_truncate_embeddings" ->
+        ("WITH s AS (SELECT vec_id, embedding[1:16] AS e FROM embeddings WHERE embedding IS NOT NULL), " +
+          "n AS (SELECT vec_id, SQRT(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm " +
+          "FROM (SELECT vec_id, unnest(e) AS x FROM s) GROUP BY vec_id) " +
+          "SELECT s.vec_id, CAST(generate_subscripts(s.e, 1) - 1 AS INTEGER) AS pos, " +
+          "CAST(unnest(s.e) AS DOUBLE) / n.nrm AS val " +
+          "FROM s JOIN n USING (vec_id) WHERE n.nrm > 0"),
+      // isotonic model pinned: bucket counts are pure integer arithmetic
+      // over the range fixture; the PAV pool (buckets 4..6 → 712375) and
+      // the floor(pos/n + 0.5) rounding were verified offline
+      "q_isotonic_model" ->
+        ("SELECT * FROM (VALUES " +
+          "(CAST(0 AS BIGINT), CAST(103 AS BIGINT), CAST(4000000 AS BIGINT), CAST(38835 AS BIGINT)), " +
+          "(1, 100, 14000000, 140000), (2, 100, 25000000, 250000), " +
+          "(3, 99, 33000000, 333333), (4, 100, 90000000, 712375), " +
+          "(5, 100, 57000000, 712375), (6, 99, 66000000, 712375), " +
+          "(7, 100, 75000000, 750000), (8, 100, 86000000, 860000), " +
+          "(9, 99, 95000000, 959596)) AS t(bucket, n, pos_fp, cal_fp)"),
+      // isotonic scoring replayed: the same float bucket mapping joined
+      // against the pinned model
+      "q_isotonic_score" ->
+        ("WITH m(bucket, cal_fp) AS (VALUES (CAST(0 AS BIGINT), CAST(38835 AS BIGINT)), " +
+          "(1, 140000), (2, 250000), (3, 333333), (4, 712375), (5, 712375), " +
+          "(6, 712375), (7, 750000), (8, 860000), (9, 959596)), " +
+          "r AS (SELECT id, CAST(id % 997 AS DOUBLE) / 997.0 AS score FROM range(1000) t(id)) " +
+          "SELECT r.id, r.score, m.cal_fp AS score_cal_fp, " +
+          "CAST(m.cal_fp AS DOUBLE) / 1e6 AS score_cal FROM r JOIN m " +
+          "ON m.bucket = LEAST(CAST(FLOOR(r.score * 10.0) AS BIGINT), 9)"),
+      // KS replayed: per-value tag counts, cumulative windows over the
+      // distinct values, 1e-6 quantization of each ECDF before the
+      // difference, MAX of the integer gaps
+      "q_ks_profile" ->
+        ("WITH u AS (SELECT CAST(n_chars AS DOUBLE) AS v, " +
+          "CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s FROM documents WHERE n_chars IS NOT NULL), " +
+          "g AS (SELECT v, COUNT(CASE WHEN s = 0 THEN 1 END) AS ca, " +
+          "COUNT(CASE WHEN s = 1 THEN 1 END) AS cb FROM u GROUP BY v), " +
+          "w AS (SELECT SUM(ca) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+          "SUM(cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+          "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g) " +
+          "SELECT CAST(MAX(na) AS BIGINT) AS n_base, CAST(MAX(nb) AS BIGINT) AS n_other, " +
+          "MAX(ABS(CAST(FLOOR(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) AS BIGINT) - " +
+          "CAST(FLOOR(CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) AS BIGINT))) AS ks_fp FROM w"),
+      // MI replayed: joint counts once, marginals re-aggregated from the
+      // joint frame, the entropyProfile quantized-ln closing for all
+      // three entropies, MI as (h_a + h_b) − h_ab in the same order
+      "q_mutual_information" ->
+        ("WITH j AS (SELECT CAST(lang AS VARCHAR) AS va, CAST(source AS VARCHAR) AS vb, COUNT(*) AS cab " +
+          "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), " +
+          "ja AS (SELECT SUM(cab) AS n, COUNT(*) AS n_ab, " +
+          "SUM(CAST(CAST(FLOOR(CAST(cab AS DOUBLE) * LN(CAST(cab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS slnab FROM j), " +
+          "ma AS (SELECT va, SUM(cab) AS cm FROM j GROUP BY va), " +
+          "aa AS (SELECT COUNT(*) AS n_a, " +
+          "SUM(CAST(CAST(FLOOR(CAST(cm AS DOUBLE) * LN(CAST(cm AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS slna FROM ma), " +
+          "mb AS (SELECT vb, SUM(cab) AS cm FROM j GROUP BY vb), " +
+          "bb AS (SELECT COUNT(*) AS n_b, " +
+          "SUM(CAST(CAST(FLOOR(CAST(cm AS DOUBLE) * LN(CAST(cm AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS slnb FROM mb) " +
+          "SELECT n, n_a, n_b, n_ab, h_a, h_b, h_ab, (h_a + h_b) - h_ab AS mi FROM (" +
+          "SELECT CAST(n AS BIGINT) AS n, n_a, n_b, n_ab, " +
+          "FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - (CAST(slna AS DOUBLE) / 1000000) / CAST(n AS DOUBLE) AS h_a, " +
+          "FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - (CAST(slnb AS DOUBLE) / 1000000) / CAST(n AS DOUBLE) AS h_b, " +
+          "FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - (CAST(slnab AS DOUBLE) / 1000000) / CAST(n AS DOUBLE) AS h_ab " +
+          "FROM ja CROSS JOIN aa CROSS JOIN bb) WHERE n IS NOT NULL"),
+      // cluster_eval replayed: exact decimal centroids (the
+      // q_group_centroid fold), fixed-point row×centroid dots and norms
+      // (the FixedPointDot round() regime), per-row 1e-6 quantization of
+      // intra distance and simplified silhouette, integer means
+      "q_cluster_eval" ->
+        ("WITH rn AS (SELECT vec_id, SQRT(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm " +
+          "FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id), " +
+          "base AS (SELECT e.vec_id, e.label, e.embedding, rn.nrm FROM embeddings e JOIN rn USING (vec_id) " +
+          "WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL AND NOT isnan(rn.nrm) AND rn.nrm > 0 " +
+          "AND len(list_filter(e.embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0), " +
+          "cd AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val FROM base), " +
+          "cent AS (SELECT label, pos, CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS cv " +
+          "FROM cd GROUP BY label, pos), " +
+          "cn AS (SELECT label, SQRT(CAST(SUM(CAST(FLOOR(cv * cv * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS cnrm FROM cent GROUP BY label), " +
+          "rx AS (SELECT vec_id, label, nrm, generate_subscripts(embedding, 1) - 1 AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM base), " +
+          "dots AS (SELECT r.vec_id, r.label, r.nrm, c.label AS label2, " +
+          "CAST(SUM(CAST(round(r.x * c.cv * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot " +
+          "FROM rx r JOIN cent c ON r.pos = c.pos GROUP BY r.vec_id, r.label, r.nrm, c.label), " +
+          "dist AS (SELECT d.vec_id, d.label, d.label2, 1.0 - d.dot / d.nrm / cn.cnrm AS dd " +
+          "FROM dots d JOIN cn ON cn.label = d.label2), " +
+          "ab AS (SELECT vec_id, label, MIN(CASE WHEN label2 = label THEN dd END) AS a, " +
+          "MIN(CASE WHEN label2 <> label THEN dd END) AS b FROM dist GROUP BY vec_id, label), " +
+          "prw AS (SELECT label, CAST(FLOOR(a * 1e6 + 0.5) AS BIGINT) AS afp, " +
+          "CAST(FLOOR((CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b) ELSE 0 END) * 1e6 + 0.5) AS BIGINT) AS sfp FROM ab) " +
+          "SELECT label, COUNT(*) AS n, " +
+          "CAST(FLOOR(CAST(SUM(afp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS intra_fp, " +
+          "CAST(FLOOR(CAST(SUM(sfp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS sil_fp " +
+          "FROM prw GROUP BY label"),
+      // quantile normalization replayed: per-source RANK/COUNT windows,
+      // pooled ROW_NUMBER lookup table, the same LEAST-before-CAST
+      // CEIL(r·N/n) index arithmetic (IEEE doubles in both engines)
+      "q_quantile_normalize" ->
+        ("WITH s AS (SELECT doc_id, source, n_chars, " +
+          "RANK() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) ASC NULLS LAST) AS r, " +
+          "COUNT(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source) AS gn FROM documents), " +
+          "nn AS (SELECT COUNT(CAST(n_chars AS DOUBLE)) AS tot FROM documents), " +
+          "rr AS (SELECT CAST(n_chars AS DOUBLE) AS v, " +
+          "ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE) ASC) AS rk " +
+          "FROM documents WHERE n_chars IS NOT NULL) " +
+          "SELECT s.doc_id, s.source, s.n_chars, rr.v AS n_chars_qnorm " +
+          "FROM s CROSS JOIN nn LEFT JOIN rr ON rr.rk = " +
+          "GREATEST(1, CAST(LEAST(CAST(tot AS DOUBLE), " +
+          "CEIL(CAST(r AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(gn AS DOUBLE))) AS BIGINT))"),
       // rank_eval replayed: same synthetic run/qrels, per-term 1e-6
       // quantization before every integer sum, division-before-multiply
       // matching the op's fpq(x) = floor(x*1e6 + 0.5) evaluation order

@@ -212,6 +212,121 @@ final class SelectionOps(private val c: Chain) extends AnyVal {
       Map("k" -> k.toString, "buckets" -> buckets.toString))
   }
 
+  /** lm_model(text_col, buckets): fit a hashed-n-gram unigram+bigram
+    * language model on this chain (a CLEAN reference corpus — the CCNet
+    * recipe fits on Wikipedia; Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC 2020) — one
+    * row per hash bucket b ∈ [0, B) with the gram count `n` and the add-1
+    * smoothed fixed-point log-probability
+    *
+    *   lp_fp(b) = fpq(ln((n_b + 1) / (N + B)))
+    *
+    * where N is the total gram count. A document's negative log-likelihood
+    * under the model is −Σ lp_fp over its gram occurrences (see
+    * [[lmScore]]) — the hash-bucketed, exactly-replayable stand-in for the
+    * KenLM 5-gram perplexity CCNet uses (same featurization as
+    * [[dsirModel]]; DSIR models the RATIO of two corpora, this models the
+    * absolute likelihood under one).
+    *
+    * Scale shape: ONE scan folding into a ≤ B-row bucket-count aggregate,
+    * collected eagerly (bounded by the buckets guard) and emitted as a
+    * driver-local relation — downstream consumers can never re-trigger
+    * the corpus scan through lineage. Fit on a hash sample
+    * ([[graft.ops.JoinOps.sampleHash]]) when the reference corpus is
+    * itself huge. Non-renderable (model-producing).
+    */
+  def lmModel(textCol: String, buckets: Int = 8192): Chain = {
+    require(buckets >= 16 && buckets <= 65536,
+      s"lm_model: buckets must be in [16, 65536], got $buckets — the " +
+        "model is collected to the driver and broadcast as a literal")
+    require(c.df.columns.contains(textCol),
+      s"lm_model: chain is missing text column '$textCol'")
+    val counts = new Array[Long](buckets)
+    c.df.select(explode(graft.functions.DsirBuckets(
+        TextOps.tokens(col(textCol)), buckets)).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_n"))
+      .collect() // bounded: ≤ `buckets` rows by construction
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val tot = counts.sum
+    def fpLog(cnt: Long): Long =
+      math.floor(math.log((cnt + 1.0d) / (tot.toDouble + buckets)) * 1e6 + 0.5).toLong
+    val rows = (0 until buckets).map(b => Row(b.toLong, counts(b), fpLog(counts(b))))
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("lp_fp", LongType, nullable = false)))
+    val df2 = c.spark.createDataFrame(
+      c.spark.sparkContext.parallelize(rows, 1), schema)
+    c.next("lm_model", df2, None,
+      Map("buckets" -> buckets.toString, "text_col" -> textCol))
+  }
+
+  /** lm_score(model, text_col): stamp each row with its quality score
+    * under a [[lmModel]] language model — the CCNet perplexity-filter
+    * apply step:
+    *
+    *   lm_n_grams     the unigram+bigram bag size (2n − 1 tokens, 0 empty)
+    *   lm_nll_sum_fp  −Σ lp_fp over the document's gram occurrences
+    *                  (total negative log-likelihood, 1e-6 nats)
+    *   lm_nll_fp      floor(lm_nll_sum_fp / lm_n_grams + 0.5) — the
+    *                  per-gram average NLL; perplexity is exp(nll), so
+    *                  ranking/thresholding on lm_nll_fp IS the CCNet
+    *                  head/middle/tail split (NTILE over lm_nll_fp ranks
+    *                  identically). NULL for gram-less documents (nothing
+    *                  to score — CCNet drops them).
+    *
+    * Every term is the model's fixed-point integer, so scores are pure
+    * integer functions of the input — bit-identical across partitionings
+    * and engines (the oracle replays the whole pipeline in DuckDB).
+    *
+    * Scale shape: the model is collected once (≤ 65536 rows, bounded by
+    * the lm_model guard) and rides the plan as a referenced long[], so
+    * scoring is a PURE PROJECTION — one corpus scan, zero joins, zero
+    * shuffles; the gram fold is the [[graft.functions.DsirScore]] codegen
+    * kernel (weights = −lp_fp works unchanged: the kernel is just
+    * Σ weights(bucket)). Fit once, score any number of corpus batches.
+    */
+  def lmScore(model: DataFrame, textCol: String): Chain = {
+    require(c.df.columns.contains(textCol),
+      s"lm_score: chain is missing text column '$textCol'")
+    Seq("lm_n_grams", "lm_nll_sum_fp", "lm_nll_fp").foreach(n =>
+      require(!c.df.columns.contains(n),
+        s"lm_score: output column '$n' already exists on the chain"))
+    Seq("bucket", "lp_fp").foreach(n => require(model.columns.contains(n),
+      s"lm_score: model frame is missing column '$n'"))
+    val rows = model.select(col("bucket").cast("long"), col("lp_fp").cast("long"))
+      .collect() // bounded: lm_model guards buckets ≤ 65536
+    val b = rows.length
+    require(b >= 16 && b <= 65536,
+      s"lm_score: model must have between 16 and 65536 bucket rows, got $b")
+    val weights = new Array[Long](b)
+    val seen = new Array[Boolean](b)
+    rows.foreach { r =>
+      val idx = r.getLong(0)
+      require(idx >= 0 && idx < b,
+        s"lm_score: model bucket $idx outside [0, $b) — model rows must " +
+          "cover exactly the contiguous bucket range")
+      require(!seen(idx.toInt), s"lm_score: duplicate model bucket $idx")
+      seen(idx.toInt) = true
+      // negate here so the kernel's Σ weights(bucket) IS the NLL sum —
+      // lp_fp is a floor-quantized log-prob (≤ 0 for any real model, but
+      // the negation is exact either way: pure int64)
+      weights(idx.toInt) = -r.getLong(1)
+    }
+    val toks = TextOps.tokens(col(textCol))
+    val nGrams = when(size(toks) === 0, lit(0L))
+      .otherwise((size(toks) * lit(2) - lit(1)).cast("long"))
+    val nllSum = graft.functions.DsirScore(toks, weights)
+    val df2 = c.df
+      .withColumn("lm_n_grams", nGrams)
+      .withColumn("lm_nll_sum_fp", nllSum)
+      .withColumn("lm_nll_fp",
+        when(col("lm_n_grams") === 0L, lit(null).cast("long"))
+          .otherwise(floor(col("lm_nll_sum_fp").cast("double") /
+            col("lm_n_grams").cast("double") + lit(0.5)).cast("long")))
+    c.next("lm_score", df2, None, Map("text_col" -> textCol))
+  }
+
   /** rank_eval(qrels, query_col, doc_col, rank_col, k): retrieval-quality
     * metrics of this chain (a run frame: one row per retrieved (query,
     * doc) with its 1-based rank) against binary-relevance qrels — one row

@@ -513,6 +513,174 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
         s") GROUP BY $gs, _pos) GROUP BY $gs"))
   }
 
+  /** cluster_eval(cluster_col, vec_col, max_clusters): centroid-based
+    * cluster-quality census — one row per cluster:
+    *
+    *   n         usable member count (non-null cluster, usable vector)
+    *   intra_fp  fpq-mean cosine distance 1 − cos(x, own centroid)
+    *   sil_fp    fpq-mean SIMPLIFIED silhouette (b − a) / max(a, b),
+    *             a = distance to own centroid, b = min distance to any
+    *             OTHER centroid — the centroid stand-in for Rousseeuw's
+    *             O(n²) pairwise silhouette (Rousseeuw, J. Comput. Appl.
+    *             Math. 1987; the simplified form is the standard
+    *             large-n evaluation, e.g. Hruschka et al. 2004)
+    *
+    * fpq = floor(x·1e6 + 0.5), quantized PER ROW before the integer sum
+    * (the engine-exact convention), so both statistics are pure integer
+    * functions of the input. Positive sil_fp ⇒ members sit closer to
+    * their own centroid than to any rival — the per-cluster readout for
+    * "did this clustering/labeling actually separate the space" over a
+    * [[clusterEmbeddings]] assignment, an ivfIndexAssign cell map, or any
+    * labeled partition. A single-cluster input has no rival: sil_fp = 0.
+    *
+    * Scale shape: scan 1 fits per-cluster centroids exactly (the
+    * [[centroidByGroup]] decimal fold — one exchange keyed on (cluster,
+    * dim)) into a bounded frame, refused loudly past `maxClusters` (the
+    * centroids become literal arrays; K·dim doubles must fit a plan
+    * constant). Scan 2 is a pure projection: K codegen'd exact dots per
+    * row (the [[bestCellId]] literal-centroid regime) + one final
+    * aggregate on the cluster key. A zero-norm centroid (members cancel)
+    * refuses loudly — cosine geometry is undefined there.
+    */
+  def clusterEval(clusterCol: String, vecCol: String,
+                  maxClusters: Int = 1024): Chain = {
+    require(c.df.columns.contains(clusterCol),
+      s"cluster_eval: chain is missing cluster column '$clusterCol'")
+    require(c.df.columns.contains(vecCol),
+      s"cluster_eval: chain is missing vector column '$vecCol'")
+    require(maxClusters >= 1 && maxClusters <= 65536,
+      s"cluster_eval: maxClusters must be in [1, 65536], got $maxClusters")
+    Seq("n", "intra_fp", "sil_fp").foreach(n =>
+      require(n == clusterCol || !c.df.columns.contains(n),
+        s"cluster_eval: column '$n' collides with an output name — rename first"))
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(vecCol)
+    val nrm = sqrt(Exact.dot(v, v))
+    val usable = c.df.where(col(clusterCol).isNotNull &&
+      v.isNotNull && SimilarityOps.usableVec(v, nrm))
+    // scan 1: exact per-cluster centroids (the centroidByGroup decimal
+    // fold), collected bounded — limit(K+1) caps the driver transfer so
+    // an over-cardinality cluster column refuses instead of OOMing
+    val xx = floor(col("_val").cast("double") * lit(1e12) + lit(0.5)).cast("long")
+    val centRows = usable
+      .select(col(clusterCol).as("_ce_k"), posexplode(v).as(Seq("_pos", "_val")))
+      .groupBy("_ce_k", "_pos")
+      .agg((sum(xx.cast(Dec)).cast("double") / count(xx) / lit(1e12)).as("_v"),
+        count(xx).as("_n"))
+      .groupBy("_ce_k")
+      .agg(transform(
+          sort_array(collect_list(struct(col("_pos").as("p"), col("_v").as("v")))),
+          s => s.getField("v")).as("_cv"),
+        max("_n").as("_n"))
+      .limit(maxClusters + 1)
+      .collect()
+    require(centRows.length <= maxClusters,
+      s"cluster_eval: more than $maxClusters distinct clusters — this op " +
+        "collects one centroid per cluster as a plan literal; raise " +
+        "maxClusters only if K·dim doubles genuinely fit the driver")
+    require(centRows.nonEmpty,
+      "cluster_eval: no usable rows (null clusters / unusable vectors)")
+    // deterministic cluster order: sort driver-side by string form
+    val ordered = centRows.sortBy(r => String.valueOf(r.get(0)))
+    val centers = ordered.map(_.getSeq[Double](1).toArray)
+    // centroid norms under the SAME fixed-point rule as Exact.dot, so the
+    // oracle can replay them: Σ round(c_i² · 1e12) / 1e12, then sqrt
+    val centNorms = centers.map { cv =>
+      var acc = 0L
+      cv.foreach { x => acc += math.floor(x * x * 1e12 + 0.5).toLong }
+      math.sqrt(acc.toDouble / 1e12)
+    }
+    centNorms.zipWithIndex.foreach { case (cn, i) =>
+      require(cn > 0.0, s"cluster_eval: centroid of cluster " +
+        s"'${ordered(i).get(0)}' has zero norm — its members cancel and " +
+        "cosine geometry is undefined; evaluate in euclidean space or " +
+        "drop the degenerate cluster")
+    }
+    def fpq(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    // scan 2: K literal-centroid distances per row, own/other split by the
+    // when-chain cluster index (bounded K, driven by the same ordering)
+    val dists = SimilarityOps.centroidDists(v, nrm, centers, centNorms)
+    val ownIdx = ordered.zipWithIndex.tail.foldLeft(
+      when(col(clusterCol) === lit(ordered.head.get(0)), lit(0))) {
+      case (acc, (r, i)) => acc.when(col(clusterCol) === lit(r.get(0)), lit(i))
+    }
+    val a = element_at(col("_ce_d"), col("_ce_own") + 1)
+    val b = array_min(filter(col("_ce_d"),
+      (_, i) => i =!= col("_ce_own")))
+    val sil =
+      if (centers.length == 1) lit(0L)
+      else fpq(when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+        .otherwise(lit(0.0)))
+    val perRow = usable
+      .withColumn("_ce_d", dists)
+      .withColumn("_ce_own", ownIdx)
+      .select(col(clusterCol), fpq(a).as("_ce_afp"), sil.as("_ce_sfp"))
+    val df2 = perRow.groupBy(clusterCol)
+      .agg(count(lit(1)).as("n"),
+        floor(sum("_ce_afp").cast("double") / count(lit(1)).cast("double") +
+          lit(0.5)).cast("long").as("intra_fp"),
+        floor(sum("_ce_sfp").cast("double") / count(lit(1)).cast("double") +
+          lit(0.5)).cast("long").as("sil_fp"))
+    c.next("cluster_eval", df2, None,
+      Map("cluster_col" -> clusterCol, "vec_col" -> vecCol))
+  }
+
+  /** truncate_embeddings(vec_col, dim, renormalize, as): keep the first
+    * `dim` coordinates — the Matryoshka representation move (Kusupati et
+    * al., NeurIPS 2022: MRL-trained embeddings nest usable sub-embeddings
+    * at prefix lengths; even for non-MRL embeddings this is the standard
+    * storage/recall dial before int8 quantization). With
+    * `renormalize = true` (the default — cosine geometry needs unit-ish
+    * norms after truncation) the output is `array<double>` re-normalized
+    * under the exact fixed-point norm via the [[graft.functions
+    * .TruncateRenorm]] codegen kernel — ONE flat O(dim) loop per row (the
+    * transform/slice column composition hits the Int8Quantize
+    * CollapseProject O(d²) trap). Without, it is a plain guarded slice
+    * preserving the element type.
+    *
+    * Contracts: shorter-than-dim vectors throw (silent shortening is
+    * wrong, never useful); with renormalization, a NaN coordinate or
+    * zero-norm prefix yields NULL (nothing usable — the usableVec
+    * posture) and a null ELEMENT throws; null vectors stay null. Pure
+    * projection — no shuffle, scan-speed at any corpus size; compose with
+    * [[quantizeEmbeddings]] for the full storage ladder.
+    */
+  def truncateEmbeddings(vecCol: String, dim: Int, renormalize: Boolean = true,
+                         as: String = "embedding_t"): Chain = {
+    require(dim >= 1 && dim <= 65536,
+      s"truncate_embeddings: dim must be in [1, 65536], got $dim")
+    require(c.df.columns.contains(vecCol),
+      s"truncate_embeddings: chain is missing vector column '$vecCol'")
+    require(!c.df.columns.contains(as),
+      s"truncate_embeddings: output column '$as' already exists on the chain")
+    val v = col(vecCol)
+    val vq = graft.core.Naming.quoteId(vecCol)
+    val aq = graft.core.Naming.quoteId(as)
+    if (renormalize)
+      c.next("truncate_embeddings",
+        c.df.withColumn(as, graft.functions.TruncateRenorm(v, dim)),
+        // engine-specific face: the registered kernel (the KLL-face rule —
+        // Spark-executable, plan ≡ the DataFrame face)
+        Some(s"SELECT *, truncate_renorm($vq, $dim) AS $aq FROM {{source}}"),
+        Map("dim" -> dim.toString, "renormalize" -> "true"))
+    else {
+      val out = when(v.isNull,
+          lit(null).cast(c.df.schema(vecCol).dataType))
+        .when(size(v) < dim, raise_error(concat(
+          lit(s"truncate_embeddings: vector shorter than dim=$dim (len "),
+          size(v).cast("string"), lit(")"))))
+        .otherwise(slice(v, 1, dim))
+      c.next("truncate_embeddings", c.df.withColumn(as, out),
+        Some(s"SELECT *, CASE WHEN $vq IS NULL THEN NULL " +
+          s"WHEN size($vq) < $dim THEN raise_error(concat(" +
+          s"'truncate_embeddings: vector shorter than dim=$dim (len ', " +
+          s"CAST(size($vq) AS STRING), ')')) " +
+          s"ELSE slice($vq, 1, $dim) END AS $aq FROM {{source}}"),
+        Map("dim" -> dim.toString, "renormalize" -> "false"))
+    }
+  }
+
   def quantizeEmbeddings(vecCol: String): Chain = {
     val qName = graft.core.Naming.cleanse(s"${vecCol}_q")
     val sName = graft.core.Naming.cleanse(s"${vecCol}_qscale")
@@ -802,6 +970,20 @@ object SimilarityOps {
     if (DedupOps.isIntegralId(dt)) (col(idCol).cast("long"), "long")
     else (col(idCol), "string")
   }
+
+  /** Cosine distances 1 − cos(vec, centroid_i) against literal centroids
+    * as one array column — [[graft.ext.SimilarityOps.clusterEval]]'s
+    * scoring kernel. (Lives here, not in the value class: `typedLit`'s
+    * implicit encoder can't materialize there — the bestCellId rule.)
+    */
+  private[ext] def centroidDists(
+      vec: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]],
+      norms: Array[Double]): org.apache.spark.sql.Column =
+    array(centers.zipWithIndex.map { case (cv, i) =>
+      lit(1.0) - Exact.dot(vec, typedLit(cv.toSeq)) / nrm / lit(norms(i))
+    }.toIndexedSeq: _*)
 
   /** Best (max-dot) cell id for a vector against literal unit centroids in
     * ONE codegen projection: `greatest()` over (dot, −cid) structs — ties

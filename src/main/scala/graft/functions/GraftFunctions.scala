@@ -100,6 +100,10 @@ object GraftFunctions {
       arity("int8_quantize", 1, args)
       Int8QuantizeExpr(args(0))
     },
+    "truncate_renorm" -> { args =>
+      arity("truncate_renorm", 2, args)
+      TruncateRenormExpr(args(0), intLit("truncate_renorm", "dim")(args(1)))
+    },
     "kll_sketch_agg" -> { args =>
       arity("kll_sketch_agg", 2, args)
       KllSketchAgg(args(0), intLit("kll_sketch_agg", "k")(args(1)))

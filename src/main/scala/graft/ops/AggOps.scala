@@ -739,6 +739,133 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"FROM {{source}}"))
   }
 
+  /** isotonic_fit(score_col, label_col, buckets): fit a monotone
+    * calibration map from raw scores to outcome rates — the standard fix
+    * when [[calibrationProfile]] reports mis-calibration: bucket scores
+    * on the [0,1] grid (floor(s·B), last bucket closed), pool adjacent
+    * violators (PAV — Ayer et al., Ann. Math. Stat. 1955; the isotonic
+    * regression of bucket outcome rates under bucket weights), and emit
+    * one row per bucket b ∈ [0, B):
+    *
+    *   n        in-bucket (score, label) row count
+    *   pos_fp   Σ fpq(label) — labels quantized to 1e-6 per row before
+    *            the sum, so any numeric label calibrates engine-exactly
+    *            (binary 0/1 labels give pos_fp = 1e6·positives)
+    *   cal_fp   the pooled, non-decreasing calibrated rate
+    *            floor(pos_fp/n + 0.5) of the bucket's PAV block, in 1e-6;
+    *            empty buckets inherit the previous occupied block's value
+    *            (leading empties take the first) — the step function is
+    *            total on [0,1]
+    *
+    * Scale shape: ONE corpus scan into a ≤ B-row bucket aggregate
+    * (map-side combined); PAV runs on the driver over the bounded frame
+    * (exact BigInt cross-multiplication — no float rate compares) and the
+    * model is emitted as a driver-local relation. Fit once, apply with
+    * [[isotonicScore]] as a pure projection. Rows with null/NaN score or
+    * label, or score outside [0,1], are excluded (the calibrationProfile
+    * posture). Renderable as a VALUES literal (the logisticRegression
+    * convention): all four columns are integers.
+    */
+  def isotonicFit(scoreCol: String, labelCol: String,
+                  buckets: Int = 100): Chain = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"isotonic_fit: buckets must be in [2, 65536], got $buckets — the " +
+        "bucket frame is collected to the driver for the PAV pass")
+    Seq(scoreCol, labelCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"isotonic_fit: chain is missing column '$cn'"))
+    val s = col(scoreCol).cast("double")
+    val l = col(labelCol).cast("double")
+    val ok = s.isNotNull && !isnan(s) && s >= lit(0.0) && s <= lit(1.0) &&
+      l.isNotNull && !isnan(l)
+    val b = least(floor(s * lit(buckets.toDouble)).cast("long"),
+      lit((buckets - 1).toLong))
+    val fpl = floor(l * lit(1e6) + lit(0.5)).cast("long")
+    val rows = c.df.where(ok)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(fpl).as("pos_fp"))
+      .collect() // bounded: ≤ `buckets` rows by construction
+    require(rows.nonEmpty,
+      "isotonic_fit: no usable (score, label) rows in [0,1] — nothing to calibrate")
+    val n = new Array[Long](buckets)
+    val pos = new Array[Long](buckets)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      n(i) = r.getLong(1); pos(i) = r.getLong(2)
+    }
+    val cal = AggOps.pavPool(pos, n)
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("pos_fp", LongType, nullable = false),
+      StructField("cal_fp", LongType, nullable = false)))
+    val modelRows = (0 until buckets).map(i =>
+      Row(i.toLong, n(i), pos(i), cal(i)))
+    val valuesSql = (0 until buckets).map(i =>
+      s"(CAST($i AS BIGINT), CAST(${n(i)} AS BIGINT), " +
+        s"CAST(${pos(i)} AS BIGINT), CAST(${cal(i)} AS BIGINT))").mkString(", ")
+    c.next("isotonic_fit",
+      c.spark.createDataFrame(
+        c.spark.sparkContext.parallelize(modelRows, 1), schema),
+      Some("SELECT bucket, n, pos_fp, cal_fp FROM " +
+        s"(VALUES $valuesSql) AS _m(bucket, n, pos_fp, cal_fp)"),
+      Map("buckets" -> buckets.toString, "score_col" -> scoreCol))
+  }
+
+  /** isotonic_score(model, score_col, as): apply an [[isotonicFit]] model
+    * — adds `<as>_fp` (the bucket's calibrated rate in 1e-6) and `<as>`
+    * (the same as a double) per row; null/NaN/out-of-range scores yield
+    * null (nothing to calibrate — visible, never clamped silently).
+    *
+    * One bounded driver collect of the B model rows; scoring is a PURE
+    * codegen projection (the calibrated-rate table rides the plan as an
+    * array literal — the scoreLogistic regime), renderable with the same
+    * literal.
+    */
+  def isotonicScore(model: DataFrame, scoreCol: String,
+                    as: String = "score_cal"): Chain = {
+    require(c.df.columns.contains(scoreCol),
+      s"isotonic_score: chain is missing column '$scoreCol'")
+    Seq("bucket", "cal_fp").foreach(cn => require(model.columns.contains(cn),
+      s"isotonic_score: model frame is missing column '$cn' (from isotonicFit)"))
+    Seq(s"${as}_fp", as).foreach(cn => require(!c.df.columns.contains(cn),
+      s"isotonic_score: output column '$cn' already exists on the chain"))
+    val rows = model.select(col("bucket").cast("long"), col("cal_fp").cast("long"))
+      .collect() // bounded: isotonic_fit guards buckets ≤ 65536
+    val bCount = rows.length
+    require(bCount >= 2 && bCount <= 65536,
+      s"isotonic_score: model must have between 2 and 65536 bucket rows, got $bCount")
+    val cal = new Array[Long](bCount)
+    val seen = new Array[Boolean](bCount)
+    rows.foreach { r =>
+      val idx = r.getLong(0)
+      require(idx >= 0 && idx < bCount,
+        s"isotonic_score: model bucket $idx outside [0, $bCount) — model " +
+          "rows must cover exactly the contiguous bucket range")
+      require(!seen(idx.toInt), s"isotonic_score: duplicate model bucket $idx")
+      seen(idx.toInt) = true
+      cal(idx.toInt) = r.getLong(1)
+    }
+    val s = col(scoreCol).cast("double")
+    val ok = s.isNotNull && !isnan(s) && s >= lit(0.0) && s <= lit(1.0)
+    val b = least(floor(s * lit(bCount.toDouble)).cast("long"),
+      lit((bCount - 1).toLong))
+    val calArr = array(cal.toIndexedSeq.map(lit): _*)
+    val fpOut = when(ok, element_at(calArr, (b + lit(1L)).cast("int")))
+    val df2 = c.df
+      .withColumn(s"${as}_fp", fpOut)
+      .withColumn(as, col(s"${as}_fp").cast("double") / lit(1e6))
+    val cn = Naming.quoteId(scoreCol)
+    val sS = s"CAST($cn AS DOUBLE)"
+    val okS = s"$sS IS NOT NULL AND NOT isnan($sS) AND $sS >= 0.0 AND $sS <= 1.0"
+    val bS = s"LEAST(CAST(FLOOR($sS * CAST($bCount AS DOUBLE)) AS BIGINT), " +
+      s"CAST(${bCount - 1} AS BIGINT))"
+    val arrS = cal.mkString("ARRAY(", "L, ", "L)")
+    c.next("isotonic_score", df2, Some(
+      s"SELECT *, CASE WHEN $okS THEN element_at($arrS, CAST($bS + 1 AS INT)) END AS ${as}_fp, " +
+        s"CAST(CASE WHEN $okS THEN element_at($arrS, CAST($bS + 1 AS INT)) END AS DOUBLE) / 1e6 AS $as " +
+        s"FROM {{source}}"))
+  }
+
   /** market_basket(transaction_id, agg_column, sep): items per transaction
     * as a deterministic (sorted) separated string + basket size.
     */
@@ -2161,6 +2288,500 @@ final class AggOps(private val c: Chain) extends AnyVal {
       col("psi_total"))): _*)
     c.next("psi_categorical_profile", df2, None)
   }
+
+  /** ks_profile(other, column, group_by): two-sample Kolmogorov–Smirnov
+    * statistic between this chain (base) and `other` — per group, the
+    * maximum absolute ECDF gap
+    *
+    *   ks_fp = max over jump points v of |fpq(F_base(v)) − fpq(F_other(v))|
+    *
+    *   (fpq = floor(x·1e6 + 0.5); each ECDF is quantized BEFORE the
+    *   difference, so ks_fp is a pure integer function of the two value
+    *   multisets — engine-exact.)
+    *
+    * The non-parametric companion to the binned PSI family: PSI needs a
+    * bucketing choice, KS evaluates at every observed value — the
+    * standard two-sample test, ties handled by evaluating only at jump
+    * points (Conover, Practical Nonparametric Statistics). NaN never
+    * ranks (the engine-wide posture); a group present in only one frame
+    * reports the other side's n as 0 with ks_fp NULL (no distribution to
+    * compare — visible, never a fake 0 or 1).
+    *
+    * Scale shape: one scan per side tag-unioned into ONE (group, value)
+    * count aggregate (map-side combined — the exchange carries counts,
+    * not rows), then cumulative windows per group over the distinct
+    * values and one closing aggregate. Ungrouped, the cumulative window
+    * is a single-partition pass over the DISTINCT-value frame — exact-
+    * face cost; for continuous columns with corpus-scale distinct counts,
+    * bucket first (psiQuantileProfile) or group the census.
+    */
+  def ksProfile(other: DataFrame, column: String,
+                groupBy: Seq[String] = Nil): Chain = {
+    AggOps.requirePsiGroupNames("ks_profile", groupBy,
+      Seq("n_base", "n_other", "ks_fp", "_v", "_ca", "_cuma", "_cumb",
+        "_na", "_nb"))
+    Seq(c.df -> "base chain", other -> "other frame").foreach { case (df, who) =>
+      require(df.columns.contains(column), s"ks_profile: $who is missing column '$column'")
+      groupBy.foreach(g => require(df.columns.contains(g),
+        s"ks_profile: $who is missing group column '$g'"))
+    }
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    def side(df: DataFrame, tag: Int) =
+      df.select((groupBy.map(col) ++ Seq(xr.as("_v"), lit(tag).as("_s"))): _*)
+        .where(col("_v").isNotNull)
+    val counts = side(c.df, 0).unionByName(side(other, 1))
+      .groupBy((groupBy.map(col) :+ col("_v")): _*)
+      .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
+        count(when(col("_s") === 1, lit(1))).as("_cb"))
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val wCum = wPart.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    val stepped = counts
+      .withColumn("_cuma", sum(col("_ca")).over(wCum))
+      .withColumn("_cumb", sum(col("_cb")).over(wCum))
+      .withColumn("_na", sum(col("_ca")).over(wPart))
+      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    val dTerm = when(col("_na") > 0L && col("_nb") > 0L,
+      abs(fpq(col("_cuma").cast("double") / col("_na").cast("double")) -
+        fpq(col("_cumb").cast("double") / col("_nb").cast("double"))))
+    val df2 = (
+      if (groupBy.isEmpty) stepped.groupBy()
+      else stepped.groupBy(groupBy.map(col): _*))
+      .agg(max(col("_na")).as("n_base"), max(col("_nb")).as("n_other"),
+        max(dTerm).as("ks_fp"))
+    c.next("ks_profile", df2, None)
+  }
+
+  /** l_diversity_violations(quasi_cols, sensitive_col, l): the second
+    * privacy audit next to [[kAnonymityViolations]] — every equivalence
+    * class over the quasi-identifiers whose SENSITIVE column shows fewer
+    * than `l` distinct values (Machanavajjhala et al., "ℓ-Diversity:
+    * Privacy Beyond k-Anonymity", ICDE 2006): a class can be k-anonymous
+    * and still leak ("all five matching patients have the same
+    * diagnosis"). Output per violating class: the quasi columns, `n`
+    * (class size), `n_sensitive` (distinct sensitive values — a NULL
+    * sensitive value counts as one more observed value: an attacker
+    * learns "not disclosed", which narrows too). Empty result = the
+    * table is ℓ-diverse on those columns. Null quasi values group
+    * together, the [[kAnonymityViolations]] convention.
+    *
+    * Scale: one hash aggregate with map-side combine (COUNT DISTINCT
+    * shuffles (class, sensitive) pairs, not rows); HAVING cuts to
+    * violations before anything else runs.
+    */
+  def lDiversityViolations(quasiCols: Seq[String], sensitiveCol: String,
+                           l: Int): Chain = {
+    require(quasiCols.nonEmpty, "l_diversity needs at least one quasi-identifier column")
+    require(l >= 2, s"l_diversity needs l >= 2, got $l")
+    require(!quasiCols.contains(sensitiveCol),
+      s"l_diversity: sensitive column '$sensitiveCol' cannot be a quasi-identifier")
+    (sensitiveCol +: quasiCols).foreach(cn => require(c.df.columns.contains(cn),
+      s"l_diversity: chain is missing column '$cn'"))
+    val s = col(sensitiveCol)
+    val df2 = c.df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (countDistinct(s) +
+          max(when(s.isNull, lit(1L)).otherwise(lit(0L)))).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+    val qSql = quasiCols.mkString(", ")
+    val sq = Naming.quoteId(sensitiveCol)
+    val nsSql = s"COUNT(DISTINCT $sq) + MAX(CASE WHEN $sq IS NULL THEN 1 ELSE 0 END)"
+    c.next("l_diversity_violations", df2, Some(
+      s"SELECT $qSql, COUNT(*) AS n, $nsSql AS n_sensitive FROM {{source}} " +
+        s"GROUP BY $qSql HAVING $nsSql < $l"))
+  }
+
+  /** t_closeness_violations(quasi_cols, sensitive_col, t_fp): the third
+    * privacy audit, completing [[kAnonymityViolations]] /
+    * [[lDiversityViolations]] — every equivalence class whose SENSITIVE
+    * value distribution sits farther than `t` from the table's global
+    * distribution (Li, Li & Venkatasubramanian, "t-Closeness: Privacy
+    * Beyond k-Anonymity and ℓ-Diversity", ICDE 2007): a class can be
+    * ℓ-diverse yet still leak when its mix is skewed ("90% of this class
+    * has the rare diagnosis"). Distance is total variation
+    * ½ Σ |p_s − q_s| (the categorical instantiation; the paper's EMD
+    * needs a ground metric the engine cannot guess), computed from
+    * class-present values only via
+    *
+    *   TVD = ½ (Σ_{s∈class} |p_s − q_s| + 1 − Σ_{s∈class} q_s)
+    *
+    * (absent values contribute exactly their global mass). Per-value
+    * terms are fpq-quantized before the integer sums, so `tvd_fp` (1e-6)
+    * is a pure function of the counts — engine-exact. A NULL sensitive
+    * value is a value like any other (its skew leaks too). Output per
+    * violating class: the quasi columns, `n`, `tvd_fp`; empty result =
+    * the table is t-close. `t_fp` is the threshold in 1e-6 (default
+    * 200000 = 0.2).
+    *
+    * Scale: one hash aggregate over (class, sensitive) — counts, not
+    * rows — then three window passes over that bounded frame (class /
+    * value / global partitions) and one closing aggregate per class. The
+    * global window is a single-partition pass over the count frame (the
+    * ksProfile caveat — value-domain bounded).
+    */
+  def tClosenessViolations(quasiCols: Seq[String], sensitiveCol: String,
+                           tFp: Long = 200000L): Chain = {
+    require(quasiCols.nonEmpty, "t_closeness needs at least one quasi-identifier column")
+    require(tFp > 0L && tFp < 1000000L,
+      s"t_closeness: t_fp is a 1e-6 fixed-point TVD in (0, 1e6), got $tFp")
+    require(!quasiCols.contains(sensitiveCol),
+      s"t_closeness: sensitive column '$sensitiveCol' cannot be a quasi-identifier")
+    (sensitiveCol +: quasiCols).foreach(cn => require(c.df.columns.contains(cn),
+      s"t_closeness: chain is missing column '$cn'"))
+    val reservedT = Seq("n", "tvd_fp", "_c", "_nc", "_gs", "_tn", "_t1", "_t2")
+    val hitT = (quasiCols :+ sensitiveCol).filter(reservedT.contains)
+    require(hitT.isEmpty, s"t_closeness: columns collide with " +
+      s"output/internal names ${hitT.mkString(", ")} — rename first")
+    val qcols = quasiCols.map(col)
+    val s = col(sensitiveCol)
+    val joint = c.df.groupBy((qcols :+ s): _*).agg(count(lit(1)).as("_c"))
+    val wClass = Window.partitionBy(qcols: _*)
+    val wVal = Window.partitionBy(s)
+    val wAll = Window.partitionBy()
+    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    val stepped = joint
+      .withColumn("_nc", sum(col("_c")).over(wClass))
+      .withColumn("_gs", sum(col("_c")).over(wVal))
+      .withColumn("_tn", sum(col("_c")).over(wAll))
+    val p = col("_c").cast("double") / col("_nc").cast("double")
+    val q = col("_gs").cast("double") / col("_tn").cast("double")
+    val closed = stepped
+      .withColumn("_t1", fpq(abs(p - q)))
+      .withColumn("_t2", fpq(q))
+      .groupBy(qcols: _*)
+      .agg(max(col("_nc")).as("n"),
+        floor((sum(col("_t1")) + lit(1000000L) - sum(col("_t2"))).cast("double") /
+          lit(2.0) + lit(0.5)).cast("long").as("tvd_fp"))
+      .where(col("tvd_fp") > tFp)
+    val qSql = quasiCols.mkString(", ")
+    val sq = Naming.quoteId(sensitiveCol)
+    val pS = "CAST(_c AS DOUBLE) / CAST(_nc AS DOUBLE)"
+    val qS = "CAST(_gs AS DOUBLE) / CAST(_tn AS DOUBLE)"
+    c.next("t_closeness_violations", closed, Some(
+      s"SELECT $qSql, n, tvd_fp FROM (" +
+        s"SELECT $qSql, MAX(_nc) AS n, " +
+        s"CAST(FLOOR(CAST(SUM(_t1) + 1000000 - SUM(_t2) AS DOUBLE) / 2.0 + 0.5) AS BIGINT) AS tvd_fp " +
+        s"FROM (SELECT $qSql, _nc, " +
+        s"CAST(FLOOR(ABS($pS - $qS) * 1e6 + 0.5) AS BIGINT) AS _t1, " +
+        s"CAST(FLOOR(($qS) * 1e6 + 0.5) AS BIGINT) AS _t2 " +
+        s"FROM (SELECT $qSql, $sq, COUNT(*) AS _c, " +
+        s"SUM(COUNT(*)) OVER (PARTITION BY $qSql) AS _nc, " +
+        s"SUM(COUNT(*)) OVER (PARTITION BY $sq) AS _gs, " +
+        s"SUM(COUNT(*)) OVER () AS _tn " +
+        s"FROM {{source}} GROUP BY $qSql, $sq)) " +
+        s"GROUP BY $qSql) WHERE tvd_fp > $tFp"))
+  }
+
+  /** jsd_profile(other, column, group_by): Jensen–Shannon divergence
+    * between this chain's (base) and `other`'s categorical distributions
+    * of `column` — per group:
+    *
+    *   n_base / n_other / n_values   side totals, distinct values seen
+    *   h_base / h_other / h_mix      Shannon entropies of each side and
+    *                                 of the 50/50 mixture m = (p+q)/2
+    *   jsd                           H(m) − (H(p) + H(q))/2 ∈ [0, ln 2]
+    *
+    * The bounded, symmetric companion to [[psiCategoricalProfile]] (PSI
+    * blows up on eps-floored empty cells and is asymmetric; JSD is what
+    * corpus-mix monitoring dashboards plot). Per-value entropy terms
+    * fpq(d·ln d) are quantized BEFORE the exact-decimal sums — shares are
+    * exact integer-over-integer IEEE divisions, so every output is a
+    * pure function of the two count multisets (engine-exact; 0·ln 0
+    * terms are 0). Nulls are excluded on both sides; a group with an
+    * empty side reports that side's n as 0 with NULL entropies and jsd
+    * (no distribution to compare — the [[ksProfile]] posture).
+    *
+    * Scale shape: one scan per side tag-unioned into ONE (group, value)
+    * count aggregate; totals ride group-partitioned windows over that
+    * count frame (counts, not rows) and one closing aggregate per group.
+    */
+  def jsdProfile(other: DataFrame, column: String,
+                 groupBy: Seq[String] = Nil): Chain = {
+    AggOps.requirePsiGroupNames("jsd_profile", groupBy,
+      Seq("n_base", "n_other", "n_values", "h_base", "h_other", "h_mix",
+        "jsd", "_v", "_ca", "_na", "_nb"))
+    Seq(c.df -> "base chain", other -> "other frame").foreach { case (df, who) =>
+      require(df.columns.contains(column), s"jsd_profile: $who is missing column '$column'")
+      groupBy.foreach(g => require(df.columns.contains(g),
+        s"jsd_profile: $who is missing group column '$g'"))
+    }
+    def side(df: DataFrame, tag: Int) =
+      df.where(col(column).isNotNull)
+        .select((groupBy.map(col) ++ Seq(col(column).cast("string").as("_v"),
+          lit(tag).as("_s"))): _*)
+    val counts = side(c.df, 0).unionByName(side(other, 1))
+      .groupBy((groupBy.map(col) :+ col("_v")): _*)
+      .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
+        count(when(col("_s") === 1, lit(1))).as("_cb"))
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val stepped = counts
+      .withColumn("_na", sum(col("_ca")).over(wPart))
+      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    // per-value quantized d·ln(d) term; d = 0 contributes 0 exactly
+    def term(d: Column) =
+      when(d > 0.0, fpq(d * log(d))).otherwise(lit(0L))
+    // guard the shares: an empty side has _na/_nb = 0 and ANSI mode
+    // raises on the division; the zeroed share contributes a 0 term and
+    // the entropy guards null the empty side's outputs anyway
+    val p = when(col("_na") > 0L,
+      col("_ca").cast("double") / col("_na").cast("double")).otherwise(lit(0.0))
+    val q = when(col("_nb") > 0L,
+      col("_cb").cast("double") / col("_nb").cast("double")).otherwise(lit(0.0))
+    val m = (p + q) / lit(2.0)
+    val Dec = DecimalType(38, 0)
+    val closed = (
+      if (groupBy.isEmpty) stepped.groupBy()
+      else stepped.groupBy(groupBy.map(col): _*))
+      .agg(max(col("_na")).as("n_base"), max(col("_nb")).as("n_other"),
+        count(lit(1)).as("n_values"),
+        sum(term(p).cast(Dec)).as("_slp"),
+        sum(term(q).cast(Dec)).as("_slq"),
+        sum(when(col("_na") > 0L && col("_nb") > 0L, term(m))
+          .otherwise(lit(null)).cast(Dec)).as("_slm"))
+    def h(sln: String, nOk: Column) = when(nOk,
+      -(col(sln).cast("double") / lit(1e6)))
+    val df2 = closed
+      .withColumn("h_base", h("_slp", col("n_base") > 0L))
+      .withColumn("h_other", h("_slq", col("n_other") > 0L))
+      .withColumn("h_mix", h("_slm", col("n_base") > 0L && col("n_other") > 0L))
+      .withColumn("jsd", col("h_mix") - (col("h_base") + col("h_other")) / lit(2.0))
+      .select((groupBy.map(col) ++ Seq(col("n_base"), col("n_other"),
+        col("n_values"), col("h_base"), col("h_other"), col("h_mix"),
+        col("jsd"))): _*)
+    c.next("jsd_profile", df2, None)
+  }
+
+  /** mutual_information(col_a, col_b, group_by): dependence census of two
+    * categorical columns — per group:
+    *
+    *   n, n_a, n_b, n_ab   joint row count / distinct values per side /
+    *                       occupied joint cells
+    *   h_a, h_b, h_ab      Shannon entropies in nats (the
+    *                       [[entropyProfile]] quantized closing)
+    *   mi                  I(A;B) = H(A) + H(B) − H(A,B)
+    *
+    * High MI between `source` and `lang`, or between a quasi-identifier
+    * pair, is the "these columns leak each other" readout — the natural
+    * next question after [[entropyProfile]]'s per-column balance and
+    * [[crossTable]]'s χ² (χ² tests independence; MI measures it in nats
+    * on the same joint counts). Rows with a null in EITHER column are
+    * excluded (a joint census needs both coordinates; matches the
+    * entropy null posture). Every c·ln(c) term is quantized to 1e-6
+    * fixed point before the exact-decimal sums, so all outputs are pure
+    * functions of the joint counts — engine-exact. Quantization can
+    * leave a tiny negative mi (≈1e-6) on independent columns; that is
+    * the quantized truth, not an error.
+    *
+    * Scale shape: ONE corpus scan into the (group, a, b) joint-count
+    * aggregate (map-side combined); marginals and the closing fold are
+    * derived from that SAME frame (three tiny aggregates over joint
+    * counts — Catalyst reuses the joint exchange), never a corpus
+    * rescan. The joint frame is |A|·|B|-bounded per group — counts, not
+    * rows.
+    */
+  def mutualInformation(colA: String, colB: String,
+                        groupBy: Seq[String] = Nil): Chain = {
+    require(colA != colB, s"mutual_information needs two distinct columns, got '$colA' twice")
+    Seq(colA, colB).foreach(cn => require(c.df.columns.contains(cn),
+      s"mutual_information: chain is missing column '$cn'"))
+    AggOps.requirePsiGroupNames("mutual_information", groupBy,
+      Seq("n", "n_a", "n_b", "n_ab", "h_a", "h_b", "h_ab", "mi",
+        "_va", "_vb", "_cab", "_cm", "_slna", "_slnb", "_slnab"))
+    require(!groupBy.contains(colA) && !groupBy.contains(colB),
+      "mutual_information: group columns overlap the census columns")
+    val gcols = groupBy.map(col)
+    val joint = c.df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy((gcols ++ Seq(col(colA).cast("string").as("_va"),
+        col(colB).cast("string").as("_vb"))): _*)
+      .agg(count(lit(1)).as("_cab"))
+    def fpLn(v: Column) = floor(v * log(v) * lit(1e6) + lit(0.5)).cast("long")
+    def slnSum(cnt: Column) = sum(fpLn(cnt.cast("double")).cast(DecimalType(38, 0)))
+    def marginal(key: String, nAs: String, slnAs: String) = joint
+      .groupBy((gcols :+ col(key)): _*).agg(sum(col("_cab")).as("_cm"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as(nAs), slnSum(col("_cm")).as(slnAs))
+    val aAgg = marginal("_va", "n_a", "_slna")
+    val bAgg = marginal("_vb", "n_b", "_slnb")
+    val jAgg = joint.groupBy(gcols: _*)
+      .agg(sum(col("_cab")).as("n"), count(lit(1)).as("n_ab"),
+        slnSum(col("_cab")).as("_slnab"))
+    val merged =
+      if (groupBy.isEmpty) jAgg.crossJoin(aAgg).crossJoin(bAgg)
+      else jAgg.join(aAgg, groupBy).join(bAgg, groupBy)
+    val nD = col("n").cast("double")
+    def h(sln: String) = (floor(log(nD) * lit(1e6) + lit(0.5)) / lit(1e6)) -
+      (col(sln).cast("double") / lit(1e6)) / nD
+    val df2 = merged
+      .withColumn("h_a", h("_slna"))
+      .withColumn("h_b", h("_slnb"))
+      .withColumn("h_ab", h("_slnab"))
+      .withColumn("mi", (col("h_a") + col("h_b")) - col("h_ab"))
+      .select((gcols ++ Seq(col("n"), col("n_a"), col("n_b"), col("n_ab"),
+        col("h_a"), col("h_b"), col("h_ab"), col("mi"))): _*)
+      // an empty (all-null-pair) ungrouped input leaves one all-null
+      // aggregate row — dropped, matching entropyProfile's HAVING
+      .where(col("n").isNotNull)
+    // SQL face: the joint-count subquery appears three times in TEXT (an
+    // engine's CSE collapses them; the DataFrame face shares the one
+    // exchange) — the entropyProfile closing arithmetic verbatim
+    val ca = Naming.quoteId(colA)
+    val cb = Naming.quoteId(colB)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s", ${groupBy.mkString(", ")}"
+    val gGrp = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val jointSql =
+      s"SELECT ${gSel}CAST($ca AS STRING) AS _va, CAST($cb AS STRING) AS _vb, " +
+        s"COUNT(*) AS _cab FROM {{source}} WHERE $ca IS NOT NULL AND $cb IS NOT NULL " +
+        s"GROUP BY _va, _vb$gBy"
+    def slnS(cnt: String) =
+      s"SUM(CAST(CAST(FLOOR(CAST($cnt AS DOUBLE) * LN(CAST($cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
+    def margS(key: String, nAs: String, slnAs: String) =
+      s"SELECT ${gSel}COUNT(*) AS $nAs, ${slnS("_cm")} AS $slnAs FROM (" +
+        s"SELECT $gSel$key, SUM(_cab) AS _cm FROM ($jointSql) GROUP BY $key$gBy)$gGrp"
+    val jS = s"SELECT ${gSel}SUM(_cab) AS n, COUNT(*) AS n_ab, " +
+      s"${slnS("_cab")} AS _slnab FROM ($jointSql)$gGrp"
+    def hS(sln: String) =
+      s"FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
+        s"(CAST($sln AS DOUBLE) / 1000000) / CAST(n AS DOUBLE)"
+    val joinS =
+      if (groupBy.isEmpty) s"($jS) CROSS JOIN (${margS("_va", "n_a", "_slna")}) " +
+        s"CROSS JOIN (${margS("_vb", "n_b", "_slnb")})"
+      else s"($jS) JOIN (${margS("_va", "n_a", "_slna")}) " +
+        s"USING (${groupBy.mkString(", ")}) JOIN (${margS("_vb", "n_b", "_slnb")}) " +
+        s"USING (${groupBy.mkString(", ")})"
+    val frag =
+      s"SELECT ${gSel}n, n_a, n_b, n_ab, h_a, h_b, h_ab, (h_a + h_b) - h_ab AS mi " +
+        s"FROM (SELECT ${gSel}n, n_a, n_b, n_ab, ${hS("_slna")} AS h_a, " +
+        s"${hS("_slnb")} AS h_b, ${hS("_slnab")} AS h_ab FROM ($joinS)) " +
+        s"WHERE n IS NOT NULL"
+    c.next("mutual_information", df2, Some(frag))
+  }
+
+  /** feature_relevance(label_col, features, group_by): rank candidate
+    * features by how much label information they carry — one output row
+    * per (group, feature):
+    *
+    *   n          rows where BOTH the feature and the label are non-null
+    *              (exclusions are per-feature, so each feature's census
+    *              is over exactly the rows it could be trained on)
+    *   n_values / n_labels   distinct feature / label values seen there
+    *   h_feature / h_label   Shannon entropies (quantized closing)
+    *   mi         I(feature; label) = H(F) + H(L) − H(F,L)
+    *   u          the uncertainty coefficient U(label|feature) =
+    *              mi / h_label (Theil's U — the share of label entropy
+    *              the feature explains; 0 = useless, 1 = determines the
+    *              label), NULL when h_label = 0
+    *
+    * The feature-selection pass for a quality classifier
+    * ([[logisticRegression]]): rank the candidate columns, keep the top
+    * few, and drop the quasi-duplicates a high pairwise
+    * [[mutualInformation]] between features reveals. Same quantized
+    * fixed-point closing as [[entropyProfile]] — engine-exact.
+    *
+    * Scale shape: the features melt into ONE corpus scan (the
+    * entropyProfile explode — the exchange carries (feature, value,
+    * label) counts, not rows); joint, feature-marginal and
+    * label-marginal statistics are all re-aggregations of that single
+    * joint-count frame. No driver reads, no per-feature rescans.
+    */
+  def featureRelevance(labelCol: String, features: Seq[String],
+                       groupBy: Seq[String] = Nil): Chain = {
+    require(features.nonEmpty, "feature_relevance needs at least one feature")
+    require(features.distinct.size == features.size,
+      s"feature_relevance features repeat: $features")
+    require(!features.contains(labelCol),
+      s"feature_relevance: label '$labelCol' cannot also be a feature")
+    (labelCol +: features).foreach(cn => require(c.df.columns.contains(cn),
+      s"feature_relevance: chain is missing column '$cn'"))
+    AggOps.requirePsiGroupNames("feature_relevance", groupBy,
+      Seq("col_name", "n", "n_values", "n_labels", "h_feature", "h_label",
+        "mi", "u", "_c", "_v", "_l", "_cfl", "_cm", "_slnf", "_slnl", "_slnfl"))
+    require(!groupBy.contains(labelCol) && groupBy.intersect(features).isEmpty,
+      "feature_relevance: group columns overlap the census columns")
+    val gcols = groupBy.map(col)
+    val melted = c.df.where(col(labelCol).isNotNull)
+      .select((gcols ++ Seq(col(labelCol).cast("string").as("_l"),
+        explode(array(features.map(fn =>
+          struct(lit(fn).as("_c"), col(fn).cast("string").as("_v"))): _*)).as("_m"))): _*)
+      .select((gcols ++ Seq(col("_m._c").as("_c"), col("_m._v").as("_v"),
+        col("_l"))): _*)
+      .where(col("_v").isNotNull)
+    val joint = melted
+      .groupBy((gcols ++ Seq(col("_c"), col("_v"), col("_l"))): _*)
+      .agg(count(lit(1)).as("_cfl"))
+    def fpLn(v: Column) = floor(v * log(v) * lit(1e6) + lit(0.5)).cast("long")
+    def slnSum(cnt: Column) = sum(fpLn(cnt.cast("double")).cast(DecimalType(38, 0)))
+    val keyCols = gcols :+ col("_c")
+    val keyNames = groupBy :+ "_c"
+    val jAgg = joint.groupBy(keyCols: _*)
+      .agg(sum(col("_cfl")).as("n"), slnSum(col("_cfl")).as("_slnfl"))
+    val fAgg = joint.groupBy((keyCols :+ col("_v")): _*)
+      .agg(sum(col("_cfl")).as("_cm")).groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_values"), slnSum(col("_cm")).as("_slnf"))
+    val lAgg = joint.groupBy((keyCols :+ col("_l")): _*)
+      .agg(sum(col("_cfl")).as("_cm")).groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_labels"), slnSum(col("_cm")).as("_slnl"))
+    val merged = jAgg.join(fAgg, keyNames).join(lAgg, keyNames)
+    val nD = col("n").cast("double")
+    def h(sln: String) = (floor(log(nD) * lit(1e6) + lit(0.5)) / lit(1e6)) -
+      (col(sln).cast("double") / lit(1e6)) / nD
+    val df2 = merged
+      .withColumn("h_feature", h("_slnf"))
+      .withColumn("h_label", h("_slnl"))
+      .withColumn("mi", (col("h_feature") + col("h_label")) - h("_slnfl"))
+      .withColumn("u", when(col("h_label") > 0.0, col("mi") / col("h_label")))
+      .select((gcols ++ Seq(col("_c").as("col_name"), col("n"),
+        col("n_values"), col("n_labels"), col("h_feature"), col("h_label"),
+        col("mi"), col("u"))): _*)
+      // empty-input ungrouped aggregates leave an all-null row — dropped,
+      // the mutualInformation/entropy posture
+      .where(col("n").isNotNull)
+    // SQL face: one branch per feature (the entropyProfile UNION ALL
+    // regime) — each branch is the mutualInformation closing with the
+    // label as side B
+    val lq = Naming.quoteId(labelCol)
+    val gSel = if (groupBy.isEmpty) "" else groupBy.mkString(", ") + ", "
+    val gBy = if (groupBy.isEmpty) "" else s", ${groupBy.mkString(", ")}"
+    val gGrp = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    def slnS(cnt: String) =
+      s"SUM(CAST(CAST(FLOOR(CAST($cnt AS DOUBLE) * LN(CAST($cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0)))"
+    def hS(sln: String) =
+      s"FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
+        s"(CAST($sln AS DOUBLE) / 1000000) / CAST(n AS DOUBLE)"
+    val branches = features.map { fn =>
+      val fq = Naming.quoteId(fn)
+      val jointSql =
+        s"SELECT ${gSel}CAST($fq AS STRING) AS _v, CAST($lq AS STRING) AS _l, " +
+          s"COUNT(*) AS _cfl FROM {{source}} WHERE $fq IS NOT NULL AND $lq IS NOT NULL " +
+          s"GROUP BY _v, _l$gBy"
+      val jS = s"SELECT ${gSel}SUM(_cfl) AS n, ${slnS("_cfl")} AS _slnfl FROM ($jointSql)$gGrp"
+      def mS(key: String, nAs: String, slnAs: String) =
+        s"SELECT ${gSel}COUNT(*) AS $nAs, ${slnS("_cm")} AS $slnAs FROM (" +
+          s"SELECT $gSel$key, SUM(_cfl) AS _cm FROM ($jointSql) GROUP BY $key$gBy)$gGrp"
+      val joinS =
+        if (groupBy.isEmpty) s"($jS) CROSS JOIN (${mS("_v", "n_values", "_slnf")}) " +
+          s"CROSS JOIN (${mS("_l", "n_labels", "_slnl")})"
+        else s"($jS) JOIN (${mS("_v", "n_values", "_slnf")}) " +
+          s"USING (${groupBy.mkString(", ")}) JOIN (${mS("_l", "n_labels", "_slnl")}) " +
+          s"USING (${groupBy.mkString(", ")})"
+      s"SELECT $gSel'${fn.replace("'", "''")}' AS col_name, n, n_values, n_labels, " +
+        s"h_feature, h_label, mi, CASE WHEN h_label > 0 THEN mi / h_label END AS u " +
+        s"FROM (SELECT ${gSel}n, n_values, n_labels, h_feature, h_label, " +
+        s"(h_feature + h_label) - h_fl AS mi FROM (" +
+        s"SELECT ${gSel}n, n_values, n_labels, ${hS("_slnf")} AS h_feature, " +
+        s"${hS("_slnl")} AS h_label, ${hS("_slnfl")} AS h_fl FROM ($joinS))) " +
+        s"WHERE n IS NOT NULL"
+    }
+    c.next("feature_relevance", df2, Some(branches.mkString(" UNION ALL ")))
+  }
 }
 
 private[graft] object AggOps {
@@ -2240,6 +2861,46 @@ private[graft] object AggOps {
     * not collide with output/internal names or the `_t_`/`_p_`/`_cg_`
     * rename prefixes the null-safe joins use.
     */
+  /** Pool-adjacent-violators over per-bucket (Σ fpq(label), count) pairs —
+    * [[AggOps.isotonicFit]]'s driver pass. Violations compare by BigInt
+    * cross-product (exact at any corpus size — pos_fp·n passes 2^63
+    * around 3e9 rows/bucket); each bucket's calibrated value is its
+    * block's floor(pos/n + 0.5), empty buckets inherit the previous
+    * block's (leading empties the first's). (Lives here, not in the value
+    * class: nested classes can't.)
+    */
+  private[graft] def pavPool(pos: Array[Long], n: Array[Long]): Array[Long] = {
+    val buckets = n.length
+    final case class Blk(var p: BigInt, var w: Long, var hi: Int)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    (0 until buckets).filter(n(_) > 0L).foreach { i =>
+      blocks += Blk(BigInt(pos(i)), n(i), i)
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val z = blocks.last
+        a.p * z.w > z.p * a.w
+      }) {
+        val z = blocks.remove(blocks.length - 1)
+        val a = blocks.last
+        a.p += z.p; a.w += z.w; a.hi = z.hi
+      }
+    }
+    val cal = new Array[Long](buckets)
+    var bi = 0
+    var prev = {
+      val f = blocks.head
+      math.floor((f.p.toDouble / f.w) + 0.5).toLong
+    }
+    (0 until buckets).foreach { i =>
+      if (bi < blocks.length && n(i) > 0L) {
+        val blk = blocks(bi)
+        prev = math.floor((blk.p.toDouble / blk.w) + 0.5).toLong
+        if (i == blk.hi) bi += 1
+      }
+      cal(i) = prev
+    }
+    cal
+  }
+
   private[graft] def requirePsiGroupNames(op: String, groupBy: Seq[String],
                                           extra: Seq[String]): Unit = {
     val reserved = Seq("bucket", "cnt_base", "cnt_other", "psi_term",

@@ -112,6 +112,83 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       Some(s"SELECT *, $sqlAgg AS $name FROM {{source}}"))
   }
 
+  /** frequency_encode(column, normalize): encode each category by how
+    * often it occurs — `<col>_freq` (BIGINT count; with `normalize` the
+    * DOUBLE share count/total) — the zero-leakage encoding for
+    * high-cardinality categoricals (no target involved, unlike
+    * [[targetEncode]]; rare-category signal survives where one-hot
+    * explodes). Null is a category like any other (its frequency is
+    * exactly as informative). One window pass partitioned by the
+    * category; the share is an exact integer-over-integer IEEE division
+    * — engine-exact either way.
+    */
+  def frequencyEncode(column: String, normalize: Boolean = false): Chain = {
+    require(c.df.columns.contains(column),
+      s"frequency_encode: chain is missing column '$column'")
+    val name = Naming.cleanse(s"${column}_freq")
+    val w = Window.partitionBy(col(column))
+    val cnt = count(lit(1)).over(w)
+    val e =
+      if (normalize) cnt.cast("double") / count(lit(1)).over(Window.partitionBy()).cast("double")
+      else cnt
+    val cn = Naming.quoteId(column)
+    val eSql =
+      if (normalize)
+        s"CAST(COUNT(*) OVER (PARTITION BY $cn) AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)"
+      else s"COUNT(*) OVER (PARTITION BY $cn)"
+    c.next("frequency_encode", c.df.withColumn(name, e),
+      Some(s"SELECT *, $eSql AS $name FROM {{source}}"))
+  }
+
+  /** target_encode_smoothed(column, target, m): the m-estimate (empirical
+    * Bayes) variant of [[targetEncode]] —
+    *
+    *   (Σ_category target + m · global_mean) / (n_category + m)
+    *
+    * (Micci-Barreca, SIGKDD Explorations 2001): small categories shrink
+    * toward the global mean instead of memorizing their handful of
+    * targets — the standard leakage damper for high-cardinality
+    * encodings; m ≈ the category size where you trust the local mean
+    * half-way. Sums run through exact decimal accumulation on both
+    * category and global sides (the [[graft.core.Exact]] regime), NaN
+    * targets are excluded consistently, and the final combination is a
+    * fixed chain of IEEE double ops — engine-exact. Null category is a
+    * category like any other. Two window passes sharing one exchange
+    * (category partition + the global frame over the same pass shape).
+    */
+  def targetEncodeSmoothed(column: String, target: String, m: Double = 10.0): Chain = {
+    require(m > 0.0, s"target_encode_smoothed: m must be positive, got $m")
+    Seq(column, target).foreach(cn => require(c.df.columns.contains(cn),
+      s"target_encode_smoothed: chain is missing column '$cn'"))
+    val name = Naming.cleanse(s"${column}_target_enc_sm")
+    val wCat = Window.partitionBy(col(column))
+    val wAll = Window.partitionBy()
+    val dt = c.df.schema(target).dataType
+    val tExcl =
+      if (Exact.isFloating(dt)) when(!isnan(col(target).cast("double")), col(target))
+      else col(target)
+    def sumOf(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(tExcl.cast(Exact.Wide)).over(w).cast("double")
+    def cntOf(w: org.apache.spark.sql.expressions.WindowSpec) =
+      count(tExcl).over(w).cast("double")
+    val gMean = sumOf(wAll) / cntOf(wAll)
+    val e = (sumOf(wCat) + lit(m) * gMean) / (cntOf(wCat) + lit(m))
+    val cn = Naming.quoteId(column)
+    val tq = Naming.quoteId(target)
+    val tS =
+      if (Exact.isFloating(dt))
+        s"CASE WHEN NOT isnan(CAST($tq AS DOUBLE)) THEN $tq END"
+      else tq
+    def sumS(part: String) =
+      s"CAST(SUM(CAST($tS AS DECIMAL(38,${Exact.Scale}))) OVER ($part) AS DOUBLE)"
+    def cntS(part: String) = s"CAST(COUNT($tS) OVER ($part) AS DOUBLE)"
+    val gMeanS = s"${sumS("")} / ${cntS("")}"
+    val mLit = s"CAST('${m}' AS DOUBLE)"
+    c.next("target_encode_smoothed", c.df.withColumn(name, e),
+      Some(s"SELECT *, (${sumS(s"PARTITION BY $cn")} + $mLit * ($gMeanS)) / " +
+        s"(${cntS(s"PARTITION BY $cn")} + $mLit) AS $name FROM {{source}}"))
+  }
+
   /** impute(imputations, flag_missing_vals): fill nulls with a constant or
     * a computed statistic ("mean" | "median" | "mode") per column; optional
     * `<col>_missing_flag` indicators. Statistics come from one bounded
@@ -484,6 +561,173 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         s"WHEN b._r_med IS NULL THEN CAST(NULL AS DOUBLE) " +
         s"ELSE ($xS - b._r_med) / (CASE WHEN $iqrS = 0 THEN 1.0 ELSE $iqrS END) " +
         s"END AS $outName FROM {{source}} s $joinSql"))
+  }
+
+  /** quantile_normalize(column, group_by, reference): map each value onto
+    * the reference distribution's order statistic at the same rank
+    * fraction — `<col>_qnorm` — the classic cross-source score
+    * calibration (quantile normalization; Bolstad et al.,
+    * Bioinformatics 2003): after normalization every group's empirical
+    * distribution is a subsample of the reference's, so a "quality 0.8"
+    * from source A and source B mean the same thing. `reference` defaults
+    * to the chain itself (each group maps onto the POOLED distribution —
+    * the microarray formulation); pass a side chain to calibrate onto a
+    * trusted corpus instead.
+    *
+    * Semantics: r = RANK() of the value within its group over the
+    * NaN-excluded ascending order (ties share the min rank, so tied
+    * inputs normalize identically — deterministic where ROW_NUMBER on
+    * ties is not), n = the group's non-null count, and the output is the
+    * reference value at nearest rank ceil(r·N/n) (clamped to [1, N],
+    * N = reference non-null count). The index arithmetic runs through
+    * IEEE doubles (CEIL(r·N/n)) — exact for any N below 2^26 and, above
+    * that, still deterministic and engine-portable (the winsorize
+    * CAST-through-double convention). NaN never ranks and passes through
+    * row-wise; null stays null; an empty (all-null/NaN) reference nulls
+    * the output.
+    *
+    * Scale shape: one rank window per group (same shape as [[winsorize]])
+    * plus a GLOBAL sort of the reference for the rank lookup table and a
+    * rank-keyed equi-join — the exact face. At corpus scale the reference
+    * sort is the bottleneck: [[quantileNormalizeSketch]] replaces the
+    * lookup table with an L-point KLL cutoff array that rides the plan as
+    * a broadcast one-row frame (no reference sort, no join).
+    */
+  def quantileNormalize(column: String, groupBy: Seq[String] = Seq.empty,
+                        reference: Option[Chain] = None): Chain = {
+    val reserved = Seq("_qn_r", "_qn_n", "_qn_tot", "_qn_t", "_qn_rk", "_qn_v")
+    reserved.foreach(n => require(!c.df.columns.contains(n),
+      s"quantile_normalize: column '$n' collides with an internal name — rename first"))
+    require(groupBy.intersect(reserved).isEmpty,
+      s"quantile_normalize: group columns collide with internal names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    val refC = reference.getOrElse(c)
+    require(refC.df.columns.contains(column),
+      s"quantile_normalize: reference chain is missing column '$column'")
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val rx = col(column).cast("double")
+    val rxr = when(!isnan(rx), rx)
+    // the reference CDF lookup table: value at every rank 1..N (ascending
+    // over the NaN-excluded values — ROW_NUMBER among equal values picks
+    // arbitrarily, but the value AT a rank is order-independent)
+    val wAll = Window.partitionBy()
+    val refRanks = refC.df.select(rxr.as("_qn_v")).where(col("_qn_v").isNotNull)
+      .select(col("_qn_v"),
+        row_number().over(wAll.orderBy(col("_qn_v").asc)).as("_qn_rk"))
+    // N = the reference's non-null count — a bounded one-row agg probe
+    // (the declared-driver-read convention): a column-pruned COUNT scan,
+    // deliberately NOT derived from the rank frame, whose reuse as both
+    // scalar and join side would make the op a three-way self-join
+    val nRef = refC.df.select(count(rxr)).collect()(0).getLong(0)
+    val wp =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val step1 = c.df
+      .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
+      .withColumn("_qn_n", count(xr).over(wp))
+    val t =
+      if (nRef == 0L) lit(null).cast("long")
+      else when(xr.isNotNull,
+        greatest(lit(1L), least(lit(nRef),
+          ceil(col("_qn_r").cast("double") * lit(nRef.toDouble) /
+            col("_qn_n").cast("double")).cast("long"))))
+    val outName = Naming.cleanse(s"${column}_qnorm")
+    val df2 = step1.withColumn("_qn_t", t)
+      .join(refRanks.withColumnRenamed("_qn_rk", "_qn_t"), Seq("_qn_t"), "left")
+      .withColumn(outName,
+        when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
+          .otherwise(col("_qn_v")))
+      .select((c.df.columns.toSeq.map(col) :+ col(outName)): _*)
+    val cn = Naming.quoteId(column)
+    val xS = s"CAST($cn AS DOUBLE)"
+    val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
+    val wpS =
+      if (groupBy.isEmpty) "" else s"PARTITION BY ${groupBy.mkString(", ")}"
+    // NULLIF keeps an all-null group's n = 0 out of the division (ANSI
+    // raises on divide-by-zero): the NULL rank propagates to a NULL join
+    // key, and such a group's rows are all-null x anyway
+    val tS = "GREATEST(1, CAST(LEAST(CAST(_qn_tot AS DOUBLE), " +
+      "CEIL(CAST(_qn_r AS DOUBLE) * CAST(_qn_tot AS DOUBLE) / " +
+      "CAST(NULLIF(_qn_n, 0) AS DOUBLE))) AS BIGINT))"
+    // renderable only against the chain's own source: a side reference is
+    // a second relation the one-source template can't express
+    val fragment =
+      if (reference.isDefined) None
+      else Some(
+        s"SELECT * EXCEPT (_qn_r, _qn_n, _qn_tot, _qn_t, _qn_v), " +
+          s"CASE WHEN $xS IS NULL THEN NULL WHEN isnan($xS) THEN $xS " +
+          s"ELSE _qn_v END AS $outName FROM (" +
+          s"SELECT s.*, rr._qn_v FROM (" +
+          s"SELECT *, $tS AS _qn_t FROM (" +
+          s"SELECT *, RANK() OVER ($wpS ORDER BY $xrS ASC NULLS LAST) AS _qn_r, " +
+          s"COUNT($xrS) OVER ($wpS) AS _qn_n FROM {{source}}) " +
+          s"CROSS JOIN (SELECT COUNT($xrS) AS _qn_tot FROM {{source}})) s " +
+          s"LEFT JOIN (SELECT $xrS AS _qn_v, ROW_NUMBER() OVER (ORDER BY $xrS ASC) AS _qn_rk " +
+          s"FROM {{source}} WHERE ($xrS) IS NOT NULL) rr ON s._qn_t = rr._qn_rk)")
+    c.next("quantile_normalize", df2, fragment,
+      Map("column" -> column, "group_by" -> groupBy.mkString(",")))
+  }
+
+  /** quantile_normalize_sketch(column, group_by, levels, k, reference):
+    * the corpus-scale face of [[quantileNormalize]] — the reference CDF
+    * lookup table (a global sort at the exact face) is replaced by an
+    * L-point KLL cutoff array: the output for rank fraction p is
+    * cutoff[clamp(ceil(p·L), 1, L)], i.e. the reference quantile at p
+    * rounded up to the 1/L grid, carrying KLL's ±1.65% (k=200) normalized
+    * rank error on top of the grid's 1/(2L) — QuantGateSpec bounds the
+    * disagreement against the exact face. The per-group rank window
+    * remains (p is DEFINED by the group's order statistics); only the
+    * reference-side sort and the rank join disappear: the cutoff array is
+    * ONE bounded row, broadcast, and the application is a pure
+    * projection. Same output contract: `<col>_qnorm`, NaN passes through,
+    * null stays null, an empty reference nulls the output.
+    *
+    * Non-renderable: the cutoff array is a fitted reference-CDF artifact
+    * (the model-op convention of lm_model/pca_fit); the renderable and
+    * ORACLE regime is the exact face.
+    */
+  def quantileNormalizeSketch(column: String, groupBy: Seq[String] = Seq.empty,
+                              levels: Int = 256, k: Int = 200,
+                              reference: Option[Chain] = None): Chain = {
+    require(levels >= 2 && levels <= 65536,
+      s"quantile_normalize_sketch: levels must be in [2, 65536], got $levels")
+    val reserved = Seq("_qn_r", "_qn_n", "_qn_cuts")
+    reserved.foreach(n => require(!c.df.columns.contains(n),
+      s"quantile_normalize_sketch: column '$n' collides with an internal name — rename first"))
+    require(groupBy.intersect(reserved).isEmpty,
+      s"quantile_normalize_sketch: group columns collide with internal names " +
+        s"${groupBy.intersect(reserved).mkString(", ")} — rename first")
+    val refC = reference.getOrElse(c)
+    require(refC.df.columns.contains(column),
+      s"quantile_normalize_sketch: reference chain is missing column '$column'")
+    val x = col(column).cast("double")
+    val xr = when(!isnan(x), x)
+    val rx = col(column).cast("double")
+    val rxr = when(!isnan(rx), rx)
+    val sk = graft.functions.KllSketches.sketchAgg(rxr, k).as("_qn_sk")
+    val cuts = refC.df.agg(sk).select(array((1 to levels).map(i =>
+      graft.functions.KllSketches.quantile(col("_qn_sk"),
+        i.toDouble / levels)): _*).as("_qn_cuts"))
+    val wp =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val tS = greatest(lit(1L), least(lit(levels.toLong),
+      ceil(col("_qn_r").cast("double") * lit(levels.toDouble) /
+        col("_qn_n").cast("double")).cast("long")))
+    val outName = Naming.cleanse(s"${column}_qnorm")
+    val df2 = c.df
+      .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
+      .withColumn("_qn_n", count(xr).over(wp))
+      .crossJoin(broadcast(cuts))
+      .withColumn(outName,
+        when(x.isNull, lit(null).cast("double"))
+          .when(isnan(x), x)
+          .otherwise(element_at(col("_qn_cuts"), tS.cast("int")).cast("double")))
+      .select((c.df.columns.toSeq.map(col) :+ col(outName)): _*)
+    c.next("quantile_normalize_sketch", df2, None,
+      Map("column" -> column, "levels" -> levels.toString))
   }
 
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
