@@ -1103,6 +1103,42 @@ object SparkEntry {
           floor(col("c_acctbal") / lit(2000.0)).cast("long")))
           .lDiversityViolations(Seq("c_mktsegment", "c_nationkey"), "ab", l = 5).df
       }),
+      // ROC AUC over a deterministic correlated score/label fixture with
+      // planted ties — midrank Mann–Whitney, integer numerator/
+      // denominator, the one closing division the only float op
+      "q_auc" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, when}
+        val docs = t(s, d, "documents")
+        Chain(s, "aucd", docs.df.select(col("doc_id"),
+          (((col("doc_id") * 37) % 101).cast("double") / lit(101.0)).as("score"),
+          when((col("doc_id") * 53) % 101 < (col("doc_id") * 37) % 101,
+            lit(1.0)).otherwise(lit(0.0)).as("label")))
+          .aucProfile("score", "label").df
+      }),
+      // Spearman rank correlation of n_chars vs a noisy monotone twin —
+      // midrank integers, exact decimal moment sums, ties on both sides
+      "q_spearman" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val docs = t(s, d, "documents")
+        Chain(s, "spd", docs.df.select(col("doc_id"), col("n_chars"),
+          (col("n_chars") + col("doc_id") % 50).as("noisy")))
+          .spearmanCorr("n_chars", "noisy").df
+      }),
+      // Welch's t mean-shift test, en vs non-en n_chars: exact-decimal
+      // moments, fixed IEEE t/df chains — the oracle replays the same
+      // conditional sums and combination order
+      "q_t_test" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.filterRows(Seq("lang = 'en'"))
+          .tTestProfile(docs.df.where("lang <> 'en'"), "n_chars").df
+      }),
+      // χ² homogeneity of the source mix, en vs non-en: per-cell
+      // (o−e)²/e quantized before the decimal sum, df = values − 1
+      "q_chi2_homogeneity" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+        docs.filterRows(Seq("lang = 'en'"))
+          .chiSquareHomogeneity(docs.df.where("lang <> 'en'"), "source").df
+      }),
       // frequency encoding: category share as a pure window ratio
       "q_frequency_encode" -> ((s, d) => {
         import org.apache.spark.sql.functions.col
@@ -3202,6 +3238,79 @@ object SparkEntry {
           "COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) AS n_sensitive " +
           "FROM t GROUP BY 1, 2 " +
           "HAVING COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) < 5"),
+      // AUC replayed: the same midrank window, decimal rank sum, and
+      // integer-over-integer closing division
+      "q_auc" ->
+        ("WITH b AS (SELECT CAST((doc_id * 37) % 101 AS DOUBLE) / 101.0 AS sc, " +
+          "CASE WHEN (doc_id * 53) % 101 < (doc_id * 37) % 101 THEN 1 ELSE 0 END AS pos FROM documents), " +
+          "r AS (SELECT pos, 2 * RANK() OVER (ORDER BY sc ASC) + COUNT(*) OVER (PARTITION BY sc) - 1 AS r2 FROM b), " +
+          "a AS (SELECT COUNT(CASE WHEN pos = 1 THEN 1 END) AS n_pos, " +
+          "COUNT(CASE WHEN pos = 0 THEN 1 END) AS n_neg, " +
+          "SUM(CASE WHEN pos = 1 THEN CAST(r2 AS DECIMAL(38,0)) END) AS rsum FROM r) " +
+          "SELECT n_pos, n_neg, (CAST(rsum AS DOUBLE) - CAST(n_pos * (n_pos + 1) AS DOUBLE)) / " +
+          "CAST(2 * n_pos * n_neg AS DOUBLE) AS auc FROM a"),
+      // Spearman replayed: midrank windows per column, DECIMAL(19)-cast
+      // products before the sums, the same cov/sqrt(va·vb) closing
+      "q_spearman" ->
+        ("WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS xa, " +
+          "CAST(n_chars + doc_id % 50 AS DOUBLE) AS xb FROM documents " +
+          "WHERE n_chars IS NOT NULL), " +
+          "r AS (SELECT 2 * RANK() OVER (ORDER BY xa ASC) + COUNT(*) OVER (PARTITION BY xa) - 1 AS ra, " +
+          "2 * RANK() OVER (ORDER BY xb ASC) + COUNT(*) OVER (PARTITION BY xb) - 1 AS rb FROM b), " +
+          "a AS (SELECT COUNT(*) AS n, SUM(CAST(ra AS DECIMAL(38,0))) AS sa_, " +
+          "SUM(CAST(rb AS DECIMAL(38,0))) AS sb_, " +
+          "SUM(CAST(ra AS DECIMAL(19,0)) * CAST(ra AS DECIMAL(19,0))) AS qa, " +
+          "SUM(CAST(rb AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS qb, " +
+          "SUM(CAST(ra AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS sab FROM r) " +
+          "SELECT CAST(n AS BIGINT) AS n, " +
+          "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa_ AS DOUBLE) * CAST(sb_ AS DOUBLE)) / " +
+          "SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa_ AS DOUBLE) * CAST(sa_ AS DOUBLE)) * " +
+          "(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb_ AS DOUBLE) * CAST(sb_ AS DOUBLE))) AS rho FROM a"),
+      // Welch's t replayed: the same decimal-gated conditional moments,
+      // stepwise mean/variance/standard-error/t/df double chains
+      "q_t_test" -> {
+        val xx = "CAST(x * x AS DECIMAL(38,8))"
+        def mo(tag: Int, n: String, s0: String, q: String) =
+          s"COUNT(CASE WHEN s = $tag THEN $xx END) AS $n, " +
+            s"CAST(SUM(CASE WHEN s = $tag AND $xx IS NOT NULL THEN CAST(x AS DECIMAL(38,4)) END) AS DOUBLE) AS $s0, " +
+            s"CAST(SUM(CASE WHEN s = $tag THEN $xx END) AS DOUBLE) AS $q"
+        "WITH u AS (SELECT CAST(n_chars AS DOUBLE) AS x, " +
+          "CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s FROM documents), " +
+          s"a AS (SELECT ${mo(0, "n1", "s1", "q1")}, ${mo(1, "n2", "s2", "q2")} FROM u), " +
+          "b AS (SELECT n1, n2, " +
+          "CASE WHEN n1 > 0 THEN s1 / CAST(n1 AS DOUBLE) END AS m1, " +
+          "CASE WHEN n2 > 0 THEN s2 / CAST(n2 AS DOUBLE) END AS m2, " +
+          "CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) END AS v1, " +
+          "CASE WHEN n2 > 1 THEN (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) END AS v2 FROM a), " +
+          "c2 AS (SELECT n1, n2, m1, m2, v1, v2, " +
+          "v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2 FROM b) " +
+          "SELECT n1 AS n_base, n2 AS n_other, m1 AS mean_base, m2 AS mean_other, " +
+          "v1 AS var_base, v2 AS var_other, " +
+          "CASE WHEN n1 > 1 AND n2 > 1 AND (se1 + se2) > 0 THEN (m1 - m2) / SQRT(se1 + se2) END AS t_stat, " +
+          "CASE WHEN n1 > 1 AND n2 > 1 AND (se1 + se2) > 0 THEN " +
+          "((se1 + se2) * (se1 + se2)) / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) + " +
+          "se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df FROM c2"
+      },
+      // χ² homogeneity replayed: tag counts, window margins, per-cell
+      // quantized (o−e)²/e pairs, decimal sum / 1e6
+      "q_chi2_homogeneity" ->
+        ("WITH u AS (SELECT CAST(source AS VARCHAR) AS v, " +
+          "CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s FROM documents WHERE source IS NOT NULL), " +
+          "g AS (SELECT v, COUNT(CASE WHEN s = 0 THEN 1 END) AS ca, " +
+          "COUNT(CASE WHEN s = 1 THEN 1 END) AS cb FROM u GROUP BY v), " +
+          "w AS (SELECT ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g), " +
+          "t AS (SELECT na, nb, CAST(FLOOR((" +
+          "(CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) * " +
+          "(CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) / " +
+          "(CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) + " +
+          "(CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * " +
+          "(CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) / " +
+          "(CAST(ca + cb AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))" +
+          ") * 1e6 + 0.5) AS BIGINT) AS term FROM w) " +
+          "SELECT CAST(MAX(na) AS BIGINT) AS n_base, CAST(MAX(nb) AS BIGINT) AS n_other, " +
+          "COUNT(*) AS n_values, " +
+          "CAST(SUM(CAST(term AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS chi2, " +
+          "COUNT(*) - 1 AS df FROM t"),
       // frequency encoding replayed: the same window count ratio
       "q_frequency_encode" ->
         ("SELECT c_custkey, c_mktsegment, " +

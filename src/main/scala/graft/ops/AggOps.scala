@@ -2395,6 +2395,283 @@ final class AggOps(private val c: Chain) extends AnyVal {
         s"GROUP BY $qSql HAVING $nsSql < $l"))
   }
 
+  /** auc_profile(score_col, label_col, group_by): ROC AUC of a scorer
+    * against binary outcomes — per group: `n_pos`, `n_neg`, `auc`. The
+    * missing half of classifier evaluation next to
+    * [[calibrationProfile]] (ECE says "are the probabilities honest",
+    * AUC says "does the ranking separate the classes"). Computed as the
+    * Mann–Whitney U statistic over average ranks (ties share the
+    * midrank — the standard tie treatment):
+    *
+    *   AUC = (Σ_{positives} 2·midrank − n_pos·(n_pos + 1)) /
+    *         (2 · n_pos · n_neg)
+    *
+    * where 2·midrank = 2·RANK + (tie count − 1) is an INTEGER, so the
+    * numerator and denominator are pure integers and the single closing
+    * division is the only float op — engine-exact at any size. A row is
+    * positive when label ≥ 0.5 (cast to double), negative otherwise;
+    * null/NaN scores or labels are excluded. A group with no positives
+    * or no negatives has no ranking to judge: auc is NULL.
+    *
+    * Scale shape: one scan, one rank window per group over the scores
+    * (ties counted by a value-partition window on the same pass), one
+    * closing aggregate. Ungrouped, the rank window is a single-partition
+    * sort (the winsorize-family caveat — group the census at corpus
+    * scale).
+    */
+  def aucProfile(scoreCol: String, labelCol: String,
+                 groupBy: Seq[String] = Nil): Chain = {
+    AggOps.requirePsiGroupNames("auc_profile", groupBy,
+      Seq("n_pos", "n_neg", "auc", "_sc", "_pos", "_r2"))
+    Seq(scoreCol, labelCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"auc_profile: chain is missing column '$cn'"))
+    val s = col(scoreCol).cast("double")
+    val l = col(labelCol).cast("double")
+    val ok = s.isNotNull && !isnan(s) && l.isNotNull && !isnan(l)
+    val base = c.df.where(ok)
+      .select((groupBy.map(col) ++ Seq(s.as("_sc"),
+        (l >= lit(0.5)).as("_pos"))): _*)
+    val wG =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val wVal = Window.partitionBy((groupBy.map(col) :+ col("_sc")): _*)
+    // 2·midrank = 2·RANK(min-rank of the tie group) + (ties − 1): integer
+    val r2 = lit(2L) * rank().over(wG.orderBy(col("_sc").asc)).cast("long") +
+      (count(lit(1)).over(wVal) - lit(1L))
+    val Dec = DecimalType(38, 0)
+    val closed = base.withColumn("_r2", r2)
+      .groupBy(groupBy.map(col): _*)
+      .agg(count(when(col("_pos"), lit(1))).as("n_pos"),
+        count(when(!col("_pos"), lit(1))).as("n_neg"),
+        sum(when(col("_pos"), col("_r2")).cast(Dec)).as("_rsum"))
+    val num = col("_rsum").cast("double") -
+      (col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
+    val den = (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
+    val df2 = closed
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L, num / den))
+      .select((groupBy.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+        col("auc"))): _*)
+    c.next("auc_profile", df2, None)
+  }
+
+  /** spearman_corr(col_a, col_b, group_by): Spearman rank correlation —
+    * per group: `n`, `rho`. The robust screening companion to
+    * [[corrMatrix]]'s Pearson: monotone-but-nonlinear relationships and
+    * heavy tails read correctly on ranks where raw-value Pearson is
+    * dragged. Both columns rank within the group with midrank ties
+    * (2·midrank integers, as in [[aucProfile]]); rho is Pearson over
+    * those integer ranks via EXACT integer moment sums
+    * (n·Σxy − Σx·Σy over DECIMAL(38,0) — partitioning- and
+    * engine-exact), with the final expression the only float chain.
+    * Rows with a null/NaN on EITHER side are excluded (ranks must
+    * align). A group with < 2 rows or a constant side yields NULL.
+    *
+    * Scale shape: one scan, two rank windows per group (one sort per
+    * column — inherent to rank correlation), one closing aggregate.
+    * Ungrouped = two single-partition sorts (group the census at
+    * corpus scale).
+    */
+  def spearmanCorr(colA: String, colB: String,
+                   groupBy: Seq[String] = Nil): Chain = {
+    require(colA != colB, s"spearman_corr needs two distinct columns, got '$colA' twice")
+    AggOps.requirePsiGroupNames("spearman_corr", groupBy,
+      Seq("n", "rho", "_xa", "_xb", "_ra", "_rb"))
+    Seq(colA, colB).foreach(cn => require(c.df.columns.contains(cn),
+      s"spearman_corr: chain is missing column '$cn'"))
+    val xa = col(colA).cast("double")
+    val xb = col(colB).cast("double")
+    val ok = xa.isNotNull && !isnan(xa) && xb.isNotNull && !isnan(xb)
+    val base = c.df.where(ok)
+      .select((groupBy.map(col) ++ Seq(xa.as("_xa"), xb.as("_xb"))): _*)
+    val wG =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    def rank2(v: String) = {
+      val wVal = Window.partitionBy((groupBy.map(col) :+ col(v)): _*)
+      lit(2L) * rank().over(wG.orderBy(col(v).asc)).cast("long") +
+        (count(lit(1)).over(wVal) - lit(1L))
+    }
+    val Dec = DecimalType(38, 0)
+    val D19 = DecimalType(19, 0)
+    val ranked = base
+      .withColumn("_ra", rank2("_xa"))
+      .withColumn("_rb", rank2("_xb"))
+    val closed = ranked.groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_ra").cast(Dec)).as("_sa"),
+        sum(col("_rb").cast(Dec)).as("_sb"),
+        // cast factors to DECIMAL(19,0) before multiplying (the
+        // entropyProfile overflow rule): 19×19 types to DECIMAL(38,0)
+        sum(col("_ra").cast(D19) * col("_ra").cast(D19)).as("_qa"),
+        sum(col("_rb").cast(D19) * col("_rb").cast(D19)).as("_qb"),
+        sum(col("_ra").cast(D19) * col("_rb").cast(D19)).as("_sab"))
+    val nD = col("n").cast("double")
+    def d(c0: String) = col(c0).cast("double")
+    val cov = nD * d("_sab") - d("_sa") * d("_sb")
+    val va = nD * d("_qa") - d("_sa") * d("_sa")
+    val vb = nD * d("_qb") - d("_sb") * d("_sb")
+    val df2 = closed
+      .withColumn("rho",
+        when(col("n") > 1L && va > 0.0 && vb > 0.0,
+          cov / sqrt(va * vb)))
+      .select((groupBy.map(col) ++ Seq(col("n"), col("rho"))): _*)
+    c.next("spearman_corr", df2, None)
+  }
+
+  /** t_test_profile(other, column, group_by): Welch's two-sample t
+    * statistic between this chain (base) and `other` (Welch, Biometrika
+    * 1947 — the unequal-variance mean-shift test) — per group:
+    *
+    *   n_base/n_other        usable counts (null/NaN/overflow excluded —
+    *                         the Exact.stddev consistent-exclusion gate)
+    *   mean_base/mean_other  exact-decimal means
+    *   var_base/var_other    sample variances (n−1)
+    *   t_stat                (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)
+    *   df                    Welch–Satterthwaite degrees of freedom
+    *
+    * The significance companion to the drift effect sizes ([[ksProfile]]
+    * tests the whole distribution, this tests the mean): PSI/JSD/KS say
+    * "how far", t says "is a mean shift this size explainable by noise
+    * at these sample sizes". Moments accumulate in exact decimals (the
+    * [[flagOutliers]] formulas), so means/variances are bit-identical
+    * across partitionings and engines; t and df are fixed IEEE chains on
+    * top. A side with n < 2, or zero pooled standard error, yields null
+    * t/df — visible, never ±Infinity.
+    *
+    * Scale shape: one scan per side tag-unioned into ONE per-group
+    * moment aggregate (six conditional sums, map-side combined) — no
+    * value-domain frame at all, unlike the categorical censuses.
+    */
+  def tTestProfile(other: DataFrame, column: String,
+                   groupBy: Seq[String] = Nil): Chain = {
+    AggOps.requirePsiGroupNames("t_test_profile", groupBy,
+      Seq("n_base", "n_other", "mean_base", "mean_other", "var_base",
+        "var_other", "t_stat", "df", "_x"))
+    Seq(c.df -> "base chain", other -> "other frame").foreach { case (df, who) =>
+      require(df.columns.contains(column), s"t_test_profile: $who is missing column '$column'")
+      groupBy.foreach(g => require(df.columns.contains(g),
+        s"t_test_profile: $who is missing group column '$g'"))
+    }
+    def side(df: DataFrame, tag: Int) =
+      df.select((groupBy.map(col) ++ Seq(col(column).cast("double").as("_x"),
+        lit(tag).as("_s"))): _*)
+    val u = side(c.df, 0).unionByName(side(other, 1))
+    val xv = col("_x")
+    // the x² decimal cast gates exclusion: NaN casts to null, and so does
+    // an x² overflowing DECIMAL(38,8) — rows drop from n, Σx and Σx²
+    // together (the flagOutliers contract)
+    val xxv = (xv * xv).cast(DecimalType(38, 8))
+    def mg(tag: Int) = {
+      val in = col("_s") === tag
+      Seq(count(when(in, xxv)),
+        sum(when(in && xxv.isNotNull, xv).cast(Exact.Wide)),
+        sum(when(in, xxv)))
+    }
+    val aggs = (mg(0) ++ mg(1)).zip(Seq("_n1", "_s1", "_q1", "_n2", "_s2", "_q2"))
+      .map { case (e, n) => e.as(n) }
+    val g = (
+      if (groupBy.isEmpty) u.groupBy()
+      else u.groupBy(groupBy.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def vr(s: String, q: String, n: String) = {
+      val sd = col(s).cast("double"); val nd = col(n).cast("double")
+      (col(q).cast("double") - sd * sd / nd) / (nd - lit(1.0))
+    }
+    val closed = g
+      .withColumn("mean_base", when(col("_n1") > 0L, mean("_s1", "_n1")))
+      .withColumn("mean_other", when(col("_n2") > 0L, mean("_s2", "_n2")))
+      .withColumn("var_base", when(col("_n1") > 1L, vr("_s1", "_q1", "_n1")))
+      .withColumn("var_other", when(col("_n2") > 1L, vr("_s2", "_q2", "_n2")))
+    val se1 = col("var_base") / col("_n1").cast("double")
+    val se2 = col("var_other") / col("_n2").cast("double")
+    val pooled = se1 + se2
+    val ok = col("_n1") > 1L && col("_n2") > 1L && pooled > 0.0
+    val df2 = closed
+      .withColumn("t_stat", when(ok,
+        (col("mean_base") - col("mean_other")) / sqrt(pooled)))
+      .withColumn("df", when(ok,
+        (pooled * pooled) / (se1 * se1 / (col("_n1").cast("double") - lit(1.0)) +
+          se2 * se2 / (col("_n2").cast("double") - lit(1.0)))))
+      .select((groupBy.map(col) ++ Seq(col("_n1").as("n_base"),
+        col("_n2").as("n_other"), col("mean_base"), col("mean_other"),
+        col("var_base"), col("var_other"), col("t_stat"), col("df"))): _*)
+    c.next("t_test_profile", df2, None)
+  }
+
+  /** chi_square_homogeneity(other, column, group_by): Pearson's χ² test
+    * of homogeneity — are this chain's (base) and `other`'s categorical
+    * mixes of `column` draws from the same distribution? Per group:
+    *
+    *   n_base/n_other   side totals (nulls excluded)
+    *   n_values         distinct values across both sides
+    *   chi2             Σ over (value, side) cells of (o − e)²/e with
+    *                    e = rowTotal·sideTotal/N, each cell term
+    *                    quantized to 1e-6 before the exact-decimal sum
+    *                    (the [[crossTable]] regime — engine-exact)
+    *   df               n_values − 1
+    *
+    * The significance companion to [[jsdProfile]] (JSD is the effect
+    * size, χ² the test statistic at these sample sizes) — and the
+    * two-FRAME counterpart of [[crossTable]]'s within-table independence
+    * χ². An empty side yields null chi2/df (nothing to test).
+    *
+    * Scale shape: the [[ksProfile]] tag-union — one scan per side into
+    * ONE (group, value) count aggregate, group-partitioned window totals
+    * over that count frame, one closing aggregate.
+    */
+  def chiSquareHomogeneity(other: DataFrame, column: String,
+                           groupBy: Seq[String] = Nil): Chain = {
+    AggOps.requirePsiGroupNames("chi_square_homogeneity", groupBy,
+      Seq("n_base", "n_other", "n_values", "chi2", "df", "_v", "_ca",
+        "_na", "_nb"))
+    Seq(c.df -> "base chain", other -> "other frame").foreach { case (df, who) =>
+      require(df.columns.contains(column),
+        s"chi_square_homogeneity: $who is missing column '$column'")
+      groupBy.foreach(g => require(df.columns.contains(g),
+        s"chi_square_homogeneity: $who is missing group column '$g'"))
+    }
+    def side(df: DataFrame, tag: Int) =
+      df.where(col(column).isNotNull)
+        .select((groupBy.map(col) ++ Seq(col(column).cast("string").as("_v"),
+          lit(tag).as("_s"))): _*)
+    val counts = side(c.df, 0).unionByName(side(other, 1))
+      .groupBy((groupBy.map(col) :+ col("_v")): _*)
+      .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
+        count(when(col("_s") === 1, lit(1))).as("_cb"))
+    val wPart =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val stepped = counts
+      .withColumn("_na", sum(col("_ca")).over(wPart))
+      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    val tot = (col("_na") + col("_nb")).cast("double")
+    val rowT = (col("_ca") + col("_cb")).cast("double")
+    def cell(o: Column, sideT: Column) = {
+      val e = rowT * sideT.cast("double") / tot
+      val d = o.cast("double") - e
+      d * d / e
+    }
+    // both sides non-empty → every expected count is > 0 (each value row
+    // exists because some side saw it); quantize the per-cell pair before
+    // the decimal sum — the crossTable closing
+    val term = when(col("_na") > 0L && col("_nb") > 0L,
+      floor((cell(col("_ca"), col("_na")) + cell(col("_cb"), col("_nb"))) *
+        lit(1e6) + lit(0.5)).cast("long"))
+    val closed = (
+      if (groupBy.isEmpty) stepped.groupBy()
+      else stepped.groupBy(groupBy.map(col): _*))
+      .agg(max(col("_na")).as("n_base"), max(col("_nb")).as("n_other"),
+        count(lit(1)).as("n_values"),
+        (sum(term.cast(DecimalType(38, 0))).cast("double") / lit(1e6)).as("chi2"))
+      .withColumn("df", when(col("chi2").isNotNull, col("n_values") - lit(1L)))
+    val df2 = closed.select((groupBy.map(col) ++ Seq(col("n_base"),
+      col("n_other"), col("n_values"), col("chi2"), col("df"))): _*)
+    c.next("chi_square_homogeneity", df2, None)
+  }
+
   /** t_closeness_violations(quasi_cols, sensitive_col, t_fp): the third
     * privacy audit, completing [[kAnonymityViolations]] /
     * [[lDiversityViolations]] — every equivalence class whose SENSITIVE
