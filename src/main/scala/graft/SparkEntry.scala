@@ -1103,6 +1103,29 @@ object SparkEntry {
           floor(col("c_acctbal") / lit(2000.0)).cast("long")))
           .lDiversityViolations(Seq("c_mktsegment", "c_nationkey"), "ab", l = 5).df
       }),
+      // product quantization on the pinned lattice: the deterministic fit
+      // (hash-ordered sample, seeded k-means) makes the 2-block/4-code
+      // assignment a constant of the fixture — the oracle replays the
+      // cluster (vec_id % 4) → code pattern
+      "q_pq_encode" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, posexplode}
+        val fix = Chain(s, "pq_fix", embFixtureDf(s))
+        val model = fix.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        fix.pqEncode(model.df, "embedding")
+          .df.select(col("vec_id"), posexplode(col("pq_code")).as(Seq("pos", "code")))
+      }),
+      // Bloom-prefiltered join: lineitem probed against small parts —
+      // the prefilter is execution detail, so the oracle is the PLAIN
+      // inner join (false positives provably fall out in the equi-join)
+      "q_join_bloom" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        t(s, d, "lineitem")
+          .joinBloomPrefiltered(t(s, d, "part").filterRows(Seq("p_size < 10")),
+            Seq("l_partkey" -> "p_partkey"), expectedItems = 100000L)
+          .df.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("p_size"), col("p_retailprice"))
+      }),
       // ROC AUC over a deterministic correlated score/label fixture with
       // planted ties — midrank Mann–Whitney, integer numerator/
       // denominator, the one closing division the only float op
@@ -3238,6 +3261,22 @@ object SparkEntry {
           "COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) AS n_sensitive " +
           "FROM t GROUP BY 1, 2 " +
           "HAVING COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) < 5"),
+      // PQ codes replayed as the pinned cluster pattern: lattice cluster
+      // (vec_id % 4) 0..3 encode as (1,2) (2,3) (0,0) (3,1) — the fit is
+      // a pure function of the constant fixture (spec-pinned)
+      "q_pq_encode" ->
+        ("SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(CASE " +
+          "WHEN vec_id % 4 = 0 THEN (CASE WHEN pos = 0 THEN 1 ELSE 2 END) " +
+          "WHEN vec_id % 4 = 1 THEN (CASE WHEN pos = 0 THEN 2 ELSE 3 END) " +
+          "WHEN vec_id % 4 = 2 THEN 0 " +
+          "ELSE (CASE WHEN pos = 0 THEN 3 ELSE 1 END) END AS INTEGER) AS code " +
+          "FROM (SELECT unnest(range(0, 24)) AS vec_id) v " +
+          "CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p"),
+      // bloom prefilter is invisible: the oracle is the plain join
+      "q_join_bloom" ->
+        ("SELECT l_orderkey, l_linenumber, l_partkey, p_size, p_retailprice " +
+          "FROM lineitem JOIN (SELECT * FROM part WHERE p_size < 10) p " +
+          "ON l_partkey = p_partkey"),
       // AUC replayed: the same midrank window, decimal rank sum, and
       // integer-over-integer closing division
       "q_auc" ->

@@ -626,6 +626,112 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       Map("cluster_col" -> clusterCol, "vec_col" -> vecCol))
   }
 
+  /** pq_fit(id_col, vec_col, m, ks, train_sample, iters): fit a product
+    * quantizer (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011) — split each vector into `m` equal
+    * blocks and k-means each block independently to `ks` centroids; a
+    * vector then encodes as m small codes ([[pqEncode]]: 64-dim float →
+    * 8 bytes at m=8/ks=256 vs 64 at int8 — the compression rung below
+    * [[quantizeEmbeddings]]). Model frame: one row per (block, cid) with
+    * the block centroid, save/load like the other persistent artifacts.
+    *
+    * The fit follows the [[pcaFit]]/[[ivfIndex]] training pattern: a
+    * bounded hash-deterministic sample (`orderBy(xxhash64(id))` —
+    * k-means of m blocks needs thousands of rows, not the corpus), plain
+    * euclidean Lloyd's with seeded deterministic init and worst-served
+    * empty-cell re-seeding on the driver — the model is a pure function
+    * of the data. Non-renderable (model-producing).
+    */
+  def pqFit(idCol: String, vecCol: String, m: Int = 8, ks: Int = 16,
+            trainSample: Int = 2048, iters: Int = 10): Chain = {
+    require(m >= 1 && m <= 64, s"pq_fit: m must be in [1, 64], got $m")
+    require(ks >= 2 && ks <= 256,
+      s"pq_fit: ks must be in [2, 256] (codes are one byte), got $ks")
+    require(iters >= 1, s"pq_fit: iters must be >= 1, got $iters")
+    Seq(idCol, vecCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"pq_fit: chain is missing column '$cn'"))
+    val sample = c.df
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(trainSample)
+      .select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ks,
+      s"pq_fit needs at least ks=$ks sample rows, got ${sample.length}")
+    val dim = sample(0).length
+    require(sample.forall(_.length == dim),
+      s"pq_fit: inconsistent vector dims in training sample (expected $dim)")
+    require(dim % m == 0,
+      s"pq_fit: dim $dim is not divisible by m=$m blocks")
+    val bd = dim / m
+    val rows = (0 until m).flatMap { b =>
+      val blockVecs = sample.map(v => java.util.Arrays.copyOfRange(v, b * bd, (b + 1) * bd))
+      val centers = SimilarityOps.euclideanKMeans(blockVecs, ks, iters)
+      centers.zipWithIndex.map { case (cv, ci) =>
+        org.apache.spark.sql.Row(b, ci, cv.toSeq)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("block",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    c.next("pq_fit", c.spark.createDataFrame(
+      c.spark.sparkContext.parallelize(rows, 1), schema), None,
+      Map("m" -> m.toString, "ks" -> ks.toString))
+  }
+
+  /** pq_encode(model, vec_col, as): encode each vector under a [[pqFit]]
+    * model — `as` (default `pq_code`) is the array of m per-block
+    * euclidean-nearest centroid ids, computed by the
+    * [[graft.functions.PqEncode]] codegen kernel (the codebook rides the
+    * plan as ONE flat double[]; a greatest()-over-structs composition
+    * builds m·ks expression trees and falls off the JIT cliff at real
+    * codebook sizes). Encoding is a pure PER-ROW function, so plain
+    * IEEE arithmetic with the kernel's fixed scan order is already
+    * partitioning- and engine-proof; ties break to the smaller cid. One
+    * bounded driver collect of the m·ks model rows; scoring is a PURE
+    * PROJECTION. Null vectors yield null codes, NaN coordinates yield
+    * NULL (the usableVec posture), wrong-length vectors throw.
+    */
+  def pqEncode(model: DataFrame, vecCol: String,
+               as: String = "pq_code"): Chain = {
+    require(c.df.columns.contains(vecCol),
+      s"pq_encode: chain is missing vector column '$vecCol'")
+    require(!c.df.columns.contains(as),
+      s"pq_encode: output column '$as' already exists on the chain")
+    val centers = SimilarityOps.collectPqModel(model)
+    val df2 = c.df.withColumn(as,
+      graft.functions.PqEncode(col(vecCol), centers))
+    c.next("pq_encode", df2, None, Map("vec_col" -> vecCol))
+  }
+
+  /** pq_decode(model, code_col, as): reconstruct the quantized vector —
+    * the concatenation of each block's centroid — as `array<double>`,
+    * usable by every ANN op (the [[dequantizeEmbeddings]] counterpart).
+    * Reconstruction error is the k-means quantization error the
+    * [[pqFit]] codebooks were trained to minimize; recall of exact
+    * ranking over decoded vectors is the quality dial (QuantGate-style
+    * floor in the specs). Null codes stay null; out-of-range codes
+    * throw (ANSI element_at — a silent wrong centroid is never useful).
+    */
+  def pqDecode(model: DataFrame, codeCol: String,
+               as: String = "pq_decoded"): Chain = {
+    require(c.df.columns.contains(codeCol),
+      s"pq_decode: chain is missing code column '$codeCol'")
+    require(!c.df.columns.contains(as),
+      s"pq_decode: output column '$as' already exists on the chain")
+    val centers = SimilarityOps.collectPqModel(model)
+    val df2 = c.df.withColumn(as,
+      when(col(codeCol).isNotNull,
+        SimilarityOps.pqDecodeColumn(col(codeCol), centers)))
+    c.next("pq_decode", df2, None, Map("code_col" -> codeCol))
+  }
+
   /** truncate_embeddings(vec_col, dim, renormalize, as): keep the first
     * `dim` coordinates — the Matryoshka representation move (Kusupati et
     * al., NeurIPS 2022: MRL-trained embeddings nest usable sub-embeddings
@@ -970,6 +1076,104 @@ object SimilarityOps {
     if (DedupOps.isIntegralId(dt)) (col(idCol).cast("long"), "long")
     else (col(idCol), "string")
   }
+
+  /** Plain euclidean Lloyd's on the driver for [[SimilarityOps.pqFit]]'s
+    * per-block codebooks: seeded deterministic k-means++ (squared
+    * euclidean weighting), assign by min distance (index-ascending ties),
+    * recenter to the mean, worst-served empty-cell re-seeding — the
+    * [[sphericalKMeans]] conventions in euclidean geometry (PQ codebooks
+    * quantize magnitudes too; spherical recentring would throw that
+    * away).
+    */
+  private[ext] def euclideanKMeans(
+      vecs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(vecs.nonEmpty, "k-means needs a non-empty training sample")
+    val dim = vecs(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(42)
+    val centers = scala.collection.mutable.ArrayBuffer(vecs(rnd.nextInt(vecs.length)))
+    while (centers.length < math.min(k, vecs.length)) {
+      val dist = vecs.map(x => centers.map(d2(x, _)).min)
+      val total = dist.sum
+      if (total == 0.0) centers += vecs(rnd.nextInt(vecs.length))
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < vecs.length - 1 && r > dist(i)) { r -= dist(i); i += 1 }
+        centers += vecs(i)
+      }
+    }
+    var cs = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      val bestD = new Array[Double](vecs.length)
+      var xi = 0
+      while (xi < vecs.length) {
+        val x = vecs(xi)
+        var best = 0; var bd = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val d = d2(x, cs(ci))
+          if (d < bd) { bd = d; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+        bestD(xi) = bd
+        xi += 1
+      }
+      val empties = cs.indices.filter(counts(_) == 0)
+      val reseeds: Iterator[Array[Double]] =
+        if (empties.isEmpty) Iterator.empty
+        else vecs.indices.sortBy(i => (-bestD(i), i)).iterator.map(vecs)
+      cs = cs.indices.map { ci =>
+        if (counts(ci) == 0) { if (reseeds.hasNext) reseeds.next() else cs(ci) }
+        else sums(ci).map(_ / counts(ci))
+      }.toArray
+      it += 1
+    }
+    cs
+  }
+
+  /** Read a [[SimilarityOps.pqFit]] model frame back as per-block center
+    * arrays — one bounded declared driver collect (m·ks ≤ 64·256 rows),
+    * contiguity-checked.
+    */
+  private[ext] def collectPqModel(model: DataFrame): Array[Array[Array[Double]]] = {
+    Seq("block", "cid", "centroid").foreach(cn =>
+      require(model.columns.contains(cn),
+        s"pq model frame is missing column '$cn' (from pqFit)"))
+    val rows = model.select(col("block").cast("int"), col("cid").cast("int"),
+        col("centroid").cast("array<double>"))
+      .orderBy(col("block").asc, col("cid").asc).collect()
+    require(rows.nonEmpty, "pq model frame is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ks,
+      s"pq model must cover blocks 0..${m - 1} × cids 0..${ks - 1} " +
+        s"contiguously, got ${rows.length} rows")
+    val out = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    out.map(_.toArray)
+  }
+
+  /** Reconstruction of a PQ code array: concat of the m looked-up block
+    * centroids as array<double>. (Lives here: `typedLit`.)
+    */
+  private[ext] def pqDecodeColumn(
+      code: org.apache.spark.sql.Column,
+      centers: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    concat(centers.zipWithIndex.map { case (blockCs, b) =>
+      element_at(typedLit(blockCs.map(_.toSeq).toSeq),
+        element_at(code, b + 1) + lit(1))
+    }.toIndexedSeq: _*)
 
   /** Cosine distances 1 − cos(vec, centroid_i) against literal centroids
     * as one array column — [[graft.ext.SimilarityOps.clusterEval]]'s

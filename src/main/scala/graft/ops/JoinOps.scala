@@ -623,6 +623,104 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       s"SELECT $selSql FROM {{source}} _l ${joinTypeSql(joinType)} JOIN ${rightSource(other)} _r ON $onSql"))
   }
 
+  /** join_bloom_prefiltered(right, join_columns, expected_items, fpp):
+    * INNER equi-join with a Bloom prefilter on the probe side — the
+    * 100 TB shape for selective joins whose build side is too large to
+    * broadcast as a HASH relation but whose KEY SET still fits a Bloom
+    * filter (a 10⁸-key filter at 3% fpp is ~90 MB; the hash relation
+    * with payloads would be tens of GB). The right side's key hashes
+    * fold into ONE Bloom filter (Spark's own
+    * `BloomFilterAggregate` — the runtime-filter machinery, invoked
+    * deliberately), the filter is built eagerly (one bounded declared
+    * driver read of numBits/8 bytes, capped at 512 MB — might_contain
+    * requires a CONSTANT filter) and rides the plan as a binary
+    * literal; `might_contain` drops non-matching probe rows BEFORE the
+    * join shuffle — at high selectivity the exchange carries a few
+    * percent of the probe side. False positives pass the prefilter and fall
+    * out of the equi-join; false negatives cannot happen — the result
+    * is EXACTLY the plain inner join, and the SQL face renders it
+    * unfiltered (the [[joinSaltedAuto]] execution-detail convention).
+    *
+    * Keys are combined through `xxhash64` on both sides, so multi-key
+    * joins filter on the composite; null keys hash but never match the
+    * equi-join — inner semantics are preserved either way. Inner only:
+    * prefiltering the probe side drops rows an outer join must keep.
+    *
+    * Scale: one extra pass over the RIGHT side (the filter build — an
+    * aggregate, map-side combined by the Bloom's own merge) + numBits/8
+    * bytes shipped with the plan. Size `expectedItems` at or above
+    * the right side's distinct key count: an undersized filter only
+    * raises the false-positive rate (more probe rows ride to the join
+    * and drop there), never correctness.
+    */
+  def joinBloomPrefiltered(
+      other: Chain,
+      joinColumns: Seq[(String, String)],
+      expectedItems: Long = 4000000L,
+      fpp: Double = 0.03,
+      joinPrefix: String = ""): Chain = {
+    require(joinColumns.nonEmpty, "join_bloom_prefiltered needs join columns")
+    require(expectedItems > 0L,
+      s"join_bloom_prefiltered: expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 0.5,
+      s"join_bloom_prefiltered: fpp must be in (0, 0.5), got $fpp")
+    joinColumns.foreach { case (lk, rk) =>
+      require(c.df.columns.contains(lk),
+        s"join_bloom_prefiltered: left chain is missing join column '$lk'")
+      require(other.df.columns.contains(rk),
+        s"join_bloom_prefiltered: right chain is missing join column '$rk'")
+    }
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    require(numBits <= 512L * 1024 * 1024 * 8,
+      s"join_bloom_prefiltered: a ${expectedItems}-item / $fpp filter needs " +
+        s"$numBits bits — past the 512 MB plan-literal cap; raise fpp or " +
+        "pre-aggregate the right side's keys")
+    val rightHash = xxhash64(joinColumns.map(p => col(p._2)): _*)
+    val bloomAgg = org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftBridge.expression(rightHash),
+        org.apache.spark.sql.GraftBridge.expression(lit(expectedItems)),
+        org.apache.spark.sql.GraftBridge.expression(lit(numBits)))
+        .toAggregateExpression())
+    // might_contain requires a CONSTANT filter: build eagerly (one bounded
+    // declared driver read — numBits/8 bytes, capped above) and ride the
+    // plan as a binary literal, the literal-frame convention of the
+    // centroid/cutoff families. An all-null right key set yields a null
+    // filter → the join result is provably empty.
+    val bloomRow = other.df.agg(bloomAgg.as("_bf")).collect()(0)
+    val leftCols = c.df.columns.toSeq
+    val prefiltered =
+      if (bloomRow.isNullAt(0)) c.df.where(lit(false))
+      else {
+        val leftHash = xxhash64(joinColumns.map(p => col(p._1)): _*)
+        val mightContain = org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.GraftBridge.expression(
+              lit(bloomRow.getAs[Array[Byte]](0))),
+            org.apache.spark.sql.GraftBridge.expression(leftHash)))
+        c.df.where(mightContain)
+      }
+    val rightKeys = joinColumns.map(_._2).toSet
+    val rightKept = other.df.columns.toSeq.filterNot(rightKeys.contains)
+    def outName(n: String): String =
+      if (joinPrefix.nonEmpty) s"${joinPrefix}_$n"
+      else if (leftCols.contains(n)) s"${n}_r" else n
+    val l = prefiltered.alias("_l")
+    val r = other.df.alias("_r")
+    val cond = joinColumns
+      .map { case (lk, rk) => col(s"_l.$lk") === col(s"_r.$rk") }
+      .reduce(_ && _)
+    val proj = leftCols.map(n => col(s"_l.$n")) ++
+      rightKept.map(n => col(s"_r.$n").as(outName(n)))
+    val df2 = l.join(r, cond, "inner").select(proj: _*)
+    val onSql = joinColumns.map { case (a, b) => s"_l.$a = _r.$b" }.mkString(" AND ")
+    val selSql = (leftCols.map(n => s"_l.$n") ++
+      rightKept.map(n => s"_r.$n AS ${outName(n)}")).mkString(", ")
+    c.next("join_bloom_prefiltered", df2, Some(
+      s"SELECT $selSql FROM {{source}} _l JOIN ${rightSource(other)} _r ON $onSql"))
+  }
+
   /** join_salted_auto(right, join_type, join_columns): the profile-fed
     * composition of [[joinCardinalityProfile]] and [[joinSalted]] — salt
     * ONLY the measured hot keys, pass the cold majority through
