@@ -596,8 +596,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
         "cosine geometry is undefined; evaluate in euclidean space or " +
         "drop the degenerate cluster")
     }
-    def fpq(x: org.apache.spark.sql.Column) =
-      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    import graft.ops.AggOps.fpq
     // scan 2: K literal-centroid distances per row, own/other split by the
     // when-chain cluster index (bounded K, driven by the same ordering)
     val dists = SimilarityOps.centroidDists(v, nrm, centers, centNorms)
@@ -650,14 +649,22 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     require(iters >= 1, s"pq_fit: iters must be >= 1, got $iters")
     Seq(idCol, vecCol).foreach(cn => require(c.df.columns.contains(cn),
       s"pq_fit: chain is missing column '$cn'"))
+    // NaN-coordinate vectors are excluded from the fit (the centroidByGroup
+    // gate): one NaN in the sample would poison its centroid's mean and
+    // silently strand whole code ranges — pqEncode NULLs such vectors, the
+    // fit must skip them for the same reason
+    val vd = col(vecCol)
+    val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .map(x => coalesce(array_contains(vd, lit(x)), lit(false)))
+      .reduce(_ || _)
     val sample = c.df
+      .where(vd.isNotNull && !bad)
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(trainSample)
-      .select(col(vecCol).cast("array<double>"))
-      .where(col(vecCol).isNotNull)
+      .select(vd.cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= ks,
-      s"pq_fit needs at least ks=$ks sample rows, got ${sample.length}")
+      s"pq_fit needs at least ks=$ks usable sample rows, got ${sample.length}")
     val dim = sample(0).length
     require(sample.forall(_.length == dim),
       s"pq_fit: inconsistent vector dims in training sample (expected $dim)")

@@ -81,6 +81,11 @@ object PqEncode {
     while (b < m) {
       var j = 0
       while (j < bd) {
+        if (arr.isNullAt(b * bd + j))
+          throw new IllegalArgumentException(
+            s"pq_encode: null element at position ${b * bd + j} — " +
+              "embeddings are dense (the TruncateRenorm rule; reading the " +
+              "slot as 0.0 would silently corrupt the geometry)")
         val v = if (isFloat) arr.getFloat(b * bd + j).toDouble
         else arr.getDouble(b * bd + j)
         if (java.lang.Double.isNaN(v)) return null

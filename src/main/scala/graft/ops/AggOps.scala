@@ -2339,7 +2339,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
       else Window.partitionBy(groupBy.map(col): _*)
     val wCum = wPart.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    import AggOps.fpq
     val stepped = counts
       .withColumn("_cuma", sum(col("_ca")).over(wCum))
       .withColumn("_cumb", sum(col("_cb")).over(wCum))
@@ -2422,7 +2422,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
   def aucProfile(scoreCol: String, labelCol: String,
                  groupBy: Seq[String] = Nil): Chain = {
     AggOps.requirePsiGroupNames("auc_profile", groupBy,
-      Seq("n_pos", "n_neg", "auc", "_sc", "_pos", "_r2"))
+      Seq("n_pos", "n_neg", "auc", "_sc", "_pos", "_r2", "_rsum"))
     Seq(scoreCol, labelCol).foreach(cn => require(c.df.columns.contains(cn),
       s"auc_profile: chain is missing column '$cn'"))
     val s = col(scoreCol).cast("double")
@@ -2476,7 +2476,8 @@ final class AggOps(private val c: Chain) extends AnyVal {
                    groupBy: Seq[String] = Nil): Chain = {
     require(colA != colB, s"spearman_corr needs two distinct columns, got '$colA' twice")
     AggOps.requirePsiGroupNames("spearman_corr", groupBy,
-      Seq("n", "rho", "_xa", "_xb", "_ra", "_rb"))
+      Seq("n", "rho", "_xa", "_xb", "_ra", "_rb", "_sa", "_sb", "_qa",
+        "_qb", "_sab"))
     Seq(colA, colB).foreach(cn => require(c.df.columns.contains(cn),
       s"spearman_corr: chain is missing column '$cn'"))
     val xa = col(colA).cast("double")
@@ -2547,7 +2548,8 @@ final class AggOps(private val c: Chain) extends AnyVal {
                    groupBy: Seq[String] = Nil): Chain = {
     AggOps.requirePsiGroupNames("t_test_profile", groupBy,
       Seq("n_base", "n_other", "mean_base", "mean_other", "var_base",
-        "var_other", "t_stat", "df", "_x"))
+        "var_other", "t_stat", "df", "_x", "_n1", "_s1", "_q1", "_n2",
+        "_s2", "_q2"))
     Seq(c.df -> "base chain", other -> "other frame").foreach { case (df, who) =>
       require(df.columns.contains(column), s"t_test_profile: $who is missing column '$column'")
       groupBy.foreach(g => require(df.columns.contains(g),
@@ -2719,7 +2721,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val wClass = Window.partitionBy(qcols: _*)
     val wVal = Window.partitionBy(s)
     val wAll = Window.partitionBy()
-    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    import AggOps.fpq
     val stepped = joint
       .withColumn("_nc", sum(col("_c")).over(wClass))
       .withColumn("_gs", sum(col("_c")).over(wVal))
@@ -2800,7 +2802,7 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val stepped = counts
       .withColumn("_na", sum(col("_ca")).over(wPart))
       .withColumn("_nb", sum(col("_cb")).over(wPart))
-    def fpq(v: Column) = floor(v * lit(1e6) + lit(0.5)).cast("long")
+    import AggOps.fpq
     // per-value quantized d·ln(d) term; d = 0 contributes 0 exactly
     def term(d: Column) =
       when(d > 0.0, fpq(d * log(d))).otherwise(lit(0L))
@@ -2890,9 +2892,23 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val jAgg = joint.groupBy(gcols: _*)
       .agg(sum(col("_cab")).as("n"), count(lit(1)).as("n_ab"),
         slnSum(col("_cab")).as("_slnab"))
+    // null-SAFE group joins (the psiTermsGrouped `<=>` rename regime): a
+    // plain equi-join would silently drop every NULL-keyed group while
+    // the window-based grouped censuses keep it
     val merged =
       if (groupBy.isEmpty) jAgg.crossJoin(aAgg).crossJoin(bAgg)
-      else jAgg.join(aAgg, groupBy).join(bAgg, groupBy)
+      else {
+        def keyed(df: DataFrame, pfx: String) = df.select(
+          (groupBy.map(k => col(k).as(s"$pfx$k")) ++
+            df.columns.filterNot(groupBy.contains).map(col)): _*)
+        jAgg
+          .join(keyed(aAgg, "_t_"),
+            groupBy.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _))
+          .drop(groupBy.map(k => s"_t_$k"): _*)
+          .join(keyed(bAgg, "_p_"),
+            groupBy.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _))
+          .drop(groupBy.map(k => s"_p_$k"): _*)
+      }
     val nD = col("n").cast("double")
     def h(sln: String) = (floor(log(nD) * lit(1e6) + lit(0.5)) / lit(1e6)) -
       (col(sln).cast("double") / lit(1e6)) / nD
@@ -2928,16 +2944,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
     def hS(sln: String) =
       s"FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 - " +
         s"(CAST($sln AS DOUBLE) / 1000000) / CAST(n AS DOUBLE)"
+    // null-safe `<=>` join conditions in the SQL face too — USING would
+    // drop NULL-keyed groups the DataFrame face keeps
+    val jqSel = if (groupBy.isEmpty) "" else groupBy.map(k => s"_j.$k").mkString(", ") + ", "
     val joinS =
-      if (groupBy.isEmpty) s"($jS) CROSS JOIN (${margS("_va", "n_a", "_slna")}) " +
-        s"CROSS JOIN (${margS("_vb", "n_b", "_slnb")})"
-      else s"($jS) JOIN (${margS("_va", "n_a", "_slna")}) " +
-        s"USING (${groupBy.mkString(", ")}) JOIN (${margS("_vb", "n_b", "_slnb")}) " +
-        s"USING (${groupBy.mkString(", ")})"
+      if (groupBy.isEmpty) s"($jS) _j CROSS JOIN (${margS("_va", "n_a", "_slna")}) _a " +
+        s"CROSS JOIN (${margS("_vb", "n_b", "_slnb")}) _b"
+      else s"($jS) _j JOIN (${margS("_va", "n_a", "_slna")}) _a ON " +
+        groupBy.map(k => s"_j.$k <=> _a.$k").mkString(" AND ") +
+        s" JOIN (${margS("_vb", "n_b", "_slnb")}) _b ON " +
+        groupBy.map(k => s"_j.$k <=> _b.$k").mkString(" AND ")
     val frag =
       s"SELECT ${gSel}n, n_a, n_b, n_ab, h_a, h_b, h_ab, (h_a + h_b) - h_ab AS mi " +
-        s"FROM (SELECT ${gSel}n, n_a, n_b, n_ab, ${hS("_slna")} AS h_a, " +
-        s"${hS("_slnb")} AS h_b, ${hS("_slnab")} AS h_ab FROM ($joinS)) " +
+        s"FROM (SELECT ${jqSel}n, n_a, n_b, n_ab, ${hS("_slna")} AS h_a, " +
+        s"${hS("_slnb")} AS h_b, ${hS("_slnab")} AS h_ab FROM $joinS) " +
         s"WHERE n IS NOT NULL"
     c.next("mutual_information", df2, Some(frag))
   }
@@ -3006,7 +3026,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val lAgg = joint.groupBy((keyCols :+ col("_l")): _*)
       .agg(sum(col("_cfl")).as("_cm")).groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_labels"), slnSum(col("_cm")).as("_slnl"))
-    val merged = jAgg.join(fAgg, keyNames).join(lAgg, keyNames)
+    // null-safe key joins (the psiTermsGrouped regime): _c is never null,
+    // but a NULL group key must keep its census rows
+    val merged = {
+      def keyed(df: DataFrame, pfx: String) = df.select(
+        (keyNames.map(k => col(k).as(s"$pfx$k")) ++
+          df.columns.filterNot(keyNames.contains).map(col)): _*)
+      jAgg
+        .join(keyed(fAgg, "_t_"),
+          keyNames.map(k => col(k) <=> col(s"_t_$k")).reduce(_ && _))
+        .drop(keyNames.map(k => s"_t_$k"): _*)
+        .join(keyed(lAgg, "_p_"),
+          keyNames.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _))
+        .drop(keyNames.map(k => s"_p_$k"): _*)
+    }
     val nD = col("n").cast("double")
     def h(sln: String) = (floor(log(nD) * lit(1e6) + lit(0.5)) / lit(1e6)) -
       (col(sln).cast("double") / lit(1e6)) / nD
@@ -3043,18 +3076,21 @@ final class AggOps(private val c: Chain) extends AnyVal {
       def mS(key: String, nAs: String, slnAs: String) =
         s"SELECT ${gSel}COUNT(*) AS $nAs, ${slnS("_cm")} AS $slnAs FROM (" +
           s"SELECT $gSel$key, SUM(_cfl) AS _cm FROM ($jointSql) GROUP BY $key$gBy)$gGrp"
+      // null-safe `<=>` joins: USING would drop NULL-keyed groups
+      val jqSel = if (groupBy.isEmpty) "" else groupBy.map(k => s"_j.$k").mkString(", ") + ", "
       val joinS =
-        if (groupBy.isEmpty) s"($jS) CROSS JOIN (${mS("_v", "n_values", "_slnf")}) " +
-          s"CROSS JOIN (${mS("_l", "n_labels", "_slnl")})"
-        else s"($jS) JOIN (${mS("_v", "n_values", "_slnf")}) " +
-          s"USING (${groupBy.mkString(", ")}) JOIN (${mS("_l", "n_labels", "_slnl")}) " +
-          s"USING (${groupBy.mkString(", ")})"
+        if (groupBy.isEmpty) s"($jS) _j CROSS JOIN (${mS("_v", "n_values", "_slnf")}) _a " +
+          s"CROSS JOIN (${mS("_l", "n_labels", "_slnl")}) _b"
+        else s"($jS) _j JOIN (${mS("_v", "n_values", "_slnf")}) _a ON " +
+          groupBy.map(k => s"_j.$k <=> _a.$k").mkString(" AND ") +
+          s" JOIN (${mS("_l", "n_labels", "_slnl")}) _b ON " +
+          groupBy.map(k => s"_j.$k <=> _b.$k").mkString(" AND ")
       s"SELECT $gSel'${fn.replace("'", "''")}' AS col_name, n, n_values, n_labels, " +
         s"h_feature, h_label, mi, CASE WHEN h_label > 0 THEN mi / h_label END AS u " +
         s"FROM (SELECT ${gSel}n, n_values, n_labels, h_feature, h_label, " +
         s"(h_feature + h_label) - h_fl AS mi FROM (" +
-        s"SELECT ${gSel}n, n_values, n_labels, ${hS("_slnf")} AS h_feature, " +
-        s"${hS("_slnl")} AS h_label, ${hS("_slnfl")} AS h_fl FROM ($joinS))) " +
+        s"SELECT ${jqSel}n, n_values, n_labels, ${hS("_slnf")} AS h_feature, " +
+        s"${hS("_slnl")} AS h_label, ${hS("_slnfl")} AS h_fl FROM $joinS)) " +
         s"WHERE n IS NOT NULL"
     }
     c.next("feature_relevance", df2, Some(branches.mkString(" UNION ALL ")))
@@ -3062,6 +3098,13 @@ final class AggOps(private val c: Chain) extends AnyVal {
 }
 
 private[graft] object AggOps {
+  /** The engine-wide 1e-6 fixed-point quantizer floor(x·1e6 + 0.5) as a
+    * BIGINT — ONE definition (the SelectionOps.fpq convention) so the
+    * quantization regime cannot silently fork per op.
+    */
+  private[graft] def fpq(v: Column): Column =
+    floor(v * lit(1e6) + lit(0.5)).cast("long")
+
   /** Shared PSI closing arithmetic over a (…, cnt_base, cnt_other) count
     * frame: eps-floored shares, a 1e-6 fixed-point ln factor, and a 1e-12
     * fixed-point exact `psi_total`. Deliberately NO global window (a

@@ -595,6 +595,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     */
   def quantileNormalize(column: String, groupBy: Seq[String] = Seq.empty,
                         reference: Option[Chain] = None): Chain = {
+    require(!c.df.columns.contains(Naming.cleanse(s"${column}_qnorm")),
+      s"quantile_normalize: output column '${Naming.cleanse(s"${column}_qnorm")}' " +
+        "already exists on the chain — rename first (the final re-select " +
+        "would otherwise emit it twice)")
     val reserved = Seq("_qn_r", "_qn_n", "_qn_tot", "_qn_t", "_qn_rk", "_qn_v")
     reserved.foreach(n => require(!c.df.columns.contains(n),
       s"quantile_normalize: column '$n' collides with an internal name — rename first"))
@@ -693,6 +697,9 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
                               reference: Option[Chain] = None): Chain = {
     require(levels >= 2 && levels <= 65536,
       s"quantile_normalize_sketch: levels must be in [2, 65536], got $levels")
+    require(!c.df.columns.contains(Naming.cleanse(s"${column}_qnorm")),
+      s"quantile_normalize_sketch: output column " +
+        s"'${Naming.cleanse(s"${column}_qnorm")}' already exists on the chain — rename first")
     val reserved = Seq("_qn_r", "_qn_n", "_qn_cuts")
     reserved.foreach(n => require(!c.df.columns.contains(n),
       s"quantile_normalize_sketch: column '$n' collides with an internal name — rename first"))

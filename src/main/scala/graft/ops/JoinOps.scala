@@ -688,7 +688,30 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     // plan as a binary literal, the literal-frame convention of the
     // centroid/cutoff families. An all-null right key set yields a null
     // filter → the join result is provably empty.
-    val bloomRow = other.df.agg(bloomAgg.as("_bf")).collect()(0)
+    //
+    // BloomFilterAggregate SILENTLY clamps its size to the runtime-filter
+    // session confs (maxNumBits defaults to 67M bits ≈ 8 MB, maxNumItems
+    // to 4M) — an unlifted clamp would saturate a big filter and quietly
+    // degrade the prefilter to a pass-through. Raise both to the
+    // requested size for the build, restore after (the dynamicOverwrite
+    // conf save/restore regime).
+    val bloomConf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+    val conf = c.spark.conf
+    val saved = bloomConf.map { case (k, _) =>
+      k -> scala.util.Try(conf.get(k)).toOption }
+    val bloomRow =
+      try {
+        bloomConf.foreach { case (k, v) =>
+          val cur = scala.util.Try(conf.get(k).toLong).getOrElse(0L)
+          conf.set(k, math.max(cur, v).toString)
+        }
+        other.df.agg(bloomAgg.as("_bf")).collect()(0)
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     val leftCols = c.df.columns.toSeq
     val prefiltered =
       if (bloomRow.isNullAt(0)) c.df.where(lit(false))
