@@ -1115,6 +1115,21 @@ object SparkEntry {
         fix.pqEncode(model.df, "embedding")
           .df.select(col("vec_id"), posexplode(col("pq_code")).as(Seq("pos", "code")))
       }),
+      // ADC search over PQ codes on the pinned lattice: each query's
+      // nearest code is its own planted cluster's, so the top-5 are the
+      // five siblings in id order (same-code ties, deterministic
+      // tie-break) — the oracle enumerates query + 4·rank
+      "q_search_pq" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val fix = Chain(s, "pq_fix", embFixtureDf(s))
+        val model = fix.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        val corpus = Chain(s, "pq_corpus", fix.pqEncode(model.df, "embedding")
+          .df.select(col("vec_id"), col("pq_code")))
+        corpus.searchPq(model.df, embFixtureDf(s).where("vec_id < 4"),
+            "vec_id", "embedding", k = 5)
+          .df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      }),
       // Bloom-prefiltered join: lineitem probed against small parts —
       // the prefilter is execution detail, so the oracle is the PLAIN
       // inner join (false positives provably fall out in the equi-join)
@@ -3261,6 +3276,13 @@ object SparkEntry {
           "COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) AS n_sensitive " +
           "FROM t GROUP BY 1, 2 " +
           "HAVING COUNT(DISTINCT ab) + MAX(CASE WHEN ab IS NULL THEN 1 ELSE 0 END) < 5"),
+      // ADC top-5 replayed structurally: neighbor = query + 4·rank (the
+      // five same-cluster siblings in id order)
+      "q_search_pq" ->
+        ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
+          "CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT unnest(range(0, 4)) AS query_id) q " +
+          "CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r"),
       // PQ codes replayed as the pinned cluster pattern: lattice cluster
       // (vec_id % 4) 0..3 encode as (1,2) (2,3) (0,0) (3,1) — the fit is
       // a pure function of the constant fixture (spec-pinned)

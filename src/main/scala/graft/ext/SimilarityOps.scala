@@ -739,6 +739,51 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("pq_decode", df2, None, Map("code_col" -> codeCol))
   }
 
+  /** search_pq(model, queries, id_col, vec_col, code_col, k): top-k
+    * nearest neighbors of each raw query against a PQ-CODED corpus by
+    * asymmetric distance (ADC — Jégou et al. TPAMI 2011): this chain
+    * carries (id, [[pqEncode]] codes), the queries carry raw vectors,
+    * and scoring meets only the codes — the corpus never materializes
+    * decoded float vectors, so the whole pass streams m bytes per row
+    * against broadcast queries (the [[cosineTopK]] shape with the
+    * [[graft.functions.PqAdcDist]] codegen kernel in place of the dot).
+    * Output: (query_id, neighbor_id, adc_dist, rank) — rank by ascending
+    * squared euclidean distance; every same-code neighbor of a query
+    * ties EXACTLY and orders by the deterministic neighbor_id
+    * tie-break. Distance quality is the PQ quantization error (the
+    * pqDecode recall gate); self-matches are excluded like the rest of
+    * the top-k family. Queries are usableVec-filtered; null codes drop.
+    */
+  def searchPq(model: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, codeCol: String = "pq_code",
+               k: Int = 10): Chain = {
+    require(k >= 1, s"search_pq: k must be >= 1, got $k")
+    Seq(idCol, codeCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"search_pq: corpus chain is missing column '$cn'"))
+    Seq(idCol, vecCol).foreach(cn => require(queries.columns.contains(cn),
+      s"search_pq: query frame is missing column '$cn'"))
+    val centers = SimilarityOps.collectPqModel(model)
+    val qs = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(col("_vq").isNotNull &&
+        SimilarityOps.usableVec(col("_vq"), col("_nq")))
+      .drop("_nq")
+    val corpus = c.df
+      .select(col(idCol).as("neighbor_id"), col(codeCol).as("_pc"))
+      .where(col("_pc").isNotNull)
+    val scored = corpus.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        graft.functions.PqAdcDist(col("_pc"), col("_vq"), centers))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val df2 = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+    c.next("search_pq", df2, None, Map("k" -> k.toString))
+  }
+
   /** truncate_embeddings(vec_col, dim, renormalize, as): keep the first
     * `dim` coordinates — the Matryoshka representation move (Kusupati et
     * al., NeurIPS 2022: MRL-trained embeddings nest usable sub-embeddings

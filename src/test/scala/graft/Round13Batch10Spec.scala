@@ -82,6 +82,69 @@ class Round13Batch10Spec extends AnyFunSuite {
     }
   }
 
+  test("searchPq: lattice queries recall their whole planted cluster, ties id-ordered") {
+    val model = lattice.pqFit("vec_id", "embedding", m = 2, ks = 4,
+      trainSample = 24, iters = 10)
+    val coded = lattice.pqEncode(model.df, "embedding")
+    val corpus = Chain(spark, "pq_corpus",
+      coded.df.select(col("vec_id"), col("pq_code")))
+    val got = corpus.searchPq(model.df,
+        SparkEntry.embFixtureDf(spark).where("vec_id < 4"),
+        "vec_id", "embedding", k = 5)
+      .df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // every query's nearest code is its own cluster's — the 5 siblings in
+    // id order, all at the IDENTICAL tied distance
+    (0 until 4).foreach { q =>
+      val expect = (1 to 5).map(j => (q + 4 * j).toLong)
+      val rows = (1 to 5).map(rk => got((q.toLong, rk)))
+      assert(rows.map(_._1) == expect, s"query $q: ${rows.map(_._1)}")
+      assert(rows.map(_._2).distinct.size == 1,
+        s"same-code siblings must tie exactly, got ${rows.map(_._2)}")
+    }
+  }
+
+  test("searchPq: kernel distances replay exactly on the driver; guards refuse misuse") {
+    val emb = table("embeddings")
+    val model = emb.pqFit("vec_id", "embedding", m = 8, ks = 16,
+      trainSample = 500, iters = 10)
+    val coded = emb.pqEncode(model.df, "embedding")
+    val corpus = Chain(spark, "pq_corpus2",
+      coded.df.select(col("vec_id"), col("pq_code")))
+    val res = corpus.searchPq(model.df, emb.df.where("vec_id < 3"),
+      "vec_id", "embedding", k = 500).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver replay with the kernel's exact loop order
+    val centers = model.df.orderBy("block", "cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val codeMap = coded.df.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val vecMap = emb.df.where("vec_id < 3").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bd = centers(0)._3.length
+    def adc(q: Array[Float], code: Array[Int]): Double = {
+      var acc = 0.0
+      code.indices.foreach { b =>
+        val cv = centers.find(c => c._1 == b && c._2 == code(b)).get._3
+        var j = 0
+        while (j < bd) {
+          val d = q(b * bd + j).toDouble - cv(j); acc += d * d; j += 1
+        }
+      }
+      acc
+    }
+    res.foreach { case ((qid, nid), dist) =>
+      assert(dist == adc(vecMap(qid), codeMap(nid)), s"pair ($qid, $nid)")
+    }
+    intercept[IllegalArgumentException] {
+      corpus.searchPq(model.df, emb.df, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      corpus.searchPq(model.df, emb.df.drop("embedding"), "vec_id", "embedding")
+    }
+  }
+
   test("pq on real embeddings: decoded-cosine top-10 recall stays above the floor") {
     // measured frontier on the 64-dim fixture embeddings (500 train rows):
     // m=8/ks=256 -> 0.61 (8 B/vec), m=16/ks=256 -> 0.775 (16 B),
