@@ -1205,6 +1205,10 @@ object SparkEntry {
           .tClosenessViolations(Seq("c_mktsegment", "c_nationkey"), "ab",
             tFp = 300000L).df
       }),
+      // source-concentration Gini over the corpus: integer sorted-count
+      // identity, the closing division the only float op
+      "q_gini" -> ((s, d) =>
+        t(s, d, "documents").giniConcentration("source").df),
       // Jensen–Shannon divergence of the source mix, en vs non-en — the
       // bounded symmetric drift census; per-value entropy terms quantized
       // before the integer sums, oracle replays shares/terms/closing
@@ -3403,6 +3407,15 @@ object SparkEntry {
           "SUM(CAST(FLOOR(CAST(gs AS DOUBLE) / CAST(tn AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) " +
           "AS DOUBLE) / 2.0 + 0.5) AS BIGINT) AS tvd_fp FROM j GROUP BY 1, 2) " +
           "SELECT c_mktsegment, c_nationkey, n, tvd_fp FROM cl WHERE tvd_fp > 300000"),
+      // Gini replayed: sorted-count ranks, integer Σ i·c, the same
+      // (2·Σic − (V+1)·n)/(V·n) closing
+      "q_gini" ->
+        ("WITH g AS (SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
+          "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, v ASC NULLS FIRST) AS i FROM g), " +
+          "a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_values, " +
+          "SUM(CAST(i * cnt AS DECIMAL(38,0))) AS sic FROM r) " +
+          "SELECT n, n_values, (2.0 * CAST(sic AS DOUBLE) - CAST((n_values + 1) * n AS DOUBLE)) / " +
+          "CAST(n_values * n AS DOUBLE) AS gini FROM a"),
       // JSD replayed: per-value tag counts, window totals, exact IEEE
       // shares, per-value quantized d·ln(d) terms, the same
       // h_mix − (h_base + h_other)/2 closing order

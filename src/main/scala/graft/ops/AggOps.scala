@@ -2837,6 +2837,60 @@ final class AggOps(private val c: Chain) extends AnyVal {
     c.next("jsd_profile", df2, None)
   }
 
+  /** gini_concentration(column, group_by): Gini coefficient of the
+    * category-count distribution — per group: `n` (rows), `n_values`
+    * (distinct categories), `gini` ∈ [0, 1): 0 = perfectly balanced
+    * categories, → 1 = one category holds everything. The corpus-
+    * concentration readout beside [[entropyProfile]]'s entropy/Simpson
+    * ("90% of the corpus is one domain" shows up as gini → 1 however
+    * many long-tail domains exist). Computed from the sorted-count
+    * identity
+    *
+    *   G = (2·Σ i·c_(i) − (V + 1)·n) / (V·n)
+    *
+    * over the ascending counts c_(1..V) — numerator and denominator are
+    * pure integers (ties contribute identically under any tie order), so
+    * the single closing division is the only float op: engine-exact.
+    * Nulls are a category like any other. A single-category group has no
+    * between-category inequality: gini = 0.
+    *
+    * Scale shape: one (group, value) count aggregate (map-side combined
+    * — counts, not rows), a rank window over that bounded count frame,
+    * one closing aggregate. Ungrouped, the rank window is a single-
+    * partition pass over the distinct values (the categorical-census
+    * caveat).
+    */
+  def giniConcentration(column: String, groupBy: Seq[String] = Nil): Chain = {
+    require(c.df.columns.contains(column),
+      s"gini_concentration: chain is missing column '$column'")
+    AggOps.requirePsiGroupNames("gini_concentration", groupBy,
+      Seq("n", "n_values", "gini", "_v", "_cnt", "_i"))
+    require(!groupBy.contains(column),
+      "gini_concentration: group columns overlap the census column")
+    val counts = c.df
+      .groupBy((groupBy.map(col) :+ col(column).cast("string").as("_v")): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wG =
+      if (groupBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupBy.map(col): _*)
+    val ranked = counts.withColumn("_i",
+      row_number().over(wG.orderBy(col("_cnt").asc, col("_v").asc_nulls_first)))
+    val Dec = DecimalType(38, 0)
+    val closed = (
+      if (groupBy.isEmpty) ranked.groupBy()
+      else ranked.groupBy(groupBy.map(col): _*))
+      .agg(sum(col("_cnt")).as("n"), count(lit(1)).as("n_values"),
+        sum((col("_i") * col("_cnt")).cast(Dec)).as("_sic"))
+    val num = lit(2.0) * col("_sic").cast("double") -
+      ((col("n_values") + lit(1L)) * col("n")).cast("double")
+    val den = (col("n_values") * col("n")).cast("double")
+    val df2 = closed
+      .withColumn("gini", num / den)
+      .select((groupBy.map(col) ++ Seq(col("n"), col("n_values"),
+        col("gini"))): _*)
+    c.next("gini_concentration", df2, None)
+  }
+
   /** mutual_information(col_a, col_b, group_by): dependence census of two
     * categorical columns — per group:
     *
