@@ -3043,7 +3043,8 @@ object SparkEntry {
           "p AS (SELECT COUNT(*) AS n FROM nodes), " +
           s"pr0 AS (SELECT node, od, (SELECT $S // n FROM p) AS pr FROM base), " +
           sweep(1) + sweep(2) + sweep(3).stripSuffix(", ") +
-          s" SELECT node, pr AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
+          // CAST: the recursive SUM promotes pr to HUGEINT; Spark emits BIGINT
+          s" SELECT node, CAST(pr AS BIGINT) AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
       },
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
@@ -3565,13 +3566,13 @@ object SparkEntry {
           "rel AS (SELECT r.query_id, r.rank FROM run r JOIN qrels q " +
           "ON r.query_id = q.query_id AND r.doc_id = q.doc_id WHERE r.rank BETWEEN 1 AND 10), " +
           "ha AS (SELECT query_id, COUNT(*) AS hits, MIN(CAST(rank AS BIGINT)) AS minr, " +
-          "SUM(CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT)) AS dcg_fp " +
+          "CAST(SUM(CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_fp " +
           "FROM rel GROUP BY query_id), " +
           "bq AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id) " +
           "SELECT bq.query_id, bq.n_rel, COALESCE(hits, 0) AS hits, " +
           "CAST(FLOOR(CAST(COALESCE(hits, 0) AS DOUBLE) * 1.0 / CAST(n_rel AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS recall_fp, " +
           "CASE WHEN minr IS NULL THEN 0 ELSE CAST(FLOOR(1.0 / CAST(minr AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS rr_fp, " +
-          "COALESCE(dcg_fp, 0) AS dcg_fp, " +
+          "CAST(COALESCE(dcg_fp, 0) AS BIGINT) AS dcg_fp, " +
           "CAST(list_sum(list_transform(range(1, LEAST(n_rel, 10) + 1), " +
           "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS idcg_fp, " +
           "CASE WHEN COALESCE(dcg_fp, 0) = 0 THEN 0 ELSE " +

@@ -4,6 +4,11 @@ DuckDB over the same parquet tables and compare to the Verify output
 (sorted rows, sorted columns, exact for non-floats, tiny tolerance report
 for floats so we can see HOW exact we are).
 
+The driver's hash is DTYPE-sensitive (round 13: a DuckDB SUM-promoted
+HUGEINT column hash-mismatched against Spark BIGINT with every value
+equal), so besides values this also compares the arrow-level column types
+of both sides, fetched through the same DuckDB lens.
+
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
@@ -43,6 +48,16 @@ def values_equal(a, b):
     return str(a) == str(b), 0.0 if str(a) == str(b) else float("inf")
 
 
+def dtype_mismatches(duck_schema, spark_schema):
+    """Arrow-level column types must agree, matched by column name (the
+    driver canonicalizes column order, so only the name→type map matters).
+    Both schemas come through DuckDB's arrow bridge so representational
+    noise (string vs large_string) is already normalized away."""
+    d = {f.name: str(f.type) for f in duck_schema}
+    s = {f.name: str(f.type) for f in spark_schema}
+    return [(c, d[c], s[c]) for c in sorted(set(d) & set(s)) if d[c] != s[c]]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -53,20 +68,27 @@ def main():
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            res = con.execute(sql)
-            duck_cols = [c[0] for c in res.description]
-            duck_rows = res.fetchall()
+            duck_tab = con.execute(sql).fetch_arrow_table()
+            duck_cols = duck_tab.column_names
+            duck_rows = [tuple(r.values()) for r in duck_tab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
         try:
-            r2 = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            sp_cols = [c[0] for c in r2.description]
-            sp_rows = r2.fetchall()
+            sp_tab = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetch_arrow_table()
+            sp_cols = sp_tab.column_names
+            sp_rows = [tuple(r.values()) for r in sp_tab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        bad_types = dtype_mismatches(duck_tab.schema, sp_tab.schema)
+        if bad_types:
+            for c, dt, st in bad_types:
+                print(f"FAIL {name}: dtype mismatch col {c}: duck={dt} spark={st}")
             failures += 1
             continue
         if sorted(duck_cols) != sorted(sp_cols):
