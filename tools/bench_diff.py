@@ -73,6 +73,15 @@ ANNOTATIONS = {
     # ~+0.3 s at sf0.1's batch count and amortize to noise at real batch
     # sizes. Intentional exactly-once hardening.
     "q_events_drift": "replay-guard catalog ops per batch (+identity read); amortizes at real batch sizes",
+    # round 14 (verdict ask #3 adjudication): the r11->r13 rise (1.619 ->
+    # 1.690 -> 2.381) met the three-same-direction rule and was re-timed
+    # DELIBERATELY (the q_fuzzy_pairs playbook): fresh-JVM pass 1 read
+    # 8.78 s (cold codegen), steady state 1.15-1.26 s over three runs —
+    # BELOW the 1.639 tracked baseline. Output is a fixed 256-pair frame;
+    # the candidate-growth hypothesis is not supported (row counts flat),
+    # and the plan is unchanged since round 11. Trend = pass-position /
+    # warmup noise on a small codegen-bound query, not a real regression.
+    "q_dedup_containment": "re-timed steady 1.15-1.26s (< baseline); r13 2.381 was warmup/pass-position noise",
 }
 
 
