@@ -257,13 +257,41 @@ object Bench {
         val curveMap = ivfCurve.toMap
         val np4a2 = recallOf(pairs(emb.ivfCosineTopK(queries, "vec_id", "embedding", 10,
           nlist = 16, nprobe = 4, assign = 2).df))
+        // IVFADC vs full-scan ADC at EQUAL quantization: the reference set
+        // is searchPq's full-scan ADC top-10 under the SAME PQ model, so
+        // this recall isolates what cell pruning costs with the PQ
+        // quantization error held fixed on both sides. Measured 2026-08
+        // on the sf0.1 embeddings: np4→0.370, np8→0.660 — BELOW the
+        // flat-IVF curve at equal nprobe because m=8/ks=16 codes tie in
+        // large groups on this clustered fixture and the full-scan
+        // reference resolves ties by GLOBAL neighbor id, which a pruned
+        // search cannot see (np16 is exact by construction — Round14Spec
+        // pins full-probe equality on the lattice). Floors sit 0.1 under
+        // measured, the house convention.
+        val pqModel = emb.pqFit("vec_id", "embedding", m = 8, ks = 16,
+          trainSample = 2048, iters = 10)
+        val coded = Chain(spark, "bench_pq_corpus",
+          emb.pqEncode(pqModel.df, "embedding").df.select("vec_id", "pq_code"))
+        val adcFull = pairs(coded.searchPq(pqModel.df, queries,
+          "vec_id", "embedding", k = 10).df)
+        val pqIdx = emb.ivfPqIndex(pqModel.df, "vec_id", "embedding", nlist = 16)
+        val qChain = Chain(spark, "bench_pq_queries", queries)
+        def recallVsAdc(approx: Set[(Long, Long)]): Double =
+          if (adcFull.isEmpty) 1.0
+          else approx.intersect(adcFull).size.toDouble / adcFull.size
+        val ivfadcNp4 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 4).df))
+        val ivfadcNp8 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df))
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
           ("lsh", recallOf(pairs(emb.lshCosineTopK(queries, "vec_id", "embedding", 10).df)), 0.7),
           ("ivf", curveMap(4), 0.4),
           ("ivf_np8", curveMap(8), 0.65),
-          ("ivf_np4_a2", np4a2, 0.64))
+          ("ivf_np4_a2", np4a2, 0.64),
+          ("ivfadc_np4", ivfadcNp4, 0.27),
+          ("ivfadc_np8", ivfadcNp8, 0.56))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

@@ -853,6 +853,19 @@ object SparkEntry {
             (col("l_partkey") % 5000).as("dst")))
           .linkRank("src", "dst", iterations = 3).df
       }),
+      // host-level authority rollup: distinct page edges labeled with
+      // their host (page DIV 10 → 500 hosts), collapsed to weighted host
+      // edges inside the op; the oracle replays the weighted integer
+      // recurrence (shares enter as w · (pr // outdeg_w))
+      "q_link_rank_host" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        Chain(s, "host_edges", t(s, d, "lineitem").df
+          .select((col("l_orderkey") % 5000).as("src_page"),
+            (col("l_partkey") % 5000).as("dst_page")).distinct()
+          .select(expr("src_page DIV 10").as("src_host"),
+            expr("dst_page DIV 10").as("dst_host")))
+          .linkRankHost("src_host", "dst_host", iterations = 3).df
+      }),
       // cluster assignment over the exact near-dup pairs (connected
       // components, min-id label per component) — the keep/drop decision
       // step after pair mining
@@ -882,6 +895,22 @@ object SparkEntry {
       // scoped per language
       "q_pack_sequences" -> ((s, d) =>
         t(s, d, "documents").packSequences("n_chars", 20000L,
+          orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
+      // UniMax water-filling allocation census (budget 220k, 2-epoch cap
+      // at sf0.01: the four small langs cap at 2 epochs, en takes the
+      // leftover as a ~0.78 keep fraction — all three branches live)
+      "q_unimax_alloc" -> ((s, d) =>
+        t(s, d, "documents").uniMaxAllocation("lang", "n_chars",
+          totalBudget = 220000L, maxEpochs = 2).df),
+      // the apply face: per-stratum derived keep fractions as the
+      // engine-side md5 threshold, epochs carried for the loader
+      "q_mix_unimax" -> ((s, d) =>
+        t(s, d, "documents").mixUniMax("lang", "n_chars", 220000L, 2,
+          keyCols = Seq("doc_id")).df),
+      // token-budget face: pack boundaries track subword load (bpeish
+      // count), the unit a pretraining loader actually packs by
+      "q_pack_sequences_tokens" -> ((s, d) =>
+        t(s, d, "documents").packSequencesByTokens("text", 4000L,
           orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
       // span-level exact dedup: maximal cross-document duplicated 8-token
       // windows, and the strip pass that keeps one copy corpus-wide
@@ -1128,6 +1157,23 @@ object SparkEntry {
           .df.select(col("vec_id"), col("pq_code")))
         corpus.searchPq(model.df, embFixtureDf(s).where("vec_id < 4"),
             "vec_id", "embedding", k = 5)
+          .df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      }),
+      // IVFADC over the pinned lattice: nlist=4 cells recover the 4
+      // planted clusters, nprobe=2 visits the query's own cell first, and
+      // same-code ADC ties order by neighbor id — so the top-5 are the
+      // five same-cluster siblings, identical rows to full-scan q_search_pq
+      // (cell pruning drops only strictly-farther candidates here)
+      "q_search_pq_ivf" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val fix = Chain(s, "pq_fix", embFixtureDf(s))
+        val model = fix.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        val idx = fix.ivfPqIndex(model.df, "vec_id", "embedding",
+          nlist = 4, trainSample = 24)
+        Chain(s, "queries", embFixtureDf(s).where("vec_id < 4"))
+          .searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+            k = 5, nprobe = 2)
           .df.select(col("query_id"), col("neighbor_id"), col("rank"))
       }),
       // Bloom-prefiltered join: lineitem probed against small parts —
@@ -2706,6 +2752,27 @@ object SparkEntry {
         "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8))"
     def ngramJaccardSql(n: Int, threshold: Double) =
       s"WITH w AS (SELECT doc_id, ${ngrams(n)} AS ws FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard FROM w a JOIN w b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= $threshold"
+    // UniMax water-filling census (wide intermediates in HUGEINT — the
+    // Spark face uses DECIMAL(38,0); outputs CAST to BIGINT on both sides)
+    def umAllocSql(b: Long, e: Int) =
+      "SELECT stratum, CAST(tokens AS BIGINT) AS tokens, CAST(cap AS BIGINT) AS cap, " +
+        "CAST(alloc AS BIGINT) AS alloc, " +
+        "CAST((CAST(alloc AS HUGEINT) * 1000000) // tokens AS BIGINT) AS epochs_fp, " +
+        "CAST(LEAST((CAST(alloc AS HUGEINT) * 1000000) // tokens, 1000000) AS BIGINT) AS keep_fp FROM (" +
+        "SELECT stratum, tokens, cap, CASE WHEN _test THEN cap ELSE _q + " +
+        "(CASE WHEN _seq - _m <= _r THEN 1 ELSE 0 END) END AS alloc FROM (" +
+        "SELECT *, CASE WHEN _rcnt > 0 THEN _rbud // _rcnt ELSE 0 END AS _q, " +
+        "CASE WHEN _rcnt > 0 THEN _rbud % _rcnt ELSE 0 END AS _r FROM (" +
+        s"SELECT *, _k - _m AS _rcnt, $b - _cumm AS _rbud FROM (" +
+        "SELECT *, SUM(CASE WHEN _test THEN 1 ELSE 0 END) OVER () AS _m, " +
+        "COALESCE(SUM(CASE WHEN _test THEN cap END) OVER (), 0) AS _cumm FROM (" +
+        s"SELECT *, CAST(cap AS HUGEINT) * (_k - _seq + 1) + (_cum - cap) <= $b AS _test FROM (" +
+        "SELECT *, COUNT(*) OVER () AS _k, " +
+        "ROW_NUMBER() OVER (ORDER BY cap ASC, stratum ASC) AS _seq, " +
+        "SUM(cap) OVER (ORDER BY cap ASC, stratum ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum FROM (" +
+        "SELECT CAST(lang AS VARCHAR) AS stratum, SUM(CAST(n_chars AS BIGINT)) AS tokens, " +
+        s"SUM(CAST(n_chars AS BIGINT)) * $e AS cap FROM documents WHERE lang IS NOT NULL " +
+        "GROUP BY 1 HAVING SUM(CAST(n_chars AS BIGINT)) > 0)))))))"
     Map(
       "q_text_tokens" ->
         s"SELECT *, CAST(len($toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${raw"\s"}]')) AS INTEGER) AS n_bpeish FROM documents",
@@ -3046,6 +3113,29 @@ object SparkEntry {
           // CAST: the recursive SUM promotes pr to HUGEINT; Spark emits BIGINT
           s" SELECT node, CAST(pr AS BIGINT) AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
       },
+      // host rollup replayed: distinct page edges fold to (src_host,
+      // dst_host, w = page-edge count), then the SAME integer recurrence
+      // with each edge's share entering as w · (pr // out-weight)
+      "q_link_rank_host" -> {
+        val S = "1000000000000"
+        def sweep(i: Int) =
+          s"c$i AS (SELECT e.dst AS node, SUM(e.w * (pr.pr // pr.od)) AS c " +
+            s"FROM pr${i - 1} pr JOIN e ON pr.node = e.src GROUP BY e.dst), " +
+            s"pr$i AS (SELECT b.node, b.od, (SELECT (15 * $S) // (100 * n) FROM p) + " +
+            s"(85 * (COALESCE(c.c, 0) + (SELECT (SELECT COALESCE(SUM(pr), 0) " +
+            s"FROM pr${i - 1} WHERE od IS NULL) // n FROM p))) // 100 AS pr " +
+            s"FROM base b LEFT JOIN c$i c ON b.node = c.node), "
+        "WITH pe AS (SELECT DISTINCT l_orderkey % 5000 AS sp, l_partkey % 5000 AS dp FROM lineitem), " +
+          "e AS (SELECT sp // 10 AS src, dp // 10 AS dst, COUNT(*) AS w FROM pe GROUP BY 1, 2), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "deg AS (SELECT src AS node, SUM(w) AS od FROM e GROUP BY 1), " +
+          "base AS (SELECT n.node, d.od FROM nodes n LEFT JOIN deg d ON n.node = d.node), " +
+          "p AS (SELECT COUNT(*) AS n FROM nodes), " +
+          s"pr0 AS (SELECT node, od, (SELECT $S // n FROM p) AS pr FROM base), " +
+          sweep(1) + sweep(2) + sweep(3).stripSuffix(", ") +
+          // CAST: SUM-promoted HUGEINT intermediates; Spark emits BIGINT
+          s" SELECT node, CAST(pr AS BIGINT) AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
+      },
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE p AS (${ngramJaccardSql(n = 3, threshold = 0.5)}), " +
           "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
@@ -3075,6 +3165,24 @@ object SparkEntry {
         ("SELECT *, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) " +
           "AS pack_id FROM documents"),
+      // UniMax: the water-filling census replays as pure window algebra
+      // (prefix-feasibility tests over caps sorted ascending)
+      "q_unimax_alloc" -> umAllocSql(220000L, 2),
+      // apply face: the derived ppm fraction becomes the same 15-hex-digit
+      // md5 threshold the sample_hash family pins; whole-keep strata
+      // bypass the hash exactly
+      "q_mix_unimax" ->
+        (s"SELECT d.*, CAST(a.epochs_fp AS BIGINT) AS mix_epochs_fp FROM documents d JOIN (${umAllocSql(220000L, 2)}) a " +
+          "ON CAST(d.lang AS VARCHAR) = a.stratum " +
+          "WHERE a.keep_fp >= 1000000 OR md5(CONCAT_WS('|', CAST(d.doc_id AS VARCHAR))) < " +
+          "printf('%015x', a.keep_fp * 1152921504606)"),
+      // token-budget pack face: the same offset-binned cumulative fold,
+      // over the bpeish subword-proxy count instead of n_chars
+      "q_pack_sequences_tokens" ->
+        ("SELECT *, CAST(FLOOR(COALESCE(SUM(pack_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS pack_id " +
+          "FROM (SELECT *, CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS pack_tokens FROM documents)"),
       "q_text_repetition" ->
         (s"SELECT *, 1.0 - CAST(len(${ngrams(3)}) AS DOUBLE) / " +
           s"(CASE WHEN len($toks) < 3 THEN 1 ELSE len($toks) - 2 END) AS text_rep_3 FROM documents"),
@@ -3284,6 +3392,14 @@ object SparkEntry {
       // ADC top-5 replayed structurally: neighbor = query + 4·rank (the
       // five same-cluster siblings in id order)
       "q_search_pq" ->
+        ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
+          "CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT unnest(range(0, 4)) AS query_id) q " +
+          "CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r"),
+      // IVFADC replayed structurally: the probed own cell holds the five
+      // same-code siblings (neighbor = query + 4·rank) — the same rows the
+      // full-scan ADC face pins
+      "q_search_pq_ivf" ->
         ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
           "CAST(rank AS INTEGER) AS rank FROM " +
           "(SELECT unnest(range(0, 4)) AS query_id) q " +

@@ -60,8 +60,59 @@ final class GraphOps(private val c: Chain) extends AnyVal {
     val edges = DedupOps.checkpointRound(
       c.df.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
         .where(col("_src").isNotNull && col("_dst").isNotNull)
-        .distinct())
-    val deg = edges.groupBy(col("_src").as("node")).agg(count(lit(1)).as("_outdeg"))
+        .distinct().withColumn("_w", lit(1L)))
+    rankSweeps("link_rank", srcCol, edges, iterations, dampingPct, scale)
+  }
+
+  /** link_rank_host(src_host, dst_host, iterations): host-level authority
+    * rollup — the grain crawl curation actually ranks at (CommonCrawl
+    * publishes its host- and domain-level webgraph ranks; a page-level
+    * rank at 100 TB is mostly intra-site noise). This chain carries
+    * PAGE-grain edges already labeled with host keys (the caller's
+    * parse_url/registrable-domain pass — dedupe page pairs upstream if
+    * multiplicity shouldn't weigh); the op collapses them to one edge per
+    * (src_host, dst_host) with `weight = page-edge count` in ONE
+    * pre-aggregation (map-side partial, shuffled at HOST cardinality —
+    * orders of magnitude below page cardinality, which is the whole
+    * point), then runs the SAME fixed-point integer recurrence weighted:
+    * out-degree is the out-WEIGHT sum and each edge carries
+    * `w · (pr DIV outdeg_w)` — so a host linking 30 pages into a
+    * neighbor sends 30 unit shares, exactly the collapsed page mass.
+    * Self-loops (intra-host page links that survive the caller's edge
+    * prep) stay, like the page face. Output/readout identical to
+    * [[linkRank]]; the q_link_rank_host oracle replays the weighted
+    * recurrence in DuckDB and hash-matches.
+    */
+  def linkRankHost(srcCol: String, dstCol: String, iterations: Int = 3,
+                   dampingPct: Int = 85, scale: Long = 1000000000000L): Chain = {
+    require(iterations >= 1 && iterations <= 50,
+      s"link_rank_host: iterations must be in [1, 50], got $iterations — " +
+        "a fixed authority sweep, not an unbounded fixpoint")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"link_rank_host: dampingPct must be in [0, 100], got $dampingPct")
+    require(scale >= 1000000L && scale <= 1000000000000000000L,
+      s"link_rank_host: scale must be in [1e6, 1e18], got $scale")
+    val cols = c.df.columns.toSet
+    Seq(srcCol, dstCol).foreach(n => require(cols.contains(n),
+      s"link_rank_host: edge frame is missing column '$n'"))
+    require(c.df.schema(srcCol).dataType == c.df.schema(dstCol).dataType,
+      s"link_rank_host: '$srcCol' and '$dstCol' must share a type, got " +
+        s"${c.df.schema(srcCol).dataType.sql} vs ${c.df.schema(dstCol).dataType.sql}")
+    val edges = DedupOps.checkpointRound(
+      c.df.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+        .where(col("_src").isNotNull && col("_dst").isNotNull)
+        .groupBy(col("_src"), col("_dst")).agg(count(lit(1)).as("_w")))
+    rankSweeps("link_rank_host", srcCol, edges, iterations, dampingPct, scale)
+  }
+
+  /** The shared fixed-point recurrence over a checkpointed WEIGHTED edge
+    * frame `(_src, _dst, _w)` — [[linkRank]] passes unit weights,
+    * [[linkRankHost]] the collapsed page counts. Releases `edges`.
+    */
+  private def rankSweeps(op: String, srcCol: String, edges: DataFrame,
+                         iterations: Int, dampingPct: Int,
+                         scale: Long): Chain = {
+    val deg = edges.groupBy(col("_src").as("node")).agg(sum(col("_w")).as("_outdeg"))
     // base = every node with its out-degree (null = dangling); reused by
     // every round's closing left join
     val base = DedupOps.checkpointRound(
@@ -73,7 +124,7 @@ final class GraphOps(private val c: Chain) extends AnyVal {
       DedupOps.releaseRound(edges); DedupOps.releaseRound(base)
       // typed empty frame off the ORIGINAL df — the released checkpoints
       // must not appear in the returned plan
-      return c.next("link_rank",
+      return c.next(op,
         c.df.select(col(srcCol).as("node"), lit(0L).as("rank_fp"),
           lit(0.0).as("rank")).where(lit(false)), None)
     }
@@ -84,7 +135,7 @@ final class GraphOps(private val c: Chain) extends AnyVal {
     for (_ <- 1 to iterations) {
       val shares = pr.where(col("_outdeg").isNotNull)
         .join(edges, col("node") === col("_src"))
-        .select(col("_dst"), expr("_pr DIV _outdeg").as("_share"))
+        .select(col("_dst"), (col("_w") * expr("_pr DIV _outdeg")).as("_share"))
       val contrib = shares.groupBy(col("_dst").as("node"))
         .agg(sum(col("_share")).as("_c"))
       // dangling mass rides the round job as a broadcast one-row frame —
@@ -104,6 +155,6 @@ final class GraphOps(private val c: Chain) extends AnyVal {
       (col("_pr").cast("double") / lit(scale.toDouble)).as("rank"))
     DedupOps.releaseRound(edges)
     DedupOps.releaseRound(base)
-    c.next("link_rank", out, None)
+    c.next(op, out, None)
   }
 }

@@ -784,6 +784,115 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     c.next("search_pq", df2, None, Map("k" -> k.toString))
   }
 
+  /** ivf_pq_index(pq_model, id, vec, nlist): the IVFADC index of Jégou et
+    * al. TPAMI 2011 — coarse IVF cells (spherical k-means, the [[ivfIndex]]
+    * train) whose postings store PQ CODES instead of raw vectors, so the
+    * searchable corpus shrinks to m bytes per row while probes keep the
+    * cell-pruned shape. One corpus scan: cell assignment and PQ encoding
+    * are both codegen projections ([[graft.functions.PqEncode]]), the two
+    * models ride the plan as flat literal tables. Schema unions the two
+    * row kinds: corpus rows `(_cid, _id, _pc, null, null)`, centroid
+    * marker rows `(_cid, null, null, _v, _n)` — one parquet table, the
+    * same save-the-postings investment as [[ivfIndex]]. Codes are the
+    * RAW-vector codebook (FAISS's `by_residual=false` regime): encoding
+    * stays a pure per-row function shared with [[pqEncode]]/[[searchPq]],
+    * so full-scan ADC and IVFADC rank candidates identically — recall
+    * differences come only from cell pruning, which the bench gate
+    * measures.
+    */
+  def ivfPqIndex(pqModel: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, trainSample: Int = 4096,
+                 trainIters: Int = 15): Chain = {
+    val spark = c.df.sparkSession
+    Seq(idCol, vecCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"ivf_pq_index: chain is missing column '$cn'"))
+    val (idExpr, idType) = SimilarityOps.indexId("ivf_pq_index", c.df, idCol)
+    val pqCenters = SimilarityOps.collectPqModel(pqModel)
+    val corpus = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      // same exclusion as ivfIndex: zero-norm/NaN vectors can never be a
+      // true neighbor, and PqEncode NULLs them anyway
+      .where(SimilarityOps.usableVec(col("_v"), col("_n")))
+      .repartition(col("_id")) // barrier: norm computed once
+    val trainVecs = corpus
+      .orderBy(xxhash64(col("_id")).asc, col("_id").asc)
+      .limit(trainSample)
+      .select(col("_v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
+    val assigned = corpus
+      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
+      .where(col("_pc").isNotNull)
+      .select(col("_cid"), col("_id"), col("_pc"),
+        lit(null).cast("array<double>").as("_v"),
+        lit(null).cast("double").as("_n"))
+    val centroidRows = SimilarityOps.centroidFrame(spark, centers)
+      .select(col("_cid"), lit(null).cast(idType).as("_id"),
+        lit(null).cast("array<int>").as("_pc"),
+        col("_cv").as("_v"), col("_cn").as("_n"))
+    c.next("ivf_pq_index", assigned.unionByName(centroidRows), None,
+      Map("nlist" -> nlist.toString))
+  }
+
+  /** search_ivf_pq(pq_model, index, id, vec, k, nprobe): IVFADC search —
+    * probe a saved [[ivfPqIndex]] with THIS chain's rows as the query set
+    * (receiver = queries, the [[searchIvfIndex]] shape). Each query ranks
+    * the centroid marker rows (broadcast, nlist rows), visits its
+    * `nprobe` best cells, and ADC-scores ONLY those cells' codes with the
+    * [[graft.functions.PqAdcDist]] kernel — per-batch cost is one index
+    * scan restricted by the broadcast probe join plus one shuffle of
+    * scored candidates on query_id, and the candidate bytes moved are
+    * m per row, not the decoded vectors. This is the scale regime
+    * [[searchPq]]'s full-scan ADC documents as its next rung: at 100 TB
+    * the probe join prunes (nlist - nprobe)/nlist of the corpus before
+    * any distance is computed, and the pruned scan still pushes the _cid
+    * filter into the index's parquet (partition the saved index by _cid
+    * for static pruning). Output: (query_id, neighbor_id, adc_dist,
+    * rank) — ascending squared euclidean ADC distance, neighbor_id
+    * tie-break, identical to [[searchPq]] on any candidate both visit.
+    */
+  def searchIvfPq(pqModel: DataFrame, index: DataFrame, idCol: String,
+                  vecCol: String, k: Int = 10, nprobe: Int = 4): Chain = {
+    require(k >= 1, s"search_ivf_pq: k must be >= 1, got $k")
+    require(nprobe >= 1, s"search_ivf_pq: nprobe must be >= 1, got $nprobe")
+    require(Seq("_cid", "_id", "_pc", "_v", "_n").forall(index.columns.contains),
+      s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
+        s"got ${index.columns.mkString(", ")}")
+    Seq(idCol, vecCol).foreach(cn => require(c.df.columns.contains(cn),
+      s"search_ivf_pq: query chain is missing column '$cn'"))
+    val qdt = c.df.schema(idCol).dataType
+    DedupOps.requireClusterableId("search_ivf_pq", idCol, qdt)
+    val idt = index.schema("_id").dataType
+    require(DedupOps.isIntegralId(qdt) == DedupOps.isIntegralId(idt),
+      s"search_ivf_pq: query id '$idCol' (${qdt.simpleString}) and index _id " +
+        s"(${idt.simpleString}) must share a type family")
+    val pqCenters = SimilarityOps.collectPqModel(pqModel)
+    val centroids = broadcast(index.where(col("_id").isNull)
+      .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    val qs = c.df.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
+    val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_qs").desc, col("_cid").asc)
+    val probes = qs.crossJoin(centroids)
+      .select(col("query_id"), col("_vq"), col("_cid"), qSim.as("_qs"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("_vq"), col("_cid"))
+    val scored = index.where(col("_id").isNotNull && col("_pc").isNotNull)
+      .join(broadcast(probes), Seq("_cid"))
+      .where(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    c.next("search_ivf_pq",
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k),
+      None, Map("k" -> k.toString, "nprobe" -> nprobe.toString))
+  }
+
   /** truncate_embeddings(vec_col, dim, renormalize, as): keep the first
     * `dim` coordinates — the Matryoshka representation move (Kusupati et
     * al., NeurIPS 2022: MRL-trained embeddings nest usable sub-embeddings

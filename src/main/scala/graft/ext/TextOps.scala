@@ -47,6 +47,30 @@ object TextOps {
     s"size(filter(${tokensSql(c)}, _t -> array_contains($arr, _t)))"
   }
 
+  /** Spark-SQL text of the [[TextAnalysisOps.uniMaxAllocation]] census over
+    * `{{source}}` — nested subselects, no WITH (the fragment becomes a CTE
+    * body); wide intermediates in DECIMAL(38,0). (Lives here so the mix
+    * apply face can embed the same census as a joined subquery.)
+    */
+  def umAllocSql(strata: String, tok: String, budget: Long, maxEpochs: Int): String =
+    "SELECT stratum, tokens, cap, alloc, " +
+      "CAST(alloc AS DECIMAL(38,0)) * 1000000 DIV tokens AS epochs_fp, " +
+      "LEAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 DIV tokens, 1000000L) AS keep_fp FROM (" +
+      "SELECT stratum, tokens, cap, CASE WHEN _test THEN cap ELSE _q + " +
+      "(CASE WHEN _seq - _m <= _r THEN 1L ELSE 0L END) END AS alloc FROM (" +
+      "SELECT *, CASE WHEN _rcnt > 0 THEN _rbud DIV _rcnt ELSE 0L END AS _q, " +
+      "CASE WHEN _rcnt > 0 THEN _rbud % _rcnt ELSE 0L END AS _r FROM (" +
+      s"SELECT *, _k - _m AS _rcnt, ${budget}L - _cumm AS _rbud FROM (" +
+      "SELECT *, SUM(CASE WHEN _test THEN 1L ELSE 0L END) OVER () AS _m, " +
+      "COALESCE(SUM(CASE WHEN _test THEN cap END) OVER (), 0L) AS _cumm FROM (" +
+      s"SELECT *, CAST(cap AS DECIMAL(38,0)) * (_k - _seq + 1) + (_cum - cap) <= ${budget}L AS _test FROM (" +
+      "SELECT *, COUNT(*) OVER () AS _k, " +
+      "ROW_NUMBER() OVER (ORDER BY cap ASC, stratum ASC) AS _seq, " +
+      "SUM(cap) OVER (ORDER BY cap ASC, stratum ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum FROM (" +
+      s"SELECT CAST($strata AS STRING) AS stratum, SUM(CAST($tok AS BIGINT)) AS tokens, " +
+      s"SUM(CAST($tok AS BIGINT)) * ${maxEpochs}L AS cap FROM {{source}} WHERE $strata IS NOT NULL " +
+      s"GROUP BY CAST($strata AS STRING) HAVING SUM(CAST($tok AS BIGINT)) > 0)))))))"
+
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
@@ -626,6 +650,41 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         s"AS pack_id FROM {{source}}"))
   }
 
+  /** pack_sequences_tokens(text_col, budget, order_by, partition_by): the
+    * token-budget face of [[packSequences]] — pack boundaries track
+    * SUBWORD load ([[TextOps.bpeishCount]]'s letter-run/digit-run/mark
+    * proxy), the unit a real pretraining loader packs by, instead of raw
+    * chars (a char budget over-packs dense-punctuation or CJK text whose
+    * subword expansion is far from 1 token ≈ 5 chars). Emits the per-row
+    * count as `pack_tokens` plus the same offset-binned `pack_id`; the
+    * counting is one codegen regexp pass fused into the scan, the binning
+    * the same single window pass — no extra shuffle over the char face.
+    */
+  def packSequencesByTokens(textCol: String, budget: Long,
+                            orderBy: Seq[String],
+                            partitionBy: Seq[String] = Nil): Chain = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(orderBy.nonEmpty, "packSequencesByTokens needs a deterministic order")
+    require(!c.df.columns.contains("pack_tokens"),
+      "pack_sequences_tokens: column 'pack_tokens' already exists on the chain")
+    val w0 = if (partitionBy.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
+    val w = w0.orderBy(orderBy.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val df1 = c.df.withColumn("pack_tokens",
+      bpeishCount(col(textCol)).cast("bigint"))
+    val cumBefore = coalesce(sum(col("pack_tokens")).over(w), lit(0L))
+    val df2 = df1.withColumn("pack_id", floor(cumBefore / budget))
+    val overSql = (if (partitionBy.isEmpty) ""
+      else s"PARTITION BY ${partitionBy.mkString(", ")} ") +
+      s"ORDER BY ${orderBy.mkString(", ")} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val tc = Naming.quoteId(textCol)
+    c.next("pack_sequences_tokens", df2, Some(
+      s"SELECT *, CAST(FLOOR(COALESCE(SUM(pack_tokens) OVER ($overSql), 0) / $budget) AS BIGINT) " +
+        s"AS pack_id FROM (SELECT *, CAST(${bpeishCountSql(tc)} AS BIGINT) AS pack_tokens FROM {{source}})"))
+  }
+
   /** scrub_text(text_col): redact URLs then emails → `<col>_clean` — the
     * standard PII/noise pass before training-data use. Pure regexp_replace
     * (codegen'd, linear scan).
@@ -1164,6 +1223,123 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     import graft.ops._
     val mixed = c.sampleHashStratified(strataCol, fractions, keyCols, 0.0)
     c.next("mix_by_temperature", mixed.df, mixed.steps.last.sqlFragment)
+  }
+
+  /** unimax_allocation(strata_col, token_col, total_budget, max_epochs):
+    * UniMax corpus allocation (Chung et al., ICLR 2023) — distribute a
+    * total token budget across strata as uniformly as possible while
+    * capping any stratum's repetition at `maxEpochs` epochs. Unlike
+    * [[mixByTokenBudget]] (caller supplies per-stratum budgets) and
+    * [[mixByTemperature]] (power-law weights), the budgets here are
+    * DERIVED: water-filling over caps `cap_g = tokens_g · maxEpochs`,
+    * which the sorted-prefix closed form turns into pure window algebra —
+    * sort strata by cap ascending, a stratum is fully capped iff
+    * `cap_i · (k−i+1) + cum_{i−1} ≤ B` (the prefix property: caps
+    * ascending means the tests are monotone), the rest split the leftover
+    * evenly with the integer remainder going to the smallest strata in
+    * sort order. ALL integer arithmetic (wide intermediates in
+    * DECIMAL(38,0)), so the allocation is a pure function of the
+    * per-stratum totals — bit-identical across engines and partitionings.
+    *
+    * Output: one row per stratum — `tokens`, `cap`, `alloc` (allocated
+    * tokens), `epochs_fp` (alloc/tokens in ppm: >1e6 = repetition),
+    * `keep_fp` (min(epochs_fp, 1e6): the survival fraction [[mixUniMax]]
+    * samples by). Scale shape: ONE map-side-combined aggregate at stratum
+    * cardinality, then windows over the #strata-row census (the
+    * giniConcentration regime: a single-partition pass over STRATA, never
+    * rows) — zero driver reads, fully renderable.
+    */
+  def uniMaxAllocation(strataCol: String, tokenCol: String,
+                       totalBudget: Long, maxEpochs: Int = 4): Chain = {
+    umRequire("unimax_allocation", strataCol, tokenCol, totalBudget, maxEpochs)
+    c.next("unimax_allocation", umAllocDf(strataCol, tokenCol, totalBudget, maxEpochs),
+      Some(TextOps.umAllocSql(Naming.quoteId(strataCol), Naming.quoteId(tokenCol),
+        totalBudget, maxEpochs)))
+  }
+
+  /** mix_unimax(strata_col, token_col, total_budget, max_epochs,
+    * key_cols): apply the [[uniMaxAllocation]] — each row joins its
+    * stratum's allocation (broadcast, #strata rows) and survives the
+    * same content-hash predicate as [[graft.ops.JoinOps.sampleHash]]
+    * with the stratum's derived `keep_fp` fraction (fully-allocated
+    * strata keep every row); survivors carry `mix_epochs_fp` so the
+    * training loader knows each stratum's repetition factor. The
+    * predicate is layout/engine-independent (md5 threshold, integer
+    * fraction), the join is a broadcast of the stratum census — the
+    * corpus is scanned twice (once for totals, once for the filter),
+    * which at 100 TB is the unavoidable two-pass of any derived-budget
+    * mix; persist the allocation face to amortize across runs.
+    */
+  def mixUniMax(strataCol: String, tokenCol: String, totalBudget: Long,
+                maxEpochs: Int, keyCols: Seq[String]): Chain = {
+    umRequire("mix_unimax", strataCol, tokenCol, totalBudget, maxEpochs)
+    require(keyCols.nonEmpty, "mix_unimax needs key columns")
+    keyCols.foreach(k => require(c.df.columns.contains(k),
+      s"mix_unimax: chain is missing key column '$k'"))
+    require(!c.df.columns.contains("mix_epochs_fp"),
+      "mix_unimax: column 'mix_epochs_fp' already exists on the chain")
+    val alloc = umAllocDf(strataCol, tokenCol, totalBudget, maxEpochs)
+      .select(col("stratum").as("_um_stratum"), col("keep_fp").as("_um_keepfp"),
+        col("epochs_fp").as("_um_epochsfp"))
+    val key = concat_ws("|", keyCols.map(col(_).cast("string")): _*)
+    // keep_fp is ppm; 1152921504606 = 16^15 DIV 10^6, so the threshold is
+    // the 15-hex-digit prefix bound of keep_fp/1e6 (the sampleHash regime,
+    // fraction computed engine-side). Whole-keep strata bypass the hash so
+    // keep_fp = 1e6 keeps EXACTLY everything, not 1 - 7e-10 of it.
+    val th = format_string("%015x", col("_um_keepfp") * lit(1152921504606L))
+    val df2 = c.df
+      .join(broadcast(alloc), col(strataCol).cast("string") === col("_um_stratum"))
+      .where(col("_um_keepfp") >= 1000000L || md5(key) < th)
+      .withColumn("mix_epochs_fp", col("_um_epochsfp"))
+      .drop("_um_stratum", "_um_keepfp", "_um_epochsfp")
+    val sc = Naming.quoteId(strataCol)
+    val keySql = s"concat_ws('|', ${keyCols.map(k => s"CAST(${Naming.quoteId(k)} AS STRING)").mkString(", ")})"
+    c.next("mix_unimax", df2, Some(
+      s"SELECT _um_src.*, _um_a.epochs_fp AS mix_epochs_fp " +
+        s"FROM {{source}} _um_src JOIN (${TextOps.umAllocSql(sc, Naming.quoteId(tokenCol), totalBudget, maxEpochs)}) _um_a " +
+        s"ON CAST(_um_src.$sc AS STRING) = _um_a.stratum " +
+        s"WHERE _um_a.keep_fp >= 1000000 OR md5($keySql) < " +
+        s"printf('%015x', _um_a.keep_fp * 1152921504606L)"))
+  }
+
+  private def umRequire(op: String, strataCol: String, tokenCol: String,
+                        totalBudget: Long, maxEpochs: Int): Unit = {
+    Seq(strataCol, tokenCol).foreach(n => require(c.df.columns.contains(n),
+      s"$op: chain is missing column '$n'"))
+    require(totalBudget > 0L, s"$op: totalBudget must be positive, got $totalBudget")
+    require(maxEpochs >= 1 && maxEpochs <= 1000,
+      s"$op: maxEpochs must be in [1, 1000], got $maxEpochs")
+  }
+
+  /** DataFrame face of the water-filling census (see [[uniMaxAllocation]]
+    * for the algebra). Kept in the value class: pure column expressions.
+    */
+  private def umAllocDf(strataCol: String, tokenCol: String,
+                        totalBudget: Long, maxEpochs: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy(col("cap").asc, col("stratum").asc)
+    val wAll = Window.partitionBy()
+    c.df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(sum(col(tokenCol).cast("long")).as("tokens"))
+      .where(col("tokens") > 0)
+      .withColumn("cap", col("tokens") * lit(maxEpochs.toLong))
+      .withColumn("_k", count(lit(1)).over(wAll))
+      .withColumn("_seq", row_number().over(w))
+      .withColumn("_cum", sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_test",
+        expr(s"CAST(cap AS DECIMAL(38,0)) * (_k - _seq + 1) + (_cum - cap) <= ${totalBudget}L"))
+      .withColumn("_m", sum(when(col("_test"), lit(1L)).otherwise(lit(0L))).over(wAll))
+      .withColumn("_cumm", coalesce(sum(when(col("_test"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("_rcnt", col("_k") - col("_m"))
+      .withColumn("_rbud", lit(totalBudget) - col("_cumm"))
+      .withColumn("_q", when(col("_rcnt") > 0, expr("_rbud DIV _rcnt")).otherwise(lit(0L)))
+      .withColumn("_r", when(col("_rcnt") > 0, col("_rbud") % col("_rcnt")).otherwise(lit(0L)))
+      .withColumn("alloc", when(col("_test"), col("cap"))
+        .otherwise(col("_q") +
+          when(col("_seq") - col("_m") <= col("_r"), lit(1L)).otherwise(lit(0L))))
+      .withColumn("epochs_fp", expr("CAST(alloc AS DECIMAL(38,0)) * 1000000 DIV tokens"))
+      .withColumn("keep_fp", least(col("epochs_fp"), lit(1000000L)))
+      .select("stratum", "tokens", "cap", "alloc", "epochs_fp", "keep_fp")
   }
 
   /** epoch_shuffle(seed, key_cols): deterministic global shuffle for a

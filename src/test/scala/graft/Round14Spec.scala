@@ -1,0 +1,219 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.ext._
+import TestSpark._
+
+/** Gates for the round-14 batch: IVFADC (ivfPqIndex / searchIvfPq),
+  * token-budget packing, and the host-level link-rank rollup.
+  */
+class Round14Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def lattice = Chain(spark, "pq_fix", SparkEntry.embFixtureDf(spark))
+
+  private def latticeModel =
+    lattice.pqFit("vec_id", "embedding", m = 2, ks = 4,
+      trainSample = 24, iters = 10)
+
+  test("ivfPqIndex: two row kinds, codes on corpus rows, cluster-aligned cells") {
+    val idx = lattice.ivfPqIndex(latticeModel.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24).df.collect()
+    val corpus = idx.filter(!_.isNullAt(1))
+    val cents = idx.filter(_.isNullAt(1))
+    assert(corpus.length == 24 && cents.length == 4)
+    corpus.foreach { r =>
+      assert(!r.isNullAt(2), "corpus rows carry PQ codes")
+      assert(r.isNullAt(3) && r.isNullAt(4), "corpus rows drop the raw vector")
+    }
+    cents.foreach { r =>
+      assert(r.isNullAt(2), "centroid rows carry no code")
+      assert(!r.isNullAt(3) && r.getDouble(4) == 1.0,
+        "centroid rows keep the probe geometry (unit-norm centers)")
+    }
+    // the 4 planted lattice clusters land in 4 distinct cells, whole
+    val cellOf = corpus.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val byCluster = (0 until 4).map(cl =>
+      (0 until 24).filter(_ % 4 == cl).map(i => cellOf(i.toLong)).distinct)
+    assert(byCluster.forall(_.size == 1), s"split clusters: $byCluster")
+    assert(byCluster.flatten.distinct.size == 4, "clusters share no cell")
+  }
+
+  test("searchIvfPq: nprobe=nlist equals full-scan ADC exactly; nprobe=2 recalls the planted cluster") {
+    val model = latticeModel
+    val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val queries = Chain(spark, "q14", SparkEntry.embFixtureDf(spark).where("vec_id < 4"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // all cells probed -> identical rows AND identical ADC distances to
+    // the full-scan face (same kernel, same codes, same tie-break)
+    val full = key(Chain(spark, "pq_corpus14",
+      lattice.pqEncode(model.df, "embedding").df.select("vec_id", "pq_code"))
+      .searchPq(model.df, queries.df, "vec_id", "embedding", k = 5).df)
+    val all = key(queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 4).df)
+    assert(all == full, "IVFADC at full probe budget must replay full-scan ADC")
+    // pruned probe: the oracle rows — each query's five planted siblings
+    val pruned = queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 2).df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    (0 until 4).foreach { q =>
+      (1 to 5).foreach { rk =>
+        assert(pruned((q.toLong, rk)) == q + 4L * rk, s"query $q rank $rk")
+      }
+    }
+  }
+
+  test("searchIvfPq guards: schema, id family, parameter bounds") {
+    val model = latticeModel
+    val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val queries = Chain(spark, "q14g", SparkEntry.embFixtureDf(spark).where("vec_id < 2"))
+    intercept[IllegalArgumentException] {
+      queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding", nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      queries.searchIvfPq(model.df, idx.df.drop("_pc"), "vec_id", "embedding")
+    }
+    // string query ids against a long-id index must refuse, not null-join
+    val strQ = Chain(spark, "q14s", queries.df
+      .withColumn("vec_id", format_string("v-%d", col("vec_id"))))
+    intercept[IllegalArgumentException] {
+      strQ.searchIvfPq(model.df, idx.df, "vec_id", "embedding")
+    }
+  }
+
+  test("packSequencesByTokens: bins by the exclusive running bpeish total per group") {
+    val docs = Seq(
+      ("en", 1L, "one two three"),            // 3 bpeish tokens
+      ("en", 2L, "four five six seven!"),     // 5 (the mark counts)
+      ("en", 3L, "a b c d"),                  // 4
+      ("de", 4L, "ein zwei")).toDF("lang", "doc_id", "text")
+    val got = Chain(spark, "pt", docs)
+      .packSequencesByTokens("text", 6L, orderBy = Seq("doc_id"),
+        partitionBy = Seq("lang")).df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_tokens"), r.getAs[Long]("pack_id"))).toMap
+    // en cumulative-before: 0, 3, 8 -> packs 0, 0, 1; de: 0 -> 0
+    assert(got == Map(1L -> (3L, 0L), 2L -> (5L, 0L), 3L -> (4L, 1L), 4L -> (2L, 0L)))
+    // SQL face agrees with the DataFrame face
+    docs.createOrReplaceTempView("pack_tok_docs")
+    val c = Chain(spark, "pack_tok_docs", docs)
+      .packSequencesByTokens("text", 6L, orderBy = Seq("doc_id"),
+        partitionBy = Seq("lang"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "pt", docs).packSequencesByTokens("text", 0L, Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "pt", docs.withColumn("pack_tokens", lit(1L)))
+        .packSequencesByTokens("text", 6L, Seq("doc_id"))
+    }
+  }
+
+  test("uniMaxAllocation: water-filling replays by hand, remainder to the smallest strata") {
+    val docs = (Seq.fill(1)("a" -> 10L) ++ Seq.fill(2)("b" -> 10L) ++
+      Seq.fill(5)("c" -> 10L)).zipWithIndex
+      .map { case ((g, t), i) => (i.toLong, g, t) }.toDF("id", "g", "tok")
+    // tokens a=10 b=20 c=50, caps (E=2) 20/40/100
+    def alloc(b: Long) = Chain(spark, "um", docs)
+      .uniMaxAllocation("g", "tok", b, maxEpochs = 2).df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // B=70: a caps at 20; b,c split 50 evenly
+    assert(alloc(70L) == Map(
+      "a" -> (20L, 2000000L, 1000000L),
+      "b" -> (25L, 1250000L, 1000000L),
+      "c" -> (25L, 500000L, 500000L)))
+    // B=71: remainder 1 goes to the smaller remaining stratum (b)
+    assert(alloc(71L) == Map(
+      "a" -> (20L, 2000000L, 1000000L),
+      "b" -> (26L, 1300000L, 1000000L),
+      "c" -> (25L, 500000L, 500000L)))
+    // budget above every cap: all strata fully capped
+    assert(alloc(1000L).values.map(_._1).toSeq.sorted == Seq(20L, 40L, 100L))
+    // SQL face agrees
+    docs.createOrReplaceTempView("um_docs")
+    val c = Chain(spark, "um_docs", docs)
+      .uniMaxAllocation("g", "tok", 71L, maxEpochs = 2)
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "um", docs).uniMaxAllocation("g", "tok", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "um", docs).uniMaxAllocation("g", "tok", 70L, maxEpochs = 0)
+    }
+  }
+
+  test("mixUniMax: whole strata keep everything, sampled strata carry their epochs") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i < 4) "small" else "big", 10L)).toDF("id", "g", "tok")
+    // tokens small=40 big=360, caps (E=2) 80/720; B=200 -> small caps at
+    // 80 (2 epochs), big gets 120 of 360 -> keep_fp 333333
+    val got = Chain(spark, "mx", docs)
+      .mixUniMax("g", "tok", 200L, 2, keyCols = Seq("id")).df.collect()
+    val byG = got.groupBy(_.getString(1))
+    assert(byG("small").length == 4, "fully-allocated stratum keeps every row")
+    assert(byG("small").forall(_.getAs[Long]("mix_epochs_fp") == 2000000L))
+    val big = byG.getOrElse("big", Array.empty)
+    assert(big.nonEmpty && big.length < 36, s"big must downsample, kept ${big.length}")
+    assert(big.forall(_.getAs[Long]("mix_epochs_fp") == 333333L))
+    // deterministic: the same rows survive a re-run
+    val again = Chain(spark, "mx", docs)
+      .mixUniMax("g", "tok", 200L, 2, keyCols = Seq("id")).df.collect()
+    assert(got.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // SQL face agrees (references {{source}} twice: rows + census)
+    docs.createOrReplaceTempView("mx_docs")
+    val c = Chain(spark, "mx_docs", docs).mixUniMax("g", "tok", 200L, 2, Seq("id"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "mx", docs).mixUniMax("g", "tok", 200L, 2, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "mx", docs.withColumn("mix_epochs_fp", lit(1L)))
+        .mixUniMax("g", "tok", 200L, 2, Seq("id"))
+    }
+  }
+
+  test("linkRankHost: collapsed weights replay the hand-computed recurrence") {
+    // page edges: host a links b twice and c once; b links a once; c dangles
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
+      .toDF("src_host", "dst_host")
+    val got = Chain(spark, "he", edges)
+      .linkRankHost("src_host", "dst_host", iterations = 1,
+        scale = 1000000L).df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=3, scale=1e6: pr0 = 333333 each; tele = 15e6/300 = 50000
+    // outw(a)=3, outw(b)=1; c dangling with mass 333333 -> //3 = 111111
+    // shares: a->b 2*(333333//3)=222222, a->c 111111, b->a 333333
+    val dangPer = 333333L / 3
+    def nxt(contrib: Long) = 50000L + (85L * (contrib + dangPer)) / 100
+    assert(got == Map("a" -> nxt(333333L), "b" -> nxt(222222L), "c" -> nxt(111111L)))
+  }
+
+  test("linkRankHost on distinct unit edges equals linkRank; guards hold") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val host = Chain(spark, "g1", edges).linkRankHost("s", "d", iterations = 3)
+    val page = Chain(spark, "g2", edges).linkRank("s", "d", iterations = 3)
+    assert(rows(host.df) == rows(page.df),
+      "unit weights must reduce to the page-level recurrence")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g3", edges).linkRankHost("s", "missing")
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g4", edges.withColumn("d", format_string("h-%d", col("d"))))
+        .linkRankHost("s", "d")
+    }
+    // empty edge frame: typed empty result, not a failure
+    val empty = Chain(spark, "g5", edges.where(lit(false)))
+      .linkRankHost("s", "d").df
+    assert(empty.columns.toSeq == Seq("node", "rank_fp", "rank") && empty.count() == 0)
+  }
+}
