@@ -535,6 +535,12 @@ object SparkEntry {
       t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate",
         direction = "forward").df
     }),
+    "q_asof_join_nearest" -> ((s, d) => {
+      val fin = t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))
+        .aggregate(Seq("o_custkey", "o_orderdate"), Seq("o_totalprice" -> Seq("MAX")))
+      t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate",
+        direction = "nearest").df
+    }),
     "q_range_join" -> ((s, d) => {
       val iv = t(s, d, "orders")
         .filterRows(Seq("o_orderdate >= '1995-01-01'", "o_orderdate < '1996-01-01'"))
@@ -2478,6 +2484,19 @@ object SparkEntry {
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
         "SELECT l.*, r.o_totalprice_max FROM orders l ASOF LEFT JOIN r " +
         "ON l.o_custkey = r.o_custkey AND l.o_orderdate <= r.o_orderdate"),
+    // nearest = the closer of DuckDB's two ASOF directions per left row,
+    // ties to backward (the pandas merge_asof rule); o_orderkey is unique
+    // so the two candidate frames join back 1:1
+    "q_asof_join_nearest" ->
+      ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate), " +
+        "b AS (SELECT l.o_orderkey AS k, r.o_orderdate AS bt, r.o_totalprice_max AS bv " +
+        "FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate), " +
+        "f AS (SELECT l.o_orderkey AS k, r.o_orderdate AS ft, r.o_totalprice_max AS fv " +
+        "FROM orders l ASOF LEFT JOIN r ON l.o_custkey = r.o_custkey AND l.o_orderdate <= r.o_orderdate) " +
+        "SELECT l.*, CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv " +
+        "WHEN l.o_orderdate - bt <= ft - l.o_orderdate THEN bv ELSE fv END AS o_totalprice_max " +
+        "FROM orders l JOIN b ON l.o_orderkey = b.k JOIN f ON l.o_orderkey = f.k"),
     "q_range_join" ->
       ("WITH iv AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month, " +
         "COUNT(o_orderkey) AS o_orderkey_count FROM orders " +
@@ -3679,10 +3698,12 @@ object SparkEntry {
           "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM grid " +
           "QUALIFY rank <= 10), " +
           "qrels AS (SELECT query_id, doc_id FROM qs, ds WHERE doc_id % 5 = query_id), " +
-          "rel AS (SELECT r.query_id, r.rank FROM run r JOIN qrels q " +
+          "rel AS (SELECT r.query_id, r.rank, CAST(ROW_NUMBER() OVER " +
+          "(PARTITION BY r.query_id ORDER BY r.rank) AS BIGINT) AS hi FROM run r JOIN qrels q " +
           "ON r.query_id = q.query_id AND r.doc_id = q.doc_id WHERE r.rank BETWEEN 1 AND 10), " +
           "ha AS (SELECT query_id, COUNT(*) AS hits, MIN(CAST(rank AS BIGINT)) AS minr, " +
-          "CAST(SUM(CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_fp " +
+          "CAST(SUM(CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_fp, " +
+          "CAST(SUM(CAST(FLOOR(CAST(hi AS DOUBLE) / CAST(rank AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ap_num " +
           "FROM rel GROUP BY query_id), " +
           "bq AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id) " +
           "SELECT bq.query_id, bq.n_rel, COALESCE(hits, 0) AS hits, " +
@@ -3693,7 +3714,8 @@ object SparkEntry {
           "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS idcg_fp, " +
           "CASE WHEN COALESCE(dcg_fp, 0) = 0 THEN 0 ELSE " +
           "CAST(FLOOR(CAST(dcg_fp AS DOUBLE) / CAST(list_sum(list_transform(range(1, LEAST(n_rel, 10) + 1), " +
-          "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS ndcg_fp " +
+          "r -> CAST(FLOOR(1.0 / log2(CAST(r AS DOUBLE) + 1.0) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS ndcg_fp, " +
+          "CAST(COALESCE(ap_num, 0) // n_rel AS BIGINT) AS ap_fp " +
           "FROM bq LEFT JOIN ha USING (query_id)"),
       // grouped split: the md5-threshold decision is a pure function of
       // the source key — identical in any engine

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.core.Chain
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -339,6 +340,9 @@ final class SelectionOps(private val c: Chain) extends AnyVal {
     *   dcg_fp    Σ_{hits at rank r} fpq(1 / log2(r+1))
     *   idcg_fp   Σ_{r=1..min(n_rel,k)} fpq(1 / log2(r+1))
     *   ndcg_fp   fpq(dcg_fp / idcg_fp) — binary-gain nDCG@k
+    *   ap_fp     (Σ_{i-th hit at rank r} fpq(i / r)) DIV n_rel — AP@k
+    *             with the TREC n_rel denominator (mean over queries =
+    *             MAP@k); i/r is precision at the i-th relevant rank
     *
     * (Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
     * techniques", TOIS 2002.) Every per-rank term is quantized BEFORE the
@@ -361,19 +365,26 @@ final class SelectionOps(private val c: Chain) extends AnyVal {
     Seq(queryCol, docCol).foreach(n => require(qrels.df.columns.contains(n),
       s"rank_eval: qrels chain is missing column '$n'"))
     val reserved = Seq("n_rel", "hits", "recall_fp", "rr_fp", "dcg_fp",
-      "idcg_fp", "ndcg_fp", "_minr")
+      "idcg_fp", "ndcg_fp", "ap_fp", "_minr")
     reserved.foreach(n => require(n == queryCol || !c.df.columns.contains(n),
       s"rank_eval: run column '$n' collides with a metric output name"))
 
     val gain = fpq(lit(1e0) / log2(col(rankCol).cast("double") + lit(1.0)))
+    // _hi = 1-based index of the hit among the query's hits in rank order
+    // (ranks are unique within a run query) — precision@r = _hi / r
+    val hw = Window.partitionBy(col(queryCol))
+      .orderBy(col(rankCol).cast("long").asc)
     val hitsAgg = c.df
       .where(col(rankCol).cast("long").between(1L, k.toLong))
       .join(qrels.df.select(col(queryCol), col(docCol)).distinct(),
         Seq(queryCol, docCol))
+      .withColumn("_hi", row_number().over(hw))
       .groupBy(queryCol)
       .agg(count(lit(1)).as("hits"),
         min(col(rankCol).cast("long")).as("_minr"),
-        sum(gain).as("dcg_fp"))
+        sum(gain).as("dcg_fp"),
+        sum(fpq(col("_hi").cast("double") / col(rankCol).cast("double")))
+          .as("_apnum"))
     val byQuery = qrels.df.select(col(queryCol), col(docCol)).distinct()
       .groupBy(queryCol).agg(count(lit(1)).as("n_rel"))
     val idcg = aggregate(
@@ -390,7 +401,8 @@ final class SelectionOps(private val c: Chain) extends AnyVal {
         idcg.as("idcg_fp"),
         when(coalesce(col("dcg_fp"), lit(0L)) === 0L, lit(0L))
           .otherwise(fpq(col("dcg_fp").cast("double") / idcg.cast("double")))
-          .as("ndcg_fp"))
+          .as("ndcg_fp"),
+        expr("COALESCE(_apnum, 0L) DIV n_rel").as("ap_fp"))
     c.next("rank_eval", df2, None, Map("k" -> k.toString))
   }
 }

@@ -447,7 +447,9 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * Right rows should be unique per (on, right_time) — pre-aggregate
     * otherwise (ties are carried nondeterministically, as in warehouse
     * ASOF implementations). Right value columns colliding with left names
-    * arrive suffixed.
+    * arrive suffixed. `direction`: "backward" (default), "forward", or
+    * "nearest" (closest on either side, ties to the backward match — the
+    * pandas merge_asof direction set).
     */
   def asofJoin(
       other: Chain,
@@ -456,8 +458,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       rightTime: String,
       suffix: String = "_asof",
       direction: String = "backward"): Chain = {
-    require(Set("backward", "forward").contains(direction),
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return asofJoinNearest(other, on, leftTime, rightTime, suffix)
     val forward = direction == "forward"
     val lDf = c.df
     val rDf = other.df
@@ -513,6 +517,83 @@ final class JoinOps(private val c: Chain) extends AnyVal {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rvf FROM (" +
         s"SELECT $lBranch FROM {{source}} UNION ALL " +
         s"SELECT $rBranch FROM ${rightSource(other)})) WHERE _src = 1"
+    c.next("asof_join", df2, Some(frag))
+  }
+
+  /** The `direction = "nearest"` face of [[asofJoin]] (pandas
+    * merge_asof's third direction): the right row CLOSEST in time on
+    * either side, ties preferring the backward match. Same union-window
+    * plan, run BOTH ways over ONE shuffle on the keys (two sorts of the
+    * same exchange, no second pass over either input): the carried
+    * struct additionally stores the matched right time so the closing
+    * projection can compare the two candidates' distances — interval
+    * arithmetic, exact for timestamp/date/numeric time columns.
+    */
+  private def asofJoinNearest(
+      other: Chain,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      suffix: String): Chain = {
+    val lDf = c.df
+    val rDf = other.df
+    val leftCols = lDf.columns.toSeq
+    val rightVals = rDf.columns.toSeq.filterNot(n => on.contains(n) || n == rightTime)
+    val leftRest = leftCols.filterNot(n => on.contains(n) || n == leftTime)
+    def outName(n: String): String = if (leftCols.contains(n)) s"$n$suffix" else n
+    val lTypes = lDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    // the carried struct leads with the matched right TIME — the closing
+    // distance compare needs it, and it rides atomically with the values
+    val rvType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_asof_rt",
+        rDf.schema(rightTime).dataType) +:
+        rDf.schema.fields.filter(f => rightVals.contains(f.name)))
+    val lSel = on.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_src")) ++
+      leftRest.map(col) :+ lit(null).cast(rvType).as("_rv")
+    val rSel = on.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_src")) ++
+      leftRest.map(n => lit(null).cast(lTypes(n)).as(n)) :+
+      struct(col(rightTime).as("_asof_rt") +: rightVals.map(col): _*).as("_rv")
+    val u = lDf.select(lSel: _*).unionByName(rDf.select(rSel: _*))
+    val wb = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").desc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u
+      .withColumn("_rvb", last(col("_rv"), ignoreNulls = true).over(wb))
+      .withColumn("_rvf", last(col("_rv"), ignoreNulls = true).over(wf))
+    val bt = col("_rvb").getField("_asof_rt")
+    val ft = col("_rvf").getField("_asof_rt")
+    val chosen = when(col("_rvb").isNull, col("_rvf"))
+      .when(col("_rvf").isNull, col("_rvb"))
+      .when(col("_t") - bt <= ft - col("_t"), col("_rvb"))
+      .otherwise(col("_rvf"))
+    val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
+      rightVals.map(n => col("_chosen").getField(n).as(outName(n)))
+    val df2 = filled.withColumn("_chosen", chosen)
+      .where(col("_src") === 1).select(proj: _*)
+    val q = graft.core.Naming.quoteId _
+    val onSql = on.map(q)
+    val lBranch = (onSql ++ Seq(s"${q(leftTime)} AS _t", "1 AS _src") ++
+      leftRest.map(q) :+ s"CAST(NULL AS ${rvType.sql}) AS _rv").mkString(", ")
+    val rBranch = (onSql ++ Seq(s"${q(rightTime)} AS _t", "0 AS _src") ++
+      leftRest.map(n => s"CAST(NULL AS ${lTypes(n).sql}) AS ${q(n)}") :+
+      (s"NAMED_STRUCT('_asof_rt', ${q(rightTime)}, " +
+        rightVals.map(n => s"'$n', ${q(n)}").mkString(", ") + ") AS _rv")).mkString(", ")
+    val outSql = (leftCols.map(n => if (n == leftTime) s"_t AS ${q(n)}" else q(n)) ++
+      rightVals.map(n => s"_chosen.${q(n)} AS ${q(outName(n))}")).mkString(", ")
+    val winTail = s"PARTITION BY ${onSql.mkString(", ")} ORDER BY %s, _src " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val frag =
+      s"SELECT $outSql FROM (SELECT *, CASE WHEN _rvb IS NULL THEN _rvf " +
+        "WHEN _rvf IS NULL THEN _rvb " +
+        "WHEN _t - _rvb._asof_rt <= _rvf._asof_rt - _t THEN _rvb " +
+        "ELSE _rvf END AS _chosen FROM (SELECT *, " +
+        s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t")}) AS _rvb, " +
+        s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t DESC")}) AS _rvf FROM (" +
+        s"SELECT $lBranch FROM {{source}} UNION ALL " +
+        s"SELECT $rBranch FROM ${rightSource(other)}))) WHERE _src = 1"
     c.next("asof_join", df2, Some(frag))
   }
 

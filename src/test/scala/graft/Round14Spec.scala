@@ -182,6 +182,42 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin nearest: closer side wins, ties go backward, SQL face agrees") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L), (3L, "k", 21L),
+      (4L, "k", 35L), (5L, "nomatch", 7L)).toDF("id", "g", "t")
+    val right = Seq(("k", 12L, "a"), ("k", 30L, "b")).toDF("g", "rt", "v")
+    val got = Chain(spark, "al", left)
+      .asofJoin(Chain(spark, "ar", right), Seq("g"), "t", "rt",
+        direction = "nearest").df.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)).orNull).toMap
+    // 10→12 (only forward), 20→12 (8 < 10), 21: 9 == 9 tie → backward 12,
+    // 35→30, key with no right rows → null
+    assert(got == Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> null))
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+    val c = Chain(spark, "asof_l", left)
+      .asofJoin(Chain(spark, "asof_r", right), Seq("g"), "t", "rt",
+        direction = "nearest")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "al", left).asofJoin(Chain(spark, "ar", right),
+        Seq("g"), "t", "rt", direction = "sideways")
+    }
+  }
+
+  test("rankEval: ap_fp replays the hand-computed TREC average precision") {
+    val run = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (1L, 98L, 4),
+      (2L, 97L, 1), (2L, 96L, 2)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 50L))
+      .toDF("query_id", "doc_id")
+    val got = Chain(spark, "rr", run)
+      .rankEval(Chain(spark, "rq", qrels), "query_id", "doc_id", "rank", k = 10)
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Long]("ap_fp")).toMap
+    // q1: hits at ranks 1 (i=1, P=1e6) and 3 (i=2, P=fpq(2/3)=666667);
+    // ap = (1000000 + 666667) DIV 3; q2: no hits → 0
+    assert(got == Map(1L -> (1666667L / 3), 2L -> 0L))
+  }
+
   test("linkRankHost: collapsed weights replay the hand-computed recurrence") {
     // page edges: host a links b twice and c once; b links a once; c dangles
     val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
