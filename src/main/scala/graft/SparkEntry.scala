@@ -902,6 +902,11 @@ object SparkEntry {
       "q_pack_sequences" -> ((s, d) =>
         t(s, d, "documents").packSequences("n_chars", 20000L,
           orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
+      // stride-scheduled proportional interleave: en rows appear 3:1 to
+      // zh rows from the start of the ordered stream; unlisted langs drop
+      "q_interleave" -> ((s, d) =>
+        t(s, d, "documents").interleaveByWeight("lang",
+          Seq("en" -> 3L, "zh" -> 1L), orderBy = Seq("doc_id")).df),
       // UniMax water-filling allocation census (budget 220k, 2-epoch cap
       // at sf0.01: the four small langs cap at 2 epochs, en takes the
       // leftover as a ~0.78 keep fraction — all three branches live)
@@ -3184,6 +3189,14 @@ object SparkEntry {
         ("SELECT *, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) " +
           "AS pack_id FROM documents"),
+      // stride interleave: key = i·1e6 // w per source, pure windows
+      "q_interleave" ->
+        ("SELECT * EXCLUDE (_il_w, _il_pos) FROM (SELECT *, " +
+          "CAST(CAST(_il_pos AS BIGINT) * 1000000 // _il_w AS BIGINT) AS interleave_key FROM (" +
+          "SELECT *, CASE WHEN CAST(lang AS VARCHAR) = 'en' THEN 3 " +
+          "WHEN CAST(lang AS VARCHAR) = 'zh' THEN 1 ELSE NULL END AS _il_w, " +
+          "ROW_NUMBER() OVER (PARTITION BY CAST(lang AS VARCHAR) ORDER BY doc_id) AS _il_pos " +
+          "FROM documents) WHERE _il_w IS NOT NULL)"),
       // UniMax: the water-filling census replays as pure window algebra
       // (prefix-feasibility tests over caps sorted ascending)
       "q_unimax_alloc" -> umAllocSql(220000L, 2),

@@ -1360,6 +1360,65 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"SELECT *, md5(concat_ws('|', $keySql)) AS epoch_pos FROM {{source}} ORDER BY epoch_pos"))
   }
 
+  /** interleave_by_weight(group_col, weights, order_by): deterministic
+    * proportional interleave of sources into a training order — stride
+    * scheduling: the i-th row of source g gets
+    * `interleave_key = (i · 10^6) DIV w_g`, so ordering by the key makes
+    * each source appear in proportion to its integer weight from the very
+    * start of the stream (weight 3 : 1 means three rows of the heavy
+    * source between consecutive light-source rows, not a concatenation —
+    * the property a mixed-corpus loader needs so early training steps
+    * already see the target mix). Groups without a listed weight DROP
+    * (weight 0) — the mix contract, like [[graft.ops.JoinOps
+    * .sampleHashStratified]]'s default fraction.
+    *
+    * All-integer key arithmetic: the order is a pure function of
+    * (group, within-group order), identical across engines and
+    * partitionings. One shuffle on the group for the within-group
+    * row_number; the global order is the consumer's range sort on the
+    * key (the [[epochShuffle]] regime — no single-partition pass here:
+    * the emitted key is per-row computable, ties break by group then
+    * order columns).
+    */
+  def interleaveByWeight(groupCol: String, weights: Seq[(String, Long)],
+                         orderBy: Seq[String]): Chain = {
+    require(weights.nonEmpty, "interleave_by_weight needs at least one weight")
+    require(orderBy.nonEmpty, "interleave_by_weight needs a deterministic order")
+    weights.foreach { case (v, w) => require(w >= 1L && w <= 1000000L,
+      s"weight for '$v' must be in [1, 1e6], got $w") }
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"interleave_by_weight groups repeat: ${weights.map(_._1)}")
+    require(!c.df.columns.contains("interleave_key"),
+      "interleave_by_weight: column 'interleave_key' already exists on the chain")
+    val w = Window.partitionBy(col(groupCol).cast("string"))
+      .orderBy(orderBy.map(col): _*)
+    val wExpr = weights.foldRight(lit(null).cast("long")) { case ((v, wt), acc) =>
+      when(col(groupCol).cast("string") === v, lit(wt)).otherwise(acc)
+    }
+    val key = expr("CAST(_il_pos AS BIGINT) * 1000000L DIV _il_w")
+    val ord = col("interleave_key").asc +: col(groupCol).cast("string").asc +:
+      orderBy.map(col(_).asc)
+    val df2 = c.df
+      .withColumn("_il_w", wExpr)
+      .where(col("_il_w").isNotNull)
+      .withColumn("_il_pos", row_number().over(w))
+      .withColumn("interleave_key", key)
+      .drop("_il_w", "_il_pos")
+      .orderBy(ord: _*)
+    val gq = Naming.quoteId(groupCol)
+    val caseSql = weights.map { case (v, wt) =>
+      s"WHEN CAST($gq AS STRING) = '${v.replace("'", "''")}' THEN ${wt}L"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    val obSql = orderBy.map(Naming.quoteId).mkString(", ")
+    c.next("interleave_by_weight", df2, Some(
+      "SELECT * EXCEPT (_il_w, _il_pos) FROM (SELECT *, " +
+        "CAST(_il_pos AS BIGINT) * 1000000L DIV _il_w AS interleave_key FROM (" +
+        s"SELECT *, $caseSql AS _il_w, ROW_NUMBER() OVER (" +
+        s"PARTITION BY CAST($gq AS STRING) ORDER BY $obSql) AS _il_pos " +
+        s"FROM {{source}}) WHERE _il_w IS NOT NULL) " +
+        s"ORDER BY interleave_key, CAST($gq AS STRING), $obSql"))
+  }
+
   /** dedup_exact(id_col, text_col): keep one row per normalized-text
     * fingerprint — the smallest id wins. One shuffle on the fingerprint.
     */

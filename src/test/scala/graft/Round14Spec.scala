@@ -218,6 +218,55 @@ class Round14Spec extends AnyFunSuite {
     assert(got == Map(1L -> (1666667L / 3), 2L -> 0L))
   }
 
+  test("interleaveByWeight: stride order mixes sources proportionally from the start") {
+    val docs = ((1 to 6).map(i => (i.toLong, "a")) ++
+      (7 to 8).map(i => (i.toLong, "b")) ++ Seq((9L, "drop"))).toDF("id", "g")
+    val c = Chain(spark, "il", docs)
+      .interleaveByWeight("g", Seq("a" -> 3L, "b" -> 1L), orderBy = Seq("id"))
+    val got = c.df.collect().map(r => (r.getLong(0), r.getAs[Long]("interleave_key")))
+    // keys: a_i = i*1e6/3 -> 333333,666666,1000000,1333333,...; b_i = i*1e6
+    // ordered stream: a1 a2 a3/b1(tie: a first) ... three a's per b
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 7L, 4L, 5L, 6L, 8L),
+      s"got ${got.map(_._1).toSeq}")
+    assert(!got.map(_._1).contains(9L), "unweighted groups drop")
+    assert(got.toMap.apply(7L) == 1000000L && got.toMap.apply(3L) == 1000000L)
+    // SQL face agrees (row set + key values)
+    docs.createOrReplaceTempView("il_docs")
+    val c2 = Chain(spark, "il_docs", docs)
+      .interleaveByWeight("g", Seq("a" -> 3L, "b" -> 1L), orderBy = Seq("id"))
+    assert(rows(spark.sql(c2.sql())) == rows(c2.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "il", docs).interleaveByWeight("g", Nil, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "il", docs).interleaveByWeight("g", Seq("a" -> 0L), Seq("id"))
+    }
+  }
+
+  test("round-14 ops complete on empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "g", "text")
+    assert(Chain(spark, "e1", emptyDocs)
+      .packSequencesByTokens("text", 10L, Seq("id")).df.count() == 0)
+    assert(Chain(spark, "e2", emptyDocs)
+      .uniMaxAllocation("g", "id", 100L).df.count() == 0)
+    assert(Chain(spark, "e3", emptyDocs)
+      .mixUniMax("g", "id", 100L, 2, Seq("id")).df.count() == 0)
+    assert(Chain(spark, "e4", emptyDocs)
+      .interleaveByWeight("g", Seq("a" -> 1L), Seq("id")).df.count() == 0)
+    val emptyRun = Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rank")
+    assert(Chain(spark, "e5", emptyRun)
+      .rankEval(Chain(spark, "e6", emptyRun.select(col("query_id"), col("doc_id"))),
+        "query_id", "doc_id", "rank", k = 5).df.count() == 0)
+    // empty corpus -> centroid-only index; probing it yields no neighbors
+    val model = latticeModel
+    val emptyEmb = SparkEntry.embFixtureDf(spark).where("vec_id < 0")
+    val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val noQ = Chain(spark, "e7", emptyEmb)
+      .searchIvfPq(model.df, idx.df, "vec_id", "embedding", k = 3)
+    assert(noQ.df.count() == 0)
+  }
+
   test("linkRankHost: collapsed weights replay the hand-computed recurrence") {
     // page edges: host a links b twice and c once; b links a once; c dangles
     val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
