@@ -979,6 +979,21 @@ object SparkEntry {
           .dedupAgainstIvfIndex(idx.df, "vec_id", "embedding", 0.9921, nprobe = 4)
           .dropColumns(includeCols = Seq("vec_id")).df
       }),
+      // incremental semantic dedup at IVFADC storage cost: the PQ-coded
+      // history screens the batch by ADC distance; maxDist 1.0 splits the
+      // fixture's min distances (drops <= 0.985, survivors >= 1.018 —
+      // >= 0.015 margin each side, kernel-exact values)
+      "q_dedup_incremental_pq" -> ((s, d) => {
+        val emb = Chain(s, "emb_fixtures", embFixtureDf(s))
+        val model = emb.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        val idx = emb.filterRows(Seq("vec_id < 12"))
+          .ivfPqIndex(model.df, "vec_id", "embedding", nlist = 4, trainSample = 24)
+        emb.filterRows(Seq("vec_id >= 12"))
+          .dedupAgainstIvfPqIndex(idx.df, model.df, "vec_id", "embedding",
+            maxDist = 1.0, nprobe = 4)
+          .dropColumns(includeCols = Seq("vec_id")).df
+      }),
       "q_dedup_simhash" -> ((s, d) =>
         Chain(s, "doc_fixtures", docFixtureDf(s))
           .simhashPairs("doc_id", "text", maxHamming = 16).df),
@@ -3780,6 +3795,11 @@ object SparkEntry {
       "q_dedup_incremental_sem" ->
         ("SELECT * FROM (VALUES (CAST(13 AS BIGINT)), (14), (15), (17), (18), (19), " +
           "(21), (22), (23)) AS t(vec_id)"),
+      // ADC-screened incremental dedup: survivors are the batch rows whose
+      // min distance to the history codes exceeds 1.0 (pinned kernel values)
+      "q_dedup_incremental_pq" ->
+        ("SELECT * FROM (VALUES (CAST(12 AS BIGINT)), (13), (14), (15), (23)) " +
+          "AS t(vec_id)"),
       // the multi-probe LSH ranking recalls the full cluster lists — same
       // pinned rows as the sketch-rerank face
       "q_sim_topk_lsh" ->

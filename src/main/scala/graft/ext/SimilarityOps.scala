@@ -835,6 +835,36 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       Map("nlist" -> nlist.toString))
   }
 
+  /** ivf_pq_index_assign(index, pq_model, id, vec): assign THIS chain's
+    * (new) vectors to a saved [[ivfPqIndex]]'s cells and PQ-encode them —
+    * the ingest half of incremental IVFADC (the [[ivfIndexAssign]]
+    * counterpart). One bounded driver collect of the nlist centroid rows;
+    * assignment and encoding are one codegen projection; returns rows in
+    * the index schema for a plain `saveAppend`/`appendBucketed` onto the
+    * index table. Per-batch work is proportional to the batch; the
+    * historical postings are never re-encoded.
+    */
+  def ivfPqIndexAssign(index: DataFrame, pqModel: DataFrame,
+                       idCol: String, vecCol: String): Chain = {
+    require(Seq("_cid", "_id", "_pc", "_v", "_n").forall(index.columns.contains),
+      s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
+        s"got ${index.columns.mkString(", ")}")
+    val centers = SimilarityOps.collectCentroids(index)
+    val pqCenters = SimilarityOps.collectPqModel(pqModel)
+    val (idExpr, _) = SimilarityOps.indexId("ivf_pq_index_assign", c.df, idCol)
+    val assigned = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
+      .where(SimilarityOps.usableVec(col("_v"), col("_n"))) // same exclusion as the build
+      .repartition(col("_id"))
+      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
+      .where(col("_pc").isNotNull)
+      .select(col("_cid"), col("_id"), col("_pc"),
+        lit(null).cast("array<double>").as("_v"),
+        lit(null).cast("double").as("_n"))
+    c.next("ivf_pq_index_assign", assigned, None)
+  }
+
   /** search_ivf_pq(pq_model, index, id, vec, k, nprobe): IVFADC search —
     * probe a saved [[ivfPqIndex]] with THIS chain's rows as the query set
     * (receiver = queries, the [[searchIvfIndex]] shape). Each query ranks
@@ -1094,6 +1124,55 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     val survivors = c.df.join(dropIds,
       idExpr === dropIds("_qid"), "left_anti")
     c.next("dedup_against_ivf_index", survivors, None)
+  }
+
+  /** dedup_against_ivf_pq_index(index, pq_model, id, vec, max_dist,
+    * nprobe): the [[dedupAgainstIvfIndex]] screen at IVFADC storage cost —
+    * a batch row drops when its ADC squared-euclidean distance
+    * ([[graft.functions.PqAdcDist]], the [[searchPq]] metric) to ANY code
+    * in its `nprobe` probed cells of a saved [[ivfPqIndex]] is ≤
+    * `maxDist`. The history side streams m BYTES per row (codes, never
+    * vectors), so the per-batch probe cost is the pruned code scan plus
+    * the anti-join — the semantic-dedup shape for corpora whose raw
+    * embeddings are archived cold. `maxDist` is in the PQ-quantized
+    * metric: calibrate it against [[searchPq]] distances of known
+    * duplicates (it absorbs the codebook's quantization error — a
+    * too-tight threshold under-drops, never over-drops). NaN/zero-norm
+    * batch vectors never probe and always survive (a NaN distance fails
+    * `<=`, but they are filtered anyway — consistent with the build-side
+    * exclusion).
+    */
+  def dedupAgainstIvfPqIndex(index: DataFrame, pqModel: DataFrame,
+                             idCol: String, vecCol: String, maxDist: Double,
+                             nprobe: Int = 4): Chain = {
+    require(maxDist >= 0.0 && !maxDist.isNaN,
+      s"dedup_against_ivf_pq_index: maxDist must be >= 0, got $maxDist")
+    require(nprobe >= 1, s"dedup_against_ivf_pq_index: nprobe must be >= 1, got $nprobe")
+    require(Seq("_cid", "_id", "_pc", "_v", "_n").forall(index.columns.contains),
+      s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
+        s"got ${index.columns.mkString(", ")}")
+    val (idExpr, _) = SimilarityOps.indexId("dedup_against_ivf_pq_index", c.df, idCol)
+    val pqCenters = SimilarityOps.collectPqModel(pqModel)
+    val centroids = broadcast(index.where(col("_id").isNull)
+      .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    val qs = c.df.select(idExpr.as("_qid"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
+    val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
+    val probeW = Window.partitionBy(col("_qid"))
+      .orderBy(col("_qs").desc, col("_cid").asc)
+    val probes = qs.crossJoin(centroids)
+      .select(col("_qid"), col("_vq"), col("_cid"), qSim.as("_qs"))
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_vq"), col("_cid"))
+    val dropIds = index.where(col("_id").isNotNull && col("_pc").isNotNull)
+      .join(broadcast(probes), Seq("_cid"))
+      .where(graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters) <= maxDist)
+      .select(col("_qid")).distinct()
+    val survivors = c.df.join(dropIds,
+      idExpr === dropIds("_qid"), "left_anti")
+    c.next("dedup_against_ivf_pq_index", survivors, None)
   }
 
   /** LSH top-k: the first `bands × rows` bits of the sign-projection

@@ -454,6 +454,74 @@ object EventStreams {
     q
   }
 
+  /** sink_pq_append(vecs, corpus, index, id, vec, ckpt, pq_model,
+    * max_dist): the [[sinkEmbeddingAppendToTable]] composition at IVFADC
+    * storage cost — each micro-batch screens against the saved
+    * [[graft.ext.SimilarityOps.ivfPqIndex]] postings by ADC distance
+    * (codes, m bytes/row — the raw corpus embeddings can stay cold),
+    * appends survivors to the corpus table, and extends the index with
+    * [[graft.ext.SimilarityOps.ivfPqIndexAssign]] (assign + encode the
+    * batch only; history is never re-encoded). First batch bootstraps
+    * the index from its own survivors. Replay-idempotent the same way:
+    * both appends anti-join on ids already present, so a re-delivered
+    * batch adds nothing. `pqModel` is a trained [[graft.ext
+    * .SimilarityOps.pqFit]] frame — the codebook is a pinned artifact of
+    * the pipeline (retraining it per batch would silently re-metric the
+    * dedup threshold), which is why it is a parameter, not a fit here.
+    */
+  def sinkPqAppendToTable(vecs: DataFrame, corpusTable: String, indexTable: String,
+                          idCol: String, vecCol: String, checkpointDir: String,
+                          pqModel: DataFrame, maxDist: Double, nprobe: Int = 4,
+                          nlist: Int = 16,
+                          indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext._
+    val q = vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val chain = graft.core.Chain(spark, corpusTable, batch)
+          val survivors =
+            if (spark.catalog.tableExists(indexTable))
+              chain.dedupAgainstIvfPqIndex(spark.table(indexTable), pqModel,
+                idCol, vecCol, maxDist, nprobe)
+            else chain
+          val freshCorpus =
+            if (spark.catalog.tableExists(corpusTable))
+              survivors.df.join(spark.table(corpusTable).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else survivors.df
+          freshCorpus.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(corpusTable)
+          if (!spark.catalog.tableExists(indexTable)) {
+            survivors.ivfPqIndex(pqModel, idCol, vecCol, nlist)
+              .saveBucketed(indexTable, Seq("_cid"), indexBuckets)
+          } else {
+            // _id keeps the index's own id type (long OR string), the
+            // sinkEmbeddingAppendToTable lesson
+            val freshIdx = survivors.df.join(
+              spark.table(indexTable).where(col("_id").isNotNull)
+                .select(col("_id").as(idCol)),
+              Seq(idCol), "left_anti")
+            if (!freshIdx.isEmpty)
+              graft.core.Chain(spark, indexTable, freshIdx)
+                .ivfPqIndexAssign(spark.table(indexTable), pqModel, idCol, vecCol)
+                .appendBucketed(indexTable, Seq("_cid"), indexBuckets)
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (vecs.sparkSession.catalog.tableExists(corpusTable))
+      vecs.sparkSession.catalog.refreshTable(corpusTable)
+    if (vecs.sparkSession.catalog.tableExists(indexTable))
+      vecs.sparkSession.catalog.refreshTable(indexTable)
+    q
+  }
+
   /** Replay guard for the stored-profile sinks: `foreachBatch` is
     * at-least-once — a run that dies between the merge write and the
     * checkpoint commit re-fires the SAME batchId on restart, and an

@@ -218,6 +218,41 @@ class Round14Spec extends AnyFunSuite {
     assert(got == Map(1L -> (1666667L / 3), 2L -> 0L))
   }
 
+  test("dedupAgainstIvfPqIndex: ADC threshold screens the batch; assign extends postings") {
+    val model = latticeModel
+    val hist = Chain(spark, "pqh", SparkEntry.embFixtureDf(spark).where("vec_id < 12"))
+    val idx = hist.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val batch = Chain(spark, "pqb", SparkEntry.embFixtureDf(spark).where("vec_id >= 12"))
+    val survivors = batch.dedupAgainstIvfPqIndex(idx.df, model.df,
+      "vec_id", "embedding", maxDist = 1.0, nprobe = 4)
+      .df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(12L, 13L, 14L, 15L, 23L), s"got $survivors")
+    // a zero maxDist drops nothing (no exact code-space coincidence of
+    // RAW batch vectors at distance 0 on this jittered fixture)
+    assert(batch.dedupAgainstIvfPqIndex(idx.df, model.df,
+      "vec_id", "embedding", maxDist = 0.0).df.count() == 12)
+    // assign: batch rows land in their clusters' cells with codes
+    val appended = Chain(spark, "pqa", batch.df)
+      .ivfPqIndexAssign(idx.df, model.df, "vec_id", "embedding").df.collect()
+    assert(appended.length == 12)
+    val cellOf = idx.df.where(col("_id").isNotNull).collect()
+      .map(r => r.getLong(1) % 4 -> r.getLong(0)).distinct.toMap
+    appended.foreach { r =>
+      assert(r.getLong(0) == cellOf(r.getLong(1) % 4),
+        s"row ${r.getLong(1)} must join its planted cluster's cell")
+      assert(!r.isNullAt(2) && r.isNullAt(3), "codes stored, vectors not")
+    }
+    intercept[IllegalArgumentException] {
+      batch.dedupAgainstIvfPqIndex(idx.df.drop("_pc"), model.df,
+        "vec_id", "embedding", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      batch.dedupAgainstIvfPqIndex(idx.df, model.df, "vec_id", "embedding",
+        maxDist = Double.NaN)
+    }
+  }
+
   test("interleaveByWeight: stride order mixes sources proportionally from the start") {
     val docs = ((1 to 6).map(i => (i.toLong, "a")) ++
       (7 to 8).map(i => (i.toLong, "b")) ++ Seq((9L, "drop"))).toDF("id", "g")

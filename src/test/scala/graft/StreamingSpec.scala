@@ -263,6 +263,59 @@ class StreamingSpec extends AnyFunSuite {
       s"probe near direction 3 must hit vector 2 — got ${hits.mkString(",")}")
   }
 
+  test("streaming PQ-ingest sink screens by ADC distance and extends its IVFADC index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS stream_pq_t")
+    spark.sql("DROP TABLE IF EXISTS stream_pq_idx")
+    def v(axis: Int, noise: Float): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % 8) noise else 0.0f))
+    // the codebook is a pinned pipeline artifact: trained ONCE on the
+    // direction basis, reused by every batch (per-batch refits would
+    // silently re-metric the dedup threshold)
+    val model = graft.core.Chain(spark, "pq_model_train",
+      (0 until 8).map(a => Vec(a.toLong, v(a, 0.03f))).toDF("vec_id", "embedding"))
+      .pqFit("vec_id", "embedding", m = 2, ks = 4, trainSample = 8, iters = 10)
+    def sink(ms: MemoryStream[Vec], ckpt: String) =
+      EventStreams.sinkPqAppendToTable(ms.toDF(), "stream_pq_t",
+        "stream_pq_idx", "vec_id", "embedding", ckpt,
+        model.df, maxDist = 0.5, nprobe = 4, nlist = 2, indexBuckets = 4)
+    // batch 1: two distinct directions -> both land, index bootstrapped
+    val ms1 = MemoryStream[Vec]
+    ms1.addData(Vec(1L, v(0, 0.05f)), Vec(2L, v(3, 0.05f)))
+    sink(ms1, Files.createTempDirectory("graft_ckpt_pq1").toString)
+    assert(spark.table("stream_pq_t").count() == 2)
+    val idxRows = spark.table("stream_pq_idx")
+    assert(idxRows.where("_id IS NULL").count() > 0, "centroid markers present")
+    assert(idxRows.where("_id IS NOT NULL AND _pc IS NULL").count() == 0,
+      "every posting carries a code")
+    // batch 2: 3 ~ vector 1 (ADC near-dup -> dropped), 4 = new direction
+    val ms2 = MemoryStream[Vec]
+    ms2.addData(Vec(3L, v(0, 0.08f)), Vec(4L, v(6, 0.05f)))
+    sink(ms2, Files.createTempDirectory("graft_ckpt_pq2").toString)
+    val ids = spark.table("stream_pq_t")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"expected survivors 1,2,4 — got $ids")
+    // the extended index now covers vector 4: a batch-3 near-copy drops
+    val ms3 = MemoryStream[Vec]
+    ms3.addData(Vec(5L, v(6, 0.02f)))
+    sink(ms3, Files.createTempDirectory("graft_ckpt_pq3").toString)
+    val ids3 = spark.table("stream_pq_t")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == Seq(1L, 2L, 4L), s"got $ids3")
+    // the maintained index answers IVFADC probes over everything ingested
+    val hits = graft.core.Chain(spark, "pq_probe",
+      Seq(Vec(100L, v(3, 0.04f))).toDF("vec_id", "embedding"))
+      .searchIvfPq(model.df, spark.table("stream_pq_idx"), "vec_id", "embedding",
+        k = 1, nprobe = 2)
+      .df.collect()
+    assert(hits.length == 1 && hits(0).getAs[Long]("neighbor_id") == 2L,
+      s"probe near direction 3 must hit vector 2 — got ${hits.mkString(",")}")
+  }
+
   test("streaming distinct-sketch profile accumulates across batches and survives redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
