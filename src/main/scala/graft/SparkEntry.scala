@@ -923,6 +923,13 @@ object SparkEntry {
       "q_pack_sequences_tokens" -> ((s, d) =>
         t(s, d, "documents").packSequencesByTokens("text", 4000L,
           orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
+      // composed loader-prep tail: UniMax-mixed survivors packed to the
+      // token budget per lang — the two stages chain on one Chain, and
+      // the oracle nests the two replay SQLs the same way
+      "q_loader_prep" -> ((s, d) =>
+        t(s, d, "documents").mixUniMax("lang", "n_chars", 220000L, 2, Seq("doc_id"))
+          .packSequencesByTokens("text", 4000L, orderBy = Seq("doc_id"),
+            partitionBy = Seq("lang")).df),
       // span-level exact dedup: maximal cross-document duplicated 8-token
       // windows, and the strip pass that keeps one copy corpus-wide
       "q_dup_spans" -> ((s, d) =>
@@ -3223,6 +3230,16 @@ object SparkEntry {
           "ON CAST(d.lang AS VARCHAR) = a.stratum " +
           "WHERE a.keep_fp >= 1000000 OR md5(CONCAT_WS('|', CAST(d.doc_id AS VARCHAR))) < " +
           "printf('%015x', a.keep_fp * 1152921504606)"),
+      // loader-prep composition: the pack fold runs over the mix replay
+      "q_loader_prep" ->
+        ("SELECT *, CAST(FLOOR(COALESCE(SUM(pack_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS pack_id " +
+          "FROM (SELECT *, CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS pack_tokens FROM (" +
+          s"SELECT d.*, CAST(a.epochs_fp AS BIGINT) AS mix_epochs_fp FROM documents d JOIN (${umAllocSql(220000L, 2)}) a " +
+          "ON CAST(d.lang AS VARCHAR) = a.stratum " +
+          "WHERE a.keep_fp >= 1000000 OR md5(CONCAT_WS('|', CAST(d.doc_id AS VARCHAR))) < " +
+          "printf('%015x', a.keep_fp * 1152921504606)))"),
       // token-budget pack face: the same offset-binned cumulative fold,
       // over the bpeish subword-proxy count instead of n_chars
       "q_pack_sequences_tokens" ->

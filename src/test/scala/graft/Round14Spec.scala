@@ -278,6 +278,37 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("round-14 plan shapes: two-scan UniMax mix, twice-read file-backed IVFADC index") {
+    // mixUniMax: exactly the two declared corpus scans (stratum census +
+    // row filter) — the floor for any derived-budget mix — and no
+    // cartesian anywhere (the census joins back broadcast on stratum)
+    val mix = table("documents").mixUniMax("lang", "n_chars", 50000L, 2, Seq("doc_id"))
+    mix.df.count()
+    val mixScans = countScans(mix.df.queryExecution.executedPlan)
+    assert(mixScans == 2, s"mixUniMax must scan the corpus exactly twice, got $mixScans")
+    assert(!mix.df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // searchIvfPq over a SAVED index: the index file is read exactly
+    // twice (nlist centroid markers + the posting scan), the postings
+    // meet the tiny probe set in a broadcast hash join on _cid — the
+    // corpus-side frame never shuffles before its join
+    val model = latticeModel
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24).df.write.mode("overwrite").parquet(dir)
+    val res = Chain(spark, "q14p", SparkEntry.embFixtureDf(spark).where("vec_id < 4"))
+      .searchIvfPq(model.df, spark.read.parquet(dir), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    res.df.count()
+    val plan = res.df.queryExecution.executedPlan
+    val idxScans = countScans(plan)
+    assert(idxScans == 2, s"saved index must be read exactly twice, got $idxScans")
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"posting join must broadcast the probe set:\n$planStr")
+    assert(!planStr.contains("CartesianProduct"),
+      s"no true cartesian in the IVFADC probe:\n$planStr")
+  }
+
   test("round-14 ops complete on empty inputs") {
     val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "g", "text")
     assert(Chain(spark, "e1", emptyDocs)
