@@ -283,6 +283,15 @@ object Bench {
           pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 4).df))
         val ivfadcNp8 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
           pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df))
+        // multi-assign frontier at PQ storage: codes posted to 2 cells,
+        // probed at the SAME nprobe=4 budget (index ×2 in m-byte codes);
+        // measured 2026-08: 0.580 vs single-assign's 0.370 — duplication
+        // in the cheapest currency buys back most of the tie-split loss
+        val pqIdxA2 = emb.ivfPqIndex(pqModel.df, "vec_id", "embedding",
+          nlist = 16, assign = 2)
+        val ivfadcNp4A2 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdxA2.df, "vec_id", "embedding", k = 10, nprobe = 4,
+          indexAssign = 2).df))
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
@@ -291,7 +300,8 @@ object Bench {
           ("ivf_np8", curveMap(8), 0.65),
           ("ivf_np4_a2", np4a2, 0.64),
           ("ivfadc_np4", ivfadcNp4, 0.27),
-          ("ivfadc_np8", ivfadcNp8, 0.56))
+          ("ivfadc_np8", ivfadcNp8, 0.56),
+          ("ivfadc_np4_a2", ivfadcNp4A2, 0.48))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

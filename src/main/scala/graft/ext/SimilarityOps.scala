@@ -798,12 +798,18 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * stays a pure per-row function shared with [[pqEncode]]/[[searchPq]],
     * so full-scan ADC and IVFADC rank candidates identically — recall
     * differences come only from cell pruning, which the bench gate
-    * measures.
+    * measures. `assign > 1` posts each row's code to its `assign`
+    * nearest cells (corpus-side duplication: index grows ×assign in the
+    * m-byte codes only, recall at fixed nprobe rises — the frontier
+    * witness the flat-IVF family records); probe with
+    * `searchIvfPq(indexAssign = assign)` so duplicates collapse.
     */
   def ivfPqIndex(pqModel: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16, trainSample: Int = 4096,
-                 trainIters: Int = 15): Chain = {
+                 trainIters: Int = 15, assign: Int = 1): Chain = {
     val spark = c.df.sparkSession
+    require(assign >= 1 && assign <= nlist,
+      s"ivf_pq_index: assign must be in [1, nlist=$nlist], got $assign")
     Seq(idCol, vecCol).foreach(cn => require(c.df.columns.contains(cn),
       s"ivf_pq_index: chain is missing column '$cn'"))
     val (idExpr, idType) = SimilarityOps.indexId("ivf_pq_index", c.df, idCol)
@@ -820,11 +826,17 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .select(col("_v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
-    val assigned = corpus
-      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+    // encode BEFORE the (optional) multi-assign explode — codes are
+    // cell-independent, one kernel pass per row, replicas share it
+    val coded = corpus
       .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
       .where(col("_pc").isNotNull)
-      .select(col("_cid"), col("_id"), col("_pc"),
+    val assigned = (
+      if (assign == 1)
+        coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      else coded.withColumn("_cid",
+        explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+    ).select(col("_cid"), col("_id"), col("_pc"),
         lit(null).cast("array<double>").as("_v"),
         lit(null).cast("double").as("_n"))
     val centroidRows = SimilarityOps.centroidFrame(spark, centers)
@@ -845,21 +857,29 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * historical postings are never re-encoded.
     */
   def ivfPqIndexAssign(index: DataFrame, pqModel: DataFrame,
-                       idCol: String, vecCol: String): Chain = {
+                       idCol: String, vecCol: String,
+                       assign: Int = 1): Chain = {
+    require(assign >= 1, s"ivf_pq_index_assign: assign must be >= 1, got $assign")
     require(Seq("_cid", "_id", "_pc", "_v", "_n").forall(index.columns.contains),
       s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
         s"got ${index.columns.mkString(", ")}")
     val centers = SimilarityOps.collectCentroids(index)
+    require(assign <= centers.length,
+      s"ivf_pq_index_assign: assign ($assign) exceeds the index's nlist (${centers.length})")
     val pqCenters = SimilarityOps.collectPqModel(pqModel)
     val (idExpr, _) = SimilarityOps.indexId("ivf_pq_index_assign", c.df, idCol)
-    val assigned = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
+    val coded = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
       .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
       .where(SimilarityOps.usableVec(col("_v"), col("_n"))) // same exclusion as the build
       .repartition(col("_id"))
-      .withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
       .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
       .where(col("_pc").isNotNull)
-      .select(col("_cid"), col("_id"), col("_pc"),
+    val assigned = (
+      if (assign == 1)
+        coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+      else coded.withColumn("_cid",
+        explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+    ).select(col("_cid"), col("_id"), col("_pc"),
         lit(null).cast("array<double>").as("_v"),
         lit(null).cast("double").as("_n"))
     c.next("ivf_pq_index_assign", assigned, None)
@@ -883,9 +903,12 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * tie-break, identical to [[searchPq]] on any candidate both visit.
     */
   def searchIvfPq(pqModel: DataFrame, index: DataFrame, idCol: String,
-                  vecCol: String, k: Int = 10, nprobe: Int = 4): Chain = {
+                  vecCol: String, k: Int = 10, nprobe: Int = 4,
+                  indexAssign: Int = 1): Chain = {
     require(k >= 1, s"search_ivf_pq: k must be >= 1, got $k")
     require(nprobe >= 1, s"search_ivf_pq: nprobe must be >= 1, got $nprobe")
+    require(indexAssign >= 1,
+      s"search_ivf_pq: indexAssign must be >= 1, got $indexAssign")
     require(Seq("_cid", "_id", "_pc", "_v", "_n").forall(index.columns.contains),
       s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
         s"got ${index.columns.mkString(", ")}")
@@ -911,11 +934,17 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nprobe)
       .select(col("query_id"), col("_vq"), col("_cid"))
-    val scored = index.where(col("_id").isNotNull && col("_pc").isNotNull)
+    val scoredRaw = index.where(col("_id").isNotNull && col("_pc").isNotNull)
       .join(broadcast(probes), Seq("_cid"))
       .where(col("query_id") =!= col("_id"))
       .select(col("query_id"), col("_id").as("neighbor_id"),
         graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters).as("adc_dist"))
+    // a multi-assign index ([[ivfPqIndex]] assign > 1) can surface the
+    // same (query, neighbor) via two probed cells — dedup before ranking
+    // (ADC is deterministic, so distinct on the scored triple is exact);
+    // declared by the caller so the common single-assign path pays no
+    // extra exchange (the ivfCosineTopK convention)
+    val scored = if (indexAssign == 1) scoredRaw else scoredRaw.distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     c.next("search_ivf_pq",

@@ -68,6 +68,38 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqIndex multi-assign: replicated postings, dedup'd probe replays full-scan ADC") {
+    val model = latticeModel
+    val idx2 = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, assign = 2)
+    val posts = idx2.df.where("_id IS NOT NULL").collect()
+    assert(posts.length == 48, s"24 rows x 2 cells, got ${posts.length}")
+    assert(posts.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 48,
+      "each (cell, id) posting appears once")
+    val queries = Chain(spark, "q14a2", SparkEntry.embFixtureDf(spark).where("vec_id < 4"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = key(Chain(spark, "pq_corpus14b",
+      lattice.pqEncode(model.df, "embedding").df.select("vec_id", "pq_code"))
+      .searchPq(model.df, queries.df, "vec_id", "embedding", k = 5).df)
+    val probed = key(queries.searchIvfPq(model.df, idx2.df, "vec_id", "embedding",
+      k = 5, nprobe = 4, indexAssign = 2).df)
+    assert(probed == full,
+      "full probe of the multi-assign index must collapse duplicates and replay full-scan ADC")
+    intercept[IllegalArgumentException] {
+      lattice.ivfPqIndex(model.df, "vec_id", "embedding", nlist = 4,
+        trainSample = 24, assign = 0)
+    }
+    intercept[IllegalArgumentException] {
+      lattice.ivfPqIndex(model.df, "vec_id", "embedding", nlist = 4,
+        trainSample = 24, assign = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "q14a3", queries.df)
+        .ivfPqIndexAssign(idx2.df, model.df, "vec_id", "embedding", assign = 9)
+    }
+  }
+
   test("searchIvfPq guards: schema, id family, parameter bounds") {
     val model = latticeModel
     val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
