@@ -1209,6 +1209,21 @@ object SparkEntry {
             k = 5, nprobe = 2)
           .df.select(col("query_id"), col("neighbor_id"), col("rank"))
       }),
+      // multi-assign IVFADC face: codes posted to 2 cells, probed at the
+      // same budget with duplicate collapse — extra replicas are strictly
+      // farther codes, so the top-5 stay the five planted siblings
+      "q_search_pq_ivf_a2" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val fix = Chain(s, "pq_fix", embFixtureDf(s))
+        val model = fix.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        val idx = fix.ivfPqIndex(model.df, "vec_id", "embedding",
+          nlist = 4, trainSample = 24, assign = 2)
+        Chain(s, "queries", embFixtureDf(s).where("vec_id < 4"))
+          .searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+            k = 5, nprobe = 2, indexAssign = 2)
+          .df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      }),
       // Bloom-prefiltered join: lineitem probed against small parts —
       // the prefilter is execution detail, so the oracle is the PLAIN
       // inner join (false positives provably fall out in the equi-join)
@@ -3464,6 +3479,13 @@ object SparkEntry {
       // same-code siblings (neighbor = query + 4·rank) — the same rows the
       // full-scan ADC face pins
       "q_search_pq_ivf" ->
+        ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
+          "CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT unnest(range(0, 4)) AS query_id) q " +
+          "CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r"),
+      // multi-assign replicas are strictly-farther codes — same pinned
+      // sibling rows as the single-assign face
+      "q_search_pq_ivf_a2" ->
         ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
           "CAST(rank AS INTEGER) AS rank FROM " +
           "(SELECT unnest(range(0, 4)) AS query_id) q " +
