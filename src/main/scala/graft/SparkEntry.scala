@@ -541,6 +541,12 @@ object SparkEntry {
       t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate",
         direction = "nearest").df
     }),
+    "q_asof_join_tolerance" -> ((s, d) => {
+      val fin = t(s, d, "orders").filterRows(Seq("o_orderstatus = 'F'"))
+        .aggregate(Seq("o_custkey", "o_orderdate"), Seq("o_totalprice" -> Seq("MAX")))
+      t(s, d, "orders").asofJoin(fin, Seq("o_custkey"), "o_orderdate", "o_orderdate",
+        tolerance = Some("INTERVAL 30 DAY")).df
+    }),
     "q_range_join" -> ((s, d) => {
       val iv = t(s, d, "orders")
         .filterRows(Seq("o_orderdate >= '1995-01-01'", "o_orderdate < '1996-01-01'"))
@@ -644,6 +650,11 @@ object SparkEntry {
     import graft.streaming.EventStreams
     Map(
       "q_text_tokens" -> ((s, d) => t(s, d, "documents").tokenCounts("text").df),
+      // exact corpus-overlap census: all documents vs the doc_id < 250
+      // slice, at normalized-fingerprint grain
+      "q_corpus_overlap" -> ((s, d) =>
+        t(s, d, "documents").corpusOverlap(
+          t(s, d, "documents").filterRows(Seq("doc_id < 250")), "text").df),
       // generic pattern census (entity/format counting)
       "q_count_pattern" -> ((s, d) =>
         t(s, d, "customer").countPattern("c_name",
@@ -2539,6 +2550,27 @@ object SparkEntry {
         "SELECT l.*, CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv " +
         "WHEN l.o_orderdate - bt <= ft - l.o_orderdate THEN bv ELSE fv END AS o_totalprice_max " +
         "FROM orders l JOIN b ON l.o_orderkey = b.k JOIN f ON l.o_orderkey = f.k"),
+    // tolerance face: the backward ASOF match nulls out beyond 30 days
+    "q_asof_join_tolerance" ->
+      ("WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice_max " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderdate) " +
+        "SELECT l.*, CASE WHEN r.o_orderdate IS NOT NULL AND " +
+        "l.o_orderdate - r.o_orderdate <= INTERVAL 30 DAY THEN r.o_totalprice_max END " +
+        "AS o_totalprice_max FROM orders l ASOF LEFT JOIN r " +
+        "ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate"),
+    // fingerprint-grain overlap census, all integer outputs
+    "q_corpus_overlap" -> {
+      val fp = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+      s"WITH lf AS (SELECT DISTINCT $fp AS fp FROM documents WHERE text IS NOT NULL), " +
+        s"rf AS (SELECT DISTINCT $fp AS fp FROM documents WHERE doc_id < 250 AND text IS NOT NULL), " +
+        "l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM lf), " +
+        "r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM rf), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM lf WHERE fp IN (SELECT fp FROM rf)) " +
+        "SELECT n_left, n_right, n_common, " +
+        "CAST(CASE WHEN n_left + n_right - n_common > 0 THEN " +
+        "n_common * 1000000 // (n_left + n_right - n_common) ELSE 0 END AS BIGINT) AS jaccard_fp " +
+        "FROM l CROSS JOIN r CROSS JOIN c"
+    },
     "q_range_join" ->
       ("WITH iv AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month, " +
         "COUNT(o_orderkey) AS o_orderkey_count FROM orders " +

@@ -1360,6 +1360,53 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"SELECT *, md5(concat_ws('|', $keySql)) AS epoch_pos FROM {{source}} ORDER BY epoch_pos"))
   }
 
+  /** corpus_overlap(other, text_col, other_text_col): exact overlap
+    * census between two corpora at normalized-fingerprint grain
+    * ([[TextOps.fingerprint]]: md5 of lowercased, whitespace-collapsed
+    * text) — ONE row: `n_left` / `n_right` (distinct fingerprints per
+    * side), `n_common`, and `jaccard_fp` (ppm fixed point, floor) — the
+    * dataset-overlap report run before mixing two corpora or comparing
+    * crawl snapshots (how much of B is already in A). Exact, not a
+    * sketch: each side reduces to DISTINCT 32-char fingerprints (one
+    * exchange each, ~32 bytes/row — no text ever shuffles), the common
+    * count is one fingerprint equi-join, and the three one-row
+    * aggregates cross-join broadcast. Renderable (two-source face, like
+    * the set operators). Jaccard is integer ppm so the census
+    * hash-matches across engines; an empty union reads 0.
+    */
+  def corpusOverlap(other: Chain, textCol: String,
+                    otherTextCol: String = ""): Chain = {
+    val rightCol = if (otherTextCol.isEmpty) textCol else otherTextCol
+    require(c.df.columns.contains(textCol),
+      s"corpus_overlap: left chain is missing column '$textCol'")
+    require(other.df.columns.contains(rightCol),
+      s"corpus_overlap: right chain is missing column '$rightCol'")
+    val lf = c.df.where(col(textCol).isNotNull)
+      .select(fingerprint(col(textCol)).as("_fp")).distinct()
+    val rf = other.df.where(col(rightCol).isNotNull)
+      .select(fingerprint(col(rightCol)).as("_fp")).distinct()
+    val nl = lf.agg(count(lit(1)).as("n_left"))
+    val nr = rf.agg(count(lit(1)).as("n_right"))
+    val nc = lf.join(rf, Seq("_fp"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val df2 = nl.crossJoin(nr).crossJoin(nc)
+      .withColumn("jaccard_fp",
+        expr("CASE WHEN n_left + n_right - n_common > 0 THEN " +
+          "n_common * 1000000L DIV (n_left + n_right - n_common) ELSE 0L END"))
+    val lq = Naming.quoteId(textCol)
+    val rq = Naming.quoteId(rightCol)
+    def fpSel(src: String, cn: String) =
+      s"SELECT DISTINCT ${fingerprintSql(cn)} AS _fp FROM $src WHERE $cn IS NOT NULL"
+    val rightSrc = if (other.steps.isEmpty) other.entryName else s"(${other.sql()})"
+    c.next("corpus_overlap", df2, Some(
+      "SELECT *, CASE WHEN n_left + n_right - n_common > 0 THEN " +
+        "n_common * 1000000L DIV (n_left + n_right - n_common) ELSE 0L END AS jaccard_fp " +
+        s"FROM (SELECT COUNT(*) AS n_left FROM (${fpSel("{{source}}", lq)})) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS n_right FROM (${fpSel(rightSrc, rq)})) " +
+        s"CROSS JOIN (SELECT COUNT(*) AS n_common FROM (${fpSel("{{source}}", lq)}) l " +
+        s"WHERE EXISTS (SELECT 1 FROM (${fpSel(rightSrc, rq)}) r WHERE r._fp = l._fp))"))
+  }
+
   /** interleave_by_weight(group_col, weights, order_by): deterministic
     * proportional interleave of sources into a training order — stride
     * scheduling: the i-th row of source g gets

@@ -449,7 +449,10 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * ASOF implementations). Right value columns colliding with left names
     * arrive suffixed. `direction`: "backward" (default), "forward", or
     * "nearest" (closest on either side, ties to the backward match — the
-    * pandas merge_asof direction set).
+    * pandas merge_asof direction set). `tolerance`: optional max match
+    * distance as a raw SQL expression ("INTERVAL 30 DAY" for timestamps,
+    * a number for numeric times) — matches farther away null out, the
+    * pandas merge_asof tolerance / kdb window-join dial.
     */
   def asofJoin(
       other: Chain,
@@ -457,11 +460,18 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       leftTime: String,
       rightTime: String,
       suffix: String = "_asof",
-      direction: String = "backward"): Chain = {
+      direction: String = "backward",
+      tolerance: Option[String] = None): Chain = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
-    if (direction == "nearest")
-      return asofJoinNearest(other, on, leftTime, rightTime, suffix)
+    tolerance.foreach(t => require(t.trim.nonEmpty,
+      "asof_join: tolerance must be a non-empty SQL expression"))
+    // nearest and any tolerance need the matched right TIME carried with
+    // the values — the generalized path; the plain directions keep their
+    // original (lighter) plan untouched
+    if (direction == "nearest" || tolerance.isDefined)
+      return asofJoinCarried(other, on, leftTime, rightTime, suffix,
+        direction, tolerance)
     val forward = direction == "forward"
     val lDf = c.df
     val rDf = other.df
@@ -520,21 +530,27 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     c.next("asof_join", df2, Some(frag))
   }
 
-  /** The `direction = "nearest"` face of [[asofJoin]] (pandas
-    * merge_asof's third direction): the right row CLOSEST in time on
-    * either side, ties preferring the backward match. Same union-window
-    * plan, run BOTH ways over ONE shuffle on the keys (two sorts of the
-    * same exchange, no second pass over either input): the carried
-    * struct additionally stores the matched right time so the closing
-    * projection can compare the two candidates' distances — interval
-    * arithmetic, exact for timestamp/date/numeric time columns.
+  /** The carried face of [[asofJoin]] — used for `direction = "nearest"`
+    * (pandas merge_asof's third direction: the right row CLOSEST in time
+    * on either side, ties preferring the backward match) and for ANY
+    * direction with a `tolerance` (matches farther than the tolerance in
+    * the match direction null out — the pandas/kdb window-join dial; the
+    * expression is raw SQL, e.g. "INTERVAL 30 DAY" for timestamps or a
+    * number for numeric times). Same union-window plan; nearest runs the
+    * carry BOTH ways over ONE shuffle on the keys (two sorts of the same
+    * exchange, no second pass over either input); the carried struct
+    * additionally stores the matched right time so the closing
+    * projection can compare candidate distances — interval arithmetic,
+    * exact for timestamp/date/numeric time columns.
     */
-  private def asofJoinNearest(
+  private def asofJoinCarried(
       other: Chain,
       on: Seq[String],
       leftTime: String,
       rightTime: String,
-      suffix: String): Chain = {
+      suffix: String,
+      direction: String,
+      tolerance: Option[String]): Chain = {
     val lDf = c.df
     val rDf = other.df
     val leftCols = lDf.columns.toSeq
@@ -560,18 +576,40 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val wf = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_t").desc, col("_src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = u
-      .withColumn("_rvb", last(col("_rv"), ignoreNulls = true).over(wb))
-      .withColumn("_rvf", last(col("_rv"), ignoreNulls = true).over(wf))
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val filled = {
+      val f1 = if (needB)
+        u.withColumn("_rvb", last(col("_rv"), ignoreNulls = true).over(wb)) else u
+      if (needF)
+        f1.withColumn("_rvf", last(col("_rv"), ignoreNulls = true).over(wf)) else f1
+    }
     val bt = col("_rvb").getField("_asof_rt")
     val ft = col("_rvf").getField("_asof_rt")
-    val chosen = when(col("_rvb").isNull, col("_rvf"))
-      .when(col("_rvf").isNull, col("_rvb"))
-      .when(col("_t") - bt <= ft - col("_t"), col("_rvb"))
-      .otherwise(col("_rvf"))
+    val cand = direction match {
+      case "backward" => col("_rvb")
+      case "forward" => col("_rvf")
+      case _ => when(col("_rvb").isNull, col("_rvf"))
+        .when(col("_rvf").isNull, col("_rvb"))
+        .when(col("_t") - bt <= ft - col("_t"), col("_rvb"))
+        .otherwise(col("_rvf"))
+    }
+    val withCand = filled.withColumn("_cand", cand)
+    val crt = col("_cand").getField("_asof_rt")
+    val chosen = tolerance match {
+      case None => col("_cand")
+      case Some(tol) =>
+        val tolE = expr(tol)
+        val dist = direction match {
+          case "backward" => col("_t") - crt
+          case "forward" => crt - col("_t")
+          case _ => when(crt <= col("_t"), col("_t") - crt).otherwise(crt - col("_t"))
+        }
+        when(col("_cand").isNotNull && dist <= tolE, col("_cand"))
+    }
     val proj = leftCols.map(n => if (n == leftTime) col("_t").as(leftTime) else col(n)) ++
       rightVals.map(n => col("_chosen").getField(n).as(outName(n)))
-    val df2 = filled.withColumn("_chosen", chosen)
+    val df2 = withCand.withColumn("_chosen", chosen)
       .where(col("_src") === 1).select(proj: _*)
     val q = graft.core.Naming.quoteId _
     val onSql = on.map(q)
@@ -585,15 +623,32 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       rightVals.map(n => s"_chosen.${q(n)} AS ${q(outName(n))}")).mkString(", ")
     val winTail = s"PARTITION BY ${onSql.mkString(", ")} ORDER BY %s, _src " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val winsSql = (
+      (if (needB) Seq(s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t")}) AS _rvb") else Nil) ++
+      (if (needF) Seq(s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t DESC")}) AS _rvf") else Nil)
+    ).mkString(", ")
+    val candSql = direction match {
+      case "backward" => "_rvb"
+      case "forward" => "_rvf"
+      case _ => "CASE WHEN _rvb IS NULL THEN _rvf WHEN _rvf IS NULL THEN _rvb " +
+        "WHEN _t - _rvb._asof_rt <= _rvf._asof_rt - _t THEN _rvb ELSE _rvf END"
+    }
+    val chosenSql = tolerance match {
+      case None => "_cand"
+      case Some(tol) =>
+        val distSql = direction match {
+          case "backward" => "_t - _cand._asof_rt"
+          case "forward" => "_cand._asof_rt - _t"
+          case _ => "CASE WHEN _cand._asof_rt <= _t THEN _t - _cand._asof_rt " +
+            "ELSE _cand._asof_rt - _t END"
+        }
+        s"CASE WHEN _cand IS NOT NULL AND ($distSql) <= ($tol) THEN _cand END"
+    }
     val frag =
-      s"SELECT $outSql FROM (SELECT *, CASE WHEN _rvb IS NULL THEN _rvf " +
-        "WHEN _rvf IS NULL THEN _rvb " +
-        "WHEN _t - _rvb._asof_rt <= _rvf._asof_rt - _t THEN _rvb " +
-        "ELSE _rvf END AS _chosen FROM (SELECT *, " +
-        s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t")}) AS _rvb, " +
-        s"LAST(_rv) IGNORE NULLS OVER (${winTail.format("_t DESC")}) AS _rvf FROM (" +
+      s"SELECT $outSql FROM (SELECT *, $chosenSql AS _chosen FROM (" +
+        s"SELECT *, $candSql AS _cand FROM (SELECT *, $winsSql FROM (" +
         s"SELECT $lBranch FROM {{source}} UNION ALL " +
-        s"SELECT $rBranch FROM ${rightSource(other)}))) WHERE _src = 1"
+        s"SELECT $rBranch FROM ${rightSource(other)})))) WHERE _src = 1"
     c.next("asof_join", df2, Some(frag))
   }
 

@@ -237,6 +237,56 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin tolerance: matches beyond the window null out, every direction") {
+    val left = Seq((1L, "k", 10L), (2L, "k", 100L)).toDF("id", "g", "t")
+    val right = Seq(("k", 8L, "a"), ("k", 104L, "b")).toDF("g", "rt", "v")
+    def run(dir: String, tol: String) = Chain(spark, "tl", left)
+      .asofJoin(Chain(spark, "tr", right), Seq("g"), "t", "rt",
+        direction = dir, tolerance = Some(tol)).df.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)).orNull).toMap
+    // backward: 10 matches 8 (dist 2 <= 5); 100 matches 8 at dist 92 -> null
+    assert(run("backward", "5") == Map(1L -> "a", 2L -> null))
+    // forward: 10 -> 104 at dist 94 -> null; 100 -> 104 (dist 4 <= 5)
+    assert(run("forward", "5") == Map(1L -> null, 2L -> "b"))
+    // nearest: 10 -> 8 (2), 100 -> 104 (4); tol 3 keeps only the first
+    assert(run("nearest", "3") == Map(1L -> "a", 2L -> null))
+    // SQL face agrees on the tolerance path
+    left.createOrReplaceTempView("tol_l")
+    right.createOrReplaceTempView("tol_r")
+    val c = Chain(spark, "tol_l", left)
+      .asofJoin(Chain(spark, "tol_r", right), Seq("g"), "t", "rt",
+        direction = "backward", tolerance = Some("5"))
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "tl", left).asofJoin(Chain(spark, "tr", right),
+        Seq("g"), "t", "rt", tolerance = Some("  "))
+    }
+  }
+
+  test("corpusOverlap: hand-counted fingerprint census, SQL face agrees") {
+    val a = Seq((1L, "The cat  sat"), (2L, "dog runs"), (3L, "bird flies"),
+      (4L, "THE CAT SAT")).toDF("id", "text") // 4 normalizes into 1
+    val b = Seq((9L, "the cat sat"), (10L, "fish swims")).toDF("id", "text")
+    val got = Chain(spark, "ca", a)
+      .corpusOverlap(Chain(spark, "cb", b), "text").df.collect()(0)
+    // left distinct fps: {cat-sat, dog-runs, bird-flies} = 3; right = 2;
+    // common = 1; jaccard = 1e6 DIV 4
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((3L, 2L, 1L, 250000L)), s"got $got")
+    a.createOrReplaceTempView("co_a")
+    b.createOrReplaceTempView("co_b")
+    val c = Chain(spark, "co_a", a).corpusOverlap(Chain(spark, "co_b", b), "text")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    // disjoint corpora: zero common, zero jaccard; guard on missing column
+    val d = Chain(spark, "ca", a)
+      .corpusOverlap(Chain(spark, "cd", b.withColumn("text", lit("zzz"))), "text")
+      .df.collect()(0)
+    assert(d.getLong(2) == 0L && d.getLong(3) == 0L)
+    intercept[IllegalArgumentException] {
+      Chain(spark, "ca", a).corpusOverlap(Chain(spark, "cb", b), "nope")
+    }
+  }
+
   test("rankEval: ap_fp replays the hand-computed TREC average precision") {
     val run = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (1L, 98L, 4),
       (2L, 97L, 1), (2L, 96L, 2)).toDF("query_id", "doc_id", "rank")
