@@ -883,6 +883,16 @@ object SparkEntry {
             expr("dst_page DIV 10").as("dst_host")))
           .linkRankHost("src_host", "dst_host", iterations = 3).df
       }),
+      // explicit-weight face: edge weight = summed quantity, same integer
+      // recurrence with shares entering as w · (pr // out-weight)
+      "q_link_rank_weighted" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        Chain(s, "wedges", t(s, d, "lineitem").df
+          .select((col("l_orderkey") % 2000).as("src"),
+            (col("l_partkey") % 2000).as("dst"),
+            col("l_quantity").cast("bigint").as("w")))
+          .linkRankWeighted("src", "dst", "w", iterations = 3).df
+      }),
       // cluster assignment over the exact near-dup pairs (connected
       // components, min-id label per component) — the keep/drop decision
       // step after pair mining
@@ -3220,6 +3230,29 @@ object SparkEntry {
             s"FROM base b LEFT JOIN c$i c ON b.node = c.node), "
         "WITH pe AS (SELECT DISTINCT l_orderkey % 5000 AS sp, l_partkey % 5000 AS dp FROM lineitem), " +
           "e AS (SELECT sp // 10 AS src, dp // 10 AS dst, COUNT(*) AS w FROM pe GROUP BY 1, 2), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "deg AS (SELECT src AS node, SUM(w) AS od FROM e GROUP BY 1), " +
+          "base AS (SELECT n.node, d.od FROM nodes n LEFT JOIN deg d ON n.node = d.node), " +
+          "p AS (SELECT COUNT(*) AS n FROM nodes), " +
+          s"pr0 AS (SELECT node, od, (SELECT $S // n FROM p) AS pr FROM base), " +
+          sweep(1) + sweep(2) + sweep(3).stripSuffix(", ") +
+          // CAST: SUM-promoted HUGEINT intermediates; Spark emits BIGINT
+          s" SELECT node, CAST(pr AS BIGINT) AS rank_fp, CAST(pr AS DOUBLE) / CAST($S AS DOUBLE) AS rank FROM pr3"
+      },
+      // explicit weights replayed: the same weighted recurrence over
+      // quantity-summed edges
+      "q_link_rank_weighted" -> {
+        val S = "1000000000000"
+        def sweep(i: Int) =
+          s"c$i AS (SELECT e.dst AS node, SUM(e.w * (pr.pr // pr.od)) AS c " +
+            s"FROM pr${i - 1} pr JOIN e ON pr.node = e.src GROUP BY e.dst), " +
+            s"pr$i AS (SELECT b.node, b.od, (SELECT (15 * $S) // (100 * n) FROM p) + " +
+            s"(85 * (COALESCE(c.c, 0) + (SELECT (SELECT COALESCE(SUM(pr), 0) " +
+            s"FROM pr${i - 1} WHERE od IS NULL) // n FROM p))) // 100 AS pr " +
+            s"FROM base b LEFT JOIN c$i c ON b.node = c.node), "
+        "WITH e AS (SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst, " +
+          "SUM(CAST(l_quantity AS BIGINT)) AS w FROM lineitem " +
+          "WHERE CAST(l_quantity AS BIGINT) > 0 GROUP BY 1, 2), " +
           "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
           "deg AS (SELECT src AS node, SUM(w) AS od FROM e GROUP BY 1), " +
           "base AS (SELECT n.node, d.od FROM nodes n LEFT JOIN deg d ON n.node = d.node), " +

@@ -105,6 +105,47 @@ final class GraphOps(private val c: Chain) extends AnyVal {
     rankSweeps("link_rank_host", srcCol, edges, iterations, dampingPct, scale)
   }
 
+  /** link_rank_weighted(src, dst, weight, iterations): the general
+    * weighted face — edges carry an explicit positive INTEGER weight
+    * (link counts, dedup'd anchor counts, any multiplicity the caller
+    * already aggregated), parallel edges collapse by SUMMING weights,
+    * and the recurrence is the same fixed-point integer PageRank with
+    * shares entering as `w · (pr DIV out-weight)`. [[linkRank]] is this
+    * with unit weights, [[linkRankHost]] with weights derived by the
+    * host pre-aggregation; this face is for graphs whose weights are a
+    * first-class input column. Null/non-positive weights drop the edge
+    * (a zero-weight edge contributes nothing but would still widen the
+    * node set — dropping keeps the three faces consistent on "edge
+    * present means weight ≥ 1").
+    */
+  def linkRankWeighted(srcCol: String, dstCol: String, weightCol: String,
+                       iterations: Int = 3, dampingPct: Int = 85,
+                       scale: Long = 1000000000000L): Chain = {
+    require(iterations >= 1 && iterations <= 50,
+      s"link_rank_weighted: iterations must be in [1, 50], got $iterations — " +
+        "a fixed authority sweep, not an unbounded fixpoint")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"link_rank_weighted: dampingPct must be in [0, 100], got $dampingPct")
+    require(scale >= 1000000L && scale <= 1000000000000000000L,
+      s"link_rank_weighted: scale must be in [1e6, 1e18], got $scale")
+    val cols = c.df.columns.toSet
+    Seq(srcCol, dstCol, weightCol).foreach(n => require(cols.contains(n),
+      s"link_rank_weighted: edge frame is missing column '$n'"))
+    require(c.df.schema(srcCol).dataType == c.df.schema(dstCol).dataType,
+      s"link_rank_weighted: '$srcCol' and '$dstCol' must share a type, got " +
+        s"${c.df.schema(srcCol).dataType.sql} vs ${c.df.schema(dstCol).dataType.sql}")
+    require(DedupOps.isIntegralId(c.df.schema(weightCol).dataType),
+      s"link_rank_weighted: weight '$weightCol' must be integral, got " +
+        c.df.schema(weightCol).dataType.sql)
+    val edges = DedupOps.checkpointRound(
+      c.df.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+        col(weightCol).cast("long").as("_we"))
+        .where(col("_src").isNotNull && col("_dst").isNotNull &&
+          col("_we").isNotNull && col("_we") > 0)
+        .groupBy(col("_src"), col("_dst")).agg(sum(col("_we")).as("_w")))
+    rankSweeps("link_rank_weighted", srcCol, edges, iterations, dampingPct, scale)
+  }
+
   /** The shared fixed-point recurrence over a checkpointed WEIGHTED edge
     * frame `(_src, _dst, _w)` — [[linkRank]] passes unit weights,
     * [[linkRankHost]] the collapsed page counts. Releases `edges`.

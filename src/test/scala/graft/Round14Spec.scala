@@ -431,6 +431,30 @@ class Round14Spec extends AnyFunSuite {
     assert(got == Map("a" -> nxt(333333L), "b" -> nxt(222222L), "c" -> nxt(111111L)))
   }
 
+  test("linkRankWeighted: explicit weights equal the host face's derived counts") {
+    val pages = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")).toDF("s", "d")
+    val host = Chain(spark, "w1", pages).linkRankHost("s", "d", iterations = 2)
+    val wedges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("s", "d", "w")
+    val wtd = Chain(spark, "w2", wedges).linkRankWeighted("s", "d", "w", iterations = 2)
+    assert(rows(wtd.df) == rows(host.df),
+      "explicit weights must replay the host face's collapsed counts")
+    // parallel weighted edges SUM; zero/null weights drop the edge (and
+    // with it any would-be out-degree)
+    val dup = Seq(("a", "b", 1L), ("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 0L)).toDF("s", "d", "w")
+    val got = Chain(spark, "w3", dup).linkRankWeighted("s", "d", "w", iterations = 2)
+    assert(rows(got.df) == rows(host.df),
+      "summed duplicates match; the zero-weight edge adds nothing")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "w4", wedges).linkRankWeighted("s", "d", "missing")
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "w5", wedges.withColumn("w", col("w").cast("double")))
+        .linkRankWeighted("s", "d", "w")
+    }
+  }
+
   test("linkRankHost on distinct unit edges equals linkRank; guards hold") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val host = Chain(spark, "g1", edges).linkRankHost("s", "d", iterations = 3)
