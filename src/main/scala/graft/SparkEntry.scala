@@ -655,6 +655,11 @@ object SparkEntry {
       "q_corpus_overlap" -> ((s, d) =>
         t(s, d, "documents").corpusOverlap(
           t(s, d, "documents").filterRows(Seq("doc_id < 250")), "text").df),
+      // per-lang containment against the same reference slice
+      "q_corpus_overlap_grouped" -> ((s, d) =>
+        t(s, d, "documents").corpusOverlapByGroup(
+          t(s, d, "documents").filterRows(Seq("doc_id < 250")),
+          Seq("lang"), "text").df),
       // generic pattern census (entity/format counting)
       "q_count_pattern" -> ((s, d) =>
         t(s, d, "customer").countPattern("c_name",
@@ -2580,6 +2585,18 @@ object SparkEntry {
         "CAST(CASE WHEN n_left + n_right - n_common > 0 THEN " +
         "n_common * 1000000 // (n_left + n_right - n_common) ELSE 0 END AS BIGINT) AS jaccard_fp " +
         "FROM l CROSS JOIN r CROSS JOIN c"
+    },
+    // per-lang containment vs the reference slice: distinct (lang, fp)
+    // pairs left-joined to the reference fingerprints, one group close
+    "q_corpus_overlap_grouped" -> {
+      val fp = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+      s"SELECT lang, n_left, n_common, " +
+        "CAST(CASE WHEN n_left > 0 THEN n_common * 1000000 // n_left ELSE 0 END AS BIGINT) AS contained_fp " +
+        "FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_left, " +
+        "CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_common FROM (" +
+        s"SELECT DISTINCT lang, $fp AS fp FROM documents WHERE text IS NOT NULL) l LEFT JOIN (" +
+        s"SELECT DISTINCT $fp AS fp, 1 AS hit FROM documents " +
+        "WHERE doc_id < 250 AND text IS NOT NULL) r ON l.fp = r.fp GROUP BY lang)"
     },
     "q_range_join" ->
       ("WITH iv AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_orderdate_month, " +

@@ -1407,6 +1407,55 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         s"WHERE EXISTS (SELECT 1 FROM (${fpSel(rightSrc, rq)}) r WHERE r._fp = l._fp))"))
   }
 
+  /** corpus_overlap_by_group(other, group_by, text_col, other_text_col):
+    * the per-group face of [[corpusOverlap]] — one row per left-side
+    * group (source/lang/domain) with `n_left` (distinct fingerprints in
+    * the group), `n_common` (of those, present anywhere in the
+    * reference corpus `other`), and `contained_fp` (ppm containment
+    * n_common/n_left — per-group CONTAINMENT, not Jaccard, is the
+    * report shape here: "how much of each domain is already in the
+    * reference"). Scale: left reduces to distinct (group, fp) pairs,
+    * right to distinct fp, ONE fingerprint equi-join marks presence,
+    * one group aggregate closes — text never shuffles. Null-keyed
+    * groups are kept (null is a real group in a census); groups are
+    * compared against the WHOLE reference.
+    */
+  def corpusOverlapByGroup(other: Chain, groupBy: Seq[String], textCol: String,
+                           otherTextCol: String = ""): Chain = {
+    require(groupBy.nonEmpty, "corpus_overlap_by_group needs group columns")
+    val rightCol = if (otherTextCol.isEmpty) textCol else otherTextCol
+    (groupBy :+ textCol).foreach(n => require(c.df.columns.contains(n),
+      s"corpus_overlap_by_group: left chain is missing column '$n'"))
+    require(other.df.columns.contains(rightCol),
+      s"corpus_overlap_by_group: right chain is missing column '$rightCol'")
+    val lf = c.df.where(col(textCol).isNotNull)
+      .select(groupBy.map(col) :+ fingerprint(col(textCol)).as("_fp"): _*)
+      .distinct()
+    val rf = other.df.where(col(rightCol).isNotNull)
+      .select(fingerprint(col(rightCol)).as("_fp")).distinct()
+      .withColumn("_hit", lit(1L))
+    val df2 = lf.join(rf, Seq("_fp"), "left")
+      .groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).as("n_left"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_common"))
+      .withColumn("contained_fp",
+        expr("CASE WHEN n_left > 0 THEN n_common * 1000000L DIV n_left ELSE 0L END"))
+    val gq = groupBy.map(Naming.quoteId)
+    val lq = Naming.quoteId(textCol)
+    val rq = Naming.quoteId(rightCol)
+    val rightSrc = if (other.steps.isEmpty) other.entryName else s"(${other.sql()})"
+    c.next("corpus_overlap_by_group", df2, Some(
+      s"SELECT ${gq.mkString(", ")}, n_left, n_common, " +
+        "CASE WHEN n_left > 0 THEN n_common * 1000000L DIV n_left ELSE 0L END AS contained_fp " +
+        s"FROM (SELECT ${gq.mkString(", ")}, COUNT(*) AS n_left, " +
+        "COALESCE(SUM(_hit), 0L) AS n_common FROM (" +
+        s"SELECT DISTINCT ${gq.mkString(", ")}, ${fingerprintSql(lq)} AS _fp " +
+        s"FROM {{source}} WHERE $lq IS NOT NULL) l LEFT JOIN (" +
+        s"SELECT DISTINCT ${fingerprintSql(rq)} AS _fp, 1L AS _hit " +
+        s"FROM $rightSrc WHERE $rq IS NOT NULL) r ON l._fp = r._fp " +
+        s"GROUP BY ${gq.mkString(", ")})"))
+  }
+
   /** interleave_by_weight(group_col, weights, order_by): deterministic
     * proportional interleave of sources into a training order — stride
     * scheduling: the i-th row of source g gets

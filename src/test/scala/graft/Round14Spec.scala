@@ -287,6 +287,28 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("corpusOverlapByGroup: per-group containment against the whole reference") {
+    val a = Seq((1L, "en", "the cat sat"), (2L, "en", "dog runs"),
+      (3L, "de", "der hund"), (4L, "de", "die katze"), (5L, "de", "der hund"))
+      .toDF("id", "lang", "text") // de row 5 duplicates 3 -> 2 distinct
+    val ref = Seq((9L, "THE CAT  SAT"), (10L, "der hund")).toDF("id", "text")
+    val got = Chain(spark, "ga", a)
+      .corpusOverlapByGroup(Chain(spark, "gr", ref), Seq("lang"), "text")
+      .df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // en: 2 fps, 1 contained -> 500000 ppm; de: 2 fps, 1 contained
+    assert(got == Map("en" -> (2L, 1L, 500000L), "de" -> (2L, 1L, 500000L)),
+      s"got $got")
+    a.createOrReplaceTempView("gov_a")
+    ref.createOrReplaceTempView("gov_r")
+    val c = Chain(spark, "gov_a", a)
+      .corpusOverlapByGroup(Chain(spark, "gov_r", ref), Seq("lang"), "text")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "ga", a).corpusOverlapByGroup(Chain(spark, "gr", ref), Nil, "text")
+    }
+  }
+
   test("rankEval: ap_fp replays the hand-computed TREC average precision") {
     val run = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (1L, 98L, 4),
       (2L, 97L, 1), (2L, 96L, 2)).toDF("query_id", "doc_id", "rank")
