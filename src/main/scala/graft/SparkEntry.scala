@@ -1060,6 +1060,16 @@ object SparkEntry {
         t(s, d, "embeddings").centroidByGroup(Seq("label"), "embedding")
           .df.select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
       }),
+      // per-dim mean/variance census — the q_group_centroid fold plus the
+      // quantized second moment; exploded for the oracle like the centroid
+      "q_embedding_moments" -> ((s, d) => {
+        import org.apache.spark.sql.functions.{arrays_zip, col, posexplode}
+        t(s, d, "embeddings").embeddingMoments(Seq("label"), "embedding")
+          .df.select(col("label"), col("n_vecs"),
+            posexplode(arrays_zip(col("mean"), col("variance"))).as(Seq("pos", "mv")))
+          .select(col("label"), col("n_vecs"), col("pos"),
+            col("mv.mean").as("mean_v"), col("mv.variance").as("var_v"))
+      }),
       "q_quantize_embedding" -> ((s, d) => {
         import org.apache.spark.sql.functions.{col, posexplode}
         val q = t(s, d, "embeddings").quantizeEmbeddings("embedding")
@@ -3416,6 +3426,17 @@ object SparkEntry {
           "FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val " +
           "FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0) " +
           "GROUP BY label, pos"),
+      // moments replayed: same 1e-12 quantization for x and x², same
+      // division chain, variance clamped at 0
+      "q_embedding_moments" ->
+        ("SELECT label, CAST(MAX(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs, " +
+          "CAST(pos AS INTEGER) AS pos, m AS mean_v, GREATEST(m2 - m * m, 0.0) AS var_v FROM (" +
+          "SELECT label, pos, COUNT(val) AS n, " +
+          "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS m, " +
+          "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS m2 " +
+          "FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val " +
+          "FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0) " +
+          "GROUP BY label, pos)"),
       "q_quantize_embedding" ->
         ("WITH s AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings), " +
           "sc AS (SELECT vec_id, CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS qscale FROM s) " +

@@ -513,6 +513,71 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
         s") GROUP BY $gs, _pos) GROUP BY $gs"))
   }
 
+  /** embedding_moments(group_by, vec_col): per-group per-DIMENSION mean
+    * and variance of an embedding column — `n_vecs`, `mean:
+    * array<double>`, `variance: array<double>` — the embedding-space
+    * drift census ([[centroidByGroup]]'s second-moment companion: a
+    * retrained encoder or a source shift moves per-dimension means and
+    * variances long before ANN recall visibly degrades; compare two
+    * snapshots' moment frames like any profile pair). Exactness is the
+    * centroid regime: elements and their squares quantize to 1e-12
+    * fixed-point longs via explicit IEEE double arithmetic, integer sums
+    * accumulate in DECIMAL(38,0) (order/partitioning-independent), one
+    * deterministic IEEE division chain per readout, and variance =
+    * E[x²] − mean² clamped at 0 (the clamp absorbs the ±2e-12
+    * quantization wobble on constant dimensions — deterministic, both
+    * engines compute the identical chain). NaN/±Inf vectors are excluded
+    * WHOLE; ragged inputs census each position over the vectors carrying
+    * it (`n_vecs` = the widest position's count). Scale: the
+    * centroidByGroup shape — posexplode fans d rows/vector but
+    * per-(group, pos) sums partial-aggregate map-side, so the shuffle
+    * carries ≤ #groups × d rows per mapper, never the corpus.
+    */
+  def embeddingMoments(groupBy: Seq[String], vecCol: String): Chain = {
+    require(groupBy.nonEmpty, "embedding_moments needs at least one group key")
+    require(c.df.columns.contains(vecCol),
+      s"embedding_moments: chain is missing column '$vecCol'")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(vecCol)
+    val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .map(x => coalesce(array_contains(v, lit(x)), lit(false)))
+      .reduce(_ || _)
+    val clean = c.df.where(v.isNotNull && !bad)
+    val gcols = groupBy.map(col)
+    val exploded = clean.select(gcols :+ posexplode(v).as(Seq("_pos", "_val")): _*)
+    val xd = col("_val").cast("double")
+    val xx = floor(xd * lit(1e12) + lit(0.5)).cast("long")
+    val xx2 = floor(xd * xd * lit(1e12) + lit(0.5)).cast("long")
+    val perDim = exploded.groupBy(groupBy.head, groupBy.tail :+ "_pos": _*)
+      .agg(count(col("_val")).as("_n"),
+        (sum(xx.cast(Dec)).cast("double") / count(col("_val")) / lit(1e12)).as("_m"),
+        (sum(xx2.cast(Dec)).cast("double") / count(col("_val")) / lit(1e12)).as("_m2"))
+      .withColumn("_var", greatest(col("_m2") - col("_m") * col("_m"), lit(0.0)))
+    val df2 = perDim.groupBy(groupBy.head, groupBy.tail: _*)
+      .agg(max(col("_n")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("_pos").as("p"), col("_m").as("v")))),
+          s => s.getField("v")).as("mean"),
+        transform(sort_array(collect_list(struct(col("_pos").as("p"), col("_var").as("v")))),
+          s => s.getField("v")).as("variance"))
+    val gs = groupBy.mkString(", ")
+    val vq = graft.core.Naming.quoteId(vecCol)
+    c.next("embedding_moments", df2, Some(
+      s"SELECT $gs, MAX(_n) AS n_vecs, " +
+        "transform(sort_array(collect_list(struct(_pos, _m))), s -> s._m) AS mean, " +
+        "transform(sort_array(collect_list(struct(_pos, _var))), s -> s._var) AS variance FROM (" +
+        s"SELECT $gs, _pos, COUNT(_val) AS _n, " +
+        "CAST(SUM(CAST(FLOOR(CAST(_val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(_val) / 1e12 AS _m, " +
+        "GREATEST(CAST(SUM(CAST(FLOOR(CAST(_val AS DOUBLE) * CAST(_val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(_val) / 1e12 - " +
+        "(CAST(SUM(CAST(FLOOR(CAST(_val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(_val) / 1e12) * " +
+        "(CAST(SUM(CAST(FLOOR(CAST(_val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(_val) / 1e12), 0.0) AS _var FROM (" +
+        s"SELECT * FROM {{source}} LATERAL VIEW posexplode($vq) _t AS _pos, _val " +
+        s"WHERE $vq IS NOT NULL AND " +
+        s"NOT coalesce(array_contains($vq, float('NaN')), false) AND " +
+        s"NOT coalesce(array_contains($vq, float('Infinity')), false) AND " +
+        s"NOT coalesce(array_contains($vq, float('-Infinity')), false)" +
+        s") GROUP BY $gs, _pos) GROUP BY $gs"))
+  }
+
   /** cluster_eval(cluster_col, vec_col, max_clusters): centroid-based
     * cluster-quality census — one row per cluster:
     *

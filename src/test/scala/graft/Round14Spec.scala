@@ -287,6 +287,30 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("embeddingMoments: hand-computed per-dim stats; NaN vectors excluded whole") {
+    val vs = Seq(
+      (1L, "a", Array(1.0f, 2.0f)),
+      (2L, "a", Array(3.0f, 2.0f)),
+      (3L, "a", Array(Float.NaN, 9.0f)), // one poisoned element drops the row
+      (4L, "b", Array(5.0f, 6.0f))).toDF("id", "g", "embedding")
+    val got = Chain(spark, "em", vs).embeddingMoments(Seq("g"), "embedding")
+      .df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3))).toMap
+    // a: dims (1,3) and (2,2) -> means (2, 2), vars (1, 0); b: single
+    // vector -> vars clamp to exactly 0
+    assert(got("a")._1 == 2L && got("b")._1 == 1L)
+    assert(got("a")._2 == Seq(2.0, 2.0) && got("a")._3 == Seq(1.0, 0.0),
+      s"a moments: ${got("a")}")
+    assert(got("b")._2 == Seq(5.0, 6.0) && got("b")._3 == Seq(0.0, 0.0))
+    // SQL face agrees
+    vs.createOrReplaceTempView("em_vs")
+    val c = Chain(spark, "em_vs", vs).embeddingMoments(Seq("g"), "embedding")
+    assert(rows(spark.sql(c.sql())) == rows(c.df))
+    intercept[IllegalArgumentException] {
+      Chain(spark, "em", vs).embeddingMoments(Nil, "embedding")
+    }
+  }
+
   test("corpusOverlapByGroup: per-group containment against the whole reference") {
     val a = Seq((1L, "en", "the cat sat"), (2L, "en", "dog runs"),
       (3L, "de", "der hund"), (4L, "de", "die katze"), (5L, "de", "der hund"))
