@@ -100,6 +100,34 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC string-id face: build, probe, and screen with string keys end-to-end") {
+    val model = latticeModel
+    val strFix = SparkEntry.embFixtureDf(spark)
+      .withColumn("vec_id", format_string("v-%03d", col("vec_id")))
+    val idx = Chain(spark, "spq", strFix)
+      .ivfPqIndex(model.df, "vec_id", "embedding", nlist = 4, trainSample = 24)
+    assert(idx.df.where("_id IS NOT NULL").count() == 24)
+    assert(idx.df.schema("_id").dataType ==
+      org.apache.spark.sql.types.StringType, "string ids pass through natively")
+    val res = Chain(spark, "spqq", strFix.where("vec_id < 'v-004'"))
+      .searchIvfPq(model.df, idx.df, "vec_id", "embedding", k = 5, nprobe = 2)
+      .df.collect().map(r => (r.getString(0), r.getInt(3)) -> r.getString(1)).toMap
+    (0 until 4).foreach { q =>
+      (1 to 5).foreach { rk =>
+        assert(res((f"v-$q%03d", rk)) == f"v-${q + 4 * rk}%03d",
+          s"query $q rank $rk")
+      }
+    }
+    // the ADC screen drops/keeps the same rows as the long-id fixture
+    val hist = Chain(spark, "spqh", strFix.where("vec_id < 'v-012'"))
+      .ivfPqIndex(model.df, "vec_id", "embedding", nlist = 4, trainSample = 24)
+    val surv = Chain(spark, "spqb", strFix.where("vec_id >= 'v-012'"))
+      .dedupAgainstIvfPqIndex(hist.df, model.df, "vec_id", "embedding",
+        maxDist = 1.0, nprobe = 4)
+      .df.select("vec_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(surv == Seq("v-012", "v-013", "v-014", "v-015", "v-023"), s"got $surv")
+  }
+
   test("searchIvfPq guards: schema, id family, parameter bounds") {
     val model = latticeModel
     val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
