@@ -465,6 +465,36 @@ class Round14Spec extends AnyFunSuite {
       s"no true cartesian in the IVFADC probe:\n$planStr")
   }
 
+  test("round-14 parameter paths: ungrouped packing, oversize k, equal-weight round-robin") {
+    // ungrouped token packing: one global fold
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g")).toDF("id", "text")
+    val packs = Chain(spark, "pp", docs)
+      .packSequencesByTokens("text", 4L, Seq("id"))
+      .df.collect().map(r => r.getLong(0) -> r.getAs[Long]("pack_id")).toMap
+    // bpeish counts 3,2,2; exclusive cum 0,3,5 -> packs 0,0,1
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // oversize k returns every candidate (all but self at full probe)
+    val model = latticeModel
+    val idx = lattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val res = Chain(spark, "ok14", SparkEntry.embFixtureDf(spark).where("vec_id = 0"))
+      .searchIvfPq(model.df, idx.df, "vec_id", "embedding", k = 1000, nprobe = 4).df
+    assert(res.count() == 23)
+    // equal weights degrade to strict round-robin
+    val rr = ((1 to 2).map(i => (i.toLong, "x")) ++ (3 to 4).map(i => (i.toLong, "y")))
+      .toDF("id", "g")
+    val order = Chain(spark, "rr14", rr)
+      .interleaveByWeight("g", Seq("x" -> 1L, "y" -> 1L), Seq("id"))
+      .df.collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 3L, 2L, 4L), s"got $order")
+    // multi-key mix sampling: the md5 key concatenates all key columns
+    val mixed = Chain(spark, "mk14",
+      (0 until 30).map(i => (i.toLong, s"s${i % 3}", "g", 10L))
+        .toDF("id", "src", "g", "tok"))
+      .mixUniMax("g", "tok", 100L, 2, keyCols = Seq("src", "id"))
+    assert(mixed.df.count() > 0 && mixed.df.count() < 30)
+  }
+
   test("round-14 ops complete on empty inputs") {
     val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "g", "text")
     assert(Chain(spark, "e1", emptyDocs)
