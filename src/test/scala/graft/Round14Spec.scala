@@ -465,6 +465,22 @@ class Round14Spec extends AnyFunSuite {
       s"no true cartesian in the IVFADC probe:\n$planStr")
   }
 
+  test("VIEWS render cascade executes for the round-14 multi-source and census faces") {
+    val docs = Seq(("en", 1L, "one two"), ("en", 2L, "three four five"),
+      ("de", 3L, "sechs")).toDF("lang", "doc_id", "text")
+    docs.createOrReplaceTempView("r14v_docs")
+    // mixUniMax references {{source}} twice (rows + census): the VIEWS
+    // cascade substitutes the SAME step alias for both — pin it executes
+    val mix = Chain(spark, "r14v_docs", docs)
+      .mixUniMax("lang", "doc_id", 100L, 2, Seq("doc_id"))
+    mix.sql("VIEWS", "r14v_mix_out").split(";\n").foreach(spark.sql)
+    assert(rows(spark.table("r14v_mix_out")) == rows(mix.df))
+    val alloc = Chain(spark, "r14v_docs", docs)
+      .uniMaxAllocation("lang", "doc_id", 100L, 2)
+    alloc.sql("VIEWS", "r14v_alloc_out").split(";\n").foreach(spark.sql)
+    assert(rows(spark.table("r14v_alloc_out")) == rows(alloc.df))
+  }
+
   test("round-14 parameter paths: ungrouped packing, oversize k, equal-weight round-robin") {
     // ungrouped token packing: one global fold
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g")).toDF("id", "text")
