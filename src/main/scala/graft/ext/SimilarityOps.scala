@@ -537,6 +537,9 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     require(groupBy.nonEmpty, "embedding_moments needs at least one group key")
     require(c.df.columns.contains(vecCol),
       s"embedding_moments: chain is missing column '$vecCol'")
+    Seq("n_vecs", "mean", "variance", "_pos", "_val").foreach(r =>
+      require(!groupBy.contains(r),
+        s"embedding_moments: group column '$r' collides with an internal/output name"))
     val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = col(vecCol)
     val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)

@@ -1423,6 +1423,9 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
   def corpusOverlapByGroup(other: Chain, groupBy: Seq[String], textCol: String,
                            otherTextCol: String = ""): Chain = {
     require(groupBy.nonEmpty, "corpus_overlap_by_group needs group columns")
+    Seq("_fp", "_hit", "n_left", "n_common", "contained_fp").foreach(r =>
+      require(!groupBy.contains(r),
+        s"corpus_overlap_by_group: group column '$r' collides with an internal/output name"))
     val rightCol = if (otherTextCol.isEmpty) textCol else otherTextCol
     (groupBy :+ textCol).foreach(n => require(c.df.columns.contains(n),
       s"corpus_overlap_by_group: left chain is missing column '$n'"))

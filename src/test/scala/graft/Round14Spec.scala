@@ -337,6 +337,10 @@ class Round14Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Chain(spark, "em", vs).embeddingMoments(Nil, "embedding")
     }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "em", vs.withColumnRenamed("g", "mean"))
+        .embeddingMoments(Seq("mean"), "embedding")
+    }
   }
 
   test("corpusOverlapByGroup: per-group containment against the whole reference") {
@@ -358,6 +362,10 @@ class Round14Spec extends AnyFunSuite {
     assert(rows(spark.sql(c.sql())) == rows(c.df))
     intercept[IllegalArgumentException] {
       Chain(spark, "ga", a).corpusOverlapByGroup(Chain(spark, "gr", ref), Nil, "text")
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "ga", a.withColumnRenamed("lang", "n_left"))
+        .corpusOverlapByGroup(Chain(spark, "gr", ref), Seq("n_left"), "text")
     }
   }
 
