@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed grouped exclusive prefix sums — the scale-safe replacement
+  * for `SUM(w) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)`
+  * when the partition key has few live values (or none): a window with an
+  * empty/low-domain PARTITION BY funnels the whole frame through one sort
+  * task per key, which is exactly the single-task bottleneck the engine's
+  * own ScaleLint flags as an error. This helper computes the identical
+  * prefix sums with Spark's range-partitioned sort plus per-partition
+  * offset reconstitution — the `trainTestSplit` zipWithIndex regime
+  * (see ops/WindowOps.scala), generalized from row counting to weighted
+  * grouped sums:
+  *
+  *   1. range-sort on (group, orderBy) and `localCheckpoint` once (a
+  *      declared materialization, so the offsets job and the final scan
+  *      read the same blocks instead of re-sorting per action);
+  *   2. one light job collects, per Spark partition, ONLY the boundary
+  *      group partial sums (first and last group of the partition — any
+  *      group interior to a partition cannot span a boundary, so the
+  *      collected state is <= 2 rows per partition no matter how many
+  *      groups or rows exist);
+  *   3. the driver folds those into a per-partition start offset (O(#parts)
+  *      work, broadcast back as a plain array);
+  *   4. a partition-local scan emits `offset + running local sum` — no
+  *      task ever sees more than its own partition's rows.
+  *
+  * Row order within a (group, orderBy)-tie is engine-chosen, exactly as it
+  * is for the window formulation; callers needing determinism pass a
+  * tie-free ordering (the same contract the SQL face has).
+  */
+private[graft] object PrefixScan {
+
+  /** Appends `outCol` = exclusive prefix sum of `weight` within each
+    * distinct `groupCols` tuple (empty = one global group), ordered by
+    * `orderBy`. Null weights contribute 0 (the `SUM OVER` convention);
+    * null group values form their own group (the PARTITION BY convention).
+    * Output rows arrive sorted by (groupCols, orderBy); column set is the
+    * input's plus `outCol`.
+    */
+  def exclusivePrefixSum(df: DataFrame, groupCols: Seq[Column],
+                         orderBy: Seq[Column], weight: Column,
+                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inCols = df.columns.toSeq
+    val gNames = groupCols.indices.map(i => s"_ps_g$i")
+    val wName = "_ps_w"
+    (gNames :+ wName).foreach(n => require(!inCols.contains(n),
+      s"prefix_scan: internal column '$n' already exists on the frame"))
+    var tagged = df
+    groupCols.zip(gNames).foreach { case (g, n) => tagged = tagged.withColumn(n, g) }
+    tagged = tagged.withColumn(wName, weight.cast("long"))
+    val sorted = tagged
+      .orderBy((gNames.map(col) ++ orderBy): _*)
+      .localCheckpoint()
+    val schema = sorted.schema
+    val gIdx = gNames.map(schema.fieldIndex).toArray
+    val wIdx = schema.fieldIndex(wName)
+    def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(i => r.get(i))
+    def wOf(r: Row): Long = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+
+    // job 2: boundary partials — per partition, the first group's partial
+    // sum and (if distinct) the last group's partial sum
+    val partials: Array[(Int, List[(Seq[Any], Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var firstKey: Seq[Any] = null
+        var firstSum = 0L
+        var curKey: Seq[Any] = null
+        var curSum = 0L
+        var seen = false
+        var firstClosed = false
+        it.foreach { row =>
+          val k = keyOf(row)
+          if (!seen) { seen = true; firstKey = k; curKey = k; curSum = wOf(row) }
+          else if (k == curKey) curSum += wOf(row)
+          else {
+            if (!firstClosed) { firstSum = curSum; firstClosed = true }
+            curKey = k; curSum = wOf(row)
+          }
+        }
+        val entries =
+          if (!seen) Nil
+          else if (!firstClosed) List((firstKey, curSum)) // one group spans the partition
+          else List((firstKey, firstSum), (curKey, curSum))
+        Iterator.single((pid, entries))
+      }.collect()
+
+    // step 3: driver fold — a group's start offset in partition p is the
+    // accumulated trailing-run sum of the SAME group across partitions
+    // < p; only the first group of a partition can continue a run
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = Array.fill(nParts)(0L)
+    var prevKey: Option[Seq[Any]] = None
+    var carry = 0L
+    partials.sortBy(_._1).foreach {
+      case (_, Nil) => // empty partition: run state passes through
+      case (pid, entries) =>
+        val (fk, fs) = entries.head
+        if (prevKey.contains(fk)) offsets(pid) = carry
+        val (lk, ls) = entries.last
+        val base = if (entries.size == 1 && prevKey.contains(lk)) carry else 0L
+        carry = base + ls
+        prevKey = Some(lk)
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+
+    // step 4: partition-local scan — offset + running local sum
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = offB.value(pid)
+      var cur: Seq[Any] = null
+      var started = false
+      it.map { row =>
+        val k = keyOf(row)
+        if (started && cur != k) running = 0L
+        started = true
+        cur = k
+        val before = running
+        running += wOf(row)
+        Row.fromSeq(row.toSeq :+ before)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .select((inCols :+ outCol).map(col): _*)
+  }
+}

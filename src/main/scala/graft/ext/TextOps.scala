@@ -625,23 +625,32 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * batch-assembly pass between chunking and the training loader. The
     * pack id is offset binning over the running token total in a
     * deterministic order: `pack_id = floor(cumulative_exclusive / budget)`
-    * — one window pass, engine-portable (exact SQL face), and at most one
+    * — engine-portable (exact `SUM OVER` SQL face), and at most one
     * straddling row per boundary (items are ≪ budget in practice; strict
     * first-fit greedy is inherently sequential and buys back only that
     * straddle). `partition_by` scopes packing (e.g. per language/source) so
-    * each group packs independently — one shuffle on the partition keys.
+    * each group packs independently.
+    *
+    * Scale shape: the DataFrame face computes the running total with
+    * [[graft.core.PrefixScan.exclusivePrefixSum]] — a range-partitioned
+    * sort plus broadcast per-partition offsets — NOT a window. The pack
+    * grouping key is typically a handful of languages/sources (or empty),
+    * so `SUM OVER (PARTITION BY lang ...)` would funnel an entire
+    * source's rows through ONE sort task at corpus scale; the SQL face
+    * keeps the window text because a rendering engine re-plans it for its
+    * own scale.
     */
   def packSequences(tokenCol: String, budget: Long,
                     orderBy: Seq[String], partitionBy: Seq[String] = Nil): Chain = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(orderBy.nonEmpty, "packSequences needs a deterministic order")
-    val w0 = if (partitionBy.isEmpty)
-      org.apache.spark.sql.expressions.Window.partitionBy()
-    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
-    val w = w0.orderBy(orderBy.map(col): _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cumBefore = coalesce(sum(col(tokenCol)).over(w), lit(0L))
-    val df2 = c.df.withColumn("pack_id", floor(cumBefore / budget))
+    require(!c.df.columns.contains("pack_id"),
+      "pack_sequences: column 'pack_id' already exists on the chain")
+    val pref = graft.core.PrefixScan.exclusivePrefixSum(
+      c.df, partitionBy.map(col), orderBy.map(col), col(tokenCol), "_ps_cum")
+    val cumBefore = col("_ps_cum")
+    val df2 = pref.withColumn("pack_id", floor(cumBefore / budget))
+      .select((c.df.columns.toSeq :+ "pack_id").map(col): _*)
     val overSql = (if (partitionBy.isEmpty) ""
       else s"PARTITION BY ${partitionBy.mkString(", ")} ") +
       s"ORDER BY ${orderBy.mkString(", ")} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
@@ -658,7 +667,9 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * subword expansion is far from 1 token ≈ 5 chars). Emits the per-row
     * count as `pack_tokens` plus the same offset-binned `pack_id`; the
     * counting is one codegen regexp pass fused into the scan, the binning
-    * the same single window pass — no extra shuffle over the char face.
+    * the same [[graft.core.PrefixScan]] pass as [[packSequences]] (range
+    * sort + broadcast offsets, never a low-domain window) — no extra
+    * shuffle over the char face.
     */
   def packSequencesByTokens(textCol: String, budget: Long,
                             orderBy: Seq[String],
@@ -667,15 +678,15 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     require(orderBy.nonEmpty, "packSequencesByTokens needs a deterministic order")
     require(!c.df.columns.contains("pack_tokens"),
       "pack_sequences_tokens: column 'pack_tokens' already exists on the chain")
-    val w0 = if (partitionBy.isEmpty)
-      org.apache.spark.sql.expressions.Window.partitionBy()
-    else org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
-    val w = w0.orderBy(orderBy.map(col): _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    require(!c.df.columns.contains("pack_id"),
+      "pack_sequences_tokens: column 'pack_id' already exists on the chain")
     val df1 = c.df.withColumn("pack_tokens",
       bpeishCount(col(textCol)).cast("bigint"))
-    val cumBefore = coalesce(sum(col("pack_tokens")).over(w), lit(0L))
-    val df2 = df1.withColumn("pack_id", floor(cumBefore / budget))
+    val pref = graft.core.PrefixScan.exclusivePrefixSum(
+      df1, partitionBy.map(col), orderBy.map(col), col("pack_tokens"), "_ps_cum")
+    val cumBefore = col("_ps_cum")
+    val df2 = pref.withColumn("pack_id", floor(cumBefore / budget))
+      .select((df1.columns.toSeq :+ "pack_id").map(col): _*)
     val overSql = (if (partitionBy.isEmpty) ""
       else s"PARTITION BY ${partitionBy.mkString(", ")} ") +
       s"ORDER BY ${orderBy.mkString(", ")} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
@@ -1473,11 +1484,15 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     *
     * All-integer key arithmetic: the order is a pure function of
     * (group, within-group order), identical across engines and
-    * partitionings. One shuffle on the group for the within-group
-    * row_number; the global order is the consumer's range sort on the
-    * key (the [[epochShuffle]] regime — no single-partition pass here:
-    * the emitted key is per-row computable, ties break by group then
-    * order columns).
+    * partitionings. The within-group position comes from
+    * [[graft.core.PrefixScan.exclusivePrefixSum]] (range sort +
+    * broadcast partition offsets) — with a handful of listed sources, a
+    * `ROW_NUMBER OVER (PARTITION BY source)` window would put each
+    * ENTIRE source through one sort task at corpus scale (the SQL face
+    * keeps that window text for rendering engines to re-plan). The
+    * global order is the consumer's range sort on the key (the
+    * [[epochShuffle]] regime: the emitted key is per-row computable,
+    * ties break by group then order columns).
     */
   def interleaveByWeight(groupCol: String, weights: Seq[(String, Long)],
                          orderBy: Seq[String]): Chain = {
@@ -1487,22 +1502,24 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"weight for '$v' must be in [1, 1e6], got $w") }
     require(weights.map(_._1).distinct.size == weights.size,
       s"interleave_by_weight groups repeat: ${weights.map(_._1)}")
-    require(!c.df.columns.contains("interleave_key"),
-      "interleave_by_weight: column 'interleave_key' already exists on the chain")
-    val w = Window.partitionBy(col(groupCol).cast("string"))
-      .orderBy(orderBy.map(col): _*)
+    Seq("interleave_key", "_il_w", "_il_pos").foreach(n =>
+      require(!c.df.columns.contains(n),
+        s"interleave_by_weight: column '$n' already exists on the chain"))
     val wExpr = weights.foldRight(lit(null).cast("long")) { case ((v, wt), acc) =>
       when(col(groupCol).cast("string") === v, lit(wt)).otherwise(acc)
     }
     val key = expr("CAST(_il_pos AS BIGINT) * 1000000L DIV _il_w")
     val ord = col("interleave_key").asc +: col(groupCol).cast("string").asc +:
       orderBy.map(col(_).asc)
-    val df2 = c.df
+    val df1 = c.df
       .withColumn("_il_w", wExpr)
       .where(col("_il_w").isNotNull)
-      .withColumn("_il_pos", row_number().over(w))
+    val pref = graft.core.PrefixScan.exclusivePrefixSum(
+      df1, Seq(col(groupCol).cast("string")), orderBy.map(col), lit(1L), "_il_pos0")
+    val df2 = pref
+      .withColumn("_il_pos", col("_il_pos0") + lit(1L))
       .withColumn("interleave_key", key)
-      .drop("_il_w", "_il_pos")
+      .select((c.df.columns.toSeq :+ "interleave_key").map(col): _*)
       .orderBy(ord: _*)
     val gq = Naming.quoteId(groupCol)
     val caseSql = weights.map { case (v, wt) =>

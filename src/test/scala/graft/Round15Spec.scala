@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+import graft.ops._
+import graft.ext._
+import TestSpark._
+
+/** Gates for the round-15 batch: the distributed prefix-scan regime under
+  * the loader-prep family (no more single-task windows), conditional
+  * IVFADC probe broadcast, and the lint rule that catches the retired
+  * shape.
+  */
+class Round15Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  // ---- PrefixScan: the zipWithIndex-offset regime generalized ----------
+
+  test("PrefixScan matches the window formulation across partition boundaries") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // tiny fixture: AQE would coalesce the range sort to ONE partition and
+    // the boundary-offset logic would never run; at real scale partitions
+    // stay byte-sized and the coalesce is welcome
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // skewed groups + a null group + null weights, shuffled input order
+      val data = (0 until 200).map { i =>
+        val g = if (i % 7 == 0) null
+        else if (i < 120) "a" else if (i < 180) "b" else "c"
+        val w: java.lang.Long =
+          if (i % 11 == 0) null else java.lang.Long.valueOf((i % 5) + 1L)
+        (i.toLong, g, w)
+      }
+      val df = data.toDF("id", "g", "w").repartition(7)
+      val got = graft.core.PrefixScan.exclusivePrefixSum(
+        df, Seq(col("g")), Seq(col("id")), col("w"), "cum")
+      // the sorted relation spans many partitions, so group runs MUST
+      // cross boundaries — the offset reconstitution is live, not trivial
+      assert(got.rdd.getNumPartitions > 4,
+        s"expected a multi-partition sort, got ${got.rdd.getNumPartitions}")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df.withColumn("cum", coalesce(sum(col("w")).over(win), lit(0L)))
+      assert(rows(got) == rows(want))
+      // ungrouped face: one global running sum, same equivalence
+      val got0 = graft.core.PrefixScan.exclusivePrefixSum(
+        df, Nil, Seq(col("id")), col("w"), "cum")
+      val win0 = org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want0 = df.withColumn("cum", coalesce(sum(col("w")).over(win0), lit(0L)))
+      assert(rows(got0) == rows(want0))
+      // single-row groups interior to partitions get offset 0
+      val tiny = Seq((1L, "x", 5L), (2L, "y", 7L)).toDF("id", "g", "w")
+      val gotT = graft.core.PrefixScan.exclusivePrefixSum(
+        tiny, Seq(col("g")), Seq(col("id")), col("w"), "cum")
+      assert(gotT.collect().map(_.getLong(3)).toSet == Set(0L))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("PrefixScan completes on empty frames and rejects internal-name collisions") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "w")
+    assert(graft.core.PrefixScan.exclusivePrefixSum(
+      empty, Seq(col("g")), Seq(col("id")), col("w"), "cum").count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.core.PrefixScan.exclusivePrefixSum(
+        Seq((1L, 2L)).toDF("id", "_ps_w"), Nil, Seq(col("id")), col("id"), "cum")
+    }
+  }
+
+  // ---- loader-prep family: the single-task windows are gone -------------
+
+  private def windowsIn(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes every stage
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.window.WindowExec => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  test("pack/interleave plans carry NO WindowExec (grouped, ungrouped, token face) and lint clean") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "zh", s"doc text $i body", (i % 9) + 1L))
+      .toDF("doc_id", "lang", "text", "n_tok")
+    val faces = Seq(
+      Chain(spark, "d", docs).packSequences("n_tok", 10L, Seq("doc_id"), Seq("lang")).df,
+      Chain(spark, "d", docs).packSequences("n_tok", 10L, Seq("doc_id")).df,
+      Chain(spark, "d", docs).packSequencesByTokens("text", 10L, Seq("doc_id")).df,
+      Chain(spark, "d", docs).interleaveByWeight("lang",
+        Seq("en" -> 3L, "zh" -> 1L), Seq("doc_id")).df)
+    faces.foreach { f =>
+      assert(windowsIn(f) == 0, "a WindowExec survived the prefix-scan rewrite")
+      graft.core.ScaleLint.assertSafe(f)
+    }
+  }
+
+  test("pack ops guard the emitted pack_id name; interleave guards its internals") {
+    val docs = Seq((1L, "a", 1L, "t")).toDF("id", "pack_id", "n", "text")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g1", docs).packSequences("n", 10L, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g2", docs).packSequencesByTokens("text", 10L, Seq("id"))
+    }
+    val il = Seq((1L, "a", 1L)).toDF("id", "g", "_il_pos")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "g3", il).interleaveByWeight("g", Seq("a" -> 1L), Seq("id"))
+    }
+  }
+}
