@@ -309,7 +309,8 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     // before ranking (the exact cosine is deterministic, so distinct on
     // the scored triple is exact)
     val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
-    val scoredRaw = assigned.join(broadcast(probes), Seq("_cid"))
+    val scoredRaw = assigned
+      .join(SimilarityOps.maybeBroadcastProbes(queries, probes, nprobe), Seq("_cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
     val scored = if (assign == 1) scoredRaw else scoredRaw.distinct()
@@ -430,7 +431,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     // the _n guard also covers indexes built before the build-side
     // exclusion existed
     val scored = index.where(col("_id").isNotNull && SimilarityOps.usableVec(col("_v"), col("_n")))
-      .join(broadcast(probes), Seq("_cid"))
+      .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
       .where(col("query_id") =!= col("_id"))
       .select(col("query_id"), col("_id").as("neighbor_id"), cos.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -959,8 +960,10 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * the centroid marker rows (broadcast, nlist rows), visits its
     * `nprobe` best cells, and ADC-scores ONLY those cells' codes with the
     * [[graft.functions.PqAdcDist]] kernel — per-batch cost is one index
-    * scan restricted by the broadcast probe join plus one shuffle of
-    * scored candidates on query_id, and the candidate bytes moved are
+    * scan restricted by the probe join (broadcast when the batch is
+    * small — [[SimilarityOps.maybeBroadcastProbes]]; shuffled `_cid`
+    * equi-join for corpus-sized batches) plus one shuffle of scored
+    * candidates on query_id, and the candidate bytes moved are
     * m per row, not the decoded vectors. This is the scale regime
     * [[searchPq]]'s full-scan ADC documents as its next rung: at 100 TB
     * the probe join prunes (nlist - nprobe)/nlist of the corpus before
@@ -1003,7 +1006,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .where(col("_pr") <= nprobe)
       .select(col("query_id"), col("_vq"), col("_cid"))
     val scoredRaw = index.where(col("_id").isNotNull && col("_pc").isNotNull)
-      .join(broadcast(probes), Seq("_cid"))
+      .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
       .where(col("query_id") =!= col("_id"))
       .select(col("query_id"), col("_id").as("neighbor_id"),
         graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters).as("adc_dist"))
@@ -1215,7 +1218,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .select(col("_qid"), col("_vq"), col("_nq"), col("_cid"))
     val cos = Exact.dot(col("_vq"), col("_v")) / col("_nq") / col("_n")
     val dropIds = index.where(col("_id").isNotNull && SimilarityOps.usableVec(col("_v"), col("_n")))
-      .join(broadcast(probes), Seq("_cid"))
+      .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
       .where(cos >= threshold)
       .select(col("_qid")).distinct()
     val survivors = c.df.join(dropIds,
@@ -1264,7 +1267,7 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .where(col("_pr") <= nprobe)
       .select(col("_qid"), col("_vq"), col("_cid"))
     val dropIds = index.where(col("_id").isNotNull && col("_pc").isNotNull)
-      .join(broadcast(probes), Seq("_cid"))
+      .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
       .where(graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters) <= maxDist)
       .select(col("_qid")).distinct()
     val survivors = c.df.join(dropIds,
@@ -1379,6 +1382,34 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
 }
 
 object SimilarityOps {
+  /** Broadcast-hint the IVF probe frame only when the BATCH side's
+    * plan-statistics size (× nprobe replication) says it fits: probe rows
+    * carry the full query vector replicated `nprobe` times, so an
+    * unconditional `broadcast(probes)` — right for interactive query
+    * batches, where the hint guarantees the index scan is pruned before
+    * any shuffle — would force a 10M-row ingest-screen batch past AQE's
+    * judgment and OOM the driver. The ceiling is 8× the session's
+    * `autoBroadcastJoinThreshold` (the probe join prunes
+    * (nlist−nprobe)/nlist of the index scan, worth more memory than the
+    * planner's generic default; 8 × 10 MB default still fits any executor).
+    * Above it (or with broadcast disabled, threshold ≤ 0) the hint is
+    * omitted and the `_cid` equi-join shuffles — AQE still picks a
+    * broadcast at runtime if the materialized probe stage turns out
+    * small. Estimation is plan statistics only (no extra job), and
+    * over-estimates (the batch frame's full width vs the probe
+    * projection; RDD-backed lineage — localCheckpoint, createDataFrame —
+    * reports the conservative `defaultSizeInBytes` maximum and so never
+    * hints) — erring toward the shuffled plan, never toward an
+    * oversized broadcast.
+    */
+  private[ext] def maybeBroadcastProbes(batch: DataFrame, probes: DataFrame,
+                                        nprobe: Int): DataFrame = {
+    val thresh = org.apache.spark.sql.GraftBridge
+      .autoBroadcastThreshold(probes.sparkSession)
+    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
+    if (thresh > 0 && est <= BigInt(thresh) * 8) broadcast(probes) else probes
+  }
+
   /** A usable vector for cosine ranking: positive finite norm AND no NaN
     * component. The guard every cosine path filters on. A zero-norm
     * vector yields a NaN cosine (0/0) — and NaN compares GREATEST in

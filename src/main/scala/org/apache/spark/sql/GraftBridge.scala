@@ -12,6 +12,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes (≤ 0 =
+    * broadcast disabled) — `sessionState` is `private[sql]`; size-gated
+    * broadcast hints need the same number the planner uses.
+    */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
   /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
     * `private[sql]`; the public `get` blocks forever if the observed
     * action never fires its listener — callers that piggyback a metric on

@@ -113,6 +113,70 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // ---- IVFADC probe joins: size-gated broadcast ------------------------
+
+  // the probe join is the only _cid-conditioned equi-join in these plans;
+  // the bounded centroid broadcast arrives via a condition-free crossJoin
+  // and must not satisfy this detector
+  private def probeHinted(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "_cid")) =>
+        Seq(j.hint.leftHint, j.hint.rightHint).flatten
+          .exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    }.exists(identity)
+
+  test("IVF probe joins broadcast small batches, fall back to the shuffled _cid equi-join on large ones") {
+    // batches must be LocalRelations: plan statistics are exact there,
+    // while RDD-backed frames report the conservative maximum and are
+    // never force-broadcast (pinned below)
+    val local = Chain(spark, "pq15", SparkEntry.embFixtureDf(spark)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toSeq)).toSeq
+      .toDF("vec_id", "embedding"))
+    val model = local.pqFit("vec_id", "embedding", m = 2, ks = 4,
+      trainSample = 24, iters = 10)
+    val idx = local.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val queries = Chain(spark, "q15", local.df.where("vec_id < 4"))
+    val lattice = local
+    def search() = queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 4).df
+    def screen() = lattice.dedupAgainstIvfPqIndex(idx.df, model.df,
+      "vec_id", "embedding", maxDist = 0.05, nprobe = 2).df
+    // default threshold (10 MB): the tiny batch is force-broadcast —
+    // the index scan is pruned before any shuffle
+    val hintedSearch = search()
+    val hintedScreen = screen()
+    assert(probeHinted(hintedSearch), "small batch should carry the broadcast hint")
+    assert(probeHinted(hintedScreen), "small screen batch should carry the broadcast hint")
+    val wantSearch = rows(hintedSearch)
+    val wantScreen = rows(hintedScreen)
+    // a batch whose estimated probe size exceeds 8x the engine threshold
+    // must NOT be force-broadcast (a 10M-row ingest screen would OOM);
+    // results are strategy-independent
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val shuffledSearch = search()
+      val shuffledScreen = screen()
+      assert(!probeHinted(shuffledSearch), "oversized batch must not be force-broadcast")
+      assert(!probeHinted(shuffledScreen), "oversized screen must not be force-broadcast")
+      assert(rows(shuffledSearch) == wantSearch, "results must not depend on the join strategy")
+      assert(rows(shuffledScreen) == wantScreen)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // RDD-backed lineage (localCheckpoint/createDataFrame) reports the
+    // conservative defaultSizeInBytes maximum — such batches are never
+    // force-broadcast either; AQE recovers a broadcast at runtime
+    val rddQueries = Chain(spark, "q15r",
+      SparkEntry.embFixtureDf(spark).where("vec_id < 4"))
+    val s2 = rddQueries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 4).df
+    assert(!probeHinted(s2), "unknown-stats batch must not be force-broadcast")
+    assert(rows(s2) == wantSearch)
+  }
+
   test("pack ops guard the emitted pack_id name; interleave guards its internals") {
     val docs = Seq((1L, "a", 1L, "t")).toDF("id", "pack_id", "n", "text")
     intercept[IllegalArgumentException] {
