@@ -276,9 +276,13 @@ object Bench {
           "vec_id", "embedding", k = 10).df)
         val pqIdx = emb.ivfPqIndex(pqModel.df, "vec_id", "embedding", nlist = 16)
         val qChain = Chain(spark, "bench_pq_queries", queries)
+        // an empty full-scan reference means searchPq itself regressed —
+        // fail loudly instead of letting every IVFADC floor pass vacuously
+        if (adcFull.isEmpty) throw new IllegalStateException(
+          "bench: full-scan ADC reference set is empty — searchPq returned " +
+            "no rows, so the IVFADC recall floors would be meaningless")
         def recallVsAdc(approx: Set[(Long, Long)]): Double =
-          if (adcFull.isEmpty) 1.0
-          else approx.intersect(adcFull).size.toDouble / adcFull.size
+          approx.intersect(adcFull).size.toDouble / adcFull.size
         val ivfadcNp4 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
           pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 4).df))
         val ivfadcNp8 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,

@@ -533,6 +533,15 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * centroidByGroup shape — posexplode fans d rows/vector but
     * per-(group, pos) sums partial-aggregate map-side, so the shuffle
     * carries ≤ #groups × d rows per mapper, never the corpus.
+    *
+    * Magnitude bound: the per-row quantization `floor(x²·1e12 + 0.5)`
+    * goes through a LONG on the Spark face, which saturates at
+    * Long.MaxValue once |x| ≳ 3e3 (x²·1e12 > 9.2e18), while DuckDB
+    * casts FLOOR's double straight to DECIMAL(38,0) — above that the
+    * two faces diverge. Coordinates that large are outside the op's
+    * domain anyway: 1e-12 fixed-point is meaningless at 1e6-scale
+    * squares, and real embedding coordinates are O(1). Normalize (or
+    * [[quantizeEmbeddings]]) first if a pathological source emits them.
     */
   def embeddingMoments(groupBy: Seq[String], vecCol: String): Chain = {
     require(groupBy.nonEmpty, "embedding_moments needs at least one group key")

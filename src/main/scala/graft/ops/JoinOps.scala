@@ -466,6 +466,14 @@ final class JoinOps(private val c: Chain) extends AnyVal {
       s"direction must be backward|forward|nearest, got $direction")
     tolerance.foreach(t => require(t.trim.nonEmpty,
       "asof_join: tolerance must be a non-empty SQL expression"))
+    // the union-window plan introduces internal columns on the left
+    // frame; a pre-existing name would be silently shadowed on the
+    // DataFrame face while the SQL face emits a duplicate column (the
+    // round-14 reserved-name guard convention)
+    Seq("_t", "_src", "_rv", "_rvb", "_rvf", "_cand", "_chosen").foreach(n =>
+      require(!c.df.columns.contains(n),
+        s"asof_join: column '$n' is reserved by the union-window plan " +
+          "and already exists on the chain"))
     // nearest and any tolerance need the matched right TIME carried with
     // the values — the generalized path; the plain directions keep their
     // original (lighter) plan untouched

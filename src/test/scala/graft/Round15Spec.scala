@@ -190,4 +190,17 @@ class Round15Spec extends AnyFunSuite {
       Chain(spark, "g3", il).interleaveByWeight("g", Seq("a" -> 1L), Seq("id"))
     }
   }
+
+  test("asof_join rejects frames already carrying its union-window internals") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "_rvb")
+    val r = Seq((1L, 9L, 2.5)).toDF("k", "rt", "px")
+    intercept[IllegalArgumentException] {
+      Chain(spark, "al", l).asofJoin(Chain(spark, "ar", r), Seq("k"), "t", "rt",
+        direction = "nearest")
+    }
+    intercept[IllegalArgumentException] {
+      Chain(spark, "al2", Seq((1L, 10L, "x")).toDF("k", "t", "_src"))
+        .asofJoin(Chain(spark, "ar2", r), Seq("k"), "t", "rt")
+    }
+  }
 }
