@@ -176,7 +176,8 @@ object ScaleLint {
             "value(s)): the whole frame funnels through at most that many sort " +
             "tasks — correct, but a one-task-per-key bottleneck at corpus scale; " +
             "prefer the mergeable sketch twin (quantileProfileSketch / " +
-            "trimmedMeanSketch) or partition by a data key")
+            "trimmedMeanSketch), partition by a data key, or compute " +
+            "positions/running sums via graft.core.PrefixScan")
       }
     }
     plan.collect {
@@ -334,9 +335,10 @@ object ScaleLint {
     */
   private def literalDomain(e0: org.apache.spark.sql.catalyst.expressions.Expression,
                             plan0: SparkPlan): Option[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-      CreateArray, CreateNamedStruct, Explode, Expression, GetStructField, Literal}
-    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference,
+      CaseWhen, Cast, CreateArray, CreateNamedStruct, EqualTo, Explode, Expression,
+      GetStructField, In, IsNotNull, Literal}
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, ProjectExec}
     // all array elements are structs whose field `ord` is a literal
     def structField(elems: Seq[Expression], ord: Int, n: Int): Option[Long] =
       if (elems.forall {
@@ -346,11 +348,59 @@ object ScaleLint {
     def go(e: Expression, p: SparkPlan, ord: Option[Int]): Option[Long] = e match {
       case _: Literal => Some(1L)
       case al: Alias => go(al.child, p, ord)
+      case ct: Cast => go(ct.child, p, ord) // a cast never widens the domain
       case gs: GetStructField if ord.isEmpty => go(gs.child, p, Some(gs.ordinal))
       case cns: CreateNamedStruct if ord.isDefined =>
         cns.valExprs.lift(ord.get).flatMap(v => go(v, p, None))
       case a: AttributeReference => defIn(a, p, ord)
       case _ => None
+    }
+    // a filter can bound an attribute's LIVE domain even when the values
+    // are data-typed: `WHERE _w IS NOT NULL` over `_w = CASE WHEN key =
+    // lit1 THEN ... WHEN key = lit2 THEN ... ELSE NULL END` (the weight-
+    // list shape of a drop-unlisted-groups op) proves key takes at most
+    // #branches values downstream — each surviving row satisfied one of
+    // the literal equalities. Same for IN (literals) / = literal.
+    def refsOnly(e: Expression, a: AttributeReference): Boolean =
+      e.references.nonEmpty && e.references.forall(_.exprId == a.exprId)
+    def filterDomain(a: AttributeReference, cond: Expression): Option[Long] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // a CaseWhen whose branch predicates are all literal equalities on
+      // `a` and whose else is a null/false literal (or absent) passes a
+      // row only when one of those equalities held — the shape both the
+      // raw `IS NOT NULL` form and its optimizer rewrite (boolean CASE
+      // with ELSE false, the BooleanSimplification of isnotnull-over-
+      // case) take
+      def caseBound(cw: CaseWhen): Option[Long] =
+        if (cw.elseValue.forall {
+            case l: Literal => l.value == null || l.value == false
+            case _ => false
+          } && cw.branches.nonEmpty && cw.branches.forall {
+            case (EqualTo(x, _: Literal), _) => refsOnly(x, a)
+            case (EqualTo(_: Literal, x), _) => refsOnly(x, a)
+            case _ => false
+          }) Some(cw.branches.size.toLong)
+        else None
+      def orBound(e: Expression): Option[Long] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+          for { lb <- orBound(l); rb <- orBound(r) } yield lb + rb
+        case EqualTo(x, _: Literal) if refsOnly(x, a) => Some(1L)
+        case EqualTo(_: Literal, x) if refsOnly(x, a) => Some(1L)
+        case _ => None
+      }
+      conjuncts(cond).flatMap {
+        case IsNotNull(cw: CaseWhen) => caseBound(cw)
+        case cw: CaseWhen => caseBound(cw)
+        case In(x, vals) if vals.nonEmpty && vals.forall(_.isInstanceOf[Literal]) &&
+          refsOnly(x, a) => Some(vals.size.toLong)
+        case o: org.apache.spark.sql.catalyst.expressions.Or => orBound(o)
+        case EqualTo(x, _: Literal) if refsOnly(x, a) => Some(1L)
+        case EqualTo(_: Literal, x) if refsOnly(x, a) => Some(1L)
+        case _ => None
+      }.minOption
     }
     def defIn(a: AttributeReference, p: SparkPlan, ord: Option[Int]): Option[Long] = p match {
       case pr: ProjectExec =>
@@ -360,6 +410,8 @@ object ScaleLint {
           case Some(defExpr) => go(defExpr, pr.child, ord)
           case None => descend(a, pr, ord)
         }
+      case f: FilterExec =>
+        filterDomain(a, f.condition).orElse(descend(a, f, ord))
       case g: GenerateExec if g.generatorOutput.exists(_.exprId == a.exprId) =>
         val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
         g.generator match {

@@ -191,6 +191,42 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("ScaleLint proves a window key's live domain through a literal-CASE filter") {
+    // the retired (pre-round-15) interleaveByWeight shape: weights as a
+    // literal CASE, unlisted groups dropped via IS NOT NULL, then a
+    // row_number window partitioned by the DATA-typed group key — the
+    // live domain is the weight list, and each window partition is an
+    // entire source
+    // parquet-backed (a LocalRelation fixture would be constant-folded,
+    // filter and all); lint BEFORE any action — the lint reads the
+    // pre-stage inputPlan, which query-stage wrapping hides after execute
+    val docs = table("documents").df
+    val retired = docs
+      .withColumn("_w", when(col("lang").cast("string") === "en", lit(3L))
+        .when(col("lang").cast("string") === "zh", lit(1L))
+        .otherwise(lit(null).cast("long")))
+      .where(col("_w").isNotNull)
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang").cast("string")).orderBy(col("doc_id"))))
+    val fs = graft.core.ScaleLint.lint(retired)
+    assert(fs.exists(f => f.rule == "low-domain-window-key" &&
+      f.detail.contains("domain <= 2")),
+      s"lint must fire on the literal-CASE-filtered window key: $fs")
+    // the shipped op (PrefixScan regime) stays quiet — no window at all
+    val live = table("documents")
+      .interleaveByWeight("lang", Seq("en" -> 3L, "zh" -> 1L), Seq("doc_id")).df
+    assert(!graft.core.ScaleLint.lint(live).exists(_.rule == "low-domain-window-key"))
+    // a filter on a DATA comparison proves nothing — no false positive
+    val dataFiltered = docs
+      .where(col("lang") =!= col("source"))
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(!graft.core.ScaleLint.lint(dataFiltered)
+      .exists(_.rule == "low-domain-window-key"))
+  }
+
   test("asof_join rejects frames already carrying its union-window internals") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "_rvb")
     val r = Seq((1L, 9L, 2.5)).toDF("k", "rt", "px")
