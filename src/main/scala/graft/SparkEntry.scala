@@ -1070,6 +1070,16 @@ object SparkEntry {
           .select(col("label"), col("n_vecs"), col("pos"),
             col("mv.mean").as("mean_v"), col("mv.variance").as("var_v"))
       }),
+      // moment-census drift between two snapshots (even/odd vec_id halves
+      // stand in for before/after): per-(label, dim) mean gap in 1e-9
+      // fixed-point and variance ratio in ppm, null-safe label join
+      "q_embedding_drift" -> ((s, d) => {
+        val left = t(s, d, "embeddings").filterRows(Seq("vec_id % 2 = 0"))
+          .embeddingMoments(Seq("label"), "embedding")
+        val right = t(s, d, "embeddings").filterRows(Seq("vec_id % 2 = 1"))
+          .embeddingMoments(Seq("label"), "embedding")
+        left.embeddingDrift(right, Seq("label")).df
+      }),
       "q_quantize_embedding" -> ((s, d) => {
         import org.apache.spark.sql.functions.{col, posexplode}
         val q = t(s, d, "embeddings").quantizeEmbeddings("embedding")
@@ -3437,6 +3447,28 @@ object SparkEntry {
           "FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val " +
           "FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0) " +
           "GROUP BY label, pos)"),
+      // drift = two nested copies of the moments chain (even/odd halves)
+      // joined null-safe on (label, pos); the fixed-point gap/ratio ride
+      // the identical IEEE chains both engines already compute for
+      // q_embedding_moments
+      "q_embedding_drift" -> {
+        def momHalf(parity: Int): String =
+          "SELECT label, MAX(n) OVER (PARTITION BY label) AS n_vecs, pos, m, " +
+            "GREATEST(m2 - m * m, 0.0) AS var FROM (" +
+            "SELECT label, pos, COUNT(val) AS n, " +
+            "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS m, " +
+            "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(val) / 1e12 AS m2 " +
+            "FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val " +
+            s"FROM embeddings WHERE vec_id % 2 = $parity AND embedding IS NOT NULL " +
+            "AND len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0) " +
+            "GROUP BY label, pos)"
+        s"WITH moml AS (${momHalf(0)}), momr AS (${momHalf(1)}) " +
+          "SELECT l.label, CAST(l.pos AS INTEGER) AS pos, " +
+          "CAST(l.n_vecs AS BIGINT) AS n_left, CAST(r.n_vecs AS BIGINT) AS n_right, " +
+          "CAST(FLOOR((l.m - r.m) * 1e9 + 0.5) AS BIGINT) AS mean_gap_fp, " +
+          "CASE WHEN r.var > 0 THEN CAST(FLOOR(l.var / r.var * 1e6 + 0.5) AS BIGINT) END AS var_ratio_fp " +
+          "FROM moml l JOIN momr r ON l.label IS NOT DISTINCT FROM r.label AND l.pos = r.pos"
+      },
       "q_quantize_embedding" ->
         ("WITH s AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings), " +
           "sc AS (SELECT vec_id, CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS qscale FROM s) " +

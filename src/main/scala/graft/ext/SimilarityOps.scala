@@ -591,6 +591,78 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
         s") GROUP BY $gs, _pos) GROUP BY $gs"))
   }
 
+  /** embedding_drift(other, group_by): compare two [[embeddingMoments]]
+    * snapshots — per (group, dimension):
+    *
+    *   n_left / n_right   each snapshot's vector count
+    *   mean_gap_fp        floor((mean_l − mean_r)·1e9 + 0.5) — the signed
+    *                      per-dimension mean shift in 1e-9 fixed-point
+    *   var_ratio_fp       floor(var_l / var_r·1e6 + 0.5) when var_r > 0,
+    *                      NULL otherwise (a constant dimension has no
+    *                      meaningful ratio) — variance inflation in ppm
+    *
+    * The moment frames are group-cardinality tiny (≤ #groups rows, d-wide
+    * arrays), so this is a census-on-census join: both sides explode to
+    * (group, dim) and meet in ONE null-safe equi-join (the
+    * psiTermsGrouped `<=>` regime — null group values pair, never drop);
+    * only groups present in BOTH snapshots report (drift against nothing
+    * is not drift — new/retired groups show up in the corpus censuses).
+    * Quantization rides the already-deterministic moment chains (both
+    * engines computed identical IEEE doubles — see [[embeddingMoments]]),
+    * so the fixed-point outputs hash-match across engines. This is the
+    * op SCALING.md's drift recipe promises: a retrained encoder or a
+    * source shift moves per-dimension means/variances long before ANN
+    * recall visibly degrades.
+    */
+  def embeddingDrift(other: Chain, groupBy: Seq[String]): Chain = {
+    require(groupBy.nonEmpty, "embedding_drift needs at least one group key")
+    val need = groupBy ++ Seq("n_vecs", "mean", "variance")
+    need.foreach(n => require(c.df.columns.contains(n),
+      s"embedding_drift: left frame is missing '$n' — both sides must be " +
+        "embeddingMoments outputs over the same grouping"))
+    need.foreach(n => require(other.df.columns.contains(n),
+      s"embedding_drift: right frame is missing '$n'"))
+    Seq("pos", "n_left", "n_right", "mean_gap_fp", "var_ratio_fp").foreach(n =>
+      require(!groupBy.contains(n),
+        s"embedding_drift: group column '$n' collides with an output name"))
+    groupBy.foreach(n => require(!n.startsWith("_r_"),
+      s"embedding_drift: group column '$n' collides with the right-side rename prefix"))
+    val gcols = groupBy.map(col)
+    val l = c.df.select(gcols ++ Seq(col("n_vecs").as("n_left"),
+      col("variance").as("_lvar")) :+ posexplode(col("mean")).as(Seq("pos", "_lm")): _*)
+      .withColumn("_lvv", col("_lvar")(col("pos"))).drop("_lvar")
+    val r = other.df.select(groupBy.map(n => col(n).as(s"_r_$n")) ++
+      Seq(col("n_vecs").as("n_right"), col("variance").as("_rvar")) :+
+      posexplode(col("mean")).as(Seq("_rpos", "_rm")): _*)
+      .withColumn("_rvv", col("_rvar")(col("_rpos"))).drop("_rvar")
+    val cond = groupBy.map(n => col(n) <=> col(s"_r_$n")).reduce(_ && _) &&
+      col("pos") === col("_rpos")
+    val gap = floor((col("_lm") - col("_rm")) * lit(1e9) + lit(0.5))
+      .cast("long").as("mean_gap_fp")
+    val vr = when(col("_rvv") > 0,
+      floor(col("_lvv") / col("_rvv") * lit(1e6) + lit(0.5)).cast("long"))
+      .as("var_ratio_fp")
+    val df2 = l.join(r, cond)
+      .select(gcols ++ Seq(col("pos"), col("n_left"), col("n_right"), gap, vr): _*)
+    val q = graft.core.Naming.quoteId _
+    val gq = groupBy.map(q)
+    val rightSrc = if (other.steps.isEmpty) other.entryName else s"(${other.sql()})"
+    def half(src: String, nAs: String, posAs: String,
+             mAs: String, vAs: String, gAs: String => String) =
+      s"SELECT ${groupBy.map(n => s"${q(n)} AS ${gAs(n)}").mkString(", ")}, " +
+        s"n_vecs AS $nAs, $posAs, _mv AS $mAs, ${q("variance")}[$posAs] AS $vAs " +
+        s"FROM $src LATERAL VIEW posexplode(${q("mean")}) _e AS $posAs, _mv"
+    val lSql = half("{{source}}", "n_left", "pos", "_lm", "_lvv", n => q(n))
+    val rSql = half(rightSrc, "n_right", "_rpos", "_rm", "_rvv", n => s"`_r_$n`")
+    val onSql = (groupBy.map(n => s"l.${q(n)} <=> r.`_r_$n`") :+ "l.pos = r._rpos")
+      .mkString(" AND ")
+    c.next("embedding_drift", df2, Some(
+      s"SELECT ${gq.map(n => s"l.$n").mkString(", ")}, l.pos, n_left, n_right, " +
+        "CAST(FLOOR((_lm - _rm) * 1e9 + 0.5) AS BIGINT) AS mean_gap_fp, " +
+        "CASE WHEN _rvv > 0 THEN CAST(FLOOR(_lvv / _rvv * 1e6 + 0.5) AS BIGINT) END AS var_ratio_fp " +
+        s"FROM ($lSql) l JOIN ($rSql) r ON $onSql"))
+  }
+
   /** cluster_eval(cluster_col, vec_col, max_clusters): centroid-based
     * cluster-quality census — one row per cluster:
     *

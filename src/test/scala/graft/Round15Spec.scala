@@ -227,6 +227,45 @@ class Round15Spec extends AnyFunSuite {
       .exists(_.rule == "low-domain-window-key"))
   }
 
+  test("embeddingDrift: identical snapshots report zero gap and ppm-unit ratio; renders") {
+    val vecs = Seq(
+      (1L, "a", Seq(1.0, 2.0)), (2L, "a", Seq(3.0, 4.0)),
+      (3L, "b", Seq(0.5, 0.5)), (4L, "b", Seq(1.5, -0.5)),
+      (5L, null.asInstanceOf[String], Seq(2.0, 2.0))).toDF("id", "g", "v")
+    val mom = Chain(spark, "r15d_vecs", vecs).embeddingMoments(Seq("g"), "v")
+    val drift = mom.embeddingDrift(mom, Seq("g"))
+    val got = drift.df.collect()
+    // every (group incl. the NULL one, dim) pair reports: 3 groups x 2 dims
+    assert(got.length == 6, s"expected 6 drift rows, got ${got.toSeq}")
+    assert(got.forall(_.getAs[Long]("mean_gap_fp") == 0L))
+    // var ratio vs itself = 1.0 -> 1e6 ppm; constant dims (zero variance)
+    // report NULL, never divide
+    got.foreach { r =>
+      val vr = Option(r.getAs[java.lang.Long]("var_ratio_fp"))
+      assert(vr.forall(_ == 1000000L), s"self-ratio must be 1e6 ppm or NULL: $r")
+    }
+    assert(got.exists(r => r.isNullAt(r.fieldIndex("var_ratio_fp"))),
+      "the single-vector NULL group has zero variance -> NULL ratio")
+    // genuinely shifted halves: gap = (mean_l - mean_r) in 1e-9 units
+    val momB = Chain(spark, "r15d_vecs2",
+      vecs.withColumn("v", transform(col("v"), x => x + lit(0.25))))
+      .embeddingMoments(Seq("g"), "v")
+    val shifted = mom.embeddingDrift(momB, Seq("g")).df.collect()
+    assert(shifted.forall(_.getAs[Long]("mean_gap_fp") == -250000000L),
+      s"a uniform +0.25 right shift must read -0.25: ${shifted.toSeq}")
+    // VIEWS render cascade executes and matches the DataFrame face
+    vecs.createOrReplaceTempView("r15d_vecs")
+    drift.sql("VIEWS", "r15d_out").split(";\n").foreach(spark.sql)
+    assert(rows(spark.table("r15d_out")) == rows(drift.df))
+    // guards: non-moments input, colliding group names
+    intercept[IllegalArgumentException] {
+      Chain(spark, "r15d_raw", vecs).embeddingDrift(mom, Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      mom.embeddingDrift(mom, Seq("pos"))
+    }
+  }
+
   test("asof_join rejects frames already carrying its union-window internals") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "_rvb")
     val r = Seq((1L, 9L, 2.5)).toDF("k", "rt", "px")
