@@ -1270,6 +1270,25 @@ object SparkEntry {
             k = 5, nprobe = 2, indexAssign = 2)
           .df.select(col("query_id"), col("neighbor_id"), col("rank"))
       }),
+      // residual IVFADC (Jégou §III, by_residual=true): codes quantize
+      // x − centroid(cell), probes carry the per-cell residual, ADC runs
+      // with the index-embedded codebook. Measured on the lattice first
+      // (house convention): distances shift to the residual metric
+      // (0.872–0.985 for siblings) but the top-5 stay the five planted
+      // same-cluster siblings in id order at every probe budget — the
+      // same pinned rows as the raw face
+      "q_search_pq_ivf_res" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val fix = Chain(s, "pq_fix", embFixtureDf(s))
+        val model = fix.pqFit("vec_id", "embedding", m = 2, ks = 4,
+          trainSample = 24, iters = 10)
+        val idx = fix.ivfPqIndex(model.df, "vec_id", "embedding",
+          nlist = 4, trainSample = 24, byResidual = true)
+        Chain(s, "queries", embFixtureDf(s).where("vec_id < 4"))
+          .searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+            k = 5, nprobe = 2)
+          .df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      }),
       // Bloom-prefiltered join: lineitem probed against small parts —
       // the prefilter is execution detail, so the oracle is the PLAIN
       // inner join (false positives provably fall out in the equi-join)
@@ -3621,6 +3640,14 @@ object SparkEntry {
       // multi-assign replicas are strictly-farther codes — same pinned
       // sibling rows as the single-assign face
       "q_search_pq_ivf_a2" ->
+        ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
+          "CAST(rank AS INTEGER) AS rank FROM " +
+          "(SELECT unnest(range(0, 4)) AS query_id) q " +
+          "CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r"),
+      // residual face: distances move to the residual metric but the
+      // planted-cluster structure pins the identical sibling rows
+      // (lattice-measured first — see the query comment)
+      "q_search_pq_ivf_res" ->
         ("SELECT query_id, query_id + 4 * rank AS neighbor_id, " +
           "CAST(rank AS INTEGER) AS rank FROM " +
           "(SELECT unnest(range(0, 4)) AS query_id) q " +

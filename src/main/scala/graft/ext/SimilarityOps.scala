@@ -943,20 +943,36 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * models ride the plan as flat literal tables. Schema unions the two
     * row kinds: corpus rows `(_cid, _id, _pc, null, null)`, centroid
     * marker rows `(_cid, null, null, _v, _n)` — one parquet table, the
-    * same save-the-postings investment as [[ivfIndex]]. Codes are the
-    * RAW-vector codebook (FAISS's `by_residual=false` regime): encoding
-    * stays a pure per-row function shared with [[pqEncode]]/[[searchPq]],
-    * so full-scan ADC and IVFADC rank candidates identically — recall
-    * differences come only from cell pruning, which the bench gate
-    * measures. `assign > 1` posts each row's code to its `assign`
-    * nearest cells (corpus-side duplication: index grows ×assign in the
-    * m-byte codes only, recall at fixed nprobe rises — the frontier
-    * witness the flat-IVF family records); probe with
-    * `searchIvfPq(indexAssign = assign)` so duplicates collapse.
+    * same save-the-postings investment as [[ivfIndex]]. By default codes
+    * are the RAW-vector codebook (FAISS's `by_residual=false` regime):
+    * encoding stays a pure per-row function shared with
+    * [[pqEncode]]/[[searchPq]], so full-scan ADC and IVFADC rank
+    * candidates identically — recall differences come only from cell
+    * pruning, which the bench gate measures. `assign > 1` posts each
+    * row's code to its `assign` nearest cells (corpus-side duplication:
+    * index grows ×assign in the m-byte codes only, recall at fixed
+    * nprobe rises — the frontier witness the flat-IVF family records);
+    * probe with `searchIvfPq(indexAssign = assign)` so duplicates
+    * collapse.
+    *
+    * `byResidual = true` is Jégou et al. §III's actual encoding (FAISS
+    * `by_residual=true`): codes quantize the RESIDUAL x − centroid(cell)
+    * — materially better recall at equal m·ks, because the codebook only
+    * has to span cell-LOCAL variance instead of the whole space. The
+    * passed `pqModel` then contributes ONLY its (m, ks) block geometry
+    * (so raw and residual faces compare at an equal byte budget); the
+    * codebook itself is refit on the train sample's residuals and
+    * EMBEDDED in the index as a third row kind (`_cid = -1`,
+    * `_pc = [block, code]`, `_v` = sub-centroid) — probes and
+    * incremental assigns self-detect it, so a residual index can never
+    * be probed with the wrong distance tables. Under multi-assign each
+    * replica encodes against ITS OWN cell's centroid (the residual is
+    * cell-dependent), one extra kernel pass per replica.
     */
   def ivfPqIndex(pqModel: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16, trainSample: Int = 4096,
-                 trainIters: Int = 15, assign: Int = 1): Chain = {
+                 trainIters: Int = 15, assign: Int = 1,
+                 byResidual: Boolean = false): Chain = {
     val spark = c.df.sparkSession
     require(assign >= 1 && assign <= nlist,
       s"ivf_pq_index: assign must be in [1, nlist=$nlist], got $assign")
@@ -976,25 +992,56 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       .select(col("_v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = SimilarityOps.sphericalKMeans(trainVecs, nlist, trainIters)
-    // encode BEFORE the (optional) multi-assign explode — codes are
-    // cell-independent, one kernel pass per row, replicas share it
-    val coded = corpus
-      .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
-      .where(col("_pc").isNotNull)
-    val assigned = (
-      if (assign == 1)
-        coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
-      else coded.withColumn("_cid",
-        explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
-    ).select(col("_cid"), col("_id"), col("_pc"),
-        lit(null).cast("array<double>").as("_v"),
-        lit(null).cast("double").as("_n"))
+    val resCbOpt =
+      if (!byResidual) None
+      else Some(SimilarityOps.fitResidualCodebook(
+        trainVecs, centers, pqCenters.length, pqCenters(0).length, trainIters))
+    val assigned = resCbOpt match {
+      case None =>
+        // encode BEFORE the (optional) multi-assign explode — raw codes
+        // are cell-independent, one kernel pass per row, replicas share it
+        val coded = corpus
+          .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
+          .where(col("_pc").isNotNull)
+        (if (assign == 1)
+          coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+        else coded.withColumn("_cid",
+          explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+        ).select(col("_cid"), col("_id"), col("_pc"),
+          lit(null).cast("array<double>").as("_v"),
+          lit(null).cast("double").as("_n"))
+      case Some(resCb) =>
+        // residual codes are cell-DEPENDENT: assign first, then encode
+        // x − centroid(cell) per replica (VecSub + PqEncode, both
+        // codegen kernels in the same scan stage)
+        val cellTagged =
+          if (assign == 1)
+            corpus.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+          else corpus.withColumn("_cid",
+            explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+        cellTagged
+          .withColumn("_pc", graft.functions.PqEncode(
+            graft.functions.VecSub(col("_v"),
+              SimilarityOps.cellCentroidAt(col("_cid"), centers)), resCb))
+          .where(col("_pc").isNotNull)
+          .select(col("_cid"), col("_id"), col("_pc"),
+            lit(null).cast("array<double>").as("_v"),
+            lit(null).cast("double").as("_n"))
+    }
     val centroidRows = SimilarityOps.centroidFrame(spark, centers)
       .select(col("_cid"), lit(null).cast(idType).as("_id"),
         lit(null).cast("array<int>").as("_pc"),
         col("_cv").as("_v"), col("_cn").as("_n"))
-    c.next("ivf_pq_index", assigned.unionByName(centroidRows), None,
-      Map("nlist" -> nlist.toString))
+    val withCents = assigned.unionByName(centroidRows)
+    val full = resCbOpt match {
+      case None => withCents
+      case Some(resCb) => withCents.unionByName(
+        SimilarityOps.residualCodebookRows(spark, resCb)
+          .select(col("_cid"), lit(null).cast(idType).as("_id"),
+            col("_pc"), col("_v"), lit(null).cast("double").as("_n")))
+    }
+    c.next("ivf_pq_index", full, None,
+      Map("nlist" -> nlist.toString, "by_residual" -> byResidual.toString))
   }
 
   /** ivf_pq_index_assign(index, pq_model, id, vec): assign THIS chain's
@@ -1004,7 +1051,12 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * assignment and encoding are one codegen projection; returns rows in
     * the index schema for a plain `saveAppend`/`appendBucketed` onto the
     * index table. Per-batch work is proportional to the batch; the
-    * historical postings are never re-encoded.
+    * historical postings are never re-encoded. A residual index
+    * ([[ivfPqIndex]] `byResidual = true`) is self-detected from its
+    * embedded codebook rows: the batch then assigns FIRST and encodes
+    * x − centroid(cell) per replica with that codebook — `pqModel` is
+    * superseded, so appended codes always live in the same metric as the
+    * history.
     */
   def ivfPqIndexAssign(index: DataFrame, pqModel: DataFrame,
                        idCol: String, vecCol: String,
@@ -1016,22 +1068,42 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     val centers = SimilarityOps.collectCentroids(index)
     require(assign <= centers.length,
       s"ivf_pq_index_assign: assign ($assign) exceeds the index's nlist (${centers.length})")
-    val pqCenters = SimilarityOps.collectPqModel(pqModel)
     val (idExpr, _) = SimilarityOps.indexId("ivf_pq_index_assign", c.df, idCol)
-    val coded = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
+    val resCbOpt = SimilarityOps.collectResidualCodebook(index)
+    val batch = c.df.select(idExpr.as("_id"), col(vecCol).as("_v"))
       .withColumn("_n", sqrt(Exact.dot(col("_v"), col("_v"))))
       .where(SimilarityOps.usableVec(col("_v"), col("_n"))) // same exclusion as the build
       .repartition(col("_id"))
-      .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
-      .where(col("_pc").isNotNull)
-    val assigned = (
-      if (assign == 1)
-        coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
-      else coded.withColumn("_cid",
-        explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
-    ).select(col("_cid"), col("_id"), col("_pc"),
-        lit(null).cast("array<double>").as("_v"),
-        lit(null).cast("double").as("_n"))
+    val assigned = resCbOpt match {
+      case None =>
+        val pqCenters = SimilarityOps.collectPqModel(pqModel)
+        val coded = batch
+          .withColumn("_pc", graft.functions.PqEncode(col("_v"), pqCenters))
+          .where(col("_pc").isNotNull)
+        (if (assign == 1)
+          coded.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+        else coded.withColumn("_cid",
+          explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+        ).select(col("_cid"), col("_id"), col("_pc"),
+          lit(null).cast("array<double>").as("_v"),
+          lit(null).cast("double").as("_n"))
+      case Some(resCb) =>
+        // residual index: assign first, encode vs the replica's own cell
+        // with the EMBEDDED codebook — the build-side shape exactly
+        val cellTagged =
+          if (assign == 1)
+            batch.withColumn("_cid", SimilarityOps.bestCellId(col("_v"), centers))
+          else batch.withColumn("_cid",
+            explode(SimilarityOps.topCellIds(col("_v"), centers, assign)))
+        cellTagged
+          .withColumn("_pc", graft.functions.PqEncode(
+            graft.functions.VecSub(col("_v"),
+              SimilarityOps.cellCentroidAt(col("_cid"), centers)), resCb))
+          .where(col("_pc").isNotNull)
+          .select(col("_cid"), col("_id"), col("_pc"),
+            lit(null).cast("array<double>").as("_v"),
+            lit(null).cast("double").as("_n"))
+    }
     c.next("ivf_pq_index_assign", assigned, None)
   }
 
@@ -1052,7 +1124,14 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * filter into the index's parquet (partition the saved index by _cid
     * for static pruning). Output: (query_id, neighbor_id, adc_dist,
     * rank) — ascending squared euclidean ADC distance, neighbor_id
-    * tie-break, identical to [[searchPq]] on any candidate both visit.
+    * tie-break, identical to [[searchPq]] on any candidate both visit
+    * (raw-codebook indexes). A residual index ([[ivfPqIndex]]
+    * `byResidual = true`) is self-detected from its embedded codebook:
+    * each probe row then carries the per-cell residual q − centroid
+    * (computed ONCE per (query, cell) — the per-cell distance-table
+    * trick of Jégou §III) and ADC runs in the residual metric with the
+    * embedded codebook, superseding `pqModel`; under multi-assign the
+    * same neighbor probed via two cells keeps its MINIMUM distance.
     */
   def searchIvfPq(pqModel: DataFrame, index: DataFrame, idCol: String,
                   vecCol: String, k: Int = 10, nprobe: Int = 4,
@@ -1072,8 +1151,9 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     require(DedupOps.isIntegralId(qdt) == DedupOps.isIntegralId(idt),
       s"search_ivf_pq: query id '$idCol' (${qdt.simpleString}) and index _id " +
         s"(${idt.simpleString}) must share a type family")
-    val pqCenters = SimilarityOps.collectPqModel(pqModel)
-    val centroids = broadcast(index.where(col("_id").isNull)
+    val resCbOpt = SimilarityOps.collectResidualCodebook(index)
+    val adcCenters = resCbOpt.getOrElse(SimilarityOps.collectPqModel(pqModel))
+    val centroids = broadcast(index.where(col("_id").isNull && col("_cid") >= 0)
       .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
     val qs = c.df.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
@@ -1081,22 +1161,35 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_qs").desc, col("_cid").asc)
-    val probes = qs.crossJoin(centroids)
-      .select(col("query_id"), col("_vq"), col("_cid"), qSim.as("_qs"))
+    val probes0 = qs.crossJoin(centroids)
+      .select(col("query_id"), col("_vq"), col("_cv"), col("_cid"), qSim.as("_qs"))
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nprobe)
-      .select(col("query_id"), col("_vq"), col("_cid"))
+    // residual index: the probe row's vector becomes the per-cell
+    // residual q − centroid, computed once per (query, cell) and reused
+    // for every candidate in the cell — Jégou's per-cell distance table
+    val probes = (resCbOpt match {
+      case None => probes0
+      case Some(_) => probes0.withColumn("_vq",
+        graft.functions.VecSub(col("_vq"), col("_cv")))
+    }).select(col("query_id"), col("_vq"), col("_cid"))
     val scoredRaw = index.where(col("_id").isNotNull && col("_pc").isNotNull)
       .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
       .where(col("query_id") =!= col("_id"))
       .select(col("query_id"), col("_id").as("neighbor_id"),
-        graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters).as("adc_dist"))
+        graft.functions.PqAdcDist(col("_pc"), col("_vq"), adcCenters).as("adc_dist"))
     // a multi-assign index ([[ivfPqIndex]] assign > 1) can surface the
-    // same (query, neighbor) via two probed cells — dedup before ranking
-    // (ADC is deterministic, so distinct on the scored triple is exact);
-    // declared by the caller so the common single-assign path pays no
-    // extra exchange (the ivfCosineTopK convention)
-    val scored = if (indexAssign == 1) scoredRaw else scoredRaw.distinct()
+    // same (query, neighbor) via two probed cells — dedup before ranking.
+    // Raw codes: the triples tie exactly, distinct is exact. Residual
+    // codes differ per cell, so keep the MINIMUM distance (deterministic
+    // min — the FAISS multi-assign semantics). Declared by the caller so
+    // the common single-assign path pays no extra exchange (the
+    // ivfCosineTopK convention).
+    val scored =
+      if (indexAssign == 1) scoredRaw
+      else if (resCbOpt.isEmpty) scoredRaw.distinct()
+      else scoredRaw.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(min(col("adc_dist")).as("adc_dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     c.next("search_ivf_pq",
@@ -1333,8 +1426,9 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       s"index must have columns (_cid, _id, _pc, _v, _n) from ivfPqIndex; " +
         s"got ${index.columns.mkString(", ")}")
     val (idExpr, _) = SimilarityOps.indexId("dedup_against_ivf_pq_index", c.df, idCol)
-    val pqCenters = SimilarityOps.collectPqModel(pqModel)
-    val centroids = broadcast(index.where(col("_id").isNull)
+    val resCbOpt = SimilarityOps.collectResidualCodebook(index)
+    val adcCenters = resCbOpt.getOrElse(SimilarityOps.collectPqModel(pqModel))
+    val centroids = broadcast(index.where(col("_id").isNull && col("_cid") >= 0)
       .select(col("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
     val qs = c.df.select(idExpr.as("_qid"), col(vecCol).as("_vq"))
       .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
@@ -1342,14 +1436,21 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     val qSim = Exact.dot(col("_vq"), col("_cv")) / col("_nq") / col("_cn")
     val probeW = Window.partitionBy(col("_qid"))
       .orderBy(col("_qs").desc, col("_cid").asc)
-    val probes = qs.crossJoin(centroids)
-      .select(col("_qid"), col("_vq"), col("_cid"), qSim.as("_qs"))
+    val probes0 = qs.crossJoin(centroids)
+      .select(col("_qid"), col("_vq"), col("_cv"), col("_cid"), qSim.as("_qs"))
       .withColumn("_pr", row_number().over(probeW))
       .where(col("_pr") <= nprobe)
-      .select(col("_qid"), col("_vq"), col("_cid"))
+    // residual index: per-cell residual probes, embedded codebook — the
+    // searchIvfPq regime (threshold then lives in the residual metric;
+    // calibrate it against residual-index distances, not raw-code ones)
+    val probes = (resCbOpt match {
+      case None => probes0
+      case Some(_) => probes0.withColumn("_vq",
+        graft.functions.VecSub(col("_vq"), col("_cv")))
+    }).select(col("_qid"), col("_vq"), col("_cid"))
     val dropIds = index.where(col("_id").isNotNull && col("_pc").isNotNull)
       .join(SimilarityOps.maybeBroadcastProbes(c.df, probes, nprobe), Seq("_cid"))
-      .where(graft.functions.PqAdcDist(col("_pc"), col("_vq"), pqCenters) <= maxDist)
+      .where(graft.functions.PqAdcDist(col("_pc"), col("_vq"), adcCenters) <= maxDist)
       .select(col("_qid")).distinct()
     val survivors = c.df.join(dropIds,
       idExpr === dropIds("_qid"), "left_anti")
@@ -1677,13 +1778,109 @@ object SimilarityOps {
     * trained them). Ordered by cid so assignment tie-breaks reproduce.
     */
   private[ext] def collectCentroids(index: DataFrame): Array[Array[Double]] = {
-    val rows = index.where(col("_id").isNull)
+    // `_cid >= 0` excludes the residual-codebook rows an
+    // ivfPqIndex(byResidual = true) table carries at _cid = -1
+    val rows = index.where(col("_id").isNull && col("_cid") >= 0)
       .select(col("_cid"), col("_v").cast("array<double>"))
       .orderBy(col("_cid").asc).collect()
     require(rows.nonEmpty, "index has no centroid rows (_id IS NULL) — was it built by ivfIndex?")
     require(rows.map(_.getLong(0)).sameElements(rows.indices.map(_.toLong)),
       "centroid cids must be exactly 0..nlist-1")
     rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The centroid of cell `cid` as a literal-lookup column — `element_at`
+    * over the nlist×d literal table, codegen'd like [[bestCellId]]'s
+    * scan. (Lives here: `typedLit`.)
+    */
+  private[ext] def cellCentroidAt(
+      cid: org.apache.spark.sql.Column,
+      centers: Array[Array[Double]]): org.apache.spark.sql.Column =
+    element_at(typedLit(centers.map(_.toSeq).toSeq), (cid + lit(1L)).cast("int"))
+
+  /** Fit the per-block residual codebook of an IVFADC index (Jégou et
+    * al. TPAMI 2011 §III, FAISS `by_residual=true`): assign each train
+    * vector to its best coarse cell (max exact dot, ties to the smaller
+    * cid — the [[bestCellId]] order, replayed driver-side), subtract the
+    * centroid, and k-means each residual block. Codes then only span
+    * cell-LOCAL variance — materially better recall at equal m·ks than
+    * the raw-vector codebook.
+    */
+  private[ext] def fitResidualCodebook(
+      sample: Array[Array[Double]], centers: Array[Array[Double]],
+      m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "residual codebook needs a training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m blocks")
+    val bd = dim / m
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    val residuals = sample.map { x =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < centers.length) {
+        val d = dot(x, centers(i))
+        if (d > bestDot) { bestDot = d; best = i } // strict > keeps smaller cid on ties
+        i += 1
+      }
+      val r = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { r(j) = x(j) - centers(best)(j); j += 1 }
+      r
+    }
+    (0 until m).map { b =>
+      val blockVecs = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, b * bd, (b + 1) * bd))
+      euclideanKMeans(blockVecs, ks, iters)
+    }.toArray
+  }
+
+  /** Residual codebook rows for embedding in the index table (the third
+    * row kind): `(_cid = -1, _id = null, _pc = [block, code],
+    * _v = sub-centroid, _n = null)` — the index stays ONE self-contained
+    * parquet table; probes MUST use the codebook the codes were written
+    * with, so shipping it inside the index removes the
+    * model-index-mismatch failure mode entirely.
+    */
+  private[ext] def residualCodebookRows(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val rows = for {
+      (blockCs, b) <- cb.zipWithIndex
+      (cv, t) <- blockCs.zipWithIndex
+    } yield (-1L, Array(b, t).toSeq, cv.toSeq)
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("_cid", "_pc", "_v")
+      .select(col("_cid"), col("_pc").cast("array<int>"),
+        col("_v").cast("array<double>"))
+  }
+
+  /** Read an index's embedded residual codebook back (None for a
+    * raw-codebook index) — one bounded, declared driver collect of m·ks
+    * rows, the [[collectCentroids]] pattern.
+    */
+  private[ext] def collectResidualCodebook(
+      index: DataFrame): Option[Array[Array[Array[Double]]]] = {
+    val rows = index.where(col("_cid") === -1 && col("_id").isNull)
+      .select(col("_pc").cast("array<int>"), col("_v").cast("array<double>"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val m = rows.map(_.getSeq[Int](0).head).max + 1
+      val ks = rows.map(_.getSeq[Int](0)(1)).max + 1
+      require(rows.length == m * ks,
+        s"embedded residual codebook must cover blocks 0..${m - 1} × codes " +
+          s"0..${ks - 1} contiguously, got ${rows.length} rows")
+      val out = Array.ofDim[Array[Double]](m, ks)
+      rows.foreach { r =>
+        val bc = r.getSeq[Int](0)
+        out(bc.head)(bc(1)) = r.getSeq[Double](1).toArray
+      }
+      Some(out.map(_.toArray))
+    }
   }
 
   /** Trained centroids as a broadcastable frame `(_cid, _cv, _cn)`;

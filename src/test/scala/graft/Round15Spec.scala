@@ -227,6 +227,86 @@ class Round15Spec extends AnyFunSuite {
       .exists(_.rule == "low-domain-window-key"))
   }
 
+  // ---- residual IVFADC (byResidual = true) -----------------------------
+
+  private def resLattice = Chain(spark, "pq15r", SparkEntry.embFixtureDf(spark))
+  private def resModel = resLattice.pqFit("vec_id", "embedding", m = 2, ks = 4,
+    trainSample = 24, iters = 10)
+
+  test("ivfPqIndex byResidual: three row kinds, embedded m*ks codebook, block-dim sub-centroids") {
+    val idx = resLattice.ivfPqIndex(resModel.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, byResidual = true).df.collect()
+    val corpus = idx.filter(!_.isNullAt(1))
+    val cents = idx.filter(r => r.isNullAt(1) && r.getLong(0) >= 0)
+    val cb = idx.filter(r => r.isNullAt(1) && r.getLong(0) == -1L)
+    assert(corpus.length == 24 && cents.length == 4 && cb.length == 2 * 4)
+    corpus.foreach(r => assert(!r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+      "corpus rows carry codes only"))
+    cb.foreach { r =>
+      val bc = r.getSeq[Int](2)
+      assert(bc.length == 2 && bc.head >= 0 && bc.head < 2 && bc(1) >= 0 && bc(1) < 4,
+        s"codebook rows key by [block, code]: $r")
+      assert(r.getSeq[Double](3).length == 8,
+        "sub-centroids span the block dim (16 / m=2)")
+      assert(r.isNullAt(4), "codebook rows carry no norm")
+    }
+    assert(cb.map(_.getSeq[Int](2)).distinct.length == 8,
+      "codebook covers blocks x codes exactly once")
+  }
+
+  test("residual search recovers the planted clusters; multi-assign keeps min distance; assign matches build") {
+    val model = resModel
+    val idx = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, byResidual = true)
+    val queries = Chain(spark, "q15r", SparkEntry.embFixtureDf(spark).where("vec_id < 4"))
+    // measured on the lattice (house convention): each query's top-5 are
+    // its five planted same-cluster siblings in id order, at np2 and at
+    // full probe (residual-metric distances 0.872..0.985)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for (q <- 0L until 4L; k <- 1 to 5) yield (q, q + 4 * k, k)).toSet
+    val np2 = queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 2).df
+    assert(key(np2) == want)
+    assert(key(queries.searchIvfPq(model.df, idx.df, "vec_id", "embedding",
+      k = 5, nprobe = 4).df) == want)
+    // multi-assign residual: same neighbor via two cells keeps the MIN
+    // residual-metric distance — the pinned sibling rows survive intact
+    val idxA2 = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, assign = 2, byResidual = true)
+    val a2 = queries.searchIvfPq(model.df, idxA2.df, "vec_id", "embedding",
+      k = 5, nprobe = 2, indexAssign = 2).df
+    assert(key(a2) == want)
+    assert(a2.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count() == 0, "duplicates must collapse")
+    // incremental assign self-detects the embedded codebook: re-assigning
+    // the same vectors reproduces the build's (cid, code) postings exactly
+    val built = idx.df.where(col("_id").isNotNull)
+      .select("_id", "_cid", "_pc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val reassigned = resLattice.ivfPqIndexAssign(idx.df, model.df,
+      "vec_id", "embedding")
+      .df.select("_id", "_cid", "_pc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(reassigned == built,
+      "assign must encode in the same residual metric as the build")
+  }
+
+  test("residual dedup screen runs in the residual metric with a measured margin") {
+    val model = resModel
+    val idx = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, byResidual = true)
+    // lattice-measured (house convention): the smallest ADC distance of
+    // any corpus vector to any probed code — its OWN included — sits in
+    // (0.80, 0.85]; 0.5 keeps everything with >0.3 margin, and the
+    // plateau at 0.85-0.87 drops exactly one cluster's five rows
+    assert(resLattice.dedupAgainstIvfPqIndex(idx.df, model.df,
+      "vec_id", "embedding", maxDist = 0.5, nprobe = 2).df.count() == 24)
+    assert(resLattice.dedupAgainstIvfPqIndex(idx.df, model.df,
+      "vec_id", "embedding", maxDist = 0.86, nprobe = 2).df.count() == 19)
+  }
+
   test("embeddingDrift: identical snapshots report zero gap and ppm-unit ratio; renders") {
     val vecs = Seq(
       (1L, "a", Seq(1.0, 2.0)), (2L, "a", Seq(3.0, 4.0)),
