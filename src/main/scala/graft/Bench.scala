@@ -296,6 +296,51 @@ object Bench {
         val ivfadcNp4A2 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
           pqIdxA2.df, "vec_id", "embedding", k = 10, nprobe = 4,
           indexAssign = 2).df))
+        // IVFADC at the PRODUCTION code size (m=16/ks=256, the pqFit
+        // headline config): the m=8/ks=16 points above are dominated by
+        // toy-code tie-splits (SCALING.md documents this), so the dial
+        // users actually read gets its own point — np8 vs the full-scan
+        // ADC reference under the SAME m=16 model.
+        val pqModel16 = emb.pqFit("vec_id", "embedding", m = 16, ks = 256,
+          trainSample = 2048, iters = 10)
+        val adcFull16 = pairs(Chain(spark, "bench_pq16_corpus",
+          emb.pqEncode(pqModel16.df, "embedding").df.select("vec_id", "pq_code"))
+          .searchPq(pqModel16.df, queries, "vec_id", "embedding", k = 10).df)
+        if (adcFull16.isEmpty) throw new IllegalStateException(
+          "bench: m=16 full-scan ADC reference set is empty")
+        val pqIdx16 = emb.ivfPqIndex(pqModel16.df, "vec_id", "embedding", nlist = 16)
+        val ivfadcNp8M16 = pairs(qChain.searchIvfPq(pqModel16.df,
+          pqIdx16.df, "vec_id", "embedding", k = 10, nprobe = 8).df)
+          .intersect(adcFull16).size.toDouble / adcFull16.size
+        // residual vs raw codebook at EQUAL budget (m=8/ks=16, nlist=16,
+        // np8). Measured 2026-08 on the sf0.1 embeddings — the two faces
+        // split along the two loss sources:
+        //  - PRUNING (np8 vs the face's own full probe): residual 0.940
+        //    vs raw 0.660 — per-cell residual distances break the
+        //    same-code ties that dominate the raw face's pruning loss
+        //    (the win Jégou §III's per-cell tables buy).
+        //  - QUANTIZATION (full probe vs exact cosine): residual 0.065
+        //    vs raw 0.195 — this fixture is ISOTROPIC unit vectors, so
+        //    with nlist=16 the residual x − centroid is a 16-way mixture
+        //    with LARGER per-block variance than the raw vector;
+        //    by_residual pays off on clustered corpora / larger nlist
+        //    (the lattice spec pins that regime), not here.
+        // Both recorded: the pruning pair floor-gated (house convention,
+        // measured − 0.1), the exact-referenced pair recorded with a
+        // half-measured floor (0.065 − 0.1 would be vacuous).
+        val ivfadcNp8Exact = recallOf(pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df))
+        val pqIdxRes = emb.ivfPqIndex(pqModel.df, "vec_id", "embedding",
+          nlist = 16, byResidual = true)
+        val resNp8 = pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdxRes.df, "vec_id", "embedding", k = 10, nprobe = 8).df)
+        val resFull = pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdxRes.df, "vec_id", "embedding", k = 10, nprobe = 16).df)
+        val ivfadcResNp8Exact = recallOf(resNp8)
+        val ivfadcResNp8Prune =
+          if (resFull.isEmpty) throw new IllegalStateException(
+            "bench: residual full-probe reference set is empty")
+          else resNp8.intersect(resFull).size.toDouble / resFull.size
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
@@ -305,7 +350,17 @@ object Bench {
           ("ivf_np4_a2", np4a2, 0.64),
           ("ivfadc_np4", ivfadcNp4, 0.27),
           ("ivfadc_np8", ivfadcNp8, 0.56),
-          ("ivfadc_np4_a2", ivfadcNp4A2, 0.48))
+          ("ivfadc_np4_a2", ivfadcNp4A2, 0.48),
+          // production code size: measured 0.765 (2026-08, sf0.1) — the
+          // dial users read; m=8/ks=16 numbers above are tie-split toys
+          ("ivfadc_np8_m16", ivfadcNp8M16, 0.66),
+          // raw np8 vs exact cosine: measured 0.195 (2026-08)
+          ("ivfadc_np8_exact", ivfadcNp8Exact, 0.09),
+          // residual pruning vs own full probe: measured 0.940 (2026-08)
+          ("ivfadc_res_np8", ivfadcResNp8Prune, 0.84),
+          // residual np8 vs exact cosine: measured 0.065 (2026-08,
+          // isotropic-fixture quantization penalty — see comment above)
+          ("ivfadc_res_np8_exact", ivfadcResNp8Exact, 0.03))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

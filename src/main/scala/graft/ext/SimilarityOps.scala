@@ -956,9 +956,15 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
     * collapse.
     *
     * `byResidual = true` is Jégou et al. §III's actual encoding (FAISS
-    * `by_residual=true`): codes quantize the RESIDUAL x − centroid(cell)
-    * — materially better recall at equal m·ks, because the codebook only
-    * has to span cell-LOCAL variance instead of the whole space. The
+    * `by_residual=true`): codes quantize the RESIDUAL x − centroid(cell).
+    * On CLUSTERED corpora the codebook then only spans cell-local
+    * variance (better codes at equal m·ks — the lattice spec pins that
+    * regime), and in every regime per-cell residual distances break the
+    * same-code ties that dominate raw-face pruning loss (bench: np8
+    * recovers 0.940 of full probe vs raw 0.660). On ISOTROPIC data with
+    * few cells the residual is a mixture with LARGER per-block variance
+    * than the raw vector and quantization degrades (bench documents the
+    * measured pair) — choose the face per corpus geometry. The
     * passed `pqModel` then contributes ONLY its (m, ks) block geometry
     * (so raw and residual faces compare at an equal byte budget); the
     * codebook itself is refit on the train sample's residuals and
