@@ -1808,9 +1808,13 @@ object SimilarityOps {
     * al. TPAMI 2011 §III, FAISS `by_residual=true`): assign each train
     * vector to its best coarse cell (max exact dot, ties to the smaller
     * cid — the [[bestCellId]] order, replayed driver-side), subtract the
-    * centroid, and k-means each residual block. Codes then only span
-    * cell-LOCAL variance — materially better recall at equal m·ks than
-    * the raw-vector codebook.
+    * centroid, and k-means each residual block. On clustered corpora the
+    * codes then only span cell-LOCAL variance — better codes at equal
+    * m·ks than the raw-vector codebook. A sample smaller than ks fits
+    * min(ks, sample) centers per block (the k-means seeding bound) — the
+    * embedded codebook records the FITTED size, and every consumer reads
+    * it back from the index, so a small-bootstrap index stays
+    * self-consistent at reduced resolution.
     */
   private[ext] def fitResidualCodebook(
       sample: Array[Array[Double]], centers: Array[Array[Double]],

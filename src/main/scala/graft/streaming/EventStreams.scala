@@ -468,12 +468,19 @@ object EventStreams {
     * .SimilarityOps.pqFit]] frame — the codebook is a pinned artifact of
     * the pipeline (retraining it per batch would silently re-metric the
     * dedup threshold), which is why it is a parameter, not a fit here.
+    * `byResidual` applies only to the FIRST batch's index bootstrap
+    * (the [[graft.ext.SimilarityOps.ivfPqIndex]] flag); every later
+    * batch self-detects the residual codebook embedded in the saved
+    * index, so screens and appends stay in the history's metric
+    * automatically. `maxDist` must be calibrated in the matching metric
+    * (residual-index ADC distances differ from raw-code ones).
     */
   def sinkPqAppendToTable(vecs: DataFrame, corpusTable: String, indexTable: String,
                           idCol: String, vecCol: String, checkpointDir: String,
                           pqModel: DataFrame, maxDist: Double, nprobe: Int = 4,
                           nlist: Int = 16,
-                          indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+                          indexBuckets: Int = 16,
+                          byResidual: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.ext._
     val q = vecs.writeStream
@@ -496,7 +503,8 @@ object EventStreams {
           freshCorpus.write.mode(org.apache.spark.sql.SaveMode.Append)
             .format("parquet").saveAsTable(corpusTable)
           if (!spark.catalog.tableExists(indexTable)) {
-            survivors.ivfPqIndex(pqModel, idCol, vecCol, nlist)
+            survivors.ivfPqIndex(pqModel, idCol, vecCol, nlist,
+                byResidual = byResidual)
               .saveBucketed(indexTable, Seq("_cid"), indexBuckets)
           } else {
             // _id keeps the index's own id type (long OR string), the

@@ -316,6 +316,64 @@ class StreamingSpec extends AnyFunSuite {
       s"probe near direction 3 must hit vector 2 — got ${hits.mkString(",")}")
   }
 
+  test("streaming PQ sink bootstraps a residual index; later batches self-detect its codebook") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS stream_rpq_t")
+    spark.sql("DROP TABLE IF EXISTS stream_rpq_idx")
+    def v(axis: Int, noise: Float): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % 8) noise else 0.0f))
+    val model = graft.core.Chain(spark, "rpq_model_train",
+      (0 until 8).map(a => Vec(a.toLong, v(a, 0.03f))).toDF("vec_id", "embedding"))
+      .pqFit("vec_id", "embedding", m = 2, ks = 4, trainSample = 8, iters = 10)
+    // maxDist 1e-6: nothing screens out — this test pins the INDEX
+    // metric plumbing, not the threshold (Round15Spec pins the measured
+    // dedup margins on the lattice)
+    def sink(ms: MemoryStream[Vec], ckpt: String) =
+      EventStreams.sinkPqAppendToTable(ms.toDF(), "stream_rpq_t",
+        "stream_rpq_idx", "vec_id", "embedding", ckpt,
+        model.df, maxDist = 1e-6, nprobe = 2, nlist = 2, indexBuckets = 4,
+        byResidual = true)
+    val ms1 = MemoryStream[Vec]
+    ms1.addData(Vec(1L, v(0, 0.05f)), Vec(2L, v(3, 0.05f)))
+    sink(ms1, Files.createTempDirectory("graft_ckpt_rpq1").toString)
+    val idx1 = spark.table("stream_rpq_idx")
+    // the 2-row bootstrap fits min(ks=4, sample=2) = 2 residual centers
+    // per block — the embedded codebook records the FITTED size and every
+    // later consumer reads it back, so the index stays self-consistent
+    assert(idx1.where("_cid = -1 AND _id IS NULL").count() == 2 * 2,
+      "bootstrap embeds the m x min(ks, sample) residual codebook")
+    val ms2 = MemoryStream[Vec]
+    ms2.addData(Vec(3L, v(0, 0.08f)), Vec(4L, v(6, 0.05f)))
+    sink(ms2, Files.createTempDirectory("graft_ckpt_rpq2").toString)
+    val idx2 = spark.table("stream_rpq_idx")
+    assert(idx2.where("_cid = -1 AND _id IS NULL").count() == 2 * 2,
+      "appends must not duplicate the codebook rows")
+    // the appended rows carry codes in the HISTORY's residual metric:
+    // a fresh assign of the same vectors against the saved index
+    // reproduces (cid, code) exactly
+    val appended = idx2.where("_id IN (3, 4)")
+      .select("_id", "_cid", "_pc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val reassign = graft.core.Chain(spark, "rpq_re",
+      Seq(Vec(3L, v(0, 0.08f)), Vec(4L, v(6, 0.05f))).toDF("vec_id", "embedding"))
+      .ivfPqIndexAssign(idx2, model.df, "vec_id", "embedding")
+      .df.select("_id", "_cid", "_pc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(appended == reassign,
+      s"appended codes must match the embedded-codebook assign: $appended vs $reassign")
+    // residual probes answer over everything ingested
+    val hits = graft.core.Chain(spark, "rpq_probe",
+      Seq(Vec(100L, v(3, 0.04f))).toDF("vec_id", "embedding"))
+      .searchIvfPq(model.df, idx2, "vec_id", "embedding", k = 1, nprobe = 2)
+      .df.collect()
+    assert(hits.length == 1 && hits(0).getAs[Long]("neighbor_id") == 2L,
+      s"probe near direction 3 must hit vector 2 — got ${hits.mkString(",")}")
+  }
+
   test("streaming distinct-sketch profile accumulates across batches and survives redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
