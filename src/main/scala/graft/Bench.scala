@@ -341,6 +341,22 @@ object Bench {
           if (resFull.isEmpty) throw new IllegalStateException(
             "bench: residual full-probe reference set is empty")
           else resNp8.intersect(resFull).size.toDouble / resFull.size
+        // IVFADC + exact refine (Jégou et al. ICASSP'11 re-ranking with
+        // raw vectors): the top-50 ADC shortlist per query is fetched
+        // from the raw corpus and re-ordered by exact cosine — ADC
+        // quantization error then only affects candidate SELECTION.
+        // Measured 2026-08 (sf0.1, np8, rerank=50): raw 0.475 (vs 0.195
+        // ADC-ranked — 2.4x from fixing the order alone; the gap to the
+        // flat-IVF 0.775 ceiling is shortlist selection error, and
+        // rerankPerQuery is the dial), residual 0.200 (vs 0.065 — same
+        // 3x refine lift, capped by the isotropic-fixture residual
+        // codes selecting weaker candidates, see above).
+        val rerankNp8 = recallOf(pairs(qChain.searchIvfPqRerank(pqModel.df,
+          pqIdx.df, embDf, "vec_id", "embedding", k = 10,
+          rerankPerQuery = 50, nprobe = 8).df))
+        val rerankResNp8 = recallOf(pairs(qChain.searchIvfPqRerank(pqModel.df,
+          pqIdxRes.df, embDf, "vec_id", "embedding", k = 10,
+          rerankPerQuery = 50, nprobe = 8).df))
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
@@ -360,7 +376,11 @@ object Bench {
           ("ivfadc_res_np8", ivfadcResNp8Prune, 0.84),
           // residual np8 vs exact cosine: measured 0.065 (2026-08,
           // isotropic-fixture quantization penalty — see comment above)
-          ("ivfadc_res_np8_exact", ivfadcResNp8Exact, 0.03))
+          ("ivfadc_res_np8_exact", ivfadcResNp8Exact, 0.03),
+          // exact-refine faces: measured 0.475 / 0.200 (2026-08), floors
+          // the house measured - 0.1
+          ("ivfadc_rerank_np8", rerankNp8, 0.37),
+          ("ivfadc_res_rerank_np8", rerankResNp8, 0.10))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

@@ -1091,6 +1091,22 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         emb.cosineTopK(emb.df.where("vec_id < 5"), "vec_id", "embedding", 10).df
       }),
+      // IVFADC + exact refine (Jégou et al. ICASSP'11's re-ranking stage
+      // with raw vectors): at FULL probe with rerank >= corpus the
+      // shortlist covers every non-self candidate, so the refined output
+      // IS the exact cosine top-10 — the q_sim_topk oracle replays the
+      // whole pipeline (index build + ADC candidates + id-join rerank)
+      // hash-exact; the shortlist regime is lattice-spec'd and
+      // bench-gated (ivfadc_rerank_np8)
+      "q_search_pq_ivf_rerank" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = emb.pqFit("vec_id", "embedding", m = 8, ks = 16,
+          trainSample = 2048, iters = 10)
+        val idx = emb.ivfPqIndex(model.df, "vec_id", "embedding", nlist = 16)
+        Chain(s, "rq", emb.df.where("vec_id < 5"))
+          .searchIvfPqRerank(model.df, idx.df, emb.df, "vec_id", "embedding",
+            k = 10, rerankPerQuery = 1000000, nprobe = 16).df
+      }),
       // hard-negative mining for contrastive training: exact cosine
       // ranking minus each query's labeled positives (q -> q+1, q+2) and
       // minus near-positive candidates at cosine >= 0.36 (the RocketQA
@@ -3497,6 +3513,10 @@ object SparkEntry {
           "FROM embeddings e JOIN sc USING (vec_id), " +
           "LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u"),
       "q_sim_topk" ->
+        s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
+      // full-probe all-candidate refine = exact cosine top-10: the
+      // q_sim_topk replay gates the whole IVFADC+rerank pipeline
+      "q_search_pq_ivf_rerank" ->
         s"WITH $normCte, p AS (SELECT qid, cid, $dotSql AS dot FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) GROUP BY qid, cid), sc AS (SELECT qid AS query_id, cid AS neighbor_id, dot / na.nrm / nb.nrm AS cosine FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid) SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) WHERE rank <= 10",
       // hard negatives = q_sim_topk's scoring minus the labeled-positive
       // pairs and minus candidates at/above the 0.36 denoising cut; the

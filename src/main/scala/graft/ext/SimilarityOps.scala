@@ -1203,6 +1203,55 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
       None, Map("k" -> k.toString, "nprobe" -> nprobe.toString))
   }
 
+  /** search_ivf_pq_rerank(pq_model, index, corpus, id, vec, k,
+    * rerank_per_query, nprobe): IVFADC + exact refine — the re-ranking
+    * stage of Jégou/Tavenard/Douze/Amsaleg "Searching in one billion
+    * vectors" (ICASSP 2011, IVFADC+R), with the refinement codes
+    * replaced by the raw vectors (the FAISS refine-flat variant): stage
+    * 1 probes the saved [[ivfPqIndex]] and keeps each query's top
+    * `rerankPerQuery` ADC candidates (m bytes/row moved, cells pruned);
+    * stage 2 fetches ONLY those candidates' raw vectors from `corpus`
+    * by id and reranks with the exact fixed-point cosine (the
+    * [[hammingCosineTopK]] pass-2 shape — the raw corpus stays cold
+    * except for the shortlist, candidate ids equi-join it). Quality:
+    * ADC quantization error then affects only candidate SELECTION,
+    * never the final order — on the bench embeddings recall@10 climbs
+    * from the ADC-ranked 0.195 toward the cell-pruning ceiling
+    * (recorded in bench.json with floors). Works over raw and residual
+    * indexes alike (stage 1 self-detects the embedded codebook).
+    * Output: (query_id, neighbor_id, cosine, rank) — descending exact
+    * cosine, neighbor id tie-break.
+    */
+  def searchIvfPqRerank(pqModel: DataFrame, index: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int = 10,
+                        rerankPerQuery: Int = 50, nprobe: Int = 4,
+                        indexAssign: Int = 1): Chain = {
+    require(rerankPerQuery >= k,
+      s"search_ivf_pq_rerank: rerankPerQuery ($rerankPerQuery) must be >= k ($k)")
+    Seq(idCol, vecCol).foreach(cn => require(corpus.columns.contains(cn),
+      s"search_ivf_pq_rerank: corpus frame is missing column '$cn'"))
+    val cand = searchIvfPq(pqModel, index, idCol, vecCol,
+      k = rerankPerQuery, nprobe = nprobe, indexAssign = indexAssign)
+      .df.select(col("query_id"), col("neighbor_id"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
+      .withColumn("_nc", sqrt(Exact.dot(col("_vc"), col("_vc"))))
+      .where(SimilarityOps.usableVec(col("_vc"), col("_nc")))
+    val qs = c.df.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+      .withColumn("_nq", sqrt(Exact.dot(col("_vq"), col("_vq"))))
+      .where(SimilarityOps.usableVec(col("_vq"), col("_nq")))
+    val cos = Exact.dot(col("_vq"), col("_vc")) / col("_nq") / col("_nc")
+    val scored = cand
+      .join(corp, Seq("neighbor_id"))
+      .join(SimilarityOps.maybeBroadcastProbes(c.df, qs, 1), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.next("search_ivf_pq_rerank",
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k),
+      None, Map("k" -> k.toString, "rerank" -> rerankPerQuery.toString,
+        "nprobe" -> nprobe.toString))
+  }
+
   /** truncate_embeddings(vec_col, dim, renormalize, as): keep the first
     * `dim` coordinates — the Matryoshka representation move (Kusupati et
     * al., NeurIPS 2022: MRL-trained embeddings nest usable sub-embeddings

@@ -293,6 +293,34 @@ class Round15Spec extends AnyFunSuite {
       "assign must encode in the same residual metric as the build")
   }
 
+  test("searchIvfPqRerank: shortlist regime refines ADC candidates to the exact cosine order") {
+    val model = resModel
+    val corpus = SparkEntry.embFixtureDf(spark)
+    val queries = Chain(spark, "rr15", corpus.where("vec_id < 4"))
+    val exact = resLattice.cosineTopK(corpus.where("vec_id < 4"),
+      "vec_id", "embedding", 5).df
+    // raw index, np2 shortlist of 10: the 5 planted siblings are inside
+    // the shortlist, and the refine stage re-orders them by EXACT cosine
+    // — output identical (values included) to the exact op
+    val idx = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val got = queries.searchIvfPqRerank(model.df, idx.df, corpus,
+      "vec_id", "embedding", k = 5, rerankPerQuery = 10, nprobe = 2).df
+    assert(rows(got) == rows(exact),
+      "refined shortlist must equal the exact top-5 on the lattice")
+    // residual index face: stage 1 self-detects the codebook, the refine
+    // output is the same exact order
+    val idxR = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24, byResidual = true)
+    val gotR = queries.searchIvfPqRerank(model.df, idxR.df, corpus,
+      "vec_id", "embedding", k = 5, rerankPerQuery = 10, nprobe = 2).df
+    assert(rows(gotR) == rows(exact))
+    intercept[IllegalArgumentException] {
+      queries.searchIvfPqRerank(model.df, idx.df, corpus,
+        "vec_id", "embedding", k = 5, rerankPerQuery = 3)
+    }
+  }
+
   test("residual dedup screen runs in the residual metric with a measured margin") {
     val model = resModel
     val idx = resLattice.ivfPqIndex(model.df, "vec_id", "embedding",
