@@ -36,9 +36,15 @@ object ScaleLint {
     * shuffles the job will actually run, not only explicit repartitions.
     */
   def lint(df: DataFrame): Seq[Finding] = {
+    // initialPlan (not inputPlan): the post-EnsureRequirements plan,
+    // where the ShuffleExchangeExec nodes actually exist — inputPlan is
+    // the pre-preparation tree and would read every plan as shuffle-free
+    // (round-15 fix: the exchange-count finding was always 0). Still the
+    // PRE-execution tree: after an action the current plan hides behind
+    // query-stage leaves, so lint LAZILY (before any collect).
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan
+        a.initialPlan
       case other => other
     }
     val findings = Seq.newBuilder[Finding]

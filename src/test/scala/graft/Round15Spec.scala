@@ -374,6 +374,16 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("ScaleLint reads the post-EnsureRequirements plan: exchanges are visible") {
+    // pre-round-15 the lint walked inputPlan (no Exchange nodes ever) and
+    // exchange-count read 0 for every plan; initialPlan carries them
+    val docs = table("documents").df
+    val shuffled = docs.groupBy("lang").count()
+    val fs = graft.core.ScaleLint.lint(shuffled)
+    val count = fs.find(_.rule == "exchange-count").map(_.detail).getOrElse("")
+    assert(!count.startsWith("0 "), s"a groupBy plan must show its exchange: $fs")
+  }
+
   test("asof_join rejects frames already carrying its union-window internals") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "_rvb")
     val r = Seq((1L, 9L, 2.5)).toDF("k", "rt", "px")
