@@ -285,8 +285,12 @@ object Bench {
           approx.intersect(adcFull).size.toDouble / adcFull.size
         val ivfadcNp4 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
           pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 4).df))
-        val ivfadcNp8 = recallVsAdc(pairs(qChain.searchIvfPq(pqModel.df,
-          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df))
+        // ONE np8 search feeds both denominators (vs full-scan ADC and vs
+        // exact) — the pipeline is deterministic, re-running it would
+        // only re-spend an index scan
+        val rawNp8Pairs = pairs(qChain.searchIvfPq(pqModel.df,
+          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df)
+        val ivfadcNp8 = recallVsAdc(rawNp8Pairs)
         // multi-assign frontier at PQ storage: codes posted to 2 cells,
         // probed at the SAME nprobe=4 budget (index ×2 in m-byte codes);
         // measured 2026-08: 0.580 vs single-assign's 0.370 — duplication
@@ -328,8 +332,7 @@ object Bench {
         // Both recorded: the pruning pair floor-gated (house convention,
         // measured − 0.1), the exact-referenced pair recorded with a
         // half-measured floor (0.065 − 0.1 would be vacuous).
-        val ivfadcNp8Exact = recallOf(pairs(qChain.searchIvfPq(pqModel.df,
-          pqIdx.df, "vec_id", "embedding", k = 10, nprobe = 8).df))
+        val ivfadcNp8Exact = recallOf(rawNp8Pairs)
         val pqIdxRes = emb.ivfPqIndex(pqModel.df, "vec_id", "embedding",
           nlist = 16, byResidual = true)
         val resNp8 = pairs(qChain.searchIvfPq(pqModel.df,

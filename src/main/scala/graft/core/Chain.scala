@@ -368,9 +368,19 @@ object Chain {
     * the frame (or anything derived from it) again. A truncated plan cannot
     * recompute: reading after release fails rather than silently rescanning.
     */
-  def releaseCheckpoints(df: DataFrame): Unit =
+  def releaseCheckpoints(df: DataFrame): Unit = {
+    // walk each embedded RDD's dependency ancestors too: an op that maps
+    // over a checkpointed RDD (the PrefixScan shape — localCheckpoint,
+    // then mapPartitions) surfaces the UNPERSISTED map RDD in the plan
+    // while the persisted blocks hide one dependency down
+    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        rdd.unpersist(false)
+      rdd.dependencies.foreach(d => release(d.rdd))
+    }
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => release(lr.rdd)
       case _ => ()
     }
+  }
 }

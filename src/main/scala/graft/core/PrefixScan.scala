@@ -36,10 +36,22 @@ private[graft] object PrefixScan {
 
   /** Appends `outCol` = exclusive prefix sum of `weight` within each
     * distinct `groupCols` tuple (empty = one global group), ordered by
-    * `orderBy`. Null weights contribute 0 (the `SUM OVER` convention);
-    * null group values form their own group (the PARTITION BY convention).
-    * Output rows arrive sorted by (groupCols, orderBy); column set is the
-    * input's plus `outCol`.
+    * `orderBy`. Weights are summed as LONGS (the callers' token counts
+    * are integral; integer accumulation is what keeps the prefix sums
+    * association-free and engine-exact — callers with fractional weights
+    * must quantize deliberately first). Null weights contribute 0 (the
+    * `SUM OVER` convention); null group values form their own group (the
+    * PARTITION BY convention). Output rows arrive sorted by (groupCols,
+    * orderBy); column set is the input's plus `outCol`.
+    *
+    * Eagerness: the sort materializes (`localCheckpoint`) and the
+    * boundary-partials job runs AT CONSTRUCTION — the `trainTestSplit`
+    * posture (a declared materialization; render-only flows over a chain
+    * containing a PrefixScan-backed op pay it too, since the DataFrame
+    * face must exist to chain). Release the blocks with
+    * [[Chain.releaseCheckpoints]] when nothing will read the result
+    * again — the hook walks RDD dependencies, so the buried checkpoint
+    * is found.
     */
   def exclusivePrefixSum(df: DataFrame, groupCols: Seq[Column],
                          orderBy: Seq[Column], weight: Column,
@@ -48,8 +60,8 @@ private[graft] object PrefixScan {
     val inCols = df.columns.toSeq
     val gNames = groupCols.indices.map(i => s"_ps_g$i")
     val wName = "_ps_w"
-    (gNames :+ wName).foreach(n => require(!inCols.contains(n),
-      s"prefix_scan: internal column '$n' already exists on the frame"))
+    (gNames ++ Seq(wName, outCol)).foreach(n => require(!inCols.contains(n),
+      s"prefix_scan: internal/output column '$n' already exists on the frame"))
     var tagged = df
     groupCols.zip(gNames).foreach { case (g, n) => tagged = tagged.withColumn(n, g) }
     tagged = tagged.withColumn(wName, weight.cast("long"))

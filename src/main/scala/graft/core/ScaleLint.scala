@@ -367,8 +367,16 @@ object ScaleLint {
     // list shape of a drop-unlisted-groups op) proves key takes at most
     // #branches values downstream — each surviving row satisfied one of
     // the literal equalities. Same for IN (literals) / = literal.
-    def refsOnly(e: Expression, a: AttributeReference): Boolean =
-      e.references.nonEmpty && e.references.forall(_.exprId == a.exprId)
+    // the bound holds only when the compared expression IS the key (or a
+    // cast of it — casts never widen a domain): `k = lit` pins k to one
+    // value, but `k % 10 = 3` / `length(k) = 5` / `substr(k,..) = 'ab'`
+    // are non-injective and leave k unbounded — matching on references
+    // alone would emit wrong low-domain findings for healthy windows
+    def isKeyExpr(e: Expression, a: AttributeReference): Boolean = e match {
+      case a2: AttributeReference => a2.exprId == a.exprId
+      case ct: Cast => isKeyExpr(ct.child, a)
+      case _ => false
+    }
     def filterDomain(a: AttributeReference, cond: Expression): Option[Long] = {
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -385,26 +393,26 @@ object ScaleLint {
             case l: Literal => l.value == null || l.value == false
             case _ => false
           } && cw.branches.nonEmpty && cw.branches.forall {
-            case (EqualTo(x, _: Literal), _) => refsOnly(x, a)
-            case (EqualTo(_: Literal, x), _) => refsOnly(x, a)
+            case (EqualTo(x, _: Literal), _) => isKeyExpr(x, a)
+            case (EqualTo(_: Literal, x), _) => isKeyExpr(x, a)
             case _ => false
           }) Some(cw.branches.size.toLong)
         else None
       def orBound(e: Expression): Option[Long] = e match {
         case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
           for { lb <- orBound(l); rb <- orBound(r) } yield lb + rb
-        case EqualTo(x, _: Literal) if refsOnly(x, a) => Some(1L)
-        case EqualTo(_: Literal, x) if refsOnly(x, a) => Some(1L)
+        case EqualTo(x, _: Literal) if isKeyExpr(x, a) => Some(1L)
+        case EqualTo(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
         case _ => None
       }
       conjuncts(cond).flatMap {
         case IsNotNull(cw: CaseWhen) => caseBound(cw)
         case cw: CaseWhen => caseBound(cw)
         case In(x, vals) if vals.nonEmpty && vals.forall(_.isInstanceOf[Literal]) &&
-          refsOnly(x, a) => Some(vals.size.toLong)
+          isKeyExpr(x, a) => Some(vals.size.toLong)
         case o: org.apache.spark.sql.catalyst.expressions.Or => orBound(o)
-        case EqualTo(x, _: Literal) if refsOnly(x, a) => Some(1L)
-        case EqualTo(_: Literal, x) if refsOnly(x, a) => Some(1L)
+        case EqualTo(x, _: Literal) if isKeyExpr(x, a) => Some(1L)
+        case EqualTo(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
         case _ => None
       }.minOption
     }

@@ -1629,10 +1629,15 @@ object SimilarityOps {
     * `autoBroadcastJoinThreshold` (the probe join prunes
     * (nlist−nprobe)/nlist of the index scan, worth more memory than the
     * planner's generic default; 8 × 10 MB default still fits any executor).
-    * Above it (or with broadcast disabled, threshold ≤ 0) the hint is
-    * omitted and the `_cid` equi-join shuffles — AQE still picks a
-    * broadcast at runtime if the materialized probe stage turns out
-    * small. Estimation is plan statistics only (no extra job), and
+    * Above it the hint is omitted and the `_cid` equi-join shuffles —
+    * AQE still picks a broadcast at runtime if the materialized probe
+    * stage turns out small. A cluster that DISABLES auto-broadcast
+    * (threshold ≤ 0, the OOM-protection config) keeps the default
+    * 80 MB ceiling for this gate instead of losing the hint entirely:
+    * without it a small query batch would shuffle the whole index on
+    * nlist keys, and AQE cannot rescue it there (its own runtime
+    * threshold inherits the disabled value). Estimation is plan
+    * statistics only (no extra job), and
     * over-estimates (the batch frame's full width vs the probe
     * projection; RDD-backed lineage — localCheckpoint, createDataFrame —
     * reports the conservative `defaultSizeInBytes` maximum and so never
@@ -1643,8 +1648,11 @@ object SimilarityOps {
                                         nprobe: Int): DataFrame = {
     val thresh = org.apache.spark.sql.GraftBridge
       .autoBroadcastThreshold(probes.sparkSession)
+    val ceiling =
+      if (thresh > 0) BigInt(thresh) * 8
+      else BigInt(80L << 20) // broadcast disabled: keep the 8 x 10 MB default gate
     val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
-    if (thresh > 0 && est <= BigInt(thresh) * 8) broadcast(probes) else probes
+    if (est <= ceiling) broadcast(probes) else probes
   }
 
   /** A usable vector for cosine ranking: positive finite norm AND no NaN
@@ -1919,7 +1927,13 @@ object SimilarityOps {
 
   /** Read an index's embedded residual codebook back (None for a
     * raw-codebook index) — one bounded, declared driver collect of m·ks
-    * rows, the [[collectCentroids]] pattern.
+    * rows, the [[collectCentroids]] pattern. Cost posture: every probe/
+    * screen/assign call pays this read once at construction. On a SAVED
+    * index the `_cid = -1` predicate pushes into parquet and a raw index
+    * answers from row-group statistics alone (all groups have _cid ≥ 0 —
+    * a footer-only read); an UNSAVED chain-backed index re-executes its
+    * build DAG for the probe, which is one more reason the index is a
+    * save-the-postings investment (SCALING.md).
     */
   private[ext] def collectResidualCodebook(
       index: DataFrame): Option[Array[Array[Array[Double]]]] = {

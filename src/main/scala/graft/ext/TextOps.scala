@@ -646,6 +646,17 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     require(orderBy.nonEmpty, "packSequences needs a deterministic order")
     require(!c.df.columns.contains("pack_id"),
       "pack_sequences: column 'pack_id' already exists on the chain")
+    // integral tokens only: the prefix sums accumulate as longs (exact,
+    // association-free) and the SQL face's SUM OVER must mean the same
+    // thing — a fractional token estimate would silently truncate per
+    // row on one face and sum natively on the other
+    val tdt = c.df.schema(tokenCol).dataType
+    require(tdt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"pack_sequences: token column '$tokenCol' must be integral, got " +
+      s"${tdt.simpleString} — quantize fractional token estimates deliberately first")
     val pref = graft.core.PrefixScan.exclusivePrefixSum(
       c.df, partitionBy.map(col), orderBy.map(col), col(tokenCol), "_ps_cum")
     val cumBefore = col("_ps_cum")

@@ -177,6 +177,66 @@ class Round15Spec extends AnyFunSuite {
     assert(rows(s2) == wantSearch)
   }
 
+  test("review fixes: non-injective filters prove nothing; probes broadcast with auto-broadcast disabled; checkpoints release; integral tokens enforced") {
+    // a pushed-down non-injective predicate (k % 10 = 3) bounds NOTHING:
+    // k still takes unboundedly many values — the lint must stay quiet
+    val docs = table("documents").df
+    val modFiltered = docs
+      .where(col("doc_id") % 10 === 3)
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("n_chars"))))
+    assert(!graft.core.ScaleLint.lint(modFiltered)
+      .exists(_.rule == "low-domain-window-key"),
+      "k % 10 = 3 must not read as a domain bound")
+    // broadcast disabled (threshold -1, the OOM-protection config): a
+    // small probe batch must STILL be hinted — AQE cannot rescue it there
+    val local = Chain(spark, "pb15", SparkEntry.embFixtureDf(spark)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toSeq)).toSeq
+      .toDF("vec_id", "embedding"))
+    val model = local.pqFit("vec_id", "embedding", m = 2, ks = 4,
+      trainSample = 24, iters = 10)
+    val idx = local.ivfPqIndex(model.df, "vec_id", "embedding",
+      nlist = 4, trainSample = 24)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = Chain(spark, "pb15q", local.df.where("vec_id < 4"))
+        .searchIvfPq(model.df, idx.df, "vec_id", "embedding", k = 5, nprobe = 4).df
+      assert(probeHinted(s),
+        "small batch must keep the probe hint when auto-broadcast is disabled")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // releaseCheckpoints finds the checkpoint buried one dependency down
+    val packDocs = Seq((1L, "en", 3L), (2L, "en", 2L), (3L, "zh", 4L))
+      .toDF("doc_id", "lang", "n_tok")
+    val packed = Chain(spark, "rc15", packDocs)
+      .packSequences("n_tok", 5L, Seq("doc_id"), Seq("lang"))
+    def persistedDeps(rdd: org.apache.spark.rdd.RDD[_]): Int = {
+      val here = if (rdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE) 1 else 0
+      here + rdd.dependencies.map(d => persistedDeps(d.rdd)).sum
+    }
+    val planRdds = packed.df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(planRdds.map(persistedDeps).sum > 0,
+      "the PrefixScan checkpoint must be live before release")
+    packed.releaseCheckpoints()
+    assert(planRdds.map(persistedDeps).sum == 0,
+      "releaseCheckpoints must free the buried checkpoint blocks")
+    // fractional token columns refuse loudly (one face would truncate)
+    intercept[IllegalArgumentException] {
+      Chain(spark, "fr15", Seq((1L, 0.6)).toDF("id", "w"))
+        .packSequences("w", 10L, Seq("id"))
+    }
+    // PrefixScan's own output-name guard covers the pack internals
+    intercept[IllegalArgumentException] {
+      Chain(spark, "oc15", Seq((1L, 1L, 2L)).toDF("id", "n", "_ps_cum"))
+        .packSequences("n", 10L, Seq("id"))
+    }
+  }
+
   test("pack ops guard the emitted pack_id name; interleave guards its internals") {
     val docs = Seq((1L, "a", 1L, "t")).toDF("id", "pack_id", "n", "text")
     intercept[IllegalArgumentException] {
