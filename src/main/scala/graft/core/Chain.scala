@@ -373,14 +373,23 @@ object Chain {
     // over a checkpointed RDD (the PrefixScan shape — localCheckpoint,
     // then mapPartitions) surfaces the UNPERSISTED map RDD in the plan
     // while the persisted blocks hide one dependency down
-    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
-      if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        rdd.unpersist(false)
-      rdd.dependencies.foreach(d => release(d.rdd))
-    }
+    // iterative walk with a visited set: a plan-embedded RDD usually has
+    // a checkpoint-truncated (shallow) lineage, but the hook must also be
+    // safe on arbitrary frames — deep lineages would blow a recursive
+    // stack and diamond dependencies would re-visit
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    val stack = scala.collection.mutable.ArrayDeque.empty[org.apache.spark.rdd.RDD[_]]
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => release(lr.rdd)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => stack.append(lr.rdd)
       case _ => ()
+    }
+    while (stack.nonEmpty) {
+      val rdd = stack.removeLast()
+      if (seen.add(rdd.id)) {
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          rdd.unpersist(false)
+        rdd.dependencies.foreach(d => stack.append(d.rdd))
+      }
     }
   }
 }
