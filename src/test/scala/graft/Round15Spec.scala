@@ -66,6 +66,37 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("PrefixScan equals the window formulation across randomized shapes") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      for (seed <- Seq(7, 23, 91, 404)) {
+        val rnd = new scala.util.Random(seed)
+        val nGroups = 1 + rnd.nextInt(6)
+        val n = 50 + rnd.nextInt(300)
+        val data = (0 until n).map { _ =>
+          val g = if (rnd.nextInt(10) == 0) null else s"g${rnd.nextInt(nGroups)}"
+          val w: java.lang.Long =
+            if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(9).toLong)
+          (rnd.nextLong(), g, w) // random ids: shuffled input, tie-free order
+        }
+        val df = data.toDF("id", "g", "w").repartition(5)
+        val got = graft.core.PrefixScan.exclusivePrefixSum(
+          df, Seq(col("g")), Seq(col("id")), col("w"), "cum")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val want = df.withColumn("cum", coalesce(sum(col("w")).over(win), lit(0L)))
+        assert(rows(got) == rows(want), s"seed $seed (n=$n, groups=$nGroups)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("PrefixScan completes on empty frames and rejects internal-name collisions") {
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "w")
     assert(graft.core.PrefixScan.exclusivePrefixSum(
