@@ -949,6 +949,17 @@ object SparkEntry {
       "q_pack_sequences_tokens" -> ((s, d) =>
         t(s, d, "documents").packSequencesByTokens("text", 4000L,
           orderBy = Seq("doc_id"), partitionBy = Seq("lang")).df),
+      // the other loader tail: stride-interleave the source mix FIRST,
+      // then pack the mixed stream in its own order (UNGROUPED — one
+      // global token stream, the shape real loaders feed): exercises the
+      // PrefixScan ungrouped path end-to-end behind an exact oracle;
+      // ties in interleave_key break by (lang, doc_id), the op's own
+      // global-order convention
+      "q_loader_stream" -> ((s, d) =>
+        t(s, d, "documents").interleaveByWeight("lang",
+          Seq("en" -> 3L, "zh" -> 1L), orderBy = Seq("doc_id"))
+          .packSequencesByTokens("text", 4000L,
+            orderBy = Seq("interleave_key", "lang", "doc_id")).df),
       // composed loader-prep tail: UniMax-mixed survivors packed to the
       // token budget per lang — the two stages chain on one Chain, and
       // the oracle nests the two replay SQLs the same way
@@ -3371,6 +3382,20 @@ object SparkEntry {
           "WHEN CAST(lang AS VARCHAR) = 'zh' THEN 1 ELSE NULL END AS _il_w, " +
           "ROW_NUMBER() OVER (PARTITION BY CAST(lang AS VARCHAR) ORDER BY doc_id) AS _il_pos " +
           "FROM documents) WHERE _il_w IS NOT NULL)"),
+      // interleave replay nested under the UNGROUPED token-pack window,
+      // ordered by the mixed-stream key (ties break lang, doc_id)
+      "q_loader_stream" ->
+        ("WITH il AS (SELECT * EXCLUDE (_il_w, _il_pos) FROM (SELECT *, " +
+          "CAST(CAST(_il_pos AS BIGINT) * 1000000 // _il_w AS BIGINT) AS interleave_key FROM (" +
+          "SELECT *, CASE WHEN CAST(lang AS VARCHAR) = 'en' THEN 3 " +
+          "WHEN CAST(lang AS VARCHAR) = 'zh' THEN 1 ELSE NULL END AS _il_w, " +
+          "ROW_NUMBER() OVER (PARTITION BY CAST(lang AS VARCHAR) ORDER BY doc_id) AS _il_pos " +
+          "FROM documents) WHERE _il_w IS NOT NULL)) " +
+          "SELECT *, CAST(FLOOR(COALESCE(SUM(pack_tokens) OVER (" +
+          "ORDER BY interleave_key, lang, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS pack_id " +
+          "FROM (SELECT *, CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS pack_tokens FROM il)"),
       // UniMax: the water-filling census replays as pure window algebra
       // (prefix-feasibility tests over caps sorted ascending)
       "q_unimax_alloc" -> umAllocSql(220000L, 2),
