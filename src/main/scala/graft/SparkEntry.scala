@@ -278,6 +278,12 @@ object SparkEntry {
         .filterRows(Seq("NOT isnan(acct3) AND NOT isnan(seg4)")).df),
     "q_bin" -> ((s, d) =>
       t(s, d, "orders").bin("equalwidth", 10, "o_totalprice").df),
+    // global NTILE face: PrefixScan positions + bucket arithmetic (no
+    // single-task window); o_orderkey tiebreak makes the assignment
+    // deterministic so both engines agree on tied prices
+    "q_bin_ntile" -> ((s, d) =>
+      t(s, d, "orders").bin("ntile", 7, "o_totalprice",
+        tiebreak = Seq("o_orderkey")).df),
     // data-quality gate: per-flag z-scores and 2-sigma outlier flags from
     // exact decimal window statistics
     "q_flag_outliers" -> ((s, d) =>
@@ -638,7 +644,12 @@ object SparkEntry {
     // per-group exact quantile gate: top quartile of order value per priority
     "q_filter_quantile" -> ((s, d) =>
       t(s, d, "orders").filterByQuantile("o_totalprice", 0.75,
-        Seq("o_orderpriority")).df)
+        Seq("o_orderpriority")).df),
+    // ungrouped face: distributed tie-stable cutoff (per-value counts +
+    // PrefixScan cume over the distinct-value frame) → one pushdown-able
+    // range predicate — no global window
+    "q_filter_quantile_global" -> ((s, d) =>
+      t(s, d, "orders").filterByQuantile("o_totalprice", 0.9).df)
   )
 
   /** LLM-data-pipeline extension queries (SURVEY §2.4 / north star):
@@ -2145,6 +2156,9 @@ object SparkEntry {
         "WHERE NOT isnan(COALESCE(acct3, mf)) AND NOT isnan(COALESCE(seg4, sf))"),
     "q_bin" ->
       "SELECT * EXCLUDE (mn, w), CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w), 9) AS INTEGER) AS o_totalprice_bin FROM orders, (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn, (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 10 AS w FROM orders) s",
+    "q_bin_ntile" ->
+      ("SELECT *, CAST(NTILE(7) OVER (ORDER BY o_totalprice ASC NULLS FIRST, " +
+        "o_orderkey ASC NULLS FIRST) AS INTEGER) AS o_totalprice_bin FROM orders"),
     "q_standard_scaler" ->
       s"SELECT * EXCLUDE (mu, sd), (CAST(l_extendedprice AS DOUBLE) - mu) / sd AS l_extendedprice_scaled FROM lineitem, (SELECT ${davg("l_extendedprice")} AS mu, SQRT((${dsum8("l_extendedprice * l_extendedprice")} - ${dsum("l_extendedprice")} * ${dsum("l_extendedprice")} / CAST(COUNT(l_extendedprice) AS DOUBLE)) / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS sd FROM lineitem) s",
     "q_robust_scaler" -> {
@@ -2764,6 +2778,11 @@ object SparkEntry {
         "FROM (SELECT *, CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC) " +
         "AS _graft_cd FROM orders WHERE o_totalprice IS NOT NULL " +
         "AND NOT isnan(CAST(o_totalprice AS DOUBLE))) WHERE _graft_cd > 0.75"),
+    "q_filter_quantile_global" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM (SELECT *, CUME_DIST() OVER (ORDER BY o_totalprice ASC) " +
+        "AS _graft_cd FROM orders WHERE o_totalprice IS NOT NULL " +
+        "AND NOT isnan(CAST(o_totalprice AS DOUBLE))) WHERE _graft_cd > 0.9"),
     "q_sample_stratified" ->
       (s"SELECT * FROM lineitem WHERE md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
         s"CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR))) < " +

@@ -377,6 +377,14 @@ object Chain {
     // a checkpoint-truncated (shallow) lineage, but the hook must also be
     // safe on arbitrary frames — deep lineages would blow a recursive
     // stack and diamond dependencies would re-visit
+    //
+    // blast radius: only CHECKPOINTED RDDs are unpersisted (graft's
+    // materializations are all localCheckpoints), and the walk STOPS at a
+    // checkpoint boundary — blocks beyond one (a user-persisted input
+    // RDD, a sibling frame's shared cache one dependency down) belong to
+    // someone else and stay alive. A frame the USER localCheckpointed and
+    // fed in is indistinguishable from graft's own and is released too —
+    // callers sharing such frames must not call this hook on them.
     val seen = scala.collection.mutable.HashSet.empty[Int]
     val stack = scala.collection.mutable.ArrayDeque.empty[org.apache.spark.rdd.RDD[_]]
     df.queryExecution.analyzed.foreach {
@@ -386,9 +394,10 @@ object Chain {
     while (stack.nonEmpty) {
       val rdd = stack.removeLast()
       if (seen.add(rdd.id)) {
-        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          rdd.unpersist(false)
-        rdd.dependencies.foreach(d => stack.append(d.rdd))
+        if (rdd.isCheckpointed) {
+          if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            rdd.unpersist(false)
+        } else rdd.dependencies.foreach(d => stack.append(d.rdd))
       }
     }
   }

@@ -52,6 +52,19 @@ private[graft] object PrefixScan {
     * [[Chain.releaseCheckpoints]] when nothing will read the result
     * again — the hook walks RDD dependencies, so the buried checkpoint
     * is found.
+    *
+    * Storage posture: the checkpoint holds the ENTIRE sorted frame as
+    * executor blocks until released. The level is
+    * `spark.graft.prefixScan.storageLevel` (default `MEMORY_AND_DISK`;
+    * set `DISK_ONLY` for corpus-scale frames so the burst never competes
+    * with shuffle/execution memory — blocks stream from local disk at
+    * scan speed). `localCheckpoint` is NOT fault-tolerant by design:
+    * lineage is truncated, so losing an executor that holds blocks fails
+    * the downstream job instead of recomputing (Spark's documented local
+    * checkpoint contract). On long multi-hour cluster runs, either
+    * schedule the consuming action promptly after construction, or set
+    * a replicated level (`MEMORY_AND_DISK_2`) via the same key to
+    * survive single-executor loss.
     */
   def exclusivePrefixSum(df: DataFrame, groupCols: Seq[Column],
                          orderBy: Seq[Column], weight: Column,
@@ -65,13 +78,28 @@ private[graft] object PrefixScan {
     var tagged = df
     groupCols.zip(gNames).foreach { case (g, n) => tagged = tagged.withColumn(n, g) }
     tagged = tagged.withColumn(wName, weight.cast("long"))
+    val level = org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.get("spark.graft.prefixScan.storageLevel", "MEMORY_AND_DISK"))
     val sorted = tagged
       .orderBy((gNames.map(col) ++ orderBy): _*)
-      .localCheckpoint()
+      .localCheckpoint(true, level)
     val schema = sorted.schema
     val gIdx = gNames.map(schema.fieldIndex).toArray
     val wIdx = schema.fieldIndex(wName)
-    def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(i => r.get(i))
+    // group keys must compare BY VALUE: Row.get returns Array[Byte] for
+    // BinaryType (and Java arrays for nested array externals), which Seq
+    // equality compares by REFERENCE — every row would start a new group
+    // run and the prefix sums would be silently wrong while the SQL
+    // window face groups binary by value. Normalize arrays (recursively:
+    // array<binary> elements too) to value-comparable Seqs; Rows (struct
+    // keys) already value-compare and Arrays.equals their binary fields.
+    def normalize(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case a: Array[_] => a.toSeq.map(normalize)
+      case s: Seq[_] => s.map(normalize)
+      case other => other
+    }
+    def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(i => normalize(r.get(i)))
     def wOf(r: Row): Long = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
 
     // job 2: boundary partials — per partition, the first group's partial

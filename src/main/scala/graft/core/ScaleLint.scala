@@ -342,8 +342,8 @@ object ScaleLint {
   private def literalDomain(e0: org.apache.spark.sql.catalyst.expressions.Expression,
                             plan0: SparkPlan): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference,
-      CaseWhen, Cast, CreateArray, CreateNamedStruct, EqualTo, Explode, Expression,
-      GetStructField, In, IsNotNull, Literal}
+      CaseWhen, Cast, CreateArray, CreateNamedStruct, EqualNullSafe, EqualTo, Explode,
+      Expression, GetStructField, In, IsNotNull, Literal}
     import org.apache.spark.sql.execution.{FilterExec, GenerateExec, ProjectExec}
     // all array elements are structs whose field `ord` is a literal
     def structField(elems: Seq[Expression], ord: Int, n: Int): Option[Long] =
@@ -383,14 +383,15 @@ object ScaleLint {
         case other => Seq(other)
       }
       // a CaseWhen whose branch predicates are all literal equalities on
-      // `a` and whose else is a null/false literal (or absent) passes a
-      // row only when one of those equalities held — the shape both the
-      // raw `IS NOT NULL` form and its optimizer rewrite (boolean CASE
-      // with ELSE false, the BooleanSimplification of isnotnull-over-
-      // case) take
-      def caseBound(cw: CaseWhen): Option[Long] =
+      // `a` passes a row only when one of those equalities held — IF the
+      // else value cannot pass the enclosing test. The allowed else set
+      // depends on that test: a bare boolean CASE conjunct drops the row
+      // on null OR false (allowFalseElse), but under IS NOT NULL an
+      // `ELSE false` makes the predicate ALWAYS true (false IS NOT NULL)
+      // — only an absent/null else proves anything there
+      def caseBound(cw: CaseWhen, allowFalseElse: Boolean): Option[Long] =
         if (cw.elseValue.forall {
-            case l: Literal => l.value == null || l.value == false
+            case l: Literal => l.value == null || (allowFalseElse && l.value == false)
             case _ => false
           } && cw.branches.nonEmpty && cw.branches.forall {
             case (EqualTo(x, _: Literal), _) => isKeyExpr(x, a)
@@ -405,16 +406,28 @@ object ScaleLint {
         case EqualTo(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
         case _ => None
       }
-      conjuncts(cond).flatMap {
-        case IsNotNull(cw: CaseWhen) => caseBound(cw)
-        case cw: CaseWhen => caseBound(cw)
+      def conjunctBound(e: Expression): Option[Long] = e match {
+        case IsNotNull(cw: CaseWhen) => caseBound(cw, allowFalseElse = false)
+        case cw: CaseWhen => caseBound(cw, allowFalseElse = true)
         case In(x, vals) if vals.nonEmpty && vals.forall(_.isInstanceOf[Literal]) &&
           isKeyExpr(x, a) => Some(vals.size.toLong)
         case o: org.apache.spark.sql.catalyst.expressions.Or => orBound(o)
         case EqualTo(x, _: Literal) if isKeyExpr(x, a) => Some(1L)
         case EqualTo(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
+        // `pred <=> true` is the optimizer's null-safe rewrite of
+        // isnotnull-over-case (NullPropagation folds the CASE into its
+        // predicate, then wraps it null-safely): whatever bounds pred
+        // bounds the conjunct. `k <=> lit` pins k like EqualTo does —
+        // null-safe equality still admits exactly one value.
+        case EqualNullSafe(Literal(true, org.apache.spark.sql.types.BooleanType), inner) =>
+          conjunctBound(inner)
+        case EqualNullSafe(inner, Literal(true, org.apache.spark.sql.types.BooleanType)) =>
+          conjunctBound(inner)
+        case EqualNullSafe(x, _: Literal) if isKeyExpr(x, a) => Some(1L)
+        case EqualNullSafe(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
         case _ => None
-      }.minOption
+      }
+      conjuncts(cond).flatMap(conjunctBound).minOption
     }
     def defIn(a: AttributeReference, p: SparkPlan, ord: Option[Int]): Option[Long] = p match {
       case pr: ProjectExec =>

@@ -1632,11 +1632,15 @@ object SimilarityOps {
     * Above it the hint is omitted and the `_cid` equi-join shuffles —
     * AQE still picks a broadcast at runtime if the materialized probe
     * stage turns out small. A cluster that DISABLES auto-broadcast
-    * (threshold ≤ 0, the OOM-protection config) keeps the default
-    * 80 MB ceiling for this gate instead of losing the hint entirely:
+    * (threshold ≤ 0, the OOM-protection config) keeps a fallback
+    * ceiling for this gate instead of losing the hint entirely:
     * without it a small query batch would shuffle the whole index on
     * nlist keys, and AQE cannot rescue it there (its own runtime
-    * threshold inherits the disabled value). Estimation is plan
+    * threshold inherits the disabled value). That fallback is
+    * `spark.graft.probeBroadcast.maxBytes` (default 80 MB = 8 × the
+    * 10 MB planner default); operators who disabled broadcasts as a
+    * hard OOM guard set it ≤ 0 and the hint is never forced — the
+    * explicit cluster config wins. Estimation is plan
     * statistics only (no extra job), and
     * over-estimates (the batch frame's full width vs the probe
     * projection; RDD-backed lineage — localCheckpoint, createDataFrame —
@@ -1650,9 +1654,10 @@ object SimilarityOps {
       .autoBroadcastThreshold(probes.sparkSession)
     val ceiling =
       if (thresh > 0) BigInt(thresh) * 8
-      else BigInt(80L << 20) // broadcast disabled: keep the 8 x 10 MB default gate
+      else BigInt(probes.sparkSession.conf
+        .get("spark.graft.probeBroadcast.maxBytes", (80L << 20).toString).toLong)
     val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
-    if (est <= ceiling) broadcast(probes) else probes
+    if (ceiling > 0 && est <= ceiling) broadcast(probes) else probes
   }
 
   /** A usable vector for cosine ranking: positive finite norm AND no NaN

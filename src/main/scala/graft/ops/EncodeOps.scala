@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{Chain, Exact, Naming}
+import graft.core.{Chain, Exact, Naming, PrefixScan}
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,8 +119,14 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * [[targetEncode]]; rare-category signal survives where one-hot
     * explodes). Null is a category like any other (its frequency is
     * exactly as informative). One window pass partitioned by the
-    * category; the share is an exact integer-over-integer IEEE division
-    * — engine-exact either way.
+    * category; with `normalize` the total comes from one ungrouped
+    * aggregate (map-side combined, one output row) broadcast back via
+    * `crossJoin` — NOT from a whole-frame window, whose empty PARTITION BY
+    * would shuffle the entire corpus through a single task before any row
+    * emits (the shape [[graft.core.ScaleLint]] grades error). The share is
+    * an exact integer-over-integer IEEE division — engine-exact either
+    * way, and identical to the `COUNT(*) OVER ()` formulation the SQL
+    * face keeps for rendering engines.
     */
   def frequencyEncode(column: String, normalize: Boolean = false): Chain = {
     require(c.df.columns.contains(column),
@@ -128,15 +134,22 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val name = Naming.cleanse(s"${column}_freq")
     val w = Window.partitionBy(col(column))
     val cnt = count(lit(1)).over(w)
-    val e =
-      if (normalize) cnt.cast("double") / count(lit(1)).over(Window.partitionBy()).cast("double")
-      else cnt
+    val df2 =
+      if (normalize) {
+        val tn = "_graft_fe_total"
+        require(!c.df.columns.contains(tn),
+          s"frequency_encode: internal column '$tn' already exists on the frame")
+        val total = c.df.agg(count(lit(1)).cast("double").as(tn))
+        c.df.crossJoin(broadcast(total))
+          .withColumn(name, cnt.cast("double") / col(tn))
+          .drop(tn)
+      } else c.df.withColumn(name, cnt)
     val cn = Naming.quoteId(column)
     val eSql =
       if (normalize)
         s"CAST(COUNT(*) OVER (PARTITION BY $cn) AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)"
       else s"COUNT(*) OVER (PARTITION BY $cn)"
-    c.next("frequency_encode", c.df.withColumn(name, e),
+    c.next("frequency_encode", df2,
       Some(s"SELECT *, $eSql AS $name FROM {{source}}"))
   }
 
@@ -153,8 +166,16 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * category and global sides (the [[graft.core.Exact]] regime), NaN
     * targets are excluded consistently, and the final combination is a
     * fixed chain of IEEE double ops — engine-exact. Null category is a
-    * category like any other. Two window passes sharing one exchange
-    * (category partition + the global frame over the same pass shape).
+    * category like any other. One window pass partitioned by the
+    * category; the global-mean terms come from one ungrouped
+    * exact-decimal aggregate (one output row) broadcast back via
+    * `crossJoin` — NOT from a whole-frame window: an empty PARTITION BY
+    * requires SinglePartition distribution, so the entire corpus would
+    * shuffle through one task before a single encoded row emits (the
+    * shape [[graft.core.ScaleLint]] grades error). Decimal sums are
+    * association-free, so the aggregate's doubles are bit-identical to
+    * the `SUM OVER ()` formulation the SQL face keeps for rendering
+    * engines.
     */
   def targetEncodeSmoothed(column: String, target: String, m: Double = 10.0): Chain = {
     require(m > 0.0, s"target_encode_smoothed: m must be positive, got $m")
@@ -162,7 +183,6 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       s"target_encode_smoothed: chain is missing column '$cn'"))
     val name = Naming.cleanse(s"${column}_target_enc_sm")
     val wCat = Window.partitionBy(col(column))
-    val wAll = Window.partitionBy()
     val dt = c.df.schema(target).dataType
     val tExcl =
       if (Exact.isFloating(dt)) when(!isnan(col(target).cast("double")), col(target))
@@ -171,7 +191,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       sum(tExcl.cast(Exact.Wide)).over(w).cast("double")
     def cntOf(w: org.apache.spark.sql.expressions.WindowSpec) =
       count(tExcl).over(w).cast("double")
-    val gMean = sumOf(wAll) / cntOf(wAll)
+    val (gsN, gcN) = ("_graft_tes_gsum", "_graft_tes_gcnt")
+    Seq(gsN, gcN).foreach(n => require(!c.df.columns.contains(n),
+      s"target_encode_smoothed: internal column '$n' already exists on the frame"))
+    val globals = c.df.agg(
+      sum(tExcl.cast(Exact.Wide)).cast("double").as(gsN),
+      count(tExcl).cast("double").as(gcN))
+    val gMean = col(gsN) / col(gcN)
     val e = (sumOf(wCat) + lit(m) * gMean) / (cntOf(wCat) + lit(m))
     val cn = Naming.quoteId(column)
     val tq = Naming.quoteId(target)
@@ -184,7 +210,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     def cntS(part: String) = s"CAST(COUNT($tS) OVER ($part) AS DOUBLE)"
     val gMeanS = s"${sumS("")} / ${cntS("")}"
     val mLit = s"CAST('${m}' AS DOUBLE)"
-    c.next("target_encode_smoothed", c.df.withColumn(name, e),
+    val df2 = c.df.crossJoin(broadcast(globals))
+      .withColumn(name, e)
+      .drop(gsN, gcN)
+    c.next("target_encode_smoothed", df2,
       Some(s"SELECT *, (${sumS(s"PARTITION BY $cn")} + $mLit * ($gMeanS)) / " +
         s"(${cntS(s"PARTITION BY $cn")} + $mLit) AS $name FROM {{source}}"))
   }
@@ -286,10 +315,41 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
           s"SELECT *, CASE WHEN NOT isnan(CAST($column AS DOUBLE)) THEN $coreSql END " +
             s"AS $name FROM {{source}}"))
       case "ntile" =>
+        require(binCount >= 1, s"bin(ntile): bin_count must be >= 1, got $binCount")
         val order = (column +: tiebreak).map(col(_).asc)
-        val e = ntile(binCount).over(Window.orderBy(order: _*))
+        // Global NTILE without the single-task window: Spark plans
+        // `NTILE(n) OVER (ORDER BY …)` as a SinglePartition sort — the
+        // whole corpus through ONE task (the shape ScaleLint grades
+        // error). Instead: distributed 0-based row positions from
+        // [[graft.core.PrefixScan]] (range-partitioned sort +
+        // partition-local scan) and NTILE's bucket arithmetic on
+        // (position, total) — ANSI NTILE gives the first n mod b buckets
+        // ⌈n/b⌉ rows and the rest ⌊n/b⌋, so
+        //   bucket(p) = p div (q+1) + 1            for p <  r·(q+1)
+        //             = (p − r·(q+1)) div q + r + 1 otherwise
+        // with q = n div b, r = n mod b. One declared count() action +
+        // the PrefixScan materialization (the bounded-stats posture the
+        // equalwidth face already has — release via
+        // [[graft.core.Chain.releaseCheckpoints]]). Row order within
+        // order-ties stays engine-chosen, exactly as NTILE's is; pass
+        // `tiebreak` columns for a deterministic assignment. The SQL face
+        // keeps the standard NTILE window text for rendering engines.
+        val posCol = "_graft_bin_pos"
+        require(!c.df.columns.contains(posCol),
+          s"bin(ntile): internal column '$posCol' already exists on the frame")
+        val n = c.df.count()
+        val withPos = PrefixScan.exclusivePrefixSum(
+          c.df, Nil, order, lit(1L), posCol)
+        val q = n / binCount
+        val r = n % binCount
+        val e =
+          if (q == 0L) (col(posCol) + lit(1L)).cast("int") // n < b: 1 row per bucket
+          else when(col(posCol) < lit(r * (q + 1L)),
+              expr(s"$posCol div ${q + 1L}") + lit(1L))
+            .otherwise(expr(s"($posCol - ${r * (q + 1L)}) div $q") + lit(r + 1L))
+            .cast("int")
         val orderSql = (column +: tiebreak).mkString(", ")
-        c.next("bin", c.df.withColumn(name, e), Some(
+        c.next("bin", withPos.withColumn(name, e).drop(posCol), Some(
           s"SELECT *, NTILE($binCount) OVER (ORDER BY $orderSql) AS $name FROM {{source}}"))
       case other => throw new IllegalArgumentException(s"unknown bin type $other")
     }

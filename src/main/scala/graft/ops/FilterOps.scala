@@ -81,9 +81,25 @@ final class FilterOps(private val c: Chain) extends AnyVal {
     * q=0.75 keeps the top quartile); keep = "bottom" keeps the complement.
     * The corpus quality-gate pass ("drop everything below the per-language
     * median score") as one declarative window: one shuffle on the partition
-    * keys, no driver statistics, no approximation — and `CUME_DIST` is
-    * tie-stable (equal values share a rank), so results don't depend on
-    * row order within ties. Renders an exact SQL face (CUME_DIST is
+    * keys, no approximation — and `CUME_DIST` is tie-stable (equal values
+    * share a rank), so results don't depend on row order within ties.
+    *
+    * UNGROUPED (empty `partitionBy`), the window formulation would plan an
+    * empty PARTITION BY — SinglePartition distribution, the whole corpus
+    * sorted through ONE task (the shape [[graft.core.ScaleLint]] grades
+    * error). That face instead computes the exact tie-stable cutoff VALUE
+    * distributedly — per-value counts (one shuffle on the value), a
+    * [[graft.core.PrefixScan]] cumulative count over that (≤ #distinct
+    * values) frame, the smallest value whose cume_dist clears q collected
+    * as one scalar — and filters the corpus with a plain range predicate,
+    * which Catalyst pushes into the parquet scan. Because kept-ness is
+    * tie-stable, "cume_dist > q" is exactly "value ≥ cutoff" (the kept set
+    * is a value-suffix), so the two faces agree bit-for-bit: the cume_dist
+    * comparison replayed on the count frame is the same
+    * integer-over-integer IEEE division the window computes per row. The
+    * ungrouped face is therefore EAGER (two bounded driver reads of one
+    * scalar each — the equalwidth-bin posture); its PrefixScan blocks are
+    * released before returning. Renders an exact SQL face (CUME_DIST is
     * standard), so quantile gates survive `sql()`/dbt export.
     */
   def filterByQuantile(valueCol: String, q: Double,
@@ -106,13 +122,42 @@ final class FilterOps(private val c: Chain) extends AnyVal {
     val ranksSql =
       if (floating) s"$valueCol IS NOT NULL AND NOT isnan($valueCol)"
       else s"$valueCol IS NOT NULL"
-    val w0 = if (partitionBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partitionBy.map(col): _*)
-    val w = w0.orderBy(col(valueCol).asc)
     val cols = c.df.columns.toSeq
-    val df2 = c.df.where(ranks).withColumn("_graft_cd", cume_dist().over(w))
-      .where(if (keep == "top") col("_graft_cd") > q else col("_graft_cd") <= q)
-      .select(cols.map(col): _*)
+    val df2 =
+      if (partitionBy.isEmpty) {
+        // distributed cutoff: group rows by value (the only shuffle on
+        // corpus rows), cumulative counts over the distinct-value frame
+        // via PrefixScan, then ONE collected scalar drives a
+        // pushdown-able range predicate on the original scan
+        val vals = c.df.where(ranks)
+          .groupBy(col(valueCol).as("_q_v")).agg(count(lit(1)).as("_q_c"))
+        val scanned = graft.core.PrefixScan.exclusivePrefixSum(
+          vals, Nil, Seq(col("_q_v").asc), col("_q_c"), "_q_excl")
+        val n = scanned.agg(sum(col("_q_c"))).collect()(0)
+        val cut: Any =
+          if (n.isNullAt(0)) null // no rankable rows: both keeps are empty
+          else {
+            // cume_dist(v) = count(rows <= v) / n, the SAME IEEE division
+            // the window face computes per row; the max value always
+            // clears q (n/n = 1 > q), so min() is never null here
+            val cume = (col("_q_excl") + col("_q_c")).cast("double") /
+              lit(n.getLong(0).toDouble)
+            scanned.where(cume > lit(q))
+              .agg(min(col("_q_v"))).collect()(0).get(0)
+          }
+        graft.core.Chain.releaseCheckpoints(scanned)
+        val gate =
+          if (cut == null) lit(false)
+          else if (keep == "top") col(valueCol) >= lit(cut)
+          else col(valueCol) < lit(cut)
+        c.df.where(ranks && gate)
+      } else {
+        val w = Window.partitionBy(partitionBy.map(col): _*)
+          .orderBy(col(valueCol).asc)
+        c.df.where(ranks).withColumn("_graft_cd", cume_dist().over(w))
+          .where(if (keep == "top") col("_graft_cd") > q else col("_graft_cd") <= q)
+          .select(cols.map(col): _*)
+      }
     val part = if (partitionBy.isEmpty) "" else s"PARTITION BY ${partitionBy.mkString(", ")} "
     val cmp = if (keep == "top") ">" else "<="
     c.next("filter_by_quantile", df2, Some(

@@ -1,0 +1,264 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Chain
+import graft.ops._
+import TestSpark._
+
+/** Gates for the round-16 batch: the last empty-partition corpus windows
+  * retired (smoothed target encode, normalized frequency encode, ntile
+  * bin, ungrouped quantile gate), PrefixScan key/value-equality and
+  * storage-level hardening, and the release-hook blast radius.
+  */
+class Round16Spec extends AnyFunSuite {
+  import spark.implicits._
+
+  /** WindowExec nodes with an EMPTY partitionSpec — the SinglePartition
+    * funnel these ops must never plan. Walks adaptive wrappers like
+    * Round15Spec's windowsIn.
+    */
+  private def emptyPartitionWindows(df: DataFrame): Int = {
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def allWindows(df: DataFrame): Int = {
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.window.WindowExec => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  // ---- the retired empty-partition corpus windows ----------------------
+
+  test("targetEncodeSmoothed: broadcast global terms, no empty-partition window, values match the window formulation") {
+    val orders = table("orders")
+    val got = orders.targetEncodeSmoothed("o_orderpriority", "o_totalprice", m = 25.0).df
+    assert(emptyPartitionWindows(got) == 0,
+      "the global mean must come from an aggregate + broadcast crossJoin, not PARTITION BY ()")
+    assert(allWindows(got) == 1, "exactly the category window survives")
+    graft.core.ScaleLint.assertSafe(got)
+    // bit-identical to the whole-frame-window formulation it replaced
+    val t = col("o_totalprice").cast(graft.core.Exact.Wide)
+    val wCat = Window.partitionBy(col("o_orderpriority"))
+    val wAll = Window.partitionBy()
+    val gMean = sum(t).over(wAll).cast("double") / count(t).over(wAll).cast("double")
+    val want = orders.df.withColumn("o_orderpriority_target_enc_sm",
+      (sum(t).over(wCat).cast("double") + lit(25.0) * gMean) /
+        (count(t).over(wCat).cast("double") + lit(25.0)))
+    assert(rows(got) == rows(want))
+  }
+
+  test("frequencyEncode(normalize): broadcast total, no empty-partition window, values match the window formulation") {
+    val cust = table("customer")
+    val got = cust.frequencyEncode("c_mktsegment", normalize = true).df
+    assert(emptyPartitionWindows(got) == 0,
+      "the total must come from an aggregate + broadcast crossJoin, not COUNT(*) OVER ()")
+    assert(allWindows(got) == 1, "exactly the category window survives")
+    graft.core.ScaleLint.assertSafe(got)
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val want = cust.df.withColumn("c_mktsegment_freq",
+      count(lit(1)).over(w).cast("double") /
+        count(lit(1)).over(Window.partitionBy()).cast("double"))
+    assert(rows(got) == rows(want))
+    // the default (un-normalized) face keeps its single category window
+    val plain = cust.frequencyEncode("c_mktsegment").df
+    assert(emptyPartitionWindows(plain) == 0 && allWindows(plain) == 1)
+  }
+
+  test("bin(ntile): PrefixScan positions + bucket arithmetic match NTILE across n/b regimes, window-free plan") {
+    // regimes: n divisible by b, remainder buckets, n < b, ties broken
+    // by the tiebreak column, a null value (sorts first under ASC
+    // NULLS FIRST, exactly as NTILE ranks it)
+    val data = (0 until 53).map { i =>
+      val v: java.lang.Double =
+        if (i == 7) null else java.lang.Double.valueOf((i % 13).toDouble)
+      (i.toLong, v)
+    }
+    val df = data.toDF("id", "v").repartition(5)
+    for (b <- Seq(1, 4, 7, 53, 60)) {
+      val got = Chain(spark, "nt16", df).bin("ntile", b, "v", tiebreak = Seq("id")).df
+      assert(emptyPartitionWindows(got) == 0, s"b=$b planned a global window")
+      assert(allWindows(got) == 0, s"b=$b planned a window at all")
+      val want = df.withColumn("v_bin",
+        ntile(b).over(Window.orderBy(col("v").asc, col("id").asc)))
+      assert(rows(got) == rows(want), s"ntile mismatch at b=$b")
+      graft.core.Chain.releaseCheckpoints(got)
+    }
+  }
+
+  test("filterByQuantile ungrouped: distributed cutoff matches the window formulation incl. ties, null/NaN drops, both keeps") {
+    // heavy ties (v = i % 7), nulls and NaNs sprinkled in
+    val data = (0 until 140).map { i =>
+      val v: java.lang.Double =
+        if (i % 19 == 0) null
+        else if (i % 23 == 0) java.lang.Double.valueOf(Double.NaN)
+        else java.lang.Double.valueOf((i % 7).toDouble)
+      (i.toLong, v)
+    }
+    val df = data.toDF("id", "v").repartition(6)
+    for (q <- Seq(0.1, 0.5, 2.0 / 7.0, 0.999); k <- Seq("top", "bottom")) {
+      val got = Chain(spark, "fq16", df).filterByQuantile("v", q, Nil, keep = k).df
+      assert(allWindows(got) == 0, s"q=$q keep=$k planned a window")
+      graft.core.ScaleLint.assertSafe(got)
+      val usable = col("v").isNotNull && !isnan(col("v"))
+      val cd = cume_dist().over(Window.partitionBy().orderBy(col("v").asc))
+      val want = df.where(usable).withColumn("_cd", cd)
+        .where(if (k == "top") col("_cd") > q else col("_cd") <= q)
+        .select(col("id"), col("v"))
+      assert(rows(got) == rows(want), s"quantile gate mismatch at q=$q keep=$k")
+    }
+  }
+
+  test("filterByQuantile ungrouped pushes the cutoff predicate into the parquet scan") {
+    val got = table("orders").filterByQuantile("o_totalprice", 0.9).df
+    val scans = got.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_totalprice"),
+      s"cutoff must reach the scan, got: $pushed")
+  }
+
+  // ---- PrefixScan hardening --------------------------------------------
+
+  test("PrefixScan compares binary group keys by value (matches the window face)") {
+    // two distinct Array[Byte] instances per logical key: reference
+    // equality would start a new run at every row
+    val rows17 = (0 until 40).map { i =>
+      (i.toLong, Array[Byte]((i % 3).toByte, 7.toByte), (i % 5).toLong)
+    }
+    val df = rows17.toDF("id", "g", "w").repartition(4)
+    val got = graft.core.PrefixScan.exclusivePrefixSum(
+      df, Seq(col("g")), Seq(col("id")), col("w"), "cum")
+    val want = df.withColumn("cum",
+      coalesce(sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // hex the key for the comparison: Row.toString prints Array[Byte] by
+    // identity, which is exactly the disease under test
+    def cmp(df2: DataFrame) = rows(df2.withColumn("g", hex(col("g"))))
+    assert(cmp(got) == cmp(want),
+      "binary group keys must compare by value, not reference")
+    graft.core.Chain.releaseCheckpoints(got)
+  }
+
+  test("PrefixScan honors spark.graft.prefixScan.storageLevel") {
+    val key = "spark.graft.prefixScan.storageLevel"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "DISK_ONLY")
+    try {
+      val df = (0 until 30).map(i => (i.toLong, 1L)).toDF("id", "w")
+      val got = graft.core.PrefixScan.exclusivePrefixSum(
+        df, Nil, Seq(col("id")), col("w"), "cum")
+      // find the checkpointed RDD buried below the plan-embedded map RDD
+      def ckpt(rdd: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+        (if (rdd.isCheckpointed) Seq(rdd) else Seq.empty) ++
+          (if (rdd.isCheckpointed) Seq.empty
+           else rdd.dependencies.flatMap(d => ckpt(d.rdd)))
+      val buried = got.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(ckpt)
+      assert(buried.nonEmpty, "the PrefixScan checkpoint must be discoverable")
+      assert(buried.forall(_.getStorageLevel ==
+        org.apache.spark.storage.StorageLevel.DISK_ONLY),
+        s"storage level must follow the conf key, got ${buried.map(_.getStorageLevel)}")
+      assert(got.count() == 30)
+      graft.core.Chain.releaseCheckpoints(got)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("releaseCheckpoints spares user-persisted RDDs below the checkpoint boundary") {
+    val sc = spark.sparkContext
+    val userRdd = sc.parallelize(0 until 20, 2)
+      .map(i => org.apache.spark.sql.Row(i.toLong, (i % 3).toLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    userRdd.count()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)))
+    val userDf = spark.createDataFrame(userRdd, schema)
+    try {
+      // the user-persisted RDD sits DIRECTLY in the plan: the hook must
+      // not unpersist it (it is not a checkpoint)
+      Chain.releaseCheckpoints(userDf)
+      assert(userRdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "a user-persisted plan RDD must survive releaseCheckpoints")
+      // through a graft op: the checkpoint is released, the user cache
+      // stays (the walk stops at the checkpoint boundary; the persisted
+      // input is upstream of the range sort, not inside the truncated
+      // lineage)
+      val scanned = graft.core.PrefixScan.exclusivePrefixSum(
+        userDf, Nil, Seq(col("id")), col("w"), "cum")
+      Chain.releaseCheckpoints(scanned)
+      assert(userRdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "the user cache upstream of a graft checkpoint must survive release")
+    } finally userRdd.unpersist(true)
+  }
+
+  // ---- ScaleLint: IsNotNull over CASE ... ELSE false proves nothing ----
+
+  test("lint: IsNotNull(CASE .. ELSE false) is always-true and must not bound the window key") {
+    val docs = table("documents").df
+    // ELSE false under IS NOT NULL: false IS NOT NULL = true — every row
+    // passes, the key domain is NOT the branch list
+    val alwaysTrue = docs
+      .withColumn("_flag", when(col("lang") === "en", lit(true)).otherwise(lit(false)))
+      .where(col("_flag").isNotNull)
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(!graft.core.ScaleLint.lint(alwaysTrue)
+      .exists(_.rule == "low-domain-window-key"),
+      "ELSE false under IS NOT NULL passes every row; no domain bound exists")
+    // the genuine dropping shape (ELSE null) must still prove the bound —
+    // Round15Spec pins the full retired-interleave form; this pins the
+    // minimal one
+    val dropping = docs
+      .withColumn("_w", when(col("lang") === "en", lit(3L))
+        .otherwise(lit(null).cast("long")))
+      .where(col("_w").isNotNull)
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(graft.core.ScaleLint.lint(dropping)
+      .exists(_.rule == "low-domain-window-key"),
+      "ELSE null under IS NOT NULL still proves the live domain")
+  }
+
+}
