@@ -360,6 +360,55 @@ object Bench {
         val rerankResNp8 = recallOf(pairs(qChain.searchIvfPqRerank(pqModel.df,
           pqIdxRes.df, embDf, "vec_id", "embedding", k = 10,
           rerankPerQuery = 50, nprobe = 8).df))
+        // CLUSTERED-regime fixture at bench scale (round-16 verdict ask):
+        // the sf0.1 embeddings are isotropic unit vectors — the regime
+        // where residual quantization LOSES (0.065 vs raw 0.195 above) —
+        // so the recall table users read showed byResidual only at its
+        // worst. This fixture measures the regime it exists for (Jégou
+        // et al. TPAMI'11 §III: clustered corpora, residual variance ≪
+        // raw variance): 2000 unit vectors in 32 tight clusters (seeded
+        // generator, fully deterministic; noise 0.03 per dim before
+        // re-normalization), production code size m=16/ks=256, nlist=32,
+        // half probe np=16, recall@10 vs exact cosine. The k-means cells
+        // align with the planted clusters here, so np16 carries ZERO
+        // pruning loss (np32 measures identically — verified in the
+        // round-16 fixture sweep) and the raw/residual gap is PURE
+        // quantization: raw codes must spend their entropy on the
+        // cluster-center offset, residual codes spend all of it on the
+        // within-cluster detail. Measured 2026-08-16: raw 0.505,
+        // residual 0.795 — byResidual WINS where it was built to, the
+        // regime split SCALING.md states now measured where users look.
+        // Floors: house convention measured − 0.1.
+        val cluDim = 64; val cluK = 32
+        val cluRng = new scala.util.Random(1644)
+        def cluUnit(v: Array[Double]): Array[Double] = {
+          val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+        }
+        val cluCenters = Array.fill(cluK)(cluUnit(Array.fill(cluDim)(cluRng.nextGaussian())))
+        val cluRows = (0 until 2000).map { i =>
+          val c = cluCenters(i % cluK)
+          val v = Array.tabulate(cluDim)(j => c(j) + 0.03 * cluRng.nextGaussian())
+          (i.toLong, cluUnit(v).toSeq)
+        }
+        import spark.implicits._
+        val cluDf = cluRows.toDF("vec_id", "embedding")
+        val cluChain = Chain(spark, "bench_clu", cluDf)
+        val cluQueries = cluDf.where("vec_id < 20")
+        val cluExact = pairs(cluChain.cosineTopK(cluQueries, "vec_id", "embedding", 10).df)
+        if (cluExact.isEmpty) throw new IllegalStateException(
+          "bench: clustered-fixture exact reference set is empty")
+        def cluRecall(approx: Set[(Long, Long)]): Double =
+          approx.intersect(cluExact).size.toDouble / cluExact.size
+        val cluModel = cluChain.pqFit("vec_id", "embedding", m = 16, ks = 256,
+          trainSample = 2048, iters = 10)
+        val cluQ = Chain(spark, "bench_clu_q", cluQueries)
+        val cluIdxRaw = cluChain.ivfPqIndex(cluModel.df, "vec_id", "embedding", nlist = 32)
+        val cluIdxRes = cluChain.ivfPqIndex(cluModel.df, "vec_id", "embedding",
+          nlist = 32, byResidual = true)
+        val cluRawNp16 = cluRecall(pairs(cluQ.searchIvfPq(cluModel.df,
+          cluIdxRaw.df, "vec_id", "embedding", k = 10, nprobe = 16).df))
+        val cluResNp16 = cluRecall(pairs(cluQ.searchIvfPq(cluModel.df,
+          cluIdxRes.df, "vec_id", "embedding", k = 10, nprobe = 16).df))
         recalls = Seq(
           ("hamming", recallOf(pairs(emb.hammingCosineTopK(queries, "vec_id", "embedding",
             10, planes = 256, rerankPerQuery = 125).df)), 0.8),
@@ -383,7 +432,13 @@ object Bench {
           // exact-refine faces: measured 0.475 / 0.200 (2026-08), floors
           // the house measured - 0.1
           ("ivfadc_rerank_np8", rerankNp8, 0.37),
-          ("ivfadc_res_rerank_np8", rerankResNp8, 0.10))
+          ("ivfadc_res_rerank_np8", rerankResNp8, 0.10),
+          // clustered-regime pair (see fixture comment above): measured
+          // 2026-08-16 raw 0.505 / residual 0.795 at m=16/ks=256,
+          // nlist=32, np16 (zero pruning loss — pure quantization split);
+          // floors measured − 0.1
+          ("ivfadc_clu_np16_exact", cluRawNp16, 0.405),
+          ("ivfadc_clu_res_np16_exact", cluResNp16, 0.695))
         System.err.println("[bench] ivf recall curve (nlist=16): " +
           ivfCurve.map { case (np, r) => f"nprobe=$np→$r%.3f" }.mkString(", "))
         recalls.foreach { case (n, r, floor) =>

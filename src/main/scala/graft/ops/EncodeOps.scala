@@ -647,11 +647,20 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * the output.
     *
     * Scale shape: one rank window per group (same shape as [[winsorize]])
-    * plus a GLOBAL sort of the reference for the rank lookup table and a
-    * rank-keyed equi-join — the exact face. At corpus scale the reference
-    * sort is the bottleneck: [[quantileNormalizeSketch]] replaces the
-    * lookup table with an L-point KLL cutoff array that rides the plan as
-    * a broadcast one-row frame (no reference sort, no join).
+    * plus the reference rank lookup table and a rank-keyed equi-join —
+    * the exact face. The lookup table is built by
+    * [[graft.core.PrefixScan]] positions over the range-sorted reference
+    * (NOT a `ROW_NUMBER() OVER (ORDER BY …)` window, which would funnel
+    * the whole reference through one task — the value AT a rank is
+    * order-independent among ties, so the two formulations produce the
+    * identical table; the SQL face keeps the window text for rendering
+    * engines). The PrefixScan materialization is a declared eager step
+    * (this op already probes N eagerly); release with
+    * [[graft.core.Chain.releaseCheckpoints]] when done. UNGROUPED, the
+    * corpus-side rank window is still a single sort task — at corpus
+    * scale pass `groupBy` or use [[quantileNormalizeSketch]], which
+    * replaces the lookup table with an L-point KLL cutoff array riding
+    * the plan as a broadcast one-row frame (no reference table, no join).
     */
   def quantileNormalize(column: String, groupBy: Seq[String] = Seq.empty,
                         reference: Option[Chain] = None): Chain = {
@@ -673,12 +682,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val rx = col(column).cast("double")
     val rxr = when(!isnan(rx), rx)
     // the reference CDF lookup table: value at every rank 1..N (ascending
-    // over the NaN-excluded values — ROW_NUMBER among equal values picks
-    // arbitrarily, but the value AT a rank is order-independent)
-    val wAll = Window.partitionBy()
-    val refRanks = refC.df.select(rxr.as("_qn_v")).where(col("_qn_v").isNotNull)
-      .select(col("_qn_v"),
-        row_number().over(wAll.orderBy(col("_qn_v").asc)).as("_qn_rk"))
+    // over the NaN-excluded values — rank-position among equal values is
+    // arbitrary, but the value AT a rank is order-independent). PrefixScan
+    // positions, not a global ROW_NUMBER window (see scaladoc)
+    val refVals = refC.df.select(rxr.as("_qn_v")).where(col("_qn_v").isNotNull)
+    val refRanks = PrefixScan.exclusivePrefixSum(
+        refVals, Nil, Seq(col("_qn_v").asc), lit(1L), "_qn_rk0")
+      .select(col("_qn_v"), (col("_qn_rk0") + lit(1L)).as("_qn_rk"))
     // N = the reference's non-null count — a bounded one-row agg probe
     // (the declared-driver-read convention): a column-pruned COUNT scan,
     // deliberately NOT derived from the rank frame, whose reuse as both
