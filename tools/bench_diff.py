@@ -40,6 +40,18 @@ ANNOTATIONS = {
     # job launches and the checkpoint materialization cost ~0.2-0.45 s
     # absolute; at 100 TB the removed one-task-per-source window sort is
     # the real cost. Intentional trade, plan spec-pinned WindowExec-free.
+    # round 16 (verdict ask #1/#2 class): the last empty-partition corpus
+    # windows were retired. targetEncodeSmoothed/frequencyEncode(normalize)
+    # now compute their global terms via one ungrouped aggregate broadcast
+    # back through a crossJoin (+1 bounded job at sf0.1, -1 Exchange to
+    # SinglePartition that funneled the whole corpus through one task at
+    # scale); quantileNormalize's reference rank table rides PrefixScan
+    # (+checkpoint +bounded offsets job, -single-task ROW_NUMBER sort of
+    # the whole reference). Same trade as the round-15 loader family;
+    # plans spec-pinned, oracles unchanged.
+    "q_target_encode_smoothed": "global terms via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
+    "q_frequency_encode": "total via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
+    "q_quantile_normalize": "PrefixScan reference table: +checkpoint +bounded job, -single-task reference sort",
     "q_pack_sequences_tokens": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
     "q_pack_sequences": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
     "q_interleave": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
