@@ -2415,9 +2415,14 @@ final class AggOps(private val c: Chain) extends AnyVal {
     *
     * Scale shape: one scan, one rank window per group over the scores
     * (ties counted by a value-partition window on the same pass), one
-    * closing aggregate. Ungrouped, the rank window is a single-partition
-    * sort (the winsorize-family caveat — group the census at corpus
-    * scale).
+    * closing aggregate. UNGROUPED, ranks never materialize per row at
+    * all: the Mann–Whitney sum folds over the DISTINCT-SCORE frame —
+    * per-score (count, positive count) aggregate, cumulative counts via
+    * [[graft.core.PrefixScan]] (2·midrank(v) = 2·(below(v)+1) +
+    * (ties(v)−1), an identity of the value group), one closing
+    * aggregate of Σ pos(v)·2·midrank(v) — no single-partition sort,
+    * identical integers. The ungrouped face is therefore EAGER (the
+    * PrefixScan materialization posture).
     */
   def aucProfile(scoreCol: String, labelCol: String,
                  groupBy: Seq[String] = Nil): Chain = {
@@ -2431,19 +2436,34 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val base = c.df.where(ok)
       .select((groupBy.map(col) ++ Seq(s.as("_sc"),
         (l >= lit(0.5)).as("_pos"))): _*)
-    val wG =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val wVal = Window.partitionBy((groupBy.map(col) :+ col("_sc")): _*)
-    // 2·midrank = 2·RANK(min-rank of the tie group) + (ties − 1): integer
-    val r2 = lit(2L) * rank().over(wG.orderBy(col("_sc").asc)).cast("long") +
-      (count(lit(1)).over(wVal) - lit(1L))
     val Dec = DecimalType(38, 0)
-    val closed = base.withColumn("_r2", r2)
-      .groupBy(groupBy.map(col): _*)
-      .agg(count(when(col("_pos"), lit(1))).as("n_pos"),
-        count(when(!col("_pos"), lit(1))).as("n_neg"),
-        sum(when(col("_pos"), col("_r2")).cast(Dec)).as("_rsum"))
+    val D19 = DecimalType(19, 0)
+    val closed = if (groupBy.isEmpty) {
+      val vals = base.groupBy(col("_sc"))
+        .agg(count(lit(1)).as("_vc"),
+          count(when(col("_pos"), lit(1))).as("_vp"))
+      val scanned = graft.core.PrefixScan.exclusivePrefixSum(
+        vals, Nil, Seq(col("_sc").asc), col("_vc"), "_vx")
+      // 2·midrank of every row of value v: 2·(rows below + 1) + (ties − 1)
+      val r2v = lit(2L) * (col("_vx") + lit(1L)) + (col("_vc") - lit(1L))
+      // _rsum may read 0 where the window face reads NULL (no positives) —
+      // the auc guard nulls that case before it can differ
+      scanned.agg(
+        coalesce(sum(col("_vp")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("_vc") - col("_vp")), lit(0L)).as("n_neg"),
+        sum(col("_vp").cast(D19) * r2v.cast(D19)).cast(Dec).as("_rsum"))
+    } else {
+      val wG = Window.partitionBy(groupBy.map(col): _*)
+      val wVal = Window.partitionBy((groupBy.map(col) :+ col("_sc")): _*)
+      // 2·midrank = 2·RANK(min-rank of the tie group) + (ties − 1): integer
+      val r2 = lit(2L) * rank().over(wG.orderBy(col("_sc").asc)).cast("long") +
+        (count(lit(1)).over(wVal) - lit(1L))
+      base.withColumn("_r2", r2)
+        .groupBy(groupBy.map(col): _*)
+        .agg(count(when(col("_pos"), lit(1))).as("n_pos"),
+          count(when(!col("_pos"), lit(1))).as("n_neg"),
+          sum(when(col("_pos"), col("_r2")).cast(Dec)).as("_rsum"))
+    }
     val num = col("_rsum").cast("double") -
       (col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
     val den = (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
@@ -2469,8 +2489,12 @@ final class AggOps(private val c: Chain) extends AnyVal {
     *
     * Scale shape: one scan, two rank windows per group (one sort per
     * column — inherent to rank correlation), one closing aggregate.
-    * Ungrouped = two single-partition sorts (group the census at
-    * corpus scale).
+    * UNGROUPED, the windows are replaced by two DISTINCT-VALUE rank
+    * tables (per-value counts + [[graft.core.PrefixScan]] cumulative
+    * counts → 2·midrank(v) = 2·(below(v)+1) + (ties(v)−1)) equi-joined
+    * back on the value columns — identical integers, no
+    * single-partition sorts; the ungrouped face is therefore EAGER
+    * (the PrefixScan materialization posture).
     */
   def spearmanCorr(colA: String, colB: String,
                    groupBy: Seq[String] = Nil): Chain = {
@@ -2485,19 +2509,31 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val ok = xa.isNotNull && !isnan(xa) && xb.isNotNull && !isnan(xb)
     val base = c.df.where(ok)
       .select((groupBy.map(col) ++ Seq(xa.as("_xa"), xb.as("_xb"))): _*)
-    val wG =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    def rank2(v: String) = {
-      val wVal = Window.partitionBy((groupBy.map(col) :+ col(v)): _*)
-      lit(2L) * rank().over(wG.orderBy(col(v).asc)).cast("long") +
-        (count(lit(1)).over(wVal) - lit(1L))
-    }
     val Dec = DecimalType(38, 0)
     val D19 = DecimalType(19, 0)
-    val ranked = base
-      .withColumn("_ra", rank2("_xa"))
-      .withColumn("_rb", rank2("_xb"))
+    val ranked = if (groupBy.isEmpty) {
+      def rankTable(v: String, out: String) = {
+        val vals = base.groupBy(col(v)).agg(count(lit(1)).as("_vc"))
+        graft.core.PrefixScan.exclusivePrefixSum(
+            vals, Nil, Seq(col(v).asc), col("_vc"), "_vx")
+          .select(col(v),
+            (lit(2L) * (col("_vx") + lit(1L)) + (col("_vc") - lit(1L))).as(out))
+      }
+      // inner equi-joins are row-preserving here: every base value is in
+      // its own rank table, and the ok-filter left no null join keys
+      base.join(rankTable("_xa", "_ra"), Seq("_xa"))
+        .join(rankTable("_xb", "_rb"), Seq("_xb"))
+    } else {
+      val wG = Window.partitionBy(groupBy.map(col): _*)
+      def rank2(v: String) = {
+        val wVal = Window.partitionBy((groupBy.map(col) :+ col(v)): _*)
+        lit(2L) * rank().over(wG.orderBy(col(v).asc)).cast("long") +
+          (count(lit(1)).over(wVal) - lit(1L))
+      }
+      base
+        .withColumn("_ra", rank2("_xa"))
+        .withColumn("_rb", rank2("_xb"))
+    }
     val closed = ranked.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("_ra").cast(Dec)).as("_sa"),

@@ -233,6 +233,32 @@ class Round16Spec extends AnyFunSuite {
     } finally userRdd.unpersist(true)
   }
 
+  test("ungrouped aucProfile/spearmanCorr: distinct-value PrefixScan ranks, window-free plans, values equal the (single-group) window face") {
+    // heavy ties on both rank columns; the grouped face over ONE constant
+    // group runs the original window formulation — the two faces must
+    // agree exactly (identical 2·midrank integers by construction)
+    val data = (0 until 120).map { i =>
+      (i.toLong, (i % 7).toDouble, ((i * 3) % 5).toDouble,
+        if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val df = data.toDF("id", "a", "b", "label").repartition(5)
+    val g = df.withColumn("g", lit(0))
+    val auc = Chain(spark, "auc16", df).aucProfile("a", "label").df
+    assert(allWindows(auc) == 0, "ungrouped AUC planned a window")
+    graft.core.ScaleLint.assertSafe(auc)
+    val aucWant = Chain(spark, "auc16g", g)
+      .aucProfile("a", "label", groupBy = Seq("g")).df.drop("g")
+    assert(rows(auc) == rows(aucWant), "AUC faces disagree")
+    val sp = Chain(spark, "sp16", df).spearmanCorr("a", "b").df
+    assert(allWindows(sp) == 0, "ungrouped spearman planned a window")
+    graft.core.ScaleLint.assertSafe(sp)
+    val spWant = Chain(spark, "sp16g", g)
+      .spearmanCorr("a", "b", groupBy = Seq("g")).df.drop("g")
+    assert(rows(sp) == rows(spWant), "spearman faces disagree")
+    graft.core.Chain.releaseCheckpoints(auc)
+    graft.core.Chain.releaseCheckpoints(sp)
+  }
+
   // ---- ScaleLint: IsNotNull over CASE ... ELSE false proves nothing ----
 
   test("lint: IsNotNull(CASE .. ELSE false) is always-true and must not bound the window key") {

@@ -25,15 +25,10 @@ class ScaleLintCensusSpec extends AnyFunSuite {
     */
   private val whitelist: Map[String, String] = Map(
     // (query|rule) -> why this plan shape is deliberate.
+    // (q_auc / q_spearman / q_quantile_normalize fired here when the
+    // census first ran — their global rank windows were then RETIRED onto
+    // PrefixScan distinct-value ranks, round 16.)
     //
-    // Corpus-rank exact faces with documented caveats + scale twins:
-    "q_auc|global-window" ->
-      ("ungrouped aucProfile exact face: the Mann-Whitney statistic ranks the " +
-        "corpus by score in one sort task — documented caveat (SCALING.md); " +
-        "group at corpus scale"),
-    "q_spearman|global-window" ->
-      ("ungrouped spearmanCorr exact face: corpus rank windows — documented " +
-        "caveat; the grouped face shares one hash exchange"),
     // Census-frame windows: the empty-partition window runs over a COUNT /
     // domain frame (value domain x groups), never corpus rows — bounded by
     // the categorical domain the op is built for (SCALING.md states each):

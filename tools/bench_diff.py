@@ -52,6 +52,8 @@ ANNOTATIONS = {
     "q_target_encode_smoothed": "global terms via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
     "q_frequency_encode": "total via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
     "q_quantile_normalize": "PrefixScan reference table: +checkpoint +bounded job, -single-task reference sort",
+    "q_auc": "ungrouped Mann-Whitney folds over the distinct-score frame via PrefixScan: +checkpoint +bounded job, -single-task rank window",
+    "q_spearman": "ungrouped rank tables via PrefixScan + value joins: +2 checkpoints, -2 single-task rank windows",
     "q_pack_sequences_tokens": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
     "q_pack_sequences": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
     "q_interleave": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
