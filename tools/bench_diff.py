@@ -33,80 +33,12 @@ MIN_DELTA_SECONDS = 0.25
 # a correctness or capability change. Keep entries only while the previous
 # round's numbers still reflect the pre-change implementation.
 ANNOTATIONS = {
-    # round 15 (verdict ask #1): packSequences/packSequencesByTokens/
-    # interleaveByWeight moved from a single-task low-domain window to the
-    # distributed PrefixScan regime (range-sort + localCheckpoint + a
-    # boundary-offsets job + a partition-local scan). At sf0.1 the extra
-    # job launches and the checkpoint materialization cost ~0.2-0.45 s
-    # absolute; at 100 TB the removed one-task-per-source window sort is
-    # the real cost. Intentional trade, plan spec-pinned WindowExec-free.
-    # round 16 (verdict ask #1/#2 class): the last empty-partition corpus
-    # windows were retired. targetEncodeSmoothed/frequencyEncode(normalize)
-    # now compute their global terms via one ungrouped aggregate broadcast
-    # back through a crossJoin (+1 bounded job at sf0.1, -1 Exchange to
-    # SinglePartition that funneled the whole corpus through one task at
-    # scale); quantileNormalize's reference rank table rides PrefixScan
-    # (+checkpoint +bounded offsets job, -single-task ROW_NUMBER sort of
-    # the whole reference). Same trade as the round-15 loader family;
-    # plans spec-pinned, oracles unchanged.
-    "q_target_encode_smoothed": "global terms via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
-    "q_frequency_encode": "total via agg+broadcast crossJoin: +1 bounded job, -SinglePartition corpus window",
-    "q_quantile_normalize": "PrefixScan reference table: +checkpoint +bounded job, -single-task reference sort",
-    "q_auc": "ungrouped Mann-Whitney folds over the distinct-score frame via PrefixScan: +checkpoint +bounded job, -single-task rank window",
-    "q_spearman": "ungrouped rank tables via PrefixScan + value joins: +2 checkpoints, -2 single-task rank windows",
-    "q_pack_sequences_tokens": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
-    "q_pack_sequences": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
-    "q_interleave": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
-    "q_loader_prep": "PrefixScan regime: +checkpoint +2 bounded jobs, -single-task window",
-    # round 7: Bernoulli df.sample was replaced by the deterministic
-    # md5-hash sampler so q_sample could carry a hard DuckDB oracle; the
-    # per-row md5 is the price of cross-engine reproducibility.
-    "q_sample": "Bernoulli sample -> deterministic md5 hash sampler (oracle-able)",
-    # round 8: stripBoilerplate regroups and rejoins on group ++ id instead
-    # of id alone (a doc_id repeated under two sources silently merged both
-    # docs before); the wider keys cost ~0.14s at sf0.1.
-    "q_strip_boilerplate": "regroup/rejoin on group ++ id (same-id-two-groups fix)",
-    # round 12 (verdict ask #8 glance): 0.266 -> 0.322 (1.21x) — but the
-    # WHOLE run drifted 1.14x median vs the round-11 baseline on untouched
-    # trivial queries (q_cast 1.62x, q_datediff 1.53x), so the residual is
-    # ~1.06x: the template path moves with the host, it is not specially
-    # regressed. Cost is render + temp view + one aggregate; nothing in
-    # the path changed since round 9.
-    "q_named_transform": "moves with whole-run host drift (residual ~1.06x); template path unchanged",
-    # round 12: the single-reference-scan refactor collects cutoffs and
-    # reference bucket counts EAGERLY at op-construction (persist + two
-    # bounded driver jobs instead of one lazy two-scan plan). At sf0.1 the
-    # extra job launches read as tens of ms; at 100 TB the removed second
-    # reference scan is the real cost. Intentional trade.
-    "q_psi_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
-    "q_events_drift_quantile": "one-reference-scan refactor: +2 bounded eager jobs, -1 corpus rescan",
-    # round 13 (verdict ask #4 adjudication): the r10->r12 upward trend
-    # (1.601 -> 1.858 -> 2.229) was re-timed DELIBERATELY — the query runs
-    # on a FIXED 21-row fixture, so its cost is planning/codegen, not
-    # data. Fresh-JVM steady state measured 1.66 s (4 runs), 1.40-1.81 s
-    # after 60 warm queries (JIT helps, never hurts); the r12 status log
-    # shows pass 2 hit a localized host stall (9.1 s, with the adjacent
-    # q_corr_matrix_listwise 2.6 -> 4.9 and q_mix_by_temperature 0.25 ->
-    # 0.96 in the same window), so the kept 2.229 is a single-pass-1
-    # sample. Trend = pass-position noise on a codegen-bound query, not a
-    # plan change (the plan and fixture are unchanged since round 10).
-    "q_fuzzy_pairs": "codegen-bound fixed fixture; re-timed 1.4-1.9s steady, r12 pass2 was a host stall",
-    # round 13 (verdict ask #4, second line): the replay guard added one
-    # SHOW TBLPROPERTIES + one ALTER TABLE marker write per batch (round
-    # 12), and the checkpoint-identity fix adds one tiny metadata-file
-    # read per batch (round 13) — per-batch catalog costs that read as
-    # ~+0.3 s at sf0.1's batch count and amortize to noise at real batch
-    # sizes. Intentional exactly-once hardening.
-    "q_events_drift": "replay-guard catalog ops per batch (+identity read); amortizes at real batch sizes",
-    # round 14 (verdict ask #3 adjudication): the r11->r13 rise (1.619 ->
-    # 1.690 -> 2.381) met the three-same-direction rule and was re-timed
-    # DELIBERATELY (the q_fuzzy_pairs playbook): fresh-JVM pass 1 read
-    # 8.78 s (cold codegen), steady state 1.15-1.26 s over three runs —
-    # BELOW the 1.639 tracked baseline. Output is a fixed 256-pair frame;
-    # the candidate-growth hypothesis is not supported (row counts flat),
-    # and the plan is unchanged since round 11. Trend = pass-position /
-    # warmup noise on a small codegen-bound query, not a real regression.
-    "q_dedup_containment": "re-timed steady 1.15-1.26s (< baseline); r13 2.381 was warmup/pass-position noise",
+    # (empty since the 2026-08-16 round-16 baseline refresh: the tracked
+    # baseline now reflects the PrefixScan-era implementations, so every
+    # prior entry's "previous number from the pre-change implementation"
+    # no longer exists. The retired entries and their reasons live in git
+    # history — tools/bench_diff.py at tag/commit round-15 and the round
+    # SURVEY.md ledgers.)
 }
 
 
