@@ -68,16 +68,32 @@ private[graft] object PrefixScan {
     */
   def exclusivePrefixSum(df: DataFrame, groupCols: Seq[Column],
                          orderBy: Seq[Column], weight: Column,
-                         outCol: String): DataFrame = {
+                         outCol: String): DataFrame =
+    exclusivePrefixSums(df, groupCols, orderBy, Seq(weight -> outCol))
+
+  /** Multi-weight variant: one range sort, one boundary job, one scan
+    * shared by every `(weight, outCol)` pair — the two-sided-census shape
+    * (ksProfile's base/other cumulative counts) without sorting the frame
+    * once per weight. Contract identical to [[exclusivePrefixSum]] per
+    * pair.
+    */
+  def exclusivePrefixSums(df: DataFrame, groupCols: Seq[Column],
+                          orderBy: Seq[Column],
+                          weights: Seq[(Column, String)]): DataFrame = {
+    require(weights.nonEmpty, "prefix_scan: at least one weight is required")
     val spark = df.sparkSession
     val inCols = df.columns.toSeq
     val gNames = groupCols.indices.map(i => s"_ps_g$i")
-    val wName = "_ps_w"
-    (gNames ++ Seq(wName, outCol)).foreach(n => require(!inCols.contains(n),
+    val wNames = weights.indices.map(i => s"_ps_w$i")
+    val outCols = weights.map(_._2)
+    require(outCols.distinct.size == outCols.size,
+      s"prefix_scan: duplicate output columns in ${outCols.mkString(", ")}")
+    (gNames ++ wNames ++ outCols).foreach(n => require(!inCols.contains(n),
       s"prefix_scan: internal/output column '$n' already exists on the frame"))
     var tagged = df
     groupCols.zip(gNames).foreach { case (g, n) => tagged = tagged.withColumn(n, g) }
-    tagged = tagged.withColumn(wName, weight.cast("long"))
+    weights.map(_._1).zip(wNames).foreach { case (w, n) =>
+      tagged = tagged.withColumn(n, w.cast("long")) }
     val level = org.apache.spark.storage.StorageLevel.fromString(
       spark.conf.get("spark.graft.prefixScan.storageLevel", "MEMORY_AND_DISK"))
     val sorted = tagged
@@ -85,7 +101,8 @@ private[graft] object PrefixScan {
       .localCheckpoint(true, level)
     val schema = sorted.schema
     val gIdx = gNames.map(schema.fieldIndex).toArray
-    val wIdx = schema.fieldIndex(wName)
+    val wIdx = wNames.map(schema.fieldIndex).toArray
+    val nW = wIdx.length
     // group keys must compare BY VALUE: Row.get returns Array[Byte] for
     // BinaryType (and Java arrays for nested array externals), which Seq
     // equality compares by REFERENCE — every row would start a new group
@@ -100,25 +117,33 @@ private[graft] object PrefixScan {
       case other => other
     }
     def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(i => normalize(r.get(i)))
-    def wOf(r: Row): Long = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+    def wOf(r: Row, j: Int): Long = {
+      val i = wIdx(j); if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
+    def addInto(acc: Array[Long], r: Row): Unit = {
+      var j = 0; while (j < nW) { acc(j) += wOf(r, j); j += 1 }
+    }
+    def weightsOf(r: Row): Array[Long] = {
+      val a = new Array[Long](nW); addInto(a, r); a
+    }
 
     // job 2: boundary partials — per partition, the first group's partial
-    // sum and (if distinct) the last group's partial sum
-    val partials: Array[(Int, List[(Seq[Any], Long)])] =
+    // sums and (if distinct) the last group's partial sums
+    val partials: Array[(Int, List[(Seq[Any], Array[Long])])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         var firstKey: Seq[Any] = null
-        var firstSum = 0L
+        var firstSum: Array[Long] = null
         var curKey: Seq[Any] = null
-        var curSum = 0L
+        var curSum: Array[Long] = null
         var seen = false
         var firstClosed = false
         it.foreach { row =>
           val k = keyOf(row)
-          if (!seen) { seen = true; firstKey = k; curKey = k; curSum = wOf(row) }
-          else if (k == curKey) curSum += wOf(row)
+          if (!seen) { seen = true; firstKey = k; curKey = k; curSum = weightsOf(row) }
+          else if (k == curKey) addInto(curSum, row)
           else {
             if (!firstClosed) { firstSum = curSum; firstClosed = true }
-            curKey = k; curSum = wOf(row)
+            curKey = k; curSum = weightsOf(row)
           }
         }
         val entries =
@@ -128,43 +153,45 @@ private[graft] object PrefixScan {
         Iterator.single((pid, entries))
       }.collect()
 
-    // step 3: driver fold — a group's start offset in partition p is the
-    // accumulated trailing-run sum of the SAME group across partitions
+    // step 3: driver fold — a group's start offsets in partition p are the
+    // accumulated trailing-run sums of the SAME group across partitions
     // < p; only the first group of a partition can continue a run
     val nParts = sorted.rdd.getNumPartitions
-    val offsets = Array.fill(nParts)(0L)
+    val offsets = Array.fill(nParts)(new Array[Long](nW))
     var prevKey: Option[Seq[Any]] = None
-    var carry = 0L
+    var carry = new Array[Long](nW)
     partials.sortBy(_._1).foreach {
       case (_, Nil) => // empty partition: run state passes through
       case (pid, entries) =>
-        val (fk, fs) = entries.head
-        if (prevKey.contains(fk)) offsets(pid) = carry
+        val (fk, _) = entries.head
+        if (prevKey.contains(fk)) offsets(pid) = carry.clone()
         val (lk, ls) = entries.last
-        val base = if (entries.size == 1 && prevKey.contains(lk)) carry else 0L
-        carry = base + ls
+        val base =
+          if (entries.size == 1 && prevKey.contains(lk)) carry
+          else new Array[Long](nW)
+        carry = Array.tabulate(nW)(j => base(j) + ls(j))
         prevKey = Some(lk)
     }
     val offB = spark.sparkContext.broadcast(offsets)
 
-    // step 4: partition-local scan — offset + running local sum
-    val outSchema = StructType(schema.fields :+
-      StructField(outCol, LongType, nullable = false))
+    // step 4: partition-local scan — offset + running local sums
+    val outSchema = StructType(schema.fields ++
+      outCols.map(n => StructField(n, LongType, nullable = false)))
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var running = offB.value(pid)
+      var running = offB.value(pid).clone()
       var cur: Seq[Any] = null
       var started = false
       it.map { row =>
         val k = keyOf(row)
-        if (started && cur != k) running = 0L
+        if (started && cur != k) running = new Array[Long](nW)
         started = true
         cur = k
-        val before = running
-        running += wOf(row)
-        Row.fromSeq(row.toSeq :+ before)
+        val before = running.clone()
+        addInto(running, row)
+        Row.fromSeq(row.toSeq ++ before)
       }
     }
     spark.createDataFrame(rdd, outSchema)
-      .select((inCols :+ outCol).map(col): _*)
+      .select((inCols ++ outCols).map(col): _*)
   }
 }

@@ -1267,9 +1267,12 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * tokens), `epochs_fp` (alloc/tokens in ppm: >1e6 = repetition),
     * `keep_fp` (min(epochs_fp, 1e6): the survival fraction [[mixUniMax]]
     * samples by). Scale shape: ONE map-side-combined aggregate at stratum
-    * cardinality, then windows over the #strata-row census (the
-    * giniConcentration regime: a single-partition pass over STRATA, never
-    * rows) — zero driver reads, fully renderable.
+    * cardinality, then PrefixScan positions/prefix sums over the census
+    * with the global terms as broadcast one-row aggregates (no
+    * whole-frame window — discovered strata can be domain-grain) — zero
+    * driver reads, fully renderable (the SQL face keeps the window
+    * algebra). Declared eager: the census materializes at construction
+    * (the PrefixScan posture).
     */
   def uniMaxAllocation(strataCol: String, tokenCol: String,
                        totalBudget: Long, maxEpochs: Int = 4): Chain = {
@@ -1338,20 +1341,34 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     */
   private def umAllocDf(strataCol: String, tokenCol: String,
                         totalBudget: Long, maxEpochs: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.orderBy(col("cap").asc, col("stratum").asc)
-    val wAll = Window.partitionBy()
-    c.df.where(col(strataCol).isNotNull)
+    // the stratum census is DISCOVERED (distinct strataCol values), so at
+    // domain-grain mixes it can be large: positions and cap prefix sums
+    // ride ONE multi-weight PrefixScan over the census (range-sorted,
+    // materialized once) and the global terms (_k, then the capped
+    // count/mass, which depend on the per-row water-filling test) arrive
+    // as one-row aggregates over the same checkpoint, broadcast back via
+    // crossJoin — NO whole-frame window anywhere. Identical integers to
+    // the window formulation; declared eager (the PrefixScan posture).
+    // The SQL face (umAllocSql) keeps the window text for rendering
+    // engines.
+    val base = c.df.where(col(strataCol).isNotNull)
       .groupBy(col(strataCol).cast("string").as("stratum"))
       .agg(sum(col(tokenCol).cast("long")).as("tokens"))
       .where(col("tokens") > 0)
       .withColumn("cap", col("tokens") * lit(maxEpochs.toLong))
-      .withColumn("_k", count(lit(1)).over(wAll))
-      .withColumn("_seq", row_number().over(w))
-      .withColumn("_cum", sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val scanned = graft.core.PrefixScan.exclusivePrefixSums(base, Nil,
+      Seq(col("cap").asc, col("stratum").asc),
+      Seq(lit(1L) -> "_seq0", col("cap") -> "_cume"))
+    val tested = scanned
+      .crossJoin(broadcast(scanned.agg(count(lit(1)).as("_k"))))
+      .withColumn("_seq", col("_seq0") + lit(1L))
+      .withColumn("_cum", col("_cume") + col("cap"))
       .withColumn("_test",
         expr(s"CAST(cap AS DECIMAL(38,0)) * (_k - _seq + 1) + (_cum - cap) <= ${totalBudget}L"))
-      .withColumn("_m", sum(when(col("_test"), lit(1L)).otherwise(lit(0L))).over(wAll))
-      .withColumn("_cumm", coalesce(sum(when(col("_test"), col("cap"))).over(wAll), lit(0L)))
+    tested
+      .crossJoin(broadcast(tested.agg(
+        coalesce(sum(when(col("_test"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("_m"),
+        coalesce(sum(when(col("_test"), col("cap"))), lit(0L)).as("_cumm"))))
       .withColumn("_rcnt", col("_k") - col("_m"))
       .withColumn("_rbud", lit(totalBudget) - col("_cumm"))
       .withColumn("_q", when(col("_rcnt") > 0, expr("_rbud DIV _rcnt")).otherwise(lit(0L)))

@@ -2310,10 +2310,14 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * Scale shape: one scan per side tag-unioned into ONE (group, value)
     * count aggregate (map-side combined — the exchange carries counts,
     * not rows), then cumulative windows per group over the distinct
-    * values and one closing aggregate. Ungrouped, the cumulative window
-    * is a single-partition pass over the DISTINCT-value frame — exact-
-    * face cost; for continuous columns with corpus-scale distinct counts,
-    * bucket first (psiQuantileProfile) or group the census.
+    * values and one closing aggregate. UNGROUPED — where a continuous
+    * column makes the distinct-value frame corpus-scale — there is no
+    * single-partition window at all: both sides' cumulative counts ride
+    * ONE multi-weight [[graft.core.PrefixScan]] over the count frame
+    * (materialized once; the side totals are a one-row aggregate over
+    * the same checkpoint, broadcast back via crossJoin). Identical
+    * integers; the ungrouped face is therefore EAGER (the PrefixScan
+    * posture — release via [[graft.core.Chain.releaseCheckpoints]]).
     */
   def ksProfile(other: DataFrame, column: String,
                 groupBy: Seq[String] = Nil): Chain = {
@@ -2334,17 +2338,33 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .groupBy((groupBy.map(col) :+ col("_v")): _*)
       .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
         count(when(col("_s") === 1, lit(1))).as("_cb"))
-    val wPart =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val wCum = wPart.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     import AggOps.fpq
-    val stepped = counts
-      .withColumn("_cuma", sum(col("_ca")).over(wCum))
-      .withColumn("_cumb", sum(col("_cb")).over(wCum))
-      .withColumn("_na", sum(col("_ca")).over(wPart))
-      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    val stepped = if (groupBy.isEmpty) {
+      // no single-partition window: BOTH cumulative counts ride ONE
+      // multi-weight PrefixScan over the count frame (materialized once —
+      // the totals branch reads the same checkpoint blocks instead of
+      // re-scanning the corpus), and the side totals arrive as a one-row
+      // aggregate broadcast back via crossJoin
+      val scanned = graft.core.PrefixScan.exclusivePrefixSums(
+        counts, Nil, Seq(col("_v").asc),
+        Seq(col("_ca") -> "_xca", col("_cb") -> "_xcb"))
+      val totals = broadcast(scanned.agg(
+        coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+        coalesce(sum(col("_cb")), lit(0L)).as("_nb")))
+      scanned.crossJoin(totals)
+        .withColumn("_cuma", col("_xca") + col("_ca"))
+        .withColumn("_cumb", col("_xcb") + col("_cb"))
+        .drop("_xca", "_xcb")
+    } else {
+      val wPart = Window.partitionBy(groupBy.map(col): _*)
+      val wCum = wPart.orderBy(col("_v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("_cuma", sum(col("_ca")).over(wCum))
+        .withColumn("_cumb", sum(col("_cb")).over(wCum))
+        .withColumn("_na", sum(col("_ca")).over(wPart))
+        .withColumn("_nb", sum(col("_cb")).over(wPart))
+    }
     val dTerm = when(col("_na") > 0L && col("_nb") > 0L,
       abs(fpq(col("_cuma").cast("double") / col("_na").cast("double")) -
         fpq(col("_cumb").cast("double") / col("_nb").cast("double"))))
@@ -2679,12 +2699,23 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .groupBy((groupBy.map(col) :+ col("_v")): _*)
       .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
         count(when(col("_s") === 1, lit(1))).as("_cb"))
-    val wPart =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val stepped = counts
-      .withColumn("_na", sum(col("_ca")).over(wPart))
-      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    val stepped = if (groupBy.isEmpty) {
+      // side totals from a one-row aggregate broadcast back via
+      // crossJoin, NOT a whole-frame window (SinglePartition funnel when
+      // a continuous column makes the value frame corpus-scale). The
+      // count frame materializes once (localCheckpoint) so the totals
+      // branch reads the same blocks instead of re-scanning the corpus —
+      // a declared eager step (the PrefixScan posture).
+      val cnts = counts.localCheckpoint()
+      cnts.crossJoin(broadcast(cnts.agg(
+        coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+        coalesce(sum(col("_cb")), lit(0L)).as("_nb"))))
+    } else {
+      val wPart = Window.partitionBy(groupBy.map(col): _*)
+      counts
+        .withColumn("_na", sum(col("_ca")).over(wPart))
+        .withColumn("_nb", sum(col("_cb")).over(wPart))
+    }
     val tot = (col("_na") + col("_nb")).cast("double")
     val rowT = (col("_ca") + col("_cb")).cast("double")
     def cell(o: Column, sideT: Column) = {
@@ -2733,10 +2764,12 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * 200000 = 0.2).
     *
     * Scale: one hash aggregate over (class, sensitive) — counts, not
-    * rows — then three window passes over that bounded frame (class /
-    * value / global partitions) and one closing aggregate per class. The
-    * global window is a single-partition pass over the count frame (the
-    * ksProfile caveat — value-domain bounded).
+    * rows — then two window passes over that bounded frame (class /
+    * value partitions) and one closing aggregate per class. The global
+    * total is a one-row aggregate over the checkpointed count frame
+    * broadcast back via crossJoin — never a whole-frame window; the
+    * count frame materializes once (declared eager — release via
+    * [[graft.core.Chain.releaseCheckpoints]]).
     */
   def tClosenessViolations(quasiCols: Seq[String], sensitiveCol: String,
                            tFp: Long = 200000L): Chain = {
@@ -2756,12 +2789,19 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val joint = c.df.groupBy((qcols :+ s): _*).agg(count(lit(1)).as("_c"))
     val wClass = Window.partitionBy(qcols: _*)
     val wVal = Window.partitionBy(s)
-    val wAll = Window.partitionBy()
     import AggOps.fpq
-    val stepped = joint
+    // the global total comes from a one-row aggregate over the
+    // checkpointed joint-count frame, broadcast back via crossJoin — NOT
+    // a whole-frame window (SinglePartition funnel on high-cardinality
+    // class x value censuses); the class/value windows stay. Declared
+    // eager materialization (the PrefixScan posture); the SQL face keeps
+    // SUM() OVER () for rendering engines.
+    val jointC = joint.localCheckpoint()
+    val stepped = jointC
       .withColumn("_nc", sum(col("_c")).over(wClass))
       .withColumn("_gs", sum(col("_c")).over(wVal))
-      .withColumn("_tn", sum(col("_c")).over(wAll))
+      .crossJoin(broadcast(jointC.agg(
+        coalesce(sum(col("_c")), lit(0L)).as("_tn"))))
     val p = col("_c").cast("double") / col("_nc").cast("double")
     val q = col("_gs").cast("double") / col("_tn").cast("double")
     val closed = stepped
@@ -2813,6 +2853,9 @@ final class AggOps(private val c: Chain) extends AnyVal {
     * Scale shape: one scan per side tag-unioned into ONE (group, value)
     * count aggregate; totals ride group-partitioned windows over that
     * count frame (counts, not rows) and one closing aggregate per group.
+    * UNGROUPED the totals come from a one-row aggregate over the
+    * checkpointed count frame broadcast back via crossJoin — never a
+    * whole-frame window (declared eager, the chiSquareHomogeneity shape).
     */
   def jsdProfile(other: DataFrame, column: String,
                  groupBy: Seq[String] = Nil): Chain = {
@@ -2832,12 +2875,20 @@ final class AggOps(private val c: Chain) extends AnyVal {
       .groupBy((groupBy.map(col) :+ col("_v")): _*)
       .agg(count(when(col("_s") === 0, lit(1))).as("_ca"),
         count(when(col("_s") === 1, lit(1))).as("_cb"))
-    val wPart =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val stepped = counts
-      .withColumn("_na", sum(col("_ca")).over(wPart))
-      .withColumn("_nb", sum(col("_cb")).over(wPart))
+    val stepped = if (groupBy.isEmpty) {
+      // side totals via one-row aggregate + broadcast crossJoin over the
+      // checkpointed count frame — the chiSquareHomogeneity shape; no
+      // whole-frame window, no corpus rescan, declared eager
+      val cnts = counts.localCheckpoint()
+      cnts.crossJoin(broadcast(cnts.agg(
+        coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+        coalesce(sum(col("_cb")), lit(0L)).as("_nb"))))
+    } else {
+      val wPart = Window.partitionBy(groupBy.map(col): _*)
+      counts
+        .withColumn("_na", sum(col("_ca")).over(wPart))
+        .withColumn("_nb", sum(col("_cb")).over(wPart))
+    }
     import AggOps.fpq
     // per-value quantized d·ln(d) term; d = 0 contributes 0 exactly
     def term(d: Column) =
@@ -2892,9 +2943,10 @@ final class AggOps(private val c: Chain) extends AnyVal {
     *
     * Scale shape: one (group, value) count aggregate (map-side combined
     * — counts, not rows), a rank window over that bounded count frame,
-    * one closing aggregate. Ungrouped, the rank window is a single-
-    * partition pass over the distinct values (the categorical-census
-    * caveat).
+    * one closing aggregate. UNGROUPED the sorted-count positions come
+    * from [[graft.core.PrefixScan]] over the count frame instead of a
+    * global ROW_NUMBER window — deterministic ((_cnt, value) totally
+    * orders the distinct values), identical integers, declared eager.
     */
   def giniConcentration(column: String, groupBy: Seq[String] = Nil): Chain = {
     require(c.df.columns.contains(column),
@@ -2906,11 +2958,18 @@ final class AggOps(private val c: Chain) extends AnyVal {
     val counts = c.df
       .groupBy((groupBy.map(col) :+ col(column).cast("string").as("_v")): _*)
       .agg(count(lit(1)).as("_cnt"))
-    val wG =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val ranked = counts.withColumn("_i",
-      row_number().over(wG.orderBy(col("_cnt").asc, col("_v").asc_nulls_first)))
+    val ranked = if (groupBy.isEmpty)
+      // sorted-count positions from PrefixScan, not a global ROW_NUMBER
+      // window ((_cnt, _v) is a total order over distinct values, so the
+      // positions are deterministic); declared eager
+      graft.core.PrefixScan.exclusivePrefixSum(counts, Nil,
+          Seq(col("_cnt").asc, col("_v").asc_nulls_first), lit(1L), "_i0")
+        .withColumn("_i", col("_i0") + lit(1L)).drop("_i0")
+    else {
+      val wG = Window.partitionBy(groupBy.map(col): _*)
+      counts.withColumn("_i",
+        row_number().over(wG.orderBy(col("_cnt").asc, col("_v").asc_nulls_first)))
+    }
     val Dec = DecimalType(38, 0)
     val closed = (
       if (groupBy.isEmpty) ranked.groupBy()

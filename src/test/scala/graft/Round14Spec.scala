@@ -443,13 +443,16 @@ class Round14Spec extends AnyFunSuite {
   }
 
   test("round-14 plan shapes: two-scan UniMax mix, twice-read file-backed IVFADC index") {
-    // mixUniMax: exactly the two declared corpus scans (stratum census +
-    // row filter) — the floor for any derived-budget mix — and no
+    // mixUniMax: exactly ONE corpus file scan in the FINAL plan — the
+    // row-filter pass. The stratum-census scan still happens (total
+    // corpus passes remain the two declared ones) but moved to the eager
+    // PrefixScan materialization at op construction (round 16); the
+    // final plan's census branch reads those checkpoint blocks. No
     // cartesian anywhere (the census joins back broadcast on stratum)
     val mix = table("documents").mixUniMax("lang", "n_chars", 50000L, 2, Seq("doc_id"))
     mix.df.count()
     val mixScans = countScans(mix.df.queryExecution.executedPlan)
-    assert(mixScans == 2, s"mixUniMax must scan the corpus exactly twice, got $mixScans")
+    assert(mixScans == 1, s"mixUniMax must scan the corpus exactly once, got $mixScans")
     assert(!mix.df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     // searchIvfPq over a SAVED index: the index file is read exactly
     // twice (nlist centroid markers + the posting scan), the postings

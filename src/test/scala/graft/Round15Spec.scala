@@ -103,7 +103,7 @@ class Round15Spec extends AnyFunSuite {
       empty, Seq(col("g")), Seq(col("id")), col("w"), "cum").count() == 0)
     intercept[IllegalArgumentException] {
       graft.core.PrefixScan.exclusivePrefixSum(
-        Seq((1L, 2L)).toDF("id", "_ps_w"), Nil, Seq(col("id")), col("id"), "cum")
+        Seq((1L, 2L)).toDF("id", "_ps_w0"), Nil, Seq(col("id")), col("id"), "cum")
     }
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Chain
 import graft.ops._
+import graft.ext._
 import TestSpark._
 
 /** Gates for the round-16 batch: the last empty-partition corpus windows
@@ -257,6 +258,74 @@ class Round16Spec extends AnyFunSuite {
     assert(rows(sp) == rows(spWant), "spearman faces disagree")
     graft.core.Chain.releaseCheckpoints(auc)
     graft.core.Chain.releaseCheckpoints(sp)
+  }
+
+  test("multi-weight PrefixScan: one scan equals two window cumsums, across partition boundaries") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val data = (0 until 150).map { i =>
+        val g = if (i % 5 == 0) null else s"g${i % 3}"
+        val wa: java.lang.Long = if (i % 11 == 0) null else java.lang.Long.valueOf((i % 7).toLong)
+        (i.toLong, g, wa, (i % 4).toLong)
+      }
+      val df = data.toDF("id", "g", "wa", "wb").repartition(7)
+      val got = graft.core.PrefixScan.exclusivePrefixSums(df,
+        Seq(col("g")), Seq(col("id")),
+        Seq(col("wa") -> "ca", col("wb") -> "cb"))
+      val w = Window.partitionBy(col("g")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("ca", coalesce(sum(col("wa")).over(w), lit(0L)))
+        .withColumn("cb", coalesce(sum(col("wb")).over(w), lit(0L)))
+      assert(rows(got) == rows(want))
+      graft.core.Chain.releaseCheckpoints(got)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("ungrouped census ops (ks/chi2/jsd/gini) equal their single-constant-group window faces, window-free plans") {
+    val a = (0 until 90).map(i => (i.toLong, (i % 9).toDouble, s"v${i % 6}"))
+      .toDF("id", "x", "v").repartition(4)
+    val b = (0 until 70).map(i => (i.toLong, ((i * 2) % 9).toDouble, s"v${i % 5}"))
+      .toDF("id", "x", "v").repartition(3)
+    val ag = a.withColumn("g", lit(0))
+    val bg = b.withColumn("g", lit(0))
+    def check(name: String, got: DataFrame, want: DataFrame): Unit = {
+      assert(allWindows(got) == 0, s"$name planned a window ungrouped")
+      graft.core.ScaleLint.assertSafe(got)
+      assert(rows(got) == rows(want.drop("g")), s"$name faces disagree")
+      graft.core.Chain.releaseCheckpoints(got)
+    }
+    check("ksProfile",
+      Chain(spark, "ks16", a).ksProfile(b, "x").df,
+      Chain(spark, "ks16g", ag).ksProfile(bg, "x", Seq("g")).df)
+    check("chiSquareHomogeneity",
+      Chain(spark, "chi16", a).chiSquareHomogeneity(b, "v").df,
+      Chain(spark, "chi16g", ag).chiSquareHomogeneity(bg, "v", Seq("g")).df)
+    check("jsdProfile",
+      Chain(spark, "jsd16", a).jsdProfile(b, "v").df,
+      Chain(spark, "jsd16g", ag).jsdProfile(bg, "v", Seq("g")).df)
+    check("giniConcentration",
+      Chain(spark, "gini16", a).giniConcentration("v").df,
+      Chain(spark, "gini16g", ag).giniConcentration("v", Seq("g")).df)
+    // tClosenessViolations / uniMaxAllocation have no grouped twin — their
+    // exact outputs are pinned by the driver oracles and the hand-example
+    // specs; here just pin the window-free plans
+    val tc = Chain(spark, "tc16",
+      a.withColumn("q", col("id") % 4).withColumn("s", col("v")))
+      .tClosenessViolations(Seq("q"), "s", tFp = 1L).df
+    // class/value-partitioned windows stay; only the global one is gone
+    assert(emptyPartitionWindows(tc) == 0, "tCloseness planned a global window")
+    val um = Chain(spark, "um16",
+      a.withColumn("n_tok", col("id") % 50 + 1)).uniMaxAllocation("v", "n_tok", 500L, 2).df
+    assert(allWindows(um) == 0, "uniMaxAllocation planned a window")
+    graft.core.Chain.releaseCheckpoints(tc)
+    graft.core.Chain.releaseCheckpoints(um)
   }
 
   // ---- ScaleLint: IsNotNull over CASE ... ELSE false proves nothing ----

@@ -25,27 +25,17 @@ class ScaleLintCensusSpec extends AnyFunSuite {
     */
   private val whitelist: Map[String, String] = Map(
     // (query|rule) -> why this plan shape is deliberate.
-    // (q_auc / q_spearman / q_quantile_normalize fired here when the
-    // census first ran — their global rank windows were then RETIRED onto
-    // PrefixScan distinct-value ranks, round 16.)
-    //
-    // Census-frame windows: the empty-partition window runs over a COUNT /
-    // domain frame (value domain x groups), never corpus rows — bounded by
-    // the categorical domain the op is built for (SCALING.md states each):
-    "q_chi2_homogeneity|global-window" ->
-      "totals window over the (value) count frame — value-domain bounded census",
-    "q_gini|global-window" ->
-      "rank window over the (group,value) count frame — the concentration census",
-    "q_jsd_profile|global-window" ->
-      "totals window over the distinct-value count frame — value-domain bounded",
-    "q_ks_profile|global-window" ->
-      "CDF window over the distinct-value count frame — value-domain bounded",
-    "q_t_closeness|global-window" ->
-      "global-mix shares over the (class,bucket) count frame — domain bounded",
-    "q_mix_unimax|global-window" ->
-      "UniMax water-filling window algebra over the stratum census — #strata rows",
-    "q_unimax_alloc|global-window" ->
-      "UniMax water-filling window algebra over the stratum census — #strata rows",
+    // (TEN queries fired global-window here when the census first ran,
+    // round 16. ALL TEN were then FIXED rather than whitelisted:
+    // q_auc / q_spearman / q_quantile_normalize retired their global rank
+    // windows onto PrefixScan distinct-value ranks; q_ks_profile /
+    // q_gini / q_chi2_homogeneity / q_jsd_profile / q_t_closeness /
+    // q_mix_unimax / q_unimax_alloc retired their count-frame global
+    // windows onto PrefixScan positions/cumulative counts and
+    // one-row-aggregate broadcast totals — "value-domain bounded" and
+    // "#strata rows" both go corpus-sized on continuous columns and
+    // domain-grain mixes, so those were real. What remains whitelisted is
+    // ONLY the declared brute/exact similarity faces.)
     // Declared exact/brute similarity faces (the recall gates' references):
     "q_sim_topk|nested-loop-join" ->
       "the exact brute-force cosine baseline every recall floor measures against",

@@ -33,12 +33,24 @@ MIN_DELTA_SECONDS = 0.25
 # a correctness or capability change. Keep entries only while the previous
 # round's numbers still reflect the pre-change implementation.
 ANNOTATIONS = {
-    # (empty since the 2026-08-16 round-16 baseline refresh: the tracked
-    # baseline now reflects the PrefixScan-era implementations, so every
-    # prior entry's "previous number from the pre-change implementation"
-    # no longer exists. The retired entries and their reasons live in git
-    # history — tools/bench_diff.py at tag/commit round-15 and the round
-    # SURVEY.md ledgers.)
+    # round 16 second batch (census-driven): the remaining global-window
+    # census ops retired their empty-partition windows — ks/chi2/jsd/gini/
+    # t-closeness/uniMax count-frame windows moved to PrefixScan
+    # positions/cumulative counts + one-row-aggregate broadcast totals
+    # (+1 census materialization +1-2 bounded jobs at sf0.1; -1 Exchange
+    # to SinglePartition that goes corpus-sized on continuous columns /
+    # domain-grain strata). The loader composites pay the uniMax census
+    # checkpoint too. Plans census-pinned (ScaleLintCensusSpec), oracles
+    # unchanged.
+    "q_ks_profile": "multi-weight PrefixScan CDF + broadcast totals: +checkpoint, -single-task window",
+    "q_chi2_homogeneity": "broadcast totals over checkpointed census: +1 bounded job, -whole-frame window",
+    "q_jsd_profile": "broadcast totals over checkpointed census: +1 bounded job, -whole-frame window",
+    "q_gini": "PrefixScan sorted-count positions: +checkpoint, -global ROW_NUMBER window",
+    "q_t_closeness": "broadcast global total over checkpointed census: +1 bounded job, -whole-frame window",
+    "q_mix_unimax": "uniMax census rides PrefixScan + broadcast globals: +checkpoint +2 bounded jobs, -2 whole-frame window passes",
+    "q_unimax_alloc": "uniMax census rides PrefixScan + broadcast globals: +checkpoint +2 bounded jobs, -2 whole-frame window passes",
+    "q_loader_prep": "composes mixUniMax: pays the uniMax census checkpoint (see q_mix_unimax)",
+    "q_loader_stream": "composes mixUniMax: pays the uniMax census checkpoint (see q_mix_unimax)",
 }
 
 
