@@ -63,6 +63,7 @@ object ScaleLint {
       //  - a driver-local relation with ≤ 1024 rows
       //  - an UNGROUPED aggregate (exactly one row by construction)
       //  - a Range of ≤ 4096 elements (bucket/spine frames)
+      //  - a GLOBAL limit of ≤ 4096 rows (the declared-cap shape)
       val buildSide = j.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         case _ => j.left
@@ -73,6 +74,10 @@ object ScaleLint {
           r.numElements <= BigInt(4096)
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.isEmpty => true
+        // a global limit bounds output rows regardless of its child —
+        // the one sound cap a plan can state explicitly (a LocalLimit
+        // bounds only per partition and proves nothing here)
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g.limit <= 4096
         // an equi join PRESERVES the stream side's bound when the build
         // side matches at most once per key — provable when the build is
         // an aggregate grouped by a SUBSET of its join keys (grouping

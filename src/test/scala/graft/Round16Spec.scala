@@ -328,6 +328,21 @@ class Round16Spec extends AnyFunSuite {
     graft.core.Chain.releaseCheckpoints(um)
   }
 
+  test("lint: a global limit <= 4096 proves a bounded nested-loop build side") {
+    val docs = table("documents").df
+    val capped = docs.crossJoin(docs.select(col("doc_id").as("d2")).limit(10))
+    val fs = graft.core.ScaleLint.lint(capped)
+    assert(!fs.exists(_.rule == "nested-loop-join"),
+      s"a limit(10) build side must not lint error: $fs")
+    assert(fs.exists(f => f.rule == "nested-loop-join-bounded" ||
+      f.rule == "nested-loop-join-aggregated" || f.severity == "info"),
+      s"the bounded shape should surface at info level: $fs")
+    // an uncapped corpus build side still errors
+    val uncapped = docs.crossJoin(docs.select(col("doc_id").as("d2")))
+    assert(graft.core.ScaleLint.lint(uncapped).exists(_.rule == "nested-loop-join"),
+      "an unbounded cross join must still lint error")
+  }
+
   // ---- ScaleLint: IsNotNull over CASE ... ELSE false proves nothing ----
 
   test("lint: IsNotNull(CASE .. ELSE false) is always-true and must not bound the window key") {
