@@ -384,6 +384,16 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * through UNCLAMPED (a NaN sorts greatest, so unguarded it would
     * become the upper bound and silently disable clamping for its whole
     * group). Adds `<column>_wins`.
+    *
+    * UNGROUPED, the rank windows would be a single corpus sort task; that
+    * face instead derives the two bound VALUES distributedly — per-value
+    * counts, a [[graft.core.PrefixScan]] cumulative count over the
+    * distinct-value frame, then value-at-rank k = the smallest value
+    * whose cumulative count reaches k (identical to the row_number pick:
+    * the value AT a rank is order-independent) collected as two scalars
+    * driving a pure clamp projection. Declared eager (three bounded
+    * driver reads — the equalwidth-bin posture); the SQL face keeps the
+    * window text.
     */
   def winsorize(column: String, groupBy: Seq[String] = Seq.empty,
                 pLow: Double = 0.01, pHigh: Double = 0.99): Chain = {
@@ -393,27 +403,35 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // rank-participating value: NaN behaves like null (never ranks, never
     // a bound); the output branch passes NaN through unchanged
     val xr = when(!isnan(x), x)
-    val wPart =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val wOrd = wPart.orderBy(xr.asc_nulls_last)
-    val step1 = c.df
-      .withColumn("_w_rn", row_number().over(wOrd))
-      .withColumn("_w_n", count(xr).over(wPart))
-    val loIdx = floor(lit(pLow) * (col("_w_n") - 1)) + 1
-    val hiIdx = ceil(lit(pHigh) * (col("_w_n") - 1)) + 1
-    val step2 = step1
-      .withColumn("_w_lo",
-        max(when(col("_w_rn") === loIdx && xr.isNotNull, xr)).over(wPart))
-      .withColumn("_w_hi",
-        max(when(col("_w_rn") === hiIdx && xr.isNotNull, xr)).over(wPart))
     val outName = Naming.cleanse(s"${column}_wins")
-    val df2 = step2
-      .withColumn(outName,
+    val df2 = if (groupBy.isEmpty) {
+      val bounds = EncodeOps.globalValueAtRanks(c.df, xr, Seq(
+        n => math.floor(pLow * (n - 1).toDouble).toLong + 1L,
+        n => math.ceil(pHigh * (n - 1).toDouble).toLong + 1L))
+      val (loC, hiC) = (lit(bounds(0)).cast("double"), lit(bounds(1)).cast("double"))
+      c.df.withColumn(outName,
         when(x.isNull, lit(null).cast("double"))
           .when(isnan(x), x)
-          .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
-      .drop("_w_rn", "_w_n", "_w_lo", "_w_hi")
+          .otherwise(greatest(least(x, hiC), loC)))
+    } else {
+      val wPart = Window.partitionBy(groupBy.map(col): _*)
+      val wOrd = wPart.orderBy(xr.asc_nulls_last)
+      val step1 = c.df
+        .withColumn("_w_rn", row_number().over(wOrd))
+        .withColumn("_w_n", count(xr).over(wPart))
+      val loIdx = floor(lit(pLow) * (col("_w_n") - 1)) + 1
+      val hiIdx = ceil(lit(pHigh) * (col("_w_n") - 1)) + 1
+      step1
+        .withColumn("_w_lo",
+          max(when(col("_w_rn") === loIdx && xr.isNotNull, xr)).over(wPart))
+        .withColumn("_w_hi",
+          max(when(col("_w_rn") === hiIdx && xr.isNotNull, xr)).over(wPart))
+        .withColumn(outName,
+          when(x.isNull, lit(null).cast("double"))
+            .when(isnan(x), x)
+            .otherwise(greatest(least(x, col("_w_hi")), col("_w_lo"))))
+        .drop("_w_rn", "_w_n", "_w_lo", "_w_hi")
+    }
     val cn = Naming.quoteId(column)
     val xS = s"CAST($cn AS DOUBLE)"
     // the rank-participating value: NaN behaves like null (same as the
@@ -452,36 +470,55 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * zero. NaN never ranks and passes through row-wise; null stays null.
     *
     * Scale: one window pass per group (rank + three conditional MAX picks
-    * share the partitioning/sort — same shape as winsorize); for groups
-    * too large to buffer in a rank window, the KLL-sketch regime
-    * ([[winsorizeSketch]]) is the documented corpus-scale dial.
+    * share the partitioning/sort — same shape as winsorize); UNGROUPED
+    * the three order statistics come from the shared distinct-value
+    * PrefixScan helper (no corpus sort task; declared eager — the
+    * winsorize posture). For groups too large to buffer in a rank
+    * window, the KLL-sketch regime ([[winsorizeSketch]]) is the
+    * documented corpus-scale dial.
     */
   def robustScaler(column: String, groupBy: Seq[String] = Seq.empty): Chain = {
     val x = col(column).cast("double")
     val xr = when(!isnan(x), x)
-    val wPart =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val wOrd = wPart.orderBy(xr.asc_nulls_last)
-    val step1 = c.df
-      .withColumn("_r_rn", row_number().over(wOrd))
-      .withColumn("_r_n", count(xr).over(wPart))
-    def pick(p: Double) = max(when(
-      col("_r_rn") === floor(lit(p) * (col("_r_n") - 1)) + 1 && xr.isNotNull,
-      xr)).over(wPart)
-    val step2 = step1
-      .withColumn("_r_q1", pick(0.25))
-      .withColumn("_r_med", pick(0.5))
-      .withColumn("_r_q3", pick(0.75))
     val outName = Naming.cleanse(s"${column}_rscaled")
-    val iqr = col("_r_q3") - col("_r_q1")
-    val df2 = step2
-      .withColumn(outName,
+    // ungrouped: the three order statistics come from the shared
+    // distinct-value PrefixScan helper (see winsorize) — no corpus sort
+    // task; declared eager, SQL face keeps the window text
+    val df2 = if (groupBy.isEmpty) {
+      def rankOf(p: Double)(n: Long): Long =
+        math.floor(p * (n - 1).toDouble).toLong + 1L
+      val qs = EncodeOps.globalValueAtRanks(c.df, xr,
+        Seq(rankOf(0.25), rankOf(0.5), rankOf(0.75)))
+      val (q1, med, q3) =
+        (lit(qs(0)).cast("double"), lit(qs(1)).cast("double"), lit(qs(2)).cast("double"))
+      val iqr = q3 - q1
+      c.df.withColumn(outName,
         when(x.isNull, lit(null).cast("double"))
           .when(isnan(x), x)
-          .otherwise((x - col("_r_med")) /
+          .otherwise((x - med) /
             when(iqr === 0.0, lit(1.0)).otherwise(iqr)))
-      .drop("_r_rn", "_r_n", "_r_q1", "_r_med", "_r_q3")
+    } else {
+      val wPart = Window.partitionBy(groupBy.map(col): _*)
+      val wOrd = wPart.orderBy(xr.asc_nulls_last)
+      val step1 = c.df
+        .withColumn("_r_rn", row_number().over(wOrd))
+        .withColumn("_r_n", count(xr).over(wPart))
+      def pick(p: Double) = max(when(
+        col("_r_rn") === floor(lit(p) * (col("_r_n") - 1)) + 1 && xr.isNotNull,
+        xr)).over(wPart)
+      val step2 = step1
+        .withColumn("_r_q1", pick(0.25))
+        .withColumn("_r_med", pick(0.5))
+        .withColumn("_r_q3", pick(0.75))
+      val iqr = col("_r_q3") - col("_r_q1")
+      step2
+        .withColumn(outName,
+          when(x.isNull, lit(null).cast("double"))
+            .when(isnan(x), x)
+            .otherwise((x - col("_r_med")) /
+              when(iqr === 0.0, lit(1.0)).otherwise(iqr)))
+        .drop("_r_rn", "_r_n", "_r_q1", "_r_med", "_r_q3")
+    }
     val cn = Naming.quoteId(column)
     val xS = s"CAST($cn AS DOUBLE)"
     val xrS = s"CASE WHEN NOT isnan($xS) THEN $xS END"
@@ -810,9 +847,6 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
   def flagOutliers(column: String, groupBy: Seq[String] = Seq.empty,
                    z: Double = 3.0): Chain = {
     require(z > 0, s"z must be positive, got $z")
-    val w =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
     val x = col(column).cast("double")
     // n, Sx and Sxx all gate on the x² decimal cast (NaN casts to null,
     // and so does an x² that overflows DECIMAL(38,8) at |x| ≳ 1e15 —
@@ -822,16 +856,37 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // (|NaN - mu| > z*sd is TRUE under NaN-greatest comparison) — the
     // right verdict for a corrupted value.
     val xx = (x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8))
-    val n = count(xx).over(w).cast("double")
-    val sx = sum(when(xx.isNotNull, x).cast(Exact.Wide)).over(w).cast("double")
-    val sxx = sum(xx).over(w).cast("double")
+    // ungrouped, the global statistics come from ONE column-pruned
+    // aggregate broadcast back via crossJoin — never a PARTITION BY ()
+    // window (SinglePartition funnel); decimal sums are association-free,
+    // so the doubles are bit-identical to the window formulation the SQL
+    // face keeps
+    val (src, n, sx, sxx, dropAfter) =
+      if (groupBy.isEmpty) {
+        val names = Seq("_graft_fo_n", "_graft_fo_sx", "_graft_fo_sxx")
+        names.foreach(cn0 => require(!c.df.columns.contains(cn0),
+          s"flag_outliers: internal column '$cn0' already exists on the frame"))
+        val g = c.df.agg(
+          count(xx).cast("double").as(names(0)),
+          sum(when(xx.isNotNull, x).cast(Exact.Wide)).cast("double").as(names(1)),
+          sum(xx).cast("double").as(names(2)))
+        (c.df.crossJoin(broadcast(g)),
+          col(names(0)), col(names(1)), col(names(2)), names)
+      } else {
+        val w = Window.partitionBy(groupBy.map(col): _*)
+        (c.df,
+          count(xx).over(w).cast("double"),
+          sum(when(xx.isNotNull, x).cast(Exact.Wide)).over(w).cast("double"),
+          sum(xx).over(w).cast("double"), Seq.empty[String])
+      }
     val mu = sx / n
     val sd = sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
     val zc = when(n > 1 && sd > 0, (x - mu) / sd)
     val flag = n > 1 && sd > 0 && abs(x - mu) > lit(z) * sd
-    val df2 = c.df
+    val df2 = src
       .withColumn(Naming.cleanse(s"${column}_zscore"), zc)
       .withColumn(Naming.cleanse(s"${column}_outlier"), flag)
+      .drop(dropAfter: _*)
     val cn = Naming.quoteId(column)
     val over =
       if (groupBy.isEmpty) "OVER ()"
@@ -862,28 +917,40 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
   def flagOutliersRobust(column: String, groupBy: Seq[String] = Seq.empty,
                          z: Double = 3.5): Chain = {
     require(z > 0, s"z must be positive, got $z")
-    val w =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
     val x = col(column).cast("double")
     // NaN behaves like null in the median/MAD statistics (percentile sorts
     // NaN greatest and would shift — or become — the median); the NaN row
     // itself still FLAGS (|NaN| > z is TRUE), the right verdict for junk
     val xrS = s"CASE WHEN NOT isnan(CAST(${Naming.quoteId(column)} AS DOUBLE)) " +
       s"THEN CAST(${Naming.quoteId(column)} AS DOUBLE) END"
-    val n = count(when(!isnan(x), x)).over(w).cast("double")
-    val med = expr(s"percentile($xrS, 0.5)").over(w)
+    val madS = "percentile(CASE WHEN NOT isnan(_graft_dev) THEN _graft_dev END, 0.5)"
     val dev = abs(x - col("_graft_med"))
     val mzName = Naming.cleanse(s"${column}_mzscore")
     val flagName = Naming.cleanse(s"${column}_outlier_robust")
-    val step1 = c.df.withColumn("_graft_med", med)
-    val mad = expr("percentile(CASE WHEN NOT isnan(_graft_dev) THEN _graft_dev END, 0.5)").over(w)
-    val step2 = step1.withColumn("_graft_dev", dev).withColumn("_graft_mad", mad)
+    // ungrouped, both percentile passes are one-row aggregates broadcast
+    // back via crossJoin (two extra column-pruned scans), never
+    // PARTITION BY () windows; the same Percentile expression computes
+    // both faces, so the statistics are bit-identical
+    val step2 =
+      if (groupBy.isEmpty) {
+        val medAgg = c.df.agg(
+          expr(s"percentile($xrS, 0.5)").as("_graft_med"),
+          count(when(!isnan(x), x)).cast("double").as("_graft_n"))
+        val step1 = c.df.crossJoin(broadcast(medAgg)).withColumn("_graft_dev", dev)
+        step1.crossJoin(broadcast(step1.agg(expr(madS).as("_graft_mad"))))
+      } else {
+        val w = Window.partitionBy(groupBy.map(col): _*)
+        val step1 = c.df
+          .withColumn("_graft_med", expr(s"percentile($xrS, 0.5)").over(w))
+          .withColumn("_graft_n", count(when(!isnan(x), x)).over(w).cast("double"))
+          .withColumn("_graft_dev", dev)
+        step1.withColumn("_graft_mad", expr(madS).over(w))
+      }
     val mz = when(col("_graft_n") > 1 && col("_graft_mad") > 0,
       lit(0.6745) * (x - col("_graft_med")) / col("_graft_mad"))
     val flag = col("_graft_n") > 1 && col("_graft_mad") > 0 &&
       abs(mz) > lit(z)
-    val df2 = step2.withColumn("_graft_n", n)
+    val df2 = step2
       .withColumn(mzName, mz)
       .withColumn(flagName, flag)
       .drop("_graft_med", "_graft_dev", "_graft_mad", "_graft_n")
@@ -993,5 +1060,46 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
       throw new IllegalArgumentException(
         s"$column has more than $maxDistinct distinct values; raise maxDistinct explicitly")
     vals
+  }
+}
+
+/** Lives here: helpers a value class cannot host. */
+object EncodeOps {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** Global nearest-rank order statistics WITHOUT a corpus sort task:
+    * group rows by the rank-participating value (`xr` — null never
+    * ranks), cumulative counts over the distinct-value frame via
+    * [[graft.core.PrefixScan]], then value-at-1-based-rank k = the
+    * smallest value whose cumulative count reaches k — the identity the
+    * winsorize/robust-scaler ROW_NUMBER picks compute, because the value
+    * AT a rank is order-independent among ties. Each entry of `rankFns`
+    * maps the non-null count n to its wanted rank (guaranteed by the
+    * callers to land in [1, n]); returns one value per entry, or nulls
+    * when there are no rankable rows. Eager: one PrefixScan
+    * materialization (released before returning) + two one-row driver
+    * reads.
+    */
+  private[ops] def globalValueAtRanks(df: DataFrame, xr: Column,
+                                      rankFns: Seq[Long => Long]): Seq[Any] = {
+    import org.apache.spark.sql.functions._
+    val vals = df.where(xr.isNotNull)
+      .groupBy(xr.as("_vr_v")).agg(count(lit(1)).as("_vr_c"))
+    val scanned = graft.core.PrefixScan.exclusivePrefixSum(
+      vals, Nil, Seq(col("_vr_v").asc), col("_vr_c"), "_vr_x")
+    val nRow = scanned.agg(sum(col("_vr_c"))).collect()(0)
+    val out =
+      if (nRow.isNullAt(0)) rankFns.map(_ => null)
+      else {
+        val n = nRow.getLong(0)
+        val cum = col("_vr_x") + col("_vr_c")
+        val picks = rankFns.zipWithIndex.map { case (f, i) =>
+          min(when(cum >= f(n), col("_vr_v"))).as(s"_vr_p$i")
+        }
+        val r = scanned.agg(picks.head, picks.tail: _*).collect()(0)
+        rankFns.indices.map(r.get)
+      }
+    graft.core.Chain.releaseCheckpoints(scanned)
+    out
   }
 }

@@ -328,6 +328,37 @@ class Round16Spec extends AnyFunSuite {
     graft.core.Chain.releaseCheckpoints(um)
   }
 
+  test("ungrouped winsorize/robustScaler/flagOutliers(+robust) equal their single-constant-group window faces, no empty-partition windows") {
+    // ties, nulls and NaNs across partitions; bounds/statistics must be
+    // identical to the window formulation run over ONE constant group
+    val data = (0 until 130).map { i =>
+      val v: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 23 == 0) java.lang.Double.valueOf(Double.NaN)
+        else java.lang.Double.valueOf(((i * 7) % 19).toDouble)
+      (i.toLong, v)
+    }
+    val df = data.toDF("id", "v").repartition(5)
+    val g = df.withColumn("g", lit(0))
+    def check(name: String, got: DataFrame, want: DataFrame): Unit = {
+      assert(emptyPartitionWindows(got) == 0, s"$name planned a global window")
+      graft.core.ScaleLint.assertSafe(got)
+      assert(rows(got) == rows(want.drop("g")), s"$name faces disagree")
+    }
+    check("winsorize",
+      Chain(spark, "w16", df).winsorize("v", pLow = 0.1, pHigh = 0.9).df,
+      Chain(spark, "w16g", g).winsorize("v", Seq("g"), pLow = 0.1, pHigh = 0.9).df)
+    check("robustScaler",
+      Chain(spark, "rs16", df).robustScaler("v").df,
+      Chain(spark, "rs16g", g).robustScaler("v", Seq("g")).df)
+    check("flagOutliers",
+      Chain(spark, "fo16", df).flagOutliers("v", z = 1.0).df,
+      Chain(spark, "fo16g", g).flagOutliers("v", Seq("g"), z = 1.0).df)
+    check("flagOutliersRobust",
+      Chain(spark, "fr16", df).flagOutliersRobust("v", z = 1.0).df,
+      Chain(spark, "fr16g", g).flagOutliersRobust("v", Seq("g"), z = 1.0).df)
+  }
+
   test("lint: a global limit <= 4096 proves a bounded nested-loop build side") {
     val docs = table("documents").df
     val capped = docs.crossJoin(docs.select(col("doc_id").as("d2")).limit(10))

@@ -157,9 +157,11 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"cartesian must be flagged: ${cart.scaleFindings}")
       intercept[IllegalStateException](cart.assertScaleSafe())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-    // non-equi theta join → nested-loop error
+    // non-equi theta join over UNBOUNDED sides → nested-loop error (a
+    // limit-capped build side is provably bounded since round 16 and
+    // correctly downgrades to info — Round16Spec pins that)
     val theta = Chain(spark, "x",
-      li.df.limit(10).as("a").join(orders.df.limit(10).as("b"),
+      li.df.as("a").join(orders.df.as("b"),
         col("a.l_extendedprice") > col("b.o_totalprice")))
     assert(theta.scaleFindings.exists(f => f.rule == "nested-loop-join"),
       s"nested loop must be flagged: ${theta.scaleFindings}")
