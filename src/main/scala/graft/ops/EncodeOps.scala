@@ -694,8 +694,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * engines). The PrefixScan materialization is a declared eager step
     * (this op already probes N eagerly); release with
     * [[graft.core.Chain.releaseCheckpoints]] when done. UNGROUPED, the
-    * corpus-side rank window is still a single sort task — at corpus
-    * scale pass `groupBy` or use [[quantileNormalizeSketch]], which
+    * corpus-side tie-aware rank comes from a distinct-value PrefixScan
+    * rank table joined back on the value (+ a broadcast count) — a rank
+    * is an identity of its value group, so no corpus sort task remains
+    * anywhere in this op. [[quantileNormalizeSketch]] additionally
     * replaces the lookup table with an L-point KLL cutoff array riding
     * the plan as a broadcast one-row frame (no reference table, no join).
     */
@@ -731,12 +733,17 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // deliberately NOT derived from the rank frame, whose reuse as both
     // scalar and join side would make the op a three-way self-join
     val nRef = refC.df.select(count(rxr)).collect()(0).getLong(0)
-    val wp =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
-    val step1 = c.df
-      .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
-      .withColumn("_qn_n", count(xr).over(wp))
+    // ungrouped, the corpus-side tie-aware rank is an identity of the
+    // value group: distinct-value PrefixScan rank table + broadcast
+    // count, never a PARTITION BY () rank window (round 16)
+    val step1 =
+      if (groupBy.isEmpty) EncodeOps.globalTieRanks(c.df, xr, "_qn_r", "_qn_n")
+      else {
+        val wp = Window.partitionBy(groupBy.map(col): _*)
+        c.df
+          .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
+          .withColumn("_qn_n", count(xr).over(wp))
+      }
     val t =
       if (nRef == 0L) lit(null).cast("long")
       else when(xr.isNotNull,
@@ -789,11 +796,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * rounded up to the 1/L grid, carrying KLL's ±1.65% (k=200) normalized
     * rank error on top of the grid's 1/(2L) — QuantGateSpec bounds the
     * disagreement against the exact face. The per-group rank window
-    * remains (p is DEFINED by the group's order statistics); only the
-    * reference-side sort and the rank join disappear: the cutoff array is
-    * ONE bounded row, broadcast, and the application is a pure
-    * projection. Same output contract: `<col>_qnorm`, NaN passes through,
-    * null stays null, an empty reference nulls the output.
+    * remains (p is DEFINED by the group's order statistics; ungrouped it
+    * is the round-16 distinct-value PrefixScan rank table, like the
+    * exact face); only the reference-side sort and the rank join
+    * disappear: the cutoff array is ONE bounded row, broadcast, and the
+    * application is a pure projection. Same output contract:
+    * `<col>_qnorm`, NaN passes through, null stays null, an empty
+    * reference nulls the output.
     *
     * Non-renderable: the cutoff array is a fitted reference-CDF artifact
     * (the model-op convention of lm_model/pca_fit); the renderable and
@@ -824,16 +833,21 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val cuts = refC.df.agg(sk).select(array((1 to levels).map(i =>
       graft.functions.KllSketches.quantile(col("_qn_sk"),
         i.toDouble / levels)): _*).as("_qn_cuts"))
-    val wp =
-      if (groupBy.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupBy.map(col): _*)
     val tS = greatest(lit(1L), least(lit(levels.toLong),
       ceil(col("_qn_r").cast("double") * lit(levels.toDouble) /
         col("_qn_n").cast("double")).cast("long")))
     val outName = Naming.cleanse(s"${column}_qnorm")
-    val df2 = c.df
-      .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
-      .withColumn("_qn_n", count(xr).over(wp))
+    // the same round-16 ungrouped regime as the exact face: PrefixScan
+    // rank table + broadcast count instead of a global rank window
+    val ranked =
+      if (groupBy.isEmpty) EncodeOps.globalTieRanks(c.df, xr, "_qn_r", "_qn_n")
+      else {
+        val wp = Window.partitionBy(groupBy.map(col): _*)
+        c.df
+          .withColumn("_qn_r", rank().over(wp.orderBy(xr.asc_nulls_last)))
+          .withColumn("_qn_n", count(xr).over(wp))
+      }
+    val df2 = ranked
       .crossJoin(broadcast(cuts))
       .withColumn(outName,
         when(x.isNull, lit(null).cast("double"))
@@ -1080,6 +1094,33 @@ object EncodeOps {
     * materialization (released before returning) + two one-row driver
     * reads.
     */
+  /** Appends the tie-aware global rank (`rankCol` = rows-below + 1; null
+    * for non-ranking rows — callers guard on `xr.isNotNull`) and the
+    * non-null count (`nCol`) WITHOUT a corpus sort task: a
+    * distinct-value [[graft.core.PrefixScan]] rank table equi-joined
+    * back on the value, plus a one-row count aggregate broadcast via
+    * crossJoin (deliberately NOT derived from the rank frame — reusing
+    * it as both scalar and join side would plan a three-way self-join).
+    * Ranks equal `RANK() OVER (ORDER BY xr ASC NULLS LAST)` on every
+    * ranking row, because a tie-aware rank is an identity of the value
+    * group. Eager (the PrefixScan posture).
+    */
+  private[ops] def globalTieRanks(df: DataFrame, xr: Column,
+                                  rankCol: String, nCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Seq("_gr_v", "_gr_c", "_gr_x").foreach(n => require(!df.columns.contains(n),
+      s"global_tie_ranks: internal column '$n' already exists on the frame"))
+    val vals = df.select(xr.as("_gr_v")).where(col("_gr_v").isNotNull)
+      .groupBy(col("_gr_v")).agg(count(lit(1)).as("_gr_c"))
+    val ranks = graft.core.PrefixScan.exclusivePrefixSum(
+        vals, Nil, Seq(col("_gr_v").asc), col("_gr_c"), "_gr_x")
+      .select(col("_gr_v"), (col("_gr_x") + lit(1L)).as(rankCol))
+    df.withColumn("_gr_v", xr)
+      .join(ranks, Seq("_gr_v"), "left")
+      .drop("_gr_v")
+      .crossJoin(broadcast(df.agg(count(xr).as(nCol))))
+  }
+
   private[ops] def globalValueAtRanks(df: DataFrame, xr: Column,
                                       rankFns: Seq[Long => Long]): Seq[Any] = {
     import org.apache.spark.sql.functions._

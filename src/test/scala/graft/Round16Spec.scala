@@ -359,6 +359,29 @@ class Round16Spec extends AnyFunSuite {
       Chain(spark, "fr16g", g).flagOutliersRobust("v", Seq("g"), z = 1.0).df)
   }
 
+  test("ungrouped quantileNormalize (exact + sketch): PrefixScan tie ranks, no corpus windows, equal to the single-group face") {
+    val data = (0 until 110).map { i =>
+      val v: java.lang.Double =
+        if (i % 13 == 0) null
+        else if (i % 29 == 0) java.lang.Double.valueOf(Double.NaN)
+        else java.lang.Double.valueOf(((i * 5) % 23).toDouble)
+      (i.toLong, v)
+    }
+    val df = data.toDF("id", "v").repartition(5)
+    val g = df.withColumn("g", lit(0))
+    val got = Chain(spark, "qn16", df).quantileNormalize("v").df
+    assert(allWindows(got) == 0, "ungrouped exact face planned a window")
+    graft.core.ScaleLint.assertSafe(got)
+    val want = Chain(spark, "qn16g", g).quantileNormalize("v", Seq("g")).df
+    assert(rows(got) == rows(want.drop("g")), "exact faces disagree")
+    val gotSk = Chain(spark, "qns16", df).quantileNormalizeSketch("v").df
+    assert(allWindows(gotSk) == 0, "ungrouped sketch face planned a window")
+    val wantSk = Chain(spark, "qns16g", g).quantileNormalizeSketch("v", Seq("g")).df
+    assert(rows(gotSk) == rows(wantSk.drop("g")), "sketch faces disagree")
+    graft.core.Chain.releaseCheckpoints(got)
+    graft.core.Chain.releaseCheckpoints(gotSk)
+  }
+
   test("lint: a global limit <= 4096 proves a bounded nested-loop build side") {
     val docs = table("documents").df
     val capped = docs.crossJoin(docs.select(col("doc_id").as("d2")).limit(10))
