@@ -288,6 +288,41 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-weight PrefixScan equals the window formulation across randomized shapes") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      for (seed <- Seq(3, 77, 1611)) {
+        val rnd = new scala.util.Random(seed)
+        val nGroups = 1 + rnd.nextInt(5)
+        val n = 40 + rnd.nextInt(250)
+        val nW = 1 + rnd.nextInt(3)
+        val data = (0 until n).map { _ =>
+          val g = if (rnd.nextInt(9) == 0) null else s"g${rnd.nextInt(nGroups)}"
+          def w(): java.lang.Long =
+            if (rnd.nextInt(11) == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong)
+          (rnd.nextLong(), g, w(), w(), w())
+        }
+        val df = data.toDF("id", "g", "w0", "w1", "w2").repartition(6)
+        val weights = (0 until nW).map(i => col(s"w$i") -> s"c$i")
+        val got = graft.core.PrefixScan.exclusivePrefixSums(
+          df, Seq(col("g")), Seq(col("id")), weights)
+        val win = Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val want = weights.foldLeft(df) { case (d, (w, out)) =>
+          d.withColumn(out, coalesce(sum(w).over(win), lit(0L)))
+        }
+        assert(rows(got) == rows(want), s"seed $seed (n=$n, groups=$nGroups, weights=$nW)")
+        graft.core.Chain.releaseCheckpoints(got)
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("ungrouped census ops (ks/chi2/jsd/gini) equal their single-constant-group window faces, window-free plans") {
     val a = (0 until 90).map(i => (i.toLong, (i % 9).toDouble, s"v${i % 6}"))
       .toDF("id", "x", "v").repartition(4)
