@@ -123,14 +123,30 @@ private[graft] object PrefixScan {
     def addInto(acc: Array[Long], r: Row): Unit = {
       var j = 0; while (j < nW) { acc(j) += wOf(r, j); j += 1 }
     }
-    def weightsOf(r: Row): Array[Long] = {
-      val a = new Array[Long](nW); addInto(a, r); a
-    }
 
     // job 2: boundary partials — per partition, the first group's partial
-    // sums and (if distinct) the last group's partial sums
+    // sums and (if distinct) the last group's partial sums. The job needs
+    // ONLY the group-key and weight columns, so it scans a PROJECTION of
+    // the checkpointed frame (a narrow map — partition count and order
+    // preserved) instead of converting every full-width row to an
+    // external Row (round 17: the conversion cost is per-column, and
+    // PrefixScan callers carry whole corpus rows here).
+    val narrow = sorted.select((gNames ++ wNames).map(col): _*)
+    val nSchema = narrow.schema
+    val ngIdx = gNames.map(nSchema.fieldIndex).toArray
+    val nwIdx = wNames.map(nSchema.fieldIndex).toArray
+    def nKeyOf(r: Row): Seq[Any] = ngIdx.toSeq.map(i => normalize(r.get(i)))
+    def nwOf(r: Row, j: Int): Long = {
+      val i = nwIdx(j); if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
+    def nAddInto(acc: Array[Long], r: Row): Unit = {
+      var j = 0; while (j < nW) { acc(j) += nwOf(r, j); j += 1 }
+    }
+    def nWeightsOf(r: Row): Array[Long] = {
+      val a = new Array[Long](nW); nAddInto(a, r); a
+    }
     val partials: Array[(Int, List[(Seq[Any], Array[Long])])] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      narrow.rdd.mapPartitionsWithIndex { (pid, it) =>
         var firstKey: Seq[Any] = null
         var firstSum: Array[Long] = null
         var curKey: Seq[Any] = null
@@ -138,12 +154,12 @@ private[graft] object PrefixScan {
         var seen = false
         var firstClosed = false
         it.foreach { row =>
-          val k = keyOf(row)
-          if (!seen) { seen = true; firstKey = k; curKey = k; curSum = weightsOf(row) }
-          else if (k == curKey) addInto(curSum, row)
+          val k = nKeyOf(row)
+          if (!seen) { seen = true; firstKey = k; curKey = k; curSum = nWeightsOf(row) }
+          else if (k == curKey) nAddInto(curSum, row)
           else {
             if (!firstClosed) { firstSum = curSum; firstClosed = true }
-            curKey = k; curSum = weightsOf(row)
+            curKey = k; curSum = nWeightsOf(row)
           }
         }
         val entries =

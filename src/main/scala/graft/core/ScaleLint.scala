@@ -76,8 +76,11 @@ object ScaleLint {
           if a.groupingExpressions.isEmpty => true
         // a global limit bounds output rows regardless of its child —
         // the one sound cap a plan can state explicitly (a LocalLimit
-        // bounds only per partition and proves nothing here)
-        case g: org.apache.spark.sql.execution.GlobalLimitExec => g.limit <= 4096
+        // bounds only per partition and proves nothing here). limit = -1
+        // is Dataset.offset's "offset-only, no limit" sentinel: such a
+        // node bounds NOTHING and must not read as ≤ 4096
+        case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+          g.limit >= 0 && g.limit <= 4096
         // an equi join PRESERVES the stream side's bound when the build
         // side matches at most once per key — provable when the build is
         // an aggregate grouped by a SUBSET of its join keys (grouping
@@ -423,11 +426,14 @@ object ScaleLint {
         // isnotnull-over-case (NullPropagation folds the CASE into its
         // predicate, then wraps it null-safely): whatever bounds pred
         // bounds the conjunct. `k <=> lit` pins k like EqualTo does —
-        // null-safe equality still admits exactly one value.
+        // null-safe equality still admits exactly one value. A BOOLEAN
+        // key `k <=> true` matches this recursion first and the bare
+        // attribute recursion returns None — fall back to the key-pin
+        // bound so boolean keys aren't shadowed into a missed bound.
         case EqualNullSafe(Literal(true, org.apache.spark.sql.types.BooleanType), inner) =>
-          conjunctBound(inner)
+          conjunctBound(inner).orElse(if (isKeyExpr(inner, a)) Some(1L) else None)
         case EqualNullSafe(inner, Literal(true, org.apache.spark.sql.types.BooleanType)) =>
-          conjunctBound(inner)
+          conjunctBound(inner).orElse(if (isKeyExpr(inner, a)) Some(1L) else None)
         case EqualNullSafe(x, _: Literal) if isKeyExpr(x, a) => Some(1L)
         case EqualNullSafe(_: Literal, x) if isKeyExpr(x, a) => Some(1L)
         case _ => None

@@ -840,6 +840,29 @@ object DedupOps {
       case _ => ()
     }
 
+  /** Broadcast-hint an iterative round's small frame when a MEASURED row
+    * count says it fits. Round frames are [[checkpointRound]] outputs
+    * (RDD-backed), whose plan statistics are the conservative
+    * `defaultSizeInBytes` maximum — so neither the planner's
+    * auto-broadcast nor AQE ever picks a broadcast for them and every
+    * in-loop join shuffles BOTH sides, even when the label/contribution
+    * map is a few hundred rows (measured round-17: ~9 scheduler jobs per
+    * propagation round at sf0.1, nearly all exchange stages of tiny
+    * frames). The iterative ops already pay one bounded driver read per
+    * round (the convergence probe), so the gate rides a count the loop
+    * ALREADY has — no extra job, and the decision scales with the data:
+    * a corpus-sized label map at 100 TB stays on the shuffle path.
+    * Ceiling: `spark.graft.iterBroadcast.maxRows` (default 1,000,000 —
+    * a (long, long) label map at 1 M rows builds a ~32 MB hash relation,
+    * the [[SimilarityOps.maybeBroadcastProbes]] posture); set ≤ 0 to
+    * never hint (the hard no-broadcast cluster posture).
+    */
+  private[ext] def maybeBroadcastSmall(df: DataFrame, measuredRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.iterBroadcast.maxRows", "1000000").toLong
+    if (cap > 0 && measuredRows >= 0 && measuredRows <= cap) broadcast(df) else df
+  }
+
   /** Shared banded-MinHash derivation for the incremental-dedup pair
     * ([[DedupOps.minhashIndex]] / [[DedupOps.dedupAgainstIndex]]): one row
     * per (doc, band) as `(_id, _mh, _bh)` where `_bh` = xxhash64(band id ‖
@@ -921,28 +944,47 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
     // labels only ever decrease, so the label SUM strictly decreases while
     // anything changes — one cheap aggregate per round instead of a
-    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
+    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids).
+    // The SAME bounded read also returns the node count (constant across
+    // rounds — one row per id in a pair), which gates the in-loop
+    // broadcast hints below for free ([[DedupOps.maybeBroadcastSmall]]).
+    def labelProbe(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)")),
+        count(lit(1))).collect()(0)
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var (prevSum, nNodes) = labelProbe(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val viaNbr = sym.join(labels, sym("src") === labels("id"))
+      // the label map is checkpointRound output — RDD-backed, so plan
+      // statistics are the defaultSizeInBytes maximum and no broadcast
+      // would ever fire on its own; hint it from the measured node count
+      // so a small map makes every in-loop join exchange-free (the sym
+      // and stepped sides then read their checkpoint blocks in place)
+      val labelsB = DedupOps.maybeBroadcastSmall(labels, nNodes)
+      val viaNbr = sym.join(labelsB, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
       val stepped = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       // pointer jump through the PREVIOUS round's materialized map (no
       // self-join of the un-materialized step output): label-of-label is
-      // still elementwise non-increasing, so the sum probe stays valid
-      val parents = labels.select(
-        col("id").as("_pid"), col("cluster_id").as("_pcl"))
+      // still elementwise non-increasing, so the sum probe stays valid.
+      // (Round-17 note: chasing the prev map MORE than once per round was
+      // measured to buy nothing — the per-round label sums were identical
+      // with 1 and 3 chases on the deep-chain embedding fixture, because
+      // a chase only helps along the path of successive minima — while
+      // chained broadcast-join chases triggered a pathological per-round
+      // recompute blowup. One chase, broadcast when small, is the shape.)
+      val parents = DedupOps.maybeBroadcastSmall(
+        labels.select(col("id").as("_pid"), col("cluster_id").as("_pcl")),
+        nNodes)
       val prev = labels
       labels = DedupOps.checkpointRound(
-        stepped.join(parents, stepped("cluster_id") === parents("_pid"), "left")
+        stepped.join(parents, stepped("cluster_id") === col("_pid"), "left")
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id")))
-      val s = labelSum(labels)
+      val (s, _) = labelProbe(labels)
       DedupOps.releaseRound(prev) // this round is materialized; the old map is dead
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -1017,12 +1059,22 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       // neighborhood member — emitted edges always point (larger → smaller)
       val sym = edges.select(col("a").as("v"), col("b").as("u"))
         .unionByName(edges.select(col("b").as("v"), col("a").as("u")))
-      val mins = sym.groupBy("v").agg(least(min(col("u")), first(col("v"))).as("m"))
+      // the per-node min frames are bounded by the round's MEASURED edge
+      // count (≤ 2·edges distinct centers; the loop counts edges every
+      // round anyway) — broadcast-hint them when small, because both are
+      // aggregation outputs over checkpointRound frames whose statistics
+      // are the defaultSizeInBytes maximum, so no broadcast fires on its
+      // own and each round otherwise shuffles tiny frames on every join
+      val mins = DedupOps.maybeBroadcastSmall(
+        sym.groupBy("v").agg(least(min(col("u")), first(col("v"))).as("m")),
+        if (prevCnt > Long.MaxValue / 2) Long.MaxValue else prevCnt * 2)
       val ls = DedupOps.checkpointRound(sym.join(mins, "v").where(col("u") > col("v"))
         .select(col("u").as("a"), col("m").as("b")).distinct())
       // SMALL-STAR: per center, re-hang its smaller neighbors AND itself
       // onto the smallest of them
-      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val mins2 = DedupOps.maybeBroadcastSmall(
+        ls.groupBy("a").agg(min(col("b")).as("m")),
+        if (prevCnt > Long.MaxValue / 2) Long.MaxValue else prevCnt * 2)
       val ss = DedupOps.checkpointRound(ls.join(mins2, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(mins2.select(col("a"), col("m").as("b")))
@@ -1046,7 +1098,8 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairsContraction did not converge in $maxIters rounds")
-    val stars = edges.select(col("a").as("_star_id"), col("b").as("_sroot"))
+    val stars = DedupOps.maybeBroadcastSmall(
+      edges.select(col("a").as("_star_id"), col("b").as("_sroot")), prevCnt)
     val labels = ids.join(stars, ids("id") === col("_star_id"), "left")
       .select(col("id"), coalesce(col("_sroot"), col("id")).as("cluster_id"))
     // integral path: `out` = the labels plan itself, so the `ids` and final

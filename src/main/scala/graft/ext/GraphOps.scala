@@ -171,14 +171,25 @@ final class GraphOps(private val c: Chain) extends AnyVal {
     }
     // driver-side Long arithmetic mirrors the engine-side DIVs exactly
     val tele = ((100L - dampingPct) * scale) / (100L * n)
-    var pr = DedupOps.checkpointRound(
-      base.withColumn("_pr", lit(scale / n)))
+    // seed frame: a pure projection of the ALREADY-checkpointed base —
+    // checkpointing it again would re-materialize 'base + one literal
+    // column' for nothing (round-17: one job per linkRank call removed);
+    // releaseRound on a non-LogicalRDD plan is a no-op, so the loop's
+    // release discipline stays uniform
+    var pr: DataFrame = base.withColumn("_pr", lit(scale / n))
     for (_ <- 1 to iterations) {
-      val shares = pr.where(col("_outdeg").isNotNull)
+      // the rank frame is one row per node — its count is the `n` already
+      // measured, so the in-loop joins get a measured-size broadcast hint
+      // (checkpointRound frames report defaultSizeInBytes, so neither the
+      // planner nor AQE would ever broadcast them unhinted; measured
+      // round-17: ~8 scheduler jobs per sweep at sf0.1, nearly all
+      // exchanges of the 2000-5000-row rank/contribution maps). A
+      // node frame past the gate keeps today's shuffle plan.
+      val shares = DedupOps.maybeBroadcastSmall(pr.where(col("_outdeg").isNotNull), n)
         .join(edges, col("node") === col("_src"))
         .select(col("_dst"), (col("_w") * expr("_pr DIV _outdeg")).as("_share"))
-      val contrib = shares.groupBy(col("_dst").as("node"))
-        .agg(sum(col("_share")).as("_c"))
+      val contrib = DedupOps.maybeBroadcastSmall(
+        shares.groupBy(col("_dst").as("node")).agg(sum(col("_share")).as("_c")), n)
       // dangling mass rides the round job as a broadcast one-row frame —
       // no driver barrier inside the loop
       val dang = pr.where(col("_outdeg").isNull)

@@ -175,12 +175,20 @@ final class SimilarityOps(private val c: Chain) extends AnyVal {
           col("rel"), lit(step).as("mmr_rank"))
     var selected = DedupOps.checkpointRound(
       pick1(pool.withColumn("_score", lit(lam) * col("rel")), 1))
+    // the selected frame is ≤ |queries|·k rows but checkpointRound-backed
+    // (defaultSizeInBytes statistics), so no broadcast ever fires on its
+    // own and every sweep shuffles the pool twice; gate a hint on the
+    // QUERY batch's plan statistics × k (the [[maybeBroadcastProbes]]
+    // posture — round 17), so small probe batches sweep exchange-free on
+    // the selected side while huge ingest batches keep the shuffled plan
+    val hintSelected = SimilarityOps.fitsBroadcast(queries, k)
+    def maybeB(df: DataFrame): DataFrame = if (hintSelected) broadcast(df) else df
     for (step <- 2 to k) {
       val remaining = pool.join(
-        selected.select(col("query_id"), col("neighbor_id")),
+        maybeB(selected.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")
-      val sel = selected.select(col("query_id"),
-        col("_vc").as("_vs"), col("_nc").as("_ns"))
+      val sel = maybeB(selected.select(col("query_id"),
+        col("_vc").as("_vs"), col("_nc").as("_ns")))
       val pairSim = (Exact.dot(col("_vc"), col("_vs")) / col("_nc") / col("_ns"))
         .cast("double")
       val scored = remaining.join(sel, Seq("query_id"))
@@ -1649,16 +1657,19 @@ object SimilarityOps {
     * oversized broadcast.
     */
   private[ext] def maybeBroadcastProbes(batch: DataFrame, probes: DataFrame,
-                                        nprobe: Int): DataFrame = {
-    val thresh = org.apache.spark.sql.GraftBridge
-      .autoBroadcastThreshold(probes.sparkSession)
-    val ceiling =
-      if (thresh > 0) BigInt(thresh) * 8
-      else BigInt(probes.sparkSession.conf
-        .get("spark.graft.probeBroadcast.maxBytes", (80L << 20).toString).toLong)
-    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
-    if (ceiling > 0 && est <= ceiling) broadcast(probes) else probes
-  }
+                                        nprobe: Int): DataFrame =
+    if (fitsBroadcast(batch, nprobe)) broadcast(probes) else probes
+
+  /** The gate behind [[maybeBroadcastProbes]], reusable for any
+    * derived-frame hint whose size is bounded by a SIZED frame's plan
+    * statistics × a replication factor (round 17: [[TextOps.searchTfidf]]
+    * gates its query-term pruning the same way). Same posture: plan
+    * statistics only (no extra job), over-estimates err toward NOT
+    * hinting, and the `spark.graft.probeBroadcast.maxBytes` fallback
+    * honors hard no-broadcast cluster configs (≤ 0 → never true).
+    */
+  private[ext] def fitsBroadcast(sized: DataFrame, replication: Int): Boolean =
+    graft.core.SizeGate.fitsBroadcast(sized, replication)
 
   /** A usable vector for cosine ranking: positive finite norm AND no NaN
     * component. The guard every cosine path filters on. A zero-norm

@@ -372,7 +372,8 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     * term-keyed join — linear in corpus size, no driver data movement.
     */
   def tfidf(idCol: String, textCol: String, idf: String = "raw"): Chain = {
-    val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
+    require(Seq("raw", "log").contains(idf),
+      s"unknown idf kind $idf")
     val tok = c.df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     // term-keyed barrier: tf feeds BOTH the df aggregation and the final
@@ -381,29 +382,39 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .repartition(col("term"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    // N (distinct documents) rides as a broadcast ONE-ROW aggregate
+    // instead of a chain-build driver collect (round 17): the old eager
+    // count was a full extra corpus scan PLUS a driver barrier paid on
+    // every tfidf/searchTfidf/rrf chain construction — as a column-pruned
+    // aggregate subtree it joins the same job, and the arithmetic is
+    // unchanged (long×long then the same casts, so scores stay
+    // bit-identical)
+    val nAgg = broadcast(c.df.agg(countDistinct(col(idCol)).as("_tfidf_n")))
     val score = idf match {
-      case "raw" => (col("tf") * lit(n)).cast("double") / col("df_t")
+      case "raw" => (col("tf") * col("_tfidf_n")).cast("double") / col("df_t")
       case "log" => col("tf").cast("double") *
-        log((lit(n.toDouble) + 1.0) / (col("df_t").cast("double") + 1.0) + 1.0)
+        log((col("_tfidf_n").cast("double") + 1.0) / (col("df_t").cast("double") + 1.0) + 1.0)
       case other => throw new IllegalArgumentException(s"unknown idf kind $other")
     }
-    val df2 = tf.join(dft, Seq("term"))
+    val df2 = tf.join(dft, Seq("term")).crossJoin(nAgg)
       .select(col("doc_id"), col("term"), col("tf"), col("df_t"), score.as("tfidf"))
-    // SQL face: N is already a plan-time literal (the declared driver
-    // count above), so the whole op renders as a tf/df self-join over
-    // {{source}}. NOTE the render is a snapshot — N is baked in at
-    // chain-build time, exactly like one_hot's discovered values; re-run
-    // the op (not the rendered text) after the corpus changes.
+    // SQL face: N is a literal baked at RENDER time (nextLazy — the
+    // declared driver count moves off the execute path; only an actual
+    // render pays it). The render stays a snapshot, exactly like one_hot's
+    // discovered values: re-run the op (not the rendered text) after the
+    // corpus changes.
     val ic = Naming.quoteId(idCol); val tc = Naming.quoteId(textCol)
-    val tokSql = s"SELECT $ic AS doc_id, explode(${tokensSql(tc)}) AS term FROM {{source}}"
-    val tfSql = s"SELECT doc_id, term, COUNT(1) AS tf FROM ($tokSql) GROUP BY doc_id, term"
-    val scoreSql = idf match {
-      case "raw" => s"CAST(tf * $n AS DOUBLE) / df_t"
-      case _ => s"CAST(tf AS DOUBLE) * LN((CAST('${n.toDouble}' AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0) + 1.0)"
-    }
-    c.next("tfidf", df2, Some(
+    c.nextLazy("tfidf", df2, () => {
+      val n = c.df.agg(countDistinct(col(idCol))).collect()(0).getLong(0)
+      val tokSql = s"SELECT $ic AS doc_id, explode(${tokensSql(tc)}) AS term FROM {{source}}"
+      val tfSql = s"SELECT doc_id, term, COUNT(1) AS tf FROM ($tokSql) GROUP BY doc_id, term"
+      val scoreSql = idf match {
+        case "raw" => s"CAST(tf * $n AS DOUBLE) / df_t"
+        case _ => s"CAST(tf AS DOUBLE) * LN((CAST('${n.toDouble}' AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0) + 1.0)"
+      }
       s"SELECT doc_id, term, tf, df_t, $scoreSql AS tfidf FROM ($tfSql) " +
-        s"JOIN (SELECT term, COUNT(1) AS df_t FROM ($tfSql) GROUP BY term) USING (term)"))
+        s"JOIN (SELECT term, COUNT(1) AS df_t FROM ($tfSql) GROUP BY term) USING (term)"
+    })
   }
 
   /** chunk_text(id_col, text_col, chunk_tokens, overlap): split each
@@ -764,9 +775,9 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
     val scored = scoring match {
       case "tfidf" =>
         val docChain = tfidf(idCol, textCol, idf)
-        val tfidfFrag = docChain.steps.last.sqlFragment.get
         val qidT = queries.df.schema(queryIdCol).dataType.sql
         renderFace = Some(() => {
+          val tfidfFrag = docChain.steps.last.sqlText.get
           val maxRenderQueries = 10000
           val qRows = qt.limit(maxRenderQueries + 1).collect()
           if (qRows.length > maxRenderQueries) throw new UnsupportedOperationException(
@@ -786,9 +797,41 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
             s"CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) " +
             s"AS rank FROM ($scSql)) WHERE rank <= $k"
         })
-        qt.join(docChain.df, Seq("term"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
+        // Probe pruning (round 17, the searchTfidfIndex shape brought to
+        // the one-shot face): when the QUERY batch's plan-statistics size
+        // says its distinct term list broadcasts safely
+        // ([[SimilarityOps.fitsBroadcast]] — the maybeBroadcastProbes
+        // gate), drop non-probed terms from the token stream BEFORE the
+        // (doc, term) tf aggregation. Only probed terms can survive the
+        // qt join anyway, and both df_t (all docs holding a probed term
+        // survive the semi-join) and N (the separate corpus aggregate)
+        // are unchanged by term pruning — so scores are identical while
+        // the corpus-side exchange carries probed terms only instead of
+        // the whole vocabulary. An unsized/huge query batch keeps the
+        // full-tfidf join plan (pruning via a SHUFFLED semi-join would
+        // move the raw token stream, more bytes than the aggregated tf).
+        if (SimilarityOps.fitsBroadcast(queries.df, 1)) {
+          val qTerms = broadcast(qt.select(col("term")).distinct())
+          val tok = c.df.select(col(idCol).as("doc_id"),
+            explode(tokens(col(textCol))).as("term"))
+            .join(qTerms, Seq("term"), "leftsemi")
+          val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+          val nAgg = broadcast(c.df.agg(countDistinct(col(idCol)).as("_tfidf_n")))
+          val tfidfCol = idf match {
+            case "raw" => (col("tf") * col("_tfidf_n")).cast("double") / col("df_t")
+            case "log" => col("tf").cast("double") *
+              log((col("_tfidf_n").cast("double") + 1.0) /
+                (col("df_t").cast("double") + 1.0) + 1.0)
+          }
+          tf.join(dft, Seq("term")).crossJoin(nAgg)
+            .join(qt, Seq("term"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(graft.core.Exact.sum(col("_qtf") * tfidfCol).as("score"))
+        } else
+          qt.join(docChain.df, Seq("term"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
       case "bm25" =>
         // Okapi BM25 (Robertson–Spärck Jones): the retrieval scoring real
         // ranked search expects — idf'd terms with saturating tf and

@@ -337,9 +337,14 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         val posCol = "_graft_bin_pos"
         require(!c.df.columns.contains(posCol),
           s"bin(ntile): internal column '$posCol' already exists on the frame")
-        val n = c.df.count()
         val withPos = PrefixScan.exclusivePrefixSum(
           c.df, Nil, order, lit(1L), posCol)
+        // n from the CHECKPOINTED frame the positions come from — one
+        // snapshot for both (a separate c.df.count() was a second
+        // independent corpus scan, and on a nondeterministic input the
+        // two scans could disagree and corrupt the q/r bucket arithmetic);
+        // counting the materialized blocks is also cheaper than a rescan
+        val n = withPos.count()
         val q = n / binCount
         val r = n % binCount
         val e =
@@ -725,9 +730,17 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // arbitrary, but the value AT a rank is order-independent). PrefixScan
     // positions, not a global ROW_NUMBER window (see scaladoc)
     val refVals = refC.df.select(rxr.as("_qn_v")).where(col("_qn_v").isNotNull)
-    val refRanks = PrefixScan.exclusivePrefixSum(
+    val refRanks0 = PrefixScan.exclusivePrefixSum(
         refVals, Nil, Seq(col("_qn_v").asc), lit(1L), "_qn_rk0")
       .select(col("_qn_v"), (col("_qn_rk0") + lit(1L)).as("_qn_rk"))
+    // PrefixScan-backed lookup table ⇒ defaultSizeInBytes statistics ⇒ no
+    // broadcast would ever fire unhinted and the CORPUS shuffles on the
+    // rank key; gate a hint on the reference projection's own plan
+    // statistics ([[graft.core.SizeGate]], round 17) — a corpus-sized
+    // reference keeps the shuffled join
+    val refRanks =
+      if (graft.core.SizeGate.fitsBroadcast(refVals, 1)) broadcast(refRanks0)
+      else refRanks0
     // N = the reference's non-null count — a bounded one-row agg probe
     // (the declared-driver-read convention): a column-pruned COUNT scan,
     // deliberately NOT derived from the rank frame, whose reuse as both
@@ -1112,13 +1125,31 @@ object EncodeOps {
       s"global_tie_ranks: internal column '$n' already exists on the frame"))
     val vals = df.select(xr.as("_gr_v")).where(col("_gr_v").isNotNull)
       .groupBy(col("_gr_v")).agg(count(lit(1)).as("_gr_c"))
-    val ranks = graft.core.PrefixScan.exclusivePrefixSum(
-        vals, Nil, Seq(col("_gr_v").asc), col("_gr_c"), "_gr_x")
+    val scanned = graft.core.PrefixScan.exclusivePrefixSum(
+      vals, Nil, Seq(col("_gr_v").asc), col("_gr_c"), "_gr_x")
+    val ranks0 = scanned
       .select(col("_gr_v"), (col("_gr_x") + lit(1L)).as(rankCol))
+    // The rank table is PrefixScan-backed, so its plan statistics are the
+    // conservative defaultSizeInBytes maximum — no broadcast would ever
+    // fire on its own and the corpus would SHUFFLE on the value column
+    // (the skew-prone hot-task shape on low-cardinality columns this
+    // rewrite exists to retire). Gate a broadcast hint on the distinct-
+    // value aggregate's OWN plan statistics ([[graft.core.SizeGate]], the
+    // IVF-probe posture): small rank tables prune the corpus exchange
+    // outright; a corpus-sized distinct table keeps the shuffled join.
+    val ranks =
+      if (graft.core.SizeGate.fitsBroadcast(vals, 1)) broadcast(ranks0) else ranks0
+    // n = the non-null count = Σ per-value counts over the MATERIALIZED
+    // distinct table — a one-row aggregate over PrefixScan's checkpoint
+    // blocks instead of a third full corpus scan (round 17; the old
+    // "three-way self-join" concern applied to re-deriving the count from
+    // an UN-materialized rank frame — the checkpointed scan re-executes
+    // nothing)
     df.withColumn("_gr_v", xr)
       .join(ranks, Seq("_gr_v"), "left")
       .drop("_gr_v")
-      .crossJoin(broadcast(df.agg(count(xr).as(nCol))))
+      .crossJoin(broadcast(scanned.agg(
+        coalesce(sum(col("_gr_c")), lit(0L)).as(nCol))))
   }
 
   private[ops] def globalValueAtRanks(df: DataFrame, xr: Column,

@@ -32,4 +32,21 @@ class ProbeBroadcastSpec extends AnyFunSuite {
       finally spark.conf.unset("spark.graft.probeBroadcast.maxBytes")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
+
+  test("maybeBroadcastSmall: hints under the measured-count cap, never over it or when disabled") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    def hinted(d: DataFrame): Boolean =
+      d.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hinted(DedupOps.maybeBroadcastSmall(df, 10L)),
+      "a measured count far under the default 1M cap must hint")
+    assert(!hinted(DedupOps.maybeBroadcastSmall(df, 2000000L)),
+      "a measured count above the default 1M cap must not hint")
+    val key = "spark.graft.iterBroadcast.maxRows"
+    spark.conf.set(key, "0")
+    try assert(!hinted(DedupOps.maybeBroadcastSmall(df, 1L)),
+      "cap <= 0 is the hard no-broadcast posture — never hint")
+    finally spark.conf.unset(key)
+  }
 }
