@@ -71,6 +71,24 @@ private[graft] object PrefixScan {
                          outCol: String): DataFrame =
     exclusivePrefixSums(df, groupCols, orderBy, Seq(weight -> outCol))
 
+  /** UNGROUPED scan that ALSO returns the global weight totals. The
+    * boundary-partials fold (step 3) already accumulates exactly these
+    * sums when there is no grouping — every partition is one run of the
+    * single global group, so the fold's final carry IS Σ weight — yet
+    * callers used to pay a SECOND job re-aggregating the materialized
+    * checkpoint for n (bin ntile, global tie ranks, value-at-rank,
+    * quantile gates): at corpus scale that is a full extra pass over
+    * DISK_ONLY blocks. Totals arrive in `weights` order; an empty frame
+    * yields zeros (the callers' weights are counts, so 0 ⟺ no rows).
+    */
+  def exclusivePrefixSumWithTotal(df: DataFrame, orderBy: Seq[Column],
+                                  weight: Column,
+                                  outCol: String): (DataFrame, Long) = {
+    val (out, totals) =
+      exclusivePrefixSumsInternal(df, Nil, orderBy, Seq(weight -> outCol))
+    (out, totals(0))
+  }
+
   /** Multi-weight variant: one range sort, one boundary job, one scan
     * shared by every `(weight, outCol)` pair — the two-sided-census shape
     * (ksProfile's base/other cumulative counts) without sorting the frame
@@ -79,7 +97,18 @@ private[graft] object PrefixScan {
     */
   def exclusivePrefixSums(df: DataFrame, groupCols: Seq[Column],
                           orderBy: Seq[Column],
-                          weights: Seq[(Column, String)]): DataFrame = {
+                          weights: Seq[(Column, String)]): DataFrame =
+    exclusivePrefixSumsInternal(df, groupCols, orderBy, weights)._1
+
+  /** Shared body: the scan frame plus the fold's final carry. The carry
+    * equals the GLOBAL per-weight totals only when `groupCols` is empty
+    * (one global run across all partitions) — grouped callers get the
+    * carry of the LAST group, which is why only
+    * [[exclusivePrefixSumWithTotal]] exposes it.
+    */
+  private def exclusivePrefixSumsInternal(
+      df: DataFrame, groupCols: Seq[Column], orderBy: Seq[Column],
+      weights: Seq[(Column, String)]): (DataFrame, Array[Long]) = {
     require(weights.nonEmpty, "prefix_scan: at least one weight is required")
     val spark = df.sparkSession
     val inCols = df.columns.toSeq
@@ -207,7 +236,7 @@ private[graft] object PrefixScan {
         Row.fromSeq(row.toSeq ++ before)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-      .select((inCols ++ outCols).map(col): _*)
+    (spark.createDataFrame(rdd, outSchema)
+      .select((inCols ++ outCols).map(col): _*), carry)
   }
 }

@@ -939,21 +939,25 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     val sym = DedupOps.checkpointRound(edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))))
     DedupOps.releaseRound(edges) // sym supersedes it
-    // round 0 folded into seeding: label = min(self, neighbors)
-    var labels = DedupOps.checkpointRound(sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
     // labels only ever decrease, so the label SUM strictly decreases while
-    // anything changes — one cheap aggregate per round instead of a
-    // join+count convergence probe (sum in DECIMAL: no overflow on 10⁹ ids).
-    // The SAME bounded read also returns the node count (constant across
+    // anything changes — a convergence probe that RIDES each round's
+    // checkpoint materialization ([[graft.core.CheckpointProbe]], round
+    // 17: the old separate aggregate job re-scanned the fresh checkpoint
+    // every round — at corpus scale a full extra pass over its blocks).
+    // The same observation also returns the node count (constant across
     // rounds — one row per id in a pair), which gates the in-loop
     // broadcast hints below for free ([[DedupOps.maybeBroadcastSmall]]).
-    def labelProbe(df: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)")),
-        count(lit(1))).collect()(0)
-      (r.getDecimal(0), r.getLong(1))
-    }
-    var (prevSum, nNodes) = labelProbe(labels)
+    val probeMetrics = Seq(
+      "_cp_sum" -> sum(col("cluster_id").cast("decimal(38,0)")),
+      "_cp_n" -> count(lit(1)))
+    // round 0 folded into seeding: label = min(self, neighbors)
+    val (labels0, seedProbe) = graft.core.CheckpointProbe(
+      sym.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")),
+      probeMetrics: _*)
+    var labels = labels0
+    var prevSum = seedProbe(0).asInstanceOf[java.math.BigDecimal]
+    val nNodes = seedProbe(1).asInstanceOf[Long]
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -980,11 +984,13 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
         labels.select(col("id").as("_pid"), col("cluster_id").as("_pcl")),
         nNodes)
       val prev = labels
-      labels = DedupOps.checkpointRound(
+      val (next, roundProbe) = graft.core.CheckpointProbe(
         stepped.join(parents, stepped("cluster_id") === col("_pid"), "left")
           .select(col("id"),
-            least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id")))
-      val (s, _) = labelProbe(labels)
+            least(col("cluster_id"), coalesce(col("_pcl"), col("cluster_id"))).as("cluster_id")),
+        probeMetrics: _*)
+      labels = next
+      val s = roundProbe(0).asInstanceOf[java.math.BigDecimal]
       DedupOps.releaseRound(prev) // this round is materialized; the old map is dead
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -1048,10 +1054,14 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     DedupOps.releaseRound(edgesIn)
     val ids = DedupOps.checkpointRound(
       raw.select(explode(array(col("a"), col("b"))).as("id")).distinct())
-    var edges = DedupOps.checkpointRound(
-      raw.where(col("a") =!= col("b")).distinct())
+    // the edge count rides the checkpoint materialization
+    // ([[graft.core.CheckpointProbe]]) — it drives BOTH the fixpoint
+    // probe and the in-loop broadcast gate, with no separate count job
+    val (edges0, edgeProbe) = graft.core.CheckpointProbe(
+      raw.where(col("a") =!= col("b")).distinct(), "_cp_n" -> count(lit(1)))
+    var edges = edges0
     DedupOps.releaseRound(raw)
-    var prevCnt = edges.count()
+    var prevCnt = edgeProbe(0).asInstanceOf[Long]
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -1075,19 +1085,22 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
       val mins2 = DedupOps.maybeBroadcastSmall(
         ls.groupBy("a").agg(min(col("b")).as("m")),
         if (prevCnt > Long.MaxValue / 2) Long.MaxValue else prevCnt * 2)
-      val ss = DedupOps.checkpointRound(ls.join(mins2, "a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionByName(mins2.select(col("a"), col("m").as("b")))
-        .where(col("a") =!= col("b")).distinct())
-      DedupOps.releaseRound(ls)
       // fixpoint = the round was the identity on the edge set (stars only).
-      // Probe cost: edge counts are tracked round-over-round (one count job
-      // on an already-materialized frame) and the set-equality anti-join
-      // runs ONLY when counts tie — two distinct sets of equal size are
-      // equal iff one difference is empty, so a still-shrinking round pays
-      // ONE driver barrier, not two. On iterative ops the per-round driver
-      // barrier count is the wall-clock driver at cluster scale.
-      val cnt = ss.count()
+      // Probe cost: the edge count RIDES the round's checkpoint
+      // materialization (CheckpointProbe — no separate count job at all
+      // since round 17) and the set-equality anti-join runs ONLY when
+      // counts tie — two distinct sets of equal size are equal iff one
+      // difference is empty, so a still-shrinking round pays ZERO extra
+      // driver barriers. On iterative ops the per-round driver barrier
+      // count is the wall-clock driver at cluster scale.
+      val (ss, ssProbe) = graft.core.CheckpointProbe(
+        ls.join(mins2, "a")
+          .select(col("b").as("a"), col("m").as("b"))
+          .unionByName(mins2.select(col("a"), col("m").as("b")))
+          .where(col("a") =!= col("b")).distinct(),
+        "_cp_n" -> count(lit(1)))
+      DedupOps.releaseRound(ls)
+      val cnt = ssProbe(0).asInstanceOf[Long]
       converged = cnt == prevCnt &&
         ss.join(edges, Seq("a", "b"), "left_anti").isEmpty
       prevCnt = cnt

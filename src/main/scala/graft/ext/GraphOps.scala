@@ -155,12 +155,14 @@ final class GraphOps(private val c: Chain) extends AnyVal {
                          scale: Long): Chain = {
     val deg = edges.groupBy(col("_src").as("node")).agg(sum(col("_w")).as("_outdeg"))
     // base = every node with its out-degree (null = dangling); reused by
-    // every round's closing left join
-    val base = DedupOps.checkpointRound(
+    // every round's closing left join. n rides the checkpoint
+    // materialization (CheckpointProbe) — no separate count job
+    val (base, baseProbe) = graft.core.CheckpointProbe(
       edges.select(col("_src").as("node"))
         .unionByName(edges.select(col("_dst").as("node"))).distinct()
-        .join(deg, Seq("node"), "left"))
-    val n = base.count()
+        .join(deg, Seq("node"), "left"),
+      "_cp_n" -> count(lit(1)))
+    val n = baseProbe(0).asInstanceOf[Long]
     if (n == 0) {
       DedupOps.releaseRound(edges); DedupOps.releaseRound(base)
       // typed empty frame off the ORIGINAL df — the released checkpoints

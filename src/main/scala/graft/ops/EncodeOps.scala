@@ -337,14 +337,13 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         val posCol = "_graft_bin_pos"
         require(!c.df.columns.contains(posCol),
           s"bin(ntile): internal column '$posCol' already exists on the frame")
-        val withPos = PrefixScan.exclusivePrefixSum(
-          c.df, Nil, order, lit(1L), posCol)
-        // n from the CHECKPOINTED frame the positions come from — one
-        // snapshot for both (a separate c.df.count() was a second
+        // n rides PrefixScan's own boundary fold — one snapshot for
+        // positions AND total (a separate c.df.count() was a second
         // independent corpus scan, and on a nondeterministic input the
-        // two scans could disagree and corrupt the q/r bucket arithmetic);
-        // counting the materialized blocks is also cheaper than a rescan
-        val n = withPos.count()
+        // two scans could disagree and corrupt the q/r bucket
+        // arithmetic), and zero extra jobs
+        val (withPos, n) = PrefixScan.exclusivePrefixSumWithTotal(
+          c.df, order, lit(1L), posCol)
         val q = n / binCount
         val r = n % binCount
         val e =
@@ -730,8 +729,9 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     // arbitrary, but the value AT a rank is order-independent). PrefixScan
     // positions, not a global ROW_NUMBER window (see scaladoc)
     val refVals = refC.df.select(rxr.as("_qn_v")).where(col("_qn_v").isNotNull)
-    val refRanks0 = PrefixScan.exclusivePrefixSum(
-        refVals, Nil, Seq(col("_qn_v").asc), lit(1L), "_qn_rk0")
+    val (refScan, nRef) = PrefixScan.exclusivePrefixSumWithTotal(
+      refVals, Seq(col("_qn_v").asc), lit(1L), "_qn_rk0")
+    val refRanks0 = refScan
       .select(col("_qn_v"), (col("_qn_rk0") + lit(1L)).as("_qn_rk"))
     // PrefixScan-backed lookup table ⇒ defaultSizeInBytes statistics ⇒ no
     // broadcast would ever fire unhinted and the CORPUS shuffles on the
@@ -741,11 +741,10 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val refRanks =
       if (graft.core.SizeGate.fitsBroadcast(refVals, 1)) broadcast(refRanks0)
       else refRanks0
-    // N = the reference's non-null count — a bounded one-row agg probe
-    // (the declared-driver-read convention): a column-pruned COUNT scan,
-    // deliberately NOT derived from the rank frame, whose reuse as both
-    // scalar and join side would make the op a three-way self-join
-    val nRef = refC.df.select(count(rxr)).collect()(0).getLong(0)
+    // N = the reference's non-null count — already accumulated by the
+    // PrefixScan boundary fold above (one row per ref non-null value at
+    // weight 1), so the old separate column-pruned COUNT scan of the
+    // reference is gone (round 17)
     // ungrouped, the corpus-side tie-aware rank is an identity of the
     // value group: distinct-value PrefixScan rank table + broadcast
     // count, never a PARTITION BY () rank window (round 16)
@@ -1125,8 +1124,11 @@ object EncodeOps {
       s"global_tie_ranks: internal column '$n' already exists on the frame"))
     val vals = df.select(xr.as("_gr_v")).where(col("_gr_v").isNotNull)
       .groupBy(col("_gr_v")).agg(count(lit(1)).as("_gr_c"))
-    val scanned = graft.core.PrefixScan.exclusivePrefixSum(
-      vals, Nil, Seq(col("_gr_v").asc), col("_gr_c"), "_gr_x")
+    // n = Σ per-value counts = the non-null count, already accumulated by
+    // PrefixScan's boundary fold — zero extra jobs and zero extra scans
+    // (the old shape paid a separate full corpus COUNT pass)
+    val (scanned, nNonNull) = graft.core.PrefixScan.exclusivePrefixSumWithTotal(
+      vals, Seq(col("_gr_v").asc), col("_gr_c"), "_gr_x")
     val ranks0 = scanned
       .select(col("_gr_v"), (col("_gr_x") + lit(1L)).as(rankCol))
     // The rank table is PrefixScan-backed, so its plan statistics are the
@@ -1139,17 +1141,10 @@ object EncodeOps {
     // outright; a corpus-sized distinct table keeps the shuffled join.
     val ranks =
       if (graft.core.SizeGate.fitsBroadcast(vals, 1)) broadcast(ranks0) else ranks0
-    // n = the non-null count = Σ per-value counts over the MATERIALIZED
-    // distinct table — a one-row aggregate over PrefixScan's checkpoint
-    // blocks instead of a third full corpus scan (round 17; the old
-    // "three-way self-join" concern applied to re-deriving the count from
-    // an UN-materialized rank frame — the checkpointed scan re-executes
-    // nothing)
     df.withColumn("_gr_v", xr)
       .join(ranks, Seq("_gr_v"), "left")
       .drop("_gr_v")
-      .crossJoin(broadcast(scanned.agg(
-        coalesce(sum(col("_gr_c")), lit(0L)).as(nCol))))
+      .withColumn(nCol, lit(nNonNull))
   }
 
   private[ops] def globalValueAtRanks(df: DataFrame, xr: Column,
@@ -1157,13 +1152,13 @@ object EncodeOps {
     import org.apache.spark.sql.functions._
     val vals = df.where(xr.isNotNull)
       .groupBy(xr.as("_vr_v")).agg(count(lit(1)).as("_vr_c"))
-    val scanned = graft.core.PrefixScan.exclusivePrefixSum(
-      vals, Nil, Seq(col("_vr_v").asc), col("_vr_c"), "_vr_x")
-    val nRow = scanned.agg(sum(col("_vr_c"))).collect()(0)
+    // n rides the boundary fold (weights are counts, 0 ⟺ no rankable
+    // rows) — one driver read total instead of two
+    val (scanned, n) = graft.core.PrefixScan.exclusivePrefixSumWithTotal(
+      vals, Seq(col("_vr_v").asc), col("_vr_c"), "_vr_x")
     val out =
-      if (nRow.isNullAt(0)) rankFns.map(_ => null)
+      if (n == 0L) rankFns.map(_ => null)
       else {
-        val n = nRow.getLong(0)
         val cum = col("_vr_x") + col("_vr_c")
         val picks = rankFns.zipWithIndex.map { case (f, i) =>
           min(when(cum >= f(n), col("_vr_v"))).as(s"_vr_p$i")

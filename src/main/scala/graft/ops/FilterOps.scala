@@ -131,17 +131,18 @@ final class FilterOps(private val c: Chain) extends AnyVal {
         // pushdown-able range predicate on the original scan
         val vals = c.df.where(ranks)
           .groupBy(col(valueCol).as("_q_v")).agg(count(lit(1)).as("_q_c"))
-        val scanned = graft.core.PrefixScan.exclusivePrefixSum(
-          vals, Nil, Seq(col("_q_v").asc), col("_q_c"), "_q_excl")
-        val n = scanned.agg(sum(col("_q_c"))).collect()(0)
+        // n rides PrefixScan's boundary fold (round 17) — ONE driver read
+        // (the cutoff) instead of two
+        val (scanned, n) = graft.core.PrefixScan.exclusivePrefixSumWithTotal(
+          vals, Seq(col("_q_v").asc), col("_q_c"), "_q_excl")
         val cut: Any =
-          if (n.isNullAt(0)) null // no rankable rows: both keeps are empty
+          if (n == 0L) null // no rankable rows: both keeps are empty
           else {
             // cume_dist(v) = count(rows <= v) / n, the SAME IEEE division
             // the window face computes per row; the max value always
             // clears q (n/n = 1 > q), so min() is never null here
             val cume = (col("_q_excl") + col("_q_c")).cast("double") /
-              lit(n.getLong(0).toDouble)
+              lit(n.toDouble)
             scanned.where(cume > lit(q))
               .agg(min(col("_q_v"))).collect()(0).get(0)
           }

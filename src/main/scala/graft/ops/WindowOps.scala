@@ -185,10 +185,15 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     * global sort per action.
     */
   def trainTestSplit(orderBy: Seq[(String, String)], trainPercent: Double): Chain = {
-    val sorted = c.df.orderBy(orderBy.map { case (n, d) =>
-      if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
-    }: _*).localCheckpoint()
-    val n = sorted.count()
+    // n rides the checkpoint materialization (CheckpointProbe, round 17)
+    // — the old separate count() re-scanned the blocks the sort job had
+    // just written
+    val (sorted, probe) = graft.core.CheckpointProbe(
+      c.df.orderBy(orderBy.map { case (n, d) =>
+        if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+      }: _*),
+      "_cp_n" -> count(lit(1)))
+    val n = probe(0).asInstanceOf[Long]
     val cut = math.floor(trainPercent * n).toLong
     val schema = StructType(sorted.schema.fields :+ StructField(Naming.ttSplit, StringType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
@@ -289,11 +294,14 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     val orig = c.df.columns.mkString(", ")
     if (strata.isEmpty) {
       // global form: range-partitioned sort + partition-local index, the
-      // trainTestSplit shape — no single-task global window
-      val sorted = c.df.orderBy(orderBy.map { case (n, d) =>
-        if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
-      }: _*).localCheckpoint()
-      val n = sorted.count()
+      // trainTestSplit shape — no single-task global window; n rides the
+      // checkpoint materialization (CheckpointProbe)
+      val (sorted, probe) = graft.core.CheckpointProbe(
+        c.df.orderBy(orderBy.map { case (n, d) =>
+          if (d.equalsIgnoreCase("DESC")) col(n).desc else col(n).asc
+        }: _*),
+        "_cp_n" -> count(lit(1)))
+      val n = probe(0).asInstanceOf[Long]
       val bounds = cums.map(cm => math.floor(cm * n).toLong)
       val labels = names
       val schema = StructType(sorted.schema.fields :+
