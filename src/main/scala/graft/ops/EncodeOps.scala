@@ -699,7 +699,8 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     * (this op already probes N eagerly); release with
     * [[graft.core.Chain.releaseCheckpoints]] when done. UNGROUPED, the
     * corpus-side tie-aware rank comes from a distinct-value PrefixScan
-    * rank table joined back on the value (+ a broadcast count) — a rank
+    * rank table joined back on the value (gated broadcast; the non-null
+    * count is a literal from the scan's own boundary fold) — a rank
     * is an identity of its value group, so no corpus sort task remains
     * anywhere in this op. [[quantileNormalizeSketch]] additionally
     * replaces the lookup table with an L-point KLL cutoff array riding
@@ -850,7 +851,7 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
         col("_qn_n").cast("double")).cast("long")))
     val outName = Naming.cleanse(s"${column}_qnorm")
     // the same round-16 ungrouped regime as the exact face: PrefixScan
-    // rank table + broadcast count instead of a global rank window
+    // rank table + fold-derived count instead of a global rank window
     val ranked =
       if (groupBy.isEmpty) EncodeOps.globalTieRanks(c.df, xr, "_qn_r", "_qn_n")
       else {
@@ -1110,12 +1111,16 @@ object EncodeOps {
     * for non-ranking rows — callers guard on `xr.isNotNull`) and the
     * non-null count (`nCol`) WITHOUT a corpus sort task: a
     * distinct-value [[graft.core.PrefixScan]] rank table equi-joined
-    * back on the value, plus a one-row count aggregate broadcast via
-    * crossJoin (deliberately NOT derived from the rank frame — reusing
-    * it as both scalar and join side would plan a three-way self-join).
-    * Ranks equal `RANK() OVER (ORDER BY xr ASC NULLS LAST)` on every
-    * ranking row, because a tie-aware rank is an identity of the value
-    * group. Eager (the PrefixScan posture).
+    * back on the value (broadcast-hinted when the distinct aggregate's
+    * plan statistics fit [[graft.core.SizeGate]] — PrefixScan frames
+    * report defaultSizeInBytes, so no hint would ever fire on its own
+    * and the corpus would shuffle on the value column), plus the
+    * non-null count as a LITERAL taken from PrefixScan's own boundary
+    * fold (round 17 — zero extra jobs; the old shape paid a separate
+    * full corpus COUNT pass). Ranks equal
+    * `RANK() OVER (ORDER BY xr ASC NULLS LAST)` on every ranking row,
+    * because a tie-aware rank is an identity of the value group. Eager
+    * (the PrefixScan posture).
     */
   private[ops] def globalTieRanks(df: DataFrame, xr: Column,
                                   rankCol: String, nCol: String): DataFrame = {

@@ -180,9 +180,10 @@ final class WindowOps(private val c: Chain) extends AnyVal {
     * Scales: the global sort is Spark's range-partitioned sort and the row
     * index comes from `zipWithIndex` (per-partition offsets, no single-node
     * window). The sorted relation is checkpointed once (a declared
-    * materialization) so the count, the `zipWithIndex` offsets pass, and
-    * the final read all scan materialized blocks instead of re-running the
-    * global sort per action.
+    * materialization) so the `zipWithIndex` offsets pass and the final
+    * read scan materialized blocks instead of re-running the global sort
+    * per action; n rides the checkpoint job itself
+    * ([[graft.core.CheckpointProbe]]) — no separate count pass.
     */
   def trainTestSplit(orderBy: Seq[(String, String)], trainPercent: Double): Chain = {
     // n rides the checkpoint materialization (CheckpointProbe, round 17)
