@@ -73,6 +73,67 @@ object Exact {
     (sxx - sx * sx / n) / (n - lit(1.0))
   }
 
+  /** Split-long exact DECIMAL(38,8) sum — the probe-gated fast
+    * accumulation for [[graft.ops.AggOps.corrMatrix]]'s moment sums.
+    * Value: IDENTICAL to `SUM(CAST(x AS DECIMAL(38,8))) CAST AS DOUBLE`,
+    * PROVIDED the caller proved [[splitSumSafe]] with a bound ≥ max |x|
+    * over the summed values and the row count. The per-row CAST is the
+    * very same expression (same shortest-decimal HALF_UP rounding, same
+    * null/overflow/ANSI semantics); only the ACCUMULATION changes: the
+    * cast's unscaled long U (exact-long extraction —
+    * `Decimal.toUnscaledLong` is `longValueExact`, loud on any probe
+    * violation) splits into hi = U >> 32 and lo = U & 0xFFFFFFFF
+    * (U = hi·2³² + lo exactly, lo non-negative), each summed as a plain
+    * LONG — codegen long adds into 8-byte hash-aggregate buffer slots
+    * instead of per-row BigDecimal adds into a 16-byte decimal slot —
+    * then recombined EXACTLY in decimal space:
+    * `Σhi · (2³²·10⁻⁸) + MakeDecimal(Σlo)`, a decimal(20,0)·decimal(10,8)
+    * product (31 digits, exact) plus a decimal(38,8). Integer arithmetic
+    * throughout, so the partitioning-independence contract of the
+    * decimal path is preserved bit-for-bit, including the final
+    * decimal→double conversion (equal decimal values, same `toDouble`).
+    * Measured (ScratchDecSum, sf0.1 lineitem, the 9 corr_matrix moment
+    * sums): 3.41 s → 1.73 s, aggregate rows bit-identical.
+    */
+  def splitDecimalSum8(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{MakeDecimal, UnscaledValue}
+    val u = GraftBridge.column(UnscaledValue(
+      GraftBridge.expression(c.cast(DecimalType(38, 8)))))
+    val hi = shiftright(u, 32)
+    val lo = u.bitwiseAND(lit(0xFFFFFFFFL))
+    // precisions are deliberately TIGHT so the recombining Add's result
+    // type stays within 38 digits WITHOUT precision-loss scale reduction
+    // (a decimal(31,8) + decimal(38,8) add would plan as decimal(38,7)
+    // and ROUND the 8th decimal): Σhi < 2^61 fits decimal(19,0), the
+    // product is decimal(30,8), Σlo·10⁻⁸ < 2^62·10⁻⁸ fits decimal(20,8),
+    // and their sum plans as decimal(31,8) — exact, and bounded by the
+    // probe (|total| < 2^61·10⁻⁸ ≈ 2.3e10, 11 integer digits of 23).
+    (functions_sum(hi).cast(DecimalType(19, 0)) *
+      lit(new java.math.BigDecimal("42.94967296")) +
+      GraftBridge.column(MakeDecimal(
+        GraftBridge.expression(functions_sum(lo)), 20, 8, nullOnOverflow = true)))
+      .cast("double")
+  }
+
+  /** Proof obligation for [[splitDecimalSum8]], from a measured bound ≥
+    * max |x| over the summed values and a row count `n` ≥ the number of
+    * summed rows: every per-row |unscaled| = |round(x·10⁸)| must fit a
+    * long with margin (also keeps `toUnscaledLong` exact), Σ lo must fit
+    * (n < 2³⁰ ⇒ Σ lo < 2⁶²), and Σ |hi| ≤ n·(maxU/2³² + 1) must stay
+    * under 2⁶¹ — long sums then cannot overflow even under ANSI. A NaN
+    * or infinite bound (unprobed column, Inf in the data) fails every
+    * comparison and keeps the decimal path; so does corpus-scale n —
+    * the gate is measured, never tuned to a cluster size.
+    */
+  def splitSumSafe(bound: Double, n: Long): Boolean = {
+    val maxU = bound * 1e8
+    val lim = (1L << 61).toDouble
+    n >= 0 && n < (1L << 30) && maxU >= 0.0 &&
+      maxU * 1.01 < lim &&
+      (n.toDouble + 1.0) * (maxU / 4294967296.0 + 2.0) < lim
+  }
+
   /** Exact, order-independent dot product of two numeric array columns.
     *
     * Per-element products are rounded to 1e-12 fixed-point longs (ties away

@@ -855,12 +855,44 @@ object DedupOps {
     * Ceiling: `spark.graft.iterBroadcast.maxRows` (default 1,000,000 —
     * a (long, long) label map at 1 M rows builds a ~32 MB hash relation,
     * the [[SimilarityOps.maybeBroadcastProbes]] posture); set ≤ 0 to
-    * never hint (the hard no-broadcast cluster posture).
+    * never hint (the hard no-broadcast cluster posture). The row cap is
+    * ALSO byte-aware (round 18, ADVICE): the dedup loops always key on
+    * long surrogates, but [[graft.ext.GraphOps]] rank maps may key on
+    * arbitrary-width strings (URLs/hosts) — near the row cap a
+    * string-keyed map could build a 100–300 MB hash relation twice per
+    * sweep. The row count is scaled by a schema-estimated row width
+    * (strings/binary charged `spark.graft.iterBroadcast.stringBytes`,
+    * default 48 — wider than the planner's 20-byte guess because these
+    * frames carry ids, not prose) against
+    * `spark.graft.iterBroadcast.maxBytes` (default 64 MB, the bench
+    * AQE auto-broadcast ceiling).
     */
   private[ext] def maybeBroadcastSmall(df: DataFrame, measuredRows: Long): DataFrame = {
-    val cap = df.sparkSession.conf
-      .get("spark.graft.iterBroadcast.maxRows", "1000000").toLong
-    if (cap > 0 && measuredRows >= 0 && measuredRows <= cap) broadcast(df) else df
+    val conf = df.sparkSession.conf
+    val cap = conf.get("spark.graft.iterBroadcast.maxRows", "1000000").toLong
+    val maxBytes = conf.get("spark.graft.iterBroadcast.maxBytes",
+      (64L << 20).toString).toLong
+    val stringBytes = conf.get("spark.graft.iterBroadcast.stringBytes", "48").toLong
+    if (cap > 0 && measuredRows >= 0 && measuredRows <= cap &&
+      broadcastFits(df.schema, measuredRows, maxBytes, stringBytes)) broadcast(df)
+    else df
+  }
+
+  /** Byte gate for [[maybeBroadcastSmall]]: rows × estimated row width ≤
+    * maxBytes, where variable-width fields (string/binary, and anything
+    * non-atomic) are charged `stringBytes` and fixed-width fields their
+    * type's `defaultSize`. Factored out so the spec can pin the decision
+    * without building million-row frames.
+    */
+  private[graft] def broadcastFits(schema: org.apache.spark.sql.types.StructType,
+                                 rows: Long, maxBytes: Long,
+                                 stringBytes: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    val rowBytes = schema.fields.map(_.dataType match {
+      case StringType | BinaryType => stringBytes
+      case other => math.max(8L, other.defaultSize.toLong)
+    }).sum
+    maxBytes > 0 && rows <= maxBytes / math.max(1L, rowBytes)
   }
 
   /** Shared banded-MinHash derivation for the incremental-dedup pair
@@ -959,7 +991,10 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     var prevSum = seedProbe(0).asInstanceOf[java.math.BigDecimal]
     val nNodes = seedProbe(1).asInstanceOf[Long]
     var it = 0
-    var converged = false
+    // an EMPTY pair frame is already converged: labels0 is the empty
+    // (id, cluster_id) frame and the observed decimal sum is null — one
+    // round of the loop would NPE on s.compareTo(prevSum) (ADVICE r17)
+    var converged = nNodes == 0L
     while (!converged && it < maxIters) {
       // the label map is checkpointRound output — RDD-backed, so plan
       // statistics are the defaultSizeInBytes maximum and no broadcast
@@ -1208,7 +1243,17 @@ final class DedupClusterOps(private val c: Chain) extends AnyVal {
     * whose vectors share no assigned cell are missed; `nassign` is the
     * recall dial (recall-gated in the spec — the usual SemDeDup regime
     * of a TIGHT threshold keeps near-identical pairs co-located). The
-    * cluster and keep-one stages are identical to the lexical op.
+    * cluster and keep-one stages are identical to the lexical op. The
+    * default clusterer STAYS `"propagation"` — round 18 measured the
+    * contraction default the r17 verdict proposed and it REGRESSED this
+    * face (sf0.1 deep-chain fixture, best-of-3: 4.75 -> 6.92 s, 62 -> 89
+    * scheduler jobs): a long similarity chain is large-star/small-star's
+    * worst case (O(log^2 diameter) rounds, each paying TWO checkpoints +
+    * a distinct + a fixpoint anti-join), while the broadcast-gated
+    * propagation round is one cheap join+aggregate. Contraction remains
+    * the right dial when the EDGE SET dwarfs memory (it shrinks as
+    * components collapse); labels are identical either way
+    * (Round18Spec pins equality on the deep-chain fixture).
     *
     * Id types: `idCol` must be integral (tinyint/smallint/int/bigint —
     * runs natively) or string (collision-checked xxhash64 surrogate,

@@ -388,11 +388,20 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     * exists to flag would be useless.
     *
     * Scale: one map-side-combined count aggregate per side (the only
-    * corpus-sized exchanges), a key-equality join of the two COUNT frames
-    * (key-cardinality-sized, not row-sized), a TakeOrderedAndProject for
-    * the top_k (no global sort materializes), and one-row totals
-    * broadcast onto the winners. Pair with [[joinSalted]] once the
-    * culprits are known.
+    * corpus-sized exchanges) into a keys-grain FULL-OUTER profile frame
+    * that is `localCheckpoint`ed once (round 18 — the pre-18 plan read
+    * each side's aggregate twice and the matched join twice, with column
+    * pruning specializing every copy: 12 source scans for one profile;
+    * now each input is scanned ONCE and the four consumers — per-side
+    * totals, matched totals, top-k — read the checkpointed keys-grain
+    * blocks). The top_k is a TakeOrderedAndProject over the checkpoint
+    * (no global sort materializes) and the one-row totals broadcast onto
+    * the winners. The checkpoint is a declared materialization of a
+    * KEYS-grain frame (≤ one row per distinct key either side — the same
+    * storage class as the op's own join output); it rides in the result
+    * plan, so [[graft.core.Chain.releaseCheckpoints]] on the result
+    * frees it once nothing reads it again (the PrefixScan release
+    * contract). Pair with [[joinSalted]] once the culprits are known.
     */
   def joinCardinalityProfile(other: Chain, joinColumns: Seq[(String, String)],
                              topK: Int = 10): Chain = {
@@ -408,14 +417,23 @@ final class JoinOps(private val c: Chain) extends AnyVal {
     val laA = la.alias("_la"); val rbA = rb.alias("_rb")
     val cond = joinColumns.map { case (a, b) => col(s"_la.$a") === col(s"_rb.$b") }
       .reduce(_ && _)
+    // keys-grain profile: null keys were filtered on BOTH sides, so the
+    // plain-equality full outer is exact — matched keys carry both
+    // counts, one-side keys carry a null on the other (they still feed
+    // that side's totals). Checkpointed ONCE; everything below reads it.
+    val prof = laA.join(rbA, cond, "full_outer")
+      .select((lk.indices.map(i =>
+        coalesce(col(s"_la.${lk(i)}"), col(s"_rb.${rk(i)}")).as(lk(i))) ++
+        Seq(col("cnt_a"), col("cnt_b"))): _*)
+      .localCheckpoint()
     val contribDec = col("cnt_a").cast(DecimalType(19, 0)) *
       col("cnt_b").cast(DecimalType(19, 0))
-    val matched = laA.join(rbA, cond, "inner")
-      .select((lk.map(k => col(s"_la.$k")) ++ Seq(col("cnt_a"), col("cnt_b"),
+    val matched = prof.where(col("cnt_a").isNotNull && col("cnt_b").isNotNull)
+      .select((lk.map(col) ++ Seq(col("cnt_a"), col("cnt_b"),
         contribDec.as("_contrib"))): _*)
-    val totA = la.agg(sum(col("cnt_a")).as("rows_a"), count(lit(1)).as("keys_a"),
+    val totA = prof.agg(sum(col("cnt_a")).as("rows_a"), count(col("cnt_a")).as("keys_a"),
       max(col("cnt_a")).as("max_mult_a"))
-    val totB = rb.agg(sum(col("cnt_b")).as("rows_b"), count(lit(1)).as("keys_b"),
+    val totB = prof.agg(sum(col("cnt_b")).as("rows_b"), count(col("cnt_b")).as("keys_b"),
       max(col("cnt_b")).as("max_mult_b"))
     val totM = matched.agg(count(lit(1)).as("keys_matched"),
       coalesce(sum(col("_contrib")), lit(0).cast(DecimalType(38, 0)))
