@@ -21,7 +21,14 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Durable record: stdout can be tail-truncated by the calling process,
   * so the full per-query record is ALSO written to files — each completed
   * query appends a line to `bench_status.jsonl`, and the final summary JSON
-  * goes to `bench.json` (paths overridable via `SPARK_GRAFT_BENCH_OUT`).
+  * goes to `bench.json` ATOMICALLY (temp + move; paths overridable via
+  * `SPARK_GRAFT_BENCH_OUT`).
+  *
+  * Scaling point (round 18): after the declared passes, the x_-prefixed
+  * [[ScaleQueries]] entries time heavy operator paths over duplicated
+  * inputs — additions to the queries map only; the headline `value`
+  * stays the sum over declared q_ queries and `scale_sec` carries their
+  * own sum.
   */
 object Bench {
   /** Locale-fixed decimal formatting: `f"$x%.3f"` follows the JVM default
@@ -95,10 +102,16 @@ object Bench {
     def summaryLine(): String = {
       val done = order.filter(best.contains)
       val skipped = order.filterNot(best.contains)
+      // the x_-prefixed SCALING-POINT entries (graft.ScaleQueries, round
+      // 18) ride in the queries map as ADDITIONS but are excluded from
+      // the headline total, which stays the sum over the declared q_
+      // queries — comparable across rounds; their own sum is scale_sec
+      val extras = best.keys.filterNot(order.contains).toSeq.sorted
       // per-query millisecond precision keeps the line short; the headline
       // fields go LAST so a caller that stores only the tail of stdout
       // still sees metric/value/unit even if the head of the line is cut
-      val qs = done.map(k => "\"" + k + "\":" + fmt3(best(k))).mkString("{", ",", "}")
+      val qs = (done ++ extras).map(k => "\"" + k + "\":" + fmt3(best(k)))
+        .mkString("{", ",", "}")
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val rc = recalls.map { case (n, r, _) => "\"" + n + "\":" + fmt3(r) }
         .mkString("{", ",", "}")
@@ -106,7 +119,8 @@ object Bench {
       val curve = ivfCurve.map { case (np, r) => "\"" + np + "\":" + fmt3(r) }
         .mkString("{", ",", "}")
       val total = fmt3(done.map(best).sum)
-      s"""{"queries":$qs,"skipped":$sk,"recall_at_10":$rc,"recall_ok":$rcOk,"ivf_recall_curve":$curve,"sf":"$sfDir","passes":$passesDone,"n_done":${done.size},"metric":"total","value":$total,"unit":"sec"}"""
+      val scaleSec = fmt3(extras.map(best).sum)
+      s"""{"queries":$qs,"skipped":$sk,"recall_at_10":$rc,"recall_ok":$rcOk,"ivf_recall_curve":$curve,"scale_sec":$scaleSec,"sf":"$sfDir","passes":$passesDone,"n_done":${done.size},"metric":"total","value":$total,"unit":"sec"}"""
     }
     val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench")
     val statusPath = java.nio.file.Paths.get(s"${outBase}_status.jsonl")
@@ -123,9 +137,22 @@ object Bench {
       if (emitted.compareAndSet(false, true)) {
         val line = summaryLine()
         println(line); System.out.flush()
-        try java.nio.file.Files.write(java.nio.file.Paths.get(s"$outBase.json"),
-          (line + "\n").getBytes("UTF-8"))
-        catch { case _: Throwable => () }
+        // ATOMIC file write (round 18, r17 verdict #2 — the r16→r17
+        // comparison was lost to an unparseable stdout tail): write a
+        // temp file in the same directory, then move it over bench.json
+        // atomically, so the on-disk record is never truncated mid-write
+        try {
+          val target = java.nio.file.Paths.get(s"$outBase.json").toAbsolutePath
+          val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+          java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+          try java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: Throwable => // FS without atomic move: plain replace
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } catch { case _: Throwable => () }
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
 
@@ -450,6 +477,22 @@ object Bench {
         System.err.println(s"[bench] recall measurement failed: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     }
+
+    // SCALING POINT (round 18, r17 verdict #5): a few heavy operator
+    // paths over duplicated inputs (graft.ScaleQueries — rationale,
+    // factors and measured 8c/32c ratios documented there) so the
+    // driver's low-core/high-core comparison has compute-bound points;
+    // the 255 declared queries average 0.67 s at sf0.1 over
+    // single-partition scans and cannot exhibit core scaling. One timed
+    // pass each (the scaling read is the cross-run ratio of mins, not a
+    // per-run noise-min); entries land in the queries map x_-prefixed
+    // and NEVER in the headline total (summaryLine) or the
+    // baseline/confirmation gate (parseBaseline matches q_ only).
+    if (elapsed <= budgetSec - 60)
+      ScaleQueries.all.foreach { case (name, fn) =>
+        if (elapsed <= budgetSec - 30) timeOne(1, name, fn)
+      }
+
     emit()
     spark.stop()
   }

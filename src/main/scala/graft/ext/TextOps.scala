@@ -374,30 +374,7 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
   def tfidf(idCol: String, textCol: String, idf: String = "raw"): Chain = {
     require(Seq("raw", "log").contains(idf),
       s"unknown idf kind $idf")
-    val tok = c.df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
-    // term-keyed barrier: tf feeds BOTH the df aggregation and the final
-    // join — one exchange serves both consumers (ReusedExchange) and both
-    // arrive already term-partitioned, so neither re-shuffles
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    // N (distinct documents) rides as a broadcast ONE-ROW aggregate
-    // instead of a chain-build driver collect (round 17): the old eager
-    // count was a full extra corpus scan PLUS a driver barrier paid on
-    // every tfidf/searchTfidf/rrf chain construction — as a column-pruned
-    // aggregate subtree it joins the same job, and the arithmetic is
-    // unchanged (long×long then the same casts, so scores stay
-    // bit-identical)
-    val nAgg = broadcast(c.df.agg(countDistinct(col(idCol)).as("_tfidf_n")))
-    val score = idf match {
-      case "raw" => (col("tf") * col("_tfidf_n")).cast("double") / col("df_t")
-      case "log" => col("tf").cast("double") *
-        log((col("_tfidf_n").cast("double") + 1.0) / (col("df_t").cast("double") + 1.0) + 1.0)
-      case other => throw new IllegalArgumentException(s"unknown idf kind $other")
-    }
-    val df2 = tf.join(dft, Seq("term")).crossJoin(nAgg)
-      .select(col("doc_id"), col("term"), col("tf"), col("df_t"), score.as("tfidf"))
+    val df2 = tfidfScored(idCol, textCol, idf, pruneTerms = None)
     // SQL face: N is a literal baked at RENDER time (nextLazy — the
     // declared driver count moves off the execute path; only an actual
     // render pays it). The render stays a snapshot, exactly like one_hot's
@@ -415,6 +392,42 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
       s"SELECT doc_id, term, tf, df_t, $scoreSql AS tfidf FROM ($tfSql) " +
         s"JOIN (SELECT term, COUNT(1) AS df_t FROM ($tfSql) GROUP BY term) USING (term)"
     })
+  }
+
+  /** The ONE tfidf scoring body (round 18, ADVICE: [[tfidf]] and
+    * [[searchTfidf]]'s probe-pruned branch carried two copies that had
+    * to stay bit-identical): tokenize → optional probed-term semi-join
+    * prune → (doc, term) tf → df_t → N as a broadcast one-row aggregate
+    * → score. With `pruneTerms` set (a SMALL distinct term frame — the
+    * caller proved it broadcasts), the corpus token stream drops
+    * non-probed terms BEFORE the tf aggregation; df_t (every doc holding
+    * a probed term survives the semi-join) and N (its own corpus
+    * aggregate) are unchanged by the pruning, so scores are identical.
+    * Without it, the tf frame takes the term-keyed barrier so one
+    * exchange serves both the df aggregation and the final join
+    * (ReusedExchange). N rides the plan as a broadcast one-row aggregate
+    * instead of a chain-build driver collect (round 17): arithmetic is
+    * long×long then the same casts — scores bit-identical; idf = "raw"
+    * is exact, "log" transcendental (the [[tfidf]] contract).
+    */
+  private def tfidfScored(idCol: String, textCol: String, idf: String,
+                          pruneTerms: Option[DataFrame]): DataFrame = {
+    val tok0 = c.df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tok = pruneTerms.fold(tok0)(t =>
+      tok0.join(broadcast(t), Seq("term"), "leftsemi"))
+    val tf0 = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = if (pruneTerms.isEmpty) tf0.repartition(col("term")) else tf0
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nAgg = broadcast(c.df.agg(countDistinct(col(idCol)).as("_tfidf_n")))
+    val score = idf match {
+      case "raw" => (col("tf") * col("_tfidf_n")).cast("double") / col("df_t")
+      case "log" => col("tf").cast("double") *
+        log((col("_tfidf_n").cast("double") + 1.0) / (col("df_t").cast("double") + 1.0) + 1.0)
+      case other => throw new IllegalArgumentException(s"unknown idf kind $other")
+    }
+    tf.join(dft, Seq("term")).crossJoin(nAgg)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"), score.as("tfidf"))
   }
 
   /** chunk_text(id_col, text_col, chunk_tokens, overlap): split each
@@ -810,25 +823,13 @@ final class TextAnalysisOps(private val c: Chain) extends AnyVal {
         // the whole vocabulary. An unsized/huge query batch keeps the
         // full-tfidf join plan (pruning via a SHUFFLED semi-join would
         // move the raw token stream, more bytes than the aggregated tf).
-        if (SimilarityOps.fitsBroadcast(queries.df, 1)) {
-          val qTerms = broadcast(qt.select(col("term")).distinct())
-          val tok = c.df.select(col(idCol).as("doc_id"),
-            explode(tokens(col(textCol))).as("term"))
-            .join(qTerms, Seq("term"), "leftsemi")
-          val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-          val nAgg = broadcast(c.df.agg(countDistinct(col(idCol)).as("_tfidf_n")))
-          val tfidfCol = idf match {
-            case "raw" => (col("tf") * col("_tfidf_n")).cast("double") / col("df_t")
-            case "log" => col("tf").cast("double") *
-              log((col("_tfidf_n").cast("double") + 1.0) /
-                (col("df_t").cast("double") + 1.0) + 1.0)
-          }
-          tf.join(dft, Seq("term")).crossJoin(nAgg)
+        if (SimilarityOps.fitsBroadcast(queries.df, 1))
+          tfidfScored(idCol, textCol, idf,
+            pruneTerms = Some(qt.select(col("term")).distinct()))
             .join(qt, Seq("term"))
             .groupBy(col("query_id"), col("doc_id"))
-            .agg(graft.core.Exact.sum(col("_qtf") * tfidfCol).as("score"))
-        } else
+            .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))
+        else
           qt.join(docChain.df, Seq("term"))
             .groupBy(col("query_id"), col("doc_id"))
             .agg(graft.core.Exact.sum(col("_qtf") * col("tfidf")).as("score"))

@@ -60,17 +60,20 @@ final class EncodeOps(private val c: Chain) extends AnyVal {
     val codeName = Naming.labelEncoded(column)
     // localCheckpoint materializes the sorted distinct set ONCE (distributed,
     // spillable) — the size gate below, zipWithIndex's internal count and the
-    // index build would otherwise each recompute the distinct aggregation
-    val vals = c.df.select(col(column).as("_graft_val")).distinct()
-      .orderBy(col("_graft_val").asc_nulls_first)
-      .localCheckpoint()
-    val nDistinct = vals.count() // declared bounded action: index size gate
-    val idxSchema = StructType(vals.schema.fields :+
-      StructField(codeName, IntegerType, nullable = false))
-    val idxDf = c.spark.createDataFrame(
-      vals.rdd.zipWithIndex().map { case (row, i) =>
-        Row.fromSeq(row.toSeq :+ (i + 1).toInt)
-      }, idxSchema)
+    // index build would otherwise each recompute the distinct aggregation.
+    // The size-gate count rides the checkpoint materialization
+    // (CheckpointProbe, round 18 — one job instead of checkpoint + count)
+    // and the code index appends on INTERNAL rows (InternalZip: no
+    // external-Row round trip, no codegen break at the index build)
+    val (vals, valsProbe) = graft.core.CheckpointProbe(
+      c.df.select(col(column).as("_graft_val")).distinct()
+        .orderBy(col("_graft_val").asc_nulls_first),
+      "_cp_n" -> count(lit(1)))
+    val nDistinct = valsProbe(0).asInstanceOf[Long]
+    val idxDf = graft.core.InternalZip.appendByIndex(vals,
+      Seq(StructField(codeName, IntegerType, nullable = false))) { (i, out) =>
+      out.update(0, (i + 1).toInt)
+    }
     val idx = if (nDistinct <= maxDistinct) broadcast(idxDf) else idxDf
     val joined = c.df.join(idx, col(column) <=> col("_graft_val"), "left")
       .drop("_graft_val")

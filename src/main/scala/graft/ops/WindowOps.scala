@@ -196,11 +196,15 @@ final class WindowOps(private val c: Chain) extends AnyVal {
       "_cp_n" -> count(lit(1)))
     val n = probe(0).asInstanceOf[Long]
     val cut = math.floor(trainPercent * n).toLong
-    val schema = StructType(sorted.schema.fields :+ StructField(Naming.ttSplit, StringType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (if (i < cut) "TRAIN" else "TEST"))
+    // labels append on INTERNAL rows (round 18, graft.core.InternalZip):
+    // the old external-Row zipWithIndex paid two full-width conversion
+    // passes per row and broke codegen at the createDataFrame boundary
+    val trainU = org.apache.spark.unsafe.types.UTF8String.fromString("TRAIN")
+    val testU = org.apache.spark.unsafe.types.UTF8String.fromString("TEST")
+    val df2 = graft.core.InternalZip.appendByIndex(sorted,
+      Seq(StructField(Naming.ttSplit, StringType, nullable = false))) { (i, out) =>
+      out.update(0, if (i < cut) trainU else testU)
     }
-    val df2 = c.spark.createDataFrame(rdd, schema)
     val orderSql = orderBy.map { case (nm, d) => s"$nm ${dirSql(d)}" }.mkString(", ")
     c.next("train_test_split", df2, Some(
       s"SELECT *, CASE WHEN ROW_NUMBER() OVER (ORDER BY $orderSql) <= " +
@@ -303,16 +307,16 @@ final class WindowOps(private val c: Chain) extends AnyVal {
         }: _*),
         "_cp_n" -> count(lit(1)))
       val n = probe(0).asInstanceOf[Long]
-      val bounds = cums.map(cm => math.floor(cm * n).toLong)
-      val labels = names
-      val schema = StructType(sorted.schema.fields :+
-        StructField("split", StringType, nullable = false))
-      val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      val bounds = cums.map(cm => math.floor(cm * n).toLong).toArray
+      // labels append on INTERNAL rows (graft.core.InternalZip — see
+      // trainTestSplit)
+      val labelsU = names.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+      val df2 = graft.core.InternalZip.appendByIndex(sorted,
+        Seq(StructField("split", StringType, nullable = false))) { (i, out) =>
         val rn = i + 1
         val idx = bounds.indexWhere(rn <= _)
-        Row.fromSeq(row.toSeq :+ (if (idx < 0) labels.last else labels(idx)))
+        out.update(0, if (idx < 0) labelsU.last else labelsU(idx))
       }
-      val df2 = c.spark.createDataFrame(rdd, schema)
       c.next("dataset_splits", df2, Some(
         s"SELECT *, ${caseSql.replace("_d_rn", s"ROW_NUMBER() OVER (ORDER BY $orderSql)")
           .replace("_d_cnt", "COUNT(*) OVER ()")} AS split FROM {{source}}"))

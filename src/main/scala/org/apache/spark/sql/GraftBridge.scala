@@ -19,6 +19,18 @@ object GraftBridge {
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
 
+  /** Build a DataFrame over an RDD of INTERNAL rows
+    * (`internalCreateDataFrame` is `private[sql]`) — the zipWithIndex /
+    * prefix-scan operators produce InternalRows directly so downstream
+    * plans skip the external-Row encoder pass a
+    * `createDataFrame(RDD[Row], schema)` inserts per row per column.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
     * `private[sql]`; the public `get` blocks forever if the observed
     * action never fires its listener — callers that piggyback a metric on

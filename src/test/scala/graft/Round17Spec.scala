@@ -149,15 +149,22 @@ class Round17Spec extends AnyFunSuite {
 
   test("tfidf: no chain-build driver job; N rides as a broadcast one-row aggregate") {
     // chain construction must not run a Spark job any more (the old shape
-    // collected countDistinct eagerly) — pin via a listener
+    // collected countDistinct eagerly) — pin via a listener. Jobs are
+    // counted ONLY within this test's job group (round 18, ADVICE: the
+    // old global onJobStart counter failed spuriously under any
+    // concurrently running suite's jobs)
+    val group = "r17-tfidf-construction-pin"
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        counter.incrementAndGet()
+        if (j.properties != null &&
+          group == j.properties.getProperty("spark.jobGroup.id"))
+          counter.incrementAndGet()
     }
     val docs = table("documents") // parquet footer read happens here, not in tfidf
     docs.df.count() // warm the scan so no lazy file-listing job is misattributed
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, group)
     try {
       val ch = docs.tfidf("doc_id", "text")
       Thread.sleep(1000)
@@ -167,7 +174,10 @@ class Round17Spec extends AnyFunSuite {
       val sql = ch.sql()
       assert(sql.contains("CAST(tf * "), s"render must bake N: $sql")
       assert(rows(spark.sql(sql)) == rows(ch.df))
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   // ---- globalTieRanks -------------------------------------------------

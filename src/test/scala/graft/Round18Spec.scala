@@ -212,6 +212,26 @@ class Round18Spec extends AnyFunSuite {
     Chain.releaseCheckpoints(cp1); Chain.releaseCheckpoints(cp2)
   }
 
+  // ---- PrefixScan: reliable-checkpoint opt-in --------------------------
+
+  test("PrefixScan: reliable opt-in checkpoints durably with identical sums") {
+    val df = (1 to 500).map(i => (i % 5, (i % 17).toLong, i)).toDF("g", "w", "i")
+    def scan() = graft.core.PrefixScan.exclusivePrefixSum(
+      df, Seq(col("g")), Seq(col("i")), col("w"), "_cum")
+    val plain = rows(scan())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set("spark.graft.prefixScan.reliable", "true")
+    val rel =
+      try scan()
+      finally spark.conf.unset("spark.graft.prefixScan.reliable")
+    assert(rows(rel) == plain, "reliable checkpoint changed the sums")
+    // the sorted frame actually checkpointed into the directory
+    val files = java.nio.file.Files.walk(dir).filter(
+      java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"expected reliable checkpoint files under $dir")
+  }
+
   // ---- maybeBroadcastSmall: byte-aware cap -----------------------------
 
   test("broadcastFits: string-keyed frames hit the byte cap before the row cap") {
