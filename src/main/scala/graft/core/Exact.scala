@@ -95,11 +95,20 @@ object Exact {
     * Measured (ScratchDecSum, sf0.1 lineitem, the 9 corr_matrix moment
     * sums): 3.41 s → 1.73 s, aggregate rows bit-identical.
     */
-  def splitDecimalSum8(c: Column): Column = {
+  def splitDecimalSum8(c: Column, fastCast: Boolean = false): Column = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{MakeDecimal, UnscaledValue}
-    val u = GraftBridge.column(UnscaledValue(
-      GraftBridge.expression(c.cast(DecimalType(38, 8)))))
+    // fastCast swaps the cast+UnscaledValue pair for the one-call codegen
+    // conversion [[graft.functions.Dec8Unscaled]] (identical values —
+    // provably-unambiguous pure arithmetic with the exact BigDecimal
+    // fallback; see its doc). Callers may only enable it under the same
+    // probe that gates this sum: inputs null or FINITE (an Inf fails its
+    // column's probe bound, so no split sum is built for it).
+    val u =
+      if (fastCast) GraftBridge.column(
+        graft.functions.Dec8Unscaled(GraftBridge.expression(c)))
+      else GraftBridge.column(UnscaledValue(
+        GraftBridge.expression(c.cast(DecimalType(38, 8)))))
     val hi = shiftright(u, 32)
     val lo = u.bitwiseAND(lit(0xFFFFFFFFL))
     // precisions are deliberately TIGHT so the recombining Add's result

@@ -1117,10 +1117,15 @@ final class AggOps(private val c: Chain) extends AnyVal {
       }.toArray
       (total, cols.indices.forall(i => r.getLong(i + 1) == total), ms)
     }
+    // fast per-row conversion (Dec8Unscaled — pure-arithmetic with exact
+    // BigDecimal fallback, valid under the same probe) is on by default;
+    // spark.graft.corr.fastCast=false keeps the cast+UnscaledValue pair
+    val fastCast = c.df.sparkSession.conf
+      .get("spark.graft.corr.fastCast", "true").toBoolean
     def wideWith(p: Option[RangeProbe])(cc: Column, bound: Double): Column =
       p match {
         case Some((total, _, _)) if graft.core.Exact.splitSumSafe(bound, total) =>
-          graft.core.Exact.splitDecimalSum8(cc)
+          graft.core.Exact.splitDecimalSum8(cc, fastCast)
         case _ => wide(cc)
       }
     def listwiseAggs(p: Option[RangeProbe]): Seq[Column] = {

@@ -40,9 +40,12 @@ class Round18Spec extends AnyFunSuite {
       s"fixture must satisfy the probe: bound=$bound n=${values.size}")
     val got = df.agg(
       Exact.splitDecimalSum8(col("x")).as("split"),
+      Exact.splitDecimalSum8(col("x"), fastCast = true).as("fast"),
       sum(col("x").cast(DecimalType(38, 8))).cast("double").as("dec")).head()
-    assert(bitEq(got.get(0), got.get(1)),
-      s"split=${got.get(0)} dec=${got.get(1)} for $values")
+    assert(bitEq(got.get(0), got.get(2)),
+      s"split=${got.get(0)} dec=${got.get(2)} for $values")
+    assert(bitEq(got.get(1), got.get(2)),
+      s"fastCast=${got.get(1)} dec=${got.get(2)} for $values")
   }
 
   test("splitDecimalSum8: bit-identical to the decimal sum on adversarial values") {
@@ -74,6 +77,46 @@ class Round18Spec extends AnyFunSuite {
       val bound = mag
       if (Exact.splitSumSafe(bound, vals.size)) checkSplitEq(vals)
     }
+  }
+
+  test("Dec8Unscaled.unscaled8: exhaustive fuzz against the BigDecimal cast arithmetic") {
+    def ref(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def check(x: Double): Unit = {
+      val got = graft.functions.Dec8Unscaled.unscaled8(x)
+      val want = ref(x)
+      assert(got == want, s"unscaled8($x) = $got, BigDecimal says $want " +
+        s"(bits ${java.lang.Double.doubleToRawLongBits(x)})")
+    }
+    // exact decimal half-boundaries k + 0.5 at the 9th digit — the HALF_UP
+    // corner the fast path must decline or get right — across magnitudes
+    for (k <- -2000L to 2000L) {
+      check((2 * k + 1) / 2e8)            // nearest double to (k+0.5)·1e-8
+      check(k / 1e8)                      // exact grid points
+      check(k / 1e8 + 1e-16); check(k / 1e8 - 1e-16)
+    }
+    // neighbors of half-integer unscaled boundaries at large magnitudes
+    // (ulp-sized steps; domain capped where the unscaled value fits a
+    // long — the splitSumSafe probe the callers must pass)
+    for (m <- Seq(1e3, 1e6, 1e9, 1e12, 1e15, 1e17, 4e17); s <- Seq(-1, 1)) {
+      val b = s * (math.rint(m) + 0.5) / 1e8
+      check(b); check(math.nextUp(b)); check(math.nextDown(b))
+    }
+    // dense random sweep across magnitudes and signs within the probed
+    // domain (|x| < ~4.6e10 so round(x·1e8) fits a long)
+    val rng = new scala.util.Random(1803)
+    for (_ <- 0 until 2000000) {
+      val mag = math.pow(10, rng.nextDouble() * 22 - 12) // 1e-12 .. 1e10
+      check((rng.nextDouble() - 0.5) * mag)
+    }
+    // raw random bit patterns in the finite, in-range domain
+    for (_ <- 0 until 2000000) {
+      val x = java.lang.Double.longBitsToDouble(rng.nextLong())
+      if (!x.isNaN && !x.isInfinite && math.abs(x) < 4.0e10) check(x)
+    }
+    check(0.0); check(-0.0); check(1e-300); check(-1e-300)
   }
 
   test("splitSumSafe: bounds, NaN/Inf and corpus-scale n close the gate") {
